@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -12,27 +11,44 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _subset_engine(spark: SparkSession, sf_dir: str, **overrides):
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.registry import load_source_tables
+
+    cfg = SubsetConfig.from_dict(base_config_dict(**overrides))
+    source = load_source_tables(spark, sf_dir)
+    eng = SubsetEngine(spark, cfg, source)
+    eng.run_middle_out()
+    return eng
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: middle-out referential subset of the sf0.001 star schema — 10%
+    deterministic sample of orders, closed over the full FK graph — returning the
+    per-table subset-ratio report (/root/reference/result_tabulator.py analogue)."""
+    eng = _subset_engine(
+        spark,
+        SF_SMOKE,
+        initial_targets=[
+            {"table": "orders", "percent": 10, "sample_key": "o_orderkey"}
+        ],
+        passthrough_tables=["region"],
+    )
+    return eng.report().orderBy("table_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
+    """One entry per implemented operator from SURVEY.md §2 (filled per milestone)."""
     return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
+    """ANSI-SQL oracles (DuckDB) keyed like ``queries()``."""
     return {}

@@ -1,0 +1,39 @@
+"""condenser_spark — a PySpark-native referential-subsetting + data-pipeline engine.
+
+A from-scratch rebuild of the capabilities of TonicAI/condenser (reference at
+/root/reference, MIT) on Apache Spark:
+
+* the reference's middle-out referentially-intact subsetting algorithm
+  (direct targets -> greedy upstream -> passthrough -> downstream closure ->
+  disconnected tables), re-expressed as lazy DataFrame plans over Parquet
+  instead of generated SQL strings against Postgres/MySQL
+  (see /root/reference/subset.py:40-97);
+* plus large-scale training-data pipeline operators the reference lacks:
+  deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  cosine), similarity search, text analysis, multimodal column plumbing and
+  event sessionization.
+
+Everything driver-side (config, FK graph, topological strata) stays pure
+Python; everything row-wise stays in Spark executors.
+"""
+
+from condenser_spark.config import (
+    DependencyBreak,
+    Relationship,
+    SubsetConfig,
+    Target,
+)
+from condenser_spark.engine import SubsetEngine
+from condenser_spark.registry import TABLE_NAMES, load_source_tables
+
+__all__ = [
+    "DependencyBreak",
+    "Relationship",
+    "SubsetConfig",
+    "SubsetEngine",
+    "Target",
+    "TABLE_NAMES",
+    "load_source_tables",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,176 @@
+"""Config model for the subsetting engine.
+
+Mirrors the reference's flat-JSON config surface (/root/reference/config_reader.py:5-77
+and /root/reference/config.json.example_all) as typed dataclasses.  Differences,
+all deliberate:
+
+* FK relationships are *always* config-supplied (``fk_augmentation``): Parquet has no
+  constraint catalog, so the reference's catalog introspection
+  (/root/reference/psql_database_helper.py:101-158) has no Spark equivalent.  The
+  reference already supports exactly this via ``fk_augmentation``
+  (/root/reference/config_reader.py:50-51).
+* Targets gain a deterministic sampling mode (``percent`` + ``sample_key``): the
+  reference's ``percent`` is Bernoulli via SQL ``random()``
+  (/root/reference/subset.py:110-114), which can never hash-match a DuckDB oracle.
+  With ``sample_key`` set we filter ``pmod(key, 100) < percent`` instead — same
+  expected selectivity, exactly reproducible in any ANSI engine.
+* ``perserve_fk_opportunistically`` [sic]: the reference's misspelled key
+  (/root/reference/config_reader.py:24) is accepted as an alias of the corrected
+  ``preserve_fk_opportunistically``.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import IO, Any, Iterable
+
+
+@dataclass(frozen=True)
+class Relationship:
+    """One FK edge: ``fk_table``'s ``fk_columns`` reference ``target_table``'s
+    ``target_columns``.  Composite keys are first-class (parallel tuples), matching
+    /root/reference/psql_database_helper.py:137-145."""
+
+    fk_table: str
+    fk_columns: tuple[str, ...]
+    target_table: str
+    target_columns: tuple[str, ...]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Relationship":
+        # Accept the reference's "tonic format" with split schema fields too
+        # (/root/reference/config_reader.py:65-74).
+        if "fk_schema" in d:
+            return cls(
+                fk_table=f"{d['fk_schema']}.{d['fk_table']}",
+                fk_columns=tuple(d["fk_columns"]),
+                target_table=f"{d['target_schema']}.{d['target_table']}",
+                target_columns=tuple(d["target_columns"]),
+            )
+        return cls(
+            fk_table=d["fk_table"],
+            fk_columns=tuple(d["fk_columns"]),
+            target_table=d["target_table"],
+            target_columns=tuple(d["target_columns"]),
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "fk_table": self.fk_table,
+            "fk_columns": list(self.fk_columns),
+            "target_table": self.target_table,
+            "target_columns": list(self.target_columns),
+        }
+
+
+@dataclass(frozen=True)
+class DependencyBreak:
+    """A user-declared cut edge, used to make the FK graph a DAG
+    (/root/reference/config_reader.py:19-21)."""
+
+    fk_table: str
+    target_table: str
+
+
+@dataclass(frozen=True)
+class Target:
+    """One ``initial_targets`` entry (/root/reference/subset.py:105-117).
+
+    Exactly one of ``where`` / ``percent`` must be set.  When ``percent`` is set:
+
+    * ``sample_key`` unset -> Bernoulli ``rand(seed) < percent/100`` (reference
+      parity, nondeterministic row counts);
+    * ``sample_key`` set   -> deterministic ``pmod(sample_key, 100) < percent``.
+    """
+
+    table: str
+    where: str | None = None
+    percent: float | None = None
+    sample_key: str | None = None
+
+    def __post_init__(self) -> None:
+        if (self.where is None) == (self.percent is None):
+            raise ValueError(
+                f"target table {self.table} needs exactly one of 'where' or 'percent' "
+                "defined, check your configuration."
+            )
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "Target":
+        return cls(
+            table=d["table"],
+            where=d.get("where"),
+            percent=float(d["percent"]) if "percent" in d else None,
+            sample_key=d.get("sample_key"),
+        )
+
+
+def _breaks(items: Iterable[dict[str, Any]]) -> set[DependencyBreak]:
+    return {DependencyBreak(b["fk_table"], b["target_table"]) for b in items}
+
+
+@dataclass
+class SubsetConfig:
+    """Full engine config.  Field-for-field superset of the reference's JSON schema
+    (/root/reference/config.json.example_all), minus DB connection blocks (sources
+    are Parquet directories) and plus ``seed``."""
+
+    initial_targets: list[Target] = field(default_factory=list)
+    passthrough_tables: list[str] = field(default_factory=list)
+    excluded_tables: list[str] = field(default_factory=list)
+    dependency_breaks: set[DependencyBreak] = field(default_factory=set)
+    preserve_fk_opportunistically: set[DependencyBreak] = field(default_factory=set)
+    fk_augmentation: list[Relationship] = field(default_factory=list)
+    upstream_filters: list[dict[str, Any]] = field(default_factory=list)
+    max_rows_per_table: int | None = None
+    keep_disconnected_tables: bool = False
+    pre_constraint_sql: list[str] = field(default_factory=list)
+    post_subset_sql: list[str] = field(default_factory=list)
+    seed: int = 42
+
+    @property
+    def initial_target_tables(self) -> list[str]:
+        # /root/reference/config_reader.py:29-30
+        return [t.table for t in self.initial_targets]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "SubsetConfig":
+        if "desired_result" in d:
+            # /root/reference/config_reader.py:16-17
+            raise ValueError(
+                "desired_result is a key in the old config spec. Check the README for "
+                "the latest configuration parameters."
+            )
+        dep_break_items = d.get("dependency_breaks", [])
+        preserve = {
+            DependencyBreak(b["fk_table"], b["target_table"])
+            for b in dep_break_items
+            # accept both the corrected spelling and the reference's typo
+            # (/root/reference/config_reader.py:24)
+            if b.get("preserve_fk_opportunistically")
+            or b.get("perserve_fk_opportunistically")
+        }
+        return cls(
+            initial_targets=[Target.from_dict(t) for t in d.get("initial_targets", [])],
+            passthrough_tables=list(d.get("passthrough_tables", [])),
+            excluded_tables=list(d.get("excluded_tables", [])),
+            dependency_breaks=_breaks(dep_break_items),
+            preserve_fk_opportunistically=preserve,
+            fk_augmentation=[
+                Relationship.from_dict(r) for r in d.get("fk_augmentation", [])
+            ],
+            upstream_filters=list(d.get("upstream_filters", [])),
+            max_rows_per_table=d.get("max_rows_per_table"),
+            keep_disconnected_tables=bool(d.get("keep_disconnected_tables", False)),
+            pre_constraint_sql=list(d.get("pre_constraint_sql", [])),
+            post_subset_sql=list(d.get("post_subset_sql", [])),
+            seed=int(d.get("seed", 42)),
+        )
+
+    @classmethod
+    def from_json(cls, file_like: IO[str] | str) -> "SubsetConfig":
+        if isinstance(file_like, str):
+            with open(file_like, "r") as fp:
+                return cls.from_dict(json.load(fp))
+        return cls.from_dict(json.load(file_like))

@@ -1,0 +1,339 @@
+"""SubsetEngine — the middle-out referential-subsetting algorithm on Spark.
+
+Re-implements ``Subset.run_middle_out`` (/root/reference/subset.py:40-97) phase for
+phase.  The reference's "plan" is Python control flow issuing SQL strings at two
+live databases; here each phase extends a dict of lazy DataFrames and Catalyst
+plans the actual execution.  Semantic gotchas preserved (SURVEY §4.3):
+
+1. Bernoulli (not exact-fraction) percent sampling, plus a deterministic variant.
+2. NULL-bearing key tuples never fetch closure rows (``na.drop`` before joins).
+3. Greedy upstream AND-combines one semi-join per *processed-parent* edge
+   (/root/reference/subset.py:141-144) — every relevant edge must match.
+4. Upstream is greedy/one-pass in topo order; tables whose parents were untouched
+   stay empty (/root/reference/subset.py:123-128).
+5. Passthrough copies run *before* the downstream closure so their FK needs are
+   satisfied (/root/reference/subset.py:69-78).
+6. Downstream is a single reverse-topological sweep — each table is visited after
+   every table that references it, so one pass reaches the fixpoint.
+7. "Missing keys" (J2) compare against the destination *as it stands mid-run*; the
+   dest dict is updated incrementally in the same order.
+8. Broken-edge FK columns are NULLed on every copy of the fk table (P1).
+
+Scale design (local[32] today, 1000 executors tomorrow):
+
+* Per-table destination state is a DataFrame; ``materialize`` controls how phase
+  barriers are realized:
+    - ``"none"``: pure lazy lineage (fine for tests; lineage deepens with graph
+      depth, not data size);
+    - ``"persist"``: cache each table as it lands (closure reads every dest table
+      at least once — this is the reference's dest-side temp staging,
+      /root/reference/subset.py:130-137, without the copies);
+    - ``"checkpoint"``: ``localCheckpoint`` to truncate lineage on deep graphs;
+    - ``"parquet"``: write-and-reread each table from ``dest_path`` — literal
+      reference semantics (dest DB as the barrier), the right mode at 100 TB where
+      recomputing a phase is costlier than writing it.
+* Closure key sets are bounded by the subset size, deduplicated before use, and
+  broadcast — the big side (source fact table) never shuffles for a fetch.
+* Nothing row-wise ever touches the driver: no collect() on any data path.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from condenser_spark.config import Relationship, SubsetConfig, Target
+from condenser_spark.graph import (
+    compute_disconnected_tables,
+    compute_downstream_tables,
+    compute_upstream_tables,
+    get_topological_order_by_tables,
+    redact_relationships,
+)
+from condenser_spark.operators.filters import (
+    apply_limit,
+    apply_where,
+    bernoulli_sample,
+    deterministic_sample,
+    upstream_filter_match,
+)
+from condenser_spark.operators.joins import fetch_by_keys, missing_keys, semi_join_keys
+from condenser_spark.operators.projection import project_with_fk_nulls
+from condenser_spark.operators.validate import referential_violations, tabulate
+from condenser_spark.registry import empty_like
+
+
+class SubsetEngine:
+    """Run the middle-out subset over a dict of source DataFrames."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: SubsetConfig,
+        source: Mapping[str, DataFrame],
+        dest_path: str | None = None,
+        materialize: str = "none",
+        verbose: bool = False,
+    ) -> None:
+        if materialize not in ("none", "persist", "checkpoint", "parquet"):
+            raise ValueError(f"unknown materialize mode: {materialize}")
+        if materialize == "parquet" and not dest_path:
+            raise ValueError("materialize='parquet' requires dest_path")
+        self.spark = spark
+        self.config = config
+        # excluded tables leave the working set entirely
+        # (/root/reference/direct_subset.py:35-37)
+        self.source: dict[str, DataFrame] = {
+            k: v for k, v in source.items() if k not in set(config.excluded_tables)
+        }
+        self.excluded: dict[str, DataFrame] = {
+            k: v for k, v in source.items() if k in set(config.excluded_tables)
+        }
+        self.all_tables = sorted(self.source)
+        self.relationships: list[Relationship] = [
+            r
+            for r in config.fk_augmentation
+            if r.fk_table in self.source and r.target_table in self.source
+        ]
+        self.dest: dict[str, DataFrame] = {}
+        self.dest_path = dest_path
+        self.materialize = materialize
+        self.verbose = verbose
+
+    # ---------------------------------------------------------------- plumbing
+
+    def _log(self, msg: str) -> None:
+        if self.verbose:
+            print(msg)
+
+    def _set_dest(self, table: str, df: DataFrame) -> None:
+        """Phase-barrier materialization policy (SURVEY §7.3 hard #1)."""
+        if self.materialize == "persist":
+            df = df.persist()
+        elif self.materialize == "checkpoint":
+            df = df.localCheckpoint(eager=False)
+        elif self.materialize == "parquet":
+            path = os.path.join(self.dest_path, f"{table}.parquet")
+            df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.parquet(path)
+        self.dest[table] = df
+
+    def _dest_or_empty(self, table: str) -> DataFrame:
+        """Destination tables exist (schema-only) before any rows land, exactly as
+        the reference's dest DB does after DDL replication."""
+        if table not in self.dest:
+            return empty_like(self.source[table])
+        return self.dest[table]
+
+    def _append_dest(self, table: str, rows: DataFrame) -> None:
+        if table in self.dest:
+            self._set_dest(table, self.dest[table].unionByName(rows))
+        else:
+            self._set_dest(table, rows)
+
+    def _project(self, table: str, df: DataFrame) -> DataFrame:
+        return project_with_fk_nulls(
+            df,
+            table,
+            self.relationships,
+            self.config.dependency_breaks,
+            self.config.preserve_fk_opportunistically,
+        )
+
+    # ------------------------------------------------------------------ phases
+
+    def run_middle_out(self) -> dict[str, DataFrame]:
+        cfg = self.config
+        passthrough_tables = sorted(set(cfg.passthrough_tables))
+        disconnected = compute_disconnected_tables(
+            cfg.initial_target_tables,
+            passthrough_tables,
+            self.all_tables,
+            self.relationships,
+        )
+        connected = [t for t in self.all_tables if t not in disconnected]
+        order = get_topological_order_by_tables(
+            self.relationships, connected, cfg.dependency_breaks
+        )
+
+        # Phase 1 — direct targets (/root/reference/subset.py:48-56)
+        t0 = time.time()
+        processed: set[str] = set()
+        for target in cfg.initial_targets:
+            self._subset_direct(target)
+            processed.add(target.table)
+        self._log(f"Direct target tables completed in {time.time() - t0:.2f}s")
+
+        # Phase 2 — greedy upstream (/root/reference/subset.py:58-67)
+        t0 = time.time()
+        upstream_tables = compute_upstream_tables(cfg.initial_target_tables, order)
+        for t in upstream_tables:
+            if self._subset_upstream(t, processed):
+                processed.add(t)
+        self._log(f"Greedy subsettings completed in {time.time() - t0:.2f}s")
+
+        # Phase 3 — passthrough, before downstream so passthrough rows' FK needs
+        # are satisfied (/root/reference/subset.py:69-78)
+        t0 = time.time()
+        for t in passthrough_tables:
+            rows = apply_limit(self.source[t], cfg.max_rows_per_table)
+            self._set_dest(t, rows)
+        self._log(f"Pass-through completed in {time.time() - t0:.2f}s")
+
+        # Phase 4 — downstream closure, reverse topo order, single pass
+        # (/root/reference/subset.py:80-87)
+        t0 = time.time()
+        downstream_tables = compute_downstream_tables(
+            passthrough_tables, disconnected, order
+        )
+        for t in downstream_tables:
+            self._subset_downstream(t)
+        self._log(f"Downstream subsetting completed in {time.time() - t0:.2f}s")
+
+        # Phase 5 — disconnected components (/root/reference/subset.py:89-97)
+        t0 = time.time()
+        for t in disconnected:
+            if cfg.keep_disconnected_tables:
+                self._set_dest(t, self.source[t])
+            else:
+                self._set_dest(t, empty_like(self.source[t]))
+        self._log(f"Disconnected tables completed in {time.time() - t0:.2f}s")
+
+        # every table exists in the destination, possibly empty (schema replica);
+        # excluded tables are present with zero rows (/root/reference/direct_subset.py:37)
+        for t in self.all_tables:
+            if t not in self.dest:
+                self.dest[t] = empty_like(self.source[t])
+        for t, df in self.excluded.items():
+            self.dest[t] = empty_like(df)
+        return self.dest
+
+    def run(self) -> dict[str, DataFrame]:
+        """Full lifecycle: middle-out, then the pre/post SQL hooks
+        (/root/reference/direct_subset.py:45-62) against temp views
+        ``dest_<table>``.  Returns the destination dict."""
+        self.run_middle_out()
+        for t, df in self.dest.items():
+            df.createOrReplaceTempView(f"dest_{t}")
+        for stmt in self.config.pre_constraint_sql:
+            self.spark.sql(stmt)
+        # S8: constraint application becomes an explicit orphan check
+        violations = self.validate()
+        bad = {r: n for r, n in violations.items() if n > 0}
+        if bad:
+            raise ValueError(f"referential integrity violations: {bad}")
+        for stmt in self.config.post_subset_sql:
+            self.spark.sql(stmt)
+        return self.dest
+
+    # ----------------------------------------------------------- phase kernels
+
+    def _subset_direct(self, target: Target) -> None:
+        """Phase-1 kernel (/root/reference/subset.py:105-117): P1 projection +
+        (P2 | P3 | P3') filter."""
+        t = target.table
+        df = self.source[t]
+        if target.where is not None:
+            rows = apply_where(df, target.where)
+        elif target.sample_key is not None:
+            rows = deterministic_sample(df, target.sample_key, target.percent)
+        else:
+            rows = bernoulli_sample(df, target.percent, seed=self.config.seed)
+        self._append_dest(t, self._project(t, rows))
+
+    def _subset_upstream(self, table: str, processed: set[str]) -> bool:
+        """Phase-2 kernel (/root/reference/subset.py:120-156): one semi-join per
+        redacted edge whose parent is already processed, AND-combined, plus P4
+        filters and the P5 cap.  Returns False when the table isn't referenced by
+        anything processed (it stays empty) or was itself a direct target."""
+        redacted = redact_relationships(
+            self.relationships, self.config.dependency_breaks
+        )
+        relevant = [
+            r
+            for r in redacted
+            if r.target_table in processed and r.fk_table == table
+        ]
+        if not relevant or table in processed:
+            return False
+
+        rows = self._project(table, self.source[table])
+        for rel in relevant:  # AND semantics: chain of semi-joins
+            rows = semi_join_keys(
+                rows,
+                self._dest_or_empty(rel.target_table),
+                rel.fk_columns,
+                rel.target_columns,
+            )
+        for cond in upstream_filter_match(
+            table, self.source[table].columns, self.config.upstream_filters
+        ):
+            rows = apply_where(rows, cond)
+        rows = apply_limit(rows, self.config.max_rows_per_table)
+        self._append_dest(table, rows)
+        return True
+
+    def _subset_downstream(self, table: str) -> None:
+        """Phase-4 kernel (/root/reference/subset.py:166-204): union per-edge
+        missing-key anti-joins (J2) -> na.drop (P6) -> distinct (J3) -> broadcast
+        semi-join fetch from source (J4) -> P1 projection -> append."""
+        redacted = redact_relationships(
+            self.relationships, self.config.dependency_breaks
+        )
+        referencing = [r for r in redacted if r.target_table == table]
+        if not referencing:
+            return
+
+        pk_cols = list(referencing[0].target_columns)
+        needed: DataFrame | None = None
+        for rel in referencing:
+            miss = missing_keys(
+                self._dest_or_empty(rel.fk_table),
+                self._dest_or_empty(table),
+                rel.fk_columns,
+                rel.target_columns,
+            )
+            needed = miss if needed is None else needed.unionByName(miss)
+        keys = needed.distinct()
+        new_rows = fetch_by_keys(self.source[table], keys, pk_cols)
+        self._append_dest(table, self._project(table, new_rows))
+
+    # ------------------------------------------------------------- reporting
+
+    def validate(self) -> dict[Relationship, int]:
+        """S8 analogue — orphan counts per non-broken edge; all zero == closed."""
+        redacted = redact_relationships(
+            self.relationships, self.config.dependency_breaks
+        )
+        return referential_violations(self.dest, redacted)
+
+    def report(self) -> DataFrame:
+        """A3 — per-table subset-ratio tabulation
+        (/root/reference/result_tabulator.py:6-22)."""
+        src = dict(self.source)
+        src.update(self.excluded)
+        return tabulate(self.spark, src, self.dest)
+
+
+def run_subset(
+    spark: SparkSession,
+    config: SubsetConfig,
+    source_dir: str,
+    dest_path: str | None = None,
+    materialize: str = "none",
+    loader: Callable[..., Mapping[str, DataFrame]] | None = None,
+) -> SubsetEngine:
+    """Convenience wrapper: the Spark analogue of ``python direct_subset.py``
+    (/root/reference/direct_subset.py:27-66)."""
+    from condenser_spark.registry import load_source_tables
+
+    load = loader or load_source_tables
+    source = load(spark, source_dir)
+    engine = SubsetEngine(
+        spark, config, source, dest_path=dest_path, materialize=materialize
+    )
+    engine.run()
+    return engine

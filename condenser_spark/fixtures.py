@@ -1,0 +1,45 @@
+"""The FIXTURES.md FK graph as engine config.
+
+Parquet has no constraint catalog, so the FK edges that the reference would
+introspect from pg_constraint (/root/reference/psql_database_helper.py:101-158) are
+supplied as ``fk_augmentation`` config — the escape hatch the reference itself
+provides for constraint-less schemas (/root/reference/config_reader.py:50-51).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+FK_AUGMENTATION: list[dict[str, Any]] = [
+    {"fk_table": "nation", "fk_columns": ["n_regionkey"],
+     "target_table": "region", "target_columns": ["r_regionkey"]},
+    {"fk_table": "customer", "fk_columns": ["c_nationkey"],
+     "target_table": "nation", "target_columns": ["n_nationkey"]},
+    {"fk_table": "supplier", "fk_columns": ["s_nationkey"],
+     "target_table": "nation", "target_columns": ["n_nationkey"]},
+    {"fk_table": "orders", "fk_columns": ["o_custkey"],
+     "target_table": "customer", "target_columns": ["c_custkey"]},
+    {"fk_table": "lineitem", "fk_columns": ["l_orderkey"],
+     "target_table": "orders", "target_columns": ["o_orderkey"]},
+    {"fk_table": "lineitem", "fk_columns": ["l_partkey"],
+     "target_table": "part", "target_columns": ["p_partkey"]},
+    {"fk_table": "lineitem", "fk_columns": ["l_suppkey"],
+     "target_table": "supplier", "target_columns": ["s_suppkey"]},
+    {"fk_table": "events", "fk_columns": ["user_id"],
+     "target_table": "customer", "target_columns": ["c_custkey"]},
+]
+
+
+def base_config_dict(**overrides: Any) -> dict[str, Any]:
+    """A complete config dict over the fixture schema; override per test/query."""
+    d: dict[str, Any] = {
+        "initial_targets": [],
+        "passthrough_tables": [],
+        "excluded_tables": [],
+        "dependency_breaks": [],
+        "fk_augmentation": [dict(r) for r in FK_AUGMENTATION],
+        "upstream_filters": [],
+        "keep_disconnected_tables": False,
+    }
+    d.update(overrides)
+    return d

@@ -1,0 +1,206 @@
+"""Driver-side schema-graph algorithms.
+
+The FK schema forms a directed graph (edge: fk_table -> target_table, i.e. the
+referencing table is *upstream* of the referenced table — definitions comment at
+/root/reference/subset.py:7-22).  Tables number in the hundreds at most, so these
+algorithms run on the driver in pure Python; distributing them would be malpractice.
+
+Contents mirror the reference semantics exactly:
+
+* ``toposort_strata``        — layered Kahn toposort, vendored (the reference pulls in
+                               the ``toposort`` PyPI lib, /root/reference/topo_orderer.py:1-6)
+* ``prepare_topo_input``     — break/table filtering + self-loop check
+                               (/root/reference/topo_orderer.py:8-38)
+* ``UnionFind``              — path compression + union by rank
+                               (/root/reference/subset_utils.py:98-159)
+* ``compute_disconnected_tables`` / ``compute_upstream_tables`` /
+  ``compute_downstream_tables``  (/root/reference/subset_utils.py:44-70)
+* ``redact_relationships``   — drop user-broken edges (/root/reference/subset_utils.py:33-36)
+
+One deliberate tightening: strata are returned as *sorted lists*, not sets.  The
+reference iterates Python sets, which is non-deterministic across runs; the subset
+produced can differ run-to-run when multiple edges race.  Sorting makes every run
+reproducible without changing which rows are reachable.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from condenser_spark.config import DependencyBreak, Relationship
+
+
+def redact_relationships(
+    relationships: Sequence[Relationship], breaks: set[DependencyBreak]
+) -> list[Relationship]:
+    """Remove user-declared broken edges (/root/reference/subset_utils.py:33-36)."""
+    return [
+        r
+        for r in relationships
+        if DependencyBreak(r.fk_table, r.target_table) not in breaks
+    ]
+
+
+def prepare_topo_input(
+    relationships: Sequence[Relationship],
+    tables: Sequence[str],
+    breaks: set[DependencyBreak],
+) -> dict[str, set[str]]:
+    """Build the dependency dict fk_table -> {target_tables}.
+
+    Matches /root/reference/topo_orderer.py:8-38: broken edges skipped, self-loops
+    raise, edges touching tables outside the working set skipped.
+    """
+    table_set = set(tables)
+    deps: dict[str, set[str]] = {}
+    for r in relationships:
+        p, c = r.fk_table, r.target_table
+        if DependencyBreak(p, c) in breaks:
+            continue
+        if p == c:
+            raise ValueError(f"Circular dependency, {p} depends on itself!")
+        if table_set and (p not in table_set or c not in table_set):
+            continue
+        deps.setdefault(p, set()).add(c)
+    return deps
+
+
+def toposort_strata(deps: dict[str, set[str]]) -> list[list[str]]:
+    """Layered topological sort (Kahn).  Stratum 0 contains the most-*downstream*
+    tables (referenced, no outgoing deps: e.g. ``region``); later strata are further
+    upstream.  Raises on cycles.  Each stratum is sorted for reproducibility.
+
+    Semantics equal to ``toposort.toposort`` as used by
+    /root/reference/topo_orderer.py:4-6: items appearing only as dependencies are
+    included; items with no edges at all are not.
+    """
+    remaining: dict[str, set[str]] = {}
+    universe: set[str] = set()
+    for k, vs in deps.items():
+        universe.add(k)
+        universe.update(vs)
+        remaining[k] = set(vs)
+    for item in universe:
+        remaining.setdefault(item, set())
+
+    strata: list[list[str]] = []
+    while remaining:
+        ready = {k for k, vs in remaining.items() if not vs}
+        if not ready:
+            raise ValueError(
+                f"Circular dependency detected among tables: {sorted(remaining)}"
+            )
+        strata.append(sorted(ready))
+        remaining = {
+            k: (vs - ready) for k, vs in remaining.items() if k not in ready
+        }
+    return strata
+
+
+def get_topological_order_by_tables(
+    relationships: Sequence[Relationship],
+    tables: Sequence[str],
+    breaks: set[DependencyBreak],
+) -> list[list[str]]:
+    """/root/reference/topo_orderer.py:4-6."""
+    return toposort_strata(prepare_topo_input(relationships, tables, breaks))
+
+
+class UnionFind:
+    """Union-find with path compression and union by rank
+    (/root/reference/subset_utils.py:98-159)."""
+
+    def __init__(self) -> None:
+        self._id: dict[str, int] = {}
+        self._elements: list[str] = []
+        self._roots: list[int] = []
+        self._ranks: list[int] = []
+
+    def __len__(self) -> int:
+        return len(self._roots)
+
+    def make_set(self, elem: str) -> None:
+        self._id_of(elem)
+
+    def _id_of(self, elem: str) -> int:
+        if elem not in self._id:
+            idx = len(self._roots)
+            self._elements.append(elem)
+            self._id[elem] = idx
+            self._roots.append(idx)
+            self._ranks.append(0)
+        return self._id[elem]
+
+    def _find_internal(self, x: int) -> int:
+        root = x
+        while self._roots[root] != root:
+            root = self._roots[root]
+        # path compression
+        while self._roots[x] != root:
+            x, self._roots[x] = self._roots[x], root
+        return root
+
+    def find(self, elem: str) -> str:
+        return self._elements[self._find_internal(self._id[elem])]
+
+    def link(self, a: str, b: str) -> None:
+        xr = self._find_internal(self._id_of(a))
+        yr = self._find_internal(self._id_of(b))
+        if xr == yr:
+            return
+        if self._ranks[xr] < self._ranks[yr]:
+            self._roots[xr] = yr
+        elif self._ranks[yr] < self._ranks[xr]:
+            self._roots[yr] = xr
+        else:
+            self._roots[yr] = xr
+            self._ranks[xr] += 1
+
+
+def compute_disconnected_tables(
+    target_tables: Iterable[str],
+    passthrough_tables: Iterable[str],
+    all_tables: Sequence[str],
+    relationships: Sequence[Relationship],
+) -> list[str]:
+    """Tables in connected components containing no target and no passthrough table
+    (/root/reference/subset_utils.py:61-70).  NB: components are computed over the
+    *unredacted* relationship set, as in the reference (breaks cut cycles for
+    ordering, not connectivity)."""
+    uf = UnionFind()
+    for t in all_tables:
+        uf.make_set(t)
+    for rel in relationships:
+        uf.link(rel.fk_table, rel.target_table)
+    keep_roots = {uf.find(t) for t in target_tables}
+    keep_roots.update(uf.find(t) for t in passthrough_tables)
+    return [t for t in all_tables if uf.find(t) not in keep_roots]
+
+
+def compute_upstream_tables(
+    target_tables: Iterable[str], order: Sequence[Sequence[str]]
+) -> list[str]:
+    """Tables in strata strictly *after* the first stratum containing a target —
+    candidates for greedy upstream import (/root/reference/subset_utils.py:44-52)."""
+    targets = set(target_tables)
+    upstream: list[str] = []
+    in_upstream = False
+    for stratum in order:
+        if in_upstream:
+            upstream.extend(stratum)
+        if any(t in stratum for t in targets):
+            in_upstream = True
+    return upstream
+
+
+def compute_downstream_tables(
+    passthrough_tables: Iterable[str],
+    disconnected_tables: Iterable[str],
+    order: Sequence[Sequence[str]],
+) -> list[str]:
+    """All connected, non-passthrough tables in *reverse* topological order
+    (most-upstream first) — the single-pass closure sweep order
+    (/root/reference/subset_utils.py:54-59)."""
+    skip = set(passthrough_tables) | set(disconnected_tables)
+    flat = [t for stratum in order for t in stratum]
+    return [t for t in reversed(flat) if t not in skip]

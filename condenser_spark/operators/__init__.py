@@ -1,0 +1,37 @@
+from condenser_spark.operators.filters import (
+    apply_limit,
+    apply_where,
+    bernoulli_sample,
+    deterministic_sample,
+    drop_null_keys,
+    upstream_filter_match,
+)
+from condenser_spark.operators.joins import (
+    fetch_by_keys,
+    missing_keys,
+    semi_join_keys,
+)
+from condenser_spark.operators.projection import (
+    columns_to_null,
+    project_with_fk_nulls,
+)
+from condenser_spark.operators.validate import (
+    referential_violations,
+    tabulate,
+)
+
+__all__ = [
+    "apply_limit",
+    "apply_where",
+    "bernoulli_sample",
+    "deterministic_sample",
+    "drop_null_keys",
+    "upstream_filter_match",
+    "fetch_by_keys",
+    "missing_keys",
+    "semi_join_keys",
+    "columns_to_null",
+    "project_with_fk_nulls",
+    "referential_violations",
+    "tabulate",
+]

@@ -1,0 +1,68 @@
+"""P2-P6 — predicates, sampling, limits, NULL-key filtering.
+
+All filters are expressed with ``F.expr``/built-in functions so Catalyst pushes them
+into the Parquet scan (check ``PushedFilters`` in ``df.explain``): at 100 TB the
+difference between a pushed and an unpushed predicate is reading row groups vs
+reading the table.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_where(df: DataFrame, where: str) -> DataFrame:
+    """P2 — arbitrary user predicate (/root/reference/subset.py:108-109).  The
+    reference splices the string into generated SQL; Spark SQL accepts the same ANSI
+    predicate text via ``F.expr``."""
+    return df.filter(F.expr(where))
+
+
+def bernoulli_sample(df: DataFrame, percent: float, seed: int = 42) -> DataFrame:
+    """P3 — per-row Bernoulli sample, reference parity: ``WHERE random() < p/100``
+    (/root/reference/subset.py:110-114).  Row counts vary run to run in the
+    reference; we pin a seed so *our* runs are reproducible while keeping the
+    Bernoulli (non-exact-fraction) semantics."""
+    return df.filter(F.rand(seed) < float(percent) / 100.0)
+
+
+def deterministic_sample(df: DataFrame, key: str, percent: float) -> DataFrame:
+    """P3' — deterministic variant for oracle comparison (SURVEY §4.3.1):
+    ``pmod(key, 100) < percent``.  Any ANSI engine computes the identical row set.
+    ``key`` may be any integer-valued SQL expression."""
+    return df.filter(F.expr(f"pmod({key}, 100) < {float(percent)!r}"))
+
+
+def upstream_filter_match(
+    table: str, table_columns: Sequence[str], filters: Sequence[dict[str, Any]]
+) -> list[str]:
+    """P4 — extra AND-conditions for the upstream phase, matched by table name or by
+    column presence (/root/reference/subset_utils.py:23-31)."""
+    out: list[str] = []
+    cols = set(table_columns)
+    for f in filters:
+        if "table" in f and table == f["table"]:
+            out.append(f["condition"])
+        if "column" in f and f["column"] in cols:
+            out.append(f["condition"])
+    return out
+
+
+def apply_limit(df: DataFrame, max_rows: int | None) -> DataFrame:
+    """P5 — ``max_rows_per_table`` row cap (/root/reference/subset.py:75-76,145-146).
+    ``None`` (or the reference's ``'ALL'``) = unlimited.  NB the reference's
+    passthrough form has a missing-space bug (``…tableLIMIT n``) — fixed here by
+    construction."""
+    if max_rows is None or max_rows == "ALL":
+        return df
+    return df.limit(int(max_rows))
+
+
+def drop_null_keys(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """P6 — key tuples containing any NULL are dropped before the closure fetch
+    (/root/reference/subset.py:195: ``if all(c is not None for c in row)``).
+    Row counts diverge from the reference if this is skipped."""
+    return df.na.drop(subset=list(key_cols))

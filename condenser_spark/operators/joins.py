@@ -1,0 +1,99 @@
+"""J1-J4 — the semi/anti join kernel of the subsetting algorithm.
+
+The reference expresses all of these as correlated ``IN`` / ``NOT IN`` subqueries in
+generated SQL and lets the RDBMS plan them (/root/reference/subset.py:141,180,201).
+Here they are declarative DataFrame joins and Catalyst/AQE plans them; key sets are
+small by construction (bounded by subset size), so we hint ``broadcast`` to get a
+broadcast-hash join instead of shuffling the big fact side — at 100 TB this is the
+difference between a map-side join and a full shuffle of the largest table.
+
+Scale notes:
+* ``semi_join_keys`` / ``fetch_by_keys`` broadcast only the *key set*, never the
+  fact table; keys are deduplicated first (J3) so the broadcast stays minimal.
+* Joins are null-safe-free equi-joins on typed columns — the reference coerces keys
+  to strings in transit (/root/reference/subset.py:195); we keep native types, which
+  is both faster (no cast in the hot path) and more correct.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cond(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: Sequence[str],
+    right_cols: Sequence[str],
+) -> Column:
+    cond = None
+    for lc, rc in zip(left_cols, right_cols):
+        piece = left[lc] == right[rc]
+        cond = piece if cond is None else (cond & piece)
+    assert cond is not None, "empty key column list"
+    return cond
+
+
+def semi_join_keys(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    target_cols: Sequence[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """J1/J4 — keep ``child`` rows whose FK tuple appears among ``parent``'s key
+    tuples: the Spark form of ``(fk_cols) IN (SELECT target_cols FROM parent)``
+    (/root/reference/subset.py:141,201).
+
+    The parent side is reduced to its distinct key columns before the join (column
+    pruning + J3 dedup), and broadcast when small."""
+    keys = parent.select(*[F.col(c) for c in target_cols]).distinct()
+    if broadcast_keys:
+        keys = F.broadcast(keys)
+    return child.join(keys, on=_cond(child, keys, fk_cols, target_cols), how="left_semi")
+
+
+def missing_keys(
+    fk_df: DataFrame,
+    dest_target: DataFrame,
+    fk_cols: Sequence[str],
+    target_cols: Sequence[str],
+) -> DataFrame:
+    """J2 — key tuples referenced by ``fk_df`` but absent from the destination
+    target table: ``SELECT fk_cols FROM fk_table WHERE (fk_cols) NOT IN (SELECT pk
+    FROM dest_target)`` (/root/reference/subset.py:176-181).
+
+    Output columns are renamed to ``target_cols`` so per-edge results union cleanly
+    (the reference stages them in an anonymous col0..colN temp table,
+    /root/reference/psql_database_helper.py:67-74).  NULL-bearing tuples are dropped
+    (P6) — the reference drops them just before the fetch
+    (/root/reference/subset.py:195), and SQL ``NOT IN`` never selects them anyway
+    when the subquery is non-empty."""
+    needed = (
+        fk_df.select(*[F.col(f).alias(t) for f, t in zip(fk_cols, target_cols)])
+        .na.drop()
+    )
+    have = dest_target.select(*[F.col(c) for c in target_cols])
+    return needed.join(
+        have, on=_cond(needed, have, target_cols, target_cols), how="left_anti"
+    )
+
+
+def fetch_by_keys(
+    source: DataFrame,
+    keys: DataFrame,
+    pk_cols: Sequence[str],
+    broadcast_keys: bool = True,
+) -> DataFrame:
+    """J4 — fetch source rows whose PK tuple is in ``keys``.
+
+    The reference streams the key set in 100k-tuple chunks and generates literal
+    ``IN``-lists (/root/reference/subset.py:185-202) purely because SQL IN-lists
+    have size limits; a single broadcast semi-join replaces the whole loop."""
+    k = keys.select(*[F.col(c) for c in pk_cols]).distinct()
+    if broadcast_keys:
+        k = F.broadcast(k)
+    return source.join(k, on=_cond(source, k, pk_cols, pk_cols), how="left_semi")

@@ -1,0 +1,60 @@
+"""P1 — full-width projection with FK NULL-out on broken cycle edges.
+
+Reference: ``columns_to_copy`` (/root/reference/subset_utils.py:8-21).  When a table
+is the fk side of a user-declared ``dependency_break`` (and the break is not marked
+preserve-opportunistically), every FK column of every relationship pointing at the
+broken target is emitted as typed NULL instead of its value — on *every* copy of the
+table (direct, upstream, downstream), which is what keeps the cut edge from
+dangling.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.config import DependencyBreak, Relationship
+
+
+def columns_to_null(
+    table: str,
+    relationships: Sequence[Relationship],
+    breaks: set[DependencyBreak],
+    opportunists: set[DependencyBreak],
+) -> set[str]:
+    """Which columns of ``table`` must be NULLed (/root/reference/subset_utils.py:9-18)."""
+    target_breaks = {
+        b.target_table
+        for b in breaks
+        if b.fk_table == table and b not in opportunists
+    }
+    cols: set[str] = set()
+    for rel in relationships:
+        if rel.fk_table == table and rel.target_table in target_breaks:
+            cols.update(rel.fk_columns)
+    return cols
+
+
+def project_with_fk_nulls(
+    df: DataFrame,
+    table: str,
+    relationships: Sequence[Relationship],
+    breaks: set[DependencyBreak],
+    opportunists: set[DependencyBreak] = frozenset(),
+) -> DataFrame:
+    """Spark form of the reference's ``SELECT c1, NULL as c2, ...`` projection
+    (/root/reference/subset_utils.py:21).  NULLs are cast to the column's own type so
+    the output schema is unchanged."""
+    null_cols = columns_to_null(table, relationships, breaks, set(opportunists))
+    if not null_cols:
+        return df
+    return df.select(
+        *[
+            F.lit(None).cast(df.schema[c].dataType).alias(c)
+            if c in null_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )

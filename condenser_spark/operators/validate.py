@@ -1,0 +1,62 @@
+"""Post-subset validation and reporting.
+
+The reference validates referential closure implicitly by applying real FK
+constraints to the destination after load (/root/reference/direct_subset.py:53-55,
+/root/reference/psql_database_creator.py:70-87) — if the subset is wrong, ``psql``
+errors.  Parquet enforces nothing, so S8 becomes an explicit anti-join orphan check.
+
+``tabulate`` reproduces the final report (/root/reference/result_tabulator.py:6-22),
+with exact counts instead of the reference's catalog estimates
+(/root/reference/psql_database_helper.py:166-169).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from condenser_spark.config import Relationship
+from condenser_spark.operators.joins import _cond
+
+
+def referential_violations(
+    dest: Mapping[str, DataFrame], relationships: Sequence[Relationship]
+) -> dict[Relationship, int]:
+    """For every (non-broken) edge, count child rows whose non-NULL FK tuple has no
+    match in the destination parent.  All-zero == the subset is referentially
+    closed: the Spark analogue of constraints applying cleanly."""
+    out: dict[Relationship, int] = {}
+    for rel in relationships:
+        if rel.fk_table not in dest or rel.target_table not in dest:
+            continue
+        child = dest[rel.fk_table].na.drop(subset=list(rel.fk_columns))
+        parent = dest[rel.target_table].select(
+            *[F.col(c) for c in rel.target_columns]
+        )
+        orphans = child.join(
+            F.broadcast(parent.distinct()),
+            on=_cond(child, parent, rel.fk_columns, rel.target_columns),
+            how="left_anti",
+        )
+        out[rel] = orphans.count()
+    return out
+
+
+def tabulate(
+    spark: SparkSession,
+    source: Mapping[str, DataFrame],
+    dest: Mapping[str, DataFrame],
+) -> DataFrame:
+    """Per-table ``(table_name, source_count, dest_count, percent)`` report with the
+    reference's zero-division guard (/root/reference/result_tabulator.py:6-22)."""
+    rows = []
+    for name in sorted(source):
+        src_n = source[name].count()
+        dst_n = dest[name].count() if name in dest else 0
+        pct = (100.0 * dst_n / src_n) if src_n > 0 else 0.0
+        rows.append((name, src_n, dst_n, pct))
+    return spark.createDataFrame(
+        rows, "table_name string, source_count long, dest_count long, percent double"
+    )

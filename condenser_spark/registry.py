@@ -1,0 +1,96 @@
+"""Table registry: named Parquet datasets stand in for the reference's RDBMS catalog.
+
+The reference enumerates tables from the live catalog
+(/root/reference/psql_database_helper.py:181-188) and round-trips DDL via pg_dump
+(/root/reference/psql_database_creator.py:34-54).  With Parquet both collapse: the
+dataset directory *is* the catalog and the footer schema *is* the DDL.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from condenser_spark.session import ensure_compat
+
+# The fixture universe (TESTDATA.md).  `load_source_tables` discovers whatever
+# *.parquet files exist, so this list is a default, not a constraint.
+TABLE_NAMES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_source_tables(
+    spark: SparkSession,
+    source_dir: str,
+    tables: Iterable[str] | None = None,
+    excluded_tables: Iterable[str] = (),
+) -> dict[str, DataFrame]:
+    """Read one DataFrame per table from ``source_dir/{name}.parquet``.
+
+    ``excluded_tables`` are dropped from the working set entirely, matching
+    /root/reference/direct_subset.py:37 (they exist in the destination with zero
+    rows — the engine recreates them empty).
+    """
+    ensure_compat(spark)
+    if tables is None:
+        found = sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(source_dir)
+            if f.endswith(".parquet")
+        )
+        tables = found or list(TABLE_NAMES)
+    excluded = set(excluded_tables)
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        if name in excluded:
+            continue
+        path = os.path.join(source_dir, f"{name}.parquet")
+        df = spark.read.parquet(path)
+        # timestamp[ns] parquet columns surface as long (see session.NANOS_CONF);
+        # restore them as microsecond timestamp_ntz — the same precision DuckDB
+        # and pandas use, so oracles agree.  Footer-only introspection: O(KB).
+        arrow_schema = pq.read_schema(path)
+        for field in arrow_schema:
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(
+                    field.name,
+                    F.expr(
+                        f"cast(timestamp_micros({field.name} div 1000) "
+                        "as timestamp_ntz)"
+                    ),
+                )
+        out[name] = df
+    return out
+
+
+def empty_like(df: DataFrame) -> DataFrame:
+    """Zero-row frame with an identical schema — the Spark analogue of the
+    reference's schema-only destination table (/root/reference/psql_database_creator.py:34-54)."""
+    return df.sparkSession.createDataFrame([], df.schema)
+
+
+def write_dest(
+    dest: dict[str, DataFrame], dest_dir: str, mode: str = "overwrite"
+) -> None:
+    """Materialize a destination dict to ``dest_dir/{name}.parquet``.
+
+    Replaces the reference's row-shipping sink (copy_rows,
+    /root/reference/psql_database_helper.py:20-62): cursor batching disappears —
+    partitioned Parquet writes are the sink.
+    """
+    for name, df in dest.items():
+        df.write.mode(mode).parquet(os.path.join(dest_dir, f"{name}.parquet"))

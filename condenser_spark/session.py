@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's recommended configs.
+
+These are the scale-relevant defaults (AQE for runtime re-planning and skew
+handling, UTC session time, nanosecond-parquet compatibility).  On a real cluster
+the same configs apply; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# The driver fixtures carry one timestamp[ns] column (events.ts).  Spark's parquet
+# reader rejects INT64(TIMESTAMP(NANOS)) unless told to surface it as a long;
+# the loader (registry.load_source_tables) then casts nanos -> timestamp_ntz.
+NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def get_spark(
+    app_name: str = "condenser-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(NANOS_CONF, "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_compat(spark: SparkSession) -> None:
+    """Apply runtime-settable compat confs to an externally-created session (the
+    driver harness builds its own SparkSession)."""
+    spark.conf.set(NANOS_CONF, "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

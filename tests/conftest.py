@@ -1,0 +1,29 @@
+import os
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "4")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("condenser-spark-tests", master=f"local[{CPUS}]",
+                      shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def source(spark, sf_dir):
+    from condenser_spark.registry import load_source_tables
+
+    return load_source_tables(spark, sf_dir)

@@ -1,0 +1,114 @@
+"""Graph-layer unit tests (no Spark) — mirrors /root/reference/subset_utils.py:44-70
+and /root/reference/topo_orderer.py behavior on hand-built graphs."""
+
+import pytest
+
+from condenser_spark.config import DependencyBreak, Relationship
+from condenser_spark.graph import (
+    UnionFind,
+    compute_disconnected_tables,
+    compute_downstream_tables,
+    compute_upstream_tables,
+    get_topological_order_by_tables,
+    prepare_topo_input,
+    redact_relationships,
+    toposort_strata,
+)
+
+
+def rel(fk, fkc, tgt, tgtc):
+    return Relationship(fk, (fkc,), tgt, (tgtc,))
+
+
+FIXTURE_RELS = [
+    rel("nation", "n_regionkey", "region", "r_regionkey"),
+    rel("customer", "c_nationkey", "nation", "n_nationkey"),
+    rel("supplier", "s_nationkey", "nation", "n_nationkey"),
+    rel("orders", "o_custkey", "customer", "c_custkey"),
+    rel("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    rel("lineitem", "l_partkey", "part", "p_partkey"),
+    rel("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    rel("events", "user_id", "customer", "c_custkey"),
+]
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_toposort_strata_fixture():
+    order = get_topological_order_by_tables(
+        FIXTURE_RELS, [t for t in ALL_TABLES if t not in ("documents", "embeddings")], set()
+    )
+    assert order == [
+        ["part", "region"],
+        ["nation"],
+        ["customer", "supplier"],
+        ["events", "orders"],
+        ["lineitem"],
+    ]
+
+
+def test_toposort_cycle_raises():
+    rels = [rel("a", "x", "b", "y"), rel("b", "y", "a", "x")]
+    with pytest.raises(ValueError, match="Circular"):
+        toposort_strata(prepare_topo_input(rels, ["a", "b"], set()))
+
+
+def test_toposort_self_loop_raises():
+    with pytest.raises(ValueError, match="depends on itself"):
+        prepare_topo_input([rel("a", "x", "a", "y")], ["a"], set())
+
+
+def test_toposort_break_cuts_cycle():
+    rels = [rel("a", "x", "b", "y"), rel("b", "y", "a", "x")]
+    order = get_topological_order_by_tables(
+        rels, ["a", "b"], {DependencyBreak("b", "a")}
+    )
+    assert order == [["b"], ["a"]]
+
+
+def test_redact_relationships():
+    out = redact_relationships(FIXTURE_RELS, {DependencyBreak("lineitem", "part")})
+    assert len(out) == len(FIXTURE_RELS) - 1
+    assert all(not (r.fk_table == "lineitem" and r.target_table == "part") for r in out)
+
+
+def test_union_find_components():
+    uf = UnionFind()
+    for t in ["a", "b", "c", "d"]:
+        uf.make_set(t)
+    uf.link("a", "b")
+    uf.link("c", "b")
+    assert uf.find("a") == uf.find("c")
+    assert uf.find("d") != uf.find("a")
+
+
+def test_disconnected_tables():
+    out = compute_disconnected_tables(["orders"], [], ALL_TABLES, FIXTURE_RELS)
+    assert sorted(out) == ["documents", "embeddings"]
+    # a passthrough table rescues its component
+    out2 = compute_disconnected_tables(["orders"], ["documents"], ALL_TABLES, FIXTURE_RELS)
+    assert out2 == ["embeddings"]
+
+
+def test_upstream_tables():
+    order = [["part", "region"], ["nation"], ["customer", "supplier"],
+             ["events", "orders"], ["lineitem"]]
+    assert compute_upstream_tables(["orders"], order) == ["lineitem"]
+    assert compute_upstream_tables(["customer"], order) == [
+        "events", "orders", "lineitem"
+    ]
+    assert compute_upstream_tables(["lineitem"], order) == []
+
+
+def test_downstream_tables():
+    order = [["part", "region"], ["nation"], ["customer", "supplier"],
+             ["events", "orders"], ["lineitem"]]
+    assert compute_downstream_tables([], [], order) == [
+        "lineitem", "orders", "events", "supplier", "customer",
+        "nation", "region", "part",
+    ]
+    assert compute_downstream_tables(["region", "part"], [], order) == [
+        "lineitem", "orders", "events", "supplier", "customer", "nation",
+    ]
