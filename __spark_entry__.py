@@ -45,10 +45,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (filled per milestone)."""
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from condenser_spark.goldens import QUERIES
+
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """ANSI-SQL oracles (DuckDB) keyed like ``queries()``."""
-    return {}
+    """ANSI-SQL oracles (DuckDB) keyed like ``queries()``.  Queries without an
+    entry here are non-SQL-expressible; the driver records a rows-only check."""
+    from condenser_spark.goldens import ORACLES
+
+    return dict(ORACLES)

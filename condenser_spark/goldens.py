@@ -1,0 +1,415 @@
+"""Golden queries: one (Spark callable, ANSI-SQL oracle) pair per operator from
+SURVEY.md §2, exported through __spark_entry__.queries()/oracle_sql().
+
+Design constraints imposed by the driver's comparator:
+
+* Both sides must be deterministic — sampling uses ``pmod(key, 100) < p`` (SURVEY
+  §4.3.1), never ``rand()``; ``LIMIT`` always rides on an ``ORDER BY``.
+* Column names must match exactly (the comparator sorts columns by name before
+  hashing) — every computed column is aliased identically on both sides.
+* Value hashing implies avoiding cross-engine float-aggregation ulp drift: numeric
+  aggregates are rounded where they are derived, counts/keys are exact.
+
+Each function cites the reference behavior it pins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from condenser_spark.config import SubsetConfig
+from condenser_spark.engine import SubsetEngine
+from condenser_spark.fixtures import base_config_dict
+from condenser_spark.registry import load_source_tables
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def golden(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_source_tables(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------- P1
+
+@golden(
+    "p1_fk_nullout_projection",
+    """
+    SELECT c_custkey, c_name, CAST(NULL AS INTEGER) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def p1_fk_nullout_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — FK NULL-out on a broken edge (/root/reference/subset_utils.py:8-21):
+    customer's c_nationkey emitted as typed NULL."""
+    from condenser_spark.config import DependencyBreak, Relationship
+    from condenser_spark.operators.projection import project_with_fk_nulls
+
+    t = _tables(spark, sf_dir)
+    rels = [Relationship("customer", ("c_nationkey",), "nation", ("n_nationkey",))]
+    return project_with_fk_nulls(
+        t["customer"], "customer", rels, {DependencyBreak("customer", "nation")}
+    )
+
+
+# --------------------------------------------------------------------------- P2
+
+@golden(
+    "p2_where_predicate",
+    "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 100",
+)
+def p2_where_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — arbitrary ANSI predicate text (/root/reference/subset.py:108-109)."""
+    from condenser_spark.operators.filters import apply_where
+
+    t = _tables(spark, sf_dir)
+    return apply_where(t["customer"], "c_mktsegment = 'BUILDING' AND c_acctbal > 100")
+
+
+# --------------------------------------------------------------------------- P3
+
+@golden(
+    "p3_deterministic_percent_sample",
+    "SELECT * FROM orders WHERE (o_orderkey % 100) < 10",
+)
+def p3_deterministic_percent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3' — deterministic stand-in for the reference's Bernoulli ``random() < p``
+    (/root/reference/subset.py:110-114; SURVEY §4.3.1)."""
+    from condenser_spark.operators.filters import deterministic_sample
+
+    t = _tables(spark, sf_dir)
+    return deterministic_sample(t["orders"], "o_orderkey", 10)
+
+
+# --------------------------------------------------------------------------- P4
+
+@golden(
+    "p4_upstream_filter_injection",
+    """
+    SELECT * FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE (o_orderkey % 100) < 10)
+      AND l_shipdate > TIMESTAMP '1995-06-01'
+    """,
+)
+def p4_upstream_filter_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — extra AND-condition on the upstream semi-join result
+    (/root/reference/subset_utils.py:23-31, applied /root/reference/subset.py:142)."""
+    from condenser_spark.operators.filters import (
+        apply_where,
+        deterministic_sample,
+        upstream_filter_match,
+    )
+    from condenser_spark.operators.joins import semi_join_keys
+
+    t = _tables(spark, sf_dir)
+    parents = deterministic_sample(t["orders"], "o_orderkey", 10)
+    rows = semi_join_keys(t["lineitem"], parents, ["l_orderkey"], ["o_orderkey"])
+    filters = [{"column": "l_shipdate",
+                "condition": "l_shipdate > timestamp '1995-06-01'"}]
+    for cond in upstream_filter_match("lineitem", t["lineitem"].columns, filters):
+        rows = apply_where(rows, cond)
+    return rows
+
+
+# --------------------------------------------------------------------------- P5
+
+@golden(
+    "p5_limit_on_sorted",
+    "SELECT * FROM orders ORDER BY o_orderkey LIMIT 50",
+)
+def p5_limit_on_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — ``max_rows_per_table`` cap (/root/reference/subset.py:75-76,145-146).
+    Pinned on a sort so both engines cap the same rows (the reference's LIMIT
+    without ORDER BY is engine-arbitrary)."""
+    from condenser_spark.operators.filters import apply_limit
+
+    t = _tables(spark, sf_dir)
+    return apply_limit(t["orders"].orderBy("o_orderkey"), 50)
+
+
+# --------------------------------------------------------------------------- P6
+
+@golden(
+    "p6_null_key_tuple_drop",
+    """
+    SELECT event_id, user_id FROM (
+      SELECT event_id,
+             CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS user_id
+      FROM events
+    ) WHERE user_id IS NOT NULL
+    """,
+)
+def p6_null_key_tuple_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — NULL-bearing key tuples dropped before the closure fetch
+    (/root/reference/subset.py:195).  NULLs synthesized (user_id % 7 == 0) since
+    the fixture has none."""
+    from condenser_spark.operators.filters import drop_null_keys
+
+    t = _tables(spark, sf_dir)
+    df = t["events"].select(
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+    )
+    return drop_null_keys(df, ["user_id"])
+
+
+# --------------------------------------------------------------------------- J1
+
+@golden(
+    "j1_upstream_multi_edge_semi_join",
+    """
+    SELECT * FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE (o_orderkey % 100) < 20)
+      AND l_partkey  IN (SELECT p_partkey  FROM part   WHERE (p_partkey % 100) < 50)
+    """,
+)
+def j1_upstream_multi_edge_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — greedy upstream with AND-ed clauses, one per processed-parent edge
+    (/root/reference/subset.py:141-144): a row enters only if EVERY relevant edge
+    matches."""
+    from condenser_spark.operators.filters import deterministic_sample
+    from condenser_spark.operators.joins import semi_join_keys
+
+    t = _tables(spark, sf_dir)
+    orders = deterministic_sample(t["orders"], "o_orderkey", 20)
+    part = deterministic_sample(t["part"], "p_partkey", 50)
+    rows = semi_join_keys(t["lineitem"], orders, ["l_orderkey"], ["o_orderkey"])
+    rows = semi_join_keys(rows, part, ["l_partkey"], ["p_partkey"])
+    return rows
+
+
+# ----------------------------------------------------------------------- J2+J3
+
+@golden(
+    "j2_j3_missing_keys_anti_distinct",
+    """
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE (c_custkey % 100) < 50)
+    """,
+)
+def j2_j3_missing_keys_anti_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 + J3 — keys needed by a referencing table but absent from the (partial)
+    destination target, deduplicated (/root/reference/subset.py:176-187)."""
+    from condenser_spark.operators.filters import deterministic_sample
+    from condenser_spark.operators.joins import missing_keys
+
+    t = _tables(spark, sf_dir)
+    dest_customer = deterministic_sample(t["customer"], "c_custkey", 50)
+    return missing_keys(
+        t["orders"], dest_customer, ["o_custkey"], ["c_custkey"]
+    ).distinct()
+
+
+# --------------------------------------------------------------------------- J4
+
+@golden(
+    "j4_closure_fetch_semi_join",
+    """
+    SELECT * FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE (o_orderkey % 100) < 10)
+    """,
+)
+def j4_closure_fetch_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — fetch source rows whose PK is in the needed-key set; replaces the
+    reference's 100k-tuple literal IN-list loop (/root/reference/subset.py:185-202)
+    with one broadcast semi-join."""
+    from condenser_spark.operators.filters import deterministic_sample
+    from condenser_spark.operators.joins import fetch_by_keys
+
+    t = _tables(spark, sf_dir)
+    needed = deterministic_sample(t["orders"], "o_orderkey", 10).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return fetch_by_keys(t["customer"], needed, ["c_custkey"])
+
+
+# --------------------------------------------------------------------------- S8
+
+@golden(
+    "s8_referential_orphan_check",
+    """
+    SELECT COUNT(*) AS orphan_count FROM
+      (SELECT * FROM orders WHERE (o_orderkey % 100) < 10) o
+    WHERE o.o_custkey IS NOT NULL
+      AND o.o_custkey NOT IN (SELECT c_custkey FROM customer WHERE (c_custkey % 100) < 30)
+    """,
+)
+def s8_referential_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 analogue — constraint application becomes an anti-join orphan count
+    (/root/reference/direct_subset.py:53-55 -> explicit validation)."""
+    from condenser_spark.operators.filters import deterministic_sample
+    from condenser_spark.operators.joins import _cond
+
+    t = _tables(spark, sf_dir)
+    child = deterministic_sample(t["orders"], "o_orderkey", 10).na.drop(
+        subset=["o_custkey"]
+    )
+    parent = deterministic_sample(t["customer"], "c_custkey", 30).select("c_custkey")
+    orphans = child.join(
+        F.broadcast(parent.distinct()),
+        on=_cond(child, parent, ["o_custkey"], ["c_custkey"]),
+        how="left_anti",
+    )
+    return orphans.agg(F.count(F.lit(1)).alias("orphan_count"))
+
+
+# ------------------------------------------------- full middle-out, percent cfg
+
+_MIDDLE_OUT_PERCENT_ORACLE = """
+    WITH o AS (SELECT * FROM orders WHERE (o_orderkey % 100) < 10),
+         li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+         c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         s AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+         p AS (SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM li)),
+         n AS (SELECT * FROM nation WHERE n_nationkey IN
+               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
+         r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, COUNT(*) AS dest_count FROM o UNION ALL
+      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
+      SELECT 'customer', COUNT(*) FROM c UNION ALL
+      SELECT 'supplier', COUNT(*) FROM s UNION ALL
+      SELECT 'part', COUNT(*) FROM p UNION ALL
+      SELECT 'nation', COUNT(*) FROM n UNION ALL
+      SELECT 'region', COUNT(*) FROM r UNION ALL
+      SELECT 'events', 0 UNION ALL
+      SELECT 'documents', 0 UNION ALL
+      SELECT 'embeddings', 0
+    ) ORDER BY table_name
+"""
+
+
+@golden("middle_out_percent_subset", _MIDDLE_OUT_PERCENT_ORACLE)
+def middle_out_percent_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end phase composite (/root/reference/subset.py:40-97): 10%
+    deterministic orders target, full closure; per-table destination counts.
+
+    Oracle mirrors the phase semantics: upstream greed pulls lineitem of kept
+    orders (only the orders edge is processed, /root/reference/subset.py:123);
+    events shares orders' stratum so stays empty; downstream closes customer,
+    supplier, part, nation, region; disconnected tables stay empty."""
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+    )
+    return _dest_counts(spark, eng)
+
+
+# --------------------------------------------------- full middle-out, where cfg
+
+_MIDDLE_OUT_WHERE_ORACLE = """
+    WITH c AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+         o AS (SELECT * FROM orders WHERE o_custkey IN (SELECT c_custkey FROM c)),
+         e AS (SELECT * FROM events WHERE user_id IN (SELECT c_custkey FROM c)),
+         li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+         s AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+         p AS (SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM li)),
+         n AS (SELECT * FROM nation WHERE n_nationkey IN
+               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
+         r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+    SELECT * FROM (
+      SELECT 'customer' AS table_name, COUNT(*) AS dest_count FROM c UNION ALL
+      SELECT 'orders', COUNT(*) FROM o UNION ALL
+      SELECT 'events', COUNT(*) FROM e UNION ALL
+      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
+      SELECT 'supplier', COUNT(*) FROM s UNION ALL
+      SELECT 'part', COUNT(*) FROM p UNION ALL
+      SELECT 'nation', COUNT(*) FROM n UNION ALL
+      SELECT 'region', COUNT(*) FROM r UNION ALL
+      SELECT 'documents', 0 UNION ALL
+      SELECT 'embeddings', 0
+    ) ORDER BY table_name
+"""
+
+
+@golden("middle_out_where_subset", _MIDDLE_OUT_WHERE_ORACLE)
+def middle_out_where_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composite, WHERE target (config.json.example_all:7-10 analogue):
+    upstream greed pulls orders+events of kept customers, then lineitem of kept
+    orders; downstream closes supplier/part/nation/region."""
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "customer",
+                          "where": "c_mktsegment = 'BUILDING'"}],
+    )
+    return _dest_counts(spark, eng)
+
+
+# ------------------------------------------- middle-out, passthrough + excluded
+
+_MIDDLE_OUT_PASSTHROUGH_ORACLE = """
+    WITH o AS (SELECT * FROM orders WHERE (o_orderkey % 100) < 10),
+         li AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM o)),
+         c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         s AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+         n AS (SELECT * FROM nation WHERE n_nationkey IN
+               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
+         r AS (SELECT * FROM region)
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, COUNT(*) AS dest_count FROM o UNION ALL
+      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
+      SELECT 'customer', COUNT(*) FROM c UNION ALL
+      SELECT 'supplier', COUNT(*) FROM s UNION ALL
+      SELECT 'part', (SELECT COUNT(*) FROM part) UNION ALL
+      SELECT 'nation', COUNT(*) FROM n UNION ALL
+      SELECT 'region', COUNT(*) FROM r UNION ALL
+      SELECT 'events', 0 UNION ALL
+      SELECT 'documents', (SELECT COUNT(*) FROM documents) UNION ALL
+      SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
+    ) ORDER BY table_name
+"""
+
+
+@golden("middle_out_passthrough_excluded", _MIDDLE_OUT_PASSTHROUGH_ORACLE)
+def middle_out_passthrough_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composite: passthrough tables copied whole before downstream
+    (/root/reference/subset.py:69-78), excluded tables present-but-empty
+    (/root/reference/direct_subset.py:37), disconnected tables kept
+    (/root/reference/subset.py:89-97)."""
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+        passthrough_tables=["region", "part"],
+        excluded_tables=["events"],
+        keep_disconnected_tables=True,
+    )
+    return _dest_counts(spark, eng)
+
+
+# ------------------------------------------------------------- engine plumbing
+
+def _run_engine(spark: SparkSession, sf_dir: str, **overrides: Any) -> SubsetEngine:
+    cfg = SubsetConfig.from_dict(base_config_dict(**overrides))
+    source = load_source_tables(spark, sf_dir)
+    eng = SubsetEngine(spark, cfg, source)
+    eng.run_middle_out()
+    return eng
+
+
+def _dest_counts(spark: SparkSession, eng: SubsetEngine) -> DataFrame:
+    rows = [(t, eng.dest[t].count()) for t in sorted(eng.dest)]
+    return spark.createDataFrame(
+        rows, "table_name string, dest_count long"
+    ).orderBy("table_name")

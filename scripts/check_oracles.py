@@ -1,0 +1,89 @@
+"""Local stand-in for the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare row count,
+column names, and (order-insensitively) values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
+                na_action="ignore",
+            )
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures, no_oracle, ran = [], [], 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        ran += 1
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        if name not in oracles:
+            no_oracle.append(name)
+            print(f"  [rows-only] {name}: {len(spark_pdf)} rows")
+            continue
+        duck_pdf = con.sql(oracles[name]).df()
+        a, b = normalize(spark_pdf), normalize(duck_pdf)
+        status = "OK"
+        if list(a.columns) != list(b.columns):
+            status = f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif len(a) != len(b):
+            status = f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(
+                    a, b, check_dtype=False, check_exact=False, rtol=1e-6
+                )
+            except AssertionError as e:
+                status = f"VALUE MISMATCH: {str(e)[:300]}"
+        print(f"  [{'OK' if status == 'OK' else 'FAIL'}] {name}: "
+              f"{len(a)} rows {'' if status == 'OK' else status}")
+        if status != "OK":
+            failures.append(name)
+
+    print(f"\n{ran - len(failures) - len(no_oracle)} matched, "
+          f"{len(failures)} failed, {len(no_oracle)} rows-only")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
