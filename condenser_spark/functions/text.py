@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §7.4 north-star
+scope — beyond the reference's own surface, which has no text functions).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen'd, Arrow-free): at 100 TB these run at scan speed with zero
+Python in the loop.  Every operator is a narrow projection — Parquet column
+pruning means only ``text`` (+ id) is ever read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-hit heuristic.
+# Chosen to be (a) discriminative, (b) identically expressible in ANSI SQL for
+# the DuckDB oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "les", "des", "est", "une"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count.  Empty/blank strings count 0."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: count of word-or-punctuation chunks
+    (``\\w+|[^\\w\\s]`` matches), the standard pre-tokenization regex shape."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-hit language heuristic: count marker-word hits per language over
+    whitespace tokens, argmax wins, ties broken by language code order, zero hits
+    -> 'und' (undetermined).  Pure JVM expressions (filter/size on the token
+    array), no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(c), r"\s+")
+
+    def _hit(words: tuple[str, ...]):
+        # factory, not default-arg capture (PySpark reads lambda arity)
+        return lambda t: t.isin(*words)
+
+    scores = [
+        (lang, F.size(F.filter(tokens, _hit(words))))
+        for lang, words in LANG_MARKERS.items()
+    ]
+    # argmax via chained CASE: strictly-greater beats, ties keep earlier lang
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores:
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: mean of three signals —
+    length_ok (64..4096 chars), alpha ratio (letters+spaces / chars),
+    stopword presence (any English marker hit).  Deterministic, rounded to 4
+    decimals so cross-engine float drift can't flip a hash."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    length_ok = F.when((n >= 64) & (n <= 4096), 1.0).otherwise(0.0)
+    alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z ]", ""))
+    alpha_ratio = F.when(n > 0, alpha.cast("double") / n).otherwise(F.lit(0.0))
+    tokens = F.split(F.lower(c), r"\s+")
+    has_stop = F.when(
+        F.size(F.filter(tokens, lambda t: t.isin(*LANG_MARKERS["en"]))) > 0, 1.0
+    ).otherwise(0.0)
+    return F.round((length_ok + alpha_ratio + has_stop) / F.lit(3.0), 4)
+
+
+def document_fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text.  md5 is identical in every engine, so fingerprint joins
+    between systems agree; used as the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document stats frame: token count, BPE-ish token count,
+    char length, language guess, quality score, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("char_len"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        language_id(c).alias("lang_guess"),
+        quality_score(c).alias("quality"),
+        document_fingerprint(c).alias("fingerprint"),
+    )

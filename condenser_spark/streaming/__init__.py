@@ -1,0 +1,13 @@
+from condenser_spark.streaming.sessionize import (
+    sessionize,
+    sessionize_stream,
+    windowed_event_counts,
+    windowed_event_counts_stream,
+)
+
+__all__ = [
+    "sessionize",
+    "sessionize_stream",
+    "windowed_event_counts",
+    "windowed_event_counts_stream",
+]

@@ -1,0 +1,136 @@
+"""Event-stream operators: sessionization + windowed aggregation, in both batch
+(DataFrame window functions) and Structured Streaming form.
+
+The reference has no streaming surface at all (SURVEY §2.8); these are north-star
+pipeline operators over the ``events`` fixture.
+
+Batch sessionization is the classic lag/gap/cumsum pattern — three window
+functions over (user_id, ts), one shuffle on user_id.  The streaming twin uses
+``session_window`` (native state store, watermark-bounded) so late events fold in
+without a custom state UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Assign session ids: a session breaks when the gap to the previous event
+    of the same user exceeds ``gap_minutes``.  Output adds ``session_seq``
+    (1-based per user) — deterministic given (user, ts) ordering with event_id
+    tie-break."""
+    order = [F.col(ts_col).asc()]
+    if "event_id" in events.columns:
+        order.append(F.col("event_id").asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_s),
+        1,
+    ).otherwise(0)
+    return events.withColumn("_new_session", is_new).withColumn(
+        "session_seq", F.sum("_new_session").over(w).cast("long")
+    ).drop("_new_session")
+
+
+def session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup: (user_id, session_seq, n_events, t_start, t_end,
+    duration_s)."""
+    s = sessionize(events, gap_minutes, user_col, ts_col)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).alias("duration_s"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_minutes: int = 60,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window counts per event type (batch form): the DataFrame
+    ``F.window`` works identically on static frames."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), f"{window_minutes} minutes").alias("w"),
+            F.col(type_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            type_col,
+            "n_events",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming sessionization via native ``session_window`` (dynamic-gap
+    session windows in the state store; watermark bounds state and admits late
+    data).  Input must be a streaming DataFrame (``spark.readStream``); output
+    is one row per closed session: (user_id, session_start, session_end,
+    n_events)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes").alias("sw"),
+            F.col(user_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def windowed_event_counts_stream(
+    events: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming tumbling-window counts with watermarked late-data handling."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), f"{window_minutes} minutes").alias("w"),
+            F.col(type_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            type_col,
+            "n_events",
+        )
+    )
