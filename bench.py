@@ -1,0 +1,151 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE machine-readable
+JSON line:
+
+    {"metric": "total_wall", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Mirrors the reference's ``-v`` per-query wall-time instrumentation
+(/root/reference/db_connect.py:53-62, README.md:88) at per-query granularity.
+
+Each timed query forces a full materialization of its result (count or write),
+never a ``collect`` of data rows.  The flagship subset uses
+``materialize="persist"`` — the mode the engine recommends at scale for graphs
+this shallow (deep graphs use ``"parquet"``; see engine.py module docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline operators, each timed to full materialization."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.functions.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        embedding_cosine_dup_pairs,
+    )
+    from condenser_spark.functions.text import text_stats
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.streaming.sessionize import (
+        session_stats,
+        windowed_event_counts,
+    )
+
+    source = load_source_tables(spark, sf_dir)
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # 1. flagship: full middle-out subset, 10% of orders, closure, report
+    def _flagship():
+        cfg = SubsetConfig.from_dict(
+            base_config_dict(
+                initial_targets=[
+                    {"table": "orders", "percent": 10, "sample_key": "o_orderkey"}
+                ],
+                passthrough_tables=["region"],
+            )
+        )
+        eng = SubsetEngine(spark, cfg, source, materialize="persist")
+        eng.run_middle_out()
+        eng.report().count()
+        for df in eng.dest.values():
+            df.unpersist()
+
+    timed("middle_out_subset", _flagship)
+
+    # 2. full middle-out with parquet phase barriers (the 100 TB write path)
+    def _flagship_parquet():
+        tmp = tempfile.mkdtemp(prefix="bench_dest_")
+        try:
+            cfg = SubsetConfig.from_dict(
+                base_config_dict(
+                    initial_targets=[
+                        {"table": "orders", "percent": 10,
+                         "sample_key": "o_orderkey"}
+                    ],
+                )
+            )
+            eng = SubsetEngine(
+                spark, cfg, source, dest_path=tmp, materialize="parquet"
+            )
+            eng.run_middle_out()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    timed("middle_out_parquet_sink", _flagship_parquet)
+
+    docs = source["documents"]
+    timed("exact_dedup", lambda: exact_dedup(docs).count())
+    timed("minhash_lsh_pairs",
+          lambda: minhash_lsh_pairs(docs, n=3, threshold=0.8).count())
+    timed("simhash_near_pairs",
+          lambda: simhash_near_pairs(docs, max_hamming=3).count())
+    timed("text_stats", lambda: text_stats(docs).count())
+
+    emb = source["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+    timed("brute_force_cosine_topk",
+          lambda: brute_force_cosine_topk(
+              emb, queries, k=10, query_id_col="vec_id").count())
+    timed("embedding_dup_pairs",
+          lambda: embedding_cosine_dup_pairs(emb, threshold=0.95).count())
+
+    ev = source["events"]
+    timed("session_stats", lambda: session_stats(ev).count())
+    timed("windowed_event_counts", lambda: windowed_event_counts(ev).count())
+
+    return timings
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("condenser-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    t0 = time.time()
+    timings = bench_queries(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    print(json.dumps({
+        "metric": "total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

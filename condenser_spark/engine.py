@@ -110,15 +110,39 @@ class SubsetEngine:
             print(msg)
 
     def _set_dest(self, table: str, df: DataFrame) -> None:
-        """Phase-barrier materialization policy (SURVEY §7.3 hard #1)."""
+        """Phase-barrier materialization policy (SURVEY §7.3 hard #1).
+
+        ``persist`` unpersists the superseded frame (downstream appends re-set a
+        table; without this, repeated runs accumulate cached copies).
+
+        ``parquet`` stage-writes to a temp path and swaps: a downstream append
+        derives the new frame FROM the table's current parquet, so writing
+        ``overwrite`` to the same path would delete the files the plan is
+        mid-read on (FAILED_READ_FILE).  Write-to-staging + rename is the same
+        pattern a cluster deployment uses with a distributed-FS rename."""
         if self.materialize == "persist":
+            old = self.dest.get(table)
             df = df.persist()
+            if old is not None:
+                # materialize the new cache before releasing the old one (the
+                # new plan may read the old cached frame)
+                df.count()
+                old.unpersist()
         elif self.materialize == "checkpoint":
             df = df.localCheckpoint(eager=False)
         elif self.materialize == "parquet":
-            path = os.path.join(self.dest_path, f"{table}.parquet")
-            df.write.mode("overwrite").parquet(path)
-            df = self.spark.read.parquet(path)
+            import shutil
+
+            final = os.path.join(self.dest_path, f"{table}.parquet")
+            self._staging_seq = getattr(self, "_staging_seq", 0) + 1
+            staged = os.path.join(
+                self.dest_path, f".staging-{table}-{self._staging_seq}.parquet"
+            )
+            df.write.mode("overwrite").parquet(staged)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(staged, final)
+            df = self.spark.read.parquet(final)
         self.dest[table] = df
 
     def _dest_or_empty(self, table: str) -> DataFrame:
@@ -211,6 +235,40 @@ class SubsetEngine:
             self.dest[t] = empty_like(df)
         return self.dest
 
+    # DML verbs that mutate tables in place: the reference runs hooks against a
+    # live destination DB (/root/reference/direct_subset.py:45-62) where these
+    # work; here dest tables are immutable DataFrames behind temp views, so an
+    # UPDATE would silently not affect self.dest — fail loudly instead.
+    _HOOK_DML = ("update", "delete", "insert", "merge", "truncate", "drop", "alter")
+
+    def _run_hook(self, stmt: str) -> None:
+        """Run one pre/post SQL hook against the ``dest_<table>`` temp views.
+
+        Hooks may SELECT from dest views or CREATE additional temp views; a hook
+        named ``dest_replace:<table>: <select>`` replaces that dest table with
+        the SELECT's result (the Spark analogue of the reference's destructive
+        hooks, which mutate the dest DB in place).  Plain DML raises — it would
+        have no effect on the returned dest dict."""
+        lowered = stmt.strip().lower()
+        if lowered.startswith("dest_replace:") or stmt.strip().startswith(
+            "dest_replace:"
+        ):
+            _, table, sql = stmt.split(":", 2)
+            if table not in self.dest:
+                raise ValueError(f"dest_replace hook: unknown dest table {table!r}")
+            self._set_dest(table, self.spark.sql(sql))
+            self.dest[table].createOrReplaceTempView(f"dest_{table}")
+            return
+        first_word = lowered.split(None, 1)[0] if lowered else ""
+        if first_word in self._HOOK_DML:
+            raise ValueError(
+                f"hook statement {stmt[:60]!r}: DML against dest views is not "
+                "supported — dest tables are immutable DataFrames.  Use a "
+                "'dest_replace:<table>: <select>' hook to swap a table's "
+                "contents, or SELECT/CREATE TEMP VIEW for read-only hooks."
+            )
+        self.spark.sql(stmt)
+
     def run(self) -> dict[str, DataFrame]:
         """Full lifecycle: middle-out, then the pre/post SQL hooks
         (/root/reference/direct_subset.py:45-62) against temp views
@@ -219,14 +277,14 @@ class SubsetEngine:
         for t, df in self.dest.items():
             df.createOrReplaceTempView(f"dest_{t}")
         for stmt in self.config.pre_constraint_sql:
-            self.spark.sql(stmt)
+            self._run_hook(stmt)
         # S8: constraint application becomes an explicit orphan check
         violations = self.validate()
         bad = {r: n for r, n in violations.items() if n > 0}
         if bad:
             raise ValueError(f"referential integrity violations: {bad}")
         for stmt in self.config.post_subset_sql:
-            self.spark.sql(stmt)
+            self._run_hook(stmt)
         return self.dest
 
     # ----------------------------------------------------------- phase kernels

@@ -64,15 +64,23 @@ def exact_dedup(
 def _shingles(text_col: str, n: int):
     """Distinct word n-gram shingles of the lowercased, whitespace-normalized
     text, as an array column.  Word (not char) shingles keep the explode factor
-    ~= token count."""
+    ~= token count.
+
+    Documents with fewer than ``n`` tokens produce an *empty* array: the gram
+    sequence is guarded because ``sequence(0, -1)`` in Spark is the descending
+    ``[0, -1]`` (not empty) and the subsequent ``slice(tokens, 0, n)`` throws —
+    guaranteed on real web-scale corpora where 1-token docs exist."""
     tokens = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
     k = F.size(tokens) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
-    )
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 

@@ -135,9 +135,13 @@ class UnionFind:
         root = x
         while self._roots[root] != root:
             root = self._roots[root]
-        # path compression
+        # path compression — explicit temp: tuple assignment rebinds x before
+        # the subscript store, which would write the parent's slot and stop
+        # after one hop (compare /root/reference/subset_utils.py:120-130)
         while self._roots[x] != root:
-            x, self._roots[x] = self._roots[x], root
+            nxt = self._roots[x]
+            self._roots[x] = root
+            x = nxt
         return root
 
     def find(self, elem: str) -> str:

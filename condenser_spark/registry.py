@@ -66,10 +66,13 @@ def load_source_tables(
         arrow_schema = pq.read_schema(path)
         for field in arrow_schema:
             if str(field.type) == "timestamp[ns]":
+                # floor division, not `div` (which truncates toward zero):
+                # pre-1970 nanos must round DOWN to match DuckDB/pandas ns->us
                 df = df.withColumn(
                     field.name,
                     F.expr(
-                        f"cast(timestamp_micros({field.name} div 1000) "
+                        f"cast(timestamp_micros({field.name} div 1000 + "
+                        f"(case when {field.name} % 1000 < 0 then -1 else 0 end)) "
                         "as timestamp_ntz)"
                     ),
                 )
