@@ -24,7 +24,9 @@ def _subset_engine(spark: SparkSession, sf_dir: str, **overrides):
 
     cfg = SubsetConfig.from_dict(base_config_dict(**overrides))
     source = load_source_tables(spark, sf_dir)
-    eng = SubsetEngine(spark, cfg, source)
+    # persist-mode phase barriers: each dest table is cached as it lands, so
+    # later phases (and the report) never recompute upstream lineage
+    eng = SubsetEngine(spark, cfg, source, materialize="persist")
     eng.run_middle_out()
     return eng
 
@@ -45,7 +47,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 plus the §7.4
+    LLM-pipeline extensions (condenser_spark.goldens_ext)."""
+    import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import QUERIES
 
     return dict(QUERIES)
@@ -53,7 +57,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """ANSI-SQL oracles (DuckDB) keyed like ``queries()``.  Queries without an
-    entry here are non-SQL-expressible; the driver records a rows-only check."""
+    entry here are non-SQL-expressible (xxhash64/SRP-seeded); the driver
+    records a rows-only check for those."""
+    import condenser_spark.goldens_ext  # noqa: F401 — registers ext oracles
     from condenser_spark.goldens import ORACLES
 
     return dict(ORACLES)

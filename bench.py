@@ -78,8 +78,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         eng = SubsetEngine(spark, cfg, source, materialize="persist")
         eng.run_middle_out()
         eng.report().count()
-        for df in eng.dest.values():
-            df.unpersist()
+        eng.cleanup()
 
     timed("middle_out_subset", _flagship)
 

@@ -102,6 +102,7 @@ class SubsetEngine:
         self.dest_path = dest_path
         self.materialize = materialize
         self.verbose = verbose
+        self._superseded: list[DataFrame] = []
 
     # ---------------------------------------------------------------- plumbing
 
@@ -112,8 +113,10 @@ class SubsetEngine:
     def _set_dest(self, table: str, df: DataFrame) -> None:
         """Phase-barrier materialization policy (SURVEY §7.3 hard #1).
 
-        ``persist`` unpersists the superseded frame (downstream appends re-set a
-        table; without this, repeated runs accumulate cached copies).
+        ``persist`` tracks superseded frames (downstream appends re-set a
+        table) and releases them in ``cleanup()`` — not mid-run, because the
+        replacement plan reads the superseded cache, and an eager
+        materialize-then-unpersist here costs a full extra pass per append.
 
         ``parquet`` stage-writes to a temp path and swaps: a downstream append
         derives the new frame FROM the table's current parquet, so writing
@@ -124,10 +127,7 @@ class SubsetEngine:
             old = self.dest.get(table)
             df = df.persist()
             if old is not None:
-                # materialize the new cache before releasing the old one (the
-                # new plan may read the old cached frame)
-                df.count()
-                old.unpersist()
+                self._superseded.append(old)
         elif self.materialize == "checkpoint":
             df = df.localCheckpoint(eager=False)
         elif self.materialize == "parquet":
@@ -345,6 +345,16 @@ class SubsetEngine:
         if not referencing:
             return
 
+        key_sets = {tuple(r.target_columns) for r in referencing}
+        if len(key_sets) > 1:
+            # the reference shares this single-key-set assumption (one temp
+            # table per target, /root/reference/subset.py:174); fail with a
+            # clear message instead of a confusing union error
+            raise ValueError(
+                f"table {table!r}: referencing edges disagree on target key "
+                f"columns {sorted(key_sets)} — all FK edges into one table "
+                "must reference the same key columns"
+            )
         pk_cols = list(referencing[0].target_columns)
         needed: DataFrame | None = None
         for rel in referencing:
@@ -358,6 +368,18 @@ class SubsetEngine:
         keys = needed.distinct()
         new_rows = fetch_by_keys(self.source[table], keys, pk_cols)
         self._append_dest(table, self._project(table, new_rows))
+
+    def cleanup(self) -> None:
+        """Release cached destination state, including frames superseded by
+        downstream appends.  ``persist`` mode otherwise accumulates executor
+        memory across engine runs in one session (VERDICT r1 "what's wrong"
+        #6)."""
+        if self.materialize == "persist":
+            for df in self.dest.values():
+                df.unpersist()
+            for df in self._superseded:
+                df.unpersist()
+            self._superseded.clear()
 
     # ------------------------------------------------------------- reporting
 

@@ -90,14 +90,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard), id_a < id_b,
     jaccard rounded to 4 decimals, >= threshold.
 
     Inverted-index self-join: |A ∩ B| counted by joining on shingle, |A ∪ B|
     derived from per-doc distinct-shingle counts.  ``max_shingle_df`` drops
-    shingles shared by more than that many docs (stop-shingle skew guard)."""
+    shingles shared by more than that many docs — the stop-shingle skew guard
+    is ON by default (one hot shingle makes the self-join quadratic; 10k doc
+    frequency means the shingle carries no near-dup signal anyway).  Pass
+    ``None`` to disable (exact verifier mode)."""
     sh = (
         df.select(F.col(id_col).alias("id"), _shingles(text_col, n).alias("sh"))
         .withColumn("n_sh", F.size("sh"))

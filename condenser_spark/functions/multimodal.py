@@ -71,10 +71,39 @@ class DecoderUnavailable(NotImplementedError):
     environment.  Use ``fake=True`` for the deterministic stand-in."""
 
 
+def decoder_available(kind: str = "image") -> bool:
+    """Feature probe: True when a real codec for ``kind`` is importable.
+    Image decode activates automatically when Pillow is installed; audio/video
+    stay stubbed until torchaudio/pyav land in the environment."""
+    if kind == "image":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    return False
+
+
 def _real_decode(payload: bytes, kind: str) -> Any:
+    """Decode a payload with the real codec (probe-gated).
+
+    Image path: Pillow decode -> 8x8 grayscale thumbnail -> row-mean feature
+    (the real-analytics analogue of the fake byte-histogram).  Raises
+    ``DecoderUnavailable`` when no codec is importable for ``kind``."""
+    if kind == "image" and decoder_available("image"):
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+        px = list(img.getdata())  # 64 grayscale bytes, row-major
+        return [
+            round(sum(px[r * 8:(r + 1) * 8]) / 8.0 / 255.0, 4) for r in range(8)
+        ]
     raise DecoderUnavailable(
-        f"no codec available for kind={kind!r}; install Pillow/torchaudio/pyav "
-        "and replace _real_decode, or run with fake=True"
+        f"no codec available for kind={kind!r}; install Pillow/torchaudio/pyav, "
+        "or run with fake=True"
     )
 
 
@@ -110,15 +139,29 @@ def synthesize_media(df: DataFrame, text_col: str = "text",
     )
 
 
-def extract_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+def extract_features(
+    df: DataFrame, dim: int = 8, fake: bool | None = True
+) -> DataFrame:
     """media frame -> FEATURE_SCHEMA via mapInPandas (Arrow-batched; decode is
-    the only Python step and is vectorized per batch)."""
+    the only Python step and is vectorized per batch).
+
+    Tri-state ``fake``: ``True`` always uses the deterministic fake;
+    ``False`` forces real decode (raises ``DecoderUnavailable`` when no codec
+    is importable for a row's kind); ``None`` auto-probes — real decode where
+    a codec is available, fake fallback elsewhere (mixed-media frames must not
+    die on the first audio row)."""
+
+    def _one(payload: bytes, kind: str) -> list:
+        if fake is True:
+            return _fake_feature(payload, dim)
+        if fake is None and not decoder_available(kind):
+            return _fake_feature(payload, dim)
+        return _real_decode(payload, kind)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _fake_feature(p, dim) if fake else _real_decode(p, k)
-                for p, k in zip(pdf["payload"], pdf["kind"])
+                _one(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(
                 {

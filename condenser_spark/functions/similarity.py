@@ -56,14 +56,18 @@ def brute_force_cosine_topk(
     The (small) query side is broadcast; the corpus never shuffles for the
     join.  The per-query top-k is a window over (rounded cosine desc, id asc) —
     deterministic under ties; AQE handles the window shuffle."""
+    # float->double is exact per element; products/sums then run in double on
+    # both sides of the oracle (DuckDB list_dot_product over DOUBLE[]), so the
+    # rounded cosine is bit-identical across engines
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
         )
     )
     scored = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).join(q)  # cross join with broadcast: each partition scans corpus once
     scored = scored.select(
         "query_id",
@@ -115,9 +119,13 @@ def lsh_bucketed_cosine_topk(
     Same output schema as brute force.  Recall < 1.0 by construction; raise
     ``tables`` (or lower ``bits``) for more."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
     c_b = c.select(
         "vec_id", "c_vec",
@@ -156,6 +164,88 @@ def lsh_bucketed_cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per query,
+    exact-cosine re-rank inside the probed cells.
+
+    Centroids are the ``n_centroids`` lowest-id corpus vectors (deterministic
+    seed points — a TakeOrdered, not a full sort) collected to the driver and
+    shipped as plan literals, like the SRP hyperplanes: O(centroids x dim)
+    driver bytes, no UDF, no broadcast variable.  Cell assignment is one
+    narrow projection over the corpus (16 literal dot products per row); the
+    probe join shuffles only on cell id.
+
+    ``nprobe == n_centroids`` probes every cell and reproduces brute force
+    exactly (the property the test suite pins); smaller ``nprobe`` trades
+    recall for a 1/nprobe scan fraction — the IVF scale knob."""
+    assert 1 <= nprobe <= n_centroids
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    seeds = c.orderBy("vec_id").limit(n_centroids).collect()
+    centroids = [list(r.c_vec) for r in seeds]
+
+    def _cell_scores(vec) -> Column:
+        # array of (cosine-to-centroid, cell_idx) structs, one per centroid
+        return F.array(*[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cent in enumerate(centroids)
+        ])
+
+    # corpus: argmax cell (descending sort on (score, cell), take head)
+    assigned = c.select(
+        "vec_id", "c_vec",
+        F.element_at(
+            F.reverse(F.array_sort(_cell_scores(F.col("c_vec")))), 1
+        )["cell"].alias("cell"),
+    )
+    # queries: top-nprobe cells, exploded to one probe row per (query, cell)
+    probes = F.broadcast(
+        q.select(
+            "query_id", "q_vec",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec")))),
+                    1, nprobe,
+                )["cell"]
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(probes, on="cell")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -171,7 +261,9 @@ def embedding_cosine_dup_pairs(
     candidates only), exact cosine verification.  The all-pairs O(N²) never
     materializes."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
     banded = v.select(
         "id", "vec",
         F.explode(F.array(*[

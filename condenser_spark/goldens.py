@@ -265,8 +265,9 @@ def s8_referential_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         subset=["o_custkey"]
     )
     parent = deterministic_sample(t["customer"], "c_custkey", 30).select("c_custkey")
+    # no broadcast hint: AQE picks the strategy from the runtime key-set size
     orphans = child.join(
-        F.broadcast(parent.distinct()),
+        parent.distinct(),
         on=_cond(child, parent, ["o_custkey"], ["c_custkey"]),
         how="left_anti",
     )
@@ -284,25 +285,22 @@ _MIDDLE_OUT_PERCENT_ORACLE = """
          n AS (SELECT * FROM nation WHERE n_nationkey IN
                (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
          r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
-    SELECT * FROM (
-      SELECT 'orders' AS table_name, COUNT(*) AS dest_count FROM o UNION ALL
-      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
-      SELECT 'customer', COUNT(*) FROM c UNION ALL
-      SELECT 'supplier', COUNT(*) FROM s UNION ALL
-      SELECT 'part', COUNT(*) FROM p UNION ALL
-      SELECT 'nation', COUNT(*) FROM n UNION ALL
-      SELECT 'region', COUNT(*) FROM r UNION ALL
-      SELECT 'events', 0 UNION ALL
-      SELECT 'documents', 0 UNION ALL
-      SELECT 'embeddings', 0
-    ) ORDER BY table_name
+    SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS row_key FROM o
+    UNION ALL SELECT 'lineitem',
+      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) FROM li
+    UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+    UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM s
+    UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR) FROM p
+    UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+    UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r
 """
 
 
 @golden("middle_out_percent_subset", _MIDDLE_OUT_PERCENT_ORACLE)
 def middle_out_percent_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end phase composite (/root/reference/subset.py:40-97): 10%
-    deterministic orders target, full closure; per-table destination counts.
+    deterministic orders target, full closure; per-table destination KEY SETS,
+    so the oracle hash checks *which* rows survived, not just how many.
 
     Oracle mirrors the phase semantics: upstream greed pulls lineitem of kept
     orders (only the orders edge is processed, /root/reference/subset.py:123);
@@ -313,7 +311,7 @@ def middle_out_percent_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
         initial_targets=[{"table": "orders", "percent": 10,
                           "sample_key": "o_orderkey"}],
     )
-    return _dest_counts(spark, eng)
+    return _dest_keys(spark, eng)
 
 
 # --------------------------------------------------- full middle-out, where cfg
@@ -328,18 +326,15 @@ _MIDDLE_OUT_WHERE_ORACLE = """
          n AS (SELECT * FROM nation WHERE n_nationkey IN
                (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
          r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
-    SELECT * FROM (
-      SELECT 'customer' AS table_name, COUNT(*) AS dest_count FROM c UNION ALL
-      SELECT 'orders', COUNT(*) FROM o UNION ALL
-      SELECT 'events', COUNT(*) FROM e UNION ALL
-      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
-      SELECT 'supplier', COUNT(*) FROM s UNION ALL
-      SELECT 'part', COUNT(*) FROM p UNION ALL
-      SELECT 'nation', COUNT(*) FROM n UNION ALL
-      SELECT 'region', COUNT(*) FROM r UNION ALL
-      SELECT 'documents', 0 UNION ALL
-      SELECT 'embeddings', 0
-    ) ORDER BY table_name
+    SELECT 'customer' AS table_name, CAST(c_custkey AS VARCHAR) AS row_key FROM c
+    UNION ALL SELECT 'orders', CAST(o_orderkey AS VARCHAR) FROM o
+    UNION ALL SELECT 'events', CAST(event_id AS VARCHAR) FROM e
+    UNION ALL SELECT 'lineitem',
+      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) FROM li
+    UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM s
+    UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR) FROM p
+    UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+    UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r
 """
 
 
@@ -347,13 +342,13 @@ _MIDDLE_OUT_WHERE_ORACLE = """
 def middle_out_where_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end composite, WHERE target (config.json.example_all:7-10 analogue):
     upstream greed pulls orders+events of kept customers, then lineitem of kept
-    orders; downstream closes supplier/part/nation/region."""
+    orders; downstream closes supplier/part/nation/region.  Key-set output."""
     eng = _run_engine(
         spark, sf_dir,
         initial_targets=[{"table": "customer",
                           "where": "c_mktsegment = 'BUILDING'"}],
     )
-    return _dest_counts(spark, eng)
+    return _dest_keys(spark, eng)
 
 
 # ------------------------------------------- middle-out, passthrough + excluded
@@ -364,20 +359,17 @@ _MIDDLE_OUT_PASSTHROUGH_ORACLE = """
          c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)),
          s AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
          n AS (SELECT * FROM nation WHERE n_nationkey IN
-               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
-         r AS (SELECT * FROM region)
-    SELECT * FROM (
-      SELECT 'orders' AS table_name, COUNT(*) AS dest_count FROM o UNION ALL
-      SELECT 'lineitem', COUNT(*) FROM li UNION ALL
-      SELECT 'customer', COUNT(*) FROM c UNION ALL
-      SELECT 'supplier', COUNT(*) FROM s UNION ALL
-      SELECT 'part', (SELECT COUNT(*) FROM part) UNION ALL
-      SELECT 'nation', COUNT(*) FROM n UNION ALL
-      SELECT 'region', COUNT(*) FROM r UNION ALL
-      SELECT 'events', 0 UNION ALL
-      SELECT 'documents', (SELECT COUNT(*) FROM documents) UNION ALL
-      SELECT 'embeddings', (SELECT COUNT(*) FROM embeddings)
-    ) ORDER BY table_name
+               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s))
+    SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS row_key FROM o
+    UNION ALL SELECT 'lineitem',
+      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) FROM li
+    UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+    UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM s
+    UNION ALL SELECT 'part', CAST(p_partkey AS VARCHAR) FROM part
+    UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+    UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM region
+    UNION ALL SELECT 'documents', CAST(doc_id AS VARCHAR) FROM documents
+    UNION ALL SELECT 'embeddings', CAST(vec_id AS VARCHAR) FROM embeddings
 """
 
 
@@ -386,7 +378,7 @@ def middle_out_passthrough_excluded(spark: SparkSession, sf_dir: str) -> DataFra
     """End-to-end composite: passthrough tables copied whole before downstream
     (/root/reference/subset.py:69-78), excluded tables present-but-empty
     (/root/reference/direct_subset.py:37), disconnected tables kept
-    (/root/reference/subset.py:89-97)."""
+    (/root/reference/subset.py:89-97).  Key-set output."""
     eng = _run_engine(
         spark, sf_dir,
         initial_targets=[{"table": "orders", "percent": 10,
@@ -395,7 +387,7 @@ def middle_out_passthrough_excluded(spark: SparkSession, sf_dir: str) -> DataFra
         excluded_tables=["events"],
         keep_disconnected_tables=True,
     )
-    return _dest_counts(spark, eng)
+    return _dest_keys(spark, eng)
 
 
 # ------------------------------------------------------------- engine plumbing
@@ -408,8 +400,33 @@ def _run_engine(spark: SparkSession, sf_dir: str, **overrides: Any) -> SubsetEng
     return eng
 
 
-def _dest_counts(spark: SparkSession, eng: SubsetEngine) -> DataFrame:
-    rows = [(t, eng.dest[t].count()) for t in sorted(eng.dest)]
-    return spark.createDataFrame(
-        rows, "table_name string, dest_count long"
-    ).orderBy("table_name")
+# Primary-key columns of the fixture universe, for key-set goldens.
+_PK_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def _dest_keys(spark: SparkSession, eng: SubsetEngine) -> DataFrame:
+    """(table_name, row_key) for every destination row — the oracle hashes
+    WHICH rows survived, not just per-table counts (a subset keeping the right
+    number of wrong rows must fail).  One unioned plan = one Spark job."""
+    frames = []
+    for t in sorted(eng.dest):
+        pk = _PK_COLS[t]
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in pk])
+        frames.append(
+            eng.dest[t].select(F.lit(t).alias("table_name"), key.alias("row_key"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -1,0 +1,466 @@
+"""Golden queries for the LLM-data-pipeline extension operators (SURVEY §7.4)
+plus the S9/S13 harness operators — registered into the same QUERIES/ORACLES
+maps as the core §2 goldens (condenser_spark.goldens).
+
+Oracle-expressible operators carry full DuckDB SQL; operators built on Spark's
+``xxhash64`` (MinHash / SimHash) or on seeded random hyperplanes (SRP-LSH)
+cannot be reproduced by another engine, so they are declared rows-only — the
+driver records a weaker rows-present check, and the pytest suite
+(tests/test_extensions.py) cross-validates their recall against the exact
+oracle-checked operators.
+
+Float discipline for the oracles: every cross-engine float is either derived
+from exact integers (jaccard = intersection/union of counts), computed in
+double after an exact float->double widening (cosine), or rounded to 4 decimals
+at the point of derivation — both engines then hash identical values.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from condenser_spark.goldens import _run_engine, _tables, golden
+
+# ------------------------------------------------------------------ exact dedup
+
+@golden(
+    "ext_exact_dedup",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+    )
+    SELECT MIN(doc_id) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS dup_count
+    FROM corpus
+    GROUP BY 2
+    """,
+)
+def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint of normalized text; 50 synthesized exact
+    clones (doc_id+100000) so dup groups exist in the fixture.  The survivor is
+    min(id) — deterministic (condenser_spark/functions/dedup.py:exact_dedup)."""
+    from condenser_spark.functions.dedup import exact_dedup
+
+    base = _tables(spark, sf_dir)["documents"]
+    clones = base.filter("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return exact_dedup(base.unionByName(clones))
+
+
+# --------------------------------------------------------- exact n-gram jaccard
+
+@golden(
+    "ext_ngram_jaccard_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(tokens) - 2),
+                           i -> array_to_string(tokens[i:i+2], ' '))) AS shingles
+      FROM toks WHERE len(tokens) >= 3
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.8
+    """,
+)
+def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.8 — the
+    inverted-index join the fixture's 25 planted near-dup pairs must survive
+    (condenser_spark/functions/dedup.py:ngram_jaccard_pairs)."""
+    from condenser_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+# ------------------------------------------------------------------- text stats
+
+_TEXT_STATS_ORACLE = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(lower(text), '\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','is')))  AS s_en,
+        len(list_filter(toks, x -> x IN ('el','la','los','que','de')))  AS s_es,
+        len(list_filter(toks, x -> x IN ('le','les','des','est','une'))) AS s_fr,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS s_de
+      FROM t
+    )
+    SELECT doc_id,
+           length(text) AS char_len,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_fr, s_de) THEN 'fr'
+                ELSE 'de' END AS lang_guess,
+           ROUND((CASE WHEN length(text) BETWEEN 64 AND 4096 THEN 1.0 ELSE 0.0 END
+                  + CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                                   AS DOUBLE) / length(text)
+                         ELSE 0.0 END
+                  + CASE WHEN len(list_filter(toks,
+                               x -> x IN ('the','and','of','to','is'))) > 0
+                         THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM scored
+"""
+
+
+@golden("ext_text_stats", _TEXT_STATS_ORACLE)
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: char/token/BPE-ish counts, marker-stopword language
+    guess, quality score, fingerprint — all JVM builtins
+    (condenser_spark/functions/text.py:text_stats); LANG_MARKERS were chosen to
+    be identically expressible in ANSI SQL."""
+    from condenser_spark.functions.text import text_stats
+
+    return text_stats(_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------- sessionization
+
+_SESSIONIZE_CTE = """
+    WITH lagged AS (
+      SELECT *, lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM lagged
+    ),
+    sessions AS (
+      SELECT event_id, ts, user_id, event_type, value, props,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+      FROM flagged
+    )
+"""
+
+
+@golden(
+    "ext_sessionize",
+    _SESSIONIZE_CTE + "SELECT * FROM sessions",
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (lag/gap/cumsum, 30-min gap) over the events table
+    (condenser_spark/streaming/sessionize.py:sessionize).  Gap comparison is
+    microsecond-exact on both engines."""
+    from condenser_spark.streaming.sessionize import sessionize
+
+    return sessionize(_tables(spark, sf_dir)["events"], gap_minutes=30)
+
+
+@golden(
+    "ext_session_stats",
+    _SESSIONIZE_CTE + """
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start,
+           MAX(ts) AS t_end,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def ext_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rollup (condenser_spark/streaming/sessionize.py:session_stats);
+    duration floors to whole seconds via integer division on both engines."""
+    from condenser_spark.streaming.sessionize import session_stats
+
+    return session_stats(_tables(spark, sf_dir)["events"], gap_minutes=30)
+
+
+@golden(
+    "ext_windowed_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 60-minute counts per event type; Spark's epoch-aligned
+    ``F.window`` at 60 minutes equals date_trunc('hour')
+    (condenser_spark/streaming/sessionize.py:windowed_event_counts)."""
+    from condenser_spark.streaming.sessionize import windowed_event_counts
+
+    return windowed_event_counts(_tables(spark, sf_dir)["events"],
+                                 window_minutes=60)
+
+
+# ------------------------------------------------------------ similarity search
+
+@golden(
+    "ext_brute_force_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id,
+                  ROUND(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))), 4) AS cosine_sim
+           FROM c CROSS JOIN q
+         ),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+           FROM scored
+         )
+    SELECT query_id, vec_id, cosine_sim, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def ext_brute_force_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 query vectors over the 64-dim embeddings
+    corpus (condenser_spark/functions/similarity.py:brute_force_cosine_topk).
+    Vectors widen float->double (exact) before the fold, so the rounded cosine
+    is bit-identical to DuckDB's double list_dot_product."""
+    from condenser_spark.functions.similarity import brute_force_cosine_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    out = brute_force_cosine_topk(
+        emb, emb.filter("vec_id < 8"), k=10, query_id_col="vec_id"
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# --------------------------------------------------- rows-only (xxhash64 / SRP)
+
+@golden("ext_minhash_lsh_pairs", None)
+def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, exactly verified (rows-only: signatures
+    use Spark xxhash64, irreproducible elsewhere; recall vs the exact-jaccard
+    oracle is pinned in tests/test_extensions.py)."""
+    from condenser_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return minhash_lsh_pairs(docs, n=3, threshold=0.8)
+
+
+@golden("ext_simhash_near_pairs", None)
+def ext_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs via pigeonhole banding (rows-only:
+    xxhash64 bit-votes)."""
+    from condenser_spark.functions.dedup import simhash_near_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+@golden("ext_srp_cosine_topk", None)
+def ext_srp_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH + exact re-rank
+    (rows-only: bucketing depends on seeded driver-side hyperplanes; recall vs
+    brute force is pinned in tests/test_extensions.py)."""
+    from condenser_spark.functions.similarity import lsh_bucketed_cosine_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return lsh_bucketed_cosine_topk(
+        emb, emb.filter("vec_id < 8"), k=10, dim=64, query_id_col="vec_id"
+    )
+
+
+@golden("ext_ivf_cosine_topk", None)
+def ext_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse centroids + nprobe cell probing + exact
+    re-rank).  Rows-only: cell assignment depends on corpus-derived centroids;
+    tests pin that nprobe==n_centroids reproduces brute force exactly
+    (condenser_spark/functions/similarity.py:ivf_cosine_topk)."""
+    from condenser_spark.functions.similarity import ivf_cosine_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return ivf_cosine_topk(
+        emb, emb.filter("vec_id < 8"), k=10, n_centroids=16, nprobe=4,
+        query_id_col="vec_id",
+    )
+
+
+@golden(
+    "ext_embedding_dup_pairs",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      WHERE vec_id < 20
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) *
+                    sqrt(list_dot_product(b.e, b.e))), 4) AS cosine_sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.95
+    """,
+)
+def ext_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= 0.95) via SRP-bucketed
+    self-join + exact verification.  20 exact clones (vec_id+100000) are
+    synthesized so dup pairs exist; the fixture's max organic pairwise cosine
+    is ~0.51, so the expected output is exactly the 20 clone pairs — and
+    identical vectors share every SRP bucket, so LSH recall on them is 1.0 BY
+    CONSTRUCTION, making the all-pairs oracle exact (not just probable)
+    (condenser_spark/functions/similarity.py:embedding_cosine_dup_pairs)."""
+    from condenser_spark.functions.similarity import embedding_cosine_dup_pairs
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    clones = emb.filter("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_cosine_dup_pairs(emb.unionByName(clones), threshold=0.95)
+
+
+@golden("p3_bernoulli_sample_rows", None)
+def p3_bernoulli_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 proper — the reference's Bernoulli ``random() < p`` sample
+    (/root/reference/subset.py:110-114).  Unoracleable by nature (row set is
+    engine-RNG-dependent); declared rows-only so the hard gate at least runs
+    the plan."""
+    from condenser_spark.operators.filters import bernoulli_sample
+
+    return bernoulli_sample(_tables(spark, sf_dir)["orders"], 10, seed=42)
+
+
+# ------------------------------------------------------------------- multimodal
+
+@golden(
+    "ext_multimodal_feature_meta",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def ext_multimodal_feature_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the oracle gate: synthesize binary media
+    from text, run the Arrow-batched mapInPandas feature extractor, return the
+    typed metadata columns (payload byte length is byte-exact cross-engine;
+    the feature vector itself is rows-only below)
+    (condenser_spark/functions/multimodal.py:synthesize_media/extract_features)."""
+    from condenser_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    feats = extract_features(synthesize_media(docs), fake=True)
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+@golden("ext_multimodal_features", None)
+def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature frame incl. the array<float> feature column (rows-only:
+    byte-histogram feature floats)."""
+    from condenser_spark.functions.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return extract_features(synthesize_media(docs), fake=True)
+
+
+@golden("ext_multimodal_frames", None)
+def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video rows — cardinality-changing mapInPandas
+    (rows-only) (condenser_spark/functions/multimodal.py:sample_frames)."""
+    from condenser_spark.functions.multimodal import sample_frames, synthesize_media
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return sample_frames(synthesize_media(docs), every_ms=1000)
+
+
+# ----------------------------------------------------------- S9/S13 harness ops
+
+@golden(
+    "s9_write_dest_roundtrip",
+    "SELECT * FROM orders WHERE (o_orderkey % 100) < 10",
+)
+def s9_write_dest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — the row-copy sink: subset orders, write the dest dict to parquet,
+    read the written table back (/root/reference/psql_database_helper.py:20-62
+    becomes a partitioned parquet write)."""
+    from condenser_spark.registry import write_dest
+
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+    )
+    dest_dir = os.path.join(tempfile.gettempdir(), "condenser_s9_dest")
+    write_dest({"orders": eng.dest["orders"]}, dest_dir)
+    return spark.read.parquet(os.path.join(dest_dir, "orders.parquet"))
+
+
+@golden(
+    "s13_hook_dest_replace",
+    """
+    SELECT * FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+      AND event_type = 'click'
+    """,
+)
+def s13_hook_dest_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — post-subset SQL hook (/root/reference/direct_subset.py:57-62):
+    the dest_replace hook swaps a dest table for a SELECT over the dest views
+    (the engine's explicit form of the reference's destructive hooks)."""
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.registry import load_source_tables
+
+    cfg = SubsetConfig.from_dict(base_config_dict(
+        initial_targets=[{"table": "customer",
+                          "where": "c_mktsegment = 'BUILDING'"}],
+        post_subset_sql=[
+            "dest_replace:events: "
+            "SELECT * FROM dest_events WHERE event_type = 'click'"
+        ],
+    ))
+    eng = SubsetEngine(spark, cfg, load_source_tables(spark, sf_dir))
+    dest = eng.run()
+    return dest["events"]

@@ -2,14 +2,20 @@
 
 The reference expresses all of these as correlated ``IN`` / ``NOT IN`` subqueries in
 generated SQL and lets the RDBMS plan them (/root/reference/subset.py:141,180,201).
-Here they are declarative DataFrame joins and Catalyst/AQE plans them; key sets are
-small by construction (bounded by subset size), so we hint ``broadcast`` to get a
-broadcast-hash join instead of shuffling the big fact side — at 100 TB this is the
-difference between a map-side join and a full shuffle of the largest table.
+Here they are declarative DataFrame joins and Catalyst/AQE plans them.
+
+Join-strategy policy (the 100 TB decision): key sets are *usually* small —
+bounded by subset size — but "bounded by subset size" is not a bound: a 10%
+subset of a 100 TB fact table is billions of keys, and a forced ``broadcast``
+hint bypasses Spark's size checks and OOMs the driver.  So the default is
+``broadcast_keys=None`` (AUTO): no hint; AQE measures the key set's actual
+shuffle size at runtime and converts sort-merge to broadcast-hash exactly when
+the side fits ``spark.sql.adaptive.autoBroadcastJoinThreshold``.  Pass ``True``
+only when the caller KNOWS the key set is small (e.g. a dimension enumeration).
 
 Scale notes:
-* ``semi_join_keys`` / ``fetch_by_keys`` broadcast only the *key set*, never the
-  fact table; keys are deduplicated first (J3) so the broadcast stays minimal.
+* The join side is always reduced to distinct key columns first (column pruning
+  + J3 dedup), so whichever strategy wins moves the minimum bytes.
 * Joins are null-safe-free equi-joins on typed columns — the reference coerces keys
   to strings in transit (/root/reference/subset.py:195); we keep native types, which
   is both faster (no cast in the hot path) and more correct.
@@ -42,14 +48,16 @@ def semi_join_keys(
     parent: DataFrame,
     fk_cols: Sequence[str],
     target_cols: Sequence[str],
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | None = None,
 ) -> DataFrame:
     """J1/J4 — keep ``child`` rows whose FK tuple appears among ``parent``'s key
     tuples: the Spark form of ``(fk_cols) IN (SELECT target_cols FROM parent)``
     (/root/reference/subset.py:141,201).
 
-    The parent side is reduced to its distinct key columns before the join (column
-    pruning + J3 dedup), and broadcast when small."""
+    The parent side is reduced to its distinct key columns before the join
+    (column pruning + J3 dedup).  ``broadcast_keys=None`` (default) lets AQE
+    pick broadcast-vs-shuffle from the key set's measured runtime size; ``True``
+    forces the hint (see module docstring for why forcing is dangerous)."""
     keys = parent.select(*[F.col(c) for c in target_cols]).distinct()
     if broadcast_keys:
         keys = F.broadcast(keys)
@@ -86,13 +94,14 @@ def fetch_by_keys(
     source: DataFrame,
     keys: DataFrame,
     pk_cols: Sequence[str],
-    broadcast_keys: bool = True,
+    broadcast_keys: bool | None = None,
 ) -> DataFrame:
     """J4 — fetch source rows whose PK tuple is in ``keys``.
 
     The reference streams the key set in 100k-tuple chunks and generates literal
     ``IN``-lists (/root/reference/subset.py:185-202) purely because SQL IN-lists
-    have size limits; a single broadcast semi-join replaces the whole loop."""
+    have size limits; a single semi-join replaces the whole loop.  Broadcast of
+    the key side is AQE-decided by default (see module docstring)."""
     k = keys.select(*[F.col(c) for c in pk_cols]).distinct()
     if broadcast_keys:
         k = F.broadcast(k)

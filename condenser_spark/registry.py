@@ -63,7 +63,10 @@ def load_source_tables(
         # timestamp[ns] parquet columns surface as long (see session.NANOS_CONF);
         # restore them as microsecond timestamp_ntz — the same precision DuckDB
         # and pandas use, so oracles agree.  Footer-only introspection: O(KB).
-        arrow_schema = pq.read_schema(path)
+        arrow_schema = _footer_schema(path)
+        if arrow_schema is None:
+            out[name] = df
+            continue
         for field in arrow_schema:
             if str(field.type) == "timestamp[ns]":
                 # floor division, not `div` (which truncates toward zero):
@@ -78,6 +81,21 @@ def load_source_tables(
                 )
         out[name] = df
     return out
+
+
+def _footer_schema(path: str):
+    """Arrow schema from a parquet file OR a Spark-written dataset directory
+    (first part file's footer — all parts share one schema).  None when the
+    dataset is empty of part files."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return None
+        return pq.read_schema(os.path.join(path, parts[0]))
+    return pq.read_schema(path)
 
 
 def empty_like(df: DataFrame) -> DataFrame:
@@ -97,3 +115,23 @@ def write_dest(
     """
     for name, df in dest.items():
         df.write.mode(mode).parquet(os.path.join(dest_dir, f"{name}.parquet"))
+
+
+def teardown_dest(dest_dir: str) -> None:
+    """S7 — destination teardown: remove every table dataset under ``dest_dir``
+    (the analogue of the reference's drop-all-schemas-cascade,
+    /root/reference/psql_database_creator.py:56-67).
+
+    Without this, a stale dest dir holding a table the new config no longer
+    produces silently survives a re-run."""
+    import shutil
+
+    if not os.path.isdir(dest_dir):
+        return
+    for entry in os.listdir(dest_dir):
+        if entry.endswith(".parquet"):
+            path = os.path.join(dest_dir, entry)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)

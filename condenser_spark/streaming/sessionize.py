@@ -30,11 +30,13 @@ def sessionize(
     if "event_id" in events.columns:
         order.append(F.col("event_id").asc())
     w = Window.partitionBy(user_col).orderBy(*order)
-    gap_s = gap_minutes * 60
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # microsecond-exact gap comparison: unix_timestamp truncates to seconds,
+    # which mis-breaks sessions whose gap straddles the boundary by <1s
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
     is_new = F.when(
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_s),
+        prev_us.isNull() | (ts_us - prev_us > gap_us),
         1,
     ).otherwise(0)
     return events.withColumn("_new_session", is_new).withColumn(
@@ -55,8 +57,11 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("t_start"),
         F.max(ts_col).alias("t_end"),
-        (
-            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        # integer-exact whole seconds (floor) — `div`, never a double divide,
+        # so any ANSI engine reproduces it bit-for-bit
+        F.expr(
+            f"(unix_micros(cast(max({ts_col}) as timestamp)) - "
+            f"unix_micros(cast(min({ts_col}) as timestamp))) div 1000000"
         ).alias("duration_s"),
     )
 
