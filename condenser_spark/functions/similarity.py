@@ -92,14 +92,39 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> list[list[
     ]
 
 
-def _srp_bucket(vec, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for one hash table: bit_i = sign(vec . plane_i)."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(_dot(vec, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
-    return bucket
+def _srp_buckets_batch(planes: list[list[list[float]]]):
+    """Arrow-batched SRP bucketing: vector column -> array of per-table bucket
+    ids, ALL tables x bits in one numpy matmul per batch.
+
+    This is the one similarity kernel where a vectorized pandas UDF beats
+    built-ins: tables x bits sign-projections as Spark expressions run through
+    interpreted higher-order lambdas (64 array folds per row), while the batch
+    form is a single (N, dim) @ (dim, tables*bits) BLAS call.  Bucket ids only
+    gate candidate generation — exact cosine verification downstream stays a
+    deterministic JVM fold, so float-order differences here cannot change
+    final results beyond candidate recall."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    H = np.asarray(planes, dtype=np.float64)          # (T, B, D)
+    tables, bits, dim = H.shape
+    flat = H.reshape(tables * bits, dim)              # (T*B, D)
+    weights = (1 << np.arange(bits)).astype(np.int64)  # bit i -> 2^i
+
+    def buckets(vecs):
+        V = np.asarray(vecs.tolist(), dtype=np.float64)      # (N, D)
+        signs = (V @ flat.T) >= 0.0                           # (N, T*B)
+        signs = signs.reshape(len(V), tables, bits)
+        ids = (signs * weights).sum(axis=2)                   # (N, T)
+        return pd.Series(list(ids))
+
+    # real (non-stringified) annotations: `from __future__ import annotations`
+    # postpones hints module-wide, which pandas_udf's eval-type inference
+    # cannot resolve
+    buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(buckets, ArrayType(LongType()))
 
 
 def lsh_bucketed_cosine_topk(
@@ -119,6 +144,7 @@ def lsh_bucketed_cosine_topk(
     Same output schema as brute force.  Recall < 1.0 by construction; raise
     ``tables`` (or lower ``bits``) for more."""
     planes = _hyperplanes(dim, bits, tables, seed)
+    bucketize = _srp_buckets_batch(planes)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
@@ -127,23 +153,15 @@ def lsh_bucketed_cosine_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    c_b = c.select(
-        "vec_id", "c_vec",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _srp_bucket(F.col("c_vec"), planes[t]).alias("bucket"))
-            for t in range(tables)
-        ])).alias("tb"),
-    ).select("vec_id", "c_vec", "tb.tbl", "tb.bucket")
+    c_b = (
+        c.withColumn("bks", bucketize("c_vec"))
+        .select("vec_id", "c_vec",
+                F.posexplode("bks").alias("tbl", "bucket"))
+    )
     q_b = F.broadcast(
-        q.select(
-            "query_id", "q_vec",
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("tbl"),
-                         _srp_bucket(F.col("q_vec"), planes[t]).alias("bucket"))
-                for t in range(tables)
-            ])).alias("tb"),
-        ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+        q.withColumn("bks", bucketize("q_vec"))
+        .select("query_id", "q_vec",
+                F.posexplode("bks").alias("tbl", "bucket"))
     )
     cand = (
         c_b.join(q_b, on=["tbl", "bucket"])
@@ -261,17 +279,14 @@ def embedding_cosine_dup_pairs(
     candidates only), exact cosine verification.  The all-pairs O(N²) never
     materializes."""
     planes = _hyperplanes(dim, bits, tables, seed)
+    bucketize = _srp_buckets_batch(planes)
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    banded = v.select(
-        "id", "vec",
-        F.explode(F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     _srp_bucket(F.col("vec"), planes[t]).alias("bucket"))
-            for t in range(tables)
-        ])).alias("tb"),
-    ).select("id", "vec", "tb.tbl", "tb.bucket")
+    banded = (
+        v.withColumn("bks", bucketize("vec"))
+        .select("id", "vec", F.posexplode("bks").alias("tbl", "bucket"))
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))

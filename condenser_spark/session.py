@@ -33,13 +33,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config(NANOS_CONF, "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide aggregates (128-permutation MinHash, 64-bit SimHash votes) fall
+        # out of whole-stage codegen at the default 100-field cap — measured 3x
+        # slower interpreted
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
 
 
 def ensure_compat(spark: SparkSession) -> None:
-    """Apply runtime-settable compat confs to an externally-created session (the
-    driver harness builds its own SparkSession)."""
+    """Apply runtime-settable compat/perf confs to an externally-created session
+    (the driver harness builds its own SparkSession)."""
     spark.conf.set(NANOS_CONF, "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.codegen.maxFields", "256")
