@@ -120,6 +120,16 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: simhash_near_pairs(docs, max_hamming=3).count())
     timed("text_stats", lambda: text_stats(docs).count())
 
+    from condenser_spark.functions.corpus import (
+        pack_sequences,
+        pii_scrub,
+        tfidf_top_terms,
+    )
+
+    timed("tfidf_top_terms", lambda: tfidf_top_terms(docs, k=3).count())
+    timed("pii_scrub", lambda: pii_scrub(docs).count())
+    timed("pack_sequences", lambda: pack_sequences(docs).count())
+
     emb = source["embeddings"]
     queries = emb.filter(F.col("vec_id") < 8)
     timed("brute_force_cosine_topk",

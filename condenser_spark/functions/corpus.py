@@ -1,0 +1,200 @@
+"""Corpus-level training-data pipeline operators: quality filtering, stratified
+sampling, term statistics, TF-IDF, sequence packing, PII scrubbing.
+
+These are the daily-driver operations of a pretraining data pipeline, built on
+the same design rules as the rest of the engine (SURVEY §7.4): JVM built-ins in
+the hot path (scan-speed, whole-stage codegen), one shuffle where one is
+unavoidable (groupBy/window), nothing row-wise on the driver, and every
+deterministic operator carries a DuckDB oracle in the golden suite.
+
+Scale notes per operator:
+
+* ``filter_documents`` — pure conjunctive predicate; pushes into the Parquet
+  scan, prunes row groups.  Zero shuffle.
+* ``stratified_sample`` — per-group cap via row_number window: one shuffle on
+  the group key.  Deterministic order spec => reproducible sample.
+* ``term_frequencies`` — explode + count: the canonical map-side-combined
+  aggregation; shuffle carries (term, partial_count).
+* ``tfidf_top_terms`` — tf (per doc,term) + df (per term) + join + window
+  top-k.  The df side is a term-level aggregate, orders of magnitude smaller
+  than the corpus — AQE broadcasts it.
+* ``pack_sequences`` — first-fit-linear packing by prefix-sum: bins are
+  ``floor(running_tokens / budget)``; a bin may overflow by less than one
+  document (documented, deterministic, single window) — exact bin packing is
+  sequential and does not distribute.
+* ``pii_scrub`` — chained regexp_replace, scan speed; patterns deliberately
+  RE2-compatible so the oracle (and any other engine) reproduces them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import quality_score, token_count
+
+# RE2/Java-compatible scrub patterns (no lookarounds, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+}
+
+
+def filter_documents(
+    df: DataFrame,
+    min_chars: int = 64,
+    max_chars: int = 100_000,
+    min_tokens: int = 8,
+    min_quality: float | None = None,
+    langs: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Quality-gate a document table: length band, token floor, optional
+    quality-score floor and language allowlist.  Conjunctive, so Catalyst
+    pushes the char-length band into the scan."""
+    c = F.col(text_col)
+    cond = (F.length(c) >= min_chars) & (F.length(c) <= max_chars)
+    cond = cond & (token_count(c) >= min_tokens)
+    if min_quality is not None:
+        cond = cond & (quality_score(c) >= min_quality)
+    if langs is not None:
+        cond = cond & F.col(lang_col).isin(*langs)
+    return df.filter(cond)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    order_col: str,
+) -> DataFrame:
+    """Deterministic per-stratum cap: the first ``n_per_group`` rows of every
+    group under ``order_col`` ordering.  The balanced-corpus primitive (cap
+    documents per source/domain so no stratum dominates training)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
+def term_frequencies(
+    df: DataFrame,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, n_docs, n_occurrences) corpus statistics over lowercased
+    whitespace tokens.  Map-side combine keeps the shuffle term-sized."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("_doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf:
+    ``tf * ln(N / df)`` rounded to 4 decimals, ties broken by term order.
+
+    The document-frequency side is a term-level aggregate (tiny vs the
+    corpus); AQE broadcasts it into the join."""
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "term").select(
+        "id", "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rank")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 2048,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-fit-linear sequence packing: assign documents (in deterministic
+    ``order_col`` order) to training bins of ~``budget_tokens`` whitespace
+    tokens.
+
+    bin = floor((running_total - n_tokens) / budget): each bin holds the docs
+    whose PRECEDING prefix-sum falls inside its budget window, so a bin can
+    overflow by at most one document — the standard distribute-friendly
+    approximation (exact bin packing is inherently sequential).  One global
+    window; at real scale, partition by shard first and pack per shard."""
+    n_tok = token_count(F.col(text_col))
+    w = Window.orderBy(F.col(order_col).asc())
+    running = F.sum("n_tokens").over(w)
+    return (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn(
+            "bin_id",
+            F.floor(
+                (running - F.col("n_tokens")) / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    replacement: str = "[REDACTED]",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, phone numbers, SSN-shaped ids) from the
+    text column, preserving all other columns.  Adds ``n_redactions``.
+
+    Patterns are RE2-compatible by construction so any engine reproduces the
+    scrub byte-for-byte — a requirement when train/eval pipelines span
+    engines."""
+    pats = patterns or PII_PATTERNS
+    c = F.col(text_col)
+    scrubbed = c
+    n_red = F.lit(0)
+    for pat in pats.values():
+        n_red = n_red + F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    others = [f for f in df.columns if f != text_col]
+    return df.select(
+        *others,
+        scrubbed.alias(text_col),
+        n_red.cast("long").alias("n_redactions"),
+    )

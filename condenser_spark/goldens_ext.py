@@ -413,6 +413,264 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_media(docs), every_ms=1000)
 
 
+# ----------------------------------------------------- corpus pipeline operators
+
+_QUALITY_SQL = """
+    ROUND((CASE WHEN length(text) BETWEEN 64 AND 4096 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))
+                            AS DOUBLE) / length(text)
+                  ELSE 0.0 END
+           + CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x IN ('the','and','of','to','is'))) > 0
+                  THEN 1.0 ELSE 0.0 END) / 3.0, 4)
+"""
+
+
+@golden(
+    "ext_filter_documents",
+    f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE length(text) BETWEEN 100 AND 400
+      AND (CASE WHEN trim(text) = '' THEN 0
+           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20
+      AND {_QUALITY_SQL} >= 0.5
+      AND lang IN ('en', 'es')
+    """,
+)
+def ext_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate: length band + token floor + quality-score floor + language
+    allowlist (condenser_spark/functions/corpus.py:filter_documents)."""
+    from condenser_spark.functions.corpus import filter_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return filter_documents(
+        docs, min_chars=100, max_chars=400, min_tokens=20,
+        min_quality=0.5, langs=("en", "es"),
+    )
+
+
+@golden(
+    "ext_stratified_sample",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) <= 5
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum cap: first 5 documents per source under doc_id order — the
+    balanced-corpus primitive (condenser_spark/functions/corpus.py:stratified_sample)."""
+    from condenser_spark.functions.corpus import stratified_sample
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return stratified_sample(docs, "source", 5, "doc_id")
+
+
+@golden(
+    "ext_term_frequencies",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS _doc,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(DISTINCT _doc) AS n_docs, COUNT(*) AS n_occurrences
+    FROM toks WHERE term <> ''
+    GROUP BY term HAVING COUNT(*) >= 50
+    """,
+)
+def ext_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (document frequency + occurrence counts)
+    (condenser_spark/functions/corpus.py:term_frequencies)."""
+    from condenser_spark.functions.corpus import term_frequencies
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return term_frequencies(docs, min_count=50)
+
+
+@golden(
+    "ext_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    clean AS (SELECT * FROM toks WHERE term <> ''),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM clean GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df
+              FROM (SELECT DISTINCT id, term FROM clean) GROUP BY 1),
+    scored AS (
+      SELECT id, tf.term,
+             ROUND(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                           / df), 4) AS tfidf
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+    )
+    SELECT id AS doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY id
+                ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 3
+    """,
+)
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf, deterministic
+    tie-break (condenser_spark/functions/corpus.py:tfidf_top_terms)."""
+    from condenser_spark.functions.corpus import tfidf_top_terms
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return tfidf_top_terms(docs, k=3)
+
+
+@golden(
+    "ext_pack_sequences",
+    r"""
+    WITH counted AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+    FROM counted
+    """,
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-linear sequence packing into ~2048-token training bins
+    (condenser_spark/functions/corpus.py:pack_sequences)."""
+    from condenser_spark.functions.corpus import pack_sequences
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return pack_sequences(docs, budget_tokens=2048, order_col="doc_id")
+
+
+@golden(
+    "ext_pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id, lang, source, n_chars,
+             CASE WHEN doc_id < 50
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-123-4567 ssn 123-45-6789'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c1,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '[REDACTED]', 'g') AS t1
+      FROM seeded
+    ),
+    s2 AS (
+      SELECT doc_id, lang, source, n_chars, c1,
+             len(regexp_extract_all(t1, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS c2,
+             regexp_replace(t1, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}',
+                            '[REDACTED]', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id, lang, source, n_chars,
+           regexp_replace(t2, '\d{3}-\d{2}-\d{4}', '[REDACTED]', 'g') AS text,
+           CAST(c1 + c2 + len(regexp_extract_all(t2, '\d{3}-\d{2}-\d{4}'))
+                AS BIGINT) AS n_redactions
+    FROM s2
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, phones, SSN-shaped ids), counted per document;
+    PII spans are seeded into doc_id < 50 so the scrub has targets
+    (condenser_spark/functions/corpus.py:pii_scrub)."""
+    from condenser_spark.functions.corpus import pii_scrub
+
+    docs = _tables(spark, sf_dir)["documents"]
+    seeded = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.when(
+            F.col("doc_id") < 50,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+# ------------------------------------- composite: breaks + upstream filters
+
+_MIDDLE_OUT_BREAKS_ORACLE = """
+    WITH o AS (SELECT * FROM orders WHERE (o_orderkey % 100) < 10),
+         li AS (SELECT * FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+                  AND l_shipdate > TIMESTAMP '1995-06-01'),
+         c AS (SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM o)),
+         s AS (SELECT * FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM li)),
+         n AS (SELECT * FROM nation WHERE n_nationkey IN
+               (SELECT c_nationkey FROM c UNION SELECT s_nationkey FROM s)),
+         r AS (SELECT * FROM region WHERE r_regionkey IN (SELECT n_regionkey FROM n))
+    SELECT 'orders' AS table_name, CAST(o_orderkey AS VARCHAR) AS row_key FROM o
+    UNION ALL SELECT 'lineitem',
+      CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+        || '|NULL' FROM li
+    UNION ALL SELECT 'customer', CAST(c_custkey AS VARCHAR) FROM c
+    UNION ALL SELECT 'supplier', CAST(s_suppkey AS VARCHAR) FROM s
+    UNION ALL SELECT 'nation', CAST(n_nationkey AS VARCHAR) FROM n
+    UNION ALL SELECT 'region', CAST(r_regionkey AS VARCHAR) FROM r
+"""
+
+
+@golden("middle_out_breaks_upstream_filters", _MIDDLE_OUT_BREAKS_ORACLE)
+def middle_out_breaks_upstream_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite with a dependency break AND an upstream filter under the hard
+    gate (both were pytest-only in round 1):
+
+    * break lineitem->part (/root/reference/subset_utils.py:8-21): l_partkey is
+      NULLed on every lineitem copy — the lineitem row_key embeds
+      ``coalesce(l_partkey,'NULL')`` so the oracle hash PROVES the NULL-out
+      (the oracle emits the literal 'NULL' for every row); part is never
+      closed over (stays empty, so contributes no keys);
+    * upstream filter on l_shipdate (/root/reference/subset_utils.py:23-31)
+      applied during the greedy upstream phase."""
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+        dependency_breaks=[{"fk_table": "lineitem", "target_table": "part"}],
+        upstream_filters=[{"column": "l_shipdate",
+                           "condition": "l_shipdate > timestamp '1995-06-01'"}],
+    )
+    frames = []
+    for t in sorted(eng.dest):
+        if t == "lineitem":
+            key = F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.coalesce(F.col("l_partkey").cast("string"), F.lit("NULL")),
+            )
+        else:
+            from condenser_spark.goldens import _PK_COLS
+
+            key = F.concat_ws(
+                "|", *[F.col(c).cast("string") for c in _PK_COLS[t]]
+            )
+        frames.append(
+            eng.dest[t].select(F.lit(t).alias("table_name"),
+                               key.alias("row_key"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 # ----------------------------------------------------------- S9/S13 harness ops
 
 @golden(

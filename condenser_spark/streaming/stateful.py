@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``session_window`` (streaming/sessionize.py) covers gap-based sessions with
+built-in state; this module is the escape hatch for session semantics the
+built-in cannot express — here, sessions carrying custom accumulated
+attributes (event-type breakdown, value sum) that must live in user state
+across micro-batches.
+
+State design (the 100 TB concerns):
+
+* State is keyed by user and holds ONE open session (start, end, n, value sum,
+  click count) — O(1) per key, bounded by distinct active users, not events.
+* Event-time timeout closes idle sessions: when the watermark passes
+  ``session_end + gap``, the state times out, the closed session is emitted,
+  and the store entry is freed — state cannot grow without bound.
+* Sessions that demonstrably closed WITHIN a batch (a later event arrives
+  after more than ``gap``) are emitted immediately, without waiting for the
+  timeout.
+* Arrow batches in/out; the per-group Python work is a few pandas ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("n_clicks", LongType()),
+    ]
+)
+
+# (start_epoch_us, end_epoch_us, n_events, total_value, n_clicks)
+_STATE_SCHEMA = "start long, end long, n long, total double, clicks long"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One output row per CLOSED session: (user_id, session_start, session_end,
+    n_events, total_value, n_clicks).  Input must be a streaming DataFrame with
+    ``ts`` castable to timestamp and ``value``/``event_type`` columns."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _emit(user: int, s: tuple) -> pd.DataFrame:
+        start, end, n, total, clicks = s
+        return pd.DataFrame(
+            {
+                "user_id": [user],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(end, unit="us")],
+                "n_events": [n],
+                "total_value": [total],
+                "n_clicks": [clicks],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                yield _emit(user, tuple(state.get))
+                state.remove()
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch["_us"] = batch["ts"].astype("int64") // 1000
+        batch = batch.sort_values("_us")
+
+        cur: tuple[Any, ...] | None = tuple(state.get) if state.exists else None
+        for us, val, etype in zip(batch["_us"], batch["value"],
+                                  batch["event_type"]):
+            val = float(val) if val == val else 0.0  # NaN-safe
+            click = 1 if etype == "click" else 0
+            if cur is None:
+                cur = (int(us), int(us), 1, val, click)
+            elif us - cur[1] > gap_us:
+                yield _emit(user, cur)  # closed within the batch
+                cur = (int(us), int(us), 1, val, click)
+            else:
+                cur = (cur[0], int(us), cur[2] + 1, cur[3] + val,
+                       cur[4] + click)
+        state.update(cur)
+        # idle-close: when the watermark passes end + gap, hasTimedOut fires
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,87 @@
+"""Invariant tests for the corpus pipeline operators (functions/corpus.py) —
+value-level correctness is pinned by the DuckDB oracles in goldens_ext."""
+
+from pyspark.sql import functions as F
+
+
+def test_filter_documents_subset_and_gates(spark, source):
+    from condenser_spark.functions.corpus import filter_documents
+
+    docs = source["documents"]
+    kept = filter_documents(docs, min_chars=100, max_chars=400, min_tokens=20,
+                            langs=("en",))
+    n = kept.count()
+    assert 0 < n < docs.count()
+    assert kept.filter("length(text) < 100 OR length(text) > 400").count() == 0
+    assert kept.filter("lang <> 'en'").count() == 0
+
+
+def test_stratified_sample_caps_groups(spark, source):
+    from condenser_spark.functions.corpus import stratified_sample
+
+    docs = source["documents"]
+    out = stratified_sample(docs, "source", 3, "doc_id")
+    per_group = out.groupBy("source").count()
+    assert per_group.filter("count > 3").count() == 0
+    # deterministic: first doc_ids of each group survive
+    first = docs.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+    assert out.join(first, ["source", "doc_id"], "left_semi").count() == \
+        per_group.count()
+
+
+def test_term_frequencies_consistency(spark, source):
+    from condenser_spark.functions.corpus import term_frequencies
+
+    docs = source["documents"]
+    tf = term_frequencies(docs, min_count=1)
+    row = tf.agg(F.sum("n_occurrences").alias("total")).collect()[0]
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t")
+    ).filter("t <> ''")
+    assert row.total == toks.count()
+    assert tf.filter("n_docs > n_occurrences").count() == 0
+
+
+def test_tfidf_rare_terms_outrank_common(spark):
+    from condenser_spark.functions.corpus import tfidf_top_terms
+
+    rows = [(1, "common common common rareword"),
+            (2, "common common other"),
+            (3, "common filler words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = tfidf_top_terms(df, k=1)
+    d1 = top.filter("doc_id = 1").collect()[0]
+    assert d1.term == "rareword"  # df=1 beats tf=3 of the everywhere-term
+
+
+def test_pack_sequences_bins_bounded(spark, source):
+    from condenser_spark.functions.corpus import pack_sequences
+
+    out = pack_sequences(source["documents"], budget_tokens=500,
+                         order_col="doc_id").cache()
+    sums = out.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.max("n_tokens").alias("largest_doc"),
+    )
+    # first-fit-linear guarantee: a bin never exceeds budget + one document
+    assert sums.filter("bin_tokens > 500 + largest_doc").count() == 0
+    # bins are contiguous 0..max
+    ids = sorted(r.bin_id for r in out.select("bin_id").distinct().collect())
+    assert ids == list(range(len(ids)))
+
+
+def test_pii_scrub_removes_all_patterns(spark):
+    from condenser_spark.functions.corpus import PII_PATTERNS, pii_scrub
+
+    rows = [(1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "call +1 555-867-5309 re: ssn 078-05-1120"),
+            (3, "clean document with no identifiers at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pii_scrub(df).cache()
+    for pat in PII_PATTERNS.values():
+        assert out.filter(
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)) > 0
+        ).count() == 0
+    got = {r.doc_id: r.n_redactions for r in out.collect()}
+    assert got[1] == 1 and got[2] == 2 and got[3] == 0
+    assert out.filter("doc_id = 3").collect()[0].text == rows[2][1]

@@ -1,0 +1,69 @@
+"""applyInPandasWithState custom stateful sessionization: run the events
+fixture through a file stream and cross-check every emitted closed session
+against the batch sessionizer."""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    from condenser_spark.streaming.sessionize import session_stats
+    from condenser_spark.streaming.stateful import sessionize_stateful
+
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(str(stream_dir))
+        # raw fixture ts is nanos-as-long (session.NANOS_CONF)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = sessionize_stateful(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM stateful_sessions")
+    n_emitted = got.count()
+    assert n_emitted > 0
+
+    # batch truth: every emitted (closed) session must match a batch session
+    # exactly on (user, start, end, n_events)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    truth = session_stats(ev, gap_minutes=30).select(
+        "user_id",
+        F.col("t_start").cast("timestamp").alias("session_start"),
+        F.col("t_end").cast("timestamp").alias("session_end"),
+        "n_events",
+    )
+    unmatched = got.select(
+        "user_id", "session_start", "session_end", "n_events"
+    ).exceptAll(truth)
+    assert unmatched.count() == 0
+
+    # value aggregation carried through state is exact
+    total_emitted = got.agg(F.sum("n_events").alias("n")).collect()[0].n
+    assert total_emitted <= ev.count()
+    one = got.limit(1).collect()[0]
+    window_events = ev.filter(
+        (F.col("user_id") == one.user_id)
+        & (F.col("ts") >= one.session_start)
+        & (F.col("ts") <= one.session_end)
+    )
+    agg = window_events.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("v"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+    ).collect()[0]
+    assert agg.n == one.n_events
+    assert abs(agg.v - one.total_value) < 1e-6
+    assert agg.c == one.n_clicks
