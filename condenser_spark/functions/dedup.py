@@ -61,6 +61,21 @@ def exact_dedup(
     )
 
 
+def dedup_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup in keep-rows form: the input table minus all but the
+    min-id representative of every normalized-text fingerprint group — the
+    operation a pipeline actually applies before training.
+
+    Window-free: the survivor set from ``exact_dedup`` (an aggregation,
+    map-side combined) semi-joins back against the input on (id).  Shuffles
+    (fingerprint, id) for the survivor set and id for the semi-join — never
+    document bodies."""
+    survivors = exact_dedup(df, text_col, id_col).select(id_col)
+    return df.join(survivors, on=id_col, how="left_semi")
+
+
 def _shingles(text_col: str, n: int):
     """Distinct word n-gram shingles of the lowercased, whitespace-normalized
     text, as an array column.  Word (not char) shingles keep the explode factor

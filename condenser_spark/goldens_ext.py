@@ -56,6 +56,37 @@ def ext_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(base.unionByName(clones))
 
 
+@golden(
+    "ext_dedup_documents",
+    r"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, lang, source, n_chars FROM documents
+      WHERE doc_id < 50
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM corpus
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    )
+    SELECT c.* FROM corpus c JOIN survivors s ON c.doc_id = s.doc_id
+    """,
+)
+def ext_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rows exact dedup: corpus (with 50 synthesized clones) minus the
+    clones — the full surviving rows, not just the group table
+    (condenser_spark/functions/dedup.py:dedup_documents)."""
+    from condenser_spark.functions.dedup import dedup_documents
+
+    base = _tables(spark, sf_dir)["documents"]
+    clones = base.filter("doc_id < 50").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    return dedup_documents(base.unionByName(clones))
+
+
 # --------------------------------------------------------- exact n-gram jaccard
 
 @golden(

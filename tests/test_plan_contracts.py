@@ -1,0 +1,77 @@
+"""Plan-contract tests: the physical plans the engine promises at scale,
+asserted from `.explain`-level plan strings at fixture scale.
+
+These pin the three plan properties the 100 TB design depends on:
+filters reach the Parquet scan (row-group pruning), projections prune the
+read schema (column pruning), and per-row Python never appears on JVM-only
+paths."""
+
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_filter_pushes_to_scan(spark, source):
+    """P3' deterministic sample: the pmod predicate must appear in the scan's
+    DataFilters, not in a post-scan Filter only."""
+    from condenser_spark.operators.filters import deterministic_sample
+
+    plan = _executed(deterministic_sample(source["orders"], "o_orderkey", 10))
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan and "pmod" in scan[0], scan
+
+
+def test_key_projection_prunes_scan_columns(spark, source):
+    """Upstream key-set extraction reads ONLY the key column from parquet — a
+    scan fetching all columns for a 1-column projection reads ~10x the bytes
+    at 100 TB."""
+    keys = source["orders"].select("o_orderkey").distinct()
+    plan = _executed(keys)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "o_orderkey" in scan
+    for unneeded in ("o_custkey", "o_orderdate", "o_totalprice"):
+        assert unneeded not in scan, f"scan reads pruned column: {scan}"
+
+
+def test_text_stats_is_python_free(spark, source):
+    """text_stats promises JVM-only execution: no BatchEvalPython /
+    ArrowEvalPython / mapInPandas stages in its plan."""
+    from condenser_spark.functions.text import text_stats
+
+    plan = _executed(text_stats(source["documents"].limit(50)))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_middle_out_no_cartesian(spark, source):
+    """The full middle-out plan contains no cartesian products and no per-row
+    Python on any table's lineage."""
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+
+    cfg = SubsetConfig.from_dict(base_config_dict(
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+        passthrough_tables=["region"],
+    ))
+    eng = SubsetEngine(spark, cfg, source)
+    eng.run_middle_out()
+    for t in ("lineitem", "customer", "nation"):
+        plan = _executed(eng.dest[t])
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+
+def test_dedup_shuffle_carries_fingerprints_not_bodies(spark, source):
+    """exact_dedup's exchange partitions on the md5 fingerprint; document
+    bodies must not survive into the aggregate output columns."""
+    from condenser_spark.functions.dedup import exact_dedup
+
+    out = exact_dedup(source["documents"])
+    plan = _executed(out)
+    assert "hashpartitioning(fingerprint" in plan
+    assert "text" not in out.columns
