@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="source directory of {table}.parquet datasets")
     p.add_argument("--dest", required=True,
                    help="destination directory (torn down first)")
+    p.add_argument("--source-format", default="parquet",
+                   choices=["parquet", "csv", "json", "orc"],
+                   help="table file format under --source")
     p.add_argument("--materialize", default="parquet",
                    choices=["none", "persist", "checkpoint", "parquet"],
                    help="phase-barrier mode; 'parquet' (default) writes each "
@@ -67,7 +70,8 @@ def main(argv: list[str] | None = None,
     spark = spark or get_spark("condenser-subset")
     try:
         teardown_dest(args.dest)  # S7: stale tables must not survive
-        source = load_source_tables(spark, args.source)
+        source = load_source_tables(spark, args.source,
+                                    source_format=args.source_format)
         eng = SubsetEngine(
             spark, cfg, source,
             dest_path=args.dest if args.materialize == "parquet" else None,

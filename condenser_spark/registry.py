@@ -33,24 +33,41 @@ TABLE_NAMES: tuple[str, ...] = (
 )
 
 
+# source formats the registry can enumerate and read; parquet is the native
+# path (self-describing schema, pushdown, pruning) — the others exist because
+# real estates keep reference tables in csv/json exports (the reference's
+# "two RDBMS dialects" concern becomes a format concern on Spark)
+SOURCE_FORMATS: tuple[str, ...] = ("parquet", "csv", "json", "orc")
+
+
 def load_source_tables(
     spark: SparkSession,
     source_dir: str,
     tables: Iterable[str] | None = None,
     excluded_tables: Iterable[str] = (),
+    source_format: str = "parquet",
 ) -> dict[str, DataFrame]:
-    """Read one DataFrame per table from ``source_dir/{name}.parquet``.
+    """Read one DataFrame per table from ``source_dir/{name}.{format}``.
 
     ``excluded_tables`` are dropped from the working set entirely, matching
     /root/reference/direct_subset.py:37 (they exist in the destination with zero
     rows — the engine recreates them empty).
+
+    ``source_format``: parquet (default; pushdown + pruning + self-describing
+    schema), csv (header + schema inference — inference scans once; supply
+    parquet for 100 TB), json (schema-inferred lines), or orc.
     """
+    if source_format not in SOURCE_FORMATS:
+        raise ValueError(
+            f"unknown source_format {source_format!r}; one of {SOURCE_FORMATS}"
+        )
     ensure_compat(spark)
+    suffix = f".{source_format}"
     if tables is None:
         found = sorted(
-            f[: -len(".parquet")]
+            f[: -len(suffix)]
             for f in os.listdir(source_dir)
-            if f.endswith(".parquet")
+            if f.endswith(suffix)
         )
         tables = found or list(TABLE_NAMES)
     excluded = set(excluded_tables)
@@ -58,8 +75,18 @@ def load_source_tables(
     for name in tables:
         if name in excluded:
             continue
-        path = os.path.join(source_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
+        path = os.path.join(source_dir, f"{name}{suffix}")
+        if source_format == "csv":
+            df = spark.read.csv(path, header=True, inferSchema=True)
+        elif source_format == "json":
+            df = spark.read.json(path)
+        elif source_format == "orc":
+            df = spark.read.orc(path)
+        else:
+            df = spark.read.parquet(path)
+        if source_format != "parquet":
+            out[name] = df
+            continue
         # timestamp[ns] parquet columns surface as long (see session.NANOS_CONF);
         # restore them as microsecond timestamp_ntz — the same precision DuckDB
         # and pandas use, so oracles agree.  Footer-only introspection: O(KB).
