@@ -112,10 +112,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timed("middle_out_parquet_sink", _flagship_parquet)
 
+    from condenser_spark.functions.dedup import near_dedup_documents
+
     docs = source["documents"]
     timed("exact_dedup", lambda: exact_dedup(docs).count())
     timed("minhash_lsh_pairs",
           lambda: minhash_lsh_pairs(docs, n=3, threshold=0.8).count())
+    timed("near_dedup_documents",
+          lambda: near_dedup_documents(docs, n=3, threshold=0.8).count())
     timed("simhash_near_pairs",
           lambda: simhash_near_pairs(docs, max_hamming=3).count())
     timed("text_stats", lambda: text_stats(docs).count())

@@ -304,6 +304,82 @@ def minhash_lsh_pairs(
     return verified
 
 
+def dup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every id appearing in ``pairs``; ``cluster_id`` is
+    the minimum id of the connected component — near-dup pairs become dedup
+    GROUPS (A~B, B~C must collapse to one survivor even when A~C was never
+    emitted as a pair).
+
+    Distributed min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors, converging in
+    O(component diameter) rounds.  Each round is one join + one aggregate;
+    lineage is truncated per round with ``localCheckpoint`` so the plan does
+    not deepen with iterations (the driver-side union-find in graph.py is for
+    the SCHEMA graph — hundreds of nodes; this one is for BILLIONS of edge
+    rows).  Near-dup components are shallow in practice (dup sets are
+    near-cliques), so rounds ~ 2-4; ``max_iterations`` is a diverging-input
+    backstop."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def near_dedup_documents(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-rows near-dedup: MinHash-LSH pairs -> connected components -> keep
+    the min-id document of every cluster.  The end-to-end 100 TB dedup
+    pipeline in one call: candidate generation never goes quadratic
+    (banded LSH), clustering never leaves the executors (label propagation),
+    and non-duplicate documents pass through untouched (left-anti on the
+    non-survivor set)."""
+    pairs = minhash_lsh_pairs(df, n=n, threshold=threshold,
+                              text_col=text_col, id_col=id_col)
+    clusters = dup_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

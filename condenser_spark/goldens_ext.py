@@ -129,6 +129,75 @@ def ext_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.8)
 
 
+_JACCARD_PAIRS_CTE = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS tokens
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(tokens) - 2),
+                           i -> array_to_string(tokens[i:i+2], ' '))) AS shingles
+      FROM toks WHERE len(tokens) >= 3
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.8
+    )
+"""
+
+
+@golden(
+    "ext_dup_clusters",
+    _JACCARD_PAIRS_CTE + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    )
+    SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components by distributed min-label
+    propagation; cluster_id = min id in the component.  Oracle computes the
+    same components by recursive transitive closure over the exact-jaccard
+    pair set (condenser_spark/functions/dedup.py:dup_clusters).
+
+    NOTE DuckDB's recursive CTE is UNION (set) semantics, so the closure
+    terminates; Spark's side terminates by label-stability count."""
+    from condenser_spark.functions.dedup import dup_clusters, ngram_jaccard_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return dup_clusters(pairs)
+
+
+@golden("ext_near_dedup_documents", None)
+def ext_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end keep-rows near-dedup (MinHash-LSH pairs -> clusters -> min-id
+    survivors).  Rows-only: the candidate stage is xxhash64-seeded; pytest
+    cross-checks survivors against the exact-jaccard cluster computation
+    (condenser_spark/functions/dedup.py:near_dedup_documents)."""
+    from condenser_spark.functions.dedup import near_dedup_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return near_dedup_documents(docs, n=3, threshold=0.8)
+
+
 # ------------------------------------------------------------------- text stats
 
 _TEXT_STATS_ORACLE = r"""
@@ -722,6 +791,46 @@ def s9_write_dest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest_dir = os.path.join(tempfile.gettempdir(), "condenser_s9_dest")
     write_dest({"orders": eng.dest["orders"]}, dest_dir)
     return spark.read.parquet(os.path.join(dest_dir, "orders.parquet"))
+
+
+@golden(
+    "s7_teardown_removes_stale",
+    """
+    SELECT 'orders' AS table_name,
+           (SELECT COUNT(*) FROM orders WHERE (o_orderkey % 100) < 10) AS n_rows
+    """,
+)
+def s7_teardown_removes_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — destination teardown (/root/reference/psql_database_creator.py:56-67):
+    a stale table from a previous config must NOT survive.  The golden seeds a
+    stale table, tears down, writes the new subset, and returns the dest
+    directory listing with per-table row counts — the oracle expects ONLY the
+    new table."""
+    from condenser_spark.registry import teardown_dest, write_dest
+
+    eng = _run_engine(
+        spark, sf_dir,
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}],
+    )
+    dest_dir = os.path.join(tempfile.gettempdir(), "condenser_s7_dest")
+    teardown_dest(dest_dir)
+    os.makedirs(dest_dir, exist_ok=True)
+    spark.range(5).write.mode("overwrite").parquet(
+        os.path.join(dest_dir, "stale_table.parquet")
+    )
+    teardown_dest(dest_dir)
+    write_dest({"orders": eng.dest["orders"]}, dest_dir)
+    listed = sorted(
+        f[: -len(".parquet")]
+        for f in os.listdir(dest_dir)
+        if f.endswith(".parquet")
+    )
+    rows = [
+        (t, spark.read.parquet(os.path.join(dest_dir, f"{t}.parquet")).count())
+        for t in listed
+    ]
+    return spark.createDataFrame(rows, "table_name string, n_rows long")
 
 
 @golden(

@@ -150,3 +150,39 @@ def test_real_image_decode_with_pillow(spark):
     assert len(out) == 1
     # uniform gray 128 -> every row-mean is 128/255
     assert all(abs(v - round(128 / 255.0, 4)) < 1e-6 for v in out[0].feature)
+
+
+# ------------------------------------------------------------- dup clustering
+
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even though (A,C) was never a
+    pair — the property pair-lists alone cannot give a dedup pipeline."""
+    from condenser_spark.functions.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dedup_documents_matches_exact_clusters(spark, source):
+    """MinHash-pipeline survivors equal the exact-jaccard cluster survivors on
+    the fixture (LSH recall is 1.0 here; pinned by the recall test above)."""
+    from condenser_spark.functions.dedup import (
+        dup_clusters,
+        near_dedup_documents,
+        ngram_jaccard_pairs,
+    )
+
+    docs = source["documents"]
+    survivors = {r.doc_id for r in
+                 near_dedup_documents(docs, n=3, threshold=0.8)
+                 .select("doc_id").collect()}
+    clusters = dup_clusters(ngram_jaccard_pairs(docs, n=3, threshold=0.8))
+    losers = {r.id for r in
+              clusters.filter("id <> cluster_id").collect()}
+    everyone = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert survivors == everyone - losers
