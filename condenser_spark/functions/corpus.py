@@ -173,6 +173,36 @@ def pack_sequences(
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Long-form numeric profile: (column, n, n_null, min, max, median) per
+    requested column — the data-quality gate a pipeline runs before training.
+
+    One unioned plan => ONE Spark job for all columns; each branch is a
+    scan-level aggregate (min/max/count piggyback on Parquet statistics where
+    the scan allows).  Median is Spark's exact interpolated percentile,
+    rounded to 4 decimals — identical to DuckDB ``quantile_cont`` arithmetic,
+    so the operator carries a full oracle."""
+    branches = []
+    for c in cols:
+        branches.append(
+            df.agg(
+                F.count(F.col(c)).alias("n"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
+                F.round(F.min(F.col(c)).cast("double"), 4).alias("min"),
+                F.round(F.max(F.col(c)).cast("double"), 4).alias("max"),
+                F.round(F.percentile(F.col(c), F.lit(0.5)), 4).alias("median"),
+            ).select(F.lit(c).alias("column"), "n", "n_null", "min", "max",
+                     "median")
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
 def pii_scrub(
     df: DataFrame,
     text_col: str = "text",

@@ -326,6 +326,41 @@ def ext_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  window_minutes=60)
 
 
+@golden(
+    "ext_numeric_profile",
+    """
+    SELECT 'l_quantity' AS column, COUNT(l_quantity) AS n,
+           COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
+           ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS min,
+           ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS max,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice),
+           COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+           ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+           ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4),
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(l_discount),
+           COUNT(CASE WHEN l_discount IS NULL THEN 1 END),
+           ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+           ROUND(CAST(MAX(l_discount) AS DOUBLE), 4),
+           ROUND(quantile_cont(l_discount, 0.5), 4)
+    FROM lineitem
+    """,
+)
+def ext_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile over the fact table's numeric columns: counts,
+    null counts, min/max, exact interpolated median — one job for all columns
+    (condenser_spark/functions/corpus.py:numeric_profile)."""
+    from condenser_spark.functions.corpus import numeric_profile
+
+    li = _tables(spark, sf_dir)["lineitem"]
+    return numeric_profile(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
 # ------------------------------------------------------------ similarity search
 
 @golden(

@@ -117,6 +117,24 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose key tuple was already
+    seen within the watermark horizon — the streaming twin of
+    functions.dedup.exact_dedup (at-least-once sources -> exactly-once sinks).
+
+    ``dropDuplicates`` + watermark keeps state bounded: a key's entry is
+    evicted once the watermark passes its event time, so state size tracks
+    the horizon's key cardinality, not the stream's lifetime."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        keys or ["event_id"]
+    )
+
+
 def windowed_event_counts_stream(
     events: DataFrame,
     window_minutes: int = 60,

@@ -85,3 +85,18 @@ def test_pii_scrub_removes_all_patterns(spark):
     got = {r.doc_id: r.n_redactions for r in out.collect()}
     assert got[1] == 1 and got[2] == 2 and got[3] == 0
     assert out.filter("doc_id = 3").collect()[0].text == rows[2][1]
+
+
+def test_numeric_profile_values(spark, source):
+    from condenser_spark.functions.corpus import numeric_profile
+
+    prof = {r.column: r for r in
+            numeric_profile(source["lineitem"],
+                            ["l_quantity", "l_discount"]).collect()}
+    li = source["lineitem"]
+    n = li.count()
+    assert prof["l_quantity"].n == n and prof["l_quantity"].n_null == 0
+    mn, mx = li.agg(F.min("l_quantity"), F.max("l_quantity")).collect()[0]
+    assert prof["l_quantity"].min == round(mn, 4)
+    assert prof["l_quantity"].max == round(mx, 4)
+    assert mn <= prof["l_quantity"].median <= mx

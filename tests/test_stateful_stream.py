@@ -67,3 +67,29 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     assert agg.n == one.n_events
     assert abs(agg.v - one.total_value) < 1e-6
     assert agg.c == one.n_clicks
+
+
+def test_dedup_stream_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming dedup: the same events file delivered twice (at-least-once
+    source) emits each event_id exactly once within the watermark."""
+    from condenser_spark.streaming.sessionize import dedup_stream
+
+    stream_dir = tmp_path / "dup_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-1.parquet")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .parquet(str(stream_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        dedup_stream(stream, keys=["event_id"], watermark="1 hour")
+        .writeStream.format("memory").queryName("dedup_stream_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    n = spark.sql("SELECT COUNT(*) n FROM dedup_stream_out").collect()[0].n
+    src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n == src_n  # 2x delivered, 1x emitted
