@@ -186,11 +186,31 @@ def ext_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
-@golden("ext_near_dedup_documents", None)
+@golden(
+    "ext_near_dedup_documents",
+    _JACCARD_PAIRS_CTE + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    ),
+    losers AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING a <> MIN(b)
+    )
+    SELECT d.* FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
 def ext_near_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end keep-rows near-dedup (MinHash-LSH pairs -> clusters -> min-id
-    survivors).  Rows-only: the candidate stage is xxhash64-seeded; pytest
-    cross-checks survivors against the exact-jaccard cluster computation
+    survivors), oracle = corpus minus the exact-jaccard cluster losers.
+
+    The oracle is exact-pair-based while the Spark side is LSH-candidate-based,
+    so this golden ALSO pins LSH recall = 1.0 on the fixture's planted
+    near-dups (b=32, r=4 puts the S-curve crossover at ~0.42, far below the
+    0.8 threshold — a miss would be a regression worth failing on)
     (condenser_spark/functions/dedup.py:near_dedup_documents)."""
     from condenser_spark.functions.dedup import near_dedup_documents
 

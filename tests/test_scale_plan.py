@@ -147,3 +147,35 @@ def test_parquet_mode_appends_survive_self_overwrite(spark, source, tmp_path):
     assert eng.dest["orders"].count() > 0
     closed = eng.validate()
     assert all(n == 0 for n in closed.values())
+
+
+# --------------------------------------------------------------- bucketed joins
+
+def test_bucketed_dest_joins_without_shuffle(spark, source):
+    """Matching-bucket tables equi-join with ZERO exchanges on either side —
+    the co-location guarantee that makes repeated dest-table joins at 100 TB
+    pay the shuffle once (at write) instead of per query."""
+    from condenser_spark.registry import write_dest_bucketed
+
+    try:
+        write_dest_bucketed(
+            {"orders": source["orders"], "lineitem": source["lineitem"]},
+            {"orders": (8, ["o_orderkey"]), "lineitem": (8, ["l_orderkey"])},
+            name_prefix="t_bkt_",
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = spark.table("t_bkt_orders")
+            li = spark.table("t_bkt_lineitem")
+            joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            n = joined.count()
+            assert n == source["lineitem"].count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "bucketed join still shuffled"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
