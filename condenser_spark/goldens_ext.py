@@ -421,11 +421,24 @@ def ext_brute_force_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- rows-only (xxhash64 / SRP)
 
-@golden("ext_minhash_lsh_pairs", None)
+@golden(
+    "ext_minhash_lsh_pairs",
+    _JACCARD_PAIRS_CTE + """
+    SELECT p.id_a, p.id_b,
+           ROUND(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 4) AS jaccard
+    FROM pairs p
+    JOIN common c ON c.id_a = p.id_a AND c.id_b = p.id_b
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+    """,
+)
 def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates, exactly verified (rows-only: signatures
-    use Spark xxhash64, irreproducible elsewhere; recall vs the exact-jaccard
-    oracle is pinned in tests/test_extensions.py)."""
+    """MinHash-LSH candidate pairs, exactly verified against jaccard >=
+    threshold.  Oracle = the EXACT jaccard pair set: verification guarantees
+    output ⊆ exact, and banded LSH recall (b=32, r=4, S-curve crossover ~0.42
+    vs threshold 0.8) makes output ⊇ exact on the fixture's planted dups —
+    so the hard gate pins both precision and recall
+    (condenser_spark/functions/dedup.py:minhash_lsh_pairs)."""
     from condenser_spark.functions.dedup import minhash_lsh_pairs
 
     docs = _tables(spark, sf_dir)["documents"]

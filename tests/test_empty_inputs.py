@@ -1,0 +1,117 @@
+"""Empty-input robustness: every operator must return an EMPTY result (never
+throw) on an empty table — the degenerate partition case every 1000-executor
+job hits constantly (empty splits, filtered-out shards)."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_dedup_ops_empty(spark, empty_docs):
+    from condenser_spark.functions.dedup import (
+        dedup_documents,
+        dup_clusters,
+        exact_dedup,
+        minhash_lsh_pairs,
+        near_dedup_documents,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
+
+    assert exact_dedup(empty_docs).count() == 0
+    assert dedup_documents(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert simhash_near_pairs(empty_docs).count() == 0
+    assert near_dedup_documents(empty_docs).count() == 0
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(empty_pairs).count() == 0
+
+
+def test_text_and_corpus_ops_empty(spark, empty_docs):
+    from condenser_spark.functions.corpus import (
+        filter_documents,
+        numeric_profile,
+        pack_sequences,
+        pii_scrub,
+        stratified_sample,
+        term_frequencies,
+        tfidf_top_terms,
+    )
+    from condenser_spark.functions.text import text_stats
+
+    assert text_stats(empty_docs).count() == 0
+    assert filter_documents(empty_docs).count() == 0
+    assert stratified_sample(empty_docs, "source", 5, "doc_id").count() == 0
+    assert term_frequencies(empty_docs).count() == 0
+    assert tfidf_top_terms(empty_docs).count() == 0
+    assert pack_sequences(empty_docs).count() == 0
+    assert pii_scrub(empty_docs).count() == 0
+    prof = numeric_profile(empty_docs, ["n_chars"]).collect()
+    assert len(prof) == 1 and prof[0].n == 0
+
+
+def test_similarity_ops_empty(spark, empty_emb):
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        embedding_cosine_dup_pairs,
+        lsh_bucketed_cosine_topk,
+    )
+
+    assert brute_force_cosine_topk(
+        empty_emb, empty_emb, query_id_col="vec_id"
+    ).count() == 0
+    assert lsh_bucketed_cosine_topk(
+        empty_emb, empty_emb, query_id_col="vec_id"
+    ).count() == 0
+    assert embedding_cosine_dup_pairs(empty_emb).count() == 0
+
+
+def test_event_ops_empty(spark, empty_events):
+    from condenser_spark.streaming.sessionize import (
+        session_stats,
+        sessionize,
+        windowed_event_counts,
+    )
+
+    assert sessionize(empty_events).count() == 0
+    assert session_stats(empty_events).count() == 0
+    assert windowed_event_counts(empty_events).count() == 0
+
+
+def test_engine_empty_target_result(spark, source):
+    """A WHERE target matching nothing: every table lands empty but present —
+    the subset of nothing is a valid (empty) database."""
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+
+    cfg = SubsetConfig.from_dict(base_config_dict(
+        initial_targets=[{"table": "orders", "where": "o_orderkey < 0"}],
+    ))
+    eng = SubsetEngine(spark, cfg, source)
+    dest = eng.run_middle_out()
+    assert set(dest) == set(source)
+    assert all(df.count() == 0 for df in dest.values())
+    assert all(v == 0 for v in eng.validate().values())
