@@ -9,8 +9,14 @@ pruning means only ``text`` (+ id) is ever read.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Rabin-Karp rolling-hash parameters: base/modulus chosen so every
+# intermediate fits comfortably in signed 64-bit on ANY engine
+# (token hash < 2^32, B^3 < 2^15 -> max term < 2^47, window sum < 2^49).
+_RK_BASE = 31
+_RK_MOD = (1 << 31) - 1
 
 # Tiny per-language stopword marker sets for the n-gram/stopword-hit heuristic.
 # Chosen to be (a) discriminative, (b) identically expressible in ANSI SQL for
@@ -89,6 +95,60 @@ def document_fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    window: int = 4,
+    boundary_divisor: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rabin-Karp-style rolling fingerprints over token windows, plus
+    content-defined chunk assignment — the sub-document dedup primitive
+    (shared passages across documents get identical fingerprints regardless
+    of position).
+
+    Output: (id, pos, fp, chunk_id) — one row per token position that heads a
+    full window.  ``fp = sum_j hash(tok[pos+j]) * B^j mod P``; a position is a
+    chunk BOUNDARY when ``fp % boundary_divisor == 0``, and ``chunk_id`` is
+    the running boundary count — chunk edges move with content, not offsets,
+    so an insertion early in a document does not re-chunk the rest (the CDC
+    property backup/dedup systems rely on).
+
+    Token hashes come from md5 (first 8 hex chars as an integer), so every
+    engine reproduces fingerprints bit-for-bit — this operator carries a full
+    DuckDB oracle, unlike the xxhash64-seeded MinHash family.  All window
+    expressions; one shuffle on id."""
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens).alias("pos0", "tok")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "tok")
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hashed = tok_rows.select("id", "pos", h.alias("h"))
+    w = Window.partitionBy("id").orderBy("pos")
+    terms = [
+        F.lead("h", j).over(w) * F.lit(_RK_BASE ** j) for j in range(window)
+    ]
+    fp_raw = terms[0]
+    for t in terms[1:]:
+        fp_raw = fp_raw + t
+    last = F.lead("h", window - 1).over(w)
+    fps = (
+        hashed.select("id", "pos", F.pmod(fp_raw, F.lit(_RK_MOD)).alias("fp"),
+                      last.alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    is_boundary = F.when(
+        F.col("fp") % boundary_divisor == 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    w2 = Window.partitionBy("id").orderBy("pos")
+    return fps.withColumn(
+        "chunk_id", (F.sum(is_boundary).over(w2) - is_boundary).cast("long")
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

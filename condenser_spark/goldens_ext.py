@@ -268,6 +268,51 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_tables(spark, sf_dir)["documents"])
 
 
+@golden(
+    "ext_rolling_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+               AS tokens
+      FROM documents
+    ),
+    tok_rows AS (
+      SELECT id, generate_subscripts(tokens, 1) AS pos,
+             CAST(concat('0x', substr(md5(unnest(tokens)), 1, 8)) AS BIGINT) AS h
+      FROM toks
+    ),
+    fps AS (
+      SELECT id, pos,
+             (h + lead(h, 1) OVER w * 31 + lead(h, 2) OVER w * 961
+                + lead(h, 3) OVER w * 29791) % 2147483647 AS fp,
+             lead(h, 3) OVER w AS _last
+      FROM tok_rows
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    flagged AS (
+      SELECT id, pos, fp,
+             CASE WHEN fp % 16 = 0 THEN 1 ELSE 0 END AS b
+      FROM fps WHERE _last IS NOT NULL
+    )
+    SELECT id AS doc_id, pos, fp,
+           CAST(SUM(b) OVER (PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+                AS BIGINT) AS chunk_id
+    FROM flagged
+    """,
+)
+def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling fingerprints over 4-token windows + content-defined
+    chunk ids (md5-derived token hashes: bit-identical in any engine)
+    (condenser_spark/functions/text.py:rolling_fingerprints)."""
+    from condenser_spark.functions.text import rolling_fingerprints
+
+    docs = _tables(spark, sf_dir)["documents"]
+    out = rolling_fingerprints(docs, window=4, boundary_divisor=16)
+    return out.withColumnRenamed("id", "doc_id")
+
+
 # ---------------------------------------------------------------- sessionization
 
 _SESSIONIZE_CTE = """

@@ -100,3 +100,26 @@ def test_numeric_profile_values(spark, source):
     assert prof["l_quantity"].min == round(mn, 4)
     assert prof["l_quantity"].max == round(mx, 4)
     assert mn <= prof["l_quantity"].median <= mx
+
+
+def test_rolling_fingerprints_shift_invariant(spark):
+    """The CDC property: inserting a token EARLY in a document must not change
+    the fingerprints of windows that lie entirely in the unchanged suffix —
+    offset-based chunking would shift every chunk, content-defined chunking
+    does not."""
+    from condenser_spark.functions.text import rolling_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    fp = rolling_fingerprints(docs, window=4).cache()
+    base_fps = [r.fp for r in
+                fp.filter("id = 1").orderBy("pos").collect()]
+    edited_fps = [r.fp for r in
+                  fp.filter("id = 2").orderBy("pos").collect()]
+    # doc 2 has exactly one extra window (the inserted head); its tail
+    # windows reproduce doc 1's fingerprints exactly
+    assert len(edited_fps) == len(base_fps) + 1
+    assert edited_fps[1:] == base_fps
