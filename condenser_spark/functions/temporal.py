@@ -1,0 +1,152 @@
+"""Temporal join operators Spark lacks natively: as-of join and bounded
+range join.
+
+As-of ("attach the most recent prior observation") is the workhorse of
+event-stream feature engineering — purchases get the last click before them,
+trades get the prevailing quote.  The naive formulations both die at scale:
+an inequality theta-join degenerates to a per-key cartesian (broadcast
+nested-loop), and a per-left-row subquery is O(L×R) per key.  The
+implementation here is the single-shuffle union trick:
+
+1. Union left and right into one frame tagged ``_side`` (right=0, left=1),
+   with the right-side payload packed into one struct column (null on left
+   rows).
+2. One window per key, ordered by (ts, _side, tiebreak): running
+   ``last(payload, ignorenulls=True)`` — at each left row this IS the most
+   recent right row at-or-before it (right sorts before left on equal ts, so
+   the match is inclusive).
+3. Keep left rows, unpack the struct, optionally null it out when it falls
+   outside ``tolerance``.
+
+Cost: ONE shuffle of L+R rows on the key — the same price as a plain
+equi-join, no range explosion, no per-key quadratic term.  Skewed keys are
+AQE's problem, exactly as for any other single-key shuffle.
+
+DuckDB has native ``ASOF JOIN``, which the golden suite uses as the oracle
+(reference semantics: greatest right ts <= left ts per key).
+
+The reference engine (TonicAI/condenser) has no temporal operators — this
+module is part of the training-data-pipeline extension surface (SURVEY §8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with the same
+    ``on`` key and ``right_ts <= left_ts`` (backward as-of, inclusive).
+
+    ``right_cols`` — right columns to attach (default: all but key/ts); each
+    arrives as ``<name><suffix>`` plus ``<right_ts><suffix>`` for the matched
+    timestamp.  ``tiebreak`` — right column ordering the winner among right
+    rows sharing (key, ts); pass one for deterministic output (the oracle
+    needs it).  ``tolerance_seconds`` — if set, matches older than
+    ``left_ts - tolerance`` are nulled out (pandas ``merge_asof`` semantics).
+
+    One shuffle on ``on``; no inequality join in the plan (check: no
+    BroadcastNestedLoopJoin in ``.explain``)."""
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    tb = (
+        F.col(tiebreak) if tiebreak is not None else F.lit(0)
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        tb.cast("double").alias("_tb"),
+        payload.alias("_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(0.0).alias("_tb"),
+        F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r.unionByName(l)
+        .withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_seconds is not None:
+        in_range = (
+            F.col("_m").isNotNull()
+            & (F.col("_m._ts")
+               >= F.col("_t") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND"))
+        )
+        matched = matched.withColumn(
+            "_m", F.when(in_range, F.col("_m"))
+        )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_m._ts").alias(f"{right_ts}{suffix}"))
+    out_cols.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols)
+    return matched.select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    extra_key: str | None = None,
+) -> DataFrame:
+    """Inner join ``left`` to every right row whose ``[right_lo, right_hi]``
+    interval contains ``left_val`` — without the BroadcastNestedLoopJoin a
+    plain inequality join plans to.
+
+    Buckets of ``bucket_width`` turn the interval containment into an
+    EQUI-join: each right interval explodes to the buckets it overlaps
+    (``sequence(floor(lo/w), floor(hi/w))``), each left value hashes to one
+    bucket, and the exact predicate re-filters after the equi-join.  Shuffle
+    moves (bucket[, extra_key]) — hash-partitionable, AQE-skew-splittable —
+    instead of a nested loop.  Right rows duplicate by interval/width; pick
+    ``bucket_width`` near the typical interval length to bound the blow-up
+    (cost analysis mirrors the DuckDB/Trino range-bucketing literature)."""
+    w = float(bucket_width)
+    r = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / w).cast("long"),
+                F.floor(F.col(right_hi) / w).cast("long"),
+            )
+        ),
+    )
+    l = left.withColumn("_bucket", F.floor(F.col(left_val) / w).cast("long"))
+    keys = ["_bucket"] + ([extra_key] if extra_key else [])
+    return (
+        l.join(r, on=keys)
+        .filter(
+            (F.col(left_val) >= F.col(right_lo))
+            & (F.col(left_val) <= F.col(right_hi))
+        )
+        .drop("_bucket")
+    )

@@ -151,6 +151,78 @@ def rolling_fingerprints(
     )
 
 
+def shared_passages(
+    df: DataFrame,
+    window: int = 4,
+    boundary_divisor: int = 16,
+    min_windows: int = 2,
+    max_chunk_df: int | None = 1_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document shared-passage detection: documents that contain an
+    identical content-defined chunk (per :func:`rolling_fingerprints`) share a
+    passage, wherever it sits in either document.  This is the sub-document
+    complement to whole-document dedup — boilerplate headers, licence blocks,
+    and quoted passages surface here while the containing documents differ.
+
+    Plan shape (the one that survives 100 TB):
+
+    1. ``rolling_fingerprints`` — windows + CDC chunk ids (one shuffle on id).
+    2. Chunk signature = md5 of the ordered fingerprint sequence, built with
+       ``collect_list`` at CHUNK granularity — a chunk is expected
+       ``boundary_divisor`` windows long, so the per-group list is tiny and
+       bounded by construction, never a whole document.
+    3. ``max_chunk_df`` drops signatures appearing in more documents than the
+       cap before the self-join — the hot-chunk guard that keeps one viral
+       boilerplate block from making the join quadratic (same trick as
+       ``max_shingle_df`` in ngram_jaccard_pairs).
+    4. Signature self-join (a < b) + pair-level count: shuffles signatures,
+       never token rows.
+
+    Output: (doc_a, doc_b, n_shared_chunks, n_shared_windows) — pairs sharing
+    at least one chunk of ``min_windows``+ windows.  Fully md5-derived, so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    fps = rolling_fingerprints(
+        df, window=window, boundary_divisor=boundary_divisor,
+        text_col=text_col, id_col=id_col,
+    )
+    chunks = (
+        fps.groupBy("id", "chunk_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "fp"))),
+                        lambda s: s["fp"].cast("string"),
+                    ),
+                )
+            ).alias("sig"),
+            F.count("*").alias("n_windows"),
+        )
+        .filter(F.col("n_windows") >= min_windows)
+        # the same signature can legitimately repeat WITHIN a document
+        # (repeated boilerplate); collapse so the pair join is per-doc
+        .groupBy("sig")
+        .agg(
+            F.collect_set("id").alias("ids"),
+            F.max("n_windows").alias("n_windows"),
+        )
+    )
+    if max_chunk_df is not None:
+        chunks = chunks.filter(F.size("ids") <= max_chunk_df)
+    pairs = chunks.select(
+        F.explode("ids").alias("doc_a"), "ids", "n_windows"
+    ).select(
+        "doc_a", F.explode("ids").alias("doc_b"), "n_windows"
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_shared_chunks"),
+        F.sum("n_windows").alias("n_shared_windows"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame: token count, BPE-ish token count,
     char length, language guess, quality score, fingerprint."""

@@ -268,9 +268,9 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(_tables(spark, sf_dir)["documents"])
 
 
-@golden(
-    "ext_rolling_fingerprints",
-    r"""
+# Rabin-Karp rolling fingerprints + content-defined chunk ids, shared by the
+# rolling-fingerprint and shared-passage oracles (window=4, divisor=16).
+_RK_CTE = r"""
     WITH toks AS (
       SELECT doc_id AS id,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
@@ -294,13 +294,20 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, pos, fp,
              CASE WHEN fp % 16 = 0 THEN 1 ELSE 0 END AS b
       FROM fps WHERE _last IS NOT NULL
+    ),
+    rk AS (
+      SELECT id, pos, fp,
+             CAST(SUM(b) OVER (PARTITION BY id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
+                  AS BIGINT) AS chunk_id
+      FROM flagged
     )
-    SELECT id AS doc_id, pos, fp,
-           CAST(SUM(b) OVER (PARTITION BY id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - b
-                AS BIGINT) AS chunk_id
-    FROM flagged
-    """,
+"""
+
+
+@golden(
+    "ext_rolling_fingerprints",
+    _RK_CTE + "SELECT id AS doc_id, pos, fp, chunk_id FROM rk",
 )
 def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling fingerprints over 4-token windows + content-defined
@@ -311,6 +318,107 @@ def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     out = rolling_fingerprints(docs, window=4, boundary_divisor=16)
     return out.withColumnRenamed("id", "doc_id")
+
+
+@golden(
+    "ext_shared_passages",
+    _RK_CTE + """
+    , chunks AS (
+      SELECT id, chunk_id,
+             md5(string_agg(CAST(fp AS VARCHAR), ' ' ORDER BY pos)) AS sig,
+             COUNT(*) AS n_windows
+      FROM rk
+      GROUP BY id, chunk_id
+      HAVING COUNT(*) >= 2
+    ),
+    per_sig AS (
+      SELECT sig, MAX(n_windows) AS nw, COUNT(DISTINCT id) AS df
+      FROM chunks GROUP BY sig
+    ),
+    sig_docs AS (SELECT DISTINCT sig, id FROM chunks)
+    SELECT a.id AS doc_a, b.id AS doc_b,
+           COUNT(*) AS n_shared_chunks,
+           SUM(s.nw) AS n_shared_windows
+    FROM sig_docs a
+    JOIN sig_docs b ON a.sig = b.sig AND a.id < b.id
+    JOIN per_sig s ON s.sig = a.sig
+    WHERE s.df <= 1000
+    GROUP BY a.id, b.id
+    """,
+)
+def ext_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-passage pairs via content-defined chunk
+    signatures — sub-document dedup, fully md5-derived so the oracle matches
+    bit-for-bit (condenser_spark/functions/text.py:shared_passages)."""
+    from condenser_spark.functions.text import shared_passages
+
+    return shared_passages(_tables(spark, sf_dir)["documents"])
+
+
+# ------------------------------------------------------------------- temporal
+
+@golden(
+    "ext_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks_ranked AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id, value FROM clicks_ranked WHERE rn = 1
+    )
+    SELECT l.event_id, l.ts, l.user_id, l.value,
+           r.ts AS ts_asof, r.event_id AS event_id_asof, r.value AS value_asof
+    FROM purchases l
+    ASOF LEFT JOIN clicks r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def ext_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase gets the most recent at-or-before
+    click by the same user (single-shuffle union+window plan; oracle is
+    DuckDB's native ASOF JOIN) (condenser_spark/functions/temporal.py:asof_join).
+    Ties on (user_id, ts) resolve to max event_id on both engines."""
+    from condenser_spark.functions.temporal import asof_join
+
+    ev = _tables(spark, sf_dir)["events"]
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "ts", "user_id", "value")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", "event_id", "value")
+    return asof_join(purchases, clicks, on="user_id", tiebreak="event_id")
+
+
+@golden(
+    "ext_range_join_bucketed",
+    """
+    WITH bands(lo, hi, band) AS (
+      VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1000.0, 'high')
+    )
+    SELECT e.event_id, e.value, b.band
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi
+    """,
+)
+def ext_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via bucketed equi-join (no
+    BroadcastNestedLoopJoin): tag each event with the value band containing it
+    (condenser_spark/functions/temporal.py:range_join_bucketed)."""
+    from condenser_spark.functions.temporal import range_join_bucketed
+
+    spark_bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    ev = _tables(spark, sf_dir)["events"].select("event_id", "value")
+    return range_join_bucketed(
+        ev, spark_bands, "value", "lo", "hi", bucket_width=10.0
+    ).select("event_id", "value", "band")
 
 
 # ---------------------------------------------------------------- sessionization

@@ -1,0 +1,127 @@
+"""Temporal operators: as-of join and bucketed range join
+(condenser_spark/functions/temporal.py) plus shared-passage detection
+(condenser_spark/functions/text.py) — constructed-example semantics and the
+plan contracts that make them scale (no BroadcastNestedLoopJoin)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.temporal import asof_join, range_join_bucketed
+from condenser_spark.functions.text import shared_passages
+
+
+def _ts(minute):
+    return datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(10), "A", 100.0),
+         (2, _ts(20), "A", 200.0),
+         (3, _ts(5), "B", 300.0),   # before any B quote -> no match
+         (4, _ts(30), "C", 400.0)],  # no C quotes at all
+        "trade_id long, ts timestamp, sym string, qty double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", _ts(10), 10, 1.0),   # equal ts -> inclusive match for trade 1
+         ("A", _ts(10), 11, 2.0),   # tie on (sym, ts): max quote_id wins
+         ("A", _ts(15), 12, 3.0),
+         ("B", _ts(6), 13, 4.0)],
+        "sym string, ts timestamp, quote_id long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_inclusive_with_ties(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="sym", tiebreak="quote_id")
+           .collect()}
+    assert len(out) == 4  # every left row survives (left-join semantics)
+    # trade 1 @10: quotes at exactly 10 match (inclusive); tie -> quote_id 11
+    assert out[1].quote_id_asof == 11 and out[1].px_asof == 2.0
+    # trade 2 @20: most recent is @15
+    assert out[2].quote_id_asof == 12 and out[2].ts_asof == _ts(15)
+    # trade 3 @5: B's only quote is @6, in the future -> null
+    assert out[3].quote_id_asof is None and out[3].ts_asof is None
+    # trade 4: key with no right rows at all -> null
+    assert out[4].px_asof is None
+    # left payload passes through untouched
+    assert out[2].qty == 200.0
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="sym", tiebreak="quote_id",
+                     tolerance_seconds=120).collect()}
+    # trade 2 @20 matched @15 — 5 min stale, outside the 2-min tolerance
+    assert out[2].quote_id_asof is None
+    # trade 1 @10 matched @10 — age 0, inside tolerance
+    assert out[1].quote_id_asof == 11
+
+
+def test_asof_plan_is_single_shuffle_no_nested_loop(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    plan = asof_join(trades, quotes, on="sym")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # one exchange for the window partitioning; no join exchanges at all
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_range_join_boundaries_and_plan(spark):
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 10.0), (3, 55.5), (4, 1000.1)],
+        "id long, v double",
+    )
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1000.0, "high")],
+        "lo double, hi double, band string",
+    )
+    out = range_join_bucketed(points, bands, "v", "lo", "hi", 10.0)
+    got = sorted((r.id, r.band) for r in out.collect())
+    # 10.0 sits on a closed boundary of BOTH low and mid; 1000.1 matches none
+    assert got == [(1, "low"), (2, "low"), (2, "mid"), (3, "mid")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shared_passages_finds_planted_passage(spark):
+    passage = ("the quick brown fox jumps over the lazy dog while seventeen "
+               "astronauts debate quantum cookery near the harbor lighthouse")
+    docs = spark.createDataFrame(
+        [(1, "intro words here . " + passage + " trailing remarks apply"),
+         (2, passage + " entirely different ending follows afterwards now"),
+         (3, "unrelated content about databases and distributed shuffles "
+             "with no overlap whatsoever in any window of tokens")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in shared_passages(docs).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].n_shared_chunks >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_shared_passages_hot_chunk_guard(spark):
+    # long enough that a chunk boundary deterministically falls inside the
+    # shared prefix — the prefix chunk(s) are then identical across all docs
+    boiler = (
+        "permission is hereby granted free of charge to any person obtaining "
+        "a copy of this software and associated documentation files to deal "
+        "in the software without restriction including without limitation "
+        "the rights to use copy modify merge publish distribute sublicense "
+        "and or sell copies of the software"
+    )
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique tail {i} token") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # df cap of 3 drops the boilerplate chunk shared by all 6 docs
+    assert shared_passages(docs, max_chunk_df=3).count() == 0
+    assert shared_passages(docs, max_chunk_df=None).count() == 15  # 6C2
