@@ -28,7 +28,7 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from condenser_spark.functions.text import quality_score, token_count
@@ -227,4 +227,178 @@ def pii_scrub(
         *others,
         scrubbed.alias(text_col),
         n_red.cast("long").alias("n_redactions"),
+    )
+
+
+# --------------------------------------------------------------- split & mix
+
+def _hash01(c: Column) -> Column:
+    """Deterministic uniform in [0, 1): first 32 md5 bits of the value as a
+    fraction.  md5 (not xxhash64) so every engine — and every future rerun —
+    lands each row in the same bucket; the division by 2^32 is exact in
+    double, so cross-engine comparisons are bit-identical."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("double") / float(1 << 32)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashing its
+    id — the training-pipeline invariant: membership is a pure function of
+    (id, salt), so splits stay stable as the corpus grows, shrink, or is
+    re-partitioned, and no row ever migrates between train and eval.
+
+    ``weights`` map split name -> relative weight (insertion order defines
+    the bucket layout).  ``salt`` re-deals the assignment without touching the
+    data.  Narrow projection, zero shuffle — Catalyst folds the whole thing
+    into the scan."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    key = F.col(id_col)
+    u = _hash01(
+        F.concat(key.cast("string"), F.lit(salt)) if salt else key
+    )
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branch = F.when(u < F.lit(cum), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(cum), F.lit(name))
+    expr = (
+        expr.otherwise(F.lit(names[-1])) if expr is not None
+        else F.lit(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling — the domain-rebalancing step of
+    corpus assembly (keep 100% of books, 10% of web, ...).  A row survives iff
+    ``hash01(id, salt) < rate[source]``; membership is reproducible and
+    monotone in the rate (raising a source's rate only ADDS documents — you
+    can grow a mixture without invalidating previous shards).
+
+    Pure scan-level predicate: no shuffle, no sampling state."""
+    u = _hash01(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    rate = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
+    return df.filter(u < rate)
+
+
+# ------------------------------------------------------------ vocab & encode
+
+def _norm_tokens(text_col: str) -> Column:
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    min_doc_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Terms appearing in at least ``min_doc_frac`` of all documents — the
+    exact heavy-hitter set (stopword discovery, contamination probes, hot-key
+    pre-detection for the join guards).
+
+    Per-doc distinct explode -> term doc-frequency agg (map-side combined);
+    the corpus row count joins in as a broadcast scalar.  One shuffle on
+    term."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_norm_tokens(text_col))).alias("term"),
+    )
+    doc_freq = toks.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return (
+        doc_freq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_freq") >= F.col("n_docs") * F.lit(min_doc_frac))
+        .select(
+            "term", "doc_freq",
+            (F.col("doc_freq") / F.col("n_docs")).alias("doc_frac"),
+        )
+    )
+
+
+def build_vocab(
+    df: DataFrame,
+    max_size: int = 32_768,
+    min_freq: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: (term, freq, token_id), ids from 1
+    (0 is reserved for UNK by :func:`encode_tokens`).
+
+    Scale shape: the corpus-wide term count is a map-side-combined agg; the
+    ``min_freq`` floor prunes the long tail BEFORE ranking; the global top-k
+    is ``orderBy().limit()`` — Spark's distributed TakeOrdered, not a
+    single-partition window.  Only the post-limit frame (<= max_size rows, by
+    construction driver-bounded) sees the row_number window.  Ties rank
+    deterministically (freq desc, term asc)."""
+    counts = (
+        df.select(F.explode(_norm_tokens(text_col)).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= min_freq)
+    )
+    order = [F.col("freq").desc(), F.col("term").asc()]
+    top = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)
+    return top.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    unk_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode each document to its token-id sequence against ``vocab``
+    (from :func:`build_vocab`): (id, n_tokens, token_ids array<long>),
+    out-of-vocab tokens -> ``unk_id``.
+
+    posexplode -> equi-join on term -> ordered re-assembly.  The vocab side
+    is bounded by ``max_size`` (driver-enforced), so the broadcast hint is
+    safe — the token stream never shuffles for the join; the single shuffle
+    is the per-doc regroup."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_norm_tokens(text_col)).alias("pos", "term"),
+    )
+    joined = tok.join(
+        F.broadcast(vocab.select("term", "token_id")), on="term", how="left"
+    ).select(
+        "id", "pos",
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+        )
+        .withColumnRenamed("id", id_col)
     )

@@ -466,3 +466,64 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------- decontamination
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cross-corpus n-gram overlap: (eval_id, train_id,
+    n_shared_shingles) for every train document sharing at least
+    ``min_shared`` distinct word n-grams with an eval document — the
+    benchmark-decontamination primitive (the eval set must not appear in the
+    training corpus, verbatim or near-verbatim).
+
+    Inverted-index equi-join on the shingle, never a text-vs-text scan: each
+    side shingles independently (codegen'd window path, one shuffle on id),
+    the join shuffles (shingle, id) pairs.  ``max_shingle_df`` drops shingles
+    occurring in more than that many TRAIN docs before the join — the same
+    hot-key guard as the near-dup family; at n=8 a shingle that common is
+    boilerplate, not leakage.  Exact and md5-free, so fully oracle-checkable."""
+    tr = _shingle_rows(train, n, text_col, id_col).withColumnRenamed(
+        "id", "train_id")
+    ev = _shingle_rows(eval_df, n, text_col, id_col).withColumnRenamed(
+        "id", "eval_id")
+    if max_shingle_df is not None:
+        hot = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        tr = tr.join(hot, on="shingle", how="left_anti")
+    return (
+        ev.join(tr, on="shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-rows form: the training corpus minus every document flagged by
+    :func:`contamination_pairs`.  Anti-join on the (small) contaminated-id
+    set; train bodies shuffle once on id."""
+    flagged = contamination_pairs(
+        train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, on=id_col, how="left_anti")

@@ -924,6 +924,210 @@ def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(seeded)
 
 
+# ---------------------------------------------------------- decontamination
+
+def _shingle_sql(docs_cte: str, n: int = 8) -> str:
+    """DuckDB CTE body: distinct (id, shingle) word n-grams of ``docs_cte``
+    (which must expose doc_id, text) — mirrors dedup._shingle_rows."""
+    leads = ", ".join(f"lead(tok, {j}) OVER w" for j in range(1, n))
+    return f"""
+      SELECT DISTINCT id, concat_ws(' ', tok, {leads}) AS shingle
+      FROM (
+        SELECT doc_id AS id, generate_subscripts(tokens, 1) AS pos,
+               unnest(tokens) AS tok
+        FROM (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ') AS tokens
+          FROM {docs_cte}
+        )
+      )
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+      QUALIFY lead(tok, {n - 1}) OVER w IS NOT NULL
+    """
+
+
+@golden(
+    "ext_contamination_pairs",
+    f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    tr_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 30
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 10
+    ),
+    ev_sh AS ({_shingle_sql('ev_docs')}),
+    tr_sh AS ({_shingle_sql('tr_docs')})
+    SELECT e.id AS eval_id, t.id AS train_id,
+           COUNT(*) AS n_shared_shingles
+    FROM ev_sh e JOIN tr_sh t ON e.shingle = t.shingle
+    GROUP BY e.id, t.id
+    """,
+)
+def ext_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: exact 8-gram overlap between an eval slice
+    (doc_id < 30) and a train corpus seeded with 10 verbatim eval clones
+    (doc_id+500000) — every clone must be flagged
+    (condenser_spark/functions/dedup.py:contamination_pairs).  The 10k
+    hot-shingle cap cannot trigger at this corpus size, so the oracle omits
+    it."""
+    from condenser_spark.functions.dedup import contamination_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    ev = docs.filter("doc_id < 30").select("doc_id", "text")
+    tr = docs.filter("doc_id >= 30").select("doc_id", "text").unionByName(
+        docs.filter("doc_id < 10").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    return contamination_pairs(tr, ev, n=8)
+
+
+# ---------------------------------------------------- split / mix / vocab
+
+@golden(
+    "ext_hash_split",
+    """
+    SELECT doc_id, lang, source,
+           CASE
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < 0.5 THEN 'train'
+             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) / 4294967296.0 < 0.75 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+)
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 train/val/test assignment, stable under corpus
+    growth/repartition (condenser_spark/functions/corpus.py:hash_split).
+    Weights 0.5/0.25/0.25 keep the cumulative boundaries exact in double."""
+    from condenser_spark.functions.corpus import hash_split
+
+    docs = _tables(spark, sf_dir)["documents"].select("doc_id", "lang", "source")
+    return hash_split(docs, {"train": 0.5, "val": 0.25, "test": 0.25})
+
+
+@golden(
+    "ext_weighted_mix",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'mix')), 1, 8))
+               AS BIGINT) / 4294967296.0
+          < CASE WHEN source = 'src0' THEN 0.25
+                 WHEN source = 'src1' THEN 1.0
+                 ELSE 0.5 END
+    """,
+)
+def ext_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic downsampling (domain rebalancing): keep 25%
+    of src0, all of src1, 50% elsewhere
+    (condenser_spark/functions/corpus.py:weighted_mix)."""
+    from condenser_spark.functions.corpus import weighted_mix
+
+    docs = _tables(spark, sf_dir)["documents"].select("doc_id", "source")
+    return weighted_mix(
+        docs, {"src0": 0.25, "src1": 1.0}, default_rate=0.5
+    )
+
+
+@golden(
+    "ext_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))) AS term
+      FROM documents
+    ),
+    df_t AS (SELECT term, COUNT(*) AS doc_freq FROM toks GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, doc_freq, doc_freq / n_docs AS doc_frac
+    FROM df_t, n
+    WHERE doc_freq >= n_docs * 0.3
+    """,
+)
+def ext_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter terms (>=30% of documents) — stopword discovery /
+    hot-key pre-detection (condenser_spark/functions/corpus.py:heavy_hitters)."""
+    from condenser_spark.functions.corpus import heavy_hitters
+
+    return heavy_hitters(_tables(spark, sf_dir)["documents"], 0.3)
+
+
+_VOCAB_CTE = r"""
+    WITH toks AS (
+      SELECT unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term, COUNT(*) AS freq FROM toks
+      GROUP BY term HAVING COUNT(*) >= 2
+    ),
+    vocab AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term ASC) AS token_id
+      FROM counts
+      ORDER BY freq DESC, term ASC LIMIT 1000
+    )
+"""
+
+
+@golden(
+    "ext_build_vocab",
+    _VOCAB_CTE + "SELECT term, freq, token_id FROM vocab",
+)
+def ext_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with deterministic tie order (freq desc,
+    term asc); distributed TakeOrdered, window only on the <=max_size result
+    (condenser_spark/functions/corpus.py:build_vocab)."""
+    from condenser_spark.functions.corpus import build_vocab
+
+    return build_vocab(
+        _tables(spark, sf_dir)["documents"], max_size=1000, min_freq=2
+    )
+
+
+@golden(
+    "ext_encode_tokens",
+    _VOCAB_CTE + r"""
+    , doc_toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS tokens
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+             unnest(tokens) AS term
+      FROM doc_toks
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           array_to_string(array_agg(coalesce(v.token_id, 0) ORDER BY pos),
+                           ' ') AS token_ids_str
+    FROM tok LEFT JOIN vocab v USING (term)
+    GROUP BY doc_id
+    """,
+)
+def ext_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document -> token-id sequence against the built vocab (OOV -> 0);
+    bounded-broadcast vocab join, single per-doc regroup shuffle
+    (condenser_spark/functions/corpus.py:encode_tokens).  The id array is
+    projected to a space-joined string — the hash compare needs scalar
+    cells — pinning full order + content."""
+    from condenser_spark.functions.corpus import build_vocab, encode_tokens
+
+    docs = _tables(spark, sf_dir)["documents"]
+    enc = encode_tokens(docs, build_vocab(docs, max_size=1000, min_freq=2))
+    return enc.select(
+        "doc_id", "n_tokens",
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>"))
+        .alias("token_ids_str"),
+    )
+
+
 # ------------------------------------- composite: breaks + upstream filters
 
 _MIDDLE_OUT_BREAKS_ORACLE = """

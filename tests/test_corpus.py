@@ -123,3 +123,83 @@ def test_rolling_fingerprints_shift_invariant(spark):
     # windows reproduce doc 1's fingerprints exactly
     assert len(edited_fps) == len(base_fps) + 1
     assert edited_fps[1:] == base_fps
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark, source):
+    from condenser_spark.functions.corpus import hash_split
+
+    docs = source["documents"]
+    n = docs.count()
+    hs = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    by_split = {r.split: r["count"] for r in hs.groupBy("split").count().collect()}
+    assert sum(by_split.values()) == n  # exhaustive, no row dropped
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split["train"] > by_split.get("val", 0)
+    # pure function of (id, salt): identical on recompute...
+    again = {r.split: r["count"] for r in
+             hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+             .groupBy("split").count().collect()}
+    assert again == by_split
+    # ...and a different salt re-deals the assignment
+    salted = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2")
+    moved = (hs.select("doc_id", "split").subtract(
+        salted.select("doc_id", "split"))).count()
+    assert moved > 0
+
+
+def test_hash_split_membership_stable_under_growth(spark, source):
+    """The invariant that matters: adding documents never moves an existing
+    row between splits."""
+    from condenser_spark.functions.corpus import hash_split
+    import pyspark.sql.functions as F
+
+    docs = source["documents"]
+    half = docs.filter("doc_id < 250")
+    w = {"train": 0.9, "val": 0.1}
+    small = hash_split(half, w).select("doc_id", "split")
+    full = hash_split(docs, w).select("doc_id", "split") \
+        .filter("doc_id < 250")
+    assert small.subtract(full).count() == 0
+    assert full.subtract(small).count() == 0
+
+
+def test_weighted_mix_monotone_in_rate(spark, source):
+    from condenser_spark.functions.corpus import weighted_mix
+
+    docs = source["documents"]
+    lo = weighted_mix(docs, {"src0": 0.2}, default_rate=0.3)
+    hi = weighted_mix(docs, {"src0": 0.6}, default_rate=0.9)
+    # raising every rate only ADDS documents (shard-stable growth)
+    assert lo.select("doc_id").subtract(hi.select("doc_id")).count() == 0
+    assert lo.count() < hi.count() <= docs.count()
+
+
+def test_build_vocab_deterministic_rank_and_unk_encode(spark):
+    from condenser_spark.functions.corpus import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c c x"), (2, "a c b y")],
+        "doc_id long, text string",
+    )
+    v = build_vocab(docs, max_size=3, min_freq=2)
+    ranked = {r.term: (r.freq, r.token_id) for r in v.collect()}
+    # b:4 a:3 c:3 — a and c tie on freq, 'a' wins rank 2 by term order
+    assert ranked == {"b": (4, 1), "a": (3, 2), "c": (3, 3)}
+    enc = {r.doc_id: r for r in encode_tokens(docs, v).collect()}
+    # x and y are OOV (freq 1) -> unk id 0; order preserved
+    assert enc[1].token_ids == [1, 1, 1, 2, 2, 3, 3, 0]
+    assert enc[2].token_ids == [2, 3, 1, 0]
+    assert enc[2].n_tokens == 4
+
+
+def test_heavy_hitters_full_fraction(spark):
+    from condenser_spark.functions.corpus import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "common alpha common"), (2, "common beta"), (3, "common gamma")],
+        "doc_id long, text string",
+    )
+    hh = {r.term: r for r in heavy_hitters(docs, 1.0).collect()}
+    # only 'common' appears in every doc; doc_freq counts DOCS, not occurrences
+    assert set(hh) == {"common"}
+    assert hh["common"].doc_freq == 3 and hh["common"].doc_frac == 1.0

@@ -254,3 +254,41 @@ def test_sessionize_stream_smoke(spark, sf_dir, tmp_path):
     out = spark.sql("select count(*) as n, sum(n_events) as total from sess_test").collect()[0]
     assert out.n > 0
     assert out.total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_contamination_flags_verbatim_and_embedded_leaks(spark):
+    from condenser_spark.functions.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+
+    bench = ("what is the capital of france the capital of france is paris "
+             "according to every atlas printed since eighteen hundred")
+    train_rows = [
+        (1, "clean document about spark shuffles and partition pruning "
+            "with nothing resembling any benchmark question inside"),
+        (2, bench),                                     # verbatim leak
+        (3, "prefix words then " + bench + " then a long trailing answer"),
+        (4, "short unrelated text entirely"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    evals = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+
+    pairs = contamination_pairs(train, evals, n=8)
+    flagged = {r.train_id for r in pairs.collect()}
+    assert flagged == {2, 3}  # verbatim AND embedded-quote leaks, not 1/4
+
+    clean = decontaminate(train, evals, n=8)
+    assert {r.doc_id for r in clean.collect()} == {1, 4}
+
+
+def test_contamination_min_shared_threshold(spark):
+    from condenser_spark.functions.dedup import contamination_pairs
+
+    # exactly one shared 4-gram ("a b c d") between train and eval
+    train = spark.createDataFrame(
+        [(1, "a b c d x y z w q r")], "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(9, "p q s t a b c d")], "doc_id long, text string")
+    assert contamination_pairs(train, evals, n=4, min_shared=1).count() == 1
+    assert contamination_pairs(train, evals, n=4, min_shared=2).count() == 0
