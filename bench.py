@@ -146,6 +146,25 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("session_stats", lambda: session_stats(ev).count())
     timed("windowed_event_counts", lambda: windowed_event_counts(ev).count())
 
+    from condenser_spark.functions.corpus import build_vocab, encode_tokens
+    from condenser_spark.functions.dedup import contamination_pairs
+    from condenser_spark.functions.temporal import asof_join
+
+    def _asof():
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value")
+        asof_join(purchases, clicks, on="user_id", tiebreak="event_id").count()
+
+    timed("asof_join", _asof)
+    timed("encode_tokens",
+          lambda: encode_tokens(docs, build_vocab(docs)).count())
+    timed("contamination_pairs",
+          lambda: contamination_pairs(
+              docs.filter(F.col("doc_id") % 10 > 0),
+              docs.filter(F.col("doc_id") % 10 == 0), n=8).count())
+
     return timings
 
 

@@ -115,3 +115,51 @@ def test_engine_empty_target_result(spark, source):
     assert set(dest) == set(source)
     assert all(df.count() == 0 for df in dest.values())
     assert all(v == 0 for v in eng.validate().values())
+
+
+def test_round2b_ops_empty(spark, empty_docs, empty_events):
+    from condenser_spark.functions.corpus import (
+        build_vocab,
+        encode_tokens,
+        hash_split,
+        heavy_hitters,
+        weighted_mix,
+    )
+    from condenser_spark.functions.dedup import (
+        contamination_pairs,
+        decontaminate,
+    )
+    from condenser_spark.functions.temporal import (
+        asof_join,
+        range_join_bucketed,
+    )
+    from condenser_spark.functions.text import (
+        rolling_fingerprints,
+        shared_passages,
+    )
+
+    assert hash_split(empty_docs).count() == 0
+    assert weighted_mix(empty_docs, {"src0": 0.5}).count() == 0
+    assert heavy_hitters(empty_docs).count() == 0
+    empty_vocab = build_vocab(empty_docs)
+    assert empty_vocab.count() == 0
+    # empty vocab must still encode (everything -> UNK), and empty docs too
+    some = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert encode_tokens(some, empty_vocab).collect()[0].token_ids == [0, 0]
+    assert encode_tokens(empty_docs, empty_vocab).count() == 0
+    assert rolling_fingerprints(empty_docs).count() == 0
+    assert shared_passages(empty_docs).count() == 0
+    # short docs (fewer tokens than the window) yield no windows, not a throw
+    short = spark.createDataFrame([(1, "one"), (2, "two words")],
+                                  "doc_id long, text string")
+    assert rolling_fingerprints(short, window=4).count() == 0
+    assert contamination_pairs(empty_docs, empty_docs).count() == 0
+    assert contamination_pairs(some, empty_docs).count() == 0
+    assert decontaminate(some, empty_docs).count() == 1
+    purchases = empty_events.select("event_id", "ts", "user_id", "value")
+    clicks = empty_events.select("user_id", "ts", "event_id", "value")
+    assert asof_join(purchases, clicks, on="user_id").count() == 0
+    bands = spark.createDataFrame([], "lo double, hi double, band string")
+    assert range_join_bucketed(
+        empty_events.select("event_id", "value"), bands, "value", "lo", "hi",
+        10.0).count() == 0
