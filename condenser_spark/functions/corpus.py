@@ -402,3 +402,51 @@ def encode_tokens(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def approx_profile(
+    df: DataFrame,
+    cols: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99),
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-based profile: (column, n, n_null, n_distinct_approx, min, max,
+    q25/q50/q75/q99) per column — the 100 TB twin of :func:`numeric_profile`.
+
+    Exact percentile and COUNT(DISTINCT) are the two profile aggregates that
+    stop scaling: exact percentile buffers every value per group, exact
+    distinct shuffles every distinct value.  This variant swaps them for
+    mergeable fixed-size sketches — ``approx_percentile`` (KLL-style, error
+    bounded by 1/``accuracy``) and ``approx_count_distinct`` (HyperLogLog++,
+    relative std dev ``rsd``) — so every aggregate is map-side combinable and
+    the whole profile stays one scan + one tiny final merge regardless of
+    data size.  Sketch internals are engine-specific, so (unlike
+    numeric_profile) this operator is NOT oracle-checkable; pytest bounds it
+    against the exact profile instead.
+
+    Still ONE unioned job for all columns."""
+    qcol = F.array(*[F.lit(q) for q in quantiles])
+    branches = []
+    for c in cols:
+        col = F.col(c)
+        qs = F.percentile_approx(col, qcol, F.lit(accuracy))
+        branches.append(
+            df.agg(
+                F.count(col).alias("n"),
+                F.count(F.when(col.isNull(), 1)).alias("n_null"),
+                F.approx_count_distinct(c, rsd).alias("n_distinct_approx"),
+                F.min(col).cast("double").alias("min"),
+                F.max(col).cast("double").alias("max"),
+                qs.alias("_qs"),
+            ).select(
+                F.lit(c).alias("column"), "n", "n_null", "n_distinct_approx",
+                "min", "max",
+                *[F.col("_qs").getItem(i).cast("double").alias(f"q{int(q * 100)}")
+                  for i, q in enumerate(quantiles)],
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

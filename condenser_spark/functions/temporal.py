@@ -44,10 +44,15 @@ def asof_join(
     right_cols: list[str] | None = None,
     tiebreak: str | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
     suffix: str = "_asof",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with the same
-    ``on`` key and ``right_ts <= left_ts`` (backward as-of, inclusive).
+    ``on`` key and ``right_ts <= left_ts`` (``direction="backward"``, the
+    default, inclusive) — or the earliest right row with ``right_ts >=
+    left_ts`` (``direction="forward"``: next-event attribution, e.g. the
+    first purchase after each campaign touch).  Forward is the same
+    single-shuffle window plan with the time axis reversed.
 
     ``right_cols`` — right columns to attach (default: all but key/ts); each
     arrives as ``<name><suffix>`` plus ``<right_ts><suffix>`` for the matched
@@ -58,6 +63,8 @@ def asof_join(
 
     One shuffle on ``on``; no inequality join in the plan (check: no
     BroadcastNestedLoopJoin in ``.explain``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
     payload = F.struct(
@@ -84,9 +91,12 @@ def asof_join(
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
+    t_order = (
+        F.col("_t").desc() if direction == "forward" else F.col("_t").asc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", "_tb")
+        .orderBy(t_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
@@ -95,10 +105,11 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     if tolerance_seconds is not None:
-        in_range = (
-            F.col("_m").isNotNull()
-            & (F.col("_m._ts")
-               >= F.col("_t") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND"))
+        horizon = F.expr(f"INTERVAL {int(tolerance_seconds)} SECOND")
+        in_range = F.col("_m").isNotNull() & (
+            (F.col("_m._ts") <= F.col("_t") + horizon)
+            if direction == "forward"
+            else (F.col("_m._ts") >= F.col("_t") - horizon)
         )
         matched = matched.withColumn(
             "_m", F.when(in_range, F.col("_m"))

@@ -572,6 +572,20 @@ def ext_brute_force_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@golden("ext_approx_profile", None)
+def ext_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profile (HLL++ distinct, KLL quantiles) of lineitem numerics —
+    rows-only: sketch estimates are engine-specific by nature; pytest bounds
+    them against the exact profile
+    (condenser_spark/functions/corpus.py:approx_profile)."""
+    from condenser_spark.functions.corpus import approx_profile
+
+    return approx_profile(
+        _tables(spark, sf_dir)["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
 # --------------------------------------------------- rows-only (xxhash64 / SRP)
 
 @golden(

@@ -1,6 +1,7 @@
 """Invariant tests for the corpus pipeline operators (functions/corpus.py) —
 value-level correctness is pinned by the DuckDB oracles in goldens_ext."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -203,3 +204,28 @@ def test_heavy_hitters_full_fraction(spark):
     # only 'common' appears in every doc; doc_freq counts DOCS, not occurrences
     assert set(hh) == {"common"}
     assert hh["common"].doc_freq == 3 and hh["common"].doc_frac == 1.0
+
+
+def test_approx_profile_bounds_vs_exact(spark, source):
+    from condenser_spark.functions.corpus import approx_profile, numeric_profile
+
+    li = source["lineitem"]
+    cols = ["l_quantity", "l_extendedprice"]
+    exact = {r.column: r for r in numeric_profile(li, cols).collect()}
+    approx = {r.column: r for r in approx_profile(li, cols).collect()}
+    n_rows = li.count()
+    for c in cols:
+        a, e = approx[c], exact[c]
+        assert a.n == e.n and a.n_null == e.n_null  # counts stay exact
+        assert a.min == pytest.approx(e.min, abs=1e-4)
+        assert a.max == pytest.approx(e.max, abs=1e-4)
+        # KLL q50 within rank error of the exact median's value neighborhood
+        assert e.min <= a.q50 <= e.max
+        assert abs(a.q50 - e.median) <= (e.max - e.min) * 0.05
+        # quantiles are monotone
+        assert a.q25 <= a.q50 <= a.q75 <= a.q99
+    # HLL distinct estimate within 3*rsd of truth
+    true_d = li.select("l_quantity").distinct().count()
+    est = approx["l_quantity"].n_distinct_approx
+    assert abs(est - true_d) <= max(3, true_d * 0.15)
+    assert n_rows >= true_d

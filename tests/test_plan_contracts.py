@@ -75,3 +75,40 @@ def test_dedup_shuffle_carries_fingerprints_not_bodies(spark, source):
     plan = _executed(out)
     assert "hashpartitioning(fingerprint" in plan
     assert "text" not in out.columns
+
+
+def test_hash_split_folds_into_scan_stage(spark, source):
+    """hash_split promises zero shuffle: a single codegen'd project over the
+    pruned scan — no Exchange anywhere in the plan."""
+    from condenser_spark.functions.corpus import hash_split
+
+    plan = _executed(
+        hash_split(source["documents"].select("doc_id", "source"),
+                   {"train": 0.9, "val": 0.1}))
+    assert "Exchange" not in plan
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "text" not in scan, f"scan reads pruned column: {scan}"
+
+
+def test_encode_tokens_broadcasts_vocab_not_corpus(spark, source):
+    """The vocab side (driver-bounded by max_size) broadcasts; the token
+    stream must NEVER be on the build side of a broadcast join."""
+    from condenser_spark.functions.corpus import build_vocab, encode_tokens
+
+    docs = source["documents"]
+    plan = _executed(encode_tokens(docs, build_vocab(docs, max_size=500)))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_join_is_hash_not_nested_loop(spark, source):
+    """Cross-corpus overlap must plan as an equi-join on the shingle —
+    a nested-loop/cartesian text-vs-text comparison is the O(N*M) failure
+    mode this operator exists to avoid."""
+    from condenser_spark.functions.dedup import contamination_pairs
+
+    docs = source["documents"]
+    plan = _executed(contamination_pairs(
+        docs.filter("doc_id >= 50"), docs.filter("doc_id < 50"), n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

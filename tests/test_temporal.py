@@ -125,3 +125,24 @@ def test_shared_passages_hot_chunk_guard(spark):
     # df cap of 3 drops the boilerplate chunk shared by all 6 docs
     assert shared_passages(docs, max_chunk_df=3).count() == 0
     assert shared_passages(docs, max_chunk_df=None).count() == 15  # 6C2
+
+
+def test_asof_forward_direction(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="sym", tiebreak="quote_id",
+                     direction="forward").collect()}
+    # trade 1 @10: inclusive forward -> the @10 quotes, tie -> quote_id 11
+    assert out[1].quote_id_asof == 11
+    # trade 2 @20: no A quote at-or-after 20 -> null
+    assert out[2].quote_id_asof is None
+    # trade 3 @5: B's quote @6 is now IN range (the backward case missed it)
+    assert out[3].quote_id_asof == 13 and out[3].ts_asof == _ts(6)
+    # forward tolerance: 30s window excludes the @6 match for trade 3
+    tight = {r.trade_id: r for r in
+             asof_join(trades, quotes, on="sym", direction="forward",
+                       tolerance_seconds=30).collect()}
+    assert tight[3].px_asof is None
+
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on="sym", direction="nearest")
