@@ -158,6 +158,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         asof_join(purchases, clicks, on="user_id", tiebreak="event_id").count()
 
     timed("asof_join", _asof)
+
+    from condenser_spark.functions.text import (
+        rolling_fingerprints,
+        shared_passages,
+    )
+
+    timed("rolling_fingerprints",
+          lambda: rolling_fingerprints(docs).count())
+    timed("shared_passages", lambda: shared_passages(docs).count())
     timed("encode_tokens",
           lambda: encode_tokens(docs, build_vocab(docs)).count())
     timed("contamination_pairs",
