@@ -12,7 +12,7 @@ import os
 from typing import Iterable
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from condenser_spark.session import ensure_compat
@@ -142,6 +142,37 @@ def write_dest(
     """
     for name, df in dest.items():
         df.write.mode(mode).parquet(os.path.join(dest_dir, f"{name}.parquet"))
+
+
+def write_dest_partitioned(
+    dest: dict[str, DataFrame],
+    dest_dir: str,
+    partition_cols: dict[str, list[str]],
+    mode: str = "overwrite",
+    derive: dict[str, dict[str, Column]] | None = None,
+) -> None:
+    """Materialize destination tables as hive-partitioned parquet
+    (``dest_dir/{name}.parquet/col=value/...``) — the layout that makes
+    partition PRUNING work: a reader filtering on a partition column touches
+    only the matching directories, turning a 100 TB scan into a
+    partition-sized one (verified by plan test: the read-back scan reports
+    the pruned partition count).
+
+    ``partition_cols`` maps table -> partition column list (low-cardinality,
+    coarse: a date-derived month, a region key — never a high-cardinality id,
+    which would explode into millions of tiny files).  ``derive`` optionally
+    maps table -> {new_col: expr} computed before the write (the usual
+    ``month = date_trunc(ts)`` case).  Tables absent from ``partition_cols``
+    are written flat, exactly like :func:`write_dest`."""
+    for name, df in dest.items():
+        path = os.path.join(dest_dir, f"{name}.parquet")
+        for col, expr in (derive or {}).get(name, {}).items():
+            df = df.withColumn(col, expr)
+        w = df.write.mode(mode)
+        cols = partition_cols.get(name)
+        if cols:
+            w = w.partitionBy(*cols)
+        w.parquet(path)
 
 
 def write_dest_bucketed(

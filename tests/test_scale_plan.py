@@ -179,3 +179,55 @@ def test_bucketed_dest_joins_without_shuffle(spark, source):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+def test_partitioned_dest_prunes_partitions_on_read(spark, source, tmp_path):
+    """A reader filtering on the partition column must touch ONLY the matching
+    partition directories — the scan's partition count proves pruning, and
+    pruning is what turns a full-table scan into a partition-sized one at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import write_dest_partitioned
+
+    dest_dir = str(tmp_path / "pdest")
+    write_dest_partitioned(
+        {"events": source["events"]},
+        dest_dir,
+        partition_cols={"events": ["event_type"]},
+    )
+    back = spark.read.parquet(f"{dest_dir}/events.parquet")
+    # contents survive the layout change (partition col moves to directory)
+    assert back.count() == source["events"].count()
+    assert set(back.columns) == set(source["events"].columns)
+
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]+\]", plan)
+    assert m, f"no partition filters in scan: {plan[:500]}"
+    assert "event_type#" in m.group(0)  # the filter targets the partition col
+    clicks = pruned.count()
+    assert clicks == source["events"].filter("event_type = 'click'").count()
+    assert clicks > 0
+
+
+def test_partitioned_dest_derived_month_column(spark, source, tmp_path):
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import write_dest_partitioned
+
+    dest_dir = str(tmp_path / "pdest2")
+    write_dest_partitioned(
+        {"events": source["events"]},
+        dest_dir,
+        partition_cols={"events": ["month"]},
+        derive={"events": {"month": F.date_format("ts", "yyyy-MM")}},
+    )
+    back = spark.read.parquet(f"{dest_dir}/events.parquet")
+    assert "month" in back.columns
+    one_month = back.select("month").distinct().limit(1).collect()[0].month
+    sub = back.filter(F.col("month") == one_month)
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "month" in plan and sub.count() > 0
