@@ -938,6 +938,52 @@ def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(seeded)
 
 
+@golden(
+    "ext_funnel_counts",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t3
+      FROM events e
+      JOIN s2 ON e.user_id = s2.u
+      JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 86400 SECOND
+      GROUP BY e.user_id
+    )
+    SELECT CAST(v.step_index AS BIGINT) AS step_index, v.step,
+           CAST(v.n_users AS BIGINT) AS n_users
+    FROM (VALUES
+      (1, 'signup', (SELECT count(*) FROM s1)),
+      (2, 'click', (SELECT count(*) FROM s2)),
+      (3, 'purchase', (SELECT count(*) FROM s3))
+    ) AS v(step_index, step, n_users)
+    """,
+)
+def ext_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup->click->purchase funnel within a 1-day horizon —
+    greedy first-occurrence step matching, per-step user-key aggregations
+    chained by equi-joins (never an event-stream self-join)
+    (condenser_spark/streaming/sessionize.py:funnel_counts)."""
+    from condenser_spark.streaming.sessionize import funnel_counts
+
+    return funnel_counts(
+        _tables(spark, sf_dir)["events"],
+        ["signup", "click", "purchase"],
+        window_seconds=86400,
+    )
+
+
 # ---------------------------------------------------------- decontamination
 
 def _shingle_sql(docs_cte: str, n: int = 8) -> str:

@@ -157,3 +157,62 @@ def windowed_event_counts_stream(
             "n_events",
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    window_seconds: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: (step_index, step, n_users) — how many
+    users performed ``steps[0]``, then ``steps[1]`` at-or-after it, and so on
+    (greedy first-occurrence semantics: each step matches its EARLIEST event
+    at-or-after the previous step's match).  ``window_seconds`` bounds the
+    whole funnel to a horizon after the first step (the usual "converted
+    within 7 days" form).
+
+    Scale shape: one ``groupBy(user)`` aggregation per step (map-side
+    combined, the per-step frames carry one row per qualifying user), chained
+    by equi-joins on the user key — never a window over the whole event
+    stream, never a self-join on events.  The final tally is ONE aggregation
+    emitting every step's count, unpivoted JVM-side."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    reached = (
+        df.filter(ty == steps[0])
+        .groupBy(u.alias("_u"))
+        .agg(F.min(ts).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        ev = df.filter(ty == step).select(u.alias("_u"), ts.alias("_ts"))
+        cond = F.col("_ts") >= F.col(f"t{i - 1}")
+        if window_seconds is not None:
+            cond = cond & (
+                F.col("_ts")
+                <= F.col("t1") + F.expr(f"INTERVAL {int(window_seconds)} SECOND")
+            )
+        nxt = (
+            reached.join(ev, on="_u")
+            .filter(cond)
+            .groupBy("_u")
+            .agg(F.min("_ts").alias(f"t{i}"))
+        )
+        reached = reached.join(nxt, on="_u", how="left")
+    tallies = reached.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"t{i}")
+          for i in range(1, len(steps) + 1)]
+    )
+    stack = ", ".join(
+        f"{i}, '{s}', t{i}" for i, s in enumerate(steps, start=1)
+    )
+    return tallies.select(
+        F.expr(f"stack({len(steps)}, {stack})")
+        .alias("step_index", "step", "n_users")
+    ).select(
+        F.col("step_index").cast("long"), "step",
+        F.col("n_users").cast("long"),
+    )

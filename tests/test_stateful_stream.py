@@ -93,3 +93,38 @@ def test_dedup_stream_exactly_once(spark, sf_dir, tmp_path):
     n = spark.sql("SELECT COUNT(*) n FROM dedup_stream_out").collect()[0].n
     src_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n == src_n  # 2x delivered, 1x emitted
+
+
+def test_funnel_ordering_and_window(spark):
+    """Funnel semantics: steps must occur IN ORDER (a click before the signup
+    doesn't count), the horizon binds from step 1, and counts are
+    non-increasing down the funnel."""
+    from datetime import datetime
+
+    from condenser_spark.streaming.sessionize import funnel_counts
+
+    t = lambda h: datetime(2024, 1, 1, h)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), 1, "signup", 0.0, ""), (2, t(2), 1, "click", 0.0, ""),
+        (3, t(3), 1, "purchase", 0.0, ""),
+        # user 2: click BEFORE signup only -> stops at signup
+        (4, t(2), 2, "click", 0.0, ""), (5, t(3), 2, "signup", 0.0, ""),
+        # user 3: ordered but purchase outside the 2h horizon
+        (6, t(1), 3, "signup", 0.0, ""), (7, t(2), 3, "click", 0.0, ""),
+        (8, t(10), 3, "purchase", 0.0, ""),
+        # user 4: never signed up
+        (9, t(1), 4, "click", 0.0, ""), (10, t(2), 4, "purchase", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    steps = ["signup", "click", "purchase"]
+    full = {r.step: r.n_users for r in funnel_counts(ev, steps).collect()}
+    assert full == {"signup": 3, "click": 2, "purchase": 2}
+    tight = {r.step: r.n_users for r in
+             funnel_counts(ev, steps, window_seconds=7200).collect()}
+    assert tight == {"signup": 3, "click": 2, "purchase": 1}
+    counts = [r.n_users for r in
+              funnel_counts(ev, steps).orderBy("step_index").collect()]
+    assert counts == sorted(counts, reverse=True)
