@@ -50,9 +50,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 plus the §7.4
     LLM-pipeline extensions (condenser_spark.goldens_ext)."""
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
-    from condenser_spark.goldens import QUERIES
+    from condenser_spark.goldens import ORACLES, QUERIES
 
-    return dict(QUERIES)
+    # The driver evaluates at most the first 50 entries.  Register the
+    # full-oracle goldens (hard value-hash checks) first, then the rows-only
+    # ones (no SQL-expressible oracle), so the hard signals always fit the cap.
+    # Among the rows-only tail, prefer the entries whose recorded row carries
+    # the most information (multimodal features was an ERR fix; simhash covers
+    # the xxhash64 LSH family).
+    rows_only_priority = ["ext_multimodal_features", "ext_simhash_near_pairs"]
+    ordered = {k: v for k, v in QUERIES.items() if k in ORACLES}
+    for k in rows_only_priority:
+        if k in QUERIES and k not in ORACLES:
+            ordered[k] = QUERIES[k]
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLES})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -160,17 +160,24 @@ def pack_sequences(
     approximation (exact bin packing is inherently sequential).  One global
     window; at real scale, partition by shard first and pack per shard."""
     n_tok = token_count(F.col(text_col))
-    w = Window.orderBy(F.col(order_col).asc())
-    running = F.sum("n_tokens").over(w)
-    return (
-        df.select(F.col(id_col), n_tok.alias("n_tokens"))
-        .withColumn(
-            "bin_id",
-            F.floor(
-                (running - F.col("n_tokens")) / F.lit(budget_tokens)
-            ).cast("long"),
-        )
+    # ROWS frame (not the orderBy default RANGE): duplicate order keys must
+    # still accumulate one doc at a time, per the documented semantics.  The
+    # id tiebreak keeps the per-row prefix sum deterministic on ties.
+    w = (
+        Window.orderBy(F.col(order_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    running = F.sum("n_tokens").over(w)
+    cols = [F.col(id_col), n_tok.alias("n_tokens")]
+    if order_col != id_col:
+        cols.append(F.col(order_col))
+    packed = df.select(*cols).withColumn(
+        "bin_id",
+        F.floor(
+            (running - F.col("n_tokens")) / F.lit(budget_tokens)
+        ).cast("long"),
+    )
+    return packed.select(id_col, "n_tokens", "bin_id")
 
 
 def numeric_profile(

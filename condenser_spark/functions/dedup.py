@@ -226,6 +226,29 @@ def minhash_signatures(
     )
 
 
+def _cap_band_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Skew guard for LSH band self-joins: drop (band, bucket) groups holding
+    more than ``max_bucket_size`` documents BEFORE the bucket self-join.
+
+    A degenerate bucket — template/boilerplate corpora collapse thousands of
+    documents onto a handful of signatures — turns the self-join quadratic in
+    that bucket's size (10^5 docs in one bucket = 10^10 candidate rows).  The
+    same reasoning as ``max_shingle_df`` on the shingle paths: members of a
+    mega-bucket are boilerplate near-identical; the exact-dedup / fingerprint
+    path is the right tool for them, not pairwise LSH.  One extra shuffle on
+    the same (band, bucket) key the join uses."""
+    if max_bucket_size is None:
+        return banded
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -234,6 +257,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, exactly verified.
 
@@ -261,6 +285,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_band_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -426,10 +451,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, bucketed on
     16-bit bands (4 bands: any pair within Hamming 3 shares at least one exact
-    band — pigeonhole), then exact popcount verification."""
+    band — pigeonhole), then exact popcount verification.  ``max_bucket_size``
+    drops degenerate buckets before the self-join (see _cap_band_buckets)."""
     sigs = simhash_signatures(df, text_col, id_col)
     banded = sigs.select(
         "id",
@@ -448,6 +475,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
+    banded = _cap_band_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

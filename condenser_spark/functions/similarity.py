@@ -145,11 +145,19 @@ def lsh_bucketed_cosine_topk(
     ``tables`` (or lower ``bits``) for more."""
     planes = _hyperplanes(dim, bits, tables, seed)
     bucketize = _srp_buckets_batch(planes)
-    c = corpus.select(
+    # NULL / wrong-dimension embeddings would turn the Arrow batch into an
+    # object ndarray and fail the matmul (killing the whole job, where a JVM
+    # expression would just emit NULL) — drop them before the UDF, matching
+    # the semantics of "no bucket, never a candidate".
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    q = queries.select(
+    q = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
@@ -191,23 +199,30 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per query,
     exact-cosine re-rank inside the probed cells.
 
-    Centroids are the ``n_centroids`` lowest-id corpus vectors (deterministic
-    seed points — a TakeOrdered, not a full sort) collected to the driver and
-    shipped as plan literals, like the SRP hyperplanes: O(centroids x dim)
-    driver bytes, no UDF, no broadcast variable.  Cell assignment is one
-    narrow projection over the corpus (16 literal dot products per row); the
-    probe join shuffles only on cell id.
+    Centroids are a deterministic pseudo-random corpus sample — the
+    ``n_centroids`` rows with the lowest ``xxhash64(id, seed)`` (a TakeOrdered,
+    not a full sort).  Hash order is independent of id order, so time-ordered /
+    content-clustered corpora (where ids correlate with content) still get
+    representative, well-spread seed points — lowest-N-ids would collapse all
+    centroids into one content region and crater recall at fixed nprobe.
+    Seeds are collected to the driver and shipped as plan literals, like the
+    SRP hyperplanes: O(centroids x dim) driver bytes, no UDF, no broadcast
+    variable.  Cell assignment is one narrow projection over the corpus (16
+    literal dot products per row); the probe join shuffles only on cell id.
 
     ``nprobe == n_centroids`` probes every cell and reproduces brute force
     exactly (the property the test suite pins); smaller ``nprobe`` trades
     recall for a 1/nprobe scan fraction — the IVF scale knob."""
     assert 1 <= nprobe <= n_centroids
-    c = corpus.select(
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
@@ -215,7 +230,11 @@ def ivf_cosine_topk(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    seeds = c.orderBy("vec_id").limit(n_centroids).collect()
+    seeds = (
+        c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc())
+        .limit(n_centroids)
+        .collect()
+    )
     centroids = [list(r.c_vec) for r in seeds]
 
     def _cell_scores(vec) -> Column:
@@ -280,7 +299,11 @@ def embedding_cosine_dup_pairs(
     materializes."""
     planes = _hyperplanes(dim, bits, tables, seed)
     bucketize = _srp_buckets_batch(planes)
-    v = df.select(
+    # same NULL/ragged guard as lsh_bucketed_cosine_topk: keep the Arrow
+    # batch rectangular so the BLAS matmul cannot throw on a bad row
+    v = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     banded = (

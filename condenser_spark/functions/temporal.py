@@ -71,14 +71,21 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    tb = (
-        F.col(tiebreak) if tiebreak is not None else F.lit(0)
-    )
+    # tiebreak orders in its NATIVE type — casting to double would silently
+    # NULL non-numeric tiebreaks (strings, timestamps) and make tie
+    # resolution nondeterministic.  The left side carries a typed NULL of the
+    # same type so the union stays schema-consistent.
+    if tiebreak is not None:
+        r_tb = F.col(tiebreak).alias("_tb")
+        l_tb = F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb")
+    else:
+        r_tb = F.lit(0).alias("_tb")
+        l_tb = F.lit(0).alias("_tb")
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        tb.cast("double").alias("_tb"),
+        r_tb,
         payload.alias("_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left.columns],
@@ -87,7 +94,7 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
-        F.lit(0.0).alias("_tb"),
+        l_tb,
         F.lit(None).cast(r.schema["_p"].dataType).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )

@@ -338,7 +338,7 @@ def ext_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_docs AS (SELECT DISTINCT sig, id FROM chunks)
     SELECT a.id AS doc_a, b.id AS doc_b,
            COUNT(*) AS n_shared_chunks,
-           SUM(s.nw) AS n_shared_windows
+           CAST(SUM(s.nw) AS BIGINT) AS n_shared_windows
     FROM sig_docs a
     JOIN sig_docs b ON a.sig = b.sig AND a.id < b.id
     JOIN per_sig s ON s.sig = a.sig
@@ -728,14 +728,20 @@ def ext_multimodal_feature_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @golden("ext_multimodal_features", None)
 def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full feature frame incl. the array<float> feature column (rows-only:
-    byte-histogram feature floats)."""
+    byte-histogram feature floats).  The array column is serialized to a
+    rounded CSV string so the driver canonicalizer (which hashes scalar cells)
+    can process the row set."""
     from condenser_spark.functions.multimodal import (
         extract_features,
         synthesize_media,
     )
 
     docs = _tables(spark, sf_dir)["documents"]
-    return extract_features(synthesize_media(docs), fake=True)
+    feats = extract_features(synthesize_media(docs), fake=True)
+    return feats.withColumn(
+        "feature",
+        F.concat_ws(",", F.transform("feature", lambda x: F.format_number(x, 4))),
+    )
 
 
 @golden("ext_multimodal_frames", None)

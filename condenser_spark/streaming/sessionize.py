@@ -206,13 +206,17 @@ def funnel_counts(
         *[F.count(F.col(f"t{i}")).alias(f"t{i}")
           for i in range(1, len(steps) + 1)]
     )
-    stack = ", ".join(
-        f"{i}, '{s}', t{i}" for i, s in enumerate(steps, start=1)
-    )
-    return tallies.select(
-        F.expr(f"stack({len(steps)}, {stack})")
-        .alias("step_index", "step", "n_users")
-    ).select(
-        F.col("step_index").cast("long"), "step",
-        F.col("n_users").cast("long"),
+    # unpivot via explode(array(struct..)) — step names travel as literals,
+    # never interpolated into SQL text (quotes/backslashes in an event-type
+    # name must not be able to break or inject into the plan)
+    rows = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(f"t{i}").cast("long").alias("n_users"),
+        )
+        for i, s in enumerate(steps, start=1)
+    ])
+    return tallies.select(F.explode(rows).alias("_r")).select(
+        "_r.step_index", "_r.step", "_r.n_users"
     )

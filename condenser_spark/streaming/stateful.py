@@ -57,10 +57,12 @@ def sessionize_stateful(
     watermark: str = "1 hour",
     user_col: str = "user_id",
     ts_col: str = "ts",
+    value_col: str = "value",
+    event_type_col: str = "event_type",
 ) -> DataFrame:
     """One output row per CLOSED session: (user_id, session_start, session_end,
     n_events, total_value, n_clicks).  Input must be a streaming DataFrame with
-    ``ts`` castable to timestamp and ``value``/``event_type`` columns."""
+    ``ts_col`` castable to timestamp plus ``value_col``/``event_type_col``."""
     gap_us = gap_minutes * 60 * 1_000_000
 
     def _emit(user: int, s: tuple) -> pd.DataFrame:
@@ -89,12 +91,12 @@ def sessionize_stateful(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch) == 0:
             return
-        batch["_us"] = batch["ts"].astype("int64") // 1000
+        batch["_us"] = batch[ts_col].astype("int64") // 1000
         batch = batch.sort_values("_us")
 
         cur: tuple[Any, ...] | None = tuple(state.get) if state.exists else None
-        for us, val, etype in zip(batch["_us"], batch["value"],
-                                  batch["event_type"]):
+        for us, val, etype in zip(batch["_us"], batch[value_col],
+                                  batch[event_type_col]):
             val = float(val) if val == val else 0.0  # NaN-safe
             click = 1 if etype == "click" else 0
             if cur is None:
@@ -103,8 +105,10 @@ def sessionize_stateful(
                 yield _emit(user, cur)  # closed within the batch
                 cur = (int(us), int(us), 1, val, click)
             else:
-                cur = (cur[0], int(us), cur[2] + 1, cur[3] + val,
-                       cur[4] + click)
+                # a late event (within watermark, earlier micro-batch already
+                # advanced the session) must never move the bounds backwards
+                cur = (min(cur[0], int(us)), max(cur[1], int(us)),
+                       cur[2] + 1, cur[3] + val, cur[4] + click)
         state.update(cur)
         # idle-close: when the watermark passes end + gap, hasTimedOut fires
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
