@@ -55,10 +55,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver evaluates at most the first 50 entries.  Register the
     # full-oracle goldens (hard value-hash checks) first, then the rows-only
     # ones (no SQL-expressible oracle), so the hard signals always fit the cap.
-    # Among the rows-only tail, prefer the entries whose recorded row carries
-    # the most information (multimodal features was an ERR fix; simhash covers
-    # the xxhash64 LSH family).
-    rows_only_priority = ["ext_multimodal_features", "ext_simhash_near_pairs"]
+    # With ext_srp_cosine_topk promoted to a full oracle (hyperplane-literal
+    # DuckDB SQL + left-fold JVM bucketing) there are 49 oracle entries; the
+    # one remaining rows-only slot goes to the IVF ANN operator, which has no
+    # engine-portable oracle (data-derived centroids) and otherwise carries
+    # zero driver signal.  The entries this rotates past the cap
+    # (multimodal_features, simhash_near_pairs, ...) were driver-recorded
+    # green in round 4 and stay pytest-pinned.
+    rows_only_priority = ["ext_ivf_cosine_topk"]
     ordered = {k: v for k, v in QUERIES.items() if k in ORACLES}
     for k in rows_only_priority:
         if k in QUERIES and k not in ORACLES:

@@ -12,11 +12,15 @@ never a ``collect`` of data rows.  The flagship subset uses
 ``materialize="persist"`` — the mode the engine recommends at scale for graphs
 this shallow (deep graphs use ``"parquet"``; see engine.py module docstring).
 
-Timing methodology: every query runs twice and the BEST run is reported.
-Run 1 pays whole-stage-codegen compilation + JVM JIT warm-up (measured ~13s of
-fixed overhead on the 128-field MinHash aggregate alone) — a per-plan-shape
-constant that amortizes to nothing at real scale, so steady-state is the
-honest throughput number.  ``runs_per_query`` in the output records this.
+Timing methodology: every query runs once UNTIMED (whole-stage-codegen
+compilation + JVM JIT warm-up — measured ~13s of fixed overhead on the
+128-field MinHash aggregate alone, a per-plan-shape constant that amortizes
+to nothing at real scale), then ``runs_per_query`` (3) timed steady-state
+runs, and the MEDIAN is reported.  Best-of-2 (rounds 1-4) could not
+distinguish a real regression from jitter: byte-identical code showed >=50%
+per-query swings across driver runs.  The median of 3 warm runs is robust to
+a single GC/compilation stall in either direction; ``timing`` in the output
+records the method.
 """
 
 from __future__ import annotations
@@ -66,13 +70,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     source = load_source_tables(spark, sf_dir)
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn, runs: int = 2):
-        best = float("inf")
+    def timed(name: str, fn, runs: int = 3):
+        fn()  # untimed warm-up: codegen + JIT for this plan shape
+        samples = []
         for _ in range(runs):
             t0 = time.time()
             fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     # 1. flagship: full middle-out subset, 10% of orders, closure, report
     def _flagship():
@@ -186,11 +192,12 @@ def main() -> int:
     timings = bench_queries(spark, SF_DIR)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "total_best_wall",
+        "metric": "total_median_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs_per_query": 2,
+        "runs_per_query": 3,
+        "timing": "median_of_3_steady_state_after_1_untimed_warmup",
         "sf": _sf_from_dir(SF_DIR),
     }))
     spark.stop()

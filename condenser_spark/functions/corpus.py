@@ -149,6 +149,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     text_col: str = "text",
     id_col: str = "doc_id",
+    shard_col: str | None = None,
 ) -> DataFrame:
     """First-fit-linear sequence packing: assign documents (in deterministic
     ``order_col`` order) to training bins of ~``budget_tokens`` whitespace
@@ -157,27 +158,60 @@ def pack_sequences(
     bin = floor((running_total - n_tokens) / budget): each bin holds the docs
     whose PRECEDING prefix-sum falls inside its budget window, so a bin can
     overflow by at most one document — the standard distribute-friendly
-    approximation (exact bin packing is inherently sequential).  One global
-    window; at real scale, partition by shard first and pack per shard."""
+    approximation (exact bin packing is inherently sequential).
+
+    Without ``shard_col`` the prefix sum is ONE global window — a
+    single-partition sort, fine up to tens of millions of docs, a
+    scale-killer beyond.  At real scale pass ``shard_col``: the window
+    becomes ``partitionBy(shard)`` (each shard's prefix sum is an independent
+    task), and per-shard local bins are made globally unique by adding a
+    per-shard offset = the cumulative bin count of all preceding shards.
+    The offset computation is itself a window, but over ONE ROW PER SHARD —
+    thousands of rows, not documents — so its single-partition sort is
+    driver-trivial, and the offsets broadcast back into the join.  Bin ids
+    stay dense (0..total_bins-1) and deterministic in (shard, order, id)
+    order."""
     n_tok = token_count(F.col(text_col))
     # ROWS frame (not the orderBy default RANGE): duplicate order keys must
     # still accumulate one doc at a time, per the documented semantics.  The
     # id tiebreak keeps the per-row prefix sum deterministic on ties.
-    w = (
-        Window.orderBy(F.col(order_col).asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = [F.col(order_col).asc(), F.col(id_col).asc()]
+    base = Window.partitionBy(shard_col) if shard_col else Window
+    w = base.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     running = F.sum("n_tokens").over(w)
     cols = [F.col(id_col), n_tok.alias("n_tokens")]
     if order_col != id_col:
         cols.append(F.col(order_col))
+    if shard_col and shard_col not in (id_col, order_col):
+        cols.append(F.col(shard_col))
     packed = df.select(*cols).withColumn(
         "bin_id",
         F.floor(
             (running - F.col("n_tokens")) / F.lit(budget_tokens)
         ).cast("long"),
     )
-    return packed.select(id_col, "n_tokens", "bin_id")
+    if shard_col is None:
+        return packed.select(id_col, "n_tokens", "bin_id")
+    # globalize per-shard bins: offset(shard) = sum of bin counts of all
+    # preceding shards (shard order = shard key order, deterministic)
+    shard_sizes = packed.groupBy(shard_col).agg(
+        (F.max("bin_id") + 1).alias("_n_bins")
+    )
+    off_w = (
+        Window.orderBy(F.col(shard_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = shard_sizes.select(
+        F.col(shard_col),
+        F.coalesce(F.sum("_n_bins").over(off_w), F.lit(0)).alias("_offset"),
+    )
+    return (
+        packed.join(F.broadcast(offsets), on=shard_col)
+        .withColumn("bin_id", (F.col("bin_id") + F.col("_offset")).cast("long"))
+        .select(id_col, "n_tokens", "bin_id")
+    )
 
 
 def numeric_profile(

@@ -28,10 +28,14 @@ MinHash recall against exact Jaccard.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from condenser_spark.functions.text import document_fingerprint
+
+logger = logging.getLogger(__name__)
 
 # deterministic mix constants for the k minhash "permutations"
 # h_i(x) = (a_i * x + b_i) mod p over the (xxhash64 mod p) shingle hash.
@@ -237,16 +241,34 @@ def _cap_band_buckets(
     that bucket's size (10^5 docs in one bucket = 10^10 candidate rows).  The
     same reasoning as ``max_shingle_df`` on the shingle paths: members of a
     mega-bucket are boilerplate near-identical; the exact-dedup / fingerprint
-    path is the right tool for them, not pairwise LSH.  One extra shuffle on
-    the same (band, bucket) key the join uses."""
+    path is the right tool for them, not pairwise LSH (``near_dedup_documents``
+    composes that routing: exact pre-collapse before LSH).  One extra shuffle
+    on the same (band, bucket) key the join uses.
+
+    The cap is never silent: enable INFO on this module's logger and the
+    number of dropped (band, bucket) groups is counted and logged.  The count
+    is an extra Spark job, so it only runs when the level is enabled —
+    observability is opt-in by log level, not by code change."""
     if max_bucket_size is None:
         return banded
     w = Window.partitionBy("band", "bucket")
-    return (
-        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
-        .drop("_bsz")
-    )
+    sized = banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+    if logger.isEnabledFor(logging.INFO):
+        dropped = (
+            sized.filter(F.col("_bsz") > max_bucket_size)
+            .select("band", "bucket")
+            .distinct()
+            .count()
+        )
+        if dropped:
+            logger.info(
+                "LSH bucket cap (max_bucket_size=%d) dropped %d (band, bucket) "
+                "groups before the self-join; members of those groups can only "
+                "pair via other bands or the exact-fingerprint path",
+                max_bucket_size,
+                dropped,
+            )
+    return sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
 
 
 def minhash_lsh_pairs(
@@ -390,19 +412,44 @@ def near_dedup_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Keep-rows near-dedup: MinHash-LSH pairs -> connected components -> keep
-    the min-id document of every cluster.  The end-to-end 100 TB dedup
-    pipeline in one call: candidate generation never goes quadratic
-    (banded LSH), clustering never leaves the executors (label propagation),
-    and non-duplicate documents pass through untouched (left-anti on the
-    non-survivor set)."""
-    pairs = minhash_lsh_pairs(df, n=n, threshold=threshold,
+    """Keep-rows near-dedup: exact-fingerprint pre-collapse -> MinHash-LSH
+    pairs on representatives -> connected components -> keep the min-id
+    document of every (exact ∪ near) cluster.  The end-to-end 100 TB dedup
+    pipeline in one call: candidate generation never goes quadratic (banded
+    LSH), clustering never leaves the executors (label propagation), and
+    non-duplicate documents pass through untouched (left-anti on the
+    non-survivor set).
+
+    The exact pre-collapse is load-bearing at scale, not an optimization: LSH
+    alone routes a >``max_bucket_size`` group of identical documents (mass-
+    duplicated boilerplate — the single most common shape web-scale dedup
+    exists for) into capped band buckets that emit ZERO pairs, silently
+    keeping every copy.  Collapsing each normalized-text fingerprint group to
+    its min-id representative first (one hash-aggregate on (fingerprint, id)
+    — bodies never shuffle) removes every identical copy unconditionally AND
+    shrinks a mega-group to one LSH row, so the bucket cap only ever prunes
+    genuinely-distinct near-miss crowds.  Because each representative is
+    already the min id of its exact group, the min-id survivor of an LSH
+    cluster of representatives is the min-id document of the full expanded
+    cluster — the output is identical to uncapped LSH-only dedup, at a
+    fraction of the candidate volume."""
+    # 1. exact collapse: min-id representative per normalized-text fingerprint
+    reps = df.join(
+        exact_dedup(df, text_col, id_col).select(id_col), on=id_col,
+        how="left_semi",
+    )
+    # 2. near-dup clustering over representatives only
+    pairs = minhash_lsh_pairs(reps, n=n, threshold=threshold,
                               text_col=text_col, id_col=id_col)
     clusters = dup_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+    lsh_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)
     )
-    return df.join(losers, on=id_col, how="left_anti")
+    # 3. expand: survivors = representatives that won their LSH cluster;
+    #    everything else (exact copies + losing representatives) drops
+    survivors = reps.select(id_col).join(lsh_losers, on=id_col,
+                                         how="left_anti")
+    return df.join(survivors, on=id_col, how="left_semi")
 
 
 def simhash_signatures(

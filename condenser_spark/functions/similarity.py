@@ -127,6 +127,35 @@ def _srp_buckets_batch(planes: list[list[list[float]]]):
     return pandas_udf(buckets, ArrayType(LongType()))
 
 
+def _srp_buckets_exprs(planes: list[list[list[float]]], vec) -> Column:
+    """JVM-expression SRP bucketing: same contract as ``_srp_buckets_batch``
+    (vector column -> array of per-table bucket ids) but built from plain
+    Catalyst expressions with a LEFT-FOLD summation order.
+
+    Purpose: cross-engine bit-exactness, not speed.  The Arrow/numpy batch
+    path sums projections in BLAS order (pairwise/SIMD), which another engine
+    cannot reproduce on knife-edge projections; this form evaluates
+    ``v[1]*p1 + v[2]*p2 + ...`` strictly left-to-right — the same IEEE
+    operation sequence a left-associative SQL sum performs — so an oracle
+    engine given the same plane literals computes identical signs, hence
+    identical buckets.  Used by the golden-query gate; production calls keep
+    the ~10x-faster Arrow path (candidate recall is the only thing at stake
+    there, not correctness: exact cosine re-ranks downstream either way)."""
+    tbl_buckets = []
+    for table in planes:
+        bucket = F.lit(0).cast("long")
+        for b, plane in enumerate(table):
+            proj = None
+            for d, comp in enumerate(plane):
+                term = F.element_at(vec, d + 1) * F.lit(comp)
+                proj = term if proj is None else proj + term
+            bucket = bucket + (
+                F.when(proj >= 0.0, F.lit(1 << b)).otherwise(F.lit(0))
+            ).cast("long")
+        tbl_buckets.append(bucket)
+    return F.array(*tbl_buckets)
+
+
 def lsh_bucketed_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,13 +167,21 @@ def lsh_bucketed_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH + exact re-rank.
 
     Same output schema as brute force.  Recall < 1.0 by construction; raise
-    ``tables`` (or lower ``bits``) for more."""
+    ``tables`` (or lower ``bits``) for more.  ``use_arrow=False`` switches
+    bucketing from the numpy batch kernel to left-fold JVM expressions —
+    bit-reproducible by any engine given the same hyperplane literals (the
+    oracle-gate path; see ``_srp_buckets_exprs``)."""
     planes = _hyperplanes(dim, bits, tables, seed)
-    bucketize = _srp_buckets_batch(planes)
+    if use_arrow:
+        bucketize = _srp_buckets_batch(planes)
+    else:
+        def bucketize(col_name):
+            return _srp_buckets_exprs(planes, F.col(col_name))
     # NULL / wrong-dimension embeddings would turn the Arrow batch into an
     # object ndarray and fail the matmul (killing the whole job, where a JVM
     # expression would just emit NULL) — drop them before the UDF, matching
@@ -218,7 +255,17 @@ def ivf_cosine_topk(
 
     ``nprobe == n_centroids`` probes every cell and reproduces brute force
     exactly (the property the test suite pins); smaller ``nprobe`` trades
-    recall for a 1/nprobe scan fraction — the IVF scale knob."""
+    recall for a 1/nprobe scan fraction — the IVF scale knob.
+
+    NULL / ragged-vector discipline (mirrors ``lsh_bucketed_cosine_topk``):
+    queries and corpus are both filtered to non-NULL vectors of one
+    consistent dimension BEFORE seeding — a ragged vector chosen as a
+    centroid would NULL every corpus row's score for that cell, and a NULL
+    query vector would emit NULL-cosine rows that can still rank when a cell
+    holds fewer than k candidates.  The dimension is inferred from the seed
+    sample (modal length over 2x``n_centroids`` hash-ordered rows) so the
+    operator needs no ``dim`` parameter and a minority of corrupt rows
+    cannot poison it."""
     assert 1 <= nprobe <= n_centroids
     c = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
@@ -226,16 +273,26 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    q = queries.select(
+    seeds = (
+        c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc())
+        .limit(2 * n_centroids)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("ivf_cosine_topk: corpus has no non-empty vectors")
+    lengths = [len(r.c_vec) for r in seeds]
+    dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
+    centroids = [list(r.c_vec) for r in seeds if len(r.c_vec) == dim][
+        :n_centroids
+    ]
+    nprobe = min(nprobe, len(centroids))
+    c = c.filter(F.size("c_vec") == dim)
+    q = queries.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    seeds = (
-        c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc())
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [list(r.c_vec) for r in seeds]
 
     def _cell_scores(vec) -> Column:
         # array of (cosine-to-centroid, cell_idx) structs, one per centroid

@@ -3,11 +3,13 @@ plus the S9/S13 harness operators — registered into the same QUERIES/ORACLES
 maps as the core §2 goldens (condenser_spark.goldens).
 
 Oracle-expressible operators carry full DuckDB SQL; operators built on Spark's
-``xxhash64`` (MinHash / SimHash) or on seeded random hyperplanes (SRP-LSH)
-cannot be reproduced by another engine, so they are declared rows-only — the
-driver records a weaker rows-present check, and the pytest suite
-(tests/test_extensions.py) cross-validates their recall against the exact
-oracle-checked operators.
+``xxhash64`` (MinHash / SimHash) cannot be reproduced by another engine, so
+they are declared rows-only — the driver records a weaker rows-present check,
+and the pytest suite (tests/test_extensions.py) cross-validates their recall
+against the exact oracle-checked operators.  SRP-LSH IS oracle-expressible:
+its hyperplanes are driver-side floats that embed into the SQL as literals,
+and a left-fold JVM bucketing path makes the sign computation bit-identical
+across engines (see ``_srp_oracle_sql``).
 
 Float discipline for the oracles: every cross-engine float is either derived
 from exact integers (jaccard = intersection/union of counts), computed in
@@ -622,17 +624,85 @@ def ext_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=3)
 
 
-@golden("ext_srp_cosine_topk", None)
+def _srp_oracle_sql(
+    dim: int = 64, bits: int = 8, tables: int = 4, seed: int = 42, k: int = 10
+) -> str:
+    """Full DuckDB oracle for SRP-LSH top-k — the hyperplanes are seeded
+    driver-side floats, so they EMBED into the SQL as literals, and the
+    Spark golden runs the left-fold JVM bucketing path
+    (``use_arrow=False``): both engines then evaluate the identical
+    left-associative IEEE-double operation sequence ``e[1]*p1 + e[2]*p2 +
+    ...`` per hyperplane, making sign bits — hence buckets, hence the
+    candidate set, hence the exactly re-ranked top-k — bit-reproducible
+    across engines.  The Arrow/numpy production path is NOT used here
+    precisely because BLAS summation order differs."""
+    from condenser_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def proj(plane: list[float]) -> str:
+        return " + ".join(
+            f"e[{d + 1}]*({comp!r})" for d, comp in enumerate(plane)
+        )
+
+    def bucket(table: list[list[float]]) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({proj(plane)}) >= 0 THEN {1 << b} ELSE 0 END)"
+            for b, plane in enumerate(table)
+        )
+
+    bucket_list = ", ".join(f"({bucket(t)})" for t in planes)
+    tbl_list = ", ".join(str(i) for i in range(tables))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    cb AS (
+      SELECT vec_id, unnest([{tbl_list}]) AS tbl,
+             unnest([{bucket_list}]) AS bucket
+      FROM v
+    ),
+    qb AS (
+      SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id
+      FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             ROUND(list_dot_product(qv.e, cv.e) /
+                   (sqrt(list_dot_product(qv.e, qv.e)) *
+                    sqrt(list_dot_product(cv.e, cv.e))), 4) AS cosine_sim
+      FROM cand
+      JOIN v qv ON qv.vec_id = cand.query_id
+      JOIN v cv ON cv.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, vec_id ASC) AS rank FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@golden("ext_srp_cosine_topk", _srp_oracle_sql())
 def ext_srp_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-random-projection LSH + exact re-rank
-    (rows-only: bucketing depends on seeded driver-side hyperplanes; recall vs
-    brute force is pinned in tests/test_extensions.py)."""
+    """Approximate top-k via sign-random-projection LSH + exact re-rank,
+    under the FULL value oracle: the golden runs the left-fold JVM bucketing
+    (``use_arrow=False``) against a DuckDB oracle carrying the same
+    hyperplane literals (see ``_srp_oracle_sql``), pinning bucket
+    assignment, candidate generation, and the re-ranked top-k end to end.
+    Arrow-path equivalence on this fixture is pinned separately in pytest
+    (condenser_spark/functions/similarity.py:lsh_bucketed_cosine_topk)."""
     from condenser_spark.functions.similarity import lsh_bucketed_cosine_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return lsh_bucketed_cosine_topk(
-        emb, emb.filter("vec_id < 8"), k=10, dim=64, query_id_col="vec_id"
+    out = lsh_bucketed_cosine_topk(
+        emb, emb.filter("vec_id < 8"), k=10, dim=64, query_id_col="vec_id",
+        use_arrow=False,
     )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @golden("ext_ivf_cosine_topk", None)
@@ -738,9 +808,14 @@ def ext_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tables(spark, sf_dir)["documents"]
     feats = extract_features(synthesize_media(docs), fake=True)
+    # format_string (printf), NOT format_number: the latter inserts locale
+    # grouping separators at >= 1000, which would collide with the comma
+    # join the moment feature values grow past the current ~32 bound
     return feats.withColumn(
         "feature",
-        F.concat_ws(",", F.transform("feature", lambda x: F.format_number(x, 4))),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.4f", x))
+        ),
     )
 
 

@@ -92,23 +92,48 @@ def sessionize_stateful(
         if len(batch) == 0:
             return
         batch["_us"] = batch[ts_col].astype("int64") // 1000
-        batch = batch.sort_values("_us")
 
-        cur: tuple[Any, ...] | None = tuple(state.get) if state.exists else None
-        for us, val, etype in zip(batch["_us"], batch[value_col],
-                                  batch[event_type_col]):
-            val = float(val) if val == val else 0.0  # NaN-safe
-            click = 1 if etype == "click" else 0
-            if cur is None:
-                cur = (int(us), int(us), 1, val, click)
-            elif us - cur[1] > gap_us:
-                yield _emit(user, cur)  # closed within the batch
-                cur = (int(us), int(us), 1, val, click)
+        # Gap-merge over sorted atoms: each event is a single-point session
+        # atom; the open session carried in state is one more atom.  Sorting
+        # by start and merging adjacent atoms whose gap is <= the threshold
+        # handles every arrival order with ONE rule — in-order events extend
+        # the open session, a within-gap late event widens its bounds (the
+        # bounds only ever move outward), and a late event older than
+        # session_start - gap forms its OWN earlier session instead of being
+        # absorbed and silently stretching the open session past gap
+        # semantics.  Everything but the maximum-start session closed within
+        # this batch and is emitted now; the last stays in state.
+        atoms: list[tuple[Any, ...]] = [
+            (
+                int(us),
+                int(us),
+                1,
+                float(val) if val == val else 0.0,  # NaN-safe
+                1 if etype == "click" else 0,
+            )
+            for us, val, etype in zip(
+                batch["_us"], batch[value_col], batch[event_type_col]
+            )
+        ]
+        if state.exists:
+            atoms.append(tuple(state.get))
+        atoms.sort(key=lambda a: (a[0], a[1]))
+        merged = [atoms[0]]
+        for a in atoms[1:]:
+            last = merged[-1]
+            if a[0] - last[1] <= gap_us:
+                merged[-1] = (
+                    min(last[0], a[0]),
+                    max(last[1], a[1]),
+                    last[2] + a[2],
+                    last[3] + a[3],
+                    last[4] + a[4],
+                )
             else:
-                # a late event (within watermark, earlier micro-batch already
-                # advanced the session) must never move the bounds backwards
-                cur = (min(cur[0], int(us)), max(cur[1], int(us)),
-                       cur[2] + 1, cur[3] + val, cur[4] + click)
+                merged.append(a)
+        for closed in merged[:-1]:
+            yield _emit(user, closed)
+        cur = merged[-1]
         state.update(cur)
         # idle-close: when the watermark passes end + gap, hasTimedOut fires
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_minutes * 60 * 1000)
