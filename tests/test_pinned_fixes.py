@@ -1,0 +1,382 @@
+"""Regression pins for the round-4/5 behavioral fixes.
+
+Each test targets ONE specific fix that was previously verified only by
+ad-hoc judge runs, and is constructed to FAIL on the pre-fix code:
+
+* funnel_counts: struct-literal unpivot (step names with quotes must not be
+  able to break or inject into the plan — the old ``stack()`` string
+  interpolation did).
+* asof_join: tiebreak ordering in its NATIVE type (the old double cast
+  silently NULLed string tiebreaks -> nondeterministic winner).
+* pack_sequences: ROWS window frame with id tie-break (the default RANGE
+  frame gave every duplicate order key the same prefix sum), plus the
+  shard-partitioned variant (no global single-partition sort at scale).
+* lsh_bucketed_cosine_topk / embedding_cosine_dup_pairs / ivf_cosine_topk:
+  NULL / wrong-dimension embedding guards (an object ndarray used to kill
+  the Arrow matmul; a ragged centroid used to NULL a whole IVF cell).
+* minhash_lsh_pairs: the band-bucket skew cap, and the exact-fingerprint
+  pre-collapse in near_dedup_documents that keeps the cap from turning
+  mass-duplicated boilerplate into a recall hole.
+* sessionize_stateful: column-name closure (renamed ts/value/event_type
+  columns) and gap-merge late-event semantics (an event older than
+  session_start - gap becomes its own closed session, never stretches the
+  open one).
+* SRP left-fold JVM bucketing path == Arrow/BLAS path on the fixture (the
+  equivalence the ext_srp_cosine_topk full oracle relies on).
+"""
+
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- funnel
+
+def test_funnel_counts_quoted_step_names(spark):
+    """Step names containing quotes/backslashes flow through as literals.
+
+    Pre-fix, steps were interpolated into a ``stack(...)`` SQL string: a
+    quote in an event-type name broke the parse (or worse, injected)."""
+    from datetime import datetime
+
+    from condenser_spark.streaming.sessionize import funnel_counts
+
+    nasty = ["it's a 'step'", 'say "go"', "back\\slash"]
+    rows = [
+        (1, datetime(2024, 1, 1, 1), 1, nasty[0], 0.0, ""),
+        (2, datetime(2024, 1, 1, 2), 1, nasty[1], 0.0, ""),
+        (3, datetime(2024, 1, 1, 3), 1, nasty[2], 0.0, ""),
+        (4, datetime(2024, 1, 1, 1), 2, nasty[0], 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    got = {r.step: r.n_users for r in funnel_counts(ev, nasty).collect()}
+    assert got == {nasty[0]: 2, nasty[1]: 1, nasty[2]: 1}
+
+
+# --------------------------------------------------------------- asof join
+
+def test_asof_join_string_tiebreak_max_wins(spark):
+    """Among right rows sharing (key, ts), the max STRING tiebreak wins.
+
+    Pre-fix the tiebreak was cast to double, so a string tiebreak became
+    NULL for every row and the winner was whatever sort order fell out."""
+    from datetime import datetime
+
+    from condenser_spark.functions.temporal import asof_join
+
+    t = datetime(2024, 1, 1, 12)
+    left = spark.createDataFrame([(1, t)], "k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t, "aaa", 10.0), (1, t, "zzz", 20.0), (1, t, "mmm", 15.0)],
+        "k long, ts timestamp, src string, px double",
+    )
+    out = asof_join(left, right, on="k", tiebreak="src").collect()
+    assert len(out) == 1
+    assert out[0].src_asof == "zzz"
+    assert out[0].px_asof == 20.0
+
+
+# --------------------------------------------------------------- packing
+
+def test_pack_sequences_duplicate_order_keys(spark):
+    """order_col != id_col with DUPLICATE order keys: the ROWS frame
+    accumulates one document at a time in (order, id) order.
+
+    Pre-fix (default RANGE frame) all rows sharing an order key got the
+    same prefix sum, so ties landed in the same (wrong) bin."""
+    from condenser_spark.functions.corpus import pack_sequences
+
+    text5 = "a b c d e"  # 5 whitespace tokens
+    docs = spark.createDataFrame(
+        [(1, 10, text5), (2, 10, text5), (3, 10, text5), (4, 20, text5)],
+        "doc_id long, prio long, text string",
+    )
+    out = {
+        r.doc_id: r.bin_id
+        for r in pack_sequences(
+            docs, budget_tokens=8, order_col="prio"
+        ).collect()
+    }
+    # prefix sums in (prio, doc_id) order: 5,10,15,20 ->
+    # bin = floor((run-5)/8) = 0,0,1,1
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_pack_sequences_sharded_matches_and_partitions(spark):
+    """shard_col: per-shard windows (no global single-partition sort over
+    documents), globally dense deterministic bin ids, and bin membership
+    identical to packing each shard independently."""
+    from condenser_spark.functions.corpus import pack_sequences
+
+    text5 = "a b c d e"
+    rows = [(i, "s%d" % (i % 3), text5) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, shard string, text string")
+
+    sharded = pack_sequences(docs, budget_tokens=12, shard_col="shard")
+    got = {r.doc_id: (r.n_tokens, r.bin_id) for r in sharded.collect()}
+    assert len(got) == 30
+
+    # bin ids are dense 0..total_bins-1
+    bins = sorted({b for _, b in got.values()})
+    assert bins == list(range(len(bins)))
+
+    # equivalent to independent per-shard packing with a cumulative offset
+    offset = 0
+    for shard in sorted({r[1] for r in rows}):
+        sub = docs.filter(F.col("shard") == shard)
+        local = {
+            r.doc_id: r.bin_id
+            for r in pack_sequences(sub, budget_tokens=12).collect()
+        }
+        n_bins = max(local.values()) + 1
+        for doc_id, local_bin in local.items():
+            assert got[doc_id][1] == local_bin + offset, doc_id
+        offset += n_bins
+
+    # the document-level window partitions by shard: its windowspecdefinition
+    # carries the shard column (the unsharded form has an empty partition spec
+    # -> Exchange SinglePartition over every document)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(shard#" in plan
+    unsharded_plan = (
+        pack_sequences(docs, budget_tokens=12)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" in unsharded_plan
+
+
+# --------------------------------------------------------------- ANN guards
+
+def _emb_df(spark, n=40, dim=8):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_srp_null_and_ragged_embeddings(spark):
+    """NULL / wrong-dimension embeddings are dropped before the Arrow batch
+    (pre-fix: object ndarray -> matmul ValueError kills the job) and can
+    never appear as candidates."""
+    from condenser_spark.functions.similarity import (
+        embedding_cosine_dup_pairs,
+        lsh_bucketed_cosine_topk,
+    )
+
+    good = _emb_df(spark, n=20, dim=8)
+    bad = spark.createDataFrame(
+        [(100, None), (101, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    emb = good.unionByName(bad)
+    out = lsh_bucketed_cosine_topk(
+        emb, emb.filter("vec_id < 4"), k=5, dim=8, bits=4, tables=2
+    ).collect()
+    assert out  # did not crash
+    assert all(r.vec_id not in (100, 101) for r in out)
+    # a NULL-vector query yields no rows rather than NULL-cosine rows
+    null_q = lsh_bucketed_cosine_topk(
+        emb, bad, k=5, dim=8, bits=4, tables=2
+    ).collect()
+    assert null_q == []
+
+    pairs = embedding_cosine_dup_pairs(
+        emb, threshold=0.0, dim=8, bits=2, tables=1
+    ).collect()
+    assert all(
+        r.id_a not in (100, 101) and r.id_b not in (100, 101) for r in pairs
+    )
+
+
+def test_ivf_null_query_and_ragged_corpus(spark):
+    """IVF drops NULL queries and wrong-length corpus vectors before seeding:
+    a ragged centroid would NULL every score in its cell, and a NULL query
+    would emit NULL-cosine rows that still rank when candidates < k.
+    Full-probe must equal brute force on the clean subset."""
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    good = _emb_df(spark, n=30, dim=8)
+    bad = spark.createDataFrame(
+        [(200, None), (201, [1.0]), (202, [2.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    emb = good.unionByName(bad)
+    queries = emb.filter("vec_id < 3 OR vec_id = 200")
+    got = ivf_cosine_topk(
+        emb, queries, k=5, n_centroids=4, nprobe=4
+    ).orderBy("query_id", "rank").collect()
+    want = brute_force_cosine_topk(
+        good, good.filter("vec_id < 3"), k=5
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_srp_expr_path_matches_arrow(spark, sf_dir):
+    """The left-fold JVM bucketing (oracle-gate path, use_arrow=False)
+    produces the same top-k as the Arrow/BLAS batch path on the fixture —
+    the equivalence the ext_srp_cosine_topk full oracle relies on."""
+    from condenser_spark.functions.similarity import lsh_bucketed_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 8")
+    arrow = lsh_bucketed_cosine_topk(
+        emb, q, k=10, dim=64, query_id_col="vec_id", use_arrow=True
+    ).orderBy("query_id", "rank").collect()
+    exprs = lsh_bucketed_cosine_topk(
+        emb, q, k=10, dim=64, query_id_col="vec_id", use_arrow=False
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in exprs]
+
+
+# --------------------------------------------------------------- LSH cap
+
+_BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def test_minhash_cap_drops_mega_bucket_pairs(spark):
+    """A tiny max_bucket_size on a degenerate (identical-doc) corpus emits
+    ZERO pairs — the documented cap behavior that makes the exact
+    pre-collapse in near_dedup_documents load-bearing, not optional."""
+    from condenser_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, _BOILER) for i in range(300)], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_pairs(docs, max_bucket_size=10)
+    assert pairs.count() == 0
+    # and with the cap off the same corpus pairs freely
+    some = minhash_lsh_pairs(
+        docs.filter("doc_id < 20"), max_bucket_size=None
+    )
+    assert some.count() == 19 * 20 / 2
+
+
+def test_near_dedup_pre_collapse_survives_bucket_cap(spark, monkeypatch):
+    """300 identical docs + distinct singletons, LSH bucket cap forced to 10:
+    near_dedup_documents still collapses the boilerplate group to its min-id
+    representative because exact-fingerprint pre-collapse runs BEFORE LSH.
+
+    Pre-fix (LSH-only composition) the capped buckets emitted zero pairs and
+    every one of the 300 copies was silently kept."""
+    import condenser_spark.functions.dedup as dd
+
+    orig = dd.minhash_lsh_pairs
+
+    def capped(*args, **kwargs):
+        kwargs["max_bucket_size"] = 10
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(dd, "minhash_lsh_pairs", capped)
+
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine",
+    ]
+    rows = [(i, _BOILER) for i in range(300)] + [
+        (1000 + i, t) for i, t in enumerate(uniq)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r.doc_id for r in dd.near_dedup_documents(docs).select("doc_id").collect()
+    )
+    assert kept == [0, 1000, 1001]
+
+
+# --------------------------------------------------------------- stateful
+
+def _start_file_stream(spark, tmp_path, frames, name, max_files=None,
+                       **kwargs):
+    """Write each pandas-able DataFrame in ``frames`` as its own parquet file
+    (ordered by mtime), stream the directory, run sessionize_stateful."""
+    from condenser_spark.streaming.stateful import sessionize_stateful
+
+    stream_dir = tmp_path / name
+    stream_dir.mkdir()
+    schema = frames[0].schema
+    for i, df in enumerate(frames):
+        tmp_out = tmp_path / f"{name}_w{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+        part = next(tmp_out.glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"file-{i}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    reader = spark.readStream.schema(schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(str(stream_dir))
+    q = (
+        sessionize_stateful(stream, gap_minutes=30, watermark="10 hours",
+                            **kwargs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stateful_renamed_columns(spark, tmp_path):
+    """sessionize_stateful with NON-default ts/value/event_type column names:
+    pre-fix the state function closed over the default names and KeyErrored
+    (or silently misread) renamed frames."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, 0) + __import__(
+        "datetime"
+    ).timedelta(minutes=m)
+    rows = [
+        (1, t(0), 5.0, "click"),
+        (1, t(10), 7.0, "view"),
+        # > gap later: first session closes within the batch
+        (1, t(120), 1.0, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_ts timestamp, amount double, etype string"
+    )
+    got = _start_file_stream(
+        spark, tmp_path, [df], "renamed_sessions",
+        ts_col="event_ts", value_col="amount", event_type_col="etype",
+    ).collect()
+    assert len(got) == 1  # the t(120) session stays open in state
+    s = got[0]
+    assert s.n_events == 2
+    assert abs(s.total_value - 12.0) < 1e-9
+    assert s.n_clicks == 1
+    assert s.session_start == t(0) and s.session_end == t(10)
+
+
+def test_stateful_late_event_is_own_session(spark, tmp_path):
+    """A late event older than session_start - gap becomes its OWN closed
+    session.  Pre-fix, min() absorbed it into the open session, silently
+    stretching the bounds across a > gap hole."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, 0) + __import__(
+        "datetime"
+    ).timedelta(minutes=m)
+    batch1 = spark.createDataFrame(
+        [(1, t(200), 2.0, "click"), (1, t(210), 3.0, "view")],
+        "user_id long, ts timestamp, value double, event_type string",
+    )
+    batch2 = spark.createDataFrame(
+        [(1, t(0), 9.0, "view")],  # late: 0 < 200 - 30
+        "user_id long, ts timestamp, value double, event_type string",
+    )
+    got = _start_file_stream(
+        spark, tmp_path, [batch1, batch2], "late_sessions", max_files=1
+    ).collect()
+    # the late event closed as a single-event session; the (200,210) session
+    # remains open in state, bounds untouched
+    assert len(got) == 1
+    s = got[0]
+    assert s.session_start == t(0) and s.session_end == t(0)
+    assert s.n_events == 1 and s.n_clicks == 0
+    assert abs(s.total_value - 9.0) < 1e-9
