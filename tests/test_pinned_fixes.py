@@ -177,13 +177,14 @@ def test_srp_null_and_ragged_embeddings(spark):
     )
     emb = good.unionByName(bad)
     out = lsh_bucketed_cosine_topk(
-        emb, emb.filter("vec_id < 4"), k=5, dim=8, bits=4, tables=2
+        emb, emb.filter("vec_id < 4"), k=5, dim=8, bits=4, tables=2,
+        query_id_col="vec_id",
     ).collect()
     assert out  # did not crash
     assert all(r.vec_id not in (100, 101) for r in out)
     # a NULL-vector query yields no rows rather than NULL-cosine rows
     null_q = lsh_bucketed_cosine_topk(
-        emb, bad, k=5, dim=8, bits=4, tables=2
+        emb, bad, k=5, dim=8, bits=4, tables=2, query_id_col="vec_id"
     ).collect()
     assert null_q == []
 
@@ -213,10 +214,10 @@ def test_ivf_null_query_and_ragged_corpus(spark):
     emb = good.unionByName(bad)
     queries = emb.filter("vec_id < 3 OR vec_id = 200")
     got = ivf_cosine_topk(
-        emb, queries, k=5, n_centroids=4, nprobe=4
+        emb, queries, k=5, n_centroids=4, nprobe=4, query_id_col="vec_id"
     ).orderBy("query_id", "rank").collect()
     want = brute_force_cosine_topk(
-        good, good.filter("vec_id < 3"), k=5
+        good, good.filter("vec_id < 3"), k=5, query_id_col="vec_id"
     ).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
@@ -229,11 +230,16 @@ def test_srp_expr_path_matches_arrow(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 8")
+    # bits=4, tables=2 keeps the use_arrow=False left-fold expression tree
+    # small enough to plan under the test driver heap (dim=64 x default
+    # bits/tables OOMs the broadcast build).
     arrow = lsh_bucketed_cosine_topk(
-        emb, q, k=10, dim=64, query_id_col="vec_id", use_arrow=True
+        emb, q, k=10, dim=64, bits=4, tables=2,
+        query_id_col="vec_id", use_arrow=True,
     ).orderBy("query_id", "rank").collect()
     exprs = lsh_bucketed_cosine_topk(
-        emb, q, k=10, dim=64, query_id_col="vec_id", use_arrow=False
+        emb, q, k=10, dim=64, bits=4, tables=2,
+        query_id_col="vec_id", use_arrow=False,
     ).orderBy("query_id", "rank").collect()
     assert [tuple(r) for r in arrow] == [tuple(r) for r in exprs]
 
