@@ -27,3 +27,15 @@ def source(spark, sf_dir):
     from condenser_spark.registry import load_source_tables
 
     return load_source_tables(spark, sf_dir)
+
+
+def normalize_event_ts(df):
+    """Make the events fixture's ``ts`` a proper event-time TIMESTAMP whether
+    the parquet surfaced it as nanos-as-long (session.NANOS_CONF on ns-precision
+    files) or as a native timestamp (us-precision files)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))

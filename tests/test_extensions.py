@@ -234,13 +234,11 @@ def test_sessionize_stream_smoke(spark, sf_dir, tmp_path):
     stream_dir = tmp_path / "events_stream"
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
+    from tests.conftest import normalize_event_ts
+
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .parquet(str(stream_dir))
-        # raw fixture ts is nanos-as-long (see session.NANOS_CONF); event-time
-        # columns must be TIMESTAMP
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(ev_schema).parquet(str(stream_dir))
     )
     sessions = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
     q = (

@@ -6,6 +6,8 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from tests.conftest import normalize_event_ts
+
 
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     from condenser_spark.streaming.sessionize import session_stats
@@ -15,11 +17,8 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     stream_dir.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .parquet(str(stream_dir))
-        # raw fixture ts is nanos-as-long (session.NANOS_CONF)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(ev_schema).parquet(str(stream_dir))
     )
     sessions = sessionize_stateful(stream, gap_minutes=30, watermark="1 hour")
     q = (
@@ -36,9 +35,7 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
 
     # batch truth: every emitted (closed) session must match a batch session
     # exactly on (user, start, end, n_events)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     truth = session_stats(ev, gap_minutes=30).select(
         "user_id",
         F.col("t_start").cast("timestamp").alias("session_start"),
@@ -79,10 +76,8 @@ def test_dedup_stream_exactly_once(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-1.parquet")
     ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(ev_schema)
-        .parquet(str(stream_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(ev_schema).parquet(str(stream_dir))
     )
     q = (
         dedup_stream(stream, keys=["event_id"], watermark="1 hour")
