@@ -237,6 +237,7 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per query,
@@ -265,7 +266,17 @@ def ivf_cosine_topk(
     holds fewer than k candidates.  The dimension is inferred from the seed
     sample (modal length over 2x``n_centroids`` hash-ordered rows) so the
     operator needs no ``dim`` parameter and a minority of corrupt rows
-    cannot poison it."""
+    cannot poison it.
+
+    ``lloyd_iters`` (default 1) rounds of Lloyd refinement tighten the
+    hash-sampled seeds into k-means-style centroids: assign every corpus
+    vector to its nearest seed, recompute each cell as the element-wise mean
+    of its members, repeat.  Each round costs one extra corpus pass whose
+    shuffle carries only ``n_centroids x dim`` partial aggregates (the
+    per-element ``avg`` is map-side combined), so refinement is O(scan) at
+    any corpus size.  Cells that end a round empty keep their previous
+    centroid.  Plain (unnormalized) means are correct here because scoring
+    is cosine — the norm divides out."""
     assert 1 <= nprobe <= n_centroids
     c = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
@@ -294,30 +305,48 @@ def ivf_cosine_topk(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
 
-    def _cell_scores(vec) -> Column:
+    def _cell_scores(vec, cents) -> Column:
         # array of (cosine-to-centroid, cell_idx) structs, one per centroid
         return F.array(*[
             F.struct(
                 cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("score"),
                 F.lit(i).alias("cell"),
             )
-            for i, cent in enumerate(centroids)
+            for i, cent in enumerate(cents)
         ])
 
-    # corpus: argmax cell (descending sort on (score, cell), take head)
-    assigned = c.select(
-        "vec_id", "c_vec",
-        F.element_at(
-            F.reverse(F.array_sort(_cell_scores(F.col("c_vec")))), 1
-        )["cell"].alias("cell"),
-    )
+    def _assign(df, cents):
+        # argmax cell (descending sort on (score, cell), take head)
+        return df.select(
+            "vec_id", "c_vec",
+            F.element_at(
+                F.reverse(F.array_sort(_cell_scores(F.col("c_vec"), cents))), 1
+            )["cell"].alias("cell"),
+        )
+
+    for _ in range(max(0, lloyd_iters)):
+        means = (
+            _assign(c, centroids)
+            .groupBy("cell")
+            .agg(*[
+                F.avg(F.element_at("c_vec", i + 1)).alias(f"m{i}")
+                for i in range(dim)
+            ])
+            .collect()
+        )
+        refined = list(centroids)
+        for r in means:
+            refined[r.cell] = [float(r[f"m{i}"]) for i in range(dim)]
+        centroids = refined
+
+    assigned = _assign(c, centroids)
     # queries: top-nprobe cells, exploded to one probe row per (query, cell)
     probes = F.broadcast(
         q.select(
             "query_id", "q_vec",
             F.explode(
                 F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec")))),
+                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), centroids))),
                     1, nprobe,
                 )["cell"]
             ).alias("cell"),

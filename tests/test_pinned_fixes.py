@@ -222,6 +222,51 @@ def test_ivf_null_query_and_ragged_corpus(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_ivf_lloyd_refinement_improves_clustered_recall(spark):
+    """One Lloyd round moves hash-sampled seeds onto the true cluster means:
+    on a 4-cluster corpus with nprobe=1, refined centroids recover the full
+    brute-force top-10 while raw seeds (lloyd_iters=0, the pre-refinement
+    behavior) miss ~20% — two seeds landing in one cluster split it across
+    cells that a single probe can't cover."""
+    import random
+
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    rnd = random.Random(3)
+    centers = [[10.0 if i == c else 0.0 for i in range(8)] for c in range(4)]
+    rows = [
+        (c * 50 + j, [centers[c][i] + rnd.gauss(0, 0.5) for i in range(8)])
+        for c in range(4)
+        for j in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id % 50 < 3")  # 3 queries per cluster
+
+    truth: dict = {}
+    for r in brute_force_cosine_topk(emb, q, k=10, query_id_col="vec_id").collect():
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def mean_recall(lloyd_iters):
+        got: dict = {}
+        out = ivf_cosine_topk(
+            emb, q, k=10, n_centroids=4, nprobe=1,
+            query_id_col="vec_id", lloyd_iters=lloyd_iters,
+        ).collect()
+        for r in out:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(got.get(qi, set()) & t) / len(t) for qi, t in truth.items()
+        ) / len(truth)
+
+    seeds_only = mean_recall(0)
+    refined = mean_recall(1)
+    assert refined >= seeds_only
+    assert refined >= 0.99  # measured 1.0; seeds-only measured ~0.81
+
+
 def test_srp_expr_path_matches_arrow(spark, sf_dir):
     """The left-fold JVM bucketing (oracle-gate path, use_arrow=False)
     produces the same top-k as the Arrow/BLAS batch path on the fixture —
