@@ -55,18 +55,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver evaluates at most the first 50 entries.  Register the
     # full-oracle goldens (hard value-hash checks) first, then the rows-only
     # ones (no SQL-expressible oracle), so the hard signals always fit the cap.
-    # With ext_srp_cosine_topk promoted to a full oracle (hyperplane-literal
-    # DuckDB SQL + left-fold JVM bucketing) there are 49 oracle entries; the
-    # one remaining rows-only slot goes to the IVF ANN operator, which has no
-    # engine-portable oracle (data-derived centroids) and otherwise carries
-    # zero driver signal.  The entries this rotates past the cap
-    # (multimodal_features, simhash_near_pairs, ...) were driver-recorded
-    # green in round 4 and stay pytest-pinned.
-    rows_only_priority = ["ext_ivf_cosine_topk"]
-    ordered = {k: v for k, v in QUERIES.items() if k in ORACLES}
-    for k in rows_only_priority:
-        if k in QUERIES and k not in ORACLES:
-            ordered[k] = QUERIES[k]
+    # Round 7 promoted the last two approximate operators to full oracles —
+    # ext_ivf_cosine_topk (in-band md5-ordered literal centroids) and
+    # ext_simhash_near_pairs (portable md5 token hash) — giving 51 oracle
+    # entries for 50 slots: p5_limit_on_sorted is deprioritized to slot 51
+    # (its semantics are exercised inside every middle-out composite and
+    # pytest-pinned), so all 50 recorded rows carry hard value-hash checks.
+    deprioritized = ["p5_limit_on_sorted"]
+    ordered = {
+        k: v for k, v in QUERIES.items()
+        if k in ORACLES and k not in deprioritized
+    }
+    ordered.update(
+        {k: QUERIES[k] for k in deprioritized if k in QUERIES}
+    )
     ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLES})
     return ordered
 

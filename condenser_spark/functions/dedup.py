@@ -453,23 +453,42 @@ def near_dedup_documents(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash: per token xxhash64, each bit votes
+    """(id, simhash long) — 64-bit SimHash: per token hash, each bit votes
     +1/-1, sign of the vote sum sets the output bit.
 
     Shape: explode tokens, hash each (JVM), then ONE hash aggregate with 64
     conditional-sum vote columns — whole-stage-codegen'd with map-side partial
     combine (the earlier array-fold formulation ran interpreted lambda
     expressions per token x bit).  Sign bits assembled from the 64 aggregated
-    votes with plain bit arithmetic."""
+    votes with plain bit arithmetic.
+
+    ``hash_mode``: ``"xxhash64"`` (default, fastest — one JVM hash per token)
+    or ``"md5"``, the ENGINE-PORTABLE variant: token hash = the first 15 hex
+    chars of md5 (60 bits; bits 60-63 of the signature are then always 0,
+    which only makes the top Hamming band slightly less selective — exact
+    verification downstream is unchanged).  Any engine with md5 + hex->int
+    reproduces it bit-for-bit, which is what lets the simhash golden carry a
+    full DuckDB value oracle instead of a rows-only check."""
     tokens = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
+    if hash_mode == "xxhash64":
+        tok_hash = F.xxhash64("tok")
+    elif hash_mode == "md5":
+        # 15 hex chars = 60 bits: fits a signed 64-bit int in every engine
+        # (16 chars could overflow the sign bit, which DuckDB casts reject)
+        tok_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"simhash_signatures: unknown hash_mode {hash_mode!r}")
     hashed = (
         df.select(F.col(id_col).alias("id"), tokens.alias("toks"))
         .select("id", F.explode("toks").alias("tok"))
-        .select("id", F.xxhash64("tok").alias("h"))
+        .select("id", tok_hash.alias("h"))
     )
     votes = [
         F.sum(
@@ -499,12 +518,15 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, bucketed on
     16-bit bands (4 bands: any pair within Hamming 3 shares at least one exact
     band — pigeonhole), then exact popcount verification.  ``max_bucket_size``
-    drops degenerate buckets before the self-join (see _cap_band_buckets)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    drops degenerate buckets before the self-join (see _cap_band_buckets).
+    ``hash_mode="md5"`` switches to the engine-portable token hash (see
+    simhash_signatures) — the oracle-gate path."""
+    sigs = simhash_signatures(df, text_col, id_col, hash_mode=hash_mode)
     banded = sigs.select(
         "id",
         "simhash",

@@ -227,6 +227,51 @@ def lsh_bucketed_cosine_topk(
     )
 
 
+IVF_ARROW_DIM_THRESHOLD = 256
+IVF_ARROW_EXPR_BUDGET = 8192
+
+
+def _ivf_auto_arrow(dim: int, n_centroids: int) -> bool:
+    """Expression-literal centroid shipping builds ~dim x n_centroids Catalyst
+    nodes per assignment/probe projection — fine at fixture dims, but at
+    production embedding widths (768-1536) x 16 centroids that is ~25k
+    expression nodes: codegen fallback / plan-size blowup territory.  Above
+    this budget the centroids ship inside an Arrow pandas-UDF closure (one
+    BLAS matmul per batch) instead of as plan literals."""
+    return dim > IVF_ARROW_DIM_THRESHOLD or dim * n_centroids > IVF_ARROW_EXPR_BUDGET
+
+
+def _ivf_cells_batch(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched centroid scoring: vector column -> int array of the
+    ``nprobe`` best cells, ordered (score desc, cell desc) — the same
+    tie-break the expression path's ``reverse(array_sort(...))`` applies.
+    Cell score is ``dot(v, c) / ||c||``: the vector's own norm scales every
+    cell equally, so dividing by it cannot change the per-row cell order and
+    is skipped.  One (N, dim) @ (dim, K) BLAS call per batch — the high-dim
+    path where per-element plan literals would blow up the Catalyst tree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)              # (K, D)
+    K = C.shape[0]
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T    # (D, K)
+    n = min(nprobe, K)
+
+    def cells(vecs):
+        V = np.asarray(vecs.tolist(), dtype=np.float64)      # (N, D)
+        S = V @ Cn                                           # (N, K)
+        # ties -> higher cell: reverse the cell axis so a stable sort on
+        # descending score keeps the higher original cell first
+        pos = np.argsort(-S[:, ::-1], axis=1, kind="stable")[:, :n]
+        return pd.Series(list(((K - 1) - pos).astype(np.int32)))
+
+    # real (non-stringified) annotations — see _srp_buckets_batch
+    cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(cells, ArrayType(IntegerType()))
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -238,6 +283,8 @@ def ivf_cosine_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` cells, probe only the ``nprobe`` nearest cells per query,
@@ -250,9 +297,11 @@ def ivf_cosine_topk(
     representative, well-spread seed points — lowest-N-ids would collapse all
     centroids into one content region and crater recall at fixed nprobe.
     Seeds are collected to the driver and shipped as plan literals, like the
-    SRP hyperplanes: O(centroids x dim) driver bytes, no UDF, no broadcast
-    variable.  Cell assignment is one narrow projection over the corpus (16
-    literal dot products per row); the probe join shuffles only on cell id.
+    SRP hyperplanes: O(centroids x dim) driver bytes.  Cell ranking divides
+    the dot product by the CENTROID norm only — the vector's own norm scales
+    every cell identically, so the argmax / probe order equals the cosine
+    order at a fraction of the expression work.  The final re-rank is still
+    true cosine.
 
     ``nprobe == n_centroids`` probes every cell and reproduces brute force
     exactly (the property the test suite pins); smaller ``nprobe`` trades
@@ -271,12 +320,29 @@ def ivf_cosine_topk(
     ``lloyd_iters`` (default 1) rounds of Lloyd refinement tighten the
     hash-sampled seeds into k-means-style centroids: assign every corpus
     vector to its nearest seed, recompute each cell as the element-wise mean
-    of its members, repeat.  Each round costs one extra corpus pass whose
-    shuffle carries only ``n_centroids x dim`` partial aggregates (the
-    per-element ``avg`` is map-side combined), so refinement is O(scan) at
-    any corpus size.  Cells that end a round empty keep their previous
-    centroid.  Plain (unnormalized) means are correct here because scoring
-    is cosine — the norm divides out."""
+    of its members, repeat.  COST NOTE: each round EAGERLY runs one extra
+    full corpus scan at call time (plan-construction is no longer lazy
+    beyond the cheap seed TakeOrdered) whose shuffle carries only
+    ``n_centroids x dim`` partial means (posexplode + map-side-combined avg
+    on (cell, pos) — never ``dim`` separate agg columns), so refinement is
+    O(scan) at any corpus size and any embedding width.  Cells that end a
+    round empty keep their previous centroid.  Plain (unnormalized) means
+    are correct because scoring divides by the centroid norm.
+    REPRODUCIBILITY NOTE: the distributed mean's summation order varies with
+    partitioning, so refined centroids are not bit-identical across
+    runs/cluster layouts at the same seed; means are rounded to 6 decimals
+    to absorb last-ulp jitter, but knife-edge cell assignments can still
+    flip — pass ``lloyd_iters=0`` for strictly bit-stable output.
+
+    ``centroids`` overrides seeding entirely: the supplied vectors are used
+    as-is (no sampling, no Lloyd — pass your own refined centroids if you
+    want both).  This is also the oracle hook: literal centroids make the
+    probe + re-rank engine-reproducible (see goldens_ext._ivf_oracle_sql).
+
+    ``use_arrow=None`` (default) picks the centroid-shipping strategy by
+    plan size (``_ivf_auto_arrow``): plain Catalyst literal expressions at
+    fixture dims, an Arrow/numpy batch kernel past ~256 dims where literal
+    expression trees would stress codegen."""
     assert 1 <= nprobe <= n_centroids
     c = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
@@ -284,19 +350,31 @@ def ivf_cosine_topk(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    seeds = (
-        c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(), F.col("vec_id").asc())
-        .limit(2 * n_centroids)
-        .collect()
-    )
-    if not seeds:
-        raise ValueError("ivf_cosine_topk: corpus has no non-empty vectors")
-    lengths = [len(r.c_vec) for r in seeds]
-    dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
-    centroids = [list(r.c_vec) for r in seeds if len(r.c_vec) == dim][
-        :n_centroids
-    ]
+    if centroids is not None:
+        centroids = [[float(x) for x in cent] for cent in centroids]
+        if not centroids:
+            raise ValueError("ivf_cosine_topk: empty centroids")
+        dim = len(centroids[0])
+        if any(len(cent) != dim for cent in centroids):
+            raise ValueError("ivf_cosine_topk: ragged centroids")
+        lloyd_iters = 0
+    else:
+        seeds = (
+            c.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)).asc(),
+                      F.col("vec_id").asc())
+            .limit(2 * n_centroids)
+            .collect()
+        )
+        if not seeds:
+            raise ValueError("ivf_cosine_topk: corpus has no non-empty vectors")
+        lengths = [len(r.c_vec) for r in seeds]
+        dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
+        centroids = [list(r.c_vec) for r in seeds if len(r.c_vec) == dim][
+            :n_centroids
+        ]
     nprobe = min(nprobe, len(centroids))
+    if use_arrow is None:
+        use_arrow = _ivf_auto_arrow(dim, len(centroids))
     c = c.filter(F.size("c_vec") == dim)
     q = queries.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
@@ -306,16 +384,24 @@ def ivf_cosine_topk(
     )
 
     def _cell_scores(vec, cents) -> Column:
-        # array of (cosine-to-centroid, cell_idx) structs, one per centroid
-        return F.array(*[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in cent])).alias("score"),
+        # array of (dot/||c||, cell_idx) structs, one per centroid; the
+        # centroid norm is a constant subtree Catalyst folds once
+        out = []
+        for i, cent in enumerate(cents):
+            arr = F.array(*[F.lit(x) for x in cent])
+            out.append(F.struct(
+                (_dot(vec, arr) / _norm(arr)).alias("score"),
                 F.lit(i).alias("cell"),
-            )
-            for i, cent in enumerate(cents)
-        ])
+            ))
+        return F.array(*out)
 
     def _assign(df, cents):
+        if use_arrow:
+            best = _ivf_cells_batch(cents, 1)
+            return df.select(
+                "vec_id", "c_vec",
+                F.element_at(best("c_vec"), 1).alias("cell"),
+            )
         # argmax cell (descending sort on (score, cell), take head)
         return df.select(
             "vec_id", "c_vec",
@@ -325,33 +411,48 @@ def ivf_cosine_topk(
         )
 
     for _ in range(max(0, lloyd_iters)):
+        # one narrow (cell, pos, val) stream -> avg per (cell, pos): the
+        # shuffle carries n_centroids x dim partial means regardless of dim,
+        # and the plan never grows dim-wide aggregate lists
         means = (
             _assign(c, centroids)
-            .groupBy("cell")
-            .agg(*[
-                F.avg(F.element_at("c_vec", i + 1)).alias(f"m{i}")
-                for i in range(dim)
-            ])
+            .select("cell", F.posexplode("c_vec").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
             .collect()
         )
-        refined = list(centroids)
+        by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            refined[r.cell] = [float(r[f"m{i}"]) for i in range(dim)]
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        refined = list(centroids)
+        for cell, comps in by_cell.items():
+            refined[cell] = [round(float(comps[p]), 6) for p in range(dim)]
         centroids = refined
 
     assigned = _assign(c, centroids)
     # queries: top-nprobe cells, exploded to one probe row per (query, cell)
-    probes = F.broadcast(
-        q.select(
-            "query_id", "q_vec",
-            F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec"), centroids))),
-                    1, nprobe,
-                )["cell"]
-            ).alias("cell"),
+    if use_arrow:
+        probe_cells = _ivf_cells_batch(centroids, nprobe)
+        probes = F.broadcast(
+            q.select(
+                "query_id", "q_vec",
+                F.explode(probe_cells("q_vec")).alias("cell"),
+            )
         )
-    )
+    else:
+        probes = F.broadcast(
+            q.select(
+                "query_id", "q_vec",
+                F.explode(
+                    F.slice(
+                        F.reverse(
+                            F.array_sort(_cell_scores(F.col("q_vec"), centroids))
+                        ),
+                        1, nprobe,
+                    )["cell"]
+                ).alias("cell"),
+            )
+        )
     scored = (
         assigned.join(probes, on="cell")
         .select(

@@ -614,14 +614,72 @@ def ext_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, n=3, threshold=0.8)
 
 
-@golden("ext_simhash_near_pairs", None)
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full DuckDB oracle for SimHash near-pairs.  The golden runs
+    ``hash_mode="md5"``: token hash = first 15 hex chars of md5 (60 bits),
+    which both engines compute bit-identically (verified: Spark
+    ``conv(substring(md5(tok),1,15),16,10)`` == DuckDB
+    ``CAST('0x'||substr(md5(tok),1,15) AS BIGINT)`` including unicode), so
+    bit votes, signatures, 16-bit band buckets, the candidate self-join, and
+    exact popcount verification all replay exactly.  Production keeps the
+    faster xxhash64 token hash (rows-only semantics unchanged; pytest pins
+    the two modes find the same planted near-dups)."""
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60)
+    )  # bits 60-63 are structurally 0 under the 60-bit md5 token hash
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks
+    ),
+    votes AS (
+      SELECT id,
+             {votes}
+      FROM hashed GROUP BY id
+    ),
+    sigs AS (
+      SELECT id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    ),
+    banded AS (
+      SELECT id, simhash, unnest([0, 1, 2, 3]) AS band FROM sigs
+    ),
+    bucketed AS (
+      SELECT id, simhash, band, (simhash >> (band * 16)) & 65535 AS bucket
+      FROM banded
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM bucketed a
+      JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@golden("ext_simhash_near_pairs", _simhash_oracle_sql())
 def ext_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 near-dup pairs via pigeonhole banding (rows-only:
-    xxhash64 bit-votes)."""
+    """SimHash Hamming<=3 near-dup pairs via pigeonhole banding, under the
+    FULL value oracle: the golden runs the engine-portable md5 token hash
+    (``hash_mode="md5"``), which DuckDB replays bit-for-bit through votes,
+    banding, and popcount verification (see ``_simhash_oracle_sql``).
+    Production calls keep xxhash64 (condenser_spark/functions/dedup.py:
+    simhash_near_pairs)."""
     from condenser_spark.functions.dedup import simhash_near_pairs
 
     docs = _tables(spark, sf_dir)["documents"]
-    return simhash_near_pairs(docs, max_hamming=3)
+    out = simhash_near_pairs(docs, max_hamming=3, hash_mode="md5")
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def _srp_oracle_sql(
@@ -705,19 +763,105 @@ def ext_srp_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-@golden("ext_ivf_cosine_topk", None)
+def _ivf_oracle_sql(
+    dim: int = 64, n_centroids: int = 16, nprobe: int = 4, k: int = 10
+) -> str:
+    """Full DuckDB oracle for IVF top-k.  The golden makes centroids
+    engine-reproducible by selecting them IN-BAND: the ``n_centroids`` corpus
+    rows with the lowest ``md5(CAST(vec_id AS VARCHAR))`` (cell index =
+    position in that order) — both engines render a BIGINT identically and
+    md5 is bit-portable, so the centroid set and numbering match without
+    shipping any literal.  The Spark golden passes those vectors via the
+    ``centroids=`` override (skipping xxhash64 seeding + Lloyd, neither of
+    which another engine can replay) and runs the expression scoring path:
+    cell score = ``dot(v, c) / ||c||`` evaluated as a strict left-fold —
+    the identical IEEE-double operation sequence DuckDB's sequential
+    ``list_dot_product`` loop performs — so assignment argmax, probe order
+    (score DESC, cell DESC — Spark's ``reverse(array_sort(...))``), the
+    candidate set, and the exactly re-ranked top-k are bit-reproducible
+    across engines.  Production calls keep xxhash64 seeds + Lloyd (pytest
+    recall-pinned) and the auto Arrow kernel at high dims."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    cents AS (
+      SELECT cell, e FROM (
+        SELECT e, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+        FROM v
+      ) WHERE cell < {n_centroids}
+    ),
+    cscore AS (
+      SELECT v.vec_id, s.cell,
+             list_dot_product(v.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM v CROSS JOIN cents s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore WHERE vec_id < 8
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_dot_product(qv.e, cv.e) /
+                   (sqrt(list_dot_product(qv.e, qv.e)) *
+                    sqrt(list_dot_product(cv.e, cv.e))), 4) AS cosine_sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN v qv ON qv.vec_id = p.query_id
+      JOIN v cv ON cv.vec_id = a.vec_id
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, vec_id ASC) AS rank FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@golden("ext_ivf_cosine_topk", _ivf_oracle_sql())
 def ext_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse centroids + nprobe cell probing + exact
-    re-rank).  Rows-only: cell assignment depends on corpus-derived centroids;
-    tests pin that nprobe==n_centroids reproduces brute force exactly
+    re-rank) under the FULL value oracle: centroids are chosen in-band by a
+    portable md5 ordering and passed through the ``centroids=`` override, so
+    DuckDB replays assignment, probing, and re-rank exactly (see
+    ``_ivf_oracle_sql``).  The production path (xxhash64 seeding + Lloyd
+    refinement + auto Arrow kernel) keeps its pytest pins: full-probe ==
+    brute force, and Lloyd improves clustered recall
     (condenser_spark/functions/similarity.py:ivf_cosine_topk)."""
     from condenser_spark.functions.similarity import ivf_cosine_topk
 
     emb = _tables(spark, sf_dir)["embeddings"]
-    return ivf_cosine_topk(
+    cents = [
+        list(r.e)
+        for r in emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    ]
+    out = ivf_cosine_topk(
         emb, emb.filter("vec_id < 8"), k=10, n_centroids=16, nprobe=4,
-        query_id_col="vec_id",
+        query_id_col="vec_id", centroids=cents, use_arrow=False,
     )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @golden(

@@ -13,6 +13,10 @@ import sys
 import duckdb
 import pandas as pd
 
+# the literal-heavy oracle plans (SRP hyperplanes, IVF centroids) exceed the
+# 1g local-mode default driver heap; must be set before the JVM launches
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = ("region nation customer supplier part orders lineitem events "

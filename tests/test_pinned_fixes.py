@@ -431,3 +431,120 @@ def test_stateful_late_event_is_own_session(spark, tmp_path):
     assert s.session_start == t(0) and s.session_end == t(0)
     assert s.n_events == 1 and s.n_clicks == 0
     assert abs(s.total_value - 9.0) < 1e-9
+
+
+# ------------------------------------------------- round-7 pins (similarity)
+
+def test_ivf_auto_arrow_threshold():
+    """Centroid shipping auto-switches to the Arrow kernel past the plan-size
+    budget: fixture dims stay on plain Catalyst literals, production embedding
+    widths (768+) x 16 centroids do not build ~25k expression nodes."""
+    from condenser_spark.functions.similarity import _ivf_auto_arrow
+
+    assert not _ivf_auto_arrow(64, 16)      # fixture shape: literals fine
+    assert _ivf_auto_arrow(512, 8)          # wide vectors: Arrow
+    assert _ivf_auto_arrow(768, 16)         # production shape: Arrow
+    assert _ivf_auto_arrow(128, 128)        # dim*k past budget: Arrow
+
+
+def test_ivf_high_dim_arrow_full_probe_equals_brute_force(spark):
+    """dim=512 (past the literal-expression budget, so the auto Arrow kernel
+    carries assignment + probing): full probe must still equal brute force —
+    the plan neither falls over on expression size nor changes semantics."""
+    import random
+
+    from condenser_spark.functions.similarity import (
+        _ivf_auto_arrow,
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    dim = 512
+    assert _ivf_auto_arrow(dim, 8)
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.gauss(0.0, 1.0) for _ in range(dim)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 3")
+    got = ivf_cosine_topk(
+        emb, q, k=5, n_centroids=8, nprobe=8, query_id_col="vec_id",
+    ).orderBy("query_id", "rank").collect()
+    want = brute_force_cosine_topk(
+        emb, q, k=5, query_id_col="vec_id"
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivf_arrow_and_expr_paths_agree(spark):
+    """With identical (caller-supplied) centroids, the Arrow/BLAS kernel and
+    the literal-expression path choose the same cells end to end — the
+    equivalence that lets the oracle gate run use_arrow=False while
+    production auto-picks Arrow at high dims."""
+    from condenser_spark.functions.similarity import ivf_cosine_topk
+
+    emb = _emb_df(spark, n=40, dim=8)
+    q = emb.filter("vec_id < 4")
+    cents = [r.embedding for r in emb.filter("vec_id % 10 = 0").collect()]
+    kw = dict(k=5, n_centroids=len(cents), nprobe=2, query_id_col="vec_id",
+              centroids=cents)
+    arrow = ivf_cosine_topk(emb, q, use_arrow=True, **kw).orderBy(
+        "query_id", "rank").collect()
+    exprs = ivf_cosine_topk(emb, q, use_arrow=False, **kw).orderBy(
+        "query_id", "rank").collect()
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in exprs]
+
+
+def test_ivf_centroids_override_skips_seeding_and_lloyd(spark):
+    """`centroids=` uses the supplied vectors as-is: full probe over them
+    equals brute force (any centroid set is exhaustive at nprobe=K), and a
+    ragged centroid list raises instead of silently NULLing a cell."""
+    import pytest as _pytest
+
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    emb = _emb_df(spark, n=30, dim=8)
+    q = emb.filter("vec_id < 3")
+    cents = [r.embedding for r in emb.filter("vec_id IN (5, 15, 25)").collect()]
+    got = ivf_cosine_topk(
+        emb, q, k=5, n_centroids=3, nprobe=3, query_id_col="vec_id",
+        centroids=cents,
+    ).orderBy("query_id", "rank").collect()
+    want = brute_force_cosine_topk(
+        emb, q, k=5, query_id_col="vec_id"
+    ).orderBy("query_id", "rank").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with _pytest.raises(ValueError, match="ragged"):
+        ivf_cosine_topk(emb, q, centroids=[[1.0, 2.0], [1.0]])
+
+
+def test_simhash_md5_mode_finds_same_planted_dups(spark):
+    """The engine-portable md5 token hash (oracle-gate path) and the default
+    xxhash64 hash find the same planted near-duplicates: hash choice moves
+    individual signature bits but not the Hamming-close structure of
+    near-identical token multisets."""
+    from condenser_spark.functions.dedup import simhash_near_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(0, base), (1, base + "extra"), (2, base.replace("dog", "cat"))]
+    rows += [(10 + i, f"unrelated document number {i} " * 20) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pair_set(mode):
+        return {
+            (r.id_a, r.id_b)
+            for r in simhash_near_pairs(
+                docs, max_hamming=6, hash_mode=mode
+            ).collect()
+        }
+
+    # hash choice may move BORDERLINE pairs (md5 mode has 60 effective bits,
+    # so absolute Hamming distances shift); the contract is that both modes
+    # find the planted one-token-append near-dup and neither crosses the
+    # base-family / unrelated-docs divide
+    for pairs in (pair_set("xxhash64"), pair_set("md5")):
+        assert (0, 1) in pairs
+        assert all(a < 10 and b < 10 for a, b in pairs)
