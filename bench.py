@@ -69,6 +69,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     source = load_source_tables(spark, sf_dir)
     timings: dict[str, float] = {}
+    noise: dict[str, float] = {}
 
     def timed(name: str, fn, runs: int = 3):
         fn()  # untimed warm-up: codegen + JIT for this plan shape
@@ -78,7 +79,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
             fn()
             samples.append(time.time() - t0)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        med = samples[len(samples) // 2]
+        timings[name] = round(med, 3)
+        # within-run spread of the steady-state samples, as % of the median —
+        # the measured noise floor a cross-round delta must clear before it
+        # can be read as a real regression (NOISE_FLOOR.md records the
+        # between-run floor from back-to-back same-code runs)
+        noise[name] = round(100.0 * (samples[-1] - samples[0]) / med, 1)
 
     # 1. flagship: full middle-out subset, 10% of orders, closure, report
     def _flagship():
@@ -180,7 +187,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
               docs.filter(F.col("doc_id") % 10 > 0),
               docs.filter(F.col("doc_id") % 10 == 0), n=8).count())
 
-    return timings
+    return timings, noise
 
 
 def main() -> int:
@@ -189,13 +196,15 @@ def main() -> int:
 
     spark = get_spark("condenser-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
-    timings = bench_queries(spark, SF_DIR)
+    timings, noise = bench_queries(spark, SF_DIR)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_median_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "noise_pct": noise,
+        "noise_pct_max": max(noise.values()) if noise else 0.0,
         "runs_per_query": 3,
         "timing": "median_of_3_steady_state_after_1_untimed_warmup",
         "sf": _sf_from_dir(SF_DIR),

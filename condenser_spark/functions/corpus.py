@@ -28,10 +28,14 @@ Scale notes per operator:
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from condenser_spark.functions.text import quality_score, token_count
+
+logger = logging.getLogger(__name__)
 
 # RE2/Java-compatible scrub patterns (no lookarounds, no backrefs).
 PII_PATTERNS: dict[str, str] = {
@@ -172,6 +176,14 @@ def pack_sequences(
     stay dense (0..total_bins-1) and deterministic in (shard, order, id)
     order."""
     n_tok = token_count(F.col(text_col))
+    if shard_col is None:
+        # no silent scale caps: the global prefix sum is one single-partition
+        # window sort — fine to tens of millions of docs, a scale-killer
+        # beyond.  Same principle as the LSH bucket-cap logging (dedup.py).
+        logger.info(
+            "pack_sequences: no shard_col — global prefix sum runs as a "
+            "single-partition window sort; pass shard_col at large scale"
+        )
     # ROWS frame (not the orderBy default RANGE): duplicate order keys must
     # still accumulate one doc at a time, per the documented semantics.  The
     # id tiebreak keeps the per-row prefix sum deterministic on ties.

@@ -20,10 +20,12 @@ Scale design (the whole point of these at 100 TB):
   aggregation, expressed as array sums (no per-row Python).  Hamming-close
   signatures = near-dups; pairing via band-of-bits buckets.
 
-MinHash/SimHash use Spark's xxhash64, which no other engine reproduces, so their
-golden queries are rows-only checks; the *exact* operators (fingerprint dedup,
-n-gram Jaccard) carry full DuckDB oracles and the pytest suite cross-validates
-MinHash recall against exact Jaccard.
+MinHash uses Spark's xxhash64, which no other engine reproduces, so its golden
+rides on the exact-Jaccard verification layer (the oracle is the exact pair
+set); SimHash's golden switches to the engine-portable md5 token hash
+(``hash_mode="md5"``) and carries a full DuckDB value oracle; the *exact*
+operators (fingerprint dedup, n-gram Jaccard) carry full DuckDB oracles and
+the pytest suite cross-validates MinHash recall against exact Jaccard.
 """
 
 from __future__ import annotations

@@ -1,0 +1,182 @@
+"""100x-style stress smoke: turn the "survives scale" judgment from plan
+reading into measured data points.
+
+Synthesizes one-off large inputs under /tmp (never touching /root/testdata):
+
+1. ~5M-document corpus (24 distinct md5 tokens per doc; ~10% planted exact
+   duplicates plus a 100k-copy boilerplate group — the mass-duplication shape
+   that dominates web corpora) -> ``near_dedup_documents`` end to end.
+2. sf0.1 TPC-H star amplified 33x with FK integrity preserved (~5M orders /
+   ~20M lineitem) -> full middle-out subset (10% of orders + closure).
+
+Asserts completion and semantic sanity (survivor count == distinct texts on
+this corpus: LSH must collapse the planted dup mass, and md5-token texts
+share no shingles across distinct docs), prints one JSON line per stage for
+STRESS.md.
+
+Usage: python scripts/stress_smoke.py [n_docs_millions] [--keep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS", "--driver-memory 48g pyspark-shell"
+)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/condenser_stress"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+AMPLIFY = 33  # sf0.1 x33 ~= 5M orders / 20M lineitem
+
+
+def build_docs(spark, path: str, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    uniq = int(n_docs * 0.9)
+    toks = [
+        F.md5(F.concat(F.col("base").cast("string"), F.lit(f"-{p}")))
+        for p in range(24)
+    ]
+    (
+        spark.range(n_docs)
+        .withColumn(
+            "base",
+            # id < 100k -> one boilerplate group (the pre-collapse hot path);
+            # everything else folds onto `uniq` distinct texts (~10% dups)
+            F.when(F.col("id") < 100_000, F.lit(-1)).otherwise(
+                F.col("id") % uniq
+            ),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def stage_near_dedup(spark, n_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import near_dedup_documents
+
+    path = f"{WORK}/documents"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_docs(spark, path, n_docs)
+        print(f"  built {n_docs} docs in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    docs = spark.read.parquet(path)
+    distinct_texts = docs.select("text").distinct().count()
+    t0 = time.time()
+    survivors = near_dedup_documents(docs, n=3, threshold=0.8).count()
+    wall = time.time() - t0
+    # md5-token texts share zero shingles across distinct docs, so the only
+    # collapsible mass is the planted exact duplication: survivors must equal
+    # distinct texts (the boilerplate group must fold to ONE row via the
+    # exact pre-collapse, dup mass must not survive the bucket cap)
+    assert survivors == distinct_texts, (survivors, distinct_texts)
+    return {
+        "stage": "near_dedup_documents",
+        "n_docs": n_docs,
+        "distinct_texts": distinct_texts,
+        "survivors": survivors,
+        "wall_sec": round(wall, 1),
+    }
+
+
+def build_tpch(spark, dest: str) -> None:
+    """Amplify orders/lineitem AMPLIFY x with remapped order keys (FK-safe:
+    l_orderkey remaps identically; customer/part/supplier keys unchanged —
+    amplification adds fan-in, which is the realistic direction)."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{dest}/{t}.parquet")
+    rep = spark.range(AMPLIFY).select(F.col("id").alias("rep"))
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    (
+        orders.crossJoin(rep)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") * AMPLIFY + F.col("rep")
+        )
+        .drop("rep")
+        .write.mode("overwrite").parquet(f"{dest}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(rep)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") * AMPLIFY + F.col("rep")
+        )
+        .drop("rep")
+        .write.mode("overwrite").parquet(f"{dest}/lineitem.parquet")
+    )
+
+
+def stage_middle_out(spark) -> dict:
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.registry import load_source_tables
+
+    dest = f"{WORK}/tpch"
+    if not os.path.exists(f"{dest}/lineitem.parquet"):
+        t0 = time.time()
+        build_tpch(spark, dest)
+        print(f"  amplified sf0.1 x{AMPLIFY} in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    source = load_source_tables(spark, dest)
+    n_orders = source["orders"].count()
+    n_lineitem = source["lineitem"].count()
+    cfg = SubsetConfig.from_dict(
+        base_config_dict(
+            initial_targets=[
+                {"table": "orders", "percent": 10, "sample_key": "o_orderkey"}
+            ],
+            passthrough_tables=["region"],
+        )
+    )
+    t0 = time.time()
+    eng = SubsetEngine(spark, cfg, source, materialize="persist")
+    eng.run_middle_out()
+    report = {r.table_name: r.dest_count for r in eng.report().collect()}
+    wall = time.time() - t0
+    eng.cleanup()
+    # deterministic pmod sample: 10% +-0.5% of orders, closure non-empty
+    assert abs(report["orders"] / n_orders - 0.10) < 0.005, report
+    assert report["lineitem"] > 0 and report["customer"] > 0, report
+    return {
+        "stage": "middle_out_subset",
+        "n_orders": n_orders,
+        "n_lineitem": n_lineitem,
+        "dest_counts": report,
+        "wall_sec": round(wall, 1),
+    }
+
+
+def main() -> int:
+    n_docs = int(
+        float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
+        and not sys.argv[1].startswith("--") else 5_000_000
+    )
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("stress-smoke")
+    for stage in (lambda: stage_near_dedup(spark, n_docs), stage_middle_out):
+        print(json.dumps(stage()))
+    spark.stop()
+    if "--keep" not in sys.argv:
+        shutil.rmtree(WORK, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -229,3 +229,25 @@ def test_approx_profile_bounds_vs_exact(spark, source):
     est = approx["l_quantity"].n_distinct_approx
     assert abs(est - true_d) <= max(3, true_d * 0.15)
     assert n_rows >= true_d
+
+
+def test_pack_sequences_unsharded_path_logs(spark, caplog):
+    """The unsharded global-window path announces itself (the repo's
+    "no silent scale caps" rule): a caller who forgets shard_col at scale
+    gets a log line, not a silent single-task sort.  The sharded path stays
+    quiet."""
+    import logging
+
+    from condenser_spark.functions.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "tok " * 10, i % 2) for i in range(6)],
+        "doc_id long, text string, shard int",
+    )
+    with caplog.at_level(logging.INFO, logger="condenser_spark.functions.corpus"):
+        pack_sequences(df)
+    assert any("shard_col" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="condenser_spark.functions.corpus"):
+        pack_sequences(df, shard_col="shard")
+    assert not any("single-partition" in r.message for r in caplog.records)
