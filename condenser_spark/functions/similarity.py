@@ -18,10 +18,13 @@
 
 from __future__ import annotations
 
+import logging
 import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def _dot(a, b) -> Column:
@@ -127,6 +130,24 @@ def _srp_buckets_batch(planes: list[list[list[float]]]):
     return pandas_udf(buckets, ArrayType(LongType()))
 
 
+def _srp_expr_budget_warn(dim: int, bits: int, tables: int) -> bool:
+    """Warn when a forced ``use_arrow=False`` would build a plan-literal
+    expression tree past the same budget that auto-switches IVF to Arrow —
+    the no-silent-caps rule applied to the SRP oracle path.  The oracle gate
+    only runs this path at fixture sizes; production callers at real
+    embedding widths should let ``use_arrow`` default to True."""
+    n_terms = dim * bits * tables
+    if n_terms > IVF_ARROW_EXPR_BUDGET:
+        logger.warning(
+            "lsh_bucketed_cosine_topk: use_arrow=False builds %d literal "
+            "expression terms (dim=%d x bits=%d x tables=%d) — expect "
+            "codegen fallback / plan blowup; use the Arrow path at this "
+            "width", n_terms, dim, bits, tables,
+        )
+        return True
+    return False
+
+
 def _srp_buckets_exprs(planes: list[list[list[float]]], vec) -> Column:
     """JVM-expression SRP bucketing: same contract as ``_srp_buckets_batch``
     (vector column -> array of per-table bucket ids) but built from plain
@@ -180,6 +201,8 @@ def lsh_bucketed_cosine_topk(
     if use_arrow:
         bucketize = _srp_buckets_batch(planes)
     else:
+        _srp_expr_budget_warn(dim, bits, tables)
+
         def bucketize(col_name):
             return _srp_buckets_exprs(planes, F.col(col_name))
     # NULL / wrong-dimension embeddings would turn the Arrow batch into an

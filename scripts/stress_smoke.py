@@ -170,7 +170,8 @@ def main() -> int:
     from condenser_spark.session import get_spark
 
     spark = get_spark("stress-smoke")
-    for stage in (lambda: stage_near_dedup(spark, n_docs), stage_middle_out):
+    for stage in (lambda: stage_near_dedup(spark, n_docs),
+                  lambda: stage_middle_out(spark)):
         print(json.dumps(stage()))
     spark.stop()
     if "--keep" not in sys.argv:

@@ -548,3 +548,37 @@ def test_simhash_md5_mode_finds_same_planted_dups(spark):
     for pairs in (pair_set("xxhash64"), pair_set("md5")):
         assert (0, 1) in pairs
         assert all(a < 10 and b < 10 for a, b in pairs)
+
+
+def test_srp_expr_path_warns_past_literal_budget(spark, caplog):
+    """Forcing use_arrow=False at production embedding widths logs the
+    plan-literal blowup instead of silently building tens of thousands of
+    Catalyst nodes (the same no-silent-caps rule as the IVF auto-switch).
+    The guard itself is tested directly — actually constructing a
+    past-budget expression tree is exactly the multi-second cost the
+    warning exists to flag — plus one under-budget end-to-end call
+    asserting the oracle-gate fixture stays quiet."""
+    import logging
+
+    from condenser_spark.functions.similarity import (
+        _srp_expr_budget_warn,
+        lsh_bucketed_cosine_topk,
+    )
+
+    with caplog.at_level(
+        logging.WARNING, logger="condenser_spark.functions.similarity"
+    ):
+        assert _srp_expr_budget_warn(768, 8, 4)       # production width
+        assert not _srp_expr_budget_warn(64, 8, 4)    # oracle fixture width
+    assert any("plan blowup" in r.message for r in caplog.records)
+
+    caplog.clear()
+    emb = _emb_df(spark, n=8, dim=8)
+    with caplog.at_level(
+        logging.WARNING, logger="condenser_spark.functions.similarity"
+    ):
+        lsh_bucketed_cosine_topk(
+            emb, emb.filter("vec_id < 1"), k=2, dim=8, bits=4, tables=2,
+            query_id_col="vec_id", use_arrow=False,
+        ).collect()
+    assert not any("plan blowup" in r.message for r in caplog.records)

@@ -112,3 +112,41 @@ def test_contamination_join_is_hash_not_nested_loop(spark, source):
         docs.filter("doc_id >= 50"), docs.filter("doc_id < 50"), n=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_expr_path_is_python_free_and_arrow_path_is_batched(spark):
+    """IVF's two centroid-shipping strategies keep their execution promises:
+    the literal-expression path (oracle gate, fixture dims) runs entirely
+    JVM-side — no Python evaluation stage of any kind — and the high-dim
+    path uses Arrow-batched evaluation (ArrowEvalPython), never row-at-a-time
+    BatchEvalPython."""
+    import random
+
+    from condenser_spark.functions.similarity import ivf_cosine_topk
+
+    rnd = random.Random(5)
+    emb = spark.createDataFrame(
+        [(i, [rnd.gauss(0.0, 1.0) for _ in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 2")
+    cents = [r.embedding for r in emb.filter("vec_id % 10 = 0").collect()]
+
+    expr_plan = (
+        ivf_cosine_topk(emb, q, k=3, n_centroids=3, nprobe=2,
+                        query_id_col="vec_id", centroids=cents,
+                        use_arrow=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in expr_plan, marker
+
+    arrow_plan = (
+        ivf_cosine_topk(emb, q, k=3, n_centroids=3, nprobe=2,
+                        query_id_col="vec_id", centroids=cents,
+                        use_arrow=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in arrow_plan
+    assert "BatchEvalPython" not in arrow_plan
