@@ -223,6 +223,104 @@ def shared_passages(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+
+    * ``n_lines`` — non-empty (trimmed) line count.
+    * ``dup_line_frac`` — extra copies of repeated lines / total lines (a
+      document whose every line appears twice scores 0.5).
+    * ``dup_line_char_frac`` — characters inside repeated lines / total line
+      characters (the Gopher rule weights long boilerplate lines more).
+    * ``top_bigram_frac`` — occurrences of the most frequent word bigram /
+      total bigrams (catches "foo bar foo bar ..." degenerate generations).
+
+    These are the standard repetition filters a corpus pipeline applies
+    between exact dedup and model-based quality scoring (Gopher/MassiveText
+    rules; public in the Gopher paper, table A1).
+
+    Plan shape: two explode -> (id, unit) hash-aggregates (lines, bigrams),
+    both map-side combined, then per-id rollups joined back to the id base —
+    scan-linear, shuffles carry (id, line/bigram, count) rows only, never
+    document bodies.  All JVM expressions; ratios rounded to 4 decimals so
+    the DuckDB oracle hash-matches."""
+    base = df.select(F.col(id_col).alias("id"))
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+                    ),
+                    lambda l: l != "",
+                )
+            ).alias("line"),
+        )
+        .groupBy("id", "line")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            (F.sum("cnt") - F.count("*")).alias("dup_lines"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line"))
+                .otherwise(F.lit(0))
+            ).alias("dup_chars"),
+            F.sum(F.col("cnt") * F.length("line")).alias("all_chars"),
+        )
+    )
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.max("cnt").alias("top_bigram"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(lines, on="id", how="left")
+        .join(bg, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            F.round(
+                F.when(
+                    F.coalesce("n_lines", zero) > 0,
+                    F.col("dup_lines") / F.col("n_lines"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("all_chars", zero) > 0,
+                    F.col("dup_chars") / F.col("all_chars"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("n_bigrams", zero) > 0,
+                    F.col("top_bigram") / F.col("n_bigrams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame: token count, BPE-ish token count,
     char length, language guess, quality score, fingerprint."""

@@ -1572,3 +1572,72 @@ def s13_hook_dest_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = SubsetEngine(spark, cfg, load_source_tables(spark, sf_dir))
     dest = eng.run()
     return dest["events"]
+
+
+# ------------------------------------------------- repetition quality (r7)
+
+_REPETITION_ORACLE = """
+    WITH line_rows AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM documents)
+      WHERE trim(l) <> ''
+    ),
+    line_counts AS (
+      SELECT doc_id, line, COUNT(*) AS cnt
+      FROM line_rows GROUP BY doc_id, line
+    ),
+    line_stats AS (
+      SELECT doc_id,
+             SUM(cnt) AS n_lines,
+             SUM(cnt) - COUNT(*) AS dup_lines,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+               AS dup_chars,
+             SUM(cnt * length(line)) AS all_chars
+      FROM line_counts GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg_rows AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)
+    ),
+    bg_counts AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM bg_rows GROUP BY doc_id, bg
+    ),
+    bg_stats AS (
+      SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ls.n_lines, 0) AS BIGINT) AS n_lines,
+           ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+                      THEN CAST(ls.dup_lines AS DOUBLE) / ls.n_lines
+                      ELSE 0.0 END, 4) AS dup_line_frac,
+           ROUND(CASE WHEN COALESCE(ls.all_chars, 0) > 0
+                      THEN CAST(ls.dup_chars AS DOUBLE) / ls.all_chars
+                      ELSE 0.0 END, 4) AS dup_line_char_frac,
+           ROUND(CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+                      THEN CAST(bs.top_bigram AS DOUBLE) / bs.n_bigrams
+                      ELSE 0.0 END, 4) AS top_bigram_frac
+    FROM documents d
+    LEFT JOIN line_stats ls ON ls.doc_id = d.doc_id
+    LEFT JOIN bg_stats bs ON bs.doc_id = d.doc_id
+"""
+
+
+@golden("ext_repetition_stats", _REPETITION_ORACLE)
+def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-line fraction, dup-line
+    char fraction, top-bigram fraction) over the documents table, under a
+    full DuckDB value oracle — registered past the driver's 50-query cap
+    (the 50 recorded rows are all full-oracle already); verified locally by
+    scripts/check_oracles.py and pytest
+    (condenser_spark/functions/text.py:repetition_stats)."""
+    from condenser_spark.functions.text import repetition_stats
+
+    return repetition_stats(_tables(spark, sf_dir)["documents"])

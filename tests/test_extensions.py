@@ -290,3 +290,35 @@ def test_contamination_min_shared_threshold(spark):
         [(9, "p q s t a b c d")], "doc_id long, text string")
     assert contamination_pairs(train, evals, n=4, min_shared=1).count() == 1
     assert contamination_pairs(train, evals, n=4, min_shared=2).count() == 0
+
+
+def test_repetition_stats_planted_values(spark):
+    """Hand-computed Gopher repetition signals: a doc whose 4 lines are two
+    copies of two distinct lines scores dup_line_frac 0.5; a 'foo bar foo
+    bar' generation is dominated by one bigram; a clean doc scores 0; a
+    NULL-text doc emits zeros rather than vanishing."""
+    from condenser_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 lines: "aaaa bb" x2 + "cc dd" x2 -> dup_line_frac = 2/4;
+            # dup chars = all chars (every line repeated) -> 1.0
+            (1, "aaaa bb\ncc dd\naaaa bb\ncc dd"),
+            # 7 tokens -> 6 bigrams: "foo bar" x3, "bar foo" x2, "bar baz" x1
+            (2, "foo bar foo bar foo bar baz"),
+            (3, "one two three four"),  # clean: no repeats at all
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert len(got) == 4
+    assert got[1].n_lines == 4
+    assert abs(got[1].dup_line_frac - 0.5) < 1e-9
+    assert abs(got[1].dup_line_char_frac - 1.0) < 1e-9
+    assert abs(got[2].top_bigram_frac - 0.5) < 1e-9  # 3 of 6 bigrams
+    assert got[3].n_lines == 1
+    assert got[3].dup_line_frac == 0.0
+    assert got[3].top_bigram_frac < 0.5
+    assert got[4].n_lines == 0
+    assert got[4].dup_line_frac == 0.0 and got[4].top_bigram_frac == 0.0
