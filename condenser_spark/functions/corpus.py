@@ -159,10 +159,14 @@ def pack_sequences(
     ``order_col`` order) to training bins of ~``budget_tokens`` whitespace
     tokens.
 
-    bin = floor((running_total - n_tokens) / budget): each bin holds the docs
-    whose PRECEDING prefix-sum falls inside its budget window, so a bin can
+    raw bin = floor((running_total - n_tokens) / budget): each budget window
+    holds the docs whose PRECEDING prefix-sum falls inside it, so a bin can
     overflow by at most one document — the standard distribute-friendly
-    approximation (exact bin packing is inherently sequential).
+    approximation (exact bin packing is inherently sequential).  A document
+    LARGER than the budget spans several windows and leaves the skipped ones
+    empty, so raw indices are densified (dense_rank over the raw index,
+    same window partitioning — no extra shuffle): ``bin_id`` is always dense
+    0..total_bins-1 even with oversized documents (property-tested).
 
     Without ``shard_col`` the prefix sum is ONE global window — a
     single-partition sort, fine up to tens of millions of docs, a
@@ -199,10 +203,19 @@ def pack_sequences(
     if shard_col and shard_col not in (id_col, order_col):
         cols.append(F.col(shard_col))
     packed = df.select(*cols).withColumn(
-        "bin_id",
+        "_bin_raw",
         F.floor(
             (running - F.col("n_tokens")) / F.lit(budget_tokens)
         ).cast("long"),
+    )
+    # densify: raw indices skip windows when one doc exceeds the budget; the
+    # rank window shares the prefix-sum window's partitioning, so this adds
+    # an in-partition sort of already-ordered data, never a shuffle
+    dr = Window.partitionBy(shard_col) if shard_col else Window
+    packed = packed.withColumn(
+        "bin_id",
+        (F.dense_rank().over(dr.orderBy(F.col("_bin_raw").asc())) - 1)
+        .cast("long"),
     )
     if shard_col is None:
         return packed.select(id_col, "n_tokens", "bin_id")

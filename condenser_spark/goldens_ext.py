@@ -1091,12 +1091,18 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
                AS n_tokens
       FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, n_tokens,
+             floor((SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 2048.0) AS bin_raw
+      FROM counted
     )
     SELECT doc_id, n_tokens,
-           CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n_tokens) / 2048.0) AS BIGINT) AS bin_id
-    FROM counted
+           CAST(DENSE_RANK() OVER (ORDER BY bin_raw ASC) - 1 AS BIGINT)
+             AS bin_id
+    FROM binned
     """,
 )
 def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

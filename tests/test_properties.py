@@ -1,0 +1,123 @@
+"""Property-based invariants (hypothesis) for operators with algebraic
+contracts — SURVEY §5.2's randomized complement to the example-based pins.
+
+Each property runs a small number of examples (Spark round-trips are the cost
+unit) against a model computed in plain Python; shrinking still yields minimal
+counterexamples on failure.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@PROP
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=30),
+                  min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=60),
+)
+def test_pack_sequences_bin_invariants(spark, toks, budget):
+    """For ANY doc sizes and budget: bins are dense 0..max, bin ids are
+    non-decreasing in pack order, every bin except possibly the last closes
+    at or above budget only via its final doc (<=1-doc overflow: bin total
+    minus its last doc is < budget), and no document is lost."""
+    from condenser_spark.functions.corpus import pack_sequences
+
+    rows = [(i, "t " * n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        (r.doc_id, r.n_tokens, r.bin_id)
+        for r in pack_sequences(df, budget_tokens=budget).collect()
+    )
+    assert [d for d, _, _ in out] == list(range(len(toks)))  # nothing lost
+    assert [n for _, n, _ in out] == toks                    # counts exact
+    bins = [b for _, _, b in out]
+    assert bins == sorted(bins)                              # monotone fill
+    assert sorted(set(bins)) == list(range(max(bins) + 1))   # dense ids
+    # <=1-doc overflow: dropping a bin's last doc brings it under budget
+    totals: dict[int, list[int]] = {}
+    for _, n, b in out:
+        totals.setdefault(b, []).append(n)
+    for b, ns in totals.items():
+        assert sum(ns) - ns[-1] < budget, (b, ns)
+
+
+@PROP
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                  min_size=1, max_size=15),
+    right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
+                             st.integers(0, 999)),
+                   min_size=1, max_size=15),
+)
+def test_asof_join_matches_python_model(spark, left, right):
+    """asof_join (backward, inclusive, max-tiebreak) == the obvious per-row
+    Python model: among right rows with the same key and ts' <= ts, take max
+    ts', breaking ts ties by max payload."""
+    from datetime import datetime, timedelta
+
+    from condenser_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(left)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), v) for k, s, v in right],
+        "k long, ts timestamp, v long",
+    )
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(ldf, rdf, on="k", tiebreak="v").collect()
+    }
+    for i, (k, s) in enumerate(left):
+        cands = [(rs, v) for rk, rs, v in right if rk == k and rs <= s]
+        want = max(cands)[1] if cands else None
+        assert got.get(i) == want, (i, k, s, cands)
+
+
+@PROP
+@given(
+    edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                   min_size=1, max_size=25),
+)
+def test_dup_clusters_equals_connected_components(spark, edges):
+    """Distributed min-label propagation == textbook union-find connected
+    components, for ANY edge list (self-loops and duplicates included):
+    every node labeled with its component's minimum id."""
+    from condenser_spark.functions.dedup import dup_clusters
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dup_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(ns) for ns in comps.values() for n in ns}
+    assert got == want
