@@ -121,3 +121,106 @@ def test_dup_clusters_equals_connected_components(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(ns) for ns in comps.values() for n in ns}
     assert got == want
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=12),
+    ivals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 30)),
+        min_size=1, max_size=12,
+    ),
+    width=st.sampled_from([1.0, 3.0, 7.5]),
+)
+def test_range_join_bucketed_matches_containment_model(
+    spark, vals, ivals, width
+):
+    """Bucketed range join == brute-force interval containment for ANY
+    values, intervals (including zero-width and bucket-straddling ones), and
+    bucket width: the equi-join + refilter loses and invents nothing."""
+    from condenser_spark.functions.temporal import range_join_bucketed
+
+    ldf = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "lid long, val double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, float(lo), float(lo + span)) for j, (lo, span) in enumerate(ivals)],
+        "rid long, lo double, hi double",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_bucketed(
+            ldf, rdf, "val", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(vals)
+        for j, (lo, span) in enumerate(ivals)
+        if lo <= v <= lo + span
+    }
+    assert got == want
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+        min_size=1, max_size=20, unique=True,
+    ),
+    gap_min=st.sampled_from([1, 7, 60]),
+)
+def test_sessionize_matches_gap_model(spark, events, gap_min):
+    """sessionize == the obvious per-user model: sort a user's events by
+    (ts, event_id), start a new session exactly when the gap to the previous
+    event exceeds the threshold; session_seq is the 1-based running count."""
+    from datetime import datetime, timedelta
+
+    from condenser_spark.streaming.sessionize import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + timedelta(seconds=s)) for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_seq for r in sessionize(df, gap_min).collect()}
+
+    gap_s = gap_min * 60
+    by_user: dict[int, list[tuple]] = {}
+    for i, u, ts in rows:
+        by_user.setdefault(u, []).append((ts, i))
+    want = {}
+    for u, evs in by_user.items():
+        seq, prev = 0, None
+        for ts, i in sorted(evs):
+            if prev is None or (ts - prev).total_seconds() > gap_s:
+                seq += 1
+            want[i] = seq
+            prev = ts
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                 min_size=4, max_size=8),
+        min_size=2, max_size=10,
+    ),
+)
+def test_near_dedup_is_idempotent(spark, docs):
+    """near_dedup_documents is idempotent: deduping an already-deduped corpus
+    keeps every survivor (a survivor set contains no pair the pipeline would
+    collapse, by construction — re-running must be a no-op)."""
+    from condenser_spark.functions.dedup import near_dedup_documents
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    once = near_dedup_documents(df, n=3, threshold=0.6)
+    survivors1 = sorted(r.doc_id for r in once.collect())
+    twice = near_dedup_documents(once, n=3, threshold=0.6)
+    survivors2 = sorted(r.doc_id for r in twice.collect())
+    assert survivors1 == survivors2
