@@ -224,3 +224,114 @@ def test_near_dedup_is_idempotent(spark, docs):
     twice = near_dedup_documents(once, n=3, threshold=0.6)
     survivors2 = sorted(r.doc_id for r in twice.collect())
     assert survivors1 == survivors2
+
+
+# --------------------------------------------------- middle-out (randomized)
+
+_TARGET_POOL = [
+    {"table": "orders", "percent": 20, "sample_key": "o_orderkey"},
+    {"table": "orders", "percent": 50, "sample_key": "o_orderkey"},
+    {"table": "customer", "where": "c_mktsegment = 'BUILDING'"},
+    {"table": "customer", "percent": 10, "sample_key": "c_custkey"},
+    {"table": "nation", "where": "n_regionkey < 2"},
+    {"table": "lineitem", "percent": 5, "sample_key": "l_orderkey"},
+]
+_BREAK_POOL = [
+    {"fk_table": "events", "target_table": "customer"},
+    {"fk_table": "lineitem", "target_table": "part"},
+]
+_PK = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    target_idx=st.lists(st.integers(0, len(_TARGET_POOL) - 1),
+                        min_size=1, max_size=2, unique=True),
+    break_mask=st.lists(st.booleans(), min_size=len(_BREAK_POOL),
+                        max_size=len(_BREAK_POOL)),
+    passthrough=st.lists(st.sampled_from(["region", "part"]),
+                         max_size=2, unique=True),
+    keep_disconnected=st.booleans(),
+)
+def test_middle_out_invariants_over_random_configs(
+    spark, source, target_idx, break_mask, passthrough, keep_disconnected,
+):
+    """The middle-out engine's output contract, for RANDOM configs over the
+    fixture star (targets x breaks x passthroughs x disconnected-handling):
+
+    1. referentially closed — zero orphans on every non-broken FK edge;
+    2. direct-target inclusion — every row the target rule selects survives
+       to the destination (closure may add rows, never drop them);
+    3. passthrough tables are full copies;
+    4. no invented rows — every dest key exists in the source.
+
+    The goldens pin exact outputs for fixed configs; this pins the algebra
+    for the config space."""
+    from pyspark.sql import functions as SF
+
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.operators.validate import referential_violations
+
+    targets = [dict(_TARGET_POOL[i]) for i in sorted(target_idx)]
+    target_tables = {t["table"] for t in targets}
+    breaks = [b for b, on in zip(_BREAK_POOL, break_mask) if on]
+    cfg = SubsetConfig.from_dict(base_config_dict(
+        initial_targets=targets,
+        dependency_breaks=breaks,
+        passthrough_tables=[p for p in passthrough
+                            if p not in target_tables],
+        keep_disconnected_tables=keep_disconnected,
+    ))
+    dest = SubsetEngine(spark, cfg, source).run()
+
+    # 1. referential closure on non-broken edges
+    broken = {(b["fk_table"], b["target_table"]) for b in breaks}
+    live_rels = [r for r in cfg.fk_augmentation
+                 if (r.fk_table, r.target_table) not in broken]
+    orphans = referential_violations(dest, live_rels)
+    assert all(n == 0 for n in orphans.values()), {
+        f"{r.fk_table}->{r.target_table}": n
+        for r, n in orphans.items() if n
+    }
+
+    # 2. direct-target inclusion
+    for t in targets:
+        tbl = t["table"]
+        src = source[tbl]
+        if "where" in t:
+            wanted = src.filter(t["where"])
+        else:
+            wanted = src.filter(
+                SF.pmod(SF.col(t["sample_key"]), SF.lit(100)) < t["percent"]
+            )
+        key = _PK.get(tbl, t.get("sample_key", "l_orderkey"))
+        missing = (
+            wanted.select(key).distinct()
+            .join(dest[tbl].select(key).distinct(), on=key, how="left_anti")
+            .count()
+        )
+        assert missing == 0, (tbl, missing)
+
+    # 3. passthrough tables are full copies
+    for p in cfg.passthrough_tables:
+        assert dest[p].count() == source[p].count(), p
+
+    # 4. no invented rows (single-column-pk tables)
+    for tbl, df in dest.items():
+        pk = _PK.get(tbl)
+        if pk is None or pk not in df.columns:
+            continue
+        invented = (
+            df.select(pk).distinct()
+            .join(source[tbl].select(pk).distinct(), on=pk, how="left_anti")
+            .count()
+        )
+        assert invented == 0, (tbl, invented)
