@@ -335,3 +335,117 @@ def test_middle_out_invariants_over_random_configs(
             .count()
         )
         assert invented == 0, (tbl, invented)
+
+
+_VOCAB = "red blue green gold iron wolf moon star rain snow".split()
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=3, max_size=10),
+        min_size=2, max_size=12,
+    ),
+    thr=st.sampled_from([0.5, 0.8]),
+)
+def test_minhash_pairs_are_exactly_verified(spark, docs, thr):
+    """Precision is exact by construction: every emitted (id_a, id_b,
+    jaccard) matches the true shingle-set Jaccard computed in Python and
+    clears the threshold; and any planted EXACT duplicate pair (jaccard 1.0)
+    is always found (identical signatures share every band)."""
+    from condenser_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    rows.append((len(docs), rows[0][1]))  # plant an exact duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingles(text):
+        toks = text.split()
+        return {tuple(toks[i:i + 3]) for i in range(len(toks) - 2)} or {
+            tuple(toks)
+        }
+
+    sh = {i: shingles(t) for i, t in rows}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(df, n=3, threshold=thr).collect()
+    }
+    for (a, b), j in got.items():
+        true_j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        assert abs(j - round(true_j, 4)) < 1e-9, (a, b, j, true_j)
+        assert true_j >= thr
+    assert (0, len(docs)) in got  # the planted exact dup
+
+
+@PROP
+@given(
+    docs=st.lists(st.tuples(st.integers(0, 999), st.sampled_from("ab")),
+                  min_size=1, max_size=30, unique_by=lambda t: t[0]),
+    r1=st.sampled_from([0.0, 0.3, 0.7]),
+    bump=st.sampled_from([0.0, 0.3, 1.0]),
+)
+def test_weighted_mix_monotone_and_hash_split_partitions(
+    spark, docs, r1, bump
+):
+    """weighted_mix is monotone in the rate (raising one source's rate only
+    ADDS documents — previously emitted shards stay valid), and hash_split
+    is a partition (disjoint, total) whose membership is stable when the
+    corpus grows."""
+    from condenser_spark.functions.corpus import hash_split, weighted_mix
+
+    df = spark.createDataFrame(
+        [(i, s, "x") for i, s in docs], "doc_id long, source string, text string"
+    )
+    low = {r.doc_id for r in weighted_mix(df, {"a": r1}, default_rate=0.5).collect()}
+    high = {
+        r.doc_id
+        for r in weighted_mix(
+            df, {"a": min(1.0, r1 + bump)}, default_rate=0.5
+        ).collect()
+    }
+    assert low <= high  # monotone: no doc disappears when a rate rises
+
+    splits = {r.doc_id: r.split for r in hash_split(df).collect()}
+    assert set(splits) == {i for i, _ in docs}  # total: every row assigned
+    grown = df.unionByName(
+        spark.createDataFrame([(10_000, "a", "x")],
+                              "doc_id long, source string, text string")
+    )
+    splits_grown = {r.doc_id: r.split for r in hash_split(grown).collect()}
+    for i, s in splits.items():
+        assert splits_grown[i] == s  # stability: growth never migrates a row
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["click", "view"])),
+        min_size=1, max_size=25,
+    ),
+    win_min=st.sampled_from([1, 15, 60]),
+)
+def test_windowed_event_counts_matches_bucket_model(spark, events, win_min):
+    """Tumbling-window counts == the floor-division bucket model: every
+    event lands in exactly one [k*w, (k+1)*w) window and per-(window, type)
+    counts match."""
+    from datetime import datetime, timedelta, timezone
+
+    from condenser_spark.streaming.sessionize import windowed_event_counts
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (i, t0 + timedelta(seconds=s), ty) for i, (s, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        (r.window_start.replace(tzinfo=timezone.utc), r.event_type): r.n_events
+        for r in windowed_event_counts(df, window_minutes=win_min).collect()
+    }
+    w = win_min * 60
+    want: dict[tuple, int] = {}
+    for _, ts, ty in rows:
+        k = int((ts - t0).total_seconds()) // w
+        start = t0 + timedelta(seconds=k * w)
+        want[(start, ty)] = want.get((start, ty), 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(rows)  # every event in exactly one window
