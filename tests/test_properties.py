@@ -449,3 +449,121 @@ def test_windowed_event_counts_matches_bucket_model(spark, events, win_min):
         want[(start, ty)] = want.get((start, ty), 0) + 1
     assert got == want
     assert sum(got.values()) == len(rows)  # every event in exactly one window
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+def test_funnel_counts_matches_greedy_model(spark, events):
+    """Funnel conversion == the greedy first-occurrence model: per user,
+    step k matches its earliest event at-or-after step k-1's match; counts
+    are non-increasing down the funnel."""
+    from datetime import datetime, timedelta
+
+    from condenser_spark.streaming.sessionize import funnel_counts
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, u, t0 + timedelta(seconds=s), ty, 0.0)
+        for i, (u, s, ty) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    steps = ["a", "b", "c"]
+    got = {r.step_index: r.n_users for r in funnel_counts(df, steps).collect()}
+
+    by_user: dict[int, list[tuple]] = {}
+    for _, u, ts, ty, _v in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    want = {i: 0 for i in range(1, len(steps) + 1)}
+    for evs in by_user.values():
+        evs.sort()
+        cursor = None
+        for i, step in enumerate(steps, start=1):
+            nxt = min(
+                (ts for ts, ty in evs
+                 if ty == step and (cursor is None or ts >= cursor)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            want[i] += 1
+            cursor = nxt
+    assert got == want
+    counts = [got[i] for i in range(1, len(steps) + 1)]
+    assert counts == sorted(counts, reverse=True)  # funnel never widens
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=25, unique_by=lambda t: t[1],
+    ),
+    k=st.integers(1, 5),
+)
+def test_stratified_sample_per_group_cap(spark, rows, k):
+    """Per-stratum cap: exactly min(k, group size) rows per group, and they
+    are the FIRST k under the order column (deterministic, no sampling)."""
+    from condenser_spark.functions.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(g, i, "x") for g, i in rows], "grp long, doc_id long, text string"
+    )
+    got: dict[int, list[int]] = {}
+    for r in stratified_sample(df, "grp", k, "doc_id").collect():
+        got.setdefault(r.grp, []).append(r.doc_id)
+    groups: dict[int, list[int]] = {}
+    for g, i in rows:
+        groups.setdefault(g, []).append(i)
+    for g, ids in groups.items():
+        assert sorted(got.get(g, [])) == sorted(ids)[: min(k, len(ids))], g
+
+
+@PROP
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=2, max_size=10),
+        min_size=1, max_size=10,
+    ),
+    evals=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=2, max_size=10),
+        min_size=1, max_size=5,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_decontaminate_removes_exactly_the_leaking_docs(
+    spark, train, evals, n
+):
+    """decontaminate keeps exactly the train docs sharing NO word n-gram
+    with any eval doc (min_shared=1): set equality against the Python
+    shingle model, both directions — nothing leaks through, nothing clean is
+    lost."""
+    from condenser_spark.functions.dedup import decontaminate
+
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(evals)],
+        "doc_id long, text string",
+    )
+
+    def shingles(toks):
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    eval_sh = set().union(*(shingles(t) for t in evals))
+    want = {
+        i for i, t in enumerate(train) if not (shingles(t) & eval_sh)
+    }
+    got = {r.doc_id for r in decontaminate(tdf, edf, n=n).collect()}
+    assert got == want
