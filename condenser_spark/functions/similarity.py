@@ -42,8 +42,22 @@ def _norm(a) -> Column:
 
 
 def cosine(a, b) -> Column:
-    """Cosine similarity between two array columns, JVM-side."""
+    """Cosine similarity between two array columns, JVM-side.
+
+    Undefined for zero-magnitude vectors — under Spark's default ANSI mode
+    the division RAISES on them and kills the whole job, so every operator
+    in this module drops zero vectors at its entry filter (``_nonzero``),
+    alongside NULL/ragged rows: a direction-less vector can never be a
+    meaningful cosine candidate."""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _nonzero(vec) -> Column:
+    """True when the vector has positive magnitude (sum of squares > 0) —
+    the ANSI-safe admission test for cosine scoring.  One JVM fold, no sqrt."""
+    return F.aggregate(
+        vec, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v
+    ) > F.lit(0.0)
 
 
 def brute_force_cosine_topk(
@@ -63,12 +77,16 @@ def brute_force_cosine_topk(
     # both sides of the oracle (DuckDB list_dot_product over DOUBLE[]), so the
     # rounded cosine is bit-identical across engines
     q = F.broadcast(
-        queries.select(
+        queries.filter(
+            F.col(vec_col).isNotNull() & _nonzero(F.col(vec_col))
+        ).select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("q_vec"),
         )
     )
-    scored = corpus.select(
+    scored = corpus.filter(
+        F.col(vec_col).isNotNull() & _nonzero(F.col(vec_col))
+    ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).join(q)  # cross join with broadcast: each partition scans corpus once
@@ -207,17 +225,19 @@ def lsh_bucketed_cosine_topk(
             return _srp_buckets_exprs(planes, F.col(col_name))
     # NULL / wrong-dimension embeddings would turn the Arrow batch into an
     # object ndarray and fail the matmul (killing the whole job, where a JVM
-    # expression would just emit NULL) — drop them before the UDF, matching
-    # the semantics of "no bucket, never a candidate".
-    c = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    ).select(
+    # expression would just emit NULL); zero-magnitude vectors make the
+    # re-rank cosine RAISE under ANSI mode — drop both before the UDF,
+    # matching the semantics of "no bucket, never a candidate".
+    guard = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & _nonzero(F.col(vec_col))
+    )
+    c = corpus.filter(guard).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    q = queries.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-    ).select(
+    q = queries.filter(guard).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
@@ -368,7 +388,9 @@ def ivf_cosine_topk(
     expression trees would stress codegen."""
     assert 1 <= nprobe <= n_centroids
     c = corpus.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+        & _nonzero(F.col(vec_col))
     ).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
@@ -400,7 +422,9 @@ def ivf_cosine_topk(
         use_arrow = _ivf_auto_arrow(dim, len(centroids))
     c = c.filter(F.size("c_vec") == dim)
     q = queries.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & _nonzero(F.col(vec_col))
     ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -509,10 +533,12 @@ def embedding_cosine_dup_pairs(
     materializes."""
     planes = _hyperplanes(dim, bits, tables, seed)
     bucketize = _srp_buckets_batch(planes)
-    # same NULL/ragged guard as lsh_bucketed_cosine_topk: keep the Arrow
-    # batch rectangular so the BLAS matmul cannot throw on a bad row
+    # same NULL/ragged/zero-vector guard as lsh_bucketed_cosine_topk: keep
+    # the Arrow batch rectangular and the verification cosine ANSI-safe
     v = df.filter(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & _nonzero(F.col(vec_col))
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )

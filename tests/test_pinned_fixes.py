@@ -582,3 +582,42 @@ def test_srp_expr_path_warns_past_literal_budget(spark, caplog):
             query_id_col="vec_id", use_arrow=False,
         ).collect()
     assert not any("plan blowup" in r.message for r in caplog.records)
+
+
+def test_zero_vector_embeddings_do_not_crash_similarity(spark):
+    """A zero-magnitude embedding (dead/padding row — routine in real
+    corpora) must be dropped at every similarity operator's entry, not crash
+    the job: under Spark's default ANSI mode the cosine division RAISES on
+    zero norms (pre-fix: DIVIDE_BY_ZERO SparkArithmeticException from any of
+    the four operators, including via a zero-vector QUERY)."""
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        embedding_cosine_dup_pairs,
+        ivf_cosine_topk,
+        lsh_bucketed_cosine_topk,
+    )
+
+    good = _emb_df(spark, n=20, dim=8)
+    zero = spark.createDataFrame(
+        [(100, [0.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    emb = good.unionByName(zero)
+    q = emb.filter("vec_id < 2 OR vec_id = 100")  # includes the zero query
+
+    for out in (
+        brute_force_cosine_topk(emb, q, k=5, query_id_col="vec_id"),
+        lsh_bucketed_cosine_topk(
+            emb, q, k=5, dim=8, bits=4, tables=2, query_id_col="vec_id"
+        ),
+        ivf_cosine_topk(
+            emb, q, k=5, n_centroids=4, nprobe=4, query_id_col="vec_id"
+        ),
+    ):
+        rows = out.collect()  # pre-fix: raises
+        assert rows
+        assert all(r.vec_id != 100 and r.query_id != 100 for r in rows)
+
+    pairs = embedding_cosine_dup_pairs(
+        emb, threshold=0.0, dim=8, bits=2, tables=1
+    ).collect()
+    assert all(100 not in (r.id_a, r.id_b) for r in pairs)
