@@ -402,6 +402,11 @@ def ivf_cosine_topk(
         dim = len(centroids[0])
         if any(len(cent) != dim for cent in centroids):
             raise ValueError("ivf_cosine_topk: ragged centroids")
+        if any(all(x == 0.0 for x in cent) for cent in centroids):
+            # a zero centroid has no direction: its norm divides every
+            # row's cell score by zero (ANSI mode raises mid-job — fail at
+            # call time with a real message instead)
+            raise ValueError("ivf_cosine_topk: zero-magnitude centroid")
         lloyd_iters = 0
     else:
         seeds = (

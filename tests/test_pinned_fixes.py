@@ -519,6 +519,10 @@ def test_ivf_centroids_override_skips_seeding_and_lloyd(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     with _pytest.raises(ValueError, match="ragged"):
         ivf_cosine_topk(emb, q, centroids=[[1.0, 2.0], [1.0]])
+    # a zero centroid would divide every cell score by zero mid-job under
+    # ANSI mode; the override path fails fast at call time instead
+    with _pytest.raises(ValueError, match="zero-magnitude"):
+        ivf_cosine_topk(emb, q, centroids=[[1.0, 2.0], [0.0, 0.0]])
 
 
 def test_simhash_md5_mode_finds_same_planted_dups(spark):
