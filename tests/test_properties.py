@@ -258,9 +258,12 @@ _PK = {
     passthrough=st.lists(st.sampled_from(["region", "part"]),
                          max_size=2, unique=True),
     keep_disconnected=st.booleans(),
+    excluded=st.lists(st.sampled_from(["documents", "embeddings", "events"]),
+                      max_size=2, unique=True),
 )
 def test_middle_out_invariants_over_random_configs(
     spark, source, target_idx, break_mask, passthrough, keep_disconnected,
+    excluded,
 ):
     """The middle-out engine's output contract, for RANDOM configs over the
     fixture star (targets x breaks x passthroughs x disconnected-handling):
@@ -289,13 +292,21 @@ def test_middle_out_invariants_over_random_configs(
         passthrough_tables=[p for p in passthrough
                             if p not in target_tables],
         keep_disconnected_tables=keep_disconnected,
+        excluded_tables=excluded,
     ))
     dest = SubsetEngine(spark, cfg, source).run()
 
-    # 1. referential closure on non-broken edges
+    # 0. excluded tables exist in the destination with ZERO rows (schema
+    # replica, reference parity) no matter what else the config says
+    for t in excluded:
+        assert t in dest and dest[t].count() == 0, t
+
+    # 1. referential closure on non-broken edges between live tables
     broken = {(b["fk_table"], b["target_table"]) for b in breaks}
     live_rels = [r for r in cfg.fk_augmentation
-                 if (r.fk_table, r.target_table) not in broken]
+                 if (r.fk_table, r.target_table) not in broken
+                 and r.fk_table not in excluded
+                 and r.target_table not in excluded]
     orphans = referential_violations(dest, live_rels)
     assert all(n == 0 for n in orphans.values()), {
         f"{r.fk_table}->{r.target_table}": n
@@ -567,3 +578,62 @@ def test_decontaminate_removes_exactly_the_leaking_docs(
     }
     got = {r.doc_id for r in decontaminate(tdf, edf, n=n).collect()}
     assert got == want
+
+
+@PROP
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60)),
+                  min_size=1, max_size=12),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 60),
+                             st.integers(0, 99)),
+                   min_size=1, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 0, 10]),
+)
+def test_asof_join_directions_and_tolerance_match_model(
+    spark, left, right, direction, tol
+):
+    """Forward and tolerance paths == pandas merge_asof semantics: forward
+    takes the EARLIEST right row at-or-after (ties -> max tiebreak), and
+    tolerance NULLS a match outside the horizon rather than re-searching."""
+    from datetime import datetime, timedelta
+
+    from condenser_spark.functions.temporal import asof_join
+
+    t0 = datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(left)],
+        "lid long, k long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), v) for k, s, v in right],
+        "k long, ts timestamp, v long",
+    )
+    got = {
+        r.lid: r.v_asof
+        for r in asof_join(
+            ldf, rdf, on="k", tiebreak="v",
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        if direction == "backward":
+            cands = [(rs, v) for rk, rs, v in right if rk == k and rs <= s]
+            best = max(cands)[0:2] if cands else None  # max ts, then max v
+            match = max((v for rs, v in [c for c in cands if c[0] == best[0]]),
+                        default=None) if cands else None
+            in_range = cands and best[0] >= s - (tol if tol is not None else 10**9)
+        else:
+            cands = [(rs, v) for rk, rs, v in right if rk == k and rs >= s]
+            if cands:
+                first = min(rs for rs, _ in cands)
+                match = max(v for rs, v in cands if rs == first)
+                in_range = first <= s + (tol if tol is not None else 10**9)
+            else:
+                match, in_range = None, False
+        want = match if (cands and in_range) else None
+        assert got.get(i) == want, (i, k, s, direction, tol, cands, want)
