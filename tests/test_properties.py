@@ -637,3 +637,86 @@ def test_asof_join_directions_and_tolerance_match_model(
                 match, in_range = None, False
         want = match if (cands and in_range) else None
         assert got.get(i) == want, (i, k, s, direction, tol, cands, want)
+
+
+# ------------------------------------------------------- graph (driver-side)
+
+@settings(max_examples=60, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]  # a -> b with a < b: guaranteed acyclic
+        ),
+        min_size=1, max_size=20,
+    ),
+)
+def test_toposort_strata_is_valid_linear_extension(edges):
+    """For ANY DAG: every node appears exactly once across strata; every
+    dependency sits in a strictly earlier stratum than its dependent; and
+    each stratum is exactly the nodes whose longest dependency chain has
+    that depth (Kahn layering)."""
+    from condenser_spark.graph import toposort_strata
+
+    deps: dict[str, set[str]] = {}
+    for a, b in edges:
+        deps.setdefault(f"t{a}", set()).add(f"t{b}")  # t_a depends on t_b
+    strata = toposort_strata(deps)
+
+    universe = set(deps)
+    for vs in deps.values():
+        universe |= vs
+    flat = [n for s in strata for n in s]
+    assert sorted(flat) == sorted(universe)  # partition of the node set
+
+    level = {n: i for i, s in enumerate(strata) for n in s}
+    for k, vs in deps.items():
+        for v in vs:
+            assert level[v] < level[k], (v, k)  # deps strictly earlier
+
+    def depth(n, seen=()):
+        return 1 + max((depth(v) for v in deps.get(n, ())), default=-1)
+
+    for n in universe:
+        assert level[n] == depth(n), n  # Kahn layer == longest chain
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1, max_size=20,
+    ),
+    target=st.integers(0, 9),
+)
+def test_upstream_downstream_slices_respect_strata(edges, target):
+    """The strata-slice helpers keep their contracts on ANY DAG: upstream =
+    exactly the tables in strata strictly after the first stratum holding
+    the target (in stratum order); downstream = every non-skipped table in
+    strictly non-increasing stratum order (the reverse-topological single
+    sweep)."""
+    from condenser_spark.graph import (
+        compute_downstream_tables,
+        compute_upstream_tables,
+        toposort_strata,
+    )
+
+    deps = {}
+    for a, b in edges:
+        deps.setdefault(f"t{a}", set()).add(f"t{b}")
+    order = toposort_strata(deps)
+    level = {n: i for i, stratum in enumerate(order) for n in stratum}
+    t = f"t{target}"
+    if t not in level:
+        return  # target not in this graph; helper contract needs membership
+
+    up = compute_upstream_tables([t], order)
+    assert up == [n for stratum in order[level[t] + 1:] for n in stratum]
+
+    skip = [n for n in level if level[n] == 0]  # treat stratum-0 as passthrough
+    down = compute_downstream_tables(skip, [], order)
+    assert [n for n in down if n in skip] == []
+    levels = [level[n] for n in down]
+    assert levels == sorted(levels, reverse=True)  # most-upstream first
+    assert sorted(down) == sorted(n for n in level if n not in skip)
