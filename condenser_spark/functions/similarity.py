@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import random
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -387,6 +388,78 @@ def ivf_cosine_topk(
     fixture dims, an Arrow/numpy batch kernel past ~256 dims where literal
     expression trees would stress codegen."""
     assert 1 <= nprobe <= n_centroids
+    index = ivf_index(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
+        use_arrow=use_arrow,
+    )
+    return ivf_query(
+        index, queries, k=k, nprobe=nprobe,
+        vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+@dataclass(frozen=True)
+class IvfIndex:
+    """A built IVF inverted file: the cell-assigned corpus plus its centroid
+    codebook.  ``assigned`` columns: (vec_id, c_vec array<double>, cell int).
+    Persist/cache ``assigned`` (or write it to parquet partitioned by cell)
+    to amortize the build across query batches — at dim=768 x 200k vectors
+    the build (seeding + one Lloyd round + assignment) costs 2-3 corpus
+    scans, which dominates a single 8-query batch but vanishes across
+    repeated batches (STRESS.md stage 3)."""
+
+    assigned: DataFrame
+    centroids: list[list[float]]
+    dim: int
+    use_arrow: bool
+
+
+def _ivf_cell_scores(vec, cents) -> Column:
+    # array of (dot/||c||, cell_idx) structs, one per centroid; the
+    # centroid norm is a constant subtree Catalyst folds once
+    out = []
+    for i, cent in enumerate(cents):
+        arr = F.array(*[F.lit(x) for x in cent])
+        out.append(F.struct(
+            (_dot(vec, arr) / _norm(arr)).alias("score"),
+            F.lit(i).alias("cell"),
+        ))
+    return F.array(*out)
+
+
+def _ivf_assign(df, cents, use_arrow: bool) -> DataFrame:
+    if use_arrow:
+        best = _ivf_cells_batch(cents, 1)
+        return df.select(
+            "vec_id", "c_vec",
+            F.element_at(best("c_vec"), 1).alias("cell"),
+        )
+    # argmax cell (descending sort on (score, cell), take head)
+    return df.select(
+        "vec_id", "c_vec",
+        F.element_at(
+            F.reverse(F.array_sort(_ivf_cell_scores(F.col("c_vec"), cents))), 1
+        )["cell"].alias("cell"),
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+) -> IvfIndex:
+    """Build the IVF inverted file ONCE (seeding + Lloyd + cell assignment)
+    so repeated query batches skip the fixed cost — ``ivf_cosine_topk`` is
+    ``ivf_query(ivf_index(corpus, ...), queries, ...)``.  See
+    ``ivf_cosine_topk`` for parameter semantics; the returned
+    ``IvfIndex.assigned`` is lazy — ``.persist()`` it (or sink it to parquet
+    partitioned by cell) before a query loop."""
     c = corpus.filter(
         F.col(vec_col).isNotNull()
         & (F.size(vec_col) > 0)
@@ -398,15 +471,15 @@ def ivf_cosine_topk(
     if centroids is not None:
         centroids = [[float(x) for x in cent] for cent in centroids]
         if not centroids:
-            raise ValueError("ivf_cosine_topk: empty centroids")
+            raise ValueError("ivf_index: empty centroids")
         dim = len(centroids[0])
         if any(len(cent) != dim for cent in centroids):
-            raise ValueError("ivf_cosine_topk: ragged centroids")
+            raise ValueError("ivf_index: ragged centroids")
         if any(all(x == 0.0 for x in cent) for cent in centroids):
             # a zero centroid has no direction: its norm divides every
             # row's cell score by zero (ANSI mode raises mid-job — fail at
             # call time with a real message instead)
-            raise ValueError("ivf_cosine_topk: zero-magnitude centroid")
+            raise ValueError("ivf_index: zero-magnitude centroid")
         lloyd_iters = 0
     else:
         seeds = (
@@ -416,58 +489,22 @@ def ivf_cosine_topk(
             .collect()
         )
         if not seeds:
-            raise ValueError("ivf_cosine_topk: corpus has no non-empty vectors")
+            raise ValueError("ivf_index: corpus has no non-empty vectors")
         lengths = [len(r.c_vec) for r in seeds]
         dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
         centroids = [list(r.c_vec) for r in seeds if len(r.c_vec) == dim][
             :n_centroids
         ]
-    nprobe = min(nprobe, len(centroids))
     if use_arrow is None:
         use_arrow = _ivf_auto_arrow(dim, len(centroids))
     c = c.filter(F.size("c_vec") == dim)
-    q = queries.filter(
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) == dim)
-        & _nonzero(F.col(vec_col))
-    ).select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
-
-    def _cell_scores(vec, cents) -> Column:
-        # array of (dot/||c||, cell_idx) structs, one per centroid; the
-        # centroid norm is a constant subtree Catalyst folds once
-        out = []
-        for i, cent in enumerate(cents):
-            arr = F.array(*[F.lit(x) for x in cent])
-            out.append(F.struct(
-                (_dot(vec, arr) / _norm(arr)).alias("score"),
-                F.lit(i).alias("cell"),
-            ))
-        return F.array(*out)
-
-    def _assign(df, cents):
-        if use_arrow:
-            best = _ivf_cells_batch(cents, 1)
-            return df.select(
-                "vec_id", "c_vec",
-                F.element_at(best("c_vec"), 1).alias("cell"),
-            )
-        # argmax cell (descending sort on (score, cell), take head)
-        return df.select(
-            "vec_id", "c_vec",
-            F.element_at(
-                F.reverse(F.array_sort(_cell_scores(F.col("c_vec"), cents))), 1
-            )["cell"].alias("cell"),
-        )
 
     for _ in range(max(0, lloyd_iters)):
         # one narrow (cell, pos, val) stream -> avg per (cell, pos): the
         # shuffle carries n_centroids x dim partial means regardless of dim,
         # and the plan never grows dim-wide aggregate lists
         means = (
-            _assign(c, centroids)
+            _ivf_assign(c, centroids, use_arrow)
             .select("cell", F.posexplode("c_vec").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.avg("val").alias("m"))
@@ -481,9 +518,39 @@ def ivf_cosine_topk(
             refined[cell] = [round(float(comps[p]), 6) for p in range(dim)]
         centroids = refined
 
-    assigned = _assign(c, centroids)
+    return IvfIndex(
+        assigned=_ivf_assign(c, centroids, use_arrow),
+        centroids=centroids,
+        dim=dim,
+        use_arrow=use_arrow,
+    )
+
+
+def ivf_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a built :class:`IvfIndex`: top-``nprobe`` cells per query,
+    exact-cosine re-rank inside the probed cells.  Same output schema as
+    ``brute_force_cosine_topk``; repeated calls reuse the index's assignment
+    (cache it — see ``IvfIndex``)."""
+    assert nprobe >= 1
+    centroids, dim = index.centroids, index.dim
+    nprobe = min(nprobe, len(centroids))
+    q = queries.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & _nonzero(F.col(vec_col))
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
     # queries: top-nprobe cells, exploded to one probe row per (query, cell)
-    if use_arrow:
+    if index.use_arrow:
         probe_cells = _ivf_cells_batch(centroids, nprobe)
         probes = F.broadcast(
             q.select(
@@ -498,7 +565,9 @@ def ivf_cosine_topk(
                 F.explode(
                     F.slice(
                         F.reverse(
-                            F.array_sort(_cell_scores(F.col("q_vec"), centroids))
+                            F.array_sort(
+                                _ivf_cell_scores(F.col("q_vec"), centroids)
+                            )
                         ),
                         1, nprobe,
                     )["cell"]
@@ -506,7 +575,7 @@ def ivf_cosine_topk(
             )
         )
     scored = (
-        assigned.join(probes, on="cell")
+        index.assigned.join(probes, on="cell")
         .select(
             "query_id", "vec_id",
             F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),

@@ -625,3 +625,31 @@ def test_zero_vector_embeddings_do_not_crash_similarity(spark):
         emb, threshold=0.0, dim=8, bits=2, tables=1
     ).collect()
     assert all(100 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_ivf_index_reuse_matches_direct_calls(spark):
+    """ivf_index builds once and serves many query batches: two ivf_query
+    calls over one persisted index equal two independent ivf_cosine_topk
+    calls — the amortization API the dim-768 measurement motivated (the
+    build's 2-3 fixed corpus scans dominate a single small batch)."""
+    from condenser_spark.functions.similarity import (
+        ivf_cosine_topk,
+        ivf_index,
+        ivf_query,
+    )
+
+    emb = _emb_df(spark, n=40, dim=8)
+    q1, q2 = emb.filter("vec_id < 3"), emb.filter("vec_id BETWEEN 10 AND 12")
+    idx = ivf_index(emb, n_centroids=4)
+    idx.assigned.persist()
+    try:
+        for q in (q1, q2):
+            got = ivf_query(idx, q, k=5, nprobe=4, query_id_col="vec_id")
+            want = ivf_cosine_topk(
+                emb, q, k=5, n_centroids=4, nprobe=4, query_id_col="vec_id"
+            )
+            assert sorted(map(tuple, got.collect())) == sorted(
+                map(tuple, want.collect())
+            )
+    finally:
+        idx.assigned.unpersist()
