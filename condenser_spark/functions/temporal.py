@@ -135,6 +135,7 @@ def range_join_bucketed(
     right_hi: str,
     bucket_width: float,
     extra_key: str | None = None,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Inner join ``left`` to every right row whose ``[right_lo, right_hi]``
     interval contains ``left_val`` — without the BroadcastNestedLoopJoin a
@@ -147,14 +148,37 @@ def range_join_bucketed(
     moves (bucket[, extra_key]) — hash-partitionable, AQE-skew-splittable —
     instead of a nested loop.  Right rows duplicate by interval/width; pick
     ``bucket_width`` near the typical interval length to bound the blow-up
-    (cost analysis mirrors the DuckDB/Trino range-bucketing literature)."""
+    (cost analysis mirrors the DuckDB/Trino range-bucketing literature).
+
+    Guard: an interval spanning more than ``max_buckets_per_interval``
+    buckets (one mis-scaled row — seconds-vs-millis units, a sentinel
+    9999-12-31 end date — against a small ``bucket_width``) would silently
+    explode to millions of rows and kill the job; such rows RAISE with an
+    actionable message at execution instead (no silent caps, fail loud)."""
     w = float(bucket_width)
+    n_buckets = (
+        F.floor(F.col(right_hi) / w).cast("long")
+        - F.floor(F.col(right_lo) / w).cast("long")
+        + F.lit(1)
+    )
     r = right.withColumn(
         "_bucket",
         F.explode(
-            F.sequence(
-                F.floor(F.col(right_lo) / w).cast("long"),
-                F.floor(F.col(right_hi) / w).cast("long"),
+            F.when(
+                n_buckets > F.lit(int(max_buckets_per_interval)),
+                F.raise_error(F.format_string(
+                    "range_join_bucketed: interval [%s, %s] spans more than "
+                    f"{int(max_buckets_per_interval)} buckets at "
+                    f"bucket_width={w!r} — raise bucket_width or filter "
+                    "mis-scaled intervals",
+                    F.col(right_lo).cast("string"),
+                    F.col(right_hi).cast("string"),
+                )).cast("array<long>"),
+            ).otherwise(
+                F.sequence(
+                    F.floor(F.col(right_lo) / w).cast("long"),
+                    F.floor(F.col(right_hi) / w).cast("long"),
+                )
             )
         ),
     )

@@ -653,3 +653,32 @@ def test_ivf_index_reuse_matches_direct_calls(spark):
             )
     finally:
         idx.assigned.unpersist()
+
+
+def test_range_join_rejects_mis_scaled_intervals(spark):
+    """One mis-scaled interval (wrong units / sentinel end date) against a
+    small bucket_width would silently explode to millions of bucket rows;
+    the guard raises with an actionable message instead, and a generous
+    explicit cap still admits wide-but-sane intervals."""
+    import pytest as _pytest
+
+    from condenser_spark.functions.temporal import range_join_bucketed
+
+    left = spark.createDataFrame([(1, 5.0)], "lid long, val double")
+    right = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 0.0, 5e5)],  # row 2: seconds-vs-millis mistake
+        "rid long, lo double, hi double",
+    )
+    with _pytest.raises(Exception, match="spans more than"):
+        range_join_bucketed(
+            left, right, "val", "lo", "hi", bucket_width=1.0
+        ).collect()
+    # same data, cap raised explicitly: completes and matches containment
+    got = {
+        (r.lid, r.rid)
+        for r in range_join_bucketed(
+            left, right, "val", "lo", "hi", bucket_width=1.0,
+            max_buckets_per_interval=1_000_000,
+        ).collect()
+    }
+    assert got == {(1, 1), (1, 2)}
