@@ -30,12 +30,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count.  Empty/blank strings count 0."""
+    """Whitespace token count — exactly ``len(text.split())``: split on any
+    whitespace run and count non-empty pieces.  Blank/whitespace-only
+    strings count 0.  (The earlier ``trim`` + split form overcounted text
+    with tabs/newlines at the edges: SQL ``trim`` strips only SPACES, so
+    ``"a\\t"`` counted 2 — caught by the token-count property test and fixed
+    identically in the DuckDB oracles.)"""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    return F.when(trimmed == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:

@@ -238,8 +238,8 @@ _TEXT_STATS_ORACLE = r"""
     )
     SELECT doc_id,
            length(text) AS char_len,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS n_tokens,
            len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
            CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'und'
                 WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
@@ -992,8 +992,8 @@ _QUALITY_SQL = """
     f"""
     SELECT doc_id, text, lang, source, n_chars FROM documents
     WHERE length(text) BETWEEN 100 AND 400
-      AND (CASE WHEN trim(text) = '' THEN 0
-           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 20
+      AND len(list_filter(regexp_split_to_array(text, '\\s+'),
+                          x -> x <> '')) >= 20
       AND {_QUALITY_SQL} >= 0.5
       AND lang IN ('en', 'es')
     """,
@@ -1087,9 +1087,8 @@ def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH counted AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-               AS n_tokens
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
       FROM documents
     ),
     binned AS (

@@ -720,3 +720,98 @@ def test_upstream_downstream_slices_respect_strata(edges, target):
     levels = [level[n] for n in down]
     assert levels == sorted(levels, reverse=True)  # most-upstream first
     assert sorted(down) == sorted(n for n in level if n not in skip)
+
+
+# ------------------------------------------------------------- text / vocab
+
+_WS_TEXT = st.lists(
+    st.one_of(st.sampled_from(_VOCAB), st.sampled_from(["", " ", "\t", "\n"])),
+    min_size=0, max_size=12,
+).map(" ".join)
+
+
+@PROP
+@given(texts=st.lists(_WS_TEXT, min_size=1, max_size=12))
+def test_token_count_matches_python_split(spark, texts):
+    """token_count == len(text.split()) for any whitespace mess (runs of
+    spaces/tabs/newlines, leading/trailing, empty): the JVM regex split and
+    Python's split() agree on every input."""
+    from condenser_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", token_count("text").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == len(t.split()), (i, repr(t))
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8),
+        min_size=1, max_size=10,
+    ),
+    max_size=st.integers(1, 6),
+    min_freq=st.integers(1, 3),
+)
+def test_build_vocab_encode_tokens_roundtrip(spark, docs, max_size, min_freq):
+    """build_vocab == the Python frequency model (top max_size terms with
+    freq >= min_freq, ranked by (freq desc, term asc), ids from 1), and
+    encode_tokens maps every position to its vocab id with 0 for OOV —
+    lengths always preserved."""
+    from collections import Counter
+
+    from condenser_spark.functions.corpus import build_vocab, encode_tokens
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(df, max_size=max_size, min_freq=min_freq)
+    got_vocab = {r.term: r.token_id for r in vocab.collect()}
+
+    freq = Counter(tok for d in docs for tok in d)
+    ranked = sorted(
+        (t for t, f in freq.items() if f >= min_freq),
+        key=lambda t: (-freq[t], t),
+    )[:max_size]
+    want_vocab = {t: i + 1 for i, t in enumerate(ranked)}
+    assert got_vocab == want_vocab
+
+    got_ids = {
+        r.doc_id: list(r.token_ids)
+        for r in encode_tokens(df, vocab).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert got_ids[i] == [want_vocab.get(t, 0) for t in toks], i
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=6),
+        min_size=1, max_size=12,
+    ),
+    frac=st.sampled_from([0.2, 0.5, 0.9]),
+)
+def test_heavy_hitters_matches_doc_frequency_model(spark, docs, frac):
+    """heavy_hitters == the exact doc-frequency model: precisely the terms
+    whose distinct-document count reaches ceil-free n_docs * frac, with
+    exact doc_freq values."""
+    from condenser_spark.functions.corpus import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {r.term: r.doc_freq for r in heavy_hitters(df, min_doc_frac=frac).collect()}
+    dfreq: dict[str, int] = {}
+    for toks in docs:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {t: c for t, c in dfreq.items() if c >= len(docs) * frac}
+    assert got == want
