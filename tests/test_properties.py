@@ -815,3 +815,106 @@ def test_heavy_hitters_matches_doc_frequency_model(spark, docs, frac):
             dfreq[t] = dfreq.get(t, 0) + 1
     want = {t: c for t, c in dfreq.items() if c >= len(docs) * frac}
     assert got == want
+
+
+@PROP
+@given(
+    parts=st.lists(
+        st.one_of(
+            st.sampled_from(_VOCAB),
+            st.sampled_from([
+                "bob@example.com", "a.b+c@mail.co", "555-123-4567",
+                "+1 555 123 4567".replace(" ", "-"), "123-45-6789",
+            ]),
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+def test_pii_scrub_matches_python_re(spark, parts):
+    """pii_scrub == sequential Python re.sub with the same RE2-safe patterns:
+    scrubbed text and redaction counts both match, and PII-free text passes
+    through byte-identical with n_redactions == 0."""
+    import re
+
+    from condenser_spark.functions.corpus import PII_PATTERNS, pii_scrub
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = pii_scrub(df).collect()[0]
+
+    want, n = text, 0
+    for pat in PII_PATTERNS.values():
+        n += len(re.findall(pat, want))
+        want = re.sub(pat, "[REDACTED]", want)
+    assert row.text == want
+    assert row.n_redactions == n
+    if all(p in _VOCAB for p in parts):
+        assert row.text == text and row.n_redactions == 0
+
+
+@PROP
+@given(
+    toks=st.lists(
+        st.one_of(
+            st.sampled_from(_VOCAB),
+            st.sampled_from(["the", "and", "el", "la", "le", "der", "und"]),
+        ),
+        min_size=0, max_size=15,
+    ),
+)
+def test_language_id_matches_marker_model(spark, toks):
+    """language_id == the documented argmax model: count marker hits per
+    language over whitespace tokens, strictly-greater wins, ties keep the
+    earlier language in LANG_MARKERS order, zero hits -> 'und'."""
+    from condenser_spark.functions.text import LANG_MARKERS, language_id
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = df.select(language_id("text").alias("lang")).collect()[0].lang
+
+    lowered = text.lower().split(" ") if text else [""]
+    best, best_score = "und", 0
+    for lang, words in LANG_MARKERS.items():
+        score = sum(1 for t in lowered if t in words)
+        if score > best_score:
+            best, best_score = lang, score
+    assert got == best, (toks, got, best)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=10),
+        min_size=2, max_size=8,
+    ),
+    n=st.sampled_from([2, 3]),
+    thr=st.sampled_from([0.3, 0.7]),
+)
+def test_ngram_jaccard_pairs_matches_set_model(spark, docs, n, thr):
+    """The exact n-gram Jaccard operator == the Python shingle-set model:
+    every qualifying unordered pair present with the exact rounded score,
+    no extra pairs (the verifier the MinHash family is pinned against must
+    itself be exact)."""
+    from condenser_spark.functions.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, n=n, threshold=thr).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs)}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if round(j, 4) >= thr:
+                    want[(a, b)] = round(j, 4)
+    assert got == want
