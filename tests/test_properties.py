@@ -918,3 +918,73 @@ def test_ngram_jaccard_pairs_matches_set_model(spark, docs, n, thr):
                 if round(j, 4) >= thr:
                     want[(a, b)] = round(j, 4)
     assert got == want
+
+
+@PROP
+@given(
+    toks=st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=15),
+    divisor=st.sampled_from([4, 16]),
+)
+def test_rolling_fingerprints_matches_rabin_karp_model(spark, toks, divisor):
+    """rolling_fingerprints == the Python Rabin-Karp model bit-for-bit:
+    md5-derived token hashes, fp(pos) = sum h[pos+j]*31^j mod 2^31-1 over
+    full windows only, boundary when fp %% divisor == 0, chunk_id = count of
+    boundaries at strictly earlier positions."""
+    import hashlib
+
+    from condenser_spark.functions.text import rolling_fingerprints
+
+    window = 4
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = sorted(
+        (r.pos, r.fp, r.chunk_id)
+        for r in rolling_fingerprints(
+            df, window=window, boundary_divisor=divisor
+        ).collect()
+    )
+
+    norm = " ".join(text.lower().strip().split())
+    ts = norm.split(" ")
+    h = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in ts]
+    want, boundaries = [], 0
+    fps = []
+    for pos in range(len(ts) - window + 1):
+        fp = sum(h[pos + j] * (31 ** j) for j in range(window)) % ((1 << 31) - 1)
+        fps.append((pos + 1, fp))
+    for pos, fp in fps:
+        want.append((pos, fp, boundaries))
+        if fp % divisor == 0:
+            boundaries += 1
+    assert got == want, (toks, got, want)
+
+
+@PROP
+@given(
+    toks=st.lists(st.sampled_from(_VOCAB + ["the", "and"]),
+                  min_size=1, max_size=20),
+)
+def test_simhash_md5_signature_matches_python_model(spark, toks):
+    """simhash_signatures(hash_mode="md5") == the Python model bit-for-bit:
+    60-bit md5 token hashes, per-bit +1/-1 votes weighted by token
+    multiplicity, sign of the vote sum sets the bit — the arithmetic the
+    DuckDB oracle replays must match a third, independent implementation."""
+    import hashlib
+
+    from condenser_spark.functions.dedup import simhash_signatures
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = simhash_signatures(df, hash_mode="md5").collect()[0].simhash
+
+    norm = " ".join(text.lower().strip().split())
+    hashes = [
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for t in norm.split(" ")
+    ]
+    sig = 0
+    for bit in range(64):
+        votes = sum(1 if (h >> bit) & 1 else -1 for h in hashes)
+        if votes > 0:
+            sig |= 1 << bit
+    assert got == sig, (toks, got, sig)
