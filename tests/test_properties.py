@@ -235,6 +235,8 @@ _TARGET_POOL = [
     {"table": "customer", "percent": 10, "sample_key": "c_custkey"},
     {"table": "nation", "where": "n_regionkey < 2"},
     {"table": "lineitem", "percent": 5, "sample_key": "l_orderkey"},
+    {"table": "orders", "percent": 0, "sample_key": "o_orderkey"},
+    {"table": "orders", "percent": 100, "sample_key": "o_orderkey"},
 ]
 _BREAK_POOL = [
     {"fk_table": "events", "target_table": "customer"},
@@ -988,3 +990,77 @@ def test_simhash_md5_signature_matches_python_model(spark, toks):
         if votes > 0:
             sig |= 1 << bit
     assert got == sig, (toks, got, sig)
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    k=st.integers(1, 3),
+)
+def test_tfidf_top_terms_matches_model(spark, docs, k):
+    """tfidf_top_terms == the Python model: score = tf * ln(N/df) rounded to
+    4 decimals, per-doc top-k under (score desc, term asc) — exact rows,
+    scores, and ranks."""
+    import math
+    from collections import Counter
+
+    from condenser_spark.functions.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.term, r.tfidf, r.rank)
+        for r in tfidf_top_terms(df, k=k).collect()
+    )
+    n = len(docs)
+    dfreq: Counter = Counter()
+    for toks in docs:
+        dfreq.update(set(toks))
+    want = []
+    for i, toks in enumerate(docs):
+        tf = Counter(toks)
+        scored = sorted(
+            ((round(c * math.log(n / dfreq[t]), 4), t) for t, c in tf.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (score, term) in enumerate(scored[:k], start=1):
+            want.append((i, term, score, rank))
+    assert got == sorted(want)
+
+
+@PROP
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=1, max_size=20,
+    ),
+)
+def test_numeric_profile_matches_numpy_model(spark, vals):
+    """numeric_profile == the numpy model on any mix of values and NULLs:
+    count/nulls/min/max exact, median == linear-interpolated percentile
+    rounded to 4 decimals (the same arithmetic as DuckDB quantile_cont,
+    which the oracle pins cross-engine)."""
+    import numpy as np
+
+    from condenser_spark.functions.corpus import numeric_profile
+
+    df = spark.createDataFrame(
+        [(i, float(v) if v is not None else None) for i, v in enumerate(vals)],
+        "id long, x double",
+    )
+    r = numeric_profile(df, ["x"]).collect()[0]
+    present = [v for v in vals if v is not None]
+    # n is the NON-NULL count (SQL count(col) semantics, what the DuckDB
+    # oracle pins); n + n_null == total rows
+    assert r.n == len(present)
+    assert r.n_null == len(vals) - len(present)
+    if present:
+        assert r.min == min(present) and r.max == max(present)
+        assert abs(r.median - round(float(np.percentile(present, 50)), 4)) < 1e-9
+    else:
+        assert r.min is None and r.max is None and r.median is None
