@@ -39,6 +39,21 @@ from condenser_spark.functions.text import document_fingerprint
 
 logger = logging.getLogger(__name__)
 
+def _log_dropped_hot_keys(hot: DataFrame, cap: int, what: str) -> None:
+    """No silent semantic caps: when INFO logging is enabled, count and
+    report the hot keys a document-frequency cap drops (one extra small
+    aggregate job, skipped entirely otherwise — the same policy as
+    ``_cap_band_buckets``).  Results exclude pairs bridged only by the
+    dropped keys, so operators say so out loud."""
+    if logger.isEnabledFor(logging.INFO):
+        n = hot.count()
+        if n:
+            logger.info(
+                "%s: df cap %d dropped %d hot keys (pairs bridged only by "
+                "them are excluded)", what, cap, n,
+            )
+
+
 # deterministic mix constants for the k minhash "permutations"
 # h_i(x) = (a_i * x + b_i) mod p over the (xxhash64 mod p) shingle hash.
 # p = 2^31-1 keeps a*h+b < 2^62: no silent 64-bit overflow, which would wreck
@@ -165,6 +180,8 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("shingle")
         )
+        _log_dropped_hot_keys(hot, max_shingle_df,
+                              "ngram_jaccard_pairs shingle")
         exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -601,6 +618,8 @@ def contamination_pairs(
             .filter(F.col("sdf") > max_shingle_df)
             .select("shingle")
         )
+        _log_dropped_hot_keys(hot, max_shingle_df,
+                              "contamination_pairs train shingle")
         tr = tr.join(hot, on="shingle", how="left_anti")
     return (
         ev.join(tr, on="shingle")

@@ -213,6 +213,12 @@ def shared_passages(
         )
     )
     if max_chunk_df is not None:
+        from condenser_spark.functions.dedup import _log_dropped_hot_keys
+
+        _log_dropped_hot_keys(
+            chunks.filter(F.size("ids") > max_chunk_df).select("sig"),
+            max_chunk_df, "shared_passages chunk signature",
+        )
         chunks = chunks.filter(F.size("ids") <= max_chunk_df)
     pairs = chunks.select(
         F.explode("ids").alias("doc_a"), "ids", "n_windows"

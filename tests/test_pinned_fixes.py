@@ -682,3 +682,21 @@ def test_range_join_rejects_mis_scaled_intervals(spark):
         ).collect()
     }
     assert got == {(1, 1), (1, 2)}
+
+
+def test_hot_key_caps_log_their_drops(spark, caplog):
+    """Every semantic document-frequency cap announces what it dropped
+    (ngram shingles, contamination train shingles, shared-passage chunk
+    signatures), mirroring the LSH bucket-cap logging — no silent caps."""
+    import logging
+
+    from condenser_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common shingle words here plus tail %d" % i) for i in range(4)],
+        "doc_id long, text string",
+    )
+    with caplog.at_level(logging.INFO, logger="condenser_spark.functions.dedup"):
+        ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=1).count()
+    assert any("df cap" in r.message and "dropped" in r.message
+               for r in caplog.records)
