@@ -152,6 +152,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("brute_force_cosine_topk",
           lambda: brute_force_cosine_topk(
               emb, queries, k=10, query_id_col="vec_id").count())
+
+    from condenser_spark.functions.similarity import lsh_bucketed_cosine_topk
+
+    # the ANN scale path (added round 7): SRP bucketing + exact re-rank
+    timed("srp_cosine_topk",
+          lambda: lsh_bucketed_cosine_topk(
+              emb, queries, k=10, dim=64, query_id_col="vec_id").count())
     timed("embedding_dup_pairs",
           lambda: embedding_cosine_dup_pairs(emb, threshold=0.95).count())
 
