@@ -25,7 +25,14 @@ def sessionize(
     """Assign session ids: a session breaks when the gap to the previous event
     of the same user exceeds ``gap_minutes``.  Output adds ``session_seq``
     (1-based per user) — deterministic given (user, ts) ordering with event_id
-    tie-break."""
+    tie-break.
+
+    Scale note: the window partitions by user, so one pathological hot key
+    (a bot with 10^9 events) serializes into a single task — inherent to
+    per-user ordering semantics (AQE cannot split a window partition).  At
+    100 TB, pre-filter known bot/service accounts or sessionize them
+    separately; organic user histories are no more than millions of events
+    and fit a task comfortably."""
     order = [F.col(ts_col).asc()]
     if "event_id" in events.columns:
         order.append(F.col("event_id").asc())
