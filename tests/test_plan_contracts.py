@@ -150,3 +150,21 @@ def test_ivf_expr_path_is_python_free_and_arrow_path_is_batched(spark):
     )
     assert "ArrowEvalPython" in arrow_plan
     assert "BatchEvalPython" not in arrow_plan
+
+
+def test_repetition_stats_prunes_scan_to_id_and_text(spark, source):
+    """repetition_stats reads ONLY (doc_id, text) from the parquet scan —
+    column pruning must reach the reader (a scan dragging lang/source/
+    n_chars through two explode pipelines would read the table twice over
+    at 100 TB)."""
+    from condenser_spark.functions.text import repetition_stats
+
+    plan = (
+        repetition_stats(source["documents"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
+        cols = set(re.findall(r"(\w+):", m.group(1)))
+        assert cols <= {"doc_id", "text"}, cols
