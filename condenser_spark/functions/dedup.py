@@ -645,3 +645,176 @@ def decontaminate(
         train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+def _bloom_geometry(n_items: int, fp_rate: float, max_bits: int):
+    """(m_bits, k_hashes) for a Bloom filter sized to ``fp_rate`` over
+    ``n_items`` keys, clamped to ``max_bits``.  Standard formulas:
+    m = -n ln p / (ln 2)^2, k = (m/n) ln 2; k capped at 16 because beyond
+    that each extra probe costs a vectorized pass for negligible FP gain."""
+    import math
+
+    m = int(math.ceil(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+    m = max(64, min(m, max_bits))
+    m += (-m) % 8  # whole bytes
+    k = max(1, min(16, round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _bloom_hash_cols(shingle_col: str = "shingle"):
+    """Two independent 64-bit hashes of the shingle, computed JVM-side; the
+    k Bloom probes derive from them via Kirsch-Mitzenmacher double hashing
+    h_i = h1 + i*h2 (mod m), so the expensive hashing never runs k times."""
+    return (
+        F.xxhash64(F.col(shingle_col)).alias("h1"),
+        F.xxhash64(F.col(shingle_col), F.lit("bloom-h2")).alias("h2"),
+    )
+
+
+def _bloom_build(h1, h2, m: int, k: int):
+    """Pack the (h1, h2) key hashes into an m-bit numpy uint8 array."""
+    import numpy as np
+
+    a = h1.astype(np.uint64)
+    b = h2.astype(np.uint64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    mu = np.uint64(m)
+    for i in range(k):
+        pos = (a + np.uint64(i) * b) % mu
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+        )
+    return bits
+
+
+def contamination_pairs_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+) -> DataFrame:
+    """:func:`contamination_pairs` with a broadcast Bloom-filter pre-prune —
+    the 100 TB decontamination path.  Output is EXACTLY equal to the plain
+    operator: the Bloom filter admits false positives but never false
+    negatives, and every surviving row still passes through the exact
+    shingle equi-join, so false positives contribute no pairs.
+
+    Why it scales where the plain operator strains: the exact path shuffles
+    one (shingle, id) row per distinct train shingle — at 100 TB that is the
+    dominant shuffle, and almost all of it is wasted because eval/benchmark
+    sets are tiny relative to the corpus.  Here the eval side's distinct
+    shingle hashes (16 bytes each — hashes only, never text) are collected
+    once, packed into an m-bit Bloom filter sized for ``fp_rate``, and
+    broadcast; train shingle rows are then pruned MAP-SIDE by a vectorized
+    Arrow-batched membership probe before any shuffle, so the join input
+    shrinks by roughly the true-contamination rate + ``fp_rate``.  The
+    driver-side collect is bounded by the eval set (the small side by
+    contract); the filter itself is at most ``max_bits/8`` bytes (256 MiB at
+    the default cap — past that, FP rate degrades gracefully and exactness
+    is unaffected).
+
+    The ``max_shingle_df`` cap keeps identical semantics computed after the
+    prune: Bloom survival is a deterministic function of the shingle VALUE,
+    so a surviving shingle keeps every one of its train rows and its
+    document frequency on the pruned set equals its full-train frequency;
+    capped-out hot shingles that fail the probe were unmatched boilerplate
+    that produced no pairs anyway.
+
+    Spark 3.3+'s runtime bloom-filter join pushdown
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) automates a
+    JVM-side version of this trick for generic joins; this operator exists
+    so the prune is guaranteed (not cost-based), sized explicitly, and
+    applied before the document-frequency aggregate as well as the join."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ev = _shingle_rows(eval_df, n, text_col, id_col).withColumnRenamed(
+        "id", "eval_id")
+    ev_hashes = (
+        ev.select(*_bloom_hash_cols()).distinct().toPandas()
+    )
+    n_keys = len(ev_hashes)
+    if n_keys == 0:
+        # no eval shingles -> nothing can be contaminated; reuse the exact
+        # plan under an always-false filter so the empty result carries the
+        # exact operator's schema and id types (AQE folds it to an empty
+        # relation, so nothing is scanned)
+        return contamination_pairs(
+            train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
+        ).filter(F.lit(False))
+    m, k = _bloom_geometry(n_keys, fp_rate, max_bits)
+    bits = _bloom_build(
+        ev_hashes["h1"].to_numpy(), ev_hashes["h2"].to_numpy(), m, k)
+    bcast = train.sparkSession.sparkContext.broadcast(bits)
+    mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
+
+    # no signature hints: module-wide `from __future__ import annotations`
+    # turns them into strings pandas_udf's eval-type inference cannot resolve
+    # for locally-imported names, so the return type is passed explicitly
+    # (same pattern as similarity._srp_buckets_batch)
+    def _might_contain(h1, h2):
+        blm = bcast.value
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % mu
+            byte = blm[(pos >> three).astype(np.int64)]
+            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    tr = (
+        _shingle_rows(train, n, text_col, id_col)
+        .withColumnRenamed("id", "train_id")
+        .withColumn("_h1", F.xxhash64(F.col("shingle")))
+        .withColumn("_h2", F.xxhash64(F.col("shingle"), F.lit("bloom-h2")))
+        .filter(might_contain(F.col("_h1"), F.col("_h2")))
+        .drop("_h1", "_h2")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            tr.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        _log_dropped_hot_keys(hot, max_shingle_df,
+                              "contamination_pairs_bloom train shingle")
+        tr = tr.join(hot, on="shingle", how="left_anti")
+    return (
+        ev.join(tr, on="shingle")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    max_shingle_df: int | None = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+) -> DataFrame:
+    """Keep-rows form of :func:`contamination_pairs_bloom` — bitwise-equal
+    output to :func:`decontaminate`, with the train-side shingle shuffle
+    pruned map-side by the broadcast Bloom filter."""
+    flagged = contamination_pairs_bloom(
+        train, eval_df, n, min_shared, max_shingle_df, text_col, id_col,
+        fp_rate, max_bits,
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(flagged, on=id_col, how="left_anti")

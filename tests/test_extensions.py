@@ -292,6 +292,114 @@ def test_contamination_min_shared_threshold(spark):
     assert contamination_pairs(train, evals, n=4, min_shared=2).count() == 0
 
 
+def test_bloom_decontamination_matches_exact(spark, source):
+    """The Bloom-pruned path is an optimization, not an approximation: on the
+    real documents fixture (train = 90% of docs, eval = the other 10%) its
+    pair set and survivor set are exactly those of the plain operators —
+    false positives are eliminated by the exact verify join, and Bloom
+    filters have no false negatives."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import (
+        contamination_pairs,
+        contamination_pairs_bloom,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = source["documents"]
+    train = docs.filter(F.col("doc_id") % 10 > 0)
+    evals = docs.filter(F.col("doc_id") % 10 == 0)
+
+    exact = {
+        (r.eval_id, r.train_id, r.n_shared_shingles)
+        for r in contamination_pairs(train, evals, n=8).collect()
+    }
+    bloom = {
+        (r.eval_id, r.train_id, r.n_shared_shingles)
+        for r in contamination_pairs_bloom(train, evals, n=8).collect()
+    }
+    assert bloom == exact and len(exact) > 0
+
+    kept_exact = {r.doc_id for r in
+                  decontaminate(train, evals, n=8).select("doc_id").collect()}
+    kept_bloom = {r.doc_id for r in
+                  decontaminate_bloom(train, evals, n=8)
+                  .select("doc_id").collect()}
+    assert kept_bloom == kept_exact
+
+
+def test_bloom_decontamination_exact_even_at_absurd_fp_rate(spark):
+    """With fp_rate=0.5 the Bloom filter passes roughly half of everything —
+    the exact verify join must still reduce the result to precisely the
+    leaking docs, proving correctness never depends on the filter's quality."""
+    from condenser_spark.functions.dedup import decontaminate_bloom
+
+    bench = ("what is the capital of france the capital of france is paris "
+             "according to every atlas printed since eighteen hundred")
+    train = spark.createDataFrame(
+        [
+            (1, "clean document about spark shuffles and partition pruning "
+                "with nothing resembling any benchmark question inside"),
+            (2, bench),
+            (3, "prefix words then " + bench + " then a long trailing tail"),
+            (4, "short unrelated text entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    clean = decontaminate_bloom(train, evals, n=8, fp_rate=0.5)
+    assert {r.doc_id for r in clean.collect()} == {1, 4}
+
+
+def test_bloom_empty_eval_keeps_all_train(spark):
+    from condenser_spark.functions.dedup import (
+        contamination_pairs_bloom,
+        decontaminate_bloom,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    pairs = contamination_pairs_bloom(train, empty, n=8)
+    assert pairs.count() == 0
+    assert set(pairs.columns) == {"eval_id", "train_id", "n_shared_shingles"}
+    assert decontaminate_bloom(train, empty, n=8).count() == 1
+
+
+def test_bloom_bitset_has_no_false_negatives_and_bounded_fp():
+    """Driver-side unit check of the bit machinery itself: every inserted key
+    probes positive, and the FP rate on disjoint keys lands near the target
+    (within 5x at n=20k — generous; the formula is asymptotic)."""
+    import numpy as np
+
+    from condenser_spark.functions.dedup import (
+        _bloom_build,
+        _bloom_geometry,
+    )
+
+    rng = np.random.default_rng(7)
+    h1 = rng.integers(-(2**63), 2**63, size=40_000, dtype=np.int64)
+    h2 = rng.integers(-(2**63), 2**63, size=40_000, dtype=np.int64)
+    ins, probe = slice(0, 20_000), slice(20_000, 40_000)
+    m, k = _bloom_geometry(20_000, 1e-3, 1 << 31)
+    bits = _bloom_build(h1[ins], h2[ins], m, k)
+
+    def contains(a, b):
+        a = a.astype(np.uint64)
+        b = b.astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % np.uint64(m)
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= ((byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1) == 1
+        return ok
+
+    assert contains(h1[ins], h2[ins]).all()  # zero false negatives
+    fp = contains(h1[probe], h2[probe]).mean()
+    assert fp <= 5e-3, fp
+
+
 def test_repetition_stats_planted_values(spark):
     """Hand-computed Gopher repetition signals: a doc whose 4 lines are two
     copies of two distinct lines scores dup_line_frac 0.5; a 'foo bar foo
