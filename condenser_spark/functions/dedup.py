@@ -326,7 +326,14 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = _cap_band_buckets(banded, max_bucket_size)
+    # materialize the banded index once (lineage-truncating localCheckpoint,
+    # lazy): the self-join references it on BOTH sides, and without the
+    # barrier each side re-runs shingling + the 128-column signature
+    # aggregate — the two most expensive stages in the operator.  Cost: the
+    # (id, band, bucket) rows land on executor-local storage (~24 bytes x
+    # bands per doc), far cheaper than recomputing them from text.
+    banded = _cap_band_buckets(banded, max_bucket_size).localCheckpoint(
+        eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -337,6 +344,10 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        # referenced three times below (both halves of cand_ids + the verify
+        # join) — materialize the (small) candidate set instead of running
+        # the bucket self-join three times
+        .localCheckpoint(eager=False)
     )
     # exact verification of candidates only: shingle arrays are materialized
     # ONLY for docs appearing in a candidate pair (semi-join pre-filter) — the
@@ -402,23 +413,24 @@ def dup_clusters(
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
         )
+        # carry the changed-flag inside the same select so convergence
+        # detection is one filter+count over the (lazily checkpointed)
+        # round result — not an extra old-vs-new self-join per round,
+        # which re-ran the round's join pipeline a second time
+        adopted = F.least(
+            labels["label"], F.coalesce("nbr_label", labels["label"])
+        )
         new_labels = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                adopted.alias("label"),
+                (adopted != labels["label"]).alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster_id"))
@@ -452,11 +464,13 @@ def near_dedup_documents(
     cluster of representatives is the min-id document of the full expanded
     cluster — the output is identical to uncapped LSH-only dedup, at a
     fraction of the candidate volume."""
-    # 1. exact collapse: min-id representative per normalized-text fingerprint
-    reps = df.join(
-        exact_dedup(df, text_col, id_col).select(id_col), on=id_col,
-        how="left_semi",
-    )
+    # 1. exact collapse: min-id representative per normalized-text fingerprint.
+    # The representative id set is referenced twice (LSH input + survivor
+    # base); materialize the ids once (one long per representative) so the
+    # fingerprint hash-aggregate over full text runs once, not per reference.
+    rep_ids = exact_dedup(df, text_col, id_col).select(id_col).localCheckpoint(
+        eager=False)
+    reps = df.join(rep_ids, on=id_col, how="left_semi")
     # 2. near-dup clustering over representatives only
     pairs = minhash_lsh_pairs(reps, n=n, threshold=threshold,
                               text_col=text_col, id_col=id_col)
