@@ -577,7 +577,10 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
-    banded = _cap_band_buckets(banded, max_bucket_size)
+    # same barrier as minhash_lsh_pairs: the self-join would otherwise run
+    # the token-hash bit-vote aggregate on both sides
+    banded = _cap_band_buckets(banded, max_bucket_size).localCheckpoint(
+        eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
