@@ -1272,6 +1272,48 @@ def ext_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(tr, ev, n=8)
 
 
+@golden(
+    "ext_decontaminate_bloom",
+    f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    tr_docs AS (
+      SELECT doc_id, text, lang, source FROM documents WHERE doc_id >= 30
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text, lang, source
+      FROM documents WHERE doc_id < 10
+    ),
+    ev_sh AS ({_shingle_sql('ev_docs')}),
+    tr_sh AS ({_shingle_sql('tr_docs')}),
+    flagged AS (
+      SELECT DISTINCT t.id FROM ev_sh e JOIN tr_sh t ON e.shingle = t.shingle
+    )
+    SELECT doc_id, lang, source
+    FROM tr_docs
+    WHERE doc_id NOT IN (SELECT id FROM flagged)
+    """,
+)
+def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rows decontamination through the Bloom-pruned scale path: the
+    train corpus (10 verbatim eval clones planted at doc_id+500000) minus
+    every doc sharing an 8-gram with the eval slice
+    (condenser_spark/functions/dedup.py:decontaminate_bloom).  The oracle is
+    the EXACT decontamination SQL — the Bloom filter is a map-side prune
+    whose false positives are removed by the exact verify join, so the
+    hash-match proves the pruned path bitwise-equal to the exact operator."""
+    from condenser_spark.functions.dedup import decontaminate_bloom
+
+    docs = _tables(spark, sf_dir)["documents"]
+    ev = docs.filter("doc_id < 30").select("doc_id", "text")
+    tr = docs.filter("doc_id >= 30").select(
+        "doc_id", "text", "lang", "source"
+    ).unionByName(
+        docs.filter("doc_id < 10").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang",
+            "source")
+    )
+    return decontaminate_bloom(tr, ev, n=8).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------- split / mix / vocab
 
 @golden(
