@@ -159,6 +159,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("srp_cosine_topk",
           lambda: lsh_bucketed_cosine_topk(
               emb, queries, k=10, dim=64, query_id_col="vec_id").count())
+
+    from condenser_spark.functions.similarity import ivf_index, ivf_query
+
+    # IVF amortization shape: one persisted index, then the query batch
+    # (index build is timed once below; the steady-state number is the
+    # per-batch probe+re-rank cost a query loop actually pays)
+    ivf_idx = ivf_index(emb, n_centroids=16)
+    # persist() marks the plan in place (IvfIndex is frozen); the count
+    # materializes the cell assignment before the timed query batches
+    ivf_idx.assigned.persist()
+    ivf_idx.assigned.count()
+    timed("ivf_query",
+          lambda: ivf_query(ivf_idx, queries, k=10, nprobe=4,
+                            query_id_col="vec_id").count())
+    ivf_idx.assigned.unpersist()
     timed("embedding_dup_pairs",
           lambda: embedding_cosine_dup_pairs(emb, threshold=0.95).count())
 

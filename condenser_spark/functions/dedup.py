@@ -729,9 +729,12 @@ def contamination_pairs_bloom(
     sets are tiny relative to the corpus.  Here the eval side's distinct
     shingle hashes (16 bytes each — hashes only, never text) are collected
     once, packed into an m-bit Bloom filter sized for ``fp_rate``, and
-    broadcast; train shingle rows are then pruned MAP-SIDE by a vectorized
-    Arrow-batched membership probe before any shuffle, so the join input
-    shrinks by roughly the true-contamination rate + ``fp_rate``.  The
+    broadcast; train shingle rows are then pruned by a vectorized
+    Arrow-batched membership probe before every SHINGLE-keyed shuffle (the
+    distinct, the df-cap aggregate, and the join — the only shuffle below
+    the probe is the id-keyed token-window partition that shingling itself
+    requires, pinned in test_plan_contracts), so the join input shrinks by
+    roughly the true-contamination rate + ``fp_rate``.  The
     driver-side collect is bounded by the eval set (the small side by
     contract); the filter itself is at most ``max_bits/8`` bytes (256 MiB at
     the default cap — past that, FP rate degrades gracefully and exactness
@@ -828,8 +831,8 @@ def decontaminate_bloom(
     max_bits: int = 1 << 31,
 ) -> DataFrame:
     """Keep-rows form of :func:`contamination_pairs_bloom` — bitwise-equal
-    output to :func:`decontaminate`, with the train-side shingle shuffle
-    pruned map-side by the broadcast Bloom filter."""
+    output to :func:`decontaminate`, with the train-side shingle rows pruned
+    by the broadcast Bloom filter before every shingle-keyed shuffle."""
     flagged = contamination_pairs_bloom(
         train, eval_df, n, min_shared, max_shingle_df, text_col, id_col,
         fp_rate, max_bits,

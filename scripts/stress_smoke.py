@@ -162,16 +162,77 @@ def stage_middle_out(spark) -> dict:
     }
 
 
+def stage_decontaminate(spark, n_docs: int) -> dict:
+    """Exact vs Bloom-pruned decontamination on the same 5M-doc corpus: the
+    eval set is 1,000 docs whose texts verbatim-match exactly one non-
+    boilerplate train doc each (bases 0-999 recur once past the 100k
+    boilerplate prefix), so both paths must flag exactly 1,000 docs.  The
+    exact path shuffles every distinct train (shingle, id) row; the Bloom
+    path prunes them map-side against the broadcast eval filter first —
+    the wall ratio is the measured prune win at scale."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    path = f"{WORK}/documents"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_docs(spark, path, n_docs)
+        print(f"  built {n_docs} docs in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    docs = spark.read.parquet(path)
+    toks = [
+        F.md5(F.concat(F.col("base").cast("string"), F.lit(f"-{p}")))
+        for p in range(24)
+    ]
+    evals = (
+        spark.range(1000)
+        .withColumn("base", F.col("id"))
+        .select(
+            (F.col("id") + 1_000_000_000).alias("doc_id"),
+            F.concat_ws(" ", *toks).alias("text"),
+        )
+    )
+    expected = n_docs - 1000
+    t0 = time.time()
+    kept_exact = decontaminate(docs, evals, n=8).count()
+    wall_exact = time.time() - t0
+    t0 = time.time()
+    kept_bloom = decontaminate_bloom(docs, evals, n=8).count()
+    wall_bloom = time.time() - t0
+    assert kept_exact == expected, (kept_exact, expected)
+    assert kept_bloom == expected, (kept_bloom, expected)
+    return {
+        "stage": "decontaminate_exact_vs_bloom",
+        "n_train": n_docs,
+        "n_eval": 1000,
+        "flagged": n_docs - kept_exact,
+        "wall_exact_sec": round(wall_exact, 1),
+        "wall_bloom_sec": round(wall_bloom, 1),
+        "bloom_speedup": round(wall_exact / wall_bloom, 2),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
         and not sys.argv[1].startswith("--") else 5_000_000
     )
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
     from condenser_spark.session import get_spark
 
     spark = get_spark("stress-smoke")
-    for stage in (lambda: stage_near_dedup(spark, n_docs),
-                  lambda: stage_middle_out(spark)):
+    stages = {
+        "near_dedup": lambda: stage_near_dedup(spark, n_docs),
+        "middle_out": lambda: stage_middle_out(spark),
+        "decontaminate": lambda: stage_decontaminate(spark, n_docs),
+    }
+    for name, stage in stages.items():
+        if only and name not in only:
+            continue
         print(json.dumps(stage()))
     spark.stop()
     if "--keep" not in sys.argv:

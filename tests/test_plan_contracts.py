@@ -168,3 +168,50 @@ def test_repetition_stats_prunes_scan_to_id_and_text(spark, source):
     for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
         cols = set(re.findall(r"(\w+):", m.group(1)))
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_bloom_prune_runs_before_every_shingle_keyed_exchange(spark, source):
+    """contamination_pairs_bloom's whole point is WHERE the filter sits: the
+    Arrow-vectorized Bloom probe must execute below (scan-side of) every
+    SHINGLE-keyed Exchange — the distinct, the df-cap aggregate, and the
+    join — so pruned shingle rows never shuffle on the shingle.  The one
+    shuffle legitimately below the probe is the id-keyed token-window
+    partition that shingling itself requires (the probe consumes the
+    constructed shingle, so it cannot run earlier).  Pin that by walking
+    the executed plan: in each ArrowEvalPython's subtree (children print
+    below their parent at greater depth), no Exchange may partition on the
+    shingle."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import contamination_pairs_bloom
+
+    docs = source["documents"]
+    train = docs.filter(F.col("doc_id") % 10 > 0).select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 10 == 0).limit(20).select(
+        "doc_id", "text")
+    df = contamination_pairs_bloom(train, evals, n=8)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    probe_idx = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    assert probe_idx, "Bloom probe missing from executed plan"
+    # and the shingle-keyed exchanges must exist ABOVE the probes (the join
+    # path still shuffles the survivors)
+    assert any("Exchange" in l and "shingle" in l for l in lines), plan
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*"))
+
+    for i in probe_idx:
+        d = depth(lines[i])
+        j = i + 1
+        subtree = []
+        while j < len(lines) and depth(lines[j]) > d:
+            subtree.append(lines[j])
+            j += 1
+        for line in subtree:
+            if "Exchange" in line:
+                assert "shingle" not in line, (
+                    "Bloom probe sits above a shingle-keyed Exchange — "
+                    "pruned rows would shuffle on the shingle:\n" + line
+                )
