@@ -272,16 +272,21 @@ def lsh_bucketed_cosine_topk(
 
 
 IVF_ARROW_DIM_THRESHOLD = 256
-IVF_ARROW_EXPR_BUDGET = 8192
+IVF_ARROW_EXPR_BUDGET = 256
 
 
 def _ivf_auto_arrow(dim: int, n_centroids: int) -> bool:
     """Expression-literal centroid shipping builds ~dim x n_centroids Catalyst
-    nodes per assignment/probe projection — fine at fixture dims, but at
-    production embedding widths (768-1536) x 16 centroids that is ~25k
-    expression nodes: codegen fallback / plan-size blowup territory.  Above
-    this budget the centroids ship inside an Arrow pandas-UDF closure (one
-    BLAS matmul per batch) instead of as plan literals."""
+    nodes per assignment/probe projection, and the per-cell dot products run
+    as INTERPRETED higher-order ``aggregate(zip_with(...))`` — measured 10x
+    slower than the Arrow BLAS kernel already at dim=64 x 16 centroids on
+    the sf0.1 embeddings (6.5 s vs 0.7 s per 8-query probe batch; 36 s vs
+    5.5 s index build), before the plan-size blowup that 768+-dim widths
+    would add.  The budget keeps plain literals only for genuinely tiny
+    shapes (dim x n_centroids <= 256, e.g. the dim=8 oracle fixtures) where
+    a Python worker round-trip costs more than the expression evaluation;
+    everything larger ships centroids inside an Arrow pandas-UDF closure
+    (one (N, dim) @ (dim, K) BLAS call per batch)."""
     return dim > IVF_ARROW_DIM_THRESHOLD or dim * n_centroids > IVF_ARROW_EXPR_BUDGET
 
 

@@ -436,12 +436,16 @@ def test_stateful_late_event_is_own_session(spark, tmp_path):
 # ------------------------------------------------- round-7 pins (similarity)
 
 def test_ivf_auto_arrow_threshold():
-    """Centroid shipping auto-switches to the Arrow kernel past the plan-size
-    budget: fixture dims stay on plain Catalyst literals, production embedding
-    widths (768+) x 16 centroids do not build ~25k expression nodes."""
+    """Centroid shipping auto-switches to the Arrow kernel past the
+    interpreted-expression budget: only genuinely tiny shapes (the dim=8
+    oracle fixtures) stay on plain Catalyst literals — at dim=64 x 16 the
+    interpreted aggregate(zip_with) dot products measured 10x slower than
+    the BLAS kernel, so the sf embeddings shape must auto-pick Arrow."""
     from condenser_spark.functions.similarity import _ivf_auto_arrow
 
-    assert not _ivf_auto_arrow(64, 16)      # fixture shape: literals fine
+    assert not _ivf_auto_arrow(8, 16)       # oracle fixture shape: literals
+    assert not _ivf_auto_arrow(8, 3)
+    assert _ivf_auto_arrow(64, 16)          # sf embeddings shape: Arrow
     assert _ivf_auto_arrow(512, 8)          # wide vectors: Arrow
     assert _ivf_auto_arrow(768, 16)         # production shape: Arrow
     assert _ivf_auto_arrow(128, 128)        # dim*k past budget: Arrow
