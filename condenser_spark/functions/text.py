@@ -329,6 +329,85 @@ def repetition_stats(
     )
 
 
+def strip_repeated_blocks(
+    df: DataFrame,
+    block: int = 32,
+    max_df: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document boilerplate removal (the CCNet/Gopher "drop paragraphs
+    duplicated across documents" rule, adapted to flat token streams):
+    rewrite every document keeping only the token blocks whose exact content
+    appears in at most ``max_df`` documents corpus-wide.
+
+    A block is ``block`` consecutive whitespace tokens (the final partial
+    block counts too); its identity is the md5 of the joined tokens, so a
+    block's document frequency is exact, engine-portable, and computable by
+    one hash-aggregate.  Documents whose every block is boilerplate come
+    back with empty text rather than disappearing — the caller decides
+    whether to drop them (``filter(length(text) > 0)``).
+
+    Plan shape at 100 TB: tokenize + block-group per document (one shuffle
+    on id, same windowed pattern as the shingle paths), hash-aggregate block
+    signatures for the df count (map-side combined; the shuffle carries one
+    (md5, count) row per distinct block), anti-join hot signatures back
+    (broadcast-sized: only signatures with df > ``max_df`` ship), then one
+    ordered ``collect_list`` per document to rebuild the text — per-group
+    state is bounded by the document's own block count, never the corpus.
+    All JVM expressions; fully SQL-expressible, so the golden carries a
+    complete DuckDB value oracle.
+
+    Output: (id_col, text) with the same id type, text rewritten."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+            )
+        ).alias("pos", "tok"),
+    )
+    blocks = (
+        toks.withColumn("block_id", (F.col("pos") / block).cast("long"))
+        .groupBy("id", "block_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("block_text")
+        )
+        .withColumn("sig", F.md5("block_text"))
+    )
+    hot = (
+        blocks.groupBy("sig")
+        .agg(F.count_distinct("id").alias("bdf"))
+        .filter(F.col("bdf") > max_df)
+        .select("sig")
+    )
+    kept = blocks.join(hot, on="sig", how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_id", "block_text"))),
+                lambda s: s["block_text"],
+            ),
+        ).alias("text")
+    )
+    # docs whose every block was stripped must survive with empty text
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass per-document stats frame: token count, BPE-ish token count,
     char length, language guess, quality score, fingerprint."""

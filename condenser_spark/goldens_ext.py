@@ -1688,3 +1688,63 @@ def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from condenser_spark.functions.text import repetition_stats
 
     return repetition_stats(_tables(spark, sf_dir)["documents"])
+
+
+_STRIP_BLOCKS_ORACLE = """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 40
+                  THEN 'begin common license header boilerplate text block end '
+                       || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT id, generate_subscripts(tokens, 1) - 1 AS pos, unnest(tokens) AS tok
+      FROM (
+        SELECT doc_id AS id,
+               string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+                 AS tokens
+        FROM seeded
+      )
+    ),
+    blocks AS (
+      SELECT id, pos // 8 AS block_id,
+             string_agg(tok, ' ' ORDER BY pos) AS block_text
+      FROM toks GROUP BY id, pos // 8
+    ),
+    sigs AS (SELECT id, block_id, block_text, md5(block_text) AS sig FROM blocks),
+    hot AS (
+      SELECT sig FROM sigs GROUP BY sig HAVING COUNT(DISTINCT id) > 10
+    ),
+    rebuilt AS (
+      SELECT id, string_agg(block_text, ' ' ORDER BY block_id) AS text
+      FROM sigs WHERE sig NOT IN (SELECT sig FROM hot)
+      GROUP BY id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM seeded d LEFT JOIN rebuilt r ON r.id = d.doc_id
+"""
+
+
+@golden("ext_strip_repeated_blocks", _STRIP_BLOCKS_ORACLE)
+def ext_strip_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate strip (the CCNet/Gopher "drop paragraphs
+    duplicated across documents" rule on token blocks): an 8-token license
+    header is planted on doc_id < 40, so its block's document frequency (40)
+    exceeds max_df=10 and every copy must strip, while each document's own
+    unique blocks survive verbatim.  Registered past the driver's 50-query
+    cap (the 50 recorded rows are all full-oracle already); verified by
+    tests/test_overflow_oracles.py and pytest unit tests
+    (condenser_spark/functions/text.py:strip_repeated_blocks)."""
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    docs = _tables(spark, sf_dir)["documents"]
+    header = "begin common license header boilerplate text block end"
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < 40, F.concat(F.lit(header + " "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return strip_repeated_blocks(seeded, block=8, max_df=10)

@@ -430,3 +430,46 @@ def test_repetition_stats_planted_values(spark):
     assert got[3].top_bigram_frac < 0.5
     assert got[4].n_lines == 0
     assert got[4].dup_line_frac == 0.0 and got[4].top_bigram_frac == 0.0
+
+
+def test_strip_repeated_blocks_removes_cross_doc_boilerplate(spark):
+    """20 docs share a 4-token license header; with max_df=10 the header
+    block strips from every doc while each unique tail survives verbatim,
+    and a doc that is ONLY boilerplate comes back as an empty-text row."""
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    header = "standard license header block"
+    rows = [(i, f"{header} unique tail {i}") for i in range(20)]
+    rows.append((99, header))  # boilerplate-only doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r.text
+           for r in strip_repeated_blocks(docs, block=4, max_df=10).collect()}
+    assert len(out) == 21
+    assert out[99] == ""
+    for i in range(20):
+        assert out[i] == f"unique tail {i}", out[i]
+
+    # below the df threshold nothing strips: rebuilt text == normalized input
+    few = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    untouched = {r.doc_id: r.text
+                 for r in strip_repeated_blocks(few, block=4, max_df=10)
+                 .collect()}
+    assert untouched == {i: f"{header} unique tail {i}" for i in range(5)}
+
+
+def test_strip_repeated_blocks_partial_final_block_counts(spark):
+    """The trailing partial block has its own identity: two docs sharing
+    only a short tail block strip it when max_df=1, keeping full blocks."""
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d shared tail"),
+            (2, "e f g h shared tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text
+           for r in strip_repeated_blocks(docs, block=4, max_df=1).collect()}
+    assert out == {1: "a b c d", 2: "e f g h"}
