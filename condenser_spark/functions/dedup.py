@@ -299,6 +299,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 10_000,
+    cache_band_index: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, exactly verified.
 
@@ -326,14 +327,19 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    # materialize the banded index once (lineage-truncating localCheckpoint,
-    # lazy): the self-join references it on BOTH sides, and without the
-    # barrier each side re-runs shingling + the 128-column signature
-    # aggregate — the two most expensive stages in the operator.  Cost: the
-    # (id, band, bucket) rows land on executor-local storage (~24 bytes x
-    # bands per doc), far cheaper than recomputing them from text.
-    banded = _cap_band_buckets(banded, max_bucket_size).localCheckpoint(
-        eager=False)
+    # ``cache_band_index``: materialize the banded index once (lineage-
+    # truncating localCheckpoint, lazy) — the self-join references it on
+    # BOTH sides, and without the barrier each side re-runs shingling + the
+    # 128-column signature aggregate, the two most expensive stages on real
+    # text (sf0.1 documents: 5.6 -> 3.4 s steady-state).  The trade is
+    # storage: (id, band, bucket) rows land on executor block storage
+    # (bands x ~24 bytes per doc).  For corpora whose re-shingling is
+    # unusually CHEAP (very short or hash-like docs — the 5M-doc stress
+    # corpus at 24 tokens/doc measured 2x slower materialized), pass False
+    # to recompute instead of store.
+    banded = _cap_band_buckets(banded, max_bucket_size)
+    if cache_band_index:
+        banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -442,6 +448,7 @@ def near_dedup_documents(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_band_index: bool = True,
 ) -> DataFrame:
     """Keep-rows near-dedup: exact-fingerprint pre-collapse -> MinHash-LSH
     pairs on representatives -> connected components -> keep the min-id
@@ -473,7 +480,8 @@ def near_dedup_documents(
     reps = df.join(rep_ids, on=id_col, how="left_semi")
     # 2. near-dup clustering over representatives only
     pairs = minhash_lsh_pairs(reps, n=n, threshold=threshold,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col,
+                              cache_band_index=cache_band_index)
     clusters = dup_clusters(pairs)
     lsh_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias(id_col)

@@ -704,3 +704,36 @@ def test_hot_key_caps_log_their_drops(spark, caplog):
         ngram_jaccard_pairs(docs, n=3, threshold=0.0, max_shingle_df=1).count()
     assert any("df cap" in r.message and "dropped" in r.message
                for r in caplog.records)
+
+
+def test_minhash_band_index_cache_toggle_is_pure_plan(spark, source):
+    """cache_band_index trades recompute for executor storage and must NEVER
+    change results: pair sets with and without the barrier are identical on
+    the real documents fixture, and near_dedup_documents keeps the same
+    survivor set through the toggle."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_documents,
+    )
+
+    docs = source["documents"].filter(F.col("doc_id") < 200)
+    base = docs.select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 7000).alias("doc_id"), "text")
+    corpus = base.unionByName(clones)
+
+    cached = {(r.id_a, r.id_b, r.jaccard)
+              for r in minhash_lsh_pairs(corpus, n=3).collect()}
+    plain = {(r.id_a, r.id_b, r.jaccard)
+             for r in minhash_lsh_pairs(
+                 corpus, n=3, cache_band_index=False).collect()}
+    assert cached == plain and len(cached) >= 30
+
+    kept_cached = {r.doc_id for r in
+                   near_dedup_documents(corpus).select("doc_id").collect()}
+    kept_plain = {r.doc_id for r in
+                  near_dedup_documents(corpus, cache_band_index=False)
+                  .select("doc_id").collect()}
+    assert kept_cached == kept_plain
