@@ -1,0 +1,93 @@
+"""Streaming corpus hygiene: decontamination as a stateless map over a
+document stream.
+
+The batch operators (functions/dedup.py: contamination_pairs / decontaminate)
+are joins over a shingle inverted index — Structured Streaming can run
+stream-static joins, but a join + aggregation pipeline drags watermarks and
+output-mode constraints into what is logically a per-document decision
+against a FIXED eval set.  The streaming twin instead broadcasts the eval
+side's exact distinct shingle set once (eval/benchmark sets are the small
+side by contract — the same bound the Bloom variant's driver collect relies
+on) and scores each document map-side: no state, no watermark, no shuffle,
+so it composes with any source/sink and restarts trivially.
+
+Shingling uses the guarded ARRAY form (dedup._shingles) because the batch
+path's windowed row form needs a non-streaming Window; the two forms produce
+the same distinct shingle set (pinned in the batch suite).  Membership is
+counted in an Arrow-batched pandas UDF against the broadcast Python set —
+exact string comparison, identical semantics to the batch join at
+``max_shingle_df=None`` (the train-side document-frequency cap is
+meaningless mid-stream: global df is unknowable; callers wanting the cap
+apply the batch operator to the landed data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dedup import _shingle_rows, _shingles
+
+
+def _eval_shingle_set(eval_df: DataFrame, n: int, text_col: str,
+                      id_col: str) -> frozenset:
+    rows = (
+        _shingle_rows(eval_df, n, text_col, id_col)
+        .select("shingle").distinct().collect()
+    )
+    return frozenset(r.shingle for r in rows)
+
+
+def contamination_flags_stream(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination score for a (streaming or batch) document
+    DataFrame against a STATIC eval corpus: input columns plus
+    ``n_shared_shingles`` (distinct word n-grams shared with any eval doc).
+
+    Stateless: safe in append mode with no watermark."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ev = _eval_shingle_set(eval_df, n, text_col, id_col)
+    bcast = docs.sparkSession.sparkContext.broadcast(ev)
+
+    def _n_shared(shingle_arrays):
+        evs = bcast.value
+        return pd.Series(
+            [
+                sum(1 for s in arr if s in evs) if arr is not None else 0
+                for arr in shingle_arrays
+            ],
+            dtype="int64",
+        )
+
+    n_shared = pandas_udf(_n_shared, "long")
+    return docs.withColumn(
+        "n_shared_shingles", n_shared(_shingles(text_col, n))
+    )
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-rows streaming decontamination: documents sharing at least
+    ``min_shared`` distinct word n-grams with the static eval corpus are
+    dropped from the stream; everything else passes through unchanged.
+
+    Equals batch ``decontaminate(train, eval, max_shingle_df=None)`` on the
+    same data (pinned in tests); the df cap is intentionally absent — see
+    module docstring."""
+    flagged = contamination_flags_stream(docs, eval_df, n, text_col, id_col)
+    return flagged.filter(
+        F.col("n_shared_shingles") < min_shared
+    ).drop("n_shared_shingles")

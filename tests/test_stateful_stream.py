@@ -123,3 +123,39 @@ def test_funnel_ordering_and_window(spark):
     counts = [r.n_users for r in
               funnel_counts(ev, steps).orderBy("step_index").collect()]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination over a file stream keeps exactly the docs
+    the batch operator keeps (max_shingle_df=None — the streaming twin has
+    no train-df cap), and the planted verbatim leak is dropped."""
+    from condenser_spark.functions.dedup import decontaminate
+    from condenser_spark.streaming.corpus import decontaminate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    evals = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") >= 30).select("doc_id", "text") \
+        .unionByName(
+            docs.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"))
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    train.write.mode("overwrite").parquet(str(stream_dir / "in"))
+    stream = spark.readStream.schema(train.schema).parquet(
+        str(stream_dir / "in"))
+    q = (
+        decontaminate_stream(stream, evals, n=8)
+        .writeStream.format("memory").queryName("decon_stream_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id
+           for r in spark.sql("SELECT doc_id FROM decon_stream_out").collect()}
+    want = {r.doc_id
+            for r in decontaminate(train, evals, n=8, max_shingle_df=None)
+            .select("doc_id").collect()}
+    assert got == want
+    # the 10 planted verbatim leaks are gone
+    assert all(d < 500000 for d in got)
+    assert len(got) > 0
