@@ -1068,3 +1068,86 @@ def test_numeric_profile_matches_numpy_model(spark, vals):
         assert abs(r.median - round(float(np.percentile(present, 50)), 4)) < 1e-9
     else:
         assert r.min is None and r.max is None and r.median is None
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=20)
+        .map(lambda ws: " ".join(ws)),
+        min_size=1, max_size=12,
+    ),
+    block=st.integers(min_value=1, max_value=6),
+    max_df=st.integers(min_value=1, max_value=12),
+)
+def test_strip_repeated_blocks_model(spark, docs, block, max_df):
+    """For ANY corpus: the rewrite equals the plain-Python model (group
+    tokens into `block`-sized runs, drop runs whose exact content appears
+    in more than max_df docs, rejoin survivors in order) — every row
+    survives, order inside a doc is preserved, and with max_df >= n_docs
+    the output is the normalized input."""
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in strip_repeated_blocks(df, block=block,
+                                          max_df=max_df).collect()}
+
+    # plain-Python model
+    blocks_per_doc = {}
+    df_count: dict[str, set] = {}
+    for i, t in rows:
+        toks = t.split()
+        bs = [" ".join(toks[j:j + block]) for j in range(0, len(toks), block)]
+        blocks_per_doc[i] = bs
+        for b in set(bs):
+            df_count.setdefault(b, set()).add(i)
+    want = {
+        i: " ".join(b for b in bs if len(df_count[b]) <= max_df)
+        for i, bs in blocks_per_doc.items()
+    }
+    assert got == want
+
+    if max_df >= len(docs):
+        assert all(got[i] == " ".join(t.split()) for i, t in rows)
+
+
+@PROP
+@given(
+    train=st.lists(
+        st.lists(st.sampled_from("pqrstuv"), min_size=1, max_size=14)
+        .map(lambda ws: " ".join(ws)),
+        min_size=1, max_size=8,
+    ),
+    evals=st.lists(
+        st.lists(st.sampled_from("pqrstuv"), min_size=1, max_size=14)
+        .map(lambda ws: " ".join(ws)),
+        min_size=0, max_size=4,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+    fp_rate=st.sampled_from([1e-3, 0.25]),
+)
+def test_bloom_decontaminate_equals_exact_model(spark, train, evals, n,
+                                                fp_rate):
+    """For ANY corpora (including heavy shingle overlap from the tiny
+    alphabet) and even a garbage fp_rate: decontaminate_bloom keeps exactly
+    the train docs sharing no word n-gram with any eval doc — the same
+    plain-Python model the exact operator satisfies."""
+    from condenser_spark.functions.dedup import decontaminate_bloom
+
+    tr_rows = [(i, t) for i, t in enumerate(train)]
+    ev_rows = [(1000 + i, t) for i, t in enumerate(evals)]
+    tr = spark.createDataFrame(tr_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+    ev_sh = set().union(*(sh(t) for _, t in ev_rows)) if ev_rows else set()
+    want = {i for i, t in tr_rows if not (sh(t) & ev_sh)}
+    got = {r.doc_id
+           for r in decontaminate_bloom(tr, ev, n=n, fp_rate=fp_rate)
+           .select("doc_id").collect()}
+    assert got == want
