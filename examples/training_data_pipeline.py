@@ -1,0 +1,90 @@
+"""End-to-end training-data prep on the documents fixture — the pipeline a
+user of the subsetting engine's extension surface actually runs:
+
+    quality filter -> exact + near dedup -> benchmark decontamination
+    (Bloom-pruned) -> cross-doc boilerplate strip -> deterministic split
+    -> sequence packing
+
+Every stage is a lazy DataFrame transform; one action at the end drives the
+whole plan.  Usage:
+
+    python examples/training_data_pipeline.py [sf_dir]   # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import (
+        filter_documents,
+        hash_split,
+        pack_sequences,
+    )
+    from condenser_spark.functions.dedup import (
+        decontaminate_bloom,
+        near_dedup_documents,
+    )
+    from condenser_spark.functions.text import strip_repeated_blocks
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-data-pipeline")
+    docs = load_source_tables(spark, sf_dir, tables=["documents"])["documents"]
+    n0 = docs.count()
+
+    # 1. heuristic quality gate (length / stopword / punctuation bands)
+    kept = filter_documents(docs, min_chars=32, max_chars=100_000,
+                            min_tokens=5)
+
+    # 2. dedup: exact fingerprint collapse + MinHash-LSH near-dup clustering,
+    #    min-id survivor per cluster
+    kept = near_dedup_documents(kept, n=3, threshold=0.8)
+
+    # 3. decontamination: hold out doc_id % 97 == 0 as a stand-in benchmark
+    #    set; the Bloom variant prunes the train-side shingle shuffle and is
+    #    bitwise-equal to the exact operator
+    evals = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    kept = decontaminate_bloom(
+        kept.filter(F.col("doc_id") % 97 != 0), evals, n=8
+    )
+
+    # 4. cross-doc boilerplate strip (CCNet/Gopher rule on token blocks),
+    #    then drop docs the strip emptied out
+    rewritten = strip_repeated_blocks(kept, block=32, max_df=10)
+    kept = (
+        kept.drop("text")
+        .join(rewritten, on="doc_id")
+        .filter(F.length("text") > 0)
+    )
+
+    # 5. growth-stable md5 split + token-budget packing per split
+    split = hash_split(kept, weights={"train": 0.98, "val": 0.01,
+                                      "test": 0.01})
+    packed = pack_sequences(
+        split.filter(F.col("split") == "train"),
+        budget_tokens=4096, shard_col="lang",
+    )
+
+    report = packed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("bin_id").alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    ).collect()[0]
+    print(f"source docs:        {n0}")
+    print(f"packed train docs:  {report.docs}")
+    print(f"packed bins @4096:  {report.bins}")
+    print(f"train tokens:       {report.tokens}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
