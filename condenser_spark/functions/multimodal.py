@@ -203,3 +203,33 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
             yield pd.DataFrame(out)
 
     return df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def media_dup_pairs(
+    df: DataFrame,
+    dim: int = 16,
+    threshold: float = 0.98,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Near-duplicate media pairs — the image/audio dedup step of a
+    multimodal pipeline: decode (or deterministically fake) a feature vector
+    per payload, then find feature-cosine near-dups with the SRP-bucketed
+    embedding path (functions/similarity.py:embedding_cosine_dup_pairs — no
+    quadratic scan; LSH candidates, exact verification).
+
+    Returns (id_a, id_b, cosine_sim) over ``media_id``s.  Byte-identical
+    payloads always pair (the fake feature is a pure function of the
+    payload, and a real decoder is deterministic per input), so exact-dup
+    detection is a special case; perceptually-close inputs pair when the
+    decoder produces close features.  Same 100 TB shape as text dedup:
+    Arrow-batched feature extraction is the only Python stage, bucketing
+    bounds the candidate set, payloads never shuffle (only features do)."""
+    from condenser_spark.functions.similarity import (
+        embedding_cosine_dup_pairs,
+    )
+
+    feats = extract_features(df, dim=dim, fake=fake).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").alias("embedding"),
+    )
+    return embedding_cosine_dup_pairs(feats, threshold=threshold, dim=dim)

@@ -473,3 +473,24 @@ def test_strip_repeated_blocks_partial_final_block_counts(spark):
     out = {r.doc_id: r.text
            for r in strip_repeated_blocks(docs, block=4, max_df=1).collect()}
     assert out == {1: "a b c d", 2: "e f g h"}
+
+
+def test_media_dup_pairs_finds_cloned_payloads(spark, docs):
+    """Byte-identical payload clones must pair at cosine 1.0 through the
+    decode -> feature -> SRP-bucketed dup path, and unrelated media must
+    not reach the 0.999 bar."""
+    from condenser_spark.functions.multimodal import (
+        media_dup_pairs,
+        synthesize_media,
+    )
+
+    media = synthesize_media(docs.limit(40)).cache()
+    clones = media.filter(F.col("media_id") < 10).select(
+        (F.col("media_id") + 9000).alias("media_id"),
+        *[c for c in media.columns if c != "media_id"],
+    )
+    pairs = media_dup_pairs(media.unionByName(clones), dim=16,
+                            threshold=0.999)
+    got = {(r.id_a, r.id_b): r.cosine_sim for r in pairs.collect()}
+    for i in range(10):
+        assert got.get((i, i + 9000)) == pytest.approx(1.0), (i, got)
