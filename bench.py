@@ -209,6 +209,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
               docs.filter(F.col("doc_id") % 10 > 0),
               docs.filter(F.col("doc_id") % 10 == 0), n=8).count())
 
+    from condenser_spark.functions.dedup import decontaminate_bloom
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    # round-7 additions: Bloom-pruned decontamination (same split as the
+    # exact pair query above; at sf0.1 the fixed driver collect + filter
+    # build costs ~1 s so it reads SLOWER than the exact path here — the
+    # crossover is at scale: 5.17x faster at 5M docs, STRESS.md stage 4)
+    # and the cross-doc boilerplate strip
+    timed("decontaminate_bloom",
+          lambda: decontaminate_bloom(
+              docs.filter(F.col("doc_id") % 10 > 0),
+              docs.filter(F.col("doc_id") % 10 == 0), n=8).count())
+    timed("strip_repeated_blocks",
+          lambda: strip_repeated_blocks(docs).count())
+
     return timings, noise
 
 

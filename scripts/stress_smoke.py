@@ -216,6 +216,51 @@ def stage_decontaminate(spark, n_docs: int) -> dict:
     }
 
 
+def stage_asof(spark, amplify: int = 100) -> dict:
+    """As-of join at ~100x the bench fixture: the sf0.1 events table
+    replicated ``amplify`` times onto disjoint user-id ranges (per-user
+    volume constant — pure key-cardinality growth, the shape a cluster
+    shuffle actually faces).  Every purchase row must emit exactly one
+    output row (left semantics), so the count is the assertion."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.temporal import asof_join
+    from condenser_spark.registry import load_source_tables
+
+    ev = load_source_tables(spark, SF_DIR, tables=["events"])["events"]
+    reps = spark.range(amplify).select(F.col("id").alias("rep"))
+    big = (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 1_000_000_000).alias(
+                "event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_type",
+            "value",
+        )
+        .localCheckpoint(eager=True)  # build cost out of the timed window
+    )
+    n_events = big.count()
+    purchases = big.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value")
+    clicks = big.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    n_purchases = purchases.count()
+    t0 = time.time()
+    joined = asof_join(purchases, clicks, on="user_id",
+                       tiebreak="event_id").count()
+    wall = time.time() - t0
+    assert joined == n_purchases, (joined, n_purchases)
+    big.unpersist()
+    return {
+        "stage": "asof_join_100x",
+        "n_events": n_events,
+        "n_left": n_purchases,
+        "wall_sec": round(wall, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -229,6 +274,7 @@ def main() -> int:
         "near_dedup": lambda: stage_near_dedup(spark, n_docs),
         "middle_out": lambda: stage_middle_out(spark),
         "decontaminate": lambda: stage_decontaminate(spark, n_docs),
+        "asof": lambda: stage_asof(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
