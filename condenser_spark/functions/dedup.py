@@ -449,6 +449,9 @@ def near_dedup_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     cache_band_index: bool = True,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Keep-rows near-dedup: exact-fingerprint pre-collapse -> MinHash-LSH
     pairs on representatives -> connected components -> keep the min-id
@@ -479,8 +482,9 @@ def near_dedup_documents(
         eager=False)
     reps = df.join(rep_ids, on=id_col, how="left_semi")
     # 2. near-dup clustering over representatives only
-    pairs = minhash_lsh_pairs(reps, n=n, threshold=threshold,
-                              text_col=text_col, id_col=id_col,
+    pairs = minhash_lsh_pairs(reps, n=n, num_hashes=num_hashes, bands=bands,
+                              threshold=threshold, text_col=text_col,
+                              id_col=id_col, max_bucket_size=max_bucket_size,
                               cache_band_index=cache_band_index)
     clusters = dup_clusters(pairs)
     lsh_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
