@@ -718,6 +718,45 @@ def _bloom_build(h1, h2, m: int, k: int):
     return bits
 
 
+class ShingleBloom:
+    """A built eval-side shingle Bloom filter (see
+    :func:`build_shingle_bloom`) — pass to :func:`contamination_pairs_bloom`
+    / :func:`decontaminate_bloom` to amortize the driver-side collect+pack
+    across many train shards or micro-batches (the same build-once shape as
+    similarity.ivf_index / ivf_query)."""
+
+    __slots__ = ("bits", "m", "k", "n")
+
+    def __init__(self, bits, m: int, k: int, n: int) -> None:
+        self.bits = bits
+        self.m = m
+        self.k = k
+        self.n = n
+
+
+def build_shingle_bloom(
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+) -> ShingleBloom | None:
+    """Collect the eval corpus's distinct shingle hashes ONCE and pack them
+    into a :class:`ShingleBloom`; returns ``None`` when the eval side has no
+    shingles (nothing can be contaminated)."""
+    ev_hashes = (
+        _shingle_rows(eval_df, n, text_col, id_col)
+        .select(*_bloom_hash_cols()).distinct().toPandas()
+    )
+    if len(ev_hashes) == 0:
+        return None
+    m, k = _bloom_geometry(len(ev_hashes), fp_rate, max_bits)
+    bits = _bloom_build(
+        ev_hashes["h1"].to_numpy(), ev_hashes["h2"].to_numpy(), m, k)
+    return ShingleBloom(bits, m, k, n)
+
+
 def contamination_pairs_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -728,6 +767,7 @@ def contamination_pairs_bloom(
     id_col: str = "doc_id",
     fp_rate: float = 1e-3,
     max_bits: int = 1 << 31,
+    bloom: ShingleBloom | None = None,
 ) -> DataFrame:
     """:func:`contamination_pairs` with a broadcast Bloom-filter pre-prune —
     the 100 TB decontamination path.  Output is EXACTLY equal to the plain
@@ -770,11 +810,13 @@ def contamination_pairs_bloom(
 
     ev = _shingle_rows(eval_df, n, text_col, id_col).withColumnRenamed(
         "id", "eval_id")
-    ev_hashes = (
-        ev.select(*_bloom_hash_cols()).distinct().toPandas()
-    )
-    n_keys = len(ev_hashes)
-    if n_keys == 0:
+    if bloom is None:
+        bloom = build_shingle_bloom(eval_df, n, text_col, id_col, fp_rate,
+                                    max_bits)
+    elif bloom.n != n:
+        raise ValueError(
+            f"bloom was built for n={bloom.n} shingles, called with n={n}")
+    if bloom is None:
         # no eval shingles -> nothing can be contaminated; reuse the exact
         # plan under an always-false filter so the empty result carries the
         # exact operator's schema and id types (AQE folds it to an empty
@@ -782,10 +824,8 @@ def contamination_pairs_bloom(
         return contamination_pairs(
             train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
         ).filter(F.lit(False))
-    m, k = _bloom_geometry(n_keys, fp_rate, max_bits)
-    bits = _bloom_build(
-        ev_hashes["h1"].to_numpy(), ev_hashes["h2"].to_numpy(), m, k)
-    bcast = train.sparkSession.sparkContext.broadcast(bits)
+    m, k = bloom.m, bloom.k
+    bcast = train.sparkSession.sparkContext.broadcast(bloom.bits)
     mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
 
     # no signature hints: module-wide `from __future__ import annotations`
@@ -841,12 +881,15 @@ def decontaminate_bloom(
     id_col: str = "doc_id",
     fp_rate: float = 1e-3,
     max_bits: int = 1 << 31,
+    bloom: ShingleBloom | None = None,
 ) -> DataFrame:
     """Keep-rows form of :func:`contamination_pairs_bloom` — bitwise-equal
     output to :func:`decontaminate`, with the train-side shingle rows pruned
-    by the broadcast Bloom filter before every shingle-keyed shuffle."""
+    by the broadcast Bloom filter before every shingle-keyed shuffle.  Pass
+    a prebuilt ``bloom`` (:func:`build_shingle_bloom`) when decontaminating
+    many shards against the same eval set."""
     flagged = contamination_pairs_bloom(
         train, eval_df, n, min_shared, max_shingle_df, text_col, id_col,
-        fp_rate, max_bits,
+        fp_rate, max_bits, bloom,
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, on=id_col, how="left_anti")

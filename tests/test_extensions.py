@@ -494,3 +494,44 @@ def test_media_dup_pairs_finds_cloned_payloads(spark, docs):
     got = {(r.id_a, r.id_b): r.cosine_sim for r in pairs.collect()}
     for i in range(10):
         assert got.get((i, i + 9000)) == pytest.approx(1.0), (i, got)
+
+
+def test_prebuilt_shingle_bloom_amortizes_and_matches(spark):
+    """A ShingleBloom built once drives repeated shard decontamination with
+    results identical to the per-call path, and a mismatched n fails loudly
+    instead of silently probing the wrong shingle space."""
+    import pytest as _pytest
+
+    from condenser_spark.functions.dedup import (
+        build_shingle_bloom,
+        decontaminate_bloom,
+    )
+
+    bench = ("what is the capital of france the capital of france is paris "
+             "according to every atlas printed since eighteen hundred")
+    evals = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    bloom = build_shingle_bloom(evals, n=8)
+    assert bloom is not None and bloom.n == 8
+
+    shards = [
+        [(1, "clean shard one text with nothing from any benchmark in it "
+             "at all whatsoever really"), (2, bench)],
+        [(3, "prefix then " + bench + " trailing"), (4, "clean shard two "
+             "document that stays entirely on topic about spark plans")],
+    ]
+    expect = [{1}, {4}]
+    for rows, want in zip(shards, expect):
+        shard = spark.createDataFrame(rows, "doc_id long, text string")
+        kept_pre = {r.doc_id for r in decontaminate_bloom(
+            shard, evals, n=8, bloom=bloom).collect()}
+        kept_solo = {r.doc_id for r in decontaminate_bloom(
+            shard, evals, n=8).collect()}
+        assert kept_pre == kept_solo == want
+
+    with _pytest.raises(ValueError, match="built for n=8"):
+        decontaminate_bloom(
+            spark.createDataFrame(shards[0], "doc_id long, text string"),
+            evals, n=4, bloom=bloom).collect()
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert build_shingle_bloom(empty, n=8) is None
