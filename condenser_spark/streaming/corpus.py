@@ -29,8 +29,13 @@ from pyspark.sql import functions as F
 from condenser_spark.functions.dedup import _shingle_rows, _shingles
 
 
-def _eval_shingle_set(eval_df: DataFrame, n: int, text_col: str,
-                      id_col: str) -> frozenset:
+def build_eval_shingles(eval_df: DataFrame, n: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> frozenset:
+    """Collect the eval corpus's distinct shingle strings once — pass the
+    result to the streaming operators via ``shingles=`` to amortize the
+    collect across restarts / many streams (the streaming analogue of
+    dedup.build_shingle_bloom)."""
     rows = (
         _shingle_rows(eval_df, n, text_col, id_col)
         .select("shingle").distinct().collect()
@@ -44,6 +49,7 @@ def contamination_flags_stream(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: frozenset | None = None,
 ) -> DataFrame:
     """Per-document contamination score for a (streaming or batch) document
     DataFrame against a STATIC eval corpus: input columns plus
@@ -53,7 +59,8 @@ def contamination_flags_stream(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    ev = _eval_shingle_set(eval_df, n, text_col, id_col)
+    ev = (shingles if shingles is not None
+          else build_eval_shingles(eval_df, n, text_col, id_col))
     bcast = docs.sparkSession.sparkContext.broadcast(ev)
 
     def _n_shared(shingle_arrays):
@@ -79,6 +86,7 @@ def decontaminate_stream(
     min_shared: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles: frozenset | None = None,
 ) -> DataFrame:
     """Keep-rows streaming decontamination: documents sharing at least
     ``min_shared`` distinct word n-grams with the static eval corpus are
@@ -87,7 +95,8 @@ def decontaminate_stream(
     Equals batch ``decontaminate(train, eval, max_shingle_df=None)`` on the
     same data (pinned in tests); the df cap is intentionally absent — see
     module docstring."""
-    flagged = contamination_flags_stream(docs, eval_df, n, text_col, id_col)
+    flagged = contamination_flags_stream(docs, eval_df, n, text_col, id_col,
+                                         shingles)
     return flagged.filter(
         F.col("n_shared_shingles") < min_shared
     ).drop("n_shared_shingles")

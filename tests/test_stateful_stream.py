@@ -159,3 +159,28 @@ def test_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
     # the 10 planted verbatim leaks are gone
     assert all(d < 500000 for d in got)
     assert len(got) > 0
+
+
+def test_decontaminate_stream_prebuilt_shingles(spark):
+    """A prebuilt eval shingle set drives the stream identically to the
+    per-call collect path (batch-mode check is sufficient — the operator is
+    the same stateless plan either way)."""
+    from condenser_spark.streaming.corpus import (
+        build_eval_shingles,
+        decontaminate_stream,
+    )
+
+    bench = ("what is the capital of france the capital of france is paris "
+             "according to every atlas printed since eighteen hundred")
+    train = spark.createDataFrame(
+        [(1, "clean doc about spark partition pruning and shuffle plans "
+             "with nothing resembling any benchmark question anywhere"),
+         (2, bench)],
+        "doc_id long, text string")
+    evals = spark.createDataFrame([(9, bench)], "doc_id long, text string")
+    pre = build_eval_shingles(evals, n=8)
+    assert len(pre) > 0
+    a = {r.doc_id for r in decontaminate_stream(train, evals, n=8).collect()}
+    b = {r.doc_id for r in decontaminate_stream(
+        train, evals, n=8, shingles=pre).collect()}
+    assert a == b == {1}
