@@ -147,6 +147,64 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the embedding/RAG
+    prep primitive ``pack_sequences`` is NOT (packing concatenates whole
+    docs up to a budget; chunking splits one doc into model-window pieces).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk is the ragged tail
+    (at least one chunk even for short docs), and no chunk starts at or past
+    the token count, so consecutive chunks share exactly ``overlap`` tokens
+    and every token appears in at least one chunk.
+
+    Output: (id_col, chunk_idx, text, n_tokens) — one row per chunk, text
+    re-joined with single spaces (input whitespace is normalized first, the
+    same canonicalization as every shingle/token operator here).
+
+    Plan shape: tokenize once, generate chunk indexes per doc with
+    ``sequence`` + ``transform``/``slice`` over the in-row token array, then
+    one explode — per-row work bounded by the doc's own length, no shuffle
+    at all (narrow transform), so it runs at scan speed on 100 TB."""
+    assert chunk_tokens >= 1 and 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toks = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
+    )
+    n = F.size(toks)
+    # number of chunks: 1 + floor((n - chunk_tokens + stride - 1) / stride)
+    # for n > chunk_tokens, else 1 — expressed as greatest to guard short docs
+    n_chunks = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ).alias("text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.text").alias("text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int = 2048,

@@ -1748,3 +1748,44 @@ def ext_strip_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return strip_repeated_blocks(seeded, block=8, max_df=10)
+
+
+_CHUNK_DOCS_ORACLE = """
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks,
+             GREATEST(1, CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1)
+               AS n_chunks
+      FROM d
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS text,
+           LEAST(len(toks) - i * 24, 32) AS n_tokens
+    FROM sized, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+
+@golden("ext_chunk_documents", _CHUNK_DOCS_ORACLE)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk=32, overlap=8 -> stride 24)
+    over the documents table — the embedding/RAG prep primitive; exact
+    sliding-window algebra so DuckDB list slicing reproduces it verbatim.
+    Registered past the driver's 50-query cap; verified per-commit by
+    tests/test_overflow_oracles.py
+    (condenser_spark/functions/corpus.py:chunk_documents)."""
+    from condenser_spark.functions.corpus import chunk_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

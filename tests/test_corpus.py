@@ -251,3 +251,53 @@ def test_pack_sequences_unsharded_path_logs(spark, caplog):
     with caplog.at_level(logging.INFO, logger="condenser_spark.functions.corpus"):
         pack_sequences(df, shard_col="shard")
     assert not any("single-partition" in r.message for r in caplog.records)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from condenser_spark.functions.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),
+         (2, "a b c")],
+        "doc_id long, text string")
+    out = sorted(
+        ((r.doc_id, r.chunk_idx, r.text, r.n_tokens)
+         for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()))
+    assert out == [
+        (1, 0, "t0 t1 t2 t3", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t6 t7 t8 t9", 4),
+        (2, 0, "a b c", 3),
+    ]
+
+
+def test_chunk_documents_model(spark):
+    """Chunk boundaries equal the plain-Python sliding-window model for a
+    spread of doc lengths, chunk sizes, and overlaps: consecutive chunks
+    share exactly `overlap` tokens, every token is covered, short docs give
+    one chunk."""
+    import math
+
+    from condenser_spark.functions.corpus import chunk_documents
+
+    lengths = [1, 3, 7, 8, 9, 17, 33]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in lengths],
+        "doc_id long, text string")
+    for chunk, overlap in [(4, 0), (4, 1), (8, 3), (5, 4)]:
+        got = {}
+        for r in chunk_documents(docs, chunk_tokens=chunk,
+                                 overlap=overlap).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.text, r.n_tokens))
+        stride = chunk - overlap
+        for n in lengths:
+            toks = [f"w{i}" for i in range(n)]
+            k = max(1, math.ceil((n - chunk) / stride) + 1) if n > chunk \
+                else 1
+            want = [
+                (i, " ".join(toks[i * stride:i * stride + chunk]),
+                 min(n - i * stride, chunk))
+                for i in range(k)
+            ]
+            assert sorted(got[n]) == want, (n, chunk, overlap)
