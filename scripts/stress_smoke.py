@@ -261,6 +261,49 @@ def stage_asof(spark, amplify: int = 100) -> dict:
     }
 
 
+def stage_rewrites(spark, n_docs: int) -> dict:
+    """The two document-rewrite operators on the 5M corpus.
+
+    chunk_documents claims scan speed (narrow transform, zero shuffle) —
+    measured here.  strip_repeated_blocks has real shuffles (block df
+    hash-agg + rebuild), and this corpus makes its semantics assertable: the
+    100k-copy boilerplate group's every block has df=100k > max_df, so all
+    100k copies rewrite to empty text, while every other text is unique at
+    the block level (md5 tokens) and must come through untouched."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import chunk_documents
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    path = f"{WORK}/documents"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_docs(spark, path, n_docs)
+        print(f"  built {n_docs} docs in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    n_chunks = chunk_documents(docs, chunk_tokens=8, overlap=2).count()
+    wall_chunk = time.time() - t0
+    # 24 tokens, stride 6: ceil((24-8)/6)+1 = 4 chunks per doc
+    assert n_chunks == 4 * n_docs, (n_chunks, 4 * n_docs)
+
+    t0 = time.time()
+    out = strip_repeated_blocks(docs, block=8, max_df=10)
+    emptied = out.filter(F.length("text") == 0).count()
+    wall_strip = time.time() - t0
+    assert emptied == 100_000, emptied  # exactly the boilerplate group
+    return {
+        "stage": "corpus_rewrites",
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "wall_chunk_sec": round(wall_chunk, 1),
+        "boilerplate_emptied": emptied,
+        "wall_strip_sec": round(wall_strip, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -275,6 +318,7 @@ def main() -> int:
         "middle_out": lambda: stage_middle_out(spark),
         "decontaminate": lambda: stage_decontaminate(spark, n_docs),
         "asof": lambda: stage_asof(spark),
+        "rewrites": lambda: stage_rewrites(spark, n_docs),
     }
     for name, stage in stages.items():
         if only and name not in only:
