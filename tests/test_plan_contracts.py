@@ -215,3 +215,38 @@ def test_bloom_prune_runs_before_every_shingle_keyed_exchange(spark, source):
                     "Bloom probe sits above a shingle-keyed Exchange — "
                     "pruned rows would shuffle on the shingle:\n" + line
                 )
+
+
+def test_chunk_documents_plan_has_zero_exchanges(spark, source):
+    """chunk_documents promises scan speed: sequence + slice + explode are
+    all narrow, so the executed plan must contain NO Exchange at all —
+    any shuffle here is a regression that turns a map-only rewrite into a
+    network job at 100 TB."""
+    from condenser_spark.functions.corpus import chunk_documents
+
+    df = chunk_documents(source["documents"])
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_strip_repeated_blocks_anti_join_is_hash_and_scan_pruned(
+        spark, source):
+    """strip_repeated_blocks' hot-signature anti-join must be a hash join
+    (the hot set is tiny by construction — only signatures with df > cap),
+    never a nested-loop/cartesian, and every parquet scan must read only
+    (doc_id, text)."""
+    import re
+
+    from condenser_spark.functions.text import strip_repeated_blocks
+
+    df = strip_repeated_blocks(source["documents"])
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("HashJoin" in l for l in anti), anti
+    for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
+        cols = set(re.findall(r"(\w+):", m.group(1)))
+        assert cols <= {"doc_id", "text"}, cols
