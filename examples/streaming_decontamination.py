@@ -1,0 +1,87 @@
+"""Streaming corpus hygiene end-to-end: documents land as parquet files, the
+stream dedups exact repeats and drops benchmark leaks map-side, and clean
+rows append to a parquet sink — the continuous-ingest shape of the batch
+pipeline in training_data_pipeline.py.
+
+Both operators are stateless or watermark-bounded, so the query restarts
+from its checkpoint with no growing state.  Usage:
+
+    python examples/streaming_decontamination.py [sf_dir]   # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+    from condenser_spark.streaming.corpus import (
+        build_eval_shingles,
+        decontaminate_stream,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming-decontamination")
+    docs = load_source_tables(spark, sf_dir, tables=["documents"])["documents"]
+
+    work = tempfile.mkdtemp(prefix="stream_decon_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d)
+                             for d in ("in", "out", "ckpt"))
+    try:
+        # benchmark set: every doc_id % 97 == 0; built ONCE, reused across
+        # restarts via the prebuilt shingle set
+        evals = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        eval_shingles = build_eval_shingles(evals, n=8)
+
+        # simulate at-least-once ingest: the train slice delivered twice
+        train = docs.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text")
+        train.write.mode("overwrite").parquet(in_dir)
+        train.write.mode("append").parquet(in_dir)
+
+        from condenser_spark.streaming.sessionize import dedup_stream
+
+        # processing-time stamp gives dedup_stream its watermark bound: the
+        # duplicate-key state evicts once the horizon passes, exactly as in
+        # a production ingest
+        stream = (
+            spark.readStream.schema(train.schema).parquet(in_dir)
+            .withColumn("ingest_ts", F.current_timestamp())
+        )
+        clean = decontaminate_stream(
+            dedup_stream(stream, keys=["doc_id"], watermark="10 minutes",
+                         ts_col="ingest_ts"),
+            evals, n=8, shingles=eval_shingles,
+        ).drop("ingest_ts")
+
+        q = (
+            clean.writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+
+        landed = spark.read.parquet(out_dir)
+        n_train, n_out = train.count(), landed.count()
+        n_unique = landed.select("doc_id").distinct().count()
+        print(f"delivered twice:   {n_train} docs x2")
+        print(f"landed clean:      {n_out} rows ({n_unique} unique; "
+              f"{n_train - n_unique} contaminated dropped)")
+        assert n_out == n_unique, "stream dedup must emit each doc once"
+        assert n_out <= n_train
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
