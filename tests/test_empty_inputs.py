@@ -163,3 +163,34 @@ def test_round2b_ops_empty(spark, empty_docs, empty_events):
     assert range_join_bucketed(
         empty_events.select("event_id", "value"), bands, "value", "lo", "hi",
         10.0).count() == 0
+
+
+def test_round7_ops_empty(spark, empty_docs):
+    """Empty-input robustness for the round-7 additions: Bloom
+    decontamination, block strip, chunking, and streaming decontamination
+    (batch-mode) all return empty/identity results instead of throwing."""
+    from condenser_spark.functions.corpus import chunk_documents
+    from condenser_spark.functions.dedup import (
+        contamination_pairs_bloom,
+        decontaminate_bloom,
+    )
+    from condenser_spark.functions.text import strip_repeated_blocks
+    from condenser_spark.streaming.corpus import decontaminate_stream
+
+    some = spark.createDataFrame(
+        [(1, "a few plain words of text here")], "doc_id long, text string")
+
+    # empty train / empty eval, in every combination
+    assert contamination_pairs_bloom(empty_docs, empty_docs).count() == 0
+    assert contamination_pairs_bloom(empty_docs, some).count() == 0
+    assert contamination_pairs_bloom(some, empty_docs).count() == 0
+    assert decontaminate_bloom(some, empty_docs).count() == 1
+    assert decontaminate_bloom(empty_docs, some).count() == 0
+
+    assert strip_repeated_blocks(empty_docs).count() == 0
+    assert chunk_documents(empty_docs).count() == 0
+    # a short doc still yields exactly one (ragged) chunk
+    assert chunk_documents(some, chunk_tokens=512).count() == 1
+
+    assert decontaminate_stream(some, empty_docs).count() == 1
+    assert decontaminate_stream(empty_docs, some).count() == 0
