@@ -128,9 +128,10 @@ def tfidf_top_terms(
         ).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.select("id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
+    # document frequency derives from tf — its rows ARE the distinct
+    # (id, term) pairs — so the corpus is tokenized/exploded once, not
+    # twice, and the df aggregate reads the (much smaller) tf output
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").select(
         "id", "term",
         F.round(
