@@ -171,7 +171,12 @@ def ngram_jaccard_pairs(
     is ON by default (one hot shingle makes the self-join quadratic; 10k doc
     frequency means the shingle carries no near-dup signal anyway).  Pass
     ``None`` to disable (exact verifier mode)."""
-    exploded = _shingle_rows(df, n, text_col, id_col)
+    # the windowed shingling feeds four consumers (sizes, the hot-shingle
+    # aggregate, and both sides of the self-join) — materialize it once
+    # (same lazy lineage barrier as minhash_lsh_pairs; sf0.1 in-session
+    # A/B: 2.3 -> 1.5 s median, identical pairs)
+    exploded = _shingle_rows(df, n, text_col, id_col).localCheckpoint(
+        eager=False)
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
