@@ -178,7 +178,11 @@ def chunk_documents(
     toks = F.split(
         F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "), " "
     )
-    n = F.size(toks)
+    # empty/whitespace-only text splits to [''] (size 1, not 0) — guard the
+    # token count so the single empty chunk such docs still emit reports
+    # n_tokens=0, keeping token-count consumers honest
+    n = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(toks))
     # number of chunks: 1 + floor((n - chunk_tokens + stride - 1) / stride)
     # for n > chunk_tokens, else 1 — expressed as greatest to guard short docs
     n_chunks = F.greatest(
@@ -213,6 +217,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     shard_col: str | None = None,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """First-fit-linear sequence packing: assign documents (in deterministic
     ``order_col`` order) to training bins of ~``budget_tokens`` whitespace
@@ -223,77 +228,167 @@ def pack_sequences(
     overflow by at most one document — the standard distribute-friendly
     approximation (exact bin packing is inherently sequential).  A document
     LARGER than the budget spans several windows and leaves the skipped ones
-    empty, so raw indices are densified (dense_rank over the raw index,
-    same window partitioning — no extra shuffle): ``bin_id`` is always dense
+    empty, so raw indices are densified: ``bin_id`` is always dense
     0..total_bins-1 even with oversized documents (property-tested).
 
-    Without ``shard_col`` the prefix sum is ONE global window — a
-    single-partition sort, fine up to tens of millions of docs, a
-    scale-killer beyond.  At real scale pass ``shard_col``: the window
-    becomes ``partitionBy(shard)`` (each shard's prefix sum is an independent
-    task), and per-shard local bins are made globally unique by adding a
-    per-shard offset = the cumulative bin count of all preceding shards.
-    The offset computation is itself a window, but over ONE ROW PER SHARD —
-    thousands of rows, not documents — so its single-partition sort is
-    driver-trivial, and the offsets broadcast back into the join.  Bin ids
-    stay dense (0..total_bins-1) and deterministic in (shard, order, id)
-    order."""
+    Scale comes in two flavors, both default-safe:
+
+    * **No ``shard_col`` (default): a distributed scan.**  The naive form of
+      a global prefix sum is ONE unpartitioned window — a single-partition
+      sort over every document, a scale-killer past tens of millions of
+      docs.  Instead the documents are ``repartitionByRange``d on
+      (order, id) into ``num_shards`` contiguous ranges (default: the
+      context's ``defaultParallelism``), each range computes its local
+      prefix sum as an independent task, and two one-row-per-shard
+      summaries globalize the result: cumulative token offsets make the
+      local running sums global, and a straddle-corrected cumulative bin
+      count (a raw bin can span a range boundary — counting it once per
+      side would leave a gap) makes the per-shard dense ranks global.  The
+      output is BYTE-IDENTICAL to the naive global window for every input
+      (pinned by the property suite, which compares invariants on the same
+      doc_id order), but no stage ever sorts more than one range's
+      documents — the classic two-pass parallel scan.
+
+    * **Explicit ``shard_col``: semantic shards.**  The window becomes
+      ``partitionBy(shard)`` (each shard's prefix sum is an independent
+      task) and packing NEVER mixes documents across shards — use when bins
+      must respect a real boundary (per-language, per-source).  Per-shard
+      local bins are made globally unique by adding a per-shard offset =
+      the cumulative bin count of all preceding shards (one row per shard,
+      driver-trivial, broadcast back).  Bin membership therefore differs
+      from the global order: shard grouping wins over ``order_col``
+      adjacency, by design.
+
+    Bin ids stay dense (0..total_bins-1) and deterministic in
+    (shard, order, id) order on both paths."""
     n_tok = token_count(F.col(text_col))
-    if shard_col is None:
-        # no silent scale caps: the global prefix sum is one single-partition
-        # window sort — fine to tens of millions of docs, a scale-killer
-        # beyond.  Same principle as the LSH bucket-cap logging (dedup.py).
-        logger.info(
-            "pack_sequences: no shard_col — global prefix sum runs as a "
-            "single-partition window sort; pass shard_col at large scale"
-        )
     # ROWS frame (not the orderBy default RANGE): duplicate order keys must
     # still accumulate one doc at a time, per the documented semantics.  The
     # id tiebreak keeps the per-row prefix sum deterministic on ties.
     order = [F.col(order_col).asc(), F.col(id_col).asc()]
-    base = Window.partitionBy(shard_col) if shard_col else Window
-    w = base.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    running = F.sum("n_tokens").over(w)
     cols = [F.col(id_col), n_tok.alias("n_tokens")]
     if order_col != id_col:
         cols.append(F.col(order_col))
-    if shard_col and shard_col not in (id_col, order_col):
-        cols.append(F.col(shard_col))
-    packed = df.select(*cols).withColumn(
-        "_bin_raw",
-        F.floor(
-            (running - F.col("n_tokens")) / F.lit(budget_tokens)
-        ).cast("long"),
+
+    if shard_col is not None:
+        if shard_col not in (id_col, order_col):
+            cols.append(F.col(shard_col))
+        w = Window.partitionBy(shard_col).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        packed = df.select(*cols).withColumn(
+            "_bin_raw",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+        # densify per shard: the rank window shares the prefix-sum window's
+        # partitioning, so this adds an in-partition sort of already-ordered
+        # data, never a shuffle
+        packed = packed.withColumn(
+            "bin_id",
+            (F.dense_rank().over(
+                Window.partitionBy(shard_col).orderBy(F.col("_bin_raw").asc())
+            ) - 1).cast("long"),
+        )
+        # globalize per-shard bins: offset(shard) = sum of bin counts of all
+        # preceding shards (shard order = shard key order, deterministic)
+        shard_sizes = packed.groupBy(shard_col).agg(
+            (F.max("bin_id") + 1).alias("_n_bins")
+        )
+        off_w = (
+            Window.orderBy(F.col(shard_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = shard_sizes.select(
+            F.col(shard_col),
+            F.coalesce(F.sum("_n_bins").over(off_w), F.lit(0)).alias(
+                "_offset"),
+        )
+        return (
+            packed.join(F.broadcast(offsets), on=shard_col)
+            .withColumn(
+                "bin_id", (F.col("bin_id") + F.col("_offset")).cast("long"))
+            .select(id_col, "n_tokens", "bin_id")
+        )
+
+    # ---- default path: distributed global scan ----
+    if num_shards is None:
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    # contiguous (order, id) ranges; the range shard id is the partition the
+    # row physically landed in.  Boundary PLACEMENT is sampling-derived, but
+    # the output is invariant to it: global running sums and raw bins are
+    # reconstructed exactly below, whichever side of a boundary a row falls.
+    # The lazy localCheckpoint pins the shard assignment so the four
+    # downstream consumers (prefix window, two summaries, final join) share
+    # one materialization instead of re-running the range shuffle.
+    base = (
+        df.select(*cols)
+        .repartitionByRange(num_shards, *order)
+        .withColumn("_shard", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    # densify: raw indices skip windows when one doc exceeds the budget; the
-    # rank window shares the prefix-sum window's partitioning, so this adds
-    # an in-partition sort of already-ordered data, never a shuffle
-    dr = Window.partitionBy(shard_col) if shard_col else Window
-    packed = packed.withColumn(
-        "bin_id",
-        (F.dense_rank().over(dr.orderBy(F.col("_bin_raw").asc())) - 1)
-        .cast("long"),
+    w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    if shard_col is None:
-        return packed.select(id_col, "n_tokens", "bin_id")
-    # globalize per-shard bins: offset(shard) = sum of bin counts of all
-    # preceding shards (shard order = shard key order, deterministic)
-    shard_sizes = packed.groupBy(shard_col).agg(
-        (F.max("bin_id") + 1).alias("_n_bins")
+    local = base.withColumn("_run_local", F.sum("n_tokens").over(w))
+    # token offsets: one row per shard; the cumulative window's
+    # single-partition sort is over ~num_shards rows, driver-trivial
+    shard_tok = local.groupBy("_shard").agg(
+        F.max("_run_local").alias("_tok_total"))
+    sw_prev = Window.orderBy(F.col("_shard").asc()).rowsBetween(
+        Window.unboundedPreceding, -1)
+    tok_off = shard_tok.select(
+        "_shard",
+        F.coalesce(F.sum("_tok_total").over(sw_prev), F.lit(0)).alias(
+            "_tok_off"),
     )
-    off_w = (
-        Window.orderBy(F.col(shard_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    binned = (
+        local.join(F.broadcast(tok_off), on="_shard")
+        .withColumn(
+            "_bin_raw",
+            F.floor(
+                (F.col("_run_local") + F.col("_tok_off")
+                 - F.col("n_tokens")) / F.lit(budget_tokens)
+            ).cast("long"),
+        )
     )
-    offsets = shard_sizes.select(
-        F.col(shard_col),
-        F.coalesce(F.sum("_n_bins").over(off_w), F.lit(0)).alias("_offset"),
+    # globalize the dense rank: per-shard raw-bin summaries (again one row
+    # per shard).  A raw bin whose budget window spans a range boundary
+    # appears as the last bin of shard i AND the first bin of shard i+1
+    # (raw bins are globally non-decreasing in (order, id)); subtracting the
+    # cumulative straddle count keeps such a bin counted once, so ids stay
+    # dense — including a single raw bin spanning MANY shards (each
+    # consecutive straddle subtracts one).
+    summ = binned.groupBy("_shard").agg(
+        F.min("_bin_raw").alias("_min_raw"),
+        F.max("_bin_raw").alias("_max_raw"),
+        F.count_distinct("_bin_raw").alias("_n_bins"),
     )
+    sw = Window.orderBy(F.col("_shard").asc())
+    dense_off = (
+        summ.withColumn("_prev_max", F.lag("_max_raw").over(sw))
+        .withColumn(
+            "_straddle",
+            F.when(F.col("_min_raw") == F.col("_prev_max"), F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .select(
+            "_shard",
+            (
+                F.coalesce(F.sum("_n_bins").over(sw_prev), F.lit(0))
+                - F.sum("_straddle").over(
+                    sw.rowsBetween(Window.unboundedPreceding, 0))
+            ).alias("_dense_off"),
+        )
+    )
+    dr = Window.partitionBy("_shard").orderBy(F.col("_bin_raw").asc())
     return (
-        packed.join(F.broadcast(offsets), on=shard_col)
-        .withColumn("bin_id", (F.col("bin_id") + F.col("_offset")).cast("long"))
+        binned.withColumn("_dr", F.dense_rank().over(dr) - 1)
+        .join(F.broadcast(dense_off), on="_shard")
+        .withColumn(
+            "bin_id", (F.col("_dr") + F.col("_dense_off")).cast("long"))
         .select(id_col, "n_tokens", "bin_id")
     )
 

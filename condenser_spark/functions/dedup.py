@@ -161,6 +161,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = 10_000,
+    cache_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (id_a, id_b, jaccard), id_a < id_b,
     jaccard rounded to 4 decimals, >= threshold.
@@ -171,12 +172,16 @@ def ngram_jaccard_pairs(
     is ON by default (one hot shingle makes the self-join quadratic; 10k doc
     frequency means the shingle carries no near-dup signal anyway).  Pass
     ``None`` to disable (exact verifier mode)."""
-    # the windowed shingling feeds four consumers (sizes, the hot-shingle
-    # aggregate, and both sides of the self-join) — materialize it once
-    # (same lazy lineage barrier as minhash_lsh_pairs; sf0.1 in-session
-    # A/B: 2.3 -> 1.5 s median, identical pairs)
-    exploded = _shingle_rows(df, n, text_col, id_col).localCheckpoint(
-        eager=False)
+    # ``cache_shingles``: the windowed shingling feeds four consumers (sizes,
+    # the hot-shingle aggregate, and both sides of the self-join) —
+    # materialize it once (same lazy lineage barrier as minhash_lsh_pairs's
+    # cache_band_index; sf0.1 in-session A/B: 2.3 -> 1.5 s median, identical
+    # pairs).  Same trade and same opt-out as that toggle: corpora whose
+    # re-shingling is unusually cheap (very short docs) can measure ~2x
+    # slower materialized — pass False to recompute instead of store.
+    exploded = _shingle_rows(df, n, text_col, id_col)
+    if cache_shingles:
+        exploded = exploded.localCheckpoint(eager=False)
     sizes = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         hot = (
@@ -728,15 +733,56 @@ class ShingleBloom:
     :func:`build_shingle_bloom`) — pass to :func:`contamination_pairs_bloom`
     / :func:`decontaminate_bloom` to amortize the driver-side collect+pack
     across many train shards or micro-batches (the same build-once shape as
-    similarity.ivf_index / ivf_query)."""
+    similarity.IvfIndex / ivf_query)."""
 
-    __slots__ = ("bits", "m", "k", "n")
+    __slots__ = ("bits", "m", "k", "n", "_bcast")
 
     def __init__(self, bits, m: int, k: int, n: int) -> None:
         self.bits = bits
         self.m = m
         self.k = k
         self.n = n
+        self._bcast = None
+
+    def broadcast_on(self, sc):
+        """The bit array as a Spark Broadcast, created at most once per
+        SparkContext and cached on the object — in the amortized
+        many-shards-one-bloom pattern, a fresh ``sc.broadcast`` per filter
+        call would pile up to 256 MiB copies on the driver and executors
+        over a long job."""
+        if self._bcast is None or self._bcast[0] is not sc:
+            self._bcast = (sc, sc.broadcast(self.bits))
+        return self._bcast[1]
+
+    def unpersist(self) -> None:
+        """Release the cached broadcast's executor + driver storage (no-op
+        if never broadcast).  Call when a long-lived job is done filtering
+        with this bloom."""
+        if self._bcast is not None:
+            self._bcast[1].unpersist()
+            self._bcast = None
+
+    def save(self, path: str) -> None:
+        """Persist to a single local ``.npz`` file (numpy bit array + the
+        m/k/n geometry) so a multi-job pipeline builds the eval bloom once
+        and reloads it per job instead of re-collecting the eval corpus.
+        Driver-side artifact: the path is a plain local/posix path (copy to
+        object storage out-of-band if jobs run on different drivers)."""
+        import numpy as np
+
+        np.savez(path, bits=self.bits,
+                 geometry=np.array([self.m, self.k, self.n], dtype=np.int64))
+
+    @classmethod
+    def load(cls, path: str) -> "ShingleBloom":
+        """Inverse of :meth:`save`; the loaded filter is bit-identical, so
+        every downstream probe decision matches the building session's."""
+        import numpy as np
+
+        with np.load(path) as z:
+            bits = z["bits"]
+            m, k, n = (int(v) for v in z["geometry"])
+        return cls(bits, m, k, n)
 
 
 def build_shingle_bloom(
@@ -746,14 +792,30 @@ def build_shingle_bloom(
     id_col: str = "doc_id",
     fp_rate: float = 1e-3,
     max_bits: int = 1 << 31,
+    max_eval_shingles: int = 50_000_000,
 ) -> ShingleBloom | None:
     """Collect the eval corpus's distinct shingle hashes ONCE and pack them
     into a :class:`ShingleBloom`; returns ``None`` when the eval side has no
-    shingles (nothing can be contaminated)."""
+    shingles (nothing can be contaminated).
+
+    Raises ``ValueError`` past ``max_eval_shingles`` distinct shingles —
+    eval/benchmark sets are the small side by contract (the default cap is
+    already ~800 MB of collected hashes), and blowing it almost always means
+    the train and eval arguments were swapped; failing loud here beats a
+    messageless driver OOM (same convention as ivf_index's zero-centroid
+    ValueError)."""
     ev_hashes = (
         _shingle_rows(eval_df, n, text_col, id_col)
-        .select(*_bloom_hash_cols()).distinct().toPandas()
+        .select(*_bloom_hash_cols()).distinct()
+        .limit(max_eval_shingles + 1).toPandas()
     )
+    if len(ev_hashes) > max_eval_shingles:
+        raise ValueError(
+            f"build_shingle_bloom collected more than "
+            f"{max_eval_shingles:,} distinct eval shingles. Eval sets are "
+            "the small side by contract — did you swap the train and eval "
+            "arguments? (Raise max_eval_shingles= to override.)"
+        )
     if len(ev_hashes) == 0:
         return None
     m, k = _bloom_geometry(len(ev_hashes), fp_rate, max_bits)
@@ -830,7 +892,9 @@ def contamination_pairs_bloom(
             train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
         ).filter(F.lit(False))
     m, k = bloom.m, bloom.k
-    bcast = train.sparkSession.sparkContext.broadcast(bloom.bits)
+    # broadcast once per (bloom, SparkContext) — cached on the object so the
+    # amortized many-shards pattern doesn't leak a 256 MiB broadcast per call
+    bcast = bloom.broadcast_on(train.sparkSession.sparkContext)
     mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
 
     # no signature hints: module-wide `from __future__ import annotations`

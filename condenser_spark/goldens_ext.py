@@ -1754,19 +1754,23 @@ _CHUNK_DOCS_ORACLE = """
     WITH d AS (
       SELECT doc_id,
              string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
-               AS toks
+               AS toks,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+             END AS n
       FROM documents
     ),
     sized AS (
-      SELECT doc_id, toks,
-             GREATEST(1, CAST(CEIL((len(toks) - 32) / 24.0) AS BIGINT) + 1)
+      SELECT doc_id, toks, n,
+             GREATEST(1, CAST(CEIL((n - 32) / 24.0) AS BIGINT) + 1)
                AS n_chunks
       FROM d
     )
     SELECT doc_id,
            i AS chunk_idx,
            array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS text,
-           LEAST(len(toks) - i * 24, 32) AS n_tokens
+           LEAST(n - i * 24, 32) AS n_tokens
     FROM sized, unnest(range(0, n_chunks)) AS u(i)
 """
 

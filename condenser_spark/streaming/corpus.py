@@ -6,19 +6,25 @@ are joins over a shingle inverted index — Structured Streaming can run
 stream-static joins, but a join + aggregation pipeline drags watermarks and
 output-mode constraints into what is logically a per-document decision
 against a FIXED eval set.  The streaming twin instead broadcasts the eval
-side's exact distinct shingle set once (eval/benchmark sets are the small
-side by contract — the same bound the Bloom variant's driver collect relies
-on) and scores each document map-side: no state, no watermark, no shuffle,
-so it composes with any source/sink and restarts trivially.
+side's exact shingle index once (eval/benchmark sets are the small side by
+contract — the same bound the Bloom variant's driver collect relies on) and
+scores each document map-side: no state, no watermark, no shuffle, so it
+composes with any source/sink and restarts trivially.
 
 Shingling uses the guarded ARRAY form (dedup._shingles) because the batch
 path's windowed row form needs a non-streaming Window; the two forms produce
 the same distinct shingle set (pinned in the batch suite).  Membership is
-counted in an Arrow-batched pandas UDF against the broadcast Python set —
+counted in an Arrow-batched pandas UDF against the broadcast Python index —
 exact string comparison, identical semantics to the batch join at
 ``max_shingle_df=None`` (the train-side document-frequency cap is
 meaningless mid-stream: global df is unknowable; callers wanting the cap
 apply the batch operator to the landed data).
+
+COST NOTE: the array-form shingling is an interpreted higher-order
+``transform``/``slice`` per gram — ~50 us/gram measured (dedup._shingle_rows
+docstring), ~10x the batch path's codegen'd window form.  At high stream
+throughput this is the dominant per-row cost; if a micro-batch falls behind,
+widen the trigger interval or land the data and run the batch operator.
 """
 
 from __future__ import annotations
@@ -28,19 +34,53 @@ from pyspark.sql import functions as F
 
 from condenser_spark.functions.dedup import _shingle_rows, _shingles
 
+#: Fail-loud ceiling for the eval-side driver collect.  Eval/benchmark sets
+#: are the small side by contract; hitting this almost always means the
+#: train and eval arguments were swapped.  ~2M (shingle, id) entries is
+#: roughly 300-500 MB of Python strings — already generous for any real
+#: benchmark suite.
+MAX_EVAL_SHINGLE_ROWS = 2_000_000
 
-def build_eval_shingles(eval_df: DataFrame, n: int = 8,
-                        text_col: str = "text",
-                        id_col: str = "doc_id") -> frozenset:
-    """Collect the eval corpus's distinct shingle strings once — pass the
-    result to the streaming operators via ``shingles=`` to amortize the
-    collect across restarts / many streams (the streaming analogue of
-    dedup.build_shingle_bloom)."""
+
+def build_eval_shingles(
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rows: int = MAX_EVAL_SHINGLE_ROWS,
+) -> dict:
+    """Collect the eval corpus's shingle index once — a mapping
+    ``shingle -> tuple(eval doc ids containing it)`` — and pass the result
+    to the streaming operators via ``shingles=`` to amortize the collect
+    across restarts / many streams (the streaming analogue of
+    dedup.build_shingle_bloom).
+
+    The per-doc ids are what lets :func:`decontaminate_stream` reproduce the
+    batch operator's per-eval-doc ``min_shared`` semantics (>= min_shared
+    shingles shared with a SINGLE eval doc, not with the union of all eval
+    docs).  Plain membership checks (``s in index``) still work, so the
+    index drops into :func:`contamination_flags_stream` unchanged.
+
+    Raises ``ValueError`` past ``max_rows`` collected (eval, id) pairs —
+    the eval side is small by contract, and blowing the cap almost always
+    means the train/eval arguments were swapped (the failure would otherwise
+    be a messageless driver OOM)."""
     rows = (
         _shingle_rows(eval_df, n, text_col, id_col)
-        .select("shingle").distinct().collect()
+        .limit(max_rows + 1)
+        .collect()
     )
-    return frozenset(r.shingle for r in rows)
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"build_eval_shingles collected more than {max_rows:,} "
+            "(shingle, doc) pairs from the eval side. Eval/benchmark sets "
+            "are the small side by contract — did you swap the train and "
+            "eval arguments? (Raise max_rows= to override.)"
+        )
+    index: dict[str, list] = {}
+    for r in rows:
+        index.setdefault(r.shingle, []).append(r.id)
+    return {s: tuple(ids) for s, ids in index.items()}
 
 
 def contamination_flags_stream(
@@ -49,11 +89,20 @@ def contamination_flags_stream(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingles: frozenset | None = None,
+    shingles: "dict | frozenset | None" = None,
 ) -> DataFrame:
-    """Per-document contamination score for a (streaming or batch) document
+    """Per-document contamination scores for a (streaming or batch) document
     DataFrame against a STATIC eval corpus: input columns plus
-    ``n_shared_shingles`` (distinct word n-grams shared with any eval doc).
+
+    - ``n_shared_shingles`` — distinct word n-grams shared with ANY eval doc
+      (union count; the cheap headline score), and
+    - ``max_shared_shingles`` — the largest count of distinct shared
+      n-grams against a SINGLE eval doc (the quantity batch
+      ``contamination_pairs`` thresholds with ``min_shared``).  Emitted only
+      when the eval index carries per-doc ids (the default); a plain
+      set passed via ``shingles=`` yields ``max_shared_shingles`` equal to
+      ``n_shared_shingles`` clamped to {0, 1} usefulness — so pass the
+      :func:`build_eval_shingles` mapping when min_shared > 1 matters.
 
     Stateless: safe in append mode with no watermark."""
     import pandas as pd
@@ -61,21 +110,48 @@ def contamination_flags_stream(
 
     ev = (shingles if shingles is not None
           else build_eval_shingles(eval_df, n, text_col, id_col))
+    per_doc = hasattr(ev, "items")
     bcast = docs.sparkSession.sparkContext.broadcast(ev)
 
-    def _n_shared(shingle_arrays):
+    def _scores(shingle_arrays):
+        from collections import Counter
+
         evs = bcast.value
-        return pd.Series(
-            [
-                sum(1 for s in arr if s in evs) if arr is not None else 0
-                for arr in shingle_arrays
-            ],
+        union_counts, max_counts = [], []
+        for arr in shingle_arrays:
+            if arr is None:
+                union_counts.append(0)
+                max_counts.append(0)
+                continue
+            if per_doc:
+                c: Counter = Counter()
+                n_union = 0
+                for s in arr:
+                    ids = evs.get(s)
+                    if ids is not None:
+                        n_union += 1
+                        c.update(ids)
+                union_counts.append(n_union)
+                max_counts.append(max(c.values()) if c else 0)
+            else:
+                n_union = sum(1 for s in arr if s in evs)
+                union_counts.append(n_union)
+                max_counts.append(1 if n_union else 0)
+        return pd.DataFrame(
+            {"n_shared_shingles": union_counts,
+             "max_shared_shingles": max_counts},
             dtype="int64",
         )
 
-    n_shared = pandas_udf(_n_shared, "long")
-    return docs.withColumn(
-        "n_shared_shingles", n_shared(_shingles(text_col, n))
+    scores = pandas_udf(
+        _scores, "n_shared_shingles long, max_shared_shingles long")
+    scored = docs.withColumn("_scores", scores(_shingles(text_col, n)))
+    return (
+        scored
+        .withColumn("n_shared_shingles", F.col("_scores.n_shared_shingles"))
+        .withColumn("max_shared_shingles",
+                    F.col("_scores.max_shared_shingles"))
+        .drop("_scores")
     )
 
 
@@ -86,17 +162,32 @@ def decontaminate_stream(
     min_shared: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    shingles: frozenset | None = None,
+    shingles: "dict | frozenset | None" = None,
 ) -> DataFrame:
     """Keep-rows streaming decontamination: documents sharing at least
-    ``min_shared`` distinct word n-grams with the static eval corpus are
+    ``min_shared`` distinct word n-grams with a SINGLE eval document are
     dropped from the stream; everything else passes through unchanged.
 
     Equals batch ``decontaminate(train, eval, max_shingle_df=None)`` on the
-    same data (pinned in tests); the df cap is intentionally absent — see
-    module docstring."""
+    same data for every ``min_shared`` (pinned in tests): the threshold is
+    applied to the per-eval-doc maximum overlap, exactly the quantity batch
+    ``contamination_pairs`` groups by (eval_id, train_id) to produce.  The
+    df cap is intentionally absent — see module docstring.
+
+    ``min_shared > 1`` needs the per-doc eval index; passing a plain
+    set/frozenset via ``shingles=`` raises (a union count would over-drop —
+    a doc sharing one shingle each with two DIFFERENT eval docs is clean
+    under batch semantics)."""
+    if min_shared > 1 and shingles is not None and not hasattr(
+            shingles, "items"):
+        raise TypeError(
+            "decontaminate_stream(min_shared>1) needs the per-eval-doc "
+            "shingle index from build_eval_shingles (a mapping), not a "
+            "plain set: a union count over-drops docs that share shingles "
+            "with several different eval docs."
+        )
     flagged = contamination_flags_stream(docs, eval_df, n, text_col, id_col,
                                          shingles)
     return flagged.filter(
-        F.col("n_shared_shingles") < min_shared
-    ).drop("n_shared_shingles")
+        F.col("max_shared_shingles") < min_shared
+    ).drop("n_shared_shingles", "max_shared_shingles")

@@ -231,26 +231,41 @@ def test_approx_profile_bounds_vs_exact(spark, source):
     assert n_rows >= true_d
 
 
-def test_pack_sequences_unsharded_path_logs(spark, caplog):
-    """The unsharded global-window path announces itself (the repo's
-    "no silent scale caps" rule): a caller who forgets shard_col at scale
-    gets a log line, not a silent single-task sort.  The sharded path stays
-    quiet."""
-    import logging
-
+def test_pack_sequences_default_is_distributed_scan(spark):
+    """The DEFAULT (no shard_col) path is a two-pass distributed scan, not a
+    single-partition global window: the document-level prefix window
+    partitions by the derived range shard, and the output is byte-identical
+    to the naive global prefix sum — including across range boundaries
+    (token offsets) and for a raw bin straddling shards (straddle-corrected
+    dense ranks keep ids dense)."""
     from condenser_spark.functions.corpus import pack_sequences
 
-    df = spark.createDataFrame(
-        [(i, "tok " * 10, i % 2) for i in range(6)],
-        "doc_id long, text string, shard int",
+    # 40 docs, mixed sizes, one oversized doc (3x budget) to force skipped
+    # raw windows + straddles once range-sharded 8 ways (5 docs/shard)
+    sizes = [(5 if i % 3 else 11) for i in range(40)]
+    sizes[17] = 60
+    docs = spark.createDataFrame(
+        [(i, "t " * n) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
     )
-    with caplog.at_level(logging.INFO, logger="condenser_spark.functions.corpus"):
-        pack_sequences(df)
-    assert any("shard_col" in r.message for r in caplog.records)
-    caplog.clear()
-    with caplog.at_level(logging.INFO, logger="condenser_spark.functions.corpus"):
-        pack_sequences(df, shard_col="shard")
-    assert not any("single-partition" in r.message for r in caplog.records)
+    budget = 20
+    out = pack_sequences(docs, budget_tokens=budget, num_shards=8)
+
+    # naive global reference, computed in Python
+    run, raw = 0, []
+    for n in sizes:
+        run += n
+        raw.append((run - n) // budget)
+    dense = {v: i for i, v in enumerate(sorted(set(raw)))}
+    want = {i: (sizes[i], dense[raw[i]]) for i in range(40)}
+
+    got = {r.doc_id: (r.n_tokens, r.bin_id) for r in out.collect()}
+    assert got == want
+
+    # the document-level window is partitioned by the derived shard — no
+    # Exchange SinglePartition over the documents themselves
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_shard#" in plan
 
 
 def test_chunk_documents_overlap_and_tail(spark):

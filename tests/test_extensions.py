@@ -535,3 +535,77 @@ def test_prebuilt_shingle_bloom_amortizes_and_matches(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert build_shingle_bloom(empty, n=8) is None
+
+
+def test_shingle_bloom_save_load_and_broadcast_cache(spark, tmp_path):
+    """save()/load() round-trips the Bloom bit-identically (so a multi-job
+    pipeline reloads instead of re-collecting the eval corpus), the loaded
+    filter decontaminates identically to the in-session one, and repeated
+    filter calls reuse ONE cached broadcast instead of leaking a copy per
+    call."""
+    import numpy as np
+
+    from condenser_spark.functions.dedup import (
+        ShingleBloom,
+        build_shingle_bloom,
+        decontaminate_bloom,
+    )
+
+    bench = ("what is the capital of france the capital of france is paris "
+             "according to every atlas printed since eighteen hundred")
+    evals = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "clean doc about shuffle plans and partition pruning in spark "
+             "with nothing from any benchmark anywhere in it"),
+         (2, bench)],
+        "doc_id long, text string")
+
+    bloom = build_shingle_bloom(evals, n=8)
+    path = str(tmp_path / "eval_bloom.npz")
+    bloom.save(path)
+    loaded = ShingleBloom.load(path)
+    assert (loaded.m, loaded.k, loaded.n) == (bloom.m, bloom.k, bloom.n)
+    assert np.array_equal(loaded.bits, bloom.bits)
+
+    kept_mem = {r.doc_id for r in decontaminate_bloom(
+        train, evals, n=8, bloom=bloom).collect()}
+    kept_load = {r.doc_id for r in decontaminate_bloom(
+        train, evals, n=8, bloom=loaded).collect()}
+    assert kept_mem == kept_load == {1}
+
+    # one broadcast per (bloom, SparkContext), cached on the object
+    sc = spark.sparkContext
+    b1 = loaded.broadcast_on(sc)
+    decontaminate_bloom(train, evals, n=8, bloom=loaded).collect()
+    assert loaded.broadcast_on(sc) is b1
+    loaded.unpersist()
+    assert loaded._bcast is None
+
+
+def test_build_shingle_bloom_swapped_args_fails_loud(spark, sf_dir):
+    """Passing a corpus-sized DataFrame as the eval side dies with a
+    swapped-arguments message at the configured cap, not a driver OOM."""
+    import pytest as _pytest
+
+    from condenser_spark.functions.dedup import build_shingle_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError, match="swap the train and eval"):
+        build_shingle_bloom(docs, n=3, max_eval_shingles=100)
+
+
+def test_ngram_jaccard_cache_toggle_identical(spark):
+    """cache_shingles=False (recompute instead of localCheckpoint) changes
+    the plan only — pairs are identical."""
+    from condenser_spark.functions.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " today"), (3, "completely different text "
+          "about spark adaptive query execution and shuffle partitions")],
+        "doc_id long, text string")
+    a = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3).collect()}
+    b = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.3, cache_shingles=False).collect()}
+    assert a == b and (1, 2) in {(x, y) for x, y, _ in a}

@@ -138,15 +138,15 @@ def test_pack_sequences_sharded_matches_and_partitions(spark):
         offset += n_bins
 
     # the document-level window partitions by shard: its windowspecdefinition
-    # carries the shard column (the unsharded form has an empty partition spec
-    # -> Exchange SinglePartition over every document)
+    # carries the shard column (the default path instead partitions by its
+    # DERIVED range shard — pinned in test_corpus)
     plan = sharded._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(shard#" in plan
     unsharded_plan = (
         pack_sequences(docs, budget_tokens=12)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "SinglePartition" in unsharded_plan
+    assert "windowspecdefinition(_shard#" in unsharded_plan
 
 
 # --------------------------------------------------------------- ANN guards

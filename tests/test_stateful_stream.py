@@ -184,3 +184,63 @@ def test_decontaminate_stream_prebuilt_shingles(spark):
     b = {r.doc_id for r in decontaminate_stream(
         train, evals, n=8, shingles=pre).collect()}
     assert a == b == {1}
+
+
+def test_decontaminate_stream_min_shared_per_eval_doc(spark):
+    """min_shared > 1 thresholds the PER-EVAL-DOC overlap, exactly like
+    batch contamination_pairs' groupBy(eval_id, train_id): a train doc
+    sharing one shingle each with two DIFFERENT eval docs is clean, while
+    one sharing two shingles with a SINGLE eval doc is dropped."""
+    from condenser_spark.functions.dedup import decontaminate
+    from condenser_spark.streaming.corpus import decontaminate_stream
+
+    # n=3 shingles; eval docs share nothing with each other
+    ev_a = "alpha beta gamma delta epsilon"
+    ev_b = "one two three four five"
+    evals = spark.createDataFrame(
+        [(100, ev_a), (101, ev_b)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            # shares 'alpha beta gamma' with A and 'one two three' with B:
+            # union overlap 2, per-eval-doc max 1 -> KEPT at min_shared=2
+            (1, "alpha beta gamma zzz one two three"),
+            # shares 2 shingles with A alone -> DROPPED at min_shared=2
+            (2, "alpha beta gamma delta qqq"),
+            # clean
+            (3, "totally unrelated text about spark shuffle partitions"),
+        ],
+        "doc_id long, text string")
+
+    for ms in (1, 2, 3):
+        got = {r.doc_id for r in decontaminate_stream(
+            train, evals, n=3, min_shared=ms).collect()}
+        want = {r.doc_id for r in decontaminate(
+            train, evals, n=3, min_shared=ms, max_shingle_df=None)
+            .select("doc_id").collect()}
+        assert got == want, (ms, got, want)
+    assert {r.doc_id for r in decontaminate_stream(
+        train, evals, n=3, min_shared=2).collect()} == {1, 3}
+
+
+def test_decontaminate_stream_guards(spark):
+    """A plain set with min_shared > 1 raises (union counting would
+    over-drop), and the eval-side collect fails loud past the row cap
+    instead of a messageless driver OOM."""
+    import pytest as _pytest
+
+    from condenser_spark.streaming.corpus import (
+        build_eval_shingles,
+        decontaminate_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some training text that goes on for a good while longer")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(9, "an eval document with enough words to shingle at n eight ok")],
+        "doc_id long, text string")
+    with _pytest.raises(TypeError, match="per-eval-doc"):
+        decontaminate_stream(docs, evals, n=3, min_shared=2,
+                             shingles=frozenset({"a b c"}))
+    with _pytest.raises(ValueError, match="swap the train and eval"):
+        build_eval_shingles(evals, n=3, max_rows=2)
