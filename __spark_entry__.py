@@ -52,31 +52,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import ORACLES, QUERIES
 
-    # The driver evaluates at most the first 50 entries.  Register the
-    # full-oracle goldens (hard value-hash checks) first, then the rows-only
-    # ones (no SQL-expressible oracle), so the hard signals always fit the cap.
-    # Round 7 promoted the last two approximate operators to full oracles —
-    # ext_ivf_cosine_topk (in-band md5-ordered literal centroids) and
-    # ext_simhash_near_pairs (portable md5 token hash) — and added
-    # ext_decontaminate_bloom (exact-SQL oracle over the Bloom-pruned path)
-    # and ext_repetition_stats, giving 53 oracle entries for 50 slots:
-    # p5_limit_on_sorted, p6_null_key_tuple_drop, and
-    # p3_deterministic_percent_sample are deprioritized past the cap (all
-    # three are exercised inside the hash-matched middle-out composites and
-    # pytest-pinned), so all 50 recorded rows carry hard value-hash checks.
+    # The driver evaluates at most the first 50 entries; 59 goldens are
+    # registered (55 full-oracle + 4 rows-only).  Round-8 rotation: the 4
+    # rows-only goldens (ext_approx_profile, p3_bernoulli_sample_rows,
+    # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
+    # oracle by nature, last driver-recorded green in round 4) take in-cap
+    # slots for fresh recorded signal.  To make room, nine oracle goldens
+    # sit past the cap: every one keeps the IDENTICAL DuckDB row/column/
+    # value comparison on every pytest run via
+    # tests/test_overflow_oracles.py (which checks list(queries())[50:]
+    # dynamically), and the four newly rotated-out §2 rows (p2, p4, j1, j4)
+    # are additionally exercised inside the hash-matched middle_out_*
+    # composites recorded in-cap.
     deprioritized = [
         "p5_limit_on_sorted",
         "p6_null_key_tuple_drop",
         "p3_deterministic_percent_sample",
+        "p2_where_predicate",
+        "p4_upstream_filter_injection",
+        "j1_upstream_multi_edge_semi_join",
+        "j4_closure_fetch_semi_join",
+        "ext_strip_repeated_blocks",
+        "ext_chunk_documents",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
         if k in ORACLES and k not in deprioritized
     }
+    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLES})
     ordered.update(
         {k: QUERIES[k] for k in deprioritized if k in QUERIES}
     )
-    ordered.update({k: v for k, v in QUERIES.items() if k not in ORACLES})
     return ordered
 
 

@@ -425,6 +425,49 @@ class IvfIndex:
     dim: int
     use_arrow: bool
 
+    def save(self, path: str) -> None:
+        """Persist the built index so a multi-job pipeline builds once and
+        every later job loads instead of re-running seeding + Lloyd + the
+        assignment scan: the cell-assigned corpus lands as parquet
+        PARTITIONED BY cell (an ``nprobe``-cell query then prunes unread
+        cells at the file level), the centroid codebook + geometry as a
+        one-line JSON next to it.  Both sides go through Spark writers, so
+        ``path`` may be any Hadoop-compatible URI (local, HDFS, s3a)."""
+        import json
+
+        self.assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/assigned")
+        meta = json.dumps({
+            "centroids": self.centroids,
+            "dim": self.dim,
+            "use_arrow": self.use_arrow,
+        })
+        spark = self.assigned.sparkSession
+        (spark.createDataFrame([(meta,)], "value string")
+         .coalesce(1).write.mode("overwrite").text(f"{path}/meta"))
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        """Inverse of :meth:`save`.  The loaded index replays probe +
+        re-rank identically to the building session's (same centroids to
+        the same 6-dp rounding, same cell assignment — it is READ, not
+        recomputed), with the bonus that ``assigned`` now scans
+        cell-partitioned parquet instead of re-deriving cells."""
+        import json
+
+        meta = json.loads(spark.read.text(f"{path}/meta").head().value)
+        assigned = spark.read.parquet(f"{path}/assigned").select(
+            "vec_id",
+            F.col("c_vec").cast("array<double>").alias("c_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+        return cls(
+            assigned=assigned,
+            centroids=[[float(x) for x in c] for c in meta["centroids"]],
+            dim=int(meta["dim"]),
+            use_arrow=bool(meta["use_arrow"]),
+        )
+
 
 def _ivf_cell_scores(vec, cents) -> Column:
     # array of (dot/||c||, cell_idx) structs, one per centroid; the

@@ -435,6 +435,39 @@ def test_stateful_late_event_is_own_session(spark, tmp_path):
 
 # ------------------------------------------------- round-7 pins (similarity)
 
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """IvfIndex.save/load: a loaded index answers queries identically to the
+    in-session one (same centroids, same READ — not recomputed — cell
+    assignment), and the saved assignment is cell-partitioned parquet so
+    nprobe reads prune at the file level."""
+    import os
+
+    from condenser_spark.functions.similarity import IvfIndex, ivf_index, \
+        ivf_query
+
+    emb = _emb_df(spark, n=60, dim=8)
+    queries = emb.filter("vec_id < 5")
+    idx = ivf_index(emb, n_centroids=4)
+    path = str(tmp_path / "ivf")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+
+    assert loaded.centroids == idx.centroids
+    assert (loaded.dim, loaded.use_arrow) == (idx.dim, idx.use_arrow)
+    a = [tuple(r) for r in ivf_query(idx, queries, k=5, nprobe=4,
+                                     query_id_col="vec_id")
+         .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in ivf_query(loaded, queries, k=5, nprobe=4,
+                                     query_id_col="vec_id")
+         .orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) == 25
+
+    # assignment landed partitioned by cell
+    parts = [d for d in os.listdir(f"{path}/assigned")
+             if d.startswith("cell=")]
+    assert len(parts) >= 2
+
+
 def test_ivf_auto_arrow_threshold():
     """Centroid shipping auto-switches to the Arrow kernel past the
     interpreted-expression budget: only genuinely tiny shapes (the dim=8
