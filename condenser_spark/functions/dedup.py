@@ -219,6 +219,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The fixed (a, b) permutation coefficients every MinHash consumer must
+    share — batch signatures and the streaming band probe produce
+    bit-identical buckets only because both draw from this one seeded
+    stream."""
+    import random
+
+    rnd = random.Random(42)
+    return [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     n: int = 3,
@@ -235,13 +249,7 @@ def minhash_signatures(
     the earlier per-permutation ``transform``/``array_min`` formulation ran k
     interpreted higher-order passes over every shingle array (~10x slower and
     off the codegen path entirely)."""
-    import random
-
-    rnd = random.Random(42)
-    coeffs = [
-        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
-        for _ in range(num_hashes)
-    ]
+    coeffs = _minhash_coeffs(num_hashes)
     hashed = _shingle_rows(df, n, text_col, id_col).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )

@@ -1,3 +1,8 @@
+from condenser_spark.streaming.neardup import (
+    build_minhash_band_index,
+    dedup_batch_against_corpus,
+    minhash_near_pairs_stream,
+)
 from condenser_spark.streaming.sessionize import (
     sessionize,
     sessionize_stream,
@@ -6,6 +11,9 @@ from condenser_spark.streaming.sessionize import (
 )
 
 __all__ = [
+    "build_minhash_band_index",
+    "dedup_batch_against_corpus",
+    "minhash_near_pairs_stream",
     "sessionize",
     "sessionize_stream",
     "windowed_event_counts",

@@ -1,0 +1,235 @@
+"""Streaming near-dedup: stream-side MinHash banding probed against a
+STATIC landed band index via a stream-static equi-join.
+
+The batch operator (functions/dedup.py: minhash_lsh_pairs) is a banded
+self-join — inherently batch: both sides must be complete.  The ingest-
+hygiene question is different and stream-shaped: *is this INCOMING document
+a near-dup of anything already landed?*  That is a stream-static join, which
+Structured Streaming runs statelessly (the static side is fully known per
+micro-batch), so the pipeline needs no watermark and restarts trivially.
+
+Shape: the landed corpus is banded ONCE by :func:`build_minhash_band_index`
+(batch — the codegen'd signature path) and persisted/written by the caller;
+each incoming document computes its signature and band buckets IN-ROW
+(interpreted higher-order expressions — the same JVM hash functions as the
+batch path, so buckets are bit-identical; see the cost note below), explodes
+to (band, bucket) probes, equi-joins the index, and exact-verifies every
+candidate with the same array-form Jaccard the batch verifier uses.
+Candidate pairs are emitted from exactly ONE band — the first band in which
+the two documents co-bucket, decidable in-row because both bucket arrays are
+present on the joined row — so the output needs no stateful distinct.
+
+Stream-side near-dup of the stream AGAINST ITSELF (two in-flight docs that
+duplicate each other before either lands) is out of scope by design: pair
+state there is unbounded by any event-time horizon (a dup can arrive years
+later), which is exactly the unbounded-state trap; run the batch operator
+over the landed data on whatever cadence the corpus requires.
+
+COST NOTE: per incoming document the in-row form runs ``num_hashes``
+interpreted ``transform``/``array_min`` passes over the shingle-hash array
+(the batch path's codegen'd hash-agg is ~10x faster per doc — dedup.py:
+minhash_signatures).  Fine at ingest rates; if a micro-batch falls behind,
+reduce ``num_hashes`` (keeping ``bands`` proportional) or widen the trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dedup import (
+    _MERSENNE_P,
+    _minhash_coeffs,
+    _shingles,
+    minhash_signatures,
+)
+
+
+def build_minhash_band_index(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the LANDED corpus once (batch): one row per (doc, band) —
+    (id, text, buckets array<long>, band, bucket).  Persist it (or write it
+    to parquet partitioned by band) and hand it to
+    :func:`minhash_near_pairs_stream`; rebuild on whatever cadence the
+    landed corpus grows.
+
+    ``text`` and the full ``buckets`` array ride along because the stream
+    join verifies exactly (re-shingling the static text in-row at candidate
+    cardinality) and dedupes candidates to their first co-bucketing band —
+    both decided on the joined row, no second lookup."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes, text_col, id_col)
+    with_text = sigs.join(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+        on="id",
+    )
+    buckets = F.array(
+        *[F.xxhash64(F.slice("signature", i * r + 1, r)) for i in range(bands)]
+    )
+    return (
+        with_text.withColumn("buckets", buckets)
+        .select("id", "text", "buckets",
+                F.posexplode("buckets").alias("band", "bucket"))
+    )
+
+
+def _stream_band_probes(
+    docs: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """In-row MinHash banding for a (streaming or batch) document frame:
+    (stream_id, _sh, _buckets, _band, _bucket), one row per band.  Uses the
+    identical JVM hash chain as the batch signature path —
+    pmod(xxhash64(shingle), P), min over the shared seeded permutations,
+    xxhash64 over each signature slice — so buckets match the index
+    bit-for-bit."""
+    r = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
+    p = F.lit(_MERSENNE_P)
+
+    # closure factory, not default-arg lambdas: PySpark derives the SQL
+    # lambda's arity from the Python signature, so extra bound params would
+    # read as a 3-arg higher-order function
+    def _perm(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), p)
+
+    sig = F.array(
+        *[F.array_min(F.transform("_h", _perm(a, b))) for a, b in coeffs]
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("stream_id"),
+            _shingles(text_col, n).alias("_sh"),
+        )
+        # docs with < n tokens have no shingles, hence no signature — the
+        # same exclusion contract as the batch path's empty hash-agg group
+        .filter(F.size("_sh") > 0)
+        .withColumn(
+            "_h", F.transform("_sh", lambda s: F.pmod(F.xxhash64(s), p))
+        )
+        .withColumn("_sig", sig)
+        .withColumn(
+            "_buckets",
+            F.array(
+                *[F.xxhash64(F.slice("_sig", i * r + 1, r))
+                  for i in range(bands)]
+            ),
+        )
+        .select(
+            "stream_id", "_sh", "_buckets",
+            F.posexplode("_buckets").alias("_band", "_bucket"),
+        )
+    )
+
+
+def minhash_near_pairs_stream(
+    stream_docs: DataFrame,
+    band_index: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-verified near-dup pairs between a document stream and a landed
+    corpus: (stream_id, static_id, jaccard) for every incoming document
+    whose exact n-gram Jaccard against an index document reaches
+    ``threshold`` AND that co-buckets with it in at least one LSH band —
+    the same candidate + verification semantics as batch
+    ``minhash_lsh_pairs`` restricted to stream-vs-static pairs (pinned in
+    tests by running the stream over the landed corpus itself).
+
+    ``band_index`` comes from :func:`build_minhash_band_index` with the SAME
+    (n, num_hashes, bands) — buckets are bit-identical across the two code
+    paths by construction.  Each pair is emitted exactly once (from its
+    first co-bucketing band, decided in-row), so the plan is a pure
+    stateless stream-static inner join: no watermark, no state store,
+    append-mode safe.  Self-matches (same id on both sides — the incoming
+    doc already landed) are suppressed; distinct ids with identical text
+    still pair, as they should."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    probes = _stream_band_probes(
+        stream_docs, n, num_hashes, bands, text_col, id_col)
+    idx = band_index.select(
+        F.col("id").alias("static_id"),
+        F.col("text").alias("static_text"),
+        F.col("buckets").alias("static_buckets"),
+        "band", "bucket",
+    )
+    first_shared_band = F.array_position(
+        F.zip_with("_buckets", "static_buckets", lambda a, b: a == b),
+        F.lit(True),
+    )
+    st_sh = _shingles("static_text", n)
+    return (
+        probes.join(
+            idx,
+            (F.col("_band") == F.col("band"))
+            & (F.col("_bucket") == F.col("bucket"))
+            & (F.col("stream_id") != F.col("static_id")),
+        )
+        # one emission per pair: only the first band where the bucket
+        # arrays agree fires (both arrays are on the row — no state needed)
+        .filter(F.col("_band") == first_shared_band - 1)
+        .withColumn("_st_sh", st_sh)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh", "_st_sh"))
+                / F.size(F.array_union("_sh", "_st_sh")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("stream_id", "static_id", "jaccard")
+    )
+
+
+def dedup_batch_against_corpus(
+    batch_docs: DataFrame,
+    band_index: DataFrame,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-rows ingest filter for ONE micro-batch: documents
+    near-duplicating the landed corpus are dropped; everything else passes
+    through with its full input schema.  Apply inside ``foreachBatch``:
+
+        index = build_minhash_band_index(landed).persist()
+        (stream.writeStream.foreachBatch(
+            lambda mb, epoch_id: dedup_batch_against_corpus(mb, index)
+                .write.mode("append").parquet(clean_path))
+            .start())
+
+    Why not a pure streaming plan: "keep the doc iff NO candidate
+    verifies" folds the doc's many (band, candidate) probe rows back to one
+    per-document verdict — an aggregation after a join, which Structured
+    Streaming cannot run statelessly (and the doc-level anti join against
+    the flagged ids would be stream-stream).  ``foreachBatch`` is the
+    supported pattern: the micro-batch arrives as a plain batch DataFrame,
+    so the anti join is bounded per batch, needs no state store, and stays
+    on the scalable equi-join probe plan (never a nested-loop against the
+    corpus).  The PAIRS form (:func:`minhash_near_pairs_stream`) needs no
+    such fold and remains a fully stateless streaming operator."""
+    pairs = minhash_near_pairs_stream(
+        batch_docs, band_index, n, num_hashes, bands, threshold,
+        text_col, id_col,
+    )
+    flagged = pairs.select(F.col("stream_id").alias(id_col)).distinct()
+    return batch_docs.join(flagged, on=id_col, how="left_anti")

@@ -244,3 +244,108 @@ def test_decontaminate_stream_guards(spark):
                              shingles=frozenset({"a b c"}))
     with _pytest.raises(ValueError, match="swap the train and eval"):
         build_eval_shingles(evals, n=3, max_rows=2)
+
+
+def test_minhash_near_pairs_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The stream-static near-dup operator over a file stream of the landed
+    corpus itself finds EXACTLY the batch minhash_lsh_pairs pair set (each
+    unordered pair observed once per direction), with each directed pair
+    emitted exactly once — the in-row first-band dedup replaces a stateful
+    distinct."""
+    from condenser_spark.functions.dedup import minhash_lsh_pairs
+    from condenser_spark.streaming.neardup import (
+        build_minhash_band_index,
+        minhash_near_pairs_stream,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    # plant verbatim + near-verbatim dups so the pair set is non-trivial
+    clones = base.filter("doc_id < 8").select(
+        (F.col("doc_id") + 9000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing extra words here")).alias(
+            "text"))
+    exact = base.filter("doc_id < 4").select(
+        (F.col("doc_id") + 9500).alias("doc_id"), "text")
+    docs = base.unionByName(clones).unionByName(exact)
+
+    params = dict(n=3, num_hashes=16, bands=8, threshold=0.5)
+    index = build_minhash_band_index(docs, **{k: v for k, v in params.items()
+                                              if k != "threshold"})
+    index.persist().count()
+
+    want = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)): r.jaccard
+            for r in minhash_lsh_pairs(docs, **params).collect()}
+    assert len(want) >= 4  # the planted dups must be in play
+
+    stream_dir = tmp_path / "docs_stream"
+    stream_dir.mkdir()
+    docs.write.mode("overwrite").parquet(str(stream_dir / "in"))
+    stream = spark.readStream.schema(docs.schema).parquet(
+        str(stream_dir / "in"))
+    q = (
+        minhash_near_pairs_stream(stream, index, **params)
+        .writeStream.format("memory").queryName("neardup_stream_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT * FROM neardup_stream_out").collect()
+    index.unpersist()
+
+    got = {}
+    for r in rows:
+        got[(min(r.stream_id, r.static_id),
+             max(r.stream_id, r.static_id))] = r.jaccard
+    assert got == want
+    # first-band in-row dedup: each directed pair exactly once
+    assert len(rows) == 2 * len(want)
+
+
+def test_dedup_batch_against_corpus_foreachbatch(spark, sf_dir, tmp_path):
+    """The foreachBatch keep-rows filter drops exactly the incoming docs
+    that near-duplicate the landed corpus, through a real streaming query."""
+    from condenser_spark.streaming.neardup import (
+        build_minhash_band_index,
+        dedup_batch_against_corpus,
+        minhash_near_pairs_stream,
+    )
+
+    landed = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    incoming = (
+        landed.filter("doc_id < 6").select(
+            (F.col("doc_id") + 7000).alias("doc_id"), "text")  # dups
+        .unionByName(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 212))
+            .select("doc_id", "text"))  # fresh docs
+    )
+    params = dict(n=3, num_hashes=16, bands=8)
+    index = build_minhash_band_index(landed, **params)
+    index.persist().count()
+
+    # expected kept set from the (batch-mode) pairs operator
+    flagged = {r.stream_id for r in minhash_near_pairs_stream(
+        incoming, index, threshold=0.5, **params).collect()}
+    want_kept = {r.doc_id for r in incoming.collect()} - flagged
+    assert any(d >= 7000 for d in flagged)  # verbatim dups are caught
+
+    stream_dir = tmp_path / "incoming_stream"
+    stream_dir.mkdir()
+    incoming.write.mode("overwrite").parquet(str(stream_dir / "in"))
+    stream = spark.readStream.schema(incoming.schema).parquet(
+        str(stream_dir / "in"))
+    out_dir = str(tmp_path / "clean_out")
+
+    def _sink(mb, _epoch):
+        dedup_batch_against_corpus(mb, index, threshold=0.5, **params) \
+            .write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(_sink) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    index.unpersist()
+
+    kept = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert kept == want_kept
