@@ -304,6 +304,141 @@ def stage_rewrites(spark, n_docs: int) -> dict:
     }
 
 
+def stage_skewed_middle_out(spark) -> dict:
+    """Skewed-FK resilience, measured: one customer owns ~30% of the
+    amplified orders table (the hot-key shape the closure joins meet on
+    real data — a few whale accounts dominating a fact table), and the
+    FULL middle-out subset runs on both the uniform and the skewed star.
+
+    Two assertions turn 'AQE handles skew' from a claim into data:
+
+    1. End-to-end: the skewed run completes with correct subset semantics
+       (10% +-0.5% of orders, non-empty closure, the whale customer
+       present in the dest) within 3x the uniform wall — no straggler
+       serialization of the hot key.
+    2. Mechanism: on the G5-shape join (orders against the selected
+       customer-key set) with broadcast disabled and the skew thresholds
+       scaled down to this data size, the executed plan must carry AQE's
+       ``skew=true`` marker — the skewed partition was actually split,
+       not just survived."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.registry import load_source_tables
+
+    dest = f"{WORK}/tpch"
+    if not os.path.exists(f"{dest}/lineitem.parquet"):
+        t0 = time.time()
+        build_tpch(spark, dest)
+        print(f"  amplified sf0.1 x{AMPLIFY} in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    source = load_source_tables(spark, dest)
+    hot_key = source["customer"].agg(F.min("c_custkey")).collect()[0][0]
+    skew_path = f"{WORK}/orders_skew"
+    if not os.path.exists(skew_path):
+        # deterministic 30% of orders -> the whale customer.  The repartition
+        # matters: AQE's skew split unit is the MAP-SIDE BLOCK
+        # (ShufflePartitionsUtil.createSkewPartitionSpecs groups per-mapper
+        # sizes; a single block cannot split) — a table landed as one giant
+        # row group feeds the whole hot partition from ONE mapper and
+        # silently defeats OptimizeSkewedJoin.  16 hash-spread files give
+        # the splitter real blocks, the shape any 100 TB table has anyway.
+        (
+            source["orders"]
+            .withColumn(
+                "o_custkey",
+                F.when(F.pmod(F.xxhash64("o_orderkey"), F.lit(10)) < 3,
+                       F.lit(hot_key).cast("long"))
+                .otherwise(F.col("o_custkey")),
+            )
+            .repartition(16, "o_orderkey")
+            .write.mode("overwrite").parquet(skew_path)
+        )
+    skewed_orders = spark.read.parquet(skew_path)
+
+    cfg = SubsetConfig.from_dict(
+        base_config_dict(
+            initial_targets=[
+                {"table": "orders", "percent": 10, "sample_key": "o_orderkey"}
+            ],
+            passthrough_tables=["region"],
+        )
+    )
+
+    def run(src) -> tuple[float, dict]:
+        t0 = time.time()
+        eng = SubsetEngine(spark, cfg, src, materialize="persist")
+        eng.run_middle_out()
+        report = {r.table_name: r.dest_count for r in eng.report().collect()}
+        wall = time.time() - t0
+        # the whale must be in the closure before cleanup drops the cache
+        hot_in_dest = (
+            eng.dest["customer"].filter(F.col("c_custkey") == hot_key).count()
+            if "customer" in eng.dest else 0
+        )
+        eng.cleanup()
+        return wall, report, hot_in_dest
+
+    wall_uniform, rep_u, _ = run(source)
+    skew_source = dict(source)
+    skew_source["orders"] = skewed_orders
+    wall_skewed, rep_s, hot_in_dest = run(skew_source)
+
+    n_orders = rep_s["orders"]
+    assert abs(rep_s["orders"] / rep_u["orders"] - 1.0) < 0.01, (rep_s, rep_u)
+    assert rep_s["lineitem"] > 0 and rep_s["customer"] > 0, rep_s
+    assert hot_in_dest == 1, "whale customer missing from closure"
+    ratio = wall_skewed / wall_uniform
+    assert ratio < 3.0, f"skewed middle-out {ratio:.1f}x uniform wall"
+
+    # mechanism check: force the hot join through SMJ with thresholds scaled
+    # to this data size and require the AQE skew split to actually fire
+    conf = spark.conf
+    saved = {k: conf.get(k) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1MB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        keys = (
+            source["customer"]
+            .filter(F.pmod(F.col("c_custkey"), F.lit(10)) < 1)
+            .select("c_custkey")
+        )
+        joined = skewed_orders.join(
+            keys, skewed_orders["o_custkey"] == keys["c_custkey"])
+        # drive THIS DataFrame's own QueryExecution: .count() would wrap the
+        # plan in a fresh aggregation QE and the original would stay
+        # un-executed (isFinalPlan=false), hiding the adaptive re-plan
+        qe = joined._jdf.queryExecution()
+        n_joined = qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, "AQE skew split did not fire"
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+    assert n_joined > n_orders, n_joined  # hot key matched: >=30% of orders
+
+    return {
+        "stage": "skewed_middle_out",
+        "hot_key_share": 0.3,
+        "wall_uniform_sec": round(wall_uniform, 1),
+        "wall_skewed_sec": round(wall_skewed, 1),
+        "skew_over_uniform": round(ratio, 2),
+        "aqe_skew_split_fired": True,
+        "dest_counts_skewed": rep_s,
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -319,6 +454,7 @@ def main() -> int:
         "decontaminate": lambda: stage_decontaminate(spark, n_docs),
         "asof": lambda: stage_asof(spark),
         "rewrites": lambda: stage_rewrites(spark, n_docs),
+        "skew": lambda: stage_skewed_middle_out(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
