@@ -1114,6 +1114,55 @@ def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "ext_pack_sequences_sharded",
+    r"""
+    WITH counted AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, lang, n_tokens,
+             floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 2048.0) AS bin_raw
+      FROM counted
+    ),
+    dense AS (
+      SELECT doc_id, lang, n_tokens,
+             DENSE_RANK() OVER (PARTITION BY lang ORDER BY bin_raw ASC) - 1
+               AS local_bin
+      FROM binned
+    ),
+    nbins AS (
+      SELECT lang, MAX(local_bin) + 1 AS n_bins FROM dense GROUP BY lang
+    ),
+    offs AS (
+      SELECT lang,
+             COALESCE(SUM(n_bins) OVER (ORDER BY lang ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM nbins
+    )
+    SELECT d.doc_id, d.n_tokens,
+           CAST(d.local_bin + o.off AS BIGINT) AS bin_id
+    FROM dense d JOIN offs o USING (lang)
+    """,
+)
+def ext_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-shard sequence packing: bins never mix languages, per-shard
+    local bins globalized by cumulative shard offsets
+    (condenser_spark/functions/corpus.py:pack_sequences with shard_col —
+    the per-language/per-source packing a multilingual pipeline runs).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import pack_sequences
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return pack_sequences(docs, budget_tokens=2048, shard_col="lang")
+
+
+@golden(
     "ext_pii_scrub",
     r"""
     WITH seeded AS (
@@ -1682,7 +1731,8 @@ def ext_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-line fraction, dup-line
     char fraction, top-bigram fraction) over the documents table, under a
     full DuckDB value oracle — registered past the driver's 50-query cap
-    (the 50 recorded rows are all full-oracle already); verified locally by
+    (round-8 rotation gave the cap slots to the 4 rows-only goldens for
+    fresh recorded signal); verified locally by
     scripts/check_oracles.py and pytest
     (condenser_spark/functions/text.py:repetition_stats)."""
     from condenser_spark.functions.text import repetition_stats
@@ -1734,7 +1784,8 @@ def ext_strip_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     header is planted on doc_id < 40, so its block's document frequency (40)
     exceeds max_df=10 and every copy must strip, while each document's own
     unique blocks survive verbatim.  Registered past the driver's 50-query
-    cap (the 50 recorded rows are all full-oracle already); verified by
+    cap (round-8 rotation gave the cap slots to the 4 rows-only goldens);
+    verified by
     tests/test_overflow_oracles.py and pytest unit tests
     (condenser_spark/functions/text.py:strip_repeated_blocks)."""
     from condenser_spark.functions.text import strip_repeated_blocks

@@ -1,0 +1,94 @@
+"""Streaming ingest near-dedup end-to-end: the landed corpus is banded once,
+then incoming documents are checked against it in-flight — near-dup pairs
+stream out statelessly, and a foreachBatch keep-rows filter appends only
+novel documents to the clean sink.
+
+This is the ingest-hygiene companion to streaming_decontamination.py: that
+one drops BENCHMARK leaks (exact shingle overlap vs a tiny eval set); this
+one drops NEAR-DUPLICATES of the multi-million-doc landed corpus, which
+needs the LSH band index rather than a broadcast shingle set.  Usage:
+
+    python examples/streaming_ingest_neardup.py [sf_dir]   # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+    from condenser_spark.streaming.neardup import (
+        build_minhash_band_index,
+        dedup_batch_against_corpus,
+    )
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("streaming-ingest-neardup")
+    docs = load_source_tables(spark, sf_dir, tables=["documents"])["documents"]
+
+    work = tempfile.mkdtemp(prefix="stream_neardup_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d)
+                             for d in ("in", "out", "ckpt"))
+    try:
+        landed = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+
+        # band the landed corpus ONCE (batch, codegen'd signature path) and
+        # persist — rebuild on whatever cadence the corpus grows
+        params = dict(n=3, num_hashes=32, bands=16)
+        index = build_minhash_band_index(landed, **params)
+        index.persist().count()
+
+        # incoming: fresh docs plus near-verbatim copies of landed ones
+        fresh = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        copies = landed.limit(20).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" minor trailing edit")).alias(
+                "text"))
+        incoming = fresh.unionByName(copies)
+        incoming.write.mode("overwrite").parquet(in_dir)
+
+        stream = spark.readStream.schema(incoming.schema).parquet(in_dir)
+
+        # keep-rows needs a per-document verdict (an agg-after-join streaming
+        # can't run statelessly) -> foreachBatch: each micro-batch is a plain
+        # batch DataFrame, the anti join is bounded per batch, and the plan
+        # stays on the scalable (band, bucket) equi-join probes
+        def land_clean(mb, _epoch_id):
+            dedup_batch_against_corpus(mb, index, threshold=0.6, **params) \
+                .write.mode("append").parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(land_clean)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        index.unpersist()
+
+        kept = spark.read.parquet(out_dir)
+        n_in, n_kept = incoming.count(), kept.count()
+        n_copies_kept = kept.filter(F.col("doc_id") >= 900000).count()
+        print(f"incoming:          {n_in} docs "
+              f"({copies.count()} near-copies of landed)")
+        print(f"landed clean:      {n_kept}")
+        print(f"near-copies kept:  {n_copies_kept} (expect 0)")
+        assert n_copies_kept == 0
+        assert n_kept >= fresh.count() * 0.9  # fresh docs pass through
+        print("OK")
+        return 0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

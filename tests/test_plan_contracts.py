@@ -10,8 +10,12 @@ from pyspark.sql import functions as F
 
 
 def _executed(df) -> str:
-    df.count()
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The FINAL adaptive plan of df's OWN QueryExecution (df.count() would
+    build a separate aggregation QE and leave this one un-executed, showing
+    only the pre-adaptive plan — see tests/test_scale_plan._executed_plan)."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.executedPlan().toString()
 
 
 def test_sample_filter_pushes_to_scan(spark, source):
@@ -190,8 +194,7 @@ def test_bloom_prune_runs_before_every_shingle_keyed_exchange(spark, source):
     evals = docs.filter(F.col("doc_id") % 10 == 0).limit(20).select(
         "doc_id", "text")
     df = contamination_pairs_bloom(train, evals, n=8)
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _executed(df)
     lines = plan.splitlines()
     probe_idx = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
     assert probe_idx, "Bloom probe missing from executed plan"
@@ -224,9 +227,7 @@ def test_chunk_documents_plan_has_zero_exchanges(spark, source):
     network job at 100 TB."""
     from condenser_spark.functions.corpus import chunk_documents
 
-    df = chunk_documents(source["documents"])
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _executed(chunk_documents(source["documents"]))
     assert "Exchange" not in plan, plan
 
 
@@ -240,9 +241,7 @@ def test_strip_repeated_blocks_anti_join_is_hash_and_scan_pruned(
 
     from condenser_spark.functions.text import strip_repeated_blocks
 
-    df = strip_repeated_blocks(source["documents"])
-    df.count()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _executed(strip_repeated_blocks(source["documents"]))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]

@@ -10,7 +10,15 @@ from pyspark.sql import functions as F
 
 
 def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """The FINAL adaptive plan of df's OWN QueryExecution.
+
+    Driving an action like df.count() would wrap the plan in a fresh
+    aggregation QE and leave this one un-executed (isFinalPlan=false,
+    showing the PRE-adaptive plan) — found while pinning the AQE skew
+    split in the stress suite; execute the exact QE being read instead."""
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.executedPlan().toString()
 
 
 def _run_engine(spark, source, materialize="none", dest_path=None, **overrides):
