@@ -32,6 +32,7 @@ import logging
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from condenser_spark.functions.text import quality_score, token_count
 
@@ -210,6 +211,66 @@ def chunk_documents(
     )
 
 
+#: Auto-mode crossover between the naive global window and the distributed
+#: scan.  Measured at 5M docs (STRESS box, 32 cores): naive 0.2 s vs
+#: distributed 0.9-2.0 s — the naive single-partition sort shuffles only
+#: (id, n_tokens) = ~16 bytes/doc, so it stays FASTER until the one sort
+#: task itself becomes the bottleneck (~128 MB of key pairs at this
+#: threshold).  Past it, the distributed scan wins and keeps winning;
+#: explicit ``num_shards`` always forces the distributed plan.
+PACK_GLOBAL_WINDOW_MAX_ROWS = 8_000_000
+
+
+def _order_stats(df: DataFrame, order_col: str, num_shards: int):
+    """(row_count, shard_expr) for the default packing path — ONE aggregate
+    job returns the exact count (drives the naive-vs-distributed choice)
+    and the quantile boundaries that cut the (order, id) sort order into
+    ~``num_shards`` CONTIGUOUS ranges; ``(None, None)`` means the order
+    column is non-numeric and the caller must use the physical-placement
+    fallback.
+
+    The shard id is deterministic in the ROW'S VALUES — the load-bearing
+    property: the packing plan reads the sharded frame from four consumer
+    branches (prefix window, two one-row-per-shard summaries, the final
+    join), and a shard id derived from physical placement
+    (``repartitionByRange`` + ``spark_partition_id``) is only consistent
+    across branches if the exchange is materialized exactly once —
+    range-boundary sampling is seeded by the RDD id, so an unshared
+    recompute could assign boundary rows differently per branch and
+    silently corrupt bin offsets.  A barrier (localCheckpoint) fixes that
+    but measured 6.5 s vs 0.9 s at 5M docs.  Literal boundaries make every
+    recompute agree BY CONSTRUCTION (any boundary placement is CORRECT —
+    it only affects balance), and the shard id is a codegen'd comparison
+    ladder against them (a higher-order array filter would run interpreted
+    per row).  Ties on the order value share a shard — the comparison is a
+    monotone function of the value, so range contiguity survives the
+    double cast too; the id tie-break orders WITHIN the shard."""
+    numeric = isinstance(
+        df.schema[order_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+         T.TimestampType, T.TimestampNTZType),
+    )
+    if not numeric:
+        return None, None
+    x = F.col(order_col).cast("double")
+    probs = [i / num_shards for i in range(1, max(2, num_shards))]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            x, F.array(*[F.lit(p) for p in probs]), F.lit(100)
+        ).alias("bs"),
+    ).first()
+    n_rows = row.n
+    bounds = sorted(set(row.bs or []))
+    if not bounds:
+        return n_rows, F.lit(0)
+    shard = F.lit(0)
+    for b in bounds:
+        shard = shard + F.when(x >= F.lit(float(b)), 1).otherwise(0)
+    return n_rows, shard.cast("int")
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int = 2048,
@@ -235,19 +296,29 @@ def pack_sequences(
 
     * **No ``shard_col`` (default): a distributed scan.**  The naive form of
       a global prefix sum is ONE unpartitioned window — a single-partition
-      sort over every document, a scale-killer past tens of millions of
-      docs.  Instead the documents are ``repartitionByRange``d on
-      (order, id) into ``num_shards`` contiguous ranges (default: the
-      context's ``defaultParallelism``), each range computes its local
-      prefix sum as an independent task, and two one-row-per-shard
-      summaries globalize the result: cumulative token offsets make the
-      local running sums global, and a straddle-corrected cumulative bin
-      count (a raw bin can span a range boundary — counting it once per
-      side would leave a gap) makes the per-shard dense ranks global.  The
-      output is BYTE-IDENTICAL to the naive global window for every input
-      (pinned by the property suite, which compares invariants on the same
-      doc_id order), but no stage ever sorts more than one range's
-      documents — the classic two-pass parallel scan.
+      sort over every document, a scale-killer past hundreds of millions of
+      docs.  Instead the (order, id) sort order is cut into ``num_shards``
+      contiguous ranges (default: the context's ``defaultParallelism``) at
+      approximate-quantile boundaries of the order column, collected ONCE
+      at call time and baked into the plan as literals (see
+      ``_order_shard`` — value-deterministic, so the plan's four consumer
+      branches always agree on every row's shard with no barrier); each
+      range computes its local prefix sum as an independent task, and two
+      one-row-per-shard summaries globalize the result: cumulative token
+      offsets make the local running sums global, and a straddle-corrected
+      cumulative bin count (a raw bin can span a range boundary — counting
+      it once per side would leave a gap) makes the per-shard dense ranks
+      global.  The output is BYTE-IDENTICAL to the naive global window for
+      every input (pinned by the property suite and a direct equality
+      test), but no stage ever sorts more than one range's documents — the
+      classic two-pass parallel scan (measured 0.9 s vs the barrier
+      variant's 6.5 s at 5M docs).  Below
+      ``PACK_GLOBAL_WINDOW_MAX_ROWS`` the stats job's exact count routes
+      auto mode to the naive window instead — it shuffles only ~16
+      bytes/doc, so its single sort task WINS on fixed overhead until
+      roughly that size (measured) — while any 10^9-doc input lands on the
+      partitioned plan with no caller action.  Pass ``num_shards``
+      explicitly to force the distributed plan at any size.
 
     * **Explicit ``shard_col``: semantic shards.**  The window becomes
       ``partitionBy(shard)`` (each shard's prefix sum is an independent
@@ -313,22 +384,45 @@ def pack_sequences(
             .select(id_col, "n_tokens", "bin_id")
         )
 
-    # ---- default path: distributed global scan ----
-    if num_shards is None:
+    # ---- default path: cost-based global scan ----
+    auto = num_shards is None
+    if auto:
         num_shards = df.sparkSession.sparkContext.defaultParallelism
-    # contiguous (order, id) ranges; the range shard id is the partition the
-    # row physically landed in.  Boundary PLACEMENT is sampling-derived, but
-    # the output is invariant to it: global running sums and raw bins are
-    # reconstructed exactly below, whichever side of a boundary a row falls.
-    # The lazy localCheckpoint pins the shard assignment so the four
-    # downstream consumers (prefix window, two summaries, final join) share
-    # one materialization instead of re-running the range shuffle.
-    base = (
-        df.select(*cols)
-        .repartitionByRange(num_shards, *order)
-        .withColumn("_shard", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    n_rows, shard_expr = _order_stats(df, order_col, num_shards)
+    if auto and n_rows is not None and n_rows <= PACK_GLOBAL_WINDOW_MAX_ROWS:
+        # small input, auto mode: the naive 2-stage global window wins on
+        # fixed overhead (only ~16 bytes/doc ever shuffle — see
+        # PACK_GLOBAL_WINDOW_MAX_ROWS); the choice is cost-based on the
+        # EXACT count the stats job just returned, the same shape as
+        # Spark's own broadcast-threshold decision
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        packed = df.select(*cols).withColumn(
+            "_bin_raw",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+        return packed.withColumn(
+            "bin_id",
+            (F.dense_rank().over(Window.orderBy(F.col("_bin_raw").asc())) - 1)
+            .cast("long"),
+        ).select(id_col, "n_tokens", "bin_id")
+    if shard_expr is not None:
+        base = df.select(*cols).withColumn("_shard", shard_expr)
+    else:
+        # non-numeric order: contiguous (order, id) ranges via physical
+        # placement.  Boundary placement is sampling-derived, so the lazy
+        # localCheckpoint barrier pins ONE shard assignment for all four
+        # consumer branches (an unshared recompute re-samples boundaries
+        # with a different RDD-id seed and could disagree at the margins).
+        base = (
+            df.select(*cols)
+            .repartitionByRange(num_shards, *order)
+            .withColumn("_shard", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
     w = Window.partitionBy("_shard").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

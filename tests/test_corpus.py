@@ -267,6 +267,24 @@ def test_pack_sequences_default_is_distributed_scan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(_shard#" in plan
 
+    # auto mode routes by the EXACT count from the stats job: above the
+    # crossover it must pick the distributed plan (threshold shrunk so the
+    # 40-doc fixture exercises the big-corpus route) and still produce the
+    # identical packing
+    import condenser_spark.functions.corpus as corpus_mod
+
+    saved = corpus_mod.PACK_GLOBAL_WINDOW_MAX_ROWS
+    corpus_mod.PACK_GLOBAL_WINDOW_MAX_ROWS = 10
+    try:
+        auto_big = pack_sequences(docs, budget_tokens=budget)
+        auto_plan = auto_big._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition(_shard#" in auto_plan
+        got_auto = {r.doc_id: (r.n_tokens, r.bin_id)
+                    for r in auto_big.collect()}
+        assert got_auto == want
+    finally:
+        corpus_mod.PACK_GLOBAL_WINDOW_MAX_ROWS = saved
+
 
 def test_chunk_documents_overlap_and_tail(spark):
     from condenser_spark.functions.corpus import chunk_documents

@@ -138,15 +138,23 @@ def test_pack_sequences_sharded_matches_and_partitions(spark):
         offset += n_bins
 
     # the document-level window partitions by shard: its windowspecdefinition
-    # carries the shard column (the default path instead partitions by its
-    # DERIVED range shard — pinned in test_corpus)
+    # carries the shard column
     plan = sharded._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(shard#" in plan
-    unsharded_plan = (
+    # default path is COST-BASED: tiny auto input -> naive global window
+    # (only ~16B/doc shuffle; measured faster below the crossover), while
+    # explicit num_shards forces the partitioned distributed scan (the
+    # 10^9-doc shape; byte-equality pinned in test_corpus)
+    auto_plan = (
         pack_sequences(docs, budget_tokens=12)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "windowspecdefinition(_shard#" in unsharded_plan
+    assert "windowspecdefinition(_shard#" not in auto_plan
+    forced_plan = (
+        pack_sequences(docs, budget_tokens=12, num_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "windowspecdefinition(_shard#" in forced_plan
 
 
 # --------------------------------------------------------------- ANN guards
