@@ -74,6 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_closure_fetch_semi_join",
         "ext_strip_repeated_blocks",
         "ext_chunk_documents",
+        # round-8 additions — full oracles, slotted past the cap so the 4
+        # rows-only goldens keep their recorded driver signal
+        "ext_pack_sequences_sharded",
+        "ext_take_token_budget",
+        "ext_cap_per_group",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

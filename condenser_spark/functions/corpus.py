@@ -254,7 +254,9 @@ def _order_stats(df: DataFrame, order_col: str, num_shards: int):
     if not numeric:
         return None, None
     x = F.col(order_col).cast("double")
-    probs = [i / num_shards for i in range(1, max(2, num_shards))]
+    if num_shards <= 1:
+        return df.select(F.count(F.lit(1)).alias("n")).first().n, F.lit(0)
+    probs = [i / num_shards for i in range(1, num_shards)]
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
@@ -485,6 +487,75 @@ def pack_sequences(
             "bin_id", (F.col("_dr") + F.col("_dense_off")).cast("long"))
         .select(id_col, "n_tokens", "bin_id")
     )
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus selection under a GLOBAL token budget: keep documents
+    in ascending (order, id) order while the PRECEDING token total stays
+    under ``budget_tokens`` — "take the best N tokens" with ``order_col``
+    as a precomputed ranking key (pass a negated quality score for
+    best-first).  The selection can overshoot by at most its final
+    document: the same <=1-doc overflow contract as
+    :func:`pack_sequences`, whose bin 0 this literally is — a doc is
+    selected iff floor((run - n)/budget) == 0 iff its preceding prefix sum
+    < budget.  Composing over pack_sequences means the selection inherits
+    the cost-based scan (naive window on small inputs, quantile-sharded
+    distributed prefix sum at scale) for free.
+
+    Returns the kept documents with their FULL input schema."""
+    picked = (
+        pack_sequences(df, budget_tokens=budget_tokens, order_col=order_col,
+                       text_col=text_col, id_col=id_col)
+        .filter(F.col("bin_id") == 0)
+        .select(id_col)
+    )
+    return df.join(picked, on=id_col, how="left_semi")
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_docs: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap — the per-domain/source limit a web-corpus
+    pipeline applies so whale domains can't dominate training (keep the
+    first ``max_docs`` docs of each group in ascending (order, id) order;
+    full input schema preserved).
+
+    Two-phase so the common case never sorts: group counts aggregate once
+    (map-side combined), groups AT/UNDER the cap pass through via a
+    broadcast anti join against the (small — whales are few by definition)
+    over-cap group list, and only over-cap groups pay the per-group
+    row_number window.  That window is one sort task per whale group; for
+    a group so large its rows can't sort in one task, pre-shrink with a
+    deterministic hash sample (e.g. ``deterministic_sample``) before exact
+    capping — the sort-before-cut is inherent to "FIRST max_docs by
+    order" semantics."""
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_docs)
+        .select(group_col)
+    )
+    under_rows = df.join(F.broadcast(over), on=group_col, how="left_anti") \
+        .select(*df.columns)  # join-key reordering undone: schema == input
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).asc(), F.col(id_col).asc())
+    capped = (
+        df.join(F.broadcast(over), on=group_col, how="left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_docs)
+        .select(*df.columns)
+    )
+    return under_rows.unionByName(capped)
 
 
 def numeric_profile(

@@ -1163,6 +1163,59 @@ def ext_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "ext_take_token_budget",
+    r"""
+    WITH counted AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             SUM(n_tok) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+               AS preceding
+      FROM counted
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM run
+    WHERE preceding < 12000
+    """,
+)
+def ext_take_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy global token-budget selection ("take the first ~12k tokens in
+    doc_id order"), <=1-doc overshoot — the budgeted-corpus primitive
+    (condenser_spark/functions/corpus.py:take_token_budget).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import take_token_budget
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return take_token_budget(docs, budget_tokens=12000)
+
+
+@golden(
+    "ext_cap_per_group",
+    r"""
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY doc_id ASC) <= 15
+    """,
+)
+def ext_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain whale limit of a web-corpus
+    pipeline): first 15 docs of each source by doc_id
+    (condenser_spark/functions/corpus.py:cap_per_group).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import cap_per_group
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return cap_per_group(docs, max_docs=15, group_col="source")
+
+
+@golden(
     "ext_pii_scrub",
     r"""
     WITH seeded AS (

@@ -334,3 +334,52 @@ def test_chunk_documents_model(spark):
                 for i in range(k)
             ]
             assert sorted(got[n]) == want, (n, chunk, overlap)
+
+
+def test_take_token_budget_prefix_semantics(spark):
+    """Docs are taken in (order, id) order while the PRECEDING token total
+    is under budget — so the selection overshoots by at most its last doc,
+    and a doc-sized budget takes exactly the first doc plus nothing."""
+    from condenser_spark.functions.corpus import take_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "t " * n) for i, n in enumerate([5, 5, 5, 5])],
+        "doc_id long, text string")
+    # budget 12: preceding sums 0,5,10,15 -> docs 0,1,2 kept (10 < 12), doc 3
+    # dropped (15 >= 12); total taken 15 = <=1-doc overshoot over 12
+    kept = sorted(r.doc_id for r in take_token_budget(docs, 12).collect())
+    assert kept == [0, 1, 2]
+    # full schema preserved
+    out = take_token_budget(docs, 12)
+    assert out.columns == docs.columns
+    # budget 1: only the first doc (preceding 0 < 1)
+    assert sorted(r.doc_id for r in take_token_budget(docs, 1).collect()) \
+        == [0]
+    # budget covering everything
+    assert take_token_budget(docs, 100).count() == 4
+    # best-first: negated quality as the ranking key
+    scored = docs.withColumn("neg_q", -F.col("doc_id"))
+    best = sorted(r.doc_id for r in take_token_budget(
+        scored, 12, order_col="neg_q").collect())
+    assert best == [1, 2, 3]
+
+
+def test_cap_per_group_two_phase(spark):
+    """Groups within the cap pass through untouched (no window on their
+    rows); over-cap groups keep exactly the first max_docs by (order, id)."""
+    from condenser_spark.functions.corpus import cap_per_group
+
+    rows = [(i, "whale", "t") for i in range(10)] + \
+           [(100 + i, "minnow", "t") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cap_per_group(docs, max_docs=4, group_col="source")
+    got = {r.source: sorted(x.doc_id for x in out.collect()
+                            if x.source == r.source)
+           for r in out.select("source").distinct().collect()}
+    assert got["whale"] == [0, 1, 2, 3]
+    assert got["minnow"] == [100, 101, 102]
+    assert out.columns == docs.columns
+
+    # empty input
+    empty = spark.createDataFrame([], "doc_id long, source string, text string")
+    assert cap_per_group(empty, max_docs=4, group_col="source").count() == 0
