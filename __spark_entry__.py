@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pack_sequences_sharded",
         "ext_take_token_budget",
         "ext_cap_per_group",
+        "ext_temperature_mix",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -688,6 +688,46 @@ def weighted_mix(
     return df.filter(u < rate)
 
 
+def temperature_mix(
+    df: DataFrame,
+    tau: float = 0.7,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    max_rate: float = 1.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened group mixing — the multilingual/domain
+    rebalancing rule of mT5/XLM-R-style corpus assembly: the expected kept
+    share of group g is proportional to ``n_g^tau``, so ``tau=1`` keeps
+    natural proportions and ``tau -> 0`` approaches uniform across groups.
+    Realized as deterministic per-group downsampling: rate_g =
+    max_rate * n_g^(tau-1) / max_h(n_h^(tau-1)) — the SMALLEST group keeps
+    ``max_rate`` (never upsampled), larger groups are cut toward it.
+
+    One map-side-combined count aggregate (groups are languages/domains —
+    driver-bounded by the same contract as every rates dict here), rates
+    derived on the driver and ROUNDED to 9 decimals (so a cross-engine
+    oracle replays the threshold bit-identically; the sampling effect of
+    the rounding is ~1e-9), then :func:`weighted_mix`'s scan-level md5
+    predicate — no shuffle, reproducible, membership monotone in
+    ``max_rate``."""
+    assert 0.0 < tau <= 1.0 and 0.0 < max_rate <= 1.0
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return df
+    wmax = max(n ** (tau - 1.0) for n in counts.values())
+    rates = {
+        g: round(min(max_rate, max_rate * (n ** (tau - 1.0)) / wmax), 9)
+        for g, n in counts.items()
+    }
+    return weighted_mix(df, rates, source_col, id_col,
+                        default_rate=max_rate, salt=salt)
+
+
 # ------------------------------------------------------------ vocab & encode
 
 def _norm_tokens(text_col: str) -> Column:

@@ -1163,6 +1163,38 @@ def ext_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "ext_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             ROUND(LEAST(1.0, pow(n, -0.5)
+                   / (SELECT MAX(pow(n, -0.5)) FROM counts)), 9) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN rates r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+                                              'temp')), 1, 8)) AS BIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing at tau=0.5 over the naturally
+    skewed lang column (en 218 .. fr 64 at sf0.01): smaller languages keep
+    ~everything, the dominant one is cut toward uniform
+    (condenser_spark/functions/corpus.py:temperature_mix).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import temperature_mix
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return temperature_mix(docs, tau=0.5, source_col="lang")
+
+
+@golden(
     "ext_take_token_budget",
     r"""
     WITH counted AS (

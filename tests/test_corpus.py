@@ -383,3 +383,38 @@ def test_cap_per_group_two_phase(spark):
     # empty input
     empty = spark.createDataFrame([], "doc_id long, source string, text string")
     assert cap_per_group(empty, max_docs=4, group_col="source").count() == 0
+
+
+def test_temperature_mix_flattens_toward_uniform(spark, source):
+    """tau=1 keeps natural proportions (rate 1.0 everywhere); lowering tau
+    cuts dominant groups toward the smallest one's share while small groups
+    keep ~everything; expected kept counts track n_g^tau."""
+    from condenser_spark.functions.corpus import temperature_mix
+
+    docs = source["documents"]
+    natural = {r.lang: r["count"]
+               for r in docs.groupBy("lang").count().collect()}
+    biggest = max(natural, key=natural.get)
+    smallest = min(natural, key=natural.get)
+    assert natural[biggest] > natural[smallest]
+
+    # tau=1: no flattening, everything kept
+    assert temperature_mix(docs, tau=1.0, source_col="lang").count() \
+        == docs.count()
+
+    flat = {r.lang: r["count"]
+            for r in temperature_mix(docs, tau=0.5, source_col="lang")
+            .groupBy("lang").count().collect()}
+    # smallest group's rate is 1.0 -> kept in full
+    assert flat[smallest] == natural[smallest]
+    # dominant group is cut...
+    assert flat[biggest] < natural[biggest]
+    # ...to roughly sqrt-proportional share: expected rate
+    # (n_small/n_big)^0.5, tolerate sampling noise
+    exp = natural[biggest] * (natural[smallest] / natural[biggest]) ** 0.5
+    assert abs(flat[biggest] - exp) < 0.35 * exp
+    # deterministic on recompute
+    again = {r.lang: r["count"]
+             for r in temperature_mix(docs, tau=0.5, source_col="lang")
+             .groupBy("lang").count().collect()}
+    assert again == flat
