@@ -2,8 +2,9 @@
 user of the subsetting engine's extension surface actually runs:
 
     quality filter -> exact + near dedup -> benchmark decontamination
-    (Bloom-pruned) -> cross-doc boilerplate strip -> deterministic split
-    -> sequence packing
+    (Bloom-pruned) -> cross-doc boilerplate strip -> domain/language
+    rebalancing (whale caps + temperature mixing) -> global token budget
+    -> deterministic split -> sequence packing
 
 Every stage is a lazy DataFrame transform; one action at the end drives the
 whole plan.  Usage:
@@ -23,9 +24,12 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from condenser_spark.functions.corpus import (
+        cap_per_group,
         filter_documents,
         hash_split,
         pack_sequences,
+        take_token_budget,
+        temperature_mix,
     )
     from condenser_spark.functions.dedup import (
         decontaminate_bloom,
@@ -65,7 +69,16 @@ def main() -> int:
         .filter(F.length("text") > 0)
     )
 
-    # 5. growth-stable md5 split + token-budget packing per split
+    # 5. rebalance: per-source whale cap, then mT5-style temperature
+    #    flattening across languages (kept share ~ n_lang^tau)
+    kept = cap_per_group(kept, max_docs=1000, group_col="source")
+    kept = temperature_mix(kept, tau=0.7, source_col="lang")
+
+    # 6. budgeted selection: take docs in ranking order (doc_id stands in
+    #    for a quality score) until the global token budget is spent
+    kept = take_token_budget(kept, budget_tokens=100_000_000)
+
+    # 7. growth-stable md5 split + token-budget packing per split
     split = hash_split(kept, weights={"train": 0.98, "val": 0.01,
                                       "test": 0.01})
     packed = pack_sequences(
