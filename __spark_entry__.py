@@ -52,12 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import ORACLES, QUERIES
 
-    # The driver evaluates at most the first 50 entries; 59 goldens are
-    # registered (55 full-oracle + 4 rows-only).  Round-8 rotation: the 4
+    # The driver evaluates at most the first 50 entries; 63 goldens are
+    # registered (59 full-oracle + 4 rows-only).  Round-8 rotation: the 4
     # rows-only goldens (ext_approx_profile, p3_bernoulli_sample_rows,
     # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
     # oracle by nature, last driver-recorded green in round 4) take in-cap
-    # slots for fresh recorded signal.  To make room, nine oracle goldens
+    # slots for fresh recorded signal.  To make room, thirteen oracle goldens
     # sit past the cap: every one keeps the IDENTICAL DuckDB row/column/
     # value comparison on every pytest run via
     # tests/test_overflow_oracles.py (which checks list(queries())[50:]
@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_take_token_budget",
         "ext_cap_per_group",
         "ext_temperature_mix",
+        "ext_expand_epochs",
+        "ext_winsorize",
+        "ext_curriculum_buckets",
+        "ext_snapshot_diff",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -232,6 +232,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("strip_repeated_blocks",
           lambda: strip_repeated_blocks(docs).count())
 
+    from condenser_spark.functions.corpus import (
+        cap_per_group,
+        take_token_budget,
+        temperature_mix,
+    )
+
+    # round-8 corpus-selection family: global token-budget cut, per-group
+    # whale cap, temperature-flattened language rebalance
+    timed("take_token_budget",
+          lambda: take_token_budget(docs, budget_tokens=200_000).count())
+    timed("cap_per_group",
+          lambda: cap_per_group(docs, max_docs=1_000, group_col="source").count())
+    timed("temperature_mix",
+          lambda: temperature_mix(docs, tau=0.5, source_col="lang").count())
+
     return timings, noise
 
 

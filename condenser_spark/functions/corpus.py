@@ -558,6 +558,171 @@ def cap_per_group(
     return under_rows.unionByName(capped)
 
 
+#: Above this row count the default global-rank path switches from the naive
+#: single-partition window to the quantile-sharded plan.  Lower than
+#: PACK_GLOBAL_WINDOW_MAX_ROWS because the rank window carries FULL rows
+#: (the output keeps the input schema), not pack_sequences' ~16-byte
+#: (id, n_tokens) projection — the single sort task hits its memory/IO wall
+#: correspondingly earlier.
+RANK_GLOBAL_WINDOW_MAX_ROWS = 2_000_000
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Distributed global ORDER BY rank: 1-based row numbering in ascending
+    (order, id) order, FULL input schema preserved plus ``rank_col`` — the
+    primitive behind curriculum ordering, best-first selection, and stable
+    pagination.
+
+    The naive form — ``row_number().over(Window.orderBy(...))`` — is a
+    single-partition sort of every row, a scale-killer past a few million
+    documents.  This reuses :func:`pack_sequences`' cost-based scan
+    (``_order_stats``): below ``RANK_GLOBAL_WINDOW_MAX_ROWS`` the stats
+    job's exact count routes auto mode to the naive window (its one sort
+    task wins on fixed overhead at small sizes); above it the (order, id)
+    sort order is cut at approximate-quantile boundaries baked into the
+    plan as literals (value-deterministic — every consumer branch agrees on
+    each row's shard with no barrier), each contiguous range numbers itself
+    as an independent task, and one one-row-per-shard cumulative-count
+    summary globalizes the local numbers via a broadcast join.  Output is
+    identical to the naive window for every input (equality-tested).  Pass
+    ``num_shards`` explicitly to force the distributed plan at any size."""
+    order = [F.col(order_col).asc(), F.col(id_col).asc()]
+    auto = num_shards is None
+    if auto:
+        num_shards = df.sparkSession.sparkContext.defaultParallelism
+    n_rows, shard_expr = _order_stats(df, order_col, num_shards)
+    if auto and n_rows is not None and n_rows <= RANK_GLOBAL_WINDOW_MAX_ROWS:
+        w = Window.orderBy(*order)
+        return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    if shard_expr is not None:
+        base = df.withColumn("_shard", shard_expr)
+    else:
+        # non-numeric order column: contiguous ranges via physical
+        # placement; the lazy barrier pins ONE sampled boundary assignment
+        # for both consumer branches (same rationale as pack_sequences)
+        base = (
+            df.repartitionByRange(num_shards, *order)
+            .withColumn("_shard", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+    w = Window.partitionBy("_shard").orderBy(*order)
+    local = base.withColumn("_rk", F.row_number().over(w))
+    # rank offsets: one row per shard; the cumulative window's
+    # single-partition sort is over ~num_shards rows, driver-trivial
+    shard_counts = local.groupBy("_shard").agg(F.max("_rk").alias("_n"))
+    sw_prev = Window.orderBy(F.col("_shard").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = shard_counts.select(
+        "_shard",
+        F.coalesce(F.sum("_n").over(sw_prev), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), on="_shard")
+        .withColumn(rank_col, (F.col("_rk") + F.col("_off")).cast("long"))
+        .select(*df.columns, rank_col)
+    )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    bucket_col: str = "bucket_id",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Equal-depth curriculum buckets over a precomputed difficulty/quality
+    ordering: full input schema plus ``rank_col`` (global 1-based rank, see
+    :func:`global_rank`) and ``bucket_col`` =
+    ``((rank - 1) * n_buckets) DIV n_rows`` — exact integer arithmetic, so
+    any engine reproduces the assignment bit-for-bit (unlike ``NTILE``,
+    whose remainder-distribution rule is engine-convention).  Bucket sizes
+    differ by at most one; buckets are contiguous in the ordering, ready
+    for stage-wise curriculum sampling or difficulty-stratified eval."""
+    assert n_buckets >= 1
+    ranked = global_rank(df, order_col=order_col, id_col=id_col,
+                         rank_col=rank_col, num_shards=num_shards)
+    total = df.select(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            bucket_col,
+            F.expr(
+                f"CAST((({rank_col} - 1) * {int(n_buckets)})"
+                " DIV _n_total AS BIGINT)"
+            ),
+        )
+        .drop("_n_total")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Clamp numeric outliers at the (lower, upper) quantiles — the
+    heavy-tail guard a pipeline applies to reward/score/size columns before
+    they feed sampling weights or normalization.  Clamped columns come back
+    as doubles (quantile interpolation is real-valued); all other columns
+    and their order are untouched; NULLs stay NULL.
+
+    One aggregate job computes every bound (2 scalars per column — bounded
+    control data on the driver), each ROUNDED to 4 decimals — the same
+    cross-engine percentile arithmetic contract as :func:`numeric_profile`
+    (Spark exact interpolated ``percentile`` == DuckDB ``quantile_cont``) —
+    and baked into the plan as literals, so the clamp itself is a pure
+    scan-level projection: zero shuffle, pushdown-transparent.
+
+    ``exact=True`` uses Spark's exact percentile — an aggregate whose state
+    is a value->count map, so memory scales with DISTINCT values per
+    column; at corpus scale with high-cardinality doubles pass
+    ``exact=False`` for ``percentile_approx``'s bounded-memory sketch (the
+    bounds then carry sketch error; the clamp stays scan-level either
+    way)."""
+    assert 0.0 <= lower < upper <= 1.0
+    aggs = []
+    for c in cols:
+        x = F.col(c).cast("double")
+        if exact:
+            lo = F.percentile(x, F.lit(lower))
+            hi = F.percentile(x, F.lit(upper))
+        else:
+            lo = F.percentile_approx(x, F.lit(lower), F.lit(10_000))
+            hi = F.percentile_approx(x, F.lit(upper), F.lit(10_000))
+        aggs.append(F.round(lo, 4).alias(f"_lo_{c}"))
+        aggs.append(F.round(hi, 4).alias(f"_hi_{c}"))
+    row = df.agg(*aggs).first()
+    out = df
+    for c in cols:
+        lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+        x = F.col(c).cast("double")
+        if lo is None or hi is None:
+            # all-NULL / empty input: no bounds to clamp at — still cast so
+            # the output schema does not depend on the data
+            out = out.withColumn(c, x)
+            continue
+        clamped = F.least(F.greatest(x, F.lit(float(lo))), F.lit(float(hi)))
+        # explicit NULL branch: least/greatest SKIP nulls (a NULL value
+        # would otherwise come back as the lower bound)
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNull(), F.lit(None).cast("double"))
+            .otherwise(clamped),
+        )
+    return out
+
+
 def numeric_profile(
     df: DataFrame,
     cols: list[str],
@@ -726,6 +891,66 @@ def temperature_mix(
     }
     return weighted_mix(df, rates, source_col, id_col,
                         default_rate=max_rate, salt=salt)
+
+
+def expand_epochs(
+    df: DataFrame,
+    epochs: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    salt: str = "epoch",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional-epoch replication — the UPSAMPLING half of
+    mixture weighting (:func:`weighted_mix` / :func:`temperature_mix` only
+    ever downsample): a group with ``epochs`` e gets ``floor(e)`` full
+    copies of every document plus one extra copy of the deterministic
+    hash01 fraction ``e - floor(e)`` of its documents, so the group's
+    expected share scales by exactly e while repeats stay bounded (no doc
+    appears more than ``ceil(e)`` times) and reproducible.  ``epoch_col``
+    tags each replica 0..copies-1 for downstream shuffling/curriculum;
+    e = 0 drops the group, e < 1 is a plain deterministic sample.
+
+    Monotone in e: raising a group's epochs only ADDS replicas — existing
+    shards stay valid as mixture weights grow.  The fractional threshold is
+    the exact IEEE double ``e - floor(e)`` — a subtraction every engine
+    computes bit-identically, so a cross-engine oracle replays membership
+    with no rounding step (unlike ``temperature_mix``, whose ``pow`` needs
+    one).
+
+    Scale shape: per-row copy count from a literal CASE ladder, one
+    ``sequence`` + ``explode`` — zero shuffle, no joins; the output
+    amplification is the point and flows straight into the next scan."""
+    import math
+
+    u = _hash01(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    full: Column | None = None
+    frac: Column | None = None
+
+    def _pieces(e: float) -> tuple[int, float]:
+        assert e >= 0.0
+        fl = int(math.floor(e))
+        return fl, float(e) - fl
+
+    for g, e in epochs.items():
+        fl, fr = _pieces(e)
+        cond = F.col(source_col) == g
+        full = (F.when(cond, F.lit(fl)) if full is None
+                else full.when(cond, F.lit(fl)))
+        frac = (F.when(cond, F.lit(fr)) if frac is None
+                else frac.when(cond, F.lit(fr)))
+    dfl, dfr = _pieces(default_epochs)
+    full = full.otherwise(F.lit(dfl)) if full is not None else F.lit(dfl)
+    frac = frac.otherwise(F.lit(dfr)) if frac is not None else F.lit(dfr)
+    n_copies = full + F.when(u < frac, F.lit(1)).otherwise(F.lit(0))
+    # explode drops the row when the sequence is NULL — exactly the zero-copy
+    # case (sequence(0, -1) would instead count DOWN; never build it)
+    seq = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - F.lit(1)))
+    return (
+        df.withColumn(epoch_col, F.explode(seq))  # generator must be bare
+        .withColumn(epoch_col, F.col(epoch_col).cast("long"))
+    )
 
 
 # ------------------------------------------------------------ vocab & encode

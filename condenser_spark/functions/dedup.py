@@ -97,6 +97,46 @@ def dedup_documents(
     return df.join(survivors, on=id_col, how="left_semi")
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff: (id, status, old_fingerprint, new_fingerprint)
+    with status in ('added', 'removed', 'changed'); unchanged rows are NOT
+    emitted.  Content identity is the normalized-text md5 fingerprint (the
+    same identity :func:`exact_dedup` keys on), so whitespace-only edits do
+    not count as changes.
+
+    The audit a pipeline runs between corpus snapshots before re-triggering
+    downstream dedup/packing/training — and the input to incremental
+    processing (feed only 'added' + 'changed' ids forward).  One full-outer
+    join on id; 16-byte fingerprints travel, never document bodies.  At
+    100 TB, land both snapshots bucketed by id (registry's bucketed sink)
+    and the join plans with zero Exchange."""
+    o = old.select(
+        F.col(id_col),
+        document_fingerprint(F.col(text_col)).alias("old_fingerprint"),
+    )
+    n = new.select(
+        F.col(id_col),
+        document_fingerprint(F.col(text_col)).alias("new_fingerprint"),
+    )
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(F.col("old_fingerprint") != F.col("new_fingerprint"),
+              F.lit("changed"))
+    )
+    return (
+        o.join(n, on=id_col, how="full_outer")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status", "old_fingerprint", "new_fingerprint")
+    )
+
+
 def _shingles(text_col: str, n: int):
     """Distinct word n-gram shingles of the lowercased, whitespace-normalized
     text, as an array column.  Word (not char) shingles keep the explode factor

@@ -1929,3 +1929,151 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@golden(
+    "ext_expand_epochs",
+    r"""
+    WITH sized AS (
+      SELECT d.*,
+             (CASE d.lang WHEN 'en' THEN 0 WHEN 'de' THEN 2 ELSE 1 END)
+             + (CASE WHEN CAST(concat('0x', substr(md5(concat(
+                        CAST(d.doc_id AS VARCHAR), 'epoch')), 1, 8)) AS BIGINT)
+                       / 4294967296.0
+                     < (CASE d.lang WHEN 'en' THEN 0.5
+                                    WHEN 'de' THEN 0.25 ELSE 0.0 END)
+                THEN 1 ELSE 0 END) AS nc
+      FROM documents d
+    )
+    SELECT doc_id, text, lang, source, n_chars, CAST(i AS BIGINT) AS epoch
+    FROM sized, unnest(range(0, nc)) AS u(i)
+    """,
+)
+def ext_expand_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional-epoch replication at {en: 0.5, de: 2.25},
+    default 1.0 — the upsampling half of mixture weighting: de gets 2 full
+    copies + a hash01 quarter, en a hash01 half, the rest pass through once
+    (condenser_spark/functions/corpus.py:expand_epochs).  The fractional
+    thresholds are exact binary doubles, so DuckDB replays membership
+    bit-for-bit with no rounding step.  Registered past the driver's
+    50-slot cap; verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import expand_epochs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return expand_epochs(docs, {"en": 0.5, "de": 2.25}, source_col="lang")
+
+
+@golden(
+    "ext_winsorize",
+    r"""
+    WITH b AS (
+      SELECT ROUND(quantile_cont(CAST(value AS DOUBLE), 0.05), 4) AS lo,
+             ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS hi
+      FROM events
+    )
+    SELECT e.event_id,
+           CASE WHEN e.value IS NULL THEN NULL
+                ELSE LEAST(GREATEST(CAST(e.value AS DOUBLE), b.lo), b.hi)
+           END AS value
+    FROM events e CROSS JOIN b
+    """,
+)
+def ext_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile clamp of the heavy-tailed events.value column at
+    (0.05, 0.95) — bounds from Spark's exact interpolated percentile,
+    rounded to 4 decimals (the numeric_profile cross-engine arithmetic
+    contract with DuckDB quantile_cont), clamp itself a scan-level
+    projection (condenser_spark/functions/corpus.py:winsorize).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import winsorize
+
+    ev = _tables(spark, sf_dir)["events"]
+    return winsorize(ev, ["value"], lower=0.05, upper=0.95).select(
+        "event_id", "value")
+
+
+@golden(
+    "ext_curriculum_buckets",
+    r"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rank
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT r.doc_id, r.n_chars, CAST(r.rank AS BIGINT) AS rank,
+           CAST(((r.rank - 1) * 10) // t.n AS BIGINT) AS bucket_id
+    FROM r CROSS JOIN t
+    """,
+)
+def ext_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global length-ordered rank + equal-depth curriculum buckets
+    (10 buckets over ascending n_chars, doc_id tiebreak) — exact integer
+    bucket arithmetic ((rank-1)*k DIV n), portable across engines unlike
+    NTILE's remainder convention (condenser_spark/functions/corpus.py:
+    curriculum_buckets over global_rank's cost-based distributed scan).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import curriculum_buckets
+
+    docs = _tables(spark, sf_dir)["documents"]
+    out = curriculum_buckets(docs, n_buckets=10, order_col="n_chars")
+    return out.select("doc_id", "n_chars", "rank", "bucket_id")
+
+
+@golden(
+    "ext_snapshot_diff",
+    r"""
+    WITH newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+                              '\s+', ' ', 'g')) AS old_fingerprint
+          FROM documents),
+    n AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+                              '\s+', ' ', 'g')) AS new_fingerprint
+          FROM newdocs),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             o.old_fingerprint, n.new_fingerprint,
+             CASE WHEN o.old_fingerprint IS NULL THEN 'added'
+                  WHEN n.new_fingerprint IS NULL THEN 'removed'
+                  WHEN o.old_fingerprint <> n.new_fingerprint THEN 'changed'
+             END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, status, old_fingerprint, new_fingerprint
+    FROM j WHERE status IS NOT NULL
+    """,
+)
+def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version diff between the documents table and a synthesized
+    next snapshot (every 7th doc removed, every 5th survivor's text edited,
+    every 11th doc re-added under a shifted id): (id, status, fingerprints)
+    for added/removed/changed, unchanged suppressed — the incremental-
+    ingestion audit (condenser_spark/functions/dedup.py:snapshot_diff;
+    identity = exact_dedup's normalized-text md5).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dedup import snapshot_diff
+
+    docs = _tables(spark, sf_dir)["documents"]
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+        )
+    )
+    return snapshot_diff(docs, new)

@@ -1,0 +1,187 @@
+"""Invariant tests for the round-8 selection/curation additions:
+expand_epochs, winsorize, global_rank / curriculum_buckets, snapshot_diff —
+value-level correctness is pinned by the DuckDB oracles in goldens_ext."""
+
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ expand_epochs
+
+def test_expand_epochs_integer_copies_and_tags(spark, source):
+    from condenser_spark.functions.corpus import expand_epochs
+
+    docs = source["documents"]
+    out = expand_epochs(docs, {"en": 2.0}, source_col="lang",
+                        default_epochs=1.0)
+    n_en = docs.filter("lang = 'en'").count()
+    n_rest = docs.filter("lang <> 'en'").count()
+    assert out.filter("lang = 'en'").count() == 2 * n_en
+    assert out.filter("lang <> 'en'").count() == n_rest
+    # every en doc appears tagged epoch 0 AND epoch 1, nothing else
+    tags = (out.filter("lang = 'en'").groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("epoch")).alias("t")))
+    assert tags.filter(F.col("t") != F.array(F.lit(0), F.lit(1))).count() == 0
+
+
+def test_expand_epochs_zero_drops_and_fraction_samples(spark, source):
+    from condenser_spark.functions.corpus import expand_epochs
+
+    docs = source["documents"]
+    out = expand_epochs(docs, {"en": 0.0, "de": 0.5}, source_col="lang",
+                        default_epochs=1.0)
+    assert out.filter("lang = 'en'").count() == 0
+    n_de = docs.filter("lang = 'de'").count()
+    kept_de = out.filter("lang = 'de'").count()
+    assert 0 < kept_de < n_de  # a strict deterministic subsample
+    assert out.filter("lang = 'de' AND epoch <> 0").count() == 0
+
+
+def test_expand_epochs_monotone_in_epochs(spark, source):
+    from condenser_spark.functions.corpus import expand_epochs
+
+    docs = source["documents"]
+    lo = expand_epochs(docs, {"de": 1.25}, source_col="lang")
+    hi = expand_epochs(docs, {"de": 2.5}, source_col="lang")
+    lo_keys = lo.select("doc_id", "epoch")
+    # raising epochs only ADDS (doc, epoch) replicas
+    assert lo_keys.join(hi.select("doc_id", "epoch"),
+                        ["doc_id", "epoch"], "left_anti").count() == 0
+
+
+def test_expand_epochs_empty_input(spark, source):
+    from condenser_spark.functions.corpus import expand_epochs
+
+    docs = source["documents"].filter("doc_id < 0")
+    out = expand_epochs(docs, {"en": 2.5}, source_col="lang")
+    assert out.count() == 0
+    assert out.columns == docs.columns + ["epoch"]
+
+
+# ---------------------------------------------------------------- winsorize
+
+def test_winsorize_clamps_to_exact_quantiles(spark):
+    from condenser_spark.functions.corpus import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)],
+                               "id long, v double")
+    out = winsorize(df, ["v"], lower=0.10, upper=0.90)
+    # exact interpolated percentiles of 1..100 at (0.1, 0.9): 10.9 and 90.1
+    row = out.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).first()
+    assert row.lo == 10.9 and row.hi == 90.1
+    # interior values untouched
+    assert out.filter("v = 50.0").count() == 1
+    assert out.count() == 100
+
+
+def test_winsorize_preserves_nulls_and_schema(spark):
+    from condenser_spark.functions.corpus import winsorize
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 100.0), (3, 50.0)], "id long, v double")
+    out = winsorize(df, ["v"], lower=0.25, upper=0.75)
+    assert out.filter("id = 1").first().v is None
+    assert out.columns == ["id", "v"]
+
+    empty = winsorize(df.filter("id < 0"), ["v"])
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == \
+        ["bigint", "double"]
+
+
+# ----------------------------------------------- global_rank / curriculum
+
+def test_global_rank_distributed_equals_naive(spark, source):
+    from condenser_spark.functions.corpus import global_rank
+
+    docs = source["documents"]
+    naive = global_rank(docs, order_col="n_chars")          # auto: small
+    dist = global_rank(docs, order_col="n_chars", num_shards=8)  # forced
+    n = docs.count()
+    assert naive.select(F.count_distinct("rank")).first()[0] == n
+    assert naive.agg(F.min("rank"), F.max("rank")).first() == (1, n)
+    mism = (naive.select("doc_id", "rank")
+            .join(dist.select("doc_id", "rank"), "doc_id")
+            .filter(naive["rank"] != dist["rank"]))
+    assert mism.count() == 0
+
+
+def test_global_rank_non_numeric_order_fallback(spark, source):
+    from condenser_spark.functions.corpus import global_rank
+
+    docs = source["documents"]
+    # text is non-numeric: _order_stats returns (None, None) -> placement
+    # fallback; ranks must still be a permutation of 1..n consistent with
+    # (text, doc_id) order
+    out = global_rank(docs, order_col="text", num_shards=4)
+    n = docs.count()
+    assert out.select(F.count_distinct("rank")).first()[0] == n
+    pairs = out.select("text", "doc_id", "rank").orderBy("rank").collect()
+    assert [(r.text, r.doc_id) for r in pairs] == \
+        sorted((r.text, r.doc_id) for r in pairs)
+
+
+def test_curriculum_buckets_depth_and_contiguity(spark, source):
+    from condenser_spark.functions.corpus import curriculum_buckets
+
+    docs = source["documents"]
+    out = curriculum_buckets(docs, n_buckets=7, order_col="n_chars")
+    sizes = [r["count"] for r in
+             out.groupBy("bucket_id").count().orderBy("bucket_id").collect()]
+    assert len(sizes) == 7
+    assert max(sizes) - min(sizes) <= 1
+    # buckets are contiguous in rank order
+    spans = out.groupBy("bucket_id").agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi")
+    ).orderBy("bucket_id").collect()
+    for prev, cur in zip(spans, spans[1:]):
+        assert cur.lo == prev.hi + 1
+
+
+def test_global_rank_distributed_plan_contract(spark, source, monkeypatch):
+    """The forced/auto-large path windows over the derived range shard — no
+    Exchange SinglePartition over the documents themselves — and auto mode
+    routes by the stats job's exact count (threshold shrunk so the fixture
+    exercises the big-corpus route)."""
+    import condenser_spark.functions.corpus as corpus_mod
+    from condenser_spark.functions.corpus import global_rank
+
+    docs = source["documents"]
+    out = global_rank(docs, order_col="n_chars", num_shards=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_shard#" in plan
+
+    monkeypatch.setattr(corpus_mod, "RANK_GLOBAL_WINDOW_MAX_ROWS", 10)
+    auto = global_rank(docs, order_col="n_chars")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_shard#" in plan
+    naive = global_rank(docs, order_col="n_chars", num_shards=1)
+    mism = (auto.select("doc_id", F.col("rank").alias("a"))
+            .join(naive.select("doc_id", F.col("rank").alias("b")), "doc_id")
+            .filter("a <> b"))
+    assert mism.count() == 0
+
+
+# ------------------------------------------------------------ snapshot_diff
+
+def test_snapshot_diff_statuses(spark):
+    from condenser_spark.functions.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "BETA  "), (3, "gamma edited"), (5, "epsilon")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r.status
+            for r in snapshot_diff(old, new).collect()}
+    # 1 unchanged (suppressed); 2 unchanged too — fingerprint normalizes
+    # case and whitespace; 3 changed; 4 removed; 5 added
+    assert rows == {3: "changed", 4: "removed", 5: "added"}
+
+
+def test_snapshot_diff_identical_snapshots_empty(spark, source):
+    from condenser_spark.functions.dedup import snapshot_diff
+
+    docs = source["documents"]
+    assert snapshot_diff(docs, docs).count() == 0
