@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_winsorize",
         "ext_curriculum_buckets",
         "ext_snapshot_diff",
+        "ext_semantic_dup_pairs",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -690,3 +690,108 @@ def embedding_cosine_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: coarse-cluster the
+    embedding space with the IVF quantizer (:func:`ivf_index` — hash-seeded
+    + Lloyd, or caller-supplied ``centroids``), then exact-cosine verify
+    pairs WITHIN each cell only: (id_a, id_b, cosine_sim), id_a < id_b,
+    cosine rounded to 4 decimals, >= threshold.
+
+    The curation recipe of Abbas et al. 2023 (SemDeDup): restricting the
+    pair search to k-means cells turns the all-pairs O(N²) into a sum of
+    per-cell quadratics — Σ(N/k)² ≈ N²/k for balanced cells — and semantic
+    near-duplicates co-locate in embedding space by construction.
+    Cross-cell near-dups are missed BY DESIGN; that is the recall/cost
+    trade the clustering buys, and the knob is ``n_centroids``: pick
+    ``~N / target_cell_size`` so each cell's self-join fits a task
+    (SemDeDup's own k is 11k cells for 100M+ docs).  Cells, unlike LSH
+    buckets, are O(N/k) large BY DESIGN, so there is no on-by-default drop
+    cap here — ``max_cell_size`` (off by default) instead keeps only each
+    over-sized cell's lowest-id rows for pairing, logged, as an emergency
+    skew valve when re-clustering is not an option.
+
+    One shuffle for the cell self-join (plus the index build's assignment
+    scan — amortize with a prebuilt ``centroids=`` codebook across shards);
+    embeddings travel once into the join, the quadratic work is
+    per-cell-local.  The ``centroids=`` override is also the oracle hook:
+    in-band literal centroids make assignment + pairing engine-replayable
+    (see goldens_ext)."""
+    idx = ivf_index(
+        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
+        use_arrow=use_arrow,
+    )
+    assigned = idx.assigned
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell").orderBy(F.col("vec_id").asc())
+        capped = assigned.withColumn("_rn", F.row_number().over(w))
+        if logger.isEnabledFor(logging.INFO):
+            n_dropped = capped.filter(F.col("_rn") > max_cell_size).count()
+            if n_dropped:
+                logger.info(
+                    "semantic_dup_pairs: cell cap %d dropped %d rows from "
+                    "over-sized cells (pairs involving them are excluded; "
+                    "prefer raising n_centroids)", max_cell_size, n_dropped,
+                )
+        assigned = capped.filter(F.col("_rn") <= max_cell_size).drop("_rn")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
+            .alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup in keep-rows form: the input minus all but the min-id
+    representative of every semantic-duplicate cluster (connected
+    components over :func:`semantic_dup_pairs`, closed with
+    ``dup_clusters``' O(diameter) label propagation so A~B, B~C collapse to
+    one survivor even when A~C never scored above threshold).  Rows whose
+    vectors are NULL/ragged/zero never enter the pair search and are always
+    kept.  Same composition contract as ``near_dedup_documents``:
+    pairs (oracle-verified) -> clusters (oracle-verified) -> anti-join."""
+    from condenser_spark.functions.dedup import dup_clusters
+
+    pairs = semantic_dup_pairs(
+        df, threshold=threshold, n_centroids=n_centroids, id_col=id_col,
+        vec_col=vec_col, seed=seed, lloyd_iters=lloyd_iters,
+        centroids=centroids, use_arrow=use_arrow,
+        max_cell_size=max_cell_size,
+    )
+    drop = (
+        dup_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, on=id_col, how="left_anti")

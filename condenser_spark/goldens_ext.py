@@ -2077,3 +2077,86 @@ def ext_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(docs, new)
+
+
+@golden(
+    "ext_semantic_dup_pairs",
+    """
+    WITH v0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      WHERE vec_id < 20
+    ),
+    v AS (
+      SELECT vec_id, e FROM v0 WHERE e IS NOT NULL AND len(e) = 64
+    ),
+    cents AS (
+      SELECT cell, e FROM (
+        SELECT e, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+        FROM v
+      ) WHERE cell < 16
+    ),
+    cscore AS (
+      SELECT v.vec_id, s.cell,
+             list_dot_product(v.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM v CROSS JOIN cents s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(list_dot_product(av.e, bv.e) /
+                   (sqrt(list_dot_product(av.e, av.e)) *
+                    sqrt(list_dot_product(bv.e, bv.e))), 4) AS cosine_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id
+    )
+    SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.95
+    """,
+)
+def ext_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup pairs under the FULL value oracle: 20
+    exact clones (vec_id+100000) are synthesized so dup pairs exist;
+    centroids are chosen in-band by the portable md5 ordering and passed
+    via ``centroids=`` so DuckDB replays cell assignment (score DESC, cell
+    DESC tiebreak), the within-cell pairing, and the exact-cosine verify
+    bit-for-bit.  An identical clone shares its original's cell BY
+    CONSTRUCTION (same argmax), so SemDeDup recall on the planted pairs is
+    exactly 1.0 and the expected output is exactly the 20 clone pairs (max
+    organic cosine in the fixture is ~0.51)
+    (condenser_spark/functions/similarity.py:semantic_dup_pairs).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.similarity import semantic_dup_pairs
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    union = emb.unionByName(
+        emb.filter("vec_id < 20").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    cents = [
+        list(r.e)
+        for r in union.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    ]
+    return semantic_dup_pairs(
+        union, threshold=0.95, centroids=cents, use_arrow=False)

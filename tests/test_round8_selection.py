@@ -185,3 +185,63 @@ def test_snapshot_diff_identical_snapshots_empty(spark, source):
 
     docs = source["documents"]
     assert snapshot_diff(docs, docs).count() == 0
+
+
+# ----------------------------------------------------------- semantic dedup
+
+def _clone_embeddings(source, n=20):
+    from pyspark.sql import functions as F
+
+    emb = source["embeddings"]
+    return emb.unionByName(
+        emb.filter(f"vec_id < {n}").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+
+
+def test_semantic_dup_pairs_finds_planted_clones(spark, source):
+    """Production path (xxhash64 seeding + Lloyd): an exact clone shares its
+    original's cell by construction, so recall on planted clones is 1.0."""
+    from condenser_spark.functions.similarity import semantic_dup_pairs
+
+    union = _clone_embeddings(source, 20)
+    pairs = semantic_dup_pairs(union, threshold=0.95, n_centroids=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}
+    assert pairs.filter("cosine_sim < 0.95").count() == 0
+
+
+def test_semantic_dedup_keeps_min_id_survivor(spark, source):
+    from condenser_spark.functions.similarity import semantic_dedup
+
+    union = _clone_embeddings(source, 20)
+    kept = semantic_dedup(union, threshold=0.95, n_centroids=8)
+    assert kept.count() == union.count() - 20
+    assert kept.filter("vec_id >= 100000").count() == 0  # clones dropped
+
+
+def test_semantic_dup_pairs_cell_cap_valve(spark, source):
+    """max_cell_size keeps only each cell's lowest ids: with a cap of 1 no
+    cell can pair at all."""
+    from condenser_spark.functions.similarity import semantic_dup_pairs
+
+    union = _clone_embeddings(source, 5)
+    pairs = semantic_dup_pairs(union, threshold=0.95, n_centroids=4,
+                               max_cell_size=1)
+    assert pairs.count() == 0
+
+
+def test_semantic_dedup_null_and_ragged_vectors_kept(spark, source):
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import semantic_dedup
+
+    emb = source["embeddings"]
+    bad = emb.limit(2).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    union = emb.unionByName(bad)
+    kept = semantic_dedup(union, threshold=0.95, n_centroids=4)
+    assert kept.filter("vec_id >= 200000").count() == 2
