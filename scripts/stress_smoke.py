@@ -439,6 +439,85 @@ def stage_skewed_middle_out(spark) -> dict:
     }
 
 
+def stage_global_rank(spark, n_rows: int = 20_000_000) -> dict:
+    """Distributed global ORDER BY rank at 20M rows: the quantile-shard path
+    must produce an exact permutation 1..n with no single-partition sort of
+    the data (the naive window would sort 20M full rows in one task)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import global_rank
+
+    df = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000_000)).alias("score"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    t0 = time.time()
+    ranked = global_rank(df, order_col="score", id_col="doc_id")
+    stats = ranked.agg(
+        F.min("rank").alias("lo"), F.max("rank").alias("hi"),
+        F.count_distinct("rank").alias("n_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    wall = time.time() - t0
+    assert (stats.lo, stats.hi, stats.n_distinct, stats.n) == \
+        (1, n_rows, n_rows, n_rows), stats
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_shard#" in plan, "expected sharded window"
+    return {
+        "stage": "global_rank_20m",
+        "n_rows": n_rows,
+        "wall_sec": round(wall, 1),
+    }
+
+
+def stage_semantic_dedup(spark, n_vecs: int = 200_000,
+                         n_clones: int = 5_000) -> dict:
+    """SemDeDup at a realistic cell geometry: 200k synthetic dim-64 vectors
+    + 5k planted exact clones, n_centroids=1024 (~200 rows/cell — the
+    N/target_cell_size sizing the docstring prescribes; 1024 centroids also
+    forces the Arrow assignment kernel past the 256-term expr budget).
+    Uniform-random vectors have no organic 0.95-cosine pairs, so survivors
+    must be exactly the originals."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import semantic_dedup
+
+    def synth(ids):
+        return ids.select(
+            F.col("base_id"),
+            F.col("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("base_id"), i), F.lit(2001))
+                    .cast("double") / 1000.0 - 1.0
+                ),
+            ).alias("embedding"),
+        ).select("vec_id", "embedding")
+
+    base = spark.range(n_vecs).select(
+        F.col("id").alias("base_id"), F.col("id").alias("vec_id"))
+    clones = spark.range(n_clones).select(
+        F.col("id").alias("base_id"),
+        (F.col("id") + 10_000_000).alias("vec_id"))
+    vecs = synth(base).unionByName(synth(clones))
+    t0 = time.time()
+    kept = semantic_dedup(vecs, threshold=0.95, n_centroids=1024)
+    survivors = kept.count()
+    n_clone_survivors = kept.filter("vec_id >= 10000000").count()
+    wall = time.time() - t0
+    assert survivors == n_vecs, (survivors, n_vecs)
+    assert n_clone_survivors == 0, n_clone_survivors
+    return {
+        "stage": "semantic_dedup_200k",
+        "n_vecs": n_vecs,
+        "n_clones": n_clones,
+        "survivors": survivors,
+        "wall_sec": round(wall, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -455,6 +534,8 @@ def main() -> int:
         "asof": lambda: stage_asof(spark),
         "rewrites": lambda: stage_rewrites(spark, n_docs),
         "skew": lambda: stage_skewed_middle_out(spark),
+        "global_rank": lambda: stage_global_rank(spark),
+        "semantic_dedup": lambda: stage_semantic_dedup(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
