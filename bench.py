@@ -247,6 +247,27 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("temperature_mix",
           lambda: temperature_mix(docs, tau=0.5, source_col="lang").count())
 
+    from condenser_spark.functions.dedup import snapshot_diff
+    from condenser_spark.functions.similarity import semantic_dup_pairs
+
+    # round-8 late additions: SemDeDup within-cell pairing (production
+    # seeded+Lloyd path) and the corpus-version diff (new snapshot =
+    # current docs with every 7th removed / every 5th edited)
+    timed("semantic_dup_pairs",
+          lambda: semantic_dup_pairs(emb, threshold=0.95,
+                                     n_centroids=16).count())
+    new_snapshot = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")),
+        )
+    )
+    timed("snapshot_diff",
+          lambda: snapshot_diff(docs, new_snapshot).count())
+
     return timings, noise
 
 
