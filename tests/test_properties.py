@@ -1151,3 +1151,112 @@ def test_bloom_decontaminate_equals_exact_model(spark, train, evals, n,
            for r in decontaminate_bloom(tr, ev, n=n, fp_rate=fp_rate)
            .select("doc_id").collect()}
     assert got == want
+
+
+@PROP
+@given(
+    docs=st.lists(st.tuples(st.integers(0, 999), st.sampled_from("abc")),
+                  min_size=1, max_size=30, unique_by=lambda t: t[0]),
+    e=st.sampled_from([0.0, 0.25, 1.0, 1.5, 2.75]),
+)
+def test_expand_epochs_matches_python_model(spark, docs, e):
+    """expand_epochs equals the plain-Python model for ANY epochs value:
+    copies = floor(e) + (md5-hash01(id+salt) < e-floor(e)), tagged 0..n-1;
+    non-targeted groups replicate at default_epochs exactly once."""
+    import hashlib
+    import math
+
+    from condenser_spark.functions.corpus import expand_epochs
+
+    df = spark.createDataFrame(
+        [(i, s, "x") for i, s in docs], "doc_id long, source string, text string"
+    )
+    out = expand_epochs(df, {"a": e}, source_col="source")
+
+    def copies(i: int, ev: float) -> int:
+        u = int(hashlib.md5(f"{i}epoch".encode()).hexdigest()[:8], 16) / 2**32
+        return int(math.floor(ev)) + (1 if u < ev - math.floor(ev) else 0)
+
+    want = {}
+    for i, s in docs:
+        n = copies(i, e) if s == "a" else 1
+        for k in range(n):
+            want[(i, k)] = True
+    got = {(r.doc_id, r.epoch): True for r in out.collect()}
+    assert got == want
+
+
+@PROP
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=40),
+    q=st.sampled_from([(0.0, 1.0), (0.1, 0.9), (0.25, 0.75)]),
+)
+def test_winsorize_matches_numpy_quantiles(spark, vals, q):
+    """winsorize clamps exactly at numpy's linear-interpolated quantiles
+    (the same arithmetic as Spark exact percentile / DuckDB quantile_cont),
+    rounded to 4 dp; row count and interior values are untouched."""
+    import numpy as np
+
+    from condenser_spark.functions.corpus import winsorize
+
+    lo_q, hi_q = q
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double")
+    out = {r.id: r.v for r in winsorize(df, ["v"], lo_q, hi_q).collect()}
+    lo = round(float(np.quantile(vals, lo_q, method="linear")), 4)
+    hi = round(float(np.quantile(vals, hi_q, method="linear")), 4)
+    for i, v in enumerate(vals):
+        assert out[i] == min(max(float(v), lo), hi)
+
+
+@PROP
+@given(
+    scores=st.lists(st.integers(-100, 100), min_size=1, max_size=50),
+    nb=st.integers(1, 8),
+    shards=st.sampled_from([None, 1, 3, 8]),
+)
+def test_curriculum_buckets_matches_sort_model(spark, scores, nb, shards):
+    """For ANY scores (ties included), any bucket count, and any shard
+    forcing: rank equals the (score, id) sort position and bucket equals
+    ((rank-1)*nb) // n — identical across the naive and distributed routes."""
+    from condenser_spark.functions.corpus import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)], "doc_id long, score long")
+    out = {r.doc_id: (r.rank, r.bucket_id)
+           for r in curriculum_buckets(
+               df, n_buckets=nb, order_col="score",
+               num_shards=shards).collect()}
+    order = sorted(range(len(scores)), key=lambda i: (scores[i], i))
+    n = len(scores)
+    for pos, i in enumerate(order):
+        assert out[i] == (pos + 1, (pos * nb) // n)
+
+
+@PROP
+@given(
+    old=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"),
+                        min_size=0, max_size=15),
+    new=st.dictionaries(st.integers(0, 20), st.sampled_from("abcd"),
+                        min_size=0, max_size=15),
+)
+def test_snapshot_diff_matches_dict_model(spark, old, new):
+    """snapshot_diff equals the plain dict diff for ANY pair of snapshots:
+    added = new-only ids, removed = old-only ids, changed = shared ids with
+    different text, unchanged suppressed."""
+    from condenser_spark.functions.dedup import snapshot_diff
+
+    schema = "doc_id long, text string"
+    old_df = spark.createDataFrame(list(old.items()) or [], schema)
+    new_df = spark.createDataFrame(list(new.items()) or [], schema)
+    got = {r.doc_id: r.status
+           for r in snapshot_diff(old_df, new_df).collect()}
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] != new[i]:
+            want[i] = "changed"
+    assert got == want
