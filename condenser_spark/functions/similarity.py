@@ -703,6 +703,7 @@ def semantic_dup_pairs(
     centroids: list[list[float]] | None = None,
     use_arrow: bool | None = None,
     max_cell_size: int | None = None,
+    cache_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: coarse-cluster the
     embedding space with the IVF quantizer (:func:`ivf_index` — hash-seeded
@@ -728,13 +729,43 @@ def semantic_dup_pairs(
     embeddings travel once into the join, the quadratic work is
     per-cell-local.  The ``centroids=`` override is also the oracle hook:
     in-band literal centroids make assignment + pairing engine-replayable
-    (see goldens_ext)."""
-    idx = ivf_index(
-        df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-        seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
-        use_arrow=use_arrow,
-    )
+    (see goldens_ext).
+
+    ``cache_assignment`` (default OFF, unlike ``minhash_lsh_pairs``'
+    ``cache_band_index`` — the A/B went the other way here): both self-join
+    sides reference the cell-assigned corpus with no shared subplan
+    (plan-read: zero ReusedExchange), so a lazy ``localCheckpoint`` barrier
+    looks attractive — but measured at 205k dim-64 vectors / 1024 cells it
+    was a wash-to-regression across process-isolated runs (110 s bare vs
+    162 s barriered; interleaved same-JVM runs flip the sign, i.e. inside
+    the noise), AND on a default-memory driver the materialized frame's
+    stats steered AQE into a ~100 MB broadcast attempt that killed the job
+    ("Not enough memory to build and broadcast") where the bare plan ran
+    fine.  The double assignment is embarrassingly parallel scan work; the
+    barrier risks a driver-sized hazard to save it.  Turn it on only for
+    corpora whose scan/decode is genuinely the bottleneck — and with driver
+    memory sized for the worst-case broadcast.
+
+    An EMPTY corpus (or one with only NULL/ragged/zero vectors) returns an
+    empty pair frame instead of propagating ``ivf_index``'s seeding error —
+    a dedup operator inside a per-shard loop must tolerate empty shards."""
+    try:
+        idx = ivf_index(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
+            use_arrow=use_arrow,
+        )
+    except ValueError:
+        if centroids is not None:
+            raise  # caller-supplied codebook errors stay loud
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine_sim"),
+        ).filter(F.lit(False))
     assigned = idx.assigned
+    if cache_assignment:
+        assigned = assigned.localCheckpoint(eager=False)
     if max_cell_size is not None:
         w = Window.partitionBy("cell").orderBy(F.col("vec_id").asc())
         capped = assigned.withColumn("_rn", F.row_number().over(w))
@@ -772,6 +803,7 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     use_arrow: bool | None = None,
     max_cell_size: int | None = None,
+    cache_assignment: bool = False,
 ) -> DataFrame:
     """SemDeDup in keep-rows form: the input minus all but the min-id
     representative of every semantic-duplicate cluster (connected
@@ -787,7 +819,7 @@ def semantic_dedup(
         df, threshold=threshold, n_centroids=n_centroids, id_col=id_col,
         vec_col=vec_col, seed=seed, lloyd_iters=lloyd_iters,
         centroids=centroids, use_arrow=use_arrow,
-        max_cell_size=max_cell_size,
+        max_cell_size=max_cell_size, cache_assignment=cache_assignment,
     )
     drop = (
         dup_clusters(pairs)

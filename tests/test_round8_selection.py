@@ -245,3 +245,30 @@ def test_semantic_dedup_null_and_ragged_vectors_kept(spark, source):
     union = emb.unionByName(bad)
     kept = semantic_dedup(union, threshold=0.95, n_centroids=4)
     assert kept.filter("vec_id >= 200000").count() == 2
+
+
+def test_semantic_dup_pairs_empty_corpus_graceful(spark, source):
+    """An empty shard (or all-NULL vectors) yields an empty pair frame with
+    the contract schema instead of ivf_index's seeding ValueError — but a
+    caller-supplied bad codebook still fails loud."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+
+    emb = source["embeddings"]
+    empty = emb.filter("vec_id < 0")
+    pairs = semantic_dup_pairs(empty, threshold=0.95, n_centroids=4)
+    assert pairs.count() == 0
+    assert pairs.columns == ["id_a", "id_b", "cosine_sim"]
+    assert semantic_dedup(empty, n_centroids=4).count() == 0
+
+    nulls = emb.limit(3).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"), "label")
+    assert semantic_dup_pairs(nulls, n_centroids=4).count() == 0
+
+    with pytest.raises(ValueError):
+        semantic_dup_pairs(emb, centroids=[[0.0] * 64])  # zero centroid
