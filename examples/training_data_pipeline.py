@@ -3,8 +3,9 @@ user of the subsetting engine's extension surface actually runs:
 
     quality filter -> exact + near dedup -> benchmark decontamination
     (Bloom-pruned) -> cross-doc boilerplate strip -> domain/language
-    rebalancing (whale caps + temperature mixing) -> global token budget
-    -> deterministic split -> sequence packing
+    rebalancing (whale caps + temperature mixing + fractional-epoch
+    upsampling) -> global token budget -> curriculum bucketing ->
+    deterministic split -> sequence packing
 
 Every stage is a lazy DataFrame transform; one action at the end drives the
 whole plan.  Usage:
@@ -25,6 +26,8 @@ def main() -> int:
 
     from condenser_spark.functions.corpus import (
         cap_per_group,
+        curriculum_buckets,
+        expand_epochs,
         filter_documents,
         hash_split,
         pack_sequences,
@@ -78,7 +81,21 @@ def main() -> int:
     #    for a quality score) until the global token budget is spent
     kept = take_token_budget(kept, budget_tokens=100_000_000)
 
-    # 7. growth-stable md5 split + token-budget packing per split
+    # 7. upsample the scarce high-value languages: fractional epochs —
+    #    de/fr docs recur ~1.5x across the mixture, epoch-tagged; the
+    #    downsampling stages above can only ever cut
+    kept = expand_epochs(kept, {"de": 1.5, "fr": 1.5}, source_col="lang")
+
+    # 8. curriculum: equal-depth buckets over ascending length (n_chars as
+    #    the difficulty proxy) — stage-wise training reads bucket 0 first.
+    #    Epoch replicas share a doc_id, so rank ties break on id: keep the
+    #    (id, epoch) pair distinct for the bucket stage
+    kept = curriculum_buckets(
+        kept.withColumn("doc_id", F.col("doc_id") * 10 + F.col("epoch")),
+        n_buckets=4, order_col="n_chars",
+    )
+
+    # 9. growth-stable md5 split + token-budget packing per split
     split = hash_split(kept, weights={"train": 0.98, "val": 0.01,
                                       "test": 0.01})
     packed = pack_sequences(
