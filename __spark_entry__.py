@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curriculum_buckets",
         "ext_snapshot_diff",
         "ext_semantic_dup_pairs",
+        "ext_hashed_doc_vectors",
+        "ext_knn_label_vote",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -1100,3 +1100,70 @@ def approx_profile(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed bag-of-words document vectors in LONG form:
+    (id, bucket, weight) — the model-free bridge from a text corpus into
+    the embedding-space operators (:func:`semantic_dup_pairs`,
+    ``knn_label_vote``, the ANN family) when no learned embeddings exist.
+    Each token occurrence adds ±1 to bucket ``md5(token) % dim`` (sign from
+    an independent md5 nibble — the signed hashing trick, Weinberger et al.
+    2009, keeps E[collision noise] = 0); weight = the per-(doc, bucket)
+    sum.  Zero-sum buckets still emit their row, so the long form is
+    information-complete for cosine arithmetic downstream.
+
+    md5 (not xxhash64) on both hashes — every engine reproduces bucket and
+    sign bit-for-bit, so the operator carries a full DuckDB value oracle.
+    One explode + one (id, bucket) hash-agg, map-side combined; emitted
+    rows ≤ docs × min(dim, doc_tokens).  Dense-array assembly
+    (:func:`assemble_hashed_vectors`) is a separate in-row step."""
+    tok = F.explode(_norm_tokens(text_col)).alias("tok")
+    rows = (
+        df.select(F.col(id_col).alias("id"), tok)
+        .filter(F.col("tok") != "")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.col("tok")), 9, 1), 16, 10)
+        .cast("int") >= 8,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    return (
+        rows.select(F.col("id"), bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .select(F.col("id").alias(id_col), "bucket", "weight")
+    )
+
+
+def assemble_hashed_vectors(
+    long_df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Densify :func:`hashed_doc_vectors` long form into (id, vec_col
+    array<double>) — the shape the similarity operators consume.  One
+    hash-agg on id collects (bucket, weight) entries; the dense array is an
+    in-row ``transform(sequence(...))`` over a bucket->weight map (absent
+    buckets -> 0.0).  Values are pinned by the long form's oracle; this
+    step is pure engine-side reshaping (pytest-pinned round trip)."""
+    entries = long_df.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "weight"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double"),
+    )
+    return entries.select(F.col(id_col), dense.alias(vec_col))

@@ -827,3 +827,52 @@ def semantic_dedup(
         .select(F.col("id").alias(id_col))
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    weighted: bool = False,
+    neighbors: DataFrame | None = None,
+) -> DataFrame:
+    """kNN label vote over the embedding space: (query_id, predicted_label,
+    votes) — each query adopts the plurality label of its k nearest
+    labeled neighbors.  The classifier-based curation primitive: label a
+    small seed set (quality tiers, topics, languages), let every unlabeled
+    document inherit by embedding proximity.
+
+    ``weighted=False`` counts neighbors; ``weighted=True`` sums their
+    4-dp-rounded cosines (closer neighbors count more) — both vote totals
+    are exact arithmetic with a deterministic (votes DESC, label ASC)
+    winner, so the prediction is engine-reproducible.  ``neighbors``
+    accepts any precomputed (query_id, vec_id, cosine_sim, rank) frame —
+    pass :func:`lsh_bucketed_cosine_topk` / :func:`ivf_query` output to
+    swap the exact O(Q×N) scan for an ANN candidate path at corpus scale;
+    default is the exact :func:`brute_force_cosine_topk`.  The label join
+    ships (id, label) pairs only — one shuffle on id, vectors never travel
+    past the top-k."""
+    if neighbors is None:
+        neighbors = brute_force_cosine_topk(
+            corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col,
+        )
+    labels = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("_label"))
+    vote = F.sum("cosine_sim") if weighted else F.count(F.lit(1))
+    tallied = (
+        neighbors.join(labels, on="vec_id")
+        .groupBy("query_id", "_label")
+        .agg(vote.cast("double").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_label").asc())
+    return (
+        tallied.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_label").alias("predicted_label"), "votes")
+    )

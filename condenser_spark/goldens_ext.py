@@ -2160,3 +2160,88 @@ def ext_semantic_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return semantic_dup_pairs(
         union, threshold=0.95, centroids=cents, use_arrow=False)
+
+
+@golden(
+    "ext_hashed_doc_vectors",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 32
+               AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT)
+                       >= 8
+                  THEN -1 ELSE 1 END AS s
+      FROM toks WHERE tok <> ''
+    )
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def ext_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed feature-hashed bag-of-words vectors (dim=32) in long form —
+    bucket = md5(token) % dim, sign = an independent md5 nibble — the
+    model-free text->embedding bridge; md5 on both hashes makes bucket and
+    sign bit-portable, so DuckDB replays every (doc, bucket, weight) row
+    (condenser_spark/functions/corpus.py:hashed_doc_vectors).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import hashed_doc_vectors
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return hashed_doc_vectors(docs, dim=32)
+
+
+@golden(
+    "ext_knn_label_vote",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 8),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.query_id, c.vec_id, c.label,
+                  ROUND(list_dot_product(qv, cv) /
+                        (sqrt(list_dot_product(qv, qv)) *
+                         sqrt(list_dot_product(cv, cv))), 4) AS cosine_sim
+           FROM c CROSS JOIN q
+         ),
+         topk AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id ASC) AS rn
+             FROM scored
+           ) WHERE rn <= 10
+         ),
+         tallied AS (
+           SELECT query_id, label,
+                  CAST(COUNT(*) AS DOUBLE) AS votes
+           FROM topk GROUP BY query_id, label
+         )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label ASC) AS wrn
+      FROM tallied
+    ) WHERE wrn = 1
+    """,
+)
+def ext_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN plurality label vote (k=10, exact cosine neighbors) for 8 query
+    vectors over the labeled embeddings corpus — the classifier-based
+    curation primitive; deterministic (votes DESC, label ASC) winner, so
+    DuckDB replays the prediction end to end
+    (condenser_spark/functions/similarity.py:knn_label_vote).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.similarity import knn_label_vote
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return knn_label_vote(emb, emb.filter("vec_id < 8"), k=10,
+                          query_id_col="vec_id")

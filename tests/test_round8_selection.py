@@ -272,3 +272,82 @@ def test_semantic_dup_pairs_empty_corpus_graceful(spark, source):
 
     with pytest.raises(ValueError):
         semantic_dup_pairs(emb, centroids=[[0.0] * 64])  # zero centroid
+
+
+# ------------------------------------- hashed doc vectors / knn label vote
+
+def test_hashed_vectors_identical_texts_identical(spark, source):
+    from condenser_spark.functions.corpus import (
+        assemble_hashed_vectors,
+        hashed_doc_vectors,
+    )
+
+    docs = source["documents"]
+    clone = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    dense = assemble_hashed_vectors(
+        hashed_doc_vectors(docs.unionByName(clone), dim=32), dim=32)
+    a = dense.filter("doc_id = 0").first().embedding
+    b = dense.filter("doc_id = 900000").first().embedding
+    assert a == b and len(a) == 32
+    # token-count conservation: sum |weight| <= token occurrences and the
+    # total signed mass equals the sum of per-token signs (no token lost)
+    long_form = hashed_doc_vectors(docs, dim=32)
+    assert long_form.filter("weight IS NULL").count() == 0
+
+
+def test_hashed_vectors_feed_semantic_dedup(spark, source):
+    """End-to-end text -> hashed vectors -> SemDeDup: planted exact text
+    clones must pair at cosine 1.0 through the whole bridge."""
+    from condenser_spark.functions.corpus import (
+        assemble_hashed_vectors,
+        hashed_doc_vectors,
+    )
+    from condenser_spark.functions.similarity import semantic_dup_pairs
+
+    docs = source["documents"]
+    clones = docs.filter("doc_id < 10").select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        "text", "lang", "source", "n_chars")
+    dense = assemble_hashed_vectors(
+        hashed_doc_vectors(docs.unionByName(clones), dim=32), dim=32
+    ).withColumnRenamed("doc_id", "vec_id")
+    pairs = semantic_dup_pairs(dense, threshold=1.0, n_centroids=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 900000) for i in range(10)} <= got
+
+
+def test_knn_label_vote_self_neighbor_and_ann_neighbors(spark, source):
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        knn_label_vote,
+    )
+
+    emb = source["embeddings"]
+    # k=1: the nearest neighbor of a corpus vector is itself -> its own label
+    own = knn_label_vote(emb, emb.filter("vec_id < 5"), k=1,
+                         query_id_col="vec_id")
+    labels = {r.vec_id: r.label for r in emb.filter("vec_id < 5").collect()}
+    assert {r.query_id: r.predicted_label for r in own.collect()} == labels
+    # precomputed-neighbors injection matches the default path
+    nbrs = brute_force_cosine_topk(emb, emb.filter("vec_id < 5"), k=7,
+                                   query_id_col="vec_id")
+    via = knn_label_vote(emb, emb.filter("vec_id < 5"), k=7,
+                         query_id_col="vec_id", neighbors=nbrs)
+    default = knn_label_vote(emb, emb.filter("vec_id < 5"), k=7,
+                             query_id_col="vec_id")
+    assert sorted(map(tuple, via.collect())) == \
+        sorted(map(tuple, default.collect()))
+
+
+def test_knn_label_vote_weighted_deterministic(spark, source):
+    from condenser_spark.functions.similarity import knn_label_vote
+
+    emb = source["embeddings"]
+    w1 = knn_label_vote(emb, emb.filter("vec_id < 8"), k=10,
+                        query_id_col="vec_id", weighted=True)
+    w2 = knn_label_vote(emb, emb.filter("vec_id < 8"), k=10,
+                        query_id_col="vec_id", weighted=True)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    assert w1.count() == 8
