@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_semantic_dup_pairs",
         "ext_hashed_doc_vectors",
         "ext_knn_label_vote",
+        "ext_quality_logit",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -1,0 +1,157 @@
+"""Trainable document-quality filtering — the CCNet/LLaMA-recipe curation
+step the heuristic ``quality_score`` cannot learn: fit a linear classifier on
+a small labeled sample (high-quality reference vs raw web), then score and
+filter the full corpus.
+
+The 100 TB split this module enforces: TRAINING runs MLlib logistic
+regression over feature-hashed vectors on the (small — tens of thousands of
+rows) labeled sample; SCORING never touches MLlib — the fitted weights are
+extracted once and baked into the plan as literals, so the corpus-wide pass
+is a pure scan-level projection (tokenize -> hash -> in-row dot product),
+exactly the IVF-centroid-literal pattern.  The linear score uses only exact
+IEEE double arithmetic in a strict left fold, so it carries a full DuckDB
+value oracle (goldens_ext.ext_quality_logit); the sigmoid probability is
+provided for thresholds but deliberately kept OUT of the oracle (libm exp
+differs across engines in the last ulp).
+
+Features are :func:`condenser_spark.functions.corpus.hashed_doc_vectors`'
+signed md5 hashing — model-free, engine-portable, and shared with the
+semantic-dedup bridge, so one tokenize+hash pass can feed both."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.corpus import (
+    assemble_hashed_vectors,
+    hashed_doc_vectors,
+)
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """A fitted linear quality model: ``dim`` hashed-feature weights + bias.
+    Plain floats — serializable anywhere, appliable by any engine (the
+    scoring contract is just dot(hash_vec, weights) + bias)."""
+
+    weights: list[float]
+    bias: float
+    dim: int
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"weights": self.weights, "bias": self.bias,
+                       "dim": self.dim}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "QualityModel":
+        with open(path) as f:
+            m = json.load(f)
+        return cls(weights=[float(w) for w in m["weights"]],
+                   bias=float(m["bias"]), dim=int(m["dim"]))
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    label_col: str = "quality_label",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    reg_param: float = 1e-4,
+) -> QualityModel:
+    """Fit logistic regression (MLlib, L-BFGS) on the labeled sample:
+    ``label_col`` is 1 for high-quality reference docs, 0 for raw.  The
+    sample is small by contract (a curation pipeline labels thousands, not
+    billions) — the returned :class:`QualityModel` is what scales.
+
+    Weights are rounded to 6 decimals before baking into scoring plans —
+    the same cross-engine literal-rounding convention as the Lloyd
+    centroids (sub-1e-6 weight noise is far below any useful decision
+    boundary)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = assemble_hashed_vectors(
+        hashed_doc_vectors(labeled, dim=dim, text_col=text_col,
+                           id_col=id_col),
+        dim=dim, id_col=id_col, vec_col="_hv",
+    )
+    train = labeled.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("label")
+    ).join(feats, on=id_col).select(
+        array_to_vector(F.col("_hv")).alias("features"), "label")
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            standardization=False)
+    model = lr.fit(train)
+    return QualityModel(
+        weights=[round(float(w), 6) for w in model.coefficients],
+        bias=round(float(model.intercept), 6),
+        dim=dim,
+    )
+
+
+def _logit(vec: Column, model: QualityModel) -> Column:
+    w = F.array(*[F.lit(float(x)) for x in model.weights])
+    dot = F.aggregate(
+        F.zip_with(vec, w, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    return dot + F.lit(float(model.bias))
+
+
+def score_documents(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``quality_logit`` (exact left-fold dot + bias, rounded to 4
+    decimals — the oracle-able column) and ``quality_prob`` (its sigmoid —
+    threshold on either; they are monotone in each other).  Pure
+    projection over one tokenize -> hash -> assemble pass: zero shuffle
+    beyond the per-doc (id, bucket) aggregate, no MLlib, no Python."""
+    feats = assemble_hashed_vectors(
+        hashed_doc_vectors(df, dim=model.dim, text_col=text_col,
+                           id_col=id_col),
+        dim=model.dim, id_col=id_col, vec_col="_hv",
+    )
+    z = F.round(_logit(F.col("_hv"), model), 4)
+    scored = feats.select(
+        F.col(id_col),
+        z.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("quality_prob"),
+    )
+    # empty/whitespace-only docs emit no hashed rows: re-attach them with
+    # the bias-only score instead of silently dropping (fail-visible: a
+    # blank doc gets the model's prior, not a missing row)
+    bias_logit = round(float(model.bias), 4)
+    return df.join(scored, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("quality_logit"), F.lit(bias_logit))
+        .alias("quality_logit"),
+        F.coalesce(
+            F.col("quality_prob"),
+            F.lit(round(1.0 / (1.0 + __import__("math").exp(-bias_logit)), 6)),
+        ).alias("quality_prob"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    model: QualityModel,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents whose model probability >= threshold; original schema
+    (scores dropped — compose with :func:`score_documents` to keep them)."""
+    scored = score_documents(df, model, text_col=text_col, id_col=id_col)
+    return scored.filter(F.col("quality_prob") >= threshold).select(
+        *df.columns)

@@ -2245,3 +2245,78 @@ def ext_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _tables(spark, sf_dir)["embeddings"]
     return knn_label_vote(emb, emb.filter("vec_id < 8"), k=10,
                           query_id_col="vec_id")
+
+
+def _quality_weights(dim: int = 32) -> list[float]:
+    """Deterministic pseudo-random literal weights for the quality-scoring
+    oracle — the stand-in for a trained model's coefficients (training
+    itself is iterative/engine-specific; the SCORING contract is what must
+    be engine-reproducible, exactly like the IVF ``centroids=`` hook)."""
+    import random
+
+    rnd = random.Random(7)
+    return [round(rnd.uniform(-1.0, 1.0), 3) for _ in range(dim)]
+
+
+def _quality_logit_sql(dim: int = 32, bias: float = 0.5) -> str:
+    ws = _quality_weights(dim)
+    values = ", ".join(f"({i}, {w})" for i, w in enumerate(ws))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+               AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {dim}
+               AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT)
+                       >= 8
+                  THEN -1 ELSE 1 END AS s
+      FROM toks WHERE tok <> ''
+    ),
+    g AS (
+      SELECT doc_id, bucket, CAST(SUM(s) AS DOUBLE) AS weight
+      FROM h GROUP BY doc_id, bucket
+    ),
+    wt(bucket, w) AS (VALUES {values}),
+    ordered AS (
+      -- both lists ordered by bucket: list_dot_product's sequential loop
+      -- then reproduces Spark's ascending-bucket left fold exactly (the
+      -- skipped zero-weight buckets contribute exact +0.0 on both sides)
+      SELECT g.doc_id,
+             list(g.weight ORDER BY g.bucket) AS ws,
+             list(wt.w ORDER BY g.bucket) AS cs
+      FROM g JOIN wt ON wt.bucket = g.bucket
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(list_dot_product(o.ws, o.cs), 0.0) + {bias}, 4)
+             AS quality_logit
+    FROM documents d LEFT JOIN ordered o ON o.doc_id = d.doc_id
+    """
+
+
+@golden("ext_quality_logit", _quality_logit_sql())
+def ext_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality scoring under the FULL value oracle: literal model
+    weights (the trained-model stand-in — training is iterative MLlib,
+    pytest-pinned; SCORING is the corpus-scale contract) dot the signed
+    md5-hashed document vectors in a strict ascending-bucket fold, + bias,
+    rounded to 4 dp.  The sigmoid probability column is deliberately
+    excluded (libm exp differs across engines in the last ulp); the logit
+    is exact double arithmetic end to end
+    (condenser_spark/functions/quality.py:score_documents).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    model = QualityModel(weights=_quality_weights(32), bias=0.5, dim=32)
+    return score_documents(docs, model).select("doc_id", "quality_logit")

@@ -1,0 +1,96 @@
+"""Trainable quality filtering (functions/quality.py) — the scoring path's
+value-level correctness is pinned by the DuckDB oracle (ext_quality_logit);
+these pin the train -> score -> filter loop and the model contract."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _labeled_corpus(spark, n=400, seed=7):
+    rnd = random.Random(seed)
+    good = [f"good{i}" for i in range(50)]
+    bad = [f"junk{i}" for i in range(50)]
+    rows = []
+    for i in range(n):
+        label = i % 2
+        vocab = good if label else bad
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(30)), label))
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "quality_label int")
+
+
+def test_train_score_filter_separable(spark):
+    from condenser_spark.functions.quality import (
+        quality_filter,
+        score_documents,
+        train_quality_model,
+    )
+
+    df = _labeled_corpus(spark)
+    train, test = df.filter("doc_id % 5 != 0"), df.filter("doc_id % 5 == 0")
+    model = train_quality_model(train, dim=64)
+    assert len(model.weights) == 64
+
+    scored = score_documents(test, model)
+    acc = (
+        scored.withColumn("pred", (F.col("quality_prob") >= 0.5).cast("int"))
+        .filter("pred = quality_label").count() / test.count()
+    )
+    assert acc >= 0.95  # trivially separable vocab must separate
+
+    kept = quality_filter(test, model, threshold=0.5)
+    assert kept.columns == test.columns  # scores dropped, schema preserved
+    assert kept.filter("quality_label = 0").count() <= test.count() * 0.05
+
+
+def test_quality_model_save_load_identical_scores(spark, tmp_path):
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+        train_quality_model,
+    )
+
+    df = _labeled_corpus(spark, n=100)
+    model = train_quality_model(df, dim=32)
+    p = str(tmp_path / "model.json")
+    model.save(p)
+    loaded = QualityModel.load(p)
+    assert loaded == model  # frozen dataclass equality: weights, bias, dim
+    a = sorted(map(tuple, score_documents(df, model)
+                   .select("doc_id", "quality_logit").collect()))
+    b = sorted(map(tuple, score_documents(df, loaded)
+                   .select("doc_id", "quality_logit").collect()))
+    assert a == b
+
+
+def test_score_documents_empty_text_gets_prior(spark):
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+    )
+
+    model = QualityModel(weights=[0.5] * 8, bias=-1.0, dim=8)
+    df = spark.createDataFrame(
+        [(0, "some real text here"), (1, "   "), (2, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.quality_logit for r in score_documents(df, model)
+           .collect()}
+    assert set(out) == {0, 1, 2}  # blank docs are scored, not dropped
+    assert out[1] == out[2] == -1.0  # bias-only prior
+
+
+def test_score_documents_monotone_logit_prob(spark):
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+    )
+
+    model = QualityModel(weights=[1.0] * 8, bias=0.0, dim=8)
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(12)],
+        "doc_id long, text string")
+    rows = score_documents(df, model).collect()
+    by_logit = sorted(rows, key=lambda r: r.quality_logit)
+    probs = [r.quality_prob for r in by_logit]
+    assert probs == sorted(probs)  # sigmoid preserves logit order
