@@ -155,3 +155,64 @@ def quality_filter(
     scored = score_documents(df, model, text_col=text_col, id_col=id_col)
     return scored.filter(F.col("quality_prob") >= threshold).select(
         *df.columns)
+
+
+def _hashed_vec_inrow(text_col: str, dim: int) -> Column:
+    """Dense signed-hash vector computed entirely IN-ROW (no explode, no
+    aggregate): per-token (bucket, sign) structs via the same md5 hashes as
+    ``hashed_doc_vectors``, folded into a dim-slot array with higher-order
+    functions.  Integer per-bucket sums are order-free, so the result is
+    element-for-element equal to the batch assemble path (parity-pinned).
+
+    O(dim × tokens) interpreted expression work per row — fine for
+    stream-rate scoring, wasteful for a 100 TB batch pass (use the
+    exploded hash-agg there)."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "),
+        lambda t: t != "",
+    )
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+                F.lit(dim),
+            ).alias("b"),
+            F.when(
+                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("int") >= 8,
+                F.lit(-1),
+            ).otherwise(F.lit(1)).alias("s"),
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            pairs, F.lit(0),
+            lambda acc, p: acc + F.when(p["b"] == i, p["s"]).otherwise(0),
+        ).cast("double"),
+    )
+
+
+def score_documents_stateless(
+    df: DataFrame,
+    model: QualityModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`score_documents` as a PURE per-row projection — no explode,
+    no aggregate, no join — so it applies unchanged to a Structured
+    Streaming source (stateless map-side scoring, the same pattern as
+    ``decontaminate_stream``): readStream -> score -> filter -> writeStream
+    with no watermark and no state store.  Logits and probabilities are
+    identical to the batch scorer (parity-pinned: per-bucket integer sums
+    are order-free, then the same left-fold dot).  Batch callers at corpus
+    scale should prefer :func:`score_documents` — the exploded hash-agg
+    beats O(dim × tokens) in-row expression work there."""
+    z = F.round(_logit(_hashed_vec_inrow(text_col, model.dim), model), 4)
+    return df.select(
+        *df.columns,
+        z.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        .alias("quality_prob"),
+    )

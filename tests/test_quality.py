@@ -94,3 +94,36 @@ def test_score_documents_monotone_logit_prob(spark):
     by_logit = sorted(rows, key=lambda r: r.quality_logit)
     probs = [r.quality_prob for r in by_logit]
     assert probs == sorted(probs)  # sigmoid preserves logit order
+
+
+def test_stateless_scorer_matches_batch_and_runs_on_stream(spark, tmp_path):
+    """score_documents_stateless is logit-identical to the batch scorer on
+    the same data, and applies unchanged to a file stream (pure stateless
+    projection: no watermark, no state)."""
+    from condenser_spark.functions.quality import (
+        score_documents,
+        score_documents_stateless,
+        train_quality_model,
+    )
+
+    df = _labeled_corpus(spark, n=120)
+    model = train_quality_model(df, dim=32)
+    batch = sorted(map(tuple, score_documents(df, model)
+                       .select("doc_id", "quality_logit").collect()))
+    stateless = sorted(map(tuple, score_documents_stateless(df, model)
+                           .select("doc_id", "quality_logit").collect()))
+    assert batch == stateless
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    scored = score_documents_stateless(stream, model)
+    q = (scored.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("doc_id", "quality_logit").collect()))
+    assert got == batch
