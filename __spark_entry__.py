@@ -58,9 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
     # oracle by nature, last driver-recorded green in round 4) take in-cap
     # slots for fresh recorded signal.  To make room, twenty-one oracle
-    # goldens sit past the cap: every one keeps the IDENTICAL DuckDB row/
-    # column/
-    # value comparison on every pytest run via
+    # goldens sit past the cap: every one keeps the IDENTICAL DuckDB
+    # row/column/value comparison on every pytest run via
     # tests/test_overflow_oracles.py (which checks list(queries())[50:]
     # dynamically), and the four newly rotated-out §2 rows (p2, p4, j1, j4)
     # are additionally exercised inside the hash-matched middle_out_*
