@@ -1167,3 +1167,38 @@ def assemble_hashed_vectors(
         lambda i: F.coalesce(F.col("_m")[i], F.lit(0)).cast("double"),
     )
     return entries.select(F.col(id_col), dense.alias(vec_col))
+
+
+def mixture_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-composition report: (group, n_docs, n_tokens, doc_share,
+    token_share), shares rounded to 6 decimals — the one-look answer to
+    "what is actually in this mixture" that every weighting decision
+    (:func:`weighted_mix`, :func:`temperature_mix`, :func:`expand_epochs`)
+    starts from, and the artifact to diff across pipeline stages (run it
+    before and after a filter to see exactly which groups paid).
+
+    One map-side-combined aggregate over (group); the corpus totals join
+    back as a broadcast scalar — group count rows never leave the
+    executors un-aggregated.  Token counts are the engine-wide whitespace
+    ``token_count`` (identical to every packing/budget operator, so shares
+    here predict budget behavior downstream)."""
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            group_col, "n_docs", "n_tokens",
+            F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+            F.round(F.col("n_tokens") / F.col("_tt"), 6)
+            .alias("token_share"),
+        )
+    )

@@ -2320,3 +2320,35 @@ def ext_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     model = QualityModel(weights=_quality_weights(32), bias=0.5, dim=32)
     return score_documents(docs, model).select("doc_id", "quality_logit")
+
+
+@golden(
+    "ext_mixture_report",
+    r"""
+    WITH per AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> ''))) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+    SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(n_docs / CAST(td AS DOUBLE), 6) AS doc_share,
+           ROUND(n_tokens / CAST(tt AS DOUBLE), 6) AS token_share
+    FROM per CROSS JOIN t
+    """,
+)
+def ext_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report per language: doc and whitespace-token
+    counts with rounded shares — the starting artifact for every mixture
+    decision (condenser_spark/functions/corpus.py:mixture_report).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import mixture_report
+
+    docs = _tables(spark, sf_dir)["documents"]
+    out = mixture_report(docs, group_col="lang")
+    return out.select("lang", "n_docs",
+                      F.col("n_tokens").cast("long").alias("n_tokens"),
+                      "doc_share", "token_share")

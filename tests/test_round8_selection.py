@@ -351,3 +351,15 @@ def test_knn_label_vote_weighted_deterministic(spark, source):
                         query_id_col="vec_id", weighted=True)
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
     assert w1.count() == 8
+
+
+def test_mixture_report_shares_sum_to_one(spark, source):
+    from condenser_spark.functions.corpus import mixture_report
+
+    docs = source["documents"]
+    rep = mixture_report(docs, group_col="lang").collect()
+    assert {r.lang for r in rep} == \
+        {r.lang for r in docs.select("lang").distinct().collect()}
+    assert abs(sum(r.doc_share for r in rep) - 1.0) < 1e-4
+    assert abs(sum(r.token_share for r in rep) - 1.0) < 1e-4
+    assert sum(r.n_docs for r in rep) == docs.count()
