@@ -1,0 +1,84 @@
+"""Trainable quality filtering, end to end on the documents fixture — the
+CCNet-recipe loop with the 100 TB division of labor made explicit:
+
+1. WEAK-LABEL a small sample in-band: the heuristic ``quality_score`` marks
+   its top/bottom quartiles as reference/raw (in a real pipeline the
+   positives are a curated corpus — wiki/books — and the negatives raw
+   crawl; the mechanics are identical).
+2. TRAIN MLlib logistic regression on that sample over signed feature-hashed
+   vectors (driver-cheap: thousands of rows).
+3. SCORE the full corpus with the fitted weights baked into the plan as
+   literals — a pure scan-level projection, no MLlib, no Python.
+4. FILTER at a probability threshold and diff the mixture before/after so
+   the cost per language is visible.
+
+Usage:  python examples/quality_filter_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import mixture_report
+    from condenser_spark.functions.quality import (
+        quality_filter,
+        score_documents,
+        train_quality_model,
+    )
+    from condenser_spark.functions.text import quality_score
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("quality-filter-pipeline")
+    docs = load_source_tables(spark, sf_dir, tables=["documents"])["documents"]
+
+    # 1. weak labels from the heuristic's quartiles (sampled, driver-small)
+    scored_heur = docs.withColumn("_h", quality_score(F.col("text")))
+    q = scored_heur.agg(
+        F.percentile(F.col("_h"), F.lit(0.25)).alias("lo"),
+        F.percentile(F.col("_h"), F.lit(0.75)).alias("hi"),
+    ).first()
+    labeled = (
+        scored_heur.filter((F.col("_h") <= q.lo) | (F.col("_h") >= q.hi))
+        .withColumn("quality_label",
+                    (F.col("_h") >= q.hi).cast("int"))
+        .drop("_h")
+    )
+
+    # 2. train on the labeled sample; 3. score the corpus plan-literal
+    model = train_quality_model(labeled, dim=128)
+    corpus_scored = score_documents(docs, model)
+
+    # 4. filter + before/after mixture diff
+    kept = quality_filter(docs, model, threshold=0.5)
+    before = {r.lang: r.doc_share
+              for r in mixture_report(docs, "lang").collect()}
+    after = {r.lang: r.doc_share
+             for r in mixture_report(kept, "lang").collect()}
+
+    n0, n1 = docs.count(), kept.count()
+    print(f"corpus docs:     {n0} -> kept {n1} "
+          f"({100.0 * n1 / n0:.1f}% past threshold)")
+    stats = corpus_scored.agg(
+        F.round(F.min("quality_prob"), 3).alias("mn"),
+        F.round(F.avg("quality_prob"), 3).alias("av"),
+        F.round(F.max("quality_prob"), 3).alias("mx"),
+    ).first()
+    print(f"prob range:      min {stats.mn}  avg {stats.av}  max {stats.mx}")
+    for lang in sorted(before):
+        print(f"share[{lang}]:  {before[lang]:.4f} -> "
+              f"{after.get(lang, 0.0):.4f}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
