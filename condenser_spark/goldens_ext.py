@@ -2260,7 +2260,8 @@ def _quality_weights(dim: int = 32) -> list[float]:
 
 def _quality_logit_sql(dim: int = 32, bias: float = 0.5) -> str:
     ws = _quality_weights(dim)
-    values = ", ".join(f"({i}, {w})" for i, w in enumerate(ws))
+    values = ", ".join(
+        f"({i}, {int(round(w * 1_000_000))})" for i, w in enumerate(ws))
     return rf"""
     WITH toks AS (
       SELECT doc_id,
@@ -2278,25 +2279,17 @@ def _quality_logit_sql(dim: int = 32, bias: float = 0.5) -> str:
                   THEN -1 ELSE 1 END AS s
       FROM toks WHERE tok <> ''
     ),
-    g AS (
-      SELECT doc_id, bucket, CAST(SUM(s) AS DOUBLE) AS weight
-      FROM h GROUP BY doc_id, bucket
-    ),
-    wt(bucket, w) AS (VALUES {values}),
-    ordered AS (
-      -- both lists ordered by bucket: list_dot_product's sequential loop
-      -- then reproduces Spark's ascending-bucket left fold exactly (the
-      -- skipped zero-weight buckets contribute exact +0.0 on both sides)
-      SELECT g.doc_id,
-             list(g.weight ORDER BY g.bucket) AS ws,
-             list(wt.w ORDER BY g.bucket) AS cs
-      FROM g JOIN wt ON wt.bucket = g.bucket
-      GROUP BY g.doc_id
+    wt(bucket, w6) AS (VALUES {values}),
+    per AS (
+      -- scaled-integer contributions sum ORDER-FREE and exactly: no
+      -- ordered fold needed for cross-engine bit equality
+      SELECT h.doc_id, SUM(h.s * wt.w6) AS z6
+      FROM h JOIN wt ON wt.bucket = h.bucket
+      GROUP BY h.doc_id
     )
     SELECT d.doc_id,
-           ROUND(COALESCE(list_dot_product(o.ws, o.cs), 0.0) + {bias}, 4)
-             AS quality_logit
-    FROM documents d LEFT JOIN ordered o ON o.doc_id = d.doc_id
+           ROUND(COALESCE(p.z6, 0) / 1000000.0 + {bias}, 4) AS quality_logit
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     """
 
 

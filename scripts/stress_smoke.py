@@ -518,6 +518,51 @@ def stage_semantic_dedup(spark, n_vecs: int = 200_000,
     }
 
 
+def stage_quality_score(spark, n_docs: int) -> dict:
+    """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
+    pass a trained QualityModel actually runs — tokenize -> signed md5 hash
+    -> (id, bucket) agg -> literal-weight fold.  No MLlib, no Python; the
+    wall is the scan + one map-side-combined aggregate."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+    )
+
+    path = f"{WORK}/documents"
+    if not os.path.exists(path):
+        t0 = time.time()
+        build_docs(spark, path, n_docs)
+        print(f"  built {n_docs} docs in {time.time() - t0:.0f}s",
+              file=sys.stderr)
+    docs = spark.read.parquet(path)
+    import random
+
+    rnd = random.Random(7)
+    model = QualityModel(
+        weights=[round(rnd.uniform(-1.0, 1.0), 3) for _ in range(64)],
+        bias=0.5, dim=64,
+    )
+    t0 = time.time()
+    scored = score_documents(docs, model)
+    # sum the logit, not a null-count: coalesce(logit, bias) is provably
+    # non-null, so a null-count assertion constant-folds and the "timed"
+    # plan would skip the entire scoring pipeline
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("quality_logit").alias("s"),
+    ).first()
+    wall = time.time() - t0
+    assert stats.n == docs.count() and stats.s is not None, stats
+    return {
+        "stage": "quality_score_5m",
+        "n_docs": int(stats.n),
+        "logit_sum": round(float(stats.s), 1),
+        "wall_sec": round(wall, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -536,6 +581,7 @@ def main() -> int:
         "skew": lambda: stage_skewed_middle_out(spark),
         "global_rank": lambda: stage_global_rank(spark),
         "semantic_dedup": lambda: stage_semantic_dedup(spark),
+        "quality_score": lambda: stage_quality_score(spark, n_docs),
     }
     for name, stage in stages.items():
         if only and name not in only:
