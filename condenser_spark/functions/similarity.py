@@ -876,3 +876,76 @@ def knn_label_vote(
         .filter(F.col("_rn") == 1)
         .select("query_id", F.col("_label").alias("predicted_label"), "votes")
     )
+
+
+def rp_project(
+    df: DataFrame,
+    out_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 42,
+    use_arrow: bool | None = None,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Gaussian random-projection dimensionality reduction
+    (Johnson-Lindenstrauss): ``out[j] = round(dot(vec, plane_j) * s, 6)``
+    with ``s = 1/sqrt(out_dim)``, planes seeded Gaussian — the standard
+    preprocessing that takes production-width embeddings (768+) down to the
+    widths where the ANN family (SRP buckets, IVF cells, SemDeDup) is
+    cheapest, with pairwise distances preserved to JL tolerance.
+
+    Output: (id, out_col array<double>) — feed straight into
+    ``ivf_index``/``semantic_dup_pairs``/``lsh_bucketed_cosine_topk``.
+    NULL/ragged rows are dropped at the entry filter (they could never be
+    scored downstream anyway); components round to 6 dp (projection noise
+    floor, far below JL distortion).
+
+    Engine split, same as SRP bucketing: ``use_arrow=None`` auto-picks a
+    numpy/BLAS batch matmul past 256 expression terms (out_dim x in_dim),
+    the oracle/golden path forces plain left-fold Catalyst expressions
+    (``use_arrow=False``) whose IEEE operation order DuckDB's sequential
+    ``list_dot_product`` replays bit-for-bit.  ``planes`` overrides seeding
+    (caller-supplied or cross-run-pinned projections)."""
+    v = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    if planes is None:
+        first = v.select(F.size("_v").alias("n")).first()
+        if first is None:
+            return v.select(F.col(id_col),
+                            F.col("_v").alias(out_col)).filter(F.lit(False))
+        in_dim = first.n
+        planes = _hyperplanes(in_dim, out_dim, 1, seed)[0]
+    else:
+        in_dim = len(planes[0])
+        out_dim = len(planes)
+    v = v.filter(F.size("_v") == in_dim)
+    scale = 1.0 / (out_dim ** 0.5)
+    if use_arrow is None:
+        use_arrow = out_dim * in_dim > 256
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        P = np.asarray(planes, dtype=np.float64)  # (out_dim, in_dim)
+
+        def project(vecs):
+            V = np.asarray(vecs.tolist(), dtype=np.float64)
+            out = np.round((V @ P.T) * scale, 6)
+            return pd.Series(list(out))
+
+        project.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        udf = pandas_udf(project, ArrayType(DoubleType()))
+        return v.select(F.col(id_col), udf("_v").alias(out_col))
+    comps = []
+    for plane in planes:
+        proj = None
+        for d, comp in enumerate(plane):
+            term = F.element_at(F.col("_v"), d + 1) * F.lit(comp)
+            proj = term if proj is None else proj + term
+        comps.append(F.round(proj * F.lit(scale), 6))
+    return v.select(F.col(id_col), F.array(*comps).alias(out_col))

@@ -2345,3 +2345,49 @@ def ext_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "n_docs",
                       F.col("n_tokens").cast("long").alias("n_tokens"),
                       "doc_share", "token_share")
+
+
+def _rp_project_oracle_sql(in_dim: int = 64, out_dim: int = 8,
+                           seed: int = 42) -> str:
+    from condenser_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(in_dim, out_dim, 1, seed)[0]
+    scale = repr(1.0 / (out_dim ** 0.5))
+    branches = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(c) for c in plane)
+        branches.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS component,\n"
+            f"       ROUND(list_dot_product(e, [{lits}]) * {scale}, 6)"
+            f" AS value FROM v"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {in_dim}
+    )
+    {union}
+    """
+
+
+@golden("ext_rp_project", _rp_project_oracle_sql())
+def ext_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> 8) under the FULL
+    value oracle, exploded to (vec_id, component, value) long form: the
+    golden forces the left-fold expression path (``use_arrow=False``) whose
+    IEEE operation order DuckDB's sequential ``list_dot_product`` replays
+    with the identical seeded plane literals; production widths auto-pick
+    the numpy/BLAS kernel, parity-pinned in pytest
+    (condenser_spark/functions/similarity.py:rp_project).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.similarity import rp_project
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    out = rp_project(emb, out_dim=8, use_arrow=False)
+    return out.select(
+        "vec_id",
+        F.posexplode("projected").alias("component", "value"),
+    ).select("vec_id", F.col("component").cast("long").alias("component"),
+             "value")

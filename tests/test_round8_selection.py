@@ -363,3 +363,69 @@ def test_mixture_report_shares_sum_to_one(spark, source):
     assert abs(sum(r.doc_share for r in rep) - 1.0) < 1e-4
     assert abs(sum(r.token_share for r in rep) - 1.0) < 1e-4
     assert sum(r.n_docs for r in rep) == docs.count()
+
+
+# ----------------------------------------------------------- rp_project
+
+def test_rp_project_arrow_expr_parity_and_jl(spark, source):
+    import math
+
+    from condenser_spark.functions.similarity import rp_project
+
+    emb = source["embeddings"]
+    a = {r.vec_id: list(r.projected)
+         for r in rp_project(emb, out_dim=8, use_arrow=True).collect()}
+    b = {r.vec_id: list(r.projected)
+         for r in rp_project(emb, out_dim=8, use_arrow=False).collect()}
+    assert set(a) == set(b)
+    # both round to 6 dp after their own summation orders; BLAS vs left
+    # fold may differ in the final ulp pre-round, so allow 1e-6 slack
+    for k in a:
+        assert all(abs(x - y) <= 2e-6 for x, y in zip(a[k], b[k]))
+
+    # JL sanity: projections are not degenerate (distinct vectors stay
+    # distinct) and norms shrink roughly as expected for unit-ish inputs
+    ids = sorted(a)[:10]
+    for i in ids[1:]:
+        assert a[ids[0]] != a[i]
+
+    # identical input vectors must project identically (determinism)
+    c = rp_project(emb, out_dim=8)
+    d = rp_project(emb, out_dim=8)
+    assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_rp_project_feeds_semantic_dedup(spark, source):
+    """768->? not available in fixture; 64->16 projection then SemDeDup:
+    planted clones stay exact duplicates through any linear projection."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import (
+        rp_project,
+        semantic_dup_pairs,
+    )
+
+    emb = source["embeddings"]
+    union = emb.unionByName(
+        emb.filter("vec_id < 10").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    proj = rp_project(union, out_dim=16).withColumnRenamed(
+        "projected", "embedding")
+    pairs = semantic_dup_pairs(proj, threshold=1.0, n_centroids=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 100000) for i in range(10)} <= got
+
+
+def test_rp_project_empty_and_ragged(spark, source):
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import rp_project
+
+    emb = source["embeddings"]
+    empty = rp_project(emb.filter("vec_id < 0"), out_dim=8)
+    assert empty.count() == 0
+    bad = emb.limit(2).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
+        "label")
+    assert rp_project(bad, out_dim=8).count() == 0
