@@ -1,0 +1,94 @@
+"""Real-BPE train/encode (functions/bpe.py) — no SQL oracle possible
+(iterative per-word merge state); pinned against the reference pure-Python
+merge loop and by reconstruction/conservation properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quicker browner foxes jumped over lazy dogs"),
+        (2, "low lower lowest lowly low low low"),
+        (3, "new newer newest newly new new"),
+        (4, "the the the low new quick"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_encode_matches_reference_loop(spark):
+    from condenser_spark.functions.bpe import (
+        bpe_encode_word,
+        encode_bpe,
+        train_bpe,
+    )
+
+    docs = _corpus(spark)
+    merges = train_bpe(docs, n_merges=50)
+    assert merges and all(isinstance(p, tuple) and len(p) == 2
+                          for p in merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = {r.doc_id: list(r.bpe_tokens)
+           for r in encode_bpe(docs, merges).collect()}
+    for r in docs.collect():
+        want = []
+        for w in r.text.lower().split():
+            want += bpe_encode_word(w, ranks)
+        assert out[r.doc_id] == want, r.doc_id
+
+
+def test_encode_reconstructs_text(spark):
+    """Concatenating a doc's BPE tokens and stripping the end-of-word
+    sentinels must reproduce its normalized text — no token lost, none
+    invented, order preserved through the position-sorted reassembly."""
+    from condenser_spark.functions.bpe import END, encode_bpe, train_bpe
+
+    docs = _corpus(spark)
+    merges = train_bpe(docs, n_merges=30)
+    out = {r.doc_id: list(r.bpe_tokens)
+           for r in encode_bpe(docs, merges).collect()}
+    for r in docs.collect():
+        rebuilt = "".join(out[r.doc_id]).replace(END, " ").strip()
+        assert rebuilt == " ".join(r.text.lower().split())
+
+
+def test_encode_empty_doc_and_no_merges(spark):
+    from condenser_spark.functions.bpe import encode_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "ab"), (1, "   "), (2, "")], "doc_id long, text string")
+    out = {r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+           for r in encode_bpe(docs, []).collect()}
+    assert out[0] == (["a", "b", "</w>"], 3)  # no merges: raw chars + END
+    assert out[1] == ([], 0)
+    assert out[2] == ([], 0)
+
+
+def test_train_vocab_guard(spark, monkeypatch):
+    import condenser_spark.functions.bpe as bpe_mod
+
+    docs = _corpus(spark)
+    monkeypatch.setattr(bpe_mod, "MAX_TRAIN_VOCAB", 3)
+    with pytest.raises(ValueError, match="MAX_TRAIN_VOCAB"):
+        bpe_mod.train_bpe(docs, n_merges=5)
+
+
+def test_bpe_token_counts_bounded_by_chars(spark):
+    from condenser_spark.functions.bpe import encode_bpe, train_bpe
+
+    docs = _corpus(spark)
+    merges = train_bpe(docs, n_merges=40)
+    out = encode_bpe(docs, merges)
+    joined = out.join(docs, "doc_id").select(
+        "doc_id", "n_bpe_tokens",
+        F.length(F.regexp_replace(F.lower(F.trim("text")),
+                                  r"\s+", " ")).alias("n_chars"),
+    )
+    # merges only ever shrink the sequence: tokens <= chars + words (END
+    # sentinels), and a doc with text always has at least one token
+    bad = joined.filter(
+        (F.col("n_bpe_tokens") > F.col("n_chars") + 20)
+        | ((F.col("n_chars") > 0) & (F.col("n_bpe_tokens") == 0))
+    )
+    assert bad.count() == 0
