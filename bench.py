@@ -268,6 +268,34 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("snapshot_diff",
           lambda: snapshot_diff(docs, new_snapshot).count())
 
+    from condenser_spark.functions.quality import (
+        QualityModel,
+        score_documents,
+    )
+    from condenser_spark.functions.similarity import (
+        knn_label_vote,
+        rp_project,
+    )
+
+    # round-8 late additions: plan-literal quality scoring (stand-in
+    # weights — the corpus pass is identical for any trained model), kNN
+    # label vote over exact neighbors, JL projection (Arrow kernel)
+    import random as _random
+
+    _rnd = _random.Random(7)
+    _qm = QualityModel(
+        weights=[round(_rnd.uniform(-1.0, 1.0), 6) for _ in range(256)],
+        bias=0.5, dim=256,
+    )
+    timed("quality_score",
+          lambda: score_documents(docs, _qm)
+          .agg(F.sum("quality_logit")).collect())
+    timed("knn_label_vote",
+          lambda: knn_label_vote(emb, queries, k=10,
+                                 query_id_col="vec_id").count())
+    timed("rp_project",
+          lambda: rp_project(emb, out_dim=16).count())
+
     return timings, noise
 
 
