@@ -52,12 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import ORACLES, QUERIES
 
-    # The driver evaluates at most the first 50 entries; 73 goldens are
-    # registered (69 full-oracle + 4 rows-only).  Round-8 rotation: the 4
+    # The driver evaluates at most the first 50 entries; 74 goldens are
+    # registered (70 full-oracle + 4 rows-only).  Round-8 rotation: the 4
     # rows-only goldens (ext_approx_profile, p3_bernoulli_sample_rows,
     # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
     # oracle by nature, last driver-recorded green in round 4) take in-cap
-    # slots for fresh recorded signal.  To make room, twenty-three oracle
+    # slots for fresh recorded signal.  To make room, twenty-four oracle
     # goldens sit past the cap: every one keeps the IDENTICAL DuckDB
     # row/column/value comparison on every pytest run via
     # tests/test_overflow_oracles.py (which checks list(queries())[50:]
@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_quality_logit",
         "ext_mixture_report",
         "ext_rp_project",
+        "ext_lm_logprob",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

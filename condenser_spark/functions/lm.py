@@ -1,0 +1,131 @@
+"""Unigram language-model scoring — the perplexity-style quality signal of
+the CCNet recipe: train a token distribution on a REFERENCE corpus
+(wiki/books), score candidate documents by their mean token log-probability,
+and filter or bucket on it (fluent text scores high, boilerplate/gibberish
+low).  A unigram model is deliberately chosen over higher orders: it is the
+distributed-aggregate-friendly member of the family (one (term, count) agg),
+it already separates quality tiers well in practice, and every step stays
+SQL-expressible for the oracle.
+
+Cross-engine exactness, same trick as the quality scorer: per-term
+log-probabilities are rounded and SCALED TO INTEGERS (x 1e4) at training
+time, so per-document sums are order-free and exact; only the final
+mean/rounding touches floats.  (``ln`` itself can differ in the last ulp
+across engines — at 1e-4 scaling a rounding flip needs a knife-edge ~1e-12
+from the boundary; the tfidf oracle has run the same ln-then-round contract
+green since round 3.)"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: Reserved OOV row key in the LM table ("\x00" cannot appear in a
+#: whitespace token stream).
+OOV_TERM = "\x00oov"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str | None = None):
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(
+        *cols,
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+", " "), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def train_unigram_lm(
+    df: DataFrame,
+    vocab_size: int = 32_768,
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, logp4) unigram model: the top ``vocab_size`` terms by corpus
+    count (ties broken by term — deterministic in any engine), Laplace-
+    smoothed, ``logp4 = round(ln((c+1)/(N+V+1)) * 1e4)`` as an exact
+    integer; one extra ``OOV_TERM`` row carries
+    ``round(ln(1/(N+V+1)) * 1e4)`` for everything outside the vocabulary.
+
+    One map-side-combined count aggregate + a distributed TakeOrdered for
+    the top-V (never a global sort); N and V fold in as broadcast scalars.
+    The returned frame is ``vocab_size + 1`` rows — broadcast it into every
+    scoring join."""
+    counts = (
+        _tokens(df, text_col).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()) \
+        .limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # V = min(vocab_size, n_terms) actually kept + 1 for the OOV bucket
+    vocab = top.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            F.log((F.col("c") + 1)
+                  / (F.col("n_total")
+                     + F.least(F.lit(vocab_size), F.col("n_terms"))
+                     + F.lit(1)))
+            * F.lit(10_000.0)
+        ).cast("long").alias("logp4"),
+    )
+    oov = totals.select(
+        F.lit(OOV_TERM).alias("term"),
+        F.round(
+            F.log(F.lit(1.0)
+                  / (F.col("n_total")
+                     + F.least(F.lit(vocab_size), F.col("n_terms"))
+                     + F.lit(1)))
+            * F.lit(10_000.0)
+        ).cast("long").alias("logp4"),
+    )
+    return vocab.unionByName(oov)
+
+
+def lm_score_documents(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``lm_logprob`` — the mean per-token natural log-probability
+    under ``lm`` (a :func:`train_unigram_lm` frame), rounded to 4 decimals;
+    higher is more reference-like.  Empty docs score the OOV log-prob (the
+    model's floor) rather than dropping.
+
+    Scale shape: tokenize -> broadcast-join the (vocab+1)-row LM table ->
+    one map-side-combined integer sum + count per doc -> join the 16-byte
+    scores back.  The integer sum is order-free exact, so results are
+    bit-reproducible across partitionings and engines."""
+    oov_row = lm.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("lm_score_documents: lm frame has no OOV row — "
+                         "build it with train_unigram_lm")
+    oov4 = int(oov_row.logp4)
+    toks = _tokens(df, text_col, id_col)
+    per = (
+        toks.join(F.broadcast(lm.filter(F.col("term") != OOV_TERM)),
+                  on="term", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("logp4"), F.lit(oov4))).alias("_s4"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4)
+            .alias("lm_logprob"),
+        )
+    )
+    floor = round(oov4 / 10_000.0, 4)
+    return df.join(per, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("lm_logprob"), F.lit(floor)).alias("lm_logprob"),
+    )

@@ -2391,3 +2391,61 @@ def ext_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("projected").alias("component", "value"),
     ).select("vec_id", F.col("component").cast("long").alias("component"),
              "value")
+
+
+@golden(
+    "ext_lm_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS n_terms FROM counts),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT 16),
+    vocab AS (
+      SELECT term,
+             CAST(ROUND(ln((c + 1) / CAST(n_total + LEAST(16, n_terms) + 1
+                                          AS DOUBLE)) * 10000) AS BIGINT)
+               AS logp4
+      FROM top CROSS JOIN totals
+    ),
+    oov AS (
+      SELECT CAST(ROUND(ln(1.0 / CAST(n_total + LEAST(16, n_terms) + 1
+                                      AS DOUBLE)) * 10000) AS BIGINT)
+               AS logp4
+      FROM totals
+    ),
+    per AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(v.logp4, (SELECT logp4 FROM oov))) AS s4,
+             COUNT(*) AS n
+      FROM toks t LEFT JOIN vocab v USING (term)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(p.s4 / 10000.0 / p.n,
+                          ROUND((SELECT logp4 FROM oov) / 10000.0, 4)), 4)
+             AS lm_logprob
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """,
+)
+def ext_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet perplexity-style signal) under the
+    FULL value oracle: self-trained top-16 Laplace-smoothed vocabulary (so
+    the OOV floor fires on real rows), per-term log-probs as exact scaled
+    integers (order-free per-doc sums), mean logprob rounded to 4 dp
+    (condenser_spark/functions/lm.py:train_unigram_lm +
+    lm_score_documents).  Registered past the driver's 50-slot cap;
+    verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    lm = train_unigram_lm(docs, vocab_size=16)
+    return lm_score_documents(docs, lm).select("doc_id", "lm_logprob")

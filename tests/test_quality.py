@@ -127,3 +127,69 @@ def test_stateless_scorer_matches_batch_and_runs_on_stream(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out)
                      .select("doc_id", "quality_logit").collect()))
     assert got == batch
+
+
+# ----------------------------------------------------------- unigram LM
+
+def test_unigram_lm_reference_scores_higher(spark):
+    """A model trained on reference-style text ranks reference-like docs
+    above gibberish — the signal the CCNet recipe filters on."""
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    ref_rows = [(i, "the cat sat on the mat and the dog ran") for i in
+                range(30)]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    lm = train_unigram_lm(ref, vocab_size=100)
+
+    cand = spark.createDataFrame(
+        [(0, "the cat and the dog sat on the mat"),
+         (1, "zxqv qqq wvxz jkpy zzzz qwkv xxzz yyqp")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.lm_logprob
+           for r in lm_score_documents(cand, lm).collect()}
+    assert out[0] > out[1]
+
+
+def test_unigram_lm_oov_floor_and_missing_row(spark):
+    import pytest
+
+    from condenser_spark.functions.lm import (
+        OOV_TERM,
+        lm_score_documents,
+        train_unigram_lm,
+    )
+    from pyspark.sql import functions as F
+
+    ref = spark.createDataFrame([(0, "a b c a b a")],
+                                "doc_id long, text string")
+    lm = train_unigram_lm(ref, vocab_size=10)
+    # all-OOV doc scores exactly the OOV floor; empty doc likewise
+    oov4 = lm.filter(F.col("term") == OOV_TERM).first().logp4
+    floor = round(oov4 / 10_000.0, 4)
+    cand = spark.createDataFrame([(0, "zz yy xx"), (1, "  ")],
+                                 "doc_id long, text string")
+    out = {r.doc_id: r.lm_logprob
+           for r in lm_score_documents(cand, lm).collect()}
+    assert out[0] == floor and out[1] == floor
+
+    with pytest.raises(ValueError, match="OOV"):
+        lm_score_documents(cand, lm.filter(F.col("term") != OOV_TERM))
+
+
+def test_unigram_lm_deterministic_across_runs(spark, source):
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    docs = source["documents"]
+    a = sorted(map(tuple, lm_score_documents(
+        docs, train_unigram_lm(docs, vocab_size=16))
+        .select("doc_id", "lm_logprob").collect()))
+    b = sorted(map(tuple, lm_score_documents(
+        docs, train_unigram_lm(docs, vocab_size=16))
+        .select("doc_id", "lm_logprob").collect()))
+    assert a == b
