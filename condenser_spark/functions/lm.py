@@ -95,15 +95,20 @@ def lm_score_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Append ``lm_logprob`` — the mean per-token natural log-probability
-    under ``lm`` (a :func:`train_unigram_lm` frame), rounded to 4 decimals;
-    higher is more reference-like.  Empty docs score the OOV log-prob (the
-    model's floor) rather than dropping.
+    """Append ``lm_logprob`` (mean per-token natural log-probability under
+    ``lm``, rounded to 4 decimals; higher is more reference-like) plus the
+    EXACT integers it derives from — ``lm_logprob4_sum`` (order-free
+    scaled-integer sum) and ``n_scored_tokens``.  The integer pair is what
+    the oracle pins and what downstream EXACT aggregation should consume
+    (a corpus-mean from per-doc float means compounds rounding; from the
+    int pair it doesn't — and a float mean's final ROUND can land on a
+    decimal tie that different engines break differently, observed once in
+    500 fixture docs).  Empty/all-missing docs report (0, 0) and the OOV
+    floor as their mean rather than dropping.
 
     Scale shape: tokenize -> broadcast-join the (vocab+1)-row LM table ->
     one map-side-combined integer sum + count per doc -> join the 16-byte
-    scores back.  The integer sum is order-free exact, so results are
-    bit-reproducible across partitionings and engines."""
+    scores back."""
     oov_row = lm.filter(F.col("term") == OOV_TERM).first()
     if oov_row is None:
         raise ValueError("lm_score_documents: lm frame has no OOV row — "
@@ -118,14 +123,16 @@ def lm_score_documents(
             F.sum(F.coalesce(F.col("logp4"), F.lit(oov4))).alias("_s4"),
             F.count(F.lit(1)).alias("_n"),
         )
-        .select(
-            F.col(id_col),
-            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4)
-            .alias("lm_logprob"),
-        )
     )
     floor = round(oov4 / 10_000.0, 4)
     return df.join(per, on=id_col, how="left").select(
         *df.columns,
-        F.coalesce(F.col("lm_logprob"), F.lit(floor)).alias("lm_logprob"),
+        F.coalesce(
+            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4),
+            F.lit(floor),
+        ).alias("lm_logprob"),
+        F.coalesce(F.col("_s4"), F.lit(0)).cast("long")
+        .alias("lm_logprob4_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        .alias("n_scored_tokens"),
     )

@@ -2427,17 +2427,18 @@ def ext_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY t.doc_id
     )
     SELECT d.doc_id,
-           ROUND(COALESCE(p.s4 / 10000.0 / p.n,
-                          ROUND((SELECT logp4 FROM oov) / 10000.0, 4)), 4)
-             AS lm_logprob
+           CAST(COALESCE(p.s4, 0) AS BIGINT) AS lm_logprob4_sum,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scored_tokens
     FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     """,
 )
 def ext_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram LM quality scoring (CCNet perplexity-style signal) under the
     FULL value oracle: self-trained top-16 Laplace-smoothed vocabulary (so
-    the OOV floor fires on real rows), per-term log-probs as exact scaled
-    integers (order-free per-doc sums), mean logprob rounded to 4 dp
+    the OOV floor fires on real rows), compared on the EXACT integer
+    (logprob4 sum, token count) pair that fully determines the mean — the
+    float mean's final ROUND can land on a decimal tie that engines break
+    differently (observed on 1 of 500 fixture docs at sf0.001)
     (condenser_spark/functions/lm.py:train_unigram_lm +
     lm_score_documents).  Registered past the driver's 50-slot cap;
     verified per-pytest by tests/test_overflow_oracles.py."""
@@ -2448,4 +2449,5 @@ def ext_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tables(spark, sf_dir)["documents"]
     lm = train_unigram_lm(docs, vocab_size=16)
-    return lm_score_documents(docs, lm).select("doc_id", "lm_logprob")
+    return lm_score_documents(docs, lm).select(
+        "doc_id", "lm_logprob4_sum", "n_scored_tokens")
