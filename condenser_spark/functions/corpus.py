@@ -1202,3 +1202,42 @@ def mixture_report(
             .alias("token_share"),
         )
     )
+
+
+def uniform_sample_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "usample",
+) -> DataFrame:
+    """Deterministic UNIFORM k-per-group sample: rows rank within each
+    group by ``md5(id + salt)`` — a reproducible pseudo-random permutation
+    — and the first k survive.  The unbiased counterpart to
+    :func:`stratified_sample` (whose first-k-under-an-ordering is exactly
+    right for "earliest k" but systematically biased as a random sample);
+    ``salt`` re-deals without touching data, and the sample only changes
+    WITHIN the groups that grow (hash ranks of existing rows never move).
+
+    Same two-phase shape as :func:`cap_per_group`: one map-side-combined
+    count aggregate routes at-or-under-k groups around the sort entirely
+    (broadcast anti join), so only over-k groups pay the per-group
+    row_number window."""
+    u = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > k)
+        .select(group_col)
+    )
+    under_rows = df.join(F.broadcast(over), on=group_col, how="left_anti") \
+        .select(*df.columns)
+    w = Window.partitionBy(group_col).orderBy(
+        u.asc(), F.col(id_col).asc())
+    sampled = (
+        df.join(F.broadcast(over), on=group_col, how="left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(*df.columns)
+    )
+    return under_rows.unionByName(sampled)

@@ -2451,3 +2451,30 @@ def ext_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = train_unigram_lm(docs, vocab_size=16)
     return lm_score_documents(docs, lm).select(
         "doc_id", "lm_logprob4_sum", "n_scored_tokens")
+
+
+@golden(
+    "ext_uniform_sample_per_group",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT d.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat(CAST(doc_id AS VARCHAR), 'usample')) ASC,
+                        doc_id ASC) AS rn
+      FROM documents d
+    ) WHERE rn <= 3
+    """,
+)
+def ext_uniform_sample_per_group(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Deterministic uniform 3-per-source sample via the portable md5
+    permutation — unbiased where stratified_sample's first-k is ordered,
+    reproducible across engines and reruns
+    (condenser_spark/functions/corpus.py:uniform_sample_per_group).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import uniform_sample_per_group
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return uniform_sample_per_group(docs, k=3, group_col="source")

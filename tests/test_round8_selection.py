@@ -429,3 +429,33 @@ def test_rp_project_empty_and_ragged(spark, source):
         "vec_id", F.lit(None).cast("array<float>").alias("embedding"),
         "label")
     assert rp_project(bad, out_dim=8).count() == 0
+
+
+def test_uniform_sample_per_group_caps_and_stability(spark, source):
+    from condenser_spark.functions.corpus import uniform_sample_per_group
+
+    docs = source["documents"]
+    out = uniform_sample_per_group(docs, k=3, group_col="source")
+    per = out.groupBy("source").count()
+    assert per.filter("count > 3").count() == 0
+    assert out.columns == docs.columns
+    # deterministic across calls; different salt re-deals
+    a = {r.doc_id for r in uniform_sample_per_group(
+        docs, 3, "source").select("doc_id").collect()}
+    b = {r.doc_id for r in uniform_sample_per_group(
+        docs, 3, "source").select("doc_id").collect()}
+    c = {r.doc_id for r in uniform_sample_per_group(
+        docs, 3, "source", salt="other").select("doc_id").collect()}
+    assert a == b
+    assert a != c
+    # growth stability: adding rows to ONE group leaves other groups'
+    # samples untouched (hash ranks of existing rows never move)
+    grown = docs.unionByName(
+        docs.filter("source = 'src0'").select(
+            (F.col("doc_id") + 700000).alias("doc_id"),
+            "text", "lang", "source", "n_chars"))
+    g = uniform_sample_per_group(grown, 3, "source")
+    assert sorted(r.doc_id for r in
+                  g.filter("source = 'src1'").collect()) == \
+        sorted(r.doc_id for r in
+               out.filter("source = 'src1'").collect())
