@@ -52,12 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import ORACLES, QUERIES
 
-    # The driver evaluates at most the first 50 entries; 75 goldens are
-    # registered (71 full-oracle + 4 rows-only).  Round-8 rotation: the 4
+    # The driver evaluates at most the first 50 entries; 76 goldens are
+    # registered (72 full-oracle + 4 rows-only).  Round-8 rotation: the 4
     # rows-only goldens (ext_approx_profile, p3_bernoulli_sample_rows,
     # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
     # oracle by nature, last driver-recorded green in round 4) take in-cap
-    # slots for fresh recorded signal.  To make room, twenty-five oracle
+    # slots for fresh recorded signal.  To make room, twenty-six oracle
     # goldens sit past the cap: every one keeps the IDENTICAL DuckDB
     # row/column/value comparison on every pytest run via
     # tests/test_overflow_oracles.py (which checks list(queries())[50:]
@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_rp_project",
         "ext_lm_logprob",
         "ext_uniform_sample_per_group",
+        "ext_zorder_value",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

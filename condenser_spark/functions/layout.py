@@ -1,0 +1,96 @@
+"""Data-layout optimization: Z-order (Morton) clustering, so a table
+filtered on EITHER (or both) of two columns prunes most of its files from
+parquet min/max statistics — the Delta/Iceberg `OPTIMIZE ZORDER BY`
+capability expressed as plain DataFrame ops.
+
+A single-column sort gives perfect pruning on that column and none on any
+other; interleaving the bits of both columns' normalized positions gives
+every file a narrow min/max span in BOTH dimensions (each halving of the
+file count halves each dimension's span every TWO files instead of one).
+At 100 TB this is the difference between a 2-D box query scanning ~4% of
+files and scanning 100% of them.
+
+Arithmetic is INTEGER-ONLY end to end (bucket = (x - min) * (2^bits - 1)
+DIV (max - min), then bit interleave with shifts/masks) so the z-value
+carries a full DuckDB oracle — no float normalization knife-edges.
+Columns must be integer-valued; pre-quantize doubles explicitly
+(e.g. ``F.round(F.col("price") * 100).cast("long")``) so the caller — not
+a hidden cast — owns the precision."""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def zorder_value(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    out_col: str = "zvalue",
+) -> DataFrame:
+    """Append the Morton code of (col_a, col_b): each column min/max-
+    normalizes to a ``bits``-bit integer bucket (exact integer arithmetic —
+    one bounds aggregate, literals into the plan), and the buckets'
+    bits interleave (a: odd positions, b: even).  NULLs bucket to 0 (they
+    sort first, the same contract as SQL NULLS FIRST).  2*bits <= 62."""
+    assert 1 <= bits <= 31 and 2 * bits <= 62
+    row = df.agg(
+        F.min(F.col(col_a).cast("long")).alias("a_min"),
+        F.max(F.col(col_a).cast("long")).alias("a_max"),
+        F.min(F.col(col_b).cast("long")).alias("b_min"),
+        F.max(F.col(col_b).cast("long")).alias("b_max"),
+    ).first()
+    top = (1 << bits) - 1
+
+    def bucket_div(c: str, lo, hi) -> Column:
+        if lo is None or hi is None or hi == lo:
+            return F.lit(0).cast("long")
+        x = F.coalesce(F.col(c).cast("long"), F.lit(int(lo)))
+        return F.expr(
+            f"CAST(((CAST(coalesce({c}, {int(lo)}) AS BIGINT) - {int(lo)})"
+            f" * {top}) DIV {int(hi - lo)} AS BIGINT)"
+        )
+
+    a = bucket_div(col_a, row.a_min, row.a_max)
+    b = bucket_div(col_b, row.b_min, row.b_max)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return df.withColumn(out_col, z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> None:
+    """Land ``df`` as ~``n_files`` parquet files clustered on the Z-order
+    of (col_a, col_b): range-partition on the Morton code, sort within each
+    file, drop the helper column.  Every file's parquet footer then carries
+    narrow min/max for BOTH columns, so range filters on either prune files
+    before any row is read (plain `spark.read.parquet(path).filter(...)` —
+    the pruning is a property of the LAYOUT, not of special reader code).
+    tests/test_layout.py measures the per-file span contraction vs a
+    single-column sort on the fixture."""
+    z = zorder_value(df, col_a, col_b, bits=bits)
+    (
+        z.repartitionByRange(n_files, F.col("zvalue"))
+        .sortWithinPartitions("zvalue")
+        .drop("zvalue")
+        .write.mode("overwrite").parquet(path)
+    )

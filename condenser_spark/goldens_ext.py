@@ -2478,3 +2478,44 @@ def ext_uniform_sample_per_group(spark: SparkSession,
 
     docs = _tables(spark, sf_dir)["documents"]
     return uniform_sample_per_group(docs, k=3, group_col="source")
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    top = (1 << bits) - 1
+    terms = " + ".join(
+        f"(((a >> {i}) & 1) << {2 * i + 1}) + (((b >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT MIN(o_custkey) AS a_lo, MAX(o_custkey) AS a_hi,
+             MIN(o_orderkey) AS b_lo, MAX(o_orderkey) AS b_hi
+      FROM orders
+    ),
+    bucketed AS (
+      SELECT o_orderkey AS okey,
+             CAST(((o_custkey - a_lo) * {top}) // (a_hi - a_lo) AS BIGINT)
+               AS a,
+             CAST(((o_orderkey - b_lo) * {top}) // (b_hi - b_lo) AS BIGINT)
+               AS b
+      FROM orders CROSS JOIN bounds
+    )
+    SELECT okey AS o_orderkey, CAST({terms} AS BIGINT) AS zvalue
+    FROM bucketed
+    """
+
+
+@golden("ext_zorder_value", _zorder_oracle_sql())
+def ext_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) code of (o_custkey, o_orderkey) at 8 bits/dim —
+    the clustering key behind write_zordered's both-dimensions file
+    pruning; integer-only normalization (bucket = (x-min)*(2^bits-1) DIV
+    range) and shift/mask interleave, so DuckDB replays every zvalue
+    exactly (condenser_spark/functions/layout.py:zorder_value).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.layout import zorder_value
+
+    orders = _tables(spark, sf_dir)["orders"]
+    return zorder_value(orders, "o_custkey", "o_orderkey", bits=8).select(
+        "o_orderkey", "zvalue")

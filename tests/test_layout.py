@@ -1,0 +1,92 @@
+"""Z-order layout (functions/layout.py): value-level zvalue correctness is
+pinned by the DuckDB oracle (ext_zorder_value); these pin the layout CLAIM —
+that z-ordered files carry narrow parquet min/max spans in BOTH dimensions,
+where a single-column sort gives one narrow and one full-width dimension."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+
+def _mean_spans(path, cols):
+    import pyarrow.parquet as pq
+
+    out = {c: [] for c in cols}
+    files = glob.glob(path + "/*.parquet")
+    for f in files:
+        md = pq.read_metadata(f)
+        for c in cols:
+            idx = md.schema.names.index(c)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            out[c].append(hi - lo)
+    return {c: sum(v) / len(v) for c, v in out.items()}, len(files)
+
+
+def test_zorder_value_is_morton_code(spark):
+    from condenser_spark.functions.layout import zorder_value
+
+    # 4x4 grid with bits=2: zvalue must be the classic Morton curve
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r.a, r.b): r.zvalue
+           for r in zorder_value(df, "a", "b", bits=2).collect()}
+
+    def morton(a, b):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert got == {(a, b): morton(a, b) for a, b in rows}
+
+
+def test_zorder_nulls_and_constant_column(spark):
+    from condenser_spark.functions.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(None, 0), (5, 1), (10, 2)], "a long, b long")
+    out = {r.b: r.zvalue for r in zorder_value(df, "a", "b", bits=4)
+           .collect()}
+    assert out[0] == min(out.values())  # NULL buckets to 0 -> sorts first
+
+    const = spark.createDataFrame([(7, i) for i in range(4)],
+                                  "a long, b long")
+    z = zorder_value(const, "a", "a", bits=4)
+    assert z.select(F.count_distinct("zvalue")).first()[0] == 1
+
+
+def test_write_zordered_narrows_both_dimensions(spark, source, tmp_path):
+    """The measured layout claim on sf fixture orders: z-ordered files span
+    well under half of each dimension, while a custkey sort leaves
+    orderkey at ~full width (measured 30%/41% vs 6%/100% at sf0.01)."""
+    from condenser_spark.functions.layout import write_zordered
+
+    orders = source["orders"]
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(orders, zp, "o_custkey", "o_orderkey", n_files=8)
+    (orders.repartitionByRange(8, F.col("o_custkey"))
+     .sortWithinPartitions("o_custkey")
+     .write.mode("overwrite").parquet(sp))
+
+    dom = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("ck"),
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("ok"),
+    ).first()
+    zs, nz = _mean_spans(zp, ["o_custkey", "o_orderkey"])
+    ss, ns = _mean_spans(sp, ["o_custkey", "o_orderkey"])
+    assert nz >= 4 and ns >= 4
+    # z-order: BOTH dimensions well under full width
+    assert zs["o_custkey"] / dom.ck < 0.6
+    assert zs["o_orderkey"] / dom.ok < 0.6
+    # single sort: its own column is tight but the other is ~full width
+    assert ss["o_custkey"] / dom.ck < 0.3
+    assert ss["o_orderkey"] / dom.ok > 0.9
+
+    # round trip: layout changes nothing about the data
+    back = spark.read.parquet(zp)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
