@@ -29,65 +29,69 @@ logger = logging.getLogger(__name__)
 
 def zorder_value(
     df: DataFrame,
-    col_a: str,
-    col_b: str,
+    cols,
+    col_b: str | None = None,
     bits: int = 16,
     out_col: str = "zvalue",
 ) -> DataFrame:
-    """Append the Morton code of (col_a, col_b): each column min/max-
+    """Append the Morton code of ``cols`` (a list of 2+ integer-valued
+    columns, or two positional column names): each column min/max-
     normalizes to a ``bits``-bit integer bucket (exact integer arithmetic —
-    one bounds aggregate, literals into the plan), and the buckets'
-    bits interleave (a: odd positions, b: even).  NULLs bucket to 0 (they
-    sort first, the same contract as SQL NULLS FIRST).  2*bits <= 62."""
-    assert 1 <= bits <= 31 and 2 * bits <= 62
-    row = df.agg(
-        F.min(F.col(col_a).cast("long")).alias("a_min"),
-        F.max(F.col(col_a).cast("long")).alias("a_max"),
-        F.min(F.col(col_b).cast("long")).alias("b_min"),
-        F.max(F.col(col_b).cast("long")).alias("b_max"),
-    ).first()
+    one bounds aggregate, literals into the plan), and the buckets' bits
+    interleave round-robin, first column most significant within each
+    group.  NULLs bucket to 0 (they sort first, the same contract as SQL
+    NULLS FIRST).  Requires ``len(cols) * bits <= 62``."""
+    if isinstance(cols, str):
+        assert col_b is not None, "pass two column names or a list"
+        cols = [cols, col_b]
+    k = len(cols)
+    assert k >= 2 and 1 <= bits <= 31 and k * bits <= 62
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"_lo{j}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"_hi{j}"))
+    row = df.agg(*aggs).first()
     top = (1 << bits) - 1
 
     def bucket_div(c: str, lo, hi) -> Column:
         if lo is None or hi is None or hi == lo:
             return F.lit(0).cast("long")
-        x = F.coalesce(F.col(c).cast("long"), F.lit(int(lo)))
         return F.expr(
             f"CAST(((CAST(coalesce({c}, {int(lo)}) AS BIGINT) - {int(lo)})"
             f" * {top}) DIV {int(hi - lo)} AS BIGINT)"
         )
 
-    a = bucket_div(col_a, row.a_min, row.a_max)
-    b = bucket_div(col_b, row.b_min, row.b_max)
+    buckets = [
+        bucket_div(c, row[f"_lo{j}"], row[f"_hi{j}"])
+        for j, c in enumerate(cols)
+    ]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (
-            z
-            + F.shiftleft(
-                F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-            + F.shiftleft(
-                F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        for j, b in enumerate(buckets):
+            z = z + F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                i * k + (k - 1 - j),
+            )
     return df.withColumn(out_col, z)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    col_a: str,
-    col_b: str,
+    cols,
+    col_b: str | None = None,
     n_files: int = 32,
     bits: int = 16,
 ) -> None:
     """Land ``df`` as ~``n_files`` parquet files clustered on the Z-order
-    of (col_a, col_b): range-partition on the Morton code, sort within each
+    of ``cols``: range-partition on the Morton code, sort within each
     file, drop the helper column.  Every file's parquet footer then carries
-    narrow min/max for BOTH columns, so range filters on either prune files
+    narrow min/max for EVERY clustered column, so range filters prune files
     before any row is read (plain `spark.read.parquet(path).filter(...)` —
     the pruning is a property of the LAYOUT, not of special reader code).
     tests/test_layout.py measures the per-file span contraction vs a
     single-column sort on the fixture."""
-    z = zorder_value(df, col_a, col_b, bits=bits)
+    z = zorder_value(df, cols, col_b, bits=bits)
     (
         z.repartitionByRange(n_files, F.col("zvalue"))
         .sortWithinPartitions("zvalue")

@@ -90,3 +90,23 @@ def test_write_zordered_narrows_both_dimensions(spark, source, tmp_path):
     back = spark.read.parquet(zp)
     assert back.count() == orders.count()
     assert set(back.columns) == set(orders.columns)
+
+
+def test_zorder_three_columns(spark):
+    from condenser_spark.functions.layout import zorder_value
+
+    rows = [(a, b, c) for a in range(4) for b in range(4) for c in range(4)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = {(r.a, r.b, r.c): r.zvalue
+           for r in zorder_value(df, ["a", "b", "c"], bits=2).collect()}
+
+    def morton3(a, b, c):
+        z = 0
+        for i in range(2):
+            z |= ((a >> i) & 1) << (i * 3 + 2)
+            z |= ((b >> i) & 1) << (i * 3 + 1)
+            z |= ((c >> i) & 1) << (i * 3)
+        return z
+
+    assert got == {(a, b, c): morton3(a, b, c) for a, b, c in rows}
+    assert len(set(got.values())) == 64  # the 3-D curve is a bijection here
