@@ -1,9 +1,10 @@
 """Streaming corpus hygiene end-to-end: documents land as parquet files, the
-stream dedups exact repeats and drops benchmark leaks map-side, and clean
-rows append to a parquet sink — the continuous-ingest shape of the batch
-pipeline in training_data_pipeline.py.
+stream dedups exact repeats, drops benchmark leaks map-side, scores each
+survivor with a trained quality model (stateless in-row projection), and
+clean scored rows append to a parquet sink — the continuous-ingest shape of
+the batch pipeline in training_data_pipeline.py.
 
-Both operators are stateless or watermark-bounded, so the query restarts
+Every operator is stateless or watermark-bounded, so the query restarts
 from its checkpoint with no growing state.  Usage:
 
     python examples/streaming_decontamination.py [sf_dir]   # default sf0.001
@@ -61,6 +62,18 @@ def main() -> int:
                          ts_col="ingest_ts"),
             evals, n=8, shingles=eval_shingles,
         ).drop("ingest_ts")
+
+        # stateless quality scoring rides the same stream: a model trained
+        # offline (here a stand-in) scores each row as a pure projection —
+        # no join, no state — and low-quality rows never land
+        from condenser_spark.functions.quality import (
+            QualityModel,
+            score_documents_stateless,
+        )
+
+        model = QualityModel(weights=[0.01] * 64, bias=0.0, dim=64)
+        clean = score_documents_stateless(clean, model).filter(
+            F.col("quality_prob") >= 0.2)
 
         q = (
             clean.writeStream.format("parquet")
