@@ -56,8 +56,9 @@ def zorder_value(
     def bucket_div(c: str, lo, hi) -> Column:
         if lo is None or hi is None or hi == lo:
             return F.lit(0).cast("long")
+        # backtick-quoted so dotted/spaced column names survive the expr
         return F.expr(
-            f"CAST(((CAST(coalesce({c}, {int(lo)}) AS BIGINT) - {int(lo)})"
+            f"CAST(((CAST(coalesce(`{c}`, {int(lo)}) AS BIGINT) - {int(lo)})"
             f" * {top}) DIV {int(hi - lo)} AS BIGINT)"
         )
 
