@@ -518,6 +518,55 @@ def stage_semantic_dedup(spark, n_vecs: int = 200_000,
     }
 
 
+def stage_zorder(spark, n_rows: int = 20_000_000) -> dict:
+    """OPTIMIZE ZORDER cost at 20M rows: two independent uniform integer
+    dimensions + payload through write_zordered (bounds agg + Morton code +
+    range shuffle + per-file sort + parquet write), then the layout claim
+    re-asserted from the landed footers: every file narrow in BOTH
+    dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import write_zordered
+
+    df = spark.range(n_rows).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    path = f"{WORK}/zordered"
+    t0 = time.time()
+    write_zordered(df, path, ["x", "y"], n_files=64)
+    wall = time.time() - t0
+    spans = {"x": [], "y": []}
+    files = glob.glob(path + "/*.parquet")
+    for f in files:
+        md = pq.read_metadata(f)
+        for c in spans:
+            idx = md.schema.names.index(c)
+            lo = min(md.row_group(g).column(idx).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans[c].append((hi - lo) / 1_000_000)
+    mean_x = sum(spans["x"]) / len(spans["x"])
+    mean_y = sum(spans["y"]) / len(spans["y"])
+    # 64 files = 6 z-bits = 3 bits/dim -> ideal span 1/8 = 12.5%; allow
+    # boundary slop (range partitioning cuts mid-cell)
+    assert mean_x < 0.35 and mean_y < 0.35, (mean_x, mean_y)
+    return {
+        "stage": "zorder_write_20m",
+        "n_rows": n_rows,
+        "n_files": len(files),
+        "mean_span_x_pct": round(100 * mean_x, 1),
+        "mean_span_y_pct": round(100 * mean_y, 1),
+        "wall_sec": round(wall, 1),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -582,6 +631,7 @@ def main() -> int:
         "global_rank": lambda: stage_global_rank(spark),
         "semantic_dedup": lambda: stage_semantic_dedup(spark),
         "quality_score": lambda: stage_quality_score(spark, n_docs),
+        "zorder": lambda: stage_zorder(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
