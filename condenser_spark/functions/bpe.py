@@ -1,5 +1,7 @@
-"""Real byte-pair encoding — the upgrade from the engine's ``bpe_ish``
-regex estimate to actual learned merges, with the Spark-first split:
+"""Real byte-pair encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — the upgrade from the
+engine's ``bpe_ish`` regex estimate to actual learned merges, with the
+Spark-first split:
 
 * **train_bpe** — classic BPE merge learning is inherently sequential (each
   merge depends on the counts AFTER the previous one), so it runs in plain

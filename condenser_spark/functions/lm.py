@@ -1,5 +1,6 @@
 """Unigram language-model scoring — the perplexity-style quality signal of
-the CCNet recipe: train a token distribution on a REFERENCE corpus
+the CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data"): train a token distribution on a REFERENCE corpus
 (wiki/books), score candidate documents by their mean token log-probability,
 and filter or bucket on it (fluent text scores high, boilerplate/gibberish
 low).  A unigram model is deliberately chosen over higher orders: it is the
