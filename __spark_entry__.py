@@ -53,46 +53,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from condenser_spark.goldens import ORACLES, QUERIES
 
     # The driver evaluates at most the first 50 entries; 76 goldens are
-    # registered (72 full-oracle + 4 rows-only).  Round-8 rotation: the 4
-    # rows-only goldens (ext_approx_profile, p3_bernoulli_sample_rows,
-    # ext_multimodal_features, ext_multimodal_frames — no SQL-expressible
-    # oracle by nature, last driver-recorded green in round 4) take in-cap
-    # slots for fresh recorded signal.  To make room, twenty-six oracle
-    # goldens sit past the cap: every one keeps the IDENTICAL DuckDB
-    # row/column/value comparison on every pytest run via
-    # tests/test_overflow_oracles.py (which checks list(queries())[50:]
-    # dynamically), and the four newly rotated-out §2 rows (p2, p4, j1, j4)
-    # are additionally exercised inside the hash-matched middle_out_*
-    # composites recorded in-cap.
+    # registered (72 full-oracle + 4 rows-only).
+    #
+    # ROTATION RULE (deterministic, executed in each round's first commit):
+    # every oracle golden is driver-recorded at least every other round.
+    # Each round, the `deprioritized` list is REPLACED by 26 oracle goldens
+    # drawn from the set recorded green in the previous round's
+    # CORRECTNESS_r{N}.json (preferring composite-covered §2 rows first,
+    # then the longest-recorded ext goldens), which rotates ALL of the
+    # previous round's past-cap goldens in-cap.  Two invariants:
+    #   1. the 4 rows-only goldens (ext_approx_profile,
+    #      p3_bernoulli_sample_rows, ext_multimodal_features,
+    #      ext_multimodal_frames — no SQL-expressible oracle by nature)
+    #      stay IN-cap every round: past the cap they would have no check
+    #      at all, since the overflow suite needs an oracle;
+    #   2. every past-cap entry carries a full oracle, so
+    #      tests/test_overflow_oracles.py (which checks
+    #      list(queries())[50:] dynamically) re-runs the IDENTICAL DuckDB
+    #      row/column/value comparison on every pytest run.
+    #
+    # Round-9 instance: the 26 goldens past the cap in round 8 (9 §2/ext +
+    # the 17 round-8 operators) rotate in-cap for driver-recorded signal;
+    # the 26 below rotate out — all were driver-recorded green in
+    # CORRECTNESS_r08.json, all carry full oracles, and the six §2 rows
+    # among them are additionally exercised inside the hash-matched
+    # middle_out_* composites that stay in-cap.
     deprioritized = [
-        "p5_limit_on_sorted",
-        "p6_null_key_tuple_drop",
-        "p3_deterministic_percent_sample",
-        "p2_where_predicate",
-        "p4_upstream_filter_injection",
-        "j1_upstream_multi_edge_semi_join",
-        "j4_closure_fetch_semi_join",
-        "ext_strip_repeated_blocks",
-        "ext_chunk_documents",
-        # round-8 additions — full oracles, slotted past the cap so the 4
-        # rows-only goldens keep their recorded driver signal
-        "ext_pack_sequences_sharded",
-        "ext_take_token_budget",
-        "ext_cap_per_group",
-        "ext_temperature_mix",
-        "ext_expand_epochs",
-        "ext_winsorize",
-        "ext_curriculum_buckets",
-        "ext_snapshot_diff",
-        "ext_semantic_dup_pairs",
-        "ext_hashed_doc_vectors",
-        "ext_knn_label_vote",
-        "ext_quality_logit",
-        "ext_mixture_report",
-        "ext_rp_project",
-        "ext_lm_logprob",
-        "ext_uniform_sample_per_group",
-        "ext_zorder_value",
+        # §2 rows, composite-covered (recorded green r08)
+        "p1_fk_nullout_projection",
+        "j2_j3_missing_keys_anti_distinct",
+        "s8_referential_orphan_check",
+        "s7_teardown_removes_stale",
+        "s13_hook_dest_replace",
+        "s9_write_dest_roundtrip",
+        "middle_out_where_subset",
+        # ext goldens recorded green r08 (stable since r4-r6)
+        "ext_exact_dedup",
+        "ext_dedup_documents",
+        "ext_ngram_jaccard_pairs",
+        "ext_dup_clusters",
+        "ext_near_dedup_documents",
+        "ext_text_stats",
+        "ext_rolling_fingerprints",
+        "ext_shared_passages",
+        "ext_asof_join",
+        "ext_range_join_bucketed",
+        "ext_sessionize",
+        "ext_session_stats",
+        "ext_windowed_event_counts",
+        "ext_numeric_profile",
+        "ext_repetition_stats",
+        "ext_hash_split",
+        "ext_weighted_mix",
+        "ext_heavy_hitters",
+        "ext_build_vocab",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

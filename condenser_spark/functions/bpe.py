@@ -79,7 +79,9 @@ def train_bpe(
 
     One distributed aggregate produces (word, count); the driver loop then
     runs the standard highest-count-pair merge on that weighted vocabulary
-    (ties broken lexicographically for determinism).  Raises past
+    (count ties broken by picking the lexicographically GREATEST pair —
+    deterministic, but note it is the opposite of the classic
+    smallest-first convention).  Raises past
     ``MAX_TRAIN_VOCAB`` distinct words — pre-shrink with
     ``min_word_count`` or a sample; the merge rules learned from the head
     of a Zipf distribution are what any tokenizer trainer effectively

@@ -860,6 +860,7 @@ def temperature_mix(
     id_col: str = "doc_id",
     max_rate: float = 1.0,
     salt: str = "temp",
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Temperature-flattened group mixing — the multilingual/domain
     rebalancing rule of mT5/XLM-R-style corpus assembly: the expected kept
@@ -875,13 +876,26 @@ def temperature_mix(
     oracle replays the threshold bit-identically; the sampling effect of
     the rounding is ~1e-9), then :func:`weighted_mix`'s scan-level md5
     predicate — no shuffle, reproducible, membership monotone in
-    ``max_rate``."""
+    ``max_rate``.
+
+    Raises ``ValueError`` past ``max_groups`` distinct sources — groups are
+    languages/domains by contract (thousands at most), and blowing the cap
+    almost always means a high-cardinality column (``doc_id``…) was passed
+    as ``source_col``; failing loud beats a messageless driver OOM (same
+    ``limit(cap+1)`` convention as dedup.py:build_shingle_bloom)."""
     assert 0.0 < tau <= 1.0 and 0.0 < max_rate <= 1.0
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    rows = (
+        df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_groups + 1).collect()
+    )
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_mix found more than {max_groups:,} distinct "
+            f"values in source_col={source_col!r}. Groups are languages/"
+            "domains by contract — did you pass a high-cardinality column? "
+            "(Raise max_groups= to override.)"
+        )
+    counts = {r[0]: r[1] for r in rows}
     if not counts:
         return df
     wmax = max(n ** (tau - 1.0) for n in counts.values())

@@ -33,6 +33,7 @@ def zorder_value(
     col_b: str | None = None,
     bits: int = 16,
     out_col: str = "zvalue",
+    bounds: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Append the Morton code of ``cols`` (a list of 2+ integer-valued
     columns, or two positional column names): each column min/max-
@@ -40,22 +41,48 @@ def zorder_value(
     one bounds aggregate, literals into the plan), and the buckets' bits
     interleave round-robin, first column most significant within each
     group.  NULLs bucket to 0 (they sort first, the same contract as SQL
-    NULLS FIRST).  Requires ``len(cols) * bits <= 62``."""
+    NULLS FIRST).  Requires ``len(cols) * bits <= 62``.
+
+    EAGER NOTE: unless ``bounds`` is supplied, the min/max bounds aggregate
+    runs IMMEDIATELY at call time (one full-column scan) — the literals must
+    exist before the plan can be built, so this call is an action, not a
+    lazy transformation.  Callers re-clustering growing partitions of the
+    same table should compute bounds once and pass
+    ``bounds=[(lo0, hi0), (lo1, hi1), ...]`` (one pair per column, the
+    table-wide domain) to skip the per-call scan AND keep z-values
+    comparable across writes."""
     if isinstance(cols, str):
         assert col_b is not None, "pass two column names or a list"
         cols = [cols, col_b]
     k = len(cols)
     assert k >= 2 and 1 <= bits <= 31 and k * bits <= 62
-    aggs = []
-    for j, c in enumerate(cols):
-        aggs.append(F.min(F.col(c).cast("long")).alias(f"_lo{j}"))
-        aggs.append(F.max(F.col(c).cast("long")).alias(f"_hi{j}"))
-    row = df.agg(*aggs).first()
+    if bounds is not None:
+        assert len(bounds) == k, "bounds needs one (lo, hi) pair per column"
+        row = {}
+        for j, (lo, hi) in enumerate(bounds):
+            row[f"_lo{j}"], row[f"_hi{j}"] = int(lo), int(hi)
+    else:
+        aggs = []
+        for j, c in enumerate(cols):
+            aggs.append(F.min(F.col(c).cast("long")).alias(f"_lo{j}"))
+            aggs.append(F.max(F.col(c).cast("long")).alias(f"_hi{j}"))
+        row = df.agg(*aggs).first()
     top = (1 << bits) - 1
 
     def bucket_div(c: str, lo, hi) -> Column:
         if lo is None or hi is None or hi == lo:
             return F.lit(0).cast("long")
+        # (x - lo) * top is BIGINT arithmetic: with non-ANSI Spark a range
+        # wider than 2^63 / top would WRAP silently (e.g. raw xxhash64 keys
+        # at bits=16), yielding garbage z-values that quietly destroy the
+        # pruning claim — fail loud per the repo convention instead
+        if int(hi - lo) > (1 << 62) // top:
+            raise ValueError(
+                f"zorder_value: column `{c}` spans [{lo}, {hi}] — range "
+                f"{int(hi - lo):,} * {top} would overflow BIGINT. "
+                "Pre-quantize the column (e.g. x DIV 2^20, or rank/bucket "
+                "it) so (max - min) * (2^bits - 1) fits in 63 bits."
+            )
         # backtick-quoted so dotted/spaced column names survive the expr
         return F.expr(
             f"CAST(((CAST(coalesce(`{c}`, {int(lo)}) AS BIGINT) - {int(lo)})"
@@ -83,6 +110,7 @@ def write_zordered(
     col_b: str | None = None,
     n_files: int = 32,
     bits: int = 16,
+    bounds: list[tuple[int, int]] | None = None,
 ) -> None:
     """Land ``df`` as ~``n_files`` parquet files clustered on the Z-order
     of ``cols``: range-partition on the Morton code, sort within each
@@ -92,7 +120,7 @@ def write_zordered(
     the pruning is a property of the LAYOUT, not of special reader code).
     tests/test_layout.py measures the per-file span contraction vs a
     single-column sort on the fixture."""
-    z = zorder_value(df, cols, col_b, bits=bits)
+    z = zorder_value(df, cols, col_b, bits=bits, bounds=bounds)
     (
         z.repartitionByRange(n_files, F.col("zvalue"))
         .sortWithinPartitions("zvalue")

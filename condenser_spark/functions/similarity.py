@@ -912,11 +912,27 @@ def rp_project(
     ).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
     if planes is None:
-        first = v.select(F.size("_v").alias("n")).first()
-        if first is None:
+        # modal-width vote over a hash-ordered sample (ivf_index's rule,
+        # similarity.py:ivf_index): on a mixed-width corpus the projection
+        # width — and therefore WHICH ragged rows get dropped — must be
+        # value-deterministic, not partition-order-dependent like .first()
+        sample = (
+            v.select(F.col(id_col).alias("_id"), F.size("_v").alias("n"))
+            .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)).asc(),
+                     F.col("_id").asc())
+            .limit(64)
+            .collect()
+        )
+        if not sample:
             return v.select(F.col(id_col),
                             F.col("_v").alias(out_col)).filter(F.lit(False))
-        in_dim = first.n
+        lengths = [r.n for r in sample]
+        in_dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
+        dropped = sum(1 for n in lengths if n != in_dim)
+        if dropped:
+            logger.warning(
+                "rp_project: %d/%d sampled rows have width != modal %d "
+                "and will be dropped", dropped, len(lengths), in_dim)
         planes = _hyperplanes(in_dim, out_dim, 1, seed)[0]
     else:
         in_dim = len(planes[0])

@@ -2203,9 +2203,16 @@ def ext_hashed_doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_knn_label_vote",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 8),
+               FROM embeddings
+               WHERE vec_id < 8 AND embedding IS NOT NULL
+                 AND len(embedding) = 64
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
          c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
-               FROM embeddings),
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = 64
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
          scored AS (
            SELECT q.query_id, c.vec_id, c.label,
                   ROUND(list_dot_product(qv, cv) /

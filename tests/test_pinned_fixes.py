@@ -778,3 +778,81 @@ def test_minhash_band_index_cache_toggle_is_pure_plan(spark, source):
                   near_dedup_documents(corpus, cache_band_index=False)
                   .select("doc_id").collect()}
     assert kept_cached == kept_plain
+
+
+# --------------------------------------------------- round-9 ADVICE pins
+
+def test_temperature_mix_rejects_high_cardinality_source(spark):
+    """temperature_mix's group-count collect is bounded: a high-cardinality
+    source_col (here the doc id itself) must raise a real ValueError instead
+    of collecting one row per document toward a driver OOM (ADVICE r8 /
+    VERDICT r8 'What's wrong #2' — same limit(cap+1) convention as
+    build_shingle_bloom)."""
+    from condenser_spark.functions.corpus import temperature_mix
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("source"),
+    )
+    with pytest.raises(ValueError, match="distinct values in source_col"):
+        temperature_mix(df, tau=0.5, max_groups=100)
+    # under the cap the operator still works and keeps the smallest group
+    ok = df.withColumn(
+        "source", (F.col("doc_id") % 3).cast("string"))
+    out = temperature_mix(ok, tau=0.5, max_groups=100)
+    assert 0 < out.count() <= 500
+
+
+def test_zorder_value_rejects_bigint_overflow_range(spark):
+    """A column whose (max - min) * (2^bits - 1) exceeds 63 bits (e.g. raw
+    xxhash64-derived keys at bits=16) must fail loud: pre-fix the BIGINT
+    multiply wrapped silently under non-ANSI Spark, producing garbage
+    z-values that quietly destroyed both-dimension pruning (ADVICE r8)."""
+    from condenser_spark.functions.layout import zorder_value
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") == 0, F.lit(-(1 << 62)))
+        .otherwise(F.lit(1 << 62)).alias("b"),
+    )
+    with pytest.raises(ValueError, match="would overflow BIGINT"):
+        zorder_value(df, ["a", "b"], bits=16)
+    # a pre-quantized (narrow-range) column sails through
+    ok = df.withColumn("b", F.col("a") * 1000)
+    assert zorder_value(ok, ["a", "b"], bits=16).count() == 10
+
+
+def test_zorder_value_precomputed_bounds_match_auto(spark):
+    """bounds= skips the eager min/max scan but must yield byte-identical
+    z-values when handed the true domain (the growing-partition reuse path,
+    VERDICT r8 optional #9)."""
+    from condenser_spark.functions.layout import zorder_value
+
+    df = spark.range(0, 200).select(
+        (F.col("id") % 37).alias("a"), (F.col("id") % 11).alias("b"))
+    auto = {(r.a, r.b, r.zvalue)
+            for r in zorder_value(df, ["a", "b"], bits=8).collect()}
+    manual = {(r.a, r.b, r.zvalue)
+              for r in zorder_value(df, ["a", "b"], bits=8,
+                                    bounds=[(0, 36), (0, 10)]).collect()}
+    assert auto == manual
+
+
+def test_rp_project_modal_width_beats_first_row(spark):
+    """rp_project's inferred projection width is the MODAL width of a
+    hash-ordered sample, not whatever .first() happens to surface: with a
+    minority of 8-wide rows carrying the smallest ids (the rows a naive
+    first() scan meets first), the 4-wide majority must still win and the
+    minority rows drop — value-deterministically (ADVICE r8, mirrors
+    ivf_index's vote)."""
+    from condenser_spark.functions.similarity import rp_project
+
+    rows = [(i, [float(i), 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0])
+            for i in range(5)]          # minority: 8-wide, ids 0-4
+    rows += [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(5, 60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = rp_project(df, out_dim=3, use_arrow=False)
+    got = out.collect()
+    assert len(got) == 55                       # majority width kept
+    assert {r.vec_id for r in got} == set(range(5, 60))
+    assert all(len(r.projected) == 3 for r in got)
