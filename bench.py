@@ -308,6 +308,58 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("rp_project",
           lambda: rp_project(emb, out_dim=16).count())
 
+    from condenser_spark.functions.bpe import encode_bpe, train_bpe
+    from condenser_spark.functions.corpus import (
+        expand_epochs,
+        global_rank,
+        winsorize,
+    )
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+    from condenser_spark.functions.layout import write_zordered
+
+    # round-9 bench coverage for the round-8 operators that previously had
+    # only stress/test timing (VERDICT r8 "What's missing #2"): a regression
+    # in any of them now shows in the per-round BENCH diff.
+    # global_rank: the cost-based distributed ORDER BY rank (quantile-literal
+    # shards past the row threshold; plain window below it)
+    timed("global_rank",
+          lambda: global_rank(docs, order_col="n_chars").count())
+
+    # one combined selection-family entry: quantile clamp -> fractional-epoch
+    # replication, the winsorize->expand_epochs half of mixture assembly
+    timed("winsorize_expand_epochs",
+          lambda: expand_epochs(
+              winsorize(docs, ["n_chars"]), epochs={},
+              source_col="lang", default_epochs=1.5).count())
+
+    # unigram-LM corpus scoring; the model trains ONCE outside the timed
+    # loop (the amortized shape — one model scores every later shard)
+    _lm = train_unigram_lm(docs, vocab_size=4096)
+    _lm.persist().count()
+    timed("lm_score_documents",
+          lambda: lm_score_documents(docs, _lm).count())
+
+    # BPE corpus encoding with pretrained merges (same amortization); the
+    # timed cost is the per-DISTINCT-word Arrow stage + positional join-back
+    _merges = train_bpe(docs, n_merges=200)
+    timed("encode_bpe",
+          lambda: encode_bpe(docs, _merges)
+          .agg(F.sum("n_bpe_tokens")).collect())
+    _lm.unpersist()
+
+    # Z-ordered parquet sink: bounds scan + range partition + in-file sort
+    def _zorder_write():
+        tmp = tempfile.mkdtemp(prefix="bench_zorder_")
+        try:
+            write_zordered(docs, tmp, ["n_chars", "doc_id"], n_files=16)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    timed("write_zordered", _zorder_write)
+
     return timings, noise
 
 
@@ -317,7 +369,13 @@ def main() -> int:
 
     spark = get_spark("condenser-bench", master=f"local[{CPUS}]",
                       shuffle_partitions=int(CPUS))
+    # machine-load self-labeling (VERDICT r8 "What's wrong #3"): a run on a
+    # busy box shows uniform per-query inflation vs NOISE_FLOOR.md's
+    # same-code floor — loadavg before/after lets the reader tell a hot box
+    # from a code regression without a rerun
+    load_start = os.getloadavg()
     timings, noise = bench_queries(spark, SF_DIR)
+    load_end = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_median_wall",
@@ -328,6 +386,10 @@ def main() -> int:
         "noise_pct_max": max(noise.values()) if noise else 0.0,
         "runs_per_query": 3,
         "timing": "median_of_3_steady_state_after_1_untimed_warmup",
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "host_cpus": os.cpu_count(),
+        "bench_cpus": int(CPUS),
         "sf": _sf_from_dir(SF_DIR),
     }))
     spark.stop()

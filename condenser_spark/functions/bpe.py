@@ -127,6 +127,118 @@ def train_bpe(
     return merges
 
 
+def train_bpe_distributed(
+    df: DataFrame,
+    n_merges: int = 1_000,
+    text_col: str = "text",
+    min_word_count: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """``train_bpe`` with NO driver-side vocabulary — the ``MAX_TRAIN_VOCAB``
+    cap lifted for full-corpus tokenizer training (VERDICT r8 next #8).
+
+    The weighted vocabulary lives as a DataFrame of (parts array<string>,
+    n); each merge round runs (a) one (pair, count) aggregate over adjacent
+    symbol pairs — map-side combined, the shuffle carries only distinct
+    pairs — with the best pair picked by a 1-row TakeOrdered (count DESC,
+    then pair DESC: byte-order string comparison reproduces the driver
+    loop's lexicographically-greatest tie-break exactly), and (b) a
+    scan-level left-fold that rewrites only the rows whose parts contain
+    the pair (non-overlapping, left-to-right — the fold's carry/emit
+    discipline replicates ``bpe_encode_word``'s i+=2 skip), followed by a
+    re-group on the rewritten parts.  Output is byte-identical to
+    ``train_bpe`` on any corpus both can handle (pytest-pinned).
+
+    COST, stated plainly: ~2 Spark jobs per merge round (the driver loop
+    pays zero after its one collect), so this path is for vocabularies past
+    ``MAX_TRAIN_VOCAB`` where the driver loop CANNOT run — not a faster
+    default.  Lineage is truncated with a lazy ``localCheckpoint`` every
+    ``checkpoint_every`` rounds (without it, 1000 rounds of nested
+    transforms build an unplannable tree); executor-local storage is the
+    documented durability trade vs a reliable checkpoint dir.
+
+    The fold runs as an interpreted higher-order function — acceptable
+    here ONLY because the vocab table is distinct-words-sized and shrinks
+    as merges land, never corpus-sized (the stage-10 HOF rule: interpreted
+    per-row work must be bounded by vocabulary, not corpus)."""
+    wc = _word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.filter(F.col("n") >= min_word_count)
+    vocab = wc.select(
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END))
+        ).alias("parts"),
+        F.col("n"),
+    ).groupBy("parts").agg(F.sum("n").alias("n"))
+
+    merges: list[tuple[str, str]] = []
+    prev_ckpt = None
+    for round_no in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("parts"), 1,
+                                F.greatest(F.size("parts") - 1, F.lit(0))),
+                        F.expr("slice(parts, 2, size(parts) - 1)"),
+                    )
+                ).alias("p"),
+                F.col("n"),
+            )
+            .groupBy(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").desc(),
+                     F.col("b").desc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0].cnt < 2:
+            break
+        a, b = pairs[0].a, pairs[0].b
+        merges.append((a, b))
+
+        # left-fold rewrite: carry the previous symbol; when (carry, x) is
+        # the best pair emit the merged token and clear the carry (so the
+        # merged token never re-pairs this round — bpe_encode_word's i+=2)
+        la, lb = a.replace("\\", "\\\\").replace("'", "\\'"), \
+            b.replace("\\", "\\\\").replace("'", "\\'")
+        fold = (
+            "aggregate(parts, "
+            "  struct(CAST(array() AS ARRAY<STRING>) AS acc, "
+            "         CAST(NULL AS STRING) AS carry), "
+            "  (s, x) -> CASE "
+            f"    WHEN s.carry = '{la}' AND x = '{lb}' THEN "
+            "      struct(array_append(s.acc, s.carry || x) AS acc, "
+            "             CAST(NULL AS STRING) AS carry) "
+            "    WHEN s.carry IS NULL THEN struct(s.acc AS acc, x AS carry) "
+            "    ELSE struct(array_append(s.acc, s.carry) AS acc, "
+            "                x AS carry) END, "
+            "  s -> CASE WHEN s.carry IS NULL THEN s.acc "
+            "       ELSE array_append(s.acc, s.carry) END)"
+        )
+        has_pair = (
+            "exists(arrays_zip(slice(parts, 1, greatest(size(parts)-1, 0)),"
+            " slice(parts, 2, size(parts) - 1)), "
+            f"p -> p['0'] = '{la}' AND p['1'] = '{lb}')"
+        )
+        vocab = (
+            vocab.withColumn(
+                "parts",
+                F.when(F.expr(has_pair), F.expr(fold))
+                .otherwise(F.col("parts")),
+            )
+            .groupBy("parts").agg(F.sum("n").alias("n"))
+        )
+        if (round_no + 1) % checkpoint_every == 0:
+            ckpt = vocab.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist()
+            prev_ckpt, vocab = ckpt, ckpt
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    return merges
+
+
 def encode_bpe(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -92,3 +92,38 @@ def test_bpe_token_counts_bounded_by_chars(spark):
         | ((F.col("n_chars") > 0) & (F.col("n_bpe_tokens") == 0))
     )
     assert bad.count() == 0
+
+
+def test_train_bpe_distributed_matches_driver_loop(spark, source):
+    """train_bpe_distributed is byte-identical to the driver loop on any
+    corpus both can handle: same merges, same order, including overlap
+    (aaa), tie-break (lexicographically greatest pair), and min_word_count
+    pruning — on both a crafted corpus and the real documents fixture."""
+    from condenser_spark.functions.bpe import train_bpe, train_bpe_distributed
+
+    crafted = spark.createDataFrame(
+        [(0, "aaa bb aaa ab"), (1, "abab banana aaa"), (2, "bb cc cc dd")],
+        "doc_id long, text string")
+    assert (train_bpe_distributed(crafted, n_merges=12, checkpoint_every=3)
+            == train_bpe(crafted, n_merges=12))
+
+    docs = source["documents"].filter(F.col("doc_id") < 120)
+    assert (train_bpe_distributed(docs, n_merges=25)
+            == train_bpe(docs, n_merges=25))
+    assert (train_bpe_distributed(docs, n_merges=10, min_word_count=3)
+            == train_bpe(docs, n_merges=10, min_word_count=3))
+
+
+def test_train_bpe_distributed_no_vocab_cap(spark, monkeypatch):
+    """The distributed trainer never collects the vocabulary, so it runs
+    where train_bpe's MAX_TRAIN_VOCAB guard refuses."""
+    from condenser_spark.functions import bpe
+
+    monkeypatch.setattr(bpe, "MAX_TRAIN_VOCAB", 5)
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} shared shared") for i in range(30)],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="MAX_TRAIN_VOCAB"):
+        bpe.train_bpe(df, n_merges=5)
+    merges = bpe.train_bpe_distributed(df, n_merges=5)
+    assert len(merges) == 5
