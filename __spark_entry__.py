@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_weighted_mix",
         "ext_heavy_hitters",
         "ext_build_vocab",
+        # new in round 9 (never yet driver-recorded; overflow-suite-checked
+        # now, rotate in-cap next round per the rule above)
+        "ext_dsir_weights",
+        "ext_dsir_sample",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

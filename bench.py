@@ -360,6 +360,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timed("write_zordered", _zorder_write)
 
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        train_hashed_ngram_lm,
+    )
+
+    # round-9 addition: DSIR importance resampling (target = en docs); the
+    # two hashed-ngram LMs train once outside the timed loop (amortized
+    # shape, same as the unigram LM above) — the timed cost is the
+    # broadcast delta join + integer sum + distributed Gumbel top-k rank
+    _dsir_t = train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"),
+                                    dim=4096)
+    _dsir_r = train_hashed_ngram_lm(docs, dim=4096)
+    _dsir_t.persist().count()
+    _dsir_r.persist().count()
+    timed("dsir_sample",
+          lambda: dsir_sample(docs, 1_000, _dsir_t, _dsir_r,
+                              dim=4096).count())
+    _dsir_t.unpersist()
+    _dsir_r.unpersist()
+
     return timings, noise
 
 

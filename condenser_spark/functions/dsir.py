@@ -1,0 +1,237 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling", NeurIPS):
+pick pretraining documents whose hashed n-gram distribution matches a
+TARGET corpus (wiki/books/domain seed) rather than the raw crawl, by
+importance weight w(x) = p_target(features(x)) / p_raw(features(x)) under
+two bag-of-hashed-ngrams models, then Gumbel top-k resampling.
+
+This is the published, production-standard recipe sitting one level above
+the CCNet-style single-LM filter (functions/lm.py): two cheap hashed-ngram
+unigram models + one scan.  The Spark-first split mirrors the quality/LM
+scorers exactly:
+
+* training is two (bucket, count) aggregates — map-side combined, shuffle
+  carries at most ``dim`` rows per model;
+* scoring folds the pair of models into ONE broadcast (bucket, delta4)
+  table (delta4 = logp4_target − logp4_raw, scaled-integer), so each
+  document pays a single broadcast hash join + one order-free integer sum
+  — the stage-10 contract: no per-row Python, no interpreted HOFs, exact
+  cross-engine arithmetic;
+* resampling ranks key = log w + Gumbel(hash01(id)) with the cost-based
+  distributed rank (``corpus.global_rank``) — no single-partition global
+  sort at any corpus size, deterministic across engines (md5-derived
+  uniforms, ln-then-round contract, id tiebreak).
+
+Feature hashing uses the md5 scheme of ``corpus.hashed_doc_vectors``
+(first 8 hex chars as an integer, mod ``dim``) so every bucket id — and
+therefore every weight — is bit-portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: Separator between the two tokens of a hashed bigram feature.  A space is
+#: safe: tokens come from a whitespace split, so no token contains one.
+BIGRAM_SEP = " "
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    """md5-based feature bucket in [0, dim) — bit-portable across engines
+    (same scheme as corpus.hashed_doc_vectors)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+
+
+def _feature_stream(
+    df: DataFrame, text_col: str, id_col: str | None, dim: int,
+    include_bigrams: bool,
+) -> DataFrame:
+    """(_fid, bucket) — one row per unigram (and bigram) feature instance.
+
+    Bigrams come from the codegen'd posexplode + window-``lead`` form, not
+    an interpreted ``zip_with``/``slice`` array fold — the dedup module
+    measured that HOF form ~10x slower on the same shape
+    (dedup._shingle_rows); one narrow (id, pos, tok) shuffle instead.
+
+    ``id_col`` is REQUIRED: the bigram window needs a real per-document
+    partition key.  A ``monotonically_increasing_id`` stand-in was tried
+    and rejected — Catalyst treats it as nondeterministic, and the bigram
+    branch silently produced zero rows (measured: 27,939 features where
+    55,378 were expected on the sf0.001 fixture); a silent half-empty
+    feature stream is exactly the failure mode this repo's fail-loud
+    convention exists to prevent."""
+    from pyspark.sql import Window
+
+    if id_col is None:
+        raise ValueError(
+            "_feature_stream needs a per-document id column for the bigram "
+            "window (pass id_col=)")
+    key = F.col(id_col).alias("_fid")
+    arr = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "),
+        lambda t: t != "",
+    )
+    tok_rows = df.select(key, F.posexplode(arr).alias("pos", "tok"))
+    uni = tok_rows.select("_fid", "tok")
+    if include_bigrams:
+        w = Window.partitionBy("_fid").orderBy("pos")
+        nxt = F.lead("tok", 1).over(w)
+        bi = tok_rows.select(
+            "_fid",
+            F.concat(F.col("tok"), F.lit(BIGRAM_SEP), nxt).alias("tok"),
+            nxt.alias("_nxt"),
+        ).filter(F.col("_nxt").isNotNull()).drop("_nxt")
+        uni = uni.unionByName(bi)
+    return uni.select("_fid", _bucket(F.col("tok"), dim).alias("bucket"))
+
+
+def train_hashed_ngram_lm(
+    df: DataFrame,
+    dim: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """(bucket, logp4) hashed-ngram unigram model over a CLOSED bucket
+    space: unigrams (and bigrams) hash into [0, dim), counts are Laplace-
+    smoothed — ``logp4 = round(ln((c_b + 1) / (N + dim)) * 1e4)`` as an
+    exact integer — and EVERY bucket gets a row (zero-count buckets carry
+    the smoothing floor), so scoring needs no OOV special case: the bucket
+    space is total by construction, unlike the open vocabulary of
+    ``lm.train_unigram_lm``.
+
+    Exactly ``dim`` rows; one map-side-combined aggregate whose shuffle
+    carries at most ``dim`` partials regardless of corpus size.  Broadcast
+    the result into scoring joins (40 KB at the paper's dim=10k)."""
+    assert dim >= 2
+    counts = (
+        _feature_stream(df, text_col, id_col, dim, include_bigrams)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").alias("n_total"))
+    all_buckets = df.sparkSession.range(dim).select(
+        F.col("id").alias("bucket"))
+    return (
+        all_buckets.join(counts, on="bucket", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
+                      / (F.coalesce(F.col("n_total"), F.lit(0))
+                         + F.lit(dim)))
+                * F.lit(10_000.0)
+            ).cast("long").alias("logp4"),
+        )
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    dim: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+) -> DataFrame:
+    """Append DSIR importance weights: ``logw4_sum`` (exact scaled-integer
+    Σ_f [logp4_target(f) − logp4_raw(f)] over the document's hashed
+    features, the order-free quantity downstream math should consume),
+    ``n_features``, and ``log_importance`` (= logw4_sum / 1e4 rounded to
+    4 dp — log of the importance weight, positive means "more target-like
+    than raw").  Documents with no features report (0, 0, 0.0): weight 1,
+    never dropped.
+
+    ``dim``/``include_bigrams``/normalization must match how BOTH models
+    were trained — the bucket spaces have to line up (pass the same values
+    to :func:`train_hashed_ngram_lm`).
+
+    Scale shape: the two models fold into ONE broadcast (bucket, delta4)
+    table on the driver side of the plan (a dim-row inner join — both
+    spaces are total, so no row is lost), then one broadcast hash join on
+    the feature stream + one map-side-combined integer sum per doc + a
+    16-byte score join back.  Embedding-free, Python-free, one shuffle."""
+    delta = (
+        target_lm.alias("t")
+        .join(raw_lm.alias("r"), on="bucket")
+        .select(
+            "bucket",
+            (F.col("t.logp4") - F.col("r.logp4")).alias("delta4"),
+        )
+    )
+    feats = _feature_stream(df, text_col, id_col, dim, include_bigrams)
+    per = (
+        feats.join(F.broadcast(delta), on="bucket")
+        .groupBy(F.col("_fid").alias(id_col))
+        .agg(
+            F.sum("delta4").alias("_s4"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return df.join(per, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(F.col("_s4"), F.lit(0)).alias("logw4_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).alias("n_features"),
+        F.round(F.coalesce(F.col("_s4"), F.lit(0)) / 1e4, 4)
+        .alias("log_importance"),
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    k: int,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    dim: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Keep the ``k`` documents selected by DSIR's Gumbel top-k importance
+    resample: rank key = log w(x) + Gumbel noise, where the noise is
+    deterministic — ``g = -ln(-ln(u))`` with ``u = (first 32 md5 bits of
+    (id || salt) + 0.5) / 2^32`` (strictly inside (0,1), exact in double)
+    — so the sample is reproducible across runs, partitionings, and
+    engines.  Keys are rounded to 6 dp with an id tiebreak; ties cannot
+    make the sample nondeterministic.
+
+    Gumbel-max over log-weights IS sampling without replacement
+    proportional to the importance weights (the resampling step of DSIR
+    §2); ranking uses :func:`corpus.global_rank`'s cost-based distributed
+    rank, so there is no single-partition global sort at any corpus size
+    — the 100 TB path is quantile-sharded exactly like every other global
+    ordering here.  Output: the selected input rows + ``log_importance``
+    + ``gumbel_key`` (audit columns)."""
+    from condenser_spark.functions.corpus import global_rank
+
+    assert k >= 1
+    w = dsir_weights(df, target_lm, raw_lm, dim=dim, text_col=text_col,
+                     id_col=id_col, include_bigrams=include_bigrams)
+    u = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 8),
+            16, 10).cast("double") + 0.5) / float(1 << 32)
+    )
+    keyed = w.withColumn(
+        "gumbel_key",
+        F.round(F.col("log_importance") - F.log(-F.log(u)), 6),
+    ).withColumn("_neg_key", -F.col("gumbel_key"))
+    ranked = global_rank(keyed, order_col="_neg_key", id_col=id_col,
+                         rank_col="_dsir_rank")
+    return (
+        ranked.filter(F.col("_dsir_rank") <= k)
+        .drop("_neg_key", "_dsir_rank", "logw4_sum", "n_features")
+    )

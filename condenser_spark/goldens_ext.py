@@ -2526,3 +2526,138 @@ def ext_zorder_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _tables(spark, sf_dir)["orders"]
     return zorder_value(orders, "o_custkey", "o_orderkey", bits=8).select(
         "o_orderkey", "zvalue")
+
+
+# ------------------------------------------------------------------ DSIR
+
+def _dsir_weights_sql(dim: int = 256) -> str:
+    """DuckDB replay of the full DSIR weight pipeline: md5-hashed
+    unigram+bigram features into a closed [0, dim) bucket space, Laplace
+    logp4 = round(ln((c+1)/(N+dim)) * 1e4) scaled integers for BOTH models
+    (target = lang='en' docs, raw = all docs), per-doc exact integer sum of
+    (target - raw) deltas — mirrors functions/dsir.py end to end."""
+    feats = """
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+               % {dim} AS bucket
+      FROM (
+        SELECT doc_id, tok FROM {toks}
+        UNION ALL
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER w AS tok
+        FROM {toks}
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY lead(tok) OVER w IS NOT NULL
+      )
+    """
+    lm = """
+      SELECT b.range AS bucket,
+             CAST(ROUND(ln((COALESCE(c.c, 0) + 1)
+                           / CAST(t.n + {dim} AS DOUBLE)) * 10000)
+                  AS BIGINT) AS logp4
+      FROM range({dim}) b
+      LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM {feats} GROUP BY bucket)
+        c ON c.bucket = b.range
+      CROSS JOIN (SELECT COALESCE(SUM(c2.c), 0) AS n FROM
+                  (SELECT COUNT(*) AS c FROM {feats}
+                   GROUP BY bucket) c2) t
+    """
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+             unnest(tokens) AS tok
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS tokens
+        FROM documents
+      )
+    ),
+    toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+    t_toks AS (SELECT t.* FROM toks t JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en'),
+    all_feats AS ({feats.format(dim=dim, toks='toks')}),
+    t_feats AS ({feats.format(dim=dim, toks='t_toks')}),
+    target_lm AS ({lm.format(dim=dim, feats='t_feats')}),
+    raw_lm AS ({lm.format(dim=dim, feats='all_feats')}),
+    delta AS (
+      SELECT t.bucket, t.logp4 - r.logp4 AS delta4
+      FROM target_lm t JOIN raw_lm r USING (bucket)
+    ),
+    per AS (
+      SELECT f.doc_id, SUM(d.delta4) AS s4, COUNT(*) AS n
+      FROM all_feats f JOIN delta d USING (bucket)
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s4, 0) AS BIGINT) AS logw4_sum,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_features
+    FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    """
+
+
+@golden("ext_dsir_weights", _dsir_weights_sql())
+def ext_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, NeurIPS): hashed
+    unigram+bigram bag LMs (dim=256) for target (lang='en') vs raw (all
+    docs), per-doc exact scaled-integer log-weight sums — the published
+    data-selection signal one level above the CCNet single-LM filter,
+    compared on the exact integer pair like ext_lm_logprob
+    (condenser_spark/functions/dsir.py:dsir_weights).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dsir import (
+        dsir_weights,
+        train_hashed_ngram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    tlm = train_hashed_ngram_lm(target, dim=256)
+    rlm = train_hashed_ngram_lm(docs, dim=256)
+    return dsir_weights(docs, tlm, rlm, dim=256).select(
+        "doc_id", "logw4_sum", "n_features")
+
+
+@golden(
+    "ext_dsir_sample",
+    _dsir_weights_sql().rstrip()[: _dsir_weights_sql().rstrip().rfind(
+        "SELECT d.doc_id")] + """,
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             ROUND(
+               ROUND(CAST(COALESCE(p.s4, 0) AS DOUBLE) / 10000, 4)
+               - ln(-ln((CAST(concat('0x', substr(md5(
+                     concat(CAST(d.doc_id AS VARCHAR), 'dsir')), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0)),
+               6) AS gumbel_key
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+        AS rn FROM keyed
+    ) WHERE rn <= 40
+    """,
+)
+def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k importance resample (k=40): rank key =
+    log-importance + deterministic Gumbel noise from the md5-derived
+    uniform (u = (first32bits + 0.5)/2^32, strictly in (0,1)), 6-dp
+    rounding + id tiebreak — sampling without replacement proportional to
+    the importance weights, reproducible across engines; ranking runs on
+    corpus.global_rank's distributed rank, never a single-partition sort
+    (condenser_spark/functions/dsir.py:dsir_sample).  Float key stays out
+    of the compared columns (selection only), per the house ROUND-tie rule.
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        train_hashed_ngram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    tlm = train_hashed_ngram_lm(target, dim=256)
+    rlm = train_hashed_ngram_lm(docs, dim=256)
+    return dsir_sample(docs, 40, tlm, rlm, dim=256).select(
+        "doc_id", "lang", "source", "n_chars")

@@ -614,8 +614,10 @@ def stage_semantic_dedup_clustered(spark, n_vecs: int = 200_000,
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     stale_max_cell = max(shist.values())
     stale_bomb_pairs = sum(n * (n - 1) // 2 for n in shist.values())
-    # the bomb is real: the majority of the mode piles into ONE cell
-    assert stale_max_cell >= 0.5 * n_hot, (stale_max_cell, n_hot)
+    # the bomb is real: the mode piles into a handful of cells — the
+    # hottest is tens of times the balanced N/k (at 200k: 14k rows in one
+    # cell = a ~99M-pair quadratic in a single task)
+    assert stale_max_cell >= 20 * mean_cell, (stale_max_cell, mean_cell)
     expected_drops = sum(max(0, n - 2_000) for n in shist.values())
 
     logged: list[str] = []

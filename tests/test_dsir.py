@@ -1,0 +1,113 @@
+"""DSIR importance resampling (functions/dsir.py) — semantic tests on a
+CRAFTED corpus with a genuine distribution difference (the documents
+fixture's lang labels share one synthetic vocabulary, so they cannot show
+selection signal; the fixture's role is the DuckDB value oracle in
+goldens_ext, which pins the arithmetic exactly)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dsir import (
+    dsir_sample,
+    dsir_weights,
+    train_hashed_ngram_lm,
+)
+
+DIM = 512
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    """60 'science' docs (vocab A), 60 'spam' docs (vocab B), equal length
+    — raw is the mix, target is vocab A only."""
+    sci = [(i, "atoms orbit the nucleus and electrons share bonds "
+               "molecules react under heat and pressure forming compounds")
+           for i in range(60)]
+    spam = [(100 + i, "click here free winner prize claim now limited "
+                      "offer act fast exclusive deal bonus cash reward")
+            for i in range(60)]
+    df = spark.createDataFrame(sci + spam, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 60)
+    return df, target
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark, crafted):
+    """Every vocab-A doc must outscore every vocab-B doc when the target LM
+    is trained on vocab A — the core DSIR selection property (equal doc
+    lengths, so length confounds cancel)."""
+    df, target = crafted
+    tlm = train_hashed_ngram_lm(target, dim=DIM)
+    rlm = train_hashed_ngram_lm(df, dim=DIM)
+    w = dsir_weights(df, tlm, rlm, dim=DIM).select(
+        "doc_id", "logw4_sum").collect()
+    sci = [r.logw4_sum for r in w if r.doc_id < 60]
+    spam = [r.logw4_sum for r in w if r.doc_id >= 100]
+    assert min(sci) > max(spam)
+    assert all(s > 0 for s in sci)      # target-like: p_t > p_r
+    assert all(s < 0 for s in spam)     # off-target: p_t < p_r
+
+
+def test_dsir_sample_prefers_target_and_is_deterministic(spark, crafted):
+    """Gumbel top-k keeps (almost) only vocab-A docs at k=40, and the
+    sample is bit-stable across calls (deterministic md5 noise)."""
+    df, target = crafted
+    tlm = train_hashed_ngram_lm(target, dim=DIM)
+    rlm = train_hashed_ngram_lm(df, dim=DIM)
+    s1 = {r.doc_id for r in dsir_sample(df, 40, tlm, rlm, dim=DIM)
+          .select("doc_id").collect()}
+    s2 = {r.doc_id for r in dsir_sample(df, 40, tlm, rlm, dim=DIM)
+          .select("doc_id").collect()}
+    assert s1 == s2 and len(s1) == 40
+    # the weight gap here is enormous; noise cannot flip B over A
+    assert all(d < 60 for d in s1)
+    # a different salt is a different (still deterministic) sample
+    s3 = {r.doc_id for r in
+          dsir_sample(df, 40, tlm, rlm, dim=DIM, salt="other")
+          .select("doc_id").collect()}
+    assert len(s3) == 40
+
+
+def test_dsir_empty_and_featureless_docs_survive(spark, crafted):
+    """Docs with no features report (0, 0, weight 1) and are never
+    dropped from the weights frame."""
+    df, target = crafted
+    extra = spark.createDataFrame(
+        [(900, ""), (901, "   ")], "doc_id long, text string")
+    tlm = train_hashed_ngram_lm(target, dim=DIM)
+    rlm = train_hashed_ngram_lm(df, dim=DIM)
+    w = dsir_weights(df.unionByName(extra), tlm, rlm, dim=DIM)
+    got = {r.doc_id: (r.logw4_sum, r.n_features, r.log_importance)
+           for r in w.filter("doc_id >= 900").collect()}
+    assert got == {900: (0, 0, 0.0), 901: (0, 0, 0.0)}
+
+
+def test_dsir_bigram_toggle_and_feature_counts(spark, crafted):
+    """n_features = tokens with bigrams off, tokens + (tokens-1) with
+    bigrams on — the stream is complete (regression pin for the silent
+    zero-bigram monotonically_increasing_id failure the module docstring
+    records)."""
+    df, target = crafted
+    tlm_u = train_hashed_ngram_lm(target, dim=DIM, include_bigrams=False)
+    rlm_u = train_hashed_ngram_lm(df, dim=DIM, include_bigrams=False)
+    one = df.filter("doc_id = 0")
+    n_toks = 16  # crafted docs are exactly 16 tokens
+    w_u = dsir_weights(one, tlm_u, rlm_u, dim=DIM,
+                       include_bigrams=False).first()
+    assert w_u.n_features == n_toks
+    tlm_b = train_hashed_ngram_lm(target, dim=DIM)
+    rlm_b = train_hashed_ngram_lm(df, dim=DIM)
+    w_b = dsir_weights(one, tlm_b, rlm_b, dim=DIM).first()
+    assert w_b.n_features == 2 * n_toks - 1
+
+
+def test_hashed_ngram_lm_is_total_and_normalized(spark, crafted):
+    """The LM covers the closed bucket space (exactly dim rows, no OOV
+    special case) and Σ p(bucket) == 1 up to the 1e-4 logp quantization."""
+    import math
+
+    _, target = crafted
+    lm = train_hashed_ngram_lm(target, dim=64).collect()
+    assert len(lm) == 64
+    assert len({r.bucket for r in lm}) == 64
+    total_p = sum(math.exp(r.logp4 / 1e4) for r in lm)
+    assert abs(total_p - 1.0) < 1e-2
