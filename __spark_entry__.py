@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # now, rotate in-cap next round per the rule above)
         "ext_dsir_weights",
         "ext_dsir_sample",
+        "ext_pq_encode",
+        "ext_pq_topk",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -380,6 +380,23 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     _dsir_t.unpersist()
     _dsir_r.unpersist()
 
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+    # round-9 addition: product-quantization ANN — the 8-byte-codes scan
+    # that replaces the embedding table in candidate search; codebooks
+    # train once (driver numpy over a hash-ordered sample), the encoded
+    # table persists, and the timed query is the LUT-literal ADC scan +
+    # exact re-rank of the candidate pool
+    _pq_books = pq_train(emb, n_subspaces=8, n_codes=16)
+    timed("pq_encode", lambda: pq_encode(emb, _pq_books).count())
+    _pq_enc = pq_encode(emb, _pq_books)
+    _pq_enc.persist().count()
+    timed("pq_topk_rerank",
+          lambda: pq_topk(_pq_enc, queries, _pq_books, k=10,
+                          query_id_col="vec_id", rerank_with=emb,
+                          rerank_candidates=100).count())
+    _pq_enc.unpersist()
+
     return timings, noise
 
 

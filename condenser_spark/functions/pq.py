@@ -1,0 +1,377 @@
+"""Product quantization ANN (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search"; the PQ half of FAISS's IVF-PQ):
+split each embedding into ``m`` subvectors, learn a tiny per-subspace
+codebook (``k`` centroids each), and store every vector as ``m`` small
+codes — 8 bytes/vector at m=8 instead of 256+ for a dim-64 float array.
+
+Why this matters at 100 TB: the candidate-scoring scan reads the CODES
+table, not the embeddings — a 30-60x reduction of the scan bill — and the
+query-side math collapses into ``m`` literal-array lookups per row
+(asymmetric distance computation): approx_dot(q, x) decomposes EXACTLY as
+Σ_m dot(q_m, c_{m,code_m}) because the subspaces partition the dimensions,
+so the whole scoring projection is codegen'd JVM work with zero Python and
+zero joins.  Full embeddings are touched only by the optional exact
+re-rank of the few surviving candidates — the standard PQ + re-rank
+recipe.
+
+The Spark-first split mirrors the trainable quality filter: TRAINING is a
+driver-side numpy k-means over a bounded hash-ordered sample (what FAISS
+itself does — codebooks are tiny models; fail-loud cap, deterministic
+seeding), ENCODING and SCORING are corpus-scale scans (Arrow kernel past
+the expression budget, plain literal expressions at oracle shapes — the
+same ``use_arrow`` engine split as the IVF/SRP family, goldens_ext embeds
+literal codebooks exactly like the quality scorer's stand-in weights).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+#: expression-path budget, aligned with the MEASURED IVF threshold
+#: (similarity._ivf_auto_arrow: literals only for genuinely tiny shapes):
+#: the literal encode projection builds ~m*k*dsub Catalyst nodes, and at
+#: the default 8x16x8 = 1024 shape the per-call analysis+codegen of that
+#: tree alone measured ~1.5 s/run at sf0.01 — the Arrow kernel is the
+#: default everywhere but oracle-fixture shapes.
+PQ_ARROW_EXPR_BUDGET = 256
+
+
+@dataclass(frozen=True)
+class PqCodebooks:
+    """Per-subspace codebooks: ``books[m][c]`` is the dsub-dim centroid for
+    code ``c`` of subspace ``m``; ``dim = m * dsub``."""
+
+    books: list[list[list[float]]]
+    dim: int
+
+    @property
+    def m(self) -> int:
+        return len(self.books)
+
+    @property
+    def k(self) -> int:
+        return len(self.books[0])
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // len(self.books)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"dim": self.dim, "books": self.books}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "PqCodebooks":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(books=d["books"], dim=d["dim"])
+
+
+def pq_train(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    kmeans_iters: int = 8,
+    max_train_rows: int = 20_000,
+) -> PqCodebooks:
+    """Learn PQ codebooks from a bounded, hash-ordered training sample.
+
+    Driver-side numpy Lloyd per subspace (the FAISS recipe — PQ codebooks
+    are learned from a sample even for billion-vector indexes), with the
+    house discipline: the sample is ``max_train_rows`` hash-ordered rows
+    (deterministic across runs and engines), the width is the sample's
+    modal width (``ivf_index``'s vote — a minority of ragged rows cannot
+    steer it), ``dim`` must divide evenly by ``n_subspaces`` (pre-pad or
+    ``rp_project`` to a multiple — an implicit zero-pad would silently
+    change distances), and centroids round to 6 dp so they embed as exact
+    plan/oracle literals.  Raises on an empty corpus (same as
+    ``ivf_index``).  Initialization is the first ``n_codes`` distinct
+    subvectors in hash order; empty clusters keep their previous centroid
+    — every step is deterministic, no RNG in the loop."""
+    import numpy as np
+
+    assert n_subspaces >= 1 and n_codes >= 2 and kmeans_iters >= 0
+    sample = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)).asc(),
+                 F.col("_id").asc())
+        .limit(max_train_rows)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_train: corpus has no non-empty vectors")
+    lengths = [len(r._v) for r in sample]
+    dim = max(set(lengths), key=lambda n: (lengths.count(n), -n))
+    if dim % n_subspaces != 0:
+        raise ValueError(
+            f"pq_train: dim {dim} is not divisible by n_subspaces="
+            f"{n_subspaces}; rp_project (or pad explicitly) to a multiple "
+            "first — an implicit zero-pad would silently change distances"
+        )
+    X = np.asarray([r._v for r in sample if len(r._v) == dim],
+                   dtype=np.float64)
+    dsub = dim // n_subspaces
+    books: list[list[list[float]]] = []
+    for mi in range(n_subspaces):
+        S = X[:, mi * dsub:(mi + 1) * dsub]
+        # deterministic init: first k DISTINCT subvectors in sample order
+        seen: list = []
+        for row in S:
+            t = tuple(row)
+            if t not in seen:
+                seen.append(t)
+            if len(seen) == n_codes:
+                break
+        C = np.asarray(
+            seen + [seen[-1]] * (n_codes - len(seen)), dtype=np.float64)
+        for _ in range(kmeans_iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books.append([[round(float(x), 6) for x in c] for c in C])
+    return PqCodebooks(books=books, dim=dim)
+
+
+def _encode_exprs(books: PqCodebooks, vec: str) -> list:
+    """Literal-expression code assignment: per subspace, k explicit
+    left-to-right squared-distance sums + first-min ``array_position`` —
+    the IEEE operation order the DuckDB oracle replays term for term."""
+    dsub = books.dsub
+    codes = []
+    for mi, book in enumerate(books.books):
+        dists = []
+        for cent in book:
+            terms = None
+            for j, c in enumerate(cent):
+                t = (F.element_at(F.col(vec), mi * dsub + j + 1)
+                     - F.lit(float(c)))
+                t = t * t
+                terms = t if terms is None else terms + t
+            dists.append(terms)
+        arr = F.array(*dists)
+        codes.append(
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("int").alias(f"_c{mi}")
+        )
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    books: PqCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_arrow: bool | None = None,
+) -> DataFrame:
+    """(id, codes array<int>) — each vector's per-subspace nearest-centroid
+    codes (L2 in each subspace, ties to the LOWEST code index in both
+    engine paths).  NULL/ragged rows are dropped at the entry filter: a
+    code is meaningless for a vector the codebooks don't cover.
+
+    One scan, no shuffle.  ``use_arrow=None`` picks by plan size: the
+    literal path builds ~m*k*dsub Catalyst nodes (fine at oracle shapes),
+    the Arrow path runs one (N, dsub) x (dsub, k) distance batch per
+    subspace in numpy.  Persist the output (or sink it to parquet) — it is
+    the 8-byte-per-vector scan that replaces the embedding table in every
+    candidate search."""
+    v = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == books.dim)
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if use_arrow is None:
+        use_arrow = books.m * books.k * books.dsub > PQ_ARROW_EXPR_BUDGET
+    if not use_arrow:
+        coded = v.select("vec_id", *_encode_exprs(books, "_v"))
+        return coded.select(
+            "vec_id",
+            F.array(*[F.col(f"_c{mi}") for mi in range(books.m)])
+            .alias("codes"),
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    B = np.asarray(books.books, dtype=np.float64)      # (m, k, dsub)
+    dsub = books.dsub
+
+    def encode(vecs):
+        V = np.asarray(vecs.tolist(), dtype=np.float64)      # (N, dim)
+        out = np.empty((V.shape[0], B.shape[0]), dtype=np.int32)
+        for mi in range(B.shape[0]):
+            S = V[:, mi * dsub:(mi + 1) * dsub]              # (N, dsub)
+            d2 = ((S[:, None, :] - B[mi][None, :, :]) ** 2).sum(axis=2)
+            out[:, mi] = d2.argmin(axis=1)                   # first-min ties
+        return pd.Series(list(out))
+
+    encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf(encode, ArrayType(IntegerType()))
+    return v.select("vec_id", udf("_v").alias("codes"))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    books: PqCodebooks,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank_with: DataFrame | None = None,
+    rerank_candidates: int | None = None,
+    max_queries: int = 256,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance over the CODES table:
+    (query_id, vec_id, approx_cosine, rank) — or, with ``rerank_with``,
+    exact (query_id, vec_id, cosine_sim, rank) after re-scoring the
+    approximate candidates against the full vectors.
+
+    The ADC decomposition: approx_dot(q, x) = Σ_m lut_dot[m][code_m] and
+    approx ||x||² = Σ_m lut_n2[m][code_m], with both LUTs computed ONCE per
+    query on the driver and baked in as literal arrays — so the scan over
+    the codes table is m ``element_at`` lookups + adds per (row, query),
+    pure whole-stage codegen, reading 8-byte code arrays instead of
+    256-byte embeddings.  approx_cosine rounds to 4 dp with an id tiebreak
+    (deterministic, oracle-replayable).
+
+    Queries collect to the driver (the LUTs must become literals) —
+    bounded by ``max_queries`` with a fail-loud ValueError, the
+    build_shingle_bloom convention; batch a bigger query load across
+    calls.  ``rerank_with`` (the original embedding table) joins ONLY the
+    ``rerank_candidates`` (default 4k) survivors per query back to full
+    vectors for exact cosine — the standard PQ + re-rank recipe; the join
+    ships candidate ids, never the corpus."""
+    rows = (
+        queries.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == books.dim)
+        )
+        .select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_q"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"pq_topk collected more than {max_queries} query vectors — "
+            "the per-query LUTs are plan literals by design; batch the "
+            "query load across calls (or raise max_queries=)."
+        )
+    if not rows:
+        return encoded.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+        ).filter(F.lit(False)).select(
+            F.lit(None).cast("long").alias("query_id"),
+            "vec_id",
+            F.lit(0.0).alias("approx_cosine"),
+            F.lit(0).alias("rank"),
+        )
+    dsub = books.dsub
+    per_q = []
+    for r in rows:
+        q = list(r._q)
+        qnorm = math.sqrt(sum(x * x for x in q))
+        if qnorm == 0.0:
+            continue
+        score = None
+        norm2 = None
+        for mi, book in enumerate(books.books):
+            # LUT entries stay UNROUNDED: both engines (this Python loop
+            # and the oracle's SQL) sum the identical terms left to right
+            # in double, so the values are already bit-identical — a
+            # rounding step would only reintroduce the half-even (Python)
+            # vs half-away (SQL) tie mismatch.  Only the final
+            # approx_cosine rounds (4 dp).
+            lut_dot = [
+                sum(q[mi * dsub + j] * c[j] for j in range(dsub))
+                for c in book
+            ]
+            lut_n2 = [
+                sum(c[j] * c[j] for j in range(dsub))
+                for c in book
+            ]
+            code1 = F.element_at("codes", mi + 1) + 1
+            d = F.element_at(F.array(*[F.lit(x) for x in lut_dot]), code1)
+            n2 = F.element_at(F.array(*[F.lit(x) for x in lut_n2]), code1)
+            score = d if score is None else score + d
+            norm2 = n2 if norm2 is None else norm2 + n2
+        per_q.append(
+            F.struct(
+                F.lit(r._qid).alias("query_id"),
+                F.round(
+                    score / (F.lit(qnorm) * F.sqrt(norm2)), 4
+                ).alias("approx_cosine"),
+            )
+        )
+    if not per_q:
+        return pq_topk(encoded, queries.limit(0), books, k=k,
+                       id_col=id_col, vec_col=vec_col,
+                       query_id_col=query_id_col)
+    scored = encoded.select(
+        "vec_id", F.explode(F.array(*per_q)).alias("_s")
+    ).select(
+        F.col("_s.query_id").alias("query_id"),
+        "vec_id",
+        F.col("_s.approx_cosine").alias("approx_cosine"),
+    ).filter(F.col("approx_cosine").isNotNull())
+    n_cand = k if rerank_with is None else (rerank_candidates or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id").asc())
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+    )
+    if rerank_with is None:
+        return top
+    from condenser_spark.functions.similarity import _nonzero, cosine
+
+    corpus = rerank_with.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == books.dim)
+        & _nonzero(F.col(vec_col))
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qmap = {r._qid: list(r._q) for r in rows}
+    qdf = encoded.sparkSession.createDataFrame(
+        [(qid, vec) for qid, vec in qmap.items()],
+        schema=f"query_id {'string' if isinstance(next(iter(qmap)), str) else 'long'}, _qv array<double>",
+    )
+    exact = (
+        top.select("query_id", "vec_id")
+        .join(corpus, on="vec_id")
+        .join(F.broadcast(qdf), on="query_id")
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 4)
+            .alias("cosine_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

@@ -2661,3 +2661,145 @@ def ext_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rlm = train_hashed_ngram_lm(docs, dim=256)
     return dsir_sample(docs, 40, tlm, rlm, dim=256).select(
         "doc_id", "lang", "source", "n_chars")
+
+
+# ------------------------------------------------------------------ PQ / ADC
+
+def _pq_books(m: int = 8, k: int = 4, dsub: int = 8):
+    """Deterministic literal PQ codebooks for the oracle pair — the
+    stand-in for trained codebooks, exactly like _quality_weights: the
+    ENCODE and ADC-SCORING contracts are what must be engine-reproducible;
+    training (driver-side numpy k-means) is pinned separately in pytest."""
+    import random
+
+    rnd = random.Random(11)
+    return [
+        [[round(rnd.uniform(-1.0, 1.0), 6) for _ in range(dsub)]
+         for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def _pq_encode_cols_sql(books) -> str:
+    """Per-subspace code columns c0..c{m-1}: k explicit left-to-right
+    squared-distance sums + first-min list_position — term-for-term the
+    IEEE order of pq._encode_exprs."""
+    m, k = len(books), len(books[0])
+    dsub = len(books[0][0])
+    cols = []
+    for mi in range(m):
+        dists = []
+        for cent in books[mi]:
+            terms = " + ".join(
+                f"(e[{mi * dsub + j + 1}] - {cent[j]})"
+                f" * (e[{mi * dsub + j + 1}] - {cent[j]})"
+                for j in range(dsub)
+            )
+            dists.append(f"({terms})")
+        lst = "[" + ", ".join(dists) + "]"
+        cols.append(
+            f"CAST(list_position({lst}, list_min({lst})) - 1 AS INT)"
+            f" AS c{mi}"
+        )
+    return ",\n             ".join(cols)
+
+
+_PQ_BOOKS = _pq_books()
+
+
+@golden(
+    "ext_pq_encode",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    )
+    SELECT vec_id,
+             {_pq_encode_cols_sql(_PQ_BOOKS)}
+    FROM v
+    """,
+)
+def ext_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each dim-64
+    embedding becomes 8 per-subspace nearest-centroid codes (k=4 literal
+    codebooks, L2 per subspace, first-min ties) — the 8-byte-per-vector
+    representation whose scan replaces the embedding table in candidate
+    search (condenser_spark/functions/pq.py:pq_encode, expression path ==
+    Arrow path pytest-pinned).  Registered past the driver's 50-slot cap;
+    verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.pq import PqCodebooks, pq_encode
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    books = PqCodebooks(books=_PQ_BOOKS, dim=64)
+    enc = pq_encode(emb, books, use_arrow=False)
+    return enc.select(
+        "vec_id",
+        *[F.element_at("codes", mi + 1).alias(f"c{mi}") for mi in range(8)],
+    )
+
+
+def _pq_topk_sql(books, n_queries: int = 4, k: int = 5) -> str:
+    m = len(books)
+    dsub = len(books[0][0])
+    dot_cases, n2_cases = [], []
+    for mi in range(m):
+        whens_d, whens_n = [], []
+        for ci, cent in enumerate(books[mi]):
+            d = " + ".join(
+                f"q.e[{mi * dsub + j + 1}] * {cent[j]}" for j in range(dsub)
+            )
+            n2 = sum(cent[j] * cent[j] for j in range(dsub))
+            whens_d.append(f"WHEN {ci} THEN ({d})")
+            whens_n.append(f"WHEN {ci} THEN {n2!r}")
+        dot_cases.append(
+            f"(CASE c.c{mi} {' '.join(whens_d)} END)")
+        n2_cases.append(
+            f"(CASE c.c{mi} {' '.join(whens_n)} END)")
+    dot_sum = " + ".join(dot_cases)
+    n2_sum = " + ".join(n2_cases)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    codes AS (
+      SELECT vec_id,
+             {_pq_encode_cols_sql(books)}
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id AS query_id, e FROM v
+      WHERE vec_id < {n_queries} AND list_dot_product(e, e) > 0
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             ROUND(({dot_sum})
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt({n2_sum})),
+                   4) AS approx_cosine
+      FROM codes c CROSS JOIN q
+    )
+    SELECT query_id, vec_id, approx_cosine, CAST(rn AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx_cosine DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@golden("ext_pq_topk", _pq_topk_sql(_PQ_BOOKS))
+def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): approx_cosine from per-query
+    literal lookup tables over the codes scan — Σ_m lut_dot[code_m] /
+    (||q|| * sqrt(Σ_m lut_n2[code_m])) — the scoring pass that reads
+    8-byte codes instead of 256-byte embeddings; LUT entries stay
+    unrounded (identical left-to-right IEEE sums on both engines), only
+    the final cosine rounds (condenser_spark/functions/pq.py:pq_topk).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.pq import PqCodebooks, pq_encode, pq_topk
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    books = PqCodebooks(books=_PQ_BOOKS, dim=64)
+    enc = pq_encode(emb, books, use_arrow=False)
+    return pq_topk(enc, emb.filter("vec_id < 4"), books, k=5,
+                   query_id_col="vec_id")

@@ -1,0 +1,118 @@
+"""Product-quantization ANN (functions/pq.py): training determinism,
+engine-path equality, recall properties against the exact oracle-checked
+brute force, and the fail-loud guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.pq import (
+    PqCodebooks,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(source):
+    return source["embeddings"]
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, n_subspaces=8, n_codes=16)
+
+
+def test_pq_train_shape_determinism_and_roundtrip(emb, books, tmp_path):
+    assert (books.m, books.k, books.dsub, books.dim) == (8, 16, 8, 64)
+    again = pq_train(emb, n_subspaces=8, n_codes=16)
+    assert again.books == books.books      # no RNG in the loop
+    p = str(tmp_path / "books.json")
+    books.save(p)
+    assert PqCodebooks.load(p).books == books.books
+
+
+def test_pq_encode_paths_agree_and_drop_bad_rows(spark, emb, books):
+    """Literal-expression and Arrow encode paths produce identical codes
+    (the equality the ext_pq_encode oracle leans on), and NULL/ragged
+    vectors are dropped at the entry filter."""
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<double>")
+    corpus = emb.select("vec_id", "embedding").unionByName(bad)
+    a = {r.vec_id: list(r.codes)
+         for r in pq_encode(corpus, books, use_arrow=True).collect()}
+    e = {r.vec_id: list(r.codes)
+         for r in pq_encode(corpus, books, use_arrow=False).collect()}
+    assert a == e and len(a) == emb.count()
+    assert 9001 not in a and 9002 not in a
+    assert all(0 <= c < 16 for codes in a.values() for c in codes)
+
+
+def test_pq_full_rerank_equals_brute_force(emb, books):
+    """PQ + exact re-rank over ALL candidates must reproduce brute force
+    exactly — approximation lives only in candidate pruning."""
+    from condenser_spark.functions.similarity import brute_force_cosine_topk
+
+    q = emb.filter("vec_id < 6")
+    enc = pq_encode(emb, books)
+    n = emb.count()
+    got = pq_topk(enc, q, books, k=10, query_id_col="vec_id",
+                  rerank_with=emb, rerank_candidates=n)
+    want = brute_force_cosine_topk(emb, q, k=10, query_id_col="vec_id")
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, want.collect())))
+
+
+def test_pq_clone_shares_codes_and_is_retrieved(spark, emb, books):
+    """An exact clone has identical codes BY CONSTRUCTION, ties with its
+    original at the top approx score, and survives into the top-k."""
+    clones = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 70000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(clones)
+    enc = pq_encode(corpus, books)
+    codes = {r.vec_id: list(r.codes) for r in enc.collect()}
+    for i in range(3):
+        assert codes[i] == codes[70000 + i]
+    top = pq_topk(enc, emb.filter("vec_id < 3"), books, k=10,
+                  query_id_col="vec_id")
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for i in range(3):
+        assert {i, 70000 + i} <= by_q[i]
+
+
+def test_pq_rerank_recall_beats_approx_only(emb, books):
+    """The standard recipe: re-ranking a modest candidate pool recovers
+    most of the exact top-k even on uniform-random vectors (PQ's hardest
+    case: no cluster structure to exploit)."""
+    from condenser_spark.functions.similarity import brute_force_cosine_topk
+
+    q = emb.filter("vec_id < 8")
+    enc = pq_encode(emb, books)
+    exact = {(r.query_id, r.vec_id) for r in
+             brute_force_cosine_topk(emb, q, k=10,
+                                     query_id_col="vec_id").collect()}
+    approx = {(r.query_id, r.vec_id) for r in
+              pq_topk(enc, q, books, k=10, query_id_col="vec_id").collect()}
+    rerank = {(r.query_id, r.vec_id) for r in
+              pq_topk(enc, q, books, k=10, query_id_col="vec_id",
+                      rerank_with=emb, rerank_candidates=100).collect()}
+    r_approx = len(exact & approx) / len(exact)
+    r_rerank = len(exact & rerank) / len(exact)
+    assert r_rerank > r_approx
+    assert r_rerank >= 0.7
+
+
+def test_pq_guards(spark, emb, books):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, n_subspaces=7)
+    with pytest.raises(ValueError, match="no non-empty vectors"):
+        pq_train(emb.filter(F.lit(False)))
+    enc = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="more than 4 query vectors"):
+        pq_topk(enc, emb, books, k=5, query_id_col="vec_id", max_queries=4)
+    # empty query side -> empty typed frame, not an error
+    assert pq_topk(enc, emb.filter(F.lit(False)), books, k=5,
+                   query_id_col="vec_id").count() == 0
