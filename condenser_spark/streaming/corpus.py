@@ -191,3 +191,125 @@ def decontaminate_stream(
     return flagged.filter(
         F.col("max_shared_shingles") < min_shared
     ).drop("n_shared_shingles", "max_shared_shingles")
+
+
+# ------------------------------------------------------------------- DSIR
+
+#: Fail-loud ceiling for the delta-table driver collect.  The table is
+#: dim-bounded by construction (one row per hash bucket); 4M entries is
+#: already a dim far past the DSIR paper's 10k.
+MAX_DELTA_ROWS = 4_000_000
+
+
+def build_delta_index(
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    max_rows: int = MAX_DELTA_ROWS,
+) -> dict:
+    """Collect the DSIR (bucket -> logp4_target - logp4_raw) delta table
+    once — the streaming analogue of ``build_eval_shingles``: pass the
+    result to :func:`dsir_score_stream` via ``delta=`` to amortize the
+    collect across restarts and streams.  Both models come from
+    ``functions.dsir.train_hashed_ngram_lm`` over the SAME dim and
+    normalization.  Raises past ``max_rows`` (a dim that large is almost
+    certainly a bug — the bucket space is supposed to be small)."""
+    rows = (
+        target_lm.alias("t")
+        .join(raw_lm.alias("r"), on="bucket")
+        .select("bucket", (F.col("t.logp4") - F.col("r.logp4"))
+                .alias("delta4"))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"build_delta_index collected more than {max_rows:,} bucket "
+            "rows — the hashed-ngram bucket space is small by design; "
+            "check dim (or raise max_rows=)."
+        )
+    return {r.bucket: r.delta4 for r in rows}
+
+
+def dsir_score_stream(
+    docs: DataFrame,
+    target_lm: DataFrame | None = None,
+    raw_lm: DataFrame | None = None,
+    dim: int = 10_000,
+    text_col: str = "text",
+    include_bigrams: bool = True,
+    delta: dict | None = None,
+) -> DataFrame:
+    """DSIR importance weights for a (streaming or batch) document frame
+    against a FIXED pair of hashed-ngram LMs: input columns plus the batch
+    operator's exact (``logw4_sum``, ``n_features``, ``log_importance``)
+    triple (functions/dsir.py:dsir_weights — equality pinned in
+    tests/test_dsir.py).  The routing twin: score documents as they land,
+    fork high-importance ones to the curated sink.
+
+    Stateless map-side work only — no join, no window, no watermark:
+    feature hashing stays JVM-side IN-ROW (``transform`` over the token
+    array + ``zip_with`` adjacent pairs, md5 buckets — bit-identical to
+    the batch stream's posexplode/lead form), and the only Python is one
+    Arrow UDF summing broadcast delta lookups per row.  COST NOTE: the
+    in-row HOFs are interpreted, like every streaming twin here (module
+    docstring) — land the data and run the batch operator when a
+    micro-batch falls behind.
+
+    Pass either the two LM frames (delta derived once at plan build) or a
+    prebuilt ``delta=`` from :func:`build_delta_index`."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    if delta is None:
+        if target_lm is None or raw_lm is None:
+            raise ValueError(
+                "dsir_score_stream needs target_lm and raw_lm (or a "
+                "prebuilt delta=)")
+        delta = build_delta_index(target_lm, raw_lm)
+    bcast = docs.sparkSession.sparkContext.broadcast(delta)
+
+    arr = F.filter(
+        F.split(
+            F.regexp_replace(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+", " "),
+            " "),
+        lambda t: t != "",
+    )
+
+    def bucket(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(dim),
+        )
+
+    feats = F.transform(arr, bucket)
+    if include_bigrams:
+        bi = F.zip_with(
+            F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        feats = F.concat(feats, F.transform(bi, bucket))
+
+    def _sum4(bucket_arrays):
+        d = bcast.value
+        return pd.Series(
+            [sum(d.get(b, 0) for b in arr) if arr is not None else 0
+             for arr in bucket_arrays],
+            dtype="int64",
+        )
+
+    _sum4.__annotations__ = {"bucket_arrays": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_sum4, LongType())
+    out = (
+        docs.withColumn("_fb", feats)
+        .withColumn("logw4_sum", udf("_fb"))   # one Python round trip
+    )
+    return out.select(
+        *docs.columns,
+        "logw4_sum",
+        F.size("_fb").cast("long").alias("n_features"),
+        F.round(F.col("logw4_sum") / 1e4, 4).alias("log_importance"),
+    )

@@ -791,6 +791,131 @@ def stage_encode_bpe(spark, n_docs: int = 5_000_000,
     }
 
 
+def stage_dsir(spark, n_docs: int = 5_000_000, dim: int = 10_000,
+               keep: int = 500_000) -> dict:
+    """DSIR importance resampling at corpus scale: the full pipeline —
+    train two hashed-ngram LMs (target = a 1% slice, raw = all 5M docs),
+    weight every document (broadcast delta join + integer sum over ~400M
+    unigram+bigram feature instances), Gumbel top-k select 500k — three
+    full-corpus passes, zero Python in any of them.  The dim=10k bucket
+    space is the paper's (Xie et al. 2023); the broadcast delta table is
+    ~160 KB regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        train_hashed_ngram_lm,
+    )
+
+    path = f"{WORK}/bpe_docs"  # reuse the Zipf corpus from stage 13
+    if not os.path.isdir(path):
+        raise SystemExit("run --only=encode_bpe first (builds the corpus)")
+    docs = spark.read.parquet(path)
+    t0 = time.time()
+    tlm = train_hashed_ngram_lm(
+        docs.filter(F.col("doc_id") % 100 == 0), dim=dim)
+    rlm = train_hashed_ngram_lm(docs, dim=dim)
+    tlm.persist().count()
+    rlm.persist().count()
+    train_wall = time.time() - t0
+    t0 = time.time()
+    sel = dsir_sample(docs, keep, tlm, rlm, dim=dim)
+    n_sel = sel.count()
+    select_wall = time.time() - t0
+    tlm.unpersist()
+    rlm.unpersist()
+    assert n_sel == keep, (n_sel, keep)
+    return {
+        "stage": "dsir_5m",
+        "n_docs": n_docs,
+        "dim": dim,
+        "keep": keep,
+        "train_wall_sec": round(train_wall, 1),
+        "select_wall_sec": round(select_wall, 1),
+        "docs_per_sec_select": round(n_docs / select_wall),
+    }
+
+
+def stage_pq(spark, n_vecs: int = 5_000_000,
+             brute_slice: int = 1_000_000) -> dict:
+    """PQ at 5M dim-64 vectors: encode throughput (Arrow kernel), the
+    ADC codes-scan query rate vs the exact cosine scan rate (the 100 TB
+    claim priced: candidate search reads 8-byte codes through codegen'd
+    literal lookups instead of 256-byte embeddings through an interpreted
+    fold), and correctness via planted clones — each of the 8 query
+    vectors has an exact clone in the corpus that must come back at
+    rank 1 with cosine 1.0 after the re-rank."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+    from condenser_spark.functions.similarity import brute_force_cosine_topk
+
+    def synth(ids):
+        return ids.select(
+            F.col("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("base_id"), i), F.lit(2001))
+                    .cast("double") / 1000.0 - 1.0
+                ),
+            ).alias("embedding"),
+        )
+
+    base = synth(spark.range(n_vecs).select(
+        F.col("id").alias("base_id"), F.col("id").alias("vec_id")))
+    clones = synth(spark.range(8).select(
+        F.col("id").alias("base_id"),
+        (F.col("id") + 10_000_000).alias("vec_id")))
+    path = f"{WORK}/pq_vecs"
+    base.unionByName(clones).write.mode("overwrite").parquet(path)
+    vecs = spark.read.parquet(path)
+    queries = vecs.filter("vec_id < 8")
+
+    books = pq_train(vecs, n_subspaces=8, n_codes=16)
+    t0 = time.time()
+    enc = pq_encode(vecs, books)
+    enc.write.mode("overwrite").parquet(f"{WORK}/pq_codes")
+    encode_wall = time.time() - t0
+    codes = spark.read.parquet(f"{WORK}/pq_codes")
+
+    t0 = time.time()
+    pq_topk(codes, queries, books, k=10, query_id_col="vec_id").count()
+    adc_wall = time.time() - t0
+
+    t0 = time.time()
+    rr = pq_topk(codes, queries, books, k=10, query_id_col="vec_id",
+                 rerank_with=vecs, rerank_candidates=1_000)
+    top1 = {r.query_id: (r.vec_id, r.cosine_sim)
+            for r in rr.filter("rank = 1").collect()}
+    rerank_wall = time.time() - t0
+    # every query's planted exact clone is rank 1 with cosine 1.0 (the
+    # query itself is also in the corpus; min-id tiebreak -> the query row)
+    for qid in range(8):
+        vid, cos = top1[qid]
+        assert cos == 1.0 and vid in (qid, qid + 10_000_000), top1[qid]
+
+    t0 = time.time()
+    brute_force_cosine_topk(
+        vecs.filter(F.col("vec_id") < brute_slice), queries,
+        k=10, query_id_col="vec_id").count()
+    brute_wall = time.time() - t0
+    adc_rate = (n_vecs / 1e6) / adc_wall          # Mvec per sec (8 queries)
+    brute_rate = (brute_slice / 1e6) / brute_wall
+    return {
+        "stage": "pq_5m",
+        "n_vecs": n_vecs,
+        "encode_wall_sec": round(encode_wall, 1),
+        "adc_wall_sec": round(adc_wall, 1),
+        "adc_mvec_per_sec": round(adc_rate, 2),
+        "rerank_wall_sec": round(rerank_wall, 1),
+        "brute_slice": brute_slice,
+        "brute_wall_sec": round(brute_wall, 1),
+        "brute_mvec_per_sec": round(brute_rate, 2),
+        "adc_speedup_x": round(adc_rate / brute_rate, 1),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -858,6 +983,8 @@ def main() -> int:
             lambda: stage_semantic_dedup_clustered(spark),
         "quality_score": lambda: stage_quality_score(spark, n_docs),
         "encode_bpe": lambda: stage_encode_bpe(spark),
+        "dsir": lambda: stage_dsir(spark),
+        "pq": lambda: stage_pq(spark),
         "zorder": lambda: stage_zorder(spark),
     }
     for name, stage in stages.items():

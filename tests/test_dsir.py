@@ -111,3 +111,56 @@ def test_hashed_ngram_lm_is_total_and_normalized(spark, crafted):
     assert len({r.bucket for r in lm}) == 64
     total_p = sum(math.exp(r.logp4 / 1e4) for r in lm)
     assert abs(total_p - 1.0) < 1e-2
+
+
+def test_dsir_score_stream_matches_batch(spark, source, tmp_path):
+    """dsir_score_stream over a real file stream reproduces the batch
+    dsir_weights triple exactly (logw4_sum, n_features, log_importance)
+    on the documents fixture — in-row JVM hashing == posexplode/lead
+    hashing, and the broadcast delta lookup == the broadcast delta join.
+    Also covers empty/NULL text (0, 0, 0.0, never dropped)."""
+    from condenser_spark.streaming.corpus import (
+        build_delta_index,
+        dsir_score_stream,
+    )
+
+    docs = source["documents"].filter(F.col("doc_id") < 150).select(
+        "doc_id", "text", "lang")
+    extra = spark.createDataFrame(
+        [(900, None, "xx"), (901, "   ", "xx")],
+        "doc_id long, text string, lang string")
+    docs = docs.unionByName(extra)
+    target = docs.filter(F.col("lang") == "en")
+    tlm = train_hashed_ngram_lm(target, dim=256)
+    rlm = train_hashed_ngram_lm(docs, dim=256)
+
+    batch = {r.doc_id: (r.logw4_sum, r.n_features, r.log_importance)
+             for r in dsir_weights(docs, tlm, rlm, dim=256).collect()}
+
+    stream_dir = tmp_path / "dsir_stream"
+    docs.write.parquet(str(stream_dir))
+    delta = build_delta_index(tlm, rlm)
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+    scored = dsir_score_stream(stream, dim=256, delta=delta)
+    q = (scored.writeStream.format("memory")
+         .queryName("dsir_stream_out").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r.doc_id: (r.logw4_sum, r.n_features, r.log_importance)
+           for r in spark.sql("select * from dsir_stream_out").collect()}
+    assert got == batch
+    assert got[900] == (0, 0, 0.0) and got[901] == (0, 0, 0.0)
+
+
+def test_dsir_stream_guards(spark, crafted):
+    from condenser_spark.streaming.corpus import (
+        build_delta_index,
+        dsir_score_stream,
+    )
+
+    df, target = crafted
+    tlm = train_hashed_ngram_lm(target, dim=DIM)
+    rlm = train_hashed_ngram_lm(df, dim=DIM)
+    with pytest.raises(ValueError, match="needs target_lm and raw_lm"):
+        dsir_score_stream(df, dim=DIM)
+    with pytest.raises(ValueError, match="more than 100 bucket rows"):
+        build_delta_index(tlm, rlm, max_rows=100)
