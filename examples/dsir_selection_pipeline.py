@@ -1,0 +1,84 @@
+"""DSIR data selection + PQ retrieval, end to end on the fixtures — the
+round-9 additions composed the way a curation pipeline would use them:
+
+1. TRAIN two hashed-ngram bag LMs (Xie et al. 2023): target = the slice you
+   want more of (here lang='en'; in a real pipeline a curated corpus),
+   raw = the whole crawl.  Two map-side-combined aggregates, dim-bounded.
+2. WEIGHT every document: one broadcast (bucket, delta) join + an exact
+   integer sum per doc — then Gumbel top-k select with deterministic noise
+   (reproducible across runs, partitionings, and engines).
+3. REPORT the mixture shift the selection caused (mixture_report).
+4. INDEX the embedding table with product quantization (Jégou et al. 2011):
+   train codebooks on a bounded sample, encode the corpus to 8-byte code
+   arrays, and answer a query batch by ADC over the CODES scan with exact
+   re-rank — brute-force cosine only ever touches the candidate pool.
+
+Usage:  python examples/dsir_selection_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import mixture_report
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        dsir_weights,
+        train_hashed_ngram_lm,
+    )
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("dsir-selection-example", master="local[8]",
+                      shuffle_partitions=8)
+    source = load_source_tables(spark, sf_dir)
+    docs, emb = source["documents"], source["embeddings"]
+
+    # 1. two hashed-ngram LMs over the SAME dim/normalization
+    target_lm = train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"),
+                                      dim=2048)
+    raw_lm = train_hashed_ngram_lm(docs, dim=2048)
+
+    # 2. weights (audit view) + Gumbel top-k selection
+    w = dsir_weights(docs, target_lm, raw_lm, dim=2048)
+    print("== importance-weight extremes ==")
+    w.orderBy(F.col("log_importance").desc()).select(
+        "doc_id", "lang", "n_features", "log_importance").show(3)
+    k = max(50, docs.count() // 4)
+    selected = dsir_sample(docs, k, target_lm, raw_lm, dim=2048)
+
+    # 3. what did the selection do to the mixture?
+    print("== mixture before -> after (by lang) ==")
+    before = {r[0]: r.doc_share for r in
+              mixture_report(docs, group_col="lang").collect()}
+    after = {r[0]: r.doc_share for r in
+             mixture_report(selected.select(*docs.columns),
+                            group_col="lang").collect()}
+    for lang in sorted(before):
+        print(f"  {lang}: {before[lang]:.3f} -> {after.get(lang, 0.0):.3f}")
+
+    # 4. PQ index lifecycle: train -> encode -> ADC query + exact re-rank
+    books = pq_train(emb, n_subspaces=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    codes.persist().count()     # the 8-byte scan that replaces embeddings
+    hits = pq_topk(codes, emb.filter("vec_id < 3"), books, k=5,
+                   query_id_col="vec_id", rerank_with=emb,
+                   rerank_candidates=50)
+    print("== PQ top-5 (ADC candidates, exact re-rank) ==")
+    hits.orderBy("query_id", "rank").show(15)
+    codes.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

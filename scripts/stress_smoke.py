@@ -710,6 +710,50 @@ def stage_zorder(spark, n_rows: int = 20_000_000) -> dict:
     }
 
 
+def build_zipf_docs(spark, n_docs: int, vocab: int,
+                    words_per_doc: int) -> str:
+    """Land the shared Zipf corpus (n_docs x words_per_doc words drawn
+    log-uniformly from a `vocab`-word dictionary of 8-char hex words) and
+    return its path; reused by the encode_bpe and dsir stages so each can
+    run in its OWN process — the round-9 dsir OOM was cumulative heap from
+    chaining 5M-doc stages in one 48g local JVM, not an operator cost."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    path = f"{WORK}/bpe_docs"
+    marker = f"{path}/_built_{n_docs}_{vocab}_{words_per_doc}"
+    if os.path.exists(marker):
+        return path
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+                    # log-uniform rank -> Zipf-shaped word frequencies
+                    lambda j: F.substring(
+                        F.md5(
+                            F.floor(
+                                F.exp(
+                                    (F.pmod(F.xxhash64(F.col("id"), j),
+                                            F.lit(1_000_000))
+                                     .cast("double") / 1_000_000.0)
+                                    * float(_math.log(vocab))
+                                )
+                            ).cast("string")
+                        ), 1, 8),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+    open(marker, "w").close()
+    return path
+
+
 def stage_encode_bpe(spark, n_docs: int = 5_000_000,
                      vocab: int = 100_000, words_per_doc: int = 40) -> dict:
     """encode_bpe throughput at corpus scale (VERDICT r8 next #7): the
@@ -728,32 +772,7 @@ def stage_encode_bpe(spark, n_docs: int = 5_000_000,
 
     from condenser_spark.functions.bpe import encode_bpe, train_bpe
 
-    path = f"{WORK}/bpe_docs"
-    (
-        spark.range(n_docs)
-        .select(
-            F.col("id").alias("doc_id"),
-            F.array_join(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
-                    # log-uniform rank -> Zipf-shaped word frequencies
-                    lambda j: F.substring(
-                        F.md5(
-                            F.floor(
-                                F.exp(
-                                    (F.pmod(F.xxhash64(F.col("id"), j),
-                                            F.lit(1_000_000))
-                                     .cast("double") / 1_000_000.0)
-                                    * float(__import__("math").log(vocab))
-                                )
-                            ).cast("string")
-                        ), 1, 8),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        .write.mode("overwrite").parquet(path)
-    )
+    path = build_zipf_docs(spark, n_docs, vocab, words_per_doc)
     docs = spark.read.parquet(path)
 
     # train on a 1% sample (the documented sampled-training recipe); the
@@ -807,9 +826,9 @@ def stage_dsir(spark, n_docs: int = 5_000_000, dim: int = 10_000,
         train_hashed_ngram_lm,
     )
 
-    path = f"{WORK}/bpe_docs"  # reuse the Zipf corpus from stage 13
-    if not os.path.isdir(path):
-        raise SystemExit("run --only=encode_bpe first (builds the corpus)")
+    # shared Zipf corpus (stage 13's); built here when absent so this
+    # stage runs alone in a fresh JVM (see build_zipf_docs on why)
+    path = build_zipf_docs(spark, n_docs, 100_000, 40)
     docs = spark.read.parquet(path)
     t0 = time.time()
     tlm = train_hashed_ngram_lm(
