@@ -180,6 +180,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     use_arrow: bool | None = None,
+    keep: tuple = (),
 ) -> DataFrame:
     """(id, codes array<int>) — each vector's per-subspace nearest-centroid
     codes (L2 in each subspace, ties to the LOWEST code index in both
@@ -196,14 +197,15 @@ def pq_encode(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == books.dim)
     ).select(
         F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep],
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
     if use_arrow is None:
         use_arrow = books.m * books.k * books.dsub > PQ_ARROW_EXPR_BUDGET
     if not use_arrow:
-        coded = v.select("vec_id", *_encode_exprs(books, "_v"))
+        coded = v.select("vec_id", *keep, *_encode_exprs(books, "_v"))
         return coded.select(
-            "vec_id",
+            "vec_id", *keep,
             F.array(*[F.col(f"_c{mi}") for mi in range(books.m)])
             .alias("codes"),
         )
@@ -227,7 +229,44 @@ def pq_encode(
 
     encode.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     udf = pandas_udf(encode, ArrayType(IntegerType()))
-    return v.select("vec_id", udf("_v").alias("codes"))
+    return v.select("vec_id", *keep, udf("_v").alias("codes"))
+
+
+def _adc_terms(rows, books: PqCodebooks):
+    """(query_id, rounded approx-cosine Column) per collected query row —
+    the shared ADC core of ``pq_topk`` and ``ivfpq_topk``.  LUT entries
+    stay UNROUNDED: both engines (this Python loop and the oracle's SQL)
+    sum the identical terms left to right in double, so the values are
+    already bit-identical — a rounding step would only reintroduce the
+    half-even (Python) vs half-away (SQL) tie mismatch.  Only the final
+    approx_cosine rounds (4 dp).  Zero-norm queries are skipped (no
+    direction to score against)."""
+    dsub = books.dsub
+    out = []
+    for r in rows:
+        q = list(r._q)
+        qnorm = math.sqrt(sum(x * x for x in q))
+        if qnorm == 0.0:
+            continue
+        score = None
+        norm2 = None
+        for mi, book in enumerate(books.books):
+            lut_dot = [
+                sum(q[mi * dsub + j] * c[j] for j in range(dsub))
+                for c in book
+            ]
+            lut_n2 = [
+                sum(c[j] * c[j] for j in range(dsub))
+                for c in book
+            ]
+            code1 = F.element_at("codes", mi + 1) + 1
+            d = F.element_at(F.array(*[F.lit(x) for x in lut_dot]), code1)
+            n2 = F.element_at(F.array(*[F.lit(x) for x in lut_n2]), code1)
+            score = d if score is None else score + d
+            norm2 = n2 if norm2 is None else norm2 + n2
+        out.append((r._qid, F.round(
+            score / (F.lit(qnorm) * F.sqrt(norm2)), 4)))
+    return out
 
 
 def pq_topk(
@@ -288,43 +327,11 @@ def pq_topk(
             F.lit(0.0).alias("approx_cosine"),
             F.lit(0).alias("rank"),
         )
-    dsub = books.dsub
-    per_q = []
-    for r in rows:
-        q = list(r._q)
-        qnorm = math.sqrt(sum(x * x for x in q))
-        if qnorm == 0.0:
-            continue
-        score = None
-        norm2 = None
-        for mi, book in enumerate(books.books):
-            # LUT entries stay UNROUNDED: both engines (this Python loop
-            # and the oracle's SQL) sum the identical terms left to right
-            # in double, so the values are already bit-identical — a
-            # rounding step would only reintroduce the half-even (Python)
-            # vs half-away (SQL) tie mismatch.  Only the final
-            # approx_cosine rounds (4 dp).
-            lut_dot = [
-                sum(q[mi * dsub + j] * c[j] for j in range(dsub))
-                for c in book
-            ]
-            lut_n2 = [
-                sum(c[j] * c[j] for j in range(dsub))
-                for c in book
-            ]
-            code1 = F.element_at("codes", mi + 1) + 1
-            d = F.element_at(F.array(*[F.lit(x) for x in lut_dot]), code1)
-            n2 = F.element_at(F.array(*[F.lit(x) for x in lut_n2]), code1)
-            score = d if score is None else score + d
-            norm2 = n2 if norm2 is None else norm2 + n2
-        per_q.append(
-            F.struct(
-                F.lit(r._qid).alias("query_id"),
-                F.round(
-                    score / (F.lit(qnorm) * F.sqrt(norm2)), 4
-                ).alias("approx_cosine"),
-            )
-        )
+    per_q = [
+        F.struct(F.lit(qid).alias("query_id"),
+                 sc.alias("approx_cosine"))
+        for qid, sc in _adc_terms(rows, books)
+    ]
     if not per_q:
         return pq_topk(encoded, queries.limit(0), books, k=k,
                        id_col=id_col, vec_col=vec_col,
@@ -345,6 +352,15 @@ def pq_topk(
     )
     if rerank_with is None:
         return top
+    return _exact_rerank(top, rows, rerank_with, books, k, id_col, vec_col)
+
+
+def _exact_rerank(top: DataFrame, rows, rerank_with: DataFrame,
+                  books: PqCodebooks, k: int, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Re-score the approximate candidate pool against full vectors: the
+    join ships (query_id, vec_id) pairs only, queries broadcast, exact
+    4-dp cosine + deterministic re-rank — shared by pq_topk/ivfpq_topk."""
     from condenser_spark.functions.similarity import _nonzero, cosine
 
     corpus = rerank_with.filter(
@@ -355,9 +371,13 @@ def pq_topk(
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
     qmap = {r._qid: list(r._q) for r in rows}
-    qdf = encoded.sparkSession.createDataFrame(
+    qdf = top.sparkSession.createDataFrame(
         [(qid, vec) for qid, vec in qmap.items()],
-        schema=f"query_id {'string' if isinstance(next(iter(qmap)), str) else 'long'}, _qv array<double>",
+        schema=(
+            "query_id "
+            f"{'string' if isinstance(next(iter(qmap)), str) else 'long'}"
+            ", _qv array<double>"
+        ),
     )
     exact = (
         top.select("query_id", "vec_id")
@@ -375,3 +395,151 @@ def pq_topk(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+@dataclass(frozen=True)
+class IvfPqIndex:
+    """The FAISS-style composite index: the corpus as (vec_id, cell,
+    codes) — coarse IVF cell for probe pruning, PQ codes for cheap ADC
+    scoring — plus the literal centroids and codebooks that built it.
+    ``coded`` is lazy; persist it, or ``write_partitioned`` it so a
+    query's cell filter prunes FILES, not just rows."""
+
+    coded: DataFrame
+    centroids: list[list[float]]
+    books: PqCodebooks
+
+    def write_partitioned(self, path: str) -> None:
+        """Land the index partitioned by cell: the ivfpq_topk cell filter
+        then becomes partition pruning in the parquet scan — at 100 TB the
+        query reads nprobe/n_centroids of the FILES, which is the entire
+        point of the coarse quantizer."""
+        self.coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    books: PqCodebooks | None = None,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+) -> IvfPqIndex:
+    """Build the IVF-PQ index in one corpus scan chain: IVF cell
+    assignment (similarity.ivf_index — hash-seeded + Lloyd, or literal
+    ``centroids=``) feeding PQ encoding (``pq_encode`` with the cell
+    tagged through).  ``books=None`` trains codebooks first
+    (``pq_train``'s bounded-sample recipe).  The embeddings are read for
+    assignment + encoding and then never again — queries run on (cell,
+    codes) rows; only an exact re-rank touches vectors, by candidate id."""
+    from condenser_spark.functions.similarity import ivf_index
+
+    if books is None:
+        books = pq_train(corpus, n_subspaces=n_subspaces, n_codes=n_codes,
+                         id_col=id_col, vec_col=vec_col, seed=seed)
+    idx = ivf_index(corpus, n_centroids=n_centroids, id_col=id_col,
+                    vec_col=vec_col, seed=seed, lloyd_iters=lloyd_iters,
+                    centroids=centroids, use_arrow=use_arrow)
+    coded = pq_encode(idx.assigned, books, id_col="vec_id",
+                      vec_col="c_vec", keep=("cell",))
+    return IvfPqIndex(coded=coded, centroids=idx.centroids, books=books)
+
+
+def ivfpq_topk(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank_with: DataFrame | None = None,
+    rerank_candidates: int | None = None,
+    max_queries: int = 256,
+) -> DataFrame:
+    """Probe the IVF-PQ index: per query, the top-``nprobe`` cells by
+    centroid cosine (computed driver-side from the literal codebook — the
+    queries are collected for the ADC LUTs anyway, same tie-break as
+    ``ivf_query``: score desc, cell desc), then ADC scoring restricted to
+    the probed cells.  The scan carries ONE global cell filter (the union
+    of every query's probes — partition pruning when the index was landed
+    ``write_partitioned``) plus a per-query cell predicate inside the
+    score struct, so one pass serves the whole batch.
+
+    ``nprobe == n_centroids`` scans every cell and equals ``pq_topk`` over
+    the full codes table exactly (pytest-pinned — the same full-probe
+    contract as ``ivf_cosine_topk`` vs brute force).  Optional exact
+    re-rank identical to ``pq_topk``."""
+    books = index.books
+    rows = (
+        queries.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == books.dim)
+        )
+        .select(
+            F.col(query_id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_q"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk collected more than {max_queries} query vectors — "
+            "the per-query LUTs are plan literals by design; batch the "
+            "query load across calls (or raise max_queries=)."
+        )
+    nprobe = min(nprobe, len(index.centroids))
+    cnorm = [math.sqrt(sum(x * x for x in c)) or 1.0
+             for c in index.centroids]
+    probes: dict = {}
+    for r in rows:
+        q = list(r._q)
+        scores = [
+            (sum(a * b for a, b in zip(q, c)) / cnorm[ci], ci)
+            for ci, c in enumerate(index.centroids)
+        ]
+        # score desc, cell desc — the _ivf_cells_batch tie-break
+        scores.sort(key=lambda t: (-t[0], -t[1]))
+        probes[r._qid] = [ci for _, ci in scores[:nprobe]]
+    terms = _adc_terms(rows, books)
+    if not terms:
+        return index.coded.select(
+            F.lit(None).cast("long").alias("query_id"),
+            "vec_id",
+            F.lit(0.0).alias("approx_cosine"),
+            F.lit(0).alias("rank"),
+        ).filter(F.lit(False))
+    all_cells = sorted({c for cs in probes.values() for c in cs})
+    per_q = [
+        F.struct(
+            F.lit(qid).alias("query_id"),
+            F.when(F.col("cell").isin(probes[qid]), sc)
+            .alias("approx_cosine"),
+        )
+        for qid, sc in terms
+    ]
+    scored = (
+        index.coded.filter(F.col("cell").isin(all_cells))
+        .select("vec_id", F.explode(F.array(*per_q)).alias("_s"))
+        .select(
+            F.col("_s.query_id").alias("query_id"),
+            "vec_id",
+            F.col("_s.approx_cosine").alias("approx_cosine"),
+        )
+        .filter(F.col("approx_cosine").isNotNull())
+    )
+    n_cand = k if rerank_with is None else (rerank_candidates or 4 * k)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("vec_id").asc())
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+    )
+    if rerank_with is None:
+        return top
+    return _exact_rerank(top, rows, rerank_with, books, k, id_col, vec_col)

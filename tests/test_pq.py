@@ -116,3 +116,93 @@ def test_pq_guards(spark, emb, books):
     # empty query side -> empty typed frame, not an error
     assert pq_topk(enc, emb.filter(F.lit(False)), books, k=5,
                    query_id_col="vec_id").count() == 0
+
+
+def test_ivfpq_full_probe_equals_pq_topk(spark, emb, books):
+    """nprobe == n_centroids scans every cell: ivfpq_topk must equal
+    pq_topk over the full codes table exactly (the ivf_cosine_topk
+    full-probe contract, composed), both approx-only and re-ranked."""
+    from condenser_spark.functions.pq import ivfpq_index, ivfpq_topk
+
+    idx = ivfpq_index(emb, n_centroids=8, books=books)
+    q = emb.filter("vec_id < 5")
+    full = ivfpq_topk(idx, q, k=10, nprobe=8, query_id_col="vec_id")
+    flat = pq_topk(pq_encode(emb, books), q, books, k=10,
+                   query_id_col="vec_id")
+    assert (sorted(map(tuple, full.collect()))
+            == sorted(map(tuple, flat.collect())))
+    full_rr = ivfpq_topk(idx, q, k=10, nprobe=8, query_id_col="vec_id",
+                         rerank_with=emb, rerank_candidates=50)
+    flat_rr = pq_topk(pq_encode(emb, books), q, books, k=10,
+                      query_id_col="vec_id", rerank_with=emb,
+                      rerank_candidates=50)
+    assert (sorted(map(tuple, full_rr.collect()))
+            == sorted(map(tuple, flat_rr.collect())))
+
+
+def test_ivfpq_probe_restricts_scan_and_finds_clone(spark, emb, books):
+    """nprobe < n_centroids: every returned row's cell is in the query's
+    probe list, and a planted exact clone (same cell + same codes by
+    construction) is still retrieved."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.pq import ivfpq_index, ivfpq_topk
+
+    clones = emb.filter("vec_id < 2").select(
+        (F.col("vec_id") + 70000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(clones)
+    idx = ivfpq_index(corpus, n_centroids=8, books=books)
+    idx = type(idx)(coded=idx.coded.persist(), centroids=idx.centroids,
+                    books=idx.books)
+    cells = {r.vec_id: r.cell for r in idx.coded.collect()}
+    for i in range(2):
+        assert cells[i] == cells[70000 + i]
+    top = ivfpq_topk(idx, emb.filter("vec_id < 2"), k=10, nprobe=2,
+                     query_id_col="vec_id")
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    for i in range(2):
+        assert {i, 70000 + i} <= by_q[i]    # query's own cell is probe #1
+    # every returned row's cell is one of ITS query's top-2 probe cells,
+    # recomputed independently here from the literal centroids
+    import math
+
+    qvecs = {r.vec_id: list(r.embedding)
+             for r in emb.filter("vec_id < 2").collect()}
+    for r in top.collect():
+        q = qvecs[r.query_id]
+        scores = sorted(
+            ((sum(a * b for a, b in zip(q, c))
+              / (math.sqrt(sum(x * x for x in c)) or 1.0), ci)
+             for ci, c in enumerate(idx.centroids)),
+            key=lambda t: (-t[0], -t[1]))
+        probe_cells = {ci for _, ci in scores[:2]}
+        assert cells[r.vec_id] in probe_cells, (r, probe_cells)
+    idx.coded.unpersist()
+
+
+def test_ivfpq_partitioned_write_prunes(spark, emb, books, tmp_path):
+    """write_partitioned lands one directory per cell; reading back with
+    a cell filter touches only those partitions, and query results over
+    the landed index equal the in-memory ones."""
+    from condenser_spark.functions.pq import (
+        IvfPqIndex,
+        ivfpq_index,
+        ivfpq_topk,
+    )
+
+    idx = ivfpq_index(emb, n_centroids=8, books=books)
+    path = str(tmp_path / "ivfpq")
+    idx.write_partitioned(path)
+    import os
+
+    parts = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(parts) >= 2
+    landed = IvfPqIndex(coded=spark.read.parquet(path),
+                        centroids=idx.centroids, books=idx.books)
+    q = emb.filter("vec_id < 4")
+    a = ivfpq_topk(landed, q, k=5, nprobe=3, query_id_col="vec_id")
+    b = ivfpq_topk(idx, q, k=5, nprobe=3, query_id_col="vec_id")
+    assert (sorted(map(tuple, a.collect()))
+            == sorted(map(tuple, b.collect())))
