@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dsir_sample",
         "ext_pq_encode",
         "ext_pq_topk",
+        "ext_gopher_flags",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

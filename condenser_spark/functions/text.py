@@ -421,3 +421,119 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality_score(c).alias("quality"),
         document_fingerprint(c).alias("fingerprint"),
     )
+
+
+#: Gopher rule 7's required stop words (Rae et al. 2021, appendix A1.1).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    ... Gopher", appendix A1.1) as per-document flags — the published
+    heuristic filter set between raw crawl and LM scoring, with each
+    rule's underlying statistic emitted alongside its boolean so
+    thresholds can be re-derived downstream without a second scan:
+
+    (id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_hits,
+    ok_word_count, ok_mean_word_len, ok_symbol_ratio, ok_bullet_lines,
+    ok_ellipsis_lines, ok_alpha_words, ok_stop_words, gopher_pass)
+
+    Rules (defaults are the paper's): 50 <= words <= 100k; mean word
+    length in [3, 10]; (# + ellipsis) to word ratio <= 0.1; < 90% of
+    lines bullet-started; <= 30% of lines ellipsis-ended; >= 80% of words
+    contain an alphabetic character; >= 2 hits from the required
+    stop-word set.  ``gopher_pass`` is the conjunction.
+
+    All-JVM single-scan projection (word totals via ``concat_ws`` length,
+    occurrence counts via length-difference after ``replace`` — no
+    per-character folds); the line/word fraction lambdas are the same
+    bounded ``filter``/``isin`` HOF shape ``language_id`` already uses.
+    Ratios round to 4 dp; empty docs report zeroed stats and fail
+    ``ok_word_count`` rather than erroring.  Fully DuckDB-replayable
+    (goldens_ext.ext_gopher_flags)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(
+        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
+        lambda w: w != "",
+    )
+    n_words = F.size(words)
+    word_chars = F.length(F.concat_ws("", words))
+    mean_wl = F.when(
+        n_words > 0, F.round(word_chars.cast("double") / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
+    ).otherwise(F.lit(0.0))
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(
+            lines,
+            lambda l: l.startswith("•") | l.startswith("- ")
+            | l.startswith("* "),
+        )).cast("double") / n_lines, 4)
+    ellipsis_frac = F.round(
+        F.size(F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )).cast("double") / n_lines, 4)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            .cast("double") / n_words, 4),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    flags = {
+        "ok_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "ok_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
+        "ok_bullet_lines": F.col("bullet_line_frac") < max_bullet_line_frac,
+        "ok_ellipsis_lines":
+            F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stop_words": F.col("n_stop_hits") >= min_stop_hits,
+    }
+    stats = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+    )
+    out = stats.select("*", *[v.alias(k) for k, v in flags.items()])
+    gopher_pass = None
+    for k in flags:
+        gopher_pass = (F.col(k) if gopher_pass is None
+                       else gopher_pass & F.col(k))
+    return out.withColumn("gopher_pass", gopher_pass)

@@ -2803,3 +2803,76 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(emb, books, use_arrow=False)
     return pq_topk(enc, emb.filter("vec_id < 4"), books, k=5,
                    query_id_col="vec_id")
+
+
+@golden(
+    "ext_gopher_flags",
+    r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(
+               string_split(regexp_replace(trim(coalesce(text, '')),
+                                           '\s+', ' ', 'g'), ' '),
+               w -> w <> '') AS words,
+             string_split(coalesce(text, ''), chr(10)) AS lines
+      FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               ROUND(CAST(length(array_to_string(words, '')) AS DOUBLE)
+                     / len(words), 4) ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN
+               ROUND((
+                 (length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '...', ''))) / 3
+                 + (length(t) - length(replace(t, '…', '')))
+               ) / CAST(len(words) AS DOUBLE), 4) ELSE 0.0 END
+               AS symbol_ratio,
+             ROUND(CAST(len(list_filter(lines,
+                     l -> l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %'))
+                   AS DOUBLE) / len(lines), 4) AS bullet_line_frac,
+             ROUND(CAST(len(list_filter(lines,
+                     l -> l LIKE '%...' OR l LIKE '%…'))
+                   AS DOUBLE) / len(lines), 4) AS ellipsis_line_frac,
+             CASE WHEN len(words) > 0 THEN
+               ROUND(CAST(len(list_filter(words,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                     / len(words), 4) ELSE 0.0 END AS alpha_word_frac,
+             CAST(len(list_intersect(
+               list_transform(words, w -> lower(w)),
+               ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+               AS BIGINT) AS n_stop_hits
+      FROM base
+    )
+    SELECT *,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AS ok_mean_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+           (bullet_line_frac < 0.9) AS ok_bullet_lines,
+           (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+           (alpha_word_frac >= 0.8) AS ok_alpha_words,
+           (n_stop_hits >= 2) AS ok_stop_words,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+            AND n_stop_hits >= 2) AS gopher_pass
+    FROM stats
+    """,
+)
+def ext_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule set (Rae et al. 2021, A1.1) as per-document
+    flags with their underlying statistics — word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, required stop-word hits, and the conjunction — every ratio
+    4-dp-rounded so DuckDB replays all 16 columns exactly
+    (condenser_spark/functions/text.py:gopher_quality_flags).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import gopher_quality_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return gopher_quality_flags(docs)

@@ -249,3 +249,84 @@ def test_strip_repeated_blocks_anti_join_is_hash_and_scan_pruned(
     for m in re.finditer(r"ReadSchema: ([^\n]+)", plan):
         cols = set(re.findall(r"(\w+):", m.group(1)))
         assert cols <= {"doc_id", "text"}, cols
+
+
+def test_dsir_weights_delta_join_is_broadcast(spark, source):
+    """DSIR's model join must be a BroadcastHashJoin on the dim-bounded
+    delta table — a sort-merge there would shuffle the ~2N-row feature
+    stream on bucket for no reason; and the per-doc sum must be a
+    map-side-combined hash aggregate (partial_sum before the id
+    exchange)."""
+    from condenser_spark.functions.dsir import (
+        dsir_weights,
+        train_hashed_ngram_lm,
+    )
+
+    docs = source["documents"].limit(120)
+    tlm = train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"), dim=64)
+    rlm = train_hashed_ngram_lm(docs, dim=64)
+    plan = _executed(dsir_weights(docs, tlm, rlm, dim=64))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    # no per-row Python anywhere on the weight path
+    for marker in ("BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_pq_adc_scan_is_joinless_and_python_free(spark, source):
+    """The ADC scoring pass (pre-rerank) promises a pure projection over
+    the codes scan: zero Join nodes of any kind, zero Python, and the
+    only Exchange is the top-k window's."""
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+    emb = source["embeddings"]
+    books = pq_train(emb, n_subspaces=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    plan = _executed(pq_topk(codes, emb.filter("vec_id < 4"), books, k=5,
+                             query_id_col="vec_id"))
+    for marker in ("Join", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange") <= 2, plan  # window shuffle (+AQE read)
+
+
+def test_pq_encode_expr_path_single_stage_no_exchange(spark, source):
+    """pq_encode is one scan-level projection: no Exchange, no join, in
+    BOTH engine paths (the Arrow path adds exactly one ArrowEvalPython)."""
+    from condenser_spark.functions.pq import pq_encode, pq_train
+
+    emb = source["embeddings"]
+    books = pq_train(emb, n_subspaces=8, n_codes=16)
+    expr_plan = _executed(pq_encode(emb, books, use_arrow=False))
+    assert "Exchange" not in expr_plan and "Join" not in expr_plan
+    assert "ArrowEvalPython" not in expr_plan
+    arrow_plan = _executed(pq_encode(emb, books, use_arrow=True))
+    assert "Exchange" not in arrow_plan and "Join" not in arrow_plan
+    assert arrow_plan.count("ArrowEvalPython") == 1
+
+
+def test_ivfpq_probe_filter_prunes_partitioned_scan(spark, source,
+                                                    tmp_path):
+    """Against a cell-partitioned landing, ivfpq_topk's probe filter must
+    reach the scan as a PARTITION filter (cell in the PartitionFilters
+    clause), so a 100 TB index reads nprobe/n_centroids of its files."""
+    from condenser_spark.functions.pq import (
+        IvfPqIndex,
+        ivfpq_index,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = source["embeddings"]
+    books = pq_train(emb, n_subspaces=8, n_codes=16)
+    idx = ivfpq_index(emb, n_centroids=8, books=books)
+    path = str(tmp_path / "ivfpq_plan")
+    idx.write_partitioned(path)
+    landed = IvfPqIndex(coded=spark.read.parquet(path),
+                        centroids=idx.centroids, books=idx.books)
+    plan = _executed(ivfpq_topk(landed, emb.filter("vec_id < 2"), k=5,
+                                nprobe=2, query_id_col="vec_id"))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, plan
+    assert any("PartitionFilters" in l and "cell" in l
+               and "cell#" in l.split("PartitionFilters")[1][:200]
+               for l in scans), scans

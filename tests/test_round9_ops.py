@@ -1,0 +1,61 @@
+"""Round-9 operator semantics: the Gopher rule set on crafted documents
+that trip each rule individually (the fixture corpus only exercises
+word-count and stop-word failures; the oracle pins the arithmetic, these
+pin the SEMANTICS)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import gopher_quality_flags
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then runs off to "
+        "find more interesting things that have been hidden with great "
+        "care in the forest ") * 3  # ~90 words, all rules pass
+
+
+def _flags(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return gopher_quality_flags(df).first()
+
+
+def test_gopher_good_doc_passes_all(spark):
+    r = _flags(spark, GOOD)
+    assert r.gopher_pass and r.ok_word_count and r.ok_stop_words
+    assert 3.0 <= r.mean_word_len <= 10.0 and r.alpha_word_frac == 1.0
+
+
+@pytest.mark.parametrize("mutate, failing_flag", [
+    (lambda t: "short text only", "ok_word_count"),
+    (lambda t: " ".join(["a"] * 80) + " the of", "ok_mean_word_len"),
+    (lambda t: t + " " + " ".join(["#"] * 20), "ok_symbol_ratio"),
+    (lambda t: "\n".join("- " + l for l in t.split() * 1), "ok_bullet_lines"),
+    (lambda t: "\n".join(w + "..." for w in t.split()[:60]),
+     "ok_ellipsis_lines"),
+    (lambda t: t + " " + " ".join(["12345"] * 200), "ok_alpha_words"),
+    (lambda t: " ".join(["apple banana cherry"] * 30), "ok_stop_words"),
+])
+def test_gopher_each_rule_fails_independently(spark, mutate, failing_flag):
+    r = _flags(spark, mutate(GOOD))
+    assert not getattr(r, failing_flag), (failing_flag, r)
+    assert not r.gopher_pass
+
+
+def test_gopher_empty_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "   ")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for i in range(3):
+        r = rows[i]
+        assert r.n_words == 0 and not r.ok_word_count and not r.gopher_pass
+        assert r.mean_word_len == 0.0 and r.symbol_ratio == 0.0
+
+
+def test_gopher_unicode_ellipsis_and_bullet(spark):
+    """The single-char ellipsis and bullet forms count like their ASCII
+    spellings."""
+    t = "\n".join(["• first line here"] * 9 + ["normal line"])
+    r = _flags(spark, t)
+    assert r.bullet_line_frac == 0.9 and not r.ok_bullet_lines
+    t2 = "\n".join(["ends with dots…"] * 4 + ["plain"] * 6)
+    r2 = _flags(spark, t2)
+    assert r2.ellipsis_line_frac == 0.4 and not r2.ok_ellipsis_lines
