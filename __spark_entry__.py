@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pq_encode",
         "ext_pq_topk",
         "ext_gopher_flags",
+        "ext_c4_clean",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

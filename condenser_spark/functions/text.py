@@ -537,3 +537,67 @@ def gopher_quality_flags(
         gopher_pass = (F.col(k) if gopher_pass is None
                        else gopher_pass & F.col(k))
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+    drop_line_markers: tuple = ("javascript",),
+    drop_doc_markers: tuple = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits
+    of Transfer Learning...", §2.2) as one scan-level rewrite:
+
+    * LINE filter — keep only lines that end in a terminal punctuation
+      mark (``. ! ? "``), contain at least ``min_line_words`` words, and
+      do not mention a ``drop_line_markers`` term (C4 drops lines with
+      the word "javascript");
+    * DOC filter flags — ``doc_ok`` is False when fewer than
+      ``min_kept_lines`` lines survive (C4's "fewer than 5 sentences",
+      counted here at line granularity — the one documented deviation) or
+      the ORIGINAL text contains a ``drop_doc_markers`` term ("lorem
+      ipsum", the curly brace of leaked code).
+
+    Output: (id, text_clean — the kept lines rejoined with newlines,
+    n_lines, n_lines_kept, doc_ok).  The caller filters on ``doc_ok`` and
+    swaps ``text_clean`` in; emitting flags instead of dropping rows keeps
+    the operator auditable (count what a threshold change would do with
+    one aggregation, no rescan).  Line membership, not content, changes —
+    so downstream dedup fingerprints stay meaningful.
+
+    Everything is JVM expressions (the line lambda is the bounded
+    ``filter`` HOF shape ``language_id`` uses); fully DuckDB-replayable
+    (goldens_ext.ext_c4_clean).  Three-sentence-span dedup, C4's other
+    half, is the existing ``rolling_fingerprints``/``shared_passages``
+    family."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(c, "\n")
+
+    def line_ok(l):
+        trimmed = F.trim(l)
+        ends_ok = (trimmed.endswith(".") | trimmed.endswith("!")
+                   | trimmed.endswith("?") | trimmed.endswith('"'))
+        enough_words = F.size(F.filter(
+            F.split(F.regexp_replace(trimmed, r"\s+", " "), " "),
+            lambda w: w != "")) >= min_line_words
+        ok = ends_ok & enough_words
+        low = F.lower(l)
+        for m in drop_line_markers:
+            ok = ok & ~low.contains(m.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    doc_bad = F.lit(False)
+    low_doc = F.lower(c)
+    for m in drop_doc_markers:
+        doc_bad = doc_bad | low_doc.contains(m.lower())
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        ((F.size(kept) >= min_kept_lines) & ~doc_bad).alias("doc_ok"),
+    )

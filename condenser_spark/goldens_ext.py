@@ -2876,3 +2876,83 @@ def ext_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tables(spark, sf_dir)["documents"]
     return gopher_quality_flags(docs)
+
+
+@golden(
+    "ext_c4_clean",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               text,
+               'short line.',
+               concat('the quick brown fox document number ',
+                      CAST(doc_id AS VARCHAR), ' ends here.'),
+               'a line mentioning JavaScript frameworks at length today.',
+               CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum filler'
+                    ELSE 'a perfectly clean tail line for this document.'
+               END,
+               CASE WHEN doc_id % 5 = 0 THEN 'does this line end well?'
+                    ELSE 'no terminal punctuation on this one'
+               END) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM synth
+    ),
+    k AS (
+      SELECT doc_id, t, lines,
+             list_filter(lines, l ->
+               (trim(l) LIKE '%.' OR trim(l) LIKE '%!'
+                OR trim(l) LIKE '%?' OR trim(l) LIKE '%"')
+               AND len(list_filter(
+                     string_split(regexp_replace(trim(l), '\s+', ' ', 'g'),
+                                  ' '),
+                     w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')
+             ) AS kept
+      FROM base
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           (len(kept) >= 2
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(lower(t), '{')) AS doc_ok
+    FROM k
+    """,
+)
+def ext_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 2.2): terminal-
+    punctuation + min-words + marker line filter, lorem-ipsum/brace/
+    min-surviving-lines document flags, over a synthesized multi-line
+    corpus (the fixture's single-line texts carry no punctuation, so the
+    golden appends kept/dropped/marker/flag lines that vary per doc) —
+    line membership AND the rejoined text_clean replayed verbatim by
+    DuckDB (condenser_spark/functions/text.py:c4_clean,
+    min_kept_lines=2).  Registered past the driver's 50-slot cap;
+    verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import c4_clean
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("short line."),
+            F.concat(F.lit("the quick brown fox document number "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" ends here.")),
+            F.lit("a line mentioning JavaScript frameworks at length "
+                  "today."),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("lorem ipsum filler"))
+            .otherwise(
+                F.lit("a perfectly clean tail line for this document.")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("does this line end well?"))
+            .otherwise(F.lit("no terminal punctuation on this one")),
+        ).alias("text"),
+    )
+    return c4_clean(synth, min_kept_lines=2)

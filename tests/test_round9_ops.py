@@ -59,3 +59,40 @@ def test_gopher_unicode_ellipsis_and_bullet(spark):
     t2 = "\n".join(["ends with dots…"] * 4 + ["plain"] * 6)
     r2 = _flags(spark, t2)
     assert r2.ellipsis_line_frac == 0.4 and not r2.ok_ellipsis_lines
+
+
+# --------------------------------------------------------------- c4_clean
+
+def test_c4_clean_line_rules(spark):
+    from condenser_spark.functions.text import c4_clean
+
+    text = "\n".join([
+        "this sentence ends with a period and is long enough.",   # kept
+        "short one.",                                             # <3 words
+        "no terminal punctuation on this line at all",            # no punct
+        "a JavaScript mention sinks this line entirely.",         # marker
+        'he said "hello there everyone present today."',          # kept (.)
+        "does this question count properly?",                     # kept
+    ])
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = c4_clean(df, min_kept_lines=2).first()
+    assert r.n_lines == 6 and r.n_lines_kept == 3, r
+    assert r.doc_ok
+    kept = r.text_clean.split("\n")
+    assert kept[0].startswith("this sentence") and kept[2].startswith("does")
+
+
+def test_c4_clean_doc_flags(spark):
+    from condenser_spark.functions.text import c4_clean
+
+    good = "\n".join(["a good line that ends with punctuation."] * 6)
+    rows = [
+        (0, good),                                   # ok
+        (1, good + "\nLorem Ipsum dolor"),           # lorem -> not ok
+        (2, good + "\nfunction() { return 1; }"),    # brace -> not ok
+        (3, "only two good lines here.\nand the second one too."),  # < 5
+        (4, None),                                   # NULL text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.doc_ok for r in c4_clean(df).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
