@@ -1260,3 +1260,134 @@ def test_snapshot_diff_matches_dict_model(spark, old, new):
         elif old[i] != new[i]:
             want[i] = "changed"
     assert got == want
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdef THE the of and#.…!?\n-•*\"123 ")),
+            min_size=0, max_size=120),
+        min_size=1, max_size=10),
+)
+def test_gopher_flags_match_python_model(spark, texts):
+    """gopher_quality_flags equals an independent pure-Python computation
+    of every statistic and flag, on arbitrary text (round-9)."""
+    import re
+
+    from condenser_spark.functions.text import (
+        GOPHER_STOP_WORDS,
+        gopher_quality_flags,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    for i, t in rows:
+        words = [w for w in re.sub(r"\s+", " ", t.strip()).split(" ") if w]
+        nw = len(words)
+        mean_wl = round(sum(len(w) for w in words) / nw, 4) if nw else 0.0
+        n_sym = t.count("#") + t.count("...") + t.count("…")
+        sym = round(n_sym / nw, 4) if nw else 0.0
+        lines = t.split("\n")
+        bullet = round(sum(l.startswith(("•", "- ", "* "))
+                           for l in lines) / len(lines), 4)
+        ell = round(sum(l.endswith(("...", "…")) for l in lines)
+                    / len(lines), 4)
+        alpha = (round(sum(bool(re.search("[A-Za-z]", w)) for w in words)
+                       / nw, 4) if nw else 0.0)
+        stops = len({w.lower() for w in words} & set(GOPHER_STOP_WORDS))
+        r = got[i]
+        assert (r.n_words, r.mean_word_len, r.symbol_ratio) == (
+            nw, mean_wl, sym), (t, r)
+        assert (r.bullet_line_frac, r.ellipsis_line_frac,
+                r.alpha_word_frac, r.n_stop_hits) == (
+            bullet, ell, alpha, stops), (t, r)
+        assert r.gopher_pass == (
+            50 <= nw <= 100_000 and 3.0 <= mean_wl <= 10.0
+            and sym <= 0.1 and bullet < 0.9 and ell <= 0.3
+            and alpha >= 0.8 and stops >= 2), (t, r)
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab cd. the!\n?\"xyz{ ")),
+                min_size=0, max_size=100),
+        min_size=1, max_size=8),
+)
+def test_c4_clean_subset_order_and_idempotence(spark, texts):
+    """c4_clean keeps a SUBSEQUENCE of the original lines (order and
+    content preserved) and is idempotent: cleaning the cleaned text keeps
+    every line (round-9)."""
+    from condenser_spark.functions.text import c4_clean
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    for i, t in enumerate(texts):
+        r = out[i]
+        orig = t.split("\n")
+        kept = r.text_clean.split("\n") if r.text_clean else []
+        assert r.n_lines == len(orig) and r.n_lines_kept == len(kept)
+        it = iter(orig)
+        assert all(any(k == o for o in it) for k in kept), (orig, kept)
+    again = spark.createDataFrame(
+        [(i, out[i].text_clean) for i in range(len(texts))],
+        "doc_id long, text string")
+    out2 = {r.doc_id: r for r in c4_clean(again).collect()}
+    for i in range(len(texts)):
+        assert out2[i].n_lines_kept == (
+            out[i].n_lines_kept if out[i].text_clean else 0), (
+            texts[i], out[i], out2[i])
+
+
+@PROP
+@given(
+    n=st.integers(min_value=5, max_value=40),
+    k1=st.integers(min_value=1, max_value=10),
+    extra=st.integers(min_value=1, max_value=10),
+)
+def test_dsir_sample_k_monotone_and_exact(spark, n, k1, extra):
+    """dsir_sample(k) returns exactly min(k, n) rows and is MONOTONE in k:
+    the k1-sample is a subset of the (k1+extra)-sample (a rank threshold
+    can only grow the set) — round-9."""
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        train_hashed_ngram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} talks about topic{i % 3} extensively")
+         for i in range(n)],
+        "doc_id long, text string")
+    tlm = train_hashed_ngram_lm(df.filter("doc_id % 3 = 0"), dim=64)
+    rlm = train_hashed_ngram_lm(df, dim=64)
+    s1 = {r.doc_id for r in
+          dsir_sample(df, k1, tlm, rlm, dim=64).select("doc_id").collect()}
+    s2 = {r.doc_id for r in
+          dsir_sample(df, k1 + extra, tlm, rlm, dim=64)
+          .select("doc_id").collect()}
+    assert len(s1) == min(k1, n) and len(s2) == min(k1 + extra, n)
+    assert s1 <= s2
+
+
+@PROP
+@given(seed=st.integers(min_value=0, max_value=3))
+def test_pq_train_and_encode_row_order_invariant(spark, source, seed):
+    """pq_train's hash-ordered sample and pq_encode's per-row codes are
+    invariant under input partitioning/row order (round-9)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.pq import pq_encode, pq_train
+
+    emb = source["embeddings"].limit(200)
+    shuffled = emb.orderBy(F.xxhash64("vec_id", F.lit(seed))).repartition(7)
+    b1 = pq_train(emb, n_subspaces=8, n_codes=8)
+    b2 = pq_train(shuffled, n_subspaces=8, n_codes=8)
+    assert b1.books == b2.books
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, b1).collect()}
+    c2 = {r.vec_id: list(r.codes)
+          for r in pq_encode(shuffled, b1).collect()}
+    assert c1 == c2
