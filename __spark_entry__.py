@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pq_topk",
         "ext_gopher_flags",
         "ext_c4_clean",
+        "ext_near_dedup_best",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -510,6 +510,7 @@ def near_dedup_documents(
     num_hashes: int = 128,
     bands: int = 32,
     max_bucket_size: int | None = 10_000,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Keep-rows near-dedup: exact-fingerprint pre-collapse -> MinHash-LSH
     pairs on representatives -> connected components -> keep the min-id
@@ -531,7 +532,12 @@ def near_dedup_documents(
     already the min id of its exact group, the min-id survivor of an LSH
     cluster of representatives is the min-id document of the full expanded
     cluster — the output is identical to uncapped LSH-only dedup, at a
-    fraction of the candidate volume."""
+    fraction of the candidate volume.
+
+    ``keep_col`` switches the per-cluster survivor from min-id to the
+    highest-scoring member (see ``_cluster_losers`` for the exact-copy
+    caveat) — "keep the best duplicate" curation with any numeric column
+    (length, quality logit, LM score)."""
     # 1. exact collapse: min-id representative per normalized-text fingerprint.
     # The representative id set is referenced twice (LSH input + survivor
     # base); materialize the ids once (one long per representative) so the
@@ -545,14 +551,45 @@ def near_dedup_documents(
                               id_col=id_col, max_bucket_size=max_bucket_size,
                               cache_band_index=cache_band_index)
     clusters = dup_clusters(pairs)
-    lsh_losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    lsh_losers = _cluster_losers(clusters, reps, id_col, keep_col)
     # 3. expand: survivors = representatives that won their LSH cluster;
     #    everything else (exact copies + losing representatives) drops
     survivors = reps.select(id_col).join(lsh_losers, on=id_col,
                                          how="left_anti")
     return df.join(survivors, on=id_col, how="left_semi")
+
+
+def _cluster_losers(clusters: DataFrame, scored: DataFrame, id_col: str,
+                    keep_col: str | None) -> DataFrame:
+    """The non-survivor ids of each dup cluster.  ``keep_col=None`` keeps
+    the min-id member (the label itself — no extra work); a numeric
+    ``keep_col`` keeps the member with the HIGHEST score instead (ties to
+    the lower id) — "keep the best duplicate" curation, e.g.
+    ``keep_col="quality_logit"`` after ``score_documents`` or a length
+    column.  The per-cluster window is safe at scale: dup clusters are
+    near-cliques (shallow and small); the shuffle carries (id, cluster,
+    score) rows only.
+
+    CAVEAT (documented, deliberate): when the composing operator
+    pre-collapses exact duplicates to min-id representatives, the score
+    decides only among DISTINCT texts — exact copies of a representative
+    share its text, so any text-derived score is identical across them
+    and nothing is lost; a metadata-derived score (source reputation,
+    crawl date) is NOT consulted within an exact-duplicate group."""
+    if keep_col is None:
+        return clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    scores = scored.select(F.col(id_col).alias("id"),
+                           F.col(keep_col).alias("_keep"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_keep").desc(), F.col("id").asc())
+    return (
+        clusters.join(scores, on="id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") != 1)
+        .select(F.col("id").alias(id_col))
+    )
 
 
 def simhash_signatures(

@@ -804,6 +804,7 @@ def semantic_dedup(
     use_arrow: bool | None = None,
     max_cell_size: int | None = None,
     cache_assignment: bool = False,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup in keep-rows form: the input minus all but the min-id
     representative of every semantic-duplicate cluster (connected
@@ -812,7 +813,9 @@ def semantic_dedup(
     one survivor even when A~C never scored above threshold).  Rows whose
     vectors are NULL/ragged/zero never enter the pair search and are always
     kept.  Same composition contract as ``near_dedup_documents``:
-    pairs (oracle-verified) -> clusters (oracle-verified) -> anti-join."""
+    pairs (oracle-verified) -> clusters (oracle-verified) -> anti-join;
+    ``keep_col`` keeps each cluster's highest-scoring member instead of
+    the min id (dedup._cluster_losers)."""
     from condenser_spark.functions.dedup import dup_clusters
 
     pairs = semantic_dup_pairs(
@@ -821,11 +824,9 @@ def semantic_dedup(
         centroids=centroids, use_arrow=use_arrow,
         max_cell_size=max_cell_size, cache_assignment=cache_assignment,
     )
-    drop = (
-        dup_clusters(pairs)
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias(id_col))
-    )
+    from condenser_spark.functions.dedup import _cluster_losers
+
+    drop = _cluster_losers(dup_clusters(pairs), df, id_col, keep_col)
     return df.join(drop, on=id_col, how="left_anti")
 
 

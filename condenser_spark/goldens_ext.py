@@ -2956,3 +2956,47 @@ def ext_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return c4_clean(synth, min_kept_lines=2)
+
+
+@golden(
+    "ext_near_dedup_best",
+    _JACCARD_PAIRS_CTE + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+             FROM reach GROUP BY a),
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                 ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        FROM comp c JOIN documents d USING (doc_id)
+      ) WHERE rn = 1
+    ),
+    losers AS (
+      SELECT doc_id FROM comp
+      WHERE doc_id NOT IN (SELECT doc_id FROM winners)
+    )
+    SELECT d.* FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def ext_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST near-dedup (round 9): the per-cluster survivor is the
+    longest document (n_chars DESC, id ASC tiebreak) instead of the min
+    id — oracle = corpus minus the exact-jaccard cluster members that are
+    not their component's n_chars-argmax; like ext_near_dedup_documents
+    this also pins LSH recall 1.0 on the fixture's planted near-dups
+    (condenser_spark/functions/dedup.py:near_dedup_documents keep_col +
+    _cluster_losers).  Registered past the driver's 50-slot cap; verified
+    per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dedup import near_dedup_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return near_dedup_documents(docs, n=3, threshold=0.8,
+                                keep_col="n_chars")

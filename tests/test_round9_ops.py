@@ -96,3 +96,58 @@ def test_c4_clean_doc_flags(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.doc_ok for r in c4_clean(df).collect()}
     assert got == {0: True, 1: False, 2: False, 3: False, 4: False}
+
+
+# ------------------------------------------------------- keep-best dedup
+
+def test_near_dedup_keep_col_keeps_best_duplicate(spark, source):
+    """keep_col survivor selection: within a planted near-dup cluster the
+    LONGEST member wins (not the min id); singletons pass through; with a
+    constant score the min-id tiebreak reproduces the default exactly."""
+    from condenser_spark.functions.dedup import near_dedup_documents
+
+    docs = source["documents"].filter(F.col("doc_id") < 100).select(
+        "doc_id", "text")
+    # planted cluster: 3 near-identical variants of doc 0's text where the
+    # HIGHEST id is the longest (so min-id and best diverge)
+    base = docs.filter("doc_id = 0").first().text
+    extra = spark.createDataFrame(
+        [(9001, base + " tail"), (9002, base + " tail longer"),
+         (9003, base + " tail longer still here")],
+        "doc_id long, text string")
+    corpus = docs.unionByName(extra).withColumn(
+        "n_chars", F.length("text"))
+
+    best = near_dedup_documents(corpus, n=3, threshold=0.8,
+                                keep_col="n_chars")
+    kept_best = {r.doc_id for r in best.select("doc_id").collect()}
+    cluster = {0, 9001, 9002, 9003}
+    assert kept_best & cluster == {9003}          # longest member wins
+    assert 1 in kept_best and 2 in kept_best      # singletons untouched
+
+    default = near_dedup_documents(corpus, n=3, threshold=0.8)
+    kept_default = {r.doc_id for r in default.select("doc_id").collect()}
+    assert kept_default & cluster == {0}          # min id by default
+    const = near_dedup_documents(
+        corpus.withColumn("n_chars", F.lit(1)), n=3, threshold=0.8,
+        keep_col="n_chars")
+    assert ({r.doc_id for r in const.select("doc_id").collect()}
+            == kept_default)                       # tiebreak == default
+
+
+def test_semantic_dedup_keep_col(spark, source):
+    """semantic_dedup keep_col: the planted exact clone with the higher
+    score survives instead of the lower-id original."""
+    from condenser_spark.functions.similarity import semantic_dedup
+
+    emb = source["embeddings"].limit(200).select("vec_id", "embedding")
+    clones = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 70000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(clones).withColumn(
+        "score", F.col("vec_id").cast("double"))   # clone always scores higher
+    kept = {r.vec_id for r in
+            semantic_dedup(corpus, threshold=0.95, n_centroids=8,
+                           keep_col="score").select("vec_id").collect()}
+    for i in range(5):
+        assert 70000 + i in kept and i not in kept
+    assert len(kept) == 200
