@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_gopher_flags",
         "ext_c4_clean",
         "ext_near_dedup_best",
+        "ext_dsir_sample_grouped",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

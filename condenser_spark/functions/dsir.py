@@ -235,3 +235,63 @@ def dsir_sample(
         ranked.filter(F.col("_dsir_rank") <= k)
         .drop("_neg_key", "_dsir_rank", "logw4_sum", "n_features")
     )
+
+
+def dsir_sample_per_group(
+    df: DataFrame,
+    k: int,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    group_col: str = "lang",
+    dim: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Language/domain-BALANCED DSIR: the Gumbel top-``k`` importance
+    resample applied WITHIN each ``group_col`` value — keep the k most
+    target-like documents of every language/domain instead of letting one
+    dominant group absorb the whole global budget (the balanced-selection
+    variant of :func:`dsir_sample`; same weights, same deterministic
+    noise, same output columns plus the group's own ranking).
+
+    Scale shape: the weight scan is identical to :func:`dsir_weights`;
+    the per-group rank reuses ``uniform_sample_per_group``'s two-phase
+    trick — one map-side-combined count aggregate routes at-or-under-k
+    groups around the sort entirely (broadcast anti join), so only over-k
+    groups pay the per-group row_number window.  Groups are bounded by
+    the ``temperature_mix`` contract (languages/domains, not ids)."""
+    from pyspark.sql import Window
+
+    assert k >= 1
+    w = dsir_weights(df, target_lm, raw_lm, dim=dim, text_col=text_col,
+                     id_col=id_col, include_bigrams=include_bigrams)
+    u = (
+        (F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1, 8),
+            16, 10).cast("double") + 0.5) / float(1 << 32)
+    )
+    keyed = w.withColumn(
+        "gumbel_key",
+        F.round(F.col("log_importance") - F.log(-F.log(u)), 6),
+    ).drop("logw4_sum", "n_features")
+    over = (
+        keyed.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > k)
+        .select(group_col)
+    )
+    under_rows = keyed.join(F.broadcast(over), on=group_col,
+                            how="left_anti").select(*keyed.columns)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc())
+    sampled = (
+        keyed.join(F.broadcast(over), on=group_col, how="left_semi")
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .select(*keyed.columns)
+    )
+    return under_rows.unionByName(sampled)

@@ -3000,3 +3000,46 @@ def ext_near_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     return near_dedup_documents(docs, n=3, threshold=0.8,
                                 keep_col="n_chars")
+
+
+@golden(
+    "ext_dsir_sample_grouped",
+    _dsir_weights_sql().rstrip()[: _dsir_weights_sql().rstrip().rfind(
+        "SELECT d.doc_id")] + """,
+    keyed AS (
+      SELECT d.doc_id, d.lang, d.source, d.n_chars,
+             ROUND(
+               ROUND(CAST(COALESCE(p.s4, 0) AS DOUBLE) / 10000, 4)
+               - ln(-ln((CAST(concat('0x', substr(md5(
+                     concat(CAST(d.doc_id AS VARCHAR), 'dsir')), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0)),
+               6) AS gumbel_key
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY gumbel_key DESC, doc_id ASC) AS rn
+      FROM keyed
+    ) WHERE rn <= 12
+    """,
+)
+def ext_dsir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced DSIR: the Gumbel top-k resample WITHIN each lang
+    (k=12) — per-group rank over the same deterministic key, two-phase
+    over/under-k routing on the Spark side, replayed by a partitioned
+    row_number in DuckDB
+    (condenser_spark/functions/dsir.py:dsir_sample_per_group).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dsir import (
+        dsir_sample_per_group,
+        train_hashed_ngram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    target = docs.filter(F.col("lang") == "en")
+    tlm = train_hashed_ngram_lm(target, dim=256)
+    rlm = train_hashed_ngram_lm(docs, dim=256)
+    return dsir_sample_per_group(docs, 12, tlm, rlm, group_col="lang",
+                                 dim=256).select(
+        "doc_id", "lang", "source", "n_chars")

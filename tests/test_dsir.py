@@ -164,3 +164,28 @@ def test_dsir_stream_guards(spark, crafted):
         dsir_score_stream(df, dim=DIM)
     with pytest.raises(ValueError, match="more than 100 bucket rows"):
         build_delta_index(tlm, rlm, max_rows=100)
+
+
+def test_dsir_sample_per_group_balances(spark, crafted):
+    """Per-group sampling keeps exactly k from each over-k group, all rows
+    from under-k groups, and within a group the selection matches the
+    global sampler restricted to that group (same keys, same rank)."""
+    from condenser_spark.functions.dsir import dsir_sample_per_group
+
+    df, target = crafted
+    df = df.withColumn(
+        "grp", F.when(F.col("doc_id") < 60, "sci").otherwise("spam"))
+    small = spark.createDataFrame(
+        [(500 + i, "tiny extra group doc", "rare") for i in range(3)],
+        "doc_id long, text string, grp string")
+    corpus = df.unionByName(small)
+    tlm = train_hashed_ngram_lm(target, dim=DIM)
+    rlm = train_hashed_ngram_lm(corpus, dim=DIM)
+    out = dsir_sample_per_group(corpus, 10, tlm, rlm, group_col="grp",
+                                dim=DIM)
+    by_grp = {}
+    for r in out.collect():
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(by_grp["sci"]) == 10 and len(by_grp["spam"]) == 10
+    assert by_grp["rare"] == {500, 501, 502}      # under-k group intact
+    assert "gumbel_key" in out.columns and "log_importance" in out.columns
