@@ -935,6 +935,60 @@ def stage_pq(spark, n_vecs: int = 5_000_000,
     }
 
 
+def stage_dsir_stream_cost(spark, n_docs: int = 1_000_000,
+                           dim: int = 10_000) -> dict:
+    """Price the streaming DSIR twin's documented trade (streaming/
+    corpus.py COST NOTE): the stateless in-row form (HOF feature arrays +
+    an Arrow delta-lookup UDF — the only shape a stream can run) vs the
+    batch posexplode/window/broadcast-join form, on the SAME 1M-doc slice,
+    and assert the two logw4 sums are EXACTLY equal — the fixture-scale
+    equality pin re-proven at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dsir import (
+        dsir_weights,
+        train_hashed_ngram_lm,
+    )
+    from condenser_spark.streaming.corpus import (
+        build_delta_index,
+        dsir_score_stream,
+    )
+
+    path = build_zipf_docs(spark, 5_000_000, 100_000, 40)
+    docs = spark.read.parquet(path).filter(F.col("doc_id") < n_docs)
+    tlm = train_hashed_ngram_lm(
+        docs.filter(F.col("doc_id") % 100 == 0), dim=dim)
+    rlm = train_hashed_ngram_lm(docs, dim=dim)
+    tlm.persist().count()
+    rlm.persist().count()
+
+    t0 = time.time()
+    batch_sum = (
+        dsir_weights(docs, tlm, rlm, dim=dim)
+        .agg(F.sum("logw4_sum").alias("s")).first().s
+    )
+    batch_wall = time.time() - t0
+
+    delta = build_delta_index(tlm, rlm)
+    t0 = time.time()
+    stream_sum = (
+        dsir_score_stream(docs, dim=dim, delta=delta)
+        .agg(F.sum("logw4_sum").alias("s")).first().s
+    )
+    stream_wall = time.time() - t0
+    tlm.unpersist()
+    rlm.unpersist()
+    assert batch_sum == stream_sum, (batch_sum, stream_sum)
+    return {
+        "stage": "dsir_stream_cost_1m",
+        "n_docs": n_docs,
+        "logw4_sum": batch_sum,
+        "batch_wall_sec": round(batch_wall, 1),
+        "stream_form_wall_sec": round(stream_wall, 1),
+        "stream_over_batch_x": round(stream_wall / batch_wall, 2),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -1004,6 +1058,7 @@ def main() -> int:
         "encode_bpe": lambda: stage_encode_bpe(spark),
         "dsir": lambda: stage_dsir(spark),
         "pq": lambda: stage_pq(spark),
+        "dsir_stream_cost": lambda: stage_dsir_stream_cost(spark),
         "zorder": lambda: stage_zorder(spark),
     }
     for name, stage in stages.items():
