@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_c4_clean",
         "ext_near_dedup_best",
         "ext_dsir_sample_grouped",
+        "ext_curate_basic",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

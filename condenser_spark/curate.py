@@ -1,0 +1,195 @@
+"""One-call corpus curation: the published cleaning -> filtering -> dedup ->
+decontamination -> selection chain (C4 / Gopher / CCNet / DSIR order), each
+stage an already-oracled operator from ``functions/``, composed with a
+per-stage tabulation report — the corpus-side analogue of
+``engine.SubsetEngine.report()``.
+
+This is deliberately a thin, transparent composition, not a framework: every
+stage is the same call a user would write by hand (the stage list in the
+report names them), the config is plain keyword arguments, and any stage is
+skippable.  The value is the bookkeeping — docs in/out per stage in one
+frame — and the enforced ORDER, which follows the published pipelines:
+line-level cleaning before document filters (C4 §2.2), heuristics before
+model scores (CCNet), dedup before decontamination (shared shingle work,
+and eval overlap should be judged against the deduped corpus), selection
+last (DSIR §3: weights are computed on the cleaned distribution).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    c4: bool | dict = False,
+    gopher: bool | dict = False,
+    dedup: str | None = None,
+    dedup_opts: dict | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_opts: dict | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.0,
+    dsir_opts: dict | None = None,
+    temperature: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    report: bool = True,
+    barrier: bool | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Run the selected curation stages in the published order and return
+    ``(curated_docs, report_df)``; ``report_df`` is one row per executed
+    stage — (stage, docs_in, docs_out, docs_dropped) — or None with
+    ``report=False`` (no counting actions; the result stays fully lazy).
+
+    Stages (each optional, executed in this order):
+
+    1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
+       drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
+       cleaned text (downstream stages see clean lines).
+    2. ``gopher`` — :func:`functions.text.gopher_quality_flags`: True or a
+       kwargs dict; keeps ``gopher_pass`` docs.
+    3. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
+       keep-rows via its survivor ids) or ``"near"``
+       (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
+       passed through (incl. ``keep_col``).
+    4. ``eval_df`` — :func:`functions.dedup.decontaminate_bloom` against
+       the supplied eval/benchmark corpus, ``decontaminate_opts`` passed
+       through.
+    5. ``quality_model`` — :func:`functions.quality.score_documents` +
+       keep ``quality_logit >= quality_threshold``.
+    6. ``dsir_opts`` — dict with ``target_lm``, ``raw_lm``, ``k`` (and
+       optionally ``dim``, ``group_col``, ``salt``):
+       :func:`functions.dsir.dsir_sample` or, with ``group_col``,
+       :func:`functions.dsir.dsir_sample_per_group`; selection audit
+       columns are dropped so the output schema stays the input schema.
+    7. ``temperature`` — dict of :func:`functions.corpus.temperature_mix`
+       kwargs (e.g. ``{"tau": 0.7, "source_col": "lang"}``).
+
+    Every stage preserves the input schema (c4 swaps text content only),
+    so the chain composes with any downstream operator.
+
+    ``barrier`` (default: ``report``) inserts a lazy ``localCheckpoint``
+    after each stage — the SubsetEngine phase-barrier lesson applied here:
+    without it every per-stage count (and every later stage) re-executes
+    the whole unbarriered prefix chain, and a five-stage chain's nested
+    shingle/bloom/LM plans recompute enough times to exhaust a default
+    driver heap (observed in the test suite before the barrier landed).
+    Pass ``report=False, barrier=False`` for a fully lazy single-plan
+    composition when the chain is short."""
+    dedup_opts = dict(dedup_opts or {})
+    decontaminate_opts = dict(decontaminate_opts or {})
+    if barrier is None:
+        barrier = report
+    stages: list[tuple[str, DataFrame]] = []
+    cur = docs
+
+    def _record(name: str, nxt: DataFrame) -> DataFrame:
+        if barrier:
+            nxt = nxt.localCheckpoint(eager=False)
+        stages.append((name, nxt))
+        return nxt
+
+    if c4:
+        from condenser_spark.functions.text import c4_clean
+
+        opts = c4 if isinstance(c4, dict) else {}
+        cleaned = c4_clean(cur, text_col=text_col, id_col=id_col, **opts)
+        keep = cleaned.filter(F.col("doc_ok")).select(
+            id_col, F.col("text_clean"))
+        cur = _record(
+            "c4_clean",
+            cur.join(keep, on=id_col).select(
+                *[F.col("text_clean").alias(text_col) if c == text_col
+                  else F.col(c) for c in cur.columns]),
+        )
+    if gopher:
+        from condenser_spark.functions.text import gopher_quality_flags
+
+        opts = gopher if isinstance(gopher, dict) else {}
+        flags = gopher_quality_flags(cur, text_col=text_col,
+                                     id_col=id_col, **opts)
+        cur = _record(
+            "gopher_rules",
+            cur.join(flags.filter(F.col("gopher_pass")).select(id_col),
+                     on=id_col, how="left_semi"),
+        )
+    if dedup is not None:
+        if dedup == "exact":
+            from condenser_spark.functions.dedup import exact_dedup
+
+            survivors = exact_dedup(cur, text_col, id_col).select(id_col)
+            cur = _record("exact_dedup",
+                          cur.join(survivors, on=id_col, how="left_semi"))
+        elif dedup == "near":
+            from condenser_spark.functions.dedup import near_dedup_documents
+
+            cur = _record(
+                "near_dedup",
+                near_dedup_documents(cur, text_col=text_col, id_col=id_col,
+                                     **dedup_opts),
+            )
+        else:
+            raise ValueError(f"dedup must be 'exact'|'near'|None: {dedup!r}")
+    if eval_df is not None:
+        from condenser_spark.functions.dedup import decontaminate_bloom
+
+        cur = _record(
+            "decontaminate",
+            decontaminate_bloom(cur, eval_df, text_col=text_col,
+                                id_col=id_col, **decontaminate_opts),
+        )
+    if quality_model is not None:
+        from condenser_spark.functions.quality import score_documents
+
+        scored = score_documents(cur, quality_model, text_col=text_col,
+                                 id_col=id_col)
+        cur = _record(
+            "quality_filter",
+            scored.filter(F.col("quality_logit") >= quality_threshold)
+            .select(*[c for c in cur.columns]),
+        )
+    if dsir_opts:
+        opts = dict(dsir_opts)
+        target_lm, raw_lm = opts.pop("target_lm"), opts.pop("raw_lm")
+        k = opts.pop("k")
+        group_col = opts.pop("group_col", None)
+        if group_col is None:
+            from condenser_spark.functions.dsir import dsir_sample
+
+            sel = dsir_sample(cur, k, target_lm, raw_lm, text_col=text_col,
+                              id_col=id_col, **opts)
+        else:
+            from condenser_spark.functions.dsir import dsir_sample_per_group
+
+            sel = dsir_sample_per_group(cur, k, target_lm, raw_lm,
+                                        group_col=group_col,
+                                        text_col=text_col, id_col=id_col,
+                                        **opts)
+        cur = _record("dsir_select", sel.select(*[c for c in cur.columns]))
+    if temperature:
+        from condenser_spark.functions.corpus import temperature_mix
+
+        cur = _record("temperature_mix",
+                      temperature_mix(cur, id_col=id_col, **temperature))
+
+    if not report:
+        return cur, None
+    rows = []
+    n_in = docs.count()
+    for name, frame in stages:
+        n_out = frame.count()
+        rows.append((name, n_in, n_out, n_in - n_out))
+        n_in = n_out
+    spark = docs.sparkSession
+    rep = spark.createDataFrame(
+        rows or [("noop", n_in, n_in, 0)],
+        "stage string, docs_in long, docs_out long, docs_dropped long",
+    )
+    return cur, rep

@@ -3043,3 +3043,133 @@ def ext_dsir_sample_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_sample_per_group(docs, 12, tlm, rlm, group_col="lang",
                                  dim=256).select(
         "doc_id", "lang", "source", "n_chars")
+
+
+@golden(
+    "ext_curate_basic",
+    r"""
+    WITH synth0 AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               text,
+               'short line.',
+               concat('the quick brown fox document number ',
+                      CAST(doc_id AS VARCHAR), ' ends here.'),
+               'a line mentioning JavaScript frameworks at length today.',
+               CASE WHEN doc_id % 4 = 0 THEN 'lorem ipsum filler'
+                    ELSE 'a perfectly clean tail line for this document.'
+               END,
+               CASE WHEN doc_id % 5 = 0 THEN 'does this line end well?'
+                    ELSE 'no terminal punctuation on this one'
+               END) AS t
+      FROM documents
+    ),
+    synth AS (
+      SELECT doc_id, t FROM synth0
+      UNION ALL
+      SELECT doc_id + 90000, t FROM synth0 WHERE doc_id < 5
+    ),
+    c4k AS (
+      SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), l ->
+               (trim(l) LIKE '%.' OR trim(l) LIKE '%!'
+                OR trim(l) LIKE '%?' OR trim(l) LIKE '%"')
+               AND len(list_filter(
+                     string_split(regexp_replace(trim(l), '\s+', ' ', 'g'),
+                                  ' '), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM synth
+    ),
+    c4 AS (
+      SELECT doc_id,
+             coalesce(array_to_string(kept, chr(10)), '') AS t
+      FROM c4k
+      WHERE len(kept) >= 2
+        AND NOT contains(lower(t), 'lorem ipsum')
+        AND NOT contains(lower(t), '{')
+    ),
+    gbase AS (
+      SELECT doc_id, t,
+             list_filter(
+               string_split(regexp_replace(trim(t), '\s+', ' ', 'g'), ' '),
+               w -> w <> '') AS words,
+             string_split(t, chr(10)) AS lines
+      FROM c4
+    ),
+    gop AS (
+      SELECT doc_id, t FROM gbase
+      WHERE len(words) BETWEEN 20 AND 100000
+        AND (CASE WHEN len(words) > 0 THEN
+               ROUND(CAST(length(array_to_string(words, '')) AS DOUBLE)
+                     / len(words), 4) ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+        AND (CASE WHEN len(words) > 0 THEN
+               ROUND(((length(t) - length(replace(t, '#', '')))
+                 + (length(t) - length(replace(t, '...', ''))) / 3
+                 + (length(t) - length(replace(t, '…', ''))))
+                 / CAST(len(words) AS DOUBLE), 4) ELSE 0.0 END) <= 0.1
+        AND ROUND(CAST(len(list_filter(lines,
+              l -> l LIKE '•%' OR l LIKE '- %' OR l LIKE '* %'))
+              AS DOUBLE) / len(lines), 4) < 0.9
+        AND ROUND(CAST(len(list_filter(lines,
+              l -> l LIKE '%...' OR l LIKE '%…'))
+              AS DOUBLE) / len(lines), 4) <= 0.3
+        AND (CASE WHEN len(words) > 0 THEN
+               ROUND(CAST(len(list_filter(words,
+                 w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                 / len(words), 4) ELSE 0.0 END) >= 0.8
+        AND len(list_intersect(list_transform(words, w -> lower(w)),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+              >= 1
+    ),
+    fp AS (
+      SELECT doc_id, t,
+             md5(regexp_replace(lower(trim(t)), '\s+', ' ', 'g')) AS f
+      FROM gop
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT p.doc_id, p.t AS text FROM fp p JOIN keep USING (doc_id)
+    """,
+)
+def ext_curate_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curate_corpus composite under a full value oracle: C4 line
+    cleaning (text REPLACED by the kept lines) -> Gopher rules recomputed
+    on the CLEANED text (min_words=20 splits the 2-line from the 3-line
+    survivors) -> exact dedup (5 planted clones collapse to their
+    originals) — the chain's stage ordering, text swap, and schema
+    preservation all replayed by DuckDB including the final cleaned text
+    (condenser_spark/curate.py:curate_corpus, report=False barrier=False
+    so the whole chain is ONE lazy plan).  Registered past the driver's
+    50-slot cap; verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth0 = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("short line."),
+            F.concat(F.lit("the quick brown fox document number "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" ends here.")),
+            F.lit("a line mentioning JavaScript frameworks at length "
+                  "today."),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("lorem ipsum filler"))
+            .otherwise(
+                F.lit("a perfectly clean tail line for this document.")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("does this line end well?"))
+            .otherwise(F.lit("no terminal punctuation on this one")),
+        ).alias("text"),
+    )
+    synth = synth0.unionByName(
+        synth0.filter("doc_id < 5").select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"))
+    out, _ = curate_corpus(
+        synth,
+        c4={"min_kept_lines": 2},
+        gopher={"min_words": 20, "min_stop_hits": 1},
+        dedup="exact",
+        report=False, barrier=False,
+    )
+    return out.select("doc_id", "text")

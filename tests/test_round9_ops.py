@@ -151,3 +151,107 @@ def test_semantic_dedup_keep_col(spark, source):
     for i in range(5):
         assert 70000 + i in kept and i not in kept
     assert len(kept) == 200
+
+
+def test_gopher_and_c4_run_on_streams_unchanged(spark, source, tmp_path):
+    """gopher_quality_flags and c4_clean are pure scan-level projections —
+    no window, no aggregate — so the SAME functions run on a streaming
+    DataFrame unchanged, and the streamed output equals the batch output
+    row for row."""
+    from condenser_spark.functions.text import c4_clean, gopher_quality_flags
+
+    docs = source["documents"].filter(F.col("doc_id") < 80).select(
+        "doc_id", "text")
+    stream_dir = tmp_path / "clean_stream"
+    docs.write.parquet(str(stream_dir))
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+
+    gq = gopher_quality_flags(stream)
+    q1 = (gq.writeStream.format("memory").queryName("gq_stream")
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(120)
+    got_g = {tuple(r) for r in spark.sql("select * from gq_stream").collect()}
+    want_g = {tuple(r) for r in gopher_quality_flags(docs).collect()}
+    assert got_g == want_g and len(got_g) == 80
+
+    cc = c4_clean(stream)
+    q2 = (cc.writeStream.format("memory").queryName("c4_stream")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got_c = {tuple(r) for r in spark.sql("select * from c4_stream").collect()}
+    want_c = {tuple(r) for r in c4_clean(docs).collect()}
+    assert got_c == want_c and len(got_c) == 80
+
+
+# ------------------------------------------------------------ curate_corpus
+
+@pytest.fixture(scope="module")
+def curatable(spark, source):
+    """Fixture docs rewritten as multi-line punctuated text whose lines
+    are DOC-SPECIFIC (so decontamination only fires on genuine overlap),
+    plus 5 exact clones for the dedup stage."""
+    docs = source["documents"].select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    # both appended lines embed the doc id: an identical appended sentence
+    # is itself a shared 8-gram, which (correctly) flags every doc as
+    # contaminated against any eval slice — the first draft of this
+    # fixture did exactly that
+    multi = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" so document "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" makes the point its own way.")),
+            F.concat(F.lit("document "), F.col("doc_id").cast("string"),
+                     F.lit(" has a perfectly fine second line too.")),
+        ))
+    clones = multi.filter("doc_id < 5").select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    return multi.unionByName(clones)
+
+
+def test_curate_corpus_stage_order_counts_and_schema(spark, curatable):
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.dsir import train_hashed_ngram_lm
+
+    eval_df = curatable.filter("doc_id >= 480 and doc_id < 500").select(
+        "doc_id", "text")
+    train = curatable.filter("doc_id < 480 or doc_id >= 90000")
+    tlm = train_hashed_ngram_lm(train.filter("lang = 'en'"), dim=256)
+    rlm = train_hashed_ngram_lm(train, dim=256)
+    out, rep = curate_corpus(
+        train,
+        c4={"min_kept_lines": 2},
+        gopher={"min_stop_hits": 1, "min_words": 10},
+        dedup="exact",
+        eval_df=eval_df,
+        dsir_opts={"target_lm": tlm, "raw_lm": rlm, "k": 50, "dim": 256},
+    )
+    r = {row.stage: (row.docs_in, row.docs_out) for row in rep.collect()}
+    assert list(r) == ["c4_clean", "gopher_rules", "exact_dedup",
+                       "decontaminate", "dsir_select"]
+    # counts telescope and never increase
+    seq = rep.orderBy(F.monotonically_increasing_id()).collect()
+    for a, b in zip(seq, seq[1:]):
+        assert a.docs_out == b.docs_in
+    assert all(row.docs_out <= row.docs_in for row in seq)
+    assert r["exact_dedup"][0] - r["exact_dedup"][1] == 5   # the clones
+    assert r["dsir_select"][1] == 50
+    assert out.columns == train.columns and out.count() == 50
+    # c4 swapped text content: no doc retains its dropped 'short' lines,
+    # and every surviving text still ends with terminal punctuation
+    assert all(t.text.endswith((".", "!", "?", '"'))
+               for t in out.select("text").collect())
+
+
+def test_curate_corpus_lazy_mode_and_validation(spark, curatable):
+    from condenser_spark.curate import curate_corpus
+
+    out, rep = curate_corpus(curatable, gopher={"min_stop_hits": 1,
+                                                "min_words": 10},
+                             report=False)
+    assert rep is None and out.count() > 0
+    with pytest.raises(ValueError, match="dedup must be"):
+        curate_corpus(curatable, dedup="fuzzy")
