@@ -989,6 +989,95 @@ def stage_dsir_stream_cost(spark, n_docs: int = 1_000_000,
     }
 
 
+def stage_curate(spark, n_docs: int = 5_000_000) -> dict:
+    """END-TO-END curation of a 5M-doc corpus through curate_corpus —
+    the capstone number: C4 line cleaning + Gopher rules + near-dedup
+    (with planted exact clones) + Bloom decontamination (against a 1k-doc
+    eval slice planted verbatim in the corpus) + DSIR selection of 500k,
+    one call, per-stage report, phase-barriered.
+
+    Corpus: English-like synthesized docs — 4 lines of common-vocab words
+    with terminal periods (so the C4/Gopher rules bite realistically),
+    ~10% exact dups planted via base-id folding, 1k eval-overlap docs."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.dsir import train_hashed_ngram_lm
+
+    vocab = ("the and of to that have with data model train corpus filter "
+             "clean sample select weight scale spark shuffle join scan "
+             "batch stream quality document line token merge rank group "
+             "index code cell probe stage report").split()
+    V = len(vocab)
+    vocab_arr = F.array(*[F.lit(w) for w in vocab])
+
+    def line(seed, n_words=10):
+        return F.concat(
+            F.concat_ws(
+                " ",
+                *[F.element_at(
+                    vocab_arr,
+                    (F.pmod(F.xxhash64(F.col("base"), F.lit(seed), F.lit(j)),
+                            F.lit(V)) + 1).cast("int"))
+                  for j in range(n_words)]),
+            F.lit("."),
+        )
+
+    uniq = int(n_docs * 0.9)
+    base = (
+        spark.range(n_docs)
+        .withColumn("base", F.when(F.col("id") < 1_000,
+                                   F.col("id"))           # eval-overlap docs
+                    .otherwise(F.col("id") % uniq))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws("\n", line(1), line(2), line(3), line(4))
+            .alias("text"),
+            F.pmod(F.col("id"), F.lit(5)).cast("string").alias("lang"),
+        )
+    )
+    path = f"{WORK}/curate_docs"
+    base.write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    eval_df = docs.filter(F.col("doc_id") < 1_000).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"), "text")
+    tlm = train_hashed_ngram_lm(
+        docs.filter(F.col("doc_id") % 100 == 0), dim=10_000)
+    rlm = train_hashed_ngram_lm(docs, dim=10_000)
+    tlm.persist().count()
+    rlm.persist().count()
+
+    t0 = time.time()
+    out, rep = curate_corpus(
+        docs,
+        c4={"min_kept_lines": 2},
+        gopher={"min_words": 20, "min_stop_hits": 2},
+        dedup="near",
+        eval_df=eval_df,
+        dsir_opts={"target_lm": tlm, "raw_lm": rlm, "k": 500_000,
+                   "dim": 10_000},
+    )
+    report = {r.stage: (r.docs_in, r.docs_out) for r in rep.collect()}
+    wall = time.time() - t0
+    tlm.unpersist()
+    rlm.unpersist()
+    # every stage must have actually filtered: dedup collapses the planted
+    # dup mass, decontamination removes the ~1k planted eval twins (a few
+    # percent of twins fall to the Gopher stop-hit rule first — random
+    # vocab draws — so the bound is 90% of the plant), selection lands
+    # exactly k
+    assert report["near_dedup"][1] < report["near_dedup"][0]
+    assert report["decontaminate"][0] - report["decontaminate"][1] >= 900
+    assert report["dsir_select"][1] == 500_000
+    return {
+        "stage": "curate_5m",
+        "n_docs": n_docs,
+        "report": {k: list(v) for k, v in report.items()},
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -1059,6 +1148,7 @@ def main() -> int:
         "dsir": lambda: stage_dsir(spark),
         "pq": lambda: stage_pq(spark),
         "dsir_stream_cost": lambda: stage_dsir_stream_cost(spark),
+        "curate": lambda: stage_curate(spark),
         "zorder": lambda: stage_zorder(spark),
     }
     for name, stage in stages.items():
