@@ -1,0 +1,75 @@
+"""The whole curation chain in ONE call — curate_corpus composing the
+oracled operators in the published order (C4 -> Gopher -> near-dedup ->
+decontamination -> DSIR selection), with the per-stage tabulation that is
+the point of using the composer instead of chaining by hand.
+
+The fixture's single-line texts carry no punctuation, so this example
+synthesizes multi-line punctuated documents first (the same trick the
+ext_curate_basic oracle uses) — with 10 planted exact clones and a 20-doc
+eval slice so every stage has something real to do.
+
+Usage:  python examples/curate_one_call.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.dsir import train_hashed_ngram_lm
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("curate-one-call", master="local[8]",
+                      shuffle_partitions=8)
+    docs = load_source_tables(spark, sf_dir)["documents"]
+
+    multi = docs.select(
+        "doc_id", "lang", "source",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" so document "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" makes the point its own way.")),
+            F.concat(F.lit("document "), F.col("doc_id").cast("string"),
+                     F.lit(" has a perfectly fine second line too.")),
+        ).alias("text"),
+    )
+    clones = multi.filter("doc_id < 10").select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "lang", "source", "text")
+    corpus = multi.unionByName(clones)
+    eval_df = corpus.filter("doc_id >= 480 and doc_id < 500").select(
+        "doc_id", "text")
+    train = corpus.filter("doc_id < 480 or doc_id >= 90000")
+
+    tlm = train_hashed_ngram_lm(train.filter("lang = 'en'"), dim=1024)
+    rlm = train_hashed_ngram_lm(train, dim=1024)
+
+    curated, report = curate_corpus(
+        train,
+        c4={"min_kept_lines": 2},
+        gopher={"min_words": 10, "min_stop_hits": 1},
+        dedup="near",
+        dedup_opts={"keep_col": "doc_id"},   # keep the NEWEST duplicate
+        eval_df=eval_df,
+        dsir_opts={"target_lm": tlm, "raw_lm": rlm, "k": 40, "dim": 1024,
+                   "group_col": "lang"},     # language-balanced selection
+    )
+    print("== per-stage report ==")
+    report.show(truncate=False)
+    print("== selected mixture ==")
+    curated.groupBy("lang").count().orderBy("lang").show()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
