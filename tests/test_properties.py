@@ -1391,3 +1391,58 @@ def test_pq_train_and_encode_row_order_invariant(spark, source, seed):
     c2 = {r.vec_id: list(r.codes)
           for r in pq_encode(shuffled, b1).collect()}
     assert c1 == c2
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    use_c4=st.booleans(),
+    use_gopher=st.booleans(),
+    dedup=st.sampled_from([None, "exact", "near"]),
+    use_eval=st.booleans(),
+)
+def test_curate_corpus_invariants_over_random_stage_combos(
+        spark, source, use_c4, use_gopher, dedup, use_eval):
+    """For ANY combination of curation stages: the report lists exactly
+    the enabled stages in pipeline order, counts telescope and never
+    increase, the output schema equals the input schema, and every
+    surviving id existed in the input (round-9)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+
+    docs = source["documents"].filter(F.col("doc_id") < 120).select(
+        "doc_id", "lang",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(" so document "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(" makes the point its own way.")),
+            F.concat(F.lit("document "), F.col("doc_id").cast("string"),
+                     F.lit(" closes with a second line.")),
+        ).alias("text"))
+    eval_df = (source["documents"].filter("doc_id >= 450")
+               .select("doc_id", "text") if use_eval else None)
+    out, rep = curate_corpus(
+        docs,
+        c4={"min_kept_lines": 1} if use_c4 else False,
+        gopher={"min_words": 5, "min_stop_hits": 1} if use_gopher else False,
+        dedup=dedup,
+        eval_df=eval_df,
+    )
+    expected = [n for n, on in [
+        ("c4_clean", use_c4), ("gopher_rules", use_gopher),
+        ("exact_dedup", dedup == "exact"), ("near_dedup", dedup == "near"),
+        ("decontaminate", use_eval),
+    ] if on]
+    rows = rep.collect()
+    assert [r.stage for r in rows] == (expected or ["noop"])
+    if expected:
+        for a, b in zip(rows, rows[1:]):
+            assert a.docs_out == b.docs_in
+        assert all(r.docs_out <= r.docs_in for r in rows)
+        assert rows[0].docs_in == 120
+    assert out.columns == docs.columns
+    in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    out_ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert out_ids <= in_ids
