@@ -52,15 +52,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import condenser_spark.goldens_ext  # noqa: F401 — registers ext goldens
     from condenser_spark.goldens import ORACLES, QUERIES
 
-    # The driver evaluates at most the first 50 entries; 76 goldens are
-    # registered (72 full-oracle + 4 rows-only).
+    # The driver evaluates at most the first 50 entries.  At the round-10
+    # rotation edit, 85 goldens are registered (81 full-oracle + 4
+    # rows-only); goldens added later in the round join the deprioritized
+    # list below, so the counts in this paragraph are a floor, not an
+    # invariant — the invariants are (1) and (2) below, asserted by
+    # tests/test_rotation_invariants.py on every pytest run.
     #
     # ROTATION RULE (deterministic, executed in each round's first commit):
     # every oracle golden is driver-recorded at least every other round.
-    # Each round, the `deprioritized` list is REPLACED by 26 oracle goldens
-    # drawn from the set recorded green in the previous round's
-    # CORRECTNESS_r{N}.json (preferring composite-covered §2 rows first,
-    # then the longest-recorded ext goldens), which rotates ALL of the
+    # Each round, the `deprioritized` list is REPLACED by the oracle
+    # goldens recorded green in the previous round's CORRECTNESS_r{N}.json,
+    # minus enough keepers to fill the cap — which rotates ALL of the
     # previous round's past-cap goldens in-cap.  Two invariants:
     #   1. the 4 rows-only goldens (ext_approx_profile,
     #      p3_bernoulli_sample_rows, ext_multimodal_features,
@@ -71,53 +74,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      tests/test_overflow_oracles.py (which checks
     #      list(queries())[50:] dynamically) re-runs the IDENTICAL DuckDB
     #      row/column/value comparison on every pytest run.
+    # New goldens registered mid-round MUST be appended to `deprioritized`
+    # (an in-cap insertion would push a rows-only golden past the cap,
+    # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-9 instance: the 26 goldens past the cap in round 8 (9 §2/ext +
-    # the 17 round-8 operators) rotate in-cap for driver-recorded signal;
-    # the 26 below rotate out — all were driver-recorded green in
-    # CORRECTNESS_r08.json, all carry full oracles, and the six §2 rows
-    # among them are additionally exercised inside the hash-matched
-    # middle_out_* composites that stay in-cap.
+    # Round-10 instance: the 35 goldens past the cap in round 9 (the 26
+    # rotated out then + the 9 round-9 operators, all overflow-suite green
+    # and judge-verified) rotate in-cap; the 35 below rotate out — all were
+    # driver-recorded green in CORRECTNESS_r09.json and all carry full
+    # oracles.  11 r09-green keepers stay in-cap (3 middle_out composites +
+    # j1 + the flagship LLM-family heads) so the central paths keep
+    # every-round driver signal.
     deprioritized = [
-        # §2 rows, composite-covered (recorded green r08)
-        "p1_fk_nullout_projection",
-        "j2_j3_missing_keys_anti_distinct",
-        "s8_referential_orphan_check",
-        "s7_teardown_removes_stale",
-        "s13_hook_dest_replace",
-        "s9_write_dest_roundtrip",
-        "middle_out_where_subset",
-        # ext goldens recorded green r08 (stable since r4-r6)
-        "ext_exact_dedup",
-        "ext_dedup_documents",
-        "ext_ngram_jaccard_pairs",
-        "ext_dup_clusters",
-        "ext_near_dedup_documents",
-        "ext_text_stats",
-        "ext_rolling_fingerprints",
-        "ext_shared_passages",
-        "ext_asof_join",
-        "ext_range_join_bucketed",
-        "ext_sessionize",
-        "ext_session_stats",
-        "ext_windowed_event_counts",
-        "ext_numeric_profile",
-        "ext_repetition_stats",
-        "ext_hash_split",
-        "ext_weighted_mix",
-        "ext_heavy_hitters",
-        "ext_build_vocab",
-        # new in round 9 (never yet driver-recorded; overflow-suite-checked
+        # §2 rows recorded green r09 (composite-covered by the middle_out
+        # goldens that stay in-cap)
+        "p2_where_predicate",
+        "p3_deterministic_percent_sample",
+        "p4_upstream_filter_injection",
+        "p5_limit_on_sorted",
+        "p6_null_key_tuple_drop",
+        "j4_closure_fetch_semi_join",
+        # ext goldens recorded green r09
+        "ext_brute_force_cosine_topk",
+        "ext_simhash_near_pairs",
+        "ext_srp_cosine_topk",
+        "ext_embedding_dup_pairs",
+        "ext_multimodal_feature_meta",
+        "ext_filter_documents",
+        "ext_stratified_sample",
+        "ext_term_frequencies",
+        "ext_tfidf_top_terms",
+        "ext_pack_sequences_sharded",
+        "ext_take_token_budget",
+        "ext_cap_per_group",
+        "ext_pii_scrub",
+        "ext_funnel_counts",
+        "ext_decontaminate_bloom",
+        "ext_encode_tokens",
+        "ext_strip_repeated_blocks",
+        "ext_chunk_documents",
+        "ext_expand_epochs",
+        "ext_winsorize",
+        "ext_curriculum_buckets",
+        "ext_snapshot_diff",
+        "ext_hashed_doc_vectors",
+        "ext_knn_label_vote",
+        "ext_mixture_report",
+        "ext_rp_project",
+        "ext_lm_logprob",
+        "ext_uniform_sample_per_group",
+        "ext_zorder_value",
+        # new in round 10 (never yet driver-recorded; overflow-suite-checked
         # now, rotate in-cap next round per the rule above)
-        "ext_dsir_weights",
-        "ext_dsir_sample",
-        "ext_pq_encode",
-        "ext_pq_topk",
-        "ext_gopher_flags",
-        "ext_c4_clean",
-        "ext_near_dedup_best",
-        "ext_dsir_sample_grouped",
-        "ext_curate_basic",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

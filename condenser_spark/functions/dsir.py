@@ -248,6 +248,7 @@ def dsir_sample_per_group(
     id_col: str = "doc_id",
     include_bigrams: bool = True,
     salt: str = "dsir",
+    max_groups: int = 10_000,
 ) -> DataFrame:
     """Language/domain-BALANCED DSIR: the Gumbel top-``k`` importance
     resample applied WITHIN each ``group_col`` value — keep the k most
@@ -260,8 +261,9 @@ def dsir_sample_per_group(
     the per-group rank reuses ``uniform_sample_per_group``'s two-phase
     trick — one map-side-combined count aggregate routes at-or-under-k
     groups around the sort entirely (broadcast anti join), so only over-k
-    groups pay the per-group row_number window.  Groups are bounded by
-    the ``temperature_mix`` contract (languages/domains, not ids)."""
+    groups pay the per-group row_number window.  Groups are languages/
+    domains by contract; the over-k set is guarded by ``max_groups``
+    (fail-loud ValueError, the ``temperature_mix`` convention)."""
     from pyspark.sql import Window
 
     assert k >= 1
@@ -284,6 +286,12 @@ def dsir_sample_per_group(
         .filter(F.col("_n") > k)
         .select(group_col)
     )
+    from condenser_spark.functions.corpus import (
+        _guard_over_group_cardinality,
+    )
+
+    _guard_over_group_cardinality(over, group_col, max_groups,
+                                  "dsir_sample_per_group")
     under_rows = keyed.join(F.broadcast(over), on=group_col,
                             how="left_anti").select(*keyed.columns)
     win = Window.partitionBy(group_col).orderBy(

@@ -60,6 +60,11 @@ def zorder_value(
         assert len(bounds) == k, "bounds needs one (lo, hi) pair per column"
         row = {}
         for j, (lo, hi) in enumerate(bounds):
+            if int(hi) < int(lo):
+                raise ValueError(
+                    f"zorder_value: bounds[{j}] = ({lo}, {hi}) has hi < lo — "
+                    "pass (lo, hi) pairs with lo <= hi"
+                )
             row[f"_lo{j}"], row[f"_hi{j}"] = int(lo), int(hi)
     else:
         aggs = []
@@ -84,10 +89,19 @@ def zorder_value(
                 "it) so (max - min) * (2^bits - 1) fits in 63 bits."
             )
         # backtick-quoted so dotted/spaced column names survive the expr
-        return F.expr(
+        b = F.expr(
             f"CAST(((CAST(coalesce(`{c}`, {int(lo)}) AS BIGINT) - {int(lo)})"
             f" * {top}) DIV {int(hi - lo)} AS BIGINT)"
         )
+        if bounds is not None:
+            # caller-supplied bounds are a DECLARED domain, not a computed
+            # one: a row outside [lo, hi] would otherwise produce a bucket
+            # outside [0, 2^bits) whose low bits interleave as garbage —
+            # clamp to the domain edges so out-of-range rows cluster at the
+            # boundary instead of corrupting the layout
+            b = F.greatest(F.lit(0).cast("long"),
+                           F.least(F.lit(top).cast("long"), b))
+        return b
 
     buckets = [
         bucket_div(c, row[f"_lo{j}"], row[f"_hi{j}"])

@@ -269,6 +269,29 @@ def _adc_terms(rows, books: PqCodebooks):
     return out
 
 
+def _empty_topk(source: DataFrame, queries: DataFrame, query_id_col: str,
+                rerank: bool) -> DataFrame:
+    """Zero-query / zero-term result whose schema matches the populated
+    path exactly (ADVICE r9: the old branches force-cast vec_id to long and
+    hardcoded query_id long, so string-id callers that union or cache
+    results across calls hit a schema clash on the empty case).  vec_id
+    keeps the source frame's own type; query_id mirrors the populated
+    path's literal rule (collected Python str -> string, integral -> long);
+    the score column is ``cosine_sim`` when a re-rank table was supplied,
+    matching the re-ranked populated schema."""
+    from pyspark.sql.types import StringType
+
+    qt = queries.schema[query_id_col].dataType
+    qid_type = "string" if isinstance(qt, StringType) else "long"
+    score_col = "cosine_sim" if rerank else "approx_cosine"
+    return source.select("vec_id").filter(F.lit(False)).select(
+        F.lit(None).cast(qid_type).alias("query_id"),
+        "vec_id",
+        F.lit(0.0).alias(score_col),
+        F.lit(0).alias("rank"),
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -319,23 +342,16 @@ def pq_topk(
             "query load across calls (or raise max_queries=)."
         )
     if not rows:
-        return encoded.select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-        ).filter(F.lit(False)).select(
-            F.lit(None).cast("long").alias("query_id"),
-            "vec_id",
-            F.lit(0.0).alias("approx_cosine"),
-            F.lit(0).alias("rank"),
-        )
+        return _empty_topk(encoded, queries, query_id_col,
+                           rerank=rerank_with is not None)
     per_q = [
         F.struct(F.lit(qid).alias("query_id"),
                  sc.alias("approx_cosine"))
         for qid, sc in _adc_terms(rows, books)
     ]
     if not per_q:
-        return pq_topk(encoded, queries.limit(0), books, k=k,
-                       id_col=id_col, vec_col=vec_col,
-                       query_id_col=query_id_col)
+        return _empty_topk(encoded, queries, query_id_col,
+                           rerank=rerank_with is not None)
     scored = encoded.select(
         "vec_id", F.explode(F.array(*per_q)).alias("_s")
     ).select(
@@ -508,12 +524,8 @@ def ivfpq_topk(
         probes[r._qid] = [ci for _, ci in scores[:nprobe]]
     terms = _adc_terms(rows, books)
     if not terms:
-        return index.coded.select(
-            F.lit(None).cast("long").alias("query_id"),
-            "vec_id",
-            F.lit(0.0).alias("approx_cosine"),
-            F.lit(0).alias("rank"),
-        ).filter(F.lit(False))
+        return _empty_topk(index.coded, queries, query_id_col,
+                           rerank=rerank_with is not None)
     all_cells = sorted({c for cs in probes.values() for c in cs})
     per_q = [
         F.struct(

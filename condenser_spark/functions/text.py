@@ -453,7 +453,7 @@ def gopher_quality_flags(
     ok_ellipsis_lines, ok_alpha_words, ok_stop_words, gopher_pass)
 
     Rules (defaults are the paper's): 50 <= words <= 100k; mean word
-    length in [3, 10]; (# + ellipsis) to word ratio <= 0.1; < 90% of
+    length in [3, 10]; (# + ellipsis) to word ratio <= 0.1; <= 90% of
     lines bullet-started; <= 30% of lines ellipsis-ended; >= 80% of words
     contain an alphabetic character; >= 2 hits from the required
     stop-word set.  ``gopher_pass`` is the conjunction.
@@ -515,7 +515,10 @@ def gopher_quality_flags(
         "ok_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
         & (F.col("mean_word_len") <= max_mean_word_len),
         "ok_symbol_ratio": F.col("symbol_ratio") <= max_symbol_ratio,
-        "ok_bullet_lines": F.col("bullet_line_frac") < max_bullet_line_frac,
+        # inclusive like every other Gopher threshold (ADVICE r9): the
+        # paper removes docs with MORE than 90% bullet lines, so exactly
+        # 0.9 passes
+        "ok_bullet_lines": F.col("bullet_line_frac") <= max_bullet_line_frac,
         "ok_ellipsis_lines":
             F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
         "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,

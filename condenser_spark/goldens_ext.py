@@ -2851,13 +2851,13 @@ def ext_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
              AS ok_mean_word_len,
            (symbol_ratio <= 0.1) AS ok_symbol_ratio,
-           (bullet_line_frac < 0.9) AS ok_bullet_lines,
+           (bullet_line_frac <= 0.9) AS ok_bullet_lines,
            (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
            (alpha_word_frac >= 0.8) AS ok_alpha_words,
            (n_stop_hits >= 2) AS ok_stop_words,
            (n_words >= 50 AND n_words <= 100000
             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-            AND symbol_ratio <= 0.1 AND bullet_line_frac < 0.9
+            AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
             AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
             AND n_stop_hits >= 2) AS gopher_pass
     FROM stats

@@ -1306,7 +1306,7 @@ def test_gopher_flags_match_python_model(spark, texts):
             bullet, ell, alpha, stops), (t, r)
         assert r.gopher_pass == (
             50 <= nw <= 100_000 and 3.0 <= mean_wl <= 10.0
-            and sym <= 0.1 and bullet < 0.9 and ell <= 0.3
+            and sym <= 0.1 and bullet <= 0.9 and ell <= 0.3
             and alpha >= 0.8 and stops >= 2), (t, r)
 
 

@@ -1,0 +1,63 @@
+"""Golden-rotation invariants (VERDICT r9 ADVICE: encode the counts as
+asserts instead of a comment that goes stale).
+
+The driver records only the first 50 ``queries()`` entries; everything the
+rotation rule promises about that window is asserted here so a bad rotation
+edit fails pytest immediately instead of silently dropping a golden's only
+check.
+"""
+
+from __future__ import annotations
+
+ROWS_ONLY = {
+    "ext_approx_profile",
+    "p3_bernoulli_sample_rows",
+    "ext_multimodal_features",
+    "ext_multimodal_frames",
+}
+
+CAP = 50
+
+
+def _load():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    return qs, oracles
+
+
+def test_rows_only_goldens_stay_in_cap():
+    # Invariant 1: a rows-only golden past the cap has NO check at all
+    # (the overflow suite needs a DuckDB oracle), so all 4 stay in [:CAP].
+    qs, oracles = _load()
+    in_cap = set(list(qs)[:CAP])
+    missing = ROWS_ONLY - in_cap
+    assert not missing, f"rows-only goldens pushed past the cap: {missing}"
+    for name in ROWS_ONLY:
+        assert name not in oracles, f"{name} unexpectedly grew an oracle"
+
+
+def test_every_past_cap_entry_carries_an_oracle():
+    # Invariant 2: tests/test_overflow_oracles.py can only re-check a
+    # past-cap golden that has a full DuckDB oracle.
+    qs, oracles = _load()
+    past_cap = list(qs)[CAP:]
+    bare = [k for k in past_cap if k not in oracles]
+    assert not bare, f"past-cap goldens with no oracle (unchecked!): {bare}"
+
+
+def test_cap_window_is_full_when_registry_overflows():
+    # With >CAP goldens registered, wasting an in-cap slot means some
+    # oracle golden silently loses driver-recorded signal for a round.
+    qs, _ = _load()
+    if len(qs) > CAP:
+        assert len(list(qs)[:CAP]) == CAP
+
+
+def test_every_golden_is_callable_and_every_oracle_has_a_query():
+    qs, oracles = _load()
+    for name, fn in qs.items():
+        assert callable(fn), name
+    orphan = [k for k in oracles if k not in qs]
+    assert not orphan, f"oracles with no queries() entry: {orphan}"

@@ -1,0 +1,148 @@
+"""Round-10 ADVICE/punch-list fixes: per-group sampler cardinality guards,
+zorder bounds validation + clamping, pq empty-result schema parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.corpus import uniform_sample_per_group
+from condenser_spark.functions.dsir import (
+    dsir_sample_per_group,
+    train_hashed_ngram_lm,
+)
+from condenser_spark.functions.layout import zorder_value
+from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+
+def _names_and_types(df):
+    # nullability legitimately differs between a literal and a cast NULL;
+    # what the ADVICE defect broke was the (name, dataType) pairs
+    return [(f.name, f.dataType) for f in df.schema.fields]
+
+
+# ---------------------------------------------------------------- guards
+
+def _high_card_df(spark, n=12):
+    # every "group" (doc_id) has 2 rows, so with k=1 every group is over-k
+    rows = [(f"d{i}", f"d{i}", "text one") for i in range(n)]
+    rows += [(f"d{i}x", f"d{i}", "text two") for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id string, grp string, text string")
+
+
+def test_uniform_sample_per_group_guards_cardinality(spark):
+    df = _high_card_df(spark)
+    with pytest.raises(ValueError, match="high-cardinality"):
+        uniform_sample_per_group(df, k=1, group_col="grp",
+                                 id_col="doc_id", max_groups=5)
+    # under the cap the same call succeeds: one row per group survives
+    out = uniform_sample_per_group(df, k=1, group_col="grp",
+                                   id_col="doc_id", max_groups=100)
+    assert out.count() == 12
+
+
+def test_dsir_sample_per_group_guards_cardinality(spark):
+    df = _high_card_df(spark, n=8)
+    lm = train_hashed_ngram_lm(df, dim=64, include_bigrams=False)
+    with pytest.raises(ValueError, match="high-cardinality"):
+        dsir_sample_per_group(df, k=1, target_lm=lm, raw_lm=lm,
+                              group_col="grp", dim=64,
+                              include_bigrams=False, max_groups=3)
+
+
+# ----------------------------------------------------------- zorder bounds
+
+def test_zorder_rejects_inverted_bounds(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="hi < lo"):
+        zorder_value(df, ["a", "b"], bits=4,
+                     bounds=[(10, 0), (0, 10)])
+
+
+def test_zorder_clamps_out_of_domain_rows(spark):
+    # declared domain [0, 15]; rows at -5 and 99 must clamp to the edge
+    # buckets (0 and 15), matching the z-values of in-domain edge rows
+    df = spark.createDataFrame(
+        [(-5, 0), (0, 0), (99, 15), (15, 15)], "a long, b long")
+    out = zorder_value(df, ["a", "b"], bits=4,
+                       bounds=[(0, 15), (0, 15)])
+    z = [r.zvalue for r in out.orderBy("a").collect()]
+    assert z[0] == z[1]       # -5 clamps to lo bucket == a=0
+    assert z[2] == z[3]       # 15 == hi; 99 clamps to it
+    assert z[0] < z[2]
+
+
+# ----------------------------------------------------- pq empty schemas
+
+def _string_id_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [(f"v{i}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(24)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id string, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(f"q{i}", [rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(2)],
+        "query_id string, embedding array<double>")
+    return emb, queries
+
+
+def test_pq_topk_empty_query_schema_matches_populated(spark):
+    emb, queries = _string_id_fixture(spark)
+    books = pq_train(emb, n_subspaces=4, n_codes=4)
+    enc = pq_encode(emb, books)
+    populated = pq_topk(enc, queries, books, k=3,
+                        query_id_col="query_id")
+    empty = pq_topk(enc, queries.limit(0), books, k=3,
+                    query_id_col="query_id")
+    assert _names_and_types(empty) == _names_and_types(populated)
+    # union across calls (the ADVICE failure case) must not raise
+    assert populated.unionByName(empty).count() == populated.count()
+
+
+def test_pq_topk_empty_rerank_schema_matches_populated(spark):
+    emb, queries = _string_id_fixture(spark)
+    books = pq_train(emb, n_subspaces=4, n_codes=4)
+    enc = pq_encode(emb, books)
+    populated = pq_topk(enc, queries, books, k=3,
+                        query_id_col="query_id", rerank_with=emb,
+                        rerank_candidates=10)
+    empty = pq_topk(enc, queries.limit(0), books, k=3,
+                    query_id_col="query_id", rerank_with=emb,
+                    rerank_candidates=10)
+    assert _names_and_types(empty) == _names_and_types(populated)
+    assert "cosine_sim" in empty.columns
+
+
+def test_ivfpq_topk_empty_query_schema_matches_populated(spark):
+    from condenser_spark.functions.pq import ivfpq_index, ivfpq_topk
+
+    emb, queries = _string_id_fixture(spark)
+    index = ivfpq_index(emb, n_centroids=2, n_subspaces=4, n_codes=4)
+    index.coded.persist().count()
+    try:
+        populated = ivfpq_topk(index, queries, k=3, nprobe=2,
+                               query_id_col="query_id")
+        empty = ivfpq_topk(index, queries.limit(0), k=3, nprobe=2,
+                           query_id_col="query_id")
+        assert _names_and_types(empty) == _names_and_types(populated)
+        assert populated.unionByName(empty).count() == populated.count()
+    finally:
+        index.coded.unpersist()
+
+
+# ------------------------------------------------------- gopher boundary
+
+def test_gopher_bullet_boundary_inclusive(spark):
+    from condenser_spark.functions.text import gopher_quality_flags
+
+    # exactly 90% bullet lines passes (the paper removes "more than 90%");
+    # one more bullet line fails
+    at = "\n".join(["- bullet line here"] * 9 + ["plain line"])
+    over = "\n".join(["- bullet line here"] * 19 + ["plain line"])
+    df = spark.createDataFrame(
+        [(0, at), (1, over)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert rows[0].bullet_line_frac == 0.9 and rows[0].ok_bullet_lines
+    assert rows[1].bullet_line_frac == 0.95 and not rows[1].ok_bullet_lines

@@ -55,7 +55,7 @@ def test_gopher_unicode_ellipsis_and_bullet(spark):
     spellings."""
     t = "\n".join(["• first line here"] * 9 + ["normal line"])
     r = _flags(spark, t)
-    assert r.bullet_line_frac == 0.9 and not r.ok_bullet_lines
+    assert r.bullet_line_frac == 0.9 and r.ok_bullet_lines  # inclusive boundary
     t2 = "\n".join(["ends with dots…"] * 4 + ["plain"] * 6)
     r2 = _flags(spark, t2)
     assert r2.ellipsis_line_frac == 0.4 and not r2.ok_ellipsis_lines
