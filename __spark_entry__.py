@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_zorder_value",
         # new in round 10 (never yet driver-recorded; overflow-suite-checked
         # now, rotate in-cap next round per the rule above)
+        "ext_language_scores",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

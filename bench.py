@@ -397,6 +397,36 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                           rerank_candidates=100).count())
     _pq_enc.unpersist()
 
+    # round-10 additions: plan-literal language identification (stand-in
+    # per-class weights — the corpus pass is identical for any trained
+    # model; char trigrams over the first 1000 normalized chars), and a
+    # small curate_corpus chain so the composer's lazy-plan machinery
+    # carries a noise-tracked regression signal (VERDICT r9 missing #3)
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.langid import (
+        LanguageModel,
+        language_top1,
+    )
+
+    _lrnd = _random.Random(11)
+    _lid = LanguageModel(
+        classes=["de", "en", "es", "fr"],
+        weights=[[round(_lrnd.uniform(-1.0, 1.0), 6) for _ in range(256)]
+                 for _ in range(4)],
+        biases=[0.0] * 4,
+        dim=256, ngram=3, max_chars=1000,
+    )
+    timed("language_top1",
+          lambda: language_top1(docs, _lid)
+          .groupBy("lang_pred").count().collect())
+
+    def _curate_small():
+        out, _ = curate_corpus(docs, c4=True, gopher={"min_stop_hits": 1},
+                               dedup="exact", report=False, barrier=False)
+        return out.count()
+
+    timed("curate_small", _curate_small)
+
     return timings, noise
 
 

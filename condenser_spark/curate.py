@@ -38,6 +38,7 @@ def curate_corpus(
     quality_threshold: float = 0.0,
     dsir_opts: dict | None = None,
     temperature: dict | None = None,
+    extra_stages: list | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     report: bool = True,
@@ -72,6 +73,19 @@ def curate_corpus(
     7. ``temperature`` — dict of :func:`functions.corpus.temperature_mix`
        kwargs (e.g. ``{"tau": 0.7, "source_col": "lang"}``).
 
+    ``extra_stages`` interleaves CUSTOM filters without forking the
+    composer: each entry is ``(name, fn)`` — appended after the built-in
+    chain in declared order — or ``(name, fn, anchor)`` to run right
+    after the named built-in stage (anchors are the report stage names:
+    ``"start"``, ``"c4_clean"``, ``"gopher_rules"``, ``"exact_dedup"``,
+    ``"near_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
+    ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
+    and returns a DataFrame and MUST preserve the column set (the chain's
+    composability contract — enforced fail-loud); custom stages get the
+    same barrier and the same report row as built-ins.  An anchor whose
+    built-in stage was not enabled raises instead of silently skipping
+    the custom stage.
+
     Every stage preserves the input schema (c4 swaps text content only),
     so the chain composes with any downstream operator.
 
@@ -81,8 +95,13 @@ def curate_corpus(
     the whole unbarriered prefix chain, and a five-stage chain's nested
     shingle/bloom/LM plans recompute enough times to exhaust a default
     driver heap (observed in the test suite before the barrier landed).
-    Pass ``report=False, barrier=False`` for a fully lazy single-plan
-    composition when the chain is short."""
+
+    ``report=True`` runs one ``count()`` action per stage to build the
+    tabulation; ``report=False, barrier=False`` is the ZERO-extra-action
+    path for production chains — the result stays one fully lazy plan and
+    nothing executes until the caller's own action (land the report
+    separately, e.g. from :func:`functions.corpus.mixture_report` diffs,
+    when you need both)."""
     dedup_opts = dict(dedup_opts or {})
     decontaminate_opts = dict(decontaminate_opts or {})
     if barrier is None:
@@ -90,12 +109,38 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
+    _ANCHORS = ("start", "c4_clean", "gopher_rules", "exact_dedup",
+                "near_dedup", "decontaminate", "quality_filter",
+                "dsir_select", "temperature_mix", "end")
+    pending: dict[str, list] = {}
+    for entry in (extra_stages or []):
+        name, fn = entry[0], entry[1]
+        anchor = entry[2] if len(entry) > 2 else "end"
+        if anchor not in _ANCHORS:
+            raise ValueError(
+                f"extra_stages anchor {anchor!r} is not a stage name; "
+                f"use one of {_ANCHORS}")
+        pending.setdefault(anchor, []).append((str(name), fn))
+
     def _record(name: str, nxt: DataFrame) -> DataFrame:
         if barrier:
             nxt = nxt.localCheckpoint(eager=False)
         stages.append((name, nxt))
         return nxt
 
+    def _apply_extra(anchor: str) -> None:
+        nonlocal cur
+        for name, fn in pending.pop(anchor, []):
+            out = fn(cur)
+            if set(out.columns) != set(cur.columns):
+                raise ValueError(
+                    f"extra stage {name!r} changed the column set "
+                    f"({sorted(set(out.columns) ^ set(cur.columns))}) — "
+                    "curate_corpus stages must preserve the schema so the "
+                    "chain stays composable; project inside the stage")
+            cur = _record(name, out)
+
+    _apply_extra("start")
     if c4:
         from condenser_spark.functions.text import c4_clean
 
@@ -109,6 +154,7 @@ def curate_corpus(
                 *[F.col("text_clean").alias(text_col) if c == text_col
                   else F.col(c) for c in cur.columns]),
         )
+        _apply_extra("c4_clean")
     if gopher:
         from condenser_spark.functions.text import gopher_quality_flags
 
@@ -120,6 +166,7 @@ def curate_corpus(
             cur.join(flags.filter(F.col("gopher_pass")).select(id_col),
                      on=id_col, how="left_semi"),
         )
+        _apply_extra("gopher_rules")
     if dedup is not None:
         if dedup == "exact":
             from condenser_spark.functions.dedup import exact_dedup
@@ -127,6 +174,7 @@ def curate_corpus(
             survivors = exact_dedup(cur, text_col, id_col).select(id_col)
             cur = _record("exact_dedup",
                           cur.join(survivors, on=id_col, how="left_semi"))
+            _apply_extra("exact_dedup")
         elif dedup == "near":
             from condenser_spark.functions.dedup import near_dedup_documents
 
@@ -135,6 +183,7 @@ def curate_corpus(
                 near_dedup_documents(cur, text_col=text_col, id_col=id_col,
                                      **dedup_opts),
             )
+            _apply_extra("near_dedup")
         else:
             raise ValueError(f"dedup must be 'exact'|'near'|None: {dedup!r}")
     if eval_df is not None:
@@ -145,6 +194,7 @@ def curate_corpus(
             decontaminate_bloom(cur, eval_df, text_col=text_col,
                                 id_col=id_col, **decontaminate_opts),
         )
+        _apply_extra("decontaminate")
     if quality_model is not None:
         from condenser_spark.functions.quality import score_documents
 
@@ -155,6 +205,7 @@ def curate_corpus(
             scored.filter(F.col("quality_logit") >= quality_threshold)
             .select(*[c for c in cur.columns]),
         )
+        _apply_extra("quality_filter")
     if dsir_opts:
         opts = dict(dsir_opts)
         target_lm, raw_lm = opts.pop("target_lm"), opts.pop("raw_lm")
@@ -173,11 +224,19 @@ def curate_corpus(
                                         text_col=text_col, id_col=id_col,
                                         **opts)
         cur = _record("dsir_select", sel.select(*[c for c in cur.columns]))
+        _apply_extra("dsir_select")
     if temperature:
         from condenser_spark.functions.corpus import temperature_mix
 
         cur = _record("temperature_mix",
                       temperature_mix(cur, id_col=id_col, **temperature))
+        _apply_extra("temperature_mix")
+
+    _apply_extra("end")
+    if pending:
+        raise ValueError(
+            f"extra_stages anchored to stages that did not run: "
+            f"{sorted(pending)} — enable those stages or re-anchor")
 
     if not report:
         return cur, None

@@ -1,0 +1,310 @@
+"""Trainable language identification — the CCNet/FineWeb first-class langid
+stage (both pipelines assume a real classifier before any per-language
+selection), replacing the 4-language stop-word heuristic
+(:func:`condenser_spark.functions.text.language_id`) wherever a
+``dsir_sample_per_group(group_col="lang")`` / ``temperature_mix`` decision
+needs a trustworthy group column.
+
+The 100 TB split is the quality.py contract: TRAINING runs MLlib
+multinomial logistic regression over signed-md5-hashed CHARACTER n-gram
+vectors on a small labeled sample (thousands of rows — langid training sets
+are tiny by nature); SCORING never touches MLlib — the fitted per-class
+weights are baked into the plan as literal arrays and the corpus-wide pass
+is one scan-level explode + K integer sums per document, pure whole-stage
+codegen, map-side combined.  Per-class scores are computed in
+SCALED-INTEGER space (weights x 1e6, lossless for 6-dp weights) so the
+logits sum order-free and exactly and the operator carries a full DuckDB
+value oracle (goldens_ext.ext_language_scores); the softmax probability is
+deliberately left out of the oracle surface (libm exp differs across
+engines in the last ulp) — thresholds should use logits or logit gaps.
+
+Character n-grams (default trigrams over the first ``max_chars``
+whitespace-normalized chars) are the published langid feature of choice
+(Cavnar & Trenkle 1994; fastText's langid model): they survive unseen
+words, need no tokenizer, and cap per-doc cost regardless of document
+length.  The md5 bucket/sign scheme is byte-identical to
+:func:`condenser_spark.functions.corpus.hashed_doc_vectors` (Weinberger et
+al. 2009 signed hashing), so every engine reproduces bucket and sign
+bit-for-bit."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class LanguageModel:
+    """A fitted multinomial langid model: per-class hashed-char-n-gram
+    weights + biases, plus the featurization parameters that MUST travel
+    with the weights (scoring with a different ngram/max_chars than
+    training silently degrades to noise).  Plain floats/ints —
+    serializable anywhere; the scoring contract per class is
+    dot(hash_vec, weights_c) + bias_c."""
+
+    classes: list[str]
+    weights: list[list[float]]  # one row per class, each of length dim
+    biases: list[float]
+    dim: int
+    ngram: int = 3
+    max_chars: int = 1000
+    meta: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        assert len(self.classes) == len(self.weights) == len(self.biases)
+        assert all(len(w) == self.dim for w in self.weights)
+        for c in self.classes:
+            assert c and all(ch.isalnum() or ch == "_" for ch in c), (
+                f"class name {c!r} must be a plain identifier — it becomes "
+                "a score column name")
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({
+                "classes": self.classes, "weights": self.weights,
+                "biases": self.biases, "dim": self.dim,
+                "ngram": self.ngram, "max_chars": self.max_chars,
+            }, f)
+
+    @classmethod
+    def load(cls, path: str) -> "LanguageModel":
+        with open(path) as f:
+            m = json.load(f)
+        return cls(
+            classes=[str(c) for c in m["classes"]],
+            weights=[[float(w) for w in row] for row in m["weights"]],
+            biases=[float(b) for b in m["biases"]],
+            dim=int(m["dim"]), ngram=int(m["ngram"]),
+            max_chars=int(m["max_chars"]),
+        )
+
+
+def _norm_text(text_col: str, max_chars: int) -> Column:
+    """Lowercase, collapse whitespace runs to single spaces, truncate to
+    ``max_chars`` CHARACTERS — identical at train and score time, and
+    expressible verbatim in the DuckDB oracle (both engines' substr/length
+    are character-semantics on UTF-8 strings)."""
+    return F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        1, max_chars,
+    )
+
+
+def _char_ngram_rows(df: DataFrame, text_col: str, id_col: str,
+                     n: int, max_chars: int) -> DataFrame:
+    """(id, tok) rows — one per character n-gram position.  posexplode of
+    an integer sequence + substr keeps every per-n-gram expression inside
+    whole-stage codegen (no interpreted higher-order functions in the
+    corpus-wide hot path — the STRESS.md stage-10 lesson).  Docs shorter
+    than ``n`` emit no rows; scorers re-attach them bias-only."""
+    base = (
+        df.select(F.col(id_col), _norm_text(text_col, max_chars).alias("_t"))
+        .filter(F.length("_t") >= n)
+    )
+    # sequence(1, L-n+1) is ascending only because of the length filter
+    # above (Spark's sequence DESCENDS when start > stop — no empty case)
+    return base.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("_t") - F.lit(n - 1))
+        ).alias("_p"),
+    ).select(
+        F.col(id_col),
+        F.col("_t").substr(F.col("_p"), F.lit(n)).alias("tok"),
+    )
+
+
+def _bucket(tok: Column, dim: int) -> Column:
+    return F.pmod(
+        F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long"),
+        F.lit(dim),
+    )
+
+
+def _sign(tok: Column) -> Column:
+    return F.when(
+        F.conv(F.substring(F.md5(tok), 9, 1), 16, 10).cast("int") >= 8,
+        F.lit(-1),
+    ).otherwise(F.lit(1)).cast("long")
+
+
+def hashed_char_ngram_vectors(
+    df: DataFrame,
+    dim: int = 256,
+    ngram: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_chars: int = 1000,
+) -> DataFrame:
+    """Signed-hashed char-n-gram document vectors in LONG form
+    (id, bucket, weight) — the character-granularity sibling of
+    :func:`condenser_spark.functions.corpus.hashed_doc_vectors`, same md5
+    bucket/sign scheme, same one-explode one-hash-agg shape.  Feeds
+    training (densified) and doubles as a model-free character-level
+    signature for downstream similarity ops."""
+    rows = _char_ngram_rows(df, text_col, id_col, ngram, max_chars)
+    return (
+        rows.select(
+            F.col(id_col).alias("id"),
+            _bucket(F.col("tok"), dim).alias("bucket"),
+            _sign(F.col("tok")).alias("s"),
+        )
+        .groupBy("id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+        .select(F.col("id").alias(id_col), "bucket", "weight")
+    )
+
+
+def train_language_model(
+    labeled: DataFrame,
+    dim: int = 256,
+    ngram: int = 3,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    max_chars: int = 1000,
+    max_iter: int = 100,
+    reg_param: float = 1e-4,
+    max_classes: int = 200,
+) -> LanguageModel:
+    """Fit multinomial logistic regression (MLlib, L-BFGS) on the labeled
+    sample: ``label_col`` holds the language/class string per document.
+    The sample is small by contract; the returned :class:`LanguageModel`
+    is what scales.  Class list collects bounded + fail-loud
+    (``max_classes``, the temperature_mix convention — label columns are
+    languages, not ids); weights round to 6 decimals before becoming plan
+    literals (the Lloyd-centroid cross-engine convention)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from condenser_spark.functions.corpus import assemble_hashed_vectors
+
+    cls_rows = (
+        labeled.select(F.col(label_col).cast("string").alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .distinct().limit(max_classes + 1).collect()
+    )
+    if len(cls_rows) > max_classes:
+        raise ValueError(
+            f"train_language_model found more than {max_classes} distinct "
+            f"values in label_col={label_col!r} — labels are languages by "
+            "contract; did you pass a high-cardinality column? "
+            "(Raise max_classes= to override.)"
+        )
+    classes = sorted(r._c for r in cls_rows)
+    assert len(classes) >= 2, "need at least 2 classes to train"
+    idx = {c: i for i, c in enumerate(classes)}
+    label_ix = F.create_map(
+        *[x for c in classes for x in (F.lit(c), F.lit(float(idx[c])))]
+    )[F.col(label_col).cast("string")]
+
+    feats = assemble_hashed_vectors(
+        hashed_char_ngram_vectors(labeled, dim=dim, ngram=ngram,
+                                  text_col=text_col, id_col=id_col,
+                                  max_chars=max_chars),
+        dim=dim, id_col=id_col, vec_col="_hv",
+    )
+    train = (
+        labeled.filter(F.col(label_col).isNotNull())
+        .select(F.col(id_col), label_ix.alias("label"))
+        .join(feats, on=id_col)
+        .select(array_to_vector(F.col("_hv")).alias("features"), "label")
+    )
+    lr = LogisticRegression(maxIter=max_iter, regParam=reg_param,
+                            family="multinomial", standardization=False)
+    model = lr.fit(train)
+    mat = model.coefficientMatrix.toArray()
+    inter = model.interceptVector.toArray()
+    return LanguageModel(
+        classes=classes,
+        weights=[[round(float(w), 6) for w in mat[i]]
+                 for i in range(len(classes))],
+        biases=[round(float(b), 6) for b in inter],
+        dim=dim, ngram=ngram, max_chars=max_chars,
+    )
+
+
+def _scaled(model: LanguageModel) -> list[list[int]]:
+    return [[int(round(float(w) * 1_000_000)) for w in row]
+            for row in model.weights]
+
+
+def language_scores(
+    df: DataFrame,
+    model: LanguageModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append one ``score_<class>`` logit column per model class (per-class
+    scaled-integer dot / 1e6 + bias, rounded to 4 decimals — the
+    oracle-able surface).  Compare scores WITHIN a row; the argmax is
+    :func:`language_top1`.
+
+    Scale shape: one normalize -> posexplode char positions -> substr
+    n-gram -> ONE md5 per n-gram (bucket and sign reuse it) -> K literal-
+    array indexes -> one map-side-combined aggregate with K integer sums
+    per doc -> broadcast-friendly join of the K-column score row back.
+    Every expression is codegen'd; Python never touches a row.  Docs too
+    short to emit an n-gram re-attach with bias-only scores (the model's
+    prior) instead of silently dropping."""
+    k = len(model.classes)
+    rows = _char_ngram_rows(df, text_col, id_col, model.ngram,
+                            model.max_chars)
+    w6 = [
+        F.array(*[F.lit(x).cast("long") for x in row])
+        for row in _scaled(model)
+    ]
+    keyed = rows.select(
+        F.col(id_col),
+        _bucket(F.col("tok"), model.dim).alias("_b"),
+        _sign(F.col("tok")).alias("_s"),
+    )
+    sums = keyed.groupBy(id_col).agg(*[
+        F.sum(
+            F.col("_s") * F.element_at(w6[i], (F.col("_b") + 1).cast("int"))
+        ).alias(f"_z6_{i}")
+        for i in range(k)
+    ])
+    score_cols = [
+        F.round(
+            F.coalesce(F.col(f"_z6_{i}"), F.lit(0)).cast("double")
+            / F.lit(1_000_000.0)
+            + F.lit(float(model.biases[i])),
+            4,
+        ).alias(f"score_{c}")
+        for i, c in enumerate(model.classes)
+    ]
+    return df.join(sums, on=id_col, how="left").select(
+        *df.columns, *score_cols)
+
+
+def language_top1(
+    df: DataFrame,
+    model: LanguageModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """Append the argmax language (``out_col``) and its logit
+    (``<out_col>_score``): deterministic tie-break on (score desc, class
+    asc) over the 4-dp rounded scores, so the prediction is
+    oracle-replayable bit-for-bit.  ``keep_scores=True`` retains the
+    per-class columns for calibration work."""
+    scored = language_scores(df, model, text_col=text_col, id_col=id_col)
+    best = F.array_min(F.array(*[
+        F.struct(
+            (-F.col(f"score_{c}")).alias("negs"),
+            F.lit(c).alias("cls"),
+        )
+        for c in model.classes
+    ]))
+    out = scored.withColumn(out_col, best.getField("cls")).withColumn(
+        f"{out_col}_score", -best.getField("negs"))
+    if keep_scores:
+        return out
+    return out.drop(*[f"score_{c}" for c in model.classes])

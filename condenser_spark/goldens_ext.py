@@ -3173,3 +3173,99 @@ def ext_curate_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         report=False, barrier=False,
     )
     return out.select("doc_id", "text")
+
+
+# ------------------------------------------------------------ language id
+
+def _langid_model():
+    """Deterministic literal langid model (3 classes, dim=32, trigrams over
+    the first 200 normalized chars) — the trained-model stand-in for the
+    scoring oracle, exactly the ext_quality_logit treatment: training is
+    iterative MLlib (pytest-pinned, tests/test_langid.py); per-class
+    SCORING is the corpus-scale contract that must be engine-reproducible.
+    3-dp weights/biases keep every scaled-integer contribution a multiple
+    of 1000 (lossless x 1e6)."""
+    import random
+
+    from condenser_spark.functions.langid import LanguageModel
+
+    classes = ["de", "en", "fr"]
+    weights, biases = [], []
+    for i, _ in enumerate(classes):
+        rnd = random.Random(100 + i)
+        weights.append([round(rnd.uniform(-1.0, 1.0), 3) for _ in range(32)])
+        biases.append(round(rnd.uniform(-0.5, 0.5), 3))
+    return LanguageModel(classes=classes, weights=weights, biases=biases,
+                         dim=32, ngram=3, max_chars=200)
+
+
+def _langid_oracle_sql() -> str:
+    m = _langid_model()
+    w6 = [[int(round(w * 1_000_000)) for w in row] for row in m.weights]
+    values = ", ".join(
+        f"({b}, {w6[0][b]}, {w6[1][b]}, {w6[2][b]})" for b in range(m.dim))
+    score_exprs = ",\n           ".join(
+        f"ROUND(COALESCE(p.z{i}, 0) / 1000000.0 + {m.biases[i]}, 4)"
+        f" AS score_{c}"
+        for i, c in enumerate(m.classes))
+    return rf"""
+    WITH base AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                    1, {m.max_chars}) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, substr(t, CAST(p AS INT), {m.ngram}) AS tok
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, len(t) - {m.ngram} + 2)) AS p
+            FROM base WHERE len(t) >= {m.ngram})
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {m.dim}
+               AS bucket,
+             CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT)
+                       >= 8
+                  THEN -1 ELSE 1 END AS s
+      FROM toks
+    ),
+    wt(bucket, w0, w1, w2) AS (VALUES {values}),
+    per AS (
+      SELECT h.doc_id,
+             SUM(h.s * wt.w0) AS z0,
+             SUM(h.s * wt.w1) AS z1,
+             SUM(h.s * wt.w2) AS z2
+      FROM h JOIN wt USING (bucket)
+      GROUP BY h.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id,
+           {score_exprs}
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+    )
+    SELECT doc_id, score_de, score_en, score_fr,
+           CASE WHEN score_de >= score_en AND score_de >= score_fr
+                  THEN 'de'
+                WHEN score_en >= score_fr THEN 'en'
+                ELSE 'fr' END AS lang_pred,
+           greatest(score_de, score_en, score_fr) AS lang_pred_score
+    FROM scored
+    """
+
+
+@golden("ext_language_scores", _langid_oracle_sql())
+def ext_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable language identification under the FULL value oracle:
+    literal per-class weights dot the signed md5-hashed character-trigram
+    vectors in scaled-integer space, + bias, rounded to 4 dp, plus the
+    deterministic argmax (score desc, class asc)
+    (condenser_spark/functions/langid.py:language_scores/language_top1).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.langid import language_top1
+
+    docs = _tables(spark, sf_dir)["documents"]
+    out = language_top1(docs, _langid_model(), keep_scores=True)
+    return out.select("doc_id", "score_de", "score_en", "score_fr",
+                      "lang_pred", "lang_pred_score")

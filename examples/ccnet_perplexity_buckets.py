@@ -1,0 +1,118 @@
+"""CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data"), composed entirely from already-oracled operators:
+
+1. TRAIN a reference unigram LM on the high-quality target corpus (CCNet
+   uses Wikipedia; here the fixture's lang='en' slice stands in) —
+   ``train_unigram_lm``: one count aggregate + distributed top-V.
+2. SCORE every document's mean per-token log-probability under that LM —
+   ``lm_score_documents``: broadcast (V+1)-row LM join, exact integer
+   logprob sums.  Lower ``lm_logprob`` = higher perplexity = less
+   reference-like.
+3. BUCKET each LANGUAGE into equal thirds by perplexity —
+   ``curriculum_buckets(n_buckets=3)`` per language over the ascending
+   perplexity ordering: bucket 0 = head (most reference-like), 1 =
+   middle, 2 = tail.  The per-language loop is driver-side over the
+   bounded language list (the temperature_mix contract); each language's
+   bucketing is the oracled equal-depth integer rule, so head/middle/tail
+   sizes differ by at most one within every language.
+4. MIX by bucket — ``weighted_mix``: CCNet keeps head+middle for LM
+   training; the published practice is rates like head=1.0, middle=1.0,
+   tail=0.1 (or dropping tail outright).  Scan-level md5 predicate, no
+   shuffle, monotone in the rate.
+
+Usage:  python examples/ccnet_perplexity_buckets.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BUCKET_NAMES = {0: "head", 1: "middle", 2: "tail"}
+
+
+def ccnet_buckets(docs, reference, langs=None, vocab_size=4096,
+                  text_col="text", id_col="doc_id", lang_col="lang"):
+    """The CCNet composition as a reusable function: returns ``docs`` plus
+    ``lm_logprob`` and ``ppl_bucket`` ('head'/'middle'/'tail', equal
+    thirds per language by reference-LM perplexity).  ``langs`` defaults
+    to the distinct values of ``lang_col`` (bounded collect — languages,
+    not ids, by the temperature_mix contract)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import curriculum_buckets
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    lm = train_unigram_lm(reference, vocab_size=vocab_size,
+                          text_col=text_col)
+    scored = lm_score_documents(docs, lm, text_col=text_col,
+                                id_col=id_col).withColumn(
+        # ascending = most reference-like first (head); 4-dp double from
+        # the exact integer pair, so the ordering is engine-reproducible
+        "_ppl", -F.col("lm_logprob"))
+    if langs is None:
+        langs = sorted(
+            r.l for r in scored.select(
+                F.col(lang_col).alias("l")).distinct().limit(1001).collect())
+        assert len(langs) <= 1000, "lang_col looks high-cardinality"
+    parts = []
+    for lang in langs:
+        parts.append(
+            curriculum_buckets(
+                scored.filter(F.col(lang_col) == lang),
+                n_buckets=3, order_col="_ppl", id_col=id_col,
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    name = F.element_at(
+        F.array(*[F.lit(BUCKET_NAMES[i]) for i in range(3)]),
+        (F.col("bucket_id") + 1).cast("int"),
+    )
+    return out.withColumn("ppl_bucket", name).drop(
+        "_ppl", "rank", "bucket_id")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import weighted_mix
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("ccnet-buckets-example", master="local[8]",
+                      shuffle_partitions=8)
+    docs = load_source_tables(spark, sf_dir)["documents"]
+
+    reference = docs.filter(F.col("lang") == "en")
+    bucketed = ccnet_buckets(docs, reference)
+
+    print("== per-language bucket sizes (equal thirds by design) ==")
+    bucketed.groupBy("lang", "ppl_bucket").count() \
+        .orderBy("lang", "ppl_bucket").show(20)
+
+    print("== mean logprob per bucket (head > middle > tail) ==")
+    bucketed.groupBy("ppl_bucket").agg(
+        F.round(F.avg("lm_logprob"), 4).alias("mean_lm_logprob"),
+        F.count(F.lit(1)).alias("n_docs"),
+    ).orderBy("ppl_bucket").show()
+
+    mixed = weighted_mix(
+        bucketed, rates={"head": 1.0, "middle": 1.0, "tail": 0.1},
+        source_col="ppl_bucket")
+    print("== after CCNet-style mix (tail downsampled to 10%) ==")
+    mixed.groupBy("ppl_bucket").count().orderBy("ppl_bucket").show()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

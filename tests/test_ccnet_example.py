@@ -1,0 +1,83 @@
+"""The CCNet head/middle/tail composition (examples/
+ccnet_perplexity_buckets.py): bucket shares and ordering pinned on a
+crafted corpus where reference-likeness is unambiguous."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "examples"))
+
+from ccnet_perplexity_buckets import ccnet_buckets  # noqa: E402
+
+REF_WORDS = "the cat sat on the mat and the dog ran in the park".split()
+JUNK_WORDS = "zxq qqv wvx jjk pzw xxo vqz kwq zzp qvv wxj kzz".split()
+
+
+def _crafted(spark):
+    """Per language: 10 pure-reference docs, 10 half-and-half, 10 pure
+    junk — a corpus whose perplexity thirds are knowable in advance."""
+    rows = []
+    i = 0
+    for lang in ("aa", "bb"):
+        for tier in range(3):
+            for d in range(10):
+                n_ref = (2 - tier) * 6  # 12 / 6 / 0 reference words
+                n_junk = tier * 6       # 0 / 6 / 12 junk words
+                words = ([REF_WORDS[(d + j) % len(REF_WORDS)]
+                          for j in range(n_ref)]
+                         + [JUNK_WORDS[(d + j) % len(JUNK_WORDS)]
+                            for j in range(n_junk)])
+                rows.append((i, " ".join(words), lang, tier))
+                i += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, tier long")
+
+
+def test_bucket_shares_and_ordering(spark):
+    docs = _crafted(spark)
+    reference = docs.filter(F.col("tier") == 0)
+    out = ccnet_buckets(docs, reference, vocab_size=64)
+
+    # equal thirds per language, schema preserved + the two new columns
+    sizes = {(r.lang, r.ppl_bucket): r.n for r in
+             out.groupBy("lang", "ppl_bucket")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang in ("aa", "bb"):
+        for b in ("head", "middle", "tail"):
+            assert sizes[(lang, b)] == 10, sizes
+    assert set(out.columns) == set(docs.columns) | {
+        "lm_logprob", "lm_logprob4_sum", "n_scored_tokens", "ppl_bucket"}
+
+    # the crafted tiers ARE the buckets: pure-reference docs land in head,
+    # pure-junk in tail, within every language
+    confusion = {(r.tier, r.ppl_bucket): r.n for r in
+                 out.groupBy("tier", "ppl_bucket")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert confusion.get((0, "head")) == 20
+    assert confusion.get((1, "middle")) == 20
+    assert confusion.get((2, "tail")) == 20
+
+    # monotone mean logprob: head > middle > tail
+    means = {r.ppl_bucket: r.m for r in
+             out.groupBy("ppl_bucket")
+             .agg(F.avg("lm_logprob").alias("m")).collect()}
+    assert means["head"] > means["middle"] > means["tail"]
+
+
+def test_mix_keeps_head_and_middle_fully(spark):
+    from condenser_spark.functions.corpus import weighted_mix
+
+    docs = _crafted(spark)
+    out = ccnet_buckets(docs, docs.filter(F.col("tier") == 0),
+                        vocab_size=64)
+    mixed = weighted_mix(out, rates={"head": 1.0, "middle": 1.0,
+                                     "tail": 0.0},
+                         source_col="ppl_bucket")
+    got = {r.ppl_bucket: r.n for r in
+           mixed.groupBy("ppl_bucket")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"head": 20, "middle": 20}

@@ -1,0 +1,138 @@
+"""Trainable language identification: end-to-end accuracy on a crafted
+multilingual corpus (the fixture's lang column pairs with synthetic
+same-distribution text, so real discrimination must be proven here), plus
+model round-trip, guards, and scoring edge cases.  The per-class scoring
+ARITHMETIC is pinned by the ext_language_scores DuckDB oracle."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.langid import (
+    LanguageModel,
+    hashed_char_ngram_vectors,
+    language_scores,
+    language_top1,
+    train_language_model,
+)
+
+VOCAB = {
+    "en": ("the and of to in is was for with that have from this they are "
+           "not you all can her his one out about into than them then").split(),
+    "fr": ("le la les des une dans est pour avec que avoir cette ils sont "
+           "pas vous tous peut elle son aux sur mais comme leur alors").split(),
+    "de": ("der die das und von zu ist war für mit dass haben diese sie "
+           "sind nicht ihr alle kann ihre sein eines über dann ihnen "
+           "als").split(),
+    "es": ("el la los las una en es fue para con que tener esta ellos son "
+           "no usted todos puede ella su uno sobre pero como "
+           "entonces").split(),
+}
+
+
+def _corpus(seed, n_per):
+    rng = random.Random(seed)
+    rows, i = [], 0
+    for lang, words in VOCAB.items():
+        for _ in range(n_per):
+            doc = " ".join(rng.choice(words)
+                           for _ in range(rng.randint(15, 30)))
+            rows.append((i, doc, lang))
+            i += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    train = spark.createDataFrame(
+        _corpus(1, 40), "doc_id long, text string, lang string")
+    return train_language_model(train, dim=256, ngram=3)
+
+
+def test_heldout_accuracy_pin(spark, model):
+    """>= 95% top-1 accuracy on a held-out crafted corpus (different seed
+    than training) across 4 real languages."""
+    test = spark.createDataFrame(
+        _corpus(2, 20), "doc_id long, text string, lang string")
+    pred = language_top1(test, model)
+    acc = pred.select(
+        F.avg((F.col("lang_pred") == F.col("lang")).cast("double"))
+        .alias("a")).first().a
+    assert acc >= 0.95, acc
+    assert model.classes == ["de", "en", "es", "fr"]
+
+
+def test_scores_and_top1_agree(spark, model):
+    test = spark.createDataFrame(
+        _corpus(3, 5), "doc_id long, text string, lang string")
+    rows = language_top1(test, model, keep_scores=True).collect()
+    for r in rows:
+        scores = {c: r[f"score_{c}"] for c in model.classes}
+        best = max(scores.values())
+        # argmax with class-asc tiebreak over the 4-dp rounded scores
+        expect = min(c for c, s in scores.items() if s == best)
+        assert r.lang_pred == expect and r.lang_pred_score == best
+
+
+def test_short_and_null_docs_get_bias_only_scores(spark, model):
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "ab"), (3, "   ")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            language_scores(df, model).collect()}
+    for i in range(4):
+        for ci, c in enumerate(model.classes):
+            assert rows[i][f"score_{c}"] == round(model.biases[ci], 4), (
+                i, c)
+
+
+def test_model_save_load_roundtrip(tmp_path, model):
+    p = str(tmp_path / "langid.json")
+    model.save(p)
+    back = LanguageModel.load(p)
+    assert back == model
+
+
+def test_class_name_must_be_identifier():
+    with pytest.raises(AssertionError, match="identifier"):
+        LanguageModel(classes=["en us"], weights=[[0.0]], biases=[0.0],
+                      dim=1)
+
+
+def test_train_guards_label_cardinality(spark):
+    df = spark.createDataFrame(
+        [(i, "some text here", f"lab{i}") for i in range(30)],
+        "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="high-cardinality"):
+        train_language_model(df, dim=32, max_classes=10)
+
+
+def test_char_ngram_vectors_long_form(spark):
+    """The char-granularity hashed vectors match a Python replay of the
+    md5 bucket/sign scheme on a tiny doc."""
+    import hashlib
+
+    text = "ab cd"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {(r.bucket): r.weight
+           for r in hashed_char_ngram_vectors(
+               df, dim=16, ngram=2, max_chars=100).collect()}
+    expect = {}
+    norm = "ab cd"
+    for p in range(len(norm) - 1):
+        tok = norm[p:p + 2]
+        h = hashlib.md5(tok.encode()).hexdigest()
+        bucket = int(h[:8], 16) % 16
+        sign = -1 if int(h[8], 16) >= 8 else 1
+        expect[bucket] = expect.get(bucket, 0) + sign
+    assert got == expect
+
+
+def test_scoring_is_deterministic_across_partitionings(spark, model):
+    test = spark.createDataFrame(
+        _corpus(4, 10), "doc_id long, text string, lang string")
+    a = sorted(language_scores(test, model).collect())
+    b = sorted(
+        language_scores(test.repartition(7), model).collect())
+    assert a == b

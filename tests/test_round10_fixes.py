@@ -146,3 +146,88 @@ def test_gopher_bullet_boundary_inclusive(spark):
     rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
     assert rows[0].bullet_line_frac == 0.9 and rows[0].ok_bullet_lines
     assert rows[1].bullet_line_frac == 0.95 and not rows[1].ok_bullet_lines
+
+
+# ------------------------------------------------------ curate extra stages
+
+def _curate_docs(spark):
+    rows = [(i,
+             "the quick brown fox jumps over the lazy dog and then they "
+             f"walk away into the forest together number {i} with many "
+             "more words to pass the gopher count rules easily for sure "
+             "plus the usual filler text that makes it long enough here",
+             i % 3)
+            for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id long, text string, m long")
+
+
+def test_extra_stage_appends_at_end_with_report_row(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _curate_docs(spark)
+    out, rep = curate_corpus(
+        docs, dedup="exact",
+        extra_stages=[("keep_m0", lambda d: d.filter(F.col("m") == 0))],
+    )
+    stages = [r.stage for r in rep.collect()]
+    assert stages == ["exact_dedup", "keep_m0"]
+    assert out.count() == 10
+    row = {r.stage: r for r in rep.collect()}["keep_m0"]
+    assert (row.docs_in, row.docs_out, row.docs_dropped) == (30, 10, 20)
+
+
+def test_extra_stage_interleaves_at_anchor(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _curate_docs(spark)
+    seen = {}
+
+    def probe(d):
+        seen["cols"] = list(d.columns)
+        return d.filter(F.col("doc_id") < 20)
+
+    out, rep = curate_corpus(
+        docs, gopher={"min_stop_hits": 1, "min_words": 10}, dedup="exact",
+        extra_stages=[("under20", probe, "gopher_rules")],
+    )
+    assert [r.stage for r in rep.collect()] == [
+        "gopher_rules", "under20", "exact_dedup"]
+    assert out.count() == 20
+    assert seen["cols"] == list(docs.columns)
+
+
+def test_extra_stage_start_anchor_runs_first(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _curate_docs(spark)
+    out, rep = curate_corpus(
+        docs, dedup="exact",
+        extra_stages=[("pre", lambda d: d.limit(5), "start")],
+    )
+    assert [r.stage for r in rep.collect()] == ["pre", "exact_dedup"]
+    assert out.count() == 5
+
+
+def test_extra_stage_schema_change_fails_loud(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _curate_docs(spark)
+    with pytest.raises(ValueError, match="changed the column set"):
+        curate_corpus(
+            docs,
+            extra_stages=[("bad", lambda d: d.withColumn("x", F.lit(1)))],
+        )
+
+
+def test_extra_stage_dead_anchor_fails_loud(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _curate_docs(spark)
+    with pytest.raises(ValueError, match="did not run"):
+        curate_corpus(
+            docs, dedup="exact",
+            extra_stages=[("x", lambda d: d, "gopher_rules")],
+        )
+    with pytest.raises(ValueError, match="not a stage name"):
+        curate_corpus(
+            docs, extra_stages=[("x", lambda d: d, "nonsense")])
