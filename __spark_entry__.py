@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 10 (never yet driver-recorded; overflow-suite-checked
         # now, rotate in-cap next round per the rule above)
         "ext_language_scores",
+        "ext_exact_substring",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

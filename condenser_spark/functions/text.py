@@ -604,3 +604,136 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_lines_kept"),
         ((F.size(kept) >= min_kept_lines) & ~doc_bad).alias("doc_ok"),
     )
+
+
+def duplicated_ngram_starts(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, fp) — the 1-based token positions that START a ``k``-token
+    n-gram occurring at least ``min_count`` times across the WHOLE corpus
+    (within- or cross-document — the ExactSubstr duplication criterion of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", at token granularity).  The audit view behind
+    :func:`exact_substring_dedup`.
+
+    The n-gram identity is the md5 of the space-joined raw tokens
+    (case-SENSITIVE — ExactSubstr is exact matching; tokens are the
+    whitespace split of the trimmed text), so duplication is exact up to
+    md5 collision and every engine reproduces it bit-for-bit.
+
+    Plan shape at 100 TB: tokenize to an array ONCE per doc, explode the
+    start positions, and build each n-gram by an in-row ``slice`` +
+    ``concat_ws`` + md5 — all scan-level, NO per-document window and no
+    sort for extraction.  The duplicate set is one map-side-combined
+    (fp, count) aggregate — the same inverted-index shape as
+    ``strip_repeated_blocks``'s block-frequency model — and a left-semi
+    join on fp ships (id, pos, 16-byte fp) rows only.  Nothing is
+    quadratic; no pair join ever forms, so no hot-key cap is needed."""
+    assert k >= 2 and min_count >= 2
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+    grams = (
+        base.filter(F.size("_arr") >= k)
+        .select(
+            "id", "_arr",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_arr") - F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .select(
+            "id", "pos",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("_arr"), F.col("pos"), F.lit(k)))
+            ).alias("fp"),
+        )
+    )
+    dup = (
+        grams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_sites"))
+        .filter(F.col("_sites") >= min_count)
+        .select("fp")
+    )
+    return grams.join(dup, on="fp", how="left_semi").select(
+        F.col("id").alias(id_col), "pos", "fp")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2021) at token ``k``-gram
+    granularity: every token covered by a duplicated ``k``-gram (per
+    :func:`duplicated_ngram_starts`) is CUT from every occurrence, and the
+    document is rebuilt from the surviving tokens — the finer-grained
+    complement to chunk-level :func:`shared_passages` /
+    :func:`strip_repeated_blocks`, matching the released
+    deduplicate-text-datasets default of removing ALL copies of a
+    duplicated span (keep-one-copy is a documented deviation the suffix-
+    array implementation supports; remove-all is the deterministic,
+    order-free form — no site has to be elected a survivor).
+
+    Output: (id_col, text, n_tokens, n_removed_tokens) — text rewritten
+    with single spaces (whitespace-normalized, case preserved), every doc
+    present (shorter-than-``k`` docs pass through untouched; fully-
+    duplicated docs come back with empty text — the caller decides whether
+    to drop them, the strip_repeated_blocks convention).
+
+    Coverage is computed WITHOUT exploding spans: a token at ``pos`` is
+    covered iff the latest duplicated start at-or-before it is within
+    ``k-1`` tokens — one running ``max`` window per document over the
+    token rows (ascending pos), then one ordered rebuild aggregate on the
+    SAME partitioning (no extra shuffle between the two).  Corpus-scale
+    work is three linear shuffles: (fp) for the duplicate count, (fp) for
+    the semi join, (id) for coverage + rebuild."""
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+    tok_rows = base.select(
+        "id", F.posexplode("_arr").alias("_p0", "tok")
+    ).select("id", (F.col("_p0") + 1).alias("pos"), "tok")
+    starts = duplicated_ngram_starts(
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("id"), "pos", F.lit(1).alias("_d"))
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = tok_rows.join(starts, on=["id", "pos"], how="left")
+    smax = F.max(F.when(F.col("_d") == 1, F.col("pos"))).over(w)
+    covered = smax.isNotNull() & (smax >= F.col("pos") - F.lit(k - 1))
+    rebuilt = (
+        flagged.withColumn("_cov", covered)
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_cov"),
+                                   F.struct("pos", "tok")))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("_cov").cast("long")).alias("n_removed_tokens"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            .alias("n_tokens"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long"))
+            .alias("n_removed_tokens"),
+        )
+    )

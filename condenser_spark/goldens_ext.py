@@ -3269,3 +3269,92 @@ def ext_language_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = language_top1(docs, _langid_model(), keep_scores=True)
     return out.select("doc_id", "score_de", "score_en", "score_fr",
                       "lang_pred", "lang_pred_score")
+
+
+# ------------------------------------------------------ exact-substring dedup
+
+_ESUB_K = 10
+_ESUB_SENTINEL = ("shared passage sentinel alpha bravo charlie delta echo "
+                  "foxtrot golf")  # exactly 10 tokens
+
+
+def _exact_substring_sql() -> str:
+    k = _ESUB_K
+    return rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' {_ESUB_SENTINEL}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM synth
+    ),
+    g0 AS (
+      SELECT doc_id, arr, unnest(range(1, len(arr) - {k} + 2)) AS p
+      FROM base WHERE len(arr) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             md5(array_to_string(
+               arr[CAST(p AS INT) : CAST(p AS INT) + {k - 1}], ' ')) AS fp
+      FROM g0
+    ),
+    dup AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+    starts AS (
+      SELECT doc_id, pos FROM grams WHERE fp IN (SELECT fp FROM dup)
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS tok
+      FROM base
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(CASE WHEN s.pos IS NOT NULL THEN t.pos END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS smax
+      FROM toks t LEFT JOIN starts s
+        ON s.doc_id = t.doc_id AND s.pos = t.pos
+    ),
+    per AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE smax IS NULL OR smax < pos - {k - 1}),
+               '') AS text,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.text, '') AS text,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+@golden("ext_exact_substring", _exact_substring_sql())
+def ext_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr token-level dedup (Lee et al. 2021) under the FULL value
+    oracle: a 10-token sentinel passage planted on every third document
+    duplicates corpus-wide, and every covered token is cut from every
+    occurrence, the rebuilt text + exact removal counts replayed by DuckDB
+    (condenser_spark/functions/text.py:exact_substring_dedup).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import exact_substring_dedup
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _ESUB_SENTINEL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return exact_substring_dedup(synth, k=_ESUB_K, min_count=2)

@@ -1,0 +1,104 @@
+"""ExactSubstr token-level dedup semantics (Lee et al. 2021 remove-all
+form) on crafted corpora; the arithmetic/rebuild contract is pinned by the
+ext_exact_substring DuckDB oracle."""
+
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import (
+    duplicated_ngram_starts,
+    exact_substring_dedup,
+)
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_doc_span_cut_from_all_occurrences(spark):
+    df = _df(spark, [
+        (0, f"unique zero starts here {SHARED} and zero ends differently"),
+        (1, f"one has other words {SHARED} trailing stuff for one"),
+        (2, "totally unique document two with no duplication at all"),
+    ])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, k=8).collect()}
+    assert out[0].text == ("unique zero starts here and zero ends "
+                           "differently")
+    assert out[1].text == "one has other words trailing stuff for one"
+    assert out[0].n_removed_tokens == out[1].n_removed_tokens == 8
+    assert out[2].n_removed_tokens == 0
+    assert "alpha" not in out[0].text and "hotel" not in out[1].text
+
+
+def test_within_doc_repeat_is_duplication(spark):
+    df = _df(spark, [
+        (0, f"{SHARED} {SHARED} tail words after the repeats here")])
+    r = exact_substring_dedup(df, k=8).first()
+    # both copies cut, plus the overlapping windows spanning the junction
+    # extend coverage — everything up to the last duplicated start + k - 1
+    assert r.n_removed_tokens == 16
+    assert r.text == "tail words after the repeats here"
+
+
+def test_short_docs_and_empty_pass_through(spark):
+    df = _df(spark, [(0, "short doc"), (1, ""), (2, "   "), (3, None)])
+    rows = {r.doc_id: r for r in exact_substring_dedup(df, k=8).collect()}
+    assert rows[0].text == "short doc" and rows[0].n_removed_tokens == 0
+    for i in (1, 2, 3):
+        assert rows[i].text == "" and rows[i].n_tokens == 0
+
+
+def test_fully_duplicated_doc_comes_back_empty(spark):
+    df = _df(spark, [(0, SHARED), (1, SHARED)])
+    rows = {r.doc_id: r for r in exact_substring_dedup(df, k=8).collect()}
+    for i in (0, 1):
+        assert rows[i].text == ""
+        assert rows[i].n_removed_tokens == rows[i].n_tokens == 8
+
+
+def test_overlapping_spans_merge_coverage(spark):
+    # two dup 4-grams overlapping by 2 tokens: coverage is their union,
+    # not double-counted
+    df = _df(spark, [
+        (0, "x1 a b c d e y1 y2"),
+        (1, "x2 a b c d z1 z2 z3"),
+        (2, "w1 b c d e w2 w3 w4"),
+    ])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, k=4).collect()}
+    # doc0 contains both dup grams (a b c d) and (b c d e): union = 5 toks
+    assert out[0].n_removed_tokens == 5
+    assert out[0].text == "x1 y1 y2"
+    assert out[1].text == "x2 z1 z2 z3"
+    assert out[2].text == "w1 w2 w3 w4"
+
+
+def test_min_count_threshold(spark):
+    df = _df(spark, [
+        (0, f"a0 {SHARED} b0"), (1, f"a1 {SHARED} b1"),
+        (2, f"a2 {SHARED} b2"),
+    ])
+    # with min_count=4 the thrice-repeated span survives
+    out = exact_substring_dedup(df, k=8, min_count=4)
+    assert out.agg(F.sum("n_removed_tokens")).first()[0] == 0
+    out2 = exact_substring_dedup(df, k=8, min_count=3)
+    assert out2.agg(F.sum("n_removed_tokens")).first()[0] == 24
+
+
+def test_starts_audit_view_matches(spark):
+    df = _df(spark, [
+        (0, f"p q {SHARED}"), (1, f"{SHARED} r s"),
+    ])
+    starts = {(r.doc_id, r.pos)
+              for r in duplicated_ngram_starts(df, k=8).collect()}
+    assert starts == {(0, 3), (1, 1)}
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [(i, f"doc {i} body {SHARED if i % 2 == 0 else 'uniq' + str(i)}"
+             f" tail {i}") for i in range(40)]
+    df = _df(spark, rows)
+    a = sorted(exact_substring_dedup(df, k=8).collect())
+    b = sorted(exact_substring_dedup(df.repartition(13), k=8).collect())
+    assert a == b
