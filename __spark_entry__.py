@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # now, rotate in-cap next round per the rule above)
         "ext_language_scores",
         "ext_exact_substring",
+        "ext_ccnet_buckets",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -3358,3 +3358,110 @@ def ext_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"),
     )
     return exact_substring_dedup(synth, k=_ESUB_K, min_count=2)
+
+
+# ----------------------------------------------------------- CCNet buckets
+
+def _ccnet_buckets_sql(vocab_size: int = 16) -> str:
+    v = vocab_size
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    ref_toks AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents WHERE lang = 'en'
+    ),
+    counts AS (SELECT term, COUNT(*) AS c FROM ref_toks GROUP BY term),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS n_terms FROM counts),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT {v}),
+    vocab AS (
+      SELECT term,
+             CAST(ROUND(ln((c + 1) / CAST(n_total + LEAST({v}, n_terms) + 1
+                                          AS DOUBLE)) * 10000) AS BIGINT)
+               AS logp4
+      FROM top CROSS JOIN totals
+    ),
+    oov AS (
+      SELECT CAST(ROUND(ln(1.0 / CAST(n_total + LEAST({v}, n_terms) + 1
+                                      AS DOUBLE)) * 10000) AS BIGINT)
+               AS logp4
+      FROM totals
+    ),
+    per AS (
+      SELECT t.doc_id,
+             SUM(COALESCE(vb.logp4, (SELECT logp4 FROM oov))) AS s4,
+             COUNT(*) AS n
+      FROM toks t LEFT JOIN vocab vb USING (term)
+      GROUP BY t.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             -(CAST(p.s4 AS DOUBLE) / p.n) AS ppl
+      FROM documents d JOIN per p USING (doc_id)
+      WHERE p.n > 0
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ppl ASC, doc_id ASC) AS rnk,
+             COUNT(*) OVER (PARTITION BY lang) AS n_rows
+      FROM scored
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS ppl_rank,
+           CAST(((rnk - 1) * 3) // n_rows AS BIGINT) AS bucket_id
+    FROM ranked
+    """
+
+
+@golden("ext_ccnet_buckets", _ccnet_buckets_sql())
+def ext_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet head/middle/tail composition (Wenzek et al. 2020) under a
+    FULL value oracle: reference unigram LM trained on the lang='en' slice
+    (exact scaled-integer Laplace log-probs, the ext_lm_logprob
+    machinery), every document's mean log-prob, then equal thirds PER
+    LANGUAGE over the (perplexity asc, id asc) ordering via the
+    curriculum_buckets integer rule.  The ordering key is the UNROUNDED
+    double -(s4/n) — exact integers divided once, no ROUND knife-edge —
+    so rank and bucket replay bit-for-bit in DuckDB
+    (examples/ccnet_perplexity_buckets.py is the worked composition).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import curriculum_buckets
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    lm = train_unigram_lm(docs.filter(F.col("lang") == "en"),
+                          vocab_size=16)
+    scored = (
+        lm_score_documents(docs, lm)
+        .filter(F.col("n_scored_tokens") > 0)
+        .withColumn(
+            "_ppl",
+            -(F.col("lm_logprob4_sum").cast("double")
+              / F.col("n_scored_tokens")),
+        )
+    )
+    langs = sorted(
+        r.lang for r in docs.select("lang").distinct().collect())
+    parts = [
+        curriculum_buckets(scored.filter(F.col("lang") == lang),
+                           n_buckets=3, order_col="_ppl")
+        for lang in langs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("doc_id", "lang",
+                      F.col("rank").cast("long").alias("ppl_rank"),
+                      F.col("bucket_id").cast("long").alias("bucket_id"))

@@ -1078,6 +1078,153 @@ def stage_curate(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_langid(spark, n_docs: int = 5_000_000) -> dict:
+    """Language identification at corpus scale: MLlib multinomial training
+    on a ~2k-doc labeled sample, then the plan-literal per-class scorer
+    over 5M docs (~200 normalized chars each -> ~1e9 char-trigram rows
+    through one md5 + two conv + K element_at per row, all codegen).
+
+    The synthesized corpus draws each doc's words from one of 4 DISJOINT
+    per-class vocabularies, so top-1 accuracy has a known answer (100%)
+    and the assert catches both scoring and argmax regressions at scale —
+    while the measured number is the corpus-scan throughput that decides
+    whether langid can run as a routine stage at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.langid import (
+        language_top1,
+        train_language_model,
+    )
+
+    vocabs = {
+        "c0": ["the", "and", "have", "that", "with", "from", "they",
+               "this", "been", "will"],
+        "c1": ["der", "und", "das", "ist", "mit", "von", "sich", "auch",
+               "nach", "wird"],
+        "c2": ["les", "des", "une", "est", "pour", "avec", "dans", "sont",
+               "mais", "tout"],
+        "c3": ["los", "las", "una", "que", "para", "con", "por", "como",
+               "pero", "todo"],
+    }
+    classes = sorted(vocabs)
+    arrs = {c: F.array(*[F.lit(w) for w in vocabs[c]]) for c in classes}
+    n_words = 30
+
+    def words_for(cls):
+        return F.concat_ws(
+            " ",
+            *[F.element_at(
+                arrs[cls],
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(10)) + 1)
+                .cast("int"))
+              for j in range(n_words)])
+
+    lang = F.element_at(
+        F.array(*[F.lit(c) for c in classes]),
+        (F.pmod(F.col("id"), F.lit(4)) + 1).cast("int"))
+    text = None
+    for i, c in enumerate(classes):
+        branch = words_for(c)
+        text = (F.when(F.pmod(F.col("id"), F.lit(4)) == i, branch)
+                if text is None
+                else text.when(F.pmod(F.col("id"), F.lit(4)) == i, branch))
+    path = f"{WORK}/langid_docs"
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), text.alias("text"),
+                lang.alias("lang"))
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+
+    t_train0 = time.time()
+    model = train_language_model(
+        docs.filter(F.col("doc_id") % 2_497 == 0),  # ~2k sample; stride
+        # coprime with the 4-class cycle so every class is represented
+        dim=256, ngram=3, max_chars=200)
+    train_wall = time.time() - t_train0
+
+    t0 = time.time()
+    conf = {(r.lang, r.lang_pred): r.n for r in
+            language_top1(docs, model)
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    wall = time.time() - t0
+    correct = sum(n for (a, b), n in conf.items() if a == b)
+    acc = correct / n_docs
+    assert acc >= 0.999, conf  # disjoint vocabularies: argmax must be exact
+    return {
+        "stage": "langid_5m",
+        "n_docs": n_docs,
+        "classes": len(classes),
+        "train_wall_sec": round(train_wall, 1),
+        "score_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+        "top1_accuracy": round(acc, 6),
+    }
+
+
+def stage_exact_substring(spark, n_docs: int = 5_000_000) -> dict:
+    """ExactSubstr token k-gram dedup at 5M docs (~200M token rows, ~100M
+    20-gram fingerprints): a 20-token boilerplate sentence planted in
+    every 5th document creates ONE duplicated fingerprint with ~1M sites —
+    the viral-boilerplate hot key — and the op must stay linear (count
+    aggregate + semi join; no pair join exists to go quadratic, which is
+    the design point vs shared_passages' capped join).  Survivor
+    arithmetic is exact: every planted doc loses exactly the 20 planted
+    tokens (its other 20 tokens are per-doc md5-unique, so no other
+    k-gram can repeat), non-planted docs are untouched."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import exact_substring_dedup
+
+    k = 20
+    span = " ".join(f"spantok{j}" for j in range(k))
+    uniq_toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{p}")))
+        for p in range(k)
+    ]
+    extra_toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"x{p}")))
+        for p in range(k)
+    ]
+    planted = F.pmod(F.col("id"), F.lit(5)) == 0
+    text = F.concat_ws(
+        " ",
+        *uniq_toks,
+        F.when(planted, F.lit(span))
+        .otherwise(F.concat_ws(" ", *extra_toks)),
+    )
+    path = f"{WORK}/esub_docs"
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+    n_planted = n_docs // 5 + (1 if n_docs % 5 else 0)
+
+    t0 = time.time()
+    agg = exact_substring_dedup(docs, k=k).agg(
+        F.sum("n_removed_tokens").alias("removed"),
+        F.sum("n_tokens").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs
+    assert agg.total == n_docs * 2 * k
+    assert agg.removed == n_planted * k, (agg.removed, n_planted * k)
+    return {
+        "stage": "exact_substring_5m",
+        "n_docs": n_docs,
+        "k": k,
+        "hot_fp_sites": n_planted,
+        "tokens_removed": int(agg.removed),
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -1150,6 +1297,8 @@ def main() -> int:
         "dsir_stream_cost": lambda: stage_dsir_stream_cost(spark),
         "curate": lambda: stage_curate(spark),
         "zorder": lambda: stage_zorder(spark),
+        "langid": lambda: stage_langid(spark),
+        "exact_substring": lambda: stage_exact_substring(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -330,3 +330,47 @@ def test_ivfpq_probe_filter_prunes_partitioned_scan(spark, source,
     assert any("PartitionFilters" in l and "cell" in l
                and "cell#" in l.split("PartitionFilters")[1][:200]
                for l in scans), scans
+
+
+def test_language_scores_python_free_map_side_combined(spark, source):
+    """language_scores promises one codegen'd scan: per-char-n-gram work is
+    all JVM (no Python anywhere), and the K per-class integer sums are
+    map-side combined (partial_sum before the id exchange) — the
+    quality-scorer contract at character granularity."""
+    from condenser_spark.functions.langid import LanguageModel, language_scores
+
+    m = LanguageModel(
+        classes=["aa", "bb"],
+        weights=[[0.001 * i for i in range(32)],
+                 [0.002 * i for i in range(32)]],
+        biases=[0.1, -0.1], dim=32, ngram=3, max_chars=200,
+    )
+    plan = _executed(language_scores(source["documents"].limit(80), m))
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "partial_sum" in plan, plan
+
+
+def test_exact_substring_linear_shuffles_no_cartesian(spark, source):
+    """exact_substring_dedup's promised shape: no cartesian product, no
+    per-row Python, the duplicate count partitioned on the 16-byte fp, and
+    the coverage window + rebuild sharing ONE id-side partitioning (the
+    window's sort exchange feeds the groupBy without a second id
+    exchange)."""
+    from condenser_spark.functions.text import exact_substring_dedup
+
+    plan = _executed(
+        exact_substring_dedup(source["documents"].filter("doc_id < 100"), k=8))
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "hashpartitioning(fp" in plan, plan
+    # one partitioning serves coverage window + rebuild: at most 2 id-keyed
+    # exchanges in the FINAL plan (the AQE toString appends the pre-adaptive
+    # Initial Plan, which would double-count)
+    import re
+
+    final = plan.split("== Initial Plan ==")[0]
+    id_exchanges = re.findall(r"Exchange hashpartitioning\(id", final)
+    assert len(id_exchanges) <= 2, final
