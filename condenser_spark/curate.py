@@ -29,6 +29,8 @@ def curate_corpus(
     docs: DataFrame,
     *,
     c4: bool | dict = False,
+    language_model=None,
+    lang_col: str = "lang",
     gopher: bool | dict = False,
     dedup: str | None = None,
     dedup_opts: dict | None = None,
@@ -54,30 +56,39 @@ def curate_corpus(
     1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
        drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
        cleaned text (downstream stages see clean lines).
-    2. ``gopher`` — :func:`functions.text.gopher_quality_flags`: True or a
+    2. ``language_model`` — :func:`functions.langid.language_top1`
+       (a fitted :class:`functions.langid.LanguageModel`): REWRITES the
+       existing ``lang_col`` with the classifier's argmax (CCNet runs
+       langid right after line cleaning, before any quality rule), so the
+       per-language stages downstream (``dsir_opts['group_col']``,
+       ``temperature``) key on a first-class signal.  ``lang_col`` must
+       already exist — the stage preserves the schema by replacing
+       values, never adding columns.
+    3. ``gopher`` — :func:`functions.text.gopher_quality_flags`: True or a
        kwargs dict; keeps ``gopher_pass`` docs.
-    3. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
+    4. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
        keep-rows via its survivor ids) or ``"near"``
        (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
        passed through (incl. ``keep_col``).
-    4. ``eval_df`` — :func:`functions.dedup.decontaminate_bloom` against
+    5. ``eval_df`` — :func:`functions.dedup.decontaminate_bloom` against
        the supplied eval/benchmark corpus, ``decontaminate_opts`` passed
        through.
-    5. ``quality_model`` — :func:`functions.quality.score_documents` +
+    6. ``quality_model`` — :func:`functions.quality.score_documents` +
        keep ``quality_logit >= quality_threshold``.
-    6. ``dsir_opts`` — dict with ``target_lm``, ``raw_lm``, ``k`` (and
+    7. ``dsir_opts`` — dict with ``target_lm``, ``raw_lm``, ``k`` (and
        optionally ``dim``, ``group_col``, ``salt``):
        :func:`functions.dsir.dsir_sample` or, with ``group_col``,
        :func:`functions.dsir.dsir_sample_per_group`; selection audit
        columns are dropped so the output schema stays the input schema.
-    7. ``temperature`` — dict of :func:`functions.corpus.temperature_mix`
+    8. ``temperature`` — dict of :func:`functions.corpus.temperature_mix`
        kwargs (e.g. ``{"tau": 0.7, "source_col": "lang"}``).
 
     ``extra_stages`` interleaves CUSTOM filters without forking the
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"c4_clean"``, ``"gopher_rules"``, ``"exact_dedup"``,
+    ``"start"``, ``"c4_clean"``, ``"language_id"``, ``"gopher_rules"``,
+    ``"exact_dedup"``,
     ``"near_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
     and returns a DataFrame and MUST preserve the column set (the chain's
@@ -109,7 +120,7 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "c4_clean", "gopher_rules", "exact_dedup",
+    _ANCHORS = ("start", "c4_clean", "language_id", "gopher_rules", "exact_dedup",
                 "near_dedup", "decontaminate", "quality_filter",
                 "dsir_select", "temperature_mix", "end")
     pending: dict[str, list] = {}
@@ -155,6 +166,24 @@ def curate_corpus(
                   else F.col(c) for c in cur.columns]),
         )
         _apply_extra("c4_clean")
+    if language_model is not None:
+        from condenser_spark.functions.langid import language_top1
+
+        if lang_col not in cur.columns:
+            raise ValueError(
+                f"language_model stage rewrites lang_col={lang_col!r} but "
+                "the column does not exist — add it upstream (stages must "
+                "preserve the schema, so the stage replaces values rather "
+                "than adding a column)")
+        pred = language_top1(cur, language_model, text_col=text_col,
+                             id_col=id_col, out_col="_lang_pred")
+        cur = _record(
+            "language_id",
+            pred.select(
+                *[F.col("_lang_pred").alias(lang_col) if c == lang_col
+                  else F.col(c) for c in cur.columns]),
+        )
+        _apply_extra("language_id")
     if gopher:
         from condenser_spark.functions.text import gopher_quality_flags
 

@@ -308,3 +308,84 @@ def language_top1(
     if keep_scores:
         return out
     return out.drop(*[f"score_{c}" for c in model.classes])
+
+
+def language_scores_stateless(
+    df: DataFrame,
+    model: LanguageModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`language_scores` as a PURE per-row projection — no explode,
+    no aggregate, no join — so it applies unchanged to a Structured
+    Streaming source (stateless map-side scoring, the
+    ``score_documents_stateless`` pattern): readStream -> score -> route
+    by language -> writeStream with no watermark and no state store.
+    Scores are identical to the batch scorer (parity-pinned — the same
+    per-n-gram integer contributions, summed in-row; integer addition is
+    order-free).
+
+    The in-row fold IS a higher-order function (interpreted), O(chars)
+    steps with one literal-array index per class per step — bounded by
+    ``max_chars`` regardless of document length.  Batch callers should
+    still prefer :func:`language_scores`: a codegen'd aggregate beats an
+    interpreted fold on the same work (STRESS.md stage 18 prices the
+    batch form at 78k docs/s)."""
+    n, k = model.ngram, len(model.classes)
+    t = _norm_text(text_col, model.max_chars)
+    w6 = [
+        F.array(*[F.lit(x).cast("long") for x in row])
+        for row in _scaled(model)
+    ]
+    seq = F.when(
+        F.length(t) >= n,
+        F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(k)])
+
+    def step(acc, p):
+        tok = t.substr(p, F.lit(n))
+        b = (_bucket(tok, model.dim) + 1).cast("int")
+        s = _sign(tok)
+        return F.array(*[
+            F.element_at(acc, i + 1) + s * F.element_at(w6[i], b)
+            for i in range(k)
+        ])
+
+    z6 = F.aggregate(seq, zero, step)
+    score_cols = [
+        F.round(
+            F.element_at(z6, i + 1).cast("double") / F.lit(1_000_000.0)
+            + F.lit(float(model.biases[i])),
+            4,
+        ).alias(f"score_{c}")
+        for i, c in enumerate(model.classes)
+    ]
+    return df.select(*df.columns, *score_cols)
+
+
+def language_top1_stateless(
+    df: DataFrame,
+    model: LanguageModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "lang_pred",
+    keep_scores: bool = False,
+) -> DataFrame:
+    """:func:`language_top1` over the stateless scorer — the stream-safe
+    argmax (same deterministic tie-break; the argmax itself is a pure
+    projection in both forms)."""
+    scored = language_scores_stateless(df, model, text_col=text_col,
+                                       id_col=id_col)
+    best = F.array_min(F.array(*[
+        F.struct(
+            (-F.col(f"score_{c}")).alias("negs"),
+            F.lit(c).alias("cls"),
+        )
+        for c in model.classes
+    ]))
+    out = scored.withColumn(out_col, best.getField("cls")).withColumn(
+        f"{out_col}_score", -best.getField("negs"))
+    if keep_scores:
+        return out
+    return out.drop(*[f"score_{c}" for c in model.classes])

@@ -136,3 +136,63 @@ def test_scoring_is_deterministic_across_partitionings(spark, model):
     b = sorted(
         language_scores(test.repartition(7), model).collect())
     assert a == b
+
+
+def test_stateless_scorer_matches_batch_and_runs_on_stream(spark, model,
+                                                           tmp_path):
+    """language_scores_stateless is score-identical to the batch scorer,
+    and language_top1_stateless applies unchanged to a file stream (pure
+    stateless projection: no watermark, no state)."""
+    from condenser_spark.functions.langid import (
+        language_scores_stateless,
+        language_top1_stateless,
+    )
+
+    df = spark.createDataFrame(
+        _corpus(5, 8) + [(999, "", "aa"), (998, "ab", "bb")],
+        "doc_id long, text string, lang string")
+    cols = ["doc_id"] + [f"score_{c}" for c in model.classes]
+    batch = sorted(map(tuple,
+                       language_scores(df, model).select(*cols).collect()))
+    stateless = sorted(map(tuple, language_scores_stateless(df, model)
+                           .select(*cols).collect()))
+    assert batch == stateless
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    df.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string") \
+        .parquet(src)
+    pred = language_top1_stateless(stream, model)
+    q = (pred.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("doc_id", "lang_pred").collect()))
+    want = sorted(map(tuple, language_top1(
+        df.select("doc_id", "text"), model)
+        .select("doc_id", "lang_pred").collect()))
+    assert got == want
+
+
+def test_curate_language_id_stage_rewrites_lang(spark, model):
+    from condenser_spark.curate import curate_corpus
+
+    # mislabel every doc: the stage must rewrite lang to the classifier's
+    # prediction, preserving schema; downstream temperature keys on it
+    df = spark.createDataFrame(
+        [(i, t, "wrong") for i, t, _ in _corpus(6, 6)],
+        "doc_id long, text string, lang string")
+    truth = {r.doc_id: r.lang for r in spark.createDataFrame(
+        _corpus(6, 6), "doc_id long, text string, lang string").collect()}
+    out, rep = curate_corpus(df, language_model=model)
+    assert [r.stage for r in rep.collect()] == ["language_id"]
+    assert out.columns == df.columns
+    got = {r.doc_id: r.lang for r in out.collect()}
+    acc = sum(got[i] == truth[i] for i in got) / len(got)
+    assert acc >= 0.95
+
+    with pytest.raises(ValueError, match="does not exist"):
+        curate_corpus(df.drop("lang"), language_model=model)
