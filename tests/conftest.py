@@ -1,7 +1,15 @@
 import os
 
-import pytest
-from pyspark.sql import SparkSession
+# The literal-heavy golden plans (SRP hyperplanes, IVF centroids, PQ LUTs)
+# plus a 360-test session's accumulated broadcast relations exceed the 1g
+# local-mode default driver heap — the full suite hit
+# notEnoughMemoryToBuildAndBroadcastTableError on the SRP overflow oracle
+# once the rotation moved it past the cap.  Same convention as
+# scripts/check_oracles.py; must be set before the JVM launches.
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
+
+import pytest  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "4")
