@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_language_scores",
         "ext_exact_substring",
         "ext_ccnet_buckets",
+        "ext_exact_substring_keep",
+        "ext_dedup_lines",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

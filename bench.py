@@ -420,11 +420,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: language_top1(docs, _lid)
           .groupBy("lang_pred").count().collect())
 
-    from condenser_spark.functions.text import exact_substring_dedup
+    from condenser_spark.functions.text import (
+        dedup_lines,
+        exact_substring_dedup,
+    )
 
     timed("exact_substring_dedup",
           lambda: exact_substring_dedup(docs, k=20)
           .agg(F.sum("n_removed_tokens")).collect())
+    timed("dedup_lines",
+          lambda: dedup_lines(docs, keep="first")
+          .agg(F.sum("n_removed_lines")).collect())
 
     def _curate_small():
         out, _ = curate_corpus(docs, c4=True, gopher={"min_stop_hits": 1},

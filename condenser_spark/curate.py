@@ -28,6 +28,7 @@ logger = logging.getLogger(__name__)
 def curate_corpus(
     docs: DataFrame,
     *,
+    line_dedup: bool | dict = False,
     c4: bool | dict = False,
     language_model=None,
     lang_col: str = "lang",
@@ -53,6 +54,11 @@ def curate_corpus(
 
     Stages (each optional, executed in this order):
 
+    0. ``line_dedup`` — :func:`functions.text.dedup_lines`: True or a
+       kwargs dict (``keep``/``min_count``/``strip_digits``); CCNet's
+       actual first stage — cross-document paragraph dedup BEFORE any
+       other rule (boilerplate repeats across a crawl far more than whole
+       documents do).  REPLACES ``text_col`` with the deduped rebuild.
     1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
        drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
        cleaned text (downstream stages see clean lines).
@@ -87,8 +93,8 @@ def curate_corpus(
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"c4_clean"``, ``"language_id"``, ``"gopher_rules"``,
-    ``"exact_dedup"``,
+    ``"start"``, ``"line_dedup"``, ``"c4_clean"``, ``"language_id"``,
+    ``"gopher_rules"``, ``"exact_dedup"``,
     ``"near_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
     and returns a DataFrame and MUST preserve the column set (the chain's
@@ -120,7 +126,8 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "c4_clean", "language_id", "gopher_rules", "exact_dedup",
+    _ANCHORS = ("start", "line_dedup", "c4_clean", "language_id",
+                "gopher_rules", "exact_dedup",
                 "near_dedup", "decontaminate", "quality_filter",
                 "dsir_select", "temperature_mix", "end")
     pending: dict[str, list] = {}
@@ -152,6 +159,20 @@ def curate_corpus(
             cur = _record(name, out)
 
     _apply_extra("start")
+    if line_dedup:
+        from condenser_spark.functions.text import dedup_lines
+
+        opts = line_dedup if isinstance(line_dedup, dict) else {}
+        deduped = dedup_lines(cur, text_col=text_col, id_col=id_col,
+                              **opts).select(
+            id_col, F.col(text_col).alias("_text_ld"))
+        cur = _record(
+            "line_dedup",
+            cur.join(deduped, on=id_col).select(
+                *[F.col("_text_ld").alias(text_col) if c == text_col
+                  else F.col(c) for c in cur.columns]),
+        )
+        _apply_extra("line_dedup")
     if c4:
         from condenser_spark.functions.text import c4_clean
 

@@ -669,17 +669,27 @@ def exact_substring_dedup(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: str = "none",
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2021) at token ``k``-gram
     granularity: every token covered by a duplicated ``k``-gram (per
     :func:`duplicated_ngram_starts`) is CUT from every occurrence, and the
     document is rebuilt from the surviving tokens — the finer-grained
     complement to chunk-level :func:`shared_passages` /
-    :func:`strip_repeated_blocks`, matching the released
-    deduplicate-text-datasets default of removing ALL copies of a
-    duplicated span (keep-one-copy is a documented deviation the suffix-
-    array implementation supports; remove-all is the deterministic,
-    order-free form — no site has to be elected a survivor).
+    :func:`strip_repeated_blocks`.
+
+    ``keep`` selects which published form runs:
+
+    * ``"none"`` (default) — remove ALL copies of a duplicated span, the
+      released deduplicate-text-datasets default; deterministic and
+      order-free (no site has to be elected a survivor).
+    * ``"first"`` — the paper's "all but one" reading: per duplicated
+      fingerprint, the globally FIRST site (smallest ``(id, pos)``) keeps
+      its copy and every other occurrence is cut.  Election is one
+      row_number window per fingerprint group (deterministic for any id
+      type).  A survivor site can still lose tokens to a DIFFERENT
+      duplicated fingerprint whose coverage overlaps it — the same
+      byte-range reality the suffix-array implementation has.
 
     Output: (id_col, text, n_tokens, n_removed_tokens) — text rewritten
     with single spaces (whitespace-normalized, case preserved), every doc
@@ -694,15 +704,29 @@ def exact_substring_dedup(
     SAME partitioning (no extra shuffle between the two).  Corpus-scale
     work is three linear shuffles: (fp) for the duplicate count, (fp) for
     the semi join, (id) for coverage + rebuild."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first': {keep!r}")
     arr = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
     base = df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
     tok_rows = base.select(
         "id", F.posexplode("_arr").alias("_p0", "tok")
     ).select("id", (F.col("_p0") + 1).alias("pos"), "tok")
-    starts = duplicated_ngram_starts(
+    dup_starts = duplicated_ngram_starts(
         df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
-    ).select(F.col(id_col).alias("id"), "pos", F.lit(1).alias("_d"))
+    ).select(F.col(id_col).alias("id"), "pos", "fp")
+    if keep == "first":
+        wfp = Window.partitionBy("fp").orderBy(
+            F.col("id").asc(), F.col("pos").asc())
+        dup_starts = (
+            dup_starts.withColumn("_rn", F.row_number().over(wfp))
+            .filter(F.col("_rn") > 1)
+            .drop("_rn")
+        )
+    # each (id, pos) carries exactly one k-gram, so starts is unique by
+    # construction in both modes — no distinct needed (it would add an
+    # (id, pos) exchange the plan contract forbids)
+    starts = dup_starts.select("id", "pos", F.lit(1).alias("_d"))
     w = Window.partitionBy("id").orderBy("pos")
     flagged = tok_rows.join(starts, on=["id", "pos"], how="left")
     smax = F.max(F.when(F.col("_d") == 1, F.col("pos"))).over(w)
@@ -735,5 +759,104 @@ def exact_substring_dedup(
             .alias("n_tokens"),
             F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long"))
             .alias("n_removed_tokens"),
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_count: int = 2,
+    keep: str = "first",
+    strip_digits: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document LINE/paragraph deduplication — CCNet's first stage
+    (Wenzek et al. 2020 §3.1: hash every paragraph, drop duplicates before
+    langid or any quality rule; the published pipelines run this ahead of
+    everything because boilerplate headers/footers repeat across a crawl
+    far more than whole documents do).
+
+    A line's identity is the md5 of its NORMALIZED form (trim + lowercase
+    + whitespace collapse; ``strip_digits=True`` additionally deletes
+    digits, the CCNet trick that collapses "page 3 of 7" variants); the
+    ORIGINAL line text is what survives into the rebuilt document.  Lines
+    that normalize to the empty string (blank separators) are never
+    hashed and always kept.
+
+    ``keep="first"`` (default, the CCNet behavior made deterministic):
+    per duplicated line hash the globally first (id, line position) site
+    keeps its line, every other occurrence drops.  ``keep="none"`` drops
+    every occurrence of a line seen ``min_count``+ times (the
+    boilerplate-scrub form — the line-granularity sibling of
+    :func:`strip_repeated_blocks`'s token blocks).
+
+    Output: (id_col, text, n_lines, n_removed_lines) — text rebuilt by
+    joining kept lines with single newlines, every doc present (docs whose
+    every line drops come back with empty text; the caller decides).
+
+    Plan shape at 100 TB: one posexplode of lines, one map-side-combined
+    (hash, count) aggregate, a left-semi/election join shipping (id, pos,
+    16-byte hash), one id-partitioned ordered rebuild — the
+    exact_substring_dedup shape at line granularity, linear end to end,
+    no pair join."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"keep must be 'none' or 'first': {keep!r}")
+    assert min_count >= 2
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_p0", "line"),
+    ).select("id", (F.col("_p0") + 1).alias("pos"), "line")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("line"))), r"\s+", " ")
+    if strip_digits:
+        norm = F.regexp_replace(norm, r"[0-9]", "")
+    hashed = lines.withColumn(
+        "_h", F.when(norm != "", F.md5(norm)))
+    dup = (
+        hashed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_h")
+    )
+    sites = hashed.join(dup, on="_h", how="left_semi")
+    if keep == "first":
+        wh = Window.partitionBy("_h").orderBy(
+            F.col("id").asc(), F.col("pos").asc())
+        sites = (
+            sites.withColumn("_rn", F.row_number().over(wh))
+            .filter(F.col("_rn") > 1)
+            .drop("_rn")
+        )
+    drops = sites.select("id", "pos", F.lit(1).alias("_x"))
+    rebuilt = (
+        hashed.join(drops, on=["id", "pos"], how="left")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_x").isNull(),
+                                   F.struct("pos", "line")))),
+                    lambda s: s["line"],
+                ),
+            ).alias("_text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("_x").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_removed_lines"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_lines"), F.lit(0).cast("long"))
+            .alias("n_lines"),
+            F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
+            .alias("n_removed_lines"),
         )
     )

@@ -3465,3 +3465,184 @@ def ext_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang",
                       F.col("rank").cast("long").alias("ppl_rank"),
                       F.col("bucket_id").cast("long").alias("bucket_id"))
+
+
+def _exact_substring_keep_sql() -> str:
+    k = _ESUB_K
+    return rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' {_ESUB_SENTINEL}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM synth
+    ),
+    g0 AS (
+      SELECT doc_id, arr, unnest(range(1, len(arr) - {k} + 2)) AS p
+      FROM base WHERE len(arr) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             md5(array_to_string(
+               arr[CAST(p AS INT) : CAST(p AS INT) + {k - 1}], ' ')) AS fp
+      FROM g0
+    ),
+    dup AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY fp
+                                ORDER BY doc_id ASC, pos ASC) AS rn
+      FROM grams WHERE fp IN (SELECT fp FROM dup)
+    ),
+    starts AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    toks AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS tok
+      FROM base
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(CASE WHEN s.pos IS NOT NULL THEN t.pos END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS smax
+      FROM toks t LEFT JOIN starts s
+        ON s.doc_id = t.doc_id AND s.pos = t.pos
+    ),
+    per AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE smax IS NULL OR smax < pos - {k - 1}),
+               '') AS text,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.text, '') AS text,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+@golden("ext_exact_substring_keep", _exact_substring_keep_sql())
+def ext_exact_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr in the keep-FIRST form (the paper's "all but one"
+    reading): per duplicated fingerprint the globally-first (id, pos) site
+    keeps its copy — here the sentinel planted on every third document
+    survives ONLY on the first such document — with election, coverage,
+    and rebuild all replayed by DuckDB
+    (condenser_spark/functions/text.py:exact_substring_dedup keep=).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import exact_substring_dedup
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" " + _ESUB_SENTINEL)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return exact_substring_dedup(synth, k=_ESUB_K, min_count=2,
+                                 keep="first")
+
+
+# ------------------------------------------------------------- line dedup
+
+def _dedup_lines_sql() -> str:
+    return r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || chr(10) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'Copyright Acme Corp All Rights Reserved'
+                  ELSE 'copyright acme  corp all rights reserved' END
+             || chr(10) || 'page ' || CAST(doc_id % 7 AS VARCHAR)
+             || ' of 7'
+             || chr(10) || 'tail line ' || CAST(doc_id AS VARCHAR)
+               AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, chr(10)) AS arr
+            FROM synth)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN norm <> '' THEN md5(norm) END AS h
+      FROM (SELECT doc_id, pos, line,
+                   regexp_replace(
+                     regexp_replace(lower(trim(line)), '\s+', ' ', 'g'),
+                     '[0-9]', '', 'g') AS norm
+            FROM lines)
+    ),
+    dup AS (
+      SELECT h FROM hashed WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY doc_id ASC, pos ASC) AS rn
+      FROM hashed WHERE h IN (SELECT h FROM dup)
+    ),
+    drops AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+    per AS (
+      SELECT l.doc_id,
+             COALESCE(string_agg(l.line, chr(10) ORDER BY l.pos)
+               FILTER (WHERE d.pos IS NULL), '') AS text,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed_lines
+      FROM hashed l LEFT JOIN drops d
+        ON d.doc_id = l.doc_id AND d.pos = l.pos
+      GROUP BY l.doc_id
+    )
+    SELECT s.doc_id, COALESCE(p.text, '') AS text,
+           COALESCE(p.n_lines, 0) AS n_lines,
+           COALESCE(p.n_removed_lines, 0) AS n_removed_lines
+    FROM documents s LEFT JOIN per p USING (doc_id)
+    """
+
+
+@golden("ext_dedup_lines", _dedup_lines_sql())
+def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph/line dedup (Wenzek et al. 2020 §3.1, keep-first
+    form) under the FULL value oracle: a copyright line planted in two
+    case/whitespace variants collapses under normalization, the numbered
+    "page N of 7" lines collapse under the digit-strip trick, and only the
+    globally-first site of each keeps its line — election, normalization,
+    and newline rebuild all replayed by DuckDB
+    (condenser_spark/functions/text.py:dedup_lines).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import dedup_lines
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("Copyright Acme Corp All Rights Reserved"))
+            .otherwise(F.lit("copyright acme  corp all rights reserved")),
+            F.concat(F.lit("page "),
+                     (F.col("doc_id") % 7).cast("string"),
+                     F.lit(" of 7")),
+            F.concat(F.lit("tail line "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return dedup_lines(synth, keep="first", strip_digits=True)

@@ -1,0 +1,105 @@
+"""CCNet line/paragraph dedup semantics on crafted corpora; the
+normalization/election/rebuild arithmetic is pinned by the
+ext_dedup_lines DuckDB oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import dedup_lines
+
+CP = "copyright acme corp all rights reserved"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_keep_first_elects_global_first_site(spark):
+    df = _df(spark, [
+        (0, f"unique zero\n{CP}\nbody zero"),
+        (1, f"one intro\nCopyright  ACME Corp   ALL rights reserved\n"
+            "body one"),
+        (2, f"{CP}\nbody two"),
+    ])
+    out = {r.doc_id: r for r in dedup_lines(df, keep="first").collect()}
+    assert out[0].text == f"unique zero\n{CP}\nbody zero"
+    assert out[1].text == "one intro\nbody one"
+    assert out[2].text == "body two"
+    assert (out[0].n_removed_lines, out[1].n_removed_lines,
+            out[2].n_removed_lines) == (0, 1, 1)
+
+
+def test_keep_none_drops_all_occurrences(spark):
+    df = _df(spark, [
+        (0, f"a\n{CP}"), (1, f"b\n{CP}"),
+    ])
+    out = {r.doc_id: r.text
+           for r in dedup_lines(df, keep="none").collect()}
+    assert out == {0: "a", 1: "b"}
+
+
+def test_strip_digits_collapses_numbered_variants(spark):
+    df = _df(spark, [
+        (0, "body a\npage 3 of 7"),
+        (1, "body b\npage 5 of 7"),
+    ])
+    plain = {r.doc_id: r.n_removed_lines
+             for r in dedup_lines(df).collect()}
+    assert plain == {0: 0, 1: 0}  # different digits -> different lines
+    stripped = {r.doc_id: r.n_removed_lines
+                for r in dedup_lines(df, strip_digits=True).collect()}
+    assert stripped == {0: 0, 1: 1}
+
+
+def test_blank_lines_never_hash_and_always_survive(spark):
+    df = _df(spark, [
+        (0, "a\n\n\nb"), (1, "c\n\n\nd"), (2, "   \n \ne"),
+    ])
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert out[0].text == "a\n\n\nb" and out[0].n_removed_lines == 0
+    assert out[2].text == "   \n \ne"
+
+
+def test_fully_duplicated_doc_comes_back_empty(spark):
+    df = _df(spark, [(0, CP), (1, CP)])
+    out = {r.doc_id: r for r in dedup_lines(df, keep="none").collect()}
+    for i in (0, 1):
+        assert out[i].text == "" and out[i].n_removed_lines == 1
+
+
+def test_min_count_threshold_and_validation(spark):
+    df = _df(spark, [(0, f"x\n{CP}"), (1, f"y\n{CP}"), (2, f"z\n{CP}")])
+    kept = dedup_lines(df, keep="none", min_count=4)
+    assert kept.agg(F.sum("n_removed_lines")).first()[0] == 0
+    with pytest.raises(ValueError, match="keep must be"):
+        dedup_lines(df, keep="last")
+
+
+def test_deterministic_across_partitionings(spark):
+    rows = [(i, f"body {i}\n{CP if i % 3 == 0 else 'uniq ' + str(i)}")
+            for i in range(30)]
+    df = _df(spark, rows)
+    a = sorted(dedup_lines(df, keep="first").collect())
+    b = sorted(dedup_lines(df.repartition(7), keep="first").collect())
+    assert a == b
+
+
+def test_curate_line_dedup_stage_runs_first(spark):
+    from condenser_spark.curate import curate_corpus
+
+    docs = _df(spark, [
+        (i,
+         f"{CP}\nthe quick brown fox jumps over the lazy dog and they "
+         f"walk into the forest together number {i} with more words to "
+         "pass the word count rules easily here")
+        for i in range(6)
+    ])
+    out, rep = curate_corpus(
+        docs, line_dedup={"keep": "none"},
+        gopher={"min_words": 10, "min_stop_hits": 1},
+    )
+    assert [r.stage for r in rep.collect()] == ["line_dedup",
+                                                "gopher_rules"]
+    # the boilerplate line is gone from every survivor
+    assert out.filter(F.col("text").contains("copyright")).count() == 0
+    assert out.count() == 6

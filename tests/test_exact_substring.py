@@ -2,6 +2,7 @@
 form) on crafted corpora; the arithmetic/rebuild contract is pinned by the
 ext_exact_substring DuckDB oracle."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from condenser_spark.functions.text import (
@@ -102,3 +103,32 @@ def test_deterministic_across_partitionings(spark):
     a = sorted(exact_substring_dedup(df, k=8).collect())
     b = sorted(exact_substring_dedup(df.repartition(13), k=8).collect())
     assert a == b
+
+
+def test_keep_first_survivor_retains_one_copy(spark):
+    df = _df(spark, [
+        (0, f"a0 {SHARED} b0"),
+        (1, f"a1 {SHARED} b1"),
+        (2, f"a2 {SHARED} b2"),
+    ])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, k=8, keep="first").collect()}
+    # the globally-first site (doc 0, pos 2) keeps its copy
+    assert out[0].text == f"a0 {SHARED} b0"
+    assert out[0].n_removed_tokens == 0
+    for i in (1, 2):
+        assert out[i].text == f"a{i} b{i}"
+        assert out[i].n_removed_tokens == 8
+
+
+def test_keep_first_within_doc_repeat_keeps_first_copy(spark):
+    df = _df(spark, [(0, f"{SHARED} mid1 mid2 {SHARED}")])
+    r = exact_substring_dedup(df, k=8, keep="first").first()
+    assert r.text == f"{SHARED} mid1 mid2"
+    assert r.n_removed_tokens == 8
+
+
+def test_keep_modes_validate(spark):
+    df = _df(spark, [(0, SHARED)])
+    with pytest.raises(ValueError, match="keep must be"):
+        exact_substring_dedup(df, k=8, keep="last")
