@@ -325,12 +325,22 @@ def language_scores_stateless(
     per-n-gram integer contributions, summed in-row; integer addition is
     order-free).
 
-    The in-row fold IS a higher-order function (interpreted), O(chars)
-    steps with one literal-array index per class per step — bounded by
-    ``max_chars`` regardless of document length.  Batch callers should
-    still prefer :func:`language_scores`: a codegen'd aggregate beats an
-    interpreted fold on the same work (STRESS.md stage 18 prices the
-    batch form at 78k docs/s)."""
+    The in-row work IS higher-order functions (interpreted), O(chars)
+    steps bounded by ``max_chars`` regardless of document length, and it
+    is priced: STRESS.md stage 21 measures this form at 3.2x the batch
+    scan's wall at 1M docs — acceptable where per-row is the only
+    executable shape (a stream with no state store); batch callers must
+    still prefer :func:`language_scores` (stage 18: 78k docs/s
+    codegen'd).
+
+    Cost structure matters enormously here: a naive fold that re-derives
+    the n-gram md5 inside every per-class lookup measured 29x batch
+    (505 s at 1M docs); materializing each position's md5 ONCE via a
+    first ``transform`` and mapping it to (bucket, sign) structs via a
+    second — so the accumulating fold does only literal-array indexes
+    and adds — brought the same corpus to 70 s (3.2x).  Interpreted
+    HOFs pay per EXPRESSION NODE EVALUATION, not per row; hoist shared
+    subtrees into ``transform`` stages."""
     n, k = model.ngram, len(model.classes)
     t = _norm_text(text_col, model.max_chars)
     w6 = [
@@ -342,17 +352,29 @@ def language_scores_stateless(
         F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
     ).otherwise(F.array().cast("array<int>"))
     zero = F.array(*[F.lit(0).cast("long") for _ in range(k)])
+    hs = F.transform(seq, lambda p: F.md5(t.substr(p, F.lit(n))))
+    entries = F.transform(
+        hs,
+        lambda h: F.struct(
+            (F.pmod(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),
+                F.lit(model.dim),
+            ) + 1).cast("int").alias("b"),
+            F.when(
+                F.conv(F.substring(h, 9, 1), 16, 10).cast("int") >= 8,
+                F.lit(-1),
+            ).otherwise(F.lit(1)).cast("long").alias("s"),
+        ),
+    )
 
-    def step(acc, p):
-        tok = t.substr(p, F.lit(n))
-        b = (_bucket(tok, model.dim) + 1).cast("int")
-        s = _sign(tok)
+    def step(acc, e):
         return F.array(*[
-            F.element_at(acc, i + 1) + s * F.element_at(w6[i], b)
+            F.element_at(acc, i + 1)
+            + e["s"] * F.element_at(w6[i], e["b"])
             for i in range(k)
         ])
 
-    z6 = F.aggregate(seq, zero, step)
+    z6 = F.aggregate(entries, zero, step)
     score_cols = [
         F.round(
             F.element_at(z6, i + 1).cast("double") / F.lit(1_000_000.0)

@@ -716,12 +716,19 @@ def exact_substring_dedup(
         df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
     ).select(F.col(id_col).alias("id"), "pos", "fp")
     if keep == "first":
-        wfp = Window.partitionBy("fp").orderBy(
-            F.col("id").asc(), F.col("pos").asc())
+        # survivor election WITHOUT a per-fp window: min(struct(id, pos))
+        # is a map-side-combinable aggregate, so a viral fingerprint with
+        # a billion sites costs one combine tree, not one skewed
+        # row_number sort partition (the uniform_sample_per_group lesson
+        # applied to election; ordering semantics identical — struct
+        # comparison is field-wise (id, pos) ascending)
+        surv = dup_starts.groupBy("fp").agg(
+            F.min(F.struct("id", "pos")).alias("_s"))
         dup_starts = (
-            dup_starts.withColumn("_rn", F.row_number().over(wfp))
-            .filter(F.col("_rn") > 1)
-            .drop("_rn")
+            dup_starts.join(surv, on="fp")
+            .filter(~((F.col("id") == F.col("_s.id"))
+                      & (F.col("pos") == F.col("_s.pos"))))
+            .drop("_s")
         )
     # each (id, pos) carries exactly one k-gram, so starts is unique by
     # construction in both modes — no distinct needed (it would add an
@@ -819,14 +826,21 @@ def dedup_lines(
         .filter(F.col("_n") >= min_count)
         .select("_h")
     )
-    sites = hashed.join(dup, on="_h", how="left_semi")
+    sites = hashed.join(dup, on="_h", how="left_semi") \
+        .select("_h", "id", "pos")
     if keep == "first":
-        wh = Window.partitionBy("_h").orderBy(
-            F.col("id").asc(), F.col("pos").asc())
+        # same windowless election as exact_substring_dedup keep="first":
+        # min(struct(id, pos)) per hash is map-side combined, so even a
+        # line present in EVERY document (the stage-20 stress shape, and
+        # the real-crawl boilerplate shape) never funnels into one sorted
+        # window partition
+        surv = sites.groupBy("_h").agg(
+            F.min(F.struct("id", "pos")).alias("_s"))
         sites = (
-            sites.withColumn("_rn", F.row_number().over(wh))
-            .filter(F.col("_rn") > 1)
-            .drop("_rn")
+            sites.join(surv, on="_h")
+            .filter(~((F.col("id") == F.col("_s.id"))
+                      & (F.col("pos") == F.col("_s.pos"))))
+            .drop("_s")
         )
     drops = sites.select("id", "pos", F.lit(1).alias("_x"))
     rebuilt = (

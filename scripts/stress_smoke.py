@@ -1225,6 +1225,117 @@ def stage_exact_substring(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_dedup_lines(spark, n_docs: int = 5_000_000) -> dict:
+    """CCNet paragraph dedup at 5M docs (20M line rows): every document
+    carries the SAME boilerplate line (a 5M-site hot line hash — the
+    keep-first election window's worst case: one row_number partition
+    holding 5M rows) plus three per-doc-unique lines.  The op must stay
+    linear and the election exact: the boilerplate survives in exactly
+    one document (the smallest doc_id), every unique line survives
+    everywhere.
+
+    The single giant fp group is the honest stress: unlike the
+    exact_substring stage (where the hot fp only feeds a count + semi
+    join), keep-first RANKS inside the hot group — one skewed window
+    partition.  This prices that skew; pipelines facing pathological
+    single-line dominance can pre-route with keep='none' (no window) or
+    a df-cap filter."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import dedup_lines
+
+    boiler = "copyright example corp all rights reserved"
+    uniq = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-l{j}")))
+        for j in range(3)
+    ]
+    text = F.concat_ws("\n", F.lit(boiler), *uniq)
+    path = f"{WORK}/linededup_docs"
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    agg = dedup_lines(docs, keep="first").agg(
+        F.sum("n_removed_lines").alias("removed"),
+        F.sum("n_lines").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs
+    assert agg.total == n_docs * 4
+    assert agg.removed == n_docs - 1, agg.removed  # one survivor site
+    return {
+        "stage": "dedup_lines_5m",
+        "n_docs": n_docs,
+        "hot_line_sites": n_docs,
+        "lines_removed": int(agg.removed),
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
+def stage_langid_stream_cost(spark, n_docs: int = 1_000_000) -> dict:
+    """The stateless langid form priced against the batch form at 1M docs
+    (the repo rule: any per-row higher-order function in a shipped
+    operator needs a at-scale number, STRESS stage 10's lesson).  The
+    stateless scorer folds ~200 n-gram positions per row interpreted;
+    the batch form runs the same arithmetic as a codegen'd explode +
+    aggregate.  Per-class score sums must be EXACTLY equal (integer
+    arithmetic, order-free)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.langid import (
+        LanguageModel,
+        language_scores,
+        language_scores_stateless,
+    )
+
+    import random as _random
+
+    rnd = _random.Random(17)
+    model = LanguageModel(
+        classes=["c0", "c1", "c2", "c3"],
+        weights=[[round(rnd.uniform(-1.0, 1.0), 3) for _ in range(256)]
+                 for _ in range(4)],
+        biases=[0.0] * 4,
+        dim=256, ngram=3, max_chars=200,
+    )
+    toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"w{j}")))
+        for j in range(12)
+    ]
+    path = f"{WORK}/langid_stream_docs"
+    (
+        spark.range(n_docs)
+        .select(F.col("id").alias("doc_id"),
+                F.concat_ws(" ", *toks).alias("text"))
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+    sums = [F.sum(F.round(F.col(f"score_{c}") * 10000).cast("long"))
+            .alias(c) for c in model.classes]
+
+    t0 = time.time()
+    batch = language_scores(docs, model).agg(*sums).first()
+    batch_wall = time.time() - t0
+    t0 = time.time()
+    stream = language_scores_stateless(docs, model).agg(*sums).first()
+    stream_wall = time.time() - t0
+    assert tuple(batch) == tuple(stream), (batch, stream)
+    return {
+        "stage": "langid_stream_cost_1m",
+        "n_docs": n_docs,
+        "score4_sums": [int(x) for x in batch],
+        "batch_wall_sec": round(batch_wall, 1),
+        "stream_form_wall_sec": round(stream_wall, 1),
+        "stream_over_batch_x": round(stream_wall / batch_wall, 2),
+    }
+
+
 def stage_quality_score(spark, n_docs: int) -> dict:
     """Plan-literal quality scoring over the 5M-doc corpus: the corpus-wide
     pass a trained QualityModel actually runs — tokenize -> signed md5 hash
@@ -1299,6 +1410,8 @@ def main() -> int:
         "zorder": lambda: stage_zorder(spark),
         "langid": lambda: stage_langid(spark),
         "exact_substring": lambda: stage_exact_substring(spark),
+        "dedup_lines": lambda: stage_dedup_lines(spark),
+        "langid_stream_cost": lambda: stage_langid_stream_cost(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
