@@ -35,6 +35,7 @@ def curate_corpus(
     gopher: bool | dict = False,
     dedup: str | None = None,
     dedup_opts: dict | None = None,
+    substring_dedup: bool | dict = False,
     eval_df: DataFrame | None = None,
     decontaminate_opts: dict | None = None,
     quality_model=None,
@@ -59,6 +60,9 @@ def curate_corpus(
        actual first stage — cross-document paragraph dedup BEFORE any
        other rule (boilerplate repeats across a crawl far more than whole
        documents do).  REPLACES ``text_col`` with the deduped rebuild.
+       Documents whose every line drops STAY, with empty text (the stage
+       counts docs, not lines); Gopher's word-count rule drops them
+       downstream, or add an ``extra_stages`` length filter.
     1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
        drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
        cleaned text (downstream stages see clean lines).
@@ -76,6 +80,12 @@ def curate_corpus(
        keep-rows via its survivor ids) or ``"near"``
        (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
        passed through (incl. ``keep_col``).
+    4b. ``substring_dedup`` — :func:`functions.text.exact_substring_dedup`
+       (Lee et al. 2021): True or a kwargs dict (``k``/``min_count``/
+       ``keep``); runs AFTER whole-document dedup (cut spans only where
+       whole-doc collapse did not already remove the copy) and REPLACES
+       ``text_col`` with the span-cut rebuild, same empty-doc note as
+       ``line_dedup``.
     5. ``eval_df`` — :func:`functions.dedup.decontaminate_bloom` against
        the supplied eval/benchmark corpus, ``decontaminate_opts`` passed
        through.
@@ -94,8 +104,8 @@ def curate_corpus(
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
     ``"start"``, ``"line_dedup"``, ``"c4_clean"``, ``"language_id"``,
-    ``"gopher_rules"``, ``"exact_dedup"``,
-    ``"near_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
+    ``"gopher_rules"``, ``"exact_dedup"``, ``"near_dedup"``,
+    ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
     and returns a DataFrame and MUST preserve the column set (the chain's
     composability contract — enforced fail-loud); custom stages get the
@@ -128,7 +138,8 @@ def curate_corpus(
 
     _ANCHORS = ("start", "line_dedup", "c4_clean", "language_id",
                 "gopher_rules", "exact_dedup",
-                "near_dedup", "decontaminate", "quality_filter",
+                "near_dedup", "substring_dedup", "decontaminate",
+                "quality_filter",
                 "dsir_select", "temperature_mix", "end")
     pending: dict[str, list] = {}
     for entry in (extra_stages or []):
@@ -236,6 +247,20 @@ def curate_corpus(
             _apply_extra("near_dedup")
         else:
             raise ValueError(f"dedup must be 'exact'|'near'|None: {dedup!r}")
+    if substring_dedup:
+        from condenser_spark.functions.text import exact_substring_dedup
+
+        opts = substring_dedup if isinstance(substring_dedup, dict) else {}
+        cut = exact_substring_dedup(cur, text_col=text_col, id_col=id_col,
+                                    **opts).select(
+            id_col, F.col(text_col).alias("_text_sd"))
+        cur = _record(
+            "substring_dedup",
+            cur.join(cut, on=id_col).select(
+                *[F.col("_text_sd").alias(text_col) if c == text_col
+                  else F.col(c) for c in cur.columns]),
+        )
+        _apply_extra("substring_dedup")
     if eval_df is not None:
         from condenser_spark.functions.dedup import decontaminate_bloom
 

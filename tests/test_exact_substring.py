@@ -132,3 +132,20 @@ def test_keep_modes_validate(spark):
     df = _df(spark, [(0, SHARED)])
     with pytest.raises(ValueError, match="keep must be"):
         exact_substring_dedup(df, k=8, keep="last")
+
+
+def test_curate_substring_dedup_stage(spark):
+    from condenser_spark.curate import curate_corpus
+
+    df = _df(spark, [
+        (0, f"unique zero intro {SHARED} and zero tail here"),
+        (1, f"one other words {SHARED} trailing one"),
+        (2, "fully unique document with no duplicated span at all"),
+    ])
+    out, rep = curate_corpus(df, substring_dedup={"k": 8})
+    assert [r.stage for r in rep.collect()] == ["substring_dedup"]
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert texts[0] == "unique zero intro and zero tail here"
+    assert texts[1] == "one other words trailing one"
+    assert texts[2].startswith("fully unique")
+    assert out.columns == df.columns
