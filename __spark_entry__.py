@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_ccnet_buckets",
         "ext_exact_substring_keep",
         "ext_dedup_lines",
+        "ext_curate_linesub",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -3646,3 +3646,127 @@ def ext_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return dedup_lines(synth, keep="first", strip_digits=True)
+
+
+# ------------------------------------------- curate line+substring chain
+
+def _curate_linesub_sql() -> str:
+    k = _ESUB_K
+    return rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || chr(10) ||
+             'copyright example corp all rights reserved' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN chr(10) || '{_ESUB_SENTINEL}'
+                  ELSE '' END AS text
+      FROM documents
+    ),
+    l_lines AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, chr(10)) AS arr
+            FROM synth)
+    ),
+    l_hashed AS (
+      SELECT doc_id, pos, line,
+             CASE WHEN norm <> '' THEN md5(norm) END AS h
+      FROM (SELECT doc_id, pos, line,
+                   regexp_replace(lower(trim(line)), '\s+', ' ', 'g')
+                     AS norm
+            FROM l_lines)
+    ),
+    l_dup AS (
+      SELECT h FROM l_hashed WHERE h IS NOT NULL
+      GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    l_per AS (
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE h IS NULL OR h NOT IN (SELECT h FROM l_dup)),
+               '') AS text
+      FROM l_hashed GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT d.doc_id, COALESCE(p.text, '') AS text
+      FROM documents d LEFT JOIN l_per p USING (doc_id)
+    ),
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM cleaned
+    ),
+    g0 AS (
+      SELECT doc_id, arr, unnest(range(1, len(arr) - {k} + 2)) AS p
+      FROM base WHERE len(arr) >= {k}
+    ),
+    grams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             md5(array_to_string(
+               arr[CAST(p AS INT) : CAST(p AS INT) + {k - 1}], ' ')) AS fp
+      FROM g0
+    ),
+    s_dup AS (SELECT fp FROM grams GROUP BY fp HAVING COUNT(*) >= 2),
+    starts AS (
+      SELECT doc_id, pos FROM grams WHERE fp IN (SELECT fp FROM s_dup)
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS tok
+      FROM base
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(CASE WHEN s.pos IS NOT NULL THEN t.pos END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS smax
+      FROM toks t LEFT JOIN starts s
+        ON s.doc_id = t.doc_id AND s.pos = t.pos
+    ),
+    s_per AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE smax IS NULL OR smax < pos - {k - 1}),
+               '') AS text
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.text, '') AS text
+    FROM documents d LEFT JOIN s_per p USING (doc_id)
+    """
+
+
+@golden("ext_curate_linesub", _curate_linesub_sql())
+def ext_curate_linesub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two round-10 text-REWRITE stages chained through the composer
+    under a full value oracle: a boilerplate line planted on every doc
+    falls to ``line_dedup(keep='none')``, then the 10-token sentinel span
+    planted on every third doc falls to ``substring_dedup`` reading the
+    REWRITTEN text — proving the composer's text swap feeds each stage
+    the previous stage's output, with the final rebuilt text replayed by
+    DuckDB end to end (condenser_spark/curate.py:curate_corpus,
+    report=False barrier=False — one lazy plan).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"),
+            F.lit("copyright example corp all rights reserved"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit("\n"), F.lit(_ESUB_SENTINEL)))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out, _ = curate_corpus(
+        synth,
+        line_dedup={"keep": "none"},
+        substring_dedup={"k": _ESUB_K},
+        report=False, barrier=False,
+    )
+    return out.select("doc_id", "text")
