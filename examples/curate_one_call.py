@@ -1,7 +1,9 @@
 """The whole curation chain in ONE call — curate_corpus composing the
-oracled operators in the published order (C4 -> Gopher -> near-dedup ->
-decontamination -> DSIR selection), with the per-stage tabulation that is
-the point of using the composer instead of chaining by hand.
+oracled operators in the published order (CCNet line dedup -> C4 ->
+trainable langid -> Gopher -> near-dedup -> ExactSubstr span cutting ->
+decontamination -> DSIR selection -> a custom plug-in stage), with the
+per-stage tabulation that is the point of using the composer instead of
+chaining by hand.
 
 The fixture's single-line texts carry no punctuation, so this example
 synthesizes multi-line punctuated documents first (the same trick the
@@ -39,6 +41,8 @@ def main() -> int:
             F.concat(F.col("text"), F.lit(" so document "),
                      F.col("doc_id").cast("string"),
                      F.lit(" makes the point its own way.")),
+            # boilerplate planted on EVERY doc: the line_dedup stage's prey
+            F.lit("copyright example corp all rights reserved."),
             F.concat(F.lit("document "), F.col("doc_id").cast("string"),
                      F.lit(" has a perfectly fine second line too.")),
         ).alias("text"),
@@ -53,15 +57,31 @@ def main() -> int:
     tlm = train_hashed_ngram_lm(train.filter("lang = 'en'"), dim=1024)
     rlm = train_hashed_ngram_lm(train, dim=1024)
 
+    # a trainable langid model fit on the (fixture-labeled) sample: the
+    # language_model= stage REWRITES `lang` with the classifier argmax so
+    # the language-balanced DSIR stage keys on a first-class signal
+    from condenser_spark.functions.langid import train_language_model
+
+    lid = train_language_model(train.limit(300), dim=256, max_chars=300)
+
     curated, report = curate_corpus(
         train,
+        line_dedup={"keep": "none"},         # CCNet 3.1: boilerplate first
         c4={"min_kept_lines": 2},
+        language_model=lid,                  # rewrite `lang` via the model
         gopher={"min_words": 10, "min_stop_hits": 1},
         dedup="near",
         dedup_opts={"keep_col": "doc_id"},   # keep the NEWEST duplicate
+        substring_dedup={"k": 10},           # Lee 2021 span cutting
         eval_df=eval_df,
         dsir_opts={"target_lm": tlm, "raw_lm": rlm, "k": 40, "dim": 1024,
                    "group_col": "lang"},     # language-balanced selection
+        extra_stages=[
+            # custom plug-in: drop anything the rewrites emptied, right
+            # after the span cutter
+            ("nonempty", lambda d: d.filter(F.length("text") > 0),
+             "substring_dedup"),
+        ],
     )
     print("== per-stage report ==")
     report.show(truncate=False)
