@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_exact_substring_keep",
         "ext_dedup_lines",
         "ext_curate_linesub",
+        "ext_bm25_topk",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -1,0 +1,216 @@
+"""BM25 full-text retrieval over the document corpus — the term-based
+search primitive (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+Framework: BM25 and Beyond") that complements the embedding-side ANN family
+(similarity.py / pq.py): keyword top-k for corpus exploration, targeted
+decontamination ("which training docs score highest against this benchmark
+question?"), and the sparse half of hybrid sparse+dense search.
+
+The 100 TB shape:
+
+* The query set is SMALL by contract (a benchmark, a probe list — bounded
+  by ``max_queries`` with a fail-loud ValueError, the pq_topk convention)
+  and collects once to the driver, where it becomes a literal broadcast
+  (query_id, term) frame — so the corpus-side scan is filtered down to
+  query-matching terms by a BROADCAST semi-join before anything shuffles.
+* The corpus is tokenized ONCE: per-doc length rides the exploded rows as
+  a constant column (``max`` recovers it after the (doc, term) aggregate),
+  so no second corpus scan or doc-length join is needed on the scoring
+  path.  Corpus-wide stats (N, total length) come from a separate SLIM
+  one-row aggregate over (id, text) only.
+* Document frequencies are computed over the query-matched slice only
+  (df of a term no query mentions is irrelevant) and broadcast back —
+  vocabulary-sized work never shuffles.
+* Scores are per-term contributions rounded to SCALED INTEGERS (1e-6) and
+  summed — order-free exact addition, so ranking is deterministic and the
+  whole computation carries a full DuckDB value oracle
+  (goldens_ext.ext_bm25_topk), the ext_quality_logit treatment.  The
+  ln-then-round contract matches the tfidf oracle (goldens_ext.py).
+* Top-k per query is a window partitioned by query_id — queries are few
+  by contract, so the window never concentrates more than one query's
+  matches on a partition.
+
+Reference analogue: the reference engine has no text retrieval; this is
+part of the §8 LLM-pipeline surface (SURVEY.md §8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType
+
+_SCALE = 1_000_000
+
+
+def _tokenize_expr(col: str):
+    """Lowercased whitespace tokens with empties dropped — the corpus.py
+    tokenization convention (term_frequencies / tfidf_top_terms), as a
+    filtered-array expression so length and explode share one pass."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Driver-side twin of :func:`_tokenize_expr` for query strings."""
+    return [t for t in text.strip().lower().split() if t != ""]
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    max_queries: int = 256,
+    barrier: bool = True,
+) -> DataFrame:
+    """Top-k documents per query by BM25: (query_id, doc_id, bm25, rank).
+
+    Scoring uses the Lucene-style always-positive idf,
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(q, d) = sum over distinct terms t of q that occur in d of
+                  idf(t) * tf * (k1 + 1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with N = number of documents with at least one token, dl = token count
+    of d, avgdl = mean dl.  Query term FREQUENCY is deliberately ignored
+    (distinct query terms — the common short-query simplification; repeat
+    a term across queries, not within one, if you want to weight it).
+    Documents sharing no term with a query are absent from that query's
+    ranking (standard BM25 — they all score an identical 0).
+
+    Per-term contributions are rounded to 1e-6 and summed as integers
+    (order-free, exact); ``bm25`` is that integer sum / 1e6 and ``rank``
+    breaks score ties by ascending doc id — fully deterministic and
+    DuckDB-replayable.  ``barrier=True`` (default) puts a lazy
+    localCheckpoint under the query-matched term slice so its two
+    consumers (document frequencies, scoring) do not re-tokenize the
+    corpus; pass False to keep a pure plan (e.g. under an outer barrier).
+    """
+    q_rows = queries.select(query_id_col, query_text_col).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"bm25_topk collected more than max_queries={max_queries} "
+            "query rows; raise max_queries explicitly or batch the query "
+            "load across calls"
+        )
+    pairs = sorted(
+        {
+            (r[query_id_col], t)
+            for r in q_rows
+            if r[query_text_col] is not None
+            for t in _py_tokens(r[query_text_col])
+        }
+    )
+    spark = df.sparkSession
+    qt = queries.schema[query_id_col].dataType
+    if not pairs:
+        # schema-stable empty result (the pq.py _empty_topk convention):
+        # query_id keeps the queries frame's own type category
+        qid_type = "string" if isinstance(qt, StringType) else "long"
+        return df.select(F.col(id_col)).filter(F.lit(False)).select(
+            F.lit(None).cast(qid_type).alias(query_id_col),
+            id_col,
+            F.lit(0.0).alias("bm25"),
+            F.lit(0).cast("long").alias("rank"),
+        )
+    qid_type = StringType() if isinstance(qt, StringType) else LongType()
+    from pyspark.sql.types import StructField, StructType
+
+    qpairs = spark.createDataFrame(
+        [(q, t) for q, t in pairs],
+        StructType(
+            [
+                StructField(query_id_col, qid_type, False),
+                StructField("term", StringType(), False),
+            ]
+        ),
+    )
+    qterms = qpairs.select("term").distinct()
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        _tokenize_expr(text_col).alias("_terms"),
+    ).select(
+        "_id",
+        F.size("_terms").alias("_dl"),
+        F.explode("_terms").alias("term"),
+    )
+    # _dl is constant per _id; max() recovers it through the aggregate so
+    # the scoring path needs NO separate doc-length join or second scan
+    tf = toks.groupBy("_id", "term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")
+    )
+    tf_q = tf.join(F.broadcast(qterms), "term")
+    if barrier:
+        # two consumers below; without the barrier each would re-derive
+        # the corpus tokenize (the curate.py phase-barrier lesson).  The
+        # slice is small by contract: docs matching the bounded query set.
+        tf_q = tf_q.localCheckpoint(eager=False)
+    dfreq = tf_q.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+
+    # one-row corpus stats from a slim (id, text) scan — never joined
+    # per-row, broadcast as a single-row frame (corpus.py scalar-join
+    # convention)
+    stats = (
+        df.select(F.size(_tokenize_expr(text_col)).alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_dl").alias("_total"),
+        )
+    )
+
+    contrib = (
+        tf_q.join(F.broadcast(qpairs), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            "_id",
+            F.round(
+                F.lit(float(_SCALE))
+                * F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + F.lit(0.5))
+                    / (F.col("_df") + F.lit(0.5))
+                )
+                * (F.col("_tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("_dl")
+                        / (F.col("_total").cast("double") / F.col("_n"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("_c6"),
+        )
+    )
+    scored = contrib.groupBy(query_id_col, "_id").agg(
+        F.sum("_c6").alias("_s6")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_s6").desc(), F.col("_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("_id").alias(id_col),
+            (F.col("_s6") / F.lit(float(_SCALE))).alias("bm25"),
+            "rank",
+        )
+    )

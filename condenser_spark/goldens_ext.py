@@ -3770,3 +3770,68 @@ def ext_curate_linesub(spark: SparkSession, sf_dir: str) -> DataFrame:
         report=False, barrier=False,
     )
     return out.select("doc_id", "text")
+
+
+# ------------------------------------------------------------------ BM25 top-k
+
+_BM25_QUERIES = [(0, "spark shuffle join"), (1, "window aggregate scan"),
+                 (2, "stream batch dedup")]
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def _bm25_topk_sql() -> str:
+    k1, b, k = _BM25_K1, _BM25_B, _BM25_K
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    # literal arithmetic mirrors retrieval.py term for term: ln-then-round
+    # per-term contributions to scaled integers (1e-6), order-free integer
+    # sum, ties by ascending doc id — the ext_quality_logit treatment
+    return rf"""
+    WITH q(query_id, qtext) AS (VALUES {vals}),
+    qt AS (SELECT DISTINCT query_id, tok AS term FROM (
+      SELECT query_id, unnest(string_split(
+        regexp_replace(lower(trim(qtext)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM q) WHERE tok <> ''),
+    toks AS (SELECT doc_id, tok AS term FROM (
+      SELECT doc_id, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      FROM documents) WHERE tok <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+              WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+        CAST(ROUND(1000000.0
+          * LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+          * (tf.tf * {k1 + 1.0!r})
+          / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl.dl
+             / (CAST(stats.total AS DOUBLE) / stats.n)))
+        ) AS BIGINT) AS c6
+      FROM tf JOIN qt USING(term) JOIN dfreq USING(term)
+              JOIN dl USING(doc_id) CROSS JOIN stats),
+    s AS (SELECT query_id, doc_id, SUM(c6) AS s6
+          FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, s6 / 1000000.0 AS bm25,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY s6 DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM s QUALIFY rank <= {k}
+    """
+
+
+@golden("ext_bm25_topk", _bm25_topk_sql())
+def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword top-10 for three literal probe queries over the
+    documents corpus, under the FULL value oracle: per-term contributions
+    ln-then-rounded to scaled integers sum order-free, so score AND rank
+    replay exactly in DuckDB — the sparse-retrieval half of hybrid search
+    and the targeted-decontamination probe primitive
+    (condenser_spark/functions/retrieval.py:bm25_topk).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.retrieval import bm25_topk
+
+    docs = _tables(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query"])
+    return bm25_topk(docs, qdf, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)

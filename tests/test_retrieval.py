@@ -1,0 +1,141 @@
+"""BM25 retrieval: hand-computed ranking, determinism, edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.retrieval import bm25_topk
+
+
+def _mk_docs(spark):
+    # 4 docs, known token counts.  "apple" is rare (2 docs), "the" is
+    # everywhere; doc 2 is long so length normalization penalizes it.
+    rows = [
+        (0, "apple pie recipe"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "apple " + "filler " * 20 + "apple"),
+        (3, "the recipe collection"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bm25_ref(tf, df, dl, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    c = idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    return round(c * 1e6) / 1e6
+
+
+def test_bm25_known_ranking(spark):
+    docs = _mk_docs(spark)
+    qdf = spark.createDataFrame([(7, "apple recipe")], ["query_id", "query"])
+    got = bm25_topk(docs, qdf, k=4).orderBy("rank").collect()
+    # docs 0, 2, 3 match; doc 1 shares no term and must be absent
+    assert [r.doc_id for r in got].count(1) == 0
+    assert len(got) == 3
+    # reference scores: N=4 token-bearing docs, dl = 3, 9, 22, 3
+    n, avgdl = 4, (3 + 9 + 22 + 3) / 4
+    s0 = _bm25_ref(1, 2, 3, n, avgdl) + _bm25_ref(1, 2, 3, n, avgdl)
+    s2 = _bm25_ref(2, 2, 22, n, avgdl)
+    s3 = _bm25_ref(1, 2, 3, n, avgdl)
+    by_id = {r.doc_id: r.bm25 for r in got}
+    assert by_id[0] == pytest.approx(s0, abs=2e-6)
+    assert by_id[2] == pytest.approx(s2, abs=2e-6)
+    assert by_id[3] == pytest.approx(s3, abs=2e-6)
+    # both-term short doc first; length normalization drops the long doc
+    # with the repeated rare term below the short single-term doc
+    assert [r.doc_id for r in got] == [0, 3, 2]
+    assert [r.doc_id for r in got] == sorted(
+        by_id, key=lambda d: (-by_id[d], d)
+    )
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_bm25_barrier_off_equal(spark):
+    docs = _mk_docs(spark)
+    qdf = spark.createDataFrame(
+        [(0, "apple"), (1, "the recipe")], ["query_id", "query"]
+    )
+    a = bm25_topk(docs, qdf, k=3, barrier=True).collect()
+    c = bm25_topk(docs, qdf, k=3, barrier=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
+
+
+def test_bm25_query_terms_distinct(spark):
+    """Repeating a term WITHIN one query must not double its weight."""
+    docs = _mk_docs(spark)
+    q1 = spark.createDataFrame([(0, "apple")], ["query_id", "query"])
+    q2 = spark.createDataFrame([(0, "apple apple")], ["query_id", "query"])
+    assert sorted(map(tuple, bm25_topk(docs, q1, k=4).collect())) == sorted(
+        map(tuple, bm25_topk(docs, q2, k=4).collect())
+    )
+
+
+def test_bm25_empty_queries_schema(spark):
+    docs = _mk_docs(spark)
+    empty = spark.createDataFrame([], "query_id long, query string")
+    out = bm25_topk(docs, empty, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "doc_id", "bm25", "rank",
+    ]
+    populated = bm25_topk(
+        docs,
+        spark.createDataFrame([(0, "apple")], ["query_id", "query"]),
+        k=3,
+    )
+    assert [
+        (f.name, f.dataType.simpleString()) for f in out.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in populated.schema.fields]
+
+
+def test_bm25_string_query_ids(spark):
+    docs = _mk_docs(spark)
+    qdf = spark.createDataFrame(
+        [("qa", "apple"), ("qb", "recipe")], ["query_id", "query"]
+    )
+    got = bm25_topk(docs, qdf, k=2).collect()
+    assert {r.query_id for r in got} == {"qa", "qb"}
+    empty = spark.createDataFrame([], "query_id string, query string")
+    assert (
+        bm25_topk(docs, empty).schema["query_id"].dataType.simpleString()
+        == "string"
+    )
+
+
+def test_bm25_max_queries_guard(spark):
+    docs = _mk_docs(spark)
+    qdf = spark.createDataFrame(
+        [(i, "apple") for i in range(5)], ["query_id", "query"]
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_topk(docs, qdf, max_queries=4)
+
+
+def test_bm25_empty_text_docs_ignored(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple pie"), (1, "   "), (2, None), (3, "apple")],
+        ["doc_id", "text"],
+    )
+    got = bm25_topk(
+        docs,
+        spark.createDataFrame([(0, "apple")], ["query_id", "query"]),
+        k=4,
+    ).collect()
+    assert {r.doc_id for r in got} == {0, 3}
+    # N excludes token-free docs: idf of "apple" uses N=2, df=2
+    n, avgdl = 2, (2 + 1) / 2
+    assert {r.doc_id: r.bm25 for r in got}[3] == pytest.approx(
+        _bm25_ref(1, 2, 1, n, avgdl), abs=2e-6
+    )
+
+
+def test_bm25_broadcast_plan(spark):
+    """The query-term joins must broadcast — the corpus side never
+    shuffles for the semi-join."""
+    docs = _mk_docs(spark)
+    qdf = spark.createDataFrame([(0, "apple recipe")], ["query_id", "query"])
+    plan = bm25_topk(docs, qdf, k=3, barrier=False)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
