@@ -439,6 +439,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timed("curate_small", _curate_small)
 
+    from condenser_spark.functions.retrieval import bm25_topk
+
+    _bm_queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lorem ipsum dolor"),
+         (2, "data"), (3, "spark parquet shuffle")],
+        ["query_id", "query"])
+    timed("bm25_topk",
+          lambda: bm25_topk(docs, _bm_queries, k=10).count())
+
     return timings, noise
 
 

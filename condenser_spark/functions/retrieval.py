@@ -25,9 +25,10 @@ The 100 TB shape:
   whole computation carries a full DuckDB value oracle
   (goldens_ext.ext_bm25_topk), the ext_quality_logit treatment.  The
   ln-then-round contract matches the tfidf oracle (goldens_ext.py).
-* Top-k per query is a window partitioned by query_id — queries are few
-  by contract, so the window never concentrates more than one query's
-  matches on a partition.
+* Top-k per query is TWO-PHASE: per-(query, spark-partition) top-k
+  bounds the global ranking window to k * n_partitions candidate rows —
+  a ubiquitous query term ("the") matches the whole corpus, and a naive
+  per-query window would sort every match on one partition.
 
 Reference analogue: the reference engine has no text retrieval; this is
 part of the §8 LLM-pipeline surface (SURVEY.md §8)."""
@@ -41,14 +42,20 @@ from pyspark.sql.types import LongType, StringType
 _SCALE = 1_000_000
 
 
-def _tokenize_expr(col: str):
-    """Lowercased whitespace tokens with empties dropped — the corpus.py
-    tokenization convention (term_frequencies / tfidf_top_terms), as a
-    filtered-array expression so length and explode share one pass."""
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
-        lambda x: x != "",
+def _token_cols(col: str):
+    """(token_count, token_array) columns for lowercased whitespace
+    tokens — same token set as the corpus.py convention
+    (term_frequencies / tfidf_top_terms) but built from codegen'd
+    builtins only: whitespace-NORMALIZE then split, so the array holds
+    exactly the nonempty tokens and ``size`` is the document length with
+    no interpreted array-HOF in the corpus hot path (the STRESS.md
+    stage-10 lesson).  Empty/whitespace-only/NULL text yields count 0."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+    arr = F.split(norm, " ")
+    dl = F.when(norm == "", F.lit(0)).otherwise(
+        F.coalesce(F.size(arr), F.lit(0))
     )
+    return dl, arr
 
 
 def _py_tokens(text: str) -> list[str]:
@@ -135,20 +142,25 @@ def bm25_topk(
     )
     qterms = qpairs.select("term").distinct()
 
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        _tokenize_expr(text_col).alias("_terms"),
-    ).select(
-        "_id",
-        F.size("_terms").alias("_dl"),
-        F.explode("_terms").alias("term"),
+    dl_expr, arr_expr = _token_cols(text_col)
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            dl_expr.alias("_dl"),
+            arr_expr.alias("_terms"),
+        )
+        .filter(F.col("_dl") > 0)
+        .select("_id", "_dl", F.explode("_terms").alias("term"))
     )
-    # _dl is constant per _id; max() recovers it through the aggregate so
-    # the scoring path needs NO separate doc-length join or second scan
-    tf = toks.groupBy("_id", "term").agg(
-        F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")
+    # the broadcast query-term semi-join sits BELOW the tf aggregate: the
+    # shuffle carries only query-matched (doc, term) rows, not the corpus
+    # vocabulary.  _dl is constant per _id; max() recovers it through the
+    # aggregate so the scoring path needs NO doc-length join or second scan
+    tf_q = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl"))
     )
-    tf_q = tf.join(F.broadcast(qterms), "term")
     if barrier:
         # two consumers below; without the barrier each would re-derive
         # the corpus tokenize (the curate.py phase-barrier lesson).  The
@@ -160,7 +172,7 @@ def bm25_topk(
     # per-row, broadcast as a single-row frame (corpus.py scalar-join
     # convention)
     stats = (
-        df.select(F.size(_tokenize_expr(text_col)).alias("_dl"))
+        df.select(dl_expr.alias("_dl"))
         .filter(F.col("_dl") > 0)
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -201,11 +213,26 @@ def bm25_topk(
     scored = contrib.groupBy(query_id_col, "_id").agg(
         F.sum("_c6").alias("_s6")
     )
+    # two-phase top-k: a ubiquitous query term matches the whole corpus,
+    # so a single window per query would sort every match on one
+    # partition.  Per-(query, spark-partition) top-k first bounds the
+    # global window to k * n_partitions candidates — exact (the global
+    # top-k is contained in the union of per-partition top-ks; the
+    # (score desc, id asc) total order makes both phases deterministic).
+    w_local = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.col("_s6").desc(), F.col("_id").asc()
+    )
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("_s6").desc(), F.col("_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             query_id_col,

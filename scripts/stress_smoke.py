@@ -1278,6 +1278,88 @@ def stage_dedup_lines(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_bm25(spark, n_docs: int = 5_000_000) -> dict:
+    """BM25 top-k at 5M docs with the two worst shapes at once: a rare
+    planted term ("needle", every 1000th doc, tf cycling 1..3) and a
+    UBIQUITOUS term ("haystack", df = 5M — the whole corpus matches, the
+    case the two-phase top-k exists for: a naive per-query window would
+    sort 5M matched rows on one partition).  Every doc is exactly 8
+    tokens, so length normalization cancels and the exact top-10 is
+    closed-form: for "needle haystack" the tf-3 planted docs (ids
+    2000 + 3000j) in id order; for "haystack" all 5M docs tie and ids
+    0..9 win.  Scores are asserted against a driver-side float mirror of
+    the scaled-integer contribution formula to 2e-6."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.retrieval import bm25_topk
+
+    path = f"{WORK}/bm25_docs"
+    planted = F.col("id") % 1000 == 0
+    tfv = F.when(planted, (F.floor(F.col("id") / 1000) % 3 + 1)).otherwise(
+        F.lit(0)
+    ).cast("int")
+    fillers = F.transform(
+        F.sequence(F.lit(1), F.lit(7) - tfv),
+        lambda j: F.md5(
+            F.concat(F.col("id").cast("string"), F.lit("-"), j.cast("string"))
+        ),
+    )
+    text = F.concat_ws(
+        " ",
+        F.lit("haystack"),
+        F.concat_ws(" ", F.array_repeat(F.lit("needle"), tfv)),
+        F.concat_ws(" ", fillers),
+    )
+    # the zero-needle branch leaves an empty concat_ws segment; collapse
+    # the doubled space so every doc is exactly 8 whitespace tokens
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.regexp_replace(text, "  ", " ").alias("text"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+
+    qdf = spark.createDataFrame(
+        [(0, "needle haystack"), (1, "haystack")], ["query_id", "query"]
+    )
+    t0 = time.time()
+    rows = bm25_topk(docs, qdf, k=10).orderBy("query_id", "rank").collect()
+    wall = time.time() - t0
+
+    k1, b = 1.2, 0.75
+    n, avgdl, dl = n_docs, 8.0, 8
+
+    def c6(tf, df):
+        return round(
+            1e6
+            * math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+        )
+
+    df_needle = n_docs // 1000
+    q0 = [r for r in rows if r.query_id == 0]
+    q1 = [r for r in rows if r.query_id == 1]
+    assert [r.doc_id for r in q0] == [2000 + 3000 * j for j in range(10)], q0
+    assert [r.doc_id for r in q1] == list(range(10)), q1
+    e0 = (c6(3, df_needle) + c6(1, n_docs)) / 1e6
+    e1 = c6(1, n_docs) / 1e6
+    assert all(abs(r.bm25 - e0) <= 2e-6 for r in q0), (q0[0].bm25, e0)
+    assert all(abs(r.bm25 - e1) <= 2e-6 for r in q1), (q1[0].bm25, e1)
+    return {
+        "stage": "bm25_5m",
+        "n_docs": n_docs,
+        "ubiquitous_term_matches": n_docs,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def stage_langid_stream_cost(spark, n_docs: int = 1_000_000) -> dict:
     """The stateless langid form priced against the batch form at 1M docs
     (the repo rule: any per-row higher-order function in a shipped
@@ -1412,6 +1494,7 @@ def main() -> int:
         "exact_substring": lambda: stage_exact_substring(spark),
         "dedup_lines": lambda: stage_dedup_lines(spark),
         "langid_stream_cost": lambda: stage_langid_stream_cost(spark),
+        "bm25": lambda: stage_bm25(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -374,3 +374,28 @@ def test_exact_substring_linear_shuffles_no_cartesian(spark, source):
     final = plan.split("== Initial Plan ==")[0]
     id_exchanges = re.findall(r"Exchange hashpartitioning\(id", final)
     assert len(id_exchanges) <= 2, final
+
+
+def test_bm25_broadcast_only_pruned_scan_map_side_tf(spark, source):
+    """bm25_topk's promised shape: every query-side join is broadcast (the
+    corpus never shuffles to meet the bounded query set), the (doc, term)
+    tf aggregate is map-side combined before its exchange, no per-row
+    Python, and the corpus scan prunes to (doc_id, text)."""
+    from condenser_spark.functions.retrieval import bm25_topk
+
+    qdf = spark.createDataFrame(
+        [(0, "spark join"), (1, "window scan")], ["query_id", "query"])
+    plan = _executed(
+        bm25_topk(source["documents"].filter("doc_id < 200"), qdf, k=5,
+                  barrier=False))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
+    assert "partial_count" in plan, plan
+    scan = [l for l in plan.splitlines()
+            if "FileScan" in l and "documents" in l][0]
+    for unneeded in ("lang", "source", "n_chars"):
+        assert unneeded not in scan, f"scan reads pruned column: {scan}"
