@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_lines",
         "ext_curate_linesub",
         "ext_bm25_topk",
+        "ext_contamination_fraction",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

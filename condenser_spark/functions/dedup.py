@@ -771,6 +771,68 @@ def decontaminate(
     return train.join(flagged, on=id_col, how="left_anti")
 
 
+def contamination_fraction(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom: ShingleBloom | None = None,
+) -> DataFrame:
+    """Per-train-document contamination SCORE: (id, n_shingles,
+    n_contaminated, contamination_frac) where ``contamination_frac`` is the
+    fraction of the document's distinct word ``n``-grams that occur anywhere
+    in the eval corpus — the graded "dirty document" metric of the GPT-3 /
+    PaLM contamination appendices (they split evals at a fraction threshold;
+    :func:`decontaminate`'s ``min_shared`` is the absolute-count cousin).
+    Every train document gets a row; docs with fewer than ``n`` tokens score
+    (0, 0, 0.0).
+
+    Plan shape: the denominator is a pure per-doc aggregate of the shingle
+    rows (no join — map-side combined count on the id-partitioned shingling
+    output); the numerator semi-joins the eval corpus's distinct shingles
+    (the small side by contract — AQE broadcasts it) and counts per doc.
+    Passing a prebuilt ``bloom`` (:func:`build_shingle_bloom`) prunes the
+    numerator's join input with the broadcast membership probe before its
+    shuffle — the :func:`contamination_pairs_bloom` scale path; output is
+    EXACTLY equal either way because the semi join removes false positives
+    and the denominator never sees the probe.
+
+    All cross-engine arithmetic stays exact: the two counts are integers and
+    the fraction is a SINGLE ieee double division of those integers, so the
+    DuckDB oracle reproduces it bit-for-bit (the goldens_ext convention)."""
+    if bloom is not None and bloom.n != n:
+        raise ValueError(
+            f"bloom was built for n={bloom.n} shingles, called with n={n}")
+    tr = _shingle_rows(train, n, text_col, id_col)
+    denom = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ev = (
+        _shingle_rows(eval_df, n, text_col, id_col)
+        .select("shingle").distinct()
+    )
+    num_in = tr if bloom is None else _bloom_probe(tr, bloom)
+    numer = (
+        num_in.join(ev, on="shingle", how="left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(denom, on="id", how="left")
+        .join(numer, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles"),
+            ).otherwise(F.lit(0.0)).alias("contamination_frac"),
+        )
+    )
+
+
 def _bloom_geometry(n_items: int, fp_rate: float, max_bits: int):
     """(m_bits, k_hashes) for a Bloom filter sized to ``fp_rate`` over
     ``n_items`` keys, clamped to ``max_bits``.  Standard formulas:
@@ -909,6 +971,48 @@ def build_shingle_bloom(
     return ShingleBloom(bits, m, k, n)
 
 
+def _bloom_probe(df: DataFrame, bloom: ShingleBloom,
+                 shingle_col: str = "shingle") -> DataFrame:
+    """Filter ``df`` to rows whose ``shingle_col`` value MIGHT be in
+    ``bloom`` — the vectorized Arrow-batched Kirsch-Mitzenmacher double-hash
+    membership probe shared by every Bloom-pruned operator.  No false
+    negatives, so an exact join downstream restores exactness; survival is a
+    deterministic function of the shingle VALUE, so per-shingle row sets and
+    document frequencies are preserved for survivors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, k = bloom.m, bloom.k
+    # broadcast once per (bloom, SparkContext) — cached on the object so the
+    # amortized many-shards pattern doesn't leak a 256 MiB broadcast per call
+    bcast = bloom.broadcast_on(df.sparkSession.sparkContext)
+    mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
+
+    # no signature hints: module-wide `from __future__ import annotations`
+    # turns them into strings pandas_udf's eval-type inference cannot resolve
+    # for locally-imported names, so the return type is passed explicitly
+    # (same pattern as similarity._srp_buckets_batch)
+    def _might_contain(h1, h2):
+        blm = bcast.value
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % mu
+            byte = blm[(pos >> three).astype(np.int64)]
+            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    might_contain = pandas_udf(_might_contain, "boolean")
+    return (
+        df.withColumn("_h1", F.xxhash64(F.col(shingle_col)))
+        .withColumn("_h2", F.xxhash64(F.col(shingle_col), F.lit("bloom-h2")))
+        .filter(might_contain(F.col("_h1"), F.col("_h2")))
+        .drop("_h1", "_h2")
+    )
+
+
 def contamination_pairs_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -956,10 +1060,6 @@ def contamination_pairs_bloom(
     JVM-side version of this trick for generic joins; this operator exists
     so the prune is guaranteed (not cost-based), sized explicitly, and
     applied before the document-frequency aggregate as well as the join."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     ev = _shingle_rows(eval_df, n, text_col, id_col).withColumnRenamed(
         "id", "eval_id")
     if bloom is None:
@@ -976,36 +1076,10 @@ def contamination_pairs_bloom(
         return contamination_pairs(
             train, eval_df, n, min_shared, max_shingle_df, text_col, id_col
         ).filter(F.lit(False))
-    m, k = bloom.m, bloom.k
-    # broadcast once per (bloom, SparkContext) — cached on the object so the
-    # amortized many-shards pattern doesn't leak a 256 MiB broadcast per call
-    bcast = bloom.broadcast_on(train.sparkSession.sparkContext)
-    mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
-
-    # no signature hints: module-wide `from __future__ import annotations`
-    # turns them into strings pandas_udf's eval-type inference cannot resolve
-    # for locally-imported names, so the return type is passed explicitly
-    # (same pattern as similarity._srp_buckets_batch)
-    def _might_contain(h1, h2):
-        blm = bcast.value
-        a = h1.to_numpy().astype(np.uint64)
-        b = h2.to_numpy().astype(np.uint64)
-        ok = np.ones(len(a), dtype=bool)
-        for i in range(k):
-            pos = (a + np.uint64(i) * b) % mu
-            byte = blm[(pos >> three).astype(np.int64)]
-            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1).astype(bool)
-        return pd.Series(ok)
-
-    might_contain = pandas_udf(_might_contain, "boolean")
-
-    tr = (
+    tr = _bloom_probe(
         _shingle_rows(train, n, text_col, id_col)
-        .withColumnRenamed("id", "train_id")
-        .withColumn("_h1", F.xxhash64(F.col("shingle")))
-        .withColumn("_h2", F.xxhash64(F.col("shingle"), F.lit("bloom-h2")))
-        .filter(might_contain(F.col("_h1"), F.col("_h2")))
-        .drop("_h1", "_h2")
+        .withColumnRenamed("id", "train_id"),
+        bloom,
     )
     if max_shingle_df is not None:
         hot = (

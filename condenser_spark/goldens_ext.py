@@ -1407,6 +1407,59 @@ def ext_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @golden(
+    "ext_contamination_fraction",
+    f"""
+    WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    tr_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 30
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id < 10
+    ),
+    ev_sh AS ({_shingle_sql('ev_docs')}),
+    tr_sh AS ({_shingle_sql('tr_docs')}),
+    denom AS (SELECT id, COUNT(*) AS n_shingles FROM tr_sh GROUP BY id),
+    numer AS (
+      SELECT id, COUNT(*) AS n_contaminated FROM tr_sh
+      WHERE shingle IN (SELECT shingle FROM ev_sh)
+      GROUP BY id
+    )
+    SELECT d.doc_id,
+           COALESCE(dn.n_shingles, 0) AS n_shingles,
+           COALESCE(nm.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(dn.n_shingles, 0) > 0
+                THEN COALESCE(nm.n_contaminated, 0) / dn.n_shingles
+                ELSE 0.0 END AS contamination_frac
+    FROM tr_docs d
+    LEFT JOIN denom dn ON d.doc_id = dn.id
+    LEFT JOIN numer nm ON d.doc_id = nm.id
+    """,
+)
+def ext_contamination_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded per-document contamination score through the BLOOM-pruned
+    numerator path (condenser_spark/functions/dedup.py:
+    contamination_fraction): the 10 verbatim eval clones planted at
+    doc_id+500000 must score frac 1.0 and every count/fraction must equal
+    the exact SQL — the oracle is the EXACT metric, so the hash-match proves
+    the probe-pruned numerator bitwise-equal to the unpruned operator (the
+    ext_decontaminate_bloom treatment).  The fraction is a single ieee
+    double division of two exact integers, reproduced bit-for-bit by
+    DuckDB's float `/`."""
+    from condenser_spark.functions.dedup import (
+        build_shingle_bloom,
+        contamination_fraction,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    ev = docs.filter("doc_id < 30").select("doc_id", "text")
+    tr = docs.filter("doc_id >= 30").select("doc_id", "text").unionByName(
+        docs.filter("doc_id < 10").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text")
+    )
+    bloom = build_shingle_bloom(ev, n=8)
+    return contamination_fraction(tr, ev, n=8, bloom=bloom)
+
+
+@golden(
     "ext_decontaminate_bloom",
     f"""
     WITH ev_docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),

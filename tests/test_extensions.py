@@ -292,6 +292,59 @@ def test_contamination_min_shared_threshold(spark):
     assert contamination_pairs(train, evals, n=4, min_shared=2).count() == 0
 
 
+def test_contamination_fraction_semantics(spark):
+    """Crafted counts: distinct-shingle denominator, eval-hit numerator, a
+    sub-n-token doc scoring (0, 0, 0.0), and a verbatim clone at 1.0."""
+    from condenser_spark.functions.dedup import contamination_fraction
+
+    bench = "a b c d e f"
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d x"),       # shingles: "a b c d", "b c d x" -> 1 hit
+            (2, bench),             # verbatim -> all 3 shingles hit
+            (3, "x y z"),           # < n tokens -> no shingles
+            (4, "p q r s t u v"),   # nothing shared
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame([(9, bench)], "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_frac)
+        for r in contamination_fraction(train, evals, n=4).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (3, 3, 1.0),
+        3: (0, 0, 0.0),
+        4: (4, 0, 0.0),
+    }
+
+
+def test_contamination_fraction_bloom_path_exact(spark, source):
+    """The Bloom-pruned numerator scores every document identically to the
+    plain operator (probe false positives die in the exact semi join; the
+    denominator never sees the probe), even at an absurd fp_rate."""
+    from condenser_spark.functions.dedup import (
+        build_shingle_bloom,
+        contamination_fraction,
+    )
+
+    docs = source["documents"].filter("doc_id < 200")
+    ev = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    tr = docs.filter("doc_id % 10 != 0").select("doc_id", "text")
+    plain = contamination_fraction(tr, ev, n=6)
+    bloom = build_shingle_bloom(ev, n=6, fp_rate=0.5)
+    pruned = contamination_fraction(tr, ev, n=6, bloom=bloom)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, pruned.collect()))
+    assert a == b and len(a) == tr.count()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n=6"):
+        contamination_fraction(tr, ev, n=8, bloom=bloom)
+
+
 def test_bloom_decontamination_matches_exact(spark, source):
     """The Bloom-pruned path is an optimization, not an approximation: on the
     real documents fixture (train = 90% of docs, eval = the other 10%) its
