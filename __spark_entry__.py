@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_linesub",
         "ext_bm25_topk",
         "ext_contamination_fraction",
+        "ext_bpe_roundtrip",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

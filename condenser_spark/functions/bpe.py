@@ -301,3 +301,29 @@ def encode_bpe(
         F.coalesce(F.size(out_col), F.lit(0)).cast("long")
         .alias("n_bpe_tokens"),
     )
+
+
+def decode_bpe(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Inverse of :func:`encode_bpe`: rebuild each document's text from its
+    BPE token sequence, appended as ``out_col`` (all other columns pass
+    through).  Pure JVM builtins — concatenate the tokens (merging never
+    loses characters, so the concatenation is exactly the original word
+    sequence with one ``</w>`` sentinel per word) and turn each sentinel
+    into a space, trimming the trailing one.
+
+    decode_bpe(encode_bpe(df, merges)) reproduces the TOKENIZER-NORMALIZED
+    text — ``lower``-cased, whitespace collapsed to single spaces, outer
+    whitespace trimmed — for ANY merge list, learned or not (the roundtrip
+    golden ext_bpe_roundtrip pins this against a DuckDB oracle that never
+    sees the tokenizer).  Caveat, as for every ``</w>``-sentinel BPE
+    (GPT-2's byte-level scheme differs exactly here): a document whose TEXT
+    contains the literal string ``</w>`` decodes that substring to a space,
+    since it is indistinguishable from the sentinel after concatenation."""
+    joined = F.concat_ws("", F.col(tokens_col))
+    return df.withColumn(
+        out_col, F.rtrim(F.replace(joined, F.lit(END), F.lit(" ")))
+    )

@@ -3888,3 +3888,41 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query"])
     return bm25_topk(docs, qdf, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+# ------------------------------------------------------------ BPE roundtrip
+
+# any merge list yields an exact roundtrip (merging never loses characters);
+# this one exercises char-char merges, END-sentinel merges, and chained
+# merges of earlier merge outputs
+_ROUNDTRIP_MERGES = [
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"), ("an", "d"),
+    ("and", "</w>"), ("i", "n"), ("o", "f"), ("s", "e</w>"), ("in", "g"),
+]
+
+
+@golden(
+    "ext_bpe_roundtrip",
+    """
+    SELECT doc_id,
+           COALESCE(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    '') AS decoded_text
+    FROM documents
+    """,
+)
+def ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_bpe(encode_bpe(docs)) over the full documents table under a
+    FULL value oracle that never sees the tokenizer: the oracle is just the
+    tokenizer-normalized text, so the hash-match proves the whole
+    explode -> distinct-word Python merge loop -> rejoin -> position-sorted
+    reassembly -> sentinel decode chain loses NOTHING, for merges spanning
+    char-char, END-sentinel, and chained cases
+    (condenser_spark/functions/bpe.py:encode_bpe,decode_bpe).  This is the
+    detokenization half the reference's test strategy would call a
+    roundtrip property, held to oracle strength."""
+    from condenser_spark.functions.bpe import decode_bpe, encode_bpe
+
+    docs = _tables(spark, sf_dir)["documents"]
+    enc = encode_bpe(docs.select("doc_id", "text"),
+                     merges=_ROUNDTRIP_MERGES)
+    return decode_bpe(enc).select("doc_id", "decoded_text")

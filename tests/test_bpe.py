@@ -127,3 +127,49 @@ def test_train_bpe_distributed_no_vocab_cap(spark, monkeypatch):
         bpe.train_bpe(df, n_merges=5)
     merges = bpe.train_bpe_distributed(df, n_merges=5)
     assert len(merges) == 5
+
+
+def test_decode_bpe_roundtrips_trained_merges(spark, source):
+    """decode(encode(docs)) == tokenizer-normalized text with LEARNED merges
+    on the real fixture (the golden pins a fixed merge list; this pins the
+    train->encode->decode chain), plus the empty/whitespace/missing-token
+    edge rows."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.bpe import (
+        decode_bpe,
+        encode_bpe,
+        train_bpe,
+    )
+
+    docs = source["documents"].filter(F.col("doc_id") < 80).select(
+        "doc_id", "text")
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "   "), (9003, "  Mixed   CASE\ttabs \n lines ")],
+        "doc_id long, text string")
+    corpus = docs.unionByName(extra)
+    merges = train_bpe(corpus, n_merges=40)
+    out = decode_bpe(encode_bpe(corpus, merges))
+    norm = F.coalesce(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+        F.lit(""))
+    mismatches = (
+        corpus.select("doc_id", norm.alias("want"))
+        .join(out.select("doc_id", "decoded_text"), "doc_id")
+        .filter(F.col("want") != F.col("decoded_text"))
+    )
+    assert mismatches.count() == 0
+    got = {r.doc_id: r.decoded_text
+           for r in out.filter("doc_id >= 9000").collect()}
+    assert got == {9001: "", 9002: "", 9003: "mixed case tabs lines"}
+
+
+def test_decode_bpe_sentinel_caveat_is_the_documented_one(spark):
+    """A literal </w> inside the TEXT decodes to a space — the documented
+    sentinel ambiguity, pinned so a future escaping change is deliberate."""
+    from condenser_spark.functions.bpe import decode_bpe, encode_bpe
+
+    df = spark.createDataFrame(
+        [(1, "a</w>b c")], "doc_id long, text string")
+    out = decode_bpe(encode_bpe(df, merges=[])).head()
+    assert out.decoded_text == "a b c"
