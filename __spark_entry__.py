@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bm25_topk",
         "ext_contamination_fraction",
         "ext_bpe_roundtrip",
+        "ext_collocation_scores",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

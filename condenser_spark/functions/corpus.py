@@ -110,6 +110,69 @@ def term_frequencies(
     )
 
 
+def collocation_scores(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information over the corpus:
+    (term_a, term_b, n_pair, pmi) for every ordered token bigram occurring
+    at least ``min_count`` times — the classic collocation detector
+    (Church & Hanks 1990): pmi = ln(p(ab) / (p(a) p(b))) with p from
+    occurrence counts, positive for pairs gluing together ("new york")
+    and negative for pairs co-occurring less than chance.
+
+    Plan shape at scale: one id-partitioned window builds the bigram
+    stream (the shingling partitioning), then everything is counting —
+    pair and unigram aggregates are map-side combined so their shuffles
+    are vocabulary-sized, the two unigram joins ride AQE (broadcast when
+    the vocab is small), and the corpus totals arrive as a one-row
+    broadcast (the scalar-join convention).  No collects, no Python.
+
+    Cross-engine exactness: counts are exact integers; pmi applies ONE
+    fixed double expression tree to them and rounds to 6 decimals — the
+    tfidf_top_terms ln-then-round contract, replayed by the DuckDB oracle
+    bit-for-bit.  n_bigrams is derived exactly as
+    n_tokens - n_nonempty_docs (each doc with >= 1 token contributes
+    len - 1 bigrams)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(_norm_tokens(text_col)).alias("_pos", "term"),
+    ).filter(F.col("term") != "")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    bi = toks.select(
+        F.col("term").alias("term_a"),
+        F.lead("term", 1).over(w).alias("term_b"),
+    ).filter(F.col("term_b").isNotNull())
+    pair = (
+        bi.groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("_n_tok"),
+        F.countDistinct("_id").alias("_n_docs"),
+    )
+    scored = (
+        pair
+        .join(uni.select(F.col("term").alias("term_a"),
+                         F.col("_c").alias("_ca")), "term_a")
+        .join(uni.select(F.col("term").alias("term_b"),
+                         F.col("_c").alias("_cb")), "term_b")
+        .crossJoin(F.broadcast(totals))
+    )
+    nu = F.col("_n_tok").cast("double")
+    nb = (F.col("_n_tok") - F.col("_n_docs")).cast("double")
+    pmi = F.round(
+        F.log(F.col("n_pair").cast("double")
+              * nu / F.col("_ca") * nu / F.col("_cb") / nb),
+        6,
+    )
+    return scored.select("term_a", "term_b", "n_pair", pmi.alias("pmi"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

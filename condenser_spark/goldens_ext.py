@@ -3926,3 +3926,59 @@ def ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_bpe(docs.select("doc_id", "text"),
                      merges=_ROUNDTRIP_MERGES)
     return decode_bpe(enc).select("doc_id", "decoded_text")
+
+
+# ----------------------------------------------------------- collocations
+
+_COLLOC_MIN_COUNT = 40
+
+
+@golden(
+    "ext_collocation_scores",
+    f"""
+    WITH toks AS (
+      SELECT id, pos, term FROM (
+        SELECT doc_id AS id, generate_subscripts(tokens, 1) AS pos,
+               unnest(tokens) AS term
+        FROM (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                             'g'), ' ') AS tokens
+          FROM documents
+        )
+      ) WHERE term <> ''
+    ),
+    bi AS (
+      SELECT term AS term_a,
+             lead(term) OVER (PARTITION BY id ORDER BY pos) AS term_b
+      FROM toks
+    ),
+    pair AS (
+      SELECT term_a, term_b, COUNT(*) AS n_pair FROM bi
+      WHERE term_b IS NOT NULL GROUP BY 1, 2
+      HAVING COUNT(*) >= {_COLLOC_MIN_COUNT}
+    ),
+    uni AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT id) AS n_docs
+            FROM toks)
+    SELECT p.term_a, p.term_b, p.n_pair,
+           ROUND(LN(CAST(p.n_pair AS DOUBLE)
+                    * CAST(n_tok AS DOUBLE) / a.c
+                    * CAST(n_tok AS DOUBLE) / b.c
+                    / CAST(n_tok - n_docs AS DOUBLE)), 6) AS pmi
+    FROM pair p
+    JOIN uni a ON p.term_a = a.term
+    JOIN uni b ON p.term_b = b.term
+    CROSS JOIN tot
+    """,
+)
+def ext_collocation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-bigram PMI collocations under the FULL value
+    oracle: exact pair/unigram/total counts feed one fixed double
+    expression tree rounded at 6 decimals (the tfidf ln-then-round
+    contract), so every score replays bit-for-bit in DuckDB
+    (condenser_spark/functions/corpus.py:collocation_scores)."""
+    from condenser_spark.functions.corpus import collocation_scores
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return collocation_scores(docs, min_count=_COLLOC_MIN_COUNT)

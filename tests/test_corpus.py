@@ -418,3 +418,39 @@ def test_temperature_mix_flattens_toward_uniform(spark, source):
              for r in temperature_mix(docs, tau=0.5, source_col="lang")
              .groupBy("lang").count().collect()}
     assert again == flat
+
+
+def test_collocation_scores_hand_computed_pmi(spark):
+    """PMI on a crafted corpus matches the hand mirror of the fixed
+    expression tree, bigrams never cross document boundaries, and
+    min_count prunes."""
+    import math
+
+    from condenser_spark.functions.corpus import collocation_scores
+
+    docs = spark.createDataFrame(
+        [(1, "new york a"), (2, "new york b"), (3, "b a new york")],
+        "doc_id long, text string")
+    rows = collocation_scores(docs, min_count=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # n_tok=10, n_docs=3, n_bigrams=7; c(new)=c(york)=3, c(new york)=3
+    want = round(math.log(3.0 * 10 / 3 * 10 / 3 / 7), 6)
+    assert (r.term_a, r.term_b, r.n_pair, r.pmi) == ("new", "york", 3, want)
+
+    # the rarer pairs appear at min_count=1; the doc1-end->doc2-start pair
+    # ("a", "new") exists only inside doc 3 with count 1 — never synthesized
+    # across documents
+    all_pairs = {(r.term_a, r.term_b): r.n_pair
+                 for r in collocation_scores(docs, min_count=1).collect()}
+    assert all_pairs == {("new", "york"): 3, ("york", "a"): 1,
+                         ("york", "b"): 1, ("a", "new"): 1, ("b", "a"): 1}
+
+
+def test_collocation_scores_empty_and_single_token_docs(spark):
+    from condenser_spark.functions.corpus import collocation_scores
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "solo"), (4, None)],
+        "doc_id long, text string")
+    assert collocation_scores(docs, min_count=1).count() == 0
