@@ -448,6 +448,21 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("bm25_topk",
           lambda: bm25_topk(docs, _bm_queries, k=10).count())
 
+    from condenser_spark.functions.corpus import collocation_scores
+    from condenser_spark.functions.dedup import (
+        build_shingle_bloom,
+        contamination_fraction,
+    )
+
+    _ev = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    _tr = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    _bloom = build_shingle_bloom(_ev, n=8)
+    timed("contamination_fraction",
+          lambda: contamination_fraction(_tr, _ev, n=8, bloom=_bloom)
+          .agg(F.sum("n_contaminated")).collect())
+    timed("collocation_scores",
+          lambda: collocation_scores(docs, min_count=40).count())
+
     return timings, noise
 
 
