@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_contamination_fraction",
         "ext_bpe_roundtrip",
         "ext_collocation_scores",
+        "ext_knn_graph",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -463,6 +463,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("collocation_scores",
           lambda: collocation_scores(docs, min_count=40).count())
 
+    from condenser_spark.functions.similarity import knn_graph
+
+    timed("knn_graph",
+          lambda: knn_graph(emb, k=10, n_centroids=16).count())
+
     return timings, noise
 
 

@@ -830,6 +830,106 @@ def semantic_dedup(
     return df.join(drop, on=id_col, how="left_anti")
 
 
+def knn_graph(
+    df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Corpus SELF-kNN over the embedding space: (vec_id, neighbor_id,
+    cosine_sim, rank) — each vector's k nearest neighbors among its IVF
+    cell, rank 1 = nearest, ties broken (cosine desc, neighbor_id asc) on
+    the 4-dp-rounded cosine so the graph is engine-reproducible.
+
+    This is the UNBOUNDED-query shape the top-k family deliberately
+    refuses (:func:`brute_force_cosine_topk` and the PQ searchers cap
+    ``max_queries`` because they broadcast the query set): here every
+    corpus vector is a query, so the plan must never collect or broadcast
+    vectors.  The SemDeDup trick (Abbas et al. 2023) applies unchanged —
+    coarse k-means cells turn all-pairs O(N²) into Σ per-cell quadratics
+    (:func:`semantic_dup_pairs`'s join shape), and the kNN graph inherits
+    its contract: neighbors OUTSIDE the cell are missed by design, so pick
+    ``n_centroids ~ N / target_cell_size`` for the recall/cost point (a
+    vector whose cell has fewer than k+1 members simply yields fewer
+    rows; a vector alone in its cell yields none).  The graph is the
+    density/prototypicality primitive behind SSL-prototype pruning
+    (Sorscher et al. 2022) and graph-based curation: mean top-k cosine ==
+    local density, degree-after-threshold == redundancy.
+
+    One cell-keyed self-join shuffle; each pair's cosine is computed ONCE
+    and fanned to both orientations with an explode (not a union — a
+    union would re-derive the join subtree twice); the per-node top-k
+    window partitions on vec_id, whose candidate count is bounded by the
+    cell size, so there is no skewed-window hazard to two-phase away.
+    ``max_cell_size`` is the same logged emergency valve as
+    :func:`semantic_dup_pairs`; an empty/degenerate corpus returns an
+    empty frame (per-shard-loop tolerance).  Literal ``centroids=`` is
+    the oracle hook: assignment, pairing, scoring, and ranking all replay
+    in DuckDB (goldens_ext.ext_knn_graph)."""
+    try:
+        idx = ivf_index(
+            df, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+            seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
+            use_arrow=use_arrow,
+        )
+    except ValueError:
+        if centroids is not None:
+            raise
+        return df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine_sim"),
+            F.lit(0).cast("long").alias("rank"),
+        ).filter(F.lit(False))
+    assigned = idx.assigned
+    if max_cell_size is not None:
+        wc = Window.partitionBy("cell").orderBy(F.col("vec_id").asc())
+        capped = assigned.withColumn("_rn", F.row_number().over(wc))
+        if logger.isEnabledFor(logging.INFO):
+            n_dropped = capped.filter(F.col("_rn") > max_cell_size).count()
+            if n_dropped:
+                logger.info(
+                    "knn_graph: cell cap %d dropped %d rows from over-sized "
+                    "cells (their edges are excluded; prefer raising "
+                    "n_centroids)", max_cell_size, n_dropped,
+                )
+        assigned = capped.filter(F.col("_rn") <= max_cell_size).drop("_rn")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("_ida"),
+        F.col("b.vec_id").alias("_idb"),
+        F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
+        .alias("cosine_sim"),
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_ida").alias("vec_id"),
+                         F.col("_idb").alias("neighbor_id")),
+                F.struct(F.col("_idb").alias("vec_id"),
+                         F.col("_ida").alias("neighbor_id")),
+            )
+        ).alias("_e"),
+        "cosine_sim",
+    ).select("_e.vec_id", "_e.neighbor_id", "cosine_sim")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        directed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3982,3 +3982,78 @@ def ext_collocation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tables(spark, sf_dir)["documents"]
     return collocation_scores(docs, min_count=_COLLOC_MIN_COUNT)
+
+
+# ---------------------------------------------------------- corpus self-kNN
+
+_KNN_GRAPH_K = 5
+
+
+@golden(
+    "ext_knn_graph",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cents AS (
+      SELECT cell, e FROM (
+        SELECT e, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+        FROM v
+      ) WHERE cell < 16
+    ),
+    cscore AS (
+      SELECT v.vec_id, s.cell,
+             list_dot_product(v.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM v CROSS JOIN cents s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(av.e, bv.e) /
+                   (sqrt(list_dot_product(av.e, av.e)) *
+                    sqrt(list_dot_product(bv.e, bv.e))), 4) AS cosine_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY vec_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM p QUALIFY rank <= {_KNN_GRAPH_K}
+    """,
+)
+def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-kNN graph (every vector a query — the unbounded-query
+    shape the broadcast top-k family refuses) under the FULL value oracle:
+    in-band md5-ordered literal centroids make the IVF assignment, the
+    within-cell directed pairing, the 4-dp cosine, and the per-node
+    (cosine desc, neighbor asc) ranking all replay bit-for-bit in DuckDB
+    (condenser_spark/functions/similarity.py:knn_graph)."""
+    from condenser_spark.functions.similarity import knn_graph
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    cents = [
+        list(r.e)
+        for r in emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    ]
+    return knn_graph(emb, k=_KNN_GRAPH_K, centroids=cents, use_arrow=False)

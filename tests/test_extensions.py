@@ -662,3 +662,64 @@ def test_ngram_jaccard_cache_toggle_identical(spark):
     b = {(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(
         docs, n=3, threshold=0.3, cache_shingles=False).collect()}
     assert a == b and (1, 2) in {(x, y) for x, y, _ in a}
+
+
+def test_knn_graph_crafted_cells_and_ranking(spark):
+    """Crafted 3-cell geometry: in-cell ranking follows the 4-dp cosine
+    with neighbor-id tie-break, an undersized cell yields fewer than k
+    rows, a lone-cell vector yields none, and the cell cap drops the
+    highest ids."""
+    from condenser_spark.functions.similarity import knn_graph
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cell 0
+        (2, [0.9, 0.1, 0.0, 0.0]),    # cell 0
+        (3, [0.8, 0.2, 0.0, 0.0]),    # cell 0
+        (4, [0.0, 1.0, 0.0, 0.0]),    # cell 1
+        (5, [0.1, 0.9, 0.0, 0.0]),    # cell 1
+        (6, [0.0, 0.0, 1.0, 0.0]),    # cell 2 (alone)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_graph(df, k=2, centroids=cents, use_arrow=False).collect()
+
+    import math
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return round(d / (math.sqrt(sum(x * x for x in u))
+                          * math.sqrt(sum(y * y for y in v))), 4)
+
+    vec = dict(rows)
+    by_node = {}
+    for r in sorted(got, key=lambda r: (r.vec_id, r.rank)):
+        by_node.setdefault(r.vec_id, []).append(
+            (r.neighbor_id, r.cosine_sim, r.rank))
+    assert set(by_node) == {1, 2, 3, 4, 5}  # the lone cell-2 vector absent
+    assert by_node[1] == [(2, cos(vec[1], vec[2]), 1),
+                          (3, cos(vec[1], vec[3]), 2)]
+    assert by_node[2] == [(1, cos(vec[2], vec[1]), 1),
+                          (3, cos(vec[2], vec[3]), 2)]
+    assert by_node[4] == [(5, cos(vec[4], vec[5]), 1)]  # undersized cell
+    assert by_node[5] == [(4, cos(vec[5], vec[4]), 1)]
+
+    capped = knn_graph(df, k=2, centroids=cents, use_arrow=False,
+                       max_cell_size=2)
+    pairs = {(r.vec_id, r.neighbor_id) for r in capped.collect()}
+    # cell 0 keeps its lowest ids {1, 2}; every edge involving 3 is gone
+    assert pairs == {(1, 2), (2, 1), (4, 5), (5, 4)}
+
+
+def test_knn_graph_empty_and_degenerate_corpus(spark):
+    from condenser_spark.functions.similarity import knn_graph
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    out = knn_graph(empty, k=3)
+    assert out.columns == ["vec_id", "neighbor_id", "cosine_sim", "rank"]
+    assert out.count() == 0
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, [0.0, 0.0]), (3, [1.0])],
+        "vec_id long, embedding array<double>")
+    assert knn_graph(degenerate, k=3).count() == 0

@@ -416,3 +416,27 @@ def test_bm25_broadcast_only_pruned_scan_map_side_tf(spark, source):
             if "FileScan" in l and "documents" in l][0]
     for unneeded in ("lang", "source", "n_chars"):
         assert unneeded not in scan, f"scan reads pruned column: {scan}"
+
+
+def test_knn_graph_no_cartesian_python_free_expr_path(spark, source):
+    """The self-kNN graph keeps semantic_dup_pairs' shape promises: the
+    within-cell pairing is an equi-join on the cell (never a cartesian
+    all-pairs), and the literal-centroid expression path runs entirely
+    JVM-side — no Python evaluation stage of any kind."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.similarity import knn_graph
+
+    emb = source["embeddings"]
+    cents = [
+        list(r.e)
+        for r in emb.filter(F.size("embedding") == 64)
+        .select(F.col("embedding").cast("array<double>").alias("e"))
+        .limit(8).collect()
+    ]
+    plan = _executed(knn_graph(emb, k=5, centroids=cents, use_arrow=False))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
