@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_bpe_roundtrip",
         "ext_collocation_scores",
         "ext_knn_graph",
+        "ext_bigram_logprob",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -468,6 +468,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("knn_graph",
           lambda: knn_graph(emb, k=10, n_centroids=16).count())
 
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    def _bigram_lm():
+        uni, bi = train_bigram_lm(docs, vocab_size=4096)
+        return (bigram_score_documents(docs, uni, bi)
+                .agg(F.sum("lm2_logprob4_sum")).collect())
+
+    timed("bigram_lm_score", _bigram_lm)
+
     return timings, noise
 
 

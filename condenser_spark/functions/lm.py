@@ -137,3 +137,190 @@ def lm_score_documents(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         .alias("n_scored_tokens"),
     )
+
+
+def _pos_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _pos, term) positional token rows — the doc-boundary-aware
+    form of ``_tokens`` (adjacent-pair extraction must never pair across
+    documents, and must key on a REAL id column: deriving one with
+    monotonically_increasing_id is the pinned _feature_stream landmine)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                     r"\s+", " "), " ")
+        ).alias("_pos", "term"),
+    ).filter(F.col("term") != "")
+
+
+def train_bigram_lm(
+    df: DataFrame,
+    vocab_size: int = 32_768,
+    lam: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Interpolated bigram LM — the next rung of the CCNet perplexity
+    ladder above :func:`train_unigram_lm` (Wenzek 2020 uses a 5-gram
+    KenLM; Jelinek-Mercer interpolation with a unigram floor is the
+    classical distributed-aggregate-friendly form of the same idea:
+    ``P(w2|w1) = lam * c(w1,w2)/c(w1,.) + (1-lam) * P_uni(w2)``, with
+    ``P_uni`` the Laplace unigram of the unigram trainer, so no
+    probability is ever zero).
+
+    Returns ``(unigram, bigram)``:
+
+    * ``unigram`` — ``(term, logp4, backoff4)``, ``vocab_size + 1`` rows
+      (OOV row included): ``logp4`` is the scaled-integer Laplace unigram
+      log-prob (exactly :func:`train_unigram_lm`'s contract — the
+      first-token term of the chain), ``backoff4 = round(ln((1 - lam) *
+      P_uni(w2)) * 1e4)`` scores any UNOBSERVED bigram ending in ``w2``.
+      Broadcast this side into every scoring join.
+    * ``bigram`` — ``(w1, w2, logp4)``, one row per bigram OBSERVED in
+      the (OOV-mapped) training stream with the full interpolated
+      log-prob.  This side can be large (up to observed-pair count) and
+      joins by SHUFFLE on (w1, w2) — never collected, never broadcast by
+      contract; AQE broadcasts it when it happens to be small.
+
+    Every log-prob is rounded to a scaled INTEGER at train time from one
+    fixed double expression tree, so document sums stay order-free and the
+    DuckDB oracle replays scores bit-for-bit (the lm.py module contract).
+    Tokens outside the top-``vocab_size`` vocabulary (count desc, term asc
+    — deterministic) are mapped to ``OOV_TERM`` BEFORE pair counting, so
+    OOV participates in bigram statistics as a real token; its unigram
+    count is 0 by the unigram trainer's convention."""
+    counts = (
+        _tokens(df, text_col).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()) \
+        .limit(vocab_size)
+    totals = counts.agg(
+        F.sum("c").alias("n_total"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    nv1 = (F.col("n_total")
+           + F.least(F.lit(vocab_size), F.col("n_terms")) + F.lit(1))
+    one_m_lam = F.lit(1.0) - F.lit(lam)
+    # vocab rows carry their Laplace count; the OOV row carries c = 0
+    uni_c = top.select("term", "c").unionByName(
+        totals.select(F.lit(OOV_TERM).alias("term"),
+                      F.lit(0).cast("long").alias("c")))
+    unigram = uni_c.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(F.log((F.col("c") + 1) / nv1) * F.lit(10_000.0))
+        .cast("long").alias("logp4"),
+        F.round(F.log(one_m_lam * ((F.col("c") + 1) / nv1))
+                * F.lit(10_000.0))
+        .cast("long").alias("backoff4"),
+    )
+
+    # OOV-mapped training stream -> per-doc adjacent pairs -> pair counts.
+    # The vocab map join broadcasts (bounded by vocab_size rows); the pair
+    # window shares the shingling family's one id-partitioned shuffle.
+    from pyspark.sql import Window
+
+    mapped = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(top.select("term",
+                                     F.lit(True).alias("_inv"))),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("_inv"), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("term_m"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    pairs = mapped.select(
+        F.lag("term_m", 1).over(w).alias("w1"),
+        F.col("term_m").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    bigram = (
+        c12.join(c1, on="w1")
+        .join(F.broadcast(uni_c.select(F.col("term").alias("w2"),
+                                       F.col("c").alias("c2"))),
+              on="w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2",
+            F.round(
+                F.log(F.lit(lam) * (F.col("c12") / F.col("c1"))
+                      + one_m_lam * ((F.col("c2") + 1) / nv1))
+                * F.lit(10_000.0)
+            ).cast("long").alias("logp4"),
+        )
+    )
+    return unigram, bigram
+
+
+def bigram_score_documents(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``lm2_logprob`` (mean per-token chain log-probability under
+    the :func:`train_bigram_lm` model: the first token contributes its
+    unigram ``logp4``, every following token its interpolated bigram
+    log-prob, with the per-``w2`` ``backoff4`` covering unobserved pairs)
+    plus the exact integers it derives from — ``lm2_logprob4_sum`` and
+    ``n_scored_tokens`` (the :func:`lm_score_documents` contract: pin and
+    aggregate the integers, derive floats at the edge).  Empty docs report
+    (0, 0) and the OOV unigram floor.
+
+    Scale shape: tokenize -> ONE broadcast join against the
+    (vocab+1)-row unigram side (mapping, first-token scores, and backoffs
+    in a single pass) -> one id-partitioned lag window (the shingling
+    shuffle) -> left join the bigram side on (w1, w2) — the only
+    potentially large join, shuffled on the pair key, AQE-broadcast when
+    small -> map-side-combined integer sum per doc -> join scores back."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("bigram_score_documents: unigram frame has no OOV "
+                         "row — build the model with train_bigram_lm")
+    oov_logp4, oov_backoff4 = int(oov_row.logp4), int(oov_row.backoff4)
+
+    from pyspark.sql import Window
+
+    seq = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("logp4").isNotNull(), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("w2"),
+            F.coalesce(F.col("logp4"), F.lit(oov_logp4)).alias("_lp4"),
+            F.coalesce(F.col("backoff4"), F.lit(oov_backoff4))
+            .alias("_bo4"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    chained = seq.select(
+        "_id", "w2", "_lp4", "_bo4",
+        F.lag("w2", 1).over(w).alias("w1"),
+    )
+    contrib = F.when(F.col("w1").isNull(), F.col("_lp4")).otherwise(
+        F.coalesce(F.col("logp4"), F.col("_bo4")))
+    per = (
+        chained.join(bigram, on=["w1", "w2"], how="left")
+        .groupBy("_id")
+        .agg(F.sum(contrib).alias("_s4"), F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed("_id", id_col)
+    )
+    floor = round(oov_logp4 / 10_000.0, 4)
+    return df.join(per, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(
+            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4),
+            F.lit(floor),
+        ).alias("lm2_logprob"),
+        F.coalesce(F.col("_s4"), F.lit(0)).cast("long")
+        .alias("lm2_logprob4_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        .alias("n_scored_tokens"),
+    )

@@ -4057,3 +4057,104 @@ def ext_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return knn_graph(emb, k=_KNN_GRAPH_K, centroids=cents, use_arrow=False)
+
+
+# ------------------------------------------------------- bigram LM scoring
+
+_BIGRAM_V = 16
+_BIGRAM_LAM = 0.9
+
+
+def _bigram_logprob_sql() -> str:
+    """Full train+score mirror of train_bigram_lm/bigram_score_documents:
+    vocab/OOV mapping, per-doc pair extraction, interpolated-bigram and
+    backoff integer log-probs (identical double expression trees), exact
+    integer sums.  The internal OOV sentinel (chr(0)||'oov') only has to be
+    distinct from every real token — output integers are what's compared."""
+    V, lam = _BIGRAM_V, _BIGRAM_LAM
+    nv1 = f"CAST(n_total + LEAST({V}, n_terms) + 1 AS DOUBLE)"
+    return f"""
+    WITH raw AS (
+      SELECT doc_id AS id, generate_subscripts(tokens, 1) AS pos,
+             unnest(tokens) AS term
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS tokens
+        FROM documents
+      )
+    ),
+    toks AS (SELECT * FROM raw WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    totals AS (SELECT SUM(c) AS n_total, COUNT(*) AS n_terms FROM counts),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT {V}),
+    unic AS (SELECT term, c FROM top
+             UNION ALL SELECT chr(0) || 'oov', 0),
+    uni AS (
+      SELECT term,
+             CAST(ROUND(ln((c + 1) / {nv1}) * 10000) AS BIGINT) AS logp4,
+             CAST(ROUND(ln((1.0 - {lam}) * ((c + 1) / {nv1})) * 10000)
+                  AS BIGINT) AS backoff4
+      FROM unic CROSS JOIN totals
+    ),
+    mtok AS (
+      SELECT t.id, t.pos,
+             CASE WHEN tp.term IS NULL THEN chr(0) || 'oov'
+                  ELSE t.term END AS w2
+      FROM toks t LEFT JOIN top tp USING (term)
+    ),
+    prs AS (
+      SELECT lag(w2) OVER (PARTITION BY id ORDER BY pos) AS w1, w2
+      FROM mtok
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM prs
+            WHERE w1 IS NOT NULL GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+    bi AS (
+      SELECT c12.w1, c12.w2,
+             CAST(ROUND(ln({lam} * (c12 / CAST(c1 AS DOUBLE))
+                           + (1.0 - {lam}) * ((u.c + 1) / {nv1}))
+                        * 10000) AS BIGINT) AS logp4
+      FROM c12 JOIN c1 USING (w1)
+      JOIN unic u ON u.term = c12.w2
+      CROSS JOIN totals
+    ),
+    seq AS (
+      SELECT m.id, m.w2, u.logp4 AS lp4, u.backoff4 AS bo4,
+             lag(m.w2) OVER (PARTITION BY m.id ORDER BY m.pos) AS w1
+      FROM mtok m JOIN uni u ON u.term = m.w2
+    ),
+    per AS (
+      SELECT s.id,
+             SUM(CASE WHEN s.w1 IS NULL THEN s.lp4
+                      ELSE COALESCE(b.logp4, s.bo4) END) AS s4,
+             COUNT(*) AS n
+      FROM seq s LEFT JOIN bi b ON b.w1 = s.w1 AND b.w2 = s.w2
+      GROUP BY s.id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s4, 0) AS BIGINT) AS lm2_logprob4_sum,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scored_tokens
+    FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+    """
+
+
+@golden("ext_bigram_logprob", _bigram_logprob_sql())
+def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram chain log-probability of every document under a
+    model trained on the same corpus, pinned at the EXACT INTEGER layer
+    (the ext_lm_logprob treatment — the float mean derives outside the
+    oracle): the full train (vocab election, OOV mapping, pair counts,
+    interpolation, backoff) + score (first-token unigram, per-pair
+    coalesce) chain replays in DuckDB
+    (condenser_spark/functions/lm.py:train_bigram_lm,
+    bigram_score_documents)."""
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    uni, bi = train_bigram_lm(docs, vocab_size=_BIGRAM_V, lam=_BIGRAM_LAM)
+    return bigram_score_documents(docs, uni, bi).select(
+        "doc_id", "lm2_logprob4_sum", "n_scored_tokens")

@@ -440,3 +440,26 @@ def test_knn_graph_no_cartesian_python_free_expr_path(spark, source):
     for marker in ("BatchEvalPython", "ArrowEvalPython",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_bigram_scoring_broadcasts_model_not_corpus_no_python(spark, source):
+    """bigram_score_documents' promises: the (vocab+1)-row unigram side
+    broadcasts into the token stream (the corpus never shuffles to meet the
+    model), per-doc sums are map-side combined, and no per-row Python
+    appears anywhere in train or score."""
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    docs = source["documents"].filter("doc_id < 200")
+    uni, bi = train_bigram_lm(docs, vocab_size=64)
+    plan = _executed(
+        bigram_score_documents(docs, uni, bi)
+        .select("doc_id", "lm2_logprob4_sum"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker

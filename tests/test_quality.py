@@ -193,3 +193,84 @@ def test_unigram_lm_deterministic_across_runs(spark, source):
         docs, train_unigram_lm(docs, vocab_size=16))
         .select("doc_id", "lm_logprob").collect()))
     assert a == b
+
+
+def test_bigram_lm_hand_computed_chain(spark):
+    """Chain log-prob on a crafted corpus matches a driver-side float
+    mirror of the scaled-integer formulas term by term: first token
+    unigram, observed pairs interpolated, unobserved pairs backoff, and
+    pairs never crossing document boundaries."""
+    import math
+
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "the dog sat")],
+        "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, vocab_size=100, lam=0.9)
+
+    # corpus: 9 tokens, 5 distinct (the cat sat ran dog), all in vocab;
+    # V = min(100, 5) = 5
+    n_total, V = 9, 5
+    nv1 = n_total + V + 1
+
+    def lp4(c):
+        return round(math.log((c + 1) / nv1) * 10_000)
+
+    def bo4(c):
+        return round(math.log((1.0 - 0.9) * ((c + 1) / nv1)) * 10_000)
+
+    def bi4(c12, c1, c2):
+        return round(math.log(0.9 * (c12 / c1)
+                              + (1.0 - 0.9) * ((c2 + 1) / nv1)) * 10_000)
+
+    c = {"the": 3, "cat": 2, "sat": 2, "dog": 1, "ran": 1}
+    got = {r.doc_id: (r.lm2_logprob4_sum, r.n_scored_tokens)
+           for r in bigram_score_documents(train, uni, bi).collect()}
+    # doc 1: the(uni) + the->cat (c12=2, c1=3) + cat->sat (c12=1, c1=2)
+    want1 = lp4(c["the"]) + bi4(2, 3, c["cat"]) + bi4(1, 2, c["sat"])
+    assert got[1] == (want1, 3)
+    # doc 3: the(uni) + the->dog (1, 3) + dog->sat (1, 1)
+    want3 = lp4(c["the"]) + bi4(1, 3, c["dog"]) + bi4(1, 1, c["sat"])
+    assert got[3] == (want3, 3)
+
+    # an UNSEEN pair in scoring falls back to the w2 backoff; "sat the"
+    # was never observed (doc boundaries isolate pairs)
+    probe = spark.createDataFrame([(9, "sat the")], "doc_id long, text string")
+    got9 = bigram_score_documents(probe, uni, bi).head()
+    assert (got9.lm2_logprob4_sum, got9.n_scored_tokens) == (
+        lp4(c["sat"]) + bo4(c["the"]), 2)
+
+    # empty and None docs: (0, 0) with the OOV unigram floor as the mean
+    edge = spark.createDataFrame(
+        [(10, ""), (11, None)], "doc_id long, text string")
+    oov_lp4 = round(math.log(1 / nv1) * 10_000)
+    for r in bigram_score_documents(edge, uni, bi).collect():
+        assert (r.lm2_logprob4_sum, r.n_scored_tokens) == (0, 0)
+        assert r.lm2_logprob == round(oov_lp4 / 10_000.0, 4)
+
+
+def test_bigram_lm_oov_mapping_and_guard(spark):
+    import pytest
+
+    from condenser_spark.functions.lm import (
+        OOV_TERM,
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(train, vocab_size=2, lam=0.9)
+    # vocab = {a, b}; c maps to OOV, so the observed pair set includes
+    # (b, OOV) — OOV participates as a real token
+    pairs = {(r.w1, r.w2) for r in bi.collect()}
+    assert ("b", OOV_TERM) in pairs
+    assert all(w in {"a", "b", OOV_TERM} for p in pairs for w in p)
+
+    with pytest.raises(ValueError, match="OOV"):
+        bigram_score_documents(
+            train, uni.filter(f"term != '{OOV_TERM}'"), bi)
