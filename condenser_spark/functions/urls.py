@@ -1,0 +1,273 @@
+"""URL curation: normalization, registered-domain extraction, blocklist
+filtering, URL dedup, and per-domain corpus stats.
+
+The RefinedWeb / FineWeb pipelines treat the source URL as a first-class
+curation signal (Penedo et al. 2023 §3.1: URL filtering is the FIRST stage,
+before any text is read; FineWeb dedups on normalized URL before MinHash).
+This module supplies that stage family for the engine:
+
+* ``normalize_url`` — canonical form for dedup keys: lower-cased scheme and
+  host, fragment dropped, scheme-default port dropped, optional ``www.``
+  strip, optional query-parameter sort, trailing-slash strip.
+* ``registered_domain`` — eTLD+1 under a declared multi-label-suffix set
+  (the public-suffix rule, with the suffix list as an explicit argument so
+  the result is a pure function of its inputs — no bundled data file to
+  drift).
+* ``curate_urls`` — one scan-level projection adding ``url_norm`` /
+  ``url_domain`` / ``url_blocked`` to a corpus.
+* ``url_dedup`` — keep-first (min id) per normalized URL.
+* ``domain_stats`` — per-registered-domain doc counts / char mass / corpus
+  share.
+
+Scale design: every derivation here is a pure Column expression over
+built-in string functions — whole-stage codegen, zero Python, zero
+shuffles.  The only exchanges in the family are the one hash aggregate in
+``url_dedup`` (keyed on the 16-byte-ish normalized URL) and the one in
+``domain_stats``; blocklist filtering is a plan-literal ``IN`` for small
+lists (predicate-pushdown-eligible) or a broadcast left-anti join past
+``broadcast_threshold``.  At 100 TB the normalize/flag path rides the scan.
+
+Reference: the condenser has no URL stage (its unit is a relational row);
+this extends the engine for web-corpus curation per SURVEY §7.4.
+
+Oracle discipline: all string surgery is regexp/split/sort expressible in
+both Spark and DuckDB; goldens replay the full derivation in SQL
+(goldens_ext.ext_url_curation / ext_domain_stats).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "DEFAULT_MULTI_SUFFIXES",
+    "curate_urls",
+    "domain_stats",
+    "normalize_url",
+    "registered_domain",
+    "url_dedup",
+    "url_host",
+]
+
+# Multi-label public suffixes under which the registered domain takes THREE
+# labels (host "blog.acme.co.uk" -> "acme.co.uk").  A deliberately small,
+# explicit default — pass the full public-suffix list at call time for
+# production; keeping it an argument keeps the op a pure function.
+DEFAULT_MULTI_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_AFTER_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def _scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _hostport(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+
+
+def url_host(url: Column, *, strip_www: bool = True) -> Column:
+    """Lower-cased host with any port (and optionally a leading ``www.``)
+    removed.  Pure expression; empty string for non-URL input."""
+    host = F.regexp_replace(_hostport(url), ":[0-9]+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    return host
+
+
+def normalize_url(
+    url: Column,
+    *,
+    strip_www: bool = True,
+    sort_query: bool = True,
+) -> Column:
+    """Canonical URL for dedup keys.
+
+    Steps (each a documented curation choice, FineWeb-style):
+      1. scheme and host lower-cased (path/query case is significant, kept);
+      2. fragment dropped (never reaches the server);
+      3. scheme-default port dropped (``:80`` iff http, ``:443`` iff https —
+         a NON-default port is kept, it names a different origin);
+      4. ``www.`` stripped from the host (strip_www=True);
+      5. query parameters sorted bytewise (sort_query=True) so
+         ``?b=2&a=1`` == ``?a=1&b=2``; a trailing ``?`` (empty query) drops;
+      6. trailing ``/`` runs stripped from the path (root path == no path).
+
+    Everything is built-in string/array functions — codegen end to end.
+    """
+    scheme = _scheme(url)
+    hostport = _hostport(url)
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    port_norm = (
+        F.when(port == "", F.lit(""))
+        .when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"#.*$", ""), _AFTER_HOST_RE, ""
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^?]*)", 1), "/+$", ""
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    if sort_query:
+        query = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    query_norm = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query)
+    )
+    # non-URL input (no scheme://) passes through untouched — curation
+    # treats it as an opaque key rather than inventing a canonical form
+    return F.when(scheme == "", url).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_norm, path, query_norm)
+    )
+
+
+def registered_domain(
+    url: Column,
+    *,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+    from_host: bool = False,
+) -> Column:
+    """eTLD+1: the last two host labels, or the last THREE when the last two
+    form a declared multi-label public suffix (``acme.co.uk``).  Hosts with a
+    single label (``localhost``) pass through unchanged.
+
+    ``F.get`` (0-based, null-safe) is used for label indexing so a short
+    host can never trip an ANSI out-of-bounds error; the CASE guards make
+    every NULL-producing access unreachable anyway.
+    """
+    host = url if from_host else url_host(url, strip_www=True)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
+    last3 = F.concat_ws(
+        ".", F.get(labels, n - 3), F.get(labels, n - 2), F.get(labels, n - 1)
+    )
+    # membership as a plan-literal isin on the joined last-2 string
+    multi_pred = last2.isin(*multi_suffixes) if multi_suffixes else F.lit(False)
+    return (
+        F.when(n <= 1, host)
+        .when((n >= 3) & multi_pred, last3)
+        .otherwise(last2)
+    )
+
+
+def curate_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    blocked_domains: Iterable[str] = (),
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+    strip_www: bool = True,
+    sort_query: bool = True,
+    broadcast_threshold: int = 10_000,
+) -> DataFrame:
+    """Scan-level URL curation projection: adds ``url_norm``, ``url_domain``
+    and ``url_blocked`` to ``docs``.
+
+    ``blocked_domains`` match on the REGISTERED domain (blocking ``bad.com``
+    blocks every subdomain of it).  Small lists (< broadcast_threshold)
+    become a plan-literal ``IN`` — constant-folded, pushdown-eligible, no
+    join; larger lists become a broadcast left-semi flag join so a
+    million-entry blocklist never bloats the plan string.
+    """
+    blocked = sorted(set(blocked_domains))
+    out = docs.withColumn(
+        "url_norm",
+        normalize_url(F.col(url_col), strip_www=strip_www,
+                      sort_query=sort_query),
+    ).withColumn(
+        "url_domain",
+        registered_domain(F.col(url_col), multi_suffixes=multi_suffixes),
+    )
+    if not blocked:
+        return out.withColumn("url_blocked", F.lit(False))
+    if len(blocked) < broadcast_threshold:
+        return out.withColumn(
+            "url_blocked", F.col("url_domain").isin(*blocked)
+        )
+    spark = docs.sparkSession
+    bl = spark.createDataFrame(
+        [(d,) for d in blocked], "url_domain_blocked string"
+    )
+    return (
+        out.join(
+            F.broadcast(bl),
+            out["url_domain"] == bl["url_domain_blocked"],
+            "left",
+        )
+        .withColumn("url_blocked", F.col("url_domain_blocked").isNotNull())
+        .drop("url_domain_blocked")
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    *,
+    strip_www: bool = True,
+    sort_query: bool = True,
+) -> DataFrame:
+    """Keep-first URL dedup (FineWeb pre-MinHash stage): one survivor per
+    normalized URL, the row with the smallest ``id_col``.
+
+    One hash aggregate keyed on ``url_norm`` (map-side-combined min) plus a
+    semi-join back on ``(url_norm, id)`` — the same windowless-election
+    shape as ``text.dedup_lines`` (STRESS stage 20): a viral URL shared by
+    millions of rows is a single combiner cell, never a skewed window.
+    Output = input columns + ``url_norm``.
+    """
+    norm = normalize_url(
+        F.col(url_col), strip_www=strip_www, sort_query=sort_query
+    )
+    with_norm = docs.withColumn("url_norm", norm)
+    winners = with_norm.groupBy("url_norm").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return with_norm.join(winners, ["url_norm", id_col], "left_semi")
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    chars_col: str | None = None,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Per-registered-domain corpus profile: ``url_domain``, ``n_docs``,
+    ``n_chars`` (when ``chars_col`` given) and ``doc_share`` (ieee division
+    of the two exact integers — cross-engine stable).
+
+    One map-side-combined aggregate; the grand total rides a one-row
+    broadcast join (the PMI-totals shape), not a window, so the stats stay
+    a two-exchange plan regardless of domain count.
+    """
+    dom = registered_domain(F.col(url_col), multi_suffixes=multi_suffixes)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if chars_col is not None:
+        aggs.append(F.sum(chars_col).cast("bigint").alias("n_chars"))
+    per = docs.groupBy(dom.alias("url_domain")).agg(*aggs)
+    total = per.agg(F.sum("n_docs").alias("_total_docs"))
+    return (
+        per.join(F.broadcast(total))
+        .withColumn(
+            "doc_share",
+            F.col("n_docs").cast("double") / F.col("_total_docs"),
+        )
+        .drop("_total_docs")
+    )

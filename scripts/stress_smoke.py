@@ -1360,6 +1360,102 @@ def stage_bm25(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_bigram_lm(spark, n_docs: int = 5_000_000) -> dict:
+    """Bigram LM train + score at 5M docs / 120M tokens with a closed-form
+    two-class corpus: 2.5M FLUENT docs walk a fixed 100-token cycle (every
+    adjacent pair deterministic, so observed-pair conditionals are exactly
+    1 and each doc's integer score is class-constant), 2.5M GIBBERISH docs
+    are 24 unique md5 tokens each (~60M distinct singleton terms — the
+    worst case for the vocab election and the pair aggregate; they map to
+    OOV, whose self-pair is itself observed).  Asserts: the observed
+    bigram table is EXACTLY 101 rows (the 100 cycle edges + OOV->OOV),
+    each class collapses to ONE exact integer score, both match a
+    driver-side float mirror of the formulas to a 24-term ulp budget, and
+    the fluent mean beats the gibberish mean (the first-token unigram
+    separates them; the pair legs are near-equal BY DESIGN — an all-OOV
+    stream is 'predictable', which is exactly how an interpolated bigram
+    behaves when everything collapses to one token)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        train_bigram_lm,
+    )
+
+    path = f"{WORK}/bigram_docs"
+    fluent = F.col("id") < n_docs // 2
+    cyc = [
+        F.concat(F.lit("w"), ((F.col("id") + F.lit(j)) % 100).cast("string"))
+        for j in range(24)
+    ]
+    gib = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"g{j}")))
+        for j in range(24)
+    ]
+    (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(fluent, F.concat_ws(" ", *cyc))
+            .otherwise(F.concat_ws(" ", *gib)).alias("text"),
+        )
+        .write.mode("overwrite").parquet(path)
+    )
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    uni, bi = train_bigram_lm(docs, vocab_size=100, lam=0.9)
+    scored = bigram_score_documents(docs, uni, bi)
+    per_class = (
+        scored.groupBy((F.col("doc_id") < n_docs // 2).alias("is_fluent"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("lm2_logprob4_sum").alias("n_distinct"),
+            F.max("lm2_logprob4_sum").alias("s4"),
+            F.sum("lm2_logprob4_sum").alias("tot4"),
+        )
+        .collect()
+    )
+    n_bi = bi.count()
+    wall = time.time() - t0
+
+    assert n_bi == 101, n_bi
+    by = {r.is_fluent: r for r in per_class}
+    assert by[True].n == by[False].n == n_docs // 2
+    assert by[True].n_distinct == 1 and by[False].n_distinct == 1, per_class
+
+    half = n_docs // 2
+    n_total = n_docs * 24
+    n_terms = 100 + half * 24          # md5 singletons collide ~never
+    nv1 = n_total + 100 + 1            # V = min(100, n_terms)
+    c_w = half * 24 // 100             # each cycle token's unigram count
+    c_edge = half * 23 // 100          # each cycle edge's pair count
+    lam = 0.9
+
+    def r4(x):
+        return round(math.log(x) * 10_000)
+
+    want_fluent = r4((c_w + 1) / nv1) + 23 * r4(
+        lam * (c_edge / c_edge) + (1.0 - lam) * ((c_w + 1) / nv1))
+    want_gib = r4(1 / nv1) + 23 * r4(
+        lam * 1.0 + (1.0 - lam) * (1 / nv1))
+    assert abs(by[True].s4 - want_fluent) <= 24, (by[True].s4, want_fluent)
+    assert abs(by[False].s4 - want_gib) <= 24, (by[False].s4, want_gib)
+    assert by[True].s4 > by[False].s4
+
+    return {
+        "stage": "bigram_lm_5m",
+        "n_docs": n_docs,
+        "n_tokens": n_total,
+        "n_singleton_vocab_terms": half * 24,
+        "observed_bigrams": n_bi,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def stage_langid_stream_cost(spark, n_docs: int = 1_000_000) -> dict:
     """The stateless langid form priced against the batch form at 1M docs
     (the repo rule: any per-row higher-order function in a shipped
@@ -1495,6 +1591,7 @@ def main() -> int:
         "dedup_lines": lambda: stage_dedup_lines(spark),
         "langid_stream_cost": lambda: stage_langid_stream_cost(spark),
         "bm25": lambda: stage_bm25(spark),
+        "bigram_lm": lambda: stage_bigram_lm(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
