@@ -141,6 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_basic",
         # second-consecutive-round carryover (see structural note above)
         "ext_zorder_value",
+        # new in round 11 (never yet driver-recorded; overflow-suite-checked
+        # now, rotate in-cap next round per the rule above)
+        "ext_url_curation",
+        "ext_url_dedup",
+        "ext_domain_stats",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -480,6 +480,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timed("bigram_lm_score", _bigram_lm)
 
+    from condenser_spark.functions.urls import curate_urls, url_dedup
+
+    # synthetic URL column (the fixture corpus has none): messy shapes that
+    # exercise every normalization branch, with dup collisions on % 997
+    _url = F.concat(
+        F.lit("https://WWW.Example.COM:443/s"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("/p/"),
+        (F.col("doc_id") % 997).cast("string"),
+        F.lit("/?b=2&a=1#f"),
+    )
+    _udocs = docs.select("doc_id", _url.alias("url"))
+    timed("url_curation",
+          lambda: curate_urls(_udocs, blocked_domains=["bad.com"])
+          .agg(F.count("url_norm"),
+               F.sum(F.col("url_blocked").cast("int"))).collect())
+    timed("url_dedup", lambda: url_dedup(_udocs).count())
+
     return timings, noise
 
 

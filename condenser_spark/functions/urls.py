@@ -12,7 +12,8 @@ This module supplies that stage family for the engine:
 * ``registered_domain`` — eTLD+1 under a declared multi-label-suffix set
   (the public-suffix rule, with the suffix list as an explicit argument so
   the result is a pure function of its inputs — no bundled data file to
-  drift).
+  drift).  ``load_public_suffixes`` parses the real publicsuffix.org list
+  into that argument.
 * ``curate_urls`` — one scan-level projection adding ``url_norm`` /
   ``url_domain`` / ``url_blocked`` to a corpus.
 * ``url_dedup`` — keep-first (min id) per normalized URL.
@@ -30,9 +31,25 @@ lists (predicate-pushdown-eligible) or a broadcast left-anti join past
 Reference: the condenser has no URL stage (its unit is a relational row);
 this extends the engine for web-corpus curation per SURVEY §7.4.
 
+Host semantics (documented decisions, pinned by tests/test_urls.py):
+
+* IPv4-literal hosts (``192.168.0.7``) are their own registrable unit —
+  ``registered_domain`` returns the full address, never "the last two
+  octets" (the public-suffix algorithm only applies to DNS names).
+* Single-label hosts (``localhost``, intranet names) pass through
+  unchanged — there is no eTLD to split on.
+* A host that IS a public suffix (``co.uk`` itself) has no registrable
+  domain; the stable fallback is its last two labels (the host itself for
+  a 2-label suffix).
+* IPv6 bracket literals (``[::1]``) are OUT OF SCOPE: the port regex
+  would mangle the colons.  They normalize as opaque hostport strings and
+  their "domain" is meaningless — filter them upstream if they matter.
+* Non-URL strings (no ``scheme://``) pass through ``normalize_url``
+  untouched and land in the ``''`` domain bucket of ``domain_stats``.
+
 Oracle discipline: all string surgery is regexp/split/sort expressible in
 both Spark and DuckDB; goldens replay the full derivation in SQL
-(goldens_ext.ext_url_curation / ext_domain_stats).
+(goldens_ext.ext_url_curation / ext_url_dedup / ext_domain_stats).
 """
 
 from __future__ import annotations
@@ -46,6 +63,7 @@ __all__ = [
     "DEFAULT_MULTI_SUFFIXES",
     "curate_urls",
     "domain_stats",
+    "load_public_suffixes",
     "normalize_url",
     "registered_domain",
     "url_dedup",
@@ -136,15 +154,26 @@ def normalize_url(
     )
 
 
+_IPV4_RE = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
 def registered_domain(
     url: Column,
     *,
     multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
     from_host: bool = False,
 ) -> Column:
-    """eTLD+1: the last two host labels, or the last THREE when the last two
-    form a declared multi-label public suffix (``acme.co.uk``).  Hosts with a
-    single label (``localhost``) pass through unchanged.
+    """eTLD+1: the last ``k+1`` host labels, where ``k`` is the label count
+    of the longest declared public suffix matching the host's tail (the
+    public-suffix algorithm; default suffix = the plain TLD, k=1, so an
+    unlisted host yields its last two labels).  ``multi_suffixes`` may mix
+    2-label (``co.uk`` -> ``acme.co.uk``) and deeper (``act.edu.au`` ->
+    ``uni.act.edu.au``) rules; membership per depth is a plan-literal
+    ``isin`` on the joined tail string — constant-folded, codegen, no join.
+
+    Host decisions (see module docstring): IPv4 literals and single-label
+    hosts pass through whole; a host that IS a listed suffix falls back to
+    its last two labels.
 
     ``F.get`` (0-based, null-safe) is used for label indexing so a short
     host can never trip an ANSI out-of-bounds error; the CASE guards make
@@ -153,17 +182,63 @@ def registered_domain(
     host = url if from_host else url_host(url, strip_www=True)
     labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
-    last3 = F.concat_ws(
-        ".", F.get(labels, n - 3), F.get(labels, n - 2), F.get(labels, n - 1)
-    )
-    # membership as a plan-literal isin on the joined last-2 string
-    multi_pred = last2.isin(*multi_suffixes) if multi_suffixes else F.lit(False)
-    return (
-        F.when(n <= 1, host)
-        .when((n >= 3) & multi_pred, last3)
-        .otherwise(last2)
-    )
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.get(labels, n - i) for i in range(k, 0, -1)]
+        )
+
+    by_depth: dict[int, list[str]] = {}
+    for s in multi_suffixes:
+        depth = s.count(".") + 1
+        if depth < 2:
+            raise ValueError(
+                f"multi_suffixes entries must have >= 2 labels (got {s!r}); "
+                "plain TLDs are the implicit default rule"
+            )
+        by_depth.setdefault(depth, []).append(s)
+
+    expr = F.when(n <= 1, host).when(host.rlike(_IPV4_RE), host)
+    # longest suffix wins: check deeper rules first (PSL prevailing-rule
+    # order), each gated on the host having one label beyond the suffix
+    for depth in sorted(by_depth, reverse=True):
+        expr = expr.when(
+            (n >= depth + 1) & last_k(depth).isin(*by_depth[depth]),
+            last_k(depth + 1),
+        )
+    return expr.otherwise(last_k(2))
+
+
+def load_public_suffixes(
+    lines: Iterable[str],
+    *,
+    max_labels: int = 4,
+) -> tuple[str, ...]:
+    """Parse the publicsuffix.org list (the raw ``public_suffix_list.dat``
+    text, passed as an iterable of lines — the caller owns I/O so the
+    function stays pure) into the ``multi_suffixes`` argument of
+    :func:`registered_domain`.
+
+    Kept: exact rules with 2..``max_labels`` labels (1-label rules are the
+    implicit default and deeper rules past ``max_labels`` are dropped —
+    they are vanishingly rare outside the PSL private section).  Declared
+    OUT OF SCOPE, skipped: wildcard rules (``*.ck`` — would need per-host
+    lookahead, not a fixed-depth tail match) and their ``!`` exception
+    rules.  Comments (``//``) and blank lines are ignored; entries are
+    lower-cased; IDNA labels are kept verbatim (match against the host as
+    it appears in your URLs).
+    """
+    out: set[str] = set()
+    for raw in lines:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("*") or line.startswith("!"):
+            continue  # wildcard/exception rules: out of scope, documented
+        depth = line.count(".") + 1
+        if 2 <= depth <= max_labels:
+            out.add(line)
+    return tuple(sorted(out))
 
 
 def curate_urls(

@@ -4158,3 +4158,244 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni, bi = train_bigram_lm(docs, vocab_size=_BIGRAM_V, lam=_BIGRAM_LAM)
     return bigram_score_documents(docs, uni, bi).select(
         "doc_id", "lm2_logprob4_sum", "n_scored_tokens")
+
+
+# ----------------------------------------------------------- URL curation
+
+# Synthetic multi-shape URL column (no URL column in the fixture corpus):
+# 12 shapes keyed on doc_id % 12, constructed CHARACTER-IDENTICALLY in
+# Spark and DuckDB, covering every normalize_url/registered_domain branch —
+# default vs non-default ports, www strip, fragment drop, unsorted query,
+# trailing-slash runs, upper-case scheme/host, empty query, 2- and 3-label
+# public suffixes, IPv4-literal host, single-label host, non-URL string,
+# and a blocked domain reached via a subdomain.
+_URL_SUFFIXES = ("act.edu.au",)  # + DEFAULT_MULTI_SUFFIXES at call time
+
+_URL_SHAPES = [
+    ("https://WWW.Example.COM:443/a/", "/?b=2&a=1#frag"),
+    ("http://example.com:8080/Path/", "/"),
+    ("https://blog.acme.co.uk/articles/", ""),
+    ("http://sub.deep.example.org/x?z=", ""),
+    ("not a url at all ", ""),
+    ("https://192.168.0.7/admin/", ""),
+    ("http://localhost/home/", ""),
+    ("https://www.bad.com/l/", "?utm=1"),
+    ("HTTPS://EXAMPLE.com/a//", "///"),
+    ("http://example.com:80/q", "?"),
+    ("https://www.uni.act.edu.au/item?id=", ""),
+    ("http://news.example.net/n/", ""),
+]
+
+
+def _url_synth_col() -> "F.Column":
+    m = F.col("doc_id") % 12
+    i = F.col("doc_id").cast("string")
+    expr = None
+    for j, (pre, post) in enumerate(_URL_SHAPES):
+        mk = F.concat(F.lit(pre), i, F.lit(post)) if post else F.concat(
+            F.lit(pre), i)
+        expr = F.when(m == j, mk) if expr is None else expr.when(m == j, mk)
+    return expr
+
+
+def _url_synth_sql() -> str:
+    whens = "\n".join(
+        f"        WHEN {j} THEN '{pre}' || i" +
+        (f" || '{post}'" if post else "")
+        for j, (pre, post) in enumerate(_URL_SHAPES)
+    )
+    return f"""
+    SELECT doc_id, n_chars,
+           CASE CAST(doc_id % 12 AS INTEGER)
+{whens}
+           END AS url
+    FROM (SELECT doc_id, n_chars, CAST(doc_id AS VARCHAR) AS i
+          FROM documents)
+    """
+
+
+def _url_replay_sql(extra_cols: str = "") -> str:
+    """DuckDB CTE chain replaying normalize_url + registered_domain step by
+    step (scheme/hostport regexes, port CASE, query split-sort-join,
+    trailing-slash strip, label indexing, suffix CASE) over the synthetic
+    URLs — the FULL derivation, not a lookup table."""
+    from condenser_spark.functions.urls import DEFAULT_MULTI_SUFFIXES
+
+    two = ", ".join(f"'{s}'" for s in DEFAULT_MULTI_SUFFIXES)
+    three = ", ".join(f"'{s}'" for s in _URL_SUFFIXES)
+    return rf"""
+    WITH synth AS ({_url_synth_sql()}),
+    parts AS (
+      SELECT doc_id, n_chars, url,
+             lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+      FROM synth
+    ),
+    comps AS (
+      SELECT *,
+             regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                            '^www\.', '') AS host,
+             regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+             regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+                            '/+$', '') AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS query
+      FROM parts
+    ),
+    normq AS (
+      SELECT *,
+             array_to_string(list_sort(string_split(query, '&')), '&')
+               AS sorted_q,
+             CASE WHEN port = '' THEN ''
+                  WHEN scheme = 'http' AND port = '80' THEN ''
+                  WHEN scheme = 'https' AND port = '443' THEN ''
+                  ELSE ':' || port END AS port_norm
+      FROM comps
+    ),
+    normed AS (
+      SELECT doc_id, n_chars, url, host,
+             CASE WHEN scheme = '' THEN url
+                  ELSE scheme || '://' || host || port_norm || path ||
+                       CASE WHEN sorted_q = '' THEN ''
+                            ELSE '?' || sorted_q END
+             END AS url_norm,
+             string_split(host, '.') AS labels,
+             len(string_split(host, '.')) AS n
+      FROM normq
+    ),
+    domed AS (
+      SELECT doc_id, n_chars, url, url_norm,
+             CASE WHEN n <= 1 THEN host
+                  WHEN regexp_matches(host,
+                       '^[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}$') THEN host
+                  WHEN n >= 4 AND labels[n-2] || '.' || labels[n-1] || '.'
+                       || labels[n] IN ({three})
+                       THEN labels[n-3] || '.' || labels[n-2] || '.'
+                            || labels[n-1] || '.' || labels[n]
+                  WHEN n >= 3 AND labels[n-1] || '.' || labels[n]
+                       IN ({two})
+                       THEN labels[n-2] || '.' || labels[n-1] || '.'
+                            || labels[n]
+                  ELSE labels[n-1] || '.' || labels[n]
+             END AS url_domain{extra_cols}
+      FROM normed
+    )
+    """
+
+
+@golden(
+    "ext_url_curation",
+    _url_replay_sql() + """
+    SELECT doc_id, url, url_norm, url_domain,
+           url_domain IN ('bad.com') AS url_blocked
+    FROM domed
+    """,
+)
+def ext_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/RefinedWeb URL curation scan (Penedo et al. 2023 §3.1) under
+    the FULL value oracle: normalization (lower-cased scheme/host, fragment
+    drop, scheme-default-port drop, www strip, bytewise query sort,
+    trailing-slash strip, non-URL passthrough), registered-domain extraction
+    (2- and 3-label public suffixes, IPv4-literal and single-label host
+    decisions) and subdomain-reaching blocklist flags, every regex and CASE
+    replayed step-for-step by DuckDB
+    (condenser_spark/functions/urls.py:curate_urls)."""
+    from condenser_spark.functions.urls import (
+        DEFAULT_MULTI_SUFFIXES,
+        curate_urls,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select("doc_id", _url_synth_col().alias("url"))
+    out = curate_urls(
+        synth,
+        blocked_domains=["bad.com"],
+        multi_suffixes=DEFAULT_MULTI_SUFFIXES + _URL_SUFFIXES,
+    )
+    return out.select("doc_id", "url", "url_norm", "url_domain",
+                      "url_blocked")
+
+
+@golden(
+    "ext_url_dedup",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'http://www.dup.com/p/' || v || '?a=1&b=2'
+                  ELSE 'http://DUP.com:80/p/' || v || '/?b=2&a=1#x'
+             END AS url,
+             -- hand-derived expected canonical form of BOTH raw variants;
+             -- if Spark's normalization of either shape differed by one
+             -- character the groups would not collapse and the hash fails
+             'http://dup.com/p/' || v || '?a=1&b=2' AS url_norm
+      FROM (SELECT doc_id, CAST(doc_id % 37 AS VARCHAR) AS v
+            FROM documents)
+    ),
+    winners AS (
+      SELECT url_norm, MIN(doc_id) AS doc_id FROM synth GROUP BY url_norm
+    )
+    SELECT s.doc_id, s.url, s.url_norm
+    FROM synth s
+    JOIN winners w ON w.url_norm = s.url_norm AND w.doc_id = s.doc_id
+    """,
+)
+def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first URL dedup (FineWeb's pre-MinHash stage): two raw shapes
+    per normalized URL (www + unsorted query vs upper-case host + default
+    port + trailing slash + fragment) planted so every survivor election
+    crosses a normalization collapse; the oracle pins the expected
+    canonical string closed-form — independent of the regex pipeline — and
+    replays the min-id election
+    (condenser_spark/functions/urls.py:url_dedup)."""
+    from condenser_spark.functions.urls import url_dedup
+
+    docs = _tables(spark, sf_dir)["documents"]
+    v = (F.col("doc_id") % 37).cast("string")
+    synth = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("http://www.dup.com/p/"), v, F.lit("?a=1&b=2")),
+        ).otherwise(
+            F.concat(F.lit("http://DUP.com:80/p/"), v,
+                     F.lit("/?b=2&a=1#x")),
+        ).alias("url"),
+    )
+    return url_dedup(synth).select("doc_id", "url", "url_norm")
+
+
+@golden(
+    "ext_domain_stats",
+    _url_replay_sql() + """
+    SELECT url_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS doc_share
+    FROM domed
+    GROUP BY url_domain
+    """,
+)
+def ext_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain corpus profile over the multi-shape synthetic
+    URLs: exact doc counts and char mass per domain plus the ieee
+    double-division share (two exact integers — cross-engine stable); the
+    domain derivation replays in full, the grand total rides a one-row
+    broadcast join, not a window
+    (condenser_spark/functions/urls.py:domain_stats)."""
+    from condenser_spark.functions.urls import (
+        DEFAULT_MULTI_SUFFIXES,
+        domain_stats,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select("doc_id", "n_chars",
+                        _url_synth_col().alias("url"))
+    return domain_stats(
+        synth, chars_col="n_chars",
+        multi_suffixes=DEFAULT_MULTI_SUFFIXES + _URL_SUFFIXES,
+    ).select("url_domain", "n_docs", "n_chars", "doc_share")

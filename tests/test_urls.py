@@ -1,0 +1,228 @@
+"""URL curation semantics (functions/urls.py): normalization edge cases,
+registered-domain / public-suffix decisions, keep-first url_dedup election,
+blocklist branches, PSL parsing.  The full normalize+domain+block derivation
+is additionally replayed by DuckDB in the ext_url_curation / ext_url_dedup /
+ext_domain_stats goldens."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.urls import (
+    DEFAULT_MULTI_SUFFIXES,
+    curate_urls,
+    domain_stats,
+    load_public_suffixes,
+    normalize_url,
+    registered_domain,
+    url_dedup,
+    url_host,
+)
+
+
+def _norm(spark, url, **kw):
+    return spark.range(1).select(
+        normalize_url(F.lit(url), **kw).alias("u")).first().u
+
+
+def _dom(spark, url, **kw):
+    return spark.range(1).select(
+        registered_domain(F.lit(url), **kw).alias("d")).first().d
+
+
+# ------------------------------------------------------------ normalize_url
+
+@pytest.mark.parametrize("raw,expected", [
+    # scheme+host lowercase, default https port drop, www strip, fragment
+    # drop, query sort, trailing-slash strip — all at once
+    ("https://WWW.Example.COM:443/a/?b=2&a=1#frag",
+     "https://example.com/a?a=1&b=2"),
+    # non-default port names a different origin: kept
+    ("http://example.com:8080/Path/", "http://example.com:8080/Path"),
+    # default port only drops for ITS scheme
+    ("https://example.com:80/x", "https://example.com:80/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    # path case is significant, kept
+    ("http://example.com/CaseKept", "http://example.com/CaseKept"),
+    # empty query (trailing ?) drops; root slash run drops
+    ("http://example.com/?", "http://example.com"),
+    ("HTTPS://EXAMPLE.com/a//b///", "https://example.com/a//b"),
+    # query value case kept; sort is bytewise on whole k=v atoms
+    ("http://example.com/p?b=X&a=Y", "http://example.com/p?a=Y&b=X"),
+])
+def test_normalize_url_cases(spark, raw, expected):
+    assert _norm(spark, raw) == expected
+
+
+def test_normalize_non_url_passthrough(spark):
+    assert _norm(spark, "not a url at all 7") == "not a url at all 7"
+    assert _norm(spark, "") == ""
+
+
+def test_normalize_flags(spark):
+    assert (_norm(spark, "http://www.a.com/x?b=2&a=1", strip_www=False,
+                  sort_query=False) == "http://www.a.com/x?b=2&a=1")
+
+
+def test_url_host(spark):
+    host = spark.range(1).select(
+        url_host(F.lit("https://WWW.Sub.Example.com:8443/p")).alias("h")
+    ).first().h
+    assert host == "sub.example.com"
+
+
+# -------------------------------------------------------- registered_domain
+
+@pytest.mark.parametrize("url,expected", [
+    ("https://blog.acme.co.uk/articles", "acme.co.uk"),   # 2-label suffix
+    ("http://sub.deep.example.org/x", "example.org"),     # default rule
+    ("http://example.com/", "example.com"),
+    ("https://www.example.com/", "example.com"),          # www stripped
+    ("http://localhost/home", "localhost"),               # single label
+    ("https://192.168.0.7/admin", "192.168.0.7"),         # IPv4 literal
+    ("http://co.uk/", "co.uk"),                           # bare suffix
+])
+def test_registered_domain_cases(spark, url, expected):
+    assert _dom(spark, url) == expected
+
+
+def test_registered_domain_three_label_suffix(spark):
+    sufs = DEFAULT_MULTI_SUFFIXES + ("act.edu.au",)
+    # longest rule wins over the 2-label fallback
+    assert _dom(spark, "https://www.uni.act.edu.au/item",
+                multi_suffixes=sufs) == "uni.act.edu.au"
+    # host that IS the 3-label suffix: falls back to last two labels
+    assert _dom(spark, "https://act.edu.au/",
+                multi_suffixes=sufs) == "edu.au"
+
+
+def test_registered_domain_rejects_single_label_suffix():
+    with pytest.raises(ValueError, match=">= 2 labels"):
+        registered_domain(F.lit("x"), multi_suffixes=("uk",))
+
+
+def test_registered_domain_from_host(spark):
+    d = spark.range(1).select(
+        registered_domain(F.lit("a.b.co.jp"), from_host=True).alias("d")
+    ).first().d
+    assert d == "b.co.jp"
+
+
+# --------------------------------------------------- load_public_suffixes
+
+PSL_SAMPLE = """\
+// This Source Code Form is subject to the terms of the MPL
+// ===BEGIN ICANN DOMAINS===
+com
+uk
+co.uk
+CO.JP
+*.ck
+!www.ck
+act.edu.au
+a.b.c.d.example
+// comment
+
+"""
+
+
+def test_load_public_suffixes_parses_exact_rules():
+    sufs = load_public_suffixes(PSL_SAMPLE.splitlines())
+    # 1-label rules implicit, wildcards/exceptions out of scope, >4 labels
+    # dropped, lower-cased, sorted
+    assert sufs == ("act.edu.au", "co.jp", "co.uk")
+
+
+def test_load_public_suffixes_max_labels():
+    sufs = load_public_suffixes(PSL_SAMPLE.splitlines(), max_labels=5)
+    assert "a.b.c.d.example" in sufs
+
+
+def test_psl_drives_registered_domain(spark):
+    sufs = load_public_suffixes(PSL_SAMPLE.splitlines())
+    assert _dom(spark, "http://shop.acme.co.uk/x",
+                multi_suffixes=sufs) == "acme.co.uk"
+    # wildcard *.ck declared out of scope: default last-2 rule applies
+    assert _dom(spark, "http://www.gov.ck/x", multi_suffixes=sufs) == "gov.ck"
+
+
+# -------------------------------------------------------------- curate_urls
+
+def _docs(spark):
+    rows = [
+        (0, "https://WWW.Example.COM:443/a/?b=2&a=1#frag", 100),
+        (1, "http://bad.com/landing", 50),
+        (2, "https://tracker.bad.com/pixel", 10),
+        (3, "http://good.org/page", 70),
+        (4, "not a url", 5),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+
+
+def test_curate_urls_literal_blocklist(spark):
+    out = curate_urls(_docs(spark), blocked_domains=["bad.com"])
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].url_norm == "https://example.com/a?a=1&b=2"
+    assert rows[0].url_domain == "example.com"
+    # blocking the registered domain blocks every subdomain
+    assert rows[1].url_blocked and rows[2].url_blocked
+    assert not rows[0].url_blocked and not rows[3].url_blocked
+    assert rows[4].url_domain == ""  # non-URL: the '' domain bucket
+    assert set(out.columns) == {"doc_id", "url", "n_chars", "url_norm",
+                                "url_domain", "url_blocked"}
+
+
+def test_curate_urls_broadcast_blocklist_branch(spark):
+    # force the join branch with a tiny threshold; results must be
+    # identical to the plan-literal branch
+    docs = _docs(spark)
+    lit = curate_urls(docs, blocked_domains=["bad.com", "evil.net"])
+    bj = curate_urls(docs, blocked_domains=["bad.com", "evil.net"],
+                     broadcast_threshold=1)
+    a = {(r.doc_id, r.url_blocked) for r in lit.collect()}
+    b = {(r.doc_id, r.url_blocked) for r in bj.collect()}
+    assert a == b
+    assert "BroadcastHashJoin" in bj._jdf.queryExecution().executedPlan().toString()
+    assert set(bj.columns) == set(lit.columns)
+
+
+def test_curate_urls_empty_blocklist(spark):
+    out = curate_urls(_docs(spark))
+    assert all(not r.url_blocked for r in out.collect())
+
+
+# ---------------------------------------------------------------- url_dedup
+
+def test_url_dedup_keep_first_across_raw_variants(spark):
+    # two raw shapes that normalize identically: min-id survivor per norm
+    rows = [
+        (0, "http://www.dup.com/p?a=1&b=2"),
+        (1, "http://DUP.com:80/p/?b=2&a=1#x"),
+        (2, "http://dup.com/p?a=1&b=2"),
+        (3, "http://other.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = url_dedup(df)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [0, 3]
+    norms = {r.doc_id: r.url_norm for r in out.collect()}
+    assert norms[0] == "http://dup.com/p?a=1&b=2"
+    assert set(out.columns) == {"doc_id", "url", "url_norm"}
+
+
+def test_url_dedup_no_dups_is_identity(spark):
+    df = spark.createDataFrame(
+        [(i, f"http://u{i}.com/") for i in range(5)],
+        "doc_id long, url string")
+    assert url_dedup(df).count() == 5
+
+
+# ------------------------------------------------------------- domain_stats
+
+def test_domain_stats_counts_and_share(spark):
+    out = {r.url_domain: r for r in
+           domain_stats(_docs(spark), chars_col="n_chars").collect()}
+    assert out["bad.com"].n_docs == 2
+    assert out["bad.com"].n_chars == 60
+    assert out["bad.com"].doc_share == 2 / 5
+    assert out["example.com"].n_docs == 1
+    assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-12
