@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_url_curation",
         "ext_url_dedup",
         "ext_domain_stats",
+        "ext_curate_url",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

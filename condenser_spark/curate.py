@@ -28,6 +28,7 @@ logger = logging.getLogger(__name__)
 def curate_corpus(
     docs: DataFrame,
     *,
+    url_filter: bool | dict = False,
     line_dedup: bool | dict = False,
     c4: bool | dict = False,
     language_model=None,
@@ -55,6 +56,17 @@ def curate_corpus(
 
     Stages (each optional, executed in this order):
 
+    -1. ``url_filter`` — the published FIRST stage (RefinedWeb/FineWeb
+       §3.1: URL filtering happens BEFORE any text is read): True or a
+       kwargs dict (``url_col`` default ``"url"``, ``blocked_domains``,
+       ``dedup`` default True, plus :func:`functions.urls.curate_urls`
+       passthroughs ``multi_suffixes``/``strip_www``/``sort_query``/
+       ``broadcast_threshold``).  Drops docs whose registered domain is
+       blocked, then (``dedup=True``) keeps one doc per normalized URL
+       (min id) — block-then-dedup order, so a duplicate of a BLOCKED
+       url survives via its unblocked copy.  Schema-preserving: the
+       ``url_norm``/``url_domain``/``url_blocked`` working columns are
+       projected away.
     0. ``line_dedup`` — :func:`functions.text.dedup_lines`: True or a
        kwargs dict (``keep``/``min_count``/``strip_digits``); CCNet's
        actual first stage — cross-document paragraph dedup BEFORE any
@@ -103,7 +115,8 @@ def curate_corpus(
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"line_dedup"``, ``"c4_clean"``, ``"language_id"``,
+    ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"c4_clean"``,
+    ``"language_id"``,
     ``"gopher_rules"``, ``"exact_dedup"``, ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
@@ -136,7 +149,8 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "line_dedup", "c4_clean", "language_id",
+    _ANCHORS = ("start", "url_filter", "line_dedup", "c4_clean",
+                "language_id",
                 "gopher_rules", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
@@ -170,6 +184,26 @@ def curate_corpus(
             cur = _record(name, out)
 
     _apply_extra("start")
+    if url_filter:
+        from condenser_spark.functions.urls import curate_urls, url_dedup
+
+        opts = dict(url_filter) if isinstance(url_filter, dict) else {}
+        url_col = opts.pop("url_col", "url")
+        do_dedup = opts.pop("dedup", True)
+        blocked = opts.pop("blocked_domains", ())
+        dedup_kw = {k: opts[k] for k in ("strip_www", "sort_query")
+                    if k in opts}
+        kept = cur
+        if blocked:
+            flagged = curate_urls(cur, url_col, blocked_domains=blocked,
+                                  **opts)
+            kept = flagged.filter(~F.col("url_blocked")).select(
+                *cur.columns)
+        if do_dedup:
+            kept = url_dedup(kept, url_col, id_col, **dedup_kw).select(
+                *cur.columns)
+        cur = _record("url_filter", kept)
+        _apply_extra("url_filter")
     if line_dedup:
         from condenser_spark.functions.text import dedup_lines
 

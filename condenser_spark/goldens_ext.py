@@ -4399,3 +4399,91 @@ def ext_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, chars_col="n_chars",
         multi_suffixes=DEFAULT_MULTI_SUFFIXES + _URL_SUFFIXES,
     ).select("url_domain", "n_docs", "n_chars", "doc_share")
+
+
+@golden(
+    "ext_curate_url",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN 'cloned body shared text'
+                  ELSE text END AS text,
+             CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+                       ELSE doc_id END AS VARCHAR) AS u
+      FROM documents
+    ),
+    synth AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'http://ads.bad.com/x/' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 2 = 0
+                  THEN 'http://www.keep.org/p/' || u || '?a=1&b=2'
+                  ELSE 'http://KEEP.org:80/p/' || u || '/?b=2&a=1#x'
+             END AS url,
+             u
+      FROM base
+    ),
+    -- stage 1a: registered-domain blocklist (bad.com reached via subdomain)
+    unblocked AS (
+      SELECT doc_id, url, text,
+             -- hand-derived canonical form of BOTH unblocked raw variants
+             'http://keep.org/p/' || u || '?a=1&b=2' AS url_norm
+      FROM synth WHERE doc_id % 11 <> 0
+    ),
+    -- stage 1b: keep-first per normalized URL, AFTER the block drop (a
+    -- duplicate of a blocked url survives via its unblocked copy)
+    url_win AS (
+      SELECT url_norm, MIN(doc_id) AS doc_id FROM unblocked GROUP BY 1
+    ),
+    url_kept AS (
+      SELECT s.doc_id, s.url, s.text
+      FROM unblocked s
+      JOIN url_win w ON w.url_norm = s.url_norm AND w.doc_id = s.doc_id
+    ),
+    -- stage 2: exact document dedup (min-id survivor per text fingerprint)
+    fp AS (
+      SELECT doc_id, url, text,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+      FROM url_kept
+    ),
+    fp_win AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT k.doc_id, k.url, k.text
+    FROM fp k JOIN fp_win w ON w.f = k.f AND w.doc_id = k.doc_id
+    """,
+)
+def ext_curate_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ``curate_corpus`` chain with the FineWeb §3.1 URL stage
+    FIRST (blocklist on the registered domain, then keep-first dedup per
+    normalized URL) feeding exact document dedup — the whole lazy plan's
+    final rows replayed by DuckDB.  The synthesis plants three
+    interactions: every 11th doc sits on a blocked subdomain, every
+    (10k+1)th doc duplicates its neighbor's URL under a DIFFERENT raw
+    shape (www+unsorted-query vs upper-host+default-port+slash+fragment),
+    and every (7k+3)th doc shares one cloned body — including ids like 111
+    whose URL twin (110) is blocked, pinning the block-THEN-dedup order
+    (condenser_spark/curate.py:curate_corpus url_filter=)."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = _tables(spark, sf_dir)["documents"]
+    u = F.when(F.col("doc_id") % 10 == 1, F.col("doc_id") - 1) \
+         .otherwise(F.col("doc_id")).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit("http://ads.bad.com/x/"),
+                        F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 2 == 0,
+              F.concat(F.lit("http://www.keep.org/p/"), u,
+                       F.lit("?a=1&b=2")))
+        .otherwise(F.concat(F.lit("http://KEEP.org:80/p/"), u,
+                            F.lit("/?b=2&a=1#x")))
+    )
+    text = F.when(F.col("doc_id") % 7 == 3,
+                  F.lit("cloned body shared text")).otherwise(F.col("text"))
+    synth = docs.select("doc_id", url.alias("url"), text.alias("text"))
+    out, _ = curate_corpus(
+        synth,
+        url_filter={"blocked_domains": ["bad.com"], "dedup": True},
+        dedup="exact",
+        report=False, barrier=False,
+    )
+    return out.select("doc_id", "url", "text")

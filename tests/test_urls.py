@@ -226,3 +226,78 @@ def test_domain_stats_counts_and_share(spark):
     assert out["bad.com"].doc_share == 2 / 5
     assert out["example.com"].n_docs == 1
     assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-12
+
+
+# ------------------------------------------------ curate_corpus url_filter
+
+def test_curate_corpus_url_filter_stage(spark):
+    from condenser_spark.curate import curate_corpus
+
+    rows = [
+        (0, "http://www.keep.org/p/0?a=1&b=2", "body zero"),
+        (1, "http://KEEP.org:80/p/0/?b=2&a=1#x", "body one"),   # url dup of 0
+        (2, "http://ads.bad.com/x/2", "body two"),              # blocked
+        (3, "http://keep.org/p/3", "body three"),
+        (4, "http://spam.bad.com/y/4", "body four"),            # blocked
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, rep = curate_corpus(
+        docs, url_filter={"blocked_domains": ["bad.com"], "dedup": True})
+    assert sorted(r.doc_id for r in out.collect()) == [0, 3]
+    assert set(out.columns) == {"doc_id", "url", "text"}  # schema preserved
+    row = {r.stage: r for r in rep.collect()}["url_filter"]
+    assert (row.docs_in, row.docs_out, row.docs_dropped) == (5, 2, 3)
+
+
+def test_curate_corpus_url_dup_of_blocked_survives(spark):
+    # block-THEN-dedup: doc 1 duplicates the url of BLOCKED doc 0, so doc 1
+    # must survive (its twin never reaches the election)
+    from condenser_spark.curate import curate_corpus
+
+    rows = [
+        (0, "http://www.bad.com/p?a=1", "a"),
+        (1, "http://BAD.com:80/p/?a=1", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, _ = curate_corpus(
+        docs, url_filter={"blocked_domains": ["bad.com"], "dedup": True},
+        report=False, barrier=False)
+    assert out.count() == 0  # both on the blocked domain
+
+    rows2 = [
+        (0, "http://www.bad.com/p?a=1", "a"),
+        (1, "http://www.keep.org/q?a=1", "b"),
+        (2, "http://KEEP.org:80/q/?a=1", "c"),  # dup of 1, unblocked
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, url string, text string")
+    out2, _ = curate_corpus(
+        docs2, url_filter={"blocked_domains": ["bad.com"], "dedup": True},
+        report=False, barrier=False)
+    assert sorted(r.doc_id for r in out2.collect()) == [1]
+
+
+def test_curate_corpus_url_filter_true_dedups_only(spark):
+    from condenser_spark.curate import curate_corpus
+
+    rows = [
+        (0, "http://a.com/", "x"),
+        (1, "http://www.a.com", "y"),   # normalizes to the same as 0
+        (2, "http://b.com/", "z"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, _ = curate_corpus(docs, url_filter=True, report=False,
+                           barrier=False)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 2]
+
+
+def test_curate_corpus_url_filter_anchor(spark):
+    from condenser_spark.curate import curate_corpus
+
+    rows = [(i, f"http://u{i}.com/", f"t{i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out, rep = curate_corpus(
+        docs, url_filter=True,
+        extra_stages=[("drop_low", lambda d: d.filter("doc_id >= 2"),
+                       "url_filter")])
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    assert [r.stage for r in rep.collect()] == ["url_filter", "drop_low"]
