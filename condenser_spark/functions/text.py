@@ -691,11 +691,28 @@ def exact_substring_dedup(
       duplicated fingerprint whose coverage overlaps it — the same
       byte-range reality the suffix-array implementation has.
 
-    Output: (id_col, text, n_tokens, n_removed_tokens) — text rewritten
-    with single spaces (whitespace-normalized, case preserved), every doc
-    present (shorter-than-``k`` docs pass through untouched; fully-
-    duplicated docs come back with empty text — the caller decides whether
-    to drop them, the strip_repeated_blocks convention).
+    Output: (id_col, text, n_tokens, n_removed_tokens, n_removed_chars) —
+    text rewritten with single spaces (whitespace-normalized, case
+    preserved), every doc present (shorter-than-``k`` docs pass through
+    untouched; fully-duplicated docs come back with empty text — the
+    caller decides whether to drop them, the strip_repeated_blocks
+    convention).  ``n_removed_chars`` counts the characters of the CUT
+    tokens (separators excluded) so token/char-budgeted pipelines and
+    ``mixture_report`` compose without re-tokenizing.
+
+    Relation to the paper's suffix-array form (Lee et al. 2021 §4, which
+    finds duplicated byte spans of ANY length >= a threshold): for a
+    corpus-duplicated span of ``m >= k`` tokens, every one of its
+    ``m - k + 1`` interior ``k``-gram windows is itself duplicated, so
+    running-max coverage marks EXACTLY the span's ``m`` tokens — the
+    removal SET matches the suffix-array form for token-aligned spans
+    >= ``k``, with no over-removal of neighboring tokens (pinned by
+    tests/test_exact_substring.py::test_kgram_matches_suffix_array_set).
+    The two semantic differences, both sub-``k``: (1) duplicated spans
+    SHORTER than ``k`` tokens are invisible here (the suffix array finds
+    them when they clear its byte threshold); (2) byte-level matches that
+    start or end mid-token are trimmed to whole-token boundaries (this
+    form is token-granular; the paper's 50-BPE-token threshold is too).
 
     Coverage is computed WITHOUT exploding spans: a token at ``pos`` is
     covered iff the latest duplicated start at-or-before it is within
@@ -754,6 +771,11 @@ def exact_substring_dedup(
             ).alias("_text"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.col("_cov").cast("long")).alias("n_removed_tokens"),
+            # char-budget audit: chars of the CUT tokens (the text is
+            # whitespace-normalized, so separators are not counted)
+            F.sum(F.when(F.col("_cov"), F.length("tok"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias("n_removed_chars"),
         )
     )
     return (
@@ -766,6 +788,8 @@ def exact_substring_dedup(
             .alias("n_tokens"),
             F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long"))
             .alias("n_removed_tokens"),
+            F.coalesce(F.col("n_removed_chars"), F.lit(0).cast("long"))
+            .alias("n_removed_chars"),
         )
     )
 
@@ -798,9 +822,13 @@ def dedup_lines(
     boilerplate-scrub form — the line-granularity sibling of
     :func:`strip_repeated_blocks`'s token blocks).
 
-    Output: (id_col, text, n_lines, n_removed_lines) — text rebuilt by
-    joining kept lines with single newlines, every doc present (docs whose
-    every line drops come back with empty text; the caller decides).
+    Output: (id_col, text, n_lines, n_removed_lines, n_removed_tokens,
+    n_removed_chars) — text rebuilt by joining kept lines with single
+    newlines, every doc present (docs whose every line drops come back
+    with empty text; the caller decides).  The token/char audit columns
+    count whitespace tokens and raw characters of the DROPPED lines
+    (newline separators not counted) so token-budgeted pipelines and
+    ``mixture_report`` compose without re-tokenizing.
 
     Plan shape at 100 TB: one posexplode of lines, one map-side-combined
     (hash, count) aggregate, a left-semi/election join shipping (id, pos,
@@ -843,6 +871,12 @@ def dedup_lines(
             .drop("_s")
         )
     drops = sites.select("id", "pos", F.lit(1).alias("_x"))
+    # token-budget audit: pipelines budget in tokens/chars, not lines
+    # (mixture_report keys on token mass) — whitespace tokens and raw
+    # chars of each DROPPED line, separators not counted
+    _line_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("line")), r"\s+"),
+                 lambda t: t != ""))
     rebuilt = (
         hashed.join(drops, on=["id", "pos"], how="left")
         .groupBy("id")
@@ -860,6 +894,12 @@ def dedup_lines(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.when(F.col("_x").isNotNull(), 1).otherwise(0))
             .cast("long").alias("n_removed_lines"),
+            F.sum(F.when(F.col("_x").isNotNull(), _line_tokens)
+                  .otherwise(F.lit(0)))
+            .cast("long").alias("n_removed_tokens"),
+            F.sum(F.when(F.col("_x").isNotNull(), F.length("line"))
+                  .otherwise(F.lit(0)))
+            .cast("long").alias("n_removed_chars"),
         )
     )
     return (
@@ -872,5 +912,9 @@ def dedup_lines(
             .alias("n_lines"),
             F.coalesce(F.col("n_removed_lines"), F.lit(0).cast("long"))
             .alias("n_removed_lines"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0).cast("long"))
+            .alias("n_removed_tokens"),
+            F.coalesce(F.col("n_removed_chars"), F.lit(0).cast("long"))
+            .alias("n_removed_chars"),
         )
     )

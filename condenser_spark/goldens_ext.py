@@ -3382,12 +3382,17 @@ def _exact_substring_sql() -> str:
              COUNT(*) AS n_tokens,
              CAST(SUM(CASE WHEN smax IS NOT NULL
                            AND smax >= pos - {k - 1}
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN length(tok) ELSE 0 END) AS BIGINT)
+               AS n_removed_chars
       FROM cov GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(p.text, '') AS text,
            COALESCE(p.n_tokens, 0) AS n_tokens,
-           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(p.n_removed_chars, 0) AS n_removed_chars
     FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
@@ -3575,12 +3580,17 @@ def _exact_substring_keep_sql() -> str:
              COUNT(*) AS n_tokens,
              CAST(SUM(CASE WHEN smax IS NOT NULL
                            AND smax >= pos - {k - 1}
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN length(tok) ELSE 0 END) AS BIGINT)
+               AS n_removed_chars
       FROM cov GROUP BY doc_id
     )
     SELECT d.doc_id, COALESCE(p.text, '') AS text,
            COALESCE(p.n_tokens, 0) AS n_tokens,
-           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(p.n_removed_chars, 0) AS n_removed_chars
     FROM documents d LEFT JOIN per p USING (doc_id)
     """
 
@@ -3658,14 +3668,23 @@ def _dedup_lines_sql() -> str:
                FILTER (WHERE d.pos IS NULL), '') AS text,
              COUNT(*) AS n_lines,
              CAST(SUM(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_removed_lines
+                  AS BIGINT) AS n_removed_lines,
+             CAST(SUM(CASE WHEN d.pos IS NOT NULL
+                      THEN len(list_filter(
+                             regexp_split_to_array(trim(l.line), '\s+'),
+                             x -> x <> ''))
+                      ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+             CAST(SUM(CASE WHEN d.pos IS NOT NULL THEN length(l.line)
+                      ELSE 0 END) AS BIGINT) AS n_removed_chars
       FROM hashed l LEFT JOIN drops d
         ON d.doc_id = l.doc_id AND d.pos = l.pos
       GROUP BY l.doc_id
     )
     SELECT s.doc_id, COALESCE(p.text, '') AS text,
            COALESCE(p.n_lines, 0) AS n_lines,
-           COALESCE(p.n_removed_lines, 0) AS n_removed_lines
+           COALESCE(p.n_removed_lines, 0) AS n_removed_lines,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(p.n_removed_chars, 0) AS n_removed_chars
     FROM documents s LEFT JOIN per p USING (doc_id)
     """
 

@@ -103,3 +103,15 @@ def test_curate_line_dedup_stage_runs_first(spark):
     # the boilerplate line is gone from every survivor
     assert out.filter(F.col("text").contains("copyright")).count() == 0
     assert out.count() == 6
+
+
+def test_token_char_audit_columns(spark):
+    # dropped line "cc dd ee" = 3 tokens, 8 chars (separator newlines and
+    # kept lines never counted)
+    df = _df(spark, [
+        (0, "aa bb\ncc dd ee"),
+        (1, "zz\ncc dd ee"),
+    ])
+    out = {r.doc_id: r for r in dedup_lines(df, keep="first").collect()}
+    assert (out[0].n_removed_tokens, out[0].n_removed_chars) == (0, 0)
+    assert (out[1].n_removed_tokens, out[1].n_removed_chars) == (3, 8)

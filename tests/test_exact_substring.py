@@ -149,3 +149,62 @@ def test_curate_substring_dedup_stage(spark):
     assert texts[1] == "one other words trailing one"
     assert texts[2].startswith("fully unique")
     assert out.columns == df.columns
+
+
+def test_kgram_matches_suffix_array_set(spark):
+    # Lee et al. 2021 §4 boundary semantics (pinned per the text.py
+    # docstring note): for a duplicated TOKEN-ALIGNED span of m >= k
+    # tokens, the k-gram removal set equals the suffix-array removal set —
+    # exactly the span's m tokens, no neighbor over-removal
+    shared = "s1 s2 s3 s4 s5 s6"  # m = 6 = k + 2
+    df = _df(spark, [
+        (0, f"a b c {shared} d e"),
+        (1, f"x {shared} y z"),
+    ])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, k=4).collect()}
+    assert out[0].text == "a b c d e"
+    assert out[1].text == "x y z"
+    assert out[0].n_removed_tokens == 6
+    assert out[1].n_removed_tokens == 6
+
+
+def test_sub_k_duplicated_span_is_invisible(spark):
+    # difference (1) vs the suffix array: spans shorter than k tokens are
+    # not found at k-gram granularity
+    shared = "t1 t2 t3"  # m = 3 < k = 4
+    df = _df(spark, [
+        (0, f"a b {shared} c"),
+        (1, f"x {shared} y"),
+    ])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, k=4).collect()}
+    assert out[0].text == f"a b {shared} c"
+    assert out[1].text == f"x {shared} y"
+    assert out[0].n_removed_tokens == 0 and out[1].n_removed_tokens == 0
+
+
+def test_exact_k_span_removed_whole(spark):
+    shared = "u1 u2 u3 u4"  # m = k exactly
+    df = _df(spark, [
+        (0, f"a {shared} b"),
+        (1, f"c {shared} d"),
+    ])
+    out = {r.doc_id: r.text for r in
+           exact_substring_dedup(df, k=4).collect()}
+    assert out == {0: "a b", 1: "c d"}
+
+
+def test_removed_chars_audit(spark):
+    # cut span "u1 u2 u3 u4" = 4 tokens, 8 chars of tokens (single-space
+    # separators excluded by the whitespace-normalized contract)
+    shared = "u1 u2 u3 u4"
+    df = _df(spark, [
+        (0, f"a {shared} b"),
+        (1, f"c {shared} d"),
+    ])
+    out = {r.doc_id: r for r in
+           exact_substring_dedup(df, k=4).collect()}
+    assert out[0].n_removed_chars == 8
+    assert out[1].n_removed_chars == 8
+    assert out[0].n_removed_tokens == 4
