@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_url_dedup",
         "ext_domain_stats",
         "ext_curate_url",
+        "ext_prototype_prune",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -463,10 +463,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("collocation_scores",
           lambda: collocation_scores(docs, min_count=40).count())
 
-    from condenser_spark.functions.similarity import knn_graph
+    from condenser_spark.functions.similarity import knn_graph, prototype_prune
 
     timed("knn_graph",
           lambda: knn_graph(emb, k=10, n_centroids=16).count())
+    timed("prototype_prune",
+          lambda: prototype_prune(emb, keep_fraction=0.5, k=10,
+                                  n_centroids=16).count())
 
     from condenser_spark.functions.lm import (
         bigram_score_documents,

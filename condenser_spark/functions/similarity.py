@@ -19,6 +19,7 @@
 from __future__ import annotations
 
 import logging
+import math
 import random
 from dataclasses import dataclass
 
@@ -928,6 +929,81 @@ def knn_graph(
         directed.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    keep_fraction: float,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "sparse",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SSL-prototype data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): score each example by its LOCAL DENSITY — the mean
+    top-``k`` cosine from :func:`knn_graph` (a prototypical example sits
+    in a dense region; a hard/informative one is far from its neighbors) —
+    rank the corpus on that score, and keep ``keep_fraction`` of it.
+
+    ``keep="sparse"`` (default) keeps the LEAST dense examples first —
+    the paper's abundant-data regime (prune easy/prototypical redundancy);
+    ``keep="dense"`` keeps the most prototypical first — the scarce-data
+    regime.  This is the third published data-pruning family beside DSIR
+    (:func:`functions.dsir.dsir_sample`, distribution matching) and
+    SemDeDup (:func:`semantic_dedup`, redundancy collapse).
+
+    Scoring stays exact-integer until the last step: the 4-dp graph
+    cosines are scaled to ints, summed per node, and the density is the
+    ieee double division of the two exact integers (the ``domain_stats``
+    share treatment) — cross-engine-stable ranking.  Vectors with NO
+    graph rows (alone in their IVF cell, or invalid) carry density
+    ``-2.0``, below any possible cosine mean: no redundancy evidence, so
+    they are kept first in ``"sparse"`` mode and last in ``"dense"``.
+
+    Plan: the knn_graph cell-bounded self-join, one map-side-combined
+    (sum, count) aggregate on ``id``, one left join back to ``df``, then
+    :func:`functions.corpus.global_rank`'s sharded distributed rank (no
+    single-partition sort at corpus scale) and one count() action for the
+    fraction cut — no vector ever collected or broadcast.  Output: the
+    kept rows with ``density`` and ``prune_rank`` (1-based, keep order)
+    appended.  Oracle: literal ``centroids=`` makes the whole chain —
+    graph, density, rank, cut — replay in DuckDB
+    (goldens_ext.ext_prototype_prune)."""
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError(
+            f"keep_fraction must be in (0, 1]: {keep_fraction!r}")
+    if keep not in ("sparse", "dense"):
+        raise ValueError(f"keep must be 'sparse' or 'dense': {keep!r}")
+    from condenser_spark.functions.corpus import global_rank
+
+    g = knn_graph(
+        df, k=k, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        seed=seed, lloyd_iters=lloyd_iters, centroids=centroids,
+        use_arrow=use_arrow, max_cell_size=max_cell_size,
+    )
+    dens = g.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("cosine_sim") * 10000).cast("long"))
+        .alias("_d4"),
+        F.count(F.lit(1)).alias("_nn"),
+    ).select(
+        F.col("vec_id").alias(id_col),
+        (F.col("_d4").cast("double") / F.col("_nn")).alias("density"),
+    )
+    scored = df.join(dens, on=id_col, how="left").withColumn(
+        "density", F.coalesce(F.col("density"), F.lit(-2.0)))
+    order = F.col("density") if keep == "sparse" else -F.col("density")
+    ranked = global_rank(
+        scored.withColumn("_ord", order),
+        order_col="_ord", id_col=id_col, rank_col="prune_rank",
+    ).drop("_ord")
+    n_keep = math.ceil(keep_fraction * df.count())
+    return ranked.filter(F.col("prune_rank") <= n_keep)
 
 
 def knn_label_vote(

@@ -4506,3 +4506,106 @@ def ext_curate_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         report=False, barrier=False,
     )
     return out.select("doc_id", "url", "text")
+
+
+# ------------------------------------------------- SSL-prototype pruning
+
+_PP_FRACTION = 0.5
+
+
+@golden(
+    "ext_prototype_prune",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cents AS (
+      SELECT cell, e FROM (
+        SELECT e, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+        FROM v
+      ) WHERE cell < 16
+    ),
+    cscore AS (
+      SELECT v.vec_id, s.cell,
+             list_dot_product(v.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM v CROSS JOIN cents s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(av.e, bv.e) /
+                   (sqrt(list_dot_product(av.e, av.e)) *
+                    sqrt(list_dot_product(bv.e, bv.e))), 4) AS cosine_sim
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, cosine_sim FROM (
+        SELECT vec_id, cosine_sim,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM p
+      ) WHERE rank <= {_KNN_GRAPH_K}
+    ),
+    dens AS (
+      SELECT vec_id,
+             SUM(CAST(ROUND(cosine_sim * 10000) AS BIGINT)) AS d4,
+             COUNT(*) AS nn
+      FROM knn GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             COALESCE(CAST(d.d4 AS DOUBLE) / d.nn, -2.0) AS density
+      FROM embeddings e LEFT JOIN dens d USING (vec_id)
+    ),
+    ranked AS (
+      SELECT vec_id, density,
+             CAST(row_number() OVER (ORDER BY density ASC, vec_id ASC)
+                  AS BIGINT) AS prune_rank
+      FROM scored
+    )
+    SELECT vec_id, density, prune_rank FROM ranked
+    WHERE prune_rank <= CAST(CEIL({_PP_FRACTION} *
+          (SELECT COUNT(*) FROM embeddings)) AS BIGINT)
+    """,
+)
+def ext_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022) under the FULL value
+    oracle: keep the sparsest half of the embedding corpus by local
+    density (mean of the 4-dp top-k graph cosines, exact-integer sum over
+    exact count, ieee-divided) — the literal md5-ordered centroids make
+    the entire chain (IVF assignment, cell pairing, graph top-k, density,
+    global rank, fraction cut) replay bit-for-bit in DuckDB
+    (condenser_spark/functions/similarity.py:prototype_prune)."""
+    from condenser_spark.functions.similarity import prototype_prune
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    cents = [
+        list(r.e)
+        for r in emb.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    ]
+    return prototype_prune(
+        emb, keep_fraction=_PP_FRACTION, k=_KNN_GRAPH_K,
+        centroids=cents, use_arrow=False,
+    ).select("vec_id", "density", "prune_rank")

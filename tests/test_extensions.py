@@ -723,3 +723,58 @@ def test_knn_graph_empty_and_degenerate_corpus(spark):
         [(1, None), (2, [0.0, 0.0]), (3, [1.0])],
         "vec_id long, embedding array<double>")
     assert knn_graph(degenerate, k=3).count() == 0
+
+
+def test_prototype_prune_crafted_geometry(spark):
+    """Sorscher-style pruning on a crafted 2-cell geometry: a tight clump
+    (high mean top-k cosine) is pruned first in 'sparse' mode and kept
+    first in 'dense' mode; a lone-cell vector (no graph rows) carries
+    density -2.0 and sorts before every real density in 'sparse'."""
+    from condenser_spark.functions.similarity import prototype_prune
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = [
+        # cell 0: a tight clump — pairwise cosines near 1
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.001, 0.0, 0.0]),
+        (3, [0.998, 0.002, 0.0, 0.0]),
+        # cell 0: an outlier of the clump — lower mean cosine
+        (4, [0.6, 0.8, 0.0, 0.0]),
+        # cell 1: alone — no neighbors, density -2.0
+        (5, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sparse = prototype_prune(df, keep_fraction=0.4, k=2,
+                             centroids=cents, use_arrow=False)
+    got = {r.vec_id: r for r in sparse.collect()}
+    # ceil(0.4 * 5) = 2 kept: the lone vector (no evidence) then the
+    # clump outlier
+    assert sorted(got) == [4, 5]
+    assert got[5].density == -2.0
+    assert got[5].prune_rank == 1 and got[4].prune_rank == 2
+    assert set(sparse.columns) == {"vec_id", "embedding", "density",
+                                   "prune_rank"}
+
+    dense = prototype_prune(df, keep_fraction=0.4, k=2,
+                            centroids=cents, use_arrow=False, keep="dense")
+    kept_dense = sorted(r.vec_id for r in dense.collect())
+    # the two densest clump members win; the lone vector sorts last
+    assert 5 not in kept_dense and len(kept_dense) == 2
+    assert set(kept_dense) <= {1, 2, 3}
+
+    full = prototype_prune(df, keep_fraction=1.0, k=2,
+                           centroids=cents, use_arrow=False)
+    assert full.count() == 5  # fraction 1.0 keeps everything
+
+
+def test_prototype_prune_validation(spark):
+    from condenser_spark.functions.similarity import prototype_prune
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_fraction"):
+        prototype_prune(df, keep_fraction=0.0)
+    with _pytest.raises(ValueError, match="keep must be"):
+        prototype_prune(df, keep_fraction=0.5, keep="middle")
