@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_domain_stats",
         "ext_curate_url",
         "ext_prototype_prune",
+        "ext_dedup_lines_stream",
+        "ext_exact_substring_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -501,6 +501,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                F.sum(F.col("url_blocked").cast("int"))).collect())
     timed("url_dedup", lambda: url_dedup(_udocs).count())
 
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+        dedup_lines_stream,
+        exact_substring_stream,
+    )
+
+    _landed = docs.filter(F.col("doc_id") % 2 == 0)
+    _incoming = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _line_stream():
+        blm = build_line_bloom(_landed)
+        return (dedup_lines_stream(_incoming, blm)
+                .agg(F.sum("n_removed_lines")).collect())
+
+    def _esub_stream():
+        blm = build_kgram_bloom(_landed, k=10)
+        return (exact_substring_stream(_incoming, blm, k=10)
+                .agg(F.sum("n_removed_tokens")).collect())
+
+    timed("dedup_lines_stream", _line_stream)
+    timed("exact_substring_stream", _esub_stream)
+
     return timings, noise
 
 

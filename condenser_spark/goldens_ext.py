@@ -4609,3 +4609,222 @@ def ext_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, keep_fraction=_PP_FRACTION, k=_KNN_GRAPH_K,
         centroids=cents, use_arrow=False,
     ).select("vec_id", "density", "prune_rank")
+
+
+# ------------------------------------------- streaming text-dedup twins
+
+@golden(
+    "ext_dedup_lines_stream",
+    r"""
+    WITH landed AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared boilerplate footer' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT doc_id,
+             text || chr(10) || 'Shared  BOILERPLATE Footer'
+                  || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                  || chr(10) || 'repeat me'
+                  || chr(10) || 'repeat me' AS text
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    lset AS (
+      SELECT DISTINCT
+             regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, chr(10))) AS line
+            FROM landed)
+      WHERE regexp_replace(lower(trim(line)), '\s+', ' ', 'g') <> ''
+    ),
+    slines AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, chr(10)) AS arr
+            FROM stream)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             norm <> '' AND (
+               norm IN (SELECT n FROM lset)
+               OR ROW_NUMBER() OVER (PARTITION BY doc_id, norm
+                                     ORDER BY pos) > 1
+             ) AS dup
+      FROM (SELECT doc_id, pos, line,
+                   regexp_replace(lower(trim(line)), '\s+', ' ', 'g')
+                     AS norm
+            FROM slines)
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+             FILTER (WHERE NOT dup), '') AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed_lines,
+           CAST(SUM(CASE WHEN dup
+                    THEN len(list_filter(
+                           regexp_split_to_array(trim(line), '\s+'),
+                           x -> x <> ''))
+                    ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+           CAST(SUM(CASE WHEN dup THEN length(line) ELSE 0 END)
+                AS BIGINT) AS n_removed_chars
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def ext_dedup_lines_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of CCNet line dedup under the FULL value oracle: half
+    the corpus "lands" with a shared boilerplate footer, the other half
+    "streams in" carrying a case/whitespace variant of that footer plus a
+    within-doc repeated new line — landed-membership (via the Bloom, sized
+    at fp_rate=1e-12 so expected false positives over every probe at both
+    gate scales are << 1; the stateless probe has no exact-verify join, so
+    that sizing is what licenses the exact-set oracle), the in-doc
+    keep-first rule, the ordered rebuild, and all three audit sums
+    replayed by DuckDB
+    (condenser_spark/streaming/textdedup.py:dedup_lines_stream)."""
+    from condenser_spark.streaming.textdedup import (
+        build_line_bloom,
+        dedup_lines_stream,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nshared boilerplate footer")).alias("text"))
+    stream = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.col("text"),
+            F.lit("Shared  BOILERPLATE Footer"),
+            F.concat(F.lit("unique tail "),
+                     F.col("doc_id").cast("string")),
+            F.lit("repeat me"), F.lit("repeat me"),
+        ).alias("text"))
+    return dedup_lines_stream(stream, build_line_bloom(landed,
+                                                       fp_rate=1e-12))
+
+
+_ESS_SENT2 = ("inner repeat block token one two three four five six "
+              "seven")  # 11 tokens >= _ESUB_K
+
+
+def _exact_substring_stream_sql() -> str:
+    k = _ESUB_K
+    return rf"""
+    WITH landed AS (
+      SELECT doc_id, text || ' {_ESUB_SENTINEL}' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT doc_id,
+             text || ' {_ESUB_SENTINEL}' ||
+             CASE WHEN doc_id % 3 = 1
+                  THEN ' {_ESS_SENT2} {_ESS_SENT2}' ELSE '' END AS text
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    lbase AS (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM landed
+    ),
+    lgrams AS (
+      SELECT DISTINCT
+             array_to_string(arr[p:p+{k - 1}], ' ') AS gram
+      FROM (SELECT arr, unnest(range(1, len(arr) - {k} + 2)) AS p
+            FROM lbase WHERE len(arr) >= {k})
+    ),
+    sbase AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM stream
+    ),
+    sgrams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             array_to_string(arr[p:p+{k - 1}], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(range(1, len(arr) - {k} + 2)) AS p
+            FROM sbase WHERE len(arr) >= {k})
+    ),
+    indoc AS (
+      SELECT doc_id, gram FROM sgrams
+      GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+    ),
+    starts AS (
+      SELECT s.doc_id, s.pos FROM sgrams s
+      WHERE s.gram IN (SELECT gram FROM lgrams)
+         OR EXISTS (SELECT 1 FROM indoc i
+                    WHERE i.doc_id = s.doc_id AND i.gram = s.gram)
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS tok
+      FROM sbase
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(CASE WHEN s.pos IS NOT NULL THEN t.pos END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS smax
+      FROM toks t LEFT JOIN starts s
+        ON s.doc_id = t.doc_id AND s.pos = t.pos
+    ),
+    per AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE smax IS NULL OR smax < pos - {k - 1}),
+               '') AS text,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN length(tok) ELSE 0 END) AS BIGINT)
+               AS n_removed_chars
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(p.text, '') AS text,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_removed_tokens, 0) AS n_removed_tokens,
+           COALESCE(p.n_removed_chars, 0) AS n_removed_chars
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per p USING (doc_id)
+    """
+
+
+@golden("ext_exact_substring_stream", _exact_substring_stream_sql())
+def ext_exact_substring_stream(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming twin of ExactSubstr under the FULL value oracle: the
+    landed half carries the sentinel span, the stream half carries the
+    same span plus (every third doc) a twice-repeated NEW block — the
+    k-gram Bloom membership (sized at fp_rate=1e-12 so expected false
+    positives over every gram probe at both gate scales are << 1 — the
+    stateless probe has no exact-verify join, so the sizing is what
+    licenses the exact-set oracle), the in-doc duplicate rule, running-max
+    coverage, the whitespace-normalized rebuild and the token/char audit
+    sums all replayed by DuckDB
+    (condenser_spark/streaming/textdedup.py:exact_substring_stream)."""
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        exact_substring_stream,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _ESUB_SENTINEL)).alias("text"))
+    stream = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" " + _ESUB_SENTINEL),
+            F.when(F.col("doc_id") % 3 == 1,
+                   F.lit(" " + _ESS_SENT2 + " " + _ESS_SENT2))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return exact_substring_stream(
+        stream, build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-12),
+        k=_ESUB_K)

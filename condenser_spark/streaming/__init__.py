@@ -9,10 +9,20 @@ from condenser_spark.streaming.sessionize import (
     windowed_event_counts,
     windowed_event_counts_stream,
 )
+from condenser_spark.streaming.textdedup import (
+    build_kgram_bloom,
+    build_line_bloom,
+    dedup_lines_stream,
+    exact_substring_stream,
+)
 
 __all__ = [
+    "build_kgram_bloom",
+    "build_line_bloom",
     "build_minhash_band_index",
     "dedup_batch_against_corpus",
+    "dedup_lines_stream",
+    "exact_substring_stream",
     "minhash_near_pairs_stream",
     "sessionize",
     "sessionize_stream",

@@ -1,0 +1,319 @@
+"""Streaming twins of the text-REWRITE dedup operators: CCNet line dedup
+and ExactSubstr k-gram dedup of INCOMING documents against a LANDED corpus.
+
+The batch operators (functions/text.py: dedup_lines, exact_substring_dedup)
+are corpus self-joins — inherently batch, both sides complete.  The ingest
+question is different and stream-shaped: *which lines / spans of this
+INCOMING document already exist in the landed corpus?*  Per the
+streaming/neardup.py doctrine, stream-vs-stream duplication (two in-flight
+docs sharing a NEW line) is out of scope by design — pair state there is
+unbounded by any event-time horizon; run the batch operator over the landed
+data on whatever cadence the corpus requires.  WITHIN-document repeats are
+handled in-row (they need no cross-row state).
+
+Index shape: the landed corpus is packed ONCE into a
+:class:`functions.dedup.ShingleBloom` (:func:`build_line_bloom` /
+:func:`build_kgram_bloom` — the decontaminate_bloom machinery reused at
+line / k-gram granularity), saved/loaded with the existing
+``ShingleBloom.save/load`` and broadcast once per SparkContext.  Bloom
+semantics are one-sided: NO false negatives (a landed duplicate is always
+caught), and a false positive drops a never-landed line/span at the
+declared ``fp_rate`` (default 1e-3) — the standard trade for a stateless
+in-row probe; rebuild the bloom on the batch-dedup cadence.  The build
+collects distinct hashes to the driver under the same fail-loud cap as
+``build_shingle_bloom`` (~50M entries ~ 800 MB); a landed corpus whose
+distinct-line count exceeds the cap is past the ingest-hygiene regime —
+dedup it in batch.
+
+COST NOTE (the neardup.py caveat applies): the probe runs interpreted
+higher-order expressions per document (one transform per line/gram plus an
+Arrow-batched bloom probe); the batch path's codegen'd explode+agg is the
+fast form per doc.  Fine at ingest rates; if a micro-batch falls behind,
+batch the backlog.
+
+Both twins are STATELESS (no watermark, append-safe, trivial restart) and
+mirror the batch output contract exactly — (id, text, n_* audit columns) —
+so parity with the batch operator over (landed UNION stream) restricted to
+stream ids is pinned per-pytest (tests/test_textdedup_stream.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dedup import (
+    ShingleBloom,
+    _bloom_build,
+    _bloom_geometry,
+    _bloom_hash_cols,
+)
+
+__all__ = [
+    "build_kgram_bloom",
+    "build_line_bloom",
+    "dedup_lines_stream",
+    "exact_substring_stream",
+]
+
+
+def _collect_bloom(hashes_df, fp_rate: float, max_bits: int,
+                   cap: int, what: str) -> ShingleBloom | None:
+    rows = hashes_df.distinct().limit(cap + 1).toPandas()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what} collected more than {cap:,} distinct entries — the "
+            "landed corpus is past the ingest-hygiene regime; dedup it "
+            "with the batch operator instead (or raise the cap).")
+    if len(rows) == 0:
+        return None
+    m, k = _bloom_geometry(len(rows), fp_rate, max_bits)
+    bits = _bloom_build(rows["h1"].to_numpy(), rows["h2"].to_numpy(), m, k)
+    return ShingleBloom(bits, m, k, 1)
+
+
+def _norm_line(line: Column, strip_digits: bool) -> Column:
+    norm = F.regexp_replace(F.lower(F.trim(line)), r"\s+", " ")
+    if strip_digits:
+        norm = F.regexp_replace(norm, r"[0-9]", "")
+    return norm
+
+
+def build_line_bloom(
+    docs: DataFrame,
+    strip_digits: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+    max_lines: int = 50_000_000,
+) -> ShingleBloom | None:
+    """Pack the landed corpus's distinct NORMALIZED line strings (the
+    :func:`functions.text.dedup_lines` identity: trim + lowercase +
+    whitespace collapse, optional digit strip; blank-normalizing lines are
+    never indexed) into a ShingleBloom for :func:`dedup_lines_stream`.
+    ``None`` when the landed side has no non-blank lines."""
+    lines = docs.select(
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"))
+    norm = _norm_line(F.col("line"), strip_digits)
+    hashes = (
+        lines.select(norm.alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select(*_bloom_hash_cols())
+    )
+    return _collect_bloom(hashes, fp_rate, max_bits, max_lines,
+                          "build_line_bloom")
+
+
+def build_kgram_bloom(
+    docs: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+    max_kgrams: int = 50_000_000,
+) -> ShingleBloom | None:
+    """Pack the landed corpus's distinct token ``k``-grams (the
+    :func:`functions.text.exact_substring_dedup` tokenization: whitespace
+    split, case PRESERVED, space-joined grams) into a ShingleBloom for
+    :func:`exact_substring_stream`.  ``None`` when no doc reaches ``k``
+    tokens."""
+    arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                   lambda t: t != "")
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(arr).alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    last = F.lead("tok", k - 1).over(w)
+    hashes = (
+        tok_rows.select(F.concat_ws(" ", *parts).alias("shingle"),
+                        last.alias("_l"))
+        .filter(F.col("_l").isNotNull())
+        .select(*_bloom_hash_cols())
+    )
+    return _collect_bloom(hashes, fp_rate, max_bits, max_kgrams,
+                          "build_kgram_bloom")
+
+
+def _probe_arrays(docs: DataFrame, bloom: ShingleBloom | None,
+                  strings: Column) -> Column:
+    """array<boolean> bloom membership per element of the ``strings`` array
+    column — the _bloom_probe Kirsch-Mitzenmacher kernel lifted to array
+    columns (flatten / vectorize / re-split inside one Arrow batch)."""
+    if bloom is None:
+        return F.transform(strings, lambda _: F.lit(False))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m, k = bloom.m, bloom.k
+    bcast = bloom.broadcast_on(docs.sparkSession.sparkContext)
+    mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
+
+    def _might_contain_arr(h1s, h2s):
+        blm = bcast.value
+        lens = [0 if a is None else len(a) for a in h1s]
+        if sum(lens) == 0:
+            return pd.Series([[] for _ in lens])
+        a = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h1s
+             if x is not None and len(x)]).astype(np.uint64)
+        b = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h2s
+             if x is not None and len(x)]).astype(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % mu
+            byte = blm[(pos >> three).astype(np.int64)]
+            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1
+                   ).astype(bool)
+        out, at = [], 0
+        for ln in lens:
+            out.append(ok[at:at + ln].tolist())
+            at += ln
+        return pd.Series(out)
+
+    probe = pandas_udf(_might_contain_arr, "array<boolean>")
+    h1s = F.transform(strings, lambda x: F.xxhash64(x))
+    h2s = F.transform(strings, lambda x: F.xxhash64(x, F.lit("bloom-h2")))
+    return probe(h1s, h2s)
+
+
+def dedup_lines_stream(
+    docs: DataFrame,
+    bloom: ShingleBloom | None,
+    strip_digits: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.text.dedup_lines` (keep="first",
+    min_count=2) against a landed corpus: every incoming line whose
+    normalized form exists in ``bloom`` (a landed site is by definition an
+    earlier site) OR repeats an earlier line of the SAME document is
+    dropped, and the document is rebuilt in-row.  Output mirrors the batch
+    contract: (id_col, text, n_lines, n_removed_lines, n_removed_tokens,
+    n_removed_chars).  Stateless — append-safe on a stream, and runs
+    unchanged on a batch frame (the parity surface)."""
+    lines = F.split(F.col(text_col), "\n")
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        lines.alias("_lines"),
+        F.transform(lines,
+                    lambda l: _norm_line(l, strip_digits)).alias("_norms"),
+    )
+    probed = base.withColumn(
+        "_hits", _probe_arrays(docs, bloom, F.col("_norms")))
+    # drop rule per line i (0-based): non-blank AND (landed-dup via bloom
+    # OR an earlier occurrence in this same document)
+    dup = F.transform(
+        F.col("_norms"),
+        lambda x, i: (x != "") & (
+            F.element_at(F.col("_hits"), i + 1)
+            | (F.array_position(F.slice(F.col("_norms"), F.lit(1), i), x)
+               > 0)
+        ),
+    )
+    flagged = probed.withColumn("_dup", dup)
+    removed = F.filter(
+        F.zip_with(F.col("_lines"), F.col("_dup"),
+                   lambda l, d: F.struct(l.alias("l"), d.alias("d"))),
+        lambda s: s["d"],
+    )
+    kept = F.filter(
+        F.zip_with(F.col("_lines"), F.col("_dup"),
+                   lambda l, d: F.when(~d, l)),
+        lambda x: x.isNotNull(),
+    )
+    line_tokens = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+    return flagged.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(removed).cast("long").alias("n_removed_lines"),
+        F.aggregate(removed, F.lit(0).cast("long"),
+                    lambda a, s: a + line_tokens(s["l"]).cast("long"))
+        .alias("n_removed_tokens"),
+        F.aggregate(removed, F.lit(0).cast("long"),
+                    lambda a, s: a + F.length(s["l"]).cast("long"))
+        .alias("n_removed_chars"),
+    )
+
+
+def exact_substring_stream(
+    docs: DataFrame,
+    bloom: ShingleBloom | None,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`functions.text.exact_substring_dedup`
+    (keep="none", min_count=2) against a landed corpus: every token of the
+    incoming document covered by a ``k``-gram that exists in ``bloom`` OR
+    repeats within the document is cut, and the text rebuilt in-row
+    (whitespace-normalized, case preserved — the batch contract).  Output
+    mirrors the batch columns: (id_col, text, n_tokens, n_removed_tokens,
+    n_removed_chars).  Stateless; runs unchanged on a batch frame."""
+    arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                   lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    g = F.size("_arr") - (k - 1)
+    grams = F.when(
+        g >= 1,
+        F.transform(F.sequence(F.lit(1), g),
+                    lambda p: F.concat_ws(" ", F.slice(F.col("_arr"), p,
+                                                       F.lit(k)))),
+    ).otherwise(F.array().cast("array<string>"))
+    based = base.withColumn("_grams", grams)
+    probed = based.withColumn(
+        "_hits", _probe_arrays(docs, bloom, F.col("_grams")))
+    # duplicated start p (1-based) = landed-dup OR >= 2 in-doc occurrences
+    dup_starts = F.filter(
+        F.transform(
+            F.col("_grams"),
+            lambda x, i: F.when(
+                F.element_at(F.col("_hits"), i + 1)
+                | (F.size(F.filter(F.col("_grams"),
+                                   lambda y: y == x)) >= 2),
+                i + 1,
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+    flagged = probed.withColumn("_starts", dup_starts)
+    # token t (1-based) covered iff the latest dup start at-or-before it is
+    # within k-1 — same rule as the batch running max.  Guarded for empty
+    # token arrays: sequence(1, 0) is the DESCENDING [1, 0], not empty
+    # (the _shingles lesson, functions/dedup.py)
+    cov = F.when(
+        F.size("_arr") >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_arr")),
+            lambda t: F.coalesce(
+                F.array_max(F.filter(F.col("_starts"), lambda s: s <= t))
+                >= t - (k - 1),
+                F.lit(False),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<boolean>"))
+    covered = flagged.withColumn("_cov", cov)
+    kept = F.filter(
+        F.zip_with(F.col("_arr"), F.col("_cov"),
+                   lambda tok, c: F.when(~c, tok)),
+        lambda x: x.isNotNull(),
+    )
+    removed = F.filter(
+        F.zip_with(F.col("_arr"), F.col("_cov"),
+                   lambda tok, c: F.when(c, tok)),
+        lambda x: x.isNotNull(),
+    )
+    return covered.select(
+        F.col("_id").alias(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("_arr").cast("long").alias("n_tokens"),
+        F.size(removed).cast("long").alias("n_removed_tokens"),
+        F.aggregate(removed, F.lit(0).cast("long"),
+                    lambda a, tok: a + F.length(tok).cast("long"))
+        .alias("n_removed_chars"),
+    )

@@ -1,0 +1,195 @@
+"""Streaming twins of the text-REWRITE dedup ops (streaming/textdedup.py):
+row-for-row parity with the batch operators over (landed UNION stream)
+restricted to stream ids, plus real file-stream smoke runs.
+
+Parity scope (the module contract): landed ids sort before stream ids
+(the landed site is the keep-first winner) and no two STREAM docs share a
+new line/span (stream-vs-stream dedup is out of scope by design — the
+neardup.py doctrine)."""
+
+import pytest
+
+from condenser_spark.functions.text import (
+    dedup_lines,
+    exact_substring_dedup,
+)
+from condenser_spark.streaming.textdedup import (
+    build_kgram_bloom,
+    build_line_bloom,
+    dedup_lines_stream,
+    exact_substring_stream,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+LINE_COLS = ["doc_id", "text", "n_lines", "n_removed_lines",
+             "n_removed_tokens", "n_removed_chars"]
+SUB_COLS = ["doc_id", "text", "n_tokens", "n_removed_tokens",
+            "n_removed_chars"]
+
+
+# --------------------------------------------------------------- line twin
+
+def _line_fixture(spark):
+    landed = spark.createDataFrame([
+        (0, "landed unique zero\ncopyright acme corp\nbody zero"),
+        (1, "landed one\nshared footer line"),
+    ], SCHEMA)
+    stream = spark.createDataFrame([
+        # landed dup exact + as case/whitespace variant + a kept line
+        (10, "Copyright  ACME Corp\nfresh ten line\nshared footer line"),
+        # within-doc repeat of a NEW line: first kept, second dropped
+        (11, "novel eleven line\nnovel eleven line\ntail eleven"),
+        # blank lines always survive; unique content kept
+        (12, "only twelve\n\nafter blank"),
+    ], SCHEMA)
+    return landed, stream
+
+
+def test_line_twin_parity_with_batch(spark):
+    landed, stream = _line_fixture(spark)
+    bloom = build_line_bloom(landed)
+    got = _rows(dedup_lines_stream(stream, bloom), LINE_COLS)
+    want = _rows(
+        dedup_lines(landed.unionByName(stream), keep="first", min_count=2)
+        .filter("doc_id >= 10"),
+        LINE_COLS,
+    )
+    assert got == want
+    # and the interesting rows are what we think they are
+    texts = {r[0]: r[1] for r in got}
+    assert texts[10] == "fresh ten line"
+    assert texts[11] == "novel eleven line\ntail eleven"
+    assert texts[12] == "only twelve\n\nafter blank"
+
+
+def test_line_twin_strip_digits_parity(spark):
+    landed = spark.createDataFrame(
+        [(0, "page 3 of 7\nlanded body")], SCHEMA)
+    stream = spark.createDataFrame(
+        [(10, "page 5 of 7\nfresh body ten")], SCHEMA)
+    bloom = build_line_bloom(landed, strip_digits=True)
+    got = _rows(dedup_lines_stream(stream, bloom, strip_digits=True),
+                LINE_COLS)
+    want = _rows(
+        dedup_lines(landed.unionByName(stream), keep="first",
+                    strip_digits=True).filter("doc_id >= 10"),
+        LINE_COLS,
+    )
+    assert got == want
+    assert got[0][1] == "fresh body ten"  # the digit-variant line dropped
+
+
+def test_line_twin_no_landed_corpus(spark):
+    # bloom=None (empty landed side): only the within-doc rule applies
+    _, stream = _line_fixture(spark)
+    out = {r.doc_id: r for r in
+           dedup_lines_stream(stream, None).collect()}
+    assert out[10].n_removed_lines == 0
+    assert out[11].text == "novel eleven line\ntail eleven"
+    assert build_line_bloom(
+        stream.filter("doc_id < 0")) is None
+
+
+def test_line_twin_runs_on_stream(spark, tmp_path):
+    landed, stream = _line_fixture(spark)
+    bloom = build_line_bloom(landed)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    stream.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (dedup_lines_stream(s, bloom).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out), LINE_COLS)
+    want = _rows(dedup_lines_stream(stream, bloom), LINE_COLS)
+    assert got == want
+
+
+def test_line_bloom_cap_fails_loud(spark):
+    landed, _ = _line_fixture(spark)
+    with pytest.raises(ValueError, match="batch operator"):
+        build_line_bloom(landed, max_lines=2)
+
+
+# ---------------------------------------------------------- substring twin
+
+K = 4
+SPAN = "w1 w2 w3 w4 w5"  # k+1 tokens
+
+
+def _sub_fixture(spark):
+    landed = spark.createDataFrame([
+        (0, f"landed intro {SPAN} landed outro words here"),
+    ], SCHEMA)
+    stream = spark.createDataFrame([
+        # landed span recurs: cut (twin) == cut (batch count>=2, keep=none)
+        (10, f"alpha beta {SPAN} gamma delta"),
+        # within-doc repeated NEW span: both sites cut in both forms
+        (11, "n1 n2 n3 n4 mid filler n1 n2 n3 n4 tail1 tail2"),
+        # shorter than k: passes through (whitespace-normalized)
+        (12, "just three tokens"),
+        # untouched long doc
+        (13, "u1 u2 u3 u4 u5 u6 u7"),
+        # fully duplicated doc (the landed span is its whole text)
+        (14, SPAN),
+    ], SCHEMA)
+    return landed, stream
+
+
+def test_substring_twin_parity_with_batch(spark):
+    landed, stream = _sub_fixture(spark)
+    bloom = build_kgram_bloom(landed, k=K)
+    got = _rows(exact_substring_stream(stream, bloom, k=K), SUB_COLS)
+    want = _rows(
+        exact_substring_dedup(landed.unionByName(stream), k=K,
+                              min_count=2, keep="none")
+        .filter("doc_id >= 10"),
+        SUB_COLS,
+    )
+    assert got == want
+    texts = {r[0]: r[1] for r in got}
+    assert texts[10] == "alpha beta gamma delta"
+    assert texts[11] == "mid filler tail1 tail2"
+    assert texts[12] == "just three tokens"
+    assert texts[14] == ""  # fully duplicated doc comes back empty
+
+
+def test_substring_twin_no_landed_corpus(spark):
+    _, stream = _sub_fixture(spark)
+    out = {r.doc_id: r for r in
+           exact_substring_stream(stream, None, k=K).collect()}
+    assert out[10].n_removed_tokens == 0     # landed span unknown
+    assert out[11].text == "mid filler tail1 tail2"  # within-doc still cut
+    assert build_kgram_bloom(
+        stream.filter("doc_id < 0"), k=K) is None
+
+
+def test_substring_twin_runs_on_stream(spark, tmp_path):
+    landed, stream = _sub_fixture(spark)
+    bloom = build_kgram_bloom(landed, k=K)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    stream.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (exact_substring_stream(s, bloom, k=K).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out), SUB_COLS)
+    want = _rows(exact_substring_stream(stream, bloom, k=K), SUB_COLS)
+    assert got == want
+
+
+def test_substring_twin_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], SCHEMA)
+    out = {r.doc_id: r for r in
+           exact_substring_stream(df, None, k=K).collect()}
+    assert out[1].text == "" and out[1].n_tokens == 0
+    assert out[2].text == "" and out[2].n_removed_tokens == 0
