@@ -25,11 +25,14 @@ collects distinct hashes to the driver under the same fail-loud cap as
 distinct-line count exceeds the cap is past the ingest-hygiene regime —
 dedup it in batch.
 
-COST NOTE (the neardup.py caveat applies): the probe runs interpreted
-higher-order expressions per document (one transform per line/gram plus an
-Arrow-batched bloom probe); the batch path's codegen'd explode+agg is the
-fast form per doc.  Fine at ingest rates; if a micro-batch falls behind,
-batch the backlog.
+COST NOTE (the neardup.py caveat applies): hashing and the rebuild run as
+O(L) JVM higher-order expressions, and ALL super-linear per-document logic
+— bloom probe, in-document repeat detection, coverage running-max — runs
+inside ONE Arrow kernel per twin as O(G log G) numpy per document (a
+sort-based unique, never a pairwise scan), so a long or fully-duplicated
+incoming document cannot go quadratic (stress stage 23 prices a 2k-token
+100%-duplicated stream).  The batch path's codegen'd explode+agg remains
+the fast form per doc; if a micro-batch falls behind, batch the backlog.
 
 Both twins are STATELESS (no watermark, append-safe, trivial restart) and
 mirror the batch output contract exactly — (id, text, n_* audit columns) —
@@ -136,24 +139,69 @@ def build_kgram_bloom(
                           "build_kgram_bloom")
 
 
-def _probe_arrays(docs: DataFrame, bloom: ShingleBloom | None,
-                  strings: Column) -> Column:
-    """array<boolean> bloom membership per element of the ``strings`` array
-    column — the _bloom_probe Kirsch-Mitzenmacher kernel lifted to array
-    columns (flatten / vectorize / re-split inside one Arrow batch)."""
-    if bloom is None:
-        return F.transform(strings, lambda _: F.lit(False))
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+def _hash_arrays(strings: Column) -> tuple[Column, Column]:
+    """The two JVM-side 64-bit hash arrays matching `_bloom_hash_cols` —
+    parity with the bloom BUILD side, and a 128-bit per-element identity
+    for the in-document repeat rules (collision odds ~G²/2^128 per doc)."""
+    return (
+        F.transform(strings, lambda x: F.xxhash64(x)),
+        F.transform(strings, lambda x: F.xxhash64(x, F.lit("bloom-h2"))),
+    )
 
+
+def _probe_closure(docs: DataFrame, bloom: ShingleBloom | None):
+    """Executor-safe flat-probe function over uint64 hash arrays: captures
+    only (m, k) and the Broadcast handle, never the ShingleBloom itself
+    (it caches a SparkContext-bound broadcast — unpicklable, SPARK-5063).
+    Vectorized Kirsch-Mitzenmacher: one concatenated batch, k bit-tests."""
+    import numpy as np
+
+    if bloom is None:
+        return lambda a, b: np.zeros(len(a), dtype=bool)
     m, k = bloom.m, bloom.k
     bcast = bloom.broadcast_on(docs.sparkSession.sparkContext)
     mu, three, seven = np.uint64(m), np.uint64(3), np.uint64(7)
 
-    def _might_contain_arr(h1s, h2s):
+    def _probe(a, b):
         blm = bcast.value
-        lens = [0 if a is None else len(a) for a in h1s]
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(k):
+            pos = (a + np.uint64(i) * b) % mu
+            byte = blm[(pos >> three).astype(np.int64)]
+            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1
+                   ).astype(bool)
+        return ok
+
+    return _probe
+
+
+def _pair_stats(a, b):
+    """(first_index_of_this_pair, count_of_this_pair) per element of one
+    row's (h1, h2) arrays — sort-based unique, O(G log G)."""
+    import numpy as np
+
+    keyed = np.empty(len(a), dtype=[("a", "u8"), ("b", "u8")])
+    keyed["a"], keyed["b"] = a, b
+    _, first, inverse, counts = np.unique(
+        keyed, return_index=True, return_inverse=True, return_counts=True)
+    return first[inverse], counts[inverse]
+
+
+def _dup_flags_arrays(docs: DataFrame, bloom: ShingleBloom | None,
+                      strings: Column) -> Column:
+    """array<boolean> per element of the ``strings`` array column:
+    bloom membership OR an identical element at an EARLIER index of the
+    same row (the keep-first rule).  One Arrow kernel: the bloom probe is
+    vectorized across the whole batch, the earlier-index rule is a
+    sort-based unique per row — nothing pairwise."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    flat_probe = _probe_closure(docs, bloom)
+
+    def _kernel(h1s, h2s):
+        lens = [0 if x is None else len(x) for x in h1s]
         if sum(lens) == 0:
             return pd.Series([[] for _ in lens])
         a = np.concatenate(
@@ -162,22 +210,70 @@ def _probe_arrays(docs: DataFrame, bloom: ShingleBloom | None,
         b = np.concatenate(
             [np.asarray(x, dtype=np.int64) for x in h2s
              if x is not None and len(x)]).astype(np.uint64)
-        ok = np.ones(len(a), dtype=bool)
-        for i in range(k):
-            pos = (a + np.uint64(i) * b) % mu
-            byte = blm[(pos >> three).astype(np.int64)]
-            ok &= ((byte >> (pos & seven).astype(np.uint8)) & 1
-                   ).astype(bool)
+        hit = flat_probe(a, b)
         out, at = [], 0
         for ln in lens:
-            out.append(ok[at:at + ln].tolist())
+            if ln == 0:
+                out.append([])
+                continue
+            first, _ = _pair_stats(a[at:at + ln], b[at:at + ln])
+            flag = hit[at:at + ln] | (first < np.arange(ln))
+            out.append(flag.tolist())
             at += ln
         return pd.Series(out)
 
-    probe = pandas_udf(_might_contain_arr, "array<boolean>")
-    h1s = F.transform(strings, lambda x: F.xxhash64(x))
-    h2s = F.transform(strings, lambda x: F.xxhash64(x, F.lit("bloom-h2")))
+    probe = pandas_udf(_kernel, "array<boolean>")
+    h1s, h2s = _hash_arrays(strings)
     return probe(h1s, h2s)
+
+
+def _coverage_arrays(docs: DataFrame, bloom: ShingleBloom | None,
+                     grams: Column, n_tokens: Column, k: int) -> Column:
+    """array<boolean> of length ``n_tokens`` per row: token t (0-based) is
+    covered iff some k-gram start s <= t with s >= t-k+1 is duplicated —
+    present in ``bloom`` OR occurring >= 2 times within the row.  One
+    Arrow kernel; the running max is `np.maximum.accumulate`, so a fully
+    duplicated document stays O(G log G), never O(G^2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    flat_probe = _probe_closure(docs, bloom)
+
+    def _kernel(h1s, h2s, ns):
+        lens = [0 if x is None else len(x) for x in h1s]
+        ns = ns.to_numpy()
+        if sum(lens) == 0:
+            return pd.Series([[False] * int(n) for n in ns])
+        a = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h1s
+             if x is not None and len(x)]).astype(np.uint64)
+        b = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in h2s
+             if x is not None and len(x)]).astype(np.uint64)
+        hit = flat_probe(a, b)
+        out, at = [], 0
+        for ln, n in zip(lens, ns):
+            n = int(n)
+            if ln == 0:
+                out.append([False] * n)
+                continue
+            _, counts = _pair_stats(a[at:at + ln], b[at:at + ln])
+            s = hit[at:at + ln] | (counts >= 2)
+            # last duplicated start at-or-before each start index,
+            # extended to the n-token axis (starts beyond G never exist)
+            last = np.maximum.accumulate(
+                np.where(s, np.arange(ln), -k))
+            last_tok = np.concatenate(
+                [last, np.full(n - ln, last[-1])]) if n > ln else last[:n]
+            cov = last_tok >= np.arange(n) - (k - 1)
+            out.append(cov.tolist())
+            at += ln
+        return pd.Series(out)
+
+    probe = pandas_udf(_kernel, "array<boolean>")
+    h1s, h2s = _hash_arrays(grams)
+    return probe(h1s, h2s, n_tokens)
 
 
 def dedup_lines_stream(
@@ -203,17 +299,11 @@ def dedup_lines_stream(
                     lambda l: _norm_line(l, strip_digits)).alias("_norms"),
     )
     probed = base.withColumn(
-        "_hits", _probe_arrays(docs, bloom, F.col("_norms")))
-    # drop rule per line i (0-based): non-blank AND (landed-dup via bloom
-    # OR an earlier occurrence in this same document)
-    dup = F.transform(
-        F.col("_norms"),
-        lambda x, i: (x != "") & (
-            F.element_at(F.col("_hits"), i + 1)
-            | (F.array_position(F.slice(F.col("_norms"), F.lit(1), i), x)
-               > 0)
-        ),
-    )
+        "_flags", _dup_flags_arrays(docs, bloom, F.col("_norms")))
+    # drop rule per line (the kernel computed landed-dup-via-bloom OR
+    # earlier in-doc occurrence); blank-normalizing lines always survive
+    dup = F.zip_with(F.col("_norms"), F.col("_flags"),
+                     lambda x, f: (x != "") & f)
     flagged = probed.withColumn("_dup", dup)
     removed = F.filter(
         F.zip_with(F.col("_lines"), F.col("_dup"),
@@ -266,38 +356,11 @@ def exact_substring_stream(
                                                        F.lit(k)))),
     ).otherwise(F.array().cast("array<string>"))
     based = base.withColumn("_grams", grams)
-    probed = based.withColumn(
-        "_hits", _probe_arrays(docs, bloom, F.col("_grams")))
-    # duplicated start p (1-based) = landed-dup OR >= 2 in-doc occurrences
-    dup_starts = F.filter(
-        F.transform(
-            F.col("_grams"),
-            lambda x, i: F.when(
-                F.element_at(F.col("_hits"), i + 1)
-                | (F.size(F.filter(F.col("_grams"),
-                                   lambda y: y == x)) >= 2),
-                i + 1,
-            ),
-        ),
-        lambda p: p.isNotNull(),
-    )
-    flagged = probed.withColumn("_starts", dup_starts)
-    # token t (1-based) covered iff the latest dup start at-or-before it is
-    # within k-1 — same rule as the batch running max.  Guarded for empty
-    # token arrays: sequence(1, 0) is the DESCENDING [1, 0], not empty
-    # (the _shingles lesson, functions/dedup.py)
-    cov = F.when(
-        F.size("_arr") >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_arr")),
-            lambda t: F.coalesce(
-                F.array_max(F.filter(F.col("_starts"), lambda s: s <= t))
-                >= t - (k - 1),
-                F.lit(False),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<boolean>"))
-    covered = flagged.withColumn("_cov", cov)
+    # the kernel computes duplicated starts (landed-dup via bloom OR >= 2
+    # in-doc occurrences) and the coverage running max in one pass
+    covered = based.withColumn(
+        "_cov",
+        _coverage_arrays(docs, bloom, F.col("_grams"), F.size("_arr"), k))
     kept = F.filter(
         F.zip_with(F.col("_arr"), F.col("_cov"),
                    lambda tok, c: F.when(~c, tok)),

@@ -1559,6 +1559,110 @@ def stage_quality_score(spark, n_docs: int) -> dict:
     }
 
 
+def stage_textdedup_stream(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 23: the stream-static text-dedup twins at 1M incoming docs
+    against a 1M-doc landed corpus, with the adversarial shape the
+    O(G log G) kernel claim exists for: every 100th incoming document is a
+    2,000-token 100%-landed copy (1,991 flagged starts — the shape that
+    went quadratic under the pre-kernel HOF form), the rest carry one
+    landed 10-token span mid-document.  Blooms sized fp_rate=1e-9 so the
+    ~19M probes expect << 1 false positive and every removal count
+    asserts EXACTLY.  Line twin: every incoming doc re-sends a landed
+    boilerplate line plus a within-doc repeated new line — removed ==
+    2 per doc, exactly."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+        dedup_lines_stream,
+        exact_substring_stream,
+    )
+
+    assert n_docs % 100 == 0
+    boiler = "copyright example corp all rights reserved"
+    uid = lambda s: F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s)))
+
+    # ---- line twin: landed = boiler + 2 unique; incoming = boiler +
+    # repeated new line (x2) + 1 unique
+    lpath = f"{WORK}/tds_landed_lines"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws("\n", F.lit(boiler), uid("-La"), uid("-Lb"))
+             .alias("text"))
+     .write.mode("overwrite").parquet(lpath))
+    landed_l = spark.read.parquet(lpath)
+    ipath = f"{WORK}/tds_incoming_lines"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws("\n", F.lit(boiler), uid("-Ir"), uid("-Ir"),
+                         uid("-Iu")).alias("text"))
+     .write.mode("overwrite").parquet(ipath))
+    incoming_l = spark.read.parquet(ipath)
+
+    t0 = time.time()
+    line_bloom = build_line_bloom(landed_l, fp_rate=1e-9)
+    line_build = time.time() - t0
+    t0 = time.time()
+    agg = dedup_lines_stream(incoming_l, line_bloom).agg(
+        F.sum("n_removed_lines").alias("r"),
+        F.sum("n_lines").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    line_wall = time.time() - t0
+    assert agg.n == n_docs and agg.t == 4 * n_docs
+    assert agg.r == 2 * n_docs, agg.r
+
+    # ---- substring twin: k=10; landed = 10-token shared span + 2 unique
+    # tokens (doc 0 = the 2,000-token block B); incoming = 9 unique prefix
+    # + span + 5 unique tail (every 100th doc = B verbatim)
+    k = 10
+    span = " ".join(f"s{j}" for j in range(k))
+    block = " ".join(f"b{j}" for j in range(2000))
+    spath = f"{WORK}/tds_landed_sub"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.when(F.col("id") == 0, F.lit(block)).otherwise(
+                 F.concat_ws(" ", F.lit(span), uid("-Sa"), uid("-Sb")))
+             .alias("text"))
+     .write.mode("overwrite").parquet(spath))
+    landed_s = spark.read.parquet(spath)
+    jpath = f"{WORK}/tds_incoming_sub"
+    pre = F.concat_ws(" ", *[uid(f"-P{j}") for j in range(9)])
+    tail = F.concat_ws(" ", *[uid(f"-T{j}") for j in range(5)])
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.when(F.col("id") % 100 == 0, F.lit(block)).otherwise(
+                 F.concat_ws(" ", pre, F.lit(span), tail)).alias("text"))
+     .write.mode("overwrite").parquet(jpath))
+    incoming_s = spark.read.parquet(jpath)
+
+    t0 = time.time()
+    kgram_bloom = build_kgram_bloom(landed_s, k=k, fp_rate=1e-9)
+    sub_build = time.time() - t0
+    t0 = time.time()
+    agg = exact_substring_stream(incoming_s, kgram_bloom, k=k).agg(
+        F.sum("n_removed_tokens").alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    sub_wall = time.time() - t0
+    n_heavy = n_docs // 100
+    assert agg.n == n_docs
+    assert agg.r == k * (n_docs - n_heavy) + 2000 * n_heavy, agg.r
+    return {
+        "stage": "textdedup_stream_1m",
+        "n_docs": n_docs,
+        "heavy_docs_2k_tokens": n_heavy,
+        "line_bloom_build_sec": round(line_build, 1),
+        "line_twin_wall_sec": round(line_wall, 1),
+        "line_docs_per_sec": round(n_docs / line_wall),
+        "kgram_bloom_build_sec": round(sub_build, 1),
+        "substring_twin_wall_sec": round(sub_wall, 1),
+        "substring_docs_per_sec": round(n_docs / sub_wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -1592,6 +1696,7 @@ def main() -> int:
         "langid_stream_cost": lambda: stage_langid_stream_cost(spark),
         "bm25": lambda: stage_bm25(spark),
         "bigram_lm": lambda: stage_bigram_lm(spark),
+        "textdedup_stream": lambda: stage_textdedup_stream(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
