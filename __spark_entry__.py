@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_prototype_prune",
         "ext_dedup_lines_stream",
         "ext_exact_substring_stream",
+        "ext_unimax_weights",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

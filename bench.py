@@ -524,6 +524,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("dedup_lines_stream", _line_stream)
     timed("exact_substring_stream", _esub_stream)
 
+    from condenser_spark.functions.corpus import unimax_weights
+    from condenser_spark.functions.text import token_count
+
+    timed("unimax_weights",
+          lambda: unimax_weights(
+              docs.withColumn("tok", token_count("text")),
+              budget=40_000, max_epochs=2, group_col="lang",
+              size_col="tok").collect())
+
     return timings, noise
 
 

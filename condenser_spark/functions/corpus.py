@@ -1030,6 +1030,98 @@ def expand_epochs(
     )
 
 
+def unimax_weights(
+    df: DataFrame,
+    budget: int,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    size_col: str | None = None,
+    max_groups: int = 100_000,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a training ``budget`` (rows, or tokens via
+    ``size_col``) across groups so no group repeats more than
+    ``max_epochs`` times and the remainder spreads UNIFORMLY over the
+    groups that can absorb it.  The paper's per-language loop is exactly
+    water-filling: alloc_g = min(cap_g, t) with cap_g = n_g * max_epochs
+    and the water level t solving sum_g min(cap_g, t) = budget — so it
+    has a closed sort-based form, no iteration.
+
+    Returns one row per group: (group_col, n_units, cap_units,
+    alloc_units, weight, epochs).  ``weight`` sums to 1 (when the budget
+    exceeds every cap, alloc = cap and weights are cap-proportional —
+    the paper's "use all data" regime).  Feed ``epochs`` straight into
+    :func:`expand_epochs` to realize the mixture deterministically.
+
+    Cross-engine exactness: group g is capped iff
+    ``prefix_sum_g + cap_g * (L - rank_g) <= budget`` — ALL-INTEGER
+    arithmetic (the condition is monotone along the cap-ascending order,
+    so the capped set is a prefix and the boundary needs no float) — and
+    every float output is a SINGLE division of exactly-representable
+    integers, so DuckDB replays alloc/weight/epochs bit-for-bit with no
+    rounding step.
+
+    Scale shape: one map-side-combined aggregate to the per-group table
+    (groups are languages/domains by contract — the same
+    ``max_groups`` fail-loud guard as :func:`temperature_mix`), one
+    bounded single-partition window over that table, two one-row
+    broadcast scalar joins.  Nothing touches the corpus twice."""
+    if int(budget) != budget or budget < 1:
+        raise ValueError(f"budget must be a positive integer, got {budget!r}")
+    if int(max_epochs) != max_epochs or max_epochs < 1:
+        raise ValueError(
+            f"max_epochs must be a positive integer, got {max_epochs!r}")
+    budget, max_epochs = int(budget), int(max_epochs)
+    size = F.count(F.lit(1)) if size_col is None else F.sum(F.col(size_col))
+    g = df.groupBy(group_col).agg(size.cast("long").alias("n_units"))
+    _guard_over_group_cardinality(g, group_col, max_groups,
+                                  "unimax_weights")
+    g = g.withColumn("cap_units",
+                     F.col("n_units") * F.lit(max_epochs))
+    w = Window.orderBy(F.col("cap_units").asc(), F.col(group_col).asc())
+    o = (
+        g.withColumn("_i", F.row_number().over(w).cast("long"))
+        .withColumn("_s", F.sum("cap_units").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    scalars = o.agg(
+        F.count(F.lit(1)).cast("long").alias("_L"),
+        F.sum("cap_units").alias("_total"),
+    )
+    o = o.crossJoin(F.broadcast(scalars))
+    capped = (
+        F.col("_s") + F.col("cap_units") * (F.col("_L") - F.col("_i"))
+        <= F.lit(budget)
+    )
+    o = o.withColumn("_capped", capped)
+    boundary = o.agg(
+        F.coalesce(F.max(F.when(F.col("_capped"), F.col("_i"))),
+                   F.lit(0).cast("long")).alias("_c"),
+        F.coalesce(F.max(F.when(F.col("_capped"), F.col("_s"))),
+                   F.lit(0).cast("long")).alias("_sc"),
+    )
+    o = o.crossJoin(F.broadcast(boundary))
+    level = (
+        (F.lit(budget) - F.col("_sc")).cast("double")
+        / (F.col("_L") - F.col("_c")).cast("double")
+    )
+    alloc = F.when(F.col("_capped"),
+                   F.col("cap_units").cast("double")).otherwise(level)
+    weight = F.when(
+        F.col("_total") <= F.lit(budget),
+        F.col("cap_units").cast("double") / F.col("_total").cast("double"),
+    ).otherwise(alloc / F.lit(float(budget)))
+    return o.select(
+        group_col,
+        "n_units",
+        "cap_units",
+        alloc.alias("alloc_units"),
+        weight.alias("weight"),
+        (alloc / F.col("n_units").cast("double")).alias("epochs"),
+    )
+
+
 # ------------------------------------------------------------ vocab & encode
 
 def _norm_tokens(text_col: str) -> Column:

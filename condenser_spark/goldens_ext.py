@@ -4828,3 +4828,68 @@ def ext_exact_substring_stream(spark: SparkSession,
     return exact_substring_stream(
         stream, build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-12),
         k=_ESUB_K)
+
+
+# ------------------------------------------------------------------ unimax
+
+@golden(
+    "ext_unimax_weights",
+    r"""
+    WITH base AS (
+      SELECT lang,
+             len(list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '')) AS tok
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, CAST(SUM(tok) AS BIGINT) AS n_units,
+             CAST(SUM(tok) * 2 AS BIGINT) AS cap_units
+      FROM base GROUP BY lang
+    ),
+    o AS (
+      SELECT *,
+        CAST(ROW_NUMBER() OVER (ORDER BY cap_units, lang) AS BIGINT) AS i,
+        SUM(cap_units) OVER (ORDER BY cap_units, lang
+                             ROWS UNBOUNDED PRECEDING) AS s,
+        CAST(COUNT(*) OVER () AS BIGINT) AS L,
+        SUM(cap_units) OVER () AS total
+      FROM g
+    ),
+    c AS (SELECT *, (s + cap_units * (L - i)) <= 40000 AS capped FROM o),
+    b AS (
+      SELECT COALESCE(MAX(CASE WHEN capped THEN i END), 0) AS c_star,
+             COALESCE(MAX(CASE WHEN capped THEN s END), 0) AS s_star
+      FROM c
+    ),
+    a AS (
+      SELECT c.*,
+        CASE WHEN capped THEN CAST(cap_units AS DOUBLE)
+             ELSE CAST(40000 - b.s_star AS DOUBLE)
+                  / CAST(L - b.c_star AS DOUBLE) END AS alloc_units
+      FROM c, b
+    )
+    SELECT lang, n_units, cap_units, alloc_units,
+      CASE WHEN total <= 40000
+           THEN CAST(cap_units AS DOUBLE) / CAST(total AS DOUBLE)
+           ELSE alloc_units / CAST(40000 AS DOUBLE) END AS weight,
+      alloc_units / CAST(n_units AS DOUBLE) AS epochs
+    FROM a
+    """,
+)
+def ext_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023) over the naturally
+    skewed lang column at a 40k-token budget with max_epochs=2: the four
+    smaller languages cap at 2 epochs (integer-exact prefix condition) and
+    en absorbs the water level — capping, level, weight and epochs all
+    replayed by DuckDB with single-division float trees, no rounding step
+    (condenser_spark/functions/corpus.py:unimax_weights).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import unimax_weights
+    from condenser_spark.functions.text import token_count
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return unimax_weights(
+        docs.withColumn("tok", token_count("text")),
+        budget=40_000, max_epochs=2, group_col="lang", size_col="tok",
+    )

@@ -454,3 +454,72 @@ def test_collocation_scores_empty_and_single_token_docs(spark):
         [(1, ""), (2, "   "), (3, "solo"), (4, None)],
         "doc_id long, text string")
     assert collocation_scores(docs, min_count=1).count() == 0
+
+
+# ----------------------------------------------------------------- unimax
+
+def _unimax_fixture(spark):
+    # A=10 rows, B=20, C=100 — caps at max_epochs=2: 20, 40, 200
+    rows = ([("A", i) for i in range(10)] + [("B", i) for i in range(20)]
+            + [("C", i) for i in range(100)])
+    return spark.createDataFrame(rows, "source string, doc_id long")
+
+
+def test_unimax_water_level_with_exact_boundary(spark):
+    from condenser_spark.functions.corpus import unimax_weights
+
+    df = _unimax_fixture(spark)
+    # budget 100: A capped (20), B capped EXACTLY at the boundary
+    # (prefix 60 + 40*1 == 100), C gets the water level (100-60)/1 = 40
+    out = {r.source: r for r in
+           unimax_weights(df, budget=100, max_epochs=2).collect()}
+    assert out["A"].alloc_units == 20.0 and out["A"].epochs == 2.0
+    assert out["B"].alloc_units == 40.0 and out["B"].epochs == 2.0
+    assert out["C"].alloc_units == 40.0 and out["C"].epochs == 0.4
+    assert [out[g].weight for g in "ABC"] == [0.2, 0.4, 0.4]
+    assert sum(r.weight for r in out.values()) == 1.0
+
+
+def test_unimax_budget_exceeds_all_caps(spark):
+    from condenser_spark.functions.corpus import unimax_weights
+
+    out = {r.source: r for r in
+           unimax_weights(_unimax_fixture(spark), budget=1000,
+                          max_epochs=2).collect()}
+    # "use all data" regime: alloc = cap, weights cap-proportional
+    assert [out[g].alloc_units for g in "ABC"] == [20.0, 40.0, 200.0]
+    assert out["C"].weight == 200.0 / 260.0
+    assert out["A"].epochs == 2.0
+
+
+def test_unimax_budget_below_smallest_cap_is_uniform(spark):
+    from condenser_spark.functions.corpus import unimax_weights
+
+    out = {r.source: r for r in
+           unimax_weights(_unimax_fixture(spark), budget=30,
+                          max_epochs=2).collect()}
+    assert all(out[g].alloc_units == 10.0 for g in "ABC")
+    assert all(out[g].weight == 10.0 / 30.0 for g in "ABC")
+
+
+def test_unimax_size_col_and_validation(spark):
+    import pytest as _pytest
+
+    from condenser_spark.functions.corpus import unimax_weights
+
+    df = spark.createDataFrame(
+        [("A", 1, 5), ("A", 2, 5), ("B", 3, 70)],
+        "source string, doc_id long, tok long")
+    out = {r.source: r for r in
+           unimax_weights(df, budget=100, max_epochs=3,
+                          size_col="tok").collect()}
+    # caps: A = 30, B = 210; f(A) = 30 + 30*(2-1) = 60 <= 100 -> capped;
+    # B takes the water level (100 - 30)/1 = 70
+    assert out["A"].alloc_units == 30.0 and out["A"].n_units == 10
+    assert out["B"].alloc_units == 70.0 and out["B"].n_units == 70
+    with _pytest.raises(ValueError, match="budget"):
+        unimax_weights(df, budget=0)
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_weights(df, budget=10, max_epochs=0.5)
+    with _pytest.raises(ValueError, match="groups"):
+        unimax_weights(df, budget=10, group_col="doc_id", max_groups=2)
