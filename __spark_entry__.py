@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_dedup_lines_stream",
         "ext_exact_substring_stream",
         "ext_unimax_weights",
+        "ext_rrf_fuse",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -533,6 +533,25 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
               budget=40_000, max_epochs=2, group_col="lang",
               size_col="tok").collect())
 
+    from pyspark.sql import Window as _W
+
+    from condenser_spark.functions.retrieval import rrf_fuse
+
+    def _rrf():
+        wa = _W.partitionBy("lang").orderBy(
+            token_count("text").desc(), F.col("doc_id").asc())
+        a = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                         F.row_number().over(wa).alias("rank"))
+             .filter(F.col("rank") <= 20))
+        wb = _W.partitionBy("lang").orderBy(
+            F.col("n_chars").asc(), F.col("doc_id").asc())
+        b = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                         F.row_number().over(wb).alias("rank"))
+             .filter(F.col("rank") <= 15))
+        return rrf_fuse([a, b], k=60, topk=10).count()
+
+    timed("rrf_fuse", _rrf)
+
     return timings, noise
 
 

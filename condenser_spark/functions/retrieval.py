@@ -241,3 +241,81 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): fuse the
+    per-query rankings of several retrieval systems into one list by
+    ``rrf = sum_i 1 / (k + rank_i)``, with a missing document contributing
+    0 for that system — the standard hybrid sparse+dense combiner (e.g.
+    :func:`bm25_topk` + ``similarity.brute_force_cosine_topk``), strong
+    without score calibration because only RANKS enter.  Returns
+    (query_id_col, id_col, rrf, rank) with rank 1..``topk`` per query,
+    ties broken by id ascending.
+
+    Cross-engine exactness: each system's contribution is ONE double
+    division of exact integers, and the fusion sum is a FIXED LEFT-FOLD
+    over the system index (a literal expression tree via conditional
+    aggregation, never a SUM whose addition order floats) — so a DuckDB
+    oracle replays scores bit-for-bit.
+
+    Scale shape: input rankings are top-k lists — already tiny relative
+    to the corpus (k rows per query per system).  One union, one
+    (query, doc) aggregate with per-system conditional MAX (map-side
+    combined; MAX also collapses any duplicate (query, doc) rows within
+    a system to its best rank), then the bm25_topk TWO-PHASE top-k so a
+    degenerate many-candidates query cannot funnel one partition."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking DataFrame")
+    if k < 1 or topk < 1:
+        raise ValueError(f"k and topk must be >= 1, got k={k} topk={topk}")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("_id"),
+            F.lit(i).alias("_sys"),
+            F.col(rank_col).cast("long").alias("_r"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    contribs = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("_sys") == i,
+                    F.lit(1.0)
+                    / (F.lit(float(k)) + F.col("_r").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"_c{i}")
+        for i in range(len(rankings))
+    ]
+    per = tagged.groupBy(query_id_col, "_id").agg(*contribs)
+    score = F.col("_c0")
+    for i in range(1, len(rankings)):
+        score = score + F.col(f"_c{i}")
+    scored = per.select(query_id_col, "_id", score.alias("_rrf"))
+    w_local = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.col("_rrf").desc(), F.col("_id").asc())
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= topk)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_rrf").desc(), F.col("_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select(query_id_col, F.col("_id").alias(id_col), "_rrf", "rank")
+        .withColumnRenamed("_rrf", "rrf")
+    )

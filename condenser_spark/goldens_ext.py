@@ -22,7 +22,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from condenser_spark.goldens import _run_engine, _tables, golden
@@ -4893,3 +4893,73 @@ def ext_unimax_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("tok", token_count("text")),
         budget=40_000, max_epochs=2, group_col="lang", size_col="tok",
     )
+
+
+# --------------------------------------------------------------- rrf fusion
+
+@golden(
+    "ext_rrf_fuse",
+    r"""
+    WITH a AS (
+      SELECT * FROM (
+        SELECT lang AS query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY len(list_filter(
+                            regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) DESC, doc_id) AS rank
+        FROM documents) WHERE rank <= 20
+    ),
+    b AS (
+      SELECT * FROM (
+        SELECT lang AS query_id, doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY n_chars, doc_id) AS rank
+        FROM documents) WHERE rank <= 15
+    ),
+    ids AS (
+      SELECT query_id, doc_id FROM a
+      UNION
+      SELECT query_id, doc_id FROM b
+    ),
+    f AS (
+      SELECT i.query_id, i.doc_id,
+             COALESCE(1.0 / (60.0 + CAST(a.rank AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(b.rank AS DOUBLE)), 0.0) AS rrf
+      FROM ids i
+      LEFT JOIN a ON a.query_id = i.query_id AND a.doc_id = i.doc_id
+      LEFT JOIN b ON b.query_id = i.query_id AND b.doc_id = i.doc_id
+    )
+    SELECT * FROM (
+      SELECT query_id, doc_id, rrf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT)
+               AS rank
+      FROM f) WHERE rank <= 10
+    """,
+)
+def ext_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two disagreeing
+    per-language rankings — longest-by-tokens top-20 vs shortest-by-chars
+    top-15 (integer sort keys, so both input rankings replay exactly) —
+    at the standard k=60: the per-system reciprocal contributions, the
+    missing-doc zero, the fixed-left-fold sum and the fused top-10 all
+    replayed by DuckDB bit-for-bit
+    (condenser_spark/functions/retrieval.py:rrf_fuse).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.retrieval import rrf_fuse
+    from condenser_spark.functions.text import token_count
+
+    docs = _tables(spark, sf_dir)["documents"]
+    wa = Window.partitionBy("lang").orderBy(
+        token_count("text").desc(), F.col("doc_id").asc())
+    a = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                     F.row_number().over(wa).alias("rank"))
+         .filter(F.col("rank") <= 20))
+    wb = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc())
+    b = (docs.select(F.col("lang").alias("query_id"), "doc_id",
+                     F.row_number().over(wb).alias("rank"))
+         .filter(F.col("rank") <= 15))
+    return rrf_fuse([a, b], k=60, topk=10)

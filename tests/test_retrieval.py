@@ -139,3 +139,83 @@ def test_bm25_broadcast_plan(spark):
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -------------------------------------------------------------------- rrf
+
+def test_rrf_known_fusion(spark):
+    from condenser_spark.functions.retrieval import rrf_fuse
+
+    # system A ranks docs 1,2,3; system B ranks 3,2,4 — hand-computed
+    # rrf at k=60: doc2 = 1/62+1/62, doc3 = 1/63+1/61, doc1 = 1/61,
+    # doc4 = 1/63
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        "query_id string, doc_id long, rank long")
+    b = spark.createDataFrame(
+        [("q", 3, 1), ("q", 2, 2), ("q", 4, 3)],
+        "query_id string, doc_id long, rank long")
+    got = {r.doc_id: (r.rrf, r.rank)
+           for r in rrf_fuse([a, b], k=60, topk=10).collect()}
+    assert got[3] == (1 / 63 + 1 / 61, 1)
+    assert got[2] == (1 / 62 + 1 / 62, 2)
+    assert got[1] == (1 / 61 + 0.0, 3)
+    assert got[4] == (0.0 + 1 / 63, 4)
+    # doc3 (ranks 3+1) beats doc2 (ranks 2+2): the rank sums are equal
+    # but 1/(k+r) is convex, so the spread pair scores higher
+    assert got[3][0] > got[2][0]
+
+
+def test_rrf_topk_and_ties(spark):
+    from condenser_spark.functions.retrieval import rrf_fuse
+
+    # identical ranks -> equal scores; ties break by doc_id ascending
+    a = spark.createDataFrame(
+        [("q", d, 1) for d in (30, 10, 20)]
+        + [("p", 5, 1)],
+        "query_id string, doc_id long, rank long")
+    got = rrf_fuse([a], k=60, topk=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id))
+    assert sorted(by_q["q"]) == [(1, 10), (2, 20)]  # 30 cut by topk
+    assert by_q["p"] == [(1, 5)]
+
+
+def test_rrf_validation(spark):
+    from condenser_spark.functions.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    a = spark.createDataFrame([("q", 1, 1)],
+                              "query_id string, doc_id long, rank long")
+    with pytest.raises(ValueError, match=">= 1"):
+        rrf_fuse([a], k=0)
+
+
+def test_rrf_hybrid_bm25_dense_smoke(spark):
+    """End-to-end hybrid: bm25_topk (sparse) + brute_force_cosine_topk
+    (dense) fused — the composition the operator exists for."""
+    from condenser_spark.functions.retrieval import rrf_fuse
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie recipe"), (2, "apple orchard"),
+         (3, "car engine manual"), (4, "apple car play")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]),
+         (4, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(7, "apple")],
+                                    ["query_id", "query"])
+    qvecs = spark.createDataFrame([(7, [1.0, 0.0])],
+                                  "query_id long, embedding array<double>")
+    sparse = bm25_topk(docs, queries, k=3)
+    dense = brute_force_cosine_topk(emb, qvecs, k=3).withColumnRenamed(
+        "vec_id", "doc_id")
+    fused = rrf_fuse([sparse, dense], k=60, topk=3).collect()
+    assert [r.doc_id for r in sorted(fused, key=lambda r: r.rank)][0] == 1
+    assert all(r.query_id == 7 for r in fused)
