@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_exact_substring_stream",
         "ext_unimax_weights",
         "ext_rrf_fuse",
+        "ext_soft_dedup_weights",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -552,6 +552,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timed("rrf_fuse", _rrf)
 
+    from condenser_spark.functions.dedup import soft_dedup_weights
+
+    timed("soft_dedup_weights",
+          lambda: soft_dedup_weights(docs, n=3, threshold=0.8)
+          .agg(F.sum("sample_weight")).collect())
+
     return timings, noise
 
 

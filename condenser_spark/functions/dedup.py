@@ -1121,3 +1121,55 @@ def decontaminate_bloom(
         fp_rate, max_bits, bloom,
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Soft deduplication by REWEIGHTING instead of removal (He et al.
+    2024, "SoftDedup: an Efficient Data Reweighting Method for Speeding
+    Up Language Model Pre-training"): every document keeps flowing, but a
+    near-dup cluster of size s samples at weight 1/s each — the cluster's
+    total training mass equals one copy, so duplicated content is
+    de-amplified without the information loss of hard removal (the
+    paper's motivation: hard dedup discards the often-higher-quality
+    duplicated tail).  Output: ``df`` plus (cluster_id, cluster_size,
+    sample_weight); documents in no near-dup pair are singletons with
+    weight 1.0.  ``sample_weight`` feeds any weighted sampler (e.g.
+    :func:`corpus.weighted_mix` rates, or a trainer's example weights).
+
+    ``pairs`` defaults to :func:`minhash_lsh_pairs` (the banded-LSH scale
+    path with exact verify); pass precomputed pairs to reuse an existing
+    candidate set or an exact :func:`ngram_jaccard_pairs` run.
+
+    Scale shape: inherits the near-dedup family's economics — bodies
+    never shuffle (LSH bands do), clustering is O(diameter) min-label
+    propagation, then ONE id-keyed left join of two slim (id, cluster)
+    / (cluster, size) tables back to the corpus; the weight is a single
+    exact double division (cross-engine replayable)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, n=n, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, text_col=text_col, id_col=id_col,
+            max_bucket_size=max_bucket_size)
+    clusters = dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    lab = (clusters.join(sizes, "cluster_id")
+           .withColumnRenamed("id", id_col))
+    out = df.join(lab, id_col, "left")
+    size = F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+    return out.select(
+        *df.columns,
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        size.alias("cluster_size"),
+        (F.lit(1.0) / size.cast("double")).alias("sample_weight"),
+    )

@@ -4963,3 +4963,47 @@ def ext_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.row_number().over(wb).alias("rank"))
          .filter(F.col("rank") <= 15))
     return rrf_fuse([a, b], k=60, topk=10)
+
+
+# ------------------------------------------------------------- soft dedup
+
+@golden(
+    "ext_soft_dedup_weights",
+    _JACCARD_PAIRS_CTE + """,
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    ),
+    comp AS (SELECT a AS id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    csizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY cluster_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           COALESCE(s.cluster_size, 1) AS cluster_size,
+           1.0 / CAST(COALESCE(s.cluster_size, 1) AS DOUBLE)
+             AS sample_weight
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN csizes s ON s.cluster_id = c.cluster_id
+    """,
+)
+def ext_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup reweighting (He et al. 2024): every document kept, each
+    near-dup cluster of size s sampling at 1/s — cluster labels, sizes
+    and the exact-division weights all replayed by DuckDB's recursive
+    closure over the exact-jaccard pair set.  The Spark side runs the
+    default banded-LSH path, so (like ext_near_dedup_documents) this
+    golden ALSO pins LSH recall = 1.0 on the fixture's planted near-dups
+    (condenser_spark/functions/dedup.py:soft_dedup_weights).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dedup import soft_dedup_weights
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return soft_dedup_weights(docs, n=3, threshold=0.8).select(
+        "doc_id", "cluster_id", "cluster_size", "sample_weight")

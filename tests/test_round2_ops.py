@@ -186,3 +186,44 @@ def test_near_dedup_documents_matches_exact_clusters(spark, source):
               clusters.filter("id <> cluster_id").collect()}
     everyone = {r.doc_id for r in docs.select("doc_id").collect()}
     assert survivors == everyone - losers
+
+
+def test_soft_dedup_weights_transitive_and_singleton(spark):
+    from condenser_spark.functions.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "lone")],
+        "doc_id long, text string")
+    # precomputed pairs: 1~2, 2~3 (1~3 never emitted) -> one cluster of 3
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in
+           soft_dedup_weights(docs, pairs=pairs).collect()}
+    assert [out[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert all(out[i].cluster_size == 3 for i in (1, 2, 3))
+    assert all(out[i].sample_weight == 1.0 / 3.0 for i in (1, 2, 3))
+    # doc 9 is in no pair: singleton, full weight, own cluster
+    assert (out[9].cluster_id, out[9].cluster_size,
+            out[9].sample_weight) == (9, 1, 1.0)
+    # total training mass: cluster contributes 1 copy, singleton 1
+    assert sum(r.sample_weight for r in out.values()) == 2.0
+
+
+def test_soft_dedup_weights_default_lsh_path(spark):
+    from condenser_spark.functions.dedup import soft_dedup_weights
+
+    near = ("the quick brown fox jumps over the lazy dog again and again "
+            "for a very long time")
+    docs = spark.createDataFrame(
+        [(1, near), (2, near + " indeed"), (3, "something else entirely "
+                                               "unrelated to the others")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in soft_dedup_weights(
+        docs, n=3, threshold=0.5).collect()}
+    assert out[1].cluster_size == 2 and out[2].cluster_size == 2
+    assert out[1].sample_weight == 0.5
+    assert out[3].sample_weight == 1.0
+    # schema contract: input columns preserved, three audit columns added
+    cols = soft_dedup_weights(docs, pairs=spark.createDataFrame(
+        [(1, 2)], "id_a long, id_b long")).columns
+    assert cols == ["doc_id", "text", "cluster_id", "cluster_size",
+                    "sample_weight"]
