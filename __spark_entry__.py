@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_unimax_weights",
         "ext_rrf_fuse",
         "ext_soft_dedup_weights",
+        "ext_zipf_fit",
+        "ext_diversity_stats",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

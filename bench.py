@@ -558,6 +558,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: soft_dedup_weights(docs, n=3, threshold=0.8)
           .agg(F.sum("sample_weight")).collect())
 
+    from condenser_spark.functions.corpus import zipf_fit
+    from condenser_spark.functions.text import diversity_stats
+
+    timed("zipf_fit", lambda: zipf_fit(docs).collect())
+    timed("diversity_stats",
+          lambda: diversity_stats(docs)
+          .agg(F.sum("distinct_3")).collect())
+
     return timings, noise
 
 

@@ -1122,6 +1122,60 @@ def unimax_weights(
     )
 
 
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf rank-frequency diagnostic (Zipf 1949; Piantadosi 2014 review):
+    OLS fit of ln(frequency) against ln(rank) over the corpus vocabulary —
+    natural text sits near slope -1, so a corpus whose slope drifts far
+    from it (template spam flattens the head, boilerplate fattens it) is
+    a one-row QA signal cheap enough to run per-shard.  Returns ONE row:
+    (n_terms, slope, intercept) with intercept in ln-frequency units.
+
+    Cross-engine exactness: ln values are quantized by the repo's
+    ln-then-round contract (ROUND(ln·1e4) to integers, the bm25/tfidf
+    treatment), all five OLS sums are EXACT integer aggregates
+    (order-free), and slope/intercept are fixed double expression trees
+    over those integers — the 1e4 scale cancels in the slope and divides
+    out of the intercept once.  Quantization bound: |d slope| <=
+    ~1e-4·sqrt(2/var(ln rank)) — noise-level for a diagnostic.
+
+    Scale shape: one term-frequency aggregate (map-side combined, shuffle
+    is vocabulary-sized), ranks from :func:`global_rank`'s sharded
+    distributed ORDER BY (never a single-partition window), one one-row
+    aggregate.  Integer-overflow headroom: the x·y products cap at
+    ~(1e4·ln(V))² ≈ 3.4e10, so the sums stay exact past 1e8 vocabulary
+    terms."""
+    tf = term_frequencies(df, min_count=min_count, text_col=text_col,
+                          id_col=id_col).select("term", "n_occurrences")
+    ranked = global_rank(
+        tf.withColumn("_negf", -F.col("n_occurrences")),
+        order_col="_negf", id_col="term", rank_col="rank",
+    )
+    x = F.round(F.log(F.col("rank").cast("double")) * 1e4, 0).cast("long")
+    y = F.round(F.log(F.col("n_occurrences").cast("double")) * 1e4,
+                0).cast("long")
+    s = ranked.select(x.alias("_x"), y.alias("_y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "n_terms",
+        slope.alias("slope"),
+        (((sy - slope * sx) / nd) / F.lit(1e4)).alias("intercept"),
+    )
+
+
 # ------------------------------------------------------------ vocab & encode
 
 def _norm_tokens(text_col: str) -> Column:

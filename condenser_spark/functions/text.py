@@ -918,3 +918,65 @@ def dedup_lines(
             .alias("n_removed_chars"),
         )
     )
+
+
+def diversity_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram diversity (distinct-1/2/3 of Li et al. 2016,
+    "A Diversity-Promoting Objective Function for Neural Conversation
+    Models"): the fraction of a document's token n-grams that are
+    distinct — degenerate/templated text scores low, the complement of
+    :func:`repetition_stats`' Gopher thresholds as a continuous signal
+    for filtering or curriculum ordering.  Tokenization matches
+    :func:`exact_substring_dedup` (whitespace split, case preserved).
+
+    Output per document: (id_col, n_tokens, distinct_1..3,
+    ratio_1..3) with ratio_n = distinct_n / (n_tokens - n + 1) as ONE
+    exact double division, NULL when the document is shorter than n.
+    Token-free documents survive with zero counts (left-join rebuild,
+    the dedup_lines convention).
+
+    Scale shape: one posexplode + two lag-free `lead` windows on the SAME
+    (id, pos) partitioning build the 2/3-gram rows in the shuffle the
+    per-doc aggregate needs anyway; the three distinct counts run in one
+    aggregation (Spark's expand), so the corpus is scanned once and
+    shuffled once on id."""
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(arr).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    l1, l2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    grams = toks.select(
+        "id", "tok",
+        F.when(l1.isNotNull(),
+               F.concat_ws(" ", F.col("tok"), l1)).alias("g2"),
+        F.when(l2.isNotNull(),
+               F.concat_ws(" ", F.col("tok"), l1, l2)).alias("g3"),
+    )
+    agg = grams.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").alias("distinct_1"),
+        F.countDistinct("g2").alias("distinct_2"),
+        F.countDistinct("g3").alias("distinct_3"),
+    )
+    def _ratio(d: str, n: int):  # noqa: E306
+        total = F.col("n_tokens") - F.lit(n - 1)
+        return F.when(
+            total >= 1, F.col(d).cast("double") / total.cast("double"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            *[F.coalesce(f"distinct_{n}", F.lit(0).cast("long"))
+              .alias(f"distinct_{n}") for n in (1, 2, 3)],
+            *[_ratio(f"distinct_{n}", n).alias(f"ratio_{n}")
+              for n in (1, 2, 3)],
+        )
+    )

@@ -5007,3 +5007,107 @@ def ext_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     return soft_dedup_weights(docs, n=3, threshold=0.8).select(
         "doc_id", "cluster_id", "cluster_size", "sample_weight")
+
+
+# ------------------------------------------------------- corpus diagnostics
+
+@golden(
+    "ext_zipf_fit",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS f
+           FROM toks GROUP BY term),
+    r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank
+          FROM tf),
+    q AS (
+      SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 10000, 0) AS BIGINT)
+               AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * 10000, 0) AS BIGINT) AS y
+      FROM r
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM q
+    ),
+    fit AS (
+      SELECT n_terms,
+        (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        sx, sy
+      FROM s
+    )
+    SELECT n_terms, slope,
+           ((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+            / CAST(n_terms AS DOUBLE)) / 10000.0 AS intercept
+    FROM fit
+    """,
+)
+def ext_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the corpus vocabulary: term counts,
+    the distributed rank, the 1e4-quantized ln pairs (the bm25/tfidf
+    ln-then-round contract), the five exact-integer sums and the fixed
+    double slope/intercept trees all replayed by DuckDB
+    (condenser_spark/functions/corpus.py:zipf_fit).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import zipf_fit
+
+    return zipf_fit(_tables(spark, sf_dir)["documents"])
+
+
+@golden(
+    "ext_diversity_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(arr)) AS BIGINT) AS distinct_1,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 1),
+               i -> array_to_string(arr[i:i+1], ' ')))) AS BIGINT)
+               AS distinct_2,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 2),
+               i -> array_to_string(arr[i:i+2], ' ')))) AS BIGINT)
+               AS distinct_3
+      FROM base
+    )
+    SELECT doc_id, n_tokens, distinct_1, distinct_2, distinct_3,
+      CASE WHEN n_tokens >= 1
+           THEN CAST(distinct_1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      END AS ratio_1,
+      CASE WHEN n_tokens - 1 >= 1
+           THEN CAST(distinct_2 AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+      END AS ratio_2,
+      CASE WHEN n_tokens - 2 >= 1
+           THEN CAST(distinct_3 AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+      END AS ratio_3
+    FROM g
+    """,
+)
+def ext_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinct-1/2/3 diversity (Li et al. 2016): token and
+    distinct n-gram counts (exact integers) plus the single-division
+    ratios, NULL below the n-gram length, replayed by DuckDB over list
+    transforms (condenser_spark/functions/text.py:diversity_stats).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import diversity_stats
+
+    return diversity_stats(_tables(spark, sf_dir)["documents"])

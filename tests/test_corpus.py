@@ -523,3 +523,57 @@ def test_unimax_size_col_and_validation(spark):
         unimax_weights(df, budget=10, max_epochs=0.5)
     with _pytest.raises(ValueError, match="groups"):
         unimax_weights(df, budget=10, group_col="doc_id", max_groups=2)
+
+
+# ------------------------------------------------------------- diagnostics
+
+def test_zipf_fit_known_slope(spark):
+    import math
+
+    from condenser_spark.functions.corpus import zipf_fit
+
+    # exact-Zipf corpus: term t_r appears round(60/r) times, r = 1..6
+    rows = []
+    i = 0
+    for r in range(1, 7):
+        for _ in range(round(60 / r)):
+            rows.append((i, f"t{r}"))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = zipf_fit(docs).collect()[0]
+    assert got.n_terms == 6
+
+    # driver-side mirror of the quantized OLS
+    freqs = sorted((round(60 / r) for r in range(1, 7)), reverse=True)
+    xs = [round(math.log(r + 1 - 1) * 1e4) for r in range(1, 7)]
+    ys = [round(math.log(f) * 1e4) for f in freqs]
+    n = 6.0
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert got.slope == slope
+    assert got.intercept == ((sy - slope * sx) / n) / 1e4
+    # a true-Zipf corpus fits slope ~ -1
+    assert -1.05 < got.slope < -0.9
+
+
+def test_diversity_stats_known_ratios(spark):
+    from condenser_spark.functions.text import diversity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y"), (3, ""), (4, "solo")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in diversity_stats(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.distinct_1, r1.distinct_2, r1.distinct_3) \
+        == (3, 2, 2, 1)
+    assert (r1.ratio_1, r1.ratio_2, r1.ratio_3) == (2 / 3, 1.0, 1.0)
+    # below the n-gram length: NULL ratio, zero distinct
+    assert out[2].ratio_2 == 1.0 and out[2].ratio_3 is None
+    assert out[2].distinct_3 == 0
+    # token-free doc survives with zero counts and NULL ratios
+    assert (out[3].n_tokens, out[3].distinct_1, out[3].ratio_1) \
+        == (0, 0, None)
+    assert (out[4].n_tokens, out[4].ratio_1, out[4].ratio_2) \
+        == (1, 1.0, None)

@@ -463,3 +463,32 @@ def test_bigram_scoring_broadcasts_model_not_corpus_no_python(spark, source):
     for marker in ("BatchEvalPython", "ArrowEvalPython",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_textdedup_stream_twins_are_map_only(spark, source):
+    """The stream-static text-dedup twins promise statelessness: the
+    landed index is a broadcast bloom probed in-row, so the executed plan
+    of BOTH twins must contain NO Exchange (a shuffle here would make the
+    operators unusable as streaming stages and re-shuffle every
+    micro-batch at 100 TB) and exactly ONE Python/Arrow eval (the fused
+    probe+repeat+coverage kernel)."""
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+        dedup_lines_stream,
+        exact_substring_stream,
+    )
+
+    docs = source["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0)
+    stream = docs.filter(F.col("doc_id") % 2 == 1)
+    for out in (
+        dedup_lines_stream(stream, build_line_bloom(landed)),
+        exact_substring_stream(stream, build_kgram_bloom(landed, k=10),
+                               k=10),
+    ):
+        plan = _executed(out)
+        assert "Exchange" not in plan, plan
+        n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+                   for l in plan.splitlines())
+        assert n_py == 1, plan
