@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_soft_dedup_weights",
         "ext_zipf_fit",
         "ext_diversity_stats",
+        "ext_winnow_fingerprints",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

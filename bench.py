@@ -566,6 +566,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: diversity_stats(docs)
           .agg(F.sum("distinct_3")).collect())
 
+    from condenser_spark.functions.text import winnow_fingerprints
+
+    timed("winnow_fingerprints",
+          lambda: winnow_fingerprints(docs, window=4, winnow=5).count())
+
     return timings, noise
 
 

@@ -980,3 +980,51 @@ def diversity_stats(
               for n in (1, 2, 3)],
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    window: int = 4,
+    winnow: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): from the :func:`rolling_fingerprints` k-gram
+    stream, select in every sliding window of ``winnow`` consecutive
+    fingerprints the MINIMUM (rightmost on ties), recording each selected
+    (position, fp) once.  The selected set is ~2/(winnow+1) of all
+    fingerprints yet GUARANTEES that any shared token run of at least
+    ``winnow + window - 1`` tokens contributes at least one common
+    fingerprint — the density/recall contract ad-hoc every-Nth sampling
+    lacks.  Documents shorter than that bound emit nothing (cover them
+    with :func:`document_fingerprint` / exact dedup).
+
+    Output: (id, pos, fp) — the winnowed index rows; join on fp for
+    MOSS-style overlap detection at a fraction of the full index size.
+
+    md5-derived hashes (the rolling_fingerprints contract), so a DuckDB
+    oracle replays the selection bit-for-bit.  Scale shape: inherits
+    rolling_fingerprints' single id shuffle; the argmin is one bounded
+    ``rowsBetween`` window on the SAME partitioning (no extra exchange)
+    and the final distinct is per-id map-local after that shuffle."""
+    fps = rolling_fingerprints(
+        df, window=window, text_col=text_col, id_col=id_col
+    ).drop("chunk_id")
+    win = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(-(winnow - 1), 0)
+    )
+    m = F.min(
+        F.struct(F.col("fp").alias("f"), (-F.col("pos")).alias("np"))
+    ).over(win)
+    return (
+        fps.select("id", "pos", m.alias("_m"))
+        .filter(F.col("pos") >= winnow)
+        .select(
+            "id",
+            (-F.col("_m.np")).cast("long").alias("pos"),
+            F.col("_m.f").alias("fp"),
+        )
+        .distinct()
+    )

@@ -5111,3 +5111,33 @@ def ext_diversity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from condenser_spark.functions.text import diversity_stats
 
     return diversity_stats(_tables(spark, sf_dir)["documents"])
+
+
+@golden(
+    "ext_winnow_fingerprints",
+    _RK_CTE + """
+    , winmin AS (
+      SELECT id, pos,
+             MIN(struct_pack(f := fp, np := -pos)) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+      FROM rk
+    )
+    SELECT DISTINCT id AS doc_id,
+           CAST(-((m).np) AS BIGINT) AS pos, (m).f AS fp
+    FROM winmin WHERE pos >= 5
+    """,
+)
+def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing selection (Schleimer et al. 2003) over the Rabin-Karp
+    fingerprint stream at winnow=5: the per-window rightmost-minimum
+    argmin (a lexicographic struct MIN both engines share) and the
+    distinct selected set replayed by DuckDB on the md5-derived hashes
+    (condenser_spark/functions/text.py:winnow_fingerprints).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import winnow_fingerprints
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return winnow_fingerprints(docs, window=4, winnow=5).withColumnRenamed(
+        "id", "doc_id")

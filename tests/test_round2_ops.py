@@ -227,3 +227,61 @@ def test_soft_dedup_weights_default_lsh_path(spark):
         [(1, 2)], "id_a long, id_b long")).columns
     assert cols == ["doc_id", "text", "cluster_id", "cluster_size",
                     "sample_weight"]
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The winnowing contract: any shared run of >= winnow + window - 1
+    tokens contributes at least one COMMON selected fingerprint, and the
+    selected set is much smaller than the full fingerprint stream."""
+    from condenser_spark.functions.text import (
+        rolling_fingerprints,
+        winnow_fingerprints,
+    )
+
+    shared = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+              "do eiusmod tempor incididunt")  # 13 tokens >= 5 + 4 - 1
+    docs = spark.createDataFrame(
+        [(1, "unique alpha beta " + shared + " gamma delta tail one"),
+         (2, "other prefix words here " + shared + " different ending")],
+        "doc_id long, text string")
+    sel = winnow_fingerprints(docs, window=4, winnow=5).cache()
+    common = (sel.filter("id = 1").select("fp")
+              .intersect(sel.filter("id = 2").select("fp")))
+    assert common.count() >= 1
+    # density: ~2/(w+1) of the full stream, never more than the stream
+    full = rolling_fingerprints(docs, window=4).count()
+    n_sel = sel.count()
+    assert 0 < n_sel < full / 2
+
+    # rightmost-min tie-break + once-per-position: selection is a
+    # deterministic function, stable under recompute
+    again = winnow_fingerprints(docs, window=4, winnow=5)
+    assert sel.exceptAll(again).count() == 0
+    assert again.exceptAll(sel).count() == 0
+
+
+def test_winnow_short_doc_emits_nothing(spark):
+    from condenser_spark.functions.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "only seven tokens live in this doc")],  # 7 < 5 + 4 - 1
+        "doc_id long, text string")
+    assert winnow_fingerprints(docs, window=4, winnow=5).count() == 0
+
+
+def test_winnow_single_exchange_plan(spark):
+    """One id shuffle total: the argmin window and the distinct reuse the
+    rolling_fingerprints partitioning (subset-key colocation)."""
+    from condenser_spark.functions.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 10) for i in range(50)],
+        "doc_id long, text string")
+    out = winnow_fingerprints(docs, window=4, winnow=5)
+    qe = out._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    n_ex = sum("Exchange" in l and "Reused" not in l
+               for l in final.splitlines())
+    assert n_ex == 1, final
