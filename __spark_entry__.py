@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_zipf_fit",
         "ext_diversity_stats",
         "ext_winnow_fingerprints",
+        "ext_corpus_overlap",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

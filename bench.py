@@ -571,6 +571,13 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("winnow_fingerprints",
           lambda: winnow_fingerprints(docs, window=4, winnow=5).count())
 
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    timed("corpus_overlap",
+          lambda: corpus_overlap(docs.filter("doc_id >= 50"),
+                                 docs.filter("doc_id < 100"),
+                                 n=8).collect())
+
     return timings, noise
 
 

@@ -1173,3 +1173,47 @@ def soft_dedup_weights(
         size.alias("cluster_size"),
         (F.lit(1.0) / size.cast("double")).alias("sample_weight"),
     )
+
+
+def corpus_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level n-gram overlap summary between two corpora — the
+    aggregate contamination/overlap report of the GPT-3 appendix-C
+    analysis (Brown et al. 2020) and CommonCrawl snapshot studies: ONE
+    row (n_ngrams_a, n_ngrams_b, n_shared, jaccard, containment_a,
+    containment_b) over the corpora's DISTINCT token ``n``-gram sets.
+    Use it to size train/eval leakage before the per-document
+    :func:`contamination_pairs` / :func:`contamination_fraction` runs,
+    or to quantify snapshot-over-snapshot novelty.
+
+    All counts are exact integers; the three ratios are single double
+    divisions (cross-engine exact).  Scale shape: the codegen'd
+    `_shingle_rows` path on each side, per-side distinct (the shuffle is
+    ngram-vocabulary-sized, never corpus-sized), shared via one
+    equi-join of the two distinct sets, and the three scalars meet in
+    one-row aggregates — bodies never shuffle."""
+    sa = _shingle_rows(a, n, text_col, id_col).select("shingle").distinct()
+    sb = _shingle_rows(b, n, text_col, id_col).select("shingle").distinct()
+    na = sa.agg(F.count(F.lit(1)).cast("long").alias("n_ngrams_a"))
+    nb = sb.agg(F.count(F.lit(1)).cast("long").alias("n_ngrams_b"))
+    ns = (sa.join(sb, "shingle")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    row = na.crossJoin(nb).crossJoin(ns)
+    shared = F.col("n_shared").cast("double")
+    union = (F.col("n_ngrams_a") + F.col("n_ngrams_b")
+             - F.col("n_shared")).cast("double")
+    return row.select(
+        "n_ngrams_a", "n_ngrams_b", "n_shared",
+        F.when(union > 0, shared / union).alias("jaccard"),
+        F.when(F.col("n_ngrams_a") > 0,
+               shared / F.col("n_ngrams_a").cast("double"))
+        .alias("containment_a"),
+        F.when(F.col("n_ngrams_b") > 0,
+               shared / F.col("n_ngrams_b").cast("double"))
+        .alias("containment_b"),
+    )

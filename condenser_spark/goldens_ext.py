@@ -5141,3 +5141,58 @@ def ext_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     return winnow_fingerprints(docs, window=4, winnow=5).withColumnRenamed(
         "id", "doc_id")
+
+
+@golden(
+    "ext_corpus_overlap",
+    r"""
+    WITH ta AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS tokens
+      FROM documents WHERE doc_id >= 50
+    ),
+    ga AS (
+      SELECT DISTINCT array_to_string(tokens[i:i+7], ' ') AS shingle
+      FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 7))
+              AS i
+            FROM ta WHERE len(tokens) >= 8)
+    ),
+    tb AS (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS tokens
+      FROM documents WHERE doc_id < 100
+    ),
+    gb AS (
+      SELECT DISTINCT array_to_string(tokens[i:i+7], ' ') AS shingle
+      FROM (SELECT tokens, unnest(generate_series(1, len(tokens) - 7))
+              AS i
+            FROM tb WHERE len(tokens) >= 8)
+    ),
+    ca AS (SELECT CAST(COUNT(*) AS BIGINT) AS na FROM ga),
+    cb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM gb),
+    cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns
+           FROM ga JOIN gb USING (shingle))
+    SELECT na AS n_ngrams_a, nb AS n_ngrams_b, ns AS n_shared,
+      CASE WHEN na + nb - ns > 0
+           THEN CAST(ns AS DOUBLE) / CAST(na + nb - ns AS DOUBLE)
+      END AS jaccard,
+      CASE WHEN na > 0 THEN CAST(ns AS DOUBLE) / CAST(na AS DOUBLE)
+      END AS containment_a,
+      CASE WHEN nb > 0 THEN CAST(ns AS DOUBLE) / CAST(nb AS DOUBLE)
+      END AS containment_b
+    FROM ca, cb, cs
+    """,
+)
+def ext_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 8-gram overlap summary between two overlapping slices
+    (doc_id >= 50 vs doc_id < 100 — docs 50..99 guarantee shared mass):
+    distinct-set sizes, the shared count and all three single-division
+    ratios replayed by DuckDB
+    (condenser_spark/functions/dedup.py:corpus_overlap).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return corpus_overlap(docs.filter("doc_id >= 50"),
+                          docs.filter("doc_id < 100"), n=8)

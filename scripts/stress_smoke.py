@@ -1663,6 +1663,86 @@ def stage_textdedup_stream(spark, n_docs: int = 1_000_000) -> dict:
     }
 
 
+def stage_diversity_winnow(spark, n_docs: int = 5_000_000) -> dict:
+    """Stage 24: the round-11 scan-level text diagnostics at 5M docs.
+
+    diversity_stats: every doc is the 5-token pattern (u0 u1 u2 u0 u1)
+    over per-doc-unique tokens — closed form distinct_1=3 (of 5),
+    distinct_2=3 (of 4: the (u0,u1) bigram repeats), distinct_3=3 —
+    asserted EXACTLY as corpus sums.
+
+    winnow_fingerprints: every doc embeds the SAME 12-token block at a
+    doc-varying offset inside unique filler.  The Schleimer guarantee
+    (any shared run >= winnow+window-1 = 8 tokens yields a COMMON
+    selected fingerprint) is asserted for ALL 5M docs at once: each
+    doc's selected set must intersect the block's own fingerprint set
+    (a broadcast semi-join; one miss fails the count)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import (
+        diversity_stats,
+        rolling_fingerprints,
+        winnow_fingerprints,
+    )
+
+    uid = lambda s: F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s)))
+
+    # ---- diversity: 5-token repeat pattern, closed-form distincts
+    dpath = f"{WORK}/divwin_docs"
+    text = F.concat_ws(" ", uid("-a"), uid("-b"), uid("-c"),
+                       uid("-a"), uid("-b"))
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(dpath))
+    docs = spark.read.parquet(dpath)
+    t0 = time.time()
+    agg = diversity_stats(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("t"),
+        F.sum("distinct_1").alias("d1"),
+        F.sum("distinct_2").alias("d2"),
+        F.sum("distinct_3").alias("d3"),
+    ).first()
+    div_wall = time.time() - t0
+    assert agg.n == n_docs and agg.t == 5 * n_docs
+    assert agg.d1 == 3 * n_docs and agg.d2 == 3 * n_docs
+    assert agg.d3 == 3 * n_docs
+
+    # ---- winnowing guarantee at scale: shared 12-token block at a
+    # per-doc offset (0..4 unique filler tokens before it, 3 after)
+    block = " ".join(f"blk{j}" for j in range(12))
+    wpath = f"{WORK}/winnow_docs"
+    fillers = [uid(f"-f{j}") for j in range(5)]
+    pre = F.concat_ws(
+        " ", *[F.when(F.col("id") % 5 >= j + 1, fillers[j]) for j in
+               range(4)], fillers[4])
+    wtext = F.concat_ws(" ", pre, F.lit(block), uid("-t0"), uid("-t1"),
+                        uid("-t2"))
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), wtext.alias("text"))
+     .write.mode("overwrite").parquet(wpath))
+    wdocs = spark.read.parquet(wpath)
+    block_fps = rolling_fingerprints(
+        spark.createDataFrame([(0, block)], "doc_id long, text string"),
+        window=4).select("fp").distinct()
+    t0 = time.time()
+    sel = winnow_fingerprints(wdocs, window=4, winnow=5)
+    covered = (sel.join(F.broadcast(block_fps), "fp", "left_semi")
+               .select("id").distinct().count())
+    win_wall = time.time() - t0
+    assert covered == n_docs, covered  # the guarantee held for every doc
+    return {
+        "stage": "diversity_winnow_5m",
+        "n_docs": n_docs,
+        "diversity_wall_sec": round(div_wall, 1),
+        "diversity_docs_per_sec": round(n_docs / div_wall),
+        "winnow_guarantee_covered": covered,
+        "winnow_wall_sec": round(win_wall, 1),
+        "winnow_docs_per_sec": round(n_docs / win_wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -1697,6 +1777,7 @@ def main() -> int:
         "bm25": lambda: stage_bm25(spark),
         "bigram_lm": lambda: stage_bigram_lm(spark),
         "textdedup_stream": lambda: stage_textdedup_stream(spark),
+        "diversity_winnow": lambda: stage_diversity_winnow(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

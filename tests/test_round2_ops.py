@@ -285,3 +285,35 @@ def test_winnow_single_exchange_plan(spark):
     n_ex = sum("Exchange" in l and "Reused" not in l
                for l in final.splitlines())
     assert n_ex == 1, final
+
+
+def test_corpus_overlap_known_counts(spark):
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w9 w9 w9")],  # grams: 2 + 1 distinct
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(10, "w2 w3 w4 w5"), (11, "short")],   # grams: 2; doc 11 none
+        "doc_id long, text string")
+    row = corpus_overlap(a, b, n=3).collect()[0]
+    # a: {w1w2w3, w2w3w4, w9w9w9}; b: {w2w3w4, w3w4w5}; shared {w2w3w4}
+    assert (row.n_ngrams_a, row.n_ngrams_b, row.n_shared) == (3, 2, 1)
+    assert row.jaccard == 1.0 / 4.0
+    assert row.containment_a == 1.0 / 3.0
+    assert row.containment_b == 1.0 / 2.0
+
+
+def test_corpus_overlap_disjoint_and_empty(spark):
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    a = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x y z")], "doc_id long, text string")
+    row = corpus_overlap(a, b, n=3).collect()[0]
+    assert (row.n_shared, row.jaccard) == (0, 0.0)
+    # an n-gram-free side yields zero counts and NULL containment
+    empty = spark.createDataFrame([(3, "too short")],
+                                  "doc_id long, text string")
+    row = corpus_overlap(a, empty, n=3).collect()[0]
+    assert (row.n_ngrams_b, row.n_shared) == (0, 0)
+    assert row.jaccard == 0.0 and row.containment_b is None
