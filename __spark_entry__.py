@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_diversity_stats",
         "ext_winnow_fingerprints",
         "ext_corpus_overlap",
+        "ext_url_dedup_keep",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

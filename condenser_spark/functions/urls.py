@@ -297,13 +297,21 @@ def url_dedup(
     *,
     strip_www: bool = True,
     sort_query: bool = True,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Keep-first URL dedup (FineWeb pre-MinHash stage): one survivor per
-    normalized URL, the row with the smallest ``id_col``.
+    normalized URL, the row with the smallest ``id_col`` — or, with
+    ``keep_col``, the row with the LARGEST ``keep_col`` (ties broken by
+    smallest id): the snapshot-priority form (keep the newest crawl of a
+    URL by fetch timestamp, or the longest/highest-quality capture), the
+    ``near_dedup_documents(keep_col=)`` election applied at URL
+    granularity.  ``keep_col`` must be orderable and ``id_col`` numeric
+    (the tiebreak negates it into the same argmax struct).
 
-    One hash aggregate keyed on ``url_norm`` (map-side-combined min) plus a
-    semi-join back on ``(url_norm, id)`` — the same windowless-election
-    shape as ``text.dedup_lines`` (STRESS stage 20): a viral URL shared by
+    One hash aggregate keyed on ``url_norm`` (map-side-combined min — or
+    a struct argmax, equally map-side) plus a semi-join back on
+    ``(url_norm, id)`` — the same windowless-election shape as
+    ``text.dedup_lines`` (STRESS stage 20): a viral URL shared by
     millions of rows is a single combiner cell, never a skewed window.
     Output = input columns + ``url_norm``.
     """
@@ -311,9 +319,18 @@ def url_dedup(
         F.col(url_col), strip_www=strip_www, sort_query=sort_query
     )
     with_norm = docs.withColumn("url_norm", norm)
-    winners = with_norm.groupBy("url_norm").agg(
-        F.min(id_col).alias(id_col)
-    )
+    if keep_col is None:
+        winners = with_norm.groupBy("url_norm").agg(
+            F.min(id_col).alias(id_col)
+        )
+    else:
+        winners = (
+            with_norm.groupBy("url_norm")
+            .agg(F.max(F.struct(
+                F.col(keep_col).alias("k"),
+                (-F.col(id_col)).alias("ni"))).alias("_w"))
+            .select("url_norm", (-F.col("_w.ni")).alias(id_col))
+        )
     return with_norm.join(winners, ["url_norm", id_col], "left_semi")
 
 

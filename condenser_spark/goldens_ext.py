@@ -5196,3 +5196,54 @@ def ext_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _tables(spark, sf_dir)["documents"]
     return corpus_overlap(docs.filter("doc_id >= 50"),
                           docs.filter("doc_id < 100"), n=8)
+
+
+@golden(
+    "ext_url_dedup_keep",
+    r"""
+    WITH synth AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'http://www.dup.com/p/' || v || '?a=1&b=2'
+                  ELSE 'http://DUP.com:80/p/' || v || '/?b=2&a=1#x'
+             END AS url,
+             'http://dup.com/p/' || v || '?a=1&b=2' AS url_norm
+      FROM (SELECT doc_id, n_chars, CAST(doc_id % 37 AS VARCHAR) AS v
+            FROM documents)
+    ),
+    winners AS (
+      SELECT url_norm, doc_id FROM (
+        SELECT url_norm, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY url_norm
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM synth) WHERE rn = 1
+    )
+    SELECT s.doc_id, s.n_chars, s.url, s.url_norm
+    FROM synth s
+    JOIN winners w ON w.url_norm = s.url_norm AND w.doc_id = s.doc_id
+    """,
+)
+def ext_url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best URL dedup (the snapshot-priority election: largest
+    keep_col, min-id tiebreak) across the same two normalization-collapse
+    URL shapes as ext_url_dedup, keeping the LONGEST capture per
+    canonical URL — the struct-argmax election replayed by DuckDB's
+    row_number (condenser_spark/functions/urls.py:url_dedup keep_col=).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.urls import url_dedup
+
+    docs = _tables(spark, sf_dir)["documents"]
+    v = (F.col("doc_id") % 37).cast("string")
+    synth = docs.select(
+        "doc_id", "n_chars",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("http://www.dup.com/p/"), v, F.lit("?a=1&b=2")),
+        ).otherwise(
+            F.concat(F.lit("http://DUP.com:80/p/"), v,
+                     F.lit("/?b=2&a=1#x")),
+        ).alias("url"),
+    )
+    return url_dedup(synth, keep_col="n_chars").select(
+        "doc_id", "n_chars", "url", "url_norm")

@@ -301,3 +301,20 @@ def test_curate_corpus_url_filter_anchor(spark):
                        "url_filter")])
     assert sorted(r.doc_id for r in out.collect()) == [2, 3]
     assert [r.stage for r in rep.collect()] == ["url_filter", "drop_low"]
+
+
+def test_url_dedup_keep_col_election(spark):
+    from condenser_spark.functions.urls import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x", 10, "old"),
+         (2, "http://A.com:80/x", 99, "new"),   # same canonical, best keep
+         (3, "http://www.a.com/x?", 99, "tie"),  # ties on keep: min id wins
+         (4, "http://b.com/y", 1, "only")],
+        "doc_id long, url string, fetched long, tag string")
+    got = {r.doc_id: r.tag for r in
+           url_dedup(docs, keep_col="fetched").collect()}
+    assert got == {2: "new", 4: "only"}
+    # default form still keeps min id
+    first = {r.doc_id for r in url_dedup(docs).collect()}
+    assert first == {1, 4}
