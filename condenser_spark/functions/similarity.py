@@ -995,6 +995,12 @@ def prototype_prune(
         F.col("vec_id").alias(id_col),
         (F.col("_d4").cast("double") / F.col("_nn")).alias("density"),
     )
+    # lazy barrier on the SLIM (id, density) table: global_rank's
+    # cost-stats job and the ranked output would otherwise each re-execute
+    # the whole knn_graph lineage (the expensive cell-bounded self-join)
+    # — the dup_clusters localCheckpoint treatment, on two columns only,
+    # never on the vector-bearing frame
+    dens = dens.localCheckpoint(eager=False)
     scored = df.join(dens, on=id_col, how="left").withColumn(
         "density", F.coalesce(F.col("density"), F.lit(-2.0)))
     order = F.col("density") if keep == "sparse" else -F.col("density")
