@@ -194,3 +194,49 @@ def test_round7_ops_empty(spark, empty_docs):
 
     assert decontaminate_stream(some, empty_docs).count() == 1
     assert decontaminate_stream(empty_docs, some).count() == 0
+
+
+def test_round11_ops_empty(spark, empty_docs):
+    from condenser_spark.functions.corpus import unimax_weights, zipf_fit
+    from condenser_spark.functions.dedup import (
+        corpus_overlap,
+        soft_dedup_weights,
+    )
+    from condenser_spark.functions.retrieval import rrf_fuse
+    from condenser_spark.functions.text import (
+        diversity_stats,
+        winnow_fingerprints,
+    )
+    from condenser_spark.functions.urls import url_dedup
+
+    assert unimax_weights(empty_docs, budget=100,
+                          group_col="lang").count() == 0
+    assert soft_dedup_weights(empty_docs).count() == 0
+    assert diversity_stats(empty_docs).count() == 0
+    assert winnow_fingerprints(empty_docs).count() == 0
+    # zipf_fit is a one-row aggregate: the row survives with zero terms
+    # and NULL fit (no vocabulary to regress on)
+    row = zipf_fit(empty_docs).collect()[0]
+    assert row.n_terms == 0 and row.slope is None
+    row = corpus_overlap(empty_docs, empty_docs).collect()[0]
+    assert (row.n_ngrams_a, row.n_shared) == (0, 0)
+    assert row.jaccard is None  # empty union: no ratio to report
+    empty_rank = spark.createDataFrame(
+        [], "query_id long, doc_id long, rank long")
+    assert rrf_fuse([empty_rank]).count() == 0
+    empty_urls = spark.createDataFrame([], "doc_id long, url string")
+    assert url_dedup(empty_urls, keep_col="doc_id").count() == 0
+
+
+def test_textdedup_stream_twins_empty(spark, empty_docs):
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+        dedup_lines_stream,
+        exact_substring_stream,
+    )
+
+    assert build_line_bloom(empty_docs) is None
+    assert build_kgram_bloom(empty_docs, k=5) is None
+    assert dedup_lines_stream(empty_docs, None).count() == 0
+    assert exact_substring_stream(empty_docs, None, k=5).count() == 0
