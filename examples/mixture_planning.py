@@ -1,0 +1,108 @@
+"""Token-budget mixture planning with UniMax + SoftDedup, composed
+entirely from already-oracled operators — the "how do I actually fill a
+training budget from a multilingual crawl" recipe:
+
+1. WEIGH duplicates softly — ``soft_dedup_weights`` (He et al. 2024
+   SoftDedup): every near-dup cluster of size s samples at 1/s, so the
+   effective token mass of duplicated content equals one copy WITHOUT
+   removing the (often highest-quality) duplicated documents.
+2. PLAN the language mixture — ``unimax_weights`` (Chung et al. 2023
+   UniMax): water-fill a total token budget across languages with a
+   per-language epoch cap; low-resource languages get up to
+   ``max_epochs`` passes, the remainder spreads uniformly over the
+   languages that can absorb it.  The plan is a tiny per-language table:
+   (n_units, cap_units, alloc_units, weight, epochs).
+3. REALIZE the plan — ``expand_epochs`` with each language's planned
+   ``epochs``: deterministic fractional-epoch replication (floor(e)
+   full copies + a hash-selected fraction), epoch-tagged for shuffling.
+4. AUDIT — ``mixture_report`` on the realized corpus vs the raw one:
+   per-language docs/token mass before and after, so the planned weights
+   are checked against what the pipeline actually emits.
+
+The effective-mass view (step 1) and the budget plan (step 2) compose:
+a language whose apparent token count is inflated by duplication gets
+its UniMax share computed on DEDUPLICATED mass — pass the
+weight-adjusted token column to ``unimax_weights(size_col=...)``.
+
+Usage:  python examples/mixture_planning.py [sf_dir] [budget_tokens]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_mixture(docs, budget_tokens, max_epochs=2, lang_col="lang",
+                 text_col="text", id_col="doc_id"):
+    """Returns (plan_df, realized_df): the per-language UniMax plan over
+    SoftDedup-effective token mass, and the corpus realized to it."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import (
+        expand_epochs,
+        unimax_weights,
+    )
+    from condenser_spark.functions.dedup import soft_dedup_weights
+    from condenser_spark.functions.text import token_count
+
+    # 1. effective token mass: tokens * 1/cluster_size
+    weighted = soft_dedup_weights(docs, text_col=text_col, id_col=id_col)
+    weighted = weighted.withColumn(
+        "eff_tokens",
+        token_count(text_col).cast("double") * F.col("sample_weight"))
+
+    # 2. the UniMax water-filling plan on effective mass
+    plan = unimax_weights(
+        weighted.withColumn("_sz", F.col("eff_tokens").cast("long")),
+        budget=budget_tokens, max_epochs=max_epochs,
+        group_col=lang_col, size_col="_sz",
+    )
+
+    # 3. realize: per-language epochs from the plan (bounded collect —
+    # languages, not ids, by the temperature_mix contract)
+    epochs = {r[lang_col]: float(r.epochs) for r in plan.collect()}
+    realized = expand_epochs(weighted.drop("eff_tokens"), epochs,
+                             source_col=lang_col, id_col=id_col)
+    return plan, realized
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.corpus import mixture_report
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000
+    spark = get_spark("mixture-planning-example", master="local[8]",
+                      shuffle_partitions=8)
+    docs = load_source_tables(spark, sf_dir)["documents"]
+
+    plan, realized = plan_mixture(docs, budget_tokens=budget)
+
+    print(f"== UniMax plan at budget={budget} tokens, max_epochs=2 ==")
+    plan.orderBy("lang").show(truncate=False)
+
+    print("== realized corpus: per-language replicas ==")
+    realized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("doc_id").alias("distinct_docs"),
+        F.max("epoch").alias("max_epoch_tag"),
+    ).orderBy("lang").show()
+
+    print("== mixture audit: raw vs realized token shares ==")
+    before = mixture_report(docs, group_col="lang").select(
+        "lang", F.col("token_share").alias("raw_share"))
+    after = mixture_report(realized, group_col="lang").select(
+        "lang", F.col("token_share").alias("realized_share"))
+    before.join(after, "lang").orderBy("lang").show(truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
