@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_winnow_fingerprints",
         "ext_corpus_overlap",
         "ext_url_dedup_keep",
+        "ext_curate_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

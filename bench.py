@@ -578,6 +578,17 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                                  docs.filter("doc_id < 100"),
                                  n=8).collect())
 
+    from condenser_spark.streaming.curate import curate_stream
+
+    def _curate_stream():
+        blm_l = build_line_bloom(_landed)
+        blm_k = build_kgram_bloom(_landed, k=10)
+        return (curate_stream(_incoming, line_bloom=blm_l,
+                              kgram_bloom=blm_k, k=10, gopher=True)
+                .agg(F.sum("es_removed_tokens")).collect())
+
+    timed("curate_stream", _curate_stream)
+
     return timings, noise
 
 
@@ -600,6 +611,9 @@ def main() -> int:
     # and BENCH_r09.json came back parsed:null (VERDICT r9 punch #1).  Emit
     # full-precision detail on its own PRECEDING line, keep the final line
     # compact (2-dp query timings, minified separators) and hard-bounded: if
+    # HEADROOM WATCH (round 11): 62 queries measured 1673 chars — ~4-5 more
+    # entries fit before the map drops; when adding round-12 entries either
+    # shorten names or consolidate before crossing the bound.  If
     # the query map would ever push the final line past 1800 chars, the map
     # moves wholesale to the detail line rather than truncating the JSON.
     detail = {

@@ -440,6 +440,7 @@ def gopher_quality_flags(
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
     min_stop_hits: int = 2,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
     ... Gopher", appendix A1.1) as per-document flags — the published
@@ -526,6 +527,10 @@ def gopher_quality_flags(
     }
     stats = df.select(
         F.col(id_col),
+        # keep_cols: extra input columns carried through the projection —
+        # the stream-safe (join-free) passthrough streaming/curate.py
+        # composes on; default () leaves the oracled output unchanged
+        *[F.col(c) for c in keep_cols],
         n_words.cast("long").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -550,6 +555,7 @@ def c4_clean(
     min_kept_lines: int = 5,
     drop_line_markers: tuple = ("javascript",),
     drop_doc_markers: tuple = ("lorem ipsum", "{"),
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The C4 cleaning recipe (Raffel et al. 2020, "Exploring the Limits
     of Transfer Learning...", §2.2) as one scan-level rewrite:
@@ -599,6 +605,10 @@ def c4_clean(
         doc_bad = doc_bad | low_doc.contains(m.lower())
     return df.select(
         F.col(id_col),
+        # join-free passthrough for streaming composition (see
+        # gopher_quality_flags keep_cols); default () keeps the oracle
+        # output unchanged
+        *[F.col(c) for c in keep_cols],
         F.array_join(kept, "\n").alias("text_clean"),
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_lines_kept"),

@@ -5247,3 +5247,191 @@ def ext_url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return url_dedup(synth, keep_col="n_chars").select(
         "doc_id", "n_chars", "url", "url_norm")
+
+
+def _curate_stream_sql() -> str:
+    k = _ESUB_K
+    return rf"""
+    WITH landed AS (
+      SELECT doc_id,
+             text || ' {_ESUB_SENTINEL}'
+                  || chr(10) || 'shared boilerplate footer' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT doc_id, lang,
+             text || ' {_ESUB_SENTINEL}' ||
+             CASE WHEN doc_id % 3 = 1
+                  THEN ' {_ESS_SENT2} {_ESS_SENT2}' ELSE '' END
+             || chr(10) || 'Shared  BOILERPLATE Footer'
+             || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+             || chr(10) || 'repeat me'
+             || chr(10) || 'repeat me' AS text
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    -- stage 1: CCNet line dedup vs the landed line set
+    lset AS (
+      SELECT DISTINCT
+             regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, chr(10))) AS line
+            FROM landed)
+      WHERE regexp_replace(lower(trim(line)), '\s+', ' ', 'g') <> ''
+    ),
+    slines AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, chr(10)) AS arr
+            FROM stream)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             norm <> '' AND (
+               norm IN (SELECT n FROM lset)
+               OR ROW_NUMBER() OVER (PARTITION BY doc_id, norm
+                                     ORDER BY pos) > 1
+             ) AS dup
+      FROM (SELECT doc_id, pos, line,
+                   regexp_replace(lower(trim(line)), '\s+', ' ', 'g')
+                     AS norm
+            FROM slines)
+    ),
+    ld AS (
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE NOT dup), '') AS text,
+             CAST(COUNT(*) AS BIGINT) AS ld_n_lines,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS ld_removed_lines,
+             CAST(SUM(CASE WHEN dup
+                      THEN len(list_filter(
+                             regexp_split_to_array(trim(line), '\s+'),
+                             x -> x <> ''))
+                      ELSE 0 END) AS BIGINT) AS ld_removed_tokens,
+             CAST(SUM(CASE WHEN dup THEN length(line) ELSE 0 END)
+                  AS BIGINT) AS ld_removed_chars
+      FROM flagged GROUP BY doc_id
+    ),
+    -- stage 2: ExactSubstr vs the landed k-gram set, over the REBUILT text
+    lbase AS (
+      SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM landed
+    ),
+    lgrams AS (
+      SELECT DISTINCT
+             array_to_string(arr[p:p+{k - 1}], ' ') AS gram
+      FROM (SELECT arr, unnest(range(1, len(arr) - {k} + 2)) AS p
+            FROM lbase WHERE len(arr) >= {k})
+    ),
+    sbase AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS arr
+      FROM ld
+    ),
+    sgrams AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS pos,
+             array_to_string(arr[p:p+{k - 1}], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(range(1, len(arr) - {k} + 2)) AS p
+            FROM sbase WHERE len(arr) >= {k})
+    ),
+    indoc AS (
+      SELECT doc_id, gram FROM sgrams
+      GROUP BY doc_id, gram HAVING COUNT(*) >= 2
+    ),
+    starts AS (
+      SELECT s.doc_id, s.pos FROM sgrams s
+      WHERE s.gram IN (SELECT gram FROM lgrams)
+         OR EXISTS (SELECT 1 FROM indoc i
+                    WHERE i.doc_id = s.doc_id AND i.gram = s.gram)
+    ),
+    toks AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS tok
+      FROM sbase
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(CASE WHEN s.pos IS NOT NULL THEN t.pos END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS smax
+      FROM toks t LEFT JOIN starts s
+        ON s.doc_id = t.doc_id AND s.pos = t.pos
+    ),
+    es AS (
+      SELECT doc_id,
+             COALESCE(string_agg(tok, ' ' ORDER BY pos)
+               FILTER (WHERE smax IS NULL OR smax < pos - {k - 1}),
+               '') AS text,
+             CAST(COUNT(*) AS BIGINT) AS es_n_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN 1 ELSE 0 END) AS BIGINT)
+               AS es_removed_tokens,
+             CAST(SUM(CASE WHEN smax IS NOT NULL
+                           AND smax >= pos - {k - 1}
+                      THEN length(tok) ELSE 0 END) AS BIGINT)
+               AS es_removed_chars
+      FROM cov GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           COALESCE(e.text, '') AS text,
+           s.lang,
+           d.ld_n_lines, d.ld_removed_lines, d.ld_removed_tokens,
+           d.ld_removed_chars,
+           COALESCE(e.es_n_tokens, 0) AS es_n_tokens,
+           COALESCE(e.es_removed_tokens, 0) AS es_removed_tokens,
+           COALESCE(e.es_removed_chars, 0) AS es_removed_chars
+    FROM stream s
+    JOIN ld d ON d.doc_id = s.doc_id
+    LEFT JOIN es e ON e.doc_id = s.doc_id
+    """
+
+
+@golden("ext_curate_stream", _curate_stream_sql())
+def ext_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call ingest-time curation chain
+    (condenser_spark/streaming/curate.py:curate_stream) with BOTH
+    text-REWRITE stages enabled as ONE lazy plan: landed-footer line
+    dedup feeding ExactSubstr over the REBUILT text (the sentinel span
+    plus every-third-doc in-doc repeated block), with a passthrough
+    column (lang) surviving both stages and all seven audit columns
+    replayed by DuckDB end-to-end — the ext_curate_linesub treatment
+    applied to the stateless streaming composer (blooms at fp_rate=1e-12,
+    the stream-twin sizing contract).  Registered past the driver's
+    50-slot cap; verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _ESUB_SENTINEL),
+                 F.lit("\nshared boilerplate footer")).alias("text"))
+    stream = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.col("text"), F.lit(" " + _ESUB_SENTINEL),
+                F.when(F.col("doc_id") % 3 == 1,
+                       F.lit(" " + _ESS_SENT2 + " " + _ESS_SENT2))
+                .otherwise(F.lit(""))),
+            F.lit("Shared  BOILERPLATE Footer"),
+            F.concat(F.lit("unique tail "),
+                     F.col("doc_id").cast("string")),
+            F.lit("repeat me"), F.lit("repeat me"),
+        ).alias("text"),
+        "lang")
+    return curate_stream(
+        stream,
+        line_bloom=build_line_bloom(landed, fp_rate=1e-12),
+        kgram_bloom=build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-12),
+        k=_ESUB_K,
+    )

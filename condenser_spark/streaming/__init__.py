@@ -9,6 +9,7 @@ from condenser_spark.streaming.sessionize import (
     windowed_event_counts,
     windowed_event_counts_stream,
 )
+from condenser_spark.streaming.curate import curate_stream
 from condenser_spark.streaming.textdedup import (
     build_kgram_bloom,
     build_line_bloom,
@@ -20,6 +21,7 @@ __all__ = [
     "build_kgram_bloom",
     "build_line_bloom",
     "build_minhash_band_index",
+    "curate_stream",
     "dedup_batch_against_corpus",
     "dedup_lines_stream",
     "exact_substring_stream",

@@ -1,0 +1,156 @@
+"""One-call INGEST-TIME curation: the stateless subset of
+:func:`condenser_spark.curate.curate_corpus`, composable on a Structured
+Streaming frame — readStream -> curate_stream -> writeStream with NO
+joins, NO aggregates, NO watermark, NO state store.
+
+Every stage is an already-verified stateless operator, applied in the
+batch composer's published order:
+
+1. line dedup vs the LANDED corpus (``streaming/textdedup.py:
+   dedup_lines_stream`` against a ``build_line_bloom`` index),
+2. ExactSubstr vs the landed corpus (``exact_substring_stream`` against
+   ``build_kgram_bloom``),
+3. C4 line cleaning (``text.c4_clean`` — a pure projection; rows with
+   ``doc_ok`` False are dropped, the cleaned text swapped in),
+4. language ID (``langid.language_top1_stateless`` — rewrites or creates
+   ``lang_col``),
+5. Gopher flags (``text.gopher_quality_flags`` — keep ``gopher_pass``),
+6. quality-classifier filter (``quality.score_documents_stateless`` —
+   keep ``quality_logit >= quality_threshold``).
+
+Where the batch composer swaps rewritten text back with an id join (fine
+in batch, illegal on a stream), this one rides the ``keep_cols``
+passthrough the projections expose — every stage is one map over the
+micro-batch.  Where the batch composer returns a per-stage COUNT report
+(an aggregation a stream cannot run statelessly), this one returns
+per-document audit columns instead: ``ld_*`` (line dedup), ``es_*``
+(ExactSubstr), ``quality_logit`` — aggregate them downstream on whatever
+window the monitoring needs.
+
+Batch/stream duality: the output is a plain DataFrame transformation, so
+the SAME call runs on a batch frame — that is the parity surface
+(tests/test_curate_stream.py) and what the full DuckDB oracle replays
+(goldens_ext.ext_curate_stream chains the two REWRITE stages as one lazy
+plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dedup import ShingleBloom
+from condenser_spark.streaming.textdedup import (
+    dedup_lines_stream,
+    exact_substring_stream,
+)
+
+__all__ = ["curate_stream"]
+
+_LD_AUDIT = {
+    "n_lines": "ld_n_lines",
+    "n_removed_lines": "ld_removed_lines",
+    "n_removed_tokens": "ld_removed_tokens",
+    "n_removed_chars": "ld_removed_chars",
+}
+_ES_AUDIT = {
+    "n_tokens": "es_n_tokens",
+    "n_removed_tokens": "es_removed_tokens",
+    "n_removed_chars": "es_removed_chars",
+}
+
+
+def curate_stream(
+    docs: DataFrame,
+    *,
+    line_bloom: ShingleBloom | None = None,
+    strip_digits: bool = False,
+    kgram_bloom: ShingleBloom | None = None,
+    k: int = 50,
+    c4: bool | dict = False,
+    language_model=None,
+    lang_col: str = "lang",
+    gopher: bool | dict = False,
+    quality_model=None,
+    quality_threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Run the enabled stateless curation stages in the published order
+    and return the curated frame: input columns (text rewritten,
+    ``lang_col`` rewritten/created when ``language_model`` is given) plus
+    the per-document audit columns of the stages that ran.  Pass
+    ``line_bloom`` / ``kgram_bloom`` to enable the landed-corpus rewrite
+    stages (``None`` skips the landed probe but still applies the
+    within-document rules when the stage's other knob is the default —
+    to skip a rewrite stage entirely, leave its bloom ``None`` AND do
+    not rely on in-doc dedup there; the stage runs iff its bloom is not
+    ``None``).  Every stage is a stateless projection/filter: the result
+    runs identically on a batch frame (the parity/oracle surface) and on
+    a readStream source."""
+    cur = docs
+
+    if line_bloom is not None:
+        out = dedup_lines_stream(cur, line_bloom,
+                                 strip_digits=strip_digits,
+                                 text_col=text_col, id_col=id_col)
+        for old, new in _LD_AUDIT.items():
+            out = out.withColumnRenamed(old, new)
+        cur = out
+
+    if kgram_bloom is not None:
+        out = exact_substring_stream(cur, kgram_bloom, k=k,
+                                     text_col=text_col, id_col=id_col)
+        for old, new in _ES_AUDIT.items():
+            out = out.withColumnRenamed(old, new)
+        cur = out
+
+    if c4:
+        from condenser_spark.functions.text import c4_clean
+
+        opts = dict(c4) if isinstance(c4, dict) else {}
+        keep = tuple(c for c in cur.columns if c not in (id_col, text_col))
+        cleaned = c4_clean(cur, text_col=text_col, id_col=id_col,
+                           keep_cols=keep, **opts)
+        cur = (
+            cleaned.filter(F.col("doc_ok"))
+            .withColumnRenamed("text_clean", text_col)
+            .drop("n_lines", "n_lines_kept", "doc_ok")
+            .select(id_col, text_col, *keep)
+        )
+
+    if language_model is not None:
+        from condenser_spark.functions.langid import (
+            language_top1_stateless,
+        )
+
+        out = language_top1_stateless(cur, language_model,
+                                      text_col=text_col, id_col=id_col,
+                                      out_col="_lang_pred")
+        keep = [c for c in cur.columns if c != lang_col]
+        cur = out.select(
+            *keep, F.col("_lang_pred").alias(lang_col)
+        )
+
+    if gopher:
+        from condenser_spark.functions.text import gopher_quality_flags
+
+        opts = dict(gopher) if isinstance(gopher, dict) else {}
+        keep = tuple(c for c in cur.columns if c != id_col)
+        flagged = gopher_quality_flags(cur, text_col=text_col,
+                                       id_col=id_col, keep_cols=keep,
+                                       **opts)
+        cur = flagged.filter(F.col("gopher_pass")).select(id_col, *keep)
+
+    if quality_model is not None:
+        from condenser_spark.functions.quality import (
+            score_documents_stateless,
+        )
+
+        scored = score_documents_stateless(cur, quality_model,
+                                           text_col=text_col,
+                                           id_col=id_col)
+        cur = scored.filter(
+            F.col("quality_logit") >= F.lit(float(quality_threshold)))
+
+    return cur

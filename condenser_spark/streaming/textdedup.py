@@ -288,12 +288,16 @@ def dedup_lines_stream(
     normalized form exists in ``bloom`` (a landed site is by definition an
     earlier site) OR repeats an earlier line of the SAME document is
     dropped, and the document is rebuilt in-row.  Output mirrors the batch
-    contract: (id_col, text, n_lines, n_removed_lines, n_removed_tokens,
-    n_removed_chars).  Stateless — append-safe on a stream, and runs
-    unchanged on a batch frame (the parity surface)."""
+    contract — (id_col, text, then every other input column passed
+    through, then n_lines, n_removed_lines, n_removed_tokens,
+    n_removed_chars) — so the twin is schema-preserving and composable
+    (streaming/curate.py chains it).  Stateless — append-safe on a
+    stream, and runs unchanged on a batch frame (the parity surface)."""
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
     lines = F.split(F.col(text_col), "\n")
     base = docs.select(
         F.col(id_col).alias("_id"),
+        *passthrough,
         lines.alias("_lines"),
         F.transform(lines,
                     lambda l: _norm_line(l, strip_digits)).alias("_norms"),
@@ -320,6 +324,7 @@ def dedup_lines_stream(
     return flagged.select(
         F.col("_id").alias(id_col),
         F.array_join(kept, "\n").alias(text_col),
+        *passthrough,
         F.size("_lines").cast("long").alias("n_lines"),
         F.size(removed).cast("long").alias("n_removed_lines"),
         F.aggregate(removed, F.lit(0).cast("long"),
@@ -343,11 +348,14 @@ def exact_substring_stream(
     incoming document covered by a ``k``-gram that exists in ``bloom`` OR
     repeats within the document is cut, and the text rebuilt in-row
     (whitespace-normalized, case preserved — the batch contract).  Output
-    mirrors the batch columns: (id_col, text, n_tokens, n_removed_tokens,
+    mirrors the batch columns — (id_col, text, then every other input
+    column passed through, then n_tokens, n_removed_tokens,
     n_removed_chars).  Stateless; runs unchanged on a batch frame."""
+    passthrough = [c for c in docs.columns if c not in (id_col, text_col)]
     arr = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                    lambda t: t != "")
-    base = docs.select(F.col(id_col).alias("_id"), arr.alias("_arr"))
+    base = docs.select(F.col(id_col).alias("_id"), *passthrough,
+                       arr.alias("_arr"))
     g = F.size("_arr") - (k - 1)
     grams = F.when(
         g >= 1,
@@ -374,6 +382,7 @@ def exact_substring_stream(
     return covered.select(
         F.col("_id").alias(id_col),
         F.array_join(kept, " ").alias(text_col),
+        *passthrough,
         F.size("_arr").cast("long").alias("n_tokens"),
         F.size(removed).cast("long").alias("n_removed_tokens"),
         F.aggregate(removed, F.lit(0).cast("long"),

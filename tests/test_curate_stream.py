@@ -1,0 +1,161 @@
+"""curate_stream (streaming/curate.py): the stateless ingest-time chain —
+stage-by-stage parity with the manual composition on a batch frame, a real
+readStream run, and schema/audit contracts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.streaming.curate import curate_stream
+from condenser_spark.streaming.textdedup import (
+    build_kgram_bloom,
+    build_line_bloom,
+    dedup_lines_stream,
+    exact_substring_stream,
+)
+
+SCHEMA = "doc_id long, text string, lang string"
+
+SPAN = "w1 w2 w3 w4 w5 w6"  # 6 tokens; k=4 below
+
+_STOPS = ("the and for that with this from they have more".split())
+# 80 words, >= 2 stop hits, NO repeated 4-gram (every 2nd token unique),
+# no overlap with the landed corpus — survives every enabled stage
+GOOD = " ".join(
+    f"{_STOPS[i % len(_STOPS)]} aword{i:02d}" for i in range(40))
+
+
+def _landed(spark):
+    return spark.createDataFrame([
+        (0, "shared boilerplate footer\nlxa lxb " + SPAN + " lxc", "en"),
+    ], SCHEMA)
+
+
+def _incoming(spark):
+    return spark.createDataFrame([
+        # survives: long, stop-wordy, unique text
+        (10, GOOD + "\nunique ten line", "en"),
+        # landed boilerplate line resent + landed span: both cut, doc
+        # then fails Gopher's min word count -> dropped
+        (11, "shared  BOILERPLATE footer\n" + SPAN, "en"),
+        # too short for Gopher even before rewrites -> dropped
+        (12, "tiny doc", "en"),
+    ], SCHEMA)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_parity_with_manual_chain(spark):
+    from condenser_spark.functions.text import gopher_quality_flags
+
+    landed, incoming = _landed(spark), _incoming(spark)
+    lb = build_line_bloom(landed)
+    kb = build_kgram_bloom(landed, k=4)
+
+    got = curate_stream(incoming, line_bloom=lb, kgram_bloom=kb, k=4,
+                        gopher=True)
+
+    manual = dedup_lines_stream(incoming, lb)
+    for old, new in (("n_lines", "ld_n_lines"),
+                     ("n_removed_lines", "ld_removed_lines"),
+                     ("n_removed_tokens", "ld_removed_tokens"),
+                     ("n_removed_chars", "ld_removed_chars")):
+        manual = manual.withColumnRenamed(old, new)
+    manual = exact_substring_stream(manual, kb, k=4)
+    for old, new in (("n_tokens", "es_n_tokens"),
+                     ("n_removed_tokens", "es_removed_tokens"),
+                     ("n_removed_chars", "es_removed_chars")):
+        manual = manual.withColumnRenamed(old, new)
+    keep = [c for c in manual.columns if c != "doc_id"]
+    flagged = gopher_quality_flags(manual, keep_cols=tuple(keep))
+    manual = flagged.filter("gopher_pass").select("doc_id", *keep)
+
+    assert got.columns == manual.columns
+    assert _rows(got) == _rows(manual)
+    # and the chain kept exactly the good document
+    assert [r[0] for r in _rows(got)] == [10]
+
+
+def test_audit_columns_and_schema(spark):
+    landed, incoming = _landed(spark), _incoming(spark)
+    out = curate_stream(
+        incoming,
+        line_bloom=build_line_bloom(landed),
+        kgram_bloom=build_kgram_bloom(landed, k=4), k=4,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {10, 11, 12}  # no filter stages enabled
+    # doc 11: one landed line cut by stage 1, the span cut by stage 2
+    assert rows[11].ld_removed_lines == 1
+    assert rows[11].es_removed_tokens == 6
+    assert rows[11].text == ""
+    # untouched doc carries zero audits and full text
+    assert rows[10].ld_removed_lines == 0
+    assert rows[10].es_removed_tokens == 0
+    # passthrough column survives every stage
+    assert rows[10].lang == "en"
+    assert out.columns[:3] == ["doc_id", "text", "lang"]
+
+
+def test_models_rewrite_lang_and_filter_quality(spark):
+    from condenser_spark.functions.langid import train_language_model
+    from condenser_spark.functions.quality import train_quality_model
+
+    train = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd", "xx") for i in range(10)]
+        + [(i + 10, "zzz yyy xxx www", "yy") for i in range(10)],
+        SCHEMA)
+    lm = train_language_model(train, dim=64, ngram=3)
+    qtrain = spark.createDataFrame(
+        [(i, "aaa bbb ccc ddd", 1) for i in range(10)]
+        + [(i + 10, "zzz yyy xxx www", 0) for i in range(10)],
+        "doc_id long, text string, quality_label int")
+    qm = train_quality_model(qtrain, dim=64)
+
+    incoming = spark.createDataFrame(
+        [(1, "aaa bbb ccc ddd", "wrong"), (2, "zzz yyy xxx www", "wrong")],
+        SCHEMA)
+    out = curate_stream(incoming, language_model=lm, quality_model=qm,
+                        quality_threshold=0.0)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}                # low-quality doc filtered
+    assert rows[1].lang == "xx"            # lang rewritten by the model
+    assert rows[1].quality_logit >= 0.0
+
+
+def test_runs_on_a_real_stream(spark, tmp_path):
+    landed, incoming = _landed(spark), _incoming(spark)
+    lb = build_line_bloom(landed)
+    kb = build_kgram_bloom(landed, k=4)
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    incoming.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, line_bloom=lb, kgram_bloom=kb, k=4, gopher=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out_dir))
+    want = _rows(curate_stream(incoming, line_bloom=lb, kgram_bloom=kb,
+                               k=4, gopher=True))
+    assert got == want and [r[0] for r in got] == [10]
+
+
+def test_c4_stage_swaps_clean_text(spark):
+    incoming = spark.createDataFrame([
+        (1, "Good leading sentence with many words here today.\n"
+            "short line\n"
+            "Another full sentence that definitely qualifies nicely.\n"
+            "A third proper sentence keeps the document alive fine.\n"
+            "Fourth full sentence is present and properly terminated.\n"
+            "Fifth full sentence rounds out the cleaned document here.",
+         "en"),
+        (2, "lorem ipsum filler junk document.", "en"),
+    ], SCHEMA)
+    out = curate_stream(incoming, c4=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}               # lorem-ipsum doc dropped
+    assert "short line" not in rows[1].text
+    assert rows[1].lang == "en"
+    assert out.columns == ["doc_id", "text", "lang"]
