@@ -1446,3 +1446,118 @@ def test_curate_corpus_invariants_over_random_stage_combos(
     in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     out_ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert out_ids <= in_ids
+
+
+@PROP
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500),
+                   min_size=1, max_size=8),
+    budget=st.integers(min_value=1, max_value=4000),
+    epochs=st.integers(min_value=1, max_value=4),
+)
+def test_unimax_water_filling_invariants(spark, sizes, budget, epochs):
+    """For ANY group sizes / budget / epoch cap: (1) no group exceeds its
+    cap; (2) the allocation exhausts exactly min(budget, total capacity)
+    up to float tolerance; (3) uncapped groups all sit at the same water
+    level, and every capped group's cap is <= that level; (4) weights sum
+    to 1."""
+    from condenser_spark.functions.corpus import unimax_weights
+
+    rows = [(f"g{i}", j) for i, n in enumerate(sizes) for j in range(n)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    out = unimax_weights(df, budget=budget, max_epochs=epochs).collect()
+    caps = {r.source: r.cap_units for r in out}
+    alloc = {r.source: r.alloc_units for r in out}
+    total_cap = sum(caps.values())
+    for g in caps:
+        assert alloc[g] <= caps[g] + 1e-9
+    assert abs(sum(alloc.values()) - min(budget, total_cap)) < 1e-6
+    uncapped = [alloc[g] for g in caps if alloc[g] < caps[g] - 1e-9]
+    if uncapped:
+        level = uncapped[0]
+        assert all(abs(u - level) < 1e-9 for u in uncapped)
+        assert all(caps[g] <= level + 1e-9 for g in caps
+                   if alloc[g] >= caps[g] - 1e-9)
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-9
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.data(),
+    n_tokens=st.integers(min_value=8, max_value=60),
+    winnow=st.integers(min_value=2, max_value=6),
+)
+def test_winnow_density_guarantee(spark, data, n_tokens, winnow):
+    """For ANY document: the winnowed selection is a subset of the full
+    fingerprint stream, and EVERY window of `winnow` consecutive
+    fingerprint positions contains at least one selected position (the
+    Schleimer density guarantee — ad-hoc every-Nth sampling lacks it)."""
+    from condenser_spark.functions.text import (
+        rolling_fingerprints,
+        winnow_fingerprints,
+    )
+
+    vocab = ["ga", "bu", "zo", "meu"]
+    toks = [data.draw(st.sampled_from(vocab)) for _ in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    window = 4
+    full = {(r.pos, r.fp) for r in
+            rolling_fingerprints(df, window=window).collect()}
+    sel = {(r.pos, r.fp) for r in
+           winnow_fingerprints(df, window=window, winnow=winnow).collect()}
+    assert sel <= full
+    n_fp = len(full)
+    if n_fp >= winnow:
+        positions = sorted(p for p, _ in sel)
+        for start in range(1, n_fp - winnow + 2):
+            assert any(start <= p <= start + winnow - 1
+                       for p in positions), (start, positions)
+    else:
+        assert sel == set()
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=11),
+                  st.integers(min_value=0, max_value=11)),
+        min_size=0, max_size=12),
+)
+def test_soft_dedup_total_mass_identity(spark, edges):
+    """For ANY pair set over 12 docs: total sample weight equals the
+    number of connected components among paired docs plus the number of
+    singleton docs — every cluster contributes exactly one copy of
+    training mass."""
+    from condenser_spark.functions.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(12)],
+                                 "doc_id long, text string")
+    pairs = [(a, b) for a, b in edges if a != b]
+    pdf = spark.createDataFrame(pairs or [(0, 0)],
+                                "id_a long, id_b long")
+    if not pairs:
+        pdf = pdf.filter("id_a <> id_a")  # empty pair frame
+    out = soft_dedup_weights(docs, pairs=pdf).collect()
+
+    # python union-find model
+    parent = list(range(12))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in pairs:
+        touched |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    n_components = len({find(x) for x in touched})
+    n_singletons = 12 - len(touched)
+    assert abs(sum(r.sample_weight for r in out)
+               - (n_components + n_singletons)) < 1e-9
