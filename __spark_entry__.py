@@ -60,11 +60,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests/test_rotation_invariants.py on every pytest run.
     #
     # ROTATION RULE (deterministic, executed in each round's first commit):
-    # every oracle golden is driver-recorded at least every other round.
-    # Each round, the `deprioritized` list is REPLACED by the oracle
-    # goldens recorded green in the previous round's CORRECTNESS_r{N}.json,
-    # minus enough keepers to fill the cap — which rotates ALL of the
-    # previous round's past-cap goldens in-cap.  Two invariants:
+    # every oracle golden is driver-recorded on the shortest cadence the
+    # cap allows — ceil(n_oracles / 46) rounds (46 = 50 slots - 4
+    # rows-only).  Through round 10 that was every other round; at the
+    # round-11 close the registry holds 109 oracles, so the cycle is now
+    # three rounds.  Each round, the `deprioritized` list is REPLACED by
+    # the oracle goldens recorded green in the previous round's
+    # CORRECTNESS_r{N}.json plus enough of the youngest keepers to fit —
+    # which rotates the LONGEST-WAITING past-cap goldens in-cap first
+    # (never-driver-recorded goldens have absolute priority).  The safety
+    # net is unchanged either way: every past-cap golden re-runs the full
+    # DuckDB comparison on EVERY pytest invocation (invariant 2).  Two
+    # invariants:
     #   1. the 4 rows-only goldens (ext_approx_profile,
     #      p3_bernoulli_sample_rows, ext_multimodal_features,
     #      ext_multimodal_frames — no SQL-expressible oracle by nature)
