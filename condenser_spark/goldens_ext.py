@@ -4703,7 +4703,7 @@ def ext_dedup_lines_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("repeat me"), F.lit("repeat me"),
         ).alias("text"))
     return dedup_lines_stream(stream, build_line_bloom(landed,
-                                                       fp_rate=1e-12))
+                                                       fp_rate=1e-18))
 
 
 _ESS_SENT2 = ("inner repeat block token one two three four five six "
@@ -4801,10 +4801,10 @@ def ext_exact_substring_stream(spark: SparkSession,
     """Streaming twin of ExactSubstr under the FULL value oracle: the
     landed half carries the sentinel span, the stream half carries the
     same span plus (every third doc) a twice-repeated NEW block — the
-    k-gram Bloom membership (sized at fp_rate=1e-12 so expected false
-    positives over every gram probe at both gate scales are << 1 — the
-    stateless probe has no exact-verify join, so the sizing is what
-    licenses the exact-set oracle), the in-doc duplicate rule, running-max
+    k-gram Bloom membership (sized at fp_rate=1e-18 — cap-aware: k is capped at 16, so this
+    request achieves ~5e-13/probe, expected false positives << 1 at both
+    gate scales; the stateless probe has no exact-verify join, so the
+    sizing is what licenses the exact-set oracle), the in-doc duplicate rule, running-max
     coverage, the whitespace-normalized rebuild and the token/char audit
     sums all replayed by DuckDB
     (condenser_spark/streaming/textdedup.py:exact_substring_stream)."""
@@ -4826,7 +4826,7 @@ def ext_exact_substring_stream(spark: SparkSession,
             .otherwise(F.lit("")),
         ).alias("text"))
     return exact_substring_stream(
-        stream, build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-12),
+        stream, build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-18),
         k=_ESUB_K)
 
 
@@ -5400,8 +5400,8 @@ def ext_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus every-third-doc in-doc repeated block), with a passthrough
     column (lang) surviving both stages and all seven audit columns
     replayed by DuckDB end-to-end — the ext_curate_linesub treatment
-    applied to the stateless streaming composer (blooms at fp_rate=1e-12,
-    the stream-twin sizing contract).  Registered past the driver's
+    applied to the stateless streaming composer (blooms at fp_rate=1e-18,
+    the cap-aware stream-twin sizing contract).  Registered past the driver's
     50-slot cap; verified per-pytest by tests/test_overflow_oracles.py."""
     from condenser_spark.streaming.curate import curate_stream
     from condenser_spark.streaming.textdedup import (
@@ -5431,7 +5431,7 @@ def ext_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang")
     return curate_stream(
         stream,
-        line_bloom=build_line_bloom(landed, fp_rate=1e-12),
-        kgram_bloom=build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-12),
+        line_bloom=build_line_bloom(landed, fp_rate=1e-18),
+        kgram_bloom=build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-18),
         k=_ESUB_K,
     )

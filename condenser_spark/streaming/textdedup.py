@@ -17,9 +17,16 @@ Index shape: the landed corpus is packed ONCE into a
 line / k-gram granularity), saved/loaded with the existing
 ``ShingleBloom.save/load`` and broadcast once per SparkContext.  Bloom
 semantics are one-sided: NO false negatives (a landed duplicate is always
-caught), and a false positive drops a never-landed line/span at the
-declared ``fp_rate`` (default 1e-3) — the standard trade for a stateless
-in-row probe; rebuild the bloom on the batch-dedup cadence.  The build
+caught), and a false positive drops a never-landed line/span — the
+standard trade for a stateless in-row probe; rebuild the bloom on the
+batch-dedup cadence.  SIZING CAVEAT: ``_bloom_geometry`` caps the probe
+count at k=16, so the ACHIEVED per-probe FP is ``(1-e^(-16n/m))^16``
+regardless of how small an ``fp_rate`` is requested — a 1e-9 request
+floors at ~7e-9/probe (STRESS stage 25 measured a real FP there); when
+exactness matters, request 1e-18 (m≈86 bits/entry, ~5e-13/probe) or
+route through the batch operators whose exact verify join absorbs FPs.
+The default 1e-3 is the honest ingest-hygiene setting (~1 dropped
+never-landed line per thousand probes).  The build
 collects distinct hashes to the driver under the same fail-loud cap as
 ``build_shingle_bloom`` (~50M entries ~ 800 MB); a landed corpus whose
 distinct-line count exceeds the cap is past the ingest-hygiene regime —

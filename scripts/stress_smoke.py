@@ -1602,7 +1602,7 @@ def stage_textdedup_stream(spark, n_docs: int = 1_000_000) -> dict:
     incoming_l = spark.read.parquet(ipath)
 
     t0 = time.time()
-    line_bloom = build_line_bloom(landed_l, fp_rate=1e-9)
+    line_bloom = build_line_bloom(landed_l, fp_rate=1e-18)
     line_build = time.time() - t0
     t0 = time.time()
     agg = dedup_lines_stream(incoming_l, line_bloom).agg(
@@ -1639,7 +1639,7 @@ def stage_textdedup_stream(spark, n_docs: int = 1_000_000) -> dict:
     incoming_s = spark.read.parquet(jpath)
 
     t0 = time.time()
-    kgram_bloom = build_kgram_bloom(landed_s, k=k, fp_rate=1e-9)
+    kgram_bloom = build_kgram_bloom(landed_s, k=k, fp_rate=1e-18)
     sub_build = time.time() - t0
     t0 = time.time()
     agg = exact_substring_stream(incoming_s, kgram_bloom, k=k).agg(
@@ -1743,6 +1743,92 @@ def stage_diversity_winnow(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_curate_stream(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 25: the one-call stateless ingest chain (streaming/curate.py)
+    end-to-end at 1M incoming docs vs a 1M-doc landed corpus — line dedup
+    + ExactSubstr + Gopher in one pass, exact closed-form arithmetic:
+
+    Every incoming doc re-sends a landed boilerplate line, carries a
+    within-doc repeated line, and embeds the landed 10-token span at the
+    end of its body.  EVEN ids carry a 60-word stop-wordy unique body
+    (survives Gopher after losing the span); ODD ids carry only the span
+    plus three tokens (fails Gopher's min_words after the cut).  Expected
+    EXACTLY: n/2 survivors, each with ld_removed_lines == 2 and
+    es_removed_tokens == 10.  Blooms requested at fp_rate=1e-18 (the
+    k=16-cap arithmetic above: ~5e-13 achieved per probe, ~2e-5 expected
+    FPs over the ~33M probes); the first run at 1e-9 measured exactly
+    one real FP — one even doc lost an extra interior 10-gram — which is
+    the (1-e^(-16n/m))^16 floor, not a code bug."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+    )
+
+    assert n_docs % 2 == 0
+    k = 10
+    span = " ".join(f"s{j}" for j in range(k))
+    boiler = "copyright example corp all rights reserved"
+    stops = "the and for that with this from they have more".split()
+    uid = lambda s: F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s)))
+
+    lpath = f"{WORK}/cs_landed"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws("\n", F.lit(boiler), uid("-Lu"),
+                         F.concat_ws(" ", uid("-Lp"), F.lit(span)))
+             .alias("text"))
+     .write.mode("overwrite").parquet(lpath))
+    landed = spark.read.parquet(lpath)
+
+    # even body: 30 (stop, unique) pairs = 60 words, span appended;
+    # odd body: 3 unique tokens + span.  Unique tokens are 6-char md5
+    # prefixes, not full 32-char digests — Gopher's mean-word-length
+    # ceiling (10) must not trip on the synthetic vocabulary
+    short = lambda s: F.substring(uid(s), 1, 6)  # noqa: E731
+    good_parts = []
+    for j in range(30):
+        good_parts += [F.lit(stops[j % len(stops)]), short(f"-g{j}")]
+    good = F.concat_ws(" ", *good_parts, F.lit(span))
+    bad = F.concat_ws(" ", short("-b0"), short("-b1"), short("-b2"),
+                      F.lit(span))
+    body = F.when(F.col("id") % 2 == 0, good).otherwise(bad)
+    ipath = f"{WORK}/cs_incoming"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws("\n", body, F.lit(boiler), uid("-r"), uid("-r"))
+             .alias("text"))
+     .write.mode("overwrite").parquet(ipath))
+    incoming = spark.read.parquet(ipath)
+
+    t0 = time.time()
+    lb = build_line_bloom(landed, fp_rate=1e-18)
+    kb = build_kgram_bloom(landed, k=k, fp_rate=1e-18)
+    build_wall = time.time() - t0
+    t0 = time.time()
+    agg = curate_stream(incoming, line_bloom=lb, kgram_bloom=kb, k=k,
+                        gopher=True).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ld_removed_lines").alias("ld"),
+        F.sum("es_removed_tokens").alias("es"),
+    ).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs // 2, agg.n
+    assert agg.ld == 2 * (n_docs // 2), agg.ld
+    assert agg.es == k * (n_docs // 2), agg.es
+    return {
+        "stage": "curate_stream_1m",
+        "n_docs": n_docs,
+        "survivors": int(agg.n),
+        "bloom_build_sec": round(build_wall, 1),
+        "chain_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -1778,6 +1864,7 @@ def main() -> int:
         "bigram_lm": lambda: stage_bigram_lm(spark),
         "textdedup_stream": lambda: stage_textdedup_stream(spark),
         "diversity_winnow": lambda: stage_diversity_winnow(spark),
+        "curate_stream": lambda: stage_curate_stream(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
