@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_corpus_overlap",
         "ext_url_dedup_keep",
         "ext_curate_stream",
+        "ext_curate_stream_url",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -5435,3 +5435,73 @@ def ext_curate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         kgram_bloom=build_kgram_bloom(landed, k=_ESUB_K, fp_rate=1e-18),
         k=_ESUB_K,
     )
+
+
+@golden(
+    "ext_curate_stream_url",
+    r"""
+    WITH landed AS (
+      SELECT DISTINCT
+             'http://dup.com/p/' || CAST(doc_id % 37 AS VARCHAR)
+               || '?a=1&b=2' AS url_norm
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'http://sub.bad.com/x/' || CAST(doc_id AS VARCHAR)
+                  ELSE 'http://DUP.com:80/p/'
+                       || CAST(doc_id % 53 AS VARCHAR) || '/?b=2&a=1#x'
+             END AS url,
+             lang,
+             'http://dup.com/p/' || CAST(doc_id % 53 AS VARCHAR)
+               || '?a=1&b=2' AS url_norm,
+             doc_id % 5 = 0 AS blocked
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, url, lang FROM stream
+    WHERE NOT blocked
+      AND url_norm NOT IN (SELECT url_norm FROM landed)
+    """,
+)
+def ext_curate_stream_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_stream's URL FIRST stage (FineWeb §3.1 at ingest): a
+    registered-domain blocklist drop (sub.bad.com rows) plus
+    landed-URL keep-first dedup via the URL bloom — stream URLs re-enter
+    a 53-residue path space whose first 37 residues are landed (the
+    evens cover all of Z37), so exactly the v >= 37 unblocked rows
+    survive.  The oracle pins both canonical forms CLOSED-FORM (the
+    ext_url_dedup treatment) and replays blocklist + landed membership
+    as exact set logic; the bloom is sized 1e-18 (cap-aware — expected
+    FPs << 1), which licenses the exact-set replay
+    (condenser_spark/streaming/curate.py:curate_stream).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.curate import (
+        build_url_bloom,
+        curate_stream,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.lit("http://www.dup.com/p/"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit("?a=1&b=2")).alias("url"))
+    stream = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("http://sub.bad.com/x/"),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("http://DUP.com:80/p/"),
+                     (F.col("doc_id") % 53).cast("string"),
+                     F.lit("/?b=2&a=1#x")),
+        ).alias("url"),
+        "lang")
+    return curate_stream(
+        stream,
+        url_bloom=build_url_bloom(landed, fp_rate=1e-18),
+        blocked_domains=["bad.com"],
+    )

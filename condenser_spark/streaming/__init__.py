@@ -9,7 +9,7 @@ from condenser_spark.streaming.sessionize import (
     windowed_event_counts,
     windowed_event_counts_stream,
 )
-from condenser_spark.streaming.curate import curate_stream
+from condenser_spark.streaming.curate import build_url_bloom, curate_stream
 from condenser_spark.streaming.textdedup import (
     build_kgram_bloom,
     build_line_bloom,
@@ -21,6 +21,7 @@ __all__ = [
     "build_kgram_bloom",
     "build_line_bloom",
     "build_minhash_band_index",
+    "build_url_bloom",
     "curate_stream",
     "dedup_batch_against_corpus",
     "dedup_lines_stream",

@@ -39,13 +39,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from condenser_spark.functions.dedup import ShingleBloom
+from condenser_spark.functions.dedup import ShingleBloom, _bloom_hash_cols
 from condenser_spark.streaming.textdedup import (
+    _collect_bloom,
+    _member_col,
     dedup_lines_stream,
     exact_substring_stream,
 )
 
-__all__ = ["curate_stream"]
+__all__ = ["build_url_bloom", "curate_stream"]
+
+
+def build_url_bloom(
+    docs: DataFrame,
+    url_col: str = "url",
+    fp_rate: float = 1e-3,
+    max_bits: int = 1 << 31,
+    max_urls: int = 50_000_000,
+    **normalize_kwargs,
+) -> ShingleBloom | None:
+    """Pack the landed corpus's distinct NORMALIZED URLs
+    (:func:`functions.urls.normalize_url` identity) into a ShingleBloom
+    for :func:`curate_stream`'s URL stage — the ingest form of FineWeb
+    keep-first URL dedup: a landed URL is by definition the earlier
+    site.  ``None`` when the landed side has no URLs.  A false positive
+    drops a never-landed URL at the achieved rate — for exactness-grade
+    settings request fp_rate=1e-18 (the k=16-cap arithmetic in
+    streaming/textdedup.py's module docstring)."""
+    from condenser_spark.functions.urls import normalize_url
+
+    norm = normalize_url(F.col(url_col), **normalize_kwargs)
+    hashes = (
+        docs.select(norm.alias("shingle"))
+        .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+        .select(*_bloom_hash_cols())
+    )
+    return _collect_bloom(hashes, fp_rate, max_bits, max_urls,
+                          "build_url_bloom")
 
 _LD_AUDIT = {
     "n_lines": "ld_n_lines",
@@ -63,6 +93,9 @@ _ES_AUDIT = {
 def curate_stream(
     docs: DataFrame,
     *,
+    url_bloom: ShingleBloom | None = None,
+    blocked_domains=(),
+    url_col: str = "url",
     line_bloom: ShingleBloom | None = None,
     strip_digits: bool = False,
     kgram_bloom: ShingleBloom | None = None,
@@ -87,8 +120,30 @@ def curate_stream(
     not rely on in-doc dedup there; the stage runs iff its bloom is not
     ``None``).  Every stage is a stateless projection/filter: the result
     runs identically on a batch frame (the parity/oracle surface) and on
-    a readStream source."""
+    a readStream source.
+
+    The URL stage (FineWeb §3.1 — URL filtering BEFORE any text is read)
+    runs first when ``blocked_domains`` or ``url_bloom`` is given:
+    registered-domain blocklist drop (pure expressions; broadcast
+    stream-static join past 10k domains — stream-legal), then drop any
+    document whose normalized URL is already LANDED (``build_url_bloom``)
+    — the keep-first election where landed is by definition first.
+    Within-micro-batch URL duplicates are NOT collapsed (that needs
+    state); run the batch :func:`functions.urls.url_dedup` on the landed
+    corpus cadence."""
     cur = docs
+
+    if blocked_domains or url_bloom is not None:
+        from condenser_spark.functions.urls import curate_urls
+
+        cols = cur.columns
+        flagged = curate_urls(cur, url_col,
+                              blocked_domains=tuple(blocked_domains))
+        keep = ~F.col("url_blocked")
+        if url_bloom is not None:
+            keep = keep & ~_member_col(cur, url_bloom,
+                                       F.col("url_norm"))
+        cur = flagged.filter(keep).select(*cols)
 
     if line_bloom is not None:
         out = dedup_lines_stream(cur, line_bloom,

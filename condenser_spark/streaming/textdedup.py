@@ -283,6 +283,30 @@ def _coverage_arrays(docs: DataFrame, bloom: ShingleBloom | None,
     return probe(h1s, h2s, n_tokens)
 
 
+def _member_col(docs: DataFrame, bloom: ShingleBloom | None,
+                string: Column) -> Column:
+    """Scalar boolean bloom-membership column for one string expression
+    per row — the flat Kirsch-Mitzenmacher probe without the array
+    lift (streaming/curate.py's URL stage rides this)."""
+    if bloom is None:
+        return F.lit(False)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    flat_probe = _probe_closure(docs, bloom)
+
+    def _kernel(h1, h2):
+        import numpy as np
+
+        a = h1.to_numpy().astype(np.uint64)
+        b = h2.to_numpy().astype(np.uint64)
+        return pd.Series(flat_probe(a, b))
+
+    probe = pandas_udf(_kernel, "boolean")
+    return probe(F.xxhash64(string),
+                 F.xxhash64(string, F.lit("bloom-h2")))
+
+
 def dedup_lines_stream(
     docs: DataFrame,
     bloom: ShingleBloom | None,

@@ -159,3 +159,35 @@ def test_c4_stage_swaps_clean_text(spark):
     assert "short line" not in rows[1].text
     assert rows[1].lang == "en"
     assert out.columns == ["doc_id", "text", "lang"]
+
+
+def test_url_first_stage(spark, tmp_path):
+    from condenser_spark.streaming.curate import build_url_bloom
+
+    landed = spark.createDataFrame(
+        [(0, "http://www.seen.com/a?x=1", "t")],
+        "doc_id long, url string, text string")
+    incoming = spark.createDataFrame([
+        (1, "http://SEEN.com:80/a/?x=1#f", "dup of landed"),   # dropped
+        (2, "http://seen.com/b", "new path on landed host"),   # kept
+        (3, "http://sub.bad.com/x", "blocked domain"),         # dropped
+        (4, "http://fresh.org/y", "clean"),                    # kept
+    ], "doc_id long, url string, text string")
+    ub = build_url_bloom(landed, fp_rate=1e-18)
+    out = curate_stream(incoming, url_bloom=ub,
+                        blocked_domains=["bad.com"])
+    assert {r.doc_id for r in out.collect()} == {2, 4}
+    assert out.columns == incoming.columns  # schema-preserving
+
+    # stream-legality: the URL stage runs on a real readStream
+    src, out_dir = str(tmp_path / "usrc"), str(tmp_path / "uout")
+    incoming.write.parquet(src)
+    s = spark.readStream.schema(
+        "doc_id long, url string, text string").parquet(src)
+    q = (curate_stream(s, url_bloom=ub, blocked_domains=["bad.com"])
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "uckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} \
+        == {2, 4}
