@@ -146,16 +146,6 @@ def build_kgram_bloom(
                           "build_kgram_bloom")
 
 
-def _hash_arrays(strings: Column) -> tuple[Column, Column]:
-    """The two JVM-side 64-bit hash arrays matching `_bloom_hash_cols` —
-    parity with the bloom BUILD side, and a 128-bit per-element identity
-    for the in-document repeat rules (collision odds ~G²/2^128 per doc)."""
-    return (
-        F.transform(strings, lambda x: F.xxhash64(x)),
-        F.transform(strings, lambda x: F.xxhash64(x, F.lit("bloom-h2"))),
-    )
-
-
 def _probe_closure(docs: DataFrame, bloom: ShingleBloom | None):
     """Executor-safe flat-probe function over uint64 hash arrays: captures
     only (m, k) and the Broadcast handle, never the ShingleBloom itself
@@ -194,93 +184,167 @@ def _pair_stats(a, b):
     return first[inverse], counts[inverse]
 
 
-def _dup_flags_arrays(docs: DataFrame, bloom: ShingleBloom | None,
-                      strings: Column) -> Column:
-    """array<boolean> per element of the ``strings`` array column:
-    bloom membership OR an identical element at an EARLIER index of the
-    same row (the keep-first rule).  One Arrow kernel: the bloom probe is
-    vectorized across the whole batch, the earlier-index rule is a
-    sort-based unique per row — nothing pairwise."""
+def _flat_packed(packed, stride: int):
+    """Concatenate a batch's per-row PACKED hash arrays (flattened
+    ``stride``-wide records per element: h1, h2[, extra]) into flat
+    uint64 column vectors plus per-row element counts — the shared
+    prologue of both struct kernels.  The packing exists for a plan
+    reason: ONE flattened expression references the expensive gram/norm
+    construction exactly once, where separate h1/h2 transform columns
+    made projection collapse inline (and re-evaluate) it per column."""
+    import numpy as np
+
+    lens = [0 if x is None else len(x) // stride for x in packed]
+    if sum(lens) == 0:
+        return lens, None
+    flat = np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in packed
+         if x is not None and len(x)]).reshape(-1, stride)
+    return lens, flat
+
+
+_LINE_STRUCT = ("text string, n_lines bigint, n_removed_lines bigint, "
+                "n_removed_tokens bigint, n_removed_chars bigint")
+
+
+def _line_result_struct(docs: DataFrame, bloom: ShingleBloom | None,
+                        lines: Column, norms: Column) -> Column:
+    """struct<text, n_lines, n_removed_lines, n_removed_tokens,
+    n_removed_chars> per row — the WHOLE line-dedup outcome from ONE
+    Arrow kernel: bloom probe vectorized across the batch, the
+    keep-first earlier-index rule via sort-based unique, the rebuild a
+    plain join.  Producing text/audits as fields of the kernel's output
+    attribute (never as JVM expressions over the flag array) is what
+    keeps a downstream consumer from re-evaluating the rebuild: Spark's
+    projection collapse inlines expensive expressions into every
+    reference, and the pre-struct form re-ran the rebuild ~9x when
+    curate_stream chained the twins.  Per-line token/char masses are
+    computed JVM-side (regex/UTF-16 semantics must match the batch
+    operator and the DuckDB oracle, not Python's)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     flat_probe = _probe_closure(docs, bloom)
 
-    def _kernel(h1s, h2s):
-        lens = [0 if x is None else len(x) for x in h1s]
-        if sum(lens) == 0:
-            return pd.Series([[] for _ in lens])
-        a = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in h1s
-             if x is not None and len(x)]).astype(np.uint64)
-        b = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in h2s
-             if x is not None and len(x)]).astype(np.uint64)
-        hit = flat_probe(a, b)
-        out, at = [], 0
-        for ln in lens:
-            if ln == 0:
-                out.append([])
+    def _kernel(packed, raw, ltoks):
+        lens, flat = _flat_packed(packed, 3)
+        if flat is not None:
+            a = flat[:, 0].astype(np.uint64)
+            hit = flat_probe(a, flat[:, 1].astype(np.uint64))
+            blank = flat[:, 2] == 1
+        text, nl, rl, rt, rc = [], [], [], [], []
+        at = 0
+        for i, ln in enumerate(lens):
+            ls = raw.iloc[i]
+            if ls is None or ln == 0:
+                text.append(None if ls is None else "\n".join(ls))
+                nl.append(0 if ls is None else len(ls))
+                rl.append(0)
+                rt.append(0)
+                rc.append(0)
                 continue
-            first, _ = _pair_stats(a[at:at + ln], b[at:at + ln])
-            flag = hit[at:at + ln] | (first < np.arange(ln))
-            out.append(flag.tolist())
+            first, _ = _pair_stats(flat[at:at + ln, 0],
+                                   flat[at:at + ln, 1])
+            flag = ((hit[at:at + ln] | (first < np.arange(ln)))
+                    & ~blank[at:at + ln])
             at += ln
-        return pd.Series(out)
+            keep = ~flag
+            ls = np.asarray(ls, dtype=object)
+            text.append("\n".join(ls[keep]))
+            nl.append(ln)
+            rl.append(int(flag.sum()))
+            rt.append(int(np.asarray(ltoks.iloc[i],
+                                     dtype=np.int64)[flag].sum()))
+            # python len == Spark length == DuckDB length: all three
+            # count code points
+            rc.append(int(sum(len(x) for x in ls[flag])))
+        return pd.DataFrame({
+            "text": text, "n_lines": nl, "n_removed_lines": rl,
+            "n_removed_tokens": rt, "n_removed_chars": rc,
+        })
 
-    probe = pandas_udf(_kernel, "array<boolean>")
-    h1s, h2s = _hash_arrays(strings)
-    return probe(h1s, h2s)
+    kernel = pandas_udf(_kernel, _LINE_STRUCT)
+    # ONE flattened (h1, h2, is_blank) record per line: the norm
+    # expression is referenced exactly once, so projection collapse
+    # cannot re-evaluate the normalization per consumer
+    packed = F.flatten(F.transform(norms, lambda x: F.array(
+        F.xxhash64(x),
+        F.xxhash64(x, F.lit("bloom-h2")),
+        (x == "").cast("long"))))
+    ltoks = F.transform(
+        lines,
+        lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                  lambda t: t != "")).cast("long"))
+    return kernel(packed, lines, ltoks)
 
 
-def _coverage_arrays(docs: DataFrame, bloom: ShingleBloom | None,
-                     grams: Column, n_tokens: Column, k: int) -> Column:
-    """array<boolean> of length ``n_tokens`` per row: token t (0-based) is
-    covered iff some k-gram start s <= t with s >= t-k+1 is duplicated —
-    present in ``bloom`` OR occurring >= 2 times within the row.  One
-    Arrow kernel; the running max is `np.maximum.accumulate`, so a fully
-    duplicated document stays O(G log G), never O(G^2)."""
+_SUB_STRUCT = ("text string, n_tokens bigint, n_removed_tokens bigint, "
+               "n_removed_chars bigint")
+
+
+def _substring_result_struct(docs: DataFrame, bloom: ShingleBloom | None,
+                             grams: Column, toks: Column,
+                             k: int) -> Column:
+    """struct<text, n_tokens, n_removed_tokens, n_removed_chars> per row
+    — the WHOLE ExactSubstr outcome from ONE Arrow kernel: duplicated
+    starts (bloom membership OR >= 2 in-row occurrences, sort-based
+    unique), coverage via `np.maximum.accumulate` (a fully duplicated
+    document stays O(G log G), never O(G^2)), and the
+    whitespace-normalized rebuild — emitted as kernel-output fields for
+    the same projection-collapse reason as `_line_result_struct`.
+    Per-token char masses are JVM `length` (UTF-16, the oracle's
+    semantics)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     flat_probe = _probe_closure(docs, bloom)
 
-    def _kernel(h1s, h2s, ns):
-        lens = [0 if x is None else len(x) for x in h1s]
-        ns = ns.to_numpy()
-        if sum(lens) == 0:
-            return pd.Series([[False] * int(n) for n in ns])
-        a = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in h1s
-             if x is not None and len(x)]).astype(np.uint64)
-        b = np.concatenate(
-            [np.asarray(x, dtype=np.int64) for x in h2s
-             if x is not None and len(x)]).astype(np.uint64)
-        hit = flat_probe(a, b)
-        out, at = [], 0
-        for ln, n in zip(lens, ns):
-            n = int(n)
-            if ln == 0:
-                out.append([False] * n)
+    def _kernel(packed, raw):
+        lens, flat = _flat_packed(packed, 2)
+        if flat is not None:
+            hit = flat_probe(flat[:, 0].astype(np.uint64),
+                             flat[:, 1].astype(np.uint64))
+        text, nt, rt, rc = [], [], [], []
+        at = 0
+        for i, ln in enumerate(lens):
+            ts = raw.iloc[i]
+            n = 0 if ts is None else len(ts)
+            if ts is None or ln == 0:
+                text.append(None if ts is None else " ".join(ts))
+                nt.append(n)
+                rt.append(0)
+                rc.append(0)
                 continue
-            _, counts = _pair_stats(a[at:at + ln], b[at:at + ln])
+            _, counts = _pair_stats(flat[at:at + ln, 0],
+                                    flat[at:at + ln, 1])
             s = hit[at:at + ln] | (counts >= 2)
-            # last duplicated start at-or-before each start index,
-            # extended to the n-token axis (starts beyond G never exist)
-            last = np.maximum.accumulate(
-                np.where(s, np.arange(ln), -k))
-            last_tok = np.concatenate(
-                [last, np.full(n - ln, last[-1])]) if n > ln else last[:n]
-            cov = last_tok >= np.arange(n) - (k - 1)
-            out.append(cov.tolist())
             at += ln
-        return pd.Series(out)
+            # last duplicated start at-or-before each position, extended
+            # to the n-token axis (starts beyond G never exist)
+            last = np.maximum.accumulate(np.where(s, np.arange(ln), -k))
+            last_tok = (np.concatenate([last, np.full(n - ln, last[-1])])
+                        if n > ln else last[:n])
+            cov = last_tok >= np.arange(n) - (k - 1)
+            keep = ~cov
+            ts = np.asarray(ts, dtype=object)
+            text.append(" ".join(ts[keep]))
+            nt.append(n)
+            rt.append(int(cov.sum()))
+            # python len == Spark length == DuckDB length (code points)
+            rc.append(int(sum(len(x) for x in ts[cov])))
+        return pd.DataFrame({
+            "text": text, "n_tokens": nt, "n_removed_tokens": rt,
+            "n_removed_chars": rc,
+        })
 
-    probe = pandas_udf(_kernel, "array<boolean>")
-    h1s, h2s = _hash_arrays(grams)
-    return probe(h1s, h2s, n_tokens)
+    kernel = pandas_udf(_kernel, _SUB_STRUCT)
+    # ONE flattened (h1, h2) record per gram: the O(G*k) gram
+    # construction is referenced exactly once (see _flat_packed)
+    packed = F.flatten(F.transform(grams, lambda g: F.array(
+        F.xxhash64(g), F.xxhash64(g, F.lit("bloom-h2")))))
+    return kernel(packed, toks)
 
 
 def _member_col(docs: DataFrame, bloom: ShingleBloom | None,
@@ -333,37 +397,17 @@ def dedup_lines_stream(
         F.transform(lines,
                     lambda l: _norm_line(l, strip_digits)).alias("_norms"),
     )
-    probed = base.withColumn(
-        "_flags", _dup_flags_arrays(docs, bloom, F.col("_norms")))
-    # drop rule per line (the kernel computed landed-dup-via-bloom OR
-    # earlier in-doc occurrence); blank-normalizing lines always survive
-    dup = F.zip_with(F.col("_norms"), F.col("_flags"),
-                     lambda x, f: (x != "") & f)
-    flagged = probed.withColumn("_dup", dup)
-    removed = F.filter(
-        F.zip_with(F.col("_lines"), F.col("_dup"),
-                   lambda l, d: F.struct(l.alias("l"), d.alias("d"))),
-        lambda s: s["d"],
-    )
-    kept = F.filter(
-        F.zip_with(F.col("_lines"), F.col("_dup"),
-                   lambda l, d: F.when(~d, l)),
-        lambda x: x.isNotNull(),
-    )
-    line_tokens = lambda l: F.size(  # noqa: E731
-        F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
-    return flagged.select(
+    out = base.withColumn(
+        "_r", _line_result_struct(docs, bloom, F.col("_lines"),
+                                  F.col("_norms")))
+    return out.select(
         F.col("_id").alias(id_col),
-        F.array_join(kept, "\n").alias(text_col),
+        F.col("_r.text").alias(text_col),
         *passthrough,
-        F.size("_lines").cast("long").alias("n_lines"),
-        F.size(removed).cast("long").alias("n_removed_lines"),
-        F.aggregate(removed, F.lit(0).cast("long"),
-                    lambda a, s: a + line_tokens(s["l"]).cast("long"))
-        .alias("n_removed_tokens"),
-        F.aggregate(removed, F.lit(0).cast("long"),
-                    lambda a, s: a + F.length(s["l"]).cast("long"))
-        .alias("n_removed_chars"),
+        F.col("_r.n_lines").alias("n_lines"),
+        F.col("_r.n_removed_lines").alias("n_removed_lines"),
+        F.col("_r.n_removed_tokens").alias("n_removed_tokens"),
+        F.col("_r.n_removed_chars").alias("n_removed_chars"),
     )
 
 
@@ -396,27 +440,16 @@ def exact_substring_stream(
     ).otherwise(F.array().cast("array<string>"))
     based = base.withColumn("_grams", grams)
     # the kernel computes duplicated starts (landed-dup via bloom OR >= 2
-    # in-doc occurrences) and the coverage running max in one pass
-    covered = based.withColumn(
-        "_cov",
-        _coverage_arrays(docs, bloom, F.col("_grams"), F.size("_arr"), k))
-    kept = F.filter(
-        F.zip_with(F.col("_arr"), F.col("_cov"),
-                   lambda tok, c: F.when(~c, tok)),
-        lambda x: x.isNotNull(),
-    )
-    removed = F.filter(
-        F.zip_with(F.col("_arr"), F.col("_cov"),
-                   lambda tok, c: F.when(c, tok)),
-        lambda x: x.isNotNull(),
-    )
-    return covered.select(
+    # in-doc occurrences), the coverage running max AND the rebuild in
+    # one pass, returned as a struct
+    out = based.withColumn(
+        "_r", _substring_result_struct(docs, bloom, F.col("_grams"),
+                                       F.col("_arr"), k))
+    return out.select(
         F.col("_id").alias(id_col),
-        F.array_join(kept, " ").alias(text_col),
+        F.col("_r.text").alias(text_col),
         *passthrough,
-        F.size("_arr").cast("long").alias("n_tokens"),
-        F.size(removed).cast("long").alias("n_removed_tokens"),
-        F.aggregate(removed, F.lit(0).cast("long"),
-                    lambda a, tok: a + F.length(tok).cast("long"))
-        .alias("n_removed_chars"),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        F.col("_r.n_removed_tokens").alias("n_removed_tokens"),
+        F.col("_r.n_removed_chars").alias("n_removed_chars"),
     )
