@@ -612,9 +612,9 @@ def main() -> int:
     # and BENCH_r09.json came back parsed:null (VERDICT r9 punch #1).  Emit
     # full-precision detail on its own PRECEDING line, keep the final line
     # compact (2-dp query timings, minified separators) and hard-bounded: if
-    # HEADROOM WATCH (round 11): 62 queries measured 1673 chars — ~4-5 more
-    # entries fit before the map drops; when adding round-12 entries either
-    # shorten names or consolidate before crossing the bound.  If
+    # HEADROOM WATCH (round 11 close): 63 queries measured 1691 chars —
+    # only ~3-4 more entries fit before the map drops; when adding
+    # round-12 entries either shorten names or consolidate first.  If
     # the query map would ever push the final line past 1800 chars, the map
     # moves wholesale to the detail line rather than truncating the JSON.
     detail = {
