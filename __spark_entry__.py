@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_url_dedup_keep",
         "ext_curate_stream",
         "ext_curate_stream_url",
+        "ext_diversity_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -5505,3 +5505,54 @@ def ext_curate_stream_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         url_bloom=build_url_bloom(landed, fp_rate=1e-18),
         blocked_domains=["bad.com"],
     )
+
+
+@golden(
+    "ext_diversity_stream",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(arr)) AS BIGINT) AS distinct_1,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 1),
+               i -> array_to_string(arr[i:i+1], ' ')))) AS BIGINT)
+               AS distinct_2,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 2),
+               i -> array_to_string(arr[i:i+2], ' ')))) AS BIGINT)
+               AS distinct_3
+      FROM base
+    )
+    SELECT doc_id, n_tokens, distinct_1, distinct_2, distinct_3,
+      CASE WHEN n_tokens >= 1
+           THEN CAST(distinct_1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      END AS ratio_1,
+      CASE WHEN n_tokens - 1 >= 1
+           THEN CAST(distinct_2 AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+      END AS ratio_2,
+      CASE WHEN n_tokens - 2 >= 1
+           THEN CAST(distinct_3 AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+      END AS ratio_3
+    FROM g
+    """,
+)
+def ext_diversity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateless (ingest) form of per-document distinct-n diversity —
+    one Arrow struct kernel instead of the batch lead windows — under the
+    SAME full DuckDB replay as ext_diversity_stats, which also pins
+    batch/stream equality by transitivity
+    (condenser_spark/streaming/textdedup.py:diversity_stats_stateless).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.textdedup import (
+        diversity_stats_stateless,
+    )
+
+    return diversity_stats_stateless(_tables(spark, sf_dir)["documents"])

@@ -14,6 +14,7 @@ from condenser_spark.streaming.textdedup import (
     build_kgram_bloom,
     build_line_bloom,
     dedup_lines_stream,
+    diversity_stats_stateless,
     exact_substring_stream,
 )
 
@@ -25,6 +26,7 @@ __all__ = [
     "curate_stream",
     "dedup_batch_against_corpus",
     "dedup_lines_stream",
+    "diversity_stats_stateless",
     "exact_substring_stream",
     "minhash_near_pairs_stream",
     "sessionize",

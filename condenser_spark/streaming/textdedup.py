@@ -63,6 +63,7 @@ __all__ = [
     "build_kgram_bloom",
     "build_line_bloom",
     "dedup_lines_stream",
+    "diversity_stats_stateless",
     "exact_substring_stream",
 ]
 
@@ -452,4 +453,61 @@ def exact_substring_stream(
         F.col("_r.n_tokens").alias("n_tokens"),
         F.col("_r.n_removed_tokens").alias("n_removed_tokens"),
         F.col("_r.n_removed_chars").alias("n_removed_chars"),
+    )
+
+
+_DIV_STRUCT = ("n_tokens bigint, distinct_1 bigint, distinct_2 bigint, "
+               "distinct_3 bigint")
+
+
+def diversity_stats_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless twin of :func:`functions.text.diversity_stats` (per-doc
+    distinct-1/2/3 of Li et al. 2016) — the batch form builds its n-gram
+    rows through `lead` windows (illegal on a stream); this one computes
+    the distinct counts per row in one Arrow kernel (python set over the
+    JVM-tokenized stream, O(L)) and derives the single-division ratios
+    JVM-side, so it gates degenerate/templated documents AT INGEST:
+    readStream -> diversity_stats_stateless -> filter(ratio_2 > t).
+    Output and semantics are IDENTICAL to the batch operator
+    (parity-pinned per-pytest; the batch DuckDB oracle replays this form
+    verbatim in goldens_ext.ext_diversity_stream)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(raw):
+        nt, d1, d2, d3 = [], [], [], []
+        for ts in raw:
+            if ts is None:
+                ts = []
+            n = len(ts)
+            nt.append(n)
+            d1.append(len(set(ts)))
+            d2.append(len({(ts[i], ts[i + 1]) for i in range(n - 1)}))
+            d3.append(len({(ts[i], ts[i + 1], ts[i + 2])
+                           for i in range(n - 2)}))
+        return pd.DataFrame({"n_tokens": nt, "distinct_1": d1,
+                             "distinct_2": d2, "distinct_3": d3})
+
+    kernel = pandas_udf(_kernel, _DIV_STRUCT)
+    arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    out = df.select(F.col(id_col).alias("_id"),
+                    kernel(arr).alias("_r"))
+
+    def _ratio(d: str, n: int):
+        total = F.col(f"_r.n_tokens") - F.lit(n - 1)
+        return F.when(
+            total >= 1, F.col(f"_r.{d}").cast("double")
+            / total.cast("double"))
+
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_r.n_tokens").alias("n_tokens"),
+        *[F.col(f"_r.distinct_{n}").alias(f"distinct_{n}")
+          for n in (1, 2, 3)],
+        *[_ratio(f"distinct_{n}", n).alias(f"ratio_{n}")
+          for n in (1, 2, 3)],
     )

@@ -193,3 +193,30 @@ def test_substring_twin_empty_text(spark):
            exact_substring_stream(df, None, k=K).collect()}
     assert out[1].text == "" and out[1].n_tokens == 0
     assert out[2].text == "" and out[2].n_removed_tokens == 0
+
+
+def test_diversity_stateless_parity_and_stream(spark, tmp_path):
+    from condenser_spark.functions.text import diversity_stats
+    from condenser_spark.streaming.textdedup import (
+        diversity_stats_stateless,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y"), (3, ""), (4, "solo"),
+         (5, "p q r p q r p q")],
+        SCHEMA)
+    cols = ["doc_id", "n_tokens", "distinct_1", "distinct_2",
+            "distinct_3", "ratio_1", "ratio_2", "ratio_3"]
+    got = _rows(diversity_stats_stateless(docs), cols)
+    want = _rows(diversity_stats(docs), cols)
+    assert got == want
+
+    src, out = str(tmp_path / "dsrc"), str(tmp_path / "dout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (diversity_stats_stateless(s).writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(out), cols) == want
