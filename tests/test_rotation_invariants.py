@@ -55,6 +55,46 @@ def test_cap_window_is_full_when_registry_overflows():
         assert len(list(qs)[:CAP]) == CAP
 
 
+def test_rotation_cadence():
+    # The rotation rule's promise, asserted against the committed driver
+    # records (VERDICT r11 "the rotation math deserves a test, not just
+    # prose"): every oracle golden is driver-recorded at least every
+    # ceil(n_oracles / 46) rounds.  Equivalently, at any commit every
+    # oracle golden is (a) in-cap now, or (b) recorded in one of the
+    # `cycle` most recent CORRECTNESS_r*.json files, or (c) never recorded
+    # in ANY file — i.e. registered mid-round, appended past-cap, awaiting
+    # its first rotation per the rule.
+    import json
+    import math
+    import re
+    from pathlib import Path
+
+    qs, oracles = _load()
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not files:
+        return
+    cycle = math.ceil(len(oracles) / (CAP - len(ROWS_ONLY)))
+    window: set[str] = set()
+    for p in files[-cycle:]:
+        window |= set(json.loads(p.read_text()))
+    ever: set[str] = set()
+    for p in files:
+        ever |= set(json.loads(p.read_text()))
+    in_cap = set(list(qs)[:CAP])
+    stale = [
+        k for k in oracles
+        if k not in in_cap and k not in window and k in ever
+    ]
+    assert not stale, (
+        f"oracle goldens past-cap, unrecorded for >{cycle} rounds "
+        f"(rotation rule violated): {stale}"
+    )
+
+
 def test_every_golden_is_callable_and_every_oracle_has_a_query():
     qs, oracles = _load()
     for name, fn in qs.items():
