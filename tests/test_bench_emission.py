@@ -1,0 +1,84 @@
+"""Structural safety of bench.py's two-line emission (VERDICT r11 punch #2).
+
+The driver keeps only the last ~2000 chars of stdout and parses the final
+line as JSON — BENCH_r09 was lost to one overgrown line.  These tests pin,
+WITHOUT running Spark, that the final line stays parseable and under the
+1800-char bound at the CURRENT bench registry size plus 10 synthetic
+entries, and that per-query values are never lost (they always live in
+``queries_full`` on the preceding detail line).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+import bench
+
+BOUND = 1800
+N_SYNTHETIC = 10
+
+
+def _current_bench_names() -> list[str]:
+    src = (Path(bench.__file__)).read_text()
+    names = re.findall(r'timed\(\s*"([^"]+)"', src)
+    assert len(names) >= 60, f"bench registry shrank unexpectedly: {names}"
+    assert len(names) == len(set(names)), "duplicate bench entry names"
+    return names
+
+
+def _fake_run(names: list[str]):
+    # worst-case-ish magnitudes: three-digit seconds render as 6 chars at
+    # 2 dp in the compact map
+    timings = {n: 123.456 + i * 0.001 for i, n in enumerate(names)}
+    noise = {n: 12.3 for n in names}
+    return timings, noise
+
+
+def test_final_line_bounded_at_current_size_plus_headroom():
+    names = _current_bench_names() + [
+        f"synthetic_round13_entry_{i:02d}" for i in range(N_SYNTHETIC)
+    ]
+    timings, noise = _fake_run(names)
+    detail_line, final_line = bench.emit_lines(
+        timings, noise, (0.5, 0.6, 0.7), (2.5, 1.6, 1.2), idle_wait_s=35.0)
+    assert len(final_line) <= BOUND, len(final_line)
+    final = json.loads(final_line)
+    # scalar fields survive no matter what happened to the map
+    for field in ("metric", "value", "unit", "noise_pct_max",
+                  "loadavg_start", "loadavg_end", "idle_wait_s", "sf"):
+        assert field in final, field
+    # the map either fits or is replaced by an explicit pointer — never
+    # truncated JSON
+    assert ("queries" in final) != ("queries_note" in final)
+    # full-precision per-query values ALWAYS live on the detail line
+    detail = json.loads(detail_line)
+    assert detail["queries_full"] == timings
+    assert detail["noise_pct"] == noise
+
+
+def test_final_line_keeps_map_while_it_fits():
+    timings, noise = _fake_run(["q1", "q2"])
+    _, final_line = bench.emit_lines(
+        timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
+    final = json.loads(final_line)
+    assert final["queries"] == {"q1": 123.46, "q2": 123.46}
+    assert "queries_note" not in final
+
+
+def test_map_drop_fallback_fires_past_bound():
+    # enough long-named entries to force the compact map past 1800 chars
+    names = [f"very_long_synthetic_bench_entry_name_{i:03d}" for i in range(60)]
+    timings, noise = _fake_run(names)
+    _, final_line = bench.emit_lines(
+        timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
+    assert len(final_line) <= BOUND
+    final = json.loads(final_line)
+    assert "queries" not in final
+    assert final["queries_note"] == "see queries_full on preceding detail line"
+    assert final["value"] == round(sum(timings.values()), 3)
+
+
+def test_wait_for_idle_disabled_is_noop():
+    assert bench.wait_for_idle(timeout_s=0) == 0.0
