@@ -960,11 +960,14 @@ def prototype_prune(
 
     Scoring stays exact-integer until the last step: the 4-dp graph
     cosines are scaled to ints, summed per node, and the density is the
-    ieee double division of the two exact integers (the ``domain_stats``
-    share treatment) — cross-engine-stable ranking.  Vectors with NO
-    graph rows (alone in their IVF cell, or invalid) carry density
-    ``-2.0``, below any possible cosine mean: no redundancy evidence, so
-    they are kept first in ``"sparse"`` mode and last in ``"dense"``.
+    ieee double division of the two exact integers, divided back by 1e4
+    (the ``domain_stats`` share treatment) — a TRUE mean cosine in
+    [-1, 1], cross-engine-stable ranking.  Vectors with NO graph rows
+    (alone in their IVF cell, or invalid) carry density ``-2.0``, below
+    the -1.0 cosine floor hence below any possible mean: no redundancy
+    evidence, so they are kept first in ``"sparse"`` mode and last in
+    ``"dense"`` (ADVICE r11: an un-descaled 1e4 mean would sort below the
+    sentinel for any node with mean cosine < -0.0002).
 
     Plan: the knn_graph cell-bounded self-join, one map-side-combined
     (sum, count) aggregate on ``id``, one left join back to ``df``, then
@@ -993,7 +996,8 @@ def prototype_prune(
         F.count(F.lit(1)).alias("_nn"),
     ).select(
         F.col("vec_id").alias(id_col),
-        (F.col("_d4").cast("double") / F.col("_nn")).alias("density"),
+        (F.col("_d4").cast("double") / F.col("_nn") / F.lit(10000.0))
+        .alias("density"),
     )
     # lazy barrier on the SLIM (id, density) table: global_rank's
     # cost-stats job and the ranked output would otherwise each re-execute

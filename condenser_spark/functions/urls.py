@@ -272,8 +272,13 @@ def curate_urls(
     if not blocked:
         return out.withColumn("url_blocked", F.lit(False))
     if len(blocked) < broadcast_threshold:
+        # coalesce: a NULL url (hence NULL domain) must yield a DEFINITE
+        # False, matching the broadcast branch's isNotNull — a bare isin
+        # is NULL for NULL input, and `~url_blocked` downstream would
+        # silently filter the row (ADVICE r11)
         return out.withColumn(
-            "url_blocked", F.col("url_domain").isin(*blocked)
+            "url_blocked",
+            F.coalesce(F.col("url_domain").isin(*blocked), F.lit(False)),
         )
     spark = docs.sparkSession
     bl = spark.createDataFrame(
@@ -314,24 +319,44 @@ def url_dedup(
     ``text.dedup_lines`` (STRESS stage 20): a viral URL shared by
     millions of rows is a single combiner cell, never a skewed window.
     Output = input columns + ``url_norm``.
+
+    NULL-url semantics (ADVICE r11: a null-unsafe election key silently
+    REMOVED every missing-URL row): a NULL ``url_col`` (hence NULL
+    ``url_norm``) carries no dedup evidence, so the row SURVIVES — the
+    election key coalesces NULL to a per-row unique sentinel
+    (``"\\x00missing-url\\x00" + id``, unreachable by any real normalized
+    URL since URLs cannot contain NUL), keeping the whole fix one scan /
+    one aggregate instead of a filter-and-union second branch over the
+    corpus.  Survivors keep ``url_norm`` NULL.
     """
     norm = normalize_url(
         F.col(url_col), strip_www=strip_www, sort_query=sort_query
     )
     with_norm = docs.withColumn("url_norm", norm)
+    keyed = with_norm.withColumn(
+        "_url_key",
+        F.coalesce(
+            F.col("url_norm"),
+            F.concat(F.lit("\x00missing-url\x00"),
+                     F.col(id_col).cast("string")),
+        ),
+    )
     if keep_col is None:
-        winners = with_norm.groupBy("url_norm").agg(
+        winners = keyed.groupBy("_url_key").agg(
             F.min(id_col).alias(id_col)
         )
     else:
         winners = (
-            with_norm.groupBy("url_norm")
+            keyed.groupBy("_url_key")
             .agg(F.max(F.struct(
                 F.col(keep_col).alias("k"),
                 (-F.col(id_col)).alias("ni"))).alias("_w"))
-            .select("url_norm", (-F.col("_w.ni")).alias(id_col))
+            .select("_url_key", (-F.col("_w.ni")).alias(id_col))
         )
-    return with_norm.join(winners, ["url_norm", id_col], "left_semi")
+    return (
+        keyed.join(winners, ["_url_key", id_col], "left_semi")
+        .drop("_url_key")
+    )
 
 
 def domain_stats(

@@ -4343,30 +4343,40 @@ def ext_url_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH synth AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 2 = 0
+             CASE WHEN doc_id % 23 = 7 THEN NULL
+                  WHEN doc_id % 2 = 0
                   THEN 'http://www.dup.com/p/' || v || '?a=1&b=2'
                   ELSE 'http://DUP.com:80/p/' || v || '/?b=2&a=1#x'
              END AS url,
              -- hand-derived expected canonical form of BOTH raw variants;
              -- if Spark's normalization of either shape differed by one
              -- character the groups would not collapse and the hash fails
-             'http://dup.com/p/' || v || '?a=1&b=2' AS url_norm
+             CASE WHEN doc_id % 23 = 7 THEN NULL
+                  ELSE 'http://dup.com/p/' || v || '?a=1&b=2'
+             END AS url_norm
       FROM (SELECT doc_id, CAST(doc_id % 37 AS VARCHAR) AS v
             FROM documents)
     ),
     winners AS (
-      SELECT url_norm, MIN(doc_id) AS doc_id FROM synth GROUP BY url_norm
+      SELECT url_norm, MIN(doc_id) AS doc_id FROM synth
+      WHERE url_norm IS NOT NULL GROUP BY url_norm
     )
     SELECT s.doc_id, s.url, s.url_norm
     FROM synth s
     JOIN winners w ON w.url_norm = s.url_norm AND w.doc_id = s.doc_id
+    UNION ALL
+    -- ADVICE r11 null semantics: a missing URL carries no dedup evidence,
+    -- so EVERY null-url row survives (they were silently dropped before)
+    SELECT doc_id, url, url_norm FROM synth WHERE url_norm IS NULL
     """,
 )
 def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first URL dedup (FineWeb's pre-MinHash stage): two raw shapes
     per normalized URL (www + unsorted query vs upper-case host + default
     port + trailing slash + fragment) planted so every survivor election
-    crosses a normalization collapse; the oracle pins the expected
+    crosses a normalization collapse, plus a planted NULL-url stripe
+    (doc_id % 23 = 7) pinning the ADVICE-r11 semantics — null URLs are
+    exempt from the election and all survive; the oracle pins the expected
     canonical string closed-form — independent of the regex pipeline — and
     replays the min-id election
     (condenser_spark/functions/urls.py:url_dedup)."""
@@ -4376,7 +4386,8 @@ def ext_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (F.col("doc_id") % 37).cast("string")
     synth = docs.select(
         "doc_id",
-        F.when(
+        F.when(F.col("doc_id") % 23 == 7, F.lit(None).cast("string"))
+        .when(
             F.col("doc_id") % 2 == 0,
             F.concat(F.lit("http://www.dup.com/p/"), v, F.lit("?a=1&b=2")),
         ).otherwise(
@@ -4566,7 +4577,7 @@ _PP_FRACTION = 0.5
     ),
     scored AS (
       SELECT e.vec_id,
-             COALESCE(CAST(d.d4 AS DOUBLE) / d.nn, -2.0) AS density
+             COALESCE(CAST(d.d4 AS DOUBLE) / d.nn / 10000.0, -2.0) AS density
       FROM embeddings e LEFT JOIN dens d USING (vec_id)
     ),
     ranked AS (

@@ -56,11 +56,14 @@ def build_url_bloom(
     fp_rate: float = 1e-3,
     max_bits: int = 1 << 31,
     max_urls: int = 50_000_000,
-    **normalize_kwargs,
 ) -> ShingleBloom | None:
     """Pack the landed corpus's distinct NORMALIZED URLs
-    (:func:`functions.urls.normalize_url` identity) into a ShingleBloom
-    for :func:`curate_stream`'s URL stage — the ingest form of FineWeb
+    (:func:`functions.urls.normalize_url` DEFAULT identity — strip_www +
+    sort_query, deliberately not configurable: :func:`curate_stream`'s
+    probe side normalizes with the same defaults via ``curate_urls``, and
+    a bloom built under a different normalization would silently mismatch
+    the probe identity, ADVICE r11) into a ShingleBloom for
+    :func:`curate_stream`'s URL stage — the ingest form of FineWeb
     keep-first URL dedup: a landed URL is by definition the earlier
     site.  ``None`` when the landed side has no URLs.  A false positive
     drops a never-landed URL at the achieved rate — for exactness-grade
@@ -68,7 +71,7 @@ def build_url_bloom(
     streaming/textdedup.py's module docstring)."""
     from condenser_spark.functions.urls import normalize_url
 
-    norm = normalize_url(F.col(url_col), **normalize_kwargs)
+    norm = normalize_url(F.col(url_col))
     hashes = (
         docs.select(norm.alias("shingle"))
         .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
@@ -130,7 +133,11 @@ def curate_stream(
     — the keep-first election where landed is by definition first.
     Within-micro-batch URL duplicates are NOT collapsed (that needs
     state); run the batch :func:`functions.urls.url_dedup` on the landed
-    corpus cadence."""
+    corpus cadence.  NULL-URL documents PASS the URL stage (explicit
+    policy, ADVICE r11: no URL means no block/dedup evidence — the same
+    survive-by-default semantics as the batch ``url_dedup``); both the
+    blocklist flag and the bloom probe are null-safe, so a missing URL
+    can neither drop the row nor feed the kernel a garbage hash."""
     cur = docs
 
     if blocked_domains or url_bloom is not None:
@@ -139,6 +146,9 @@ def curate_stream(
         cols = cur.columns
         flagged = curate_urls(cur, url_col,
                               blocked_domains=tuple(blocked_domains))
+        # url_blocked is a definite boolean (False for NULL urls) and
+        # _member_col short-circuits NULLs to False JVM-side — keep is
+        # never NULL, so null-URL docs survive by construction
         keep = ~F.col("url_blocked")
         if url_bloom is not None:
             keep = keep & ~_member_col(cur, url_bloom,

@@ -352,7 +352,13 @@ def _member_col(docs: DataFrame, bloom: ShingleBloom | None,
                 string: Column) -> Column:
     """Scalar boolean bloom-membership column for one string expression
     per row — the flat Kirsch-Mitzenmacher probe without the array
-    lift (streaming/curate.py's URL stage rides this)."""
+    lift (streaming/curate.py's URL stage rides this).
+
+    NULL-safe (ADVICE r11): a NULL string is NOT a member, decided
+    JVM-side.  The hashes fed to the kernel are coalesced non-null FIRST
+    — one NULL in an Arrow batch would otherwise upcast the whole int64
+    hash column to float64 and lose low bits on EVERY row's hash (any
+    |hash| > 2^53 probes a garbage index), not just the null's."""
     if bloom is None:
         return F.lit(False)
     import pandas as pd
@@ -368,8 +374,9 @@ def _member_col(docs: DataFrame, bloom: ShingleBloom | None,
         return pd.Series(flat_probe(a, b))
 
     probe = pandas_udf(_kernel, "boolean")
-    return probe(F.xxhash64(string),
-                 F.xxhash64(string, F.lit("bloom-h2")))
+    safe = F.coalesce(string, F.lit(""))
+    return F.when(string.isNull(), F.lit(False)).otherwise(
+        probe(F.xxhash64(safe), F.xxhash64(safe, F.lit("bloom-h2"))))
 
 
 def dedup_lines_stream(

@@ -191,3 +191,25 @@ def test_url_first_stage(spark, tmp_path):
     q.awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(out_dir).collect()} \
         == {2, 4}
+
+
+def test_null_url_docs_pass_the_url_stage(spark):
+    """ADVICE r11: null-URL docs must PASS the URL stage deterministically
+    — the blocklist flag coalesces to False and the bloom probe
+    short-circuits NULL JVM-side (a NaN hash reaching the kernel was a
+    nondeterministic verdict AND upcast every hash in the Arrow batch to
+    float64)."""
+    from condenser_spark.streaming.curate import build_url_bloom, curate_stream
+
+    landed = spark.createDataFrame(
+        [(100 + i, f"http://landed{i}.com/p") for i in range(8)],
+        "doc_id long, url string")
+    ub = build_url_bloom(landed, fp_rate=1e-18)
+    docs = spark.createDataFrame(
+        [(1, "http://landed3.com/p", "dup of landed"),
+         (2, None, "no url"),
+         (3, "http://bad.com/x", "blocked"),
+         (4, "http://fresh.org/y", "fresh")],
+        "doc_id long, url string, text string")
+    out = curate_stream(docs, url_bloom=ub, blocked_domains=["bad.com"])
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]

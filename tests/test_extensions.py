@@ -752,6 +752,10 @@ def test_prototype_prune_crafted_geometry(spark):
     # clump outlier
     assert sorted(got) == [4, 5]
     assert got[5].density == -2.0
+    # density is a TRUE mean cosine (ADVICE r11: descaled by 1e4), so every
+    # real node lands in [-1, 1] and the -2.0 sentinel is strictly below
+    # the floor — the kept-first (sparse) guarantee holds for any geometry
+    assert -1.0 <= got[4].density <= 1.0
     assert got[5].prune_rank == 1 and got[4].prune_rank == 2
     assert set(sparse.columns) == {"vec_id", "embedding", "density",
                                    "prune_rank"}

@@ -318,3 +318,45 @@ def test_url_dedup_keep_col_election(spark):
     # default form still keeps min id
     first = {r.doc_id for r in url_dedup(docs).collect()}
     assert first == {1, 4}
+
+
+def test_url_dedup_null_urls_all_survive(spark):
+    """ADVICE r11: null-url rows were silently REMOVED by the null-unsafe
+    election join; the contract is now explicit — no URL means no dedup
+    evidence, every such row survives (both election branches)."""
+    from condenser_spark.functions.urls import url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x", 5),
+         (2, "http://A.com:80/x", 9),  # same canonical as 1
+         (3, None, 7),
+         (4, None, 7),
+         (5, "http://b.com/y", 1)],
+        "doc_id long, url string, fetched long")
+
+    first = url_dedup(docs)
+    got = {r.doc_id: r.url_norm for r in first.collect()}
+    assert sorted(got) == [1, 3, 4, 5]
+    assert got[3] is None and got[4] is None
+    assert "_url_key" not in first.columns
+
+    best = {r.doc_id for r in url_dedup(docs, keep_col="fetched").collect()}
+    assert best == {2, 3, 4, 5}
+
+
+def test_curate_urls_blocked_is_definite_boolean(spark):
+    """A NULL url must yield url_blocked=False (not NULL) on BOTH the
+    plan-literal IN branch and the broadcast-join branch — a NULL flag
+    silently filters the row through `~url_blocked` downstream."""
+    from condenser_spark.functions.urls import curate_urls
+
+    docs = spark.createDataFrame(
+        [(1, "http://bad.com/x"), (2, None), (3, "http://ok.org/y")],
+        "doc_id long, url string")
+    small = {r.doc_id: r.url_blocked
+             for r in curate_urls(docs, blocked_domains=["bad.com"])
+             .collect()}
+    big = {r.doc_id: r.url_blocked
+           for r in curate_urls(docs, blocked_domains=["bad.com"],
+                                broadcast_threshold=1).collect()}
+    assert small == big == {1: True, 2: False, 3: False}
