@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_collocation_scores",
         "ext_knn_graph",
         "ext_bigram_logprob",
+        # new in round 12 (appended per the mid-round rule; rotate in-cap
+        # next round)
+        "ext_curate_stream_div",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

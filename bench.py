@@ -678,6 +678,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                                 kgram_bloom=_blm_k, k=10, gopher=True)
           .agg(F.sum("es_removed_tokens")).collect())
 
+    timed("curate_stream_div",
+          lambda: curate_stream(_incoming, line_bloom=_blm_l,
+                                diversity={"min_ratio_2": 0.3})
+          .agg(F.sum("dv_distinct_2")).collect())
+
     return timings, noise
 
 

@@ -5567,3 +5567,145 @@ def ext_diversity_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return diversity_stats_stateless(_tables(spark, sf_dir)["documents"])
+
+
+@golden(
+    "ext_curate_stream_div",
+    r"""
+    WITH landed AS (
+      SELECT doc_id, text || chr(10) || 'shared boilerplate footer' AS text
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    stream AS (
+      SELECT doc_id, lang,
+             text || chr(10) || 'Shared  BOILERPLATE Footer' || chr(10) ||
+             CASE WHEN doc_id % 4 = 1
+                  THEN trim(repeat('spam ', 200))
+                  ELSE 'unique tail ' || CAST(doc_id AS VARCHAR)
+             END AS text
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    lset AS (
+      SELECT DISTINCT
+             regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS n
+      FROM (SELECT unnest(regexp_split_to_array(text, chr(10))) AS line
+            FROM landed)
+      WHERE regexp_replace(lower(trim(line)), '\s+', ' ', 'g') <> ''
+    ),
+    slines AS (
+      SELECT doc_id,
+             CAST(unnest(range(1, len(arr) + 1)) AS BIGINT) AS pos,
+             unnest(arr) AS line
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, chr(10)) AS arr
+            FROM stream)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, line,
+             norm <> '' AND (
+               norm IN (SELECT n FROM lset)
+               OR ROW_NUMBER() OVER (PARTITION BY doc_id, norm
+                                     ORDER BY pos) > 1
+             ) AS dup
+      FROM (SELECT doc_id, pos, line,
+                   regexp_replace(lower(trim(line)), '\s+', ' ', 'g')
+                     AS norm
+            FROM slines)
+    ),
+    ld AS (
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos)
+               FILTER (WHERE NOT dup), '') AS text,
+             CAST(COUNT(*) AS BIGINT) AS ld_n_lines,
+             CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS ld_removed_lines,
+             CAST(SUM(CASE WHEN dup
+                      THEN len(list_filter(
+                             regexp_split_to_array(trim(line), '\s+'),
+                             x -> x <> ''))
+                      ELSE 0 END) AS BIGINT) AS ld_removed_tokens,
+             CAST(SUM(CASE WHEN dup THEN length(line) ELSE 0 END)
+                  AS BIGINT) AS ld_removed_chars
+      FROM flagged GROUP BY doc_id
+    ),
+    g AS (
+      SELECT doc_id, text,
+             ld_n_lines, ld_removed_lines, ld_removed_tokens,
+             ld_removed_chars,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(arr)) AS BIGINT) AS distinct_1,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 1),
+               i -> array_to_string(arr[i:i+1], ' ')))) AS BIGINT)
+               AS distinct_2,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 2),
+               i -> array_to_string(arr[i:i+2], ' ')))) AS BIGINT)
+               AS distinct_3
+      FROM (SELECT *, list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '') AS arr
+            FROM ld)
+    ),
+    div AS (
+      SELECT *,
+        CASE WHEN n_tokens >= 1
+             THEN CAST(distinct_1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        END AS ratio_1,
+        CASE WHEN n_tokens - 1 >= 1
+             THEN CAST(distinct_2 AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)
+        END AS ratio_2,
+        CASE WHEN n_tokens - 2 >= 1
+             THEN CAST(distinct_3 AS DOUBLE) / CAST(n_tokens - 2 AS DOUBLE)
+        END AS ratio_3
+      FROM g
+    )
+    SELECT d.doc_id, d.text, s.lang,
+           d.ld_n_lines, d.ld_removed_lines, d.ld_removed_tokens,
+           d.ld_removed_chars,
+           d.n_tokens AS dv_n_tokens,
+           d.distinct_1 AS dv_distinct_1,
+           d.distinct_2 AS dv_distinct_2,
+           d.distinct_3 AS dv_distinct_3,
+           d.ratio_1 AS dv_ratio_1,
+           d.ratio_2 AS dv_ratio_2,
+           d.ratio_3 AS dv_ratio_3
+    FROM div d JOIN stream s USING (doc_id)
+    WHERE d.ratio_2 IS NULL OR d.ratio_2 >= 0.6
+    """,
+)
+def ext_curate_stream_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_stream's diversity/repetition gate (VERDICT r11 punch #4 —
+    the Gopher/FineWeb ingest-chain slot) chained AFTER the landed-footer
+    line-dedup rewrite, end-to-end: every 4th stream doc carries a planted
+    200-token 'spam' block that crushes ratio_2 (~0.25 vs >=0.85 natural)
+    and must be dropped by min_ratio_2=0.6, while the ld_* audit columns
+    and lang passthrough ride through the diversity stage; all 11 audit
+    columns and the gate decision replay in DuckDB over the REBUILT text
+    (condenser_spark/streaming/curate.py:curate_stream diversity=).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import build_line_bloom
+
+    docs = _tables(spark, sf_dir)["documents"]
+    landed = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nshared boilerplate footer")).alias("text"))
+    stream = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Shared  BOILERPLATE Footer"),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit(("spam " * 200).strip()))
+            .otherwise(F.concat(F.lit("unique tail "),
+                                F.col("doc_id").cast("string"))),
+        ).alias("text"),
+        "lang")
+    return curate_stream(
+        stream,
+        line_bloom=build_line_bloom(landed, fp_rate=1e-18),
+        diversity={"min_ratio_2": 0.6},
+    )

@@ -44,6 +44,7 @@ from condenser_spark.streaming.textdedup import (
     _collect_bloom,
     _member_col,
     dedup_lines_stream,
+    diversity_stats_stateless,
     exact_substring_stream,
 )
 
@@ -104,6 +105,7 @@ def curate_stream(
     kgram_bloom: ShingleBloom | None = None,
     k: int = 50,
     c4: bool | dict = False,
+    diversity: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
@@ -113,9 +115,10 @@ def curate_stream(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
-    and return the curated frame: input columns (text rewritten,
-    ``lang_col`` rewritten/created when ``language_model`` is given) plus
-    the per-document audit columns of the stages that ran.  Pass
+    (URL -> line-dedup -> ExactSubstr -> C4 -> diversity -> langid ->
+    Gopher -> quality) and return the curated frame: input columns (text
+    rewritten, ``lang_col`` rewritten/created when ``language_model`` is
+    given) plus the per-document audit columns of the stages that ran.  Pass
     ``line_bloom`` / ``kgram_bloom`` to enable the landed-corpus rewrite
     stages (``None`` skips the landed probe but still applies the
     within-document rules when the stage's other knob is the default —
@@ -182,6 +185,42 @@ def curate_stream(
             .withColumnRenamed("text_clean", text_col)
             .drop("n_lines", "n_lines_kept", "doc_ok")
             .select(id_col, text_col, *keep)
+        )
+
+    if diversity is not None:
+        # repetition/diversity gate (the Gopher/FineWeb ingest-chain slot:
+        # after the text rewrites + C4, before langid): per-doc distinct-n
+        # ratios from the stateless twin, thresholded.  ``diversity`` is a
+        # dict of min_ratio_1/min_ratio_2/min_ratio_3 (any subset) — there
+        # is no published universal threshold (Li et al. 2016 report the
+        # statistic; gates are corpus-specific), so the caller must pick.
+        # A doc too short to HAVE an n-gram of length n (ratio NULL) PASSES
+        # that gate: no repetition evidence, the chain's survive-by-default
+        # rule.  Audit columns dv_* pass through like ld_*/es_*.
+        opts = dict(diversity)
+        thresholds = {
+            n: float(opts.pop(f"min_ratio_{n}"))
+            for n in (1, 2, 3) if f"min_ratio_{n}" in opts
+        }
+        if opts or not thresholds:
+            raise ValueError(
+                "diversity= takes min_ratio_1/min_ratio_2/min_ratio_3 "
+                f"(at least one); got unknown/empty: {sorted(opts) or '{}'}"
+            )
+        keep = tuple(c for c in cur.columns if c != id_col)
+        stats = diversity_stats_stateless(
+            cur, text_col=text_col, id_col=id_col, keep_cols=keep)
+        cond = F.lit(True)
+        for n, t in sorted(thresholds.items()):
+            r = F.col(f"ratio_{n}")
+            cond = cond & (r.isNull() | (r >= F.lit(t)))
+        cur = stats.filter(cond).select(
+            id_col, *keep,
+            F.col("n_tokens").alias("dv_n_tokens"),
+            *[F.col(f"distinct_{n}").alias(f"dv_distinct_{n}")
+              for n in (1, 2, 3)],
+            *[F.col(f"ratio_{n}").alias(f"dv_ratio_{n}")
+              for n in (1, 2, 3)],
         )
 
     if language_model is not None:

@@ -49,6 +49,8 @@ stream ids is pinned per-pytest (tests/test_textdedup_stream.py).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -471,6 +473,7 @@ def diversity_stats_stateless(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Stateless twin of :func:`functions.text.diversity_stats` (per-doc
     distinct-1/2/3 of Li et al. 2016) — the batch form builds its n-gram
@@ -481,7 +484,10 @@ def diversity_stats_stateless(
     readStream -> diversity_stats_stateless -> filter(ratio_2 > t).
     Output and semantics are IDENTICAL to the batch operator
     (parity-pinned per-pytest; the batch DuckDB oracle replays this form
-    verbatim in goldens_ext.ext_diversity_stream)."""
+    verbatim in goldens_ext.ext_diversity_stream).  ``keep_cols`` (the
+    c4_clean/gopher passthrough contract — default () keeps the oracle
+    surface unchanged) carries extra columns through for join-free
+    composition: streaming/curate.py's ``diversity=`` gate rides it."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -501,7 +507,7 @@ def diversity_stats_stateless(
 
     kernel = pandas_udf(_kernel, _DIV_STRUCT)
     arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    out = df.select(F.col(id_col).alias("_id"),
+    out = df.select(F.col(id_col).alias("_id"), *keep_cols,
                     kernel(arr).alias("_r"))
 
     def _ratio(d: str, n: int):
@@ -512,6 +518,7 @@ def diversity_stats_stateless(
 
     return out.select(
         F.col("_id").alias(id_col),
+        *keep_cols,
         F.col("_r.n_tokens").alias("n_tokens"),
         *[F.col(f"_r.distinct_{n}").alias(f"distinct_{n}")
           for n in (1, 2, 3)],
