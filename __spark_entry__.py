@@ -72,11 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # net is unchanged either way: every past-cap golden re-runs the full
     # DuckDB comparison on EVERY pytest invocation (invariant 2).  Two
     # invariants:
-    #   1. the 4 rows-only goldens (ext_approx_profile,
+    #   1. the 5 rows-only goldens (ext_approx_profile,
     #      p3_bernoulli_sample_rows, ext_multimodal_features,
-    #      ext_multimodal_frames — no SQL-expressible oracle by nature)
-    #      stay IN-cap every round: past the cap they would have no check
-    #      at all, since the overflow suite needs an oracle;
+    #      ext_multimodal_frames, ext_corpus_overlap_sketch — no
+    #      SQL-expressible oracle by nature) stay IN-cap every round: past
+    #      the cap they would have no check at all, since the overflow
+    #      suite needs an oracle;
     #   2. every past-cap entry carries a full oracle, so
     #      tests/test_overflow_oracles.py (which checks
     #      list(queries())[50:] dynamically) re-runs the IDENTICAL DuckDB
@@ -167,6 +168,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_collocation_scores",
         "ext_knn_graph",
         "ext_bigram_logprob",
+        # bumped mid-round to make an in-cap slot for the new FIFTH
+        # rows-only golden (ext_corpus_overlap_sketch, which must sit
+        # in-cap per invariant 1); recorded green r10, so still inside
+        # the cadence window — rotates in-cap next round with the
+        # 19 carryovers above
+        "ext_ivf_cosine_topk",
         # new in round 12 (appended per the mid-round rule; rotate in-cap
         # next round)
         "ext_curate_stream_div",

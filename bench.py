@@ -665,6 +665,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: corpus_overlap(docs.filter("doc_id >= 50"),
                                  docs.filter("doc_id < 100"),
                                  n=8).collect())
+    timed("corpus_overlap_sketch",
+          lambda: corpus_overlap(docs.filter("doc_id >= 50"),
+                                 docs.filter("doc_id < 100"),
+                                 n=8, approx=True).collect())
 
     from condenser_spark.streaming.curate import curate_stream
 

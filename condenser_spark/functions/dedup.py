@@ -1181,6 +1181,8 @@ def corpus_overlap(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    approx: bool = False,
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Corpus-level n-gram overlap summary between two corpora — the
     aggregate contamination/overlap report of the GPT-3 appendix-C
@@ -1196,7 +1198,63 @@ def corpus_overlap(
     `_shingle_rows` path on each side, per-side distinct (the shuffle is
     ngram-vocabulary-sized, never corpus-sized), shared via one
     equi-join of the two distinct sets, and the three scalars meet in
-    one-row aggregates — bodies never shuffle."""
+    one-row aggregates — bodies never shuffle.
+
+    ``approx=True`` (VERDICT r11 next #5: at 100 TB the exact
+    distinct-8-gram shuffle is near corpus-sized for a one-row
+    diagnostic) swaps the whole computation for THREE HyperLogLog++
+    sketches in ONE aggregation over one pass of both corpora — no
+    distinct, no join, no vocabulary-sized shuffle; partial sketches
+    merge map-side and one row reaches the driver.  ``n_shared`` comes
+    from inclusion-exclusion (|A| + |B| - |A∪B|), clamped to
+    [0, min(n_a, n_b)].  Honest error bound: each sketch has relative
+    standard deviation ``rsd`` (default 2%), so the SHARED estimate's
+    absolute error is up to ~``rsd * (n_a + n_b + n_union)`` at one
+    sigma — when the true overlap is much smaller than either corpus,
+    its RELATIVE error is unbounded (a 2% wobble on two 1e12 sets
+    dwarfs a 1e6 overlap).  Use the approx row to size jaccard /
+    containment at the percent level; use ``approx=False`` (or the
+    per-document contamination operators) when near-disjointness
+    matters.  Estimates are deterministic for fixed input (HLL++
+    hashing is seedless), pytest-bounded against the exact path on the
+    fixtures; the exact path remains the DuckDB oracle."""
+    if approx:
+        ra = (_shingle_rows(a, n, text_col, id_col)
+              .select("shingle").withColumn("_a", F.lit(True)))
+        rb = (_shingle_rows(b, n, text_col, id_col)
+              .select("shingle").withColumn("_a", F.lit(False)))
+        est = ra.unionByName(rb).agg(
+            F.approx_count_distinct(
+                F.when(F.col("_a"), F.col("shingle")), rsd)
+            .cast("long").alias("n_ngrams_a"),
+            F.approx_count_distinct(
+                F.when(~F.col("_a"), F.col("shingle")), rsd)
+            .cast("long").alias("n_ngrams_b"),
+            F.approx_count_distinct(F.col("shingle"), rsd)
+            .cast("long").alias("_n_union"),
+        )
+        shared_raw = (F.col("n_ngrams_a") + F.col("n_ngrams_b")
+                      - F.col("_n_union"))
+        est = est.withColumn(
+            "n_shared",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(shared_raw, F.col("n_ngrams_a"),
+                        F.col("n_ngrams_b"))),
+        ).drop("_n_union")
+        shared = F.col("n_shared").cast("double")
+        union = (F.col("n_ngrams_a") + F.col("n_ngrams_b")
+                 - F.col("n_shared")).cast("double")
+        return est.select(
+            "n_ngrams_a", "n_ngrams_b", "n_shared",
+            F.when(union > 0, shared / union).alias("jaccard"),
+            F.when(F.col("n_ngrams_a") > 0,
+                   shared / F.col("n_ngrams_a").cast("double"))
+            .alias("containment_a"),
+            F.when(F.col("n_ngrams_b") > 0,
+                   shared / F.col("n_ngrams_b").cast("double"))
+            .alias("containment_b"),
+        )
     sa = _shingle_rows(a, n, text_col, id_col).select("shingle").distinct()
     sb = _shingle_rows(b, n, text_col, id_col).select("shingle").distinct()
     na = sa.agg(F.count(F.lit(1)).cast("long").alias("n_ngrams_a"))

@@ -5709,3 +5709,19 @@ def ext_curate_stream_div(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_bloom=build_line_bloom(landed, fp_rate=1e-18),
         diversity={"min_ratio_2": 0.6},
     )
+
+
+@golden("ext_corpus_overlap_sketch", None)
+def ext_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_overlap(approx=True): three HLL++ sketches in one aggregate
+    (no distinct, no join — the 100 TB one-pass path for the one-row
+    overlap diagnostic) — rows-only: sketch estimates are engine-specific
+    by nature; pytest bounds them against the exact path, which remains
+    the full DuckDB oracle (ext_corpus_overlap)
+    (condenser_spark/functions/dedup.py:corpus_overlap)."""
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return corpus_overlap(docs.filter("doc_id >= 50"),
+                          docs.filter("doc_id < 100"),
+                          n=8, approx=True)

@@ -492,3 +492,19 @@ def test_textdedup_stream_twins_are_map_only(spark, source):
         n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
                    for l in plan.splitlines())
         assert n_py == 1, plan
+
+
+def test_corpus_overlap_sketch_joinless_one_pass(spark, source):
+    """approx=True contract: the HLL path is ONE aggregation over one pass
+    of both corpora — zero joins (the exact path's distinct-set equi-join
+    is exactly what the sketch removes), no per-side distinct."""
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    docs = source["documents"]
+    df = corpus_overlap(docs.filter("doc_id >= 50"),
+                        docs.filter("doc_id < 100"), n=8, approx=True)
+    plan = _executed(df)
+    assert "Join" not in plan, plan
+    # partial HLL sketches merge map-side: the only shuffle carries
+    # sketch buffers, and the final row is a single aggregate
+    assert plan.count("HashAggregate") >= 2, plan

@@ -14,6 +14,7 @@ ROWS_ONLY = {
     "p3_bernoulli_sample_rows",
     "ext_multimodal_features",
     "ext_multimodal_frames",
+    "ext_corpus_overlap_sketch",
 }
 
 CAP = 50

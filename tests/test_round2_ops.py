@@ -317,3 +317,53 @@ def test_corpus_overlap_disjoint_and_empty(spark):
     row = corpus_overlap(a, empty, n=3).collect()[0]
     assert (row.n_ngrams_b, row.n_shared) == (0, 0)
     assert row.jaccard == 0.0 and row.containment_b is None
+
+
+def test_corpus_overlap_approx_error_bound(spark):
+    """The HLL sketch path (approx=True): same schema as the exact path,
+    per-sketch relative error within a generous multiple of the requested
+    rsd on the real fixture, shared within the documented
+    inclusion-exclusion bound, clamped shared never negative or above
+    min(n_a, n_b)."""
+    from condenser_spark.functions.dedup import corpus_overlap
+    from condenser_spark.registry import load_source_tables
+
+    docs = load_source_tables(
+        spark, "/root/testdata/sf0.001")["documents"]
+    a, b = docs.filter("doc_id >= 50"), docs.filter("doc_id < 100")
+    rsd = 0.02
+    exact = corpus_overlap(a, b, n=8).collect()[0]
+    approx = corpus_overlap(a, b, n=8, approx=True, rsd=rsd).collect()[0]
+    assert approx.asDict().keys() == exact.asDict().keys()
+    # 5-sigma per-sketch bound (HLL++ is deterministic, so this is a
+    # fixed-input regression pin, not a flaky statistical assertion)
+    for f, true_union in (("n_ngrams_a", None), ("n_ngrams_b", None)):
+        e, g = getattr(exact, f), getattr(approx, f)
+        assert abs(g - e) <= 5 * rsd * e, (f, e, g)
+    union_exact = exact.n_ngrams_a + exact.n_ngrams_b - exact.n_shared
+    shared_bound = 5 * rsd * (exact.n_ngrams_a + exact.n_ngrams_b
+                              + union_exact)
+    assert abs(approx.n_shared - exact.n_shared) <= shared_bound
+    assert 0 <= approx.n_shared <= min(approx.n_ngrams_a,
+                                       approx.n_ngrams_b)
+    # ratios derive from the clamped estimates by the same single
+    # divisions as the exact path
+    union = approx.n_ngrams_a + approx.n_ngrams_b - approx.n_shared
+    assert approx.jaccard == approx.n_shared / union
+
+
+def test_corpus_overlap_approx_disjoint_clamps_to_zeroish(spark):
+    """Near-disjoint corpora: inclusion-exclusion may go negative by
+    sketch noise; the clamp pins n_shared >= 0 (the docstring's honest
+    unbounded-relative-error regime)."""
+    from condenser_spark.functions.dedup import corpus_overlap
+
+    a = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i}") for i in range(50)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(i, f"x{i} y{i} z{i} w{i}") for i in range(50)],
+        "doc_id long, text string")
+    row = corpus_overlap(a, b, n=3, approx=True).collect()[0]
+    assert row.n_shared >= 0 and row.jaccard is not None
+    assert row.jaccard <= 0.05
