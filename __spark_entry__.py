@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 12 (appended per the mid-round rule; rotate in-cap
         # next round)
         "ext_curate_stream_div",
+        "ext_winnow_overlap",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

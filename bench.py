@@ -659,6 +659,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     timed("winnow_fingerprints",
           lambda: winnow_fingerprints(docs, window=4, winnow=5).count())
 
+    from condenser_spark.functions.text import winnow_overlap_pairs
+
+    timed("winnow_overlap",
+          lambda: winnow_overlap_pairs(docs, window=4, winnow=5,
+                                       min_shared=1).count())
+
     from condenser_spark.functions.dedup import corpus_overlap
 
     timed("corpus_overlap",

@@ -1038,3 +1038,89 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame | None = None,
+    window: int = 4,
+    winnow: int = 5,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = 10_000,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """MOSS-style overlap detection — the published CONSUMER of the
+    winnowed index (Schleimer et al. 2003 §4: report document pairs by
+    the fingerprints they share): join :func:`winnow_fingerprints`'s
+    (id, pos, fp) index with itself on ``fp`` and emit
+    ``(id_a, id_b, n_shared_fps, containment)`` with ``id_a < id_b``,
+    where ``n_shared_fps = |fps(A) ∩ fps(B)|`` over DISTINCT per-doc
+    fingerprint sets and ``containment = round(n_shared / min(|fps(A)|,
+    |fps(B)|), 4)`` — the asymmetric estimate that still fires when a
+    small document is embedded in a large one.  By the winnowing
+    guarantee, any shared run of ``winnow + window - 1`` tokens shares
+    at least one fingerprint, so ``min_shared`` (default 2) is the noise
+    floor in guaranteed-run units.
+
+    ``max_fp_df`` is the hot-fingerprint guard (the ngram_jaccard_pairs
+    stop-shingle treatment): a fingerprint shared by more than that many
+    documents — license boilerplate, templated headers — would make the
+    self-join quadratic in its document frequency while carrying no
+    pair-level signal; such fps are dropped from BOTH join sides (and
+    logged), while per-doc set sizes keep counting them, so containment
+    is a lower bound under the cap, never inflated.  Pass ``None`` to
+    disable (exact mode, the oracle setting only when the fixture has no
+    hot fps).
+
+    ``index=`` accepts a prebuilt winnowed index (amortize one index
+    across many overlap queries; MOSS's standing-corpus regime) — then
+    ``df``/``window``/``winnow``/``text_col`` are ignored for the build
+    but ``window``/``winnow`` still document the guarantee in force.
+
+    Scale shape: the index is ~2/(winnow+1) of the k-gram stream; distinct
+    (id, fp) is map-local after the index's id shuffle; the self-join
+    shuffles on fp with the df cap bounding every fp's bucket; the pair
+    aggregate is map-side combined.  All-integer until the one rounded
+    division (cross-engine exact; DuckDB replay in
+    goldens_ext.ext_winnow_overlap)."""
+    if index is None:
+        if df is None:
+            raise ValueError("pass df or a prebuilt index")
+        index = winnow_fingerprints(
+            df, window=window, winnow=winnow,
+            text_col=text_col, id_col=id_col)
+    fps = index.select("id", "fp").distinct()
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    if max_fp_df is not None:
+        from condenser_spark.functions.dedup import _log_dropped_hot_keys
+
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        _log_dropped_hot_keys(hot, max_fp_df, "winnow_overlap_pairs fp")
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("n_fp").alias("_na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("n_fp").alias("_nb")), "id_b")
+        .select(
+            "id_a", "id_b", "n_shared_fps",
+            F.round(
+                F.col("n_shared_fps").cast("double")
+                / F.least("_na", "_nb").cast("double"), 4,
+            ).alias("containment"),
+        )
+    )

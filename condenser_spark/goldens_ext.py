@@ -5725,3 +5725,95 @@ def ext_corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_overlap(docs.filter("doc_id >= 50"),
                           docs.filter("doc_id < 100"),
                           n=8, approx=True)
+
+
+def _winnow_pairs_passage_sql() -> str:
+    # 24-token planted passage, pair token interleaved so EVERY 4-gram
+    # contains the pair id: zero cross-pair fingerprint sharing by
+    # construction, pair counts linear in corpus size
+    toks = " ".join(
+        f"pw{j} ' || 'p' || k || '" for j in range(1, 13)
+    )
+    return f"' {toks}'"
+
+
+@golden(
+    "ext_winnow_overlap",
+    rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || {_winnow_pairs_passage_sql()} AS text
+      FROM (SELECT doc_id, text, CAST(doc_id // 2 AS VARCHAR) AS k
+            FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS tokens
+      FROM synth
+    ),
+    tok_rows AS (
+      SELECT id, generate_subscripts(tokens, 1) AS pos,
+             CAST(concat('0x', substr(md5(unnest(tokens)), 1, 8)) AS BIGINT)
+               AS h
+      FROM toks
+    ),
+    fps AS (
+      SELECT id, pos,
+             (h + lead(h, 1) OVER w * 31 + lead(h, 2) OVER w * 961
+                + lead(h, 3) OVER w * 29791) % 2147483647 AS fp,
+             lead(h, 3) OVER w AS _last
+      FROM tok_rows
+      WINDOW w AS (PARTITION BY id ORDER BY pos)
+    ),
+    rk AS (SELECT id, pos, fp FROM fps WHERE _last IS NOT NULL),
+    winmin AS (
+      SELECT id, pos,
+             MIN(struct_pack(f := fp, np := -pos)) OVER (
+               PARTITION BY id ORDER BY pos
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+      FROM rk
+    ),
+    sets AS (
+      SELECT DISTINCT id, (m).f AS fp
+      FROM winmin WHERE pos >= 5
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_fp
+              FROM sets GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+      FROM sets a JOIN sets b ON a.fp = b.fp AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c.id_a, c.id_b, c.n_shared_fps,
+           ROUND(CAST(c.n_shared_fps AS DOUBLE)
+                 / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+             AS containment
+    FROM common c
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    """,
+)
+def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap pairs end-to-end (the winnowed index's published
+    consumer, VERDICT r11 punch #6): every adjacent doc pair (2i, 2i+1)
+    shares a planted 24-token passage whose pair token rides in EVERY
+    4-gram (no cross-pair sharing, pair count linear in corpus size);
+    the full chain — rolling md5 fingerprints, winnow argmin selection,
+    distinct per-doc sets, fp self-join, min-size containment — replays
+    in DuckDB bit-for-bit (condenser_spark/functions/text.py:
+    winnow_overlap_pairs).  The hot-fp cap (10k default) cannot bind at
+    fixture scale, so the oracle needs no cap replay; the cap semantics
+    are pytest-pinned.  Registered past the driver's 50-slot cap;
+    verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import winnow_overlap_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    k = F.floor(F.col("doc_id") / 2).cast("string")
+    passage = F.concat(
+        *[F.concat(F.lit(f" pw{j} p"), k) for j in range(1, 13)])
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), passage).alias("text"))
+    return winnow_overlap_pairs(synth, window=4, winnow=5, min_shared=2)

@@ -782,3 +782,60 @@ def test_prototype_prune_validation(spark):
         prototype_prune(df, keep_fraction=0.0)
     with _pytest.raises(ValueError, match="keep must be"):
         prototype_prune(df, keep_fraction=0.5, keep="middle")
+
+
+def test_winnow_overlap_pairs_crafted(spark):
+    """MOSS consumer semantics on crafted docs: a shared 24-token passage
+    fires the pair with >= min_shared common fps; unrelated docs pair with
+    nobody; containment uses the SMALLER doc's set size (small-inside-big
+    detection); prebuilt index= path equals the df path."""
+    from condenser_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    shared = " ".join(f"s{j}" for j in range(24))
+    filler = lambda tag, n: " ".join(f"{tag}{j}" for j in range(n))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + filler("a", 6)),          # small: mostly shared
+         (2, filler("b", 40) + " " + shared),          # big: shared tail
+         (3, filler("c", 40))],                        # unrelated
+        "doc_id long, text string")
+    got = winnow_overlap_pairs(docs, min_shared=2).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.n_shared_fps >= 2
+    # containment over the smaller set: doc 1 is mostly the shared passage
+    assert row.containment >= 0.3
+
+    idx = winnow_fingerprints(docs, window=4, winnow=5)
+    via_index = winnow_overlap_pairs(index=idx, min_shared=2).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, got))
+
+
+def test_winnow_overlap_hot_fp_guard(spark):
+    """The stop-fingerprint cap: a boilerplate passage shared by MANY docs
+    would make the fp self-join quadratic; with max_fp_df below that doc
+    frequency the bridged pairs disappear (boilerplate carries no signal),
+    while a genuinely-shared low-df passage still fires.  Containment
+    stays a lower bound (sizes keep counting capped fps)."""
+    from condenser_spark.functions.text import winnow_overlap_pairs
+
+    boiler = " ".join(f"lic{j}" for j in range(24))
+    pair = " ".join(f"dup{j}" for j in range(24))
+    rows = [(i, boiler + " " + " ".join(f"u{i}x{j}" for j in range(8)))
+            for i in range(20)]
+    rows += [(100, pair + " ua ub uc"), (101, pair + " ud ue uf")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnow_overlap_pairs(docs, min_shared=2, max_fp_df=None)
+    assert uncapped.count() > 100  # ~C(20,2) boilerplate-bridged pairs
+
+    capped = winnow_overlap_pairs(docs, min_shared=2, max_fp_df=10)
+    got = [(r.id_a, r.id_b) for r in capped.collect()]
+    assert got == [(100, 101)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="df or a prebuilt index"):
+        winnow_overlap_pairs()
