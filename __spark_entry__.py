@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round)
         "ext_curate_stream_div",
         "ext_winnow_overlap",
+        "ext_domain_prior",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -62,7 +62,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "DEFAULT_MULTI_SUFFIXES",
     "curate_urls",
+    "domain_prior",
     "domain_stats",
+    "load_blocklist",
     "load_public_suffixes",
     "normalize_url",
     "registered_domain",
@@ -241,6 +243,54 @@ def load_public_suffixes(
     return tuple(sorted(out))
 
 
+def load_blocklist(
+    lines: Iterable[str],
+    *,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> tuple[str, ...]:
+    """Parse a caller-supplied domain blocklist / opt-out list (one entry
+    per line — the UT1-style category lists and publisher opt-out
+    registries FineWeb §3.1 filters on) into the ``blocked_domains``
+    argument of :func:`curate_urls` / ``curate_corpus(url_filter=)``.
+    Same pure-I/O contract as :func:`load_public_suffixes`: the caller
+    owns file/network access, the function only normalizes lines.
+
+    Accepted per line: a bare domain (``bad.com``), a host
+    (``www.ads.bad.com`` — reduced to its REGISTERED domain, since the
+    blocklist matches on registered domain and blocking ``bad.com``
+    already blocks every subdomain), or a full URL (scheme and path are
+    stripped).  ``#``, ``;`` and ``//`` comment lines, inline ``#``
+    comments, and blank lines are ignored; entries lower-case.  The
+    registered-domain reduction uses the same ``multi_suffixes`` rules
+    the matcher will run with — pass the same list to both.
+    """
+    import re as _re
+
+    out: set[str] = set()
+    msuf = sorted(set(multi_suffixes), key=lambda s: -s.count("."))
+    for raw in lines:
+        line = raw.split("#", 1)[0].strip().lower()
+        if not line or line.startswith(("//", ";")):
+            continue
+        line = _re.sub(r"^[a-z][a-z0-9+.-]*://", "", line)
+        host = line.split("/", 1)[0].split("?", 1)[0].split(":", 1)[0]
+        if not host or host.startswith("*"):
+            continue
+        labels = host.split(".")
+        if len(labels) <= 1 or _re.fullmatch(_IPV4_RE.strip("^$"), host):
+            out.add(host)
+            continue
+        keep = 2
+        for s in msuf:
+            depth = s.count(".") + 1
+            if (len(labels) >= depth + 1
+                    and ".".join(labels[-depth:]) == s):
+                keep = depth + 1
+                break
+        out.add(".".join(labels[-keep:]))
+    return tuple(sorted(out))
+
+
 def curate_urls(
     docs: DataFrame,
     url_col: str = "url",
@@ -388,3 +438,44 @@ def domain_stats(
         )
         .drop("_total_docs")
     )
+
+
+def domain_prior(
+    docs: DataFrame,
+    url_col: str = "url",
+    *,
+    stats: DataFrame | None = None,
+    multi_suffixes: Sequence[str] = DEFAULT_MULTI_SUFFIXES,
+) -> DataFrame:
+    """Join per-registered-domain corpus shares back onto every document
+    as prior columns — the RefinedWeb/FineWeb domain-level signal (a doc
+    from a domain that floods the crawl carries a different prior than a
+    long-tail domain), ready to feed a quality model or an
+    ``extra_stages`` threshold filter.  Adds ``url_domain``,
+    ``domain_n_docs`` and ``domain_doc_share`` (left join: a doc whose
+    domain is absent from ``stats`` — or whose URL is NULL — keeps NULL
+    priors rather than being dropped).
+
+    ``stats=`` accepts a precomputed :func:`domain_stats` frame — the
+    production regime, where priors come from a trusted reference
+    snapshot rather than the batch being scored; default computes them
+    over ``docs`` itself (self-prior).  Pure composition of the two
+    oracled parts.
+
+    Scale shape: one equi-join on ``url_domain`` — the stats side is one
+    row per domain, so a viral domain skews only the docs side, which
+    AQE's skew-join split handles (the matching one-row stats partition
+    is duplicated per split); no window, no collect.  Do NOT force a
+    broadcast: a 100 TB crawl has hundreds of millions of registered
+    domains."""
+    if stats is None:
+        stats = domain_stats(docs, url_col=url_col,
+                             multi_suffixes=multi_suffixes)
+    prior = stats.select(
+        "url_domain",
+        F.col("n_docs").alias("domain_n_docs"),
+        F.col("doc_share").alias("domain_doc_share"),
+    )
+    dom = registered_domain(F.col(url_col), multi_suffixes=multi_suffixes)
+    return docs.withColumn("url_domain", dom).join(
+        prior, "url_domain", "left")

@@ -5817,3 +5817,39 @@ def ext_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         "doc_id", F.concat(F.col("text"), passage).alias("text"))
     return winnow_overlap_pairs(synth, window=4, winnow=5, min_shared=2)
+
+
+@golden(
+    "ext_domain_prior",
+    _url_replay_sql() + """
+    , stats AS (
+      SELECT url_domain,
+             CAST(COUNT(*) AS BIGINT) AS domain_n_docs,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS domain_doc_share
+      FROM domed GROUP BY url_domain
+    )
+    SELECT d.doc_id, d.url, d.url_domain,
+           s.domain_n_docs, s.domain_doc_share
+    FROM domed d LEFT JOIN stats s USING (url_domain)
+    """,
+)
+def ext_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document domain priors (the RefinedWeb domain-level signal,
+    VERDICT r11 next #9): domain_stats shares joined back onto every doc
+    of the multi-shape synthetic URL corpus — derivation, aggregation and
+    the left join-back all replayed by DuckDB; pure composition of the
+    two oracled parts (condenser_spark/functions/urls.py:domain_prior).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.urls import (
+        DEFAULT_MULTI_SUFFIXES,
+        domain_prior,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select("doc_id", _url_synth_col().alias("url"))
+    return domain_prior(
+        synth, multi_suffixes=DEFAULT_MULTI_SUFFIXES + _URL_SUFFIXES,
+    ).select("doc_id", "url", "url_domain",
+             "domain_n_docs", "domain_doc_share")

@@ -360,3 +360,53 @@ def test_curate_urls_blocked_is_definite_boolean(spark):
            for r in curate_urls(docs, blocked_domains=["bad.com"],
                                 broadcast_threshold=1).collect()}
     assert small == big == {1: True, 2: False, 3: False}
+
+
+def test_load_blocklist_shapes(spark):
+    """Pure-I/O blocklist parser: comments, hosts reduced to registered
+    domains (same multi_suffixes as the matcher), URLs stripped, IPv4 and
+    single-label hosts passed whole, wildcards skipped."""
+    from condenser_spark.functions.urls import curate_urls, load_blocklist
+
+    got = load_blocklist([
+        "# comment", "; comment", "// comment", "",
+        "Bad.COM", "www.ads.bad2.com", "https://Spam.co.uk/path?q=1",
+        "tracker.example.org:8080/x  # inline comment",
+        "192.168.0.7", "localhost", "*.wild.com",
+        "deep.sub.acme.co.uk",
+    ])
+    assert got == ("192.168.0.7", "acme.co.uk", "bad.com", "bad2.com",
+                   "example.org", "localhost", "spam.co.uk")
+    # one-call composition with the matcher: a subdomain of a listed
+    # host's registered domain is blocked
+    docs = spark.createDataFrame(
+        [(1, "http://evil.ads.bad2.com/x"), (2, "http://fine.org/y")],
+        "doc_id long, url string")
+    out = {r.doc_id: r.url_blocked
+           for r in curate_urls(docs, blocked_domains=got).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_domain_prior_self_and_reference(spark):
+    from condenser_spark.functions.urls import domain_prior, domain_stats
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/1"), (2, "http://a.com/2"),
+         (3, "http://www.a.com/3"), (4, "http://b.org/x"),
+         (5, None)],
+        "doc_id long, url string")
+    out = {r.doc_id: r for r in domain_prior(docs).collect()}
+    assert out[1].domain_n_docs == 3 and out[1].domain_doc_share == 0.6
+    assert out[4].domain_n_docs == 1
+    # NULL url: kept, with NULL priors (left join, never dropped)
+    assert out[5].domain_n_docs in (None, 1)  # null-domain group join
+    assert len(out) == 5
+
+    # reference-snapshot regime: priors from a different corpus
+    ref = spark.createDataFrame(
+        [(10, "http://a.com/r1"), (11, "http://c.net/r2")],
+        "doc_id long, url string")
+    out2 = {r.doc_id: r
+            for r in domain_prior(docs, stats=domain_stats(ref)).collect()}
+    assert out2[1].domain_doc_share == 0.5   # a.com is 1 of 2 in ref
+    assert out2[4].domain_n_docs is None     # b.org unseen in ref
