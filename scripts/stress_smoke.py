@@ -1743,6 +1743,78 @@ def stage_diversity_winnow(spark, n_docs: int = 5_000_000) -> dict:
     }
 
 
+def stage_winnow_overlap(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 26: MOSS overlap pairs at 2M docs WITH a corpus-wide hot
+    boilerplate — the quadratic-blowup scenario the hot-fp guard exists
+    for, priced end-to-end with exact closed-form assertions.
+
+    Every doc = unique filler + a 24-token boilerplate block shared by
+    ALL 2M docs (df = n_docs, 200x over the cap: uncapped, its fps alone
+    would bridge ~2e12 pairs — the join would never finish) + a 24-token
+    passage private to the doc's PAIR (2i, 2i+1), pair token interleaved
+    into every 4-gram so cross-pair sharing is structurally zero.  With
+    max_fp_df=10_000 the boilerplate fps drop from both join sides and
+    the planted recall is EXACT: all n/2 (2i, 2i+1) pairs found, each
+    sharing >= 2 fingerprints (a 24-token run spans 3 disjoint Schleimer
+    guarantee units of winnow+window-1 = 8 tokens).
+
+    Measured fp-space finding (first run, n=2M): ~960 EXTRA non-adjacent
+    pairs with >= 5 shared fps — not noise but the token hash folding
+    into the Rabin field: token hashes are 32-bit (md5 prefix) while fps
+    live mod M = 2^31-1, so TWO pair tokens whose 32-bit hashes differ
+    by exactly M produce identical contributions in EVERY gram and their
+    passages collide wholesale (expected C(1M, 2)/M ~ 230 token-level
+    collisions x 4 doc pairs each ~ 930 — matching observation).  That
+    is MOSS's documented approximation regime (fingerprint equality is
+    evidence, not proof); the stage bounds it at < 0.2% of planted
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import winnow_overlap_pairs
+
+    uid = lambda s: F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s)))
+    boiler = " ".join(f"lic{j}" for j in range(24))
+    pair = F.concat(F.lit("p"), F.floor(F.col("id") / 2).cast("string"))
+    passage = F.concat_ws(
+        " ", *[c for j in range(1, 13)
+               for c in (F.lit(f"pw{j}"), pair)])
+    text = F.concat_ws(" ", uid("-f0"), uid("-f1"), F.lit(boiler),
+                       passage, uid("-f2"))
+    path = f"{WORK}/winovl_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    pairs = winnow_overlap_pairs(docs, window=4, winnow=5, min_shared=2,
+                                 max_fp_df=10_000)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("id_b") == F.col("id_a") + 1)
+                     & (F.col("id_a") % 2 == 0), 1).otherwise(0))
+        .alias("adjacent"),
+        F.min("n_shared_fps").alias("min_shared"),
+        F.max("containment").alias("max_cont"),
+    ).first()
+    wall = time.time() - t0
+    planted = n_docs // 2
+    extras = agg.n - agg.adjacent
+    assert agg.adjacent == planted, agg       # exact planted recall
+    assert extras <= 0.002 * planted, agg     # fp-field collisions only
+    assert agg.min_shared >= 2 and agg.max_cont <= 1.0
+    return {
+        "stage": "winnow_overlap_2m_hot_boilerplate",
+        "n_docs": n_docs,
+        "pairs_planted": planted,
+        "pairs_extra_fp_collisions": extras,
+        "min_shared_fps": agg.min_shared,
+        "wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def stage_curate_stream(spark, n_docs: int = 1_000_000) -> dict:
     """Stage 25: the one-call stateless ingest chain (streaming/curate.py)
     end-to-end at 1M incoming docs vs a 1M-doc landed corpus — line dedup
@@ -1865,6 +1937,7 @@ def main() -> int:
         "textdedup_stream": lambda: stage_textdedup_stream(spark),
         "diversity_winnow": lambda: stage_diversity_winnow(spark),
         "curate_stream": lambda: stage_curate_stream(spark),
+        "winnow_overlap": lambda: stage_winnow_overlap(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
