@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_stream_div",
         "ext_winnow_overlap",
         "ext_domain_prior",
+        "ext_curate_div",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

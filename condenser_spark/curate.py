@@ -31,6 +31,7 @@ def curate_corpus(
     url_filter: bool | dict = False,
     line_dedup: bool | dict = False,
     c4: bool | dict = False,
+    diversity: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
@@ -78,6 +79,16 @@ def curate_corpus(
     1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
        drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
        cleaned text (downstream stages see clean lines).
+    1b. ``diversity`` — the repetition/diversity gate (the slot the
+       stream chain uses; Gopher's A1.1 rules in stage 3 do NOT cover
+       distinct-n repetition): a dict of ``min_ratio_1/2/3`` (any
+       subset, at least one) thresholding the per-document Li et al.
+       2016 distinct-n ratios; short docs whose ratio is NULL pass
+       (no repetition evidence).  Runs via the join-free stateless
+       kernel (:func:`streaming.textdedup.diversity_stats_stateless`,
+       batch-legal, oracle-pinned); the stats columns are dropped so
+       the schema is preserved.  There is no published universal
+       threshold — the caller picks per corpus.
     2. ``language_model`` — :func:`functions.langid.language_top1`
        (a fitted :class:`functions.langid.LanguageModel`): REWRITES the
        existing ``lang_col`` with the classifier's argmax (CCNet runs
@@ -116,7 +127,7 @@ def curate_corpus(
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
     ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"c4_clean"``,
-    ``"language_id"``,
+    ``"diversity_gate"``, ``"language_id"``,
     ``"gopher_rules"``, ``"exact_dedup"``, ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
@@ -150,7 +161,7 @@ def curate_corpus(
     cur = docs
 
     _ANCHORS = ("start", "url_filter", "line_dedup", "c4_clean",
-                "language_id",
+                "diversity_gate", "language_id",
                 "gopher_rules", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
@@ -232,6 +243,36 @@ def curate_corpus(
                   else F.col(c) for c in cur.columns]),
         )
         _apply_extra("c4_clean")
+    if diversity is not None:
+        from condenser_spark.streaming.textdedup import (
+            diversity_stats_stateless,
+        )
+
+        opts = dict(diversity)
+        thresholds = {
+            n: float(opts.pop(f"min_ratio_{n}"))
+            for n in (1, 2, 3) if f"min_ratio_{n}" in opts
+        }
+        if opts or not thresholds:
+            raise ValueError(
+                "diversity= takes min_ratio_1/min_ratio_2/min_ratio_3 "
+                f"(at least one); got unknown/empty: {sorted(opts) or '{}'}"
+            )
+        # the stateless kernel (batch-legal, parity-pinned vs the batch
+        # diversity_stats oracle) keeps the gate JOIN-FREE — one Arrow
+        # projection + filter, schema restored by dropping the stats
+        keep = tuple(c for c in cur.columns if c != id_col)
+        stats = diversity_stats_stateless(
+            cur, text_col=text_col, id_col=id_col, keep_cols=keep)
+        cond = F.lit(True)
+        for n, t in sorted(thresholds.items()):
+            r = F.col(f"ratio_{n}")
+            cond = cond & (r.isNull() | (r >= F.lit(t)))
+        cur = _record(
+            "diversity_gate",
+            stats.filter(cond).select(id_col, *keep),
+        )
+        _apply_extra("diversity_gate")
     if language_model is not None:
         from condenser_spark.functions.langid import language_top1
 

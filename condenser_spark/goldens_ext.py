@@ -5853,3 +5853,57 @@ def ext_domain_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, multi_suffixes=DEFAULT_MULTI_SUFFIXES + _URL_SUFFIXES,
     ).select("doc_id", "url", "url_domain",
              "domain_n_docs", "domain_doc_share")
+
+
+@golden(
+    "ext_curate_div",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' ' ||
+             CASE WHEN doc_id % 4 = 1 THEN trim(repeat('spam ', 200))
+                  ELSE 'unique tail ' || CAST(doc_id AS VARCHAR)
+             END AS text
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text,
+             CAST(len(arr) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, len(arr) - 1),
+               i -> array_to_string(arr[i:i+1], ' ')))) AS BIGINT)
+               AS distinct_2
+      FROM (SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS arr
+            FROM synth)
+    )
+    SELECT doc_id, text FROM g
+    WHERE n_tokens - 1 < 1
+       OR CAST(distinct_2 AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) >= 0.6
+    """,
+)
+def ext_curate_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """curate_corpus's batch diversity_gate stage (the repetition slot the
+    stream chain got this round, now batch/stream-symmetric): every 4th
+    synth doc carries a 200-token spam tail that crushes ratio_2 and must
+    drop at min_ratio_2=0.6; the join-free stateless-kernel gate and the
+    schema-preserving projection replay in DuckDB
+    (condenser_spark/curate.py:curate_corpus diversity=).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" "),
+            F.when(F.col("doc_id") % 4 == 1,
+                   F.lit(("spam " * 200).strip()))
+            .otherwise(F.concat(F.lit("unique tail "),
+                                F.col("doc_id").cast("string"))),
+        ).alias("text"))
+    out, _ = curate_corpus(synth, diversity={"min_ratio_2": 0.6},
+                           report=False, barrier=False)
+    return out

@@ -255,3 +255,35 @@ def test_curate_corpus_lazy_mode_and_validation(spark, curatable):
     assert rep is None and out.count() > 0
     with pytest.raises(ValueError, match="dedup must be"):
         curate_corpus(curatable, dedup="fuzzy")
+
+
+def test_curate_corpus_diversity_gate(spark):
+    """Batch twin of curate_stream's diversity= stage: repetitive docs
+    drop on min_ratio_2, NULL-ratio short docs pass, schema preserved,
+    report row named diversity_gate, anchor usable, bad keys fail loud."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox jumps over a lazy dog near town", "en"),
+        (2, "spam " * 50 + "spam", "en"),
+        (3, "one", "en"),
+        (4, "alpha beta alpha beta alpha beta alpha beta", "en"),
+    ], "doc_id long, text string, lang string")
+    out, rep = curate_corpus(docs, diversity={"min_ratio_2": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    assert out.columns == docs.columns
+    row = {r.stage: r for r in rep.collect()}["diversity_gate"]
+    assert (row.docs_in, row.docs_out, row.docs_dropped) == (4, 2, 2)
+
+    # anchor composition right after the gate
+    out2, rep2 = curate_corpus(
+        docs, diversity={"min_ratio_2": 0.5},
+        extra_stages=[("keep_short", lambda d: d.filter("doc_id = 3"),
+                       "diversity_gate")])
+    assert [r.doc_id for r in out2.collect()] == [3]
+    assert [r.stage for r in rep2.collect()] == ["diversity_gate",
+                                                 "keep_short"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_ratio"):
+        curate_corpus(docs, diversity={"nope": 1})
