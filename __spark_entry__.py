@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_winnow_overlap",
         "ext_domain_prior",
         "ext_curate_div",
+        "ext_d4_prune",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

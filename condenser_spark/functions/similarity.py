@@ -1016,6 +1016,60 @@ def prototype_prune(
     return ranked.filter(F.col("prune_rank") <= n_keep)
 
 
+def d4_prune(
+    df: DataFrame,
+    dedup_threshold: float = 0.95,
+    keep_fraction: float = 0.5,
+    k: int = 10,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: str = "sparse",
+    seed: int = 42,
+    lloyd_iters: int = 1,
+    centroids: list[list[float]] | None = None,
+    use_arrow: bool | None = None,
+    max_cell_size: int | None = None,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    Document De-Duplication and Diversification"): SemDeDup first
+    (collapse semantic-duplicate clusters to one representative,
+    :func:`semantic_dedup` at ``dedup_threshold``), then SSL-prototype
+    pruning over the SURVIVORS (:func:`prototype_prune` at
+    ``keep_fraction``, default ``keep="sparse"`` — D4 prunes the densest
+    / most prototypical remainder after redundancy is gone).  The
+    paper's finding is that the two stages remove DIFFERENT data: exact
+    redundancy first, then easy/prototypical mass — composing them beats
+    either alone at fixed token budget.
+
+    Pure composition of the two oracled operators.  ``centroids=`` is
+    the paper's shared-clustering regime (D4 runs both stages on ONE
+    k-means partition of the embedding space) and the oracle hook; the
+    default (``None``) re-seeds each stage from its own input — cheaper
+    to reason about per stage, but two assignment scans and two
+    codebooks.  Everything else inherits the component contracts:
+    NULL/ragged/zero vectors skip the pair search, survive dedup, carry
+    density -2.0 into the rank.  Output = the kept survivor rows with
+    ``density`` and ``prune_rank`` appended
+    (goldens_ext.ext_d4_prune replays the WHOLE chain — pairs, closure,
+    anti-join, graph, density, rank, cut — on literal centroids)."""
+    survivors = semantic_dedup(
+        df, threshold=dedup_threshold, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+        lloyd_iters=lloyd_iters, centroids=centroids,
+        use_arrow=use_arrow, max_cell_size=max_cell_size,
+        keep_col=keep_col,
+    )
+    return prototype_prune(
+        survivors, keep_fraction=keep_fraction, k=k,
+        n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        keep=keep, seed=seed, lloyd_iters=lloyd_iters,
+        centroids=centroids, use_arrow=use_arrow,
+        max_cell_size=max_cell_size,
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     queries: DataFrame,

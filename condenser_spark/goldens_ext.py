@@ -5907,3 +5907,158 @@ def ext_curate_div(spark: SparkSession, sf_dir: str) -> DataFrame:
     out, _ = curate_corpus(synth, diversity={"min_ratio_2": 0.6},
                            report=False, barrier=False)
     return out
+
+
+@golden(
+    "ext_d4_prune",
+    rf"""
+    WITH RECURSIVE u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20
+    ),
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM u
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cents AS (
+      SELECT cell, e FROM (
+        SELECT e, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) - 1 AS cell
+        FROM v
+      ) WHERE cell < 16
+    ),
+    cscore AS (
+      SELECT v.vec_id, s.cell,
+             list_dot_product(v.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM v CROSS JOIN cents s
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    -- stage 1: SemDeDup pairs within cells, closure, min-id survivors
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id
+      WHERE ROUND(list_dot_product(av.e, bv.e) /
+                  (sqrt(list_dot_product(av.e, av.e)) *
+                   sqrt(list_dot_product(bv.e, bv.e))), 4) >= 0.95
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM p
+              UNION SELECT id_b, id_a FROM p),
+    reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+    ),
+    losers AS (
+      SELECT a AS vec_id FROM reach GROUP BY a HAVING a <> MIN(b)
+    ),
+    surv AS (
+      SELECT vec_id, embedding FROM u
+      WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ),
+    -- stage 2: SSL-prototype prune over the survivors, SAME codebook
+    sv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM surv
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cscore2 AS (
+      SELECT sv.vec_id, s.cell,
+             list_dot_product(sv.e, s.e) /
+               sqrt(list_dot_product(s.e, s.e)) AS score
+      FROM sv CROSS JOIN cents s
+    ),
+    assign2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn
+        FROM cscore2
+      ) WHERE rn = 1
+    ),
+    p2 AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             ROUND(list_dot_product(av.e, bv.e) /
+                   (sqrt(list_dot_product(av.e, av.e)) *
+                    sqrt(list_dot_product(bv.e, bv.e))), 4) AS cosine_sim
+      FROM assign2 a JOIN assign2 b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN sv av ON av.vec_id = a.vec_id
+      JOIN sv bv ON bv.vec_id = b.vec_id
+    ),
+    knn AS (
+      SELECT vec_id, cosine_sim FROM (
+        SELECT vec_id, cosine_sim,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM p2
+      ) WHERE rank <= {_KNN_GRAPH_K}
+    ),
+    dens AS (
+      SELECT vec_id,
+             SUM(CAST(ROUND(cosine_sim * 10000) AS BIGINT)) AS d4,
+             COUNT(*) AS nn
+      FROM knn GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT s.vec_id,
+             COALESCE(CAST(d.d4 AS DOUBLE) / d.nn / 10000.0, -2.0)
+               AS density
+      FROM surv s LEFT JOIN dens d USING (vec_id)
+    ),
+    ranked AS (
+      SELECT vec_id, density,
+             CAST(row_number() OVER (ORDER BY density ASC, vec_id ASC)
+                  AS BIGINT) AS prune_rank
+      FROM scored
+    )
+    SELECT vec_id, density, prune_rank FROM ranked
+    WHERE prune_rank <= CAST(CEIL({_PP_FRACTION} *
+          (SELECT COUNT(*) FROM surv)) AS BIGINT)
+    """,
+)
+def ext_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 end-to-end (Tirumala et al. 2023: SemDeDup, then SSL-prototype
+    pruning of the survivors) under the FULL value oracle: 20 planted
+    exact clones are collapsed by the dedup stage (min-id survivors),
+    then the sparsest half of the survivors is kept by graph density —
+    the ONE shared md5-ordered codebook (the paper's single-clustering
+    regime) makes pairs, recursive closure, anti-join, knn graph,
+    density, rank and the fraction cut all replay bit-for-bit in DuckDB
+    (condenser_spark/functions/similarity.py:d4_prune).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.similarity import d4_prune
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    union = emb.unionByName(
+        emb.filter("vec_id < 20").select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding",
+            "label")
+    )
+    cents = [
+        list(r.e)
+        for r in union.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+        )
+        .select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")).asc(),
+                 F.col("vec_id").asc())
+        .limit(16)
+        .collect()
+    ]
+    return d4_prune(
+        union, dedup_threshold=0.95, keep_fraction=_PP_FRACTION,
+        k=_KNN_GRAPH_K, centroids=cents, use_arrow=False,
+    ).select("vec_id", "density", "prune_rank")

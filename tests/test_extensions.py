@@ -839,3 +839,41 @@ def test_winnow_overlap_hot_fp_guard(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="df or a prebuilt index"):
         winnow_overlap_pairs()
+
+
+def test_d4_prune_crafted_geometry(spark):
+    """D4 = SemDeDup then prototype-prune: the clone pair collapses in
+    stage 1 (so the prototype rank never sees the redundant copy), then
+    the densest survivors drop in stage 2 — composing removes DIFFERENT
+    data than either stage alone."""
+    from condenser_spark.functions.similarity import d4_prune
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),       # exact clone of 1 -> dedup loser
+        (3, [0.999, 0.001, 0.0, 0.0]),   # clump with 1 (cos ~0.999 > .95
+                                         #  -> also collapses in stage 1)
+        (4, [0.6, 0.8, 0.0, 0.0]),       # cell-0 outlier
+        (5, [0.0, 0.0, 1.0, 0.0]),       # alone in cell 1: density -2.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # stage 1 survivors: {1, 4, 5} (2 and 3 join 1's semantic cluster —
+    # the prototype rank never sees the redundant copies); stage 2 with
+    # keep_fraction 0.5 over 3 survivors -> ceil(1.5) = 2 kept.  1 and 4
+    # are each other's ONLY neighbor after dedup, so their densities TIE
+    # at cos(1,4) = 0.6 and the min-id tiebreak keeps 1: the lone vector
+    # 5 (-2.0) first, then 1.  Without the dedup stage, 1's density
+    # would be ~1.0 (two clones beside it) and it would be pruned —
+    # the composition keeps what either stage alone would not.
+    out = {r.vec_id: r for r in
+           d4_prune(df, dedup_threshold=0.95, keep_fraction=0.5, k=2,
+                    centroids=cents, use_arrow=False).collect()}
+    assert sorted(out) == [1, 5]
+    assert out[5].density == -2.0 and out[5].prune_rank == 1
+    assert out[1].density == 0.6 and out[1].prune_rank == 2
+
+    # keep everything: all three dedup survivors come back, never the clones
+    full = d4_prune(df, dedup_threshold=0.95, keep_fraction=1.0, k=2,
+                    centroids=cents, use_arrow=False)
+    assert sorted(r.vec_id for r in full.collect()) == [1, 4, 5]
