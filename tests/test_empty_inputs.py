@@ -240,3 +240,29 @@ def test_textdedup_stream_twins_empty(spark, empty_docs):
     assert build_kgram_bloom(empty_docs, k=5) is None
     assert dedup_lines_stream(empty_docs, None).count() == 0
     assert exact_substring_stream(empty_docs, None, k=5).count() == 0
+
+
+def test_round12_ops_empty(spark, empty_docs):
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.dedup import corpus_overlap
+    from condenser_spark.functions.similarity import d4_prune
+    from condenser_spark.functions.text import winnow_overlap_pairs
+    from condenser_spark.functions.urls import domain_prior, load_blocklist
+    from condenser_spark.streaming.curate import curate_stream
+
+    assert winnow_overlap_pairs(empty_docs).count() == 0
+    # approx path: the one-row aggregate survives with zero estimates
+    row = corpus_overlap(empty_docs, empty_docs, approx=True).collect()[0]
+    assert (row.n_ngrams_a, row.n_shared) == (0, 0)
+    empty_urls = spark.createDataFrame([], "doc_id long, url string")
+    out = domain_prior(empty_urls)
+    assert out.count() == 0 and "domain_doc_share" in out.columns
+    assert load_blocklist([]) == ()
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert d4_prune(empty_vecs, keep_fraction=0.5).count() == 0
+    assert curate_stream(empty_docs,
+                         diversity={"min_ratio_2": 0.5}).count() == 0
+    out, rep = curate_corpus(empty_docs, diversity={"min_ratio_2": 0.5})
+    assert out.count() == 0
+    assert [r.stage for r in rep.collect()] == ["diversity_gate"]
