@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_domain_prior",
         "ext_curate_div",
         "ext_d4_prune",
+        "ext_surt_key",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -4275,7 +4275,8 @@ def _url_replay_sql(extra_cols: str = "") -> str:
       FROM comps
     ),
     normed AS (
-      SELECT doc_id, n_chars, url, host,
+      SELECT doc_id, n_chars, url, host, scheme, port_norm, path,
+             sorted_q,
              CASE WHEN scheme = '' THEN url
                   ELSE scheme || '://' || host || port_norm || path ||
                        CASE WHEN sorted_q = '' THEN ''
@@ -6062,3 +6063,33 @@ def ext_d4_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         union, dedup_threshold=0.95, keep_fraction=_PP_FRACTION,
         k=_KNN_GRAPH_K, centroids=cents, use_arrow=False,
     ).select("vec_id", "density", "prune_rank")
+
+
+@golden(
+    "ext_surt_key",
+    _url_replay_sql(""",
+             CASE WHEN scheme = '' THEN url
+                  ELSE array_to_string(list_reverse(
+                         string_split(host, '.')), ',')
+                       || port_norm || ')' || path ||
+                       CASE WHEN sorted_q = '' THEN ''
+                            ELSE '?' || sorted_q END
+             END AS surt""") + """
+    SELECT doc_id, url, surt FROM domed
+    """,
+)
+def ext_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical keys (the Heritrix/Common Crawl sort-friendly URL
+    transform) over the 12 synthetic URL shapes — reversed comma-joined
+    host, non-default port, ')', normalized path + sorted query, scheme
+    dropped, non-URL passthrough — every regex and CASE replayed by
+    DuckDB on the shared normalize replay CTE
+    (condenser_spark/functions/urls.py:surt_key).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.urls import surt_key
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select("doc_id", _url_synth_col().alias("url"))
+    return synth.select("doc_id", "url",
+                        surt_key(F.col("url")).alias("surt"))

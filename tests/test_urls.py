@@ -410,3 +410,29 @@ def test_domain_prior_self_and_reference(spark):
             for r in domain_prior(docs, stats=domain_stats(ref)).collect()}
     assert out2[1].domain_doc_share == 0.5   # a.com is 1 of 2 in ref
     assert out2[4].domain_n_docs is None     # b.org unseen in ref
+
+
+def test_surt_key_shapes(spark):
+    """SURT canonical: reversed comma host, port/scheme rules inherited
+    from normalize_url, non-URL passthrough — and the prefix-locality
+    property the key exists for (every subdomain URL sorts under the
+    registered domain's reversed prefix)."""
+    from condenser_spark.functions.urls import surt_key
+
+    rows = [
+        (1, "http://blog.example.com:8080/a/?b=2&a=1"),
+        (2, "HTTPS://WWW.Example.COM:443/x#frag"),
+        (3, "http://example.com/"),
+        (4, "not a url at all"),
+        (5, "https://deep.sub.example.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.surt for r in
+           df.select("doc_id", surt_key("url").alias("surt")).collect()}
+    assert got[1] == "com,example,blog:8080)/a?a=1&b=2"
+    assert got[2] == "com,example)/x"      # www + default port + fragment
+    assert got[3] == "com,example)"        # root path strips
+    assert got[4] == "not a url at all"    # opaque passthrough
+    assert got[5] == "com,example,sub,deep)/y"
+    # prefix locality: all example.com URLs share the reversed prefix
+    assert all(got[i].startswith("com,example") for i in (1, 2, 3, 5))
