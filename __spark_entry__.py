@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_div",
         "ext_d4_prune",
         "ext_surt_key",
+        "ext_doremi_weights",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -1486,3 +1486,90 @@ def uniform_sample_per_group(
         .select(*df.columns)
     )
     return under_rows.unionByName(sampled)
+
+
+def doremi_weights(
+    df: DataFrame,
+    proxy_col: str,
+    ref_col: str,
+    group_col: str = "source",
+    eta: float = 1.0,
+    smoothing: float = 0.0,
+    prior: str = "natural",
+) -> DataFrame:
+    """One DoReMi multiplicative-weights step (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    Algorithm 1): given per-document losses from a small PROXY model and
+    a REFERENCE model, reweight each domain by its clipped excess loss —
+    ``w_g ∝ prior_g * exp(eta * max(0, mean_proxy_g - mean_ref_g))`` —
+    then smooth toward uniform:
+    ``weight_g = (1 - smoothing) * w_g / Σw + smoothing / k``.
+    Domains where the proxy underperforms the reference most (the
+    learnable-but-not-learned data) gain mass; saturated or noisy
+    domains (no excess) keep their prior.  The paper iterates this step
+    inside proxy training; each call is one step, so a training loop can
+    feed the output back as the next round's sampling weights (realize
+    with :func:`weighted_mix` / :func:`expand_epochs`).
+
+    ``prior="natural"`` starts from the observed domain distribution
+    (doc-count share); ``"uniform"`` from 1/k (the paper's init).
+
+    Cross-engine exactness (the house discipline): per-domain means are
+    ieee divisions of EXACT integers (losses quantized to 1e-6 at entry,
+    summed as BIGINT — order-free), the exp update is quantized to an
+    integer weight (ROUND(raw * 1e12) — the ``temperature_mix`` pow/
+    ROUND precedent), so the normalizing sum is an INTEGER sum (never an
+    order-unspecified float fold, the rrf_fuse lesson) and the final
+    weight is single divisions and one fused multiply-add of exactly
+    replayed doubles.  Output: (group_col, n_docs, mean_proxy, mean_ref,
+    excess_loss, weight), weight summing to 1.
+
+    Scale shape: one map-side-combined aggregate to the per-group table,
+    one one-row broadcast join for (Σw, k, total docs) — two exchanges
+    regardless of corpus size; domains are languages/sources by
+    contract, so the group table is small by nature."""
+    if prior not in ("natural", "uniform"):
+        raise ValueError(f"prior must be 'natural' or 'uniform': {prior!r}")
+    q = 1_000_000
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col(proxy_col) * q).cast("long")).alias("_sp"),
+        F.sum(F.round(F.col(ref_col) * q).cast("long")).alias("_sr"),
+    ).select(
+        group_col, "n_docs",
+        (F.col("_sp").cast("double") / F.col("n_docs") / q)
+        .alias("mean_proxy"),
+        (F.col("_sr").cast("double") / F.col("n_docs") / q)
+        .alias("mean_ref"),
+    ).withColumn(
+        "excess_loss",
+        F.greatest(F.lit(0.0), F.col("mean_proxy") - F.col("mean_ref")),
+    )
+    prior_expr = (
+        F.col("n_docs").cast("double") / F.col("_total_docs")
+        if prior == "natural" else F.lit(1.0) / F.col("_k")
+    )
+    scalars = per.agg(
+        F.sum("n_docs").alias("_total_docs"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    raw = per.join(F.broadcast(scalars)).withColumn(
+        "_wq",
+        F.round(prior_expr * F.exp(F.lit(float(eta))
+                                   * F.col("excess_loss"))
+                * F.lit(1e12)).cast("long"),
+    )
+    totals = raw.agg(F.sum("_wq").alias("_sw"),
+                     F.max("_k").alias("_kk"))
+    s = float(smoothing)
+    return (
+        raw.join(F.broadcast(totals))
+        .withColumn(
+            "weight",
+            F.lit(1.0 - s)
+            * (F.col("_wq").cast("double") / F.col("_sw").cast("double"))
+            + F.lit(s) / F.col("_kk").cast("double"),
+        )
+        .select(group_col, "n_docs", "mean_proxy", "mean_ref",
+                "excess_loss", "weight")
+    )

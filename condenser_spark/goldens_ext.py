@@ -6093,3 +6093,62 @@ def ext_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select("doc_id", _url_synth_col().alias("url"))
     return synth.select("doc_id", "url",
                         surt_key(F.col("url")).alias("surt"))
+
+
+@golden(
+    "ext_doremi_weights",
+    r"""
+    WITH d AS (
+      SELECT lang,
+             CAST((doc_id * 7) % 100 AS DOUBLE) / 10.0 AS lp,
+             CAST((doc_id * 3) % 80 AS DOUBLE) / 10.0 AS lr
+      FROM documents
+    ),
+    per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(CAST(ROUND(lp * 1000000) AS BIGINT)) AS sp,
+             SUM(CAST(ROUND(lr * 1000000) AS BIGINT)) AS sr
+      FROM d GROUP BY lang
+    ),
+    m AS (
+      SELECT lang, n_docs,
+             CAST(sp AS DOUBLE) / n_docs / 1000000 AS mean_proxy,
+             CAST(sr AS DOUBLE) / n_docs / 1000000 AS mean_ref,
+             (SELECT SUM(n_docs) FROM per) AS total,
+             (SELECT COUNT(*) FROM per) AS k
+      FROM per
+    ),
+    w AS (
+      SELECT *,
+             GREATEST(0.0, mean_proxy - mean_ref) AS excess_loss,
+             CAST(ROUND((CAST(n_docs AS DOUBLE) / total)
+                  * exp(0.5 * GREATEST(0.0, mean_proxy - mean_ref))
+                  * 1e12) AS BIGINT) AS wq
+      FROM m
+    )
+    SELECT lang, n_docs, mean_proxy, mean_ref, excess_loss,
+           0.9 * (CAST(wq AS DOUBLE)
+                  / CAST((SELECT SUM(wq) FROM w) AS DOUBLE))
+             + 0.1 / k AS weight
+    FROM w
+    """,
+)
+def ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi multiplicative-weights step (Xie 2023) over closed-form
+    per-doc proxy/reference losses keyed on lang: integer-quantized loss
+    sums (order-free), the exp update quantized to an integer weight (the
+    temperature_mix pow/ROUND precedent), integer normalizing sum, and
+    the uniform smoothing fused at the end — the whole update replayed by
+    DuckDB (condenser_spark/functions/corpus.py:doremi_weights).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import doremi_weights
+
+    docs = _tables(spark, sf_dir)["documents"]
+    losses = docs.select(
+        "lang",
+        (((F.col("doc_id") * 7) % 100).cast("double") / 10.0).alias("lp"),
+        (((F.col("doc_id") * 3) % 80).cast("double") / 10.0).alias("lr"),
+    )
+    return doremi_weights(losses, proxy_col="lp", ref_col="lr",
+                          group_col="lang", eta=0.5, smoothing=0.1)

@@ -266,3 +266,13 @@ def test_round12_ops_empty(spark, empty_docs):
     out, rep = curate_corpus(empty_docs, diversity={"min_ratio_2": 0.5})
     assert out.count() == 0
     assert [r.stage for r in rep.collect()] == ["diversity_gate"]
+
+    from condenser_spark.functions.corpus import doremi_weights
+    from condenser_spark.functions.urls import surt_key
+
+    empty_losses = spark.createDataFrame(
+        [], "src string, lp double, lr double")
+    assert doremi_weights(empty_losses, "lp", "lr",
+                          group_col="src").count() == 0
+    empty_urls = spark.createDataFrame([], "doc_id long, url string")
+    assert empty_urls.select(surt_key("url")).count() == 0

@@ -877,3 +877,39 @@ def test_d4_prune_crafted_geometry(spark):
     full = d4_prune(df, dedup_threshold=0.95, keep_fraction=1.0, k=2,
                     centroids=cents, use_arrow=False)
     assert sorted(r.vec_id for r in full.collect()) == [1, 4, 5]
+
+
+def test_doremi_weights_crafted(spark):
+    """DoReMi step semantics: excess-loss domains gain mass over their
+    prior, clipped (proxy <= ref) domains keep it; weights sum to 1;
+    smoothing=1 is exactly uniform; uniform prior supported."""
+    from condenser_spark.functions.corpus import doremi_weights
+
+    rows = (
+        [("hard", 5.0, 2.0)] * 10      # excess 3.0 -> upweighted
+        + [("done", 1.0, 4.0)] * 10    # proxy beats ref -> clipped to 0
+        + [("flat", 2.0, 2.0)] * 20    # no excess, twice the mass
+    )
+    df = spark.createDataFrame(rows, "src string, lp double, lr double")
+    out = {r.src: r for r in
+           doremi_weights(df, "lp", "lr", group_col="src").collect()}
+    assert out["done"].excess_loss == 0.0 and out["hard"].excess_loss == 3.0
+    assert abs(sum(r.weight for r in out.values()) - 1.0) < 1e-9
+    # natural priors: hard (0.25) * e^3 dominates flat (0.5) * e^0
+    assert out["hard"].weight > out["flat"].weight > out["done"].weight
+    # clipped domains keep their prior ratio (both scale by e^0)
+    assert abs(out["flat"].weight / out["done"].weight - 2.0) < 1e-9
+
+    uni = {r.src: r.weight for r in
+           doremi_weights(df, "lp", "lr", group_col="src",
+                          smoothing=1.0).collect()}
+    assert all(abs(w - 1 / 3) < 1e-12 for w in uni.values())
+
+    up = {r.src: r.weight for r in
+          doremi_weights(df, "lp", "lr", group_col="src", eta=0.0,
+                         prior="uniform").collect()}
+    assert all(abs(w - 1 / 3) < 1e-9 for w in up.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="prior"):
+        doremi_weights(df, "lp", "lr", group_col="src", prior="zipf")
