@@ -1561,3 +1561,57 @@ def test_soft_dedup_total_mass_identity(spark, edges):
     n_singletons = 12 - len(touched)
     assert abs(sum(r.sample_weight for r in out)
                - (n_components + n_singletons)) < 1e-9
+
+
+@PROP
+@given(
+    losses=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),      # domain
+                  st.integers(min_value=0, max_value=100),    # proxy*10
+                  st.integers(min_value=0, max_value=100)),   # ref*10
+        min_size=1, max_size=30),
+    eta=st.floats(min_value=0.0, max_value=2.0,
+                  allow_nan=False, allow_infinity=False),
+    smoothing=st.floats(min_value=0.0, max_value=1.0,
+                        allow_nan=False, allow_infinity=False),
+)
+def test_doremi_mass_and_monotonicity(spark, losses, eta, smoothing):
+    """For ANY loss table: weights sum to 1; every weight >= smoothing/k
+    (the uniform floor); excess_loss is never negative (clipping); and
+    with eta=0 the update degenerates to the smoothed prior."""
+    from condenser_spark.functions.corpus import doremi_weights
+
+    rows = [(f"d{d}", p / 10.0, r / 10.0) for d, p, r in losses]
+    df = spark.createDataFrame(rows, "src string, lp double, lr double")
+    out = doremi_weights(df, "lp", "lr", group_col="src",
+                         eta=eta, smoothing=smoothing).collect()
+    k = len(out)
+    assert abs(sum(r.weight for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert r.excess_loss >= 0.0
+        assert r.weight >= smoothing / k - 1e-12
+
+
+@PROP
+@given(
+    host=st.lists(
+        st.text(alphabet="abc1", min_size=1, max_size=4),
+        min_size=1, max_size=4),
+    path=st.text(alphabet="abXy/9", min_size=0, max_size=8),
+)
+def test_surt_prefix_locality(spark, host, path):
+    """For ANY host: every URL under any SUBDOMAIN of it surt-sorts with
+    the parent host's reversed labels as a string prefix — the property
+    range-partitioning by surt_key relies on."""
+    from condenser_spark.functions.urls import surt_key
+
+    h = ".".join(host)
+    base = f"http://{h}/{path}"
+    sub = f"http://deep.{h}/{path}"
+    df = spark.createDataFrame([(1, base), (2, sub)],
+                               "doc_id long, url string")
+    got = {r.doc_id: r.s for r in
+           df.select("doc_id", surt_key("url").alias("s")).collect()}
+    rev = ",".join(reversed(host))
+    assert got[1].startswith(rev + ")")
+    assert got[2].startswith(rev + ",deep)")
