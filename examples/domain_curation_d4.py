@@ -1,0 +1,104 @@
+"""Domain-aware curation into D4 pruning, composed entirely from
+already-oracled operators — the "from raw crawl to a pruned training
+shard" recipe the round-12 pieces close:
+
+1. BLOCK + DEDUP URLS — ``load_blocklist`` parses a caller-supplied
+   opt-out/category list (FineWeb §3.1's first stage) into
+   ``curate_corpus(url_filter=)``, which block-then-dedups per
+   normalized URL (null-URL docs survive by contract).
+2. DOMAIN PRIORS — ``domain_prior`` joins per-registered-domain corpus
+   shares back onto every doc (the RefinedWeb domain-level signal);
+   here a flood gate drops docs whose domain exceeds a share cap, as an
+   ``extra_stages`` hook (the priors are computed BEFORE curation so
+   the stage stays schema-preserving inside the chain).
+3. REPETITION GATE — ``curate_corpus(diversity=)`` thresholds the
+   Li-2016 distinct-n ratios (the slot the stream chain uses too).
+4. D4 — ``d4_prune`` (Tirumala 2023) on the curated docs' embeddings:
+   SemDeDup collapses semantic redundancy, then SSL-prototype pruning
+   keeps the sparsest ``keep_fraction`` of the survivors.
+5. LAYOUT — write the kept shard sorted by ``surt_key`` so per-domain
+   reads are contiguous parquet ranges (domain locality at 100 TB).
+
+Usage:  python examples/domain_curation_d4.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.similarity import d4_prune
+    from condenser_spark.functions.urls import (
+        domain_prior,
+        load_blocklist,
+        surt_key,
+    )
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("domain-curation-d4-example", master="local[8]",
+                      shuffle_partitions=8)
+    t = load_source_tables(spark, sf_dir)
+    docs, emb = t["documents"], t["embeddings"]
+
+    # synthetic URLs for the fixture corpus (documents.parquet carries
+    # none): 37 distinct REGISTERED domains — a real pipeline reads the
+    # crawl's own url column
+    docs = docs.withColumn(
+        "url",
+        F.concat(F.lit("http://site"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")))
+
+    # 1. opt-out blocklist, caller-owned I/O; entries reduce to their
+    # registered domain (blocking site3.com blocks every subdomain)
+    blocked = load_blocklist([
+        "# synthetic opt-out list",
+        "ads.site3.com",
+        "https://www.site7.com/anything  # full URLs accepted",
+    ])
+
+    # 2. priors from the PRE-curation corpus (reference-snapshot regime)
+    priors = domain_prior(docs).select(
+        "doc_id", "domain_doc_share").localCheckpoint(eager=False)
+
+    def flood_gate(d):
+        keep = priors.filter(F.col("domain_doc_share") <= 0.2) \
+                     .select("doc_id")
+        return d.join(keep, "doc_id", "left_semi")
+
+    curated, report = curate_corpus(
+        docs,
+        url_filter={"blocked_domains": blocked},
+        diversity={"min_ratio_2": 0.3},
+        extra_stages=[("domain_flood_gate", flood_gate, "url_filter")],
+    )
+
+    print("== per-stage tabulation ==")
+    report.show(truncate=False)
+
+    # 4. D4 over the curated docs' embeddings (vec_id == doc_id in the
+    # fixture schema)
+    kept_ids = curated.select(F.col("doc_id").alias("vec_id"))
+    pruned = d4_prune(emb.join(kept_ids, "vec_id", "left_semi"),
+                      dedup_threshold=0.95, keep_fraction=0.5)
+    print(f"== D4 kept {pruned.count()} of {emb.count()} embeddings ==")
+
+    # 5. domain-local layout
+    out = curated.withColumn("surt", surt_key("url")).sortWithinPartitions(
+        "surt")
+    out.select("surt", "doc_id").show(5, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
