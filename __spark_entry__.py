@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_d4_prune",
         "ext_surt_key",
         "ext_doremi_weights",
+        "ext_gopher_repetition",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

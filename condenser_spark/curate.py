@@ -35,6 +35,7 @@ def curate_corpus(
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
+    gopher_repetition: bool | dict = False,
     dedup: str | None = None,
     dedup_opts: dict | None = None,
     substring_dedup: bool | dict = False,
@@ -99,6 +100,11 @@ def curate_corpus(
        values, never adding columns.
     3. ``gopher`` — :func:`functions.text.gopher_quality_flags`: True or a
        kwargs dict; keeps ``gopher_pass`` docs.
+    3b. ``gopher_repetition`` — the A1.2 companion table
+       (:func:`functions.text.gopher_repetition_flags`): True or a
+       kwargs dict of threshold overrides; keeps ``gopher_rep_pass``
+       docs (duplicate line/paragraph and top-n-gram character rules at
+       the paper's defaults).
     4. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
        keep-rows via its survivor ids) or ``"near"``
        (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
@@ -128,7 +134,8 @@ def curate_corpus(
     after the named built-in stage (anchors are the report stage names:
     ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"c4_clean"``,
     ``"diversity_gate"``, ``"language_id"``,
-    ``"gopher_rules"``, ``"exact_dedup"``, ``"near_dedup"``,
+    ``"gopher_rules"``, ``"gopher_repetition"``, ``"exact_dedup"``,
+    ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
     and returns a DataFrame and MUST preserve the column set (the chain's
@@ -162,7 +169,7 @@ def curate_corpus(
 
     _ANCHORS = ("start", "url_filter", "line_dedup", "c4_clean",
                 "diversity_gate", "language_id",
-                "gopher_rules", "exact_dedup",
+                "gopher_rules", "gopher_repetition", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
                 "dsir_select", "temperature_mix", "end")
@@ -303,6 +310,20 @@ def curate_corpus(
                      on=id_col, how="left_semi"),
         )
         _apply_extra("gopher_rules")
+    if gopher_repetition:
+        from condenser_spark.functions.text import gopher_repetition_flags
+
+        opts = (gopher_repetition
+                if isinstance(gopher_repetition, dict) else {})
+        flags = gopher_repetition_flags(cur, text_col=text_col,
+                                        id_col=id_col, **opts)
+        cur = _record(
+            "gopher_repetition",
+            cur.join(flags.filter(F.col("gopher_rep_pass"))
+                     .select(id_col),
+                     on=id_col, how="left_semi"),
+        )
+        _apply_extra("gopher_repetition")
     if dedup is not None:
         if dedup == "exact":
             from condenser_spark.functions.dedup import exact_dedup

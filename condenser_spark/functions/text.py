@@ -1124,3 +1124,173 @@ def winnow_overlap_pairs(
             ).alias("containment"),
         )
     )
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+    max_top_4gram_char_frac: float = 0.16,
+) -> DataFrame:
+    """The Gopher REPETITION rules (Rae et al. 2021 appendix A1.2 — the
+    companion table to :func:`gopher_quality_flags`' A1.1 set), per
+    document, each rule's statistic emitted beside its boolean:
+
+    duplicate line / paragraph FRACTIONS (extra copies of repeated units
+    over total units), duplicate line / paragraph CHARACTER fractions
+    (characters inside repeated units over all unit characters — long
+    boilerplate weighs more), and top-{2,3,4}-gram character fractions
+    (characters covered by the single most frequent n-gram:
+    ``count * gram_chars / total_token_chars``, most-frequent ties
+    broken toward the longer gram — a deterministic struct max both
+    engines replay; occurrences counted WITH overlap, the published
+    implementations' convention, so the product is clamped to 1.0 — a
+    degenerate "x y x y x" doc would otherwise exceed it).
+    ``gopher_rep_pass`` is the conjunction at the paper's thresholds
+    (defaults above).
+
+    DECLARED OUT OF SCOPE: A1.2's duplicated 5..10-gram character
+    fractions — their exact semantics is character COVERAGE of the
+    union of duplicated n-gram spans, i.e. the ExactSubstr interval
+    machinery; this library REMOVES those spans outright
+    (:func:`exact_substring_dedup` / :func:`duplicated_ngram_starts`)
+    rather than scoring them, so the scoring twin is deliberately not
+    duplicated here.
+
+    Paragraphs split on blank lines (``\\n\\n``), lines on ``\\n``, both
+    trimmed and empty-dropped; n-grams over lower-cased
+    whitespace-collapsed tokens; ratios rounded to 4 dp (DuckDB-
+    replayable, goldens_ext.ext_gopher_repetition).  Plan shape: five
+    explode -> (id, unit) map-side-combined aggregates joined back to
+    the id base — scan-linear, shuffles carry (id, unit, count) rows,
+    never document bodies."""
+    base = df.select(F.col(id_col).alias("id"))
+
+    def _unit_stats(sep_regex: str, prefix: str):
+        units = F.filter(
+            F.transform(F.split(F.col(text_col), sep_regex),
+                        lambda u: F.trim(u)),
+            lambda u: u != "",
+        )
+        return (
+            df.select(F.col(id_col).alias("id"),
+                      F.explode(units).alias("u"))
+            .groupBy("id", "u")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(
+                F.sum("cnt").alias(f"n_{prefix}"),
+                (F.sum("cnt") - F.count("*")).alias(f"_dup_{prefix}"),
+                F.sum(
+                    F.when(F.col("cnt") > 1,
+                           F.col("cnt") * F.length("u"))
+                    .otherwise(F.lit(0))
+                ).alias(f"_dupc_{prefix}"),
+                F.sum(F.col("cnt") * F.length("u"))
+                .alias(f"_allc_{prefix}"),
+            )
+        )
+
+    lines = _unit_stats("\n", "lines")
+    paras = _unit_stats(r"\n\s*\n", "paras")
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "),
+        lambda t: t != "",
+    )
+    tokd = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("_t"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("_tchars"),
+    )
+
+    def _top_ngram(n: int):
+        grams = F.when(
+            F.size("_t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.array_join(F.slice("_t", i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            tokd.select("id", "_tchars", F.explode(grams).alias("g"))
+            .groupBy("id", "_tchars", "g")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(
+                # most frequent gram, ties to the longer one — the char
+                # mass of THAT gram's occurrences over all token chars
+                F.max(F.struct(
+                    F.col("cnt").alias("c"),
+                    (F.length("g") - F.lit(n - 1)).alias("l"),
+                )).alias("_m"),
+                F.max("_tchars").alias("_tc"),
+            )
+            .select(
+                "id",
+                F.round(
+                    F.least(F.lit(1.0), F.when(
+                        F.col("_tc") > 0,
+                        (F.col("_m.c") * F.col("_m.l")).cast("double")
+                        / F.col("_tc"),
+                    ).otherwise(F.lit(0.0))), 4,
+                ).alias(f"top_{n}gram_char_frac"),
+            )
+        )
+
+    zero = F.lit(0).cast("long")
+
+    def _frac(num, den):
+        return F.round(
+            F.when(F.coalesce(den, zero) > 0,
+                   F.col(num) / F.col(den)).otherwise(F.lit(0.0)), 4)
+
+    out = (
+        base.join(lines, "id", "left")
+        .join(paras, "id", "left")
+        .join(_top_ngram(2), "id", "left")
+        .join(_top_ngram(3), "id", "left")
+        .join(_top_ngram(4), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            F.coalesce("n_paras", zero).alias("n_paras"),
+            _frac("_dup_lines", "n_lines").alias("dup_line_frac"),
+            _frac("_dupc_lines", "_allc_lines")
+            .alias("dup_line_char_frac"),
+            _frac("_dup_paras", "n_paras").alias("dup_para_frac"),
+            _frac("_dupc_paras", "_allc_paras")
+            .alias("dup_para_char_frac"),
+            *[F.coalesce(f"top_{n}gram_char_frac", F.lit(0.0))
+              .alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
+        )
+    )
+    flags = {
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_dup_paras": F.col("dup_para_frac") <= max_dup_para_frac,
+        "ok_dup_line_chars":
+            F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+        "ok_dup_para_chars":
+            F.col("dup_para_char_frac") <= max_dup_para_char_frac,
+        "ok_top_2gram":
+            F.col("top_2gram_char_frac") <= max_top_2gram_char_frac,
+        "ok_top_3gram":
+            F.col("top_3gram_char_frac") <= max_top_3gram_char_frac,
+        "ok_top_4gram":
+            F.col("top_4gram_char_frac") <= max_top_4gram_char_frac,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    # plain AND chain, not an F.aggregate fold: higher-order functions run
+    # INTERPRETED (STRESS stage 10) and this column rides every corpus scan
+    conj = F.lit(True)
+    for name in flags:
+        conj = conj & F.col(name)
+    return out.withColumn("gopher_rep_pass", conj)

@@ -6152,3 +6152,189 @@ def ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return doremi_weights(losses, proxy_col="lp", ref_col="lr",
                           group_col="lang", eta=0.5, smoothing=0.1)
+
+
+@golden(
+    "ext_gopher_repetition",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text
+             || chr(10) || 'dup line here'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'dup line here'
+                     ELSE chr(10) || 'solo ' || CAST(doc_id AS VARCHAR)
+                END
+             || chr(10) || chr(10) || 'para block one'
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || chr(10) || 'para block one'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' ' || trim(repeat('spam ', 30))
+                     ELSE '' END AS text
+      FROM documents
+    ),
+    lstats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_lines,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(u)
+                      ELSE 0 END) AS BIGINT) AS dupc_l,
+             CAST(SUM(cnt * length(u)) AS BIGINT) AS allc_l
+      FROM (
+        SELECT doc_id, u, COUNT(*) AS cnt FROM (
+          SELECT doc_id, trim(x) AS u
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\n')) AS x
+                FROM synth)
+        ) WHERE u <> '' GROUP BY doc_id, u
+      ) GROUP BY doc_id
+    ),
+    pstats AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_paras,
+             CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_paras,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(u)
+                      ELSE 0 END) AS BIGINT) AS dupc_p,
+             CAST(SUM(cnt * length(u)) AS BIGINT) AS allc_p
+      FROM (
+        SELECT doc_id, u, COUNT(*) AS cnt FROM (
+          SELECT doc_id, trim(x) AS u
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\n\s*\n'))
+                         AS x
+                FROM synth)
+        ) WHERE u <> '' GROUP BY doc_id, u
+      ) GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id,
+             list_filter(string_split(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+               t -> t <> '') AS arr
+      FROM synth
+    ),
+    tchars AS (
+      SELECT doc_id, arr,
+             CAST(length(array_to_string(arr, '')) AS BIGINT) AS tc
+      FROM tok
+    ),
+    g2 AS (
+      SELECT doc_id, MAX(struct_pack(c := cnt, l := glen)) AS m,
+             MAX(tc) AS tc
+      FROM (
+        SELECT doc_id, tc, g, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(length(g) - 1 AS BIGINT) AS glen
+        FROM (SELECT doc_id, tc,
+                     unnest(list_transform(
+                       generate_series(1, len(arr) - 1),
+                       i -> array_to_string(arr[i:i+1], ' '))) AS g
+              FROM tchars WHERE len(arr) >= 2)
+        GROUP BY doc_id, tc, g
+      ) GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id, MAX(struct_pack(c := cnt, l := glen)) AS m,
+             MAX(tc) AS tc
+      FROM (
+        SELECT doc_id, tc, g, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(length(g) - 2 AS BIGINT) AS glen
+        FROM (SELECT doc_id, tc,
+                     unnest(list_transform(
+                       generate_series(1, len(arr) - 2),
+                       i -> array_to_string(arr[i:i+2], ' '))) AS g
+              FROM tchars WHERE len(arr) >= 3)
+        GROUP BY doc_id, tc, g
+      ) GROUP BY doc_id
+    ),
+    g4 AS (
+      SELECT doc_id, MAX(struct_pack(c := cnt, l := glen)) AS m,
+             MAX(tc) AS tc
+      FROM (
+        SELECT doc_id, tc, g, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(length(g) - 3 AS BIGINT) AS glen
+        FROM (SELECT doc_id, tc,
+                     unnest(list_transform(
+                       generate_series(1, len(arr) - 3),
+                       i -> array_to_string(arr[i:i+3], ' '))) AS g
+              FROM tchars WHERE len(arr) >= 4)
+        GROUP BY doc_id, tc, g
+      ) GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id,
+             COALESCE(l.n_lines, 0) AS n_lines,
+             COALESCE(p.n_paras, 0) AS n_paras,
+             ROUND(CASE WHEN COALESCE(l.n_lines, 0) > 0
+                   THEN CAST(l.dup_lines AS DOUBLE) / l.n_lines
+                   ELSE 0.0 END, 4) AS dup_line_frac,
+             ROUND(CASE WHEN COALESCE(l.allc_l, 0) > 0
+                   THEN CAST(l.dupc_l AS DOUBLE) / l.allc_l
+                   ELSE 0.0 END, 4) AS dup_line_char_frac,
+             ROUND(CASE WHEN COALESCE(p.n_paras, 0) > 0
+                   THEN CAST(p.dup_paras AS DOUBLE) / p.n_paras
+                   ELSE 0.0 END, 4) AS dup_para_frac,
+             ROUND(CASE WHEN COALESCE(p.allc_p, 0) > 0
+                   THEN CAST(p.dupc_p AS DOUBLE) / p.allc_p
+                   ELSE 0.0 END, 4) AS dup_para_char_frac,
+             COALESCE(ROUND(LEAST(1.0, CASE WHEN g2.tc > 0
+                   THEN CAST((g2.m).c * (g2.m).l AS DOUBLE) / g2.tc
+                   ELSE 0.0 END), 4), 0.0) AS top_2gram_char_frac,
+             COALESCE(ROUND(LEAST(1.0, CASE WHEN g3.tc > 0
+                   THEN CAST((g3.m).c * (g3.m).l AS DOUBLE) / g3.tc
+                   ELSE 0.0 END), 4), 0.0) AS top_3gram_char_frac,
+             COALESCE(ROUND(LEAST(1.0, CASE WHEN g4.tc > 0
+                   THEN CAST((g4.m).c * (g4.m).l AS DOUBLE) / g4.tc
+                   ELSE 0.0 END), 4), 0.0) AS top_4gram_char_frac
+      FROM synth d
+      LEFT JOIN lstats l USING (doc_id)
+      LEFT JOIN pstats p USING (doc_id)
+      LEFT JOIN g2 USING (doc_id)
+      LEFT JOIN g3 USING (doc_id)
+      LEFT JOIN g4 USING (doc_id)
+    )
+    SELECT *,
+           dup_line_frac <= 0.30 AS ok_dup_lines,
+           dup_para_frac <= 0.30 AS ok_dup_paras,
+           dup_line_char_frac <= 0.20 AS ok_dup_line_chars,
+           dup_para_char_frac <= 0.20 AS ok_dup_para_chars,
+           top_2gram_char_frac <= 0.20 AS ok_top_2gram,
+           top_3gram_char_frac <= 0.18 AS ok_top_3gram,
+           top_4gram_char_frac <= 0.16 AS ok_top_4gram,
+           dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+           AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+           AND top_2gram_char_frac <= 0.20
+           AND top_3gram_char_frac <= 0.18
+           AND top_4gram_char_frac <= 0.16 AS gopher_rep_pass
+    FROM joined
+    """,
+)
+def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher A1.2 repetition rule table (Rae 2021 — the companion to
+    ext_gopher_flags' A1.1 set) over planted repetition shapes: every 3rd
+    doc duplicates a line, every 4th a paragraph, every 5th carries a
+    'spam'-bigram block — unit counts, duplicate and character fractions,
+    top-2/3/4-gram character coverage with the longer-gram tiebreak, all
+    seven flags and the conjunction replayed by DuckDB
+    (condenser_spark/functions/text.py:gopher_repetition_flags).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import gopher_repetition_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ndup line here"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ndup line here"))
+            .otherwise(F.concat(F.lit("\nsolo "),
+                                F.col("doc_id").cast("string"))),
+            F.lit("\n\npara block one"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n\npara block one")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" " + ("spam " * 30).strip()))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return gopher_repetition_flags(synth)

@@ -913,3 +913,38 @@ def test_doremi_weights_crafted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="prior"):
         doremi_weights(df, "lp", "lr", group_col="src", prior="zipf")
+
+
+def test_gopher_repetition_flags_crafted(spark):
+    """A1.2 semantics on crafted docs: a half-duplicated-lines doc fails
+    the line rules, a doc dominated by one bigram fails the top-2gram
+    rule, clean prose passes everything."""
+    from condenser_spark.functions.text import gopher_repetition_flags
+
+    # long enough that no single n-gram dominates the char mass — the
+    # top-n-gram rules presuppose A1.1's 50-word floor already held
+    clean = (
+        " ".join(f"alpha{i} beta{i}" for i in range(15))
+        + "\n" + " ".join(f"gamma{i}" for i in range(15)) + "\n\n"
+        + " ".join(f"delta{i}" for i in range(15)) + "\n\n"
+        + " ".join(f"omega{i}" for i in range(15)))
+    dup_lines = "same line\n" * 6 + "one different line"
+    spammy = ("intro words then " + "spam blast " * 20).strip()
+    docs = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, spammy)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_flags(docs).collect()}
+
+    assert out[1].gopher_rep_pass
+    assert out[1].dup_line_frac == 0.0 and out[1].n_paras == 3
+
+    # 6 copies of one line over 7 lines: 5 extra copies / 7
+    assert out[2].n_lines == 7
+    assert out[2].dup_line_frac == round(5 / 7, 4)
+    assert not out[2].ok_dup_lines and not out[2].gopher_rep_pass
+
+    # "spam blast" bigram dominates the char mass
+    assert out[3].top_2gram_char_frac > 0.2
+    assert not out[3].ok_top_2gram and not out[3].gopher_rep_pass
+    # single-line doc: line fractions clean
+    assert out[3].dup_line_frac == 0.0

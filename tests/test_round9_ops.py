@@ -287,3 +287,25 @@ def test_curate_corpus_diversity_gate(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_ratio"):
         curate_corpus(docs, diversity={"nope": 1})
+
+
+def test_curate_corpus_gopher_repetition_stage(spark):
+    from condenser_spark.curate import curate_corpus
+
+    clean = " ".join(f"w{i} x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, clean, "en"),
+         (2, "same line\n" * 6 + "tail", "en")],
+        "doc_id long, text string, lang string")
+    out, rep = curate_corpus(docs, gopher_repetition=True)
+    assert [r.doc_id for r in out.collect()] == [1]
+    row = rep.collect()[0]
+    assert (row.stage, row.docs_in, row.docs_out) == (
+        "gopher_repetition", 2, 1)
+    # threshold override loosens the rule back open
+    loose = {k: 1.0 for k in (
+        "max_dup_line_frac", "max_dup_line_char_frac",
+        "max_top_2gram_char_frac", "max_top_3gram_char_frac",
+        "max_top_4gram_char_frac")}
+    out2, _ = curate_corpus(docs, gopher_repetition=loose)
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
