@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_surt_key",
         "ext_doremi_weights",
         "ext_gopher_repetition",
+        "ext_gopher_repetition_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

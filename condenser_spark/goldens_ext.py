@@ -6154,9 +6154,7 @@ def ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                           group_col="lang", eta=0.5, smoothing=0.1)
 
 
-@golden(
-    "ext_gopher_repetition",
-    r"""
+_GOPHER_REP_SQL = r"""
     WITH synth AS (
       SELECT doc_id,
              text
@@ -6307,8 +6305,10 @@ def ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND top_3gram_char_frac <= 0.18
            AND top_4gram_char_frac <= 0.16 AS gopher_rep_pass
     FROM joined
-    """,
-)
+"""
+
+
+@golden("ext_gopher_repetition", _GOPHER_REP_SQL)
 def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher A1.2 repetition rule table (Rae 2021 — the companion to
     ext_gopher_flags' A1.1 set) over planted repetition shapes: every 3rd
@@ -6338,3 +6338,37 @@ def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"))
     return gopher_repetition_flags(synth)
+
+
+@golden("ext_gopher_repetition_stream", _GOPHER_REP_SQL)
+def ext_gopher_repetition_stream(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The stateless (ingest) form of the Gopher A1.2 repetition table —
+    one Arrow kernel of per-row Counters instead of the batch explode
+    aggregates — under the SAME full DuckDB replay as
+    ext_gopher_repetition, which also pins batch/stream equality by
+    transitivity
+    (condenser_spark/streaming/textdedup.py:gopher_repetition_stateless).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ndup line here"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ndup line here"))
+            .otherwise(F.concat(F.lit("\nsolo "),
+                                F.col("doc_id").cast("string"))),
+            F.lit("\n\npara block one"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n\npara block one")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" " + ("spam " * 30).strip()))
+            .otherwise(F.lit("")),
+        ).alias("text"))
+    return gopher_repetition_stateless(synth)

@@ -109,6 +109,7 @@ def curate_stream(
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
+    gopher_repetition: bool | dict = False,
     quality_model=None,
     quality_threshold: float = 0.0,
     text_col: str = "text",
@@ -116,7 +117,8 @@ def curate_stream(
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
     (URL -> line-dedup -> ExactSubstr -> C4 -> diversity -> langid ->
-    Gopher -> quality) and return the curated frame: input columns (text
+    Gopher A1.1 -> Gopher A1.2 repetition -> quality) and return the
+    curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
     ``line_bloom`` / ``kgram_bloom`` to enable the landed-corpus rewrite
@@ -245,6 +247,21 @@ def curate_stream(
                                        id_col=id_col, keep_cols=keep,
                                        **opts)
         cur = flagged.filter(F.col("gopher_pass")).select(id_col, *keep)
+
+    if gopher_repetition:
+        # the A1.2 companion to the gopher stage, in the batch composer's
+        # order — one Arrow kernel per micro-batch, stateless
+        from condenser_spark.streaming.textdedup import (
+            gopher_repetition_stateless,
+        )
+
+        opts = (gopher_repetition
+                if isinstance(gopher_repetition, dict) else {})
+        keep = tuple(c for c in cur.columns if c != id_col)
+        flagged = gopher_repetition_stateless(
+            cur, text_col=text_col, id_col=id_col, keep_cols=keep, **opts)
+        cur = flagged.filter(F.col("gopher_rep_pass")).select(
+            id_col, *keep)
 
     if quality_model is not None:
         from condenser_spark.functions.quality import (

@@ -67,6 +67,7 @@ __all__ = [
     "dedup_lines_stream",
     "diversity_stats_stateless",
     "exact_substring_stream",
+    "gopher_repetition_stateless",
 ]
 
 
@@ -525,3 +526,146 @@ def diversity_stats_stateless(
         *[_ratio(f"distinct_{n}", n).alias(f"ratio_{n}")
           for n in (1, 2, 3)],
     )
+
+
+_REP_STRUCT = (
+    "n_lines bigint, dup_lines bigint, dupc_l bigint, allc_l bigint, "
+    "n_paras bigint, dup_paras bigint, dupc_p bigint, allc_p bigint, "
+    "tc bigint, c2 bigint, l2 bigint, c3 bigint, l3 bigint, "
+    "c4 bigint, l4 bigint"
+)
+
+
+def gopher_repetition_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+    max_top_4gram_char_frac: float = 0.16,
+) -> DataFrame:
+    """Stateless twin of :func:`functions.text.gopher_repetition_flags`
+    (Gopher A1.2) — the batch form needs per-unit groupBy aggregates
+    (illegal mid-stream); this one counts duplicate lines/paragraphs and
+    the top n-grams per row in ONE Arrow kernel (python Counters over
+    the JVM-split units, O(L)) and derives the rounded fractions and
+    flags JVM-side with the IDENTICAL expressions, so the batch DuckDB
+    oracle replays this form verbatim
+    (goldens_ext.ext_gopher_repetition_stream = batch/stream equality by
+    transitivity).  The published use is gating repetitive documents AT
+    INGEST (Gopher applies A1.2 between dedup and quality):
+    readStream -> gopher_repetition_stateless -> filter(gopher_rep_pass).
+    ``keep_cols`` is the standard passthrough contract
+    (streaming/curate.py's ``gopher_repetition=`` stage rides it)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(lines, paras, toks):
+        from collections import Counter
+
+        cols: dict[str, list] = {k: [] for k in (
+            "n_lines", "dup_lines", "dupc_l", "allc_l",
+            "n_paras", "dup_paras", "dupc_p", "allc_p",
+            "tc", "c2", "l2", "c3", "l3", "c4", "l4")}
+
+        def unit(us):
+            c = Counter(us)
+            n = sum(c.values())
+            dupc = sum(k * len(u) for u, k in c.items() if k > 1)
+            allc = sum(k * len(u) for u, k in c.items())
+            return n, n - len(c), dupc, allc
+
+        for ls, ps, ts in zip(lines, paras, toks):
+            ls = list(ls) if ls is not None else []
+            ps = list(ps) if ps is not None else []
+            ts = list(ts) if ts is not None else []
+            for pre, vals in (("l", unit(ls)), ("p", unit(ps))):
+                n, dup, dupc, allc = vals
+                cols[f"n_{'lines' if pre == 'l' else 'paras'}"].append(n)
+                cols[f"dup_{'lines' if pre == 'l' else 'paras'}"].append(
+                    dup)
+                cols[f"dupc_{pre}"].append(dupc)
+                cols[f"allc_{pre}"].append(allc)
+            cols["tc"].append(sum(len(t) for t in ts))
+            for n in (2, 3, 4):
+                grams = Counter(
+                    tuple(ts[i:i + n]) for i in range(len(ts) - n + 1))
+                if grams:
+                    # lexicographic (count, char_len) max == the batch
+                    # struct MAX tiebreak (most frequent, then longer)
+                    c, ln = max((k, sum(map(len, g)))
+                                for g, k in grams.items())
+                else:
+                    c, ln = 0, 0
+                cols[f"c{n}"].append(c)
+                cols[f"l{n}"].append(ln)
+        return pd.DataFrame(cols)
+
+    kernel = pandas_udf(_kernel, _REP_STRUCT)
+
+    def _units(sep: str):
+        return F.filter(
+            F.transform(F.split(F.col(text_col), sep),
+                        lambda u: F.trim(u)),
+            lambda u: u != "",
+        )
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "), " "),
+        lambda t: t != "",
+    )
+    out = df.select(
+        F.col(id_col).alias("_id"), *keep_cols,
+        kernel(_units("\n"), _units(r"\n\s*\n"), toks).alias("_r"),
+    )
+
+    def _frac(num: str, den: str):
+        return F.round(
+            F.when(F.col(f"_r.{den}") > 0,
+                   F.col(f"_r.{num}") / F.col(f"_r.{den}"))
+            .otherwise(F.lit(0.0)), 4)
+
+    def _top(n: int):
+        return F.round(
+            F.least(F.lit(1.0), F.when(
+                F.col("_r.tc") > 0,
+                (F.col(f"_r.c{n}") * F.col(f"_r.l{n}")).cast("double")
+                / F.col("_r.tc"),
+            ).otherwise(F.lit(0.0))), 4)
+
+    out = out.select(
+        F.col("_id").alias(id_col), *keep_cols,
+        F.col("_r.n_lines").alias("n_lines"),
+        F.col("_r.n_paras").alias("n_paras"),
+        _frac("dup_lines", "n_lines").alias("dup_line_frac"),
+        _frac("dupc_l", "allc_l").alias("dup_line_char_frac"),
+        _frac("dup_paras", "n_paras").alias("dup_para_frac"),
+        _frac("dupc_p", "allc_p").alias("dup_para_char_frac"),
+        *[_top(n).alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
+    )
+    flags = {
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "ok_dup_paras": F.col("dup_para_frac") <= max_dup_para_frac,
+        "ok_dup_line_chars":
+            F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+        "ok_dup_para_chars":
+            F.col("dup_para_char_frac") <= max_dup_para_char_frac,
+        "ok_top_2gram":
+            F.col("top_2gram_char_frac") <= max_top_2gram_char_frac,
+        "ok_top_3gram":
+            F.col("top_3gram_char_frac") <= max_top_3gram_char_frac,
+        "ok_top_4gram":
+            F.col("top_4gram_char_frac") <= max_top_4gram_char_frac,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    conj = F.lit(True)
+    for name in flags:
+        conj = conj & F.col(name)
+    return out.withColumn("gopher_rep_pass", conj)

@@ -257,3 +257,45 @@ def test_diversity_gate(spark, tmp_path):
         curate_stream(incoming, diversity={"bogus": 1.0})
     with _pytest.raises(ValueError, match="min_ratio"):
         curate_stream(incoming, diversity={})
+
+
+def test_gopher_repetition_stage_and_parity(spark, tmp_path):
+    """The A1.2 ingest gate: stateless flags equal the batch operator's
+    row-for-row on crafted docs (same rounded fractions, same flags),
+    the curate_stream stage filters on the conjunction, and the chain
+    runs identically on a real stream."""
+    from condenser_spark.functions.text import gopher_repetition_flags
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    clean = (" ".join(f"a{i} b{i}" for i in range(20)) + "\n"
+             + " ".join(f"c{i}" for i in range(20)) + "\n\n"
+             + " ".join(f"d{i}" for i in range(20)))
+    docs = spark.createDataFrame([
+        (1, clean, "en"),
+        (2, "same line\n" * 6 + "tail", "en"),
+        (3, ("spam blast " * 25).strip(), "en"),
+        (4, "para\n\npara\n\npara\n\nunique closing paragraph", "en"),
+    ], SCHEMA)
+
+    batch = {r.doc_id: r.asDict()
+             for r in gopher_repetition_flags(docs).collect()}
+    stream = {r.doc_id: r.asDict()
+              for r in gopher_repetition_stateless(docs).collect()}
+    assert batch == stream
+
+    out = curate_stream(docs, gopher_repetition=True)
+    assert sorted(r.doc_id for r in out.collect()) == [1]
+    assert out.columns == ["doc_id", "text", "lang"]
+
+    src, out_dir = str(tmp_path / "gsrc"), str(tmp_path / "gout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, gopher_repetition=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "gckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out_dir))
+    assert got == _rows(curate_stream(docs, gopher_repetition=True))
