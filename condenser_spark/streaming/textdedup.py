@@ -561,7 +561,10 @@ def gopher_repetition_stateless(
     INGEST (Gopher applies A1.2 between dedup and quality):
     readStream -> gopher_repetition_stateless -> filter(gopher_rep_pass).
     ``keep_cols`` is the standard passthrough contract
-    (streaming/curate.py's ``gopher_repetition=`` stage rides it)."""
+    (streaming/curate.py's ``gopher_repetition=`` stage rides it).
+    This is also the FASTER form at corpus scale — STRESS stage 27
+    measured it ~4.5x over the batch five-shuffle aggregate at 2M docs
+    (43.3k vs 9.5k docs/s) with identical outputs."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -1815,6 +1815,64 @@ def stage_winnow_overlap(spark, n_docs: int = 2_000_000) -> dict:
     }
 
 
+def stage_gopher_repetition(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 27: the Gopher A1.2 repetition table at 2M docs, BOTH forms.
+
+    Every doc: 20 unique token-pair words in one line, a second unique
+    line, a paragraph break, and a closing paragraph.  ODD ids append the
+    first line TWICE more (dup_line_frac = 2/4 = 0.5 > 0.3 -> fail);
+    EVEN ids stay clean and must pass every rule.  Expected EXACTLY n/2
+    passes from the batch form and the same n/2 from the stateless
+    kernel — batch/stream agreement asserted at 2M scale, and the
+    per-row-Counter Arrow kernel gets its required throughput number."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import gopher_repetition_flags
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    uid = lambda s: F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s)))
+    line1 = F.concat_ws(" ", *[uid(f"-w{j}") for j in range(10)])
+    body = F.concat_ws(
+        "\n",
+        line1,
+        F.concat_ws(" ", *[uid(f"-x{j}") for j in range(10)]),
+        F.lit(""),
+        F.concat_ws(" ", *[uid(f"-y{j}") for j in range(10)]),
+    )
+    text = F.when(
+        F.col("id") % 2 == 1,
+        F.concat_ws("\n", body, line1, line1),
+    ).otherwise(body)
+    path = f"{WORK}/gopherrep_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    n_batch = (gopher_repetition_flags(docs)
+               .filter("gopher_rep_pass").count())
+    batch_wall = time.time() - t0
+    t0 = time.time()
+    n_stream = (gopher_repetition_stateless(docs)
+                .filter("gopher_rep_pass").count())
+    stream_wall = time.time() - t0
+    assert n_batch == n_docs // 2, n_batch
+    assert n_stream == n_batch
+    return {
+        "stage": "gopher_repetition_2m",
+        "n_docs": n_docs,
+        "passes": n_batch,
+        "batch_wall_sec": round(batch_wall, 1),
+        "batch_docs_per_sec": round(n_docs / batch_wall),
+        "stateless_wall_sec": round(stream_wall, 1),
+        "stateless_docs_per_sec": round(n_docs / stream_wall),
+    }
+
+
 def stage_curate_stream(spark, n_docs: int = 1_000_000) -> dict:
     """Stage 25: the one-call stateless ingest chain (streaming/curate.py)
     end-to-end at 1M incoming docs vs a 1M-doc landed corpus — line dedup
@@ -1938,6 +1996,7 @@ def main() -> int:
         "diversity_winnow": lambda: stage_diversity_winnow(spark),
         "curate_stream": lambda: stage_curate_stream(spark),
         "winnow_overlap": lambda: stage_winnow_overlap(spark),
+        "gopher_repetition": lambda: stage_gopher_repetition(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
