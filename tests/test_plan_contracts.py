@@ -508,3 +508,22 @@ def test_corpus_overlap_sketch_joinless_one_pass(spark, source):
     # partial HLL sketches merge map-side: the only shuffle carries
     # sketch buffers, and the final row is a single aggregate
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_stateless_gate_chain_is_map_only(spark, source):
+    """The round-12 ingest gates keep the twins' stateless contract: a
+    curate_stream chain of diversity= AND gopher_repetition= must execute
+    with ZERO Exchange (pure per-row projection/filter — stream-legal,
+    no per-micro-batch shuffle at 100 TB) and exactly TWO Arrow evals
+    (one kernel per gate)."""
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"]
+    out = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                        diversity={"min_ratio_2": 0.3},
+                        gopher_repetition=True)
+    plan = _executed(out)
+    assert "Exchange" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               for l in plan.splitlines())
+    assert n_py == 2, plan
