@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_doremi_weights",
         "ext_gopher_repetition",
         "ext_gopher_repetition_stream",
+        "ext_script_stats",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

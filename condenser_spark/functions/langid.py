@@ -411,3 +411,57 @@ def language_top1_stateless(
     if keep_scores:
         return out
     return out.drop(*[f"score_{c}" for c in model.classes])
+
+
+_SCRIPTS: tuple[tuple[str, str], ...] = (
+    # (column stem, Java regex class — DuckDB RE2 spells it \p{Name};
+    # the oracle uses that form, parity pinned on planted multi-script
+    # fixtures in goldens_ext.ext_script_stats)
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("han", r"\p{IsHan}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hangul", r"\p{IsHangul}"),
+    ("hiragana", r"\p{IsHiragana}"),
+    ("katakana", r"\p{IsKatakana}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+    ("greek", r"\p{IsGreek}"),
+    ("digit", r"[0-9]"),
+    ("whitespace", r"\s"),
+)
+
+
+def script_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scripts: tuple[tuple[str, str], ...] = _SCRIPTS,
+) -> DataFrame:
+    """Per-document Unicode-SCRIPT composition — the CCNet/fastText-era
+    pre-langid signal: character fractions for the major scripts (Latin,
+    Cyrillic, Han, Arabic, Hangul, kana, Devanagari, Greek) plus digits
+    and whitespace, each ``count(script chars) / n_chars`` rounded to
+    4 dp.  Use it to gate mixed-script spam, route documents to
+    per-script language models, or drop docs whose dominant script
+    contradicts their claimed language — all BEFORE the (heavier)
+    n-gram classifier runs.
+
+    Counts are ``length(text) - length(regexp_replace(text, class, ''))``
+    — pure codegen expressions riding the scan, one projection, zero
+    shuffles, zero Python; at 100 TB this is a free column set on any
+    pass that already reads the text.  Java and RE2 agree on these
+    script classes (parity pinned by the DuckDB oracle over planted
+    multi-script fixtures).  ``scripts`` is overridable for additional
+    ``(name, java_regex_class)`` pairs; empty text yields zero
+    fractions."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    cols = [F.col(id_col), n.cast("long").alias("n_chars")]
+    for stem, pat in scripts:
+        cnt = n - F.length(F.regexp_replace(c, pat, ""))
+        cols.append(
+            F.round(
+                F.when(n > 0, cnt.cast("double") / n.cast("double"))
+                .otherwise(F.lit(0.0)), 4,
+            ).alias(f"{stem}_frac"))
+    return df.select(*cols)

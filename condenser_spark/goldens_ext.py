@@ -6372,3 +6372,68 @@ def ext_gopher_repetition_stream(spark: SparkSession,
             .otherwise(F.lit("")),
         ).alias("text"))
     return gopher_repetition_stateless(synth)
+
+
+_SCRIPT_SNIPPETS = [
+    "привет мир",          # cyrillic
+    "你好世界",             # han
+    "مرحبا بالعالم",        # arabic
+    "안녕하세요",            # hangul
+    "ひらがな カタカナ",      # hiragana + katakana
+    "नमस्ते κόσμος 42",      # devanagari + greek + digits
+]
+
+
+def _script_stats_sql() -> str:
+    whens = "\n".join(
+        f"             WHEN {j} THEN ' {s}'"
+        for j, s in enumerate(_SCRIPT_SNIPPETS))
+    fracs = ",\n".join(
+        f"""           ROUND(CASE WHEN length(text) > 0 THEN
+             CAST(length(text) - length(regexp_replace(text,
+               '{duck}', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 4) AS {stem}_frac"""
+        for stem, duck in [
+            ("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+            ("han", r"\p{Han}"), ("arabic", r"\p{Arabic}"),
+            ("hangul", r"\p{Hangul}"), ("hiragana", r"\p{Hiragana}"),
+            ("katakana", r"\p{Katakana}"),
+            ("devanagari", r"\p{Devanagari}"), ("greek", r"\p{Greek}"),
+            ("digit", "[0-9]"), ("whitespace", r"\s"),
+        ])
+    return rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 6 AS INTEGER)
+{whens}
+             END AS text
+      FROM documents
+    )
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+{fracs}
+    FROM synth
+    """
+
+
+@golden("ext_script_stats", _script_stats_sql())
+def ext_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script composition per document (the CCNet pre-langid
+    signal) over six planted multi-script stripes — Cyrillic, Han,
+    Arabic, Hangul, kana, Devanagari+Greek+digits appended to the Latin
+    fixture text — every script-class count and rounded fraction
+    replayed by DuckDB (Java \\p{{IsXxx}} vs RE2 \\p{{Xxx}} agreement is
+    exactly what this oracle pins)
+    (condenser_spark/functions/langid.py:script_stats).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.langid import script_stats
+
+    docs = _tables(spark, sf_dir)["documents"]
+    m = (F.col("doc_id") % 6).cast("int")
+    snippet = None
+    for j, s in enumerate(_SCRIPT_SNIPPETS):
+        snippet = (F.when(m == j, F.lit(" " + s)) if snippet is None
+                   else snippet.when(m == j, F.lit(" " + s)))
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), snippet).alias("text"))
+    return script_stats(synth)

@@ -196,3 +196,31 @@ def test_curate_language_id_stage_rewrites_lang(spark, model):
 
     with pytest.raises(ValueError, match="does not exist"):
         curate_corpus(df.drop("lang"), language_model=model)
+
+
+def test_script_stats_crafted(spark):
+    """Script fractions on crafted docs: dominant-script routing works,
+    fractions sum sensibly (every char is counted at most once per
+    class), empty/null text yields zeros."""
+    from condenser_spark.functions.langid import script_stats
+
+    docs = spark.createDataFrame([
+        (1, "hello world"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "mixed текст 123"),
+        (5, ""),
+        (6, None),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r for r in script_stats(docs).collect()}
+
+    assert out[1].latin_frac == round(10 / 11, 4)
+    assert out[1].cyrillic_frac == 0.0
+    assert out[2].cyrillic_frac == round(9 / 10, 4)
+    assert out[3].han_frac == 1.0 and out[3].whitespace_frac == 0.0
+    # mixed doc: latin 5, cyrillic 5, digits 3, spaces 2 of 15
+    assert out[4].latin_frac == round(5 / 15, 4)
+    assert out[4].cyrillic_frac == round(5 / 15, 4)
+    assert out[4].digit_frac == round(3 / 15, 4)
+    for i in (5, 6):
+        assert out[i].n_chars == 0 and out[i].latin_frac == 0.0
