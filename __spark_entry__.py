@@ -86,57 +86,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-12 instance (registry at rotation: 111 oracles + 4 rows-only,
-    # cycle = ceil(111/46) = 3 rounds).  In-cap priority went to the 19
-    # never/longest-waiting goldens — the 18 round-11 goldens
-    # (ext_url_curation … ext_diversity_stream, never driver-recorded) plus
-    # ext_zorder_value (twice-carried, promised the first slot) — then the
-    # first 27 of the 46 goldens recorded green in CORRECTNESS_r10 (past-cap
-    # one round).  The remaining 19 of those r10-greens carry over a second
-    # past-cap round (listed first below — they are the longest-waiting and
-    # rotate in-cap first next round), and the 46 goldens recorded green in
-    # CORRECTNESS_r11.json rotate out.  The cadence promise ("every oracle
-    # driver-recorded at least every `cycle` rounds") is asserted by
+    # Round-13 instance (registry at rotation: 121 oracles + 5 rows-only,
+    # cycle = ceil(121/45) = 3 rounds).  In-cap priority: the 19
+    # r10-recorded carryovers (past-cap two rounds — the longest-waiting),
+    # ext_ivf_cosine_topk (bumped mid-round-12 to make the rows-only slot),
+    # and the 10 round-12 goldens (never driver-recorded) = 30 slots; the
+    # remaining 15 filled from the head of the r11-recorded list
+    # (p2_where_predicate … ext_tfidf_top_terms).  Deprioritized below =
+    # the remaining 31 r11-recorded goldens (past-cap a second round,
+    # listed FIRST — they rotate in-cap next round) + the 45 goldens
+    # recorded green in CORRECTNESS_r12.json (rotate out).  The cadence
+    # promise ("every oracle driver-recorded at least every `cycle`
+    # rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against the
     # committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r10, past-cap r11, carry over a second round
+        # recorded green r11, past-cap r12, carry over a second round
         # (longest-waiting: first in-cap next rotation)
-        "ext_pack_sequences",
-        "ext_temperature_mix",
-        "ext_contamination_pairs",
-        "ext_hash_split",
-        "ext_weighted_mix",
-        "ext_heavy_hitters",
-        "ext_build_vocab",
-        "ext_repetition_stats",
-        "ext_semantic_dup_pairs",
-        "ext_quality_logit",
-        "ext_dsir_weights",
-        "ext_dsir_sample",
-        "ext_pq_encode",
-        "ext_pq_topk",
-        "ext_gopher_flags",
-        "ext_c4_clean",
-        "ext_near_dedup_best",
-        "ext_dsir_sample_grouped",
-        "ext_curate_basic",
-        # §2 + ext goldens recorded green in CORRECTNESS_r11 (rotate out)
-        "p2_where_predicate",
-        "p3_deterministic_percent_sample",
-        "p4_upstream_filter_injection",
-        "p5_limit_on_sorted",
-        "p6_null_key_tuple_drop",
-        "j4_closure_fetch_semi_join",
-        "ext_brute_force_cosine_topk",
-        "ext_simhash_near_pairs",
-        "ext_srp_cosine_topk",
-        "ext_embedding_dup_pairs",
-        "ext_multimodal_feature_meta",
-        "ext_filter_documents",
-        "ext_stratified_sample",
-        "ext_term_frequencies",
-        "ext_tfidf_top_terms",
         "ext_pack_sequences_sharded",
         "ext_take_token_budget",
         "ext_cap_per_group",
@@ -168,24 +134,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_collocation_scores",
         "ext_knn_graph",
         "ext_bigram_logprob",
-        # bumped mid-round to make an in-cap slot for the new FIFTH
-        # rows-only golden (ext_corpus_overlap_sketch, which must sit
-        # in-cap per invariant 1); recorded green r10, so still inside
-        # the cadence window — rotates in-cap next round with the
-        # 19 carryovers above
-        "ext_ivf_cosine_topk",
-        # new in round 12 (appended per the mid-round rule; rotate in-cap
-        # next round)
-        "ext_curate_stream_div",
-        "ext_winnow_overlap",
-        "ext_domain_prior",
-        "ext_curate_div",
-        "ext_d4_prune",
-        "ext_surt_key",
-        "ext_doremi_weights",
-        "ext_gopher_repetition",
-        "ext_gopher_repetition_stream",
-        "ext_script_stats",
+        # §2 + ext goldens recorded green in CORRECTNESS_r12 (rotate out)
+        "p1_fk_nullout_projection",
+        "j1_upstream_multi_edge_semi_join",
+        "j2_j3_missing_keys_anti_distinct",
+        "s8_referential_orphan_check",
+        "middle_out_percent_subset",
+        "middle_out_where_subset",
+        "middle_out_passthrough_excluded",
+        "ext_exact_dedup",
+        "ext_dedup_documents",
+        "ext_ngram_jaccard_pairs",
+        "ext_dup_clusters",
+        "ext_near_dedup_documents",
+        "ext_text_stats",
+        "ext_rolling_fingerprints",
+        "ext_shared_passages",
+        "ext_asof_join",
+        "ext_range_join_bucketed",
+        "ext_sessionize",
+        "ext_session_stats",
+        "ext_windowed_event_counts",
+        "ext_numeric_profile",
+        "ext_minhash_lsh_pairs",
+        "middle_out_breaks_upstream_filters",
+        "s9_write_dest_roundtrip",
+        "s7_teardown_removes_stale",
+        "s13_hook_dest_replace",
+        "ext_zorder_value",
+        "ext_url_curation",
+        "ext_url_dedup",
+        "ext_domain_stats",
+        "ext_curate_url",
+        "ext_prototype_prune",
+        "ext_dedup_lines_stream",
+        "ext_exact_substring_stream",
+        "ext_unimax_weights",
+        "ext_rrf_fuse",
+        "ext_soft_dedup_weights",
+        "ext_zipf_fit",
+        "ext_diversity_stats",
+        "ext_winnow_fingerprints",
+        "ext_corpus_overlap",
+        "ext_url_dedup_keep",
+        "ext_curate_stream",
+        "ext_curate_stream_url",
+        "ext_diversity_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
