@@ -232,7 +232,9 @@ def ngram_jaccard_pairs(
         )
         _log_dropped_hot_keys(hot, max_shingle_df,
                               "ngram_jaccard_pairs shingle")
-        exploded = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+        # no broadcast hint: the over-cap shingle set is unbounded at
+        # corpus scale — AQE picks broadcast only when it measures small
+        exploded = exploded.join(hot, "shingle", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     common = (

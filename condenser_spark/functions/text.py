@@ -1102,7 +1102,10 @@ def winnow_overlap_pairs(
             .select("fp")
         )
         _log_dropped_hot_keys(hot, max_fp_df, "winnow_overlap_pairs fp")
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+        # no broadcast hint: the over-cap fp set is corpus-derived and
+        # unbounded (millions of boilerplate fps on a large crawl) —
+        # AQE broadcasts when it measures small, shuffles when it isn't
+        fps = fps.join(hot, "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     common = (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

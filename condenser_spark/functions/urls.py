@@ -334,7 +334,11 @@ def load_blocklist(
         if not line or line.startswith(("//", ";")):
             continue
         line = _re.sub(r"^[a-z][a-z0-9+.-]*://", "", line)
-        host = line.split("/", 1)[0].split("?", 1)[0].split(":", 1)[0]
+        authority = line.split("/", 1)[0].split("?", 1)[0]
+        # strip a userinfo@ prefix BEFORE the port split — otherwise
+        # "user:pass@bad.com" parses to host "user" (bogus entry added,
+        # real domain never blocked)
+        host = authority.rsplit("@", 1)[-1].split(":", 1)[0]
         if not host or host.startswith("*"):
             continue
         labels = host.split(".")

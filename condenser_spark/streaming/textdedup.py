@@ -492,6 +492,19 @@ def diversity_stats_stateless(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    reserved = {"_id", "_r", "n_tokens",
+                "distinct_1", "distinct_2", "distinct_3",
+                "ratio_1", "ratio_2", "ratio_3"}
+    clash = sorted(reserved.intersection(keep_cols))
+    if clash:
+        # a passthrough column shadowing a stat column would make the
+        # output ambiguous and any downstream ratio filter resolve
+        # against the wrong one — fail loud instead
+        raise ValueError(
+            "keep_cols collide with diversity_stats output columns: "
+            f"{clash}; rename them before the stage"
+        )
+
     def _kernel(raw):
         nt, d1, d2, d3 = [], [], [], []
         for ts in raw:

@@ -220,3 +220,15 @@ def test_diversity_stateless_parity_and_stream(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert _rows(spark.read.parquet(out), cols) == want
+
+
+def test_diversity_stateless_keep_cols_collision_raises(spark):
+    import pytest as _pytest
+    from condenser_spark.streaming.textdedup import (
+        diversity_stats_stateless,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", 7)], "doc_id long, text string, n_tokens long")
+    with _pytest.raises(ValueError, match="keep_cols collide"):
+        diversity_stats_stateless(docs, keep_cols=("n_tokens",))
