@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_stream",
         "ext_curate_stream_url",
         "ext_diversity_stream",
+        # new in round 13 (appended per the mid-round rule; rotate
+        # in-cap the following round)
+        "ext_badwords",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -30,6 +30,7 @@ def curate_corpus(
     *,
     url_filter: bool | dict = False,
     line_dedup: bool | dict = False,
+    badwords=None,
     c4: bool | dict = False,
     diversity: dict | None = None,
     language_model=None,
@@ -77,6 +78,13 @@ def curate_corpus(
        Documents whose every line drops STAY, with empty text (the stage
        counts docs, not lines); Gopher's word-count rule drops them
        downstream, or add an ``extra_stages`` length filter.
+    0b. ``badwords`` — C4 SS2.2's FIRST rule
+       (:func:`functions.text.badwords_flags`): a word list (load with
+       :func:`functions.text.load_badwords`) or a kwargs dict
+       (``badwords=`` plus ``max_plan_literals``); DROPS any document
+       containing a listed word (whole-word boundary — "ass" does not
+       hit "class").  One codegen regex riding the scan for every
+       published list size.
     1. ``c4`` — :func:`functions.text.c4_clean`: True or a kwargs dict;
        drops ``doc_ok=False`` docs and REPLACES ``text_col`` with the
        cleaned text (downstream stages see clean lines).
@@ -132,8 +140,8 @@ def curate_corpus(
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"c4_clean"``,
-    ``"diversity_gate"``, ``"language_id"``,
+    ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"badwords"``,
+    ``"c4_clean"``, ``"diversity_gate"``, ``"language_id"``,
     ``"gopher_rules"``, ``"gopher_repetition"``, ``"exact_dedup"``,
     ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
@@ -167,8 +175,8 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "url_filter", "line_dedup", "c4_clean",
-                "diversity_gate", "language_id",
+    _ANCHORS = ("start", "url_filter", "line_dedup", "badwords",
+                "c4_clean", "diversity_gate", "language_id",
                 "gopher_rules", "gopher_repetition", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
@@ -236,6 +244,18 @@ def curate_corpus(
                   else F.col(c) for c in cur.columns]),
         )
         _apply_extra("line_dedup")
+    if badwords is not None:
+        from condenser_spark.functions.text import badwords_flags
+
+        opts = (dict(badwords) if isinstance(badwords, dict)
+                else {"badwords": badwords})
+        flagged = badwords_flags(cur, text_col=text_col, id_col=id_col,
+                                 **opts)
+        cur = _record(
+            "badwords",
+            flagged.filter(~F.col("badwords_hit")).select(*cur.columns),
+        )
+        _apply_extra("badwords")
     if c4:
         from condenser_spark.functions.text import c4_clean
 
@@ -311,12 +331,26 @@ def curate_corpus(
         )
         _apply_extra("gopher_rules")
     if gopher_repetition:
-        from condenser_spark.functions.text import gopher_repetition_flags
-
         opts = (gopher_repetition
                 if isinstance(gopher_repetition, dict) else {})
-        flags = gopher_repetition_flags(cur, text_col=text_col,
-                                        id_col=id_col, **opts)
+        if any(k.startswith("max_dup_") and k.endswith("gram_char_frac")
+               for k in opts):
+            # the duplicated 5..10-gram coverage rows (A1.2 rows 7-12)
+            # only exist in the stateless kernel (batch-legal, and the
+            # faster form — STRESS 27); switch when they are requested
+            from condenser_spark.streaming.textdedup import (
+                gopher_repetition_stateless,
+            )
+
+            flags = gopher_repetition_stateless(
+                cur, text_col=text_col, id_col=id_col, **opts)
+        else:
+            from condenser_spark.functions.text import (
+                gopher_repetition_flags,
+            )
+
+            flags = gopher_repetition_flags(cur, text_col=text_col,
+                                            id_col=id_col, **opts)
         cur = _record(
             "gopher_repetition",
             cur.join(flags.filter(F.col("gopher_rep_pass"))

@@ -616,6 +616,103 @@ def c4_clean(
     )
 
 
+def load_badwords(lines) -> tuple[str, ...]:
+    """Parse a caller-supplied bad-words list (one entry per line — the
+    LDNOOBW-style per-language lists C4 §2.2 filters on) into the
+    ``badwords`` argument of :func:`badwords_flags` /
+    ``curate_corpus(badwords=)``.  Same pure-I/O contract as
+    ``urls.load_blocklist``: the caller owns file/network access, the
+    function only normalizes lines — ``#``/``;``/``//`` comments and
+    blanks dropped, entries lower-cased, inner whitespace collapsed to
+    single spaces (multi-word entries match phrases)."""
+    import re as _re
+
+    out: set[str] = set()
+    for raw in lines:
+        line = raw.split("#", 1)[0].strip().lower()
+        if not line or line.startswith(("//", ";")):
+            continue
+        out.add(_re.sub(r"\s+", " ", line))
+    return tuple(sorted(out))
+
+
+def badwords_flags(
+    df: DataFrame,
+    badwords,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "badwords_hit",
+    max_plan_literals: int = 10_000,
+) -> DataFrame:
+    """C4 SS2.2's FIRST rule (Raffel et al. 2020): flag any document
+    containing a word from a caller-supplied "bad words" list (the
+    most-replicated filter in the C4/FineWeb lineage; the published
+    lists are the LDNOOBW per-language files — load with
+    :func:`load_badwords`).  Adds ``out_col`` (boolean, never NULL) to
+    the input frame; the curate stages filter on it.
+
+    Boundary semantics (the "ass" vs "class" problem): an entry matches
+    only as a whole word — a maximal ``[a-z0-9_]`` run of the
+    lower-cased, whitespace-normalized text — so "ass" does NOT hit
+    "class" or "massive" but does hit "ass." and "(ass)".  Multi-word
+    entries match with single internal spaces against the normalized
+    text.  This is the published regex's convention
+    (``(^|\\W)(word)(\\W|$)`` over the lowercased page).
+
+    Two regimes, the ``curate_urls`` plan-literal split:
+
+    * ``len(badwords) <= max_plan_literals`` — ONE codegen alternation
+      regex (entries ``re.escape``'d) riding the scan: zero shuffles,
+      zero Python, stream-legal, and DuckDB-replayable (RE2 and Java
+      agree on this pattern class; goldens_ext.ext_badwords pins it).
+      Every published list (~100-2,000 entries) lands here.
+    * past the cap — single-word entries probe a BROADCAST exploded
+      token semi-join (tokens = maximal ``[a-z0-9_]`` runs, identical
+      hit set by construction); a distinct + left join restores the
+      per-document boolean.  Batch-only (the distinct is illegal
+      mid-stream); multi-word entries past the cap raise — split the
+      list or raise the cap.
+    """
+    import re as _re
+
+    words = tuple(badwords)
+    if not words or any(not w for w in words):
+        raise ValueError("badwords must be a non-empty list of "
+                         "non-empty entries (see load_badwords)")
+    norm = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+        r"\s+", " ")
+    if len(words) <= max_plan_literals:
+        pat = ("(^|[^a-z0-9_])("
+               + "|".join(_re.escape(w) for w in sorted(words))
+               + ")([^a-z0-9_]|$)")
+        return df.withColumn(out_col, norm.rlike(pat))
+    phrases = sorted(w for w in words if " " in w)
+    if phrases:
+        raise ValueError(
+            f"{len(phrases)} multi-word entries past max_plan_literals="
+            f"{max_plan_literals} (e.g. {phrases[0]!r}); the token-join "
+            "regime matches single words only — raise the cap or split "
+            "the list")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[^a-z0-9_]+"),
+        lambda t: t != "")
+    words_df = df.sparkSession.createDataFrame(
+        [(w,) for w in words], "_bw string")
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("_bw"))
+        .join(F.broadcast(words_df), "_bw", "left_semi")
+        .select(id_col).distinct()
+        .withColumn("_bw_hit", F.lit(True))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col("_bw_hit"), F.lit(False)))
+        .drop("_bw_hit")
+    )
+
+
 def duplicated_ngram_starts(
     df: DataFrame,
     k: int = 50,
@@ -1147,24 +1244,29 @@ def gopher_repetition_flags(
 
     duplicate line / paragraph FRACTIONS (extra copies of repeated units
     over total units), duplicate line / paragraph CHARACTER fractions
-    (characters inside repeated units over all unit characters — long
-    boilerplate weighs more), and top-{2,3,4}-gram character fractions
-    (characters covered by the single most frequent n-gram:
-    ``count * gram_chars / total_token_chars``, most-frequent ties
-    broken toward the longer gram — a deterministic struct max both
-    engines replay; occurrences counted WITH overlap, the published
-    implementations' convention, so the product is clamped to 1.0 — a
+    (characters in the occurrences AFTER THE FIRST of each repeated
+    unit, ``(cnt-1) * len(unit)`` over TOTAL document characters — the
+    published implementations' convention, DataTrove / NeMo Curator /
+    RedPajama, so the paper's 0.20 default thresholds apply as written),
+    and top-{2,3,4}-gram character fractions (characters covered by the
+    single most frequent n-gram: ``count * gram_chars /
+    total_token_chars``, most-frequent ties broken toward the longer
+    gram — a deterministic struct max both engines replay; occurrences
+    counted WITH overlap, so the product is clamped to 1.0 — a
     degenerate "x y x y x" doc would otherwise exceed it).
     ``gopher_rep_pass`` is the conjunction at the paper's thresholds
     (defaults above).
 
-    DECLARED OUT OF SCOPE: A1.2's duplicated 5..10-gram character
-    fractions — their exact semantics is character COVERAGE of the
-    union of duplicated n-gram spans, i.e. the ExactSubstr interval
-    machinery; this library REMOVES those spans outright
-    (:func:`exact_substring_dedup` / :func:`duplicated_ngram_starts`)
-    rather than scoring them, so the scoring twin is deliberately not
-    duplicated here.
+    SQL-NATIVE SCOPE: this form scores A1.2 rows 1-6 (the per-unit
+    aggregates).  The duplicated 5..10-gram character-coverage rows
+    (7-12) need a per-doc interval union; the stateless twin
+    :func:`streaming.textdedup.gopher_repetition_stateless` scores the
+    COMPLETE 12-rule table (it is batch-legal and measured ~4.5x faster
+    at corpus scale — STRESS 27), and
+    ``curate_corpus(gopher_repetition=...)`` switches to it
+    automatically when any ``max_dup_{5..10}gram_char_frac`` threshold
+    is passed.  The span-REMOVAL machinery for the same statistics is
+    :func:`exact_substring_dedup` / :func:`duplicated_ngram_starts`.
 
     Paragraphs split on blank lines (``\\n\\n``), lines on ``\\n``, both
     trimmed and empty-dropped; n-grams over lower-cased
@@ -1180,7 +1282,11 @@ def gopher_repetition_flags(
     vs 9.5k docs/s) than this five-shuffle form; prefer it for
     corpus-wide scoring, and keep this form when the pipeline must stay
     Python-free or the per-unit aggregates need pure-SQL replay."""
-    base = df.select(F.col(id_col).alias("id"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.length(F.col(text_col)).cast("long"),
+                   F.lit(0).cast("long")).alias("_dl"),
+    )
 
     def _unit_stats(sep_regex: str, prefix: str):
         units = F.filter(
@@ -1197,13 +1303,13 @@ def gopher_repetition_flags(
             .agg(
                 F.sum("cnt").alias(f"n_{prefix}"),
                 (F.sum("cnt") - F.count("*")).alias(f"_dup_{prefix}"),
+                # chars of occurrences AFTER the first — the published
+                # (DataTrove find_duplicates) convention
                 F.sum(
                     F.when(F.col("cnt") > 1,
-                           F.col("cnt") * F.length("u"))
+                           (F.col("cnt") - 1) * F.length("u"))
                     .otherwise(F.lit(0))
                 ).alias(f"_dupc_{prefix}"),
-                F.sum(F.col("cnt") * F.length("u"))
-                .alias(f"_allc_{prefix}"),
             )
         )
 
@@ -1262,6 +1368,13 @@ def gopher_repetition_flags(
             F.when(F.coalesce(den, zero) > 0,
                    F.col(num) / F.col(den)).otherwise(F.lit(0.0)), 4)
 
+    def _docfrac(num):
+        # published convention: denominator = total document chars
+        return F.round(
+            F.when(F.col("_dl") > 0,
+                   F.coalesce(F.col(num), zero) / F.col("_dl"))
+            .otherwise(F.lit(0.0)), 4)
+
     out = (
         base.join(lines, "id", "left")
         .join(paras, "id", "left")
@@ -1273,11 +1386,9 @@ def gopher_repetition_flags(
             F.coalesce("n_lines", zero).alias("n_lines"),
             F.coalesce("n_paras", zero).alias("n_paras"),
             _frac("_dup_lines", "n_lines").alias("dup_line_frac"),
-            _frac("_dupc_lines", "_allc_lines")
-            .alias("dup_line_char_frac"),
+            _docfrac("_dupc_lines").alias("dup_line_char_frac"),
             _frac("_dup_paras", "n_paras").alias("dup_para_frac"),
-            _frac("_dupc_paras", "_allc_paras")
-            .alias("dup_para_char_frac"),
+            _docfrac("_dupc_paras").alias("dup_para_char_frac"),
             *[F.coalesce(f"top_{n}gram_char_frac", F.lit(0.0))
               .alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
         )

@@ -6154,7 +6154,7 @@ def ext_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                           group_col="lang", eta=0.5, smoothing=0.1)
 
 
-_GOPHER_REP_SQL = r"""
+_GOPHER_REP_COMMON = r"""
     WITH synth AS (
       SELECT doc_id,
              text
@@ -6169,6 +6169,10 @@ _GOPHER_REP_SQL = r"""
                      ELSE '' END
              || CASE WHEN doc_id % 5 = 0
                      THEN ' ' || trim(repeat('spam ', 30))
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ' || trim(repeat(
+                          'pq1 pq2 pq3 pq4 pq5 pq6 pq7 ', 2))
                      ELSE '' END AS text
       FROM documents
     ),
@@ -6176,9 +6180,8 @@ _GOPHER_REP_SQL = r"""
       SELECT doc_id,
              CAST(SUM(cnt) AS BIGINT) AS n_lines,
              CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_lines,
-             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(u)
-                      ELSE 0 END) AS BIGINT) AS dupc_l,
-             CAST(SUM(cnt * length(u)) AS BIGINT) AS allc_l
+             CAST(SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(u)
+                      ELSE 0 END) AS BIGINT) AS dupc_l
       FROM (
         SELECT doc_id, u, COUNT(*) AS cnt FROM (
           SELECT doc_id, trim(x) AS u
@@ -6192,9 +6195,8 @@ _GOPHER_REP_SQL = r"""
       SELECT doc_id,
              CAST(SUM(cnt) AS BIGINT) AS n_paras,
              CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_paras,
-             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(u)
-                      ELSE 0 END) AS BIGINT) AS dupc_p,
-             CAST(SUM(cnt * length(u)) AS BIGINT) AS allc_p
+             CAST(SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(u)
+                      ELSE 0 END) AS BIGINT) AS dupc_p
       FROM (
         SELECT doc_id, u, COUNT(*) AS cnt FROM (
           SELECT doc_id, trim(x) AS u
@@ -6258,22 +6260,25 @@ _GOPHER_REP_SQL = r"""
               FROM tchars WHERE len(arr) >= 4)
         GROUP BY doc_id, tc, g
       ) GROUP BY doc_id
-    ),
-    joined AS (
+    )"""
+
+_GOPHER_REP_BASE_COLS = r"""
       SELECT d.doc_id,
              COALESCE(l.n_lines, 0) AS n_lines,
              COALESCE(p.n_paras, 0) AS n_paras,
              ROUND(CASE WHEN COALESCE(l.n_lines, 0) > 0
                    THEN CAST(l.dup_lines AS DOUBLE) / l.n_lines
                    ELSE 0.0 END, 4) AS dup_line_frac,
-             ROUND(CASE WHEN COALESCE(l.allc_l, 0) > 0
-                   THEN CAST(l.dupc_l AS DOUBLE) / l.allc_l
+             ROUND(CASE WHEN COALESCE(length(d.text), 0) > 0
+                   THEN CAST(COALESCE(l.dupc_l, 0) AS DOUBLE)
+                        / length(d.text)
                    ELSE 0.0 END, 4) AS dup_line_char_frac,
              ROUND(CASE WHEN COALESCE(p.n_paras, 0) > 0
                    THEN CAST(p.dup_paras AS DOUBLE) / p.n_paras
                    ELSE 0.0 END, 4) AS dup_para_frac,
-             ROUND(CASE WHEN COALESCE(p.allc_p, 0) > 0
-                   THEN CAST(p.dupc_p AS DOUBLE) / p.allc_p
+             ROUND(CASE WHEN COALESCE(length(d.text), 0) > 0
+                   THEN CAST(COALESCE(p.dupc_p, 0) AS DOUBLE)
+                        / length(d.text)
                    ELSE 0.0 END, 4) AS dup_para_char_frac,
              COALESCE(ROUND(LEAST(1.0, CASE WHEN g2.tc > 0
                    THEN CAST((g2.m).c * (g2.m).l AS DOUBLE) / g2.tc
@@ -6283,7 +6288,26 @@ _GOPHER_REP_SQL = r"""
                    ELSE 0.0 END), 4), 0.0) AS top_3gram_char_frac,
              COALESCE(ROUND(LEAST(1.0, CASE WHEN g4.tc > 0
                    THEN CAST((g4.m).c * (g4.m).l AS DOUBLE) / g4.tc
-                   ELSE 0.0 END), 4), 0.0) AS top_4gram_char_frac
+                   ELSE 0.0 END), 4), 0.0) AS top_4gram_char_frac"""
+
+_GOPHER_REP_BASE_FLAGS = r"""
+           dup_line_frac <= 0.30 AS ok_dup_lines,
+           dup_para_frac <= 0.30 AS ok_dup_paras,
+           dup_line_char_frac <= 0.20 AS ok_dup_line_chars,
+           dup_para_char_frac <= 0.20 AS ok_dup_para_chars,
+           top_2gram_char_frac <= 0.20 AS ok_top_2gram,
+           top_3gram_char_frac <= 0.18 AS ok_top_3gram,
+           top_4gram_char_frac <= 0.16 AS ok_top_4gram"""
+
+_GOPHER_REP_BASE_CONJ = r"""dup_line_frac <= 0.30
+           AND dup_para_frac <= 0.30
+           AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+           AND top_2gram_char_frac <= 0.20
+           AND top_3gram_char_frac <= 0.18
+           AND top_4gram_char_frac <= 0.16"""
+
+_GOPHER_REP_SQL = f"""{_GOPHER_REP_COMMON},
+    joined AS ({_GOPHER_REP_BASE_COLS}
       FROM synth d
       LEFT JOIN lstats l USING (doc_id)
       LEFT JOIN pstats p USING (doc_id)
@@ -6291,19 +6315,100 @@ _GOPHER_REP_SQL = r"""
       LEFT JOIN g3 USING (doc_id)
       LEFT JOIN g4 USING (doc_id)
     )
-    SELECT *,
-           dup_line_frac <= 0.30 AS ok_dup_lines,
-           dup_para_frac <= 0.30 AS ok_dup_paras,
-           dup_line_char_frac <= 0.20 AS ok_dup_line_chars,
-           dup_para_char_frac <= 0.20 AS ok_dup_para_chars,
-           top_2gram_char_frac <= 0.20 AS ok_top_2gram,
-           top_3gram_char_frac <= 0.18 AS ok_top_3gram,
-           top_4gram_char_frac <= 0.16 AS ok_top_4gram,
-           dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
-           AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
-           AND top_2gram_char_frac <= 0.20
-           AND top_3gram_char_frac <= 0.18
-           AND top_4gram_char_frac <= 0.16 AS gopher_rep_pass
+    SELECT *,{_GOPHER_REP_BASE_FLAGS},
+           {_GOPHER_REP_BASE_CONJ} AS gopher_rep_pass
+    FROM joined
+"""
+
+# the stream/stateless oracle adds A1.2 rows 7-12: duplicated
+# 5..10-gram character COVERAGE — per (doc, n), the union of the char
+# intervals of every occurrence of n-grams appearing >= 2x, in the
+# space-joined token stream (classic gaps-and-islands interval merge),
+# divided by total document chars
+_GOPHER_REP_STREAM_SQL = f"""{_GOPHER_REP_COMMON},
+    tokidx AS (
+      SELECT doc_id, i, tok,
+             CAST(COALESCE(SUM(length(tok) + 1) OVER (
+                 PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS s
+      FROM (SELECT doc_id,
+                   unnest(arr) AS tok,
+                   unnest(generate_series(1, len(arr))) AS i
+            FROM tok)
+    ),
+    gramrows AS (
+      SELECT k.doc_id, ns.n, k.s,
+             k.s + CAST(length(array_to_string(
+                 t.arr[k.i : k.i + ns.n - 1], ' ')) AS BIGINT) AS e,
+             array_to_string(t.arr[k.i : k.i + ns.n - 1], ' ') AS gram
+      FROM tokidx k
+      JOIN tok t USING (doc_id)
+      CROSS JOIN (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n) ns
+      WHERE k.i + ns.n - 1 <= len(t.arr)
+    ),
+    dupivals AS (
+      SELECT doc_id, n, s, e
+      FROM (SELECT doc_id, n, s, e,
+                   COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt
+            FROM gramrows)
+      WHERE cnt >= 2
+    ),
+    islands AS (
+      SELECT doc_id, n, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id, n ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS isl
+      FROM (SELECT doc_id, n, s, e,
+                   MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM dupivals)
+    ),
+    cov AS (
+      SELECT doc_id, n, CAST(SUM(mx - mn) AS BIGINT) AS covered
+      FROM (SELECT doc_id, n, isl, MIN(s) AS mn, MAX(e) AS mx
+            FROM islands GROUP BY doc_id, n, isl)
+      GROUP BY doc_id, n
+    ),
+    covp AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 5 THEN covered END) AS cov5,
+             MAX(CASE WHEN n = 6 THEN covered END) AS cov6,
+             MAX(CASE WHEN n = 7 THEN covered END) AS cov7,
+             MAX(CASE WHEN n = 8 THEN covered END) AS cov8,
+             MAX(CASE WHEN n = 9 THEN covered END) AS cov9,
+             MAX(CASE WHEN n = 10 THEN covered END) AS cov10
+      FROM cov GROUP BY doc_id
+    ),
+    joined AS ({_GOPHER_REP_BASE_COLS},
+             {', '.join(
+        f'''ROUND(CASE WHEN COALESCE(length(d.text), 0) > 0
+                   THEN CAST(COALESCE(cp.cov{n}, 0) AS DOUBLE)
+                        / length(d.text)
+                   ELSE 0.0 END, 4) AS dup_{n}gram_char_frac'''
+        for n in range(5, 11))}
+      FROM synth d
+      LEFT JOIN lstats l USING (doc_id)
+      LEFT JOIN pstats p USING (doc_id)
+      LEFT JOIN g2 USING (doc_id)
+      LEFT JOIN g3 USING (doc_id)
+      LEFT JOIN g4 USING (doc_id)
+      LEFT JOIN covp cp USING (doc_id)
+    )
+    SELECT *,{_GOPHER_REP_BASE_FLAGS},
+           {', '.join(
+        f'dup_{n}gram_char_frac <= {t} AS ok_dup_{n}gram'
+        for n, t in ((5, 0.15), (6, 0.14), (7, 0.13),
+                     (8, 0.12), (9, 0.11), (10, 0.10)))},
+           {_GOPHER_REP_BASE_CONJ}
+           {' '.join(
+        f'AND dup_{n}gram_char_frac <= {t}'
+        for n, t in ((5, 0.15), (6, 0.14), (7, 0.13),
+                     (8, 0.12), (9, 0.11), (10, 0.10)))}
+           AS gopher_rep_pass
     FROM joined
 """
 
@@ -6336,18 +6441,25 @@ def ext_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 5 == 0,
                    F.lit(" " + ("spam " * 30).strip()))
             .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" " + ("pq1 pq2 pq3 pq4 pq5 pq6 pq7 " * 2)
+                         .strip()))
+            .otherwise(F.lit("")),
         ).alias("text"))
     return gopher_repetition_flags(synth)
 
 
-@golden("ext_gopher_repetition_stream", _GOPHER_REP_SQL)
+@golden("ext_gopher_repetition_stream", _GOPHER_REP_STREAM_SQL)
 def ext_gopher_repetition_stream(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
-    """The stateless (ingest) form of the Gopher A1.2 repetition table —
-    one Arrow kernel of per-row Counters instead of the batch explode
-    aggregates — under the SAME full DuckDB replay as
-    ext_gopher_repetition, which also pins batch/stream equality by
-    transitivity
+    """The COMPLETE Gopher A1.2 repetition table (all 12 published
+    rules) in its stateless (ingest) form — one Arrow kernel of per-row
+    Counters instead of the batch explode aggregates, PLUS the
+    duplicated 5..10-gram character-coverage rows (interval union per
+    doc) the SQL-native batch form does not score; the DuckDB replay
+    recomputes the coverage via a gaps-and-islands interval merge over
+    the token stream.  The shared A1.2 rows 1-6 also pin batch/stream
+    equality by transitivity with ext_gopher_repetition
     (condenser_spark/streaming/textdedup.py:gopher_repetition_stateless).
     Registered past the driver's 50-slot cap; verified per-pytest by
     tests/test_overflow_oracles.py."""
@@ -6369,6 +6481,10 @@ def ext_gopher_repetition_stream(spark: SparkSession,
                    F.lit("\n\npara block one")).otherwise(F.lit("")),
             F.when(F.col("doc_id") % 5 == 0,
                    F.lit(" " + ("spam " * 30).strip()))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" " + ("pq1 pq2 pq3 pq4 pq5 pq6 pq7 " * 2)
+                         .strip()))
             .otherwise(F.lit("")),
         ).alias("text"))
     return gopher_repetition_stateless(synth)
@@ -6437,3 +6553,56 @@ def ext_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         "doc_id", F.concat(F.col("text"), snippet).alias("text"))
     return script_stats(synth)
+
+
+_BADWORDS_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' the class massively assures'
+             || CASE WHEN doc_id % 3 = 0 THEN ' grawlix' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' Ass.' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' bad  phrase indeed' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(regexp_matches(
+             regexp_replace(lower(trim(COALESCE(text, ''))),
+                            '\s+', ' ', 'g'),
+             '(^|[^a-z0-9_])(ass|bad\ phrase|grawlix)([^a-z0-9_]|$)'
+           ), FALSE) AS badwords_hit
+    FROM synth
+"""
+
+
+@golden("ext_badwords", _BADWORDS_SQL)
+def ext_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 SS2.2's first rule (the bad-words document gate, Raffel 2020)
+    over planted boundary shapes: EVERY doc carries the substring traps
+    ("class"/"massively"/"assures" must NOT hit "ass"), every 3rd doc a
+    clean single-word hit, every 5th a punctuation-and-case boundary hit
+    ("Ass." -> normalized "ass."), every 7th a multi-word phrase hit
+    with collapsed inner whitespace ("bad  phrase" -> "bad phrase") —
+    the codegen alternation-regex regime replayed verbatim by DuckDB
+    (RE2 and Java agree on this pattern class)
+    (condenser_spark/functions/text.py:badwords_flags).  Registered past
+    the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import badwords_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" the class massively assures"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" grawlix")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" Ass.")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit(" bad  phrase indeed")).otherwise(F.lit("")),
+        ).alias("text"))
+    return badwords_flags(
+        synth, ("ass", "grawlix", "bad phrase")
+    ).select("doc_id", "badwords_hit")

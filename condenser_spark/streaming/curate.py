@@ -104,6 +104,7 @@ def curate_stream(
     strip_digits: bool = False,
     kgram_bloom: ShingleBloom | None = None,
     k: int = 50,
+    badwords=None,
     c4: bool | dict = False,
     diversity: dict | None = None,
     language_model=None,
@@ -116,7 +117,8 @@ def curate_stream(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
-    (URL -> line-dedup -> ExactSubstr -> C4 -> diversity -> langid ->
+    (URL -> line-dedup -> ExactSubstr -> badwords -> C4 -> diversity
+    -> langid ->
     Gopher A1.1 -> Gopher A1.2 repetition -> quality) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
@@ -174,6 +176,27 @@ def curate_stream(
         for old, new in _ES_AUDIT.items():
             out = out.withColumnRenamed(old, new)
         cur = out
+
+    if badwords is not None:
+        # C4 SS2.2's first rule, before the line rules: one codegen
+        # alternation regex riding the scan — stream-legal by
+        # construction (the past-cap token-join regime is batch-only
+        # and raises here via max_plan_literals)
+        from condenser_spark.functions.text import badwords_flags
+
+        opts = (dict(badwords) if isinstance(badwords, dict)
+                else {"badwords": badwords})
+        n_words = len(tuple(opts.get("badwords", ())))
+        cap = opts.get("max_plan_literals", 10_000)
+        if n_words > cap:
+            raise ValueError(
+                f"badwords list ({n_words} entries) exceeds "
+                f"max_plan_literals={cap}: the fallback token-join "
+                "regime needs a distinct (illegal mid-stream) — raise "
+                "max_plan_literals or gate in batch")
+        flagged = badwords_flags(cur, text_col=text_col, id_col=id_col,
+                                 **opts)
+        cur = flagged.filter(~F.col("badwords_hit")).drop("badwords_hit")
 
     if c4:
         from condenser_spark.functions.text import c4_clean

@@ -542,10 +542,11 @@ def diversity_stats_stateless(
 
 
 _REP_STRUCT = (
-    "n_lines bigint, dup_lines bigint, dupc_l bigint, allc_l bigint, "
-    "n_paras bigint, dup_paras bigint, dupc_p bigint, allc_p bigint, "
+    "n_lines bigint, dup_lines bigint, dupc_l bigint, "
+    "n_paras bigint, dup_paras bigint, dupc_p bigint, "
     "tc bigint, c2 bigint, l2 bigint, c3 bigint, l3 bigint, "
-    "c4 bigint, l4 bigint"
+    "c4 bigint, l4 bigint, cov5 bigint, cov6 bigint, cov7 bigint, "
+    "cov8 bigint, cov9 bigint, cov10 bigint"
 )
 
 
@@ -561,52 +562,121 @@ def gopher_repetition_stateless(
     max_top_2gram_char_frac: float = 0.20,
     max_top_3gram_char_frac: float = 0.18,
     max_top_4gram_char_frac: float = 0.16,
+    max_dup_5gram_char_frac: float = 0.15,
+    max_dup_6gram_char_frac: float = 0.14,
+    max_dup_7gram_char_frac: float = 0.13,
+    max_dup_8gram_char_frac: float = 0.12,
+    max_dup_9gram_char_frac: float = 0.11,
+    max_dup_10gram_char_frac: float = 0.10,
 ) -> DataFrame:
-    """Stateless twin of :func:`functions.text.gopher_repetition_flags`
-    (Gopher A1.2) — the batch form needs per-unit groupBy aggregates
-    (illegal mid-stream); this one counts duplicate lines/paragraphs and
-    the top n-grams per row in ONE Arrow kernel (python Counters over
-    the JVM-split units, O(L)) and derives the rounded fractions and
-    flags JVM-side with the IDENTICAL expressions, so the batch DuckDB
-    oracle replays this form verbatim
-    (goldens_ext.ext_gopher_repetition_stream = batch/stream equality by
-    transitivity).  The published use is gating repetitive documents AT
-    INGEST (Gopher applies A1.2 between dedup and quality):
+    """The COMPLETE Gopher A1.2 repetition table (Rae et al. 2021,
+    appendix table A1 rows 1-12) — all 12 published rules, including the
+    duplicated 5..10-gram character-coverage fractions the batch form
+    (:func:`functions.text.gopher_repetition_flags`) declares out of
+    SQL-native scope.  One Arrow kernel of per-row Counters over the
+    JVM-split units (O(L) per doc per rule); fractions and flags derived
+    JVM-side so the DuckDB oracle replays the whole table
+    (goldens_ext.ext_gopher_repetition_stream).  Stream-legal AND
+    batch-legal; STRESS stage 27 measured it ~4.5x FASTER than the batch
+    five-shuffle aggregate at 2M docs (43.3k vs 9.5k docs/s) — the
+    preferred corpus-scoring form.
+
+    Conventions (matching the published implementations — DataTrove /
+    NeMo Curator / RedPajama — so the paper's default thresholds apply
+    as written):
+
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: characters in the
+      occurrences AFTER THE FIRST of each repeated unit
+      (``(cnt-1) * len(unit)``, trimmed units) over TOTAL document
+      characters (``length(text)``).
+    - ``top_{2,3,4}gram_char_frac``: char mass of the single most
+      frequent n-gram's occurrences (with overlap, ties to the longer
+      gram, clamped to 1.0) over total token characters.
+    - ``dup_{5..10}gram_char_frac``: characters covered by the UNION of
+      the character intervals of every occurrence of n-grams appearing
+      >= 2x in the doc (the paper's "taking care not to count characters
+      more than once"), measured in the normalized token stream (tokens
+      joined by single spaces, internal separators counted), over total
+      document characters.
+
+    The published use is gating repetitive documents AT INGEST (Gopher
+    applies A1.2 between dedup and quality):
     readStream -> gopher_repetition_stateless -> filter(gopher_rep_pass).
     ``keep_cols`` is the standard passthrough contract
-    (streaming/curate.py's ``gopher_repetition=`` stage rides it).
-    This is also the FASTER form at corpus scale — STRESS stage 27
-    measured it ~4.5x over the batch five-shuffle aggregate at 2M docs
-    (43.3k vs 9.5k docs/s) with identical outputs."""
+    (streaming/curate.py's ``gopher_repetition=`` stage rides it)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    reserved = {"_id", "_r", "_dl", "n_lines", "n_paras",
+                "dup_line_frac", "dup_line_char_frac",
+                "dup_para_frac", "dup_para_char_frac",
+                "gopher_rep_pass",
+                *[f"top_{n}gram_char_frac" for n in (2, 3, 4)],
+                *[f"ok_top_{n}gram" for n in (2, 3, 4)],
+                *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+                *[f"ok_dup_{n}gram" for n in range(5, 11)],
+                "ok_dup_lines", "ok_dup_paras",
+                "ok_dup_line_chars", "ok_dup_para_chars"}
+    clash = sorted(reserved.intersection(keep_cols))
+    if clash:
+        raise ValueError(
+            "keep_cols collide with gopher_repetition output columns: "
+            f"{clash}; rename them before the stage"
+        )
 
     def _kernel(lines, paras, toks):
         from collections import Counter
 
         cols: dict[str, list] = {k: [] for k in (
-            "n_lines", "dup_lines", "dupc_l", "allc_l",
-            "n_paras", "dup_paras", "dupc_p", "allc_p",
-            "tc", "c2", "l2", "c3", "l3", "c4", "l4")}
+            "n_lines", "dup_lines", "dupc_l",
+            "n_paras", "dup_paras", "dupc_p",
+            "tc", "c2", "l2", "c3", "l3", "c4", "l4",
+            "cov5", "cov6", "cov7", "cov8", "cov9", "cov10")}
 
         def unit(us):
             c = Counter(us)
             n = sum(c.values())
-            dupc = sum(k * len(u) for u, k in c.items() if k > 1)
-            allc = sum(k * len(u) for u, k in c.items())
-            return n, n - len(c), dupc, allc
+            # chars of occurrences AFTER the first (the published
+            # convention: DataTrove find_duplicates)
+            dupc = sum((k - 1) * len(u) for u, k in c.items() if k > 1)
+            return n, n - len(c), dupc
+
+        def coverage(ts, starts, n):
+            # union of char intervals of all occurrences of n-grams
+            # appearing >= 2x, in the space-joined token stream
+            if len(ts) < n:
+                return 0
+            occ: dict[tuple, list] = {}
+            for i in range(len(ts) - n + 1):
+                occ.setdefault(tuple(ts[i:i + n]), []).append(i)
+            ivals = []
+            for g, idxs in occ.items():
+                if len(idxs) >= 2:
+                    glen = sum(map(len, g)) + n - 1
+                    ivals.extend((starts[i], starts[i] + glen)
+                                 for i in idxs)
+            if not ivals:
+                return 0
+            ivals.sort()
+            tot, cs, ce = 0, ivals[0][0], ivals[0][1]
+            for s, e in ivals[1:]:
+                if s > ce:
+                    tot += ce - cs
+                    cs, ce = s, e
+                elif e > ce:
+                    ce = e
+            return tot + (ce - cs)
 
         for ls, ps, ts in zip(lines, paras, toks):
             ls = list(ls) if ls is not None else []
             ps = list(ps) if ps is not None else []
             ts = list(ts) if ts is not None else []
             for pre, vals in (("l", unit(ls)), ("p", unit(ps))):
-                n, dup, dupc, allc = vals
+                n, dup, dupc = vals
                 cols[f"n_{'lines' if pre == 'l' else 'paras'}"].append(n)
                 cols[f"dup_{'lines' if pre == 'l' else 'paras'}"].append(
                     dup)
                 cols[f"dupc_{pre}"].append(dupc)
-                cols[f"allc_{pre}"].append(allc)
             cols["tc"].append(sum(len(t) for t in ts))
             for n in (2, 3, 4):
                 grams = Counter(
@@ -620,6 +690,12 @@ def gopher_repetition_stateless(
                     c, ln = 0, 0
                 cols[f"c{n}"].append(c)
                 cols[f"l{n}"].append(ln)
+            starts, pos = [], 0
+            for t in ts:
+                starts.append(pos)
+                pos += len(t) + 1
+            for n in range(5, 11):
+                cols[f"cov{n}"].append(coverage(ts, starts, n))
         return pd.DataFrame(cols)
 
     kernel = pandas_udf(_kernel, _REP_STRUCT)
@@ -638,6 +714,8 @@ def gopher_repetition_stateless(
     )
     out = df.select(
         F.col(id_col).alias("_id"), *keep_cols,
+        F.coalesce(F.length(F.col(text_col)).cast("long"),
+                   F.lit(0).cast("long")).alias("_dl"),
         kernel(_units("\n"), _units(r"\n\s*\n"), toks).alias("_r"),
     )
 
@@ -645,6 +723,12 @@ def gopher_repetition_stateless(
         return F.round(
             F.when(F.col(f"_r.{den}") > 0,
                    F.col(f"_r.{num}") / F.col(f"_r.{den}"))
+            .otherwise(F.lit(0.0)), 4)
+
+    def _docfrac(num: str):
+        # published convention: denominator = total document chars
+        return F.round(
+            F.when(F.col("_dl") > 0, F.col(f"_r.{num}") / F.col("_dl"))
             .otherwise(F.lit(0.0)), 4)
 
     def _top(n: int):
@@ -660,11 +744,18 @@ def gopher_repetition_stateless(
         F.col("_r.n_lines").alias("n_lines"),
         F.col("_r.n_paras").alias("n_paras"),
         _frac("dup_lines", "n_lines").alias("dup_line_frac"),
-        _frac("dupc_l", "allc_l").alias("dup_line_char_frac"),
+        _docfrac("dupc_l").alias("dup_line_char_frac"),
         _frac("dup_paras", "n_paras").alias("dup_para_frac"),
-        _frac("dupc_p", "allc_p").alias("dup_para_char_frac"),
+        _docfrac("dupc_p").alias("dup_para_char_frac"),
         *[_top(n).alias(f"top_{n}gram_char_frac") for n in (2, 3, 4)],
+        *[_docfrac(f"cov{n}").alias(f"dup_{n}gram_char_frac")
+          for n in range(5, 11)],
     )
+    dup_thresholds = {
+        5: max_dup_5gram_char_frac, 6: max_dup_6gram_char_frac,
+        7: max_dup_7gram_char_frac, 8: max_dup_8gram_char_frac,
+        9: max_dup_9gram_char_frac, 10: max_dup_10gram_char_frac,
+    }
     flags = {
         "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
         "ok_dup_paras": F.col("dup_para_frac") <= max_dup_para_frac,
@@ -678,6 +769,9 @@ def gopher_repetition_stateless(
             F.col("top_3gram_char_frac") <= max_top_3gram_char_frac,
         "ok_top_4gram":
             F.col("top_4gram_char_frac") <= max_top_4gram_char_frac,
+        **{f"ok_dup_{n}gram":
+           F.col(f"dup_{n}gram_char_frac") <= t
+           for n, t in dup_thresholds.items()},
     }
     for name, cond in flags.items():
         out = out.withColumn(name, cond)

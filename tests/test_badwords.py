@@ -1,0 +1,103 @@
+"""C4 SS2.2's bad-words document gate: whole-word boundary semantics,
+phrase entries, both plan regimes (codegen regex vs broadcast token
+join), parser shapes, and the stage in BOTH curation chains."""
+from pyspark.sql import functions as F
+import pytest
+
+SCHEMA = "doc_id long, text string"
+
+
+def _flags(df, words, **kw):
+    from condenser_spark.functions.text import badwords_flags
+
+    return {r.doc_id: r.badwords_hit
+            for r in badwords_flags(df, words, **kw).collect()}
+
+
+def test_badwords_boundary_semantics(spark):
+    docs = spark.createDataFrame([
+        (1, "a clean document about classes"),      # substring trap
+        (2, "contains ass as a word"),              # plain hit
+        (3, "Punctuated: (Ass.) and more"),         # case + punct boundary
+        (4, "massive assumption, no hit"),          # substring traps
+        (5, "bad   phrase with extra spaces"),      # phrase, \s+ collapsed
+        (6, "bad phrasing is not the phrase"),      # phrase boundary
+        (7, "ass"),                                 # ^...$ boundaries
+        (8, None),                                  # NULL text never hits
+        (9, "under_scored ass_tail stays clean"),   # _ is NOT a boundary
+    ], SCHEMA)
+    words = ("ass", "bad phrase")
+    got = _flags(docs, words)
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: True,
+                   6: False, 7: True, 8: False, 9: False}
+
+
+def test_badwords_join_regime_matches_regex(spark):
+    """Past max_plan_literals the broadcast token join must produce the
+    IDENTICAL hit set (single words); phrases past the cap raise."""
+    docs = spark.createDataFrame([
+        (1, "nothing listed here"),
+        (2, "the word2 appears"),
+        (3, "word2word is one token"),
+        (4, "WORD5, uppercase and punctuated"),
+        (5, None),
+    ], SCHEMA)
+    words = tuple(f"word{i}" for i in range(10))
+    regex = _flags(docs, words)
+    joined = _flags(docs, words, max_plan_literals=3)
+    assert regex == joined == {1: False, 2: True, 3: False,
+                               4: True, 5: False}
+
+    with pytest.raises(ValueError, match="multi-word"):
+        _flags(docs, words + ("two words",), max_plan_literals=3)
+    with pytest.raises(ValueError, match="non-empty"):
+        _flags(docs, ())
+
+
+def test_load_badwords_shapes():
+    from condenser_spark.functions.text import load_badwords
+
+    got = load_badwords([
+        "# comment", "; comment", "// comment", "",
+        "Ass", "  Bad   Phrase  ", "word # inline comment",
+        "word",  # dup collapses
+    ])
+    assert got == ("ass", "bad phrase", "word")
+
+
+def test_badwords_stage_both_chains(spark, tmp_path):
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame([
+        (1, "a long clean classy document", "en"),
+        (2, "this one says grawlix though", "en"),
+    ], "doc_id long, text string, lang string")
+    words = ("grawlix", "ass")
+
+    out, rep = curate_corpus(docs, badwords=words)
+    assert [r.doc_id for r in out.collect()] == [1]
+    row = [r for r in rep.collect() if r.stage == "badwords"][0]
+    assert (row.docs_in, row.docs_out) == (2, 1)
+
+    # stream chain: batch frame first (the parity surface)
+    got = curate_stream(docs, badwords=words)
+    assert [r.doc_id for r in got.collect()] == [1]
+    assert got.columns == docs.columns
+
+    # a real stream run
+    src, out_dir = str(tmp_path / "bwsrc"), str(tmp_path / "bwout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate_stream(s, badwords=words)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "bwckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r.doc_id
+            for r in spark.read.parquet(out_dir).collect()] == [1]
+
+    # the past-cap regime is batch-only: the stream stage fails loud
+    with pytest.raises(ValueError, match="max_plan_literals"):
+        curate_stream(docs, badwords={"badwords": words,
+                                      "max_plan_literals": 1})

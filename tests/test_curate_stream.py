@@ -283,7 +283,18 @@ def test_gopher_repetition_stage_and_parity(spark, tmp_path):
              for r in gopher_repetition_flags(docs).collect()}
     stream = {r.doc_id: r.asDict()
               for r in gopher_repetition_stateless(docs).collect()}
-    assert batch == stream
+    # the stateless form scores the COMPLETE 12-rule table; parity holds
+    # on the shared A1.2 rows 1-6 columns (gopher_rep_pass conjoins 6
+    # extra rules stream-side, so it is excluded from the row equality
+    # and checked by implication instead)
+    assert set(batch[1]) <= set(stream[1])  # stream is a superset
+    shared = [c for c in batch[1] if c != "gopher_rep_pass"]
+    for d in batch:
+        assert {c: batch[d][c] for c in shared} == \
+            {c: stream[d][c] for c in shared}, d
+        # stream pass implies batch pass (strictly more rules)
+        assert not stream[d]["gopher_rep_pass"] or \
+            batch[d]["gopher_rep_pass"], d
 
     out = curate_stream(docs, gopher_repetition=True)
     assert sorted(r.doc_id for r in out.collect()) == [1]

@@ -232,3 +232,75 @@ def test_diversity_stateless_keep_cols_collision_raises(spark):
         [(1, "a b c", 7)], "doc_id long, text string, n_tokens long")
     with _pytest.raises(ValueError, match="keep_cols collide"):
         diversity_stats_stateless(docs, keep_cols=("n_tokens",))
+
+
+def test_gopher_dup_ngram_coverage_crafted(spark):
+    """A1.2 rows 7-12 (duplicated 5..10-gram char coverage) on
+    hand-computed docs: interval union with overlap merge, n-cutoff
+    (a twice-occurring 6-token phrase scores for n<=6, zero for n>=7),
+    and the raw-document-chars denominator."""
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    docs = spark.createDataFrame([
+        # "a b c d e f" twice: abcde/bcdef dup at n=5, abcdef dup at
+        # n=6, nothing at n=7 (every 7-gram unique).  Stream
+        # "a b c d e f a b c d e f" (23 chars): n=5 union
+        # [0,11)+[12,23)=22; n=6 same intervals -> 22.
+        (1, "a b c d e f a b c d e f"),
+        # alternating x/y, 8 tokens: both 5-grams appear twice,
+        # intervals [0,9),[2,11),[4,13),[6,15) merge to [0,15) -> the
+        # whole doc, frac 1.0
+        (2, "x y x y x y x y"),
+        # clean: no repeated n-gram at any n
+        (3, " ".join(f"t{i}" for i in range(12))),
+    ], "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in gopher_repetition_stateless(docs).collect()}
+
+    assert out[1].dup_5gram_char_frac == round(22 / 23, 4)
+    assert out[1].dup_6gram_char_frac == round(22 / 23, 4)
+    assert out[1].dup_7gram_char_frac == 0.0
+    assert out[1].dup_10gram_char_frac == 0.0
+    assert not out[1].ok_dup_5gram and out[1].ok_dup_7gram
+    assert not out[1].gopher_rep_pass
+
+    assert out[2].dup_5gram_char_frac == 1.0
+    assert out[3].dup_5gram_char_frac == 0.0
+    assert all(out[3][f"ok_dup_{n}gram"] for n in range(5, 11))
+
+    # published convention: denominator is RAW document chars — pad
+    # with whitespace and the fraction dilutes
+    padded = spark.createDataFrame(
+        [(4, "   a b c d e f a b c d e f   ")],
+        "doc_id long, text string")
+    row = gopher_repetition_stateless(padded).collect()[0]
+    assert row.dup_5gram_char_frac == round(22 / 29, 4)
+
+
+def test_curate_corpus_dup_ngram_switches_to_stateless(spark):
+    """curate_corpus(gopher_repetition=) switches to the complete
+    stateless kernel when a dup-ngram threshold is requested."""
+    from condenser_spark.curate import curate_corpus
+
+    clean = " ".join(f"w{i} z{i}" for i in range(30))
+    phrase = "pa pb pc pd pe"
+    spammy = (" ".join(f"w{i} z{i}" for i in range(15))
+              + f" {phrase} "
+              + " ".join(f"w{i} z{i}" for i in range(15, 30))
+              + f" {phrase}")
+    docs = spark.createDataFrame(
+        [(1, clean, "en"), (2, spammy, "en")],
+        "doc_id long, text string, lang string")
+    # without dup-ngram thresholds the SQL-native form passes BOTH
+    # (a twice-repeated 5-token phrase slips rows 1-6: no dup lines,
+    # every n<=4-gram's char mass is small)
+    out1, _ = curate_corpus(docs, gopher_repetition=True)
+    assert sorted(r.doc_id for r in out1.collect()) == [1, 2]
+    # with a dup-5gram threshold the full 12-rule table drops doc 2
+    out2, rep = curate_corpus(
+        docs, gopher_repetition={"max_dup_5gram_char_frac": 0.10})
+    assert [r.doc_id for r in out2.collect()] == [1]
+    row = [r for r in rep.collect() if r.stage == "gopher_repetition"][0]
+    assert (row.docs_in, row.docs_out) == (2, 1)
