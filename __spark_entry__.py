@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 13 (appended per the mid-round rule; rotate
         # in-cap the following round)
         "ext_badwords",
+        "ext_curate_stream_script",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -47,35 +47,44 @@ def _sf_from_dir(sf_dir: str) -> float:
 # VERDICT r11 "What's wrong #1" (third consecutive warm-box official line,
 # noise_pct_max 236.5%): refuse-or-warn when the box is hot.  Refusing would
 # cost the driver its BENCH_r{N} line entirely (worse than a noisy one), so
-# the guard WAITS — 1-min loadavg decays e^-t/60, so a 3.0 start passes the
-# 1.0 threshold in ~70s of idle — then proceeds either way, labeling the
-# outcome in the final JSON (`idle_wait_s`) and on stderr.
+# the guard WAITS, then proceeds either way, labeling the outcome in the
+# final JSON (`idle_wait_s`) and on stderr.  VERDICT r12 tightened the gate
+# to BOTH the 1-min AND 5-min averages (the r12 line released at 1-min 0.96
+# with 5-min still 2.1 and recorded noise_pct_max 81.8%); the 5-min average
+# decays e^-t/300, so the default wait is sized for a ~2.5 start
+# (300*ln2.5 ~ 275s) with headroom.
 IDLE_THRESHOLD = 1.0
-IDLE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+IDLE_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "480"))
 
 
 def wait_for_idle(threshold: float = IDLE_THRESHOLD,
                   timeout_s: float = IDLE_WAIT_S,
                   poll_s: float = 5.0) -> float:
-    """Block until the 1-min loadavg drops below ``threshold`` or
-    ``timeout_s`` elapses; return the seconds waited.  Set
-    SPARK_GRAFT_BENCH_IDLE_WAIT=0 to disable."""
-    load = os.getloadavg()[0]
+    """Block until BOTH the 1-min and 5-min loadavg drop below
+    ``threshold`` or ``timeout_s`` elapses; return the seconds waited.
+    Set SPARK_GRAFT_BENCH_IDLE_WAIT=0 to disable."""
+    la = os.getloadavg()
+    load = max(la[0], la[1])
     if load < threshold or timeout_s <= 0:
         return 0.0
     print(
-        f"bench: box is hot (1-min loadavg {load:.2f} >= {threshold}); "
-        f"waiting up to {timeout_s:.0f}s for idle before timing",
+        f"bench: box is hot (1/5-min loadavg {la[0]:.2f}/{la[1]:.2f}, "
+        f"gate {threshold}); waiting up to {timeout_s:.0f}s for idle "
+        "before timing",
         file=sys.stderr,
     )
     waited = 0.0
     while waited < timeout_s:
         time.sleep(poll_s)
         waited += poll_s
-        load = os.getloadavg()[0]
+        la = os.getloadavg()
+        load = max(la[0], la[1])
         if load < threshold:
-            print(f"bench: idle after {waited:.0f}s (loadavg {load:.2f})",
-                  file=sys.stderr)
+            print(
+                f"bench: idle after {waited:.0f}s (loadavg "
+                f"{la[0]:.2f}/{la[1]:.2f})",
+                file=sys.stderr,
+            )
             return waited
     print(
         f"bench: STILL HOT after {timeout_s:.0f}s (loadavg {load:.2f}) — "
@@ -692,6 +701,26 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: curate_stream(_incoming, line_bloom=_blm_l,
                                 diversity={"min_ratio_2": 0.3})
           .agg(F.sum("dv_distinct_2")).collect())
+
+    # round 13: the COMPLETE A1.2 table (12 rules incl. the vectorized
+    # dup-5..10-gram coverage kernel) and the C4 bad-words regex gate.
+    # These are the 67th+ entries — the final line's 2-dp query map now
+    # exceeds the 1800-char bound and the tested map-drop fallback is IN
+    # FORCE: per-query values live in the detail line's `queries_full`.
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    timed("gopher_repetition_full",
+          lambda: gopher_repetition_stateless(docs)
+          .agg(F.sum(F.col("dup_5gram_char_frac"))).collect())
+
+    from condenser_spark.functions.text import badwords_flags
+
+    _bw = tuple(f"badword{i}" for i in range(200)) + ("lorem",)
+    timed("badwords_gate",
+          lambda: badwords_flags(docs, _bw)
+          .filter("badwords_hit").count())
 
     return timings, noise
 

@@ -29,10 +29,12 @@ def curate_corpus(
     docs: DataFrame,
     *,
     url_filter: bool | dict = False,
+    domain_prior: dict | None = None,
     line_dedup: bool | dict = False,
     badwords=None,
     c4: bool | dict = False,
     diversity: dict | None = None,
+    script: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
@@ -70,6 +72,15 @@ def curate_corpus(
        url survives via its unblocked copy.  Schema-preserving: the
        ``url_norm``/``url_domain``/``url_blocked`` working columns are
        projected away.
+    -0.5. ``domain_prior`` — the RefinedWeb domain-signal slot
+       (:func:`functions.urls.domain_prior`): a dict of ``max_share``
+       (flood gate: drop docs whose registered domain holds more than
+       this share of the corpus) and/or ``min_docs``, plus optional
+       ``stats=`` (a :func:`functions.urls.domain_stats` frame from a
+       trusted reference snapshot — the production regime; default
+       self-prior), ``url_col``, ``multi_suffixes``.  Docs with NULL
+       priors (no URL, or domain absent from the snapshot) PASS; the
+       prior columns are projected away (schema-preserving).
     0. ``line_dedup`` — :func:`functions.text.dedup_lines`: True or a
        kwargs dict (``keep``/``min_count``/``strip_digits``); CCNet's
        actual first stage — cross-document paragraph dedup BEFORE any
@@ -98,6 +109,12 @@ def curate_corpus(
        batch-legal, oracle-pinned); the stats columns are dropped so
        the schema is preserved.  There is no published universal
        threshold — the caller picks per corpus.
+    1c. ``script`` — the mixed-script spam gate (CCNet's pre-langid
+       slot; :func:`functions.langid.script_stats`): a dict of
+       ``min_/max_<stem>_frac`` thresholds over the Unicode-script
+       fractions plus ``other`` (chars in no listed class — e.g.
+       ``{"max_other_frac": 0.2}``).  Pure codegen, join-free,
+       schema-preserving.
     2. ``language_model`` — :func:`functions.langid.language_top1`
        (a fitted :class:`functions.langid.LanguageModel`): REWRITES the
        existing ``lang_col`` with the classifier's argmax (CCNet runs
@@ -140,8 +157,10 @@ def curate_corpus(
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"url_filter"``, ``"line_dedup"``, ``"badwords"``,
-    ``"c4_clean"``, ``"diversity_gate"``, ``"language_id"``,
+    ``"start"``, ``"url_filter"``, ``"domain_prior"``,
+    ``"line_dedup"``, ``"badwords"``,
+    ``"c4_clean"``, ``"diversity_gate"``, ``"script_gate"``,
+    ``"language_id"``,
     ``"gopher_rules"``, ``"gopher_repetition"``, ``"exact_dedup"``,
     ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
@@ -175,8 +194,9 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "url_filter", "line_dedup", "badwords",
-                "c4_clean", "diversity_gate", "language_id",
+    _ANCHORS = ("start", "url_filter", "domain_prior", "line_dedup",
+                "badwords", "c4_clean", "diversity_gate", "script_gate",
+                "language_id",
                 "gopher_rules", "gopher_repetition", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
@@ -230,6 +250,34 @@ def curate_corpus(
                 *cur.columns)
         cur = _record("url_filter", kept)
         _apply_extra("url_filter")
+    if domain_prior is not None:
+        from condenser_spark.functions.urls import domain_prior as _dp
+
+        opts = dict(domain_prior)
+        dp_kw = {k: opts.pop(k) for k in ("stats", "multi_suffixes")
+                 if k in opts}
+        dp_url = opts.pop("url_col", "url")
+        max_share = opts.pop("max_share", None)
+        min_docs = opts.pop("min_docs", None)
+        if opts or (max_share is None and min_docs is None):
+            raise ValueError(
+                "domain_prior= takes max_share and/or min_docs (at "
+                "least one) plus stats/url_col/multi_suffixes; got "
+                f"unknown/empty: {sorted(opts) or '{}'}")
+        pri = _dp(cur, dp_url, **dp_kw)
+        # NULL priors (no URL, or domain absent from a reference
+        # stats= snapshot) PASS — the chain's survive-by-default rule
+        cond = F.lit(True)
+        if max_share is not None:
+            cond = cond & (F.col("domain_doc_share").isNull()
+                           | (F.col("domain_doc_share")
+                              <= float(max_share)))
+        if min_docs is not None:
+            cond = cond & (F.col("domain_n_docs").isNull()
+                           | (F.col("domain_n_docs") >= int(min_docs)))
+        cur = _record("domain_prior", pri.filter(cond)
+                      .select(*cur.columns))
+        _apply_extra("domain_prior")
     if line_dedup:
         from condenser_spark.functions.text import dedup_lines
 
@@ -300,6 +348,17 @@ def curate_corpus(
             stats.filter(cond).select(id_col, *keep),
         )
         _apply_extra("diversity_gate")
+    if script is not None:
+        # mixed-script spam gate (the CCNet pre-langid slot): pure
+        # codegen fractions, join-free via keep_cols, schema-preserving
+        from condenser_spark.functions.langid import script_gate_parts
+
+        keep = tuple(c for c in cur.columns if c != id_col)
+        stats, cond = script_gate_parts(cur, script, text_col=text_col,
+                                        id_col=id_col, keep_cols=keep)
+        cur = _record("script_gate",
+                      stats.filter(cond).select(id_col, *keep))
+        _apply_extra("script_gate")
     if language_model is not None:
         from condenser_spark.functions.langid import language_top1
 

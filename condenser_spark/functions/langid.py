@@ -436,6 +436,8 @@ def script_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     scripts: tuple[tuple[str, str], ...] = _SCRIPTS,
+    keep_cols=(),
+    other: bool = False,
 ) -> DataFrame:
     """Per-document Unicode-SCRIPT composition — the CCNet/fastText-era
     pre-langid signal: character fractions for the major scripts (Latin,
@@ -453,15 +455,70 @@ def script_stats(
     script classes (parity pinned by the DuckDB oracle over planted
     multi-script fixtures).  ``scripts`` is overridable for additional
     ``(name, java_regex_class)`` pairs; empty text yields zero
-    fractions."""
+    fractions.  ``keep_cols`` is the standard join-free passthrough
+    contract (the ``script=`` curate gates ride it); ``other=True``
+    adds ``other_frac`` — chars matching NONE of the classes, computed
+    from exact counts (``(n - sum(counts)) / n``), not from the rounded
+    fractions, so it is only meaningful while the classes are disjoint
+    (the defaults are)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(c)
-    cols = [F.col(id_col), n.cast("long").alias("n_chars")]
+    cols = [F.col(id_col), *[F.col(k) for k in keep_cols],
+            n.cast("long").alias("n_chars")]
+    counts = []
     for stem, pat in scripts:
         cnt = n - F.length(F.regexp_replace(c, pat, ""))
+        counts.append(cnt)
         cols.append(
             F.round(
                 F.when(n > 0, cnt.cast("double") / n.cast("double"))
                 .otherwise(F.lit(0.0)), 4,
             ).alias(f"{stem}_frac"))
+    if other:
+        rest = n
+        for cnt in counts:
+            rest = rest - cnt
+        cols.append(
+            F.round(
+                F.when(n > 0, rest.cast("double") / n.cast("double"))
+                .otherwise(F.lit(0.0)), 4,
+            ).alias("other_frac"))
     return df.select(*cols)
+
+
+def script_gate_parts(
+    df: DataFrame,
+    opts,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols=(),
+):
+    """Parse a ``script=`` threshold dict into ``(stats_df, cond)`` —
+    the shared core of ``curate_corpus(script=)`` and
+    ``curate_stream(script=)``.  Keys are ``min_<stem>_frac`` /
+    ``max_<stem>_frac`` for any :data:`_SCRIPTS` stem plus ``other``
+    (chars in none of the classes — the mixed-script-spam signal, e.g.
+    ``{"max_other_frac": 0.2}``); at least one required, unknown keys
+    fail loud.  ``stats_df`` is :func:`script_stats` with ``keep_cols``
+    passed through and ``other_frac`` emitted; ``cond`` is the AND of
+    the thresholds — pure codegen end-to-end, stream-legal."""
+    stems = {s for s, _ in _SCRIPTS} | {"other"}
+    opts = dict(opts)
+    rules = []
+    for key in sorted(opts):
+        stem = key[4:-5]
+        if (key.startswith(("min_", "max_")) and key.endswith("_frac")
+                and stem in stems):
+            rules.append((key[:3], stem, float(opts.pop(key))))
+    if opts or not rules:
+        raise ValueError(
+            "script= takes min_/max_<stem>_frac thresholds over "
+            f"{sorted(stems)} (at least one); got unknown/empty: "
+            f"{sorted(opts) or '{}'}")
+    stats = script_stats(df, text_col=text_col, id_col=id_col,
+                         keep_cols=keep_cols, other=True)
+    cond = F.lit(True)
+    for kind, stem, t in rules:
+        c = F.col(f"{stem}_frac")
+        cond = cond & ((c >= t) if kind == "min" else (c <= t))
+    return stats, cond

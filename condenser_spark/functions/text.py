@@ -1278,8 +1278,9 @@ def gopher_repetition_flags(
 
     FORM GUIDANCE (STRESS stage 27, 2M docs): the stateless twin
     :func:`streaming.textdedup.gopher_repetition_stateless` — one Arrow
-    kernel, zero shuffles, batch-legal — measured ~4.5x FASTER (43.3k
-    vs 9.5k docs/s) than this five-shuffle form; prefer it for
+    kernel, zero shuffles, batch-legal, and the COMPLETE 12-rule table —
+    measured ~4x FASTER (36.9k vs 9.3k docs/s) than this five-shuffle
+    7-rule form; prefer it for
     corpus-wide scoring, and keep this form when the pipeline must stay
     Python-free or the per-unit aggregates need pure-SQL replay."""
     base = df.select(

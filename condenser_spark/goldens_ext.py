@@ -6606,3 +6606,78 @@ def ext_badwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badwords_flags(
         synth, ("ass", "grawlix", "bad phrase")
     ).select("doc_id", "badwords_hit")
+
+
+def _curate_stream_script_sql() -> str:
+    whens = "\n".join(
+        f"             WHEN {j} THEN ' {s}'"
+        for j, s in enumerate(_SCRIPT_SNIPPETS))
+    classes = [
+        ("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+        ("han", r"\p{Han}"), ("arabic", r"\p{Arabic}"),
+        ("hangul", r"\p{Hangul}"), ("hiragana", r"\p{Hiragana}"),
+        ("katakana", r"\p{Katakana}"),
+        ("devanagari", r"\p{Devanagari}"), ("greek", r"\p{Greek}"),
+        ("digit", "[0-9]"), ("whitespace", r"\s"),
+    ]
+    cnts = ",\n".join(
+        f"""           length(text) - length(regexp_replace(text,
+             '{duck}', '', 'g')) AS c_{stem}"""
+        for stem, duck in classes)
+    fracs = ",\n".join(
+        f"""           ROUND(CASE WHEN n > 0 THEN
+             CAST(c_{stem} AS DOUBLE) / n ELSE 0.0 END, 4)
+             AS sc_{stem}_frac"""
+        for stem, _ in classes)
+    total = " + ".join(f"c_{stem}" for stem, _ in classes)
+    return rf"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 6 AS INTEGER)
+{whens}
+             END AS text
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+{cnts}
+      FROM synth
+    ),
+    stats AS (
+      SELECT doc_id, text, n AS sc_n_chars,
+{fracs},
+           ROUND(CASE WHEN n > 0 THEN
+             CAST(n - ({total}) AS DOUBLE) / n ELSE 0.0 END, 4)
+             AS sc_other_frac
+      FROM counts
+    )
+    SELECT * FROM stats
+    WHERE sc_han_frac <= 0.01 AND sc_latin_frac >= 0.5
+    """
+
+
+@golden("ext_curate_stream_script", _curate_stream_script_sql())
+def ext_curate_stream_script(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The curate_stream ``script=`` gate (mixed-script spam at ingest,
+    the CCNet pre-langid slot) over the six planted multi-script stripes
+    of ext_script_stats: a max-Han + min-Latin threshold pair drops the
+    Han stripe and any stripe that dilutes Latin below half, and the
+    FULL sc_* audit surface (n_chars + 11 script fractions + other_frac,
+    the chars-in-no-class signal) is replayed column-for-column by
+    DuckDB (condenser_spark/streaming/curate.py ``script=``,
+    functions/langid.py:script_gate_parts).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = _tables(spark, sf_dir)["documents"]
+    m = (F.col("doc_id") % 6).cast("int")
+    snippet = None
+    for j, s in enumerate(_SCRIPT_SNIPPETS):
+        snippet = (F.when(m == j, F.lit(" " + s)) if snippet is None
+                   else snippet.when(m == j, F.lit(" " + s)))
+    synth = docs.select(
+        "doc_id", F.concat(F.col("text"), snippet).alias("text"))
+    return curate_stream(synth, script={"max_han_frac": 0.01,
+                                        "min_latin_frac": 0.5})

@@ -100,6 +100,7 @@ def curate_stream(
     url_bloom: ShingleBloom | None = None,
     blocked_domains=(),
     url_col: str = "url",
+    domain_prior: dict | None = None,
     line_bloom: ShingleBloom | None = None,
     strip_digits: bool = False,
     kgram_bloom: ShingleBloom | None = None,
@@ -107,6 +108,7 @@ def curate_stream(
     badwords=None,
     c4: bool | dict = False,
     diversity: dict | None = None,
+    script: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
     gopher: bool | dict = False,
@@ -117,8 +119,8 @@ def curate_stream(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
-    (URL -> line-dedup -> ExactSubstr -> badwords -> C4 -> diversity
-    -> langid ->
+    (URL -> domain-prior -> line-dedup -> ExactSubstr -> badwords ->
+    C4 -> diversity -> script -> langid ->
     Gopher A1.1 -> Gopher A1.2 repetition -> quality) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
@@ -161,6 +163,43 @@ def curate_stream(
             keep = keep & ~_member_col(cur, url_bloom,
                                        F.col("url_norm"))
         cur = flagged.filter(keep).select(*cols)
+
+    if domain_prior is not None:
+        # the RefinedWeb domain-signal slot at ingest: priors MUST come
+        # from a landed reference snapshot (stats=) — computing them
+        # over the stream itself would need a corpus-wide aggregate,
+        # illegal mid-stream; the join is stream-static (legal).  NULL
+        # priors pass (survive-by-default, as in the batch composer).
+        from condenser_spark.functions.urls import domain_prior as _dp
+
+        opts = dict(domain_prior)
+        if opts.get("stats") is None:
+            raise ValueError(
+                "curate_stream(domain_prior=) requires stats= (a landed "
+                "domain_stats snapshot): self-priors need a corpus-wide "
+                "aggregate, illegal mid-stream — compute them on the "
+                "landed-corpus cadence")
+        dp_kw = {k: opts.pop(k) for k in ("stats", "multi_suffixes")
+                 if k in opts}
+        dp_url = opts.pop("url_col", url_col)
+        max_share = opts.pop("max_share", None)
+        min_docs = opts.pop("min_docs", None)
+        if opts or (max_share is None and min_docs is None):
+            raise ValueError(
+                "domain_prior= takes max_share and/or min_docs (at "
+                "least one) plus stats/url_col/multi_suffixes; got "
+                f"unknown/empty: {sorted(opts) or '{}'}")
+        cols = cur.columns
+        pri = _dp(cur, dp_url, **dp_kw)
+        cond = F.lit(True)
+        if max_share is not None:
+            cond = cond & (F.col("domain_doc_share").isNull()
+                           | (F.col("domain_doc_share")
+                              <= float(max_share)))
+        if min_docs is not None:
+            cond = cond & (F.col("domain_n_docs").isNull()
+                           | (F.col("domain_n_docs") >= int(min_docs)))
+        cur = pri.filter(cond).select(*cols)
 
     if line_bloom is not None:
         out = dedup_lines_stream(cur, line_bloom,
@@ -246,6 +285,26 @@ def curate_stream(
               for n in (1, 2, 3)],
             *[F.col(f"ratio_{n}").alias(f"dv_ratio_{n}")
               for n in (1, 2, 3)],
+        )
+
+    if script is not None:
+        # mixed-script spam gate at ingest (the CCNet pre-langid slot):
+        # pure codegen fractions, stream-legal by construction.  Audit
+        # columns sc_* pass through like dv_*/ld_*.
+        from condenser_spark.functions.langid import (
+            _SCRIPTS,
+            script_gate_parts,
+        )
+
+        keep = tuple(c for c in cur.columns if c != id_col)
+        stats, cond = script_gate_parts(cur, script, text_col=text_col,
+                                        id_col=id_col, keep_cols=keep)
+        cur = stats.filter(cond).select(
+            id_col, *keep,
+            F.col("n_chars").alias("sc_n_chars"),
+            *[F.col(f"{stem}_frac").alias(f"sc_{stem}_frac")
+              for stem, _ in _SCRIPTS],
+            F.col("other_frac").alias("sc_other_frac"),
         )
 
     if language_model is not None:

@@ -310,3 +310,52 @@ def test_gopher_repetition_stage_and_parity(spark, tmp_path):
     q.awaitTermination(120)
     got = _rows(spark.read.parquet(out_dir))
     assert got == _rows(curate_stream(docs, gopher_repetition=True))
+
+
+def test_script_gate_both_chains(spark, tmp_path):
+    """The mixed-script spam gate (CCNet pre-langid slot): pure-codegen
+    fractions, sc_* audits on the stream side, schema-preserving report
+    stage on the batch side, fail-loud threshold parsing."""
+    import pytest as _pytest
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame([
+        (1, "plain latin text with words", "en"),
+        (2, "latin base привет "
+            "мир спам heavy "
+            "спам", "en"),
+        (3, "abcdefghij 1234567890", "en"),  # digit_frac 10/21 ~ 0.476
+    ], SCHEMA)
+
+    out, rep = curate_corpus(docs, script={"max_cyrillic_frac": 0.1,
+                                           "max_digit_frac": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+    row = [r for r in rep.collect() if r.stage == "script_gate"][0]
+    assert (row.docs_in, row.docs_out) == (3, 2)
+    assert out.columns == docs.columns
+
+    got = curate_stream(docs, script={"max_cyrillic_frac": 0.1,
+                                      "max_digit_frac": 0.5})
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3]
+    assert "sc_other_frac" in got.columns and "sc_latin_frac" in got.columns
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[1].sc_cyrillic_frac == 0.0
+    assert by_id[3].sc_digit_frac > 0.3
+
+    src, out_dir = str(tmp_path / "scsrc"), str(tmp_path / "scout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, script={"max_cyrillic_frac": 0.1})
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "scckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out_dir).collect()) == [1, 3]
+
+    with _pytest.raises(ValueError, match="unknown/empty"):
+        curate_corpus(docs, script={})
+    with _pytest.raises(ValueError, match="unknown/empty"):
+        curate_stream(docs, script={"max_klingon_frac": 0.1})

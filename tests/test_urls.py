@@ -440,3 +440,69 @@ def test_surt_key_shapes(spark):
     assert got[5] == "com,example,sub,deep)/y"
     # prefix locality: all example.com URLs share the reversed prefix
     assert all(got[i].startswith("com,example") for i in (1, 2, 3, 5))
+
+
+def test_domain_prior_stage_both_chains(spark, tmp_path):
+    """The RefinedWeb domain-signal slot wired into both composers:
+    flood gate on max_share, NULL-prior docs survive, stream requires a
+    landed stats snapshot, stage output equals the manual composition."""
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.urls import domain_prior, domain_stats
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame(
+        [(i, f"http://flood.com/{i}", f"text {i}") for i in range(6)]
+        + [(6, "http://tail.org/x", "text 6"), (7, None, "text 7")],
+        "doc_id long, url string, text string")
+
+    # self-prior: flood.com holds 6/8 = 0.75 of the corpus
+    out, rep = curate_corpus(docs, domain_prior={"max_share": 0.5})
+    assert sorted(r.doc_id for r in out.collect()) == [6, 7]
+    row = [r for r in rep.collect() if r.stage == "domain_prior"][0]
+    assert (row.docs_in, row.docs_out) == (8, 2)
+    assert out.columns == docs.columns
+
+    # manual composition parity
+    manual = (domain_prior(docs)
+              .filter(F.col("domain_doc_share").isNull()
+                      | (F.col("domain_doc_share") <= 0.5))
+              .select(*docs.columns))
+    assert sorted(r.doc_id for r in manual.collect()) == [6, 7]
+
+    # reference-snapshot regime: priors from a landed corpus; a domain
+    # ABSENT from the snapshot has NULL priors and passes
+    ref = spark.createDataFrame(
+        [(100 + i, f"http://flood.com/r{i}") for i in range(9)]
+        + [(200, "http://rare.net/r")],
+        "doc_id long, url string")
+    out2, _ = curate_corpus(
+        docs, domain_prior={"max_share": 0.5,
+                            "stats": domain_stats(ref)})
+    assert sorted(r.doc_id for r in out2.collect()) == [6, 7]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one|unknown"):
+        curate_corpus(docs, domain_prior={})
+    with _pytest.raises(ValueError, match="unknown"):
+        curate_corpus(docs, domain_prior={"max_share": 0.5, "bogus": 1})
+
+    # stream: stats= mandatory (self-priors are a corpus aggregate)
+    with _pytest.raises(ValueError, match="stats="):
+        curate_stream(docs, domain_prior={"max_share": 0.5})
+    snap = domain_stats(docs)
+    got = curate_stream(docs, domain_prior={"max_share": 0.5,
+                                            "stats": snap})
+    assert sorted(r.doc_id for r in got.collect()) == [6, 7]
+    assert got.columns == docs.columns
+
+    # and on a real stream (stream-static join)
+    src, out_dir = str(tmp_path / "dpsrc"), str(tmp_path / "dpout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate_stream(s, domain_prior={"max_share": 0.5, "stats": snap})
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "dpckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out_dir).collect()) == [6, 7]
