@@ -1397,6 +1397,8 @@ def mixture_report(
     group_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    distinct_tokens: bool = False,
+    rsd: float = 0.05,
 ) -> DataFrame:
     """Corpus-composition report: (group, n_docs, n_tokens, doc_share,
     token_share), shares rounded to 6 decimals — the one-look answer to
@@ -1409,13 +1411,37 @@ def mixture_report(
     back as a broadcast scalar — group count rows never leave the
     executors un-aggregated.  Token counts are the engine-wide whitespace
     ``token_count`` (identical to every packing/budget operator, so shares
-    here predict budget behavior downstream)."""
+    here predict budget behavior downstream).
+
+    ``distinct_tokens=True`` adds ``approx_distinct_tokens`` — per-group
+    DISTINCT whitespace-token counts via HLL++
+    (``approx_count_distinct`` at ``rsd``, the ``corpus_overlap``
+    one-pass sketch pattern): the sketches merge map-side, so the
+    shuffle carries one sketch per (group, mapper) instead of the full
+    (group, token) distinct-shuffle an exact count would need — at
+    corpus scale that exact shuffle is near token-count-sized, which is
+    why the exact form is deliberately not offered here (pytest bounds
+    the estimate against an exact recount on the fixture)."""
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"),
     )
+    if distinct_tokens:
+        toks = df.select(
+            F.col(group_col),
+            F.explode(F.filter(F.split(F.col(text_col), r"\s+"),
+                               lambda t: t != "")).alias("_tok"),
+        )
+        dist = toks.groupBy(group_col).agg(
+            F.approx_count_distinct("_tok", rsd)
+            .alias("approx_distinct_tokens"))
+        # left join: a group whose every doc is empty has no token rows
+        per = per.join(dist, group_col, "left").withColumn(
+            "approx_distinct_tokens",
+            F.coalesce("approx_distinct_tokens", F.lit(0).cast("long")))
     totals = per.agg(
         F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt"))
+    extra = (["approx_distinct_tokens"] if distinct_tokens else [])
     return (
         per.crossJoin(F.broadcast(totals))
         .select(
@@ -1423,6 +1449,7 @@ def mixture_report(
             F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
             F.round(F.col("n_tokens") / F.col("_tt"), 6)
             .alias("token_share"),
+            *extra,
         )
     )
 

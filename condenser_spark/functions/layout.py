@@ -141,3 +141,53 @@ def write_zordered(
         .drop("zvalue")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def surt_domain_predicate(col: Column | str, domain: str) -> Column:
+    """Boolean predicate covering a domain AND its whole subdomain tree
+    in ``surt_key`` space, as three tight [lo, hi) string ranges — a
+    SURT key for the tree is the reversed-label prefix continued by
+    exactly ``)`` (own domain, path follows), ``:`` (own domain, port)
+    or ``,`` (subdomain); a single contiguous range cannot be tight
+    because digits and ``-`` (legal label chars, so legal in SIBLING
+    domains like ``example2.com``) sort between ``)`` and ``:``.  Plain
+    >=/< comparisons, so the parquet reader prunes files from footer
+    min/max alone when the table was landed with
+    :func:`write_surt_partitioned`."""
+    if isinstance(col, str):
+        col = F.col(col)
+    rev = ",".join(reversed(domain.lower().split(".")))
+    pred = F.lit(False)
+    for cont in (")", ",", ":"):
+        nxt = chr(ord(cont) + 1)
+        pred = pred | ((col >= rev + cont) & (col < rev + nxt))
+    return pred
+
+
+def write_surt_partitioned(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    n_files: int = 32,
+    surt_col: str = "surt_key",
+    **surt_kwargs,
+) -> None:
+    """Land ``df`` as ~``n_files`` parquet files range-partitioned and
+    sorted on :func:`functions.urls.surt_key` — the ``write_zordered``
+    treatment applied to URL space.  Because every URL of a registered
+    domain and its subdomains shares a SURT prefix, the layout gives
+    domain LOCALITY: each file's parquet footer carries a narrow
+    [min, max] ``surt_col`` range, so a domain-tree predicate built from
+    :func:`surt_prefix_bounds` prunes to the 1-2 files that actually
+    hold the domain — min/max alone, no special reader
+    (tests/test_layout.py measures the claim on the fixture).  The key
+    is KEPT as ``surt_col`` (it is the pruning handle; drop it after
+    reading if unwanted).  NULL URLs sort together at the low end."""
+    from condenser_spark.functions.urls import surt_key
+
+    keyed = df.withColumn(surt_col, surt_key(url_col, **surt_kwargs))
+    (
+        keyed.repartitionByRange(n_files, F.col(surt_col))
+        .sortWithinPartitions(surt_col)
+        .write.mode("overwrite").parquet(path)
+    )

@@ -459,3 +459,43 @@ def test_uniform_sample_per_group_caps_and_stability(spark, source):
                   g.filter("source = 'src1'").collect()) == \
         sorted(r.doc_id for r in
                out.filter("source = 'src1'").collect())
+
+
+def test_mixture_report_distinct_tokens_sketch(spark):
+    """distinct_tokens=True adds per-group HLL distinct-token counts (the
+    corpus_overlap one-pass sketch pattern): estimate within the HLL
+    error envelope of an exact recount, empty groups coalesce to 0, and
+    the base columns are byte-identical to the distinct_tokens=False
+    report."""
+    from condenser_spark.functions.corpus import mixture_report
+
+    rows = []
+    for i in range(300):
+        # en: 200 docs over a 500-token vocab; de: 100 docs over 120
+        if i < 200:
+            rows.append((i, " ".join(f"en{(i * 7 + j) % 500}"
+                                     for j in range(30)), "en"))
+        else:
+            rows.append((i, " ".join(f"de{(i * 3 + j) % 120}"
+                                     for j in range(20)), "de"))
+    rows.append((300, "   ", "empty"))  # whitespace-only group
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    base = {r.lang: r.asDict() for r in mixture_report(docs).collect()}
+    got = {r.lang: r for r in
+           mixture_report(docs, distinct_tokens=True, rsd=0.05).collect()}
+    exact = {r.lang: r.d for r in
+             docs.select("lang", F.explode(
+                 F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+                 .alias("t"))
+             .groupBy("lang").agg(F.countDistinct("t").alias("d"))
+             .collect()}
+
+    assert set(got) == {"en", "de", "empty"}
+    for g in ("en", "de"):
+        est, true = got[g].approx_distinct_tokens, exact[g]
+        assert abs(est - true) <= max(4 * 0.05 * true, 10), (g, est, true)
+        # base columns unchanged by the sketch join
+        for c in ("n_docs", "n_tokens", "doc_share", "token_share"):
+            assert got[g][c] == base[g][c]
+    assert got["empty"].approx_distinct_tokens == 0
