@@ -438,6 +438,7 @@ def script_stats(
     scripts: tuple[tuple[str, str], ...] = _SCRIPTS,
     keep_cols=(),
     other: bool = False,
+    out_prefix: str = "",
 ) -> DataFrame:
     """Per-document Unicode-SCRIPT composition — the CCNet/fastText-era
     pre-langid signal: character fractions for the major scripts (Latin,
@@ -460,11 +461,24 @@ def script_stats(
     adds ``other_frac`` — chars matching NONE of the classes, computed
     from exact counts (``(n - sum(counts)) / n``), not from the rounded
     fractions, so it is only meaningful while the classes are disjoint
-    (the defaults are)."""
+    (the defaults are).  ``out_prefix`` renames every STAT output
+    column (``<prefix>n_chars``, ``<prefix><stem>_frac``) so a
+    passthrough column named ``n_chars``/``latin_frac``/... cannot
+    collide — the curate gates use a reserved internal prefix and fail
+    loud if even THAT collides."""
+    reserved = {f"{out_prefix}n_chars",
+                *[f"{out_prefix}{stem}_frac" for stem, _ in scripts]}
+    if other:
+        reserved.add(f"{out_prefix}other_frac")
+    clash = sorted(reserved.intersection(keep_cols))
+    if clash:
+        raise ValueError(
+            "keep_cols collide with script_stats output columns: "
+            f"{clash}; rename them or set out_prefix")
     c = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(c)
     cols = [F.col(id_col), *[F.col(k) for k in keep_cols],
-            n.cast("long").alias("n_chars")]
+            n.cast("long").alias(f"{out_prefix}n_chars")]
     counts = []
     for stem, pat in scripts:
         cnt = n - F.length(F.regexp_replace(c, pat, ""))
@@ -473,7 +487,7 @@ def script_stats(
             F.round(
                 F.when(n > 0, cnt.cast("double") / n.cast("double"))
                 .otherwise(F.lit(0.0)), 4,
-            ).alias(f"{stem}_frac"))
+            ).alias(f"{out_prefix}{stem}_frac"))
     if other:
         rest = n
         for cnt in counts:
@@ -482,7 +496,7 @@ def script_stats(
             F.round(
                 F.when(n > 0, rest.cast("double") / n.cast("double"))
                 .otherwise(F.lit(0.0)), 4,
-            ).alias("other_frac"))
+            ).alias(f"{out_prefix}other_frac"))
     return df.select(*cols)
 
 
@@ -500,8 +514,12 @@ def script_gate_parts(
     (chars in none of the classes — the mixed-script-spam signal, e.g.
     ``{"max_other_frac": 0.2}``); at least one required, unknown keys
     fail loud.  ``stats_df`` is :func:`script_stats` with ``keep_cols``
-    passed through and ``other_frac`` emitted; ``cond`` is the AND of
-    the thresholds — pure codegen end-to-end, stream-legal."""
+    passed through, ``other_frac`` emitted, and every stat column under
+    the reserved ``sc_`` prefix (so a passthrough column named
+    ``n_chars``/``latin_frac`` cannot shadow a stat — the ADVICE r12
+    diversity-gate lesson applied up front); ``cond`` is the AND of the
+    thresholds over the prefixed columns — pure codegen end-to-end,
+    stream-legal."""
     stems = {s for s, _ in _SCRIPTS} | {"other"}
     opts = dict(opts)
     rules = []
@@ -516,9 +534,10 @@ def script_gate_parts(
             f"{sorted(stems)} (at least one); got unknown/empty: "
             f"{sorted(opts) or '{}'}")
     stats = script_stats(df, text_col=text_col, id_col=id_col,
-                         keep_cols=keep_cols, other=True)
+                         keep_cols=keep_cols, other=True,
+                         out_prefix="sc_")
     cond = F.lit(True)
     for kind, stem, t in rules:
-        c = F.col(f"{stem}_frac")
+        c = F.col(f"sc_{stem}_frac")
         cond = cond & ((c >= t) if kind == "min" else (c <= t))
     return stats, cond

@@ -301,10 +301,9 @@ def curate_stream(
                                         id_col=id_col, keep_cols=keep)
         cur = stats.filter(cond).select(
             id_col, *keep,
-            F.col("n_chars").alias("sc_n_chars"),
-            *[F.col(f"{stem}_frac").alias(f"sc_{stem}_frac")
-              for stem, _ in _SCRIPTS],
-            F.col("other_frac").alias("sc_other_frac"),
+            "sc_n_chars",
+            *[f"sc_{stem}_frac" for stem, _ in _SCRIPTS],
+            "sc_other_frac",
         )
 
     if language_model is not None:

@@ -527,3 +527,54 @@ def test_stateless_gate_chain_is_map_only(spark, source):
     n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
                for l in plan.splitlines())
     assert n_py == 2, plan
+
+
+def test_badwords_and_script_gates_are_pure_codegen(spark, source):
+    """The round-13 ingest gates are JVM-only: a curate_stream chain of
+    badwords= + script= must execute with ZERO Exchange AND ZERO Python
+    evals (one alternation regex + script-class counts, all riding the
+    scan), and the badwords regex must survive chaining with the Arrow
+    twins without adding an Exchange."""
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"]
+    out = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                        badwords=("grawlix", "bad phrase"),
+                        script={"max_other_frac": 0.9})
+    plan = _executed(out)
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # full stateless chain: the two codegen gates + the two Arrow gates
+    # still shuffle-free, still exactly two Python evals
+    out2 = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                         badwords=("grawlix",),
+                         diversity={"min_ratio_2": 0.3},
+                         script={"max_other_frac": 0.9},
+                         gopher_repetition=True)
+    plan2 = _executed(out2)
+    assert "Exchange" not in plan2, plan2
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               for l in plan2.splitlines())
+    assert n_py == 2, plan2
+
+
+def test_domain_prior_stage_plan_shape(spark, source):
+    """curate_stream(domain_prior=) with a landed stats snapshot is one
+    equi-join against the one-row-per-domain side: no window, no
+    cartesian, no Python in the plan."""
+    from condenser_spark.functions.urls import domain_stats
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"].withColumn(
+        "url",
+        F.concat(F.lit("http://site"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".com/p/"), F.col("doc_id").cast("string")))
+    snap = domain_stats(docs)
+    out = curate_stream(docs, domain_prior={"max_share": 0.5,
+                                            "stats": snap})
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
