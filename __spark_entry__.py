@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap the following round)
         "ext_badwords",
         "ext_curate_stream_script",
+        "ext_warc_roundtrip",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -6681,3 +6681,46 @@ def ext_curate_stream_script(spark: SparkSession,
         "doc_id", F.concat(F.col("text"), snippet).alias("text"))
     return curate_stream(synth, script={"max_han_frac": 0.01,
                                         "min_latin_frac": 0.5})
+
+
+_WARC_SQL = r"""
+    SELECT 'http://fixture.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           COALESCE(text, '') AS text,
+           200 AS http_status,
+           CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_payload_bytes
+    FROM documents
+"""
+
+
+@golden("ext_warc_roundtrip", _WARC_SQL)
+def ext_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion (ISO 28500 — the Common Crawl container, the raw
+    input of CCNet/C4/Gopher/RefinedWeb/FineWeb): the fixture documents
+    are written as a byte-exact WARC/1.0 gzip of HTTP response records
+    (driver-side fixture builder, bounded at the 500-row documents
+    table), read back through the binaryFile + streaming-gzip
+    ``mapInPandas`` parser, and the DuckDB oracle predicts the parse
+    straight from the table — URI, UTF-8 body, HTTP status, and payload
+    byte length all round-trip exactly
+    (condenser_spark/sources/warc.py:read_warc).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    import os
+    import tempfile
+
+    from condenser_spark.sources import read_warc, write_warc_file
+
+    docs = _tables(spark, sf_dir)["documents"]
+    rows = (docs.select("doc_id", "text")
+            .orderBy("doc_id").limit(2000).collect())
+    d = tempfile.mkdtemp(prefix="warc_golden_")
+    write_warc_file(
+        ((f"http://fixture.test/doc/{r.doc_id}", r.text or "")
+         for r in rows),
+        os.path.join(d, "fixture.warc.gz"))
+    return read_warc(spark, d).select(
+        F.col("target_uri").alias("url"),
+        "text",
+        "http_status",
+        "n_payload_bytes",
+    )

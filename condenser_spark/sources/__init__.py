@@ -1,0 +1,7 @@
+"""Ingestion sources beyond the builtin parquet/csv/json/orc readers
+(condenser_spark.registry handles those): formats Spark has no native
+datasource for, expressed as binaryFile scans + Arrow-batched parsers."""
+
+from condenser_spark.sources.warc import read_warc, write_warc_file
+
+__all__ = ["read_warc", "write_warc_file"]

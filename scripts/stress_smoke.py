@@ -1959,6 +1959,61 @@ def stage_curate_stream(spark, n_docs: int = 1_000_000) -> dict:
     }
 
 
+def stage_codegen_gates(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 28: the round-13 PURE-CODEGEN ingest gates (badwords= +
+    script=) chained at 2M docs with a realistic 400-entry word list.
+
+    Every doc carries the substring traps ("classy", "massive" — the
+    list contains "ass", which must NOT hit inside them).  ODD ids
+    embed the listed word "grawlix" mid-body (badwords drop); ids
+    % 4 == 2 append a Cyrillic block pushing cyrillic_frac past 0.25
+    (script drop); ids % 4 == 0 stay clean.  Expected EXACTLY n/4
+    survivors.  The plan is shuffle-free and Python-free
+    (tests/test_plan_contracts.py pins it); this stage prices the
+    400-alternation regex + 12 regexp_replace script counts per doc."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.streaming.curate import curate_stream
+
+    assert n_docs % 4 == 0
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    body = F.concat_ws(
+        " ", F.lit("classy massive opener"),
+        *[uid(f"-w{j}") for j in range(30)],
+        F.lit("closing words here"))
+    cyr = " ".join(["привет мир спам блок"] * 6)  # ~115 chars cyrillic
+    text = F.concat(
+        body,
+        F.when(F.col("id") % 2 == 1, F.lit(" grawlix")).otherwise(
+            F.lit("")),
+        F.when(F.col("id") % 4 == 2, F.lit(" " + cyr)).otherwise(
+            F.lit("")),
+    )
+    path = f"{WORK}/codegen_gate_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    words = ("ass", "grawlix") + tuple(
+        f"filler{i}" for i in range(398))
+    t0 = time.time()
+    n = (curate_stream(docs, badwords=words,
+                       script={"max_cyrillic_frac": 0.25})
+         .count())
+    wall = time.time() - t0
+    assert n == n_docs // 4, n
+    return {
+        "stage": "codegen_gates_2m",
+        "n_docs": n_docs,
+        "survivors": int(n),
+        "n_badwords": len(words),
+        "chain_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -1997,6 +2052,7 @@ def main() -> int:
         "curate_stream": lambda: stage_curate_stream(spark),
         "winnow_overlap": lambda: stage_winnow_overlap(spark),
         "gopher_repetition": lambda: stage_gopher_repetition(spark),
+        "codegen_gates": lambda: stage_codegen_gates(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

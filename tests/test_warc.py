@@ -1,0 +1,85 @@
+"""WARC source (sources/warc.py): record grammar edge cases the
+round-trip golden can't reach — malformed tails under fail/skip,
+non-response filtering, truncation accounting, multi-file parallelism."""
+import gzip
+import os
+
+import pytest
+
+from condenser_spark.sources import read_warc, write_warc_file
+
+
+def _raw_record(rtype=b"response", uri=b"http://x.test/a",
+                payload=None, extra=b""):
+    if payload is None:
+        body = b"hello world"
+        payload = (b"HTTP/1.1 200 OK\r\ncontent-length: "
+                   + str(len(body)).encode() + b"\r\n\r\n" + body)
+    return (b"WARC/1.0\r\nWARC-Type: " + rtype
+            + b"\r\nWARC-Record-ID: <urn:uuid:t>\r\nWARC-Target-URI: "
+            + uri + b"\r\n" + extra
+            + b"Content-Type: application/http; msgtype=response\r\n"
+            + b"Content-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n")
+
+
+def test_warc_mixed_record_types_and_status(spark, tmp_path):
+    blob = (_raw_record(rtype=b"warcinfo")
+            + _raw_record(uri=b"http://x.test/keep")
+            + _raw_record(rtype=b"request")
+            + _raw_record(uri=b"http://x.test/keep2"))
+    p = str(tmp_path / "mix.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(blob))
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert sorted(r.target_uri for r in out) == [
+        "http://x.test/keep", "http://x.test/keep2"]
+    assert all(r.http_status == 200 and r.text == "hello world"
+               for r in out)
+    # response_only=False surfaces the bookkeeping records too
+    allr = read_warc(spark, str(tmp_path), response_only=False).collect()
+    assert sorted(r.warc_type for r in allr) == [
+        "request", "response", "response", "warcinfo"]
+
+
+def test_warc_malformed_fail_vs_skip(spark, tmp_path):
+    good = _raw_record(uri=b"http://x.test/ok")
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nno content length"
+    p = str(tmp_path / "bad.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(good + bad))
+    with pytest.raises(Exception) as e:
+        read_warc(spark, str(tmp_path), on_error="fail").collect()
+    assert "Content-Length" in str(e.value)
+    # skip: keeps what parsed before the malformed tail
+    out = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert [r.target_uri for r in out] == ["http://x.test/ok"]
+    with pytest.raises(ValueError, match="on_error"):
+        read_warc(spark, str(tmp_path), on_error="ignore")
+
+
+def test_warc_truncation_keeps_true_byte_count(spark, tmp_path):
+    text = "x" * 5000
+    write_warc_file([("http://x.test/big", text)],
+                    str(tmp_path / "big.warc.gz"))
+    r = read_warc(spark, str(tmp_path), max_text_bytes=100).collect()[0]
+    assert len(r.text) == 100
+    assert r.n_payload_bytes == 5000
+
+
+def test_warc_many_files_parallel_and_batching(spark, tmp_path):
+    # several files -> several tasks; batch_rows smaller than the file's
+    # record count exercises the incremental yield
+    for f in range(4):
+        write_warc_file(
+            [(f"http://x.test/{f}/{i}", f"body {f} {i}")
+             for i in range(30)],
+            str(tmp_path / f"part{f}.warc.gz"))
+    df = read_warc(spark, str(tmp_path), batch_rows=7)
+    assert df.count() == 120
+    assert df.select("warc_file").distinct().count() == 4
+    # composes with the URL ops directly
+    from condenser_spark.functions.urls import surt_key
+
+    keyed = df.select(surt_key("target_uri").alias("s")).collect()
+    assert all(r.s.startswith("test,x)") for r in keyed)
