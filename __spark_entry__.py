@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_badwords",
         "ext_curate_stream_script",
         "ext_warc_roundtrip",
+        "ext_fineweb_flags",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

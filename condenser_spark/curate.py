@@ -39,6 +39,7 @@ def curate_corpus(
     lang_col: str = "lang",
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
+    fineweb: bool | dict = False,
     dedup: str | None = None,
     dedup_opts: dict | None = None,
     substring_dedup: bool | dict = False,
@@ -130,6 +131,12 @@ def curate_corpus(
        kwargs dict of threshold overrides; keeps ``gopher_rep_pass``
        docs (duplicate line/paragraph and top-n-gram character rules at
        the paper's defaults).
+    3c. ``fineweb`` — the three custom FineWeb heuristics
+       (:func:`functions.text.fineweb_quality_flags`, Penedo 2024
+       §3.4): True or a threshold-override dict; keeps
+       ``fineweb_pass`` docs (line-punctuation floor, short-line
+       ceiling, duplicated-line-chars ceiling at the paper's
+       defaults).
     4. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
        keep-rows via its survivor ids) or ``"near"``
        (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
@@ -161,7 +168,8 @@ def curate_corpus(
     ``"line_dedup"``, ``"badwords"``,
     ``"c4_clean"``, ``"diversity_gate"``, ``"script_gate"``,
     ``"language_id"``,
-    ``"gopher_rules"``, ``"gopher_repetition"``, ``"exact_dedup"``,
+    ``"gopher_rules"``, ``"gopher_repetition"``, ``"fineweb_rules"``,
+    ``"exact_dedup"``,
     ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
     ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
@@ -197,7 +205,8 @@ def curate_corpus(
     _ANCHORS = ("start", "url_filter", "domain_prior", "line_dedup",
                 "badwords", "c4_clean", "diversity_gate", "script_gate",
                 "language_id",
-                "gopher_rules", "gopher_repetition", "exact_dedup",
+                "gopher_rules", "gopher_repetition", "fineweb_rules",
+                "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
                 "dsir_select", "temperature_mix", "end")
@@ -417,6 +426,18 @@ def curate_corpus(
                      on=id_col, how="left_semi"),
         )
         _apply_extra("gopher_repetition")
+    if fineweb:
+        from condenser_spark.functions.text import fineweb_quality_flags
+
+        opts = fineweb if isinstance(fineweb, dict) else {}
+        flags = fineweb_quality_flags(cur, text_col=text_col,
+                                      id_col=id_col, **opts)
+        cur = _record(
+            "fineweb_rules",
+            cur.join(flags.filter(F.col("fineweb_pass")).select(id_col),
+                     on=id_col, how="left_semi"),
+        )
+        _apply_extra("fineweb_rules")
     if dedup is not None:
         if dedup == "exact":
             from condenser_spark.functions.dedup import exact_dedup

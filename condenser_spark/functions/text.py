@@ -547,6 +547,115 @@ def gopher_quality_flags(
     return out.withColumn("gopher_pass", gopher_pass)
 
 
+def fineweb_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_punct_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.10,
+    terminal_punct: tuple = (".", "!", "?", '"'),
+) -> DataFrame:
+    """The three CUSTOM FineWeb filters (Penedo et al. 2024, "The
+    FineWeb Datasets" §3.4 — the heuristics FineWeb adds ON TOP of its
+    Gopher and C4 reimplementations, found by ablating against
+    high-quality references), per document with each rule's statistic
+    beside its boolean:
+
+    * ``line_punct_frac`` — fraction of lines ending in terminal
+      punctuation; documents BELOW ``min_line_punct_frac`` fail
+      (``ok_line_punct``): prose ends sentences, boilerplate/nav/listing
+      pages do not.  A zero-line document FAILS this rule (an empty page
+      is not prose — unlike the chain's survive-by-default gates, this
+      is positive evidence the paper requires).
+    * ``short_line_frac`` — fraction of lines shorter than
+      ``short_line_chars`` characters; above ``max_short_line_frac``
+      fails (``ok_short_lines``): the list-like/navigation page shape.
+    * ``dup_line_char_frac`` — characters in the occurrences after the
+      first of each repeated line over total document characters (the
+      SAME published convention as :func:`gopher_repetition_flags`);
+      above ``max_dup_line_char_frac`` fails (``ok_dup_line_chars``).
+
+    ``fineweb_pass`` is the conjunction.  Boundary convention: every
+    rule passes AT its threshold (``>= min`` / ``<= max``) — stated
+    because the paper prints thresholds, not inequalities.  Lines split
+    on ``\\n``, trimmed, empties dropped (the house line identity shared
+    with ``c4_clean``/``dedup_lines``/``gopher_repetition_flags``).
+
+    Plan shape: ONE explode -> (id, line) -> per-line-count aggregate
+    computing all three statistics map-side-combined, joined back to the
+    id base — a single shuffle of (id, line, cnt) rows, bodies never
+    move; fully DuckDB-replayable (goldens_ext.ext_fineweb_flags).
+    Compose in ``curate_corpus(extra_stages=...)`` or filter directly;
+    the published chain order puts it with the other quality rules
+    (after dedup, before selection)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.length(F.col(text_col)).cast("long"),
+                   F.lit(0).cast("long")).alias("_dl"),
+    )
+    units = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    ends_ok = F.lit(False)
+    for p in terminal_punct:
+        ends_ok = ends_ok | F.col("u").endswith(p)
+    per = (
+        df.select(F.col(id_col).alias("id"), F.explode(units).alias("u"))
+        .groupBy("id", "u")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_lines"),
+            F.sum(F.when(ends_ok, F.col("cnt")).otherwise(F.lit(0)))
+            .alias("_punct"),
+            F.sum(F.when(F.length("u") < short_line_chars, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("_short"),
+            F.sum(F.when(F.col("cnt") > 1,
+                         (F.col("cnt") - 1) * F.length("u"))
+                  .otherwise(F.lit(0))).alias("_dupc"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+
+    def _frac(num):
+        return F.round(
+            F.when(F.coalesce(F.col("n_lines"), zero) > 0,
+                   F.coalesce(num, zero) / F.col("n_lines"))
+            .otherwise(F.lit(0.0)), 4)
+
+    out = (
+        base.join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_lines", zero).alias("n_lines"),
+            _frac(F.col("_punct")).alias("line_punct_frac"),
+            _frac(F.col("_short")).alias("short_line_frac"),
+            F.round(
+                F.when(F.col("_dl") > 0,
+                       F.coalesce(F.col("_dupc"), zero) / F.col("_dl"))
+                .otherwise(F.lit(0.0)), 4).alias("dup_line_char_frac"),
+        )
+    )
+    flags = {
+        "ok_line_punct": (F.col("n_lines") > 0)
+        & (F.col("line_punct_frac") >= min_line_punct_frac),
+        "ok_short_lines":
+            F.col("short_line_frac") <= max_short_line_frac,
+        "ok_dup_line_chars":
+            F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    conj = F.lit(True)
+    for name in flags:
+        conj = conj & F.col(name)
+    return out.withColumn("fineweb_pass", conj)
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",

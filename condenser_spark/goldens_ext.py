@@ -6724,3 +6724,91 @@ def ext_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_status",
         "n_payload_bytes",
     )
+
+
+_FINEWEB_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  chr(10) || 'item one' || chr(10) || 'item two'
+                  || chr(10) || 'item three' || chr(10) || 'item four'
+                  || chr(10) || 'item five' || chr(10) || 'item six'
+                ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN
+                  chr(10) || 'a repeated navigation banner line here.'
+                  || chr(10) || 'a repeated navigation banner line here.'
+                ELSE '' END AS text
+      FROM documents
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN right(u, 1) IN ('.', '!', '?', '"')
+                      THEN cnt ELSE 0 END) AS BIGINT) AS punct,
+             CAST(SUM(CASE WHEN length(u) < 30 THEN cnt ELSE 0 END)
+                  AS BIGINT) AS short,
+             CAST(SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * length(u)
+                      ELSE 0 END) AS BIGINT) AS dupc
+      FROM (
+        SELECT doc_id, u, COUNT(*) AS cnt FROM (
+          SELECT doc_id, trim(x) AS u
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(text, '\n')) AS x
+                FROM synth)
+        ) WHERE u <> '' GROUP BY doc_id, u
+      ) GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT s.doc_id,
+             COALESCE(p.n_lines, 0) AS n_lines,
+             ROUND(CASE WHEN COALESCE(p.n_lines, 0) > 0
+                   THEN CAST(p.punct AS DOUBLE) / p.n_lines
+                   ELSE 0.0 END, 4) AS line_punct_frac,
+             ROUND(CASE WHEN COALESCE(p.n_lines, 0) > 0
+                   THEN CAST(p.short AS DOUBLE) / p.n_lines
+                   ELSE 0.0 END, 4) AS short_line_frac,
+             ROUND(CASE WHEN COALESCE(length(s.text), 0) > 0
+                   THEN CAST(COALESCE(p.dupc, 0) AS DOUBLE)
+                        / length(s.text)
+                   ELSE 0.0 END, 4) AS dup_line_char_frac
+      FROM synth s LEFT JOIN per p USING (doc_id)
+    )
+    SELECT *,
+           n_lines > 0 AND line_punct_frac >= 0.12 AS ok_line_punct,
+           short_line_frac <= 0.67 AS ok_short_lines,
+           dup_line_char_frac <= 0.10 AS ok_dup_line_chars,
+           (n_lines > 0 AND line_punct_frac >= 0.12)
+           AND short_line_frac <= 0.67
+           AND dup_line_char_frac <= 0.10 AS fineweb_pass
+    FROM joined
+"""
+
+
+@golden("ext_fineweb_flags", _FINEWEB_SQL)
+def ext_fineweb_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three custom FineWeb quality filters (Penedo 2024 §3.4 — the
+    heuristics FineWeb adds on top of Gopher/C4) over planted shapes:
+    every 3rd doc gains a six-line short no-punctuation listing block
+    (trips the short-line and line-punct rules), every 4th a twice-
+    repeated navigation line (trips duplicated-line chars) — every
+    statistic, flag and the conjunction replayed by DuckDB
+    (condenser_spark/functions/text.py:fineweb_quality_flags).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import fineweb_quality_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    listing = ("\nitem one\nitem two\nitem three\nitem four"
+               "\nitem five\nitem six")
+    nav = "\na repeated navigation banner line here." * 2
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(listing)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(nav)).otherwise(F.lit("")),
+        ).alias("text"))
+    return fineweb_quality_flags(synth)

@@ -948,3 +948,39 @@ def test_gopher_repetition_flags_crafted(spark):
     assert not out[3].ok_top_2gram and not out[3].gopher_rep_pass
     # single-line doc: line fractions clean
     assert out[3].dup_line_frac == 0.0
+
+
+def test_fineweb_flags_crafted(spark):
+    """FineWeb's three custom rules on crafted shapes: a listing page
+    (short, unpunctuated lines), a nav-duplicated page, clean prose, a
+    boundary doc AT each threshold, and the empty doc failing the
+    positive-evidence punct rule."""
+    from condenser_spark.functions.text import fineweb_quality_flags
+
+    prose = "\n".join(
+        f"This is proper sentence number {i} with many decent words."
+        for i in range(10))
+    listing = "\n".join(f"item {i}" for i in range(10))
+    nav = ("A good long leading sentence with plenty of words here.\n"
+           + "repeated nav line\n" * 5)
+    docs = spark.createDataFrame(
+        [(1, prose), (2, listing), (3, nav), (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in fineweb_quality_flags(docs).collect()}
+
+    assert out[1].fineweb_pass
+    assert out[1].line_punct_frac == 1.0
+    assert out[1].short_line_frac == 0.0
+
+    assert not out[2].ok_line_punct       # 0/10 punctuated
+    assert not out[2].ok_short_lines      # 10/10 short
+    assert not out[2].fineweb_pass
+
+    # nav: dup chars = 4 extra copies x 17 chars = 68 over raw doc chars
+    assert out[3].dup_line_char_frac == round(
+        4 * len("repeated nav line") / len(nav), 4)
+    assert not out[3].ok_dup_line_chars and not out[3].fineweb_pass
+
+    for d in (4, 5):                      # empty/NULL: no prose evidence
+        assert out[d].n_lines == 0 and not out[d].ok_line_punct
+        assert not out[d].fineweb_pass

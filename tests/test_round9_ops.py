@@ -309,3 +309,23 @@ def test_curate_corpus_gopher_repetition_stage(spark):
         "max_top_4gram_char_frac")}
     out2, _ = curate_corpus(docs, gopher_repetition=loose)
     assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
+
+
+def test_curate_corpus_fineweb_stage(spark):
+    from condenser_spark.curate import curate_corpus
+
+    prose = "\n".join(
+        f"This is proper sentence number {i} with many decent words."
+        for i in range(10))
+    listing = "\n".join(f"item {i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, prose, "en"), (2, listing, "en")],
+        "doc_id long, text string, lang string")
+    out, rep = curate_corpus(docs, fineweb=True)
+    assert [r.doc_id for r in out.collect()] == [1]
+    row = [r for r in rep.collect() if r.stage == "fineweb_rules"][0]
+    assert (row.docs_in, row.docs_out) == (2, 1)
+    # loosened thresholds keep both
+    out2, _ = curate_corpus(docs, fineweb={
+        "min_line_punct_frac": 0.0, "max_short_line_frac": 1.0})
+    assert sorted(r.doc_id for r in out2.collect()) == [1, 2]
