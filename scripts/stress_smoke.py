@@ -2014,6 +2014,71 @@ def stage_codegen_gates(spark, n_docs: int = 2_000_000) -> dict:
     }
 
 
+def stage_warc(spark, n_files: int = 16, recs_per_file: int = 31_250,
+               body_tokens: int = 60) -> dict:
+    """Stage 29: WARC ingestion throughput — parse 500k HTTP response
+    records across 16 gzip WARCs (one task per file, the Common Crawl
+    layout) through the streaming mapInPandas parser, with closed-form
+    exactness: record count, per-record body byte totals, and the
+    distinct target-URI count all asserted."""
+    import gzip
+    import io
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.sources import read_warc
+
+    d = f"{WORK}/warc_stage"
+    os.makedirs(d, exist_ok=True)
+    body_word = "tokenword"  # 9 chars
+    body = (" ".join([body_word] * body_tokens)).encode()
+    body_len = len(body)
+    t0 = _time.time()
+    total_comp = 0
+    for f_i in range(n_files):
+        out = io.BytesIO()
+        for r_i in range(recs_per_file):
+            uri = f"http://w{f_i}.test/{r_i}".encode()
+            http = (b"HTTP/1.1 200 OK\r\ncontent-length: "
+                    + str(body_len).encode() + b"\r\n\r\n" + body)
+            out.write(
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:" + uri + b">\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"Content-Type: application/http; msgtype=response\r\n"
+                b"Content-Length: " + str(len(http)).encode()
+                + b"\r\n\r\n" + http + b"\r\n\r\n")
+        data = gzip.compress(out.getvalue(), compresslevel=1)
+        total_comp += len(data)
+        with open(f"{d}/part{f_i}.warc.gz", "wb") as fh:
+            fh.write(data)
+    build_wall = _time.time() - t0
+
+    n_total = n_files * recs_per_file
+    t0 = _time.time()
+    agg = read_warc(spark, d).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_payload_bytes").alias("nb"),
+        F.countDistinct("target_uri").alias("nu"),
+    ).first()
+    wall = _time.time() - t0
+    assert agg.n == n_total, agg.n
+    assert agg.nb == n_total * body_len, agg.nb
+    assert agg.nu == n_total, agg.nu
+    return {
+        "stage": "warc_500k",
+        "n_files": n_files,
+        "n_records": n_total,
+        "compressed_mb": round(total_comp / 1e6, 1),
+        "build_wall_sec": round(build_wall, 1),
+        "parse_wall_sec": round(wall, 1),
+        "records_per_sec": round(n_total / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2053,6 +2118,7 @@ def main() -> int:
         "winnow_overlap": lambda: stage_winnow_overlap(spark),
         "gopher_repetition": lambda: stage_gopher_repetition(spark),
         "codegen_gates": lambda: stage_codegen_gates(spark),
+        "warc": lambda: stage_warc(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
