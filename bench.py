@@ -722,6 +722,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: badwords_flags(docs, _bw)
           .filter("badwords_hit").count())
 
+    from condenser_spark.functions.text import fineweb_quality_flags
+
+    timed("fineweb_flags",
+          lambda: fineweb_quality_flags(docs)
+          .filter("fineweb_pass").count())
+
     return timings, noise
 
 
