@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_stream_script",
         "ext_warc_roundtrip",
         "ext_fineweb_flags",
+        "ext_fineweb_flags_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

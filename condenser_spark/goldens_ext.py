@@ -6812,3 +6812,33 @@ def ext_fineweb_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(nav)).otherwise(F.lit("")),
         ).alias("text"))
     return fineweb_quality_flags(synth)
+
+
+@golden("ext_fineweb_flags_stream", _FINEWEB_SQL)
+def ext_fineweb_flags_stream(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The stateless (ingest) form of the FineWeb custom filters — one
+    Arrow kernel of per-row line Counters instead of the batch explode
+    aggregate — under the SAME full DuckDB replay as ext_fineweb_flags,
+    which also pins batch/stream equality by transitivity
+    (condenser_spark/streaming/textdedup.py:fineweb_quality_stateless).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.streaming.textdedup import (
+        fineweb_quality_stateless,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    listing = ("\nitem one\nitem two\nitem three\nitem four"
+               "\nitem five\nitem six")
+    nav = "\na repeated navigation banner line here." * 2
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(listing)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit(nav)).otherwise(F.lit("")),
+        ).alias("text"))
+    return fineweb_quality_stateless(synth)

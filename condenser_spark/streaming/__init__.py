@@ -16,6 +16,8 @@ from condenser_spark.streaming.textdedup import (
     dedup_lines_stream,
     diversity_stats_stateless,
     exact_substring_stream,
+    fineweb_quality_stateless,
+    gopher_repetition_stateless,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "dedup_lines_stream",
     "diversity_stats_stateless",
     "exact_substring_stream",
+    "fineweb_quality_stateless",
+    "gopher_repetition_stateless",
     "minhash_near_pairs_stream",
     "sessionize",
     "sessionize_stream",

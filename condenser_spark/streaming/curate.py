@@ -113,6 +113,7 @@ def curate_stream(
     lang_col: str = "lang",
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
+    fineweb: bool | dict = False,
     quality_model=None,
     quality_threshold: float = 0.0,
     text_col: str = "text",
@@ -120,8 +121,8 @@ def curate_stream(
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
     (URL -> domain-prior -> line-dedup -> ExactSubstr -> badwords ->
-    C4 -> diversity -> script -> langid ->
-    Gopher A1.1 -> Gopher A1.2 repetition -> quality) and return the
+    C4 -> diversity -> script -> langid -> Gopher A1.1 -> Gopher A1.2
+    repetition -> FineWeb -> quality) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
@@ -342,6 +343,20 @@ def curate_stream(
         flagged = gopher_repetition_stateless(
             cur, text_col=text_col, id_col=id_col, keep_cols=keep, **opts)
         cur = flagged.filter(F.col("gopher_rep_pass")).select(
+            id_col, *keep)
+
+    if fineweb:
+        # the three custom FineWeb heuristics, in the batch composer's
+        # order (after the Gopher rules) — one Arrow kernel, stateless
+        from condenser_spark.streaming.textdedup import (
+            fineweb_quality_stateless,
+        )
+
+        opts = dict(fineweb) if isinstance(fineweb, dict) else {}
+        keep = tuple(c for c in cur.columns if c != id_col)
+        flagged = fineweb_quality_stateless(
+            cur, text_col=text_col, id_col=id_col, keep_cols=keep, **opts)
+        cur = flagged.filter(F.col("fineweb_pass")).select(
             id_col, *keep)
 
     if quality_model is not None:

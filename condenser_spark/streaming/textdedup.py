@@ -541,6 +541,106 @@ def diversity_stats_stateless(
     )
 
 
+_FW_STRUCT = ("n_lines bigint, punct bigint, short bigint, "
+              "dupc bigint")
+
+
+def fineweb_quality_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = (),
+    min_line_punct_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.10,
+    terminal_punct: tuple = (".", "!", "?", '"'),
+) -> DataFrame:
+    """Stateless twin of :func:`functions.text.fineweb_quality_flags`
+    (the three custom FineWeb heuristics, Penedo 2024 §3.4) — the batch
+    form's per-line groupBy is illegal mid-stream; this one computes the
+    per-line counts per row in ONE Arrow kernel (a Counter over the
+    JVM-split lines, O(L)) and derives the identical rounded fractions
+    and flags JVM-side, so the batch DuckDB oracle replays it verbatim
+    (goldens_ext.ext_fineweb_flags_stream; batch/stream equality by
+    transitivity + a row-for-row parity pytest).  Gate templated/listing
+    pages AT INGEST: readStream -> fineweb_quality_stateless ->
+    filter(fineweb_pass).  ``keep_cols`` is the standard passthrough
+    contract (streaming/curate.py's ``fineweb=`` stage rides it)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    reserved = {"_id", "_r", "_dl", "n_lines", "line_punct_frac",
+                "short_line_frac", "dup_line_char_frac",
+                "ok_line_punct", "ok_short_lines", "ok_dup_line_chars",
+                "fineweb_pass"}
+    clash = sorted(reserved.intersection(keep_cols))
+    if clash:
+        raise ValueError(
+            "keep_cols collide with fineweb_quality output columns: "
+            f"{clash}; rename them before the stage")
+    punct = tuple(terminal_punct)
+    short_n = int(short_line_chars)
+
+    def _kernel(lines):
+        from collections import Counter
+
+        cols = {k: [] for k in ("n_lines", "punct", "short", "dupc")}
+        for ls in lines:
+            ls = list(ls) if ls is not None else []
+            c = Counter(ls)
+            cols["n_lines"].append(len(ls))
+            cols["punct"].append(
+                sum(1 for u in ls if u.endswith(punct)))
+            cols["short"].append(sum(1 for u in ls if len(u) < short_n))
+            cols["dupc"].append(
+                sum((k - 1) * len(u) for u, k in c.items() if k > 1))
+        return pd.DataFrame(cols)
+
+    kernel = pandas_udf(_kernel, _FW_STRUCT)
+    units = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"),
+                    lambda u: F.trim(u)),
+        lambda u: u != "",
+    )
+    out = df.select(
+        F.col(id_col).alias("_id"), *keep_cols,
+        F.coalesce(F.length(F.col(text_col)).cast("long"),
+                   F.lit(0).cast("long")).alias("_dl"),
+        kernel(units).alias("_r"),
+    )
+
+    def _frac(num: str):
+        return F.round(
+            F.when(F.col("_r.n_lines") > 0,
+                   F.col(f"_r.{num}") / F.col("_r.n_lines"))
+            .otherwise(F.lit(0.0)), 4)
+
+    out = out.select(
+        F.col("_id").alias(id_col), *keep_cols,
+        F.col("_r.n_lines").alias("n_lines"),
+        _frac("punct").alias("line_punct_frac"),
+        _frac("short").alias("short_line_frac"),
+        F.round(
+            F.when(F.col("_dl") > 0, F.col("_r.dupc") / F.col("_dl"))
+            .otherwise(F.lit(0.0)), 4).alias("dup_line_char_frac"),
+    )
+    flags = {
+        "ok_line_punct": (F.col("n_lines") > 0)
+        & (F.col("line_punct_frac") >= min_line_punct_frac),
+        "ok_short_lines":
+            F.col("short_line_frac") <= max_short_line_frac,
+        "ok_dup_line_chars":
+            F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    conj = F.lit(True)
+    for name in flags:
+        conj = conj & F.col(name)
+    return out.withColumn("fineweb_pass", conj)
+
+
 _REP_STRUCT = (
     "n_lines bigint, dup_lines bigint, dupc_l bigint, "
     "n_paras bigint, dup_paras bigint, dupc_p bigint, "

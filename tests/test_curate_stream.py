@@ -359,3 +359,45 @@ def test_script_gate_both_chains(spark, tmp_path):
         curate_corpus(docs, script={})
     with _pytest.raises(ValueError, match="unknown/empty"):
         curate_stream(docs, script={"max_klingon_frac": 0.1})
+
+
+def test_fineweb_stage_and_parity(spark, tmp_path):
+    """The FineWeb ingest gate: stateless flags equal the batch
+    operator's row-for-row on crafted docs, the curate_stream stage
+    filters on the conjunction, and the chain runs identically on a
+    real stream."""
+    from condenser_spark.functions.text import fineweb_quality_flags
+    from condenser_spark.streaming.textdedup import (
+        fineweb_quality_stateless,
+    )
+
+    prose = "\n".join(
+        f"This is proper sentence number {i} with many decent words."
+        for i in range(10))
+    listing = "\n".join(f"item {i}" for i in range(10))
+    nav = ("A good long leading sentence with plenty of words here.\n"
+           + "repeated nav line\n" * 5)
+    docs = spark.createDataFrame(
+        [(1, prose, "en"), (2, listing, "en"), (3, nav, "en"),
+         (4, "", "en"), (5, None, "en")], SCHEMA)
+
+    batch = {r.doc_id: r.asDict()
+             for r in fineweb_quality_flags(docs).collect()}
+    stream = {r.doc_id: r.asDict()
+              for r in fineweb_quality_stateless(docs).collect()}
+    assert batch == stream
+
+    out = curate_stream(docs, fineweb=True)
+    assert [r.doc_id for r in out.collect()] == [1]
+    assert out.columns == ["doc_id", "text", "lang"]
+
+    src, out_dir = str(tmp_path / "fwsrc"), str(tmp_path / "fwout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, fineweb=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "fwckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r.doc_id
+            for r in spark.read.parquet(out_dir).collect()] == [1]
