@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_warc_roundtrip",
         "ext_fineweb_flags",
         "ext_fineweb_flags_stream",
+        "ext_code_flags",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -547,6 +547,83 @@ def gopher_quality_flags(
     return out.withColumn("gopher_pass", gopher_pass)
 
 
+def code_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_avg_line_len: float = 100.0,
+    max_line_len: int = 1000,
+    min_alpha_frac: float = 0.25,
+    drop_xml_header: bool = True,
+) -> DataFrame:
+    """The Stack's source-file filters (Kocetkov et al. 2022 §2.3; kept
+    by StarCoder's data prep, Li et al. 2023) — the code-corpus
+    counterpart of the Gopher/C4/FineWeb prose rules, per document:
+
+    * ``avg_line_len`` — characters per RAW line (split on ``\\n``,
+      empties counted, newlines excluded) — autogenerated/minified files
+      run long; fail above ``max_avg_line_len``.
+    * ``has_long_line`` — whether ANY line exceeds ``max_line_len``
+      chars.  Computed as ONE codegen regex (``[^\\n]{N}[^\\n]`` — a run
+      longer than N; written as a 1000-run plus one char because RE2
+      caps bounded repetition at 1000, so the same pattern replays in
+      DuckDB), NOT an interpreted per-line HOF — the stage-10 lesson.
+    * ``alpha_frac`` — ``[A-Za-z]`` characters over all characters;
+      encoded blobs/minified data fail below ``min_alpha_frac``.
+    * ``is_xml_header`` — file starts with ``<?xml version=`` (The
+      Stack drops these outright).
+
+    ``code_pass`` is the conjunction (every rule passes AT its
+    threshold).  Empty/NULL text: zero statistics, passes everything
+    except nothing — i.e. survives; pair with a length floor if empties
+    should drop.  Everything is whole-stage codegen riding the scan —
+    zero shuffles, zero Python, zero HOFs; fully DuckDB-replayable
+    (goldens_ext.ext_code_flags)."""
+    if max_line_len < 1:
+        raise ValueError("max_line_len must be >= 1")
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(c)
+    # raw-line average: newline count via replace-and-measure
+    n_nl = n - F.length(F.regexp_replace(c, r"\n", ""))
+    n_lines = n_nl + 1
+    avg = F.round(
+        F.when(n > 0, (n - n_nl).cast("double") / n_lines.cast("double"))
+        .otherwise(F.lit(0.0)), 4)
+    # a run of max_line_len+1 non-newline chars, expressed inside RE2's
+    # 1000-cap on bounded repetition
+    q, r = divmod(int(max_line_len), 1000)
+    pat = "[^\n]{1000}" * q + (f"[^\\n]{{{r}}}" if r else "") + "[^\n]"
+    alpha = F.round(
+        F.when(n > 0,
+               (n - F.length(F.regexp_replace(c, "[A-Za-z]", "")))
+               .cast("double") / n.cast("double"))
+        .otherwise(F.lit(0.0)), 4)
+    out = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.coalesce(n_lines, F.lit(1)).cast("long").alias("n_lines"),
+        avg.alias("avg_line_len"),
+        c.rlike(pat).alias("has_long_line"),
+        alpha.alias("alpha_frac"),
+        F.substring(c, 1, 14).eqNullSafe("<?xml version=")
+        .alias("is_xml_header"),
+    )
+    flags = {
+        "ok_avg_line_len": F.col("avg_line_len") <= max_avg_line_len,
+        "ok_max_line_len": ~F.col("has_long_line"),
+        "ok_alpha_frac": (F.col("n_chars") == 0)
+        | (F.col("alpha_frac") >= min_alpha_frac),
+        "ok_not_xml": (~F.col("is_xml_header")
+                       if drop_xml_header else F.lit(True)),
+    }
+    for name, cond in flags.items():
+        out = out.withColumn(name, cond)
+    conj = F.lit(True)
+    for name in flags:
+        conj = conj & F.col(name)
+    return out.withColumn("code_pass", conj)
+
+
 def fineweb_quality_flags(
     df: DataFrame,
     text_col: str = "text",

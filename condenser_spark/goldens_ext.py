@@ -6842,3 +6842,87 @@ def ext_fineweb_flags_stream(spark: SparkSession,
                    F.lit(nav)).otherwise(F.lit("")),
         ).alias("text"))
     return fineweb_quality_stateless(synth)
+
+
+_CODE_FLAGS_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN t2 || chr(10) || repeat('x', 1100)
+                  ELSE t2 END AS text
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '<?xml version="1.0"?>' || chr(10) || t1
+                    ELSE t1 END AS t2
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN trim(repeat('12345 ab 67890 ', 12))
+                      ELSE text END AS t1
+          FROM documents
+        )
+      )
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text)
+                  - length(regexp_replace(text, '\n', '', 'g'))
+                  AS BIGINT) AS n_nl,
+             length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS n_nonalpha,
+             regexp_matches(text, '[^\n]{1000}[^\n]') AS has_long_line,
+             substr(text, 1, 14) = '<?xml version=' AS is_xml_header
+      FROM synth
+    ),
+    derived AS (
+      SELECT doc_id, n_chars,
+             n_nl + 1 AS n_lines,
+             ROUND(CASE WHEN n_chars > 0
+                   THEN CAST(n_chars - n_nl AS DOUBLE) / (n_nl + 1)
+                   ELSE 0.0 END, 4) AS avg_line_len,
+             has_long_line,
+             ROUND(CASE WHEN n_chars > 0
+                   THEN CAST(n_chars - n_nonalpha AS DOUBLE) / n_chars
+                   ELSE 0.0 END, 4) AS alpha_frac,
+             is_xml_header
+      FROM stats
+    )
+    SELECT *,
+           avg_line_len <= 100.0 AS ok_avg_line_len,
+           NOT has_long_line AS ok_max_line_len,
+           n_chars = 0 OR alpha_frac >= 0.25 AS ok_alpha_frac,
+           NOT is_xml_header AS ok_not_xml,
+           avg_line_len <= 100.0 AND NOT has_long_line
+           AND (n_chars = 0 OR alpha_frac >= 0.25)
+           AND NOT is_xml_header AS code_pass
+    FROM derived
+"""
+
+
+@golden("ext_code_flags", _CODE_FLAGS_SQL)
+def ext_code_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack's source-file filters (Kocetkov 2022 §2.3, kept by
+    StarCoder) over planted code-corpus shapes: every 3rd doc gains a
+    1,100-char minified line (trips the long-line regex — written as a
+    1000-run plus overflow because RE2 caps bounded repetition at
+    1000), every 4th an XML prolog, every 5th becomes a digit blob
+    below the 25% alphabetic floor — every statistic, flag and the
+    conjunction replayed by DuckDB
+    (condenser_spark/functions/text.py:code_quality_flags).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import code_quality_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    t1 = F.when(F.col("doc_id") % 5 == 0,
+                F.lit(("12345 ab 67890 " * 12).strip())) \
+        .otherwise(F.col("text"))
+    t2 = F.when(F.col("doc_id") % 4 == 0,
+                F.concat(F.lit('<?xml version="1.0"?>\n'), t1)) \
+        .otherwise(t1)
+    t3 = F.when(F.col("doc_id") % 3 == 0,
+                F.concat(t2, F.lit("\n" + "x" * 1100))).otherwise(t2)
+    synth = docs.select("doc_id", t3.alias("text"))
+    return code_quality_flags(synth)

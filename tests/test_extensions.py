@@ -984,3 +984,48 @@ def test_fineweb_flags_crafted(spark):
     for d in (4, 5):                      # empty/NULL: no prose evidence
         assert out[d].n_lines == 0 and not out[d].ok_line_punct
         assert not out[d].fineweb_pass
+
+
+def test_code_quality_flags_crafted(spark):
+    """The Stack's source filters on crafted files: clean code passes,
+    a minified bundle fails the long-line regex AT the boundary, a hex
+    blob fails the alpha floor, an XML prolog fails outright, empty
+    files survive (no content, no evidence)."""
+    from condenser_spark.functions.text import code_quality_flags
+
+    clean = "\n".join(f"def fn_{i}(): return {i}" for i in range(20))
+    at_limit = "y" * 1000            # exactly max_line_len: PASSES
+    over_limit = "z" * 1001          # one past: fails
+    blob = "0123456789abcdef " * 40  # hex-ish: alpha 6/17 < 0.25... a-f
+    xml = '<?xml version="1.0"?>\n<root>hello proper text</root>'
+    docs = spark.createDataFrame(
+        [(1, clean), (2, at_limit), (3, over_limit), (4, blob),
+         (5, xml), (6, ""), (7, None)],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in code_quality_flags(docs).collect()}
+
+    assert out[1].code_pass and not out[1].has_long_line
+    assert not out[2].has_long_line and out[2].ok_max_line_len
+    assert out[3].has_long_line and not out[3].code_pass
+    # blob alpha: 6 of 17 chars per unit = 0.3529 >= 0.25 — adjust: the
+    # hex letters count as alpha, so use digits only to fail the floor
+    assert out[4].alpha_frac == round(6 / 17, 4)
+    digits = spark.createDataFrame(
+        [(8, "0123456789 " * 40)], "doc_id long, text string")
+    d = code_quality_flags(digits).collect()[0]
+    assert d.alpha_frac == 0.0 and not d.ok_alpha_frac
+
+    assert out[5].is_xml_header and not out[5].code_pass
+    for i in (6, 7):
+        assert out[i].n_chars == 0 and out[i].code_pass
+
+    # avg_line_len is exact: clean = (sum of line chars) / n_lines
+    lines = clean.split("\n")
+    assert out[1].avg_line_len == round(
+        sum(len(l) for l in lines) / len(lines), 4)
+
+    # threshold parameterization reaches the regex builder
+    tight = {r.doc_id: r.has_long_line
+             for r in code_quality_flags(docs, max_line_len=999)
+             .collect()}
+    assert tight[2] and tight[3]
