@@ -1,0 +1,95 @@
+"""Raw crawl to training shards, end to end — the round-13 user story:
+
+1. INGEST — ``read_warc`` parses real ``.warc.gz`` files (built here
+   from the fixture documents so the example is self-contained) into a
+   documents frame: one task per file, streaming gzip, Arrow batches.
+2. CURATE — one ``curate_corpus`` call chains the published gates:
+   C4's bad-words rule, the COMPLETE Gopher A1.2 repetition table
+   (the dup-5..10-gram thresholds switch the stage to the vectorized
+   stateless kernel), FineWeb's custom trio, and the mixed-script gate.
+3. REPORT — per-stage docs_in/docs_out tabulation plus a
+   ``mixture_report(distinct_tokens=True)`` HLL sketch summary.
+4. LAYOUT — ``write_surt_partitioned`` lands the survivors with domain
+   locality; ``surt_domain_predicate`` proves a one-domain read prunes
+   from parquet footers alone.
+
+Usage:  python examples/warc_to_training_shards.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.corpus import mixture_report
+    from condenser_spark.functions.layout import (
+        surt_domain_predicate,
+        write_surt_partitioned,
+    )
+    from condenser_spark.functions.text import load_badwords
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+    from condenser_spark.sources import read_warc, write_warc_file
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("warc-to-shards-example", master="local[8]",
+                      shuffle_partitions=8)
+
+    # --- 1. build + ingest a real WARC set -------------------------------
+    fixture = load_source_tables(spark, sf_dir)["documents"]
+    warc_dir = tempfile.mkdtemp(prefix="warc_example_")
+    rows = fixture.select("doc_id", "text").orderBy("doc_id").collect()
+    for shard in range(4):
+        write_warc_file(
+            ((f"http://site{r.doc_id % 37}.example/p/{r.doc_id}",
+              r.text or "") for r in rows if r.doc_id % 4 == shard),
+            os.path.join(warc_dir, f"crawl-{shard}.warc.gz"))
+    docs = (read_warc(spark, warc_dir)
+            .select(F.monotonically_increasing_id().alias("doc_id"),
+                    F.col("target_uri").alias("url"), "text")
+            .localCheckpoint())
+    print(f"ingested {docs.count()} records from 4 WARC files")
+
+    # --- 2. one-call curation chain --------------------------------------
+    badwords = load_badwords(["grawlix", "bad phrase", "# a comment"])
+    curated, report = curate_corpus(
+        docs,
+        badwords=badwords,
+        gopher_repetition={"max_dup_5gram_char_frac": 0.60},
+        fineweb={"min_line_punct_frac": 0.0},   # fixture text is filler
+        script={"max_other_frac": 0.9},
+        text_col="text", id_col="doc_id",
+    )
+    print("\nper-stage report:")
+    report.show(truncate=False)
+
+    # --- 3. mixture summary with HLL distinct tokens ----------------------
+    mix = mixture_report(
+        curated.withColumn("lang", F.lit("und")),
+        group_col="lang", distinct_tokens=True)
+    mix.show(truncate=False)
+
+    # --- 4. domain-local layout + pruned read ----------------------------
+    out_dir = os.path.join(warc_dir, "shards")
+    write_surt_partitioned(curated, out_dir, n_files=8)
+    back = spark.read.parquet(out_dir)
+    one_domain = back.filter(
+        surt_domain_predicate("surt_key", "site7.example"))
+    print(f"landed {back.count()} docs in 8 surt-partitioned files; "
+          f"site7.example tree reads {one_domain.count()} docs "
+          "(footer-pruned)")
+    assert back.count() == curated.count()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
