@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "warc_file string, warc_type string, record_id string, "
     "target_uri string, warc_date string, content_type string, "
-    "http_status int, text string, n_payload_bytes bigint"
+    "http_status int, http_content_type string, text string, "
+    "n_payload_bytes bigint"
 )
 
 
@@ -88,16 +89,22 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
         rtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
         if response_only and rtype != "response":
             continue
-        status, body = None, payload
+        status, body, http_ctype = None, payload, None
         ctype = headers.get(b"content-type", b"").decode("ascii",
                                                          "replace")
         if ctype.startswith("application/http"):
             head, sep, rest = payload.partition(b"\r\n\r\n")
             if sep:
                 body = rest
-                first = head.split(b"\r\n", 1)[0].split(b" ")
+                lines_ = head.split(b"\r\n")
+                first = lines_[0].split(b" ")
                 if len(first) >= 2 and first[1].isdigit():
                     status = int(first[1])
+                for hl in lines_[1:]:
+                    k, _, v = hl.partition(b":")
+                    if k.strip().lower() == b"content-type":
+                        http_ctype = v.strip().decode("ascii", "replace")
+                        break
         yield {
             "warc_file": name,
             "warc_type": rtype,
@@ -109,6 +116,7 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
             .decode("ascii", "replace"),
             "content_type": ctype,
             "http_status": status,
+            "http_content_type": http_ctype,
             "text": body[:max_text_bytes].decode("utf-8", "replace"),
             "n_payload_bytes": len(body),
         }
@@ -125,7 +133,10 @@ def read_warc(
 ) -> DataFrame:
     """Read ``*.warc`` / ``*.warc.gz`` files into a documents frame:
     (warc_file, warc_type, record_id, target_uri, warc_date,
-    content_type, http_status, text, n_payload_bytes).  ``text`` is the
+    content_type, http_status, http_content_type, text,
+    n_payload_bytes).  ``content_type`` is the WARC record's;
+    ``http_content_type`` is the HTTP response header's (the html/pdf
+    routing signal — NULL for non-HTTP payloads).  ``text`` is the
     HTTP body for ``application/http`` payloads (the raw payload
     otherwise), UTF-8-decoded with replacement and truncated at
     ``max_text_bytes`` (``n_payload_bytes`` keeps the true size).

@@ -83,3 +83,11 @@ def test_warc_many_files_parallel_and_batching(spark, tmp_path):
 
     keyed = df.select(surt_key("target_uri").alias("s")).collect()
     assert all(r.s.startswith("test,x)") for r in keyed)
+
+
+def test_warc_http_content_type_exposed(spark, tmp_path):
+    write_warc_file([("http://x.test/ct", "body text")],
+                    str(tmp_path / "ct.warc.gz"))
+    r = read_warc(spark, str(tmp_path)).collect()[0]
+    assert r.http_content_type == "text/plain; charset=utf-8"
+    assert r.content_type.startswith("application/http")
