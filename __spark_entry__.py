@@ -86,63 +86,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-13 instance (registry at rotation: 121 oracles + 5 rows-only,
-    # cycle = ceil(121/45) = 3 rounds).  In-cap priority: the 19
-    # r10-recorded carryovers (past-cap two rounds — the longest-waiting),
-    # ext_ivf_cosine_topk (bumped mid-round-12 to make the rows-only slot),
-    # and the 10 round-12 goldens (never driver-recorded) = 30 slots; the
-    # remaining 15 filled from the head of the r11-recorded list
-    # (p2_where_predicate … ext_tfidf_top_terms).  Deprioritized below =
-    # the remaining 31 r11-recorded goldens (past-cap a second round,
+    # Round-14 instance (registry at rotation: 127 oracles + 5 rows-only,
+    # cycle = ceil(127/45) = 3 rounds).  In-cap priority: the 31
+    # r11-recorded carryovers (past-cap two rounds — the longest-waiting,
+    # ext_pack_sequences_sharded … ext_bigram_logprob), the 6 round-13
+    # goldens (never driver-recorded: ext_badwords,
+    # ext_curate_stream_script, ext_warc_roundtrip, ext_fineweb_flags,
+    # ext_fineweb_flags_stream, ext_code_flags) = 37 slots; the remaining
+    # 8 filled from the head of the r12-recorded list
+    # (p1_fk_nullout_projection … ext_exact_dedup).  Deprioritized below =
+    # the remaining 37 r12-recorded goldens (past-cap a second round,
     # listed FIRST — they rotate in-cap next round) + the 45 goldens
-    # recorded green in CORRECTNESS_r12.json (rotate out).  The cadence
+    # recorded green in CORRECTNESS_r13.json (rotate out).  The cadence
     # promise ("every oracle driver-recorded at least every `cycle`
     # rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against the
     # committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r11, past-cap r12, carry over a second round
+        # recorded green r12, past-cap r13, carry over a second round
         # (longest-waiting: first in-cap next rotation)
-        "ext_pack_sequences_sharded",
-        "ext_take_token_budget",
-        "ext_cap_per_group",
-        "ext_pii_scrub",
-        "ext_funnel_counts",
-        "ext_contamination_fraction",
-        "ext_decontaminate_bloom",
-        "ext_encode_tokens",
-        "ext_strip_repeated_blocks",
-        "ext_chunk_documents",
-        "ext_expand_epochs",
-        "ext_winsorize",
-        "ext_curriculum_buckets",
-        "ext_snapshot_diff",
-        "ext_hashed_doc_vectors",
-        "ext_knn_label_vote",
-        "ext_mixture_report",
-        "ext_rp_project",
-        "ext_lm_logprob",
-        "ext_uniform_sample_per_group",
-        "ext_language_scores",
-        "ext_exact_substring",
-        "ext_ccnet_buckets",
-        "ext_exact_substring_keep",
-        "ext_dedup_lines",
-        "ext_curate_linesub",
-        "ext_bm25_topk",
-        "ext_bpe_roundtrip",
-        "ext_collocation_scores",
-        "ext_knn_graph",
-        "ext_bigram_logprob",
-        # §2 + ext goldens recorded green in CORRECTNESS_r12 (rotate out)
-        "p1_fk_nullout_projection",
-        "j1_upstream_multi_edge_semi_join",
-        "j2_j3_missing_keys_anti_distinct",
-        "s8_referential_orphan_check",
-        "middle_out_percent_subset",
-        "middle_out_where_subset",
-        "middle_out_passthrough_excluded",
-        "ext_exact_dedup",
         "ext_dedup_documents",
         "ext_ngram_jaccard_pairs",
         "ext_dup_clusters",
@@ -180,14 +142,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_stream",
         "ext_curate_stream_url",
         "ext_diversity_stream",
-        # new in round 13 (appended per the mid-round rule; rotate
-        # in-cap the following round)
-        "ext_badwords",
-        "ext_curate_stream_script",
-        "ext_warc_roundtrip",
-        "ext_fineweb_flags",
-        "ext_fineweb_flags_stream",
-        "ext_code_flags",
+        # §2 + ext goldens recorded green in CORRECTNESS_r13 (rotate out)
+        "p2_where_predicate",
+        "p3_deterministic_percent_sample",
+        "p4_upstream_filter_injection",
+        "p5_limit_on_sorted",
+        "p6_null_key_tuple_drop",
+        "j4_closure_fetch_semi_join",
+        "ext_brute_force_cosine_topk",
+        "ext_simhash_near_pairs",
+        "ext_srp_cosine_topk",
+        "ext_ivf_cosine_topk",
+        "ext_embedding_dup_pairs",
+        "ext_multimodal_feature_meta",
+        "ext_filter_documents",
+        "ext_stratified_sample",
+        "ext_term_frequencies",
+        "ext_tfidf_top_terms",
+        "ext_pack_sequences",
+        "ext_temperature_mix",
+        "ext_contamination_pairs",
+        "ext_hash_split",
+        "ext_weighted_mix",
+        "ext_heavy_hitters",
+        "ext_build_vocab",
+        "ext_repetition_stats",
+        "ext_semantic_dup_pairs",
+        "ext_quality_logit",
+        "ext_dsir_weights",
+        "ext_dsir_sample",
+        "ext_pq_encode",
+        "ext_pq_topk",
+        "ext_gopher_flags",
+        "ext_c4_clean",
+        "ext_near_dedup_best",
+        "ext_dsir_sample_grouped",
+        "ext_curate_basic",
+        "ext_curate_stream_div",
+        "ext_winnow_overlap",
+        "ext_domain_prior",
+        "ext_curate_div",
+        "ext_d4_prune",
+        "ext_surt_key",
+        "ext_doremi_weights",
+        "ext_gopher_repetition",
+        "ext_gopher_repetition_stream",
+        "ext_script_stats",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
