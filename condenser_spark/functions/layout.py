@@ -178,7 +178,7 @@ def write_surt_partitioned(
     domain and its subdomains shares a SURT prefix, the layout gives
     domain LOCALITY: each file's parquet footer carries a narrow
     [min, max] ``surt_col`` range, so a domain-tree predicate built from
-    :func:`surt_prefix_bounds` prunes to the 1-2 files that actually
+    :func:`surt_domain_predicate` prunes to the 1-2 files that actually
     hold the domain — min/max alone, no special reader
     (tests/test_layout.py measures the claim on the fixture).  The key
     is KEPT as ``surt_col`` (it is the pruning handle; drop it after

@@ -861,7 +861,13 @@ def badwords_flags(
     """
     import re as _re
 
-    words = tuple(badwords)
+    # normalize entries the way load_badwords does (lower-case, single
+    # internal spaces) — matching is against lower-cased text, so a raw
+    # caller list with uppercase entries would otherwise silently never
+    # match
+    words = tuple(
+        _re.sub(r"\s+", " ", str(w).strip().lower()) if w else w
+        for w in badwords)
     if not words or any(not w for w in words):
         raise ValueError("badwords must be a non-empty list of "
                          "non-empty entries (see load_badwords)")

@@ -676,7 +676,7 @@ def _dup_ngram_coverage(all_toks):
     total = int(L.sum())
     if total == 0:
         return out
-    flat = [w for ts in all_toks for w in ts]
+    flat = np.asarray([w for ts in all_toks for w in ts], dtype=object)
     codes, _ = pd.factorize(flat)
     codes = codes.astype(np.int64, copy=False)
     tok_len = pd.Series(flat, dtype=object).str.len().to_numpy(np.int64)
@@ -684,7 +684,13 @@ def _dup_ngram_coverage(all_toks):
     doc_off = np.concatenate(([0], np.cumsum(L)[:-1]))
     # char start of each token within ITS row's space-joined stream
     g_cum = np.concatenate(([0], np.cumsum(tok_len + 1)[:-1]))
-    local_start = g_cum - g_cum[doc_off][doc_of]
+    # empty rows have doc_off == the NEXT row's token start (== total for
+    # trailing empties, past g_cum's end) — they contribute no tokens, so
+    # look up row bases only for non-empty rows
+    row_base = np.zeros(n_rows, dtype=np.int64)
+    nz = L > 0
+    row_base[nz] = g_cum[doc_off[nz]]
+    local_start = g_cum - row_base[doc_of]
     pos_in_doc = np.arange(total, dtype=np.int64) - doc_off[doc_of]
     sep = int((tok_len + 1).sum()) + 1  # > any row's stream length
     base = int(codes.max()) + 1

@@ -54,6 +54,25 @@ def test_badwords_join_regime_matches_regex(spark):
         _flags(docs, ())
 
 
+def test_badwords_raw_entries_normalized(spark):
+    """A raw caller list that bypassed load_badwords (uppercase, ragged
+    whitespace) is normalized inside badwords_flags — never a silently
+    never-matching rule."""
+    docs = spark.createDataFrame([
+        (1, "contains ass as a word"),
+        (2, "a bad phrase indeed"),
+        (3, "clean"),
+    ], SCHEMA)
+    got = _flags(docs, ("ASS", "  Bad   Phrase "))
+    assert got == {1: True, 2: True, 3: False}
+    # join regime too
+    raw = tuple(f"WORD{i}" for i in range(10))
+    docs2 = spark.createDataFrame([(1, "has word3 in it"), (2, "no")],
+                                  SCHEMA)
+    assert (_flags(docs2, raw, max_plan_literals=3)
+            == _flags(docs2, raw) == {1: True, 2: False})
+
+
 def test_load_badwords_shapes():
     from condenser_spark.functions.text import load_badwords
 

@@ -278,6 +278,22 @@ def test_gopher_dup_ngram_coverage_crafted(spark):
     row = gopher_repetition_stateless(padded).collect()[0]
     assert row.dup_5gram_char_frac == round(22 / 29, 4)
 
+    # empty/whitespace/NULL docs, including a batch ENDING in one (the
+    # trailing-row doc_off == total-token-count regression): zero
+    # coverage, no crash, non-empty neighbors unaffected
+    edge = spark.createDataFrame([
+        (5, ""),
+        (6, "a b c d e a b c d e"),
+        (7, "   "),
+        (8, None),
+    ], "doc_id long, text string").coalesce(1)
+    rows = {r.doc_id: r
+            for r in gopher_repetition_stateless(edge).collect()}
+    assert rows[6].dup_5gram_char_frac == round(18 / 19, 4)
+    for d in (5, 7, 8):
+        assert rows[d].dup_5gram_char_frac == 0.0
+        assert rows[d].dup_10gram_char_frac == 0.0
+
 
 def test_curate_corpus_dup_ngram_switches_to_stateless(spark):
     """curate_corpus(gopher_repetition=) switches to the complete
