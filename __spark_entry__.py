@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_gopher_repetition",
         "ext_gopher_repetition_stream",
         "ext_script_stats",
+        # new in round 14 (appended per the mid-round rule; rotate
+        # in-cap the following round)
+        "ext_html_extract",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

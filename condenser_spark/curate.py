@@ -30,6 +30,7 @@ def curate_corpus(
     *,
     url_filter: bool | dict = False,
     domain_prior: dict | None = None,
+    html: bool | dict = False,
     line_dedup: bool | dict = False,
     badwords=None,
     c4: bool | dict = False,
@@ -82,6 +83,15 @@ def curate_corpus(
        self-prior), ``url_col``, ``multi_suffixes``.  Docs with NULL
        priors (no URL, or domain absent from the snapshot) PASS; the
        prior columns are projected away (schema-preserving).
+    -0.2. ``html`` — HTML -> text extraction
+       (:func:`functions.html.extract_html_text`): True or a kwargs
+       dict (``max_link_density``, ``drop_nav``).  The FineWeb §3.1 /
+       RefinedWeb §3.2 stage between the WARC fetch and the first
+       filter — REPLACES ``text_col`` with the extracted
+       newline-separated block text; run it on raw-HTML corpora
+       (plain text collapses to one block).  No docs drop here (an
+       all-boilerplate page survives with empty text; Gopher's
+       word-count rule downstream removes it).
     0. ``line_dedup`` — :func:`functions.text.dedup_lines`: True or a
        kwargs dict (``keep``/``min_count``/``strip_digits``); CCNet's
        actual first stage — cross-document paragraph dedup BEFORE any
@@ -202,7 +212,8 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "url_filter", "domain_prior", "line_dedup",
+    _ANCHORS = ("start", "url_filter", "domain_prior", "html_extract",
+                "line_dedup",
                 "badwords", "c4_clean", "diversity_gate", "script_gate",
                 "language_id",
                 "gopher_rules", "gopher_repetition", "fineweb_rules",
@@ -287,6 +298,15 @@ def curate_corpus(
         cur = _record("domain_prior", pri.filter(cond)
                       .select(*cur.columns))
         _apply_extra("domain_prior")
+    if html:
+        from condenser_spark.functions.html import extract_html_text
+
+        opts = dict(html) if isinstance(html, dict) else {}
+        cur = _record(
+            "html_extract",
+            extract_html_text(cur, text_col=text_col, **opts),
+        )
+        _apply_extra("html_extract")
     if line_dedup:
         from condenser_spark.functions.text import dedup_lines
 

@@ -1,0 +1,199 @@
+"""HTML -> text extraction — the missing middle of every published WARC
+pipeline.  ``sources.warc.read_warc`` emits the raw HTTP body; the
+quality gates (C4, Gopher, FineWeb) are all defined over EXTRACTED
+text: FineWeb §3.1 and RefinedWeb §3.2 run trafilatura-class extraction
+between the WARC fetch and the first filter.  This module implements
+that stage Spark-first with ZERO third-party dependencies: one scalar
+Arrow kernel (a stdlib :class:`html.parser.HTMLParser` subclass) that
+
+* drops non-content subtrees (``script``/``style``/``head``/
+  ``noscript``/``template``/``svg``/``iframe``/...), comments,
+  doctypes and processing instructions;
+* segments block-level elements (``p``/``div``/``li``/``h1``-``h6``/
+  ``br``/...) into newline-separated blocks — so the line/paragraph
+  structure every downstream gate keys on (C4's line filter, Gopher's
+  dup-line rules, FineWeb's terminal-punctuation ratio) survives;
+* decodes character/entity references (``&amp;`` ``&#65;``) via the
+  parser's ``convert_charrefs`` pass;
+* collapses intra-block whitespace runs to single spaces and drops
+  empty blocks (``<pre>`` formatting is NOT preserved — acceptable for
+  training-data extraction; note in the docstring);
+* optionally drops boilerplate two ways: structural
+  (``drop_nav=True``: the ``nav``/``footer``/``aside`` subtrees) and
+  statistical (``max_link_density=``: the jusText/trafilatura signal —
+  a block whose anchor-text character fraction exceeds the threshold
+  is a link farm / nav bar, not prose).
+
+Scale shape: per-row, stateless, one Python call per document via a
+scalar ``pandas_udf`` — stream-legal (the ``html=`` stage exists in
+BOTH composers), no shuffle, no state; at 100 TB it rides the same
+map-only micro-batch plan as the other stateless gates.  The parser is
+stdlib C-accelerated tokenization plus O(n) Python dispatch; docs/s at
+2M is priced in scripts/stress_smoke.py (STRESS stage 30).
+
+Reference parity: the reference engine (TonicAI/condenser) has no text
+pipeline at all — this stage exists for the §7.4 LLM-curation surface,
+mirroring FineWeb (Penedo et al. 2024) §3.1 and RefinedWeb (Penaloza
+et al. 2023) §3.2.  Correctness is pinned by the planted-stripe full
+oracle ``goldens_ext.ext_html_extract`` (tags, entities, script/
+comment drops, block segmentation, link-density and nav boilerplate —
+all DuckDB-predictable because the planted HTML is built from
+literals)."""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# subtrees that never contribute content text
+_SKIP_TAGS = frozenset(
+    "script style head noscript template svg math iframe object embed "
+    "audio video canvas select option datalist".split())
+# structural boilerplate, dropped only under drop_nav=True
+_NAV_TAGS = frozenset("nav footer aside".split())
+# elements that terminate the current text block (HTML block-level
+# display list; br/hr are void but also segment)
+_BLOCK_TAGS = frozenset(
+    "address article aside blockquote body br caption dd details div dl "
+    "dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+    "hr html li main nav ol p pre section summary table tbody td tfoot "
+    "th thead tr ul".split())
+
+
+class _BlockExtractor(HTMLParser):
+    """Streaming tag-soup -> (block text, anchor-char count) list.
+
+    Tolerant by construction (html.parser never raises on malformed
+    markup); unbalanced end tags clamp depth counters at zero, an
+    unclosed ``<script>`` drops the remainder of the document (the
+    conservative reading of broken markup)."""
+
+    def __init__(self, drop_nav: bool = False) -> None:
+        super().__init__(convert_charrefs=True)
+        self._drop_nav = drop_nav
+        self.blocks: list[tuple[str, int, int]] = []
+        self._parts: list[str] = []
+        self._n_chars = 0
+        self._n_anchor = 0
+        self._skip = 0
+        self._nav = 0
+        self._anchor = 0
+
+    def _flush(self) -> None:
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append((text, self._n_anchor, self._n_chars))
+        self._parts, self._n_chars, self._n_anchor = [], 0, 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+        elif tag in _NAV_TAGS:
+            self._nav += 1
+        elif tag == "a":
+            self._anchor += 1
+
+    def handle_endtag(self, tag):
+        if tag in _BLOCK_TAGS:
+            self._flush()
+        if tag in _SKIP_TAGS:
+            self._skip = max(0, self._skip - 1)
+        elif tag in _NAV_TAGS:
+            self._nav = max(0, self._nav - 1)
+        elif tag == "a":
+            self._anchor = max(0, self._anchor - 1)
+
+    def handle_data(self, data):
+        if self._skip or (self._drop_nav and self._nav):
+            return
+        self._parts.append(data)
+        # raw (pre-collapse) char counts: deterministic, and whitespace
+        # inflates numerator and denominator alike
+        n = len(data)
+        self._n_chars += n
+        if self._anchor:
+            self._n_anchor += n
+
+
+def _extract_html(
+    doc: str,
+    max_link_density: float | None = None,
+    drop_nav: bool = False,
+) -> str:
+    """Extract newline-separated block text from one HTML string.
+    Pure Python, importable without Spark (unit-testable, and the
+    stress harness calls it directly)."""
+    if not doc:
+        return ""
+    p = _BlockExtractor(drop_nav=drop_nav)
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        # html.parser is documented never to raise on bad markup; this
+        # guard turns any stdlib surprise into "keep what parsed"
+        pass
+    p._flush()
+    keep = []
+    for text, n_anchor, n_chars in p.blocks:
+        if (max_link_density is not None and n_chars > 0
+                and n_anchor / n_chars > max_link_density):
+            continue
+        keep.append(text)
+    return "\n".join(keep)
+
+
+def extract_html_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    *,
+    max_link_density: float | None = None,
+    drop_nav: bool = False,
+) -> DataFrame:
+    """Rewrite ``text_col`` (or add ``out_col``) with the extracted
+    block text of its HTML content — the stage between
+    :func:`sources.warc.read_warc` and the first quality gate.
+
+    NULL/empty text extracts to ``""`` (never NULL — downstream gates
+    assume a string).  Plain text without markup passes through as ONE
+    whitespace-collapsed block: run this stage on raw-HTML corpora, not
+    on already-extracted text (paragraph structure would collapse).
+
+    ``max_link_density`` — drop blocks whose anchor-text character
+    fraction exceeds the threshold (the jusText boilerplate signal;
+    0.5 is a reasonable start).  ``drop_nav`` — drop the
+    ``nav``/``footer``/``aside`` subtrees outright.
+
+    Schema-preserving with ``out_col=None`` (the composer contract);
+    stream-legal (scalar pandas_udf, no state, no shuffle)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mld = None if max_link_density is None else float(max_link_density)
+    nav = bool(drop_nav)
+
+    def _kernel(texts):
+        return pd.Series(
+            [_extract_html(t, mld, nav) if t else "" for t in texts],
+            dtype=object)
+
+    # The kernel IS deterministic; the marker stops Catalyst from
+    # inlining the projected column into downstream Filter predicates
+    # (PushPredicateThroughProject), which would re-run the expensive
+    # parse once for the predicate and once for the output — measured
+    # as TWO ArrowEvalPython nodes in the html+badwords chain.  Cost:
+    # later filters on OTHER columns no longer push below this stage —
+    # filter before extracting (the composers already do).
+    _kernel = pandas_udf(_kernel, "string").asNondeterministic()
+
+    target = out_col or text_col
+    if out_col is not None and out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists; pick "
+                         "another name or pass out_col=None to replace "
+                         f"{text_col!r}")
+    return df.withColumn(target, _kernel(F.col(text_col)))

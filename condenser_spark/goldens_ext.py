@@ -6926,3 +6926,60 @@ def ext_code_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(t2, F.lit("\n" + "x" * 1100))).otherwise(t2)
     synth = docs.select("doc_id", t3.alias("text"))
     return code_quality_flags(synth)
+
+
+_HTML_EXTRACT_SQL = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 7 AS INTEGER)
+             WHEN 0 THEN 'alpha ' || CAST(doc_id AS VARCHAR) || ' beta'
+             WHEN 1 THEN 'first ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || 'second'
+             WHEN 2 THEN '&x <tag> A" ' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'keep ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || 'tail'
+             WHEN 4 THEN 'a b c ' || CAST(doc_id AS VARCHAR)
+                         || chr(10) || 'd'
+             WHEN 5 THEN 'body ' || CAST(doc_id AS VARCHAR)
+             ELSE 'real content ' || CAST(doc_id AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+
+@golden("ext_html_extract", _HTML_EXTRACT_SQL)
+def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (the FineWeb SS3.1 / RefinedWeb SS3.2
+    stage between the WARC fetch and the first filter) over seven
+    planted HTML stripes: head/style/script subtree drops, inline-tag
+    fusion, block segmentation to newlines, entity/charref decoding,
+    comment drops, whitespace collapse + <br>, nav boilerplate
+    (drop_nav) and a link-farm block above the 0.5 anchor-char
+    threshold (max_link_density).  The planted markup is built from
+    literals + doc_id, so DuckDB predicts the extracted text exactly
+    (condenser_spark/functions/html.py:extract_html_text).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.html import extract_html_text
+
+    docs = _tables(spark, sf_dir)["documents"]
+    sid = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 7).cast("int")
+    stripes = [
+        ('<html><head><title>T</title><style>p{color:red}</style>'
+         '</head><body> <p>alpha <b>', '</b> beta</p> </body></html>'),
+        ('<div>first ', '</div><div>second</div>'),
+        ('<p>&amp;x &lt;tag&gt; &#65;&quot; ', '</p>'),
+        ('<p>keep ', '</p><!-- drop --><script>var x="<p>hi</p>";'
+         '</script><p>tail</p>'),
+        ('<p>a   b\n c ', '<br>d</p>'),
+        ('<nav>home about</nav><p>body ', '</p>'),
+        ('<p><a href="x">l1</a> <a href="y">l2</a></p>'
+         '<p>real content ', '</p>'),
+    ]
+    html_col = None
+    for j, (pre, post) in enumerate(stripes):
+        clause = F.concat(F.lit(pre), sid, F.lit(post))
+        html_col = (F.when(m == j, clause) if html_col is None
+                    else html_col.when(m == j, clause))
+    synth = docs.select("doc_id", html_col.alias("text"))
+    return extract_html_text(synth, max_link_density=0.5, drop_nav=True)

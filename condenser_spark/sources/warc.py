@@ -186,21 +186,25 @@ def write_warc_file(
     *,
     compress: bool = True,
     date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "text/plain; charset=utf-8",
 ) -> int:
     """Write (uri, text) pairs as a byte-exact WARC/1.0 file of HTTP
     response records — the reader's round-trip/parity surface (and a
     fixture builder; a production EXPORT would shard via
-    foreachPartition).  Driver-side pure I/O by design, like
+    foreachPartition).  ``content_type`` sets the HTTP response
+    Content-Type header (``text/html; charset=utf-8`` for HTML-bodied
+    crawls).  Driver-side pure I/O by design, like
     ``load_blocklist``.  Returns the record count."""
     import gzip
     import io
 
     out = io.BytesIO()
     n = 0
+    ctype = content_type.encode("ascii")
     for uri, text in records:
         body = (text or "").encode("utf-8")
-        http = (b"HTTP/1.1 200 OK\r\ncontent-type: text/plain; "
-                b"charset=utf-8\r\ncontent-length: "
+        http = (b"HTTP/1.1 200 OK\r\ncontent-type: " + ctype
+                + b"\r\ncontent-length: "
                 + str(len(body)).encode() + b"\r\n\r\n" + body)
         rec = (
             b"WARC/1.0\r\n"

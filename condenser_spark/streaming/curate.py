@@ -101,6 +101,7 @@ def curate_stream(
     blocked_domains=(),
     url_col: str = "url",
     domain_prior: dict | None = None,
+    html: bool | dict = False,
     line_bloom: ShingleBloom | None = None,
     strip_digits: bool = False,
     kgram_bloom: ShingleBloom | None = None,
@@ -120,9 +121,9 @@ def curate_stream(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
-    (URL -> domain-prior -> line-dedup -> ExactSubstr -> badwords ->
-    C4 -> diversity -> script -> langid -> Gopher A1.1 -> Gopher A1.2
-    repetition -> FineWeb -> quality) and return the
+    (URL -> domain-prior -> HTML-extract -> line-dedup -> ExactSubstr ->
+    badwords -> C4 -> diversity -> script -> langid -> Gopher A1.1 ->
+    Gopher A1.2 repetition -> FineWeb -> quality) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
@@ -201,6 +202,15 @@ def curate_stream(
             cond = cond & (F.col("domain_n_docs").isNull()
                            | (F.col("domain_n_docs") >= int(min_docs)))
         cur = pri.filter(cond).select(*cols)
+
+    if html:
+        # FineWeb §3.1 / RefinedWeb §3.2: extraction between the fetch
+        # and the first text rule.  Scalar pandas_udf — per-row,
+        # stateless, stream-legal; REPLACES text_col in place.
+        from condenser_spark.functions.html import extract_html_text
+
+        opts = dict(html) if isinstance(html, dict) else {}
+        cur = extract_html_text(cur, text_col=text_col, **opts)
 
     if line_bloom is not None:
         out = dedup_lines_stream(cur, line_bloom,

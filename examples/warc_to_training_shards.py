@@ -43,25 +43,41 @@ def main() -> int:
     spark = get_spark("warc-to-shards-example", master="local[8]",
                       shuffle_partitions=8)
 
-    # --- 1. build + ingest a real WARC set -------------------------------
+    # --- 1. build + ingest a real HTML-bodied WARC set -------------------
+    # each page is real markup: title/nav boilerplate, the fixture text
+    # as the content paragraph, a tracking script — what a crawl
+    # actually delivers; the html= stage extracts the paragraph back
+    import html as _html
+
     fixture = load_source_tables(spark, sf_dir)["documents"]
     warc_dir = tempfile.mkdtemp(prefix="warc_example_")
     rows = fixture.select("doc_id", "text").orderBy("doc_id").collect()
+
+    def page(r):
+        return (
+            '<html><head><title>doc</title><style>p{margin:0}</style>'
+            '</head><body><nav><a href="/">home</a> '
+            '<a href="/about">about</a></nav><p>'
+            + _html.escape(r.text or "")
+            + '</p><script>track("view");</script></body></html>')
+
     for shard in range(4):
         write_warc_file(
             ((f"http://site{r.doc_id % 37}.example/p/{r.doc_id}",
-              r.text or "") for r in rows if r.doc_id % 4 == shard),
-            os.path.join(warc_dir, f"crawl-{shard}.warc.gz"))
+              page(r)) for r in rows if r.doc_id % 4 == shard),
+            os.path.join(warc_dir, f"crawl-{shard}.warc.gz"),
+            content_type="text/html; charset=utf-8")
     docs = (read_warc(spark, warc_dir)
             .select(F.monotonically_increasing_id().alias("doc_id"),
                     F.col("target_uri").alias("url"), "text")
             .localCheckpoint())
-    print(f"ingested {docs.count()} records from 4 WARC files")
+    print(f"ingested {docs.count()} HTML records from 4 WARC files")
 
-    # --- 2. one-call curation chain --------------------------------------
+    # --- 2. one-call curation chain (extraction first) --------------------
     badwords = load_badwords(["grawlix", "bad phrase", "# a comment"])
     curated, report = curate_corpus(
         docs,
+        html={"drop_nav": True, "max_link_density": 0.5},
         badwords=badwords,
         gopher_repetition={"max_dup_5gram_char_frac": 0.60},
         fineweb={"min_line_punct_frac": 0.0},   # fixture text is filler

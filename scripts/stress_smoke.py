@@ -2079,6 +2079,58 @@ def stage_warc(spark, n_files: int = 16, recs_per_file: int = 31_250,
     }
 
 
+def stage_html_extract(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 30: HTML -> text extraction at 2M docs — the round-14
+    FineWeb SS3.1 stage, one scalar Arrow kernel (stdlib html.parser)
+    per row.  Each doc is a realistic page: head/style/script subtrees,
+    a nav bar (dropped structurally), TWO 20-token paragraphs of
+    per-id-unique 6-char tokens, and a link-farm div (dropped by the
+    0.5 anchor-char threshold).  Closed-form exactness: every extracted
+    doc is exactly two 139-char blocks joined by one newline = 279
+    chars, asserted via count + sum(length) over ALL docs."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.html import extract_html_text
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    block = lambda salt: F.concat_ws(  # noqa: E731
+        " ", *[uid(f"{salt}{j}") for j in range(20)])
+    html_doc = F.concat(
+        F.lit('<html><head><title>t</title><style>p{color:red}</style>'
+              '<script>var boot=1;</script></head><body>'
+              '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+              '<p>'),
+        block("a"),
+        F.lit('</p><script>track("page view");</script><p>  '),
+        block("b"),
+        F.lit('  </p><div><a href="1">link one</a> '
+              '<a href="2">link two</a></div></body></html>'),
+    )
+    path = f"{WORK}/html_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), html_doc.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    expected_len = (20 * 6 + 19) * 2 + 1  # two blocks + one newline
+    t0 = time.time()
+    agg = extract_html_text(
+        docs, max_link_density=0.5, drop_nav=True,
+    ).agg(F.count(F.lit(1)).alias("n"),
+          F.sum(F.length("text")).alias("nc")).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert agg.nc == n_docs * expected_len, (agg.nc, expected_len)
+    return {
+        "stage": "html_extract_2m",
+        "n_docs": n_docs,
+        "chars_per_doc": expected_len,
+        "extract_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2119,6 +2171,7 @@ def main() -> int:
         "gopher_repetition": lambda: stage_gopher_repetition(spark),
         "codegen_gates": lambda: stage_codegen_gates(spark),
         "warc": lambda: stage_warc(spark),
+        "html_extract": lambda: stage_html_extract(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -1,0 +1,119 @@
+"""HTML -> text extraction: the pure kernel's tag/entity/boilerplate
+semantics, the DataFrame operator's NULL/out_col contract, and the
+``html=`` stage in BOTH curation chains (including a real stream run)."""
+import pytest
+
+SCHEMA = "doc_id long, text string"
+
+
+def test_extract_kernel_semantics():
+    from condenser_spark.functions.html import _extract_html as X
+
+    # subtree drops + inline fusion + whitespace collapse
+    assert X('<html><head><title>T</title><style>p{c}</style></head>'
+             '<body> <p>alpha <b>7</b> beta</p> </body></html>'
+             ) == "alpha 7 beta"
+    # block segmentation
+    assert X("<div>first</div><div>second</div>") == "first\nsecond"
+    assert X("<ul><li>one</li><li>two</li></ul>") == "one\ntwo"
+    # entities/charrefs decode
+    assert X("<p>&amp;x &lt;tag&gt; &#65;&quot;</p>") == '&x <tag> A"'
+    # comments + script content (even with fake tags inside) drop
+    assert X('<p>keep</p><!-- drop --><script>var x="<p>hi</p>";'
+             "</script><p>tail</p>") == "keep\ntail"
+    # <br> segments; intra-block whitespace runs collapse
+    assert X("<p>a   b\n c<br>d</p>") == "a b c\nd"
+    # malformed markup is tolerated: unclosed script drops the tail,
+    # stray end tags are ignored
+    assert X("<p>unclosed <script>gone") == "unclosed"
+    assert X("</div>stray end<p>ok</p>") == "stray end\nok"
+    # plain text passes through as ONE collapsed block
+    assert X("plain  text\nno markup") == "plain text no markup"
+    assert X("") == ""
+
+    # boilerplate: structural (nav/footer/aside) and statistical
+    # (anchor-char fraction over the threshold)
+    assert X("<nav>home about</nav><p>body</p>", drop_nav=True) == "body"
+    assert X("<footer>(c) corp</footer><p>body</p>",
+             drop_nav=True) == "body"
+    assert X('<p><a href="x">l1</a> <a href="y">l2</a></p>'
+             "<p>real content here</p>",
+             max_link_density=0.5) == "real content here"
+    # a prose block with one small link survives the same threshold
+    assert X('<p>plenty of prose around <a href="x">a link</a> here</p>',
+             max_link_density=0.5) == "plenty of prose around a link here"
+
+
+def test_extract_html_text_operator(spark):
+    from condenser_spark.functions.html import extract_html_text
+
+    docs = spark.createDataFrame([
+        (1, "<p>hello <b>world</b></p>"),
+        (2, None),
+        (3, ""),
+        (4, "<div>a</div><div>b</div>"),
+    ], SCHEMA)
+    got = {r.doc_id: r.text
+           for r in extract_html_text(docs).collect()}
+    # NULL/empty extract to "" (never NULL); schema preserved
+    assert got == {1: "hello world", 2: "", 3: "", 4: "a\nb"}
+
+    # out_col keeps the original text alongside
+    both = extract_html_text(docs, out_col="extracted")
+    row = {r.doc_id: r for r in both.collect()}[1]
+    assert row.text == "<p>hello <b>world</b></p>"
+    assert row.extracted == "hello world"
+    with pytest.raises(ValueError, match="already exists"):
+        extract_html_text(docs, out_col="text")
+
+
+def test_html_stage_both_chains(spark, tmp_path):
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame([
+        (1, "<nav>menu</nav><p>real body one</p>", "en"),
+        (2, "<p>real body two</p><script>x()</script>", "en"),
+    ], "doc_id long, text string, lang string")
+
+    out, rep = curate_corpus(docs, html={"drop_nav": True})
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert got == {1: "real body one", 2: "real body two"}
+    assert out.columns == docs.columns
+    row = [r for r in rep.collect() if r.stage == "html_extract"][0]
+    assert (row.docs_in, row.docs_out) == (2, 2)  # rewrite, not a drop
+
+    # stream chain on a batch frame (the parity surface)
+    sgot = {r.doc_id: r.text
+            for r in curate_stream(docs, html={"drop_nav": True}).collect()}
+    assert sgot == got
+
+    # a real stream run, extraction feeding a downstream gate
+    src, out_dir = str(tmp_path / "hsrc"), str(tmp_path / "hout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate_stream(s, html={"drop_nav": True})
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "hckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert ({r.doc_id: r.text
+             for r in spark.read.parquet(out_dir).collect()} == got)
+
+
+def test_html_extra_stage_anchor(spark):
+    """html_extract is a valid extra_stages anchor in the batch chain."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "<p>short</p>"), (2, "<p>a much longer document body</p>")],
+        SCHEMA)
+    out, rep = curate_corpus(
+        docs, html=True,
+        extra_stages=[
+            ("min_len", lambda d: d.filter(F.length("text") > 10),
+             "html_extract"),
+        ])
+    assert [r.doc_id for r in out.collect()] == [2]

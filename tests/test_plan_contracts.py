@@ -578,3 +578,21 @@ def test_domain_prior_stage_plan_shape(spark, source):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_html_extract_stage_is_map_only(spark, source):
+    """The round-14 HTML extraction stage is one scalar Arrow kernel
+    riding the scan: curate_stream(html=) chained with a codegen gate
+    must execute with ZERO Exchange and exactly ONE Python eval —
+    extraction never buys a shuffle at 100 TB."""
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"]
+    out = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                        html={"max_link_density": 0.5, "drop_nav": True},
+                        badwords=("grawlix",))
+    plan = _executed(out)
+    assert "Exchange" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               for l in plan.splitlines())
+    assert n_py == 1, plan
