@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 14 (appended per the mid-round rule; rotate
         # in-cap the following round)
         "ext_html_extract",
+        "ext_wet_roundtrip",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

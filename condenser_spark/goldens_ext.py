@@ -6983,3 +6983,44 @@ def ext_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     else html_col.when(m == j, clause))
     synth = docs.select("doc_id", html_col.alias("text"))
     return extract_html_text(synth, max_link_density=0.5, drop_nav=True)
+
+
+_WET_SQL = r"""
+    SELECT 'http://fixture.test/wet/' || CAST(doc_id AS VARCHAR) AS url,
+           COALESCE(text, '') AS text,
+           'conversion' AS warc_type,
+           CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_payload_bytes
+    FROM documents
+"""
+
+
+@golden("ext_wet_roundtrip", _WET_SQL)
+def ext_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET ingestion (Common Crawl's pre-extracted plain-text sibling of
+    WARC): the fixture documents are written as a WET-style WARC/1.0
+    gzip of ``conversion`` records (text/plain payloads, no HTTP
+    envelope) and read back through :func:`sources.warc.read_wet` — the
+    payload passes through the parser's non-HTTP branch, and the DuckDB
+    oracle predicts URI, body and byte length straight from the table
+    (condenser_spark/sources/warc.py:read_wet,write_wet_file).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    import os
+    import tempfile
+
+    from condenser_spark.sources import read_wet, write_wet_file
+
+    docs = _tables(spark, sf_dir)["documents"]
+    rows = (docs.select("doc_id", "text")
+            .orderBy("doc_id").limit(2000).collect())
+    d = tempfile.mkdtemp(prefix="wet_golden_")
+    write_wet_file(
+        ((f"http://fixture.test/wet/{r.doc_id}", r.text or "")
+         for r in rows),
+        os.path.join(d, "fixture.warc.wet.gz"))
+    return read_wet(spark, d).select(
+        F.col("target_uri").alias("url"),
+        "text",
+        "warc_type",
+        "n_payload_bytes",
+    )

@@ -2,6 +2,11 @@
 (condenser_spark.registry handles those): formats Spark has no native
 datasource for, expressed as binaryFile scans + Arrow-batched parsers."""
 
-from condenser_spark.sources.warc import read_warc, write_warc_file
+from condenser_spark.sources.warc import (
+    read_warc,
+    read_wet,
+    write_warc_file,
+    write_wet_file,
+)
 
-__all__ = ["read_warc", "write_warc_file"]
+__all__ = ["read_warc", "read_wet", "write_warc_file", "write_wet_file"]

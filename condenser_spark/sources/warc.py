@@ -18,10 +18,18 @@ module expresses one Spark-first:
 
 The parser implements the WARC/1.0 and 1.1 record grammar directly
 (version line, CRLF header block, Content-Length octet payload, CRLF
-CRLF separator) and, for ``response`` records, splits the HTTP/1.1
-message at its first CRLFCRLF to expose status and body.  Malformed
-tails fail loud by default (``on_error="fail"``) or are counted and
-skipped (``on_error="skip"``) — never silently mis-parsed.
+CRLF separator) and, for ``application/http`` payloads, splits the
+HTTP/1.1 message at its first CRLFCRLF to expose status and body.
+Malformed records fail loud by default (``on_error="fail"``) or are
+COUNTED and skipped (``on_error="skip"``): the parser emits one
+``warc_type="parse_error"`` audit row per error event (message in
+``text``, bytes skipped while resyncing in ``n_payload_bytes``) and
+scans forward to the next ``WARC/`` version line — a partially-corrupt
+crawl is measurable, never silently short.  WET containers (Common
+Crawl's pre-extracted text sibling) parse through the same grammar:
+their ``conversion`` records carry ``text/plain`` payloads straight
+through the non-HTTP branch — :func:`read_wet` is the documented
+convenience.
 
 Parity surface: :func:`write_warc_file` emits byte-exact WARC/1.0 so
 the reader round-trips through a real file; the ``ext_warc_roundtrip``
@@ -42,11 +50,37 @@ WARC_SCHEMA = (
 )
 
 
+def _error_row(name: str, msg: str, n_skipped: int) -> dict:
+    """The skip-mode audit row: one per malformed-record event, so a
+    partially-corrupt crawl is measurable (count
+    ``warc_type == 'parse_error'``, sum ``n_payload_bytes`` for the
+    bytes lost to resync) instead of silently short."""
+    return {
+        "warc_file": name,
+        "warc_type": "parse_error",
+        "record_id": "",
+        "target_uri": None,
+        "warc_date": "",
+        "content_type": "",
+        "http_status": None,
+        "http_content_type": None,
+        "text": msg,
+        "n_payload_bytes": n_skipped,
+    }
+
+
 def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
-                       response_only: bool, on_error: str):
+                       keep_types, on_error: str):
     """Yield parsed record dicts from one (possibly multi-member) gzip
     or plain WARC byte string.  Incremental: reads header block, then
-    exactly Content-Length payload octets, then the record separator."""
+    exactly Content-Length payload octets, then the record separator.
+    ``keep_types``: a frozenset of WARC-Type values to keep, or None
+    for all.  Under ``on_error="skip"`` a malformed record yields a
+    ``parse_error`` audit row (always kept, regardless of
+    ``keep_types``) and the parser resyncs by scanning to the next
+    ``WARC/`` version line (a payload line that happens to start with
+    ``WARC/`` would end the resync early — the standard heuristic;
+    under ``"fail"`` nothing is ever mis-parsed)."""
     import gzip
     import io
 
@@ -56,38 +90,58 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
         stream = io.BytesIO(raw)
     buf = io.BufferedReader(stream, buffer_size=1 << 16)
 
-    def bad(msg: str):
-        if on_error == "fail":
-            raise ValueError(f"{name}: {msg}")
-        return None
-
+    pending = None  # resync pushback: the version line that ended a scan
     while True:
-        line = buf.readline()
+        if pending is not None:
+            line, pending = pending, None
+        else:
+            line = buf.readline()
         while line in (b"\r\n", b"\n"):  # inter-record blank lines
             line = buf.readline()
         if not line:
             return
+
+        msg = None
         if not line.startswith(b"WARC/"):
-            bad(f"expected WARC version line, got {line[:40]!r}")
-            return
-        headers = {}
-        while True:
-            h = buf.readline()
-            if h in (b"\r\n", b"\n", b""):
-                break
-            k, _, v = h.partition(b":")
-            headers[k.strip().lower()] = v.strip()
-        try:
-            length = int(headers[b"content-length"])
-        except (KeyError, ValueError):
-            bad("record without a valid Content-Length")
-            return
+            msg = f"expected WARC version line, got {line[:40]!r}"
+            headers = {}
+        else:
+            headers = {}
+            while True:
+                h = buf.readline()
+                if h in (b"\r\n", b"\n", b""):
+                    break
+                k, _, v = h.partition(b":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers[b"content-length"])
+            except (KeyError, ValueError):
+                msg = "record without a valid Content-Length"
+        if msg is not None:
+            if on_error == "fail":
+                raise ValueError(f"{name}: {msg}")
+            # resync: count bytes until the next version line (or EOF)
+            n_skipped = len(line) if not line.startswith(b"WARC/") else 0
+            while True:
+                nxt = buf.readline()
+                if not nxt:
+                    break
+                if nxt.startswith(b"WARC/"):
+                    pending = nxt
+                    break
+                n_skipped += len(nxt)
+            yield _error_row(name, msg, n_skipped)
+            continue
+
         payload = buf.read(length)
         if len(payload) != length:
-            bad(f"truncated payload ({len(payload)}/{length} bytes)")
+            msg = f"truncated payload ({len(payload)}/{length} bytes)"
+            if on_error == "fail":
+                raise ValueError(f"{name}: {msg}")
+            yield _error_row(name, msg, len(payload))
             return
         rtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
-        if response_only and rtype != "response":
+        if keep_types is not None and rtype not in keep_types:
             continue
         status, body, http_ctype = None, payload, None
         ctype = headers.get(b"content-type", b"").decode("ascii",
@@ -127,6 +181,7 @@ def read_warc(
     path: str,
     *,
     response_only: bool = True,
+    record_types=None,
     max_text_bytes: int = 1 << 20,
     on_error: str = "fail",
     batch_rows: int = 256,
@@ -142,11 +197,17 @@ def read_warc(
     ``max_text_bytes`` (``n_payload_bytes`` keeps the true size).
 
     ``response_only=True`` keeps only WARC response records (the page
-    fetches — request/metadata/warcinfo records are crawl bookkeeping).
+    fetches — request/metadata/warcinfo records are crawl
+    bookkeeping).  ``record_types``, when given, overrides it with an
+    explicit WARC-Type whitelist — e.g. ``("conversion",)`` for WET
+    containers (:func:`read_wet` is that spelling).
     ``on_error``: ``"fail"`` raises on a malformed record (default —
     a corrupt corpus should stop the job, not shrink it silently);
-    ``"skip"`` stops parsing THAT file at the first malformed record
-    and keeps what parsed.
+    ``"skip"`` emits one ``warc_type="parse_error"`` audit row per
+    malformed record (message in ``text``, resync-skipped bytes in
+    ``n_payload_bytes``; audit rows bypass the type filter), scans to
+    the next ``WARC/`` version line, and keeps parsing — count the
+    audit rows to measure a partially-corrupt crawl.
 
     Scale shape: one task per file (gzip members are not splittable —
     the Common Crawl ~100 MB-file layout exists for exactly this
@@ -158,6 +219,15 @@ def read_warc(
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', "
                          f"got {on_error!r}")
+    if record_types is not None:
+        keep_types = frozenset(record_types)
+        if not keep_types:
+            raise ValueError("record_types must be a non-empty iterable "
+                             "of WARC-Type values, or None for all")
+    elif response_only:
+        keep_types = frozenset(("response",))
+    else:
+        keep_types = None
 
     def gen(batches) -> Iterator:
         import pandas as pd
@@ -168,7 +238,7 @@ def read_warc(
                 rows = []
                 for rec in _parse_warc_stream(
                         name, bytes(raw), max_text_bytes,
-                        response_only, on_error):
+                        keep_types, on_error):
                     rows.append(rec)
                     if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
@@ -215,6 +285,64 @@ def write_warc_file(
             b"Content-Type: application/http; msgtype=response\r\n"
             b"Content-Length: " + str(len(http)).encode() + b"\r\n"
             b"\r\n" + http + b"\r\n\r\n"
+        )
+        out.write(rec)
+        n += 1
+    data = out.getvalue()
+    if compress:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)
+    return n
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    **kwargs,
+) -> DataFrame:
+    """Read WET files (``*.warc.wet`` / ``*.warc.wet.gz`` — Common
+    Crawl's pre-extracted plain-text sibling of WARC) into the same
+    documents frame as :func:`read_warc`.  WET is WARC grammar with
+    ``conversion`` records carrying ``text/plain`` payloads, so this is
+    exactly ``read_warc(record_types=("conversion",))``: the payload
+    passes straight through the non-HTTP branch into ``text``
+    (``http_status``/``http_content_type`` are NULL by construction).
+    Accepts the same keyword arguments (``max_text_bytes``,
+    ``on_error``, ``batch_rows``)."""
+    kwargs.pop("record_types", None)
+    kwargs.pop("response_only", None)
+    return read_warc(spark, path, record_types=("conversion",), **kwargs)
+
+
+def write_wet_file(
+    records: Iterable[tuple[str, str]],
+    path: str,
+    *,
+    compress: bool = True,
+    date: str = "2024-01-01T00:00:00Z",
+) -> int:
+    """Write (uri, text) pairs as a WET-style WARC/1.0 file of
+    ``conversion`` records (``Content-Type: text/plain``, no HTTP
+    envelope) — :func:`read_wet`'s round-trip/parity surface and a
+    fixture builder, same driver-side pure-I/O contract as
+    :func:`write_warc_file`.  Returns the record count."""
+    import gzip
+    import io
+
+    out = io.BytesIO()
+    n = 0
+    for uri, text in records:
+        body = (text or "").encode("utf-8")
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: conversion\r\n"
+            b"WARC-Record-ID: <urn:uuid:wet-" + str(n).encode() + b">\r\n"
+            b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
+            b"WARC-Date: " + date.encode() + b"\r\n"
+            b"Content-Type: text/plain\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+            b"\r\n" + body + b"\r\n\r\n"
         )
         out.write(rec)
         n += 1

@@ -51,11 +51,53 @@ def test_warc_malformed_fail_vs_skip(spark, tmp_path):
     with pytest.raises(Exception) as e:
         read_warc(spark, str(tmp_path), on_error="fail").collect()
     assert "Content-Length" in str(e.value)
-    # skip: keeps what parsed before the malformed tail
+    # skip: keeps what parsed AND emits a parse_error audit row (which
+    # bypasses the response_only filter) so the loss is measurable
     out = read_warc(spark, str(tmp_path), on_error="skip").collect()
-    assert [r.target_uri for r in out] == ["http://x.test/ok"]
+    by_type = {r.warc_type: r for r in out}
+    assert sorted(by_type) == ["parse_error", "response"]
+    assert by_type["response"].target_uri == "http://x.test/ok"
+    assert "Content-Length" in by_type["parse_error"].text
     with pytest.raises(ValueError, match="on_error"):
         read_warc(spark, str(tmp_path), on_error="ignore")
+
+
+def test_warc_skip_resyncs_past_mid_file_corruption(spark, tmp_path):
+    """Corruption in the MIDDLE of a file: skip mode counts the garbage
+    and keeps parsing from the next version line — the tail records
+    are never silently lost."""
+    garbage = b"%%% 12 bytes\r\nof corrupted non-warc noise here\r\n"
+    blob = (_raw_record(uri=b"http://x.test/a")
+            + garbage
+            + _raw_record(uri=b"http://x.test/b")
+            + _raw_record(uri=b"http://x.test/c"))
+    p = str(tmp_path / "mid.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(blob))
+    with pytest.raises(Exception, match="version line"):
+        read_warc(spark, str(tmp_path), on_error="fail").collect()
+    out = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    resp = sorted(r.target_uri for r in out if r.warc_type == "response")
+    errs = [r for r in out if r.warc_type == "parse_error"]
+    assert resp == ["http://x.test/a", "http://x.test/b",
+                    "http://x.test/c"]
+    assert len(errs) == 1
+    assert errs[0].n_payload_bytes == len(garbage)
+    assert "version line" in errs[0].text
+
+    # truncated final payload: audit row carries the partial byte count
+    trunc = (_raw_record(uri=b"http://x.test/t")
+             + b"WARC/1.0\r\nWARC-Type: response\r\n"
+             b"Content-Length: 500\r\n\r\nonly 13 bytes")
+    p2 = str(tmp_path / "sub" )
+    os.makedirs(p2)
+    with open(os.path.join(p2, "trunc.warc.gz"), "wb") as f:
+        f.write(gzip.compress(trunc))
+    out2 = read_warc(spark, p2, on_error="skip").collect()
+    errs2 = [r for r in out2 if r.warc_type == "parse_error"]
+    assert len(errs2) == 1
+    assert errs2[0].n_payload_bytes == 13
+    assert "truncated" in errs2[0].text
 
 
 def test_warc_truncation_keeps_true_byte_count(spark, tmp_path):
@@ -91,3 +133,36 @@ def test_warc_http_content_type_exposed(spark, tmp_path):
     r = read_warc(spark, str(tmp_path)).collect()[0]
     assert r.http_content_type == "text/plain; charset=utf-8"
     assert r.content_type.startswith("application/http")
+
+
+def test_wet_roundtrip_and_record_types(spark, tmp_path):
+    from condenser_spark.sources import read_wet, write_wet_file
+
+    pairs = [(f"http://wet.test/{i}", f"extracted text {i}\nline two")
+             for i in range(20)]
+    n = write_wet_file(pairs, str(tmp_path / "f.warc.wet.gz"))
+    assert n == 20
+    out = read_wet(spark, str(tmp_path)).orderBy("target_uri").collect()
+    assert len(out) == 20
+    assert all(r.warc_type == "conversion" for r in out)
+    assert all(r.http_status is None and r.http_content_type is None
+               for r in out)
+    got = {r.target_uri: r.text for r in out}
+    assert got == dict(pairs)
+    assert all(r.content_type == "text/plain" for r in out)
+
+    # record_types= is an explicit whitelist on read_warc itself
+    assert read_warc(spark, str(tmp_path)).count() == 0  # no responses
+    assert read_warc(spark, str(tmp_path),
+                     record_types=("conversion",)).count() == 20
+    with pytest.raises(ValueError, match="record_types"):
+        read_warc(spark, str(tmp_path), record_types=())
+
+
+def test_warc_content_type_param(spark, tmp_path):
+    write_warc_file([("http://x.test/h", "<p>hi</p>")],
+                    str(tmp_path / "h.warc.gz"),
+                    content_type="text/html; charset=utf-8")
+    r = read_warc(spark, str(tmp_path)).collect()[0]
+    assert r.http_content_type == "text/html; charset=utf-8"
+    assert r.text == "<p>hi</p>"
