@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap the following round)
         "ext_html_extract",
         "ext_wet_roundtrip",
+        "ext_normalize_text",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -728,6 +728,59 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: fineweb_quality_flags(docs)
           .filter("fineweb_pass").count())
 
+    # round 14: The Stack's code rules, HTML extraction, WARC parsing,
+    # and the SURT-partitioned write — all past the final line's query
+    # map (the map-drop fallback stays in force; see queries_full)
+    from condenser_spark.functions.text import code_quality_flags
+
+    timed("code_flags",
+          lambda: code_quality_flags(docs)
+          .filter("code_pass").count())
+
+    from condenser_spark.functions.html import extract_html_text
+
+    # wrap the corpus in realistic markup JVM-side (untimed part of the
+    # plan's scan), then time the Arrow extraction kernel end-to-end
+    _hdocs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>d</title><style>p{}</style>'
+                  '</head><body><nav><a href="/">home</a></nav><p>'),
+            F.col("text"),
+            F.lit('</p><script>t()</script></body></html>'),
+        ).alias("text"))
+    timed("html_extract",
+          lambda: extract_html_text(_hdocs, drop_nav=True)
+          .agg(F.sum(F.length("text"))).collect())
+
+    # WARC parse: fixture files built once (driver-side prep, untimed);
+    # the timed path is the binaryFile + streaming-gzip parse
+    from condenser_spark.sources import read_warc, write_warc_file
+
+    _warc_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    _wrows = docs.select("doc_id", "text").orderBy("doc_id") \
+        .limit(8000).collect()
+    for _shard in range(4):
+        write_warc_file(
+            ((f"http://site{r.doc_id % 37}.example/p/{r.doc_id}",
+              r.text or "") for r in _wrows if r.doc_id % 4 == _shard),
+            os.path.join(_warc_dir, f"part{_shard}.warc.gz"))
+    timed("warc_read",
+          lambda: read_warc(spark, _warc_dir)
+          .agg(F.sum("n_payload_bytes")).collect())
+
+    from condenser_spark.functions.layout import write_surt_partitioned
+
+    _surt_out = tempfile.mkdtemp(prefix="bench_surt_")
+    timed("surt_write",
+          lambda: write_surt_partitioned(_udocs, _surt_out, n_files=8))
+
+    from condenser_spark.functions.text import normalize_text
+
+    timed("normalize_text",
+          lambda: normalize_text(docs, form="NFKC")
+          .agg(F.sum(F.length("text"))).collect())
+
     return timings, noise
 
 

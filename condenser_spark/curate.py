@@ -31,6 +31,7 @@ def curate_corpus(
     url_filter: bool | dict = False,
     domain_prior: dict | None = None,
     html: bool | dict = False,
+    normalize: bool | dict = False,
     line_dedup: bool | dict = False,
     badwords=None,
     c4: bool | dict = False,
@@ -41,6 +42,7 @@ def curate_corpus(
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
     fineweb: bool | dict = False,
+    code: bool | dict = False,
     dedup: str | None = None,
     dedup_opts: dict | None = None,
     substring_dedup: bool | dict = False,
@@ -92,6 +94,12 @@ def curate_corpus(
        (plain text collapses to one block).  No docs drop here (an
        all-boilerplate page survives with empty text; Gopher's
        word-count rule downstream removes it).
+    -0.1. ``normalize`` — Unicode normalization
+       (:func:`functions.text.normalize_text`): True or a kwargs dict
+       (``form`` default NFC, ``strip_controls``, ``fix_mojibake``).
+       The CCNet preprocessing step — REPLACES ``text_col`` so every
+       downstream fingerprint/gate sees normalized text.  Runs right
+       after extraction, before the first fingerprint.
     0. ``line_dedup`` — :func:`functions.text.dedup_lines`: True or a
        kwargs dict (``keep``/``min_count``/``strip_digits``); CCNet's
        actual first stage — cross-document paragraph dedup BEFORE any
@@ -147,6 +155,13 @@ def curate_corpus(
        ``fineweb_pass`` docs (line-punctuation floor, short-line
        ceiling, duplicated-line-chars ceiling at the paper's
        defaults).
+    3d. ``code`` — The Stack's code-corpus rules
+       (:func:`functions.text.code_quality_flags`, Kocetkov 2022
+       §2.3): True or a kwargs dict (``max_avg_line_len``,
+       ``max_line_len``, ``min_alpha_frac``, ``drop_xml_header``);
+       drops docs failing the conjunction.  Pure codegen, join-free,
+       schema-preserving (``cq_``-prefixed internals) — for code
+       corpora, not prose.
     4. ``dedup`` — ``"exact"`` (:func:`functions.dedup.exact_dedup`
        keep-rows via its survivor ids) or ``"near"``
        (:func:`functions.dedup.near_dedup_documents`), ``dedup_opts``
@@ -213,11 +228,11 @@ def curate_corpus(
     cur = docs
 
     _ANCHORS = ("start", "url_filter", "domain_prior", "html_extract",
-                "line_dedup",
+                "normalize_text", "line_dedup",
                 "badwords", "c4_clean", "diversity_gate", "script_gate",
                 "language_id",
                 "gopher_rules", "gopher_repetition", "fineweb_rules",
-                "exact_dedup",
+                "code_rules", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
                 "dsir_select", "temperature_mix", "end")
@@ -307,6 +322,15 @@ def curate_corpus(
             extract_html_text(cur, text_col=text_col, **opts),
         )
         _apply_extra("html_extract")
+    if normalize:
+        from condenser_spark.functions.text import normalize_text
+
+        opts = dict(normalize) if isinstance(normalize, dict) else {}
+        cur = _record(
+            "normalize_text",
+            normalize_text(cur, text_col=text_col, **opts),
+        )
+        _apply_extra("normalize_text")
     if line_dedup:
         from condenser_spark.functions.text import dedup_lines
 
@@ -458,6 +482,22 @@ def curate_corpus(
                      on=id_col, how="left_semi"),
         )
         _apply_extra("fineweb_rules")
+    if code:
+        # The Stack's code-corpus rules (Kocetkov 2022 §2.3): pure
+        # codegen riding the scan — join-free like the script gate,
+        # cq_-prefixed stats so a passthrough n_chars cannot shadow
+        from condenser_spark.functions.text import code_quality_flags
+
+        opts = dict(code) if isinstance(code, dict) else {}
+        keep = tuple(c for c in cur.columns if c != id_col)
+        flags = code_quality_flags(cur, text_col=text_col, id_col=id_col,
+                                   keep_cols=keep, out_prefix="cq_",
+                                   **opts)
+        cur = _record(
+            "code_rules",
+            flags.filter(F.col("cq_code_pass")).select(*cur.columns),
+        )
+        _apply_extra("code_rules")
     if dedup is not None:
         if dedup == "exact":
             from condenser_spark.functions.dedup import exact_dedup

@@ -555,6 +555,8 @@ def code_quality_flags(
     max_line_len: int = 1000,
     min_alpha_frac: float = 0.25,
     drop_xml_header: bool = True,
+    keep_cols: tuple = (),
+    out_prefix: str = "",
 ) -> DataFrame:
     """The Stack's source-file filters (Kocetkov et al. 2022 §2.3; kept
     by StarCoder's data prep, Li et al. 2023) — the code-corpus
@@ -578,9 +580,25 @@ def code_quality_flags(
     except nothing — i.e. survives; pair with a length floor if empties
     should drop.  Everything is whole-stage codegen riding the scan —
     zero shuffles, zero Python, zero HOFs; fully DuckDB-replayable
-    (goldens_ext.ext_code_flags)."""
+    (goldens_ext.ext_code_flags).
+
+    ``keep_cols`` is the join-free passthrough contract the composers
+    ride; ``out_prefix`` namespaces every stat/flag column (the
+    composers use ``"cq_"`` — the fixture ``documents`` table has its
+    own ``n_chars``, the ADVICE-r12 collision class), and a passthrough
+    column colliding with a prefixed output fails loud."""
     if max_line_len < 1:
         raise ValueError("max_line_len must be >= 1")
+    P = out_prefix
+    out_names = {f"{P}{s}" for s in (
+        "n_chars", "n_lines", "avg_line_len", "has_long_line",
+        "alpha_frac", "is_xml_header", "ok_avg_line_len",
+        "ok_max_line_len", "ok_alpha_frac", "ok_not_xml", "code_pass")}
+    clash = sorted(out_names.intersection(keep_cols))
+    if clash:
+        raise ValueError(
+            "keep_cols collide with code_quality output columns: "
+            f"{clash}; rename them or set out_prefix")
     c = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(c)
     # raw-line average: newline count via replace-and-measure
@@ -600,28 +618,30 @@ def code_quality_flags(
         .otherwise(F.lit(0.0)), 4)
     out = df.select(
         F.col(id_col),
-        n.cast("long").alias("n_chars"),
-        F.coalesce(n_lines, F.lit(1)).cast("long").alias("n_lines"),
-        avg.alias("avg_line_len"),
-        c.rlike(pat).alias("has_long_line"),
-        alpha.alias("alpha_frac"),
+        *[F.col(k) for k in keep_cols],
+        n.cast("long").alias(f"{P}n_chars"),
+        F.coalesce(n_lines, F.lit(1)).cast("long").alias(f"{P}n_lines"),
+        avg.alias(f"{P}avg_line_len"),
+        c.rlike(pat).alias(f"{P}has_long_line"),
+        alpha.alias(f"{P}alpha_frac"),
         F.substring(c, 1, 14).eqNullSafe("<?xml version=")
-        .alias("is_xml_header"),
+        .alias(f"{P}is_xml_header"),
     )
     flags = {
-        "ok_avg_line_len": F.col("avg_line_len") <= max_avg_line_len,
-        "ok_max_line_len": ~F.col("has_long_line"),
-        "ok_alpha_frac": (F.col("n_chars") == 0)
-        | (F.col("alpha_frac") >= min_alpha_frac),
-        "ok_not_xml": (~F.col("is_xml_header")
-                       if drop_xml_header else F.lit(True)),
+        f"{P}ok_avg_line_len":
+            F.col(f"{P}avg_line_len") <= max_avg_line_len,
+        f"{P}ok_max_line_len": ~F.col(f"{P}has_long_line"),
+        f"{P}ok_alpha_frac": (F.col(f"{P}n_chars") == 0)
+        | (F.col(f"{P}alpha_frac") >= min_alpha_frac),
+        f"{P}ok_not_xml": (~F.col(f"{P}is_xml_header")
+                           if drop_xml_header else F.lit(True)),
     }
     for name, cond in flags.items():
         out = out.withColumn(name, cond)
     conj = F.lit(True)
     for name in flags:
         conj = conj & F.col(name)
-    return out.withColumn("code_pass", conj)
+    return out.withColumn(f"{P}code_pass", conj)
 
 
 def fineweb_quality_flags(
@@ -1608,3 +1628,116 @@ def gopher_repetition_flags(
     for name in flags:
         conj = conj & F.col(name)
     return out.withColumn("gopher_rep_pass", conj)
+
+
+_DROP_CHARS_TABLE = None
+
+
+def _drop_chars_table() -> dict:
+    """str.translate table deleting every Unicode Cc/Cf code point
+    except tab/newline/carriage-return — control chars, zero-width
+    marks (ZWSP/ZWNJ/ZWJ/BOM), soft hyphens, bidi controls.  Built once
+    per process by one pass over the code space (the authoritative
+    source — no hand-maintained range list to drift from the Unicode
+    version Python ships)."""
+    global _DROP_CHARS_TABLE
+    if _DROP_CHARS_TABLE is None:
+        import unicodedata
+
+        keep = {0x09, 0x0A, 0x0D}
+        _DROP_CHARS_TABLE = {
+            cp: None for cp in range(0x110000)
+            if unicodedata.category(chr(cp)) in ("Cc", "Cf")
+            and cp not in keep
+        }
+    return _DROP_CHARS_TABLE
+
+
+def _normalize_one(s: str, form, strip_controls: bool,
+                   fix_mojibake: bool) -> str:
+    """Normalize one document (pure Python — unit-testable, and the
+    Arrow kernel maps it per row).  Order: mojibake repair (bytes-level,
+    must see the raw chars) -> canonical/compat normalization ->
+    control/zero-width strip."""
+    import unicodedata
+
+    if not s:
+        return ""
+    if fix_mojibake and ("Ã" in s or "â€" in s):
+        # the classic double-encoding: UTF-8 bytes read back as
+        # cp1252/Latin-1 ("café" -> "cafÃ©").  cp1252
+        # first (smart quotes/dashes land on €™-class chars
+        # only cp1252 can re-encode), Latin-1 second (C1 controls only
+        # Latin-1 maps).  Repair only when the WHOLE string survives
+        # the reverse trip — genuine text with a stray Ã raises on
+        # re-decode and stays put.
+        for _enc in ("cp1252", "latin-1"):
+            try:
+                s = s.encode(_enc).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+    if form:
+        s = unicodedata.normalize(form, s)
+    if strip_controls:
+        s = s.translate(_drop_chars_table())
+    return s
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    *,
+    form: str | None = "NFC",
+    strip_controls: bool = True,
+    fix_mojibake: bool = False,
+) -> DataFrame:
+    """Unicode normalization — the CCNet preprocessing step the
+    downstream gates assume (Wenzek et al. 2020 normalize before
+    hashing; every dedup fingerprint in this engine is over the
+    normalized text when this stage runs first).  Rewrites ``text_col``
+    (or adds ``out_col``) in ONE scalar Arrow kernel:
+
+    * ``form`` — ``"NFC"`` (default; canonical compose: ``e`` +
+      combining acute -> one code point), ``"NFKC"`` (adds
+      compatibility folds: the fi ligature -> ``fi``, fullwidth ->
+      ASCII), ``"NFD"``/``"NFKD"``, or None to skip;
+    * ``strip_controls`` — delete every Cc/Cf code point except
+      tab/newline/CR: NULs, zero-width spaces/joiners, soft hyphens,
+      bidi controls, BOMs (the spam/obfuscation channel langid and the
+      badwords regex cannot see through);
+    * ``fix_mojibake`` — repair the classic UTF-8-read-as-Latin-1
+      double encoding when the marker bytes are present AND the whole
+      string survives the reverse trip (opt-in: the heuristic is
+      conservative but not free).
+
+    NULL/empty text normalizes to ``""`` (never NULL).  Stream-legal,
+    schema-preserving with ``out_col=None`` — the composers run it as
+    ``normalize=`` right after HTML extraction, before any fingerprint
+    (``ext_normalize_text`` is the planted-literal full oracle).  Same
+    anti-duplication contract as ``extract_html_text``: the kernel is
+    marked nondeterministic so Catalyst cannot re-run it per downstream
+    predicate."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in (None, "NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD or None, "
+                         f"got {form!r}")
+    _form, _strip, _fix = form, bool(strip_controls), bool(fix_mojibake)
+
+    def _kernel(texts):
+        return pd.Series(
+            [_normalize_one(t, _form, _strip, _fix) if t else ""
+             for t in texts],
+            dtype=object)
+
+    _kernel = pandas_udf(_kernel, "string").asNondeterministic()
+
+    target = out_col or text_col
+    if out_col is not None and out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists; pick "
+                         "another name or pass out_col=None to replace "
+                         f"{text_col!r}")
+    return df.withColumn(target, _kernel(F.col(text_col)))

@@ -7024,3 +7024,48 @@ def ext_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_type",
         "n_payload_bytes",
     )
+
+
+_NORMALIZE_SQL = """
+    SELECT doc_id,
+           CASE CAST(doc_id % 5 AS INTEGER)
+             WHEN 0 THEN text || ' ' || chr(233) || 'cole'
+             WHEN 1 THEN text || ' file'
+             WHEN 2 THEN text || ' abc'
+             WHEN 3 THEN 'summer caf' || chr(233) || ' ok'
+             ELSE text || ' Hi'
+           END AS text
+    FROM documents
+"""
+
+
+@golden("ext_normalize_text", _NORMALIZE_SQL)
+def ext_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode normalization (the CCNet preprocessing stage) over five
+    planted stripes: NFC composition (e + combining acute U+0301), NFKC
+    compatibility folds (the fi ligature U+FB01, fullwidth letters),
+    control/zero-width/soft-hyphen stripping (NUL, U+200B, U+00AD), and
+    the UTF-8-read-as-Latin-1 mojibake repair -- every planted input is
+    a literal, so DuckDB predicts the normalized text exactly (the base
+    fixture text is pure ASCII, NFKC-invariant by construction)
+    (condenser_spark/functions/text.py:normalize_text).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import normalize_text
+
+    docs = _tables(spark, sf_dir)["documents"]
+    m = (F.col("doc_id") % 5).cast("int")
+    stripes = [
+        F.concat(F.col("text"), F.lit(" e\u0301cole")),
+        F.concat(F.col("text"), F.lit(" \ufb01le")),
+        F.concat(F.col("text"), F.lit(" a\u200bb\u0000c\u00ad")),
+        F.lit("summer caf\u00c3\u00a9 ok"),
+        F.concat(F.col("text"), F.lit(" \uff28\uff49")),
+    ]
+    synth_col = None
+    for j, clause in enumerate(stripes):
+        synth_col = (F.when(m == j, clause) if synth_col is None
+                     else synth_col.when(m == j, clause))
+    synth = docs.select("doc_id", synth_col.alias("text"))
+    return normalize_text(synth, form="NFKC", strip_controls=True,
+                          fix_mojibake=True)

@@ -102,6 +102,7 @@ def curate_stream(
     url_col: str = "url",
     domain_prior: dict | None = None,
     html: bool | dict = False,
+    normalize: bool | dict = False,
     line_bloom: ShingleBloom | None = None,
     strip_digits: bool = False,
     kgram_bloom: ShingleBloom | None = None,
@@ -115,15 +116,17 @@ def curate_stream(
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
     fineweb: bool | dict = False,
+    code: bool | dict = False,
     quality_model=None,
     quality_threshold: float = 0.0,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Run the enabled stateless curation stages in the published order
-    (URL -> domain-prior -> HTML-extract -> line-dedup -> ExactSubstr ->
-    badwords -> C4 -> diversity -> script -> langid -> Gopher A1.1 ->
-    Gopher A1.2 repetition -> FineWeb -> quality) and return the
+    (URL -> domain-prior -> HTML-extract -> normalize -> line-dedup ->
+    ExactSubstr -> badwords -> C4 -> diversity -> script -> langid ->
+    Gopher A1.1 -> Gopher A1.2 repetition -> FineWeb -> code ->
+    quality) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
@@ -211,6 +214,14 @@ def curate_stream(
 
         opts = dict(html) if isinstance(html, dict) else {}
         cur = extract_html_text(cur, text_col=text_col, **opts)
+
+    if normalize:
+        # CCNet's preprocessing step, before any fingerprint: scalar
+        # Arrow kernel, per-row, stateless, stream-legal
+        from condenser_spark.functions.text import normalize_text
+
+        opts = dict(normalize) if isinstance(normalize, dict) else {}
+        cur = normalize_text(cur, text_col=text_col, **opts)
 
     if line_bloom is not None:
         out = dedup_lines_stream(cur, line_bloom,
@@ -368,6 +379,19 @@ def curate_stream(
             cur, text_col=text_col, id_col=id_col, keep_cols=keep, **opts)
         cur = flagged.filter(F.col("fineweb_pass")).select(
             id_col, *keep)
+
+    if code:
+        # The Stack's code-corpus rules: pure codegen, join-free,
+        # stream-legal by construction (cq_-prefixed internals so a
+        # passthrough n_chars cannot shadow a stat)
+        from condenser_spark.functions.text import code_quality_flags
+
+        opts = dict(code) if isinstance(code, dict) else {}
+        keep = tuple(c for c in cur.columns if c != id_col)
+        flagged = code_quality_flags(cur, text_col=text_col,
+                                     id_col=id_col, keep_cols=keep,
+                                     out_prefix="cq_", **opts)
+        cur = flagged.filter(F.col("cq_code_pass")).select(id_col, *keep)
 
     if quality_model is not None:
         from condenser_spark.functions.quality import (

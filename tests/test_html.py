@@ -117,3 +117,115 @@ def test_html_extra_stage_anchor(spark):
              "html_extract"),
         ])
     assert [r.doc_id for r in out.collect()] == [2]
+
+
+def test_code_stage_both_chains(spark, tmp_path):
+    """The Stack's rules as a code= stage: join-free in both composers,
+    cq_-prefixed internals (the fixture n_chars collision class), real
+    stream run."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.text import code_quality_flags
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame([
+        (1, "def f(x):\n    return x + 1\n", "py", 28),
+        (2, "x" * 1200, "min", 1200),                     # long line
+        (3, '<?xml version="1.0"?>\n<a/>', "xml", 26),    # xml prolog
+    ], "doc_id long, text string, lang string, n_chars long")
+
+    out, rep = curate_corpus(docs, code=True)
+    assert [r.doc_id for r in out.collect()] == [1]
+    assert out.columns == docs.columns                    # n_chars intact
+    row = [r for r in rep.collect() if r.stage == "code_rules"][0]
+    assert (row.docs_in, row.docs_out) == (3, 1)
+
+    sgot = curate_stream(docs, code=True)
+    assert [r.doc_id for r in sgot.collect()] == [1]
+    assert sgot.columns == docs.columns
+
+    # real stream run
+    src, out_dir = str(tmp_path / "csrc"), str(tmp_path / "cout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate_stream(s, code=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert [r.doc_id
+            for r in spark.read.parquet(out_dir).collect()] == [1]
+
+    # collision guard: an unprefixed run with a clashing passthrough
+    with _pytest.raises(ValueError, match="collide"):
+        code_quality_flags(docs, keep_cols=("n_chars",))
+    # prefixed run carries the passthrough through untouched (fixture
+    # value 28 deliberately differs from the computed 27)
+    ok = code_quality_flags(docs, keep_cols=("n_chars",),
+                            out_prefix="cq_")
+    r1 = {r.doc_id: r for r in ok.collect()}[1]
+    assert r1.n_chars == 28 and r1.cq_n_chars == 27
+
+
+def test_normalize_stage_both_chains(spark, tmp_path):
+    """normalize_text as the normalize= stage: NFC/NFKC, control strip,
+    mojibake repair; batch + stream parity and a real stream run."""
+    import pytest as _pytest
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.text import normalize_text
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = spark.createDataFrame([
+        (1, "e\u0301cole is fine", "en"),       # decomposed -> NFC
+        (2, "zero\u200bwidth\u0000gone", "en"),  # ZWSP + NUL strip
+        (3, None, "en"),                          # NULL -> ""
+    ], "doc_id long, text string, lang string")
+    want = {1: "\u00e9cole is fine", 2: "zerowidthgone", 3: ""}
+
+    out, rep = curate_corpus(docs, normalize=True)
+    assert {r.doc_id: r.text for r in out.collect()} == want
+    assert out.columns == docs.columns
+    row = [r for r in rep.collect() if r.stage == "normalize_text"][0]
+    assert (row.docs_in, row.docs_out) == (3, 3)
+
+    sgot = {r.doc_id: r.text
+            for r in curate_stream(docs, normalize=True).collect()}
+    assert sgot == want
+
+    # real stream run
+    src, out_dir = str(tmp_path / "nsrc"), str(tmp_path / "nout")
+    docs.write.parquet(src)
+    s = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate_stream(s, normalize=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "nckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert ({r.doc_id: r.text
+             for r in spark.read.parquet(out_dir).collect()} == want)
+
+    # NFKC folds; mojibake repair (opt-in) is whole-string
+    # conservative, so it gets its own row \u2014 a non-Latin-1 char
+    # anywhere (the fi ligature) correctly blocks the repair
+    moji = spark.createDataFrame([
+        (1, "\ufb01le \uff28\uff49"),
+        (2, "caf\u00c3\u00a9 wins"),
+        (3, "\ufb01le caf\u00c3\u00a9"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.text
+           for r in normalize_text(moji, form="NFKC",
+                                   fix_mojibake=True).collect()}
+    assert got == {1: "file Hi", 2: "caf\u00e9 wins",
+                   3: "file caf\u00c3\u00a9"}
+    # genuine text whose reverse trip fails stays put
+    keep = spark.createDataFrame(
+        [(1, "genuine \u00c3 here \u0100")], "doc_id long, text string")
+    assert (normalize_text(keep, fix_mojibake=True).collect()[0].text
+            == "genuine \u00c3 here \u0100")
+    with _pytest.raises(ValueError, match="form"):
+        normalize_text(docs, form="NFX")
+    with _pytest.raises(ValueError, match="already exists"):
+        normalize_text(docs, out_col="text")
