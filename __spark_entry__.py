@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_html_extract",
         "ext_wet_roundtrip",
         "ext_normalize_text",
+        "ext_badwords_join",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -7069,3 +7069,51 @@ def ext_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select("doc_id", synth_col.alias("text"))
     return normalize_text(synth, form="NFKC", strip_controls=True,
                           fix_mojibake=True)
+
+
+_BADWORDS_JOIN_SQL = r"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' the class massively assures'
+             || CASE WHEN doc_id % 3 = 0 THEN ' grawlix' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' Ass.' ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(regexp_matches(
+             regexp_replace(lower(trim(COALESCE(text, ''))),
+                            '\s+', ' ', 'g'),
+             '(^|[^a-z0-9_])(ass|grawlix)([^a-z0-9_]|$)'
+           ), FALSE) AS badwords_hit
+    FROM synth
+"""
+
+
+@golden("ext_badwords_join", _BADWORDS_JOIN_SQL)
+def ext_badwords_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bad-words gate's PAST-CAP regime: ``max_plan_literals=1``
+    forces the broadcast exploded-token semi-join path (the >10k-entry
+    production fallback, previously pytest-only), and the SAME
+    whole-word SQL the regex regime replays must predict it — both
+    branches proven against one oracle.  Same planted boundary shapes
+    as ``ext_badwords`` minus the phrase entry (multi-word entries are
+    regex-regime-only by contract)
+    (condenser_spark/functions/text.py:badwords_flags, the token-join
+    branch).  Registered past the driver's 50-slot cap; verified
+    per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.text import badwords_flags
+
+    docs = _tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" the class massively assures"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" grawlix")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" Ass.")).otherwise(F.lit("")),
+        ).alias("text"))
+    return badwords_flags(
+        synth, ("ass", "grawlix"), max_plan_literals=1
+    ).select("doc_id", "badwords_hit")
