@@ -2131,6 +2131,50 @@ def stage_html_extract(spark, n_docs: int = 2_000_000) -> dict:
     }
 
 
+def stage_normalize(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 31: Unicode normalization at 2M docs — NFKC + Cc/Cf strip
+    through the scalar Arrow kernel.  Each doc is ~60 tokens of per-id
+    6-char uids with planted non-ASCII work on every row: a decomposed
+    e+combining-acute (NFC composes, -1 char), a fi ligature (NFKC
+    folds to 'fi', +1 char), and a zero-width space + soft hyphen
+    (stripped, -2 chars).  Closed-form: normalized length == raw
+    length - 2 per doc, asserted via sum(length) over all docs."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import normalize_text
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    body = F.concat_ws(" ", *[uid(f"n{j}") for j in range(60)])
+    # built from codepoints so the source stays ASCII: decomposed
+    # e+U+0301, the U+FB01 ligature, U+200B ZWSP, U+00AD soft hyphen
+    planted = (" e" + chr(0x301) + "col " + chr(0xFB01) + "le a"
+               + chr(0x200B) + "b c" + chr(0xAD))
+    text = F.concat(body, F.lit(planted))
+    path = f"{WORK}/norm_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+    raw_len = docs.agg(F.sum(F.length("text"))).first()[0]
+
+    t0 = time.time()
+    agg = normalize_text(docs, form="NFKC").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("nc")).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    # per doc: e+combining -> composed (-1), ligature -> fi (+1),
+    # ZWSP (-1), soft hyphen (-1) => net -2
+    assert agg.nc == raw_len - 2 * n_docs, (agg.nc, raw_len)
+    return {
+        "stage": "normalize_2m",
+        "n_docs": n_docs,
+        "normalize_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2172,6 +2216,7 @@ def main() -> int:
         "codegen_gates": lambda: stage_codegen_gates(spark),
         "warc": lambda: stage_warc(spark),
         "html_extract": lambda: stage_html_extract(spark),
+        "normalize": lambda: stage_normalize(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -596,3 +596,22 @@ def test_html_extract_stage_is_map_only(spark, source):
     n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
                for l in plan.splitlines())
     assert n_py == 1, plan
+
+
+def test_normalize_and_html_chain_two_arrow_evals(spark, source):
+    """html= + normalize= chained (the round-14 ingest front door) stay
+    map-only: ZERO Exchange, exactly TWO Arrow evals (one per kernel) —
+    and the nondeterministic marker keeps a downstream codegen gate
+    from re-running either kernel."""
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"]
+    out = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                        html={"drop_nav": True},
+                        normalize={"form": "NFKC"},
+                        badwords=("grawlix",))
+    plan = _executed(out)
+    assert "Exchange" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               for l in plan.splitlines())
+    assert n_py == 2, plan
