@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_wet_roundtrip",
         "ext_normalize_text",
         "ext_badwords_join",
+        "ext_pii_redact",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -781,6 +781,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: normalize_text(docs, form="NFKC")
           .agg(F.sum(F.length("text"))).collect())
 
+    from condenser_spark.functions.pii import redact_pii
+
+    timed("pii_redact",
+          lambda: redact_pii(docs, counts=True)
+          .agg(F.sum(F.length("text")), F.sum("pii_email_n")).collect())
+
     return timings, noise
 
 

@@ -52,6 +52,7 @@ def curate_corpus(
     quality_threshold: float = 0.0,
     dsir_opts: dict | None = None,
     temperature: dict | None = None,
+    pii: bool | dict = False,
     extra_stages: list | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -184,6 +185,14 @@ def curate_corpus(
        columns are dropped so the output schema stays the input schema.
     8. ``temperature`` — dict of :func:`functions.corpus.temperature_mix`
        kwargs (e.g. ``{"tau": 0.7, "source_col": "lang"}``).
+    9. ``pii`` — :func:`functions.pii.redact_pii` (BigCode/Dolma PII
+       masking): True or a kwargs dict (``kinds``, ``replacements``).
+       Runs LAST, after all dedup/selection (the published order —
+       Dolma §4.2 redacts after dedup so masking never changes
+       survivor election), rewrites ``text_col`` in place, never adds
+       columns (``counts=`` is rejected here — the chain's
+       schema-preservation contract; call ``redact_pii`` directly for
+       the audit columns).  Pure codegen, join-free, stream-legal.
 
     ``extra_stages`` interleaves CUSTOM filters without forking the
     composer: each entry is ``(name, fn)`` — appended after the built-in
@@ -197,7 +206,8 @@ def curate_corpus(
     ``"exact_dedup"``,
     ``"near_dedup"``,
     ``"substring_dedup"``, ``"decontaminate"``, ``"quality_filter"``,
-    ``"dsir_select"``, ``"temperature_mix"``, ``"end"``).  ``fn`` takes
+    ``"dsir_select"``, ``"temperature_mix"``, ``"pii_redact"``,
+    ``"end"``).  ``fn`` takes
     and returns a DataFrame and MUST preserve the column set (the chain's
     composability contract — enforced fail-loud); custom stages get the
     same barrier and the same report row as built-ins.  An anchor whose
@@ -235,7 +245,7 @@ def curate_corpus(
                 "code_rules", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
                 "quality_filter",
-                "dsir_select", "temperature_mix", "end")
+                "dsir_select", "temperature_mix", "pii_redact", "end")
     pending: dict[str, list] = {}
     for entry in (extra_stages or []):
         name, fn = entry[0], entry[1]
@@ -576,6 +586,20 @@ def curate_corpus(
         cur = _record("temperature_mix",
                       temperature_mix(cur, id_col=id_col, **temperature))
         _apply_extra("temperature_mix")
+    if pii:
+        # published LAST (Dolma §4.2): masking after dedup/selection so
+        # placeholder tokens never change survivor election
+        from condenser_spark.functions.pii import redact_pii
+
+        opts = dict(pii) if isinstance(pii, dict) else {}
+        if opts.pop("counts", False):
+            raise ValueError(
+                "pii={'counts': True} is not allowed in the chain (the "
+                "schema-preservation contract); call redact_pii "
+                "directly for the audit columns")
+        cur = _record("pii_redact",
+                      redact_pii(cur, text_col=text_col, **opts))
+        _apply_extra("pii_redact")
 
     _apply_extra("end")
     if pending:

@@ -1,0 +1,145 @@
+"""PII redaction — the masking pass every published open-data release
+runs before shipping text (BigCode/StarCoder's PII pipeline, Allal et
+al. 2023 "SantaCoder" §4 / Li et al. 2023 "StarCoder" §3; Dolma's PII
+filtering, Soldaini et al. 2024 §4.2): emails, IP addresses,
+secret-looking keys and phone numbers replaced with stable placeholder
+tokens so the model never memorizes a contactable identity.
+
+Spark-first shape: the whole stage is a chain of ``regexp_replace``
+expressions — pure JVM codegen riding the scan, ZERO Python, ZERO
+shuffle, stream-legal (the ``pii=`` stage exists in BOTH composers).
+At 100 TB it is a map-only projection fused into whatever scan or gate
+chain precedes it; ``.explain`` shows one WholeStageCodegen span and no
+Exchange (pinned by tests/test_plan_contracts.py).
+
+The patterns are deliberately restricted to the regex subset with
+IDENTICAL semantics in Java ``util.regex`` (Spark) and RE2 (DuckDB,
+the oracle engine): character classes, bounded repetition,
+non-capturing groups, alternation and ASCII ``\\b`` word boundaries —
+no lookaround, no backreferences.  Both engines use leftmost-first
+alternation, so every planted-stripe oracle replays the replacement
+byte-for-byte (``goldens_ext.ext_pii_redact``).
+
+Known, documented limitations (the published pipelines share them):
+
+* IPv4 inside a longer dotted run redacts its first four octets
+  (``1.2.3.4.5`` -> ``<IP_ADDRESS>.5``); version strings with a
+  leading word char are safe (``v1.2.3.4`` is untouched — no word
+  boundary).  BigCode additionally allowlists well-known DNS-server
+  IPs; callers needing that should pre-mask those literals.
+* IPv6 is matched in full 8-group form only (the Common Crawl log
+  shape); ``::``-compressed forms pass through.
+* Phone matching REQUIRES group separators (``555-123-4567``,
+  ``+1 (555) 123-4567``); bare 10-digit runs are deliberately not
+  matched — the false-positive cost on numeric prose outweighs the
+  recall at corpus scale.
+* ``key`` = AWS access-key ids (``AKIA`` + 16 upper/digit) and
+  contiguous hex runs of 32+ chars (MD5/SHA/API-token shapes);
+  base64 secrets without a hex-only prefix pass through.
+
+Reference parity: the reference engine (TonicAI/condenser) has no text
+pipeline — this stage exists for the SURVEY §7.4 LLM-curation surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RFC-5322-ish practical email: dot-atom local part, LDH domain labels,
+# at least one dot-separated label after the host.
+EMAIL_PATTERN = (
+    r"[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@"
+    r"[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+    r"(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+"
+)
+
+_IPV4_OCTET = r"(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+# IPv4 (octet-validated) or full 8-group IPv6 — word-bounded so
+# `v1.2.3.4` and `256.1.1.1` never hit.
+IP_PATTERN = (
+    r"\b(?:" + _IPV4_OCTET + r"\.){3}" + _IPV4_OCTET + r"\b"
+    r"|\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+)
+
+# AWS access-key ids, or any contiguous 32+ hex run (MD5/SHA/API token).
+KEY_PATTERN = r"\b(?:AKIA[0-9A-Z]{16}|[0-9A-Fa-f]{32,})\b"
+
+# Separator-bearing phone shapes: optional +CC, (NNN) or NNN, NNN, NNNN.
+# Bare digit runs are deliberately unmatched (see module docstring).
+PHONE_PATTERN = (
+    r"(?:\+[0-9]{1,2}[ .-]?)?"
+    r"(?:\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])"
+    r"[0-9]{3}[ .-][0-9]{4}\b"
+)
+
+# Canonical application order.  Email first (its local part may contain
+# digit groups a later pass could clip); keys before IPs (hex runs never
+# contain dots/colons, but the reverse guard costs nothing); phones last
+# (the loosest pattern sees only text the specific ones released).
+PII_KINDS: tuple[tuple[str, str, str], ...] = (
+    ("email", EMAIL_PATTERN, "<EMAIL>"),
+    ("key", KEY_PATTERN, "<KEY>"),
+    ("ip", IP_PATTERN, "<IP_ADDRESS>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    kinds=("email", "key", "ip", "phone"),
+    replacements: dict | None = None,
+    counts: bool = False,
+    out_prefix: str = "pii_",
+) -> DataFrame:
+    """Replace PII spans in ``text_col`` with placeholder tokens and
+    return the frame with the SAME schema (text rewritten in place),
+    plus one ``{out_prefix}{kind}_n`` int column per kind when
+    ``counts=True`` (the per-document audit the Dolma release ships).
+
+    ``kinds`` selects the subset to redact; the application ORDER is
+    always the canonical one in :data:`PII_KINDS` regardless of the
+    order given (deterministic semantics — a caller cannot accidentally
+    let the phone pass clip an email's digit groups).  ``replacements``
+    overrides the placeholder token per kind, e.g. ``{"email":
+    "[REDACTED]"}``.  Counts are measured SEQUENTIALLY — each kind is
+    counted on the text as its replacement pass sees it — so the counts
+    are exactly the number of spans replaced, not overlapping
+    pre-images.  NULL text stays NULL (counts NULL too).
+
+    Pure ``regexp_replace``/``regexp_count`` codegen: no Python, no
+    shuffle, stream-legal.  100 TB: fuses into the preceding scan.
+    """
+    unknown = [k for k in kinds if k not in {n for n, _, _ in PII_KINDS}]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kinds {unknown!r}; "
+            f"valid: {[n for n, _, _ in PII_KINDS]}")
+    repl = dict(replacements or {})
+    bad = set(repl) - {n for n, _, _ in PII_KINDS}
+    if bad:
+        raise ValueError(f"replacements for unknown kinds: {sorted(bad)}")
+    active = [(n, p, repl.get(n, tok)) for n, p, tok in PII_KINDS
+              if n in set(kinds)]
+    if counts:
+        clash = [f"{out_prefix}{n}_n" for n, _, _ in active
+                 if f"{out_prefix}{n}_n" in df.columns]
+        if clash:
+            raise ValueError(
+                f"counts columns {clash} already exist in the input — "
+                f"pass a different out_prefix=")
+
+    cur: Column = F.col(text_col)
+    count_cols: list[Column] = []
+    for name, pattern, token in active:
+        if counts:
+            count_cols.append(
+                F.regexp_count(cur, F.lit(pattern))
+                .alias(f"{out_prefix}{name}_n"))
+        cur = F.regexp_replace(cur, pattern, token)
+
+    out = [cur.alias(text_col) if c == text_col else F.col(c)
+           for c in df.columns]
+    return df.select(*out, *count_cols)

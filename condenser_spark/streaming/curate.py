@@ -119,6 +119,7 @@ def curate_stream(
     code: bool | dict = False,
     quality_model=None,
     quality_threshold: float = 0.0,
+    pii: bool | dict = False,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -126,7 +127,7 @@ def curate_stream(
     (URL -> domain-prior -> HTML-extract -> normalize -> line-dedup ->
     ExactSubstr -> badwords -> C4 -> diversity -> script -> langid ->
     Gopher A1.1 -> Gopher A1.2 repetition -> FineWeb -> code ->
-    quality) and return the
+    quality -> PII redaction) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
@@ -403,5 +404,17 @@ def curate_stream(
                                            id_col=id_col)
         cur = scored.filter(
             F.col("quality_logit") >= F.lit(float(quality_threshold)))
+    if pii:
+        # LAST, mirroring the batch composer's pii_redact stage: pure
+        # regexp_replace codegen, trivially stream-legal
+        from condenser_spark.functions.pii import redact_pii
+
+        opts = dict(pii) if isinstance(pii, dict) else {}
+        if opts.pop("counts", False):
+            raise ValueError(
+                "pii={'counts': True} is not allowed in the chain (the "
+                "schema-preservation contract); call redact_pii "
+                "directly for the audit columns")
+        cur = redact_pii(cur, text_col=text_col, **opts)
 
     return cur

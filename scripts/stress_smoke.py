@@ -2175,6 +2175,58 @@ def stage_normalize(spark, n_docs: int = 2_000_000) -> dict:
     }
 
 
+def stage_pii(spark, n_docs: int = 2_000_000) -> dict:
+    """Stage 32: PII redaction at 2M docs — the four-pattern
+    regexp_replace chain (email, 32-hex key, IPv4, phone), pure JVM
+    codegen, with counts=True (four regexp_counts on top).  Every doc
+    plants exactly one span of each kind with FIXED literal lengths, so
+    the redacted corpus length is closed-form: per doc the email span
+    (6-char uid local + '@ex7.example.org' = 22) -> '<EMAIL>' (7, -15),
+    the md5 32-hex -> '<KEY>' (5, -27), '203.0.113.7' ->
+    '<IP_ADDRESS>' (12, +1), '+1 (555) 123-4567' -> '<PHONE>' (7,
+    -10); net -51 chars/doc.  The 40 6-char-hex body words are the
+    trap surface: word-bounded, dotless, @-less — no pattern may hit
+    them, which the closed-form sum catches exactly."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.pii import redact_pii
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    body = F.concat_ws(" ", *[uid(f"p{j}") for j in range(40)])
+    text = F.concat(
+        body,
+        F.lit(" "), uid("em"), F.lit("@ex7.example.org"),
+        F.lit(" "), F.md5(F.col("id").cast("string")),
+        F.lit(" 203.0.113.7 +1 (555) 123-4567"))
+    path = f"{WORK}/pii_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+    raw_len = docs.agg(F.sum(F.length("text"))).first()[0]
+
+    t0 = time.time()
+    agg = redact_pii(docs, counts=True).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("nc"),
+        F.sum("pii_email_n").alias("ne"),
+        F.sum("pii_key_n").alias("nk"),
+        F.sum("pii_ip_n").alias("ni"),
+        F.sum("pii_phone_n").alias("np")).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert (agg.ne, agg.nk, agg.ni, agg.np) == (
+        n_docs, n_docs, n_docs, n_docs), agg
+    assert agg.nc == raw_len - 51 * n_docs, (agg.nc, raw_len)
+    return {
+        "stage": "pii_2m",
+        "n_docs": n_docs,
+        "pii_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2217,6 +2269,7 @@ def main() -> int:
         "warc": lambda: stage_warc(spark),
         "html_extract": lambda: stage_html_extract(spark),
         "normalize": lambda: stage_normalize(spark),
+        "pii": lambda: stage_pii(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

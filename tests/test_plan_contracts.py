@@ -615,3 +615,24 @@ def test_normalize_and_html_chain_two_arrow_evals(spark, source):
     n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
                for l in plan.splitlines())
     assert n_py == 2, plan
+
+
+def test_pii_redact_is_pure_codegen(spark, source):
+    """redact_pii is a regexp_replace chain riding the scan: ZERO
+    Exchange, ZERO Python evals, whole plan inside codegen — and it
+    fuses into the stateless gate chain without adding either."""
+    from condenser_spark.functions.pii import redact_pii
+    from condenser_spark.streaming.curate import curate_stream
+
+    docs = source["documents"]
+    plan = _executed(redact_pii(docs, counts=True))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    out = curate_stream(docs.filter(F.col("doc_id") % 2 == 1),
+                        badwords=("grawlix",),
+                        script={"max_other_frac": 0.9},
+                        pii=True)
+    plan2 = _executed(out)
+    assert "Exchange" not in plan2, plan2
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
