@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_normalize_text",
         "ext_badwords_join",
         "ext_pii_redact",
+        "ext_jsonl_roundtrip",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -787,6 +787,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: redact_pii(docs, counts=True)
           .agg(F.sum(F.length("text")), F.sum("pii_email_n")).collect())
 
+    # JSONL ingest: shards written once (untimed prep), the timed path
+    # is the native json scan with explicit schema + an aggregate
+    from condenser_spark.sources import read_jsonl, write_jsonl
+
+    _jsonl_dir = tempfile.mkdtemp(prefix="bench_jsonl_")
+    write_jsonl(docs.select("doc_id", "text", "lang"), _jsonl_dir,
+                n_files=int(CPUS))
+    timed("jsonl_read",
+          lambda: read_jsonl(spark, _jsonl_dir,
+                             "doc_id long, text string, lang string")
+          .agg(F.sum(F.length("text"))).collect())
+
     return timings, noise
 
 

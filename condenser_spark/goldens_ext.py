@@ -7192,3 +7192,33 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = docs.select(
         "doc_id", F.concat(F.col("text"), tail).alias("text"))
     return redact_pii(synth, counts=True)
+
+
+_JSONL_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+@golden("ext_jsonl_roundtrip", _JSONL_SQL)
+def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (Dolma-layout) round-trip: the documents table is written
+    as 4 gzip JSONL shards (distributed write, no collect) and read
+    back through :func:`sources.jsonl.read_jsonl` with an explicit
+    schema — the DuckDB oracle is the parquet table itself, so the
+    comparison pins JSON string escaping, NULL-field omission/revival
+    and integer fidelity value-hash-exact
+    (condenser_spark/sources/jsonl.py:read_jsonl,write_jsonl).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    import tempfile
+
+    from condenser_spark.sources import read_jsonl, write_jsonl
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "source", "n_chars")
+    d = tempfile.mkdtemp(prefix="jsonl_golden_")
+    write_jsonl(docs, d, n_files=4)
+    return read_jsonl(
+        spark, d,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")

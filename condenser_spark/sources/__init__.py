@@ -1,7 +1,14 @@
-"""Ingestion sources beyond the builtin parquet/csv/json/orc readers
+"""Ingestion sources beyond the builtin parquet/csv/orc readers
 (condenser_spark.registry handles those): formats Spark has no native
-datasource for, expressed as binaryFile scans + Arrow-batched parsers."""
+datasource for, expressed as binaryFile scans + Arrow-batched parsers
+(WARC/WET), plus contract-bearing wrappers over native datasources
+where the ecosystem layout needs enforcing (Dolma-style JSONL)."""
 
+from condenser_spark.sources.jsonl import (
+    dolma_schema,
+    read_jsonl,
+    write_jsonl,
+)
 from condenser_spark.sources.warc import (
     read_warc,
     read_wet,
@@ -9,4 +16,12 @@ from condenser_spark.sources.warc import (
     write_wet_file,
 )
 
-__all__ = ["read_warc", "read_wet", "write_warc_file", "write_wet_file"]
+__all__ = [
+    "dolma_schema",
+    "read_jsonl",
+    "read_warc",
+    "read_wet",
+    "write_jsonl",
+    "write_warc_file",
+    "write_wet_file",
+]

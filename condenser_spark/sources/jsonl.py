@@ -1,0 +1,137 @@
+"""JSONL (newline-delimited JSON) source/sink — the interchange format
+of the open training-data ecosystem: Dolma (Soldaini et al. 2024 §2
+ships gzip JSONL shards of ``{id, text, source, added, created,
+metadata}``), RedPajama, The Pile, and most HuggingFace text datasets
+use the same layout.  A user of the reference engine moving corpora in
+or out of this engine meets JSONL before anything else.
+
+Spark-first shape: this is a thin, contract-bearing wrapper over
+Spark's NATIVE json datasource — the scan is distributed, splittable
+per file (gzip shards parallelize per-file, like the WARC reader), and
+fully Catalyst-visible (column pruning reaches the parser: an
+unselected field is never even parsed).  The wrapper adds what the raw
+reader leaves to convention:
+
+* **schema discipline** — at 100 TB schema inference is a full extra
+  pass over the corpus; :func:`read_jsonl` takes an explicit schema and
+  warns loudly in the docstring that omitting it doubles the scan.
+  :func:`dolma_schema` is the published Dolma field set ready-made.
+* **corrupt-record audit** — ``corrupt_col=`` lands malformed lines as
+  rows (PERMISSIVE + ``columnNameOfCorruptRecord``) instead of
+  silently nulling them, the same measurable-ingest contract as
+  ``read_warc``'s skip-mode audit rows.
+* **deterministic sharding** — :func:`write_jsonl` picks the shard
+  count explicitly (the Dolma layout is many ~100 MB-1 GB gzip shards;
+  one giant gzip file is unsplittable on read).
+
+Reference parity: the reference engine reads/writes only JDBC tables
+(/root/reference/db_connectors.py); JSONL exists for the SURVEY §7.4
+LLM-pipeline surface.  Round-trip correctness is pinned by the full
+oracle ``goldens_ext.ext_jsonl_roundtrip`` (documents -> gzip JSONL ->
+read back == the parquet, value-hash-exact including NULL text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def dolma_schema(*, metadata: T.DataType | None = None) -> T.StructType:
+    """The published Dolma document schema (id/text/source/added/created
+    as strings — timestamps stay ISO-8601 strings on the wire, parse
+    them downstream).  ``metadata`` is free-form per source; pass its
+    concrete StructType/MapType to include it, else it is omitted (an
+    unselected field is never parsed, so omitting it is also the fast
+    path when you don't need it)."""
+    fields = [
+        T.StructField("id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("added", T.StringType()),
+        T.StructField("created", T.StringType()),
+    ]
+    if metadata is not None:
+        fields.append(T.StructField("metadata", metadata))
+    return T.StructType(fields)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    *,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Read newline-delimited JSON (plain or ``.gz``/``.zst``-sharded —
+    Spark decompresses by extension) into a DataFrame.
+
+    ``schema``: pass it.  ``None`` falls back to Spark's inference,
+    which is a FULL EXTRA SCAN of every shard before the real read —
+    acceptable on a fixture, never at corpus scale.  A DDL string
+    (``"id string, text string"``) or a StructType both work.
+
+    ``corrupt_col``: when set (requires an explicit schema), malformed
+    lines land as rows with every schema field NULL and the raw line in
+    this column — count them for the ingest audit instead of losing
+    them silently.  Spark caveat: a query whose column pruning leaves
+    ONLY the corrupt column is disallowed by the json datasource (the
+    parser would have nothing to parse and no failure to report) — this
+    includes ``df.filter(col(corrupt).isNotNull()).count()``, whose
+    aggregate prunes everything else away.  ``.cache()`` the frame
+    before computing the audit count (the upstream-documented
+    workaround), or include a parsed field in the final projection.
+
+    Scale shape: one task per shard (gzip is unsplittable — the Dolma
+    ~100 MB-1 GB shard convention IS the parallelism), column pruning
+    pushes into the JSON parser, and the returned frame is an ordinary
+    scan every downstream operator composes with.
+    """
+    reader = spark.read
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError(
+                "corrupt_col= requires an explicit schema: under "
+                "inference Spark adds the corrupt column itself only "
+                "when it meets bad records, which makes the output "
+                "schema data-dependent — the opposite of an audit")
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if corrupt_col in schema.fieldNames():
+            raise ValueError(
+                f"corrupt_col {corrupt_col!r} collides with a schema "
+                f"field — pick another name")
+        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+        reader = (reader.option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", corrupt_col))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    n_files: int | None = None,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as JSONL shards under ``path`` (the Dolma layout:
+    ``part-*.json.gz``).  ``n_files`` repartitions to a deterministic
+    shard count — size shards to ~100 MB-1 GB compressed so the READ
+    side gets one well-sized task per file (gzip is unsplittable);
+    ``None`` keeps the input partitioning.  NULL fields are omitted
+    from each line (Spark's json writer default), which round-trips to
+    NULL on read.  ``compression=None`` writes plain ``.json`` parts.
+
+    Distributed end-to-end: no collect, executors write their own
+    shards — this is the production export path (unlike
+    ``write_warc_file``, whose iterator form exists for fixtures).
+    """
+    if n_files is not None:
+        df = df.repartition(n_files)
+    writer = df.write.mode(mode)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.json(path)

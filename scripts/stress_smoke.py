@@ -2227,6 +2227,45 @@ def stage_pii(spark, n_docs: int = 2_000_000) -> dict:
     }
 
 
+def stage_jsonl(spark, n_docs: int = 2_000_000, n_files: int = 16) -> dict:
+    """Stage 33: JSONL ingest at 2M docs / 16 gzip shards — the Dolma
+    layout through Spark's native json datasource with an explicit
+    schema (no inference pass).  Docs are ~290 chars (40 6-char-hex
+    words + id fields); exactness is closed-form: count == 2M and
+    sum(length(text)) equals the parquet-side sum captured before the
+    export.  One task per gzip shard — the same per-file parallelism
+    regime as the WARC reader."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.sources import read_jsonl, write_jsonl
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    text = F.concat_ws(" ", *[uid(f"j{k}") for k in range(40)])
+    src = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text"),
+        (F.col("id") % 7).cast("string").alias("lang"))
+    path = f"{WORK}/jsonl_docs"
+    expect_nc = src.agg(F.sum(F.length("text"))).first()[0]
+    write_jsonl(src, path, n_files=n_files)
+
+    t0 = time.time()
+    agg = read_jsonl(
+        spark, path, "doc_id long, text string, lang string").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("nc")).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert agg.nc == expect_nc, (agg.nc, expect_nc)
+    return {
+        "stage": "jsonl_2m",
+        "n_docs": n_docs,
+        "n_files": n_files,
+        "read_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2270,6 +2309,7 @@ def main() -> int:
         "html_extract": lambda: stage_html_extract(spark),
         "normalize": lambda: stage_normalize(spark),
         "pii": lambda: stage_pii(spark),
+        "jsonl": lambda: stage_jsonl(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

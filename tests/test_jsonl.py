@@ -1,0 +1,98 @@
+"""JSONL source/sink (sources/jsonl.py): Dolma-layout round-trip,
+corrupt-record audit, deterministic sharding, and the fail-loud
+guards."""
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.sources import dolma_schema, read_jsonl, write_jsonl
+
+
+def test_roundtrip_with_nulls_and_escapes(spark, tmp_path):
+    rows = [
+        (1, 'quote " backslash \\ newline \n tab \t end', "web"),
+        (2, None, "books"),
+        (3, "unicode é​Ｈ ok", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    write_jsonl(df, str(tmp_path / "out"), n_files=2)
+    back = read_jsonl(spark, str(tmp_path / "out"),
+                      "doc_id long, text string, src string")
+    assert sorted((r.doc_id, r.text, r.src) for r in back.collect()) == \
+        sorted(rows)
+
+
+def test_shard_count_and_gzip(spark, tmp_path):
+    df = spark.range(100).select(F.col("id").alias("doc_id"),
+                                 F.lit("x").alias("text"))
+    write_jsonl(df, str(tmp_path / "sharded"), n_files=3)
+    parts = glob.glob(str(tmp_path / "sharded" / "part-*.json.gz"))
+    assert len(parts) == 3
+    with gzip.open(parts[0], "rt") as f:
+        first = f.readline()
+    assert first.startswith("{") and '"text":"x"' in first
+
+    write_jsonl(df, str(tmp_path / "plain"), n_files=1, compression=None)
+    assert glob.glob(str(tmp_path / "plain" / "part-*.json"))
+
+
+def test_corrupt_record_audit(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"id":"a","text":"hi"}\n'
+                 'this is not json\n'
+                 '{"id":"b","text":"yo"}\n'
+                 '{"id":"c","text":"trunc\n')
+    df = read_jsonl(spark, str(p), "id string, text string",
+                    corrupt_col="_bad")
+    rows = df.collect()
+    assert len(rows) == 4
+    good = [(r.id, r.text) for r in rows if r._bad is None]
+    bad = [r._bad for r in rows if r._bad is not None]
+    assert sorted(good) == [("a", "hi"), ("b", "yo")]
+    assert sorted(bad) == ["this is not json", '{"id":"c","text":"trunc']
+    # the audit count the ingest job would record: Spark refuses a query
+    # that references ONLY the corrupt column (nothing left to parse) —
+    # cache first, per the read_jsonl docstring
+    cached = df.cache()
+    try:
+        assert cached.filter(F.col("_bad").isNotNull()).count() == 2
+    finally:
+        cached.unpersist()
+
+
+def test_guards(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_jsonl(spark, str(tmp_path), corrupt_col="_bad")
+    with pytest.raises(ValueError, match="collides"):
+        read_jsonl(spark, str(tmp_path), "id string, _bad string",
+                   corrupt_col="_bad")
+
+
+def test_dolma_schema(spark, tmp_path):
+    s = dolma_schema()
+    assert s.fieldNames() == ["id", "text", "source", "added", "created"]
+    from pyspark.sql import types as T
+
+    s2 = dolma_schema(metadata=T.MapType(T.StringType(), T.StringType()))
+    assert s2.fieldNames()[-1] == "metadata"
+    p = tmp_path / "dolma.jsonl"
+    p.write_text('{"id":"d1","text":"t","source":"web",'
+                 '"added":"2024-01-01T00:00:00Z",'
+                 '"metadata":{"lang":"en"}}\n')
+    r = read_jsonl(spark, str(p), s2).first()
+    assert (r.id, r.source, r.metadata["lang"]) == ("d1", "web", "en")
+
+
+def test_column_pruning_reaches_json_parser(spark, tmp_path):
+    # an unselected field is never parsed: ReadSchema shows only text
+    df = spark.range(10).select(F.col("id").cast("string").alias("id"),
+                                F.lit("body").alias("text"))
+    write_jsonl(df, str(tmp_path / "prune"), n_files=1)
+    back = read_jsonl(spark, str(tmp_path / "prune"),
+                      "id string, text string").select("text")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<text:string>" in plan, plan
