@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_badwords_join",
         "ext_pii_redact",
         "ext_jsonl_roundtrip",
+        "ext_quantile_buckets",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -799,6 +799,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                              "doc_id long, text string, lang string")
           .agg(F.sum(F.length("text"))).collect())
 
+    from condenser_spark.functions.corpus import quantile_buckets
+
+    # the CCNet split, approx (scale) mode: one agg + broadcast join
+    timed("quantile_buckets",
+          lambda: quantile_buckets(docs, "n_chars", n_buckets=3,
+                                   group_col="lang", mode="approx")
+          .groupBy("bucket").count().collect())
+
     return timings, noise
 
 

@@ -727,6 +727,98 @@ def curriculum_buckets(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    labels: tuple | None = None,
+    label_col: str = "bucket_label",
+    mode: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group equal-depth quantile buckets over a score column — the
+    CCNet split (Wenzek et al. 2020 §4.3: per-LANGUAGE head/middle/tail
+    terciles by LM perplexity, ascending, so ``labels=("head",
+    "middle", "tail")`` puts the best-scoring third in "head").  Full
+    input schema plus ``bucket_col`` (0-based int) and, when ``labels``
+    is given (length must equal ``n_buckets``), ``label_col``.
+
+    ``mode="exact"`` assigns ``((rank - 1) * n_buckets) DIV group_n``
+    over the per-group (score, id) order — the same exact integer
+    arithmetic as :func:`curriculum_buckets` (NOT ``NTILE``, whose
+    remainder-distribution rule is engine convention), so any engine
+    reproduces the split bit-for-bit and group bucket sizes differ by
+    at most one.  Cost: ONE shuffle on ``group_col`` and a per-group
+    sort (two window functions share the partition) — skew-bound by
+    the largest group, fine into the ~1e8-rows-per-group range.
+
+    ``mode="approx"`` is the 100 TB path: one map-side
+    ``percentile_approx`` pass computes n_buckets-1 thresholds per
+    group (``accuracy`` is its precision knob), a broadcast join lands
+    them, and the bucket is a chain of ``score > threshold_i``
+    comparisons — no sort, no window, no per-group skew; boundary ties
+    may land one bucket off versus exact (equal-FREQUENCY guarantee
+    weakens to approximate), which is the accepted trade in every
+    published sketch-quantile split.  The threshold frame is also the
+    landed-stats artifact a streaming scorer would broadcast, the
+    ``domain_prior`` pattern.
+
+    ``group_col=None`` buckets globally (one group).  For a global
+    equal-depth split over a precomputed ORDERING at scale, prefer
+    :func:`curriculum_buckets`, which shards the sort instead of
+    windowing it."""
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact'|'approx': {mode!r}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(
+            f"labels length {len(labels)} != n_buckets {n_buckets}")
+    for c in (bucket_col,) + ((label_col,) if labels else ()):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists in "
+                             f"the input — pass a different name")
+    gcols = [group_col] if group_col is not None else []
+
+    if mode == "exact":
+        w = (Window.partitionBy(*gcols)
+             .orderBy(F.col(score_col).asc(), F.col(id_col).asc()))
+        wc = Window.partitionBy(*gcols)
+        # exact integer arithmetic (curriculum_buckets convention):
+        # engine-reproducible, sizes differ by at most one per group
+        out = (
+            df.withColumn("_qb_rk", F.row_number().over(w).cast("long"))
+            .withColumn("_qb_gn", F.count(F.lit(1)).over(wc))
+            .withColumn(
+                bucket_col,
+                F.expr(f"CAST(((_qb_rk - 1) * {int(n_buckets)})"
+                       " DIV _qb_gn AS INT)"))
+            .drop("_qb_rk", "_qb_gn")
+        )
+    else:
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        thr = (df.groupBy(*gcols)
+               .agg(F.percentile_approx(score_col, qs, accuracy)
+                    .alias("_thr")))
+        joined = (df.join(F.broadcast(thr), on=gcols) if gcols
+                  else df.crossJoin(F.broadcast(thr)))
+        b = F.lit(0)
+        for i in range(1, n_buckets):
+            b = b + (F.col(score_col)
+                     > F.element_at("_thr", i)).cast("int")
+        out = joined.withColumn(bucket_col, b).drop("_thr")
+
+    if labels is not None:
+        lab = F.array(*[F.lit(str(x)) for x in labels])
+        out = out.withColumn(
+            label_col, F.element_at(lab, F.col(bucket_col) + F.lit(1)))
+    return out
+
+
 def winsorize(
     df: DataFrame,
     cols: list[str],
@@ -827,7 +919,13 @@ def pii_scrub(
 
     Patterns are RE2-compatible by construction so any engine reproduces the
     scrub byte-for-byte — a requirement when train/eval pipelines span
-    engines."""
+    engines.
+
+    This is the quick single-token anonymizer; for the published
+    release-pipeline form (per-kind ``<EMAIL>``/``<IP_ADDRESS>``/
+    ``<KEY>``/``<PHONE>`` tokens, per-kind audit counts, key/IP
+    coverage, and the ``pii=`` composer stage) use
+    :func:`functions.pii.redact_pii`."""
     pats = patterns or PII_PATTERNS
     c = F.col(text_col)
     scrubbed = c

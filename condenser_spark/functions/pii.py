@@ -37,6 +37,14 @@ Known, documented limitations (the published pipelines share them):
   contiguous hex runs of 32+ chars (MD5/SHA/API-token shapes);
   base64 secrets without a hex-only prefix pass through.
 
+Relation to :func:`functions.corpus.pii_scrub`: that is the generic
+single-token scrub (every PII-shaped span -> one ``[REDACTED]``
+marker, one total count) for quick anonymization; THIS module is the
+published-pipeline form — per-kind placeholder tokens (models learn
+``<EMAIL>`` as a type), per-kind audit counts, key/IP coverage, and
+composer wiring.  Both keep their patterns in the Java/RE2-identical
+subset for cross-engine reproducibility.
+
 Reference parity: the reference engine (TonicAI/condenser) has no text
 pipeline — this stage exists for the SURVEY §7.4 LLM-curation surface.
 """

@@ -7222,3 +7222,38 @@ def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, d,
         "doc_id long, text string, lang string, source string, "
         "n_chars long")
+
+
+_QUANTILE_BUCKETS_SQL = """
+    SELECT doc_id, lang, n_chars,
+           CAST(((rn - 1) * 3) // cnt AS INTEGER) AS bucket,
+           CASE CAST(((rn - 1) * 3) // cnt AS INTEGER)
+             WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail'
+           END AS bucket_label
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS cnt
+      FROM documents
+    )
+"""
+
+
+@golden("ext_quantile_buckets", _QUANTILE_BUCKETS_SQL)
+def ext_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet split (Wenzek 2020 §4.3): per-language head/middle/tail
+    terciles over a score column, exact mode — ``((rank-1)*3) DIV
+    group_n`` integer arithmetic over the (score, id) order, NOT NTILE
+    (whose remainder rule is engine convention), so DuckDB replays the
+    assignment bit-for-bit including the labels
+    (condenser_spark/functions/corpus.py:quantile_buckets).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import quantile_buckets
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars")
+    return quantile_buckets(
+        docs, "n_chars", n_buckets=3, group_col="lang",
+        labels=("head", "middle", "tail"))

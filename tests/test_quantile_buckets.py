@@ -1,0 +1,106 @@
+"""quantile_buckets (functions/corpus.py): exact per-group equal-depth
+split, the approx scale path, label mapping, guards, and the
+no-window plan shape of approx mode."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.corpus import quantile_buckets
+
+
+def _docs(spark, n=90, n_groups=3):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n_groups).cast("string").alias("lang"),
+        # distinct scores: permute so score order != id order
+        ((F.col("id") * 37) % 101).alias("score"))
+
+
+def test_exact_sizes_and_monotonicity(spark):
+    out = quantile_buckets(_docs(spark), "score", n_buckets=3,
+                           group_col="lang").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.lang, []).append((r.score, r.bucket))
+    for lang, rows in by_group.items():
+        sizes = [sum(1 for _, b in rows if b == i) for i in range(3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        rows.sort()
+        buckets = [b for _, b in rows]
+        assert buckets == sorted(buckets), lang  # monotone in score
+
+
+def test_labels_and_global_group(spark):
+    out = quantile_buckets(_docs(spark), "score", n_buckets=2,
+                           labels=("head", "tail")).collect()
+    assert {(r.bucket, r.bucket_label) for r in out} == \
+        {(0, "head"), (1, "tail")}
+    n_head = sum(1 for r in out if r.bucket_label == "head")
+    assert n_head == len(out) // 2
+
+
+def test_approx_agrees_with_exact_off_boundaries(spark):
+    docs = _docs(spark, n=300)
+    exact = {r.doc_id: r.bucket for r in quantile_buckets(
+        docs, "score", n_buckets=3, group_col="lang").collect()}
+    approx = {r.doc_id: r.bucket for r in quantile_buckets(
+        docs, "score", n_buckets=3, group_col="lang",
+        mode="approx").collect()}
+    assert set(exact) == set(approx)
+    agree = sum(exact[k] == approx[k] for k in exact)
+    # ties/boundary rows may land one off; the bulk must agree
+    assert agree / len(exact) >= 0.9, agree / len(exact)
+    assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
+
+
+def test_approx_plan_has_no_window(spark):
+    # the 100 TB path: one agg + broadcast join, no sort/window over
+    # the corpus
+    docs = _docs(spark, n=200)
+    out = quantile_buckets(docs, "score", n_buckets=4, group_col="lang",
+                           mode="approx")
+    qe = out._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_guards(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="mode"):
+        quantile_buckets(docs, "score", mode="fuzzy")
+    with pytest.raises(ValueError, match="labels length"):
+        quantile_buckets(docs, "score", n_buckets=3, labels=("a", "b"))
+    with pytest.raises(ValueError, match="already exists"):
+        quantile_buckets(docs.withColumn("bucket", F.lit(0)), "score")
+
+
+def test_ccnet_composition_with_lm_scores(spark):
+    """The CCNet use: bucket per language by LM log-prob (head = the
+    most in-domain third under ascending perplexity = DESCENDING
+    logprob — callers negate)."""
+    from condenser_spark.functions.lm import (
+        lm_score_documents,
+        train_unigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr",
+          ("the cat sat " * (1 + i % 3)) if i % 2
+          else ("le chat noir " * (1 + i % 3)))
+         for i in range(40)],
+        "doc_id long, lang string, text string")
+    lm = train_unigram_lm(docs)
+    scored = lm_score_documents(docs, lm).withColumn(
+        "neg_lp", -F.col("lm_logprob"))
+    out = quantile_buckets(scored, "neg_lp", n_buckets=3,
+                           group_col="lang",
+                           labels=("head", "middle", "tail"))
+    rows = out.collect()
+    assert len(rows) == 40
+    for lang in ("en", "fr"):
+        sizes = [sum(1 for r in rows
+                     if r.lang == lang and r.bucket == b)
+                 for b in range(3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
