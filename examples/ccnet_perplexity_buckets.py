@@ -10,12 +10,14 @@ Data"), composed entirely from already-oracled operators:
    logprob sums.  Lower ``lm_logprob`` = higher perplexity = less
    reference-like.
 3. BUCKET each LANGUAGE into equal thirds by perplexity —
-   ``curriculum_buckets(n_buckets=3)`` per language over the ascending
-   perplexity ordering: bucket 0 = head (most reference-like), 1 =
-   middle, 2 = tail.  The per-language loop is driver-side over the
-   bounded language list (the temperature_mix contract); each language's
-   bucketing is the oracled equal-depth integer rule, so head/middle/tail
-   sizes differ by at most one within every language.
+   ``quantile_buckets(n_buckets=3, group_col=lang)`` in ONE distributed
+   pass (round 14 — this example previously looped languages
+   driver-side and unioned a plan per language; the operator's single
+   grouped window replaces that with one shuffle, and its
+   ``mode="approx"`` variant drops even the window at corpus scale):
+   bucket 0 = head (most reference-like), 1 = middle, 2 = tail, the
+   oracled equal-depth integer rule, so head/middle/tail sizes differ
+   by at most one within every language.
 4. MIX by bucket — ``weighted_mix``: CCNet keeps head+middle for LM
    training; the published practice is rates like head=1.0, middle=1.0,
    tail=0.1 (or dropping tail outright).  Scan-level md5 predicate, no
@@ -38,12 +40,12 @@ def ccnet_buckets(docs, reference, langs=None, vocab_size=4096,
                   text_col="text", id_col="doc_id", lang_col="lang"):
     """The CCNet composition as a reusable function: returns ``docs`` plus
     ``lm_logprob`` and ``ppl_bucket`` ('head'/'middle'/'tail', equal
-    thirds per language by reference-LM perplexity).  ``langs`` defaults
-    to the distinct values of ``lang_col`` (bounded collect — languages,
-    not ids, by the temperature_mix contract)."""
+    thirds per language by reference-LM perplexity).  ``langs`` is
+    accepted for back-compat and ignored — the grouped operator needs
+    no language list."""
     from pyspark.sql import functions as F
 
-    from condenser_spark.functions.corpus import curriculum_buckets
+    from condenser_spark.functions.corpus import quantile_buckets
     from condenser_spark.functions.lm import (
         lm_score_documents,
         train_unigram_lm,
@@ -56,28 +58,11 @@ def ccnet_buckets(docs, reference, langs=None, vocab_size=4096,
         # ascending = most reference-like first (head); 4-dp double from
         # the exact integer pair, so the ordering is engine-reproducible
         "_ppl", -F.col("lm_logprob"))
-    if langs is None:
-        langs = sorted(
-            r.l for r in scored.select(
-                F.col(lang_col).alias("l")).distinct().limit(1001).collect())
-        assert len(langs) <= 1000, "lang_col looks high-cardinality"
-    parts = []
-    for lang in langs:
-        parts.append(
-            curriculum_buckets(
-                scored.filter(F.col(lang_col) == lang),
-                n_buckets=3, order_col="_ppl", id_col=id_col,
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    name = F.element_at(
-        F.array(*[F.lit(BUCKET_NAMES[i]) for i in range(3)]),
-        (F.col("bucket_id") + 1).cast("int"),
-    )
-    return out.withColumn("ppl_bucket", name).drop(
-        "_ppl", "rank", "bucket_id")
+    out = quantile_buckets(
+        scored, "_ppl", n_buckets=3, group_col=lang_col, id_col=id_col,
+        labels=tuple(BUCKET_NAMES[i] for i in range(3)),
+        label_col="ppl_bucket", bucket_col="_bkt")
+    return out.drop("_ppl", "_bkt")
 
 
 def main() -> int:

@@ -1,0 +1,120 @@
+"""Dolma-style JSONL corpus, in and out — the round-14 user story:
+
+1. INGEST — ``read_jsonl`` reads gzip JSONL shards (built here from the
+   fixture documents so the example is self-contained, with one
+   deliberately corrupt line planted per shard) with an EXPLICIT schema
+   and a corrupt-record audit column: malformed lines become countable
+   rows, not silent nulls.
+2. CURATE — one ``curate_corpus`` call: Unicode normalization, Gopher
+   A1.1 rules, exact dedup, and the ``pii=`` masking stage LAST (the
+   Dolma §4.2 order: redaction after dedup so placeholder tokens never
+   change survivor election).  The fixture corpus is single-line prose
+   without terminal punctuation, so C4's line rule (which requires it)
+   is deliberately not enabled here — see
+   examples/warc_to_training_shards.py for the full web-crawl chain.
+3. REPORT — the per-stage docs_in/docs_out tabulation plus the PII
+   audit counts from a direct ``redact_pii(counts=True)`` pass.
+4. EXPORT — ``write_jsonl`` lands the survivors as deterministic gzip
+   shards sized for per-file read parallelism.
+
+Usage:  python examples/dolma_jsonl_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.pii import redact_pii
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+    from condenser_spark.sources import read_jsonl, write_jsonl
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("dolma-jsonl-example", master="local[8]",
+                      shuffle_partitions=8)
+    docs = load_source_tables(spark, sf_dir)["documents"]
+
+    # --- build a self-contained Dolma-ish corpus: plant PII spans on a
+    # stripe of docs, export as gzip shards, then corrupt one line per
+    # shard so the ingest audit has something to count
+    seeded = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" reach me at jane.doe@example.com or "
+                              "+1 (555) 123-4567")))
+        .otherwise(F.col("text")).alias("text"),
+        F.col("lang").alias("source"))
+    src_dir = tempfile.mkdtemp(prefix="dolma_src_")
+    write_jsonl(seeded, src_dir, n_files=4)
+    for shard in glob.glob(os.path.join(src_dir, "part-*.json.gz")):
+        with gzip.open(shard, "rt") as f:
+            lines = f.read().splitlines()
+        lines.insert(1, '{"id": 17, "text": broken')
+        with gzip.open(shard, "wt") as f:
+            f.write("\n".join(lines) + "\n")
+        # the rewrite invalidates Hadoop's checksum sidecar — drop it
+        crc = os.path.join(os.path.dirname(shard),
+                           "." + os.path.basename(shard) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # --- 1. ingest with schema + audit
+    raw = read_jsonl(spark, src_dir, "id string, text string, source string",
+                     corrupt_col="_corrupt").cache()
+    n_bad = raw.filter(F.col("_corrupt").isNotNull()).count()
+    good = (raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+            .withColumn("doc_id", F.col("id").cast("long")))
+    print(f"== ingest: {raw.count()} lines, {n_bad} corrupt "
+          f"(audited, not silently dropped) ==")
+
+    # --- 2+3. curate: normalize -> Gopher A1.1 -> exact dedup -> PII
+    # masking last
+    curated, report = curate_corpus(
+        good,
+        normalize=True,
+        # the fixture vocabulary carries only "the" from Gopher's
+        # required stop-word set, hence min_stop_hits=1 here
+        gopher={"min_words": 5, "max_words": 100_000,
+                "min_stop_hits": 1},
+        dedup="exact",
+        pii=True,
+    )
+    print("== per-stage tabulation ==")
+    report.show(truncate=False)
+
+    audit = redact_pii(good, counts=True).agg(
+        F.sum("pii_email_n").alias("emails"),
+        F.sum("pii_phone_n").alias("phones"),
+        F.sum("pii_ip_n").alias("ips"),
+        F.sum("pii_key_n").alias("keys")).first()
+    print(f"== PII spans masked: {audit.emails} emails, "
+          f"{audit.phones} phones, {audit.ips} IPs, {audit.keys} keys ==")
+
+    # --- 4. export
+    out_dir = tempfile.mkdtemp(prefix="dolma_out_")
+    write_jsonl(curated.select("id", "text", "source"), out_dir, n_files=2)
+    shards = sorted(glob.glob(os.path.join(out_dir, "part-*.json.gz")))
+    print(f"== exported {curated.count()} docs into {len(shards)} "
+          f"gzip shards ==")
+    with gzip.open(shards[0], "rt") as f:
+        print("first line of first shard:", f.readline()[:120])
+
+    raw.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
