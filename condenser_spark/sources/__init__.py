@@ -7,6 +7,7 @@ where the ecosystem layout needs enforcing (Dolma-style JSONL)."""
 from condenser_spark.sources.jsonl import (
     dolma_schema,
     read_jsonl,
+    read_jsonl_stream,
     write_jsonl,
 )
 from condenser_spark.sources.warc import (
@@ -19,6 +20,7 @@ from condenser_spark.sources.warc import (
 __all__ = [
     "dolma_schema",
     "read_jsonl",
+    "read_jsonl_stream",
     "read_warc",
     "read_wet",
     "write_jsonl",

@@ -109,11 +109,38 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming twin of :func:`read_jsonl`: watch ``path``
+    for new JSONL shards (the continuous-ingest regime — a crawler or
+    upstream pipeline dropping Dolma shards into a landing directory)
+    and return a streaming DataFrame that composes with every stateless
+    operator, including the full ``streaming.curate.curate_stream``
+    chain.  ``schema`` is REQUIRED — a stream cannot run an inference
+    pass.  ``max_files_per_trigger`` bounds each micro-batch (one task
+    per gzip shard, so this is also the per-batch parallelism knob).
+    Corrupt-record audit columns are a batch-side concern — run
+    :func:`read_jsonl` over the same directory for the ingest audit."""
+    if schema is None:  # defensive: positional None
+        raise ValueError("read_jsonl_stream requires an explicit schema")
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    return reader.json(path)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,
     *,
     n_files: int | None = None,
+    target_mb_per_file: float | None = None,
     compression: str | None = "gzip",
     mode: str = "overwrite",
 ) -> None:
@@ -125,10 +152,30 @@ def write_jsonl(
     from each line (Spark's json writer default), which round-trips to
     NULL on read.  ``compression=None`` writes plain ``.json`` parts.
 
+    ``target_mb_per_file`` (mutually exclusive with ``n_files``) picks
+    the shard count FROM the data: one sizing pass serializes every
+    row with ``to_json`` and sums UNCOMPRESSED bytes (document that
+    basis when planning disk: gzip typically compresses prose JSON
+    3-5x), then ``n_files = ceil(total / target)``.  The sizing pass
+    costs one extra scan — the price of shards that stay well-sized as
+    the corpus grows, instead of a hand-tuned constant that silently
+    drifts into the unsplittable-multi-GB-gzip regime.
+
     Distributed end-to-end: no collect, executors write their own
     shards — this is the production export path (unlike
     ``write_warc_file``, whose iterator form exists for fixtures).
     """
+    if n_files is not None and target_mb_per_file is not None:
+        raise ValueError("pass n_files OR target_mb_per_file, not both")
+    if target_mb_per_file is not None:
+        if target_mb_per_file <= 0:
+            raise ValueError("target_mb_per_file must be positive")
+        from pyspark.sql import functions as F
+
+        total = df.select(
+            F.sum(F.octet_length(F.to_json(F.struct(*df.columns))) + 1)
+        ).first()[0] or 0
+        n_files = max(1, -(-int(total) // int(target_mb_per_file * 2**20)))
     if n_files is not None:
         df = df.repartition(n_files)
     writer = df.write.mode(mode)

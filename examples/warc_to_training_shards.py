@@ -82,6 +82,7 @@ def main() -> int:
         gopher_repetition={"max_dup_5gram_char_frac": 0.60},
         fineweb={"min_line_punct_frac": 0.0},   # fixture text is filler
         script={"max_other_frac": 0.9},
+        pii=True,                               # masking LAST (Dolma order)
         text_col="text", id_col="doc_id",
     )
     print("\nper-stage report:")

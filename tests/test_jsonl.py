@@ -96,3 +96,55 @@ def test_column_pruning_reaches_json_parser(spark, tmp_path):
                       "id string, text string").select("text")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_target_mb_per_file_sizing(spark, tmp_path):
+    # ~200 rows x ~1 KB of JSON each => ~0.2 MB; target 0.05 MB/file
+    # must pick ceil(total/target) shards, data-driven
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 1000), F.col("id").cast("string"))
+        .alias("text"))
+    write_jsonl(df, str(tmp_path / "sized"), target_mb_per_file=0.05,
+                compression=None)
+    parts = glob.glob(str(tmp_path / "sized" / "part-*.json"))
+    total = sum(os.path.getsize(p) for p in parts)
+    import math
+    assert len(parts) == math.ceil(total / (0.05 * 2**20)), \
+        (len(parts), total)
+    with pytest.raises(ValueError, match="not both"):
+        write_jsonl(df, str(tmp_path / "x"), n_files=2,
+                    target_mb_per_file=1.0)
+    with pytest.raises(ValueError, match="positive"):
+        write_jsonl(df, str(tmp_path / "x"), target_mb_per_file=0)
+
+
+def test_read_jsonl_stream_through_curate_stream(spark, tmp_path):
+    """The continuous-ingest Dolma story: JSONL shards land in a
+    directory, read_jsonl_stream feeds the stateless curation chain
+    (PII masking last), and the stream output equals the batch run."""
+    from condenser_spark.sources import read_jsonl_stream
+    from condenser_spark.streaming.curate import curate_stream
+
+    rows = [(i, f"doc {i} mail a{i}@ex.example.org body text", "web")
+            for i in range(20)]
+    batch = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    write_jsonl(batch, src, n_files=2)
+
+    s = read_jsonl_stream(
+        spark, src, "doc_id long, text string, source string",
+        max_files_per_trigger=1)
+    assert s.isStreaming
+    q = (curate_stream(s, pii=True)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.doc_id, r.text) for r in
+                 spark.read.parquet(out_dir).collect())
+    want = sorted((r.doc_id, r.text) for r in
+                  curate_stream(batch, pii=True).collect())
+    assert got == want
+    assert all("<EMAIL>" in t for _, t in got)
