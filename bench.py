@@ -791,7 +791,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # is the native json scan with explicit schema + an aggregate
     from condenser_spark.sources import read_jsonl, write_jsonl
 
-    _jsonl_dir = tempfile.mkdtemp(prefix="bench_jsonl_")
+    _jsonl_dir = os.path.join(tempfile.mkdtemp(prefix="bench_jsonl_"),
+                              "shards")
     write_jsonl(docs.select("doc_id", "text", "lang"), _jsonl_dir,
                 n_files=int(CPUS))
     timed("jsonl_read",

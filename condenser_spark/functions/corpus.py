@@ -767,6 +767,11 @@ def quantile_buckets(
     landed-stats artifact a streaming scorer would broadcast, the
     ``domain_prior`` pattern.
 
+    NULL handling, identical in both modes: a NULL ``group_col`` is its
+    own group (null-safe join in approx mode), and NULL scores land in
+    bucket 0 (they sort first under the exact mode's ascending order;
+    approx coalesces the NULL comparisons to match).
+
     ``group_col=None`` buckets globally (one group).  For a global
     equal-depth split over a precomputed ORDERING at scale, prefer
     :func:`curriculum_buckets`, which shards the sort instead of
@@ -803,14 +808,26 @@ def quantile_buckets(
         qs = [i / n_buckets for i in range(1, n_buckets)]
         thr = (df.groupBy(*gcols)
                .agg(F.percentile_approx(score_col, qs, accuracy)
-                    .alias("_thr")))
-        joined = (df.join(F.broadcast(thr), on=gcols) if gcols
-                  else df.crossJoin(F.broadcast(thr)))
+                    .alias("_qb_thr")))
+        if gcols:
+            # NULL-safe equality: a NULL group (docs before langid
+            # runs) must match its own threshold row, not vanish —
+            # plain `on=` equality silently drops NULL-keyed rows
+            g = gcols[0]
+            thr = thr.withColumnRenamed(g, "_qb_g")
+            joined = (df.join(F.broadcast(thr),
+                              F.col(g).eqNullSafe(F.col("_qb_g")),
+                              "left").drop("_qb_g"))
+        else:
+            joined = df.crossJoin(F.broadcast(thr))
         b = F.lit(0)
         for i in range(1, n_buckets):
-            b = b + (F.col(score_col)
-                     > F.element_at("_thr", i)).cast("int")
-        out = joined.withColumn(bucket_col, b).drop("_thr")
+            # NULL scores: exact mode sorts NULLs first (bucket 0);
+            # coalesce makes approx agree instead of emitting NULL
+            b = b + F.coalesce(
+                (F.col(score_col) > F.element_at("_qb_thr", i))
+                .cast("int"), F.lit(0))
+        out = joined.withColumn(bucket_col, b).drop("_qb_thr")
 
     if labels is not None:
         lab = F.array(*[F.lit(str(x)) for x in labels])

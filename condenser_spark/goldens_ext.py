@@ -7216,7 +7216,8 @@ def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _tables(spark, sf_dir)["documents"].select(
         "doc_id", "text", "lang", "source", "n_chars")
-    d = tempfile.mkdtemp(prefix="jsonl_golden_")
+    d = os.path.join(tempfile.mkdtemp(prefix="jsonl_golden_"),
+                     "shards")
     write_jsonl(docs, d, n_files=4)
     return read_jsonl(
         spark, d,

@@ -101,7 +101,11 @@ def read_jsonl(
             raise ValueError(
                 f"corrupt_col {corrupt_col!r} collides with a schema "
                 f"field — pick another name")
-        schema = schema.add(T.StructField(corrupt_col, T.StringType()))
+        # a NEW StructType: StructType.add mutates in place, and the
+        # caller's schema object must stay reusable
+        schema = T.StructType(
+            list(schema.fields)
+            + [T.StructField(corrupt_col, T.StringType())])
         reader = (reader.option("mode", "PERMISSIVE")
                   .option("columnNameOfCorruptRecord", corrupt_col))
     if schema is not None:
@@ -142,7 +146,7 @@ def write_jsonl(
     n_files: int | None = None,
     target_mb_per_file: float | None = None,
     compression: str | None = "gzip",
-    mode: str = "overwrite",
+    mode: str = "error",
 ) -> None:
     """Write ``df`` as JSONL shards under ``path`` (the Dolma layout:
     ``part-*.json.gz``).  ``n_files`` repartitions to a deterministic
@@ -160,6 +164,11 @@ def write_jsonl(
     costs one extra scan — the price of shards that stay well-sized as
     the corpus grows, instead of a hand-tuned constant that silently
     drifts into the unsplittable-multi-GB-gzip regime.
+
+    ``mode`` follows Spark's own writer default (``"error"``: refuse an
+    existing path) — an export path must never silently wipe a landed
+    corpus; pass ``mode="overwrite"`` explicitly when replacement is
+    the intent.
 
     Distributed end-to-end: no collect, executors write their own
     shards — this is the production export path (unlike

@@ -102,6 +102,7 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
             return
 
         msg = None
+        hdr_bytes = 0
         if not line.startswith(b"WARC/"):
             msg = f"expected WARC version line, got {line[:40]!r}"
             headers = {}
@@ -109,6 +110,7 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
             headers = {}
             while True:
                 h = buf.readline()
+                hdr_bytes += len(h)
                 if h in (b"\r\n", b"\n", b""):
                     break
                 k, _, v = h.partition(b":")
@@ -120,8 +122,11 @@ def _parse_warc_stream(name: str, raw: bytes, max_text_bytes: int,
         if msg is not None:
             if on_error == "fail":
                 raise ValueError(f"{name}: {msg}")
-            # resync: count bytes until the next version line (or EOF)
-            n_skipped = len(line) if not line.startswith(b"WARC/") else 0
+            # resync: count bytes until the next version line (or EOF).
+            # The already-consumed version line + header block of a
+            # bad-Content-Length record count as lost too — the audit's
+            # n_payload_bytes must measure ALL bytes the resync skipped
+            n_skipped = len(line) + hdr_bytes
             while True:
                 nxt = buf.readline()
                 if not nxt:
@@ -250,6 +255,42 @@ def read_warc(
     return files.select("path", "content").mapInPandas(gen, WARC_SCHEMA)
 
 
+def _write_record_file(records, path, compress, date, build) -> int:
+    """Shared WARC-family writer scaffolding: serialize each (uri,
+    text) via ``build(n, uri, body_bytes, date_bytes) -> (warc_type,
+    record_id_prefix, content_type, payload)``-shaped callback output,
+    frame it with Content-Length, gzip, write.  One place for the
+    framing so a fix to it cannot silently miss a sibling writer."""
+    import gzip
+    import io
+
+    out = io.BytesIO()
+    n = 0
+    dt = date.encode()
+    for uri, text in records:
+        body = (text or "").encode("utf-8")
+        wtype, rid_prefix, ctype, payload = build(n, body)
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + wtype + b"\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + rid_prefix
+            + str(n).encode() + b">\r\n"
+            b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
+            b"WARC-Date: " + dt + b"\r\n"
+            b"Content-Type: " + ctype + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+        out.write(rec)
+        n += 1
+    data = out.getvalue()
+    if compress:
+        data = gzip.compress(data)
+    with open(path, "wb") as f:
+        f.write(data)
+    return n
+
+
 def write_warc_file(
     records: Iterable[tuple[str, str]],
     path: str,
@@ -265,35 +306,16 @@ def write_warc_file(
     Content-Type header (``text/html; charset=utf-8`` for HTML-bodied
     crawls).  Driver-side pure I/O by design, like
     ``load_blocklist``.  Returns the record count."""
-    import gzip
-    import io
-
-    out = io.BytesIO()
-    n = 0
     ctype = content_type.encode("ascii")
-    for uri, text in records:
-        body = (text or "").encode("utf-8")
+
+    def build(n, body):
         http = (b"HTTP/1.1 200 OK\r\ncontent-type: " + ctype
                 + b"\r\ncontent-length: "
                 + str(len(body)).encode() + b"\r\n\r\n" + body)
-        rec = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: response\r\n"
-            b"WARC-Record-ID: <urn:uuid:rec-" + str(n).encode() + b">\r\n"
-            b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
-            b"WARC-Date: " + date.encode() + b"\r\n"
-            b"Content-Type: application/http; msgtype=response\r\n"
-            b"Content-Length: " + str(len(http)).encode() + b"\r\n"
-            b"\r\n" + http + b"\r\n\r\n"
-        )
-        out.write(rec)
-        n += 1
-    data = out.getvalue()
-    if compress:
-        data = gzip.compress(data)
-    with open(path, "wb") as f:
-        f.write(data)
-    return n
+        return (b"response", b"rec-",
+                b"application/http; msgtype=response", http)
+
+    return _write_record_file(records, path, compress, date, build)
 
 
 def read_wet(
@@ -309,9 +331,16 @@ def read_wet(
     passes straight through the non-HTTP branch into ``text``
     (``http_status``/``http_content_type`` are NULL by construction).
     Accepts the same keyword arguments (``max_text_bytes``,
-    ``on_error``, ``batch_rows``)."""
-    kwargs.pop("record_types", None)
-    kwargs.pop("response_only", None)
+    ``on_error``, ``batch_rows``) EXCEPT ``record_types`` /
+    ``response_only``, which this convenience fixes by definition —
+    passing them raises; call :func:`read_warc` directly to choose
+    record types yourself."""
+    fixed = [k for k in ("record_types", "response_only") if k in kwargs]
+    if fixed:
+        raise TypeError(
+            f"read_wet() fixes {fixed} (WET IS the "
+            f"conversion-record whitelist); call read_warc() directly "
+            f"to override record selection")
     return read_warc(spark, path, record_types=("conversion",), **kwargs)
 
 
@@ -327,28 +356,7 @@ def write_wet_file(
     envelope) — :func:`read_wet`'s round-trip/parity surface and a
     fixture builder, same driver-side pure-I/O contract as
     :func:`write_warc_file`.  Returns the record count."""
-    import gzip
-    import io
+    def build(n, body):
+        return b"conversion", b"wet-", b"text/plain", body
 
-    out = io.BytesIO()
-    n = 0
-    for uri, text in records:
-        body = (text or "").encode("utf-8")
-        rec = (
-            b"WARC/1.0\r\n"
-            b"WARC-Type: conversion\r\n"
-            b"WARC-Record-ID: <urn:uuid:wet-" + str(n).encode() + b">\r\n"
-            b"WARC-Target-URI: " + uri.encode("utf-8") + b"\r\n"
-            b"WARC-Date: " + date.encode() + b"\r\n"
-            b"Content-Type: text/plain\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n"
-            b"\r\n" + body + b"\r\n\r\n"
-        )
-        out.write(rec)
-        n += 1
-    data = out.getvalue()
-    if compress:
-        data = gzip.compress(data)
-    with open(path, "wb") as f:
-        f.write(data)
-    return n
+    return _write_record_file(records, path, compress, date, build)

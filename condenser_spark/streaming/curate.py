@@ -214,6 +214,11 @@ def curate_stream(
         from condenser_spark.functions.html import extract_html_text
 
         opts = dict(html) if isinstance(html, dict) else {}
+        if opts.get("out_col") is not None:
+            raise ValueError(
+                "html={'out_col': ...} is not allowed in the chain "
+                "(the schema-preservation contract); call "
+                "extract_html_text directly to add a column")
         cur = extract_html_text(cur, text_col=text_col, **opts)
 
     if normalize:
@@ -222,6 +227,11 @@ def curate_stream(
         from condenser_spark.functions.text import normalize_text
 
         opts = dict(normalize) if isinstance(normalize, dict) else {}
+        if opts.get("out_col") is not None:
+            raise ValueError(
+                "normalize={'out_col': ...} is not allowed in the chain "
+                "(the schema-preservation contract); call "
+                "normalize_text directly to add a column")
         cur = normalize_text(cur, text_col=text_col, **opts)
 
     if line_bloom is not None:

@@ -40,9 +40,9 @@ def ccnet_buckets(docs, reference, langs=None, vocab_size=4096,
                   text_col="text", id_col="doc_id", lang_col="lang"):
     """The CCNet composition as a reusable function: returns ``docs`` plus
     ``lm_logprob`` and ``ppl_bucket`` ('head'/'middle'/'tail', equal
-    thirds per language by reference-LM perplexity).  ``langs`` is
-    accepted for back-compat and ignored — the grouped operator needs
-    no language list."""
+    thirds per language by reference-LM perplexity).  ``langs``
+    restricts the output to the listed languages (the grouped operator
+    itself needs no language list)."""
     from pyspark.sql import functions as F
 
     from condenser_spark.functions.corpus import quantile_buckets
@@ -51,6 +51,8 @@ def ccnet_buckets(docs, reference, langs=None, vocab_size=4096,
         train_unigram_lm,
     )
 
+    if langs is not None:
+        docs = docs.filter(F.col(lang_col).isin(list(langs)))
     lm = train_unigram_lm(reference, vocab_size=vocab_size,
                           text_col=text_col)
     scored = lm_score_documents(docs, lm, text_col=text_col,

@@ -56,7 +56,8 @@ def main() -> int:
                               "+1 (555) 123-4567")))
         .otherwise(F.col("text")).alias("text"),
         F.col("lang").alias("source"))
-    src_dir = tempfile.mkdtemp(prefix="dolma_src_")
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="dolma_src_"),
+                           "shards")
     write_jsonl(seeded, src_dir, n_files=4)
     for shard in glob.glob(os.path.join(src_dir, "part-*.json.gz")):
         with gzip.open(shard, "rt") as f:
@@ -103,7 +104,8 @@ def main() -> int:
           f"{audit.phones} phones, {audit.ips} IPs, {audit.keys} keys ==")
 
     # --- 4. export
-    out_dir = tempfile.mkdtemp(prefix="dolma_out_")
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="dolma_out_"),
+                           "shards")
     write_jsonl(curated.select("id", "text", "source"), out_dir, n_files=2)
     shards = sorted(glob.glob(os.path.join(out_dir, "part-*.json.gz")))
     print(f"== exported {curated.count()} docs into {len(shards)} "

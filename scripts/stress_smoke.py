@@ -2247,7 +2247,7 @@ def stage_jsonl(spark, n_docs: int = 2_000_000, n_files: int = 16) -> dict:
         (F.col("id") % 7).cast("string").alias("lang"))
     path = f"{WORK}/jsonl_docs"
     expect_nc = src.agg(F.sum(F.length("text"))).first()[0]
-    write_jsonl(src, path, n_files=n_files)
+    write_jsonl(src, path, n_files=n_files, mode="overwrite")
 
     t0 = time.time()
     agg = read_jsonl(

@@ -148,3 +148,29 @@ def test_read_jsonl_stream_through_curate_stream(spark, tmp_path):
                   curate_stream(batch, pii=True).collect())
     assert got == want
     assert all("<EMAIL>" in t for _, t in got)
+
+
+def test_schema_object_is_not_mutated(spark, tmp_path):
+    """Review-pinned: corrupt_col must not append to the CALLER's
+    StructType (StructType.add mutates in place)."""
+    p = tmp_path / "a.jsonl"
+    p.write_text('{"id":"a","text":"t"}\n')
+    from pyspark.sql import types as T
+
+    s = T.StructType([T.StructField("id", T.StringType()),
+                      T.StructField("text", T.StringType())])
+    read_jsonl(spark, str(p), s, corrupt_col="_bad")
+    assert s.fieldNames() == ["id", "text"]
+    # and the same schema object is reusable
+    df = read_jsonl(spark, str(p), s, corrupt_col="_bad")
+    assert df.columns == ["id", "text", "_bad"]
+
+
+def test_write_refuses_existing_path_by_default(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("doc_id"),
+                               F.lit("x").alias("text"))
+    out = str(tmp_path / "landed")
+    write_jsonl(df, out, n_files=1)
+    with pytest.raises(Exception, match="already exists|LOCATION_ALREADY"):
+        write_jsonl(df, out, n_files=1)
+    write_jsonl(df, out, n_files=1, mode="overwrite")  # explicit intent

@@ -856,3 +856,33 @@ def test_rp_project_modal_width_beats_first_row(spark):
     assert len(got) == 55                       # majority width kept
     assert {r.vec_id for r in got} == set(range(5, 60))
     assert all(len(r.projected) == 3 for r in got)
+
+
+def test_composer_rejects_out_col_in_html_and_normalize(spark):
+    """Review-pinned (round 14): html=/normalize= opts must not smuggle
+    an out_col through the chain's schema-preservation contract."""
+    import pytest
+
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.streaming.curate import curate_stream
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    for kwargs in ({"html": {"out_col": "extracted"}},
+                   {"normalize": {"out_col": "norm"}}):
+        with pytest.raises(ValueError, match="out_col"):
+            curate_corpus(df, **kwargs)
+        with pytest.raises(ValueError, match="out_col"):
+            curate_stream(df, **kwargs)
+
+
+def test_read_wet_rejects_record_type_overrides(spark, tmp_path):
+    """Review-pinned (round 14): read_wet fixes the conversion whitelist
+    and must fail loud, not silently swallow, an override attempt."""
+    import pytest
+
+    from condenser_spark.sources import read_wet
+
+    with pytest.raises(TypeError, match="record_types"):
+        read_wet(spark, str(tmp_path), record_types=("response",))
+    with pytest.raises(TypeError, match="response_only"):
+        read_wet(spark, str(tmp_path), response_only=True)

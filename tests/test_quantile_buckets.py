@@ -104,3 +104,23 @@ def test_ccnet_composition_with_lm_scores(spark):
                      if r.lang == lang and r.bucket == b)
                  for b in range(3)]
         assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_null_group_and_null_score_parity(spark):
+    """Review-pinned: NULL group_col rows must survive approx mode (the
+    null-safe join), and NULL scores land in bucket 0 in BOTH modes."""
+    rows = ([(i, "en", float(i)) for i in range(8)]
+            + [(100 + i, None, float(i)) for i in range(4)]
+            + [(200, "en", None)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "score double")
+    exact = quantile_buckets(df, "score", n_buckets=2, group_col="lang")
+    approx = quantile_buckets(df, "score", n_buckets=2, group_col="lang",
+                              mode="approx")
+    e = {r.doc_id: r.bucket for r in exact.collect()}
+    a = {r.doc_id: r.bucket for r in approx.collect()}
+    assert len(e) == len(a) == 13          # nothing dropped
+    assert all(v is not None for v in a.values())
+    assert e[200] == 0 and a[200] == 0     # NULL score -> bucket 0
+    # NULL-group rows bucket among themselves
+    assert sorted(a[100 + i] for i in range(4)) == [0, 0, 1, 1]

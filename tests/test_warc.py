@@ -58,6 +58,9 @@ def test_warc_malformed_fail_vs_skip(spark, tmp_path):
     assert sorted(by_type) == ["parse_error", "response"]
     assert by_type["response"].target_uri == "http://x.test/ok"
     assert "Content-Length" in by_type["parse_error"].text
+    # the audit counts EVERYTHING the resync lost: the consumed version
+    # line + header block of the bad record, plus the scanned tail
+    assert by_type["parse_error"].n_payload_bytes == len(bad)
     with pytest.raises(ValueError, match="on_error"):
         read_warc(spark, str(tmp_path), on_error="ignore")
 
