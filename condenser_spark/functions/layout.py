@@ -191,3 +191,66 @@ def write_surt_partitioned(
         .sortWithinPartitions(surt_col)
         .write.mode("overwrite").parquet(path)
     )
+
+
+def landed_manifest(
+    spark,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    schema=None,
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-shard manifest of a LANDED corpus directory — the release
+    audit Dolma-style corpora ship alongside their shards: one row per
+    file with ``(file, n_docs, n_text_chars)`` plus file-level bytes,
+    so a consumer can verify a transfer shard-by-shard and a publisher
+    can spot a mis-sized or empty shard before release.
+
+    ``fmt``: ``"parquet"`` or ``"json"`` (JSONL shards need ``schema``
+    — the explicit-schema discipline of :func:`sources.jsonl.read_jsonl`
+    applies doubly here, since a manifest job should never pay an
+    inference pass).  ``text_col=None`` skips the char sum (count-only
+    manifest).
+
+    One distributed scan: rows group by ``input_file_name()`` (each
+    task reads its own shard, so the groupBy is map-side-combined per
+    file), then file sizes join in from the driver-side listing of the
+    SAME directory (bounded: one row per FILE, not per doc).  At 100 TB
+    the manifest job costs one pass over the corpus — run it once at
+    release time and publish the result next to the shards."""
+    if fmt == "parquet":
+        reader = spark.read.parquet
+        df = reader(path)
+    elif fmt == "json":
+        if schema is None:
+            raise ValueError(
+                "fmt='json' requires schema= (a manifest job must not "
+                "pay a schema-inference pass)")
+        df = spark.read.schema(schema).json(path)
+    else:
+        raise ValueError(f"fmt must be 'parquet'|'json': {fmt!r}")
+
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if text_col is not None:
+        if text_col not in df.columns:
+            raise ValueError(f"text_col {text_col!r} not in the landed "
+                             f"schema {df.columns}; pass text_col=None "
+                             f"for a count-only manifest")
+        aggs.append(F.sum(F.length(F.col(text_col))).alias("n_text_chars"))
+    per_file = (df.groupBy(F.input_file_name().alias("file"))
+                .agg(*aggs))
+
+    import os
+
+    # local-FS byte sizes; on an object store, join the store's own
+    # listing against the manifest's `file` URIs instead
+    abspath = os.path.abspath(path)
+    sizes = [("file://" + os.path.join(abspath, name),
+              os.path.getsize(os.path.join(abspath, name)))
+             for name in sorted(os.listdir(abspath))
+             if not name.startswith((".", "_"))
+             and os.path.isfile(os.path.join(abspath, name))]
+    size_df = spark.createDataFrame(
+        sizes or [("", 0)], "file string, n_bytes long")
+    return per_file.join(F.broadcast(size_df), on="file", how="left")

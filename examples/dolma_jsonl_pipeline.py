@@ -113,6 +113,15 @@ def main() -> int:
     with gzip.open(shards[0], "rt") as f:
         print("first line of first shard:", f.readline()[:120])
 
+    # --- release manifest: per-shard docs/chars/bytes, the audit a
+    # consumer verifies a transfer against
+    from condenser_spark.functions.layout import landed_manifest
+
+    print("== release manifest ==")
+    landed_manifest(spark, out_dir, fmt="json",
+                    schema="id string, text string, source string") \
+        .orderBy("file").show(truncate=60)
+
     raw.unpersist()
     spark.stop()
     return 0

@@ -182,3 +182,42 @@ def test_write_surt_partitioned_prunes_domain_tree(spark, tmp_path):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters: [")[1].split("]")[0]
     assert "surt_key" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_landed_manifest_parquet_and_jsonl(spark, tmp_path):
+    """landed_manifest: per-shard doc counts, char sums, and byte sizes
+    over a landed dir — both formats, totals exact."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import landed_manifest
+    from condenser_spark.sources import write_jsonl
+
+    df = spark.range(120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t" * 10), F.col("id").cast("string"))
+        .alias("text"))
+    pq = str(tmp_path / "pq")
+    df.repartition(3).write.parquet(pq)
+    man = landed_manifest(spark, pq).collect()
+    assert len(man) == 3
+    assert sum(r.n_docs for r in man) == 120
+    total_chars = df.agg(F.sum(F.length("text"))).first()[0]
+    assert sum(r.n_text_chars for r in man) == total_chars
+    assert all(r.n_bytes and r.n_bytes > 0 for r in man)
+    assert all(r.file.startswith("file://") for r in man)
+
+    jl = str(tmp_path / "jl")
+    write_jsonl(df, jl, n_files=2)
+    man2 = landed_manifest(spark, jl, fmt="json",
+                           schema="doc_id long, text string").collect()
+    assert len(man2) == 2
+    assert sum(r.n_docs for r in man2) == 120
+    assert sum(r.n_text_chars for r in man2) == total_chars
+
+    with pytest.raises(ValueError, match="requires schema"):
+        landed_manifest(spark, jl, fmt="json")
+    with pytest.raises(ValueError, match="text_col"):
+        landed_manifest(spark, pq, text_col="body")
+    man3 = landed_manifest(spark, pq, text_col=None).columns
+    assert man3 == ["file", "n_docs", "n_bytes"]
