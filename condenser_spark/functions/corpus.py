@@ -805,35 +805,101 @@ def quantile_buckets(
             .drop("_qb_rk", "_qb_gn")
         )
     else:
-        qs = [i / n_buckets for i in range(1, n_buckets)]
-        thr = (df.groupBy(*gcols)
-               .agg(F.percentile_approx(score_col, qs, accuracy)
-                    .alias("_qb_thr")))
-        if gcols:
-            # NULL-safe equality: a NULL group (docs before langid
-            # runs) must match its own threshold row, not vanish —
-            # plain `on=` equality silently drops NULL-keyed rows
-            g = gcols[0]
-            thr = thr.withColumnRenamed(g, "_qb_g")
-            joined = (df.join(F.broadcast(thr),
-                              F.col(g).eqNullSafe(F.col("_qb_g")),
-                              "left").drop("_qb_g"))
-        else:
-            joined = df.crossJoin(F.broadcast(thr))
-        b = F.lit(0)
-        for i in range(1, n_buckets):
-            # NULL scores: exact mode sorts NULLs first (bucket 0);
-            # coalesce makes approx agree instead of emitting NULL
-            b = b + F.coalesce(
-                (F.col(score_col) > F.element_at("_qb_thr", i))
-                .cast("int"), F.lit(0))
-        out = joined.withColumn(bucket_col, b).drop("_qb_thr")
+        thr = quantile_thresholds(df, score_col, n_buckets=n_buckets,
+                                  group_col=group_col, accuracy=accuracy)
+        out = apply_quantile_thresholds(df, thr, score_col,
+                                        n_buckets=n_buckets,
+                                        group_col=group_col,
+                                        bucket_col=bucket_col)
 
     if labels is not None:
         lab = F.array(*[F.lit(str(x)) for x in labels])
         out = out.withColumn(
             label_col, F.element_at(lab, F.col(bucket_col) + F.lit(1)))
     return out
+
+
+def quantile_thresholds(
+    df: DataFrame,
+    score_col: str,
+    *,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The landed-stats artifact behind :func:`quantile_buckets`'s
+    approx mode: one ``percentile_approx`` pass emitting one row per
+    group — ``(group_col?, thresholds array<double>)`` with
+    ``n_buckets - 1`` ascending cut points.  Land this from a batch
+    snapshot (it is tiny: one row per language) and broadcast it into
+    any later job — including a STREAM, via
+    :func:`apply_quantile_thresholds` — the same
+    precompute-then-apply split as ``domain_prior``."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    gcols = [group_col] if group_col is not None else []
+    return (df.groupBy(*gcols)
+            .agg(F.percentile_approx(score_col, qs, accuracy)
+                 .alias("thresholds")))
+
+
+def apply_quantile_thresholds(
+    df: DataFrame,
+    thresholds: DataFrame,
+    score_col: str,
+    *,
+    n_buckets: int = 3,
+    group_col: str | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row its bucket from PRECOMPUTED cut points
+    (:func:`quantile_thresholds`): a broadcast join (null-safe on
+    ``group_col`` — a NULL group matches its own threshold row) plus a
+    chain of plan-time-unrolled ``score > threshold_i`` comparisons.
+    No sort, no window, no state — stream-legal against a landed
+    thresholds frame (stream-static broadcast join), the 100 TB and
+    continuous-ingest regime of the CCNet split.
+
+    ``n_buckets`` must match the builder's; a mismatched thresholds
+    array fails loud at execution (``raise_error``), never silently
+    mis-buckets.  NULL scores land in bucket 0, matching exact mode.
+    A group ABSENT from the thresholds frame (a new language appearing
+    after the snapshot) gets a NULL bucket — visible novelty for the
+    caller to route, not a crash and not a silent guess."""
+    if "thresholds" not in thresholds.columns:
+        raise ValueError(
+            "thresholds frame must carry a 'thresholds' array column "
+            "(build it with quantile_thresholds)")
+    if bucket_col in df.columns:
+        raise ValueError(f"output column {bucket_col!r} already exists "
+                         f"in the input — pass a different name")
+    thr = thresholds
+    if group_col is not None:
+        if group_col not in thr.columns:
+            raise ValueError(
+                f"thresholds frame lacks group_col {group_col!r} — "
+                f"was it built with the same group_col?")
+        thr = thr.withColumnRenamed(group_col, "_qb_g")
+        joined = (df.join(F.broadcast(thr),
+                          F.col(group_col).eqNullSafe(F.col("_qb_g")),
+                          "left").drop("_qb_g"))
+    else:
+        joined = df.crossJoin(F.broadcast(thr))
+    b = F.lit(0)
+    for i in range(1, n_buckets):
+        # NULL scores: exact mode sorts NULLs first (bucket 0);
+        # coalesce makes the applied form agree instead of emitting NULL
+        b = b + F.coalesce(
+            (F.col(score_col) > F.element_at("thresholds", i))
+            .cast("int"), F.lit(0))
+    guarded = (
+        F.when(F.col("thresholds").isNull(),
+               F.lit(None).cast("int"))          # unseen group: visible
+        .when(F.size("thresholds") == F.lit(n_buckets - 1), b)
+        .otherwise(F.raise_error(F.lit(
+            f"thresholds array length != n_buckets-1 ({n_buckets - 1}) "
+            f"— built with a different n_buckets")))
+    )
+    return joined.withColumn(bucket_col, guarded).drop("thresholds")
 
 
 def winsorize(

@@ -124,3 +124,57 @@ def test_null_group_and_null_score_parity(spark):
     assert e[200] == 0 and a[200] == 0     # NULL score -> bucket 0
     # NULL-group rows bucket among themselves
     assert sorted(a[100 + i] for i in range(4)) == [0, 0, 1, 1]
+
+
+def test_thresholds_apply_on_a_real_stream(spark, tmp_path):
+    """The precompute-then-apply split: thresholds landed from a batch
+    snapshot, applied to a readStream — output equals the batch apply,
+    and an unseen group gets a NULL bucket, not a crash."""
+    from condenser_spark.functions.corpus import (
+        apply_quantile_thresholds,
+        quantile_thresholds,
+    )
+
+    snapshot = _docs(spark, n=60, n_groups=2)
+    thr = quantile_thresholds(snapshot, "score", n_buckets=3,
+                              group_col="lang")
+    incoming = _docs(spark, n=30, n_groups=3)  # lang "2" unseen
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    incoming.write.parquet(src)
+    s = spark.readStream.schema(
+        "doc_id long, lang string, score long").parquet(src)
+    q = (apply_quantile_thresholds(s, thr, "score", n_buckets=3,
+                                   group_col="lang")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r.doc_id: r.bucket for r in
+           spark.read.parquet(out_dir).collect()}
+    want = {r.doc_id: r.bucket for r in
+            apply_quantile_thresholds(incoming, thr, "score", n_buckets=3,
+                                      group_col="lang").collect()}
+    assert got == want and len(got) == 30
+    unseen = [r.doc_id for r in incoming.collect() if r.lang == "2"]
+    assert all(got[d] is None for d in unseen)       # visible novelty
+    assert all(got[d] is not None for d in got if d not in unseen)
+
+
+def test_thresholds_n_buckets_mismatch_fails_loud(spark):
+    from condenser_spark.functions.corpus import (
+        apply_quantile_thresholds,
+        quantile_thresholds,
+    )
+
+    docs = _docs(spark, n=30)
+    thr = quantile_thresholds(docs, "score", n_buckets=3,
+                              group_col="lang")
+    with pytest.raises(Exception, match="n_buckets"):
+        apply_quantile_thresholds(docs, thr, "score", n_buckets=5,
+                                  group_col="lang").collect()
+    with pytest.raises(ValueError, match="thresholds"):
+        apply_quantile_thresholds(docs, docs, "score", group_col="lang")
+    with pytest.raises(ValueError, match="group_col"):
+        apply_quantile_thresholds(
+            docs, thr.withColumnRenamed("lang", "x"), "score",
+            n_buckets=3, group_col="lang")
