@@ -2266,6 +2266,68 @@ def stage_jsonl(spark, n_docs: int = 2_000_000, n_files: int = 16) -> dict:
     }
 
 
+def stage_ingest_chain(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 34: the COMPOSED published ingest chain at 1M pages —
+    HTML extraction -> Unicode normalization -> PII redaction, the
+    exact `curate_stream(html=, normalize=, pii=)` stage sequence (two
+    Arrow kernels + one codegen regex chain, zero shuffle).  Every page
+    carries head/style/nav/script boilerplate, a link-farm div, NFKC
+    work (combining accent, ligature, ZWSP, soft hyphen), and one
+    planted email + IPv4.  Per-doc output length is CONSTANT by
+    construction (fixed-width uids), so exactness is closed-form from a
+    ONE-ROW probe run through the same chain: count == n_docs and
+    sum(length) == n_docs * probe_len, asserted over all 1M."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.html import extract_html_text
+    from condenser_spark.functions.pii import redact_pii
+    from condenser_spark.functions.text import normalize_text
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    body = F.concat_ws(" ", *[uid(f"c{j}") for j in range(40)])
+    planted = (" e" + chr(0x301) + "col " + chr(0xFB01) + "le a"
+               + chr(0x200B) + "b c" + chr(0xAD)
+               + " u@ex7.example.org 203.0.113.7")
+    page = F.concat(
+        F.lit('<html><head><title>t</title><style>p{c:red}</style>'
+              '</head><body><nav><a href="/">home</a> <a href="/a">'
+              'about</a></nav><div><a href="/s">spam</a> <a href="/t">'
+              'links</a></div><p>'),
+        body, F.lit(planted),
+        F.lit('</p><script>var x="<p>no</p>";</script></body></html>'))
+
+    def chain(df):
+        out = extract_html_text(df, drop_nav=True, max_link_density=0.5)
+        out = normalize_text(out, form="NFKC")
+        return redact_pii(out)
+
+    probe = spark.createDataFrame([(0,)], "id long").select(
+        F.col("id").alias("doc_id"), page.alias("text"))
+    probe_len = chain(probe).select(F.length("text")).first()[0]
+    assert probe_len > 200, probe_len  # the prose survived extraction
+
+    path = f"{WORK}/chain_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), page.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    agg = chain(docs).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("nc")).first()
+    wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert agg.nc == probe_len * n_docs, (agg.nc, probe_len)
+    return {
+        "stage": "ingest_chain_1m",
+        "n_docs": n_docs,
+        "chain_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2310,6 +2372,7 @@ def main() -> int:
         "normalize": lambda: stage_normalize(spark),
         "pii": lambda: stage_pii(spark),
         "jsonl": lambda: stage_jsonl(spark),
+        "ingest_chain": lambda: stage_ingest_chain(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
