@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_pii_redact",
         "ext_jsonl_roundtrip",
         "ext_quantile_buckets",
+        "ext_quantile_apply",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -7258,3 +7258,41 @@ def ext_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_buckets(
         docs, "n_chars", n_buckets=3, group_col="lang",
         labels=("head", "middle", "tail"))
+
+
+_QUANTILE_APPLY_SQL = """
+    WITH thr AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.3333333333333333), 4) AS t1,
+             round(quantile_cont(n_chars, 0.6666666666666666), 4) AS t2
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(COALESCE(CAST(d.n_chars > t1 AS INTEGER), 0)
+                + COALESCE(CAST(d.n_chars > t2 AS INTEGER), 0)
+                AS INTEGER) AS bucket
+    FROM documents d JOIN thr USING (lang)
+"""
+
+
+@golden("ext_quantile_apply", _QUANTILE_APPLY_SQL)
+def ext_quantile_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The threshold-APPLY path of the CCNet split (the 100 TB and
+    streaming regime) under a full oracle: cut points from Spark's
+    EXACT interpolated percentile (== DuckDB quantile_cont at 4 dp —
+    the winsorize cross-engine contract, re-proven here on interpolated
+    values) land in a thresholds frame, and
+    ``apply_quantile_thresholds`` replays as a broadcast join + two
+    strict comparisons (condenser_spark/functions/corpus.py:
+    apply_quantile_thresholds).  Registered past the driver's 50-slot
+    cap; verified per-pytest by tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.corpus import apply_quantile_thresholds
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "lang", "n_chars")
+    thr = docs.groupBy("lang").agg(F.array(
+        F.round(F.percentile("n_chars", F.lit(1.0 / 3.0)), 4),
+        F.round(F.percentile("n_chars", F.lit(2.0 / 3.0)), 4),
+    ).alias("thresholds"))
+    return apply_quantile_thresholds(docs, thr, "n_chars", n_buckets=3,
+                                     group_col="lang")
