@@ -58,6 +58,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     report: bool = True,
     barrier: bool | None = None,
+    materialize_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """Run the selected curation stages in the published order and return
     ``(curated_docs, report_df)``; ``report_df`` is one row per executed
@@ -229,7 +230,24 @@ def curate_corpus(
     path for production chains — the result stays one fully lazy plan and
     nothing executes until the caller's own action (land the report
     separately, e.g. from :func:`functions.corpus.mixture_report` diffs,
-    when you need both)."""
+    when you need both).
+
+    ``materialize_dir`` makes the run RESUMABLE — the operational
+    contract a multi-hour 100 TB chain needs: each stage lands to
+    ``<dir>/<NN>_<stage>`` parquet EAGERLY (execution happens stage by
+    stage, not lazily) and later stages read the landed output, so the
+    lineage never stacks.  On a re-run over the same directory, every
+    stage whose landing already completed (``_SUCCESS`` present) is
+    SKIPPED and its landed output reused — a chain that died at stage 7
+    restarts from landed stage 6, and a partial landing (no
+    ``_SUCCESS``) is overwritten.  A ``_chain.json`` marker records the
+    stage sequence; re-running a DIFFERENT chain shape over the same
+    directory fails loud instead of silently mixing two configs (the
+    marker guards SHAPE — same stages over changed input or changed
+    stage options is the caller's responsibility, the standard
+    checkpoint-reuse contract).  Supersedes ``barrier`` (the parquet
+    landing IS the barrier); driver-local path semantics like
+    ``landed_manifest``."""
     dedup_opts = dict(dedup_opts or {})
     decontaminate_opts = dict(decontaminate_opts or {})
     if barrier is None:
@@ -256,7 +274,43 @@ def curate_corpus(
                 f"use one of {_ANCHORS}")
         pending.setdefault(anchor, []).append((str(name), fn))
 
+    if materialize_dir is not None:
+        import json as _json
+        import os as _os
+
+        barrier = False  # the parquet landing IS the barrier
+        _os.makedirs(materialize_dir, exist_ok=True)
+        _chain_path = _os.path.join(materialize_dir, "_chain.json")
+        _chain_seen: list[str] = (
+            _json.load(open(_chain_path)) if _os.path.exists(_chain_path)
+            else [])
+        _seq = {"i": 0}
+
     def _record(name: str, nxt: DataFrame) -> DataFrame:
+        if materialize_dir is not None:
+            import json as _json
+            import os as _os
+
+            i = _seq["i"] = _seq["i"] + 1
+            if len(_chain_seen) >= i and _chain_seen[i - 1] != name:
+                raise ValueError(
+                    f"materialize_dir {materialize_dir!r} was landed by a "
+                    f"different chain shape: stage {i} there is "
+                    f"{_chain_seen[i - 1]!r}, this run produces {name!r} — "
+                    f"use a fresh directory")
+            spark = docs.sparkSession
+            path = _os.path.join(materialize_dir, f"{i:02d}_{name}")
+            if _os.path.exists(_os.path.join(path, "_SUCCESS")):
+                nxt = spark.read.parquet(path)   # restart: reuse landed
+            else:
+                nxt.write.mode("overwrite").parquet(path)
+                nxt = spark.read.parquet(path)
+                if len(_chain_seen) < i:
+                    _chain_seen.append(name)
+                    with open(_chain_path, "w") as f:
+                        _json.dump(_chain_seen, f)
+            stages.append((name, nxt))
+            return nxt
         if barrier:
             nxt = nxt.localCheckpoint(eager=False)
         stages.append((name, nxt))
@@ -616,6 +670,11 @@ def curate_corpus(
         raise ValueError(
             f"extra_stages anchored to stages that did not run: "
             f"{sorted(pending)} — enable those stages or re-anchor")
+    if materialize_dir is not None and len(_chain_seen) > _seq["i"]:
+        raise ValueError(
+            f"materialize_dir {materialize_dir!r} was landed by a LONGER "
+            f"chain ({len(_chain_seen)} stages, this run has "
+            f"{_seq['i']}) — use a fresh directory")
 
     if not report:
         return cur, None

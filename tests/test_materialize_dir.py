@@ -1,0 +1,76 @@
+"""curate_corpus(materialize_dir=): resumable stage landing — per-stage
+parquet with _SUCCESS-gated restart reuse and the chain-shape guard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.curate import curate_corpus
+
+
+def _docs(spark, tag="a"):
+    return spark.createDataFrame(
+        [(i, f"the quick brown fox {tag} doc {i} " * 3) for i in range(20)]
+        + [(100, "dup dup"), (101, "dup dup")],
+        "doc_id long, text string")
+
+
+def test_lands_stages_and_matches_unmaterialized(spark, tmp_path):
+    d = str(tmp_path / "mat")
+    docs = _docs(spark)
+    out, rep = curate_corpus(docs, normalize=True,
+                             gopher={"min_words": 3, "min_stop_hits": 1},
+                             dedup="exact", pii=True,
+                             materialize_dir=d)
+    plain, _ = curate_corpus(docs, normalize=True,
+                             gopher={"min_words": 3, "min_stop_hits": 1},
+                             dedup="exact", pii=True)
+    assert sorted((r.doc_id, r.text) for r in out.collect()) == \
+        sorted((r.doc_id, r.text) for r in plain.collect())
+    landed = sorted(p for p in os.listdir(d) if not p.startswith("_"))
+    assert landed == ["01_normalize_text", "02_gopher_rules",
+                      "03_exact_dedup", "04_pii_redact"]
+    assert all(os.path.exists(os.path.join(d, p, "_SUCCESS"))
+               for p in landed)
+    stages = [r.stage for r in rep.collect()]
+    assert stages == ["normalize_text", "gopher_rules", "exact_dedup",
+                      "pii_redact"]
+
+
+def test_restart_reuses_landed_stages(spark, tmp_path):
+    d = str(tmp_path / "mat")
+    first, _ = curate_corpus(_docs(spark, "a"), normalize=True,
+                             gopher={"min_words": 3, "min_stop_hits": 1},
+                             materialize_dir=d, report=False)
+    want = sorted((r.doc_id, r.text) for r in first.collect())
+    # re-run with CHANGED input over the same dir: every stage already
+    # landed, so the output must be the FIRST run's landed data —
+    # proving the stages were skipped, not recomputed
+    second, _ = curate_corpus(_docs(spark, "b"), normalize=True,
+                              gopher={"min_words": 3, "min_stop_hits": 1},
+                              materialize_dir=d, report=False)
+    assert sorted((r.doc_id, r.text) for r in second.collect()) == want
+
+    # resume-from-the-middle: drop the LAST stage's landing; only it
+    # recomputes, its input read from the surviving stage-1 landing
+    import shutil
+
+    shutil.rmtree(os.path.join(d, "02_gopher_rules"))
+    third, _ = curate_corpus(_docs(spark, "c"), normalize=True,
+                             gopher={"min_words": 3, "min_stop_hits": 1},
+                             materialize_dir=d, report=False)
+    assert sorted((r.doc_id, r.text) for r in third.collect()) == want
+
+
+def test_chain_shape_guard(spark, tmp_path):
+    d = str(tmp_path / "mat")
+    curate_corpus(_docs(spark), normalize=True, pii=True,
+                  materialize_dir=d, report=False)
+    with pytest.raises(ValueError, match="different chain shape"):
+        curate_corpus(_docs(spark), normalize=True,
+                      gopher={"min_words": 3, "min_stop_hits": 1},
+                      materialize_dir=d, report=False)
+    with pytest.raises(ValueError, match="LONGER"):
+        curate_corpus(_docs(spark), normalize=True,
+                      materialize_dir=d, report=False)
