@@ -305,10 +305,13 @@ def curate_corpus(
             else:
                 nxt.write.mode("overwrite").parquet(path)
                 nxt = spark.read.parquet(path)
-                if len(_chain_seen) < i:
-                    _chain_seen.append(name)
-                    with open(_chain_path, "w") as f:
-                        _json.dump(_chain_seen, f)
+            if len(_chain_seen) < i:
+                # also backfills a reuse whose marker write was lost to
+                # a crash between the landing and the json write —
+                # otherwise later appends would misalign the guard
+                _chain_seen.append(name)
+                with open(_chain_path, "w") as f:
+                    _json.dump(_chain_seen, f)
             stages.append((name, nxt))
             return nxt
         if barrier:

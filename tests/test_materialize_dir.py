@@ -74,3 +74,26 @@ def test_chain_shape_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="LONGER"):
         curate_corpus(_docs(spark), normalize=True,
                       materialize_dir=d, report=False)
+
+
+def test_marker_backfill_after_lost_json_write(spark, tmp_path):
+    """A crash between a stage's parquet _SUCCESS and its _chain.json
+    write must not misalign the shape guard on later runs."""
+    import json
+
+    d = str(tmp_path / "mat")
+    curate_corpus(_docs(spark), normalize=True, pii=True,
+                  materialize_dir=d, report=False)
+    # simulate the lost write: truncate the marker to zero entries
+    with open(os.path.join(d, "_chain.json"), "w") as f:
+        json.dump([], f)
+    out, _ = curate_corpus(_docs(spark), normalize=True, pii=True,
+                           materialize_dir=d, report=False)
+    assert out.count() > 0
+    with open(os.path.join(d, "_chain.json")) as f:
+        assert json.load(f) == ["normalize_text", "pii_redact"]
+    # and the realigned guard still fires on a genuine shape change
+    with pytest.raises(ValueError, match="different chain shape"):
+        curate_corpus(_docs(spark), normalize=True,
+                      gopher={"min_words": 3, "min_stop_hits": 1},
+                      materialize_dir=d, report=False)
