@@ -281,10 +281,19 @@ def curate_corpus(
         barrier = False  # the parquet landing IS the barrier
         _os.makedirs(materialize_dir, exist_ok=True)
         _chain_path = _os.path.join(materialize_dir, "_chain.json")
-        _chain_seen: list[str] = (
-            _json.load(open(_chain_path)) if _os.path.exists(_chain_path)
-            else [])
+        _chain_seen: list[str] = []
+        if _os.path.exists(_chain_path):
+            with open(_chain_path) as _f:
+                _chain_seen = _json.load(_f)
         _seq = {"i": 0}
+
+        def _write_marker() -> None:
+            # atomic: a kill mid-write must never leave corrupt JSON
+            # that blocks every later resume
+            tmp = _chain_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(_chain_seen, f)
+            _os.replace(tmp, _chain_path)
 
     def _record(name: str, nxt: DataFrame) -> DataFrame:
         if materialize_dir is not None:
@@ -310,8 +319,7 @@ def curate_corpus(
                 # a crash between the landing and the json write —
                 # otherwise later appends would misalign the guard
                 _chain_seen.append(name)
-                with open(_chain_path, "w") as f:
-                    _json.dump(_chain_seen, f)
+                _write_marker()
             stages.append((name, nxt))
             return nxt
         if barrier:

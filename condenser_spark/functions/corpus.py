@@ -861,10 +861,18 @@ def apply_quantile_thresholds(
 
     ``n_buckets`` must match the builder's; a mismatched thresholds
     array fails loud at execution (``raise_error``), never silently
-    mis-buckets.  NULL scores land in bucket 0, matching exact mode.
-    A group ABSENT from the thresholds frame (a new language appearing
-    after the snapshot) gets a NULL bucket — visible novelty for the
-    caller to route, not a crash and not a silent guess."""
+    mis-buckets.  NULL scores land in bucket 0, matching exact mode's
+    NULLs-first order.  A group whose scores were ALL NULL at build
+    time keeps a present-but-NULL thresholds entry and lands entirely
+    in bucket 0 (no orderable signal to split on — exact mode instead
+    equal-depth-splits such a group by its id tiebreak; the one
+    documented divergence).  A group
+    ABSENT from the thresholds frame (a new language appearing after
+    the snapshot) gets a NULL bucket — visible novelty for the caller
+    to route, not a crash and not a silent guess.  With
+    ``group_col=None`` the thresholds frame must be exactly ONE row
+    (checked — a grouped frame applied ungrouped would otherwise
+    silently multiply every input row)."""
     if "thresholds" not in thresholds.columns:
         raise ValueError(
             "thresholds frame must carry a 'thresholds' array column "
@@ -872,9 +880,20 @@ def apply_quantile_thresholds(
     if bucket_col in df.columns:
         raise ValueError(f"output column {bucket_col!r} already exists "
                          f"in the input — pass a different name")
-    thr = thresholds
+    clash = [c for c in ("_qb_thr", "_qb_g", "_qb_present")
+             if c in df.columns]
+    if clash:
+        raise ValueError(f"input columns {clash} collide with "
+                         f"apply_quantile_thresholds internals — rename "
+                         f"them first")
+    # internal names so an input 'thresholds' column never turns the
+    # join ambiguous; _qb_present distinguishes a MISSING group row
+    # (unseen -> NULL bucket) from a present-but-NULL thresholds array
+    # (all-NULL scores at build time -> bucket 0, like exact mode)
+    thr = (thresholds.withColumnRenamed("thresholds", "_qb_thr")
+           .withColumn("_qb_present", F.lit(True)))
     if group_col is not None:
-        if group_col not in thr.columns:
+        if group_col not in thresholds.columns:
             raise ValueError(
                 f"thresholds frame lacks group_col {group_col!r} — "
                 f"was it built with the same group_col?")
@@ -883,23 +902,32 @@ def apply_quantile_thresholds(
                           F.col(group_col).eqNullSafe(F.col("_qb_g")),
                           "left").drop("_qb_g"))
     else:
+        n_thr = thr.count()  # bounded: one row per group by contract
+        if n_thr != 1:
+            raise ValueError(
+                f"group_col=None but the thresholds frame has {n_thr} "
+                f"rows — built with a group_col?  Pass the same "
+                f"group_col, or rebuild ungrouped (a crossJoin here "
+                f"would silently multiply every input row)")
         joined = df.crossJoin(F.broadcast(thr))
     b = F.lit(0)
     for i in range(1, n_buckets):
         # NULL scores: exact mode sorts NULLs first (bucket 0);
         # coalesce makes the applied form agree instead of emitting NULL
         b = b + F.coalesce(
-            (F.col(score_col) > F.element_at("thresholds", i))
+            (F.col(score_col) > F.element_at("_qb_thr", i))
             .cast("int"), F.lit(0))
     guarded = (
-        F.when(F.col("thresholds").isNull(),
+        F.when(F.col("_qb_present").isNull(),
                F.lit(None).cast("int"))          # unseen group: visible
-        .when(F.size("thresholds") == F.lit(n_buckets - 1), b)
+        .when(F.col("_qb_thr").isNull(), b)      # all-NULL-score group
+        .when(F.size("_qb_thr") == F.lit(n_buckets - 1), b)
         .otherwise(F.raise_error(F.lit(
             f"thresholds array length != n_buckets-1 ({n_buckets - 1}) "
             f"— built with a different n_buckets")))
     )
-    return joined.withColumn(bucket_col, guarded).drop("thresholds")
+    return (joined.withColumn(bucket_col, guarded)
+            .drop("_qb_thr", "_qb_present"))
 
 
 def winsorize(

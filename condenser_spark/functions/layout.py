@@ -215,9 +215,16 @@ def landed_manifest(
 
     One distributed scan: rows group by ``input_file_name()`` (each
     task reads its own shard, so the groupBy is map-side-combined per
-    file), then file sizes join in from the driver-side listing of the
-    SAME directory (bounded: one row per FILE, not per doc).  At 100 TB
-    the manifest job costs one pass over the corpus — run it once at
+    file), then file sizes join in FULL-OUTER from a recursive
+    driver-side listing of the SAME directory (bounded: one row per
+    FILE, not per doc) — full-outer so a ZERO-ROW shard (a failed or
+    truncated writer task, the very defect a manifest exists to catch)
+    still appears, with ``n_docs`` 0 and its real byte size, instead
+    of silently vanishing from the audit.  The listing walks
+    subdirectories (partitioned layouts); keys are the url-decoded
+    plain-path form on BOTH sides (``input_file_name`` percent-encodes
+    spaces but not ``=`` partition dirs — decoding normalizes).  At 100 TB the
+    manifest job costs one pass over the corpus — run it once at
     release time and publish the result next to the shards."""
     if fmt == "parquet":
         reader = spark.read.parquet
@@ -238,19 +245,30 @@ def landed_manifest(
                              f"schema {df.columns}; pass text_col=None "
                              f"for a count-only manifest")
         aggs.append(F.sum(F.length(F.col(text_col))).alias("n_text_chars"))
-    per_file = (df.groupBy(F.input_file_name().alias("file"))
+    # url_decode: input_file_name percent-encodes SOME chars (space)
+    # but not others (= in partition dirs) — decoding normalizes to the
+    # plain-path form the driver-side listing uses
+    per_file = (df.groupBy(F.url_decode(F.input_file_name())
+                           .alias("file"))
                 .agg(*aggs))
 
     import os
 
     # local-FS byte sizes; on an object store, join the store's own
-    # listing against the manifest's `file` URIs instead
-    abspath = os.path.abspath(path)
-    sizes = [("file://" + os.path.join(abspath, name),
-              os.path.getsize(os.path.join(abspath, name)))
-             for name in sorted(os.listdir(abspath))
-             if not name.startswith((".", "_"))
-             and os.path.isfile(os.path.join(abspath, name))]
-    size_df = spark.createDataFrame(
-        sizes or [("", 0)], "file string, n_bytes long")
-    return per_file.join(F.broadcast(size_df), on="file", how="left")
+    # listing against the manifest's `file` URIs instead.  Recursive
+    # (partitioned layouts); plain `file://` + path form, matching the
+    # url_decode'd scan key above.
+    sizes = []
+    for root, _dirs, names in os.walk(os.path.abspath(path)):
+        for name in sorted(names):
+            if name.startswith((".", "_")):
+                continue
+            p = os.path.join(root, name)
+            sizes.append(("file://" + p, os.path.getsize(p)))
+    size_df = spark.createDataFrame(sizes, "file string, n_bytes long")
+    out = per_file.join(F.broadcast(size_df), on="file", how="full")
+    fills = [F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs")]
+    if text_col is not None:
+        fills.append(F.coalesce(F.col("n_text_chars"), F.lit(0))
+                     .alias("n_text_chars"))
+    return out.select("file", *fills, "n_bytes")

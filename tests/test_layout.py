@@ -221,3 +221,42 @@ def test_landed_manifest_parquet_and_jsonl(spark, tmp_path):
         landed_manifest(spark, pq, text_col="body")
     man3 = landed_manifest(spark, pq, text_col=None).columns
     assert man3 == ["file", "n_docs", "n_bytes"]
+
+
+def test_landed_manifest_surfaces_empty_and_nested_shards(spark, tmp_path):
+    """Review-pinned: a zero-row shard must appear with n_docs=0 (the
+    defect a manifest exists to catch), and a partitioned layout's
+    nested files must get real n_bytes from the recursive listing."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import landed_manifest
+
+    import os
+
+    pq = str(tmp_path / "pq")
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("ttt").alias("text"))
+    df.repartition(2).write.parquet(pq)
+    # plant a zero-row (schema-only) parquet shard
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    empty.coalesce(1).write.parquet(str(tmp_path / "e"))
+    import glob
+    import shutil
+
+    src = glob.glob(str(tmp_path / "e" / "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(pq, "part-zz-empty.parquet"))
+    man = {r.file.rsplit("/", 1)[-1]: r
+           for r in landed_manifest(spark, pq).collect()}
+    assert len(man) == 3
+    er = man["part-zz-empty.parquet"]
+    assert er.n_docs == 0 and er.n_text_chars == 0 and er.n_bytes > 0
+    assert sum(r.n_docs for r in man.values()) == 50
+
+    # nested (partitioned) layout: recursive listing fills n_bytes
+    part = str(tmp_path / "part")
+    df.withColumn("p", (F.col("doc_id") % 2).cast("int")) \
+        .write.partitionBy("p").parquet(part)
+    man2 = landed_manifest(spark, part).collect()
+    assert len(man2) >= 2
+    assert all(r.n_bytes and r.n_bytes > 0 for r in man2)
+    assert sum(r.n_docs for r in man2) == 50

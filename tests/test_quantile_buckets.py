@@ -178,3 +178,50 @@ def test_thresholds_n_buckets_mismatch_fails_loud(spark):
         apply_quantile_thresholds(
             docs, thr.withColumnRenamed("lang", "x"), "score",
             n_buckets=3, group_col="lang")
+
+
+def test_apply_guards_ungrouped_multirow_and_collisions(spark):
+    """Review-pinned: a grouped thresholds frame applied with
+    group_col=None must fail loud (crossJoin would multiply rows), and
+    internal-name collisions are rejected."""
+    from condenser_spark.functions.corpus import (
+        apply_quantile_thresholds,
+        quantile_thresholds,
+    )
+
+    docs = _docs(spark, n=30)
+    thr = quantile_thresholds(docs, "score", n_buckets=3,
+                              group_col="lang")
+    with pytest.raises(ValueError, match="group_col=None"):
+        apply_quantile_thresholds(docs, thr, "score", n_buckets=3)
+    with pytest.raises(ValueError, match="collide"):
+        apply_quantile_thresholds(
+            docs.withColumn("_qb_g", F.lit(1)), thr, "score",
+            n_buckets=3, group_col="lang")
+    # an input column literally named 'thresholds' must not turn the
+    # join ambiguous (internals are renamed away from the public name)
+    out = quantile_buckets(
+        docs.withColumn("thresholds", F.lit("meta")), "score",
+        n_buckets=3, group_col="lang", mode="approx")
+    assert out.count() == 30 and "thresholds" in out.columns
+
+
+def test_all_null_score_group_lands_in_bucket_zero_in_approx(spark):
+    """Review-pinned: a group whose scores are ALL NULL has a present-
+    but-NULL thresholds entry — the whole group lands in bucket 0 (NOT
+    the unseen-group NULL, and NOT raise_error).  Exact mode instead
+    equal-depth-splits it on the id tiebreak — the one documented
+    divergence (no orderable signal exists for approx to split on)."""
+    rows = ([(i, "en", float(i)) for i in range(6)]
+            + [(100 + i, "xx", None) for i in range(3)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                     "score double")
+    exact = {r.doc_id: r.bucket for r in quantile_buckets(
+        df, "score", n_buckets=2, group_col="lang").collect()}
+    approx = {r.doc_id: r.bucket for r in quantile_buckets(
+        df, "score", n_buckets=2, group_col="lang",
+        mode="approx").collect()}
+    assert [approx[100 + i] for i in range(3)] == [0, 0, 0]
+    assert sorted(exact[100 + i] for i in range(3)) == [0, 0, 1]
+    # the mixed "en" group agrees between modes on its NULL-free scores
+    assert all(exact[i] == approx[i] for i in range(6))
