@@ -2328,6 +2328,64 @@ def stage_ingest_chain(spark, n_docs: int = 1_000_000) -> dict:
     }
 
 
+def stage_materialize(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 35: the price of resumability — the same 3-stage curation
+    chain (normalize -> Gopher A1.1 -> PII) at 1M docs run three ways:
+    LAZY (one fused plan), MATERIALIZED (per-stage parquet landings,
+    `materialize_dir=`), and RESTART (re-run over the landed directory
+    — every stage skips).  The materialized overhead is the write+read
+    cost a multi-hour chain pays for restart-from-landed-stage; the
+    restart wall shows what it buys."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.curate import curate_corpus
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 6)
+    text = F.concat(
+        F.lit("the quick brown fox with that have "),
+        F.concat_ws(" ", *[uid(f"m{j}") for j in range(30)]),
+        F.lit(" mail "), uid("em"), F.lit("@ex7.example.org ok"))
+    path = f"{WORK}/mat_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"), text.alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+    kwargs = dict(normalize=True, gopher={"min_words": 10}, pii=True,
+                  report=False)
+
+    t0 = time.time()
+    lazy, _ = curate_corpus(docs, barrier=False, **kwargs)
+    n_lazy = lazy.count()
+    lazy_wall = time.time() - t0
+
+    mdir = f"{WORK}/mat_stages"
+    shutil.rmtree(mdir, ignore_errors=True)
+    t0 = time.time()
+    mat, _ = curate_corpus(docs, materialize_dir=mdir, **kwargs)
+    n_mat = mat.count()
+    mat_wall = time.time() - t0
+    # parity is the invariant; gopher drops a handful of edge docs
+    assert n_mat == n_lazy and n_mat > n_docs * 0.99, (n_mat, n_lazy)
+
+    t0 = time.time()
+    again, _ = curate_corpus(docs, materialize_dir=mdir, **kwargs)
+    n_again = again.count()
+    restart_wall = time.time() - t0
+    assert n_again == n_mat, (n_again, n_mat)
+    assert restart_wall < mat_wall / 3, (restart_wall, mat_wall)
+    return {
+        "stage": "materialize_1m",
+        "n_docs": n_docs,
+        "lazy_wall_sec": round(lazy_wall, 1),
+        "materialized_wall_sec": round(mat_wall, 1),
+        "restart_wall_sec": round(restart_wall, 1),
+        "overhead_x": round(mat_wall / lazy_wall, 2),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2373,6 +2431,7 @@ def main() -> int:
         "pii": lambda: stage_pii(spark),
         "jsonl": lambda: stage_jsonl(spark),
         "ingest_chain": lambda: stage_ingest_chain(spark),
+        "materialize": lambda: stage_materialize(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
