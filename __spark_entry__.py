@@ -86,63 +86,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-14 instance (registry at rotation: 127 oracles + 5 rows-only,
-    # cycle = ceil(127/45) = 3 rounds).  In-cap priority: the 31
-    # r11-recorded carryovers (past-cap two rounds — the longest-waiting,
-    # ext_pack_sequences_sharded … ext_bigram_logprob), the 6 round-13
-    # goldens (never driver-recorded: ext_badwords,
-    # ext_curate_stream_script, ext_warc_roundtrip, ext_fineweb_flags,
-    # ext_fineweb_flags_stream, ext_code_flags) = 37 slots; the remaining
-    # 8 filled from the head of the r12-recorded list
-    # (p1_fk_nullout_projection … ext_exact_dedup).  Deprioritized below =
-    # the remaining 37 r12-recorded goldens (past-cap a second round,
-    # listed FIRST — they rotate in-cap next round) + the 45 goldens
-    # recorded green in CORRECTNESS_r13.json (rotate out).  The cadence
+    # Round-15 instance (registry at rotation: 135 oracles + 5 rows-only,
+    # cycle = ceil(135/45) = 3 rounds).  In-cap priority: the 8 round-14
+    # goldens (never driver-recorded: ext_html_extract, ext_wet_roundtrip,
+    # ext_normalize_text, ext_badwords_join, ext_pii_redact,
+    # ext_jsonl_roundtrip, ext_quantile_buckets, ext_quantile_apply) plus
+    # the 37 r12-recorded carryovers (past-cap two rounds — the
+    # longest-waiting, ext_dedup_documents … ext_diversity_stream) = 45
+    # oracle slots exactly, + the 5 rows-only = 50.  Deprioritized below =
+    # the 45 goldens recorded green in CORRECTNESS_r13.json (past-cap a
+    # second round, listed FIRST — they rotate in-cap next round) + the 45
+    # recorded green in CORRECTNESS_r14.json (rotate out).  The cadence
     # promise ("every oracle driver-recorded at least every `cycle`
     # rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against the
     # committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r12, past-cap r13, carry over a second round
+        # recorded green r13, past-cap r14, carry over a second round
         # (longest-waiting: first in-cap next rotation)
-        "ext_dedup_documents",
-        "ext_ngram_jaccard_pairs",
-        "ext_dup_clusters",
-        "ext_near_dedup_documents",
-        "ext_text_stats",
-        "ext_rolling_fingerprints",
-        "ext_shared_passages",
-        "ext_asof_join",
-        "ext_range_join_bucketed",
-        "ext_sessionize",
-        "ext_session_stats",
-        "ext_windowed_event_counts",
-        "ext_numeric_profile",
-        "ext_minhash_lsh_pairs",
-        "middle_out_breaks_upstream_filters",
-        "s9_write_dest_roundtrip",
-        "s7_teardown_removes_stale",
-        "s13_hook_dest_replace",
-        "ext_zorder_value",
-        "ext_url_curation",
-        "ext_url_dedup",
-        "ext_domain_stats",
-        "ext_curate_url",
-        "ext_prototype_prune",
-        "ext_dedup_lines_stream",
-        "ext_exact_substring_stream",
-        "ext_unimax_weights",
-        "ext_rrf_fuse",
-        "ext_soft_dedup_weights",
-        "ext_zipf_fit",
-        "ext_diversity_stats",
-        "ext_winnow_fingerprints",
-        "ext_corpus_overlap",
-        "ext_url_dedup_keep",
-        "ext_curate_stream",
-        "ext_curate_stream_url",
-        "ext_diversity_stream",
-        # §2 + ext goldens recorded green in CORRECTNESS_r13 (rotate out)
         "p2_where_predicate",
         "p3_deterministic_percent_sample",
         "p4_upstream_filter_injection",
@@ -188,16 +149,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_gopher_repetition",
         "ext_gopher_repetition_stream",
         "ext_script_stats",
-        # new in round 14 (appended per the mid-round rule; rotate
-        # in-cap the following round)
-        "ext_html_extract",
-        "ext_wet_roundtrip",
-        "ext_normalize_text",
-        "ext_badwords_join",
-        "ext_pii_redact",
-        "ext_jsonl_roundtrip",
-        "ext_quantile_buckets",
-        "ext_quantile_apply",
+        # §2 + ext goldens recorded green in CORRECTNESS_r14 (rotate out)
+        "p1_fk_nullout_projection",
+        "j1_upstream_multi_edge_semi_join",
+        "j2_j3_missing_keys_anti_distinct",
+        "s8_referential_orphan_check",
+        "middle_out_percent_subset",
+        "middle_out_where_subset",
+        "middle_out_passthrough_excluded",
+        "ext_exact_dedup",
+        "ext_pack_sequences_sharded",
+        "ext_take_token_budget",
+        "ext_cap_per_group",
+        "ext_pii_scrub",
+        "ext_funnel_counts",
+        "ext_contamination_fraction",
+        "ext_decontaminate_bloom",
+        "ext_encode_tokens",
+        "ext_strip_repeated_blocks",
+        "ext_chunk_documents",
+        "ext_expand_epochs",
+        "ext_winsorize",
+        "ext_curriculum_buckets",
+        "ext_snapshot_diff",
+        "ext_hashed_doc_vectors",
+        "ext_knn_label_vote",
+        "ext_mixture_report",
+        "ext_rp_project",
+        "ext_lm_logprob",
+        "ext_uniform_sample_per_group",
+        "ext_language_scores",
+        "ext_exact_substring",
+        "ext_ccnet_buckets",
+        "ext_exact_substring_keep",
+        "ext_dedup_lines",
+        "ext_curate_linesub",
+        "ext_bm25_topk",
+        "ext_bpe_roundtrip",
+        "ext_collocation_scores",
+        "ext_knn_graph",
+        "ext_bigram_logprob",
+        "ext_badwords",
+        "ext_curate_stream_script",
+        "ext_warc_roundtrip",
+        "ext_fineweb_flags",
+        "ext_fineweb_flags_stream",
+        "ext_code_flags",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
