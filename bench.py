@@ -141,6 +141,45 @@ def emit_lines(timings: dict[str, float], noise: dict[str, float],
     return detail_line, line
 
 
+def write_detail_artifact(detail_line: str, final_line: str,
+                          repo_dir: str, round_no: int | None = None) -> str:
+    """Land the full-precision per-query record as a COMMITTED artifact.
+
+    VERDICT r14 "What's missing #2": the driver captures only the last
+    ~2000 chars of bench stdout, so at 77+ entries the detail line is
+    truncated away and BENCH_r{N}.json carries no per-query values — the
+    stdout channel alone cannot preserve the round's per-query record.
+    This writes ``BENCH_DETAIL_r{N}.json`` (detail + final scalars merged)
+    next to bench.py so cross-round per-query regressions stay
+    machine-checkable from committed artifacts regardless of the stdout
+    window.  ``round_no`` defaults to max(existing BENCH_r*.json) + 1 —
+    the driver records BENCH_r{N}.json only at round close, so during a
+    round the next number is free; ``SPARK_GRAFT_ROUND`` overrides.
+    """
+    import re
+
+    if round_no is None:
+        env = os.environ.get("SPARK_GRAFT_ROUND")
+        if env:
+            round_no = int(env)
+        else:
+            seen = [
+                int(m.group(1))
+                for f in os.listdir(repo_dir)
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            round_no = (max(seen) + 1) if seen else 1
+    merged = json.loads(detail_line)
+    merged.update(json.loads(final_line))
+    path = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    os.replace(tmp, path)
+    return path
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     """Headline operators, each timed to full materialization."""
     from pyspark.sql import functions as F
@@ -827,6 +866,10 @@ def main() -> int:
     load_end = os.getloadavg()
     detail_line, final_line = emit_lines(
         timings, noise, load_start, load_end, idle_wait_s)
+    path = write_detail_artifact(
+        detail_line, final_line,
+        os.path.dirname(os.path.abspath(__file__)))
+    print(f"bench: per-query detail landed at {path}", file=sys.stderr)
     print(detail_line)
     print(final_line)
     spark.stop()

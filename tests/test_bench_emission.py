@@ -82,3 +82,49 @@ def test_map_drop_fallback_fires_past_bound():
 
 def test_wait_for_idle_disabled_is_noop():
     assert bench.wait_for_idle(timeout_s=0) == 0.0
+
+
+def test_detail_artifact_lands_parses_and_covers_every_entry(tmp_path,
+                                                             monkeypatch):
+    # VERDICT r14 "What's missing #2": the per-query record must survive
+    # as a file, not just a (truncatable) stdout line.
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    names = _current_bench_names()
+    timings, noise = _fake_run(names)
+    detail_line, final_line = bench.emit_lines(
+        timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2), idle_wait_s=1.0)
+    # round number derives from the latest driver-recorded BENCH_r*.json
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r14.json").write_text("{}")
+    path = bench.write_detail_artifact(detail_line, final_line,
+                                       str(tmp_path))
+    assert path.endswith("BENCH_DETAIL_r15.json")
+    merged = json.loads(Path(path).read_text())
+    assert merged["queries_full"] == timings          # every entry, full dp
+    assert merged["noise_pct"] == noise
+    assert merged["value"] == round(sum(timings.values()), 3)
+    for field in ("metric", "unit", "loadavg_start", "idle_wait_s", "sf"):
+        assert field in merged, field
+    # no tmp residue from the atomic replace
+    assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_detail_artifact_round_override_and_empty_dir(tmp_path, monkeypatch):
+    timings, noise = _fake_run(["q1"])
+    d, f = bench.emit_lines(timings, noise, (0, 0, 0), (0, 0, 0))
+    assert bench.write_detail_artifact(d, f, str(tmp_path)).endswith(
+        "BENCH_DETAIL_r01.json")
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "23")
+    assert bench.write_detail_artifact(d, f, str(tmp_path)).endswith(
+        "BENCH_DETAIL_r23.json")
+
+
+def test_committed_detail_artifacts_parse():
+    # every BENCH_DETAIL_r*.json committed at the repo root must parse and
+    # carry a non-empty full-precision query map
+    repo = Path(bench.__file__).parent
+    for p in sorted(repo.glob("BENCH_DETAIL_r*.json")):
+        merged = json.loads(p.read_text())
+        assert merged["queries_full"], p.name
+        assert all(isinstance(v, (int, float))
+                   for v in merged["queries_full"].values()), p.name
