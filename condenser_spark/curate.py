@@ -25,6 +25,42 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 
+def _options_fingerprint(opts: dict, schema_str: str) -> str:
+    """Stable hash of a curation run's options + input schema, stored in
+    the ``_chain.json`` marker so a resume with CHANGED stage options
+    (e.g. different gopher thresholds) over the same ``materialize_dir``
+    fails loud instead of silently reusing stale landings (ADVICE r14).
+
+    Plain options (scalars, strings, dicts, lists) hash by VALUE — the
+    common footgun.  Opaque objects (DataFrames, fitted models,
+    callables) hash by type/shape only: a *retrained* model of the same
+    class is indistinguishable, the documented residual of the standard
+    checkpoint-reuse contract.  Same-schema changed input DATA is
+    likewise the caller's responsibility (use a fresh directory per
+    snapshot)."""
+    import hashlib
+
+    def canon(v):
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return repr(v)
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                f"{canon(k)}:{canon(v[k])}" for k in sorted(v, key=str)
+            ) + "}"
+        if isinstance(v, (list, tuple, set, frozenset)):
+            items = sorted(map(canon, v)) if isinstance(
+                v, (set, frozenset)) else [canon(x) for x in v]
+            return "[" + ",".join(items) + "]"
+        if isinstance(v, DataFrame):
+            return f"<DataFrame {sorted(v.columns)}>"
+        if callable(v):
+            return f"<fn {getattr(v, '__qualname__', type(v).__qualname__)}>"
+        return f"<{type(v).__qualname__}>"
+
+    payload = canon(opts) + "|schema:" + schema_str
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -241,11 +277,13 @@ def curate_corpus(
     SKIPPED and its landed output reused — a chain that died at stage 7
     restarts from landed stage 6, and a partial landing (no
     ``_SUCCESS``) is overwritten.  A ``_chain.json`` marker records the
-    stage sequence; re-running a DIFFERENT chain shape over the same
-    directory fails loud instead of silently mixing two configs (the
-    marker guards SHAPE — same stages over changed input or changed
-    stage options is the caller's responsibility, the standard
-    checkpoint-reuse contract).  Supersedes ``barrier`` (the parquet
+    stage sequence AND a fingerprint of the stage options + input
+    schema; re-running a DIFFERENT chain shape or different options
+    over the same directory fails loud instead of silently reusing
+    stale landings.  Residual caller responsibility (documented, the
+    standard checkpoint-reuse contract): changed input DATA under the
+    same schema, or a retrained model object of the same class — use a
+    fresh directory per snapshot.  Supersedes ``barrier`` (the parquet
     landing IS the barrier); driver-local path semantics like
     ``landed_manifest``."""
     dedup_opts = dict(dedup_opts or {})
@@ -279,12 +317,51 @@ def curate_corpus(
         import os as _os
 
         barrier = False  # the parquet landing IS the barrier
+        _fp = _options_fingerprint(
+            {
+                "url_filter": url_filter, "domain_prior": domain_prior,
+                "html": html, "normalize": normalize,
+                "line_dedup": line_dedup, "badwords": badwords,
+                "c4": c4, "diversity": diversity, "script": script,
+                "language_model": language_model, "lang_col": lang_col,
+                "gopher": gopher, "gopher_repetition": gopher_repetition,
+                "fineweb": fineweb, "code": code,
+                "dedup": dedup, "dedup_opts": dedup_opts,
+                "substring_dedup": substring_dedup,
+                "eval_df": eval_df,
+                "decontaminate_opts": decontaminate_opts,
+                "quality_model": quality_model,
+                "quality_threshold": quality_threshold,
+                "dsir_opts": dsir_opts, "temperature": temperature,
+                "pii": pii, "extra_stages": extra_stages,
+                "text_col": text_col, "id_col": id_col,
+            },
+            docs.schema.simpleString(),
+        )
         _os.makedirs(materialize_dir, exist_ok=True)
         _chain_path = _os.path.join(materialize_dir, "_chain.json")
         _chain_seen: list[str] = []
         if _os.path.exists(_chain_path):
             with open(_chain_path) as _f:
-                _chain_seen = _json.load(_f)
+                _marker = _json.load(_f)
+            if isinstance(_marker, list):
+                # pre-r15 marker format (bare stage list): shape is still
+                # guarded, option staleness is not — warn, don't brick
+                # an existing landing
+                _chain_seen = _marker
+                logger.warning(
+                    "materialize_dir %r carries a pre-fingerprint marker; "
+                    "stage-OPTION staleness cannot be checked for this "
+                    "resume (stage shape still is)", materialize_dir)
+            else:
+                _chain_seen = _marker["stages"]
+                if _marker.get("fingerprint") != _fp:
+                    raise ValueError(
+                        f"materialize_dir {materialize_dir!r} was landed "
+                        f"with different stage options or input schema "
+                        f"(fingerprint {_marker.get('fingerprint')!r} != "
+                        f"{_fp!r}) — resuming would silently reuse stale "
+                        f"landings; use a fresh directory")
         _seq = {"i": 0}
 
         def _write_marker() -> None:
@@ -292,12 +369,11 @@ def curate_corpus(
             # that blocks every later resume
             tmp = _chain_path + ".tmp"
             with open(tmp, "w") as f:
-                _json.dump(_chain_seen, f)
+                _json.dump({"fingerprint": _fp, "stages": _chain_seen}, f)
             _os.replace(tmp, _chain_path)
 
     def _record(name: str, nxt: DataFrame) -> DataFrame:
         if materialize_dir is not None:
-            import json as _json
             import os as _os
 
             i = _seq["i"] = _seq["i"] + 1

@@ -247,10 +247,15 @@ def landed_manifest(
         aggs.append(F.sum(F.length(F.col(text_col))).alias("n_text_chars"))
     # url_decode: input_file_name percent-encodes SOME chars (space)
     # but not others (= in partition dirs) — decoding normalizes to the
-    # plain-path form the driver-side listing uses
-    per_file = (df.groupBy(F.url_decode(F.input_file_name())
-                           .alias("file"))
-                .agg(*aggs))
+    # plain-path form the driver-side listing uses.  url_decode is
+    # FORM-decoding ('+' -> space), which would corrupt a literal '+'
+    # in a file name or partition value (e.g. lang=C++) and split the
+    # shard into two manifest rows — pre-encode '+' as %2B so only the
+    # percent-escapes decode
+    per_file = (df.groupBy(
+        F.url_decode(F.regexp_replace(F.input_file_name(),
+                                      r"\+", "%2B")).alias("file"))
+        .agg(*aggs))
 
     import os
 
@@ -266,7 +271,10 @@ def landed_manifest(
             p = os.path.join(root, name)
             sizes.append(("file://" + p, os.path.getsize(p)))
     size_df = spark.createDataFrame(sizes, "file string, n_bytes long")
-    out = per_file.join(F.broadcast(size_df), on="file", how="full")
+    # no broadcast hint: Spark cannot broadcast either side of a FULL
+    # OUTER join (the hint would be silently ignored); at one row per
+    # FILE both sides are tiny and the sort-merge is trivial
+    out = per_file.join(size_df, on="file", how="full")
     fills = [F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs")]
     if text_col is not None:
         fills.append(F.coalesce(F.col("n_text_chars"), F.lit(0))

@@ -25,7 +25,7 @@ reader leaves to convention:
   one giant gzip file is unsplittable on read).
 
 Reference parity: the reference engine reads/writes only JDBC tables
-(/root/reference/db_connectors.py); JSONL exists for the SURVEY §7.4
+(/root/reference/db_connect.py); JSONL exists for the SURVEY §7.4
 LLM-pipeline surface.  Round-trip correctness is pinned by the full
 oracle ``goldens_ext.ext_jsonl_roundtrip`` (documents -> gzip JSONL ->
 read back == the parquet, value-hash-exact including NULL text).
@@ -145,6 +145,7 @@ def write_jsonl(
     *,
     n_files: int | None = None,
     target_mb_per_file: float | None = None,
+    sample_fraction: float | None = None,
     compression: str | None = "gzip",
     mode: str = "error",
 ) -> None:
@@ -165,6 +166,13 @@ def write_jsonl(
     the corpus grows, instead of a hand-tuned constant that silently
     drifts into the unsplittable-multi-GB-gzip regime.
 
+    ``sample_fraction`` (only with ``target_mb_per_file``) prices the
+    sizing pass on a Bernoulli sample instead of the full corpus —
+    ``total ≈ sampled_bytes / fraction`` — the 100 TB regime, where a
+    full serialization pass just to count bytes is real money and a few
+    percent of rows estimate mean row size to well under shard-count
+    granularity.  Deterministic seed, so re-exports pick the same count.
+
     ``mode`` follows Spark's own writer default (``"error"``: refuse an
     existing path) — an export path must never silently wipe a landed
     corpus; pass ``mode="overwrite"`` explicitly when replacement is
@@ -176,14 +184,25 @@ def write_jsonl(
     """
     if n_files is not None and target_mb_per_file is not None:
         raise ValueError("pass n_files OR target_mb_per_file, not both")
+    if sample_fraction is not None and target_mb_per_file is None:
+        raise ValueError("sample_fraction only applies to the "
+                         "target_mb_per_file sizing pass")
     if target_mb_per_file is not None:
         if target_mb_per_file <= 0:
             raise ValueError("target_mb_per_file must be positive")
         from pyspark.sql import functions as F
 
-        total = df.select(
+        sized = df
+        scale = 1.0
+        if sample_fraction is not None:
+            if not 0.0 < sample_fraction <= 1.0:
+                raise ValueError("sample_fraction must be in (0, 1]")
+            if sample_fraction < 1.0:
+                sized = df.sample(fraction=sample_fraction, seed=7)
+                scale = 1.0 / sample_fraction
+        total = (sized.select(
             F.sum(F.octet_length(F.to_json(F.struct(*df.columns))) + 1)
-        ).first()[0] or 0
+        ).first()[0] or 0) * scale
         n_files = max(1, -(-int(total) // int(target_mb_per_file * 2**20)))
     if n_files is not None:
         df = df.repartition(n_files)

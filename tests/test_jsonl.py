@@ -119,6 +119,36 @@ def test_target_mb_per_file_sizing(spark, tmp_path):
         write_jsonl(df, str(tmp_path / "x"), target_mb_per_file=0)
 
 
+def test_target_mb_sample_fraction_estimates_shard_count(spark, tmp_path):
+    # ADVICE r14: at corpus scale the sizing pass should price on a
+    # sample.  Uniform ~1 KB rows: the estimate must land within one
+    # shard of the exact count, and the seed keeps it deterministic.
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 1000), F.col("id").cast("string"))
+        .alias("text"))
+    write_jsonl(df, str(tmp_path / "exact"), target_mb_per_file=0.05,
+                compression=None)
+    exact = len(glob.glob(str(tmp_path / "exact" / "part-*.json")))
+    write_jsonl(df, str(tmp_path / "est"), target_mb_per_file=0.05,
+                sample_fraction=0.25, compression=None)
+    est = len(glob.glob(str(tmp_path / "est" / "part-*.json")))
+    assert abs(est - exact) <= 1, (est, exact)
+    write_jsonl(df, str(tmp_path / "est2"), target_mb_per_file=0.05,
+                sample_fraction=0.25, compression=None)
+    assert len(glob.glob(str(tmp_path / "est2" / "part-*.json"))) == est
+    # fraction 1.0 is the exact pass
+    write_jsonl(df, str(tmp_path / "full"), target_mb_per_file=0.05,
+                sample_fraction=1.0, compression=None)
+    assert len(glob.glob(str(tmp_path / "full" / "part-*.json"))) == exact
+    with pytest.raises(ValueError, match="only applies"):
+        write_jsonl(df, str(tmp_path / "x"), n_files=2,
+                    sample_fraction=0.5)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        write_jsonl(df, str(tmp_path / "x"), target_mb_per_file=1.0,
+                    sample_fraction=0.0)
+
+
 def test_read_jsonl_stream_through_curate_stream(spark, tmp_path):
     """The continuous-ingest Dolma story: JSONL shards land in a
     directory, read_jsonl_stream feeds the stateless curation chain

@@ -260,3 +260,24 @@ def test_landed_manifest_surfaces_empty_and_nested_shards(spark, tmp_path):
     assert len(man2) >= 2
     assert all(r.n_bytes and r.n_bytes > 0 for r in man2)
     assert sum(r.n_docs for r in man2) == 50
+
+
+def test_landed_manifest_plus_in_partition_value(spark, tmp_path):
+    """ADVICE r14: url_decode is FORM-decoding — a literal '+' in a
+    partition value (lang=C++) must not split one shard into two
+    manifest rows (one NULL-bytes, one zero-docs)."""
+    from condenser_spark.functions.layout import landed_manifest
+
+    part = str(tmp_path / "plus")
+    df = spark.createDataFrame(
+        [(1, "int main()", "C++"), (2, "print(1)", "py"),
+         (3, "cout<<1;", "C++")],
+        "doc_id long, text string, lang string")
+    df.repartition(1).write.partitionBy("lang").parquet(part)
+    man = landed_manifest(spark, part).collect()
+    by_file = {r.file: r for r in man}
+    # every row joined both sides: no NULL byte sizes, no zero-doc rows
+    assert all(r.n_bytes is not None for r in man), man
+    assert all(r.n_docs > 0 for r in man), man
+    cpp = [r for r in by_file.values() if "lang=C++" in r.file]
+    assert len(cpp) == 1 and cpp[0].n_docs == 2, man

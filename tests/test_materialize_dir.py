@@ -63,14 +63,50 @@ def test_restart_reuses_landed_stages(spark, tmp_path):
     assert sorted((r.doc_id, r.text) for r in third.collect()) == want
 
 
-def test_chain_shape_guard(spark, tmp_path):
+def test_option_fingerprint_guard(spark, tmp_path):
+    """ADVICE r14: changed stage OPTIONS over the same materialize_dir
+    must fail loud instead of silently reusing stale landings."""
     d = str(tmp_path / "mat")
     curate_corpus(_docs(spark), normalize=True, pii=True,
                   materialize_dir=d, report=False)
+    # same stage SHAPE, different options (pii kinds) -> fingerprint fires
+    with pytest.raises(ValueError, match="different stage options"):
+        curate_corpus(_docs(spark), normalize=True,
+                      pii={"kinds": ("email",)},
+                      materialize_dir=d, report=False)
+    # different shape is ALSO an option change -> fingerprint fires first
+    with pytest.raises(ValueError, match="different stage options"):
+        curate_corpus(_docs(spark), normalize=True,
+                      materialize_dir=d, report=False)
+    # identical re-run still resumes cleanly
+    out, _ = curate_corpus(_docs(spark), normalize=True, pii=True,
+                           materialize_dir=d, report=False)
+    assert out.count() > 0
+
+
+def test_chain_shape_guard_on_legacy_marker(spark, tmp_path):
+    """Pre-r15 bare-list markers carry no fingerprint: resume stays legal
+    (with a warning), and the stage-name SHAPE guard still fires."""
+    import json
+
+    d = str(tmp_path / "mat")
+    curate_corpus(_docs(spark), normalize=True, pii=True,
+                  materialize_dir=d, report=False)
+    with open(os.path.join(d, "_chain.json")) as f:
+        stages = json.load(f)["stages"]
+    with open(os.path.join(d, "_chain.json"), "w") as f:
+        json.dump(stages, f)  # rewrite as the legacy format
+    out, _ = curate_corpus(_docs(spark), normalize=True, pii=True,
+                           materialize_dir=d, report=False)
+    assert out.count() > 0  # legacy marker resumes
+    with open(os.path.join(d, "_chain.json"), "w") as f:
+        json.dump(stages, f)
     with pytest.raises(ValueError, match="different chain shape"):
         curate_corpus(_docs(spark), normalize=True,
                       gopher={"min_words": 3, "min_stop_hits": 1},
                       materialize_dir=d, report=False)
+    with open(os.path.join(d, "_chain.json"), "w") as f:
+        json.dump(stages, f)
     with pytest.raises(ValueError, match="LONGER"):
         curate_corpus(_docs(spark), normalize=True,
                       materialize_dir=d, report=False)
@@ -84,16 +120,22 @@ def test_marker_backfill_after_lost_json_write(spark, tmp_path):
     d = str(tmp_path / "mat")
     curate_corpus(_docs(spark), normalize=True, pii=True,
                   materialize_dir=d, report=False)
-    # simulate the lost write: truncate the marker to zero entries
+    # simulate the lost write: truncate the marker to zero stages while
+    # keeping the recorded fingerprint
+    with open(os.path.join(d, "_chain.json")) as f:
+        marker = json.load(f)
     with open(os.path.join(d, "_chain.json"), "w") as f:
-        json.dump([], f)
+        json.dump({"fingerprint": marker["fingerprint"], "stages": []}, f)
     out, _ = curate_corpus(_docs(spark), normalize=True, pii=True,
                            materialize_dir=d, report=False)
     assert out.count() > 0
     with open(os.path.join(d, "_chain.json")) as f:
-        assert json.load(f) == ["normalize_text", "pii_redact"]
-    # and the realigned guard still fires on a genuine shape change
-    with pytest.raises(ValueError, match="different chain shape"):
+        backfilled = json.load(f)
+    assert backfilled["stages"] == ["normalize_text", "pii_redact"]
+    assert backfilled["fingerprint"] == marker["fingerprint"]
+    # and the realigned guard still fires on a genuine chain change
+    # (the option fingerprint now catches it before the shape walk)
+    with pytest.raises(ValueError, match="different stage options"):
         curate_corpus(_docs(spark), normalize=True,
                       gopher={"min_words": 3, "min_stop_hits": 1},
                       materialize_dir=d, report=False)
