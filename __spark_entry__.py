@@ -72,12 +72,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # net is unchanged either way: every past-cap golden re-runs the full
     # DuckDB comparison on EVERY pytest invocation (invariant 2).  Two
     # invariants:
-    #   1. the 5 rows-only goldens (ext_approx_profile,
+    #   1. the 6 rows-only goldens (ext_approx_profile,
     #      p3_bernoulli_sample_rows, ext_multimodal_features,
-    #      ext_multimodal_frames, ext_corpus_overlap_sketch — no
-    #      SQL-expressible oracle by nature) stay IN-cap every round: past
-    #      the cap they would have no check at all, since the overflow
-    #      suite needs an oracle;
+    #      ext_multimodal_frames, ext_corpus_overlap_sketch,
+    #      ext_media_phash_pairs — no SQL-expressible oracle by
+    #      nature) stay IN-cap every round: past the cap they would
+    #      have no check at all, since the overflow suite needs an
+    #      oracle;
     #   2. every past-cap entry carries a full oracle, so
     #      tests/test_overflow_oracles.py (which checks
     #      list(queries())[50:] dynamically) re-runs the IDENTICAL DuckDB
@@ -86,24 +87,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-15 instance (registry at rotation: 135 oracles + 5 rows-only,
-    # cycle = ceil(135/45) = 3 rounds).  In-cap priority: the 8 round-14
-    # goldens (never driver-recorded: ext_html_extract, ext_wet_roundtrip,
-    # ext_normalize_text, ext_badwords_join, ext_pii_redact,
-    # ext_jsonl_roundtrip, ext_quantile_buckets, ext_quantile_apply) plus
-    # the 37 r12-recorded carryovers (past-cap two rounds — the
-    # longest-waiting, ext_dedup_documents … ext_diversity_stream) = 45
-    # oracle slots exactly, + the 5 rows-only = 50.  Deprioritized below =
-    # the 45 goldens recorded green in CORRECTNESS_r13.json (past-cap a
-    # second round, listed FIRST — they rotate in-cap next round) + the 45
-    # recorded green in CORRECTNESS_r14.json (rotate out).  The cadence
-    # promise ("every oracle driver-recorded at least every `cycle`
-    # rounds") is asserted by
-    # tests/test_rotation_invariants.py::test_rotation_cadence against the
-    # committed CORRECTNESS_r*.json files, not just by this prose.
+    # Round-15 instance (registry at rotation: 135 oracles + 5 rows-only;
+    # the mid-round ext_media_phash_pairs golden makes 6 rows-only, so
+    # 44 oracle slots and cycle = ceil(135/44) = 4 rounds).  In-cap
+    # priority: the 8 round-14 goldens (never driver-recorded:
+    # ext_html_extract, ext_wet_roundtrip, ext_normalize_text,
+    # ext_badwords_join, ext_pii_redact, ext_jsonl_roundtrip,
+    # ext_quantile_buckets, ext_quantile_apply) plus 36 of the 37
+    # r12-recorded carryovers (past-cap two rounds — the longest-waiting,
+    # ext_dedup_documents … ext_curate_stream_url) = 44 oracle slots, +
+    # the 6 rows-only = 50.  Deprioritized below = the last r12
+    # carryover (ext_diversity_stream — displaced by the new rows-only
+    # slot, FIRST in line next round) + the 45 goldens recorded green in
+    # CORRECTNESS_r13.json + the 45 recorded green in
+    # CORRECTNESS_r14.json (rotate out).  The cadence promise ("every
+    # oracle driver-recorded at least every `cycle` rounds") is asserted
+    # by tests/test_rotation_invariants.py::test_rotation_cadence against
+    # the committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
+        # recorded green r12: displaced by the ext_media_phash_pairs
+        # rows-only in-cap slot; longest-waiting, first in-cap next round
+        "ext_diversity_stream",
         # recorded green r13, past-cap r14, carry over a second round
-        # (longest-waiting: first in-cap next rotation)
         "p2_where_predicate",
         "p3_deterministic_percent_sample",
         "p4_upstream_filter_injection",

@@ -654,40 +654,58 @@ def simhash_signatures(
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def hamming_band_pairs(
+    sigs: DataFrame,
+    *,
+    max_hamming: int,
+    sig_col: str = "simhash",
+    id_col: str = "id",
+    n_bands: int = 4,
     max_bucket_size: int | None = 10_000,
-    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming, bucketed on
-    16-bit bands (4 bands: any pair within Hamming 3 shares at least one exact
-    band — pigeonhole), then exact popcount verification.  ``max_bucket_size``
-    drops degenerate buckets before the self-join (see _cap_band_buckets).
-    ``hash_mode="md5"`` switches to the engine-portable token hash (see
-    simhash_signatures) — the oracle-gate path."""
-    sigs = simhash_signatures(df, text_col, id_col, hash_mode=hash_mode)
+    """Generic Hamming-banded candidate join over 64-bit signatures:
+    ``(id_a, id_b, hamming)`` for every pair within ``max_hamming`` —
+    the shared machinery behind SimHash text near-dup and pHash/dHash
+    image near-dup (multimodal.py).
+
+    Pigeonhole: splitting 64 bits into ``n_bands`` contiguous slices
+    guarantees any pair within Hamming ``n_bands - 1`` agrees exactly on
+    at least one slice, so an equi-join on (band, bucket) finds every
+    qualifying candidate and ``bit_count(xor)`` verifies exactly —
+    never an all-pairs scan.  ``n_bands`` must exceed ``max_hamming``
+    (asserted fail-loud: a too-coarse banding silently LOSES pairs).
+    Band boundaries are ``i*64//n_bands`` so any band count up to 64
+    works (pHash thresholds run ~8-10 bits, vs SimHash's 3).
+    ``max_bucket_size`` drops degenerate buckets before the self-join
+    (see _cap_band_buckets)."""
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at "
+            f"max_hamming={max_hamming}: pigeonhole needs "
+            f"n_bands >= max_hamming + 1")
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64]: {n_bands}")
+    bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
     banded = sigs.select(
-        "id",
-        "simhash",
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(sig_col, bounds[i])
+                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i]))
+                                          - 1))
                         .alias("bucket"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
-    ).select("id", "simhash", "bb.band", "bb.bucket")
+    ).select("id", "sig", "bb.band", "bb.bucket")
     # same barrier as minhash_lsh_pairs: the self-join would otherwise run
-    # the token-hash bit-vote aggregate on both sides
+    # the signature computation on both sides
     banded = _cap_band_buckets(banded, max_bucket_size).localCheckpoint(
         eager=False)
     a, b = banded.alias("a"), banded.alias("b")
@@ -702,12 +720,34 @@ def simhash_near_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
             ).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, bucketed on
+    16-bit bands (4 bands: any pair within Hamming 3 shares at least one exact
+    band — pigeonhole), then exact popcount verification.  Thresholds past 3
+    widen the banding to ``max_hamming + 1`` slices so recall stays
+    GUARANTEED (pre-r15 they ran best-effort on the 4 fixed bands).
+    ``max_bucket_size`` drops degenerate buckets before the self-join (see
+    _cap_band_buckets).  ``hash_mode="md5"`` switches to the engine-portable
+    token hash (see simhash_signatures) — the oracle-gate path."""
+    sigs = simhash_signatures(df, text_col, id_col, hash_mode=hash_mode)
+    return hamming_band_pairs(
+        sigs, max_hamming=max_hamming, sig_col="simhash", id_col="id",
+        n_bands=max(4, max_hamming + 1), max_bucket_size=max_bucket_size)
 
 
 # --------------------------------------------------------- decontamination

@@ -205,25 +205,231 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
     return df.mapInPandas(gen, schema=FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("hash", LongType()),
+    ]
+)
+
+
+def _decode_gray(payload: bytes, kind: str, width, height,
+                 grid_w: int, grid_h: int, fake: bool | None):
+    """Decode a payload to a ``grid_h x grid_w`` float grayscale array.
+
+    Real path (probe-gated, Pillow): decode -> convert("L") ->
+    ``resize((grid_w, grid_h))``.  Fake path (the CI path — no codec in
+    this container): the payload IS a raw 8-bit row-major grayscale
+    image at the row's (width, height) metadata — tiled/truncated to
+    ``width*height`` so any byte blob decodes — then area-averaged down
+    to the grid.  That makes the fake decoder a real raw-grayscale
+    codec rather than an arbitrary stand-in: brightness shifts and
+    resizes of the RAW image perturb the hash exactly the way they
+    would through Pillow, which is what lets the near-dup tests plant
+    perceptually-close images without any codec installed."""
+    import numpy as np
+
+    if fake is False or (fake is None and decoder_available(kind)):
+        if not decoder_available(kind):
+            raise DecoderUnavailable(
+                f"no codec available for kind={kind!r}; install Pillow "
+                "or run with fake=True")
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize(
+            (grid_w, grid_h))
+        return np.asarray(img, dtype=np.float64)
+
+    # NULL metadata reaches the Arrow batch as NaN (pandas nullable-int
+    # fallback), which is truthy — compare through a NaN-safe coercion
+    w = int(width) if width == width and width else 0
+    h = int(height) if height == height and height else 0
+    if w <= 0 or h <= 0:
+        # no metadata: treat the payload as a square raw image
+        w = h = max(1, int(len(payload or b"") ** 0.5))
+    raw = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+    need = w * h
+    if raw.size < need:
+        raw = np.tile(raw, -(-need // max(1, raw.size)))
+    img = raw[:need].astype(np.float64).reshape(h, w)
+
+    def pool(a: "np.ndarray", n_out: int, axis: int) -> "np.ndarray":
+        n = a.shape[axis]
+        if n >= n_out:
+            # area-average: each output bin is the mean of its source rows
+            bins = np.arange(n) * n_out // n
+            starts = np.searchsorted(bins, np.arange(n_out))
+            sums = np.add.reduceat(a, starts, axis=axis)
+            counts = np.bincount(bins, minlength=n_out)
+            shape = [1, 1]
+            shape[axis] = n_out
+            return sums / counts.reshape(shape)
+        idx = ((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64)
+        return np.take(a, np.clip(idx, 0, n - 1), axis=axis)
+
+    return pool(pool(img, grid_h, 0), grid_w, 1)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), built once per
+    executor from first principles — no scipy in this container."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    c = np.cos(np.pi * k * (2 * x + 1) / (2 * n))
+    c[0] *= 1.0 / np.sqrt(2.0)
+    return c * np.sqrt(2.0 / n)
+
+
+def _pack_bits_batch(bits):
+    """(B, 64) row-major booleans -> (B,) signed int64 (bit 0 = MSB),
+    Spark LongType — one vectorized dot against descending bit weights."""
+    import numpy as np
+
+    weights = np.left_shift(np.uint64(1), np.arange(63, -1, -1,
+                                                    dtype=np.uint64))
+    packed = (bits.reshape(bits.shape[0], 64).astype(np.uint64)
+              @ weights)
+    return packed.astype(np.uint64).view(np.int64)
+
+
+def _phash_batch(imgs):
+    """(B, 32, 32) grayscale -> (B,) 64-bit DCT perceptual hashes (the
+    LAION/imagehash pHash convention): 2D orthonormal DCT-II -> top-left
+    8x8 low-frequency block -> bit = coefficient > median(block).  One
+    batched einsum per Arrow batch — the DCT never runs row-at-a-time."""
+    import numpy as np
+
+    c8 = _dct_matrix(32)[:8]  # only 8 output frequencies are kept
+    low = np.einsum("ij,bjk,lk->bil", c8, imgs, c8, optimize=True)
+    med = np.median(low.reshape(low.shape[0], 64), axis=1)
+    return _pack_bits_batch(low > med[:, None, None])
+
+
+def _dhash_batch(imgs):
+    """(B, 8, 9) grayscale -> (B,) 64-bit gradient hashes (dHash): bit =
+    px[r,c+1] > px[r,c] — row-wise brightness gradients, invariant to
+    global brightness/contrast shifts by construction."""
+    return _pack_bits_batch(imgs[:, :, 1:] > imgs[:, :, :-1])
+
+
+def _phash_one(payload: bytes, kind: str, width, height,
+               fake: bool | None) -> int:
+    """Single-payload pHash (the batch kernel on a stack of one)."""
+    import numpy as np
+
+    img = _decode_gray(payload, kind, width, height, 32, 32, fake)
+    return int(_phash_batch(np.asarray([img]))[0])
+
+
+def _dhash_one(payload: bytes, kind: str, width, height,
+               fake: bool | None) -> int:
+    """Single-payload dHash (the batch kernel on a stack of one)."""
+    import numpy as np
+
+    img = _decode_gray(payload, kind, width, height, 9, 8, fake)
+    return int(_dhash_batch(np.asarray([img]))[0])
+
+
+def perceptual_hash(
+    df: DataFrame,
+    method: str = "phash",
+    fake: bool | None = True,
+) -> DataFrame:
+    """MEDIA_SCHEMA frame -> ``(media_id, kind, hash)`` 64-bit perceptual
+    hashes — the published image-dedup primitive (pHash/dHash is what the
+    LAION dedup lineage and Dolma's image work key on, where text dedup
+    keys on SimHash/MinHash).
+
+    ``method``: ``"phash"`` (32x32 DCT low-frequency signs — robust to
+    resize/recompress) or ``"dhash"`` (9x8 horizontal gradients — robust
+    to brightness/contrast).  Same tri-state ``fake`` as
+    :func:`extract_features`; the fake path documents payloads as raw
+    row-major grayscale at the row's (width, height) metadata.
+
+    Scale shape: one Arrow ``mapInPandas`` kernel, zero shuffle — the
+    hash rides the scan; payload bytes never leave their executor.  Pair
+    finding is :func:`media_dup_pairs` ``method="phash"|"dhash"``, a
+    Hamming-band equi-join (dedup.hamming_band_pairs), never all-pairs."""
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"method must be 'phash'|'dhash': {method!r}")
+    grid_w, grid_h = (32, 32) if method == "phash" else (9, 8)
+    batch_fn = _phash_batch if method == "phash" else _dhash_batch
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"media_id": pdf["media_id"], "kind": pdf["kind"],
+                     "hash": pd.Series([], dtype="int64")})
+                continue
+            # decode is per-row (payload sizes differ); the hash math
+            # (DCT/gradients/bit-pack) runs BATCHED over the stack
+            imgs = np.stack([
+                _decode_gray(p, k, w, h, grid_w, grid_h, fake)
+                for p, k, w, h in zip(pdf["payload"], pdf["kind"],
+                                      pdf["width"], pdf["height"])
+            ])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "hash": batch_fn(imgs),
+                }
+            )
+
+    return df.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
 def media_dup_pairs(
     df: DataFrame,
     dim: int = 16,
     threshold: float = 0.98,
     fake: bool | None = True,
+    method: str = "feature",
+    max_hamming: int = 8,
 ) -> DataFrame:
     """Near-duplicate media pairs — the image/audio dedup step of a
-    multimodal pipeline: decode (or deterministically fake) a feature vector
-    per payload, then find feature-cosine near-dups with the SRP-bucketed
-    embedding path (functions/similarity.py:embedding_cosine_dup_pairs — no
-    quadratic scan; LSH candidates, exact verification).
+    multimodal pipeline.
 
-    Returns (id_a, id_b, cosine_sim) over ``media_id``s.  Byte-identical
-    payloads always pair (the fake feature is a pure function of the
-    payload, and a real decoder is deterministic per input), so exact-dup
-    detection is a special case; perceptually-close inputs pair when the
-    decoder produces close features.  Same 100 TB shape as text dedup:
-    Arrow-batched feature extraction is the only Python stage, bucketing
-    bounds the candidate set, payloads never shuffle (only features do)."""
+    ``method="feature"`` (default, any media kind): decode (or
+    deterministically fake) a feature vector per payload, then find
+    feature-cosine near-dups with the SRP-bucketed embedding path
+    (functions/similarity.py:embedding_cosine_dup_pairs — no quadratic
+    scan; LSH candidates, exact verification).  Returns
+    (id_a, id_b, cosine_sim).
+
+    ``method="phash"|"dhash"`` (the published IMAGE near-dup primitive —
+    LAION-dedup lineage): 64-bit perceptual hash per payload
+    (:func:`perceptual_hash`), candidates from a Hamming-band equi-join
+    with ``max_hamming + 1`` bands (pigeonhole-complete recall), exact
+    ``bit_count(xor)`` verification — the same machinery as text
+    SimHash (dedup.hamming_band_pairs).  Returns (id_a, id_b, hamming);
+    ``threshold``/``dim`` are ignored.
+
+    Byte-identical payloads always pair (distance 0 / cosine 1: both
+    hash and fake feature are pure functions of the payload, and a real
+    decoder is deterministic per input), so exact-dup detection is a
+    special case.  Same 100 TB shape as text dedup: Arrow-batched
+    decode is the only Python stage, bucketing bounds the candidate
+    set, payloads never shuffle (only 8-byte hashes / short features
+    do)."""
+    if method in ("phash", "dhash"):
+        from condenser_spark.functions.dedup import hamming_band_pairs
+
+        sigs = perceptual_hash(df, method=method, fake=fake)
+        return hamming_band_pairs(
+            sigs, max_hamming=max_hamming, sig_col="hash",
+            id_col="media_id", n_bands=max_hamming + 1)
+    if method != "feature":
+        raise ValueError(
+            f"method must be 'feature'|'phash'|'dhash': {method!r}")
     from condenser_spark.functions.similarity import (
         embedding_cosine_dup_pairs,
     )

@@ -973,6 +973,32 @@ def ext_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_media(docs), every_ms=1000)
 
 
+@golden("ext_media_phash_pairs", None)
+def ext_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup pairs (VERDICT r14 punch #3): 64-bit
+    DCT pHash per payload (fake raw-grayscale decode — engine-local, hence
+    rows-only), Hamming-band candidate join + exact popcount verify — the
+    LAION-lineage image-dedup primitive, banded exactly like text SimHash
+    (condenser_spark/functions/multimodal.py:perceptual_hash/media_dup_pairs,
+    dedup.py:hamming_band_pairs).  The documents table has no duplicate
+    texts, so the golden plants them: every doc_id % 10 == 0 payload is
+    cloned under media_id + 1_000_000 — each clone MUST pair with its
+    original at distance 0 (the hash is a pure function of the payload),
+    making the recorded row count a real recall floor, not an empty
+    result.  Determinism/perturbation behavior is pinned by
+    tests/test_multimodal_phash.py."""
+    from condenser_spark.functions.multimodal import (
+        media_dup_pairs,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_tables(spark, sf_dir)["documents"])
+    clones = media.filter(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000))
+    return media_dup_pairs(media.unionByName(clones), method="phash",
+                           max_hamming=8)
+
+
 # ----------------------------------------------------- corpus pipeline operators
 
 _QUALITY_SQL = """

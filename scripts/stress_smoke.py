@@ -2386,6 +2386,64 @@ def stage_materialize(spark, n_docs: int = 1_000_000) -> dict:
     }
 
 
+def stage_phash(spark, n_media: int = 1_000_000) -> dict:
+    """Stage 36: image perceptual-hash near-dup at 1M media rows — the
+    round-15 pHash path (decode -> 32x32 DCT -> 64-bit hash in ONE Arrow
+    kernel, then the Hamming-band equi-join).  Payloads are 512-byte
+    deterministic pseudo-images (16 md5 hex chunks, raw-grayscale fake
+    decode at 16x32); every id % 100 == 0 payload is cloned under
+    id + 10_000_000, so exactly n/100 distance-0 pairs MUST come back —
+    a recall assertion at scale, not just a throughput number.  Random
+    payloads sit ~32 bits apart, so false positives at <=8 are
+    structurally absent; the band buckets stay uniform (64-bit hashes)
+    and the join is equi-join all the way — no cartesian anywhere."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.multimodal import (
+        media_dup_pairs,
+        perceptual_hash,
+    )
+
+    payload = F.encode(F.concat(*[
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"s{j}")))
+        for j in range(16)
+    ]), "utf-8")
+    path = f"{WORK}/phash_media"
+    (spark.range(n_media)
+     .select(F.col("id").alias("media_id"), F.lit("image").alias("kind"),
+             payload.alias("payload"), F.lit("raw").alias("codec"),
+             F.lit(16).cast("int").alias("width"),
+             F.lit(32).cast("int").alias("height"),
+             F.lit(0).cast("int").alias("duration_ms"))
+     .write.mode("overwrite").parquet(path))
+    media = spark.read.parquet(path)
+    clones = media.filter(F.col("media_id") % 100 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000))
+    both = media.unionByName(clones)
+
+    t0 = time.time()
+    n_hashed = perceptual_hash(both, method="phash").count()
+    hash_wall = time.time() - t0
+    n_planted = n_media // 100
+    assert n_hashed == n_media + n_planted, n_hashed
+
+    t0 = time.time()
+    pairs = media_dup_pairs(both, method="phash", max_hamming=8)
+    planted_found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 10_000_000)
+        & (F.col("hamming") == 0)).count()
+    pairs_wall = time.time() - t0
+    assert planted_found == n_planted, (planted_found, n_planted)
+    return {
+        "stage": "phash_1m",
+        "n_media": n_media,
+        "hash_wall_sec": round(hash_wall, 1),
+        "hash_docs_per_sec": round((n_media + n_planted) / hash_wall),
+        "pairs_wall_sec": round(pairs_wall, 1),
+        "planted_pairs_found": planted_found,
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2432,6 +2490,7 @@ def main() -> int:
         "jsonl": lambda: stage_jsonl(spark),
         "ingest_chain": lambda: stage_ingest_chain(spark),
         "materialize": lambda: stage_materialize(spark),
+        "phash": lambda: stage_phash(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -1,0 +1,160 @@
+"""Image perceptual hashing (pHash/dHash) + Hamming-band near-dup pairs
+(VERDICT r14 punch #3) — the published image-dedup primitive (LAION dedup
+lineage; Hamming-banded exactly like text SimHash).
+
+No codec ships in this container, so the tests exercise the documented
+fake-decode contract: payload = raw row-major 8-bit grayscale at the
+row's (width, height) metadata.  Brightness/resize perturbations of the
+RAW image therefore perturb the hash the same way they would through
+Pillow."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.dedup import hamming_band_pairs
+from condenser_spark.functions.multimodal import (
+    media_dup_pairs,
+    perceptual_hash,
+)
+
+
+def _raw_image(w: int, h: int, kind: str = "gradient",
+               seed: int = 0) -> np.ndarray:
+    if kind == "gradient":
+        return np.fromfunction(
+            lambda r, c: (r * 3 + c * 2) % 200, (h, w)).astype(np.uint8)
+    if kind == "checker":
+        return ((np.indices((h, w)).sum(axis=0) // 8 % 2) * 180 + 20
+                ).astype(np.uint8)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 200, (h, w), dtype=np.uint8)
+
+
+def _media_df(spark, rows):
+    """rows: [(media_id, np_image)] -> MEDIA_SCHEMA-shaped frame."""
+    data = [
+        (int(mid), "image", img.tobytes(), "raw",
+         int(img.shape[1]), int(img.shape[0]), 0)
+        for mid, img in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+@pytest.mark.parametrize("method", ["phash", "dhash"])
+def test_exact_clone_is_distance_zero(spark, method):
+    base = _raw_image(64, 64)
+    df = _media_df(spark, [(1, base), (2, base),
+                           (3, _raw_image(64, 64, "noise", seed=7))])
+    pairs = media_dup_pairs(df, method=method, max_hamming=8).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_brightness_shift_pairs_within_threshold(spark):
+    base = _raw_image(64, 64, "checker")
+    bright = (base + 20).astype(np.uint8)  # base <= 200: no clipping
+    df = _media_df(spark, [(1, base), (2, bright),
+                           (3, _raw_image(64, 64, "noise", seed=3))])
+    # dHash is brightness-invariant BY CONSTRUCTION (gradient signs)
+    d = media_dup_pairs(df, method="dhash", max_hamming=2).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in d] == [(1, 2, 0)]
+    # pHash: a global shift moves only the DC coefficient, which can
+    # flip bits sitting at the block median — still well inside the
+    # conventional <=8-bit near-dup threshold, far from unrelated (~32)
+    p = media_dup_pairs(df, method="phash", max_hamming=8).collect()
+    assert [(r.id_a, r.id_b) for r in p] == [(1, 2)]
+
+
+def test_resize_pairs_within_threshold(spark):
+    base = _raw_image(64, 64, "checker")
+    small = base[::2, ::2].copy()  # nearest-neighbor 32x32 resize
+    df = _media_df(spark, [(1, base), (2, small),
+                           (3, _raw_image(48, 48, "noise", seed=11))])
+    p = media_dup_pairs(df, method="phash", max_hamming=8).collect()
+    assert [(r.id_a, r.id_b) for r in p] == [(1, 2)]
+    assert p[0].hamming <= 8
+
+
+def test_unrelated_images_do_not_pair(spark):
+    df = _media_df(spark, [
+        (i, _raw_image(64, 64, "noise", seed=i)) for i in range(6)
+    ])
+    for method in ("phash", "dhash"):
+        assert media_dup_pairs(df, method=method, max_hamming=8).count() == 0
+
+
+def test_perceptual_hash_schema_and_signed_longs(spark):
+    # hashes with the MSB set must round-trip as negative LongType values
+    rows = [(i, _raw_image(32, 32, "noise", seed=100 + i))
+            for i in range(8)]
+    out = perceptual_hash(_media_df(spark, rows), method="phash")
+    assert out.columns == ["media_id", "kind", "hash"]
+    got = {r.media_id: r.hash for r in out.collect()}
+    assert len(got) == 8 and all(isinstance(v, int) for v in got.values())
+    # python-side kernel agreement (the Arrow batch path == the kernel)
+    from condenser_spark.functions.multimodal import _phash_one
+
+    for mid, img in rows:
+        assert got[mid] == _phash_one(
+            img.tobytes(), "image", img.shape[1], img.shape[0], True)
+    with pytest.raises(ValueError, match="phash.*dhash"):
+        perceptual_hash(_media_df(spark, rows[:1]), method="ahash")
+    with pytest.raises(ValueError, match="feature.*phash"):
+        media_dup_pairs(_media_df(spark, rows[:1]), method="nope")
+
+
+def test_empty_and_missing_metadata_payloads_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "image", b"", "raw", None, None, 0),
+         (2, "image", bytes(range(100)), "raw", None, None, 0)],
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+    out = {r.media_id: r.hash
+           for r in perceptual_hash(df, method="dhash").collect()}
+    assert set(out) == {1, 2}  # degenerate inputs hash, never crash
+
+
+def test_hamming_band_pairs_recall_at_exact_threshold(spark):
+    # plant a pair at EXACTLY max_hamming: pigeonhole must still find it
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2**63))
+    flipped = base
+    for bit in (0, 9, 23, 37, 44, 51, 58, 63):  # 8 flips, spread out
+        flipped ^= 1 << bit
+    if flipped >= 1 << 63:  # wrap to signed int64 (bit 63 is the sign)
+        flipped -= 1 << 64
+    sigs = spark.createDataFrame(
+        [(1, base), (2, flipped)]
+        + [(10 + i, int(rng.integers(-2**63, 2**63 - 1)))
+           for i in range(20)],
+        "id long, sig long")
+    got = hamming_band_pairs(sigs, max_hamming=8, sig_col="sig",
+                             n_bands=9).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got
+            if {r.id_a, r.id_b} == {1, 2}] == [(1, 2, 8)]
+    # the guard: a banding too coarse for the threshold LOSES pairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_band_pairs(sigs, max_hamming=8, sig_col="sig", n_bands=8)
+    with pytest.raises(ValueError, match=r"\[1, 64\]"):
+        hamming_band_pairs(sigs, max_hamming=3, sig_col="sig", n_bands=65)
+
+
+def test_phash_pairs_plan_has_single_arrow_eval_and_banded_join(spark):
+    # the hash rides the scan (one Arrow eval, zero shuffle before the
+    # band explode); candidates come from an equi-join, never cartesian
+    df = _media_df(spark, [(i, _raw_image(32, 32, "noise", seed=i))
+                           for i in range(4)])
+    pairs = media_dup_pairs(df, method="phash", max_hamming=8)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("MapInPandas") <= 2, plan  # once per join side max

@@ -15,6 +15,7 @@ ROWS_ONLY = {
     "ext_multimodal_features",
     "ext_multimodal_frames",
     "ext_corpus_overlap_sketch",
+    "ext_media_phash_pairs",
 }
 
 CAP = 50
