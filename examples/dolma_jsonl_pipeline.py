@@ -115,11 +115,26 @@ def main() -> int:
 
     # --- release manifest: per-shard docs/chars/bytes, the audit a
     # consumer verifies a transfer against
-    from condenser_spark.functions.layout import landed_manifest
+    from condenser_spark.functions.layout import compact_landed, landed_manifest
 
-    print("== release manifest ==")
-    landed_manifest(spark, out_dir, fmt="json",
-                    schema="id string, text string, source string") \
+    schema = "id string, text string, source string"
+    print("== release manifest (before compaction) ==")
+    landed_manifest(spark, out_dir, fmt="json", schema=schema) \
+        .orderBy("file").show(truncate=60)
+
+    # --- 5. maintain: the manifest surfaces mis-sized shards (here the
+    # 2-file export is deliberately under-sharded vs a 64 KB target);
+    # compact_landed re-shards the LANDED corpus to target-sized files
+    # without a serialization pass — sizing comes from the on-disk bytes
+    compact_dir = os.path.join(tempfile.mkdtemp(prefix="dolma_cpt_"),
+                               "shards")
+    facts = compact_landed(spark, out_dir, compact_dir, fmt="json",
+                           schema=schema, target_mb_per_file=0.0625)
+    print(f"== compacted {facts['n_files_in']} shards "
+          f"({facts['total_bytes_in']} bytes) into "
+          f"{facts['n_files_out']} ~64 KB shards ==")
+    print("== release manifest (after compaction) ==")
+    landed_manifest(spark, compact_dir, fmt="json", schema=schema) \
         .orderBy("file").show(truncate=60)
 
     raw.unpersist()

@@ -281,3 +281,166 @@ def test_landed_manifest_plus_in_partition_value(spark, tmp_path):
     assert all(r.n_docs > 0 for r in man), man
     cpp = [r for r in by_file.values() if "lang=C++" in r.file]
     assert len(cpp) == 1 and cpp[0].n_docs == 2, man
+
+
+def _land_skewed(spark, tmp_path, name, partitioned=False):
+    """A deliberately mis-sharded landing: one whale file + many tiny
+    ones (the defect landed_manifest exists to surface)."""
+    import pyspark.sql.functions as F
+
+    base = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("x" * 500), F.col("id").cast("string"))
+        .alias("text"),
+        (F.col("id") % 3).cast("string").alias("lang"))
+    path = str(tmp_path / name)
+    part = ["lang"] if partitioned else []
+    # whale: 90% of rows in one file; tinies: the rest across 10 files
+    w = base.filter("doc_id < 1800").coalesce(1)
+    t = base.filter("doc_id >= 1800").repartition(10)
+    for frag, mode in ((w, "overwrite"), (t, "append")):
+        wr = frag.write.mode(mode)
+        if part:
+            wr = wr.partitionBy(*part)
+        wr.parquet(path)
+    return base, path
+
+
+def test_compact_landed_flat_resizes_and_preserves_content(spark, tmp_path):
+    import glob as _glob
+    import os as _os
+
+    from condenser_spark.functions.layout import compact_landed
+
+    base, path = _land_skewed(spark, tmp_path, "flat")
+    files_in = _glob.glob(path + "/part-*.parquet")
+    assert len(files_in) == 11  # whale + 10 tinies
+    total = sum(_os.path.getsize(f) for f in files_in)
+    target_mb = total / 4 / 2**20  # ask for ~4 output shards
+    dest = str(tmp_path / "flat_out")
+    facts = compact_landed(spark, path, dest,
+                           target_mb_per_file=target_mb)
+    assert facts["n_files_in"] == 11 and facts["partitions"] == 1
+    files_out = _glob.glob(dest + "/part-*.parquet")
+    # ceil(total / floor(total/4)) lands on 4 or 5 depending on remainder
+    assert len(files_out) == facts["n_files_out"] and \
+        4 <= facts["n_files_out"] <= 5
+    # balanced: no output shard more than 2x the target
+    for f in files_out:
+        assert _os.path.getsize(f) < 2 * target_mb * 2**20, f
+    # content hash-equality (orderless)
+    want = sorted((r.doc_id, r.text, r.lang) for r in base.collect())
+    got = sorted((r.doc_id, r.text, r.lang)
+                 for r in spark.read.parquet(dest).collect())
+    assert got == want
+
+
+def test_compact_landed_partitioned_sizes_per_partition(spark, tmp_path):
+    import glob as _glob
+
+    from condenser_spark.functions.layout import (
+        compact_landed,
+        landed_manifest,
+    )
+
+    base, path = _land_skewed(spark, tmp_path, "tree", partitioned=True)
+    dest = str(tmp_path / "tree_out")
+    # a generous target: each lang partition should compact to ONE file
+    facts = compact_landed(spark, path, dest, target_mb_per_file=64)
+    assert facts["partitions"] == 3
+    assert facts["n_files_out"] == 3
+    for lang in ("0", "1", "2"):
+        got = _glob.glob(f"{dest}/lang={lang}/part-*.parquet")
+        assert len(got) == 1, (lang, got)
+    # the partitioned tree round-trips with partition values intact
+    # (str-normalized: Spark's partition-value type inference reads the
+    # "0"/"1"/"2" dirs back as ints — a property of ANY partitioned
+    # read, the source directory included, not of the compaction)
+    want = sorted((r.doc_id, r.text, str(r.lang)) for r in base.collect())
+    got_rows = sorted((r.doc_id, r.text, str(r.lang))
+                      for r in spark.read.parquet(dest).collect())
+    assert got_rows == want
+    # manifest-after shows the healed layout: no zero-doc shards
+    man = landed_manifest(spark, dest).collect()
+    assert len(man) == 3 and all(r.n_docs > 0 for r in man)
+
+
+def test_compact_landed_sorted_layout_keeps_pruning(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    df = spark.range(4000).select(F.col("id").alias("k"),
+                                  (F.col("id") * 7).alias("v"))
+    path = str(tmp_path / "sorted")
+    df.orderBy("k").coalesce(1).write.parquet(path)  # one whale, sorted
+    dest = str(tmp_path / "sorted_out")
+    compact_landed(spark, path, dest, target_mb_per_file=0.005,
+                   sort_col="k")
+    out = spark.read.parquet(dest)
+    # footer min/max pruning survives: a narrow k range scans few files
+    n_total = out.rdd.getNumPartitions()
+    narrow = out.filter((F.col("k") >= 100) & (F.col("k") < 120))
+    assert narrow.count() == 20
+    scanned = narrow._jdf.queryExecution().executedPlan().toString()
+    assert n_total >= 3  # the compaction actually split the whale
+    # range-partitioned on k: each file holds a contiguous slice, so the
+    # 20-row window cannot span more than 2 files
+    import glob as _glob
+    import os as _os
+
+    hit = 0
+    for f in sorted(_glob.glob(dest + "/part-*.parquet")):
+        mm = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        if mm[0] is not None and mm[0] < 120 and mm[1] >= 100:
+            hit += 1
+    assert hit <= 2, hit
+    _os.environ.setdefault("_noop", scanned[:0])
+
+
+def test_compact_landed_guards(spark, tmp_path):
+    import pytest as _pytest
+
+    from condenser_spark.functions.layout import compact_landed
+
+    _base, path = _land_skewed(spark, tmp_path, "g")
+    with _pytest.raises(ValueError, match="in place"):
+        compact_landed(spark, path, path)
+    dest = str(tmp_path / "g_out")
+    compact_landed(spark, path, dest, target_mb_per_file=64)
+    with _pytest.raises(ValueError, match="non-empty"):
+        compact_landed(spark, path, dest)
+    with _pytest.raises(ValueError, match="positive"):
+        compact_landed(spark, path, str(tmp_path / "z"),
+                       target_mb_per_file=0)
+    with _pytest.raises(ValueError, match="schema"):
+        compact_landed(spark, path, str(tmp_path / "z"), fmt="json")
+    with _pytest.raises(ValueError, match="no data files"):
+        import os as _os
+
+        empty = str(tmp_path / "empty")
+        _os.makedirs(empty)
+        compact_landed(spark, empty, str(tmp_path / "z"))
+
+
+def test_compact_landed_jsonl_roundtrip(spark, tmp_path):
+    import glob as _glob
+
+    from condenser_spark.functions.layout import compact_landed
+    from condenser_spark.sources import read_jsonl, write_jsonl
+
+    base, _ = _land_skewed(spark, tmp_path, "unused")
+    src = str(tmp_path / "jl")
+    write_jsonl(base, src, n_files=9)  # gzip shards
+    dest = str(tmp_path / "jl_out")
+    facts = compact_landed(
+        spark, src, dest, fmt="json",
+        schema="doc_id long, text string, lang string",
+        target_mb_per_file=64)
+    assert facts["n_files_out"] == 1
+    out_files = _glob.glob(dest + "/part-*.json.gz")
+    assert len(out_files) == 1  # compression inferred from the landing
+    got = sorted((r.doc_id, r.text, r.lang) for r in read_jsonl(
+        spark, dest, "doc_id long, text string, lang string").collect())
+    assert got == sorted((r.doc_id, r.text, r.lang)
+                         for r in base.collect())
