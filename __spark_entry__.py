@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 15 (appended per the mid-round rule; rotate
         # in-cap the following round)
         "ext_landed_manifest",
+        "ext_unigram_roundtrip",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -1,0 +1,273 @@
+"""Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization:
+Improving Neural Network Translation Models with Multiple Subword
+Candidates" — the SentencePiece unigram model), beside BPE as the second
+published tokenizer family: BPE merges cannot reproduce a
+SentencePiece-trained vocabulary, whose pieces come from likelihood
+pruning over a substring lattice, not from greedy pair merging.
+
+Spark-first split, mirroring functions/bpe.py exactly:
+
+* **train_unigram** — EM over the tokenizer lattice is inherently
+  iterative global state, so it runs in plain Python on the driver over
+  the BOUNDED (word, count) aggregate (``bpe._word_counts`` — corpus
+  statistics arrive pre-aggregated, never raw text; fail-loud
+  ``MAX_TRAIN_VOCAB`` cap).  This implementation is the deterministic
+  hard-EM (Viterbi-EM) variant: the E-step assigns each word its single
+  best segmentation instead of forward-backward marginals — the
+  standard simplification, converging to the same vocabulary shape on
+  Zipf-distributed text.  Seeding is frequency-ranked substrings (all
+  single characters are mandatory and never pruned, so coverage is
+  total by construction), pruning keeps the top pieces by expected
+  count at ``shrink`` per round until ``vocab_size``.
+* **encode_unigram** — the 100 TB path: Viterbi segmentation runs ONCE
+  PER DISTINCT WORD (Arrow ``mapInPandas`` over the deduplicated
+  vocabulary), and documents reassemble through the same
+  posexplode -> join -> position-sorted aggregate mechanics as
+  ``encode_bpe``.
+* **decode_unigram** — pure JVM builtins: concatenate pieces, turn each
+  ``▁`` word-boundary marker (the SentencePiece convention: prefixed,
+  not suffixed like BPE's ``</w>``) back into a space.
+
+No DuckDB oracle for training (iterative EM is not SQL-expressible —
+the train_bpe treatment); the encode/decode ROUNDTRIP carries the full
+oracle ``ext_unigram_roundtrip`` (the oracle never sees the tokenizer),
+and pytest pins the Spark encode path against the reference Viterbi
+loop per document."""
+
+from __future__ import annotations
+
+import logging
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.bpe import MAX_TRAIN_VOCAB, _word_counts
+
+logger = logging.getLogger(__name__)
+
+#: SentencePiece word-boundary marker, PREFIXED to every word before
+#: segmentation; decode turns it back into a space.
+MARKER = "▁"
+
+
+def viterbi_encode_word(word: str, logp: dict[str, float],
+                        max_piece_len: int = 16) -> list[str]:
+    """Best segmentation of a (marker-prefixed) word under piece
+    log-probabilities — the reference Viterbi loop, shared by training,
+    the executor-side encoder, and the test oracle.  Pure Python,
+    deterministic: on equal score the LONGER piece wins.
+
+    Coverage is total: a single character absent from the vocabulary
+    segments as itself at a fixed penalty below every real piece
+    (UNK-as-char — lossless, so decode always reproduces the text)."""
+    n = len(word)
+    if n == 0:
+        return []
+    unk = (min(logp.values()) if logp else -10.0) - 10.0
+    best = [0.0] + [-math.inf] * n
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        # longest candidate first: strict > keeps it on ties
+        for j in range(max(0, i - max_piece_len), i):
+            piece = word[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = unk  # unknown single char: always legal
+            score = best[j] + lp
+            if score > best[i]:
+                best[i] = score
+                back[i] = j
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def _seed_pieces(words: dict[str, int], max_piece_len: int,
+                 seed_size: int) -> dict[str, int]:
+    """Frequency-weighted substring counts, capped at ``seed_size``
+    multi-char pieces (ties broken lexicographically — deterministic);
+    every single character is included unconditionally."""
+    counts: dict[str, int] = {}
+    for w, n in words.items():
+        for ln in range(1, min(max_piece_len, len(w)) + 1):
+            for j in range(len(w) - ln + 1):
+                p = w[j:j + ln]
+                counts[p] = counts.get(p, 0) + n
+    chars = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    return {**chars, **dict(multi)}
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 1_000,
+    text_col: str = "text",
+    max_piece_len: int = 8,
+    seed_size: int | None = None,
+    n_iters: int = 2,
+    shrink: float = 0.75,
+    min_word_count: int = 1,
+) -> dict[str, float]:
+    """Learn a unigram-LM piece vocabulary: ``{piece: logprob}``.
+
+    One distributed aggregate produces (word, count); the driver then
+    seeds with the ``seed_size`` most frequent substrings (default
+    ``8 * vocab_size``), and alternates hard-EM (``n_iters`` Viterbi
+    E-steps + count-normalize M-steps) with likelihood-ranked pruning
+    at ``shrink`` per round until ``vocab_size`` pieces remain, then
+    runs one final EM pass.  Single characters are never pruned
+    (lossless coverage).  Raises past ``MAX_TRAIN_VOCAB`` distinct
+    words — pre-shrink with ``min_word_count`` or a sample, the same
+    contract as ``train_bpe``."""
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    if not 0.0 < shrink < 1.0:
+        raise ValueError("shrink must be in (0, 1)")
+    wc = _word_counts(df, text_col)
+    if min_word_count > 1:
+        wc = wc.filter(F.col("n") >= min_word_count)
+    n_vocab = wc.count()
+    if n_vocab > MAX_TRAIN_VOCAB:
+        raise ValueError(
+            f"train_unigram: {n_vocab} distinct words exceeds "
+            f"MAX_TRAIN_VOCAB={MAX_TRAIN_VOCAB}; raise min_word_count or "
+            f"sample the corpus")
+    words = {MARKER + r.word: r.n for r in wc.collect()}
+    if not words:
+        return {}
+
+    if seed_size is None:
+        seed_size = 8 * vocab_size
+    counts = _seed_pieces(words, max_piece_len, seed_size)
+
+    def normalize(cnt: dict[str, int | float]) -> dict[str, float]:
+        total = sum(cnt.values())
+        return {p: math.log(c / total) for p, c in cnt.items() if c > 0}
+
+    logp = normalize(counts)
+
+    def em(logp: dict[str, float]) -> dict[str, float]:
+        for _ in range(n_iters):
+            c: dict[str, float] = {}
+            for w, n in words.items():
+                for piece in viterbi_encode_word(w, logp, max_piece_len):
+                    c[piece] = c.get(piece, 0.0) + n
+            # single chars stay alive even at zero expected count
+            # (epsilon floor), multi-char pieces die when unused
+            for p in logp:
+                if len(p) == 1 and p not in c:
+                    c[p] = 1e-9
+            logp = normalize(c)
+        return logp
+
+    logp = em(logp)
+    while True:
+        chars = {p for p in logp if len(p) == 1}
+        n_multi_target = max(0, vocab_size - len(chars))
+        multi = sorted(
+            ((p, lp) for p, lp in logp.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if len(multi) <= n_multi_target:
+            break
+        keep = max(n_multi_target, int(len(multi) * shrink))
+        logp = {p: lp for p, lp in logp.items()
+                if len(p) == 1 or (p, lp) in set(multi[:keep])}
+        logp = em(logp)
+    return em(logp)
+
+
+def encode_unigram(
+    df: DataFrame,
+    model: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_tokens",
+    max_piece_len: int = 16,
+) -> DataFrame:
+    """Apply a trained unigram model corpus-wide: (id, out_col
+    array<string>, n_unigram_tokens) — the document's piece sequence in
+    order.  Identical plan shape to ``encode_bpe``: posexplode words,
+    dedupe to the distinct-word table, Viterbi once per DISTINCT word in
+    one Arrow stage (sized by vocabulary, never corpus), broadcast-join
+    the word->pieces map back, reassemble position-sorted.  Empty docs
+    come back with an empty array, not a missing row."""
+    import pandas as pd
+
+    logp = dict(model)
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                         r"\s+", " "), " "),
+                lambda t: t != "",
+            )
+        ).alias("pos", "word"),
+    )
+    distinct_words = words.select("word").distinct()
+
+    def encode_batches(it):
+        for pdf in it:
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "toks": [
+                    viterbi_encode_word(MARKER + w, logp, max_piece_len)
+                    for w in pdf["word"]
+                ],
+            })
+
+    encoded = distinct_words.mapInPandas(
+        encode_batches, schema="word string, toks array<string>")
+    per_doc = (
+        words.join(encoded, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "toks"))
+                ).toks
+            ).alias(out_col)
+        )
+    )
+    return df.select(id_col).join(per_doc, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col(out_col),
+                   F.array().cast("array<string>")).alias(out_col),
+        F.coalesce(F.size(out_col), F.lit(0)).cast("long")
+        .alias("n_unigram_tokens"),
+    )
+
+
+def decode_unigram(
+    df: DataFrame,
+    tokens_col: str = "unigram_tokens",
+    out_col: str = "decoded_text",
+) -> DataFrame:
+    """Inverse of :func:`encode_unigram`: rebuild each document's text
+    from its piece sequence, appended as ``out_col``.  Pure JVM builtins
+    — concatenate pieces (segmentation never loses characters), turn
+    each ``▁`` marker back into a space, trim the leading one.
+
+    decode_unigram(encode_unigram(df, model)) reproduces the
+    TOKENIZER-NORMALIZED text — lower-cased, whitespace collapsed,
+    trimmed — for ANY model, trained or not (UNK-as-char keeps unknown
+    text lossless; the roundtrip golden ext_unigram_roundtrip pins this
+    against a DuckDB oracle that never sees the tokenizer).  Caveat,
+    symmetric to BPE's ``</w>``: a document whose text contains the
+    literal ``▁`` character decodes it to a space."""
+    joined = F.concat_ws("", F.col(tokens_col))
+    return df.withColumn(
+        out_col, F.ltrim(F.replace(joined, F.lit(MARKER), F.lit(" ")))
+    )

@@ -3973,6 +3973,49 @@ def ext_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_bpe(enc).select("doc_id", "decoded_text")
 
 
+# a fixed unigram-LM piece model (log-probs need only be RELATIVE for
+# Viterbi): marker-fused pieces, multi-char interiors, and sparse char
+# coverage so the UNK-as-char fallback is exercised on every doc
+_ROUNDTRIP_UNIGRAM = {
+    "▁the": -2.0, "▁a": -2.5, "▁of": -2.5, "▁in": -2.6, "▁": -4.0,
+    "th": -3.0, "ing": -3.0, "an": -3.2, "er": -3.2, "on": -3.3,
+    "e": -4.5, "t": -4.5, "a": -4.6, "s": -4.6, "n": -4.7, "r": -4.7,
+}
+
+
+@golden(
+    "ext_unigram_roundtrip",
+    """
+    SELECT doc_id,
+           COALESCE(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    '') AS decoded_text
+    FROM documents
+    """,
+)
+def ext_unigram_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_unigram(encode_unigram(docs)) over the full documents table
+    under a FULL value oracle that never sees the tokenizer (the
+    ext_bpe_roundtrip treatment applied to the second published tokenizer
+    family — Kudo 2018's unigram LM, the SentencePiece model BPE merges
+    cannot reproduce): the oracle is just the tokenizer-normalized text,
+    so the hash-match proves the posexplode -> distinct-word Viterbi ->
+    rejoin -> position-sorted reassembly -> marker decode chain loses
+    NOTHING, across marker-fused pieces, multi-char interiors, and the
+    UNK-as-char fallback for every character outside the model
+    (condenser_spark/functions/unigram.py:encode_unigram,decode_unigram).
+    Registered past the driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.functions.unigram import (
+        decode_unigram,
+        encode_unigram,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    enc = encode_unigram(docs.select("doc_id", "text"),
+                         model=_ROUNDTRIP_UNIGRAM)
+    return decode_unigram(enc).select("doc_id", "decoded_text")
+
+
 # ----------------------------------------------------------- collocations
 
 _COLLOC_MIN_COUNT = 40

@@ -1,0 +1,149 @@
+"""Unigram-LM tokenizer (Kudo 2018 / SentencePiece family) — VERDICT r14
+punch #5.  Training has no SQL oracle (iterative EM — the train_bpe
+treatment): these tests pin the reference Viterbi loop, Spark-path
+parity against it, the encode/decode roundtrip property, and the
+EM+prune behavior that distinguishes unigram from BPE (shared suffixes
+survive pruning while one-off whole words die)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.unigram import (
+    MARKER,
+    decode_unigram,
+    encode_unigram,
+    train_unigram,
+    viterbi_encode_word,
+)
+
+
+def _norm(s):
+    return re.sub(r"\s+", " ", (s or "").strip().lower())
+
+
+@pytest.fixture(scope="module")
+def docs(spark, source):
+    return source["documents"]
+
+
+def test_viterbi_reference_loop():
+    import math
+
+    logp = {MARKER: -3.0, MARKER + "run": -1.0, "ning": -1.5,
+            "n": -4.0, "i": -4.0, "g": -4.0, "u": -4.0, "r": -4.0}
+    assert viterbi_encode_word(MARKER + "running", logp) == \
+        [MARKER + "run", "ning"]
+    # unknown single chars segment as themselves (lossless coverage)
+    toks = viterbi_encode_word(MARKER + "zq", logp)
+    assert "".join(toks) == MARKER + "zq"
+    assert viterbi_encode_word("", logp) == []
+    # longer piece wins a score tie: craft two equal-score paths
+    tie = {"ab": -2.0, "a": -1.0, "b": -1.0}
+    assert viterbi_encode_word("ab", tie) == ["ab"]
+    # empty model: everything is UNK chars
+    assert viterbi_encode_word("ab", {}) == ["a", "b"]
+    assert math.isfinite(sum(logp.values()))
+
+
+def test_training_learns_shared_suffix_over_one_off_words(spark):
+    # the unigram-vs-BPE discriminator: 12 one-off stems share "ing";
+    # with a tight vocab the EM+prune keeps the suffix piece and lets
+    # the whole words die (each word appears ONCE, the suffix 12x)
+    stems = ["walk", "talk", "park", "bark", "lurk", "jump",
+             "sing", "ring", "fish", "wish", "push", "rush"]
+    df = spark.createDataFrame(
+        [(i, s + "ing") for i, s in enumerate(stems)],
+        "doc_id long, text string")
+    model = train_unigram(df, vocab_size=24, max_piece_len=6, n_iters=3)
+    assert "ing" in model, sorted(model)
+    # coverage invariant: every single character survives pruning
+    chars = {c for s in stems for c in MARKER + s + "ing"}
+    assert chars <= set(model), chars - set(model)
+    # and the encode path uses the suffix
+    enc = encode_unigram(df, model).collect()
+    toks = {r.doc_id: r.unigram_tokens for r in enc}
+    assert all(t[-1] == "ing" or t[-1].endswith("ing")
+               for t in toks.values()), toks
+
+
+def test_spark_encode_matches_reference_loop_per_doc(spark, docs):
+    sample = docs.limit(40).select("doc_id", "text")
+    model = train_unigram(sample, vocab_size=200, n_iters=2)
+    enc = {r.doc_id: r.unigram_tokens
+           for r in encode_unigram(sample, model).collect()}
+    for r in sample.collect():
+        want = []
+        for w in _norm(r.text).split(" "):
+            if w:
+                want.extend(viterbi_encode_word(MARKER + w, model, 16))
+        assert enc[r.doc_id] == want, r.doc_id
+
+
+def test_roundtrip_property_any_model(spark, docs):
+    # decode(encode(x)) == normalized x for trained AND arbitrary models
+    sample = docs.limit(60).select("doc_id", "text")
+    trained = train_unigram(sample, vocab_size=100)
+    arbitrary = {MARKER + "th": -1.0, "e": -2.0, "qu": -1.0}
+    for model in (trained, arbitrary):
+        out = decode_unigram(encode_unigram(sample, model))
+        got = {r.doc_id: r.decoded_text
+               for r in out.select("doc_id", "decoded_text").collect()}
+        for r in sample.collect():
+            assert got[r.doc_id] == _norm(r.text), r.doc_id
+
+
+def test_empty_docs_and_empty_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "ok")],
+        "doc_id long, text string")
+    model = train_unigram(df, vocab_size=10)
+    enc = encode_unigram(df, model)
+    rows = {r.doc_id: r for r in enc.collect()}
+    assert rows[1].unigram_tokens == [] and rows[1].n_unigram_tokens == 0
+    assert rows[2].unigram_tokens == [] and rows[3].unigram_tokens == []
+    assert rows[4].n_unigram_tokens >= 1
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert train_unigram(empty, vocab_size=10) == {}
+
+
+def test_training_guards(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(df, vocab_size=0)
+    with pytest.raises(ValueError, match="shrink"):
+        train_unigram(df, vocab_size=5, shrink=1.0)
+    import condenser_spark.functions.unigram as U
+
+    old = U.MAX_TRAIN_VOCAB
+    try:
+        U.MAX_TRAIN_VOCAB = 2
+        with pytest.raises(ValueError, match="MAX_TRAIN_VOCAB"):
+            train_unigram(df, vocab_size=5)
+    finally:
+        U.MAX_TRAIN_VOCAB = old
+
+
+def test_vocab_size_respected_and_deterministic(spark, docs):
+    sample = docs.limit(30).select("doc_id", "text")
+    m1 = train_unigram(sample, vocab_size=64)
+    m2 = train_unigram(sample, vocab_size=64)
+    assert m1 == m2  # byte-deterministic training
+    n_chars = sum(1 for p in m1 if len(p) == 1)
+    assert len(m1) <= max(64, n_chars)  # chars never pruned below target
+
+
+def test_encode_plan_python_is_vocab_sized(spark, docs):
+    # the Arrow stage runs over DISTINCT WORDS, never the corpus: the
+    # mapInPandas input must be downstream of a distinct aggregate
+    sample = docs.limit(50).select("doc_id", "text")
+    model = train_unigram(sample, vocab_size=50)
+    enc = encode_unigram(sample, model)
+    enc.collect()
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    # AQE toString appends the Initial Plan — count only the final one
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1, plan
