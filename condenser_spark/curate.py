@@ -61,6 +61,50 @@ def _options_fingerprint(opts: dict, schema_str: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _resolve_perplexity_opts(perplexity_buckets: dict, lang_col: str):
+    """Normalize the ``perplexity_buckets`` stage options — shared by the
+    batch composer and ``streaming.curate.curate_stream`` so both
+    validate identically.  Returns ``(lm, score_col, keep_idx,
+    n_buckets, group_col, mode, accuracy, thresholds)``."""
+    opts = dict(perplexity_buckets)
+    lm = opts.pop("lm", None)
+    score_col = opts.pop("score_col", None)
+    if (lm is None) == (score_col is None):
+        raise ValueError("perplexity_buckets needs exactly one of lm= "
+                         "(a train_unigram_lm frame) or score_col=")
+    keep = opts.pop("keep", None)
+    if keep is None:
+        raise ValueError("perplexity_buckets needs keep= (bucket ints "
+                         "and/or labels to KEEP, e.g. ('head', 'middle'))")
+    if isinstance(keep, (str, int)):
+        keep = (keep,)
+    n_buckets = int(opts.pop("n_buckets", 3))
+    group_col = opts.pop("group_col", lang_col)
+    labels = opts.pop("labels", None)
+    if labels is None and n_buckets == 3:
+        labels = ("head", "middle", "tail")  # the CCNet names
+    mode = opts.pop("mode", "approx")
+    accuracy = int(opts.pop("accuracy", 10_000))
+    thresholds = opts.pop("thresholds", None)
+    if opts:
+        raise ValueError(
+            f"unknown perplexity_buckets keys: {sorted(opts)}")
+    keep_idx = []
+    for k in keep:
+        if isinstance(k, str):
+            if labels is None or k not in labels:
+                raise ValueError(
+                    f"keep label {k!r} not in labels={labels!r}")
+            keep_idx.append(list(labels).index(k))
+        else:
+            keep_idx.append(int(k))
+    bad = [i for i in keep_idx if not 0 <= i < n_buckets]
+    if bad:
+        raise ValueError(f"keep buckets {bad} outside [0, {n_buckets})")
+    return (lm, score_col, sorted(set(keep_idx)), n_buckets, group_col,
+            mode, accuracy, thresholds)
+
+
 def curate_corpus(
     docs: DataFrame,
     *,
@@ -75,6 +119,7 @@ def curate_corpus(
     script: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
+    perplexity_buckets: dict | None = None,
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
     fineweb: bool | dict = False,
@@ -180,6 +225,33 @@ def curate_corpus(
        ``temperature``) key on a first-class signal.  ``lang_col`` must
        already exist — the stage preserves the schema by replacing
        values, never adding columns.
+    2b. ``perplexity_buckets`` — the CCNet §4.3 KEEP decision (Wenzek
+       2020: split each language into equal head/middle/tail thirds by
+       reference-LM perplexity, keep the best buckets), right after
+       langid per the published order.  A dict:
+
+       * ``lm`` (a :func:`functions.lm.train_unigram_lm` frame — docs
+         are scored with :func:`functions.lm.lm_score_documents` and
+         bucketed on rising perplexity, so bucket 0 = most
+         reference-like) OR ``score_col`` (an existing column,
+         ascending = best first; exactly one of the two);
+       * ``keep`` (required): bucket ints and/or labels to KEEP, e.g.
+         ``("head", "middle")``;
+       * ``n_buckets`` (default 3), ``group_col`` (default
+         ``lang_col``), ``labels`` (default head/middle/tail when
+         ``n_buckets == 3``), ``mode`` (``"approx"`` default — the
+         100 TB one-agg-plus-broadcast regime; ``"exact"`` for the
+         oracled window rule), ``accuracy``;
+       * ``thresholds``: a PRECOMPUTED
+         :func:`functions.corpus.quantile_thresholds` frame —
+         overrides ``mode``, applies via the stream-legal broadcast
+         join; a group ABSENT from it (a language appearing after the
+         snapshot) gets a NULL bucket and is DROPPED by the keep
+         filter (conservative: no reference signal, no keep — route
+         novel languages separately if you want them).
+
+       Schema-preserving: scoring/bucket working columns are projected
+       away.
     3. ``gopher`` — :func:`functions.text.gopher_quality_flags`: True or a
        kwargs dict; keeps ``gopher_pass`` docs.
     3b. ``gopher_repetition`` — the A1.2 companion table
@@ -238,7 +310,7 @@ def curate_corpus(
     ``"start"``, ``"url_filter"``, ``"domain_prior"``,
     ``"line_dedup"``, ``"badwords"``,
     ``"c4_clean"``, ``"diversity_gate"``, ``"script_gate"``,
-    ``"language_id"``,
+    ``"language_id"``, ``"perplexity_buckets"``,
     ``"gopher_rules"``, ``"gopher_repetition"``, ``"fineweb_rules"``,
     ``"exact_dedup"``,
     ``"near_dedup"``,
@@ -296,7 +368,7 @@ def curate_corpus(
     _ANCHORS = ("start", "url_filter", "domain_prior", "html_extract",
                 "normalize_text", "line_dedup",
                 "badwords", "c4_clean", "diversity_gate", "script_gate",
-                "language_id",
+                "language_id", "perplexity_buckets",
                 "gopher_rules", "gopher_repetition", "fineweb_rules",
                 "code_rules", "exact_dedup",
                 "near_dedup", "substring_dedup", "decontaminate",
@@ -324,6 +396,7 @@ def curate_corpus(
                 "line_dedup": line_dedup, "badwords": badwords,
                 "c4": c4, "diversity": diversity, "script": script,
                 "language_model": language_model, "lang_col": lang_col,
+                "perplexity_buckets": perplexity_buckets,
                 "gopher": gopher, "gopher_repetition": gopher_repetition,
                 "fineweb": fineweb, "code": code,
                 "dedup": dedup, "dedup_opts": dedup_opts,
@@ -591,6 +664,50 @@ def curate_corpus(
                   else F.col(c) for c in cur.columns]),
         )
         _apply_extra("language_id")
+    if perplexity_buckets is not None:
+        from condenser_spark.functions.corpus import (
+            apply_quantile_thresholds,
+            quantile_buckets,
+        )
+
+        (lm, score_col, keep_idx, n_buckets, group_col, mode, accuracy,
+         thresholds) = _resolve_perplexity_opts(perplexity_buckets,
+                                                lang_col)
+        if group_col is not None and group_col not in cur.columns:
+            raise ValueError(
+                f"perplexity_buckets group_col {group_col!r} not in the "
+                f"input — pass group_col=None for a global split")
+        keep_cols_all = list(cur.columns)
+        if lm is not None:
+            from condenser_spark.functions.lm import lm_score_documents
+
+            scored = lm_score_documents(cur, lm, text_col=text_col,
+                                        id_col=id_col).withColumn(
+                # rising perplexity: bucket 0 = most reference-like
+                "_ppl_score", -F.col("lm_logprob"))
+            score_use = "_ppl_score"
+        else:
+            if score_col not in cur.columns:
+                raise ValueError(
+                    f"perplexity_buckets score_col {score_col!r} not in "
+                    f"the input — score upstream or pass lm=")
+            scored = cur
+            score_use = score_col
+        if thresholds is not None:
+            bucketed = apply_quantile_thresholds(
+                scored, thresholds, score_use, n_buckets=n_buckets,
+                group_col=group_col, bucket_col="_ppl_bkt")
+        else:
+            bucketed = quantile_buckets(
+                scored, score_use, n_buckets=n_buckets,
+                group_col=group_col, id_col=id_col,
+                bucket_col="_ppl_bkt", mode=mode, accuracy=accuracy)
+        cur = _record(
+            "perplexity_buckets",
+            bucketed.filter(F.col("_ppl_bkt").isin(keep_idx))
+            .select(*keep_cols_all),
+        )
+        _apply_extra("perplexity_buckets")
     if gopher:
         from condenser_spark.functions.text import gopher_quality_flags
 

@@ -139,6 +139,78 @@ def lm_score_documents(
     )
 
 
+def lm_score_documents_stateless(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`lm_score_documents` as a stateless per-row kernel — no
+    explode, no groupBy, no join — so it applies unchanged to a
+    Structured Streaming source (the ``score_documents_stateless``
+    pattern; the batch scorer's per-doc aggregate is state a stream
+    cannot run statelessly).  The (vocab+1)-row LM table is collected
+    ONCE driver-side into a plain dict (bounded by contract —
+    ``train_unigram_lm`` caps it at vocab_size+1) and ships in the Arrow
+    kernel's closure; scores are IDENTICAL to the batch scorer
+    (parity-pinned: the same scaled-integer token sums — integer
+    addition is order-free — and the same HALF_UP final round).
+
+    Appends the same three columns: ``lm_logprob``, ``lm_logprob4_sum``,
+    ``n_scored_tokens``."""
+    import math
+    import re
+
+    import pandas as pd
+
+    rows = lm.collect()  # bounded: vocab_size + 1 by contract
+    model = {r.term: int(r.logp4) for r in rows}
+    oov4 = model.pop(OOV_TERM, None)
+    if oov4 is None:
+        raise ValueError("lm_score_documents_stateless: lm frame has no "
+                         "OOV row — build it with train_unigram_lm")
+    floor = round(oov4 / 10_000.0, 4)
+    # Java \s is ASCII-only; re.ASCII matches the batch tokenizer's split
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def round4(x: float) -> float:
+        # Spark ROUND is HALF_UP on the magnitude; python round() is
+        # banker's — replicate HALF_UP so parity holds on .xxxx5 ties
+        s = x * 10_000.0
+        r = math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+        return r / 10_000.0
+
+    from pyspark.sql import types as T
+
+    # a NEW StructType (never .add on df.schema — the read_jsonl lesson:
+    # add mutates in place)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("lm_logprob", T.DoubleType()),
+           T.StructField("lm_logprob4_sum", T.LongType()),
+           T.StructField("n_scored_tokens", T.LongType())])
+
+    def gen(batches):
+        for pdf in batches:
+            s4s, ns, lps = [], [], []
+            for text in pdf[text_col]:
+                toks = [t for t in ws.sub(
+                    " ", (text or "").strip().lower()).split(" ") if t]
+                s4 = sum(model.get(t, oov4) for t in toks)
+                n = len(toks)
+                s4s.append(s4)
+                ns.append(n)
+                lps.append(round4(s4 / 10_000.0 / n) if n else floor)
+            yield pd.DataFrame({
+                **{c: pdf[c] for c in pdf.columns},
+                "lm_logprob": pd.Series(lps, dtype="float64"),
+                "lm_logprob4_sum": pd.Series(s4s, dtype="int64"),
+                "n_scored_tokens": pd.Series(ns, dtype="int64"),
+            })
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def _pos_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(_id, _pos, term) positional token rows — the doc-boundary-aware
     form of ``_tokens`` (adjacent-pair extraction must never pair across

@@ -113,6 +113,7 @@ def curate_stream(
     script: dict | None = None,
     language_model=None,
     lang_col: str = "lang",
+    perplexity_buckets: dict | None = None,
     gopher: bool | dict = False,
     gopher_repetition: bool | dict = False,
     fineweb: bool | dict = False,
@@ -126,8 +127,8 @@ def curate_stream(
     """Run the enabled stateless curation stages in the published order
     (URL -> domain-prior -> HTML-extract -> normalize -> line-dedup ->
     ExactSubstr -> badwords -> C4 -> diversity -> script -> langid ->
-    Gopher A1.1 -> Gopher A1.2 repetition -> FineWeb -> code ->
-    quality -> PII redaction) and return the
+    perplexity-buckets -> Gopher A1.1 -> Gopher A1.2 repetition ->
+    FineWeb -> code -> quality -> PII redaction) and return the
     curated frame: input columns (text
     rewritten, ``lang_col`` rewritten/created when ``language_model`` is
     given) plus the per-document audit columns of the stages that ran.  Pass
@@ -351,6 +352,51 @@ def curate_stream(
         cur = out.select(
             *keep, F.col("_lang_pred").alias(lang_col)
         )
+
+    if perplexity_buckets is not None:
+        # the CCNet §4.3 KEEP decision on a stream: score with the
+        # STATELESS LM kernel (or an existing column), bucket against
+        # PRECOMPUTED thresholds (stream-static broadcast join — the
+        # quantile aggregate itself is state a stream cannot run), drop
+        # buckets outside keep=.  Same option surface as the batch
+        # composer (shared resolver); thresholds= is REQUIRED here.
+        from condenser_spark.curate import _resolve_perplexity_opts
+        from condenser_spark.functions.corpus import (
+            apply_quantile_thresholds,
+        )
+
+        (p_lm, p_score_col, keep_idx, n_buckets, group_col, _mode,
+         _accuracy, thresholds) = _resolve_perplexity_opts(
+            perplexity_buckets, lang_col)
+        if thresholds is None:
+            raise ValueError(
+                "perplexity_buckets on a stream requires thresholds= "
+                "(a landed functions.corpus.quantile_thresholds frame "
+                "— computing quantiles is an aggregate a stream cannot "
+                "run statelessly; build them from a batch snapshot, "
+                "the domain_prior precompute/apply pattern)")
+        keep_cols_all = list(cur.columns)
+        if p_lm is not None:
+            from condenser_spark.functions.lm import (
+                lm_score_documents_stateless,
+            )
+
+            scored = lm_score_documents_stateless(
+                cur, p_lm, text_col=text_col, id_col=id_col
+            ).withColumn("_ppl_score", -F.col("lm_logprob"))
+            score_use = "_ppl_score"
+        else:
+            if p_score_col not in cur.columns:
+                raise ValueError(
+                    f"perplexity_buckets score_col {p_score_col!r} not "
+                    f"in the stream — score upstream or pass lm=")
+            scored = cur
+            score_use = p_score_col
+        bucketed = apply_quantile_thresholds(
+            scored, thresholds, score_use, n_buckets=n_buckets,
+            group_col=group_col, bucket_col="_ppl_bkt")
+        cur = (bucketed.filter(F.col("_ppl_bkt").isin(keep_idx))
+               .select(*keep_cols_all))
 
     if gopher:
         from condenser_spark.functions.text import gopher_quality_flags

@@ -97,6 +97,44 @@ def main() -> int:
         source_col="ppl_bucket")
     print("== after CCNet-style mix (tail downsampled to 10%) ==")
     mixed.groupBy("ppl_bucket").count().orderBy("ppl_bucket").show()
+
+    # --- the same KEEP decision as a first-class COMPOSER stage (round
+    # 15): one curate_corpus kwarg runs score -> bucket -> keep in the
+    # published slot (right after langid), schema-preserving
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.lm import train_unigram_lm
+
+    lm = train_unigram_lm(reference, vocab_size=4096)
+    kept, report = curate_corpus(
+        docs.select("doc_id", "text", "lang"),
+        perplexity_buckets={"lm": lm, "keep": ("head", "middle"),
+                            "mode": "exact"},
+        report=True)
+    print("== composer stage: keep head+middle (exact regime) ==")
+    report.show(truncate=False)
+
+    # --- the 100 TB / streaming regime: land the per-language cut
+    # points ONCE from a batch snapshot, then any later job — including
+    # a readStream through curate_stream — applies them with a
+    # broadcast join (no sort, no window, no state)
+    from condenser_spark.functions.corpus import quantile_thresholds
+    from condenser_spark.functions.lm import lm_score_documents
+    from condenser_spark.streaming.curate import curate_stream
+
+    scored = lm_score_documents(docs, lm).withColumn(
+        "_ppl", -F.col("lm_logprob"))
+    thr = quantile_thresholds(scored, "_ppl", n_buckets=3,
+                              group_col="lang")
+    print("== landed thresholds (one row per language) ==")
+    thr.orderBy("lang").show(truncate=False)
+    streamed = curate_stream(
+        docs.select("doc_id", "text", "lang"),
+        perplexity_buckets={"lm": lm, "keep": ("head", "middle"),
+                            "thresholds": thr})
+    n_stream = streamed.count()
+    print(f"== stream-legal apply kept {n_stream} docs "
+          f"(vs {kept.count()} exact — boundary ties may differ by "
+          f"design) ==")
     spark.stop()
     return 0
 

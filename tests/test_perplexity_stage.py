@@ -1,0 +1,210 @@
+"""The perplexity_buckets composer stage (VERDICT r14 punch #6): the
+CCNet §4.3 head/middle/tail KEEP decision as a first-class stage in BOTH
+composers — batch (exact/approx/thresholds regimes) and stream
+(precompute/apply only), plus the stateless LM scorer parity that makes
+the stream side possible."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.curate import curate_corpus
+from condenser_spark.functions.corpus import (
+    quantile_buckets,
+    quantile_thresholds,
+)
+from condenser_spark.functions.lm import (
+    lm_score_documents,
+    lm_score_documents_stateless,
+    train_unigram_lm,
+)
+from condenser_spark.streaming.curate import curate_stream
+
+SCHEMA = "doc_id long, text string, lang string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, source):
+    return source["documents"]
+
+
+@pytest.fixture(scope="module")
+def ref_lm(spark, docs):
+    # reference LM trained on the 'en' slice (the CCNet Wikipedia slot)
+    return train_unigram_lm(docs.filter("lang = 'en'"),
+                            vocab_size=2048).cache()
+
+
+def test_stateless_lm_scorer_matches_batch(spark, docs, ref_lm):
+    sample = docs.limit(120)
+    batch = {r.doc_id: r for r in lm_score_documents(
+        sample, ref_lm).collect()}
+    stateless = {r.doc_id: r for r in lm_score_documents_stateless(
+        sample, ref_lm).collect()}
+    assert set(batch) == set(stateless)
+    for d in batch:
+        # exact integer pair AND the rounded float agree bit-for-bit
+        assert batch[d].lm_logprob4_sum == stateless[d].lm_logprob4_sum, d
+        assert batch[d].n_scored_tokens == stateless[d].n_scored_tokens, d
+        assert batch[d].lm_logprob == stateless[d].lm_logprob, d
+
+
+def test_stateless_scorer_edge_docs(spark, ref_lm):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "the\tquick\nbrown")],
+        "doc_id long, text string")
+    b = {r.doc_id: r for r in lm_score_documents(df, ref_lm).collect()}
+    s = {r.doc_id: r
+         for r in lm_score_documents_stateless(df, ref_lm).collect()}
+    for d in (1, 2, 3, 4):
+        assert (b[d].lm_logprob, b[d].lm_logprob4_sum,
+                b[d].n_scored_tokens) == \
+            (s[d].lm_logprob, s[d].lm_logprob4_sum,
+             s[d].n_scored_tokens), d
+
+
+def test_batch_stage_matches_manual_composition(spark, docs, ref_lm):
+    sample = docs.limit(200).select("doc_id", "text", "lang")
+    # manual: score -> exact buckets per lang -> keep head+middle
+    scored = lm_score_documents(sample, ref_lm).withColumn(
+        "_ppl", -F.col("lm_logprob"))
+    manual = (quantile_buckets(scored, "_ppl", n_buckets=3,
+                               group_col="lang", id_col="doc_id",
+                               bucket_col="_b", mode="exact")
+              .filter(F.col("_b") < 2)
+              .select("doc_id", "text", "lang"))
+    staged, report = curate_corpus(
+        sample,
+        perplexity_buckets={"lm": ref_lm, "keep": ("head", "middle"),
+                            "mode": "exact"},
+        report=True)
+    assert staged.columns == ["doc_id", "text", "lang"]
+    assert sorted(map(tuple, staged.collect())) == \
+        sorted(map(tuple, manual.collect()))
+    rows = {r.stage: r for r in report.collect()}
+    assert "perplexity_buckets" in rows
+    assert rows["perplexity_buckets"].docs_out < \
+        rows["perplexity_buckets"].docs_in
+
+
+def test_batch_stage_thresholds_path_and_score_col(spark, docs, ref_lm):
+    sample = docs.limit(200).select("doc_id", "text", "lang")
+    scored = lm_score_documents(sample, ref_lm).withColumn(
+        "ppl", -F.col("lm_logprob")).select(
+        "doc_id", "text", "lang", "ppl")
+    thr = quantile_thresholds(scored, "ppl", n_buckets=3,
+                              group_col="lang")
+    via_thr, _ = curate_corpus(
+        scored,
+        perplexity_buckets={"score_col": "ppl", "keep": (0, 1),
+                            "thresholds": thr},
+        report=False)
+    via_approx, _ = curate_corpus(
+        scored,
+        perplexity_buckets={"score_col": "ppl", "keep": (0, 1),
+                            "mode": "approx"},
+        report=False)
+    # same cut points (the approx path builds exactly these thresholds)
+    assert sorted(map(tuple, via_thr.collect())) == \
+        sorted(map(tuple, via_approx.collect()))
+    assert via_thr.columns == ["doc_id", "text", "lang", "ppl"]
+
+
+def test_stream_stage_parity_and_readstream(spark, docs, ref_lm,
+                                            tmp_path):
+    sample = docs.limit(150).select("doc_id", "text", "lang")
+    scored = lm_score_documents(sample, ref_lm).withColumn(
+        "_ppl", -F.col("lm_logprob"))
+    thr = quantile_thresholds(scored, "_ppl", n_buckets=3,
+                              group_col="lang")
+    opts = {"lm": ref_lm, "keep": ("head", "middle"), "thresholds": thr}
+    batch_out, _ = curate_corpus(sample, perplexity_buckets=opts,
+                                 report=False)
+    stream_static = curate_stream(sample, perplexity_buckets=opts)
+    want = sorted(map(tuple, batch_out.collect()))
+    assert sorted(map(tuple, stream_static.collect())) == want
+    # and on a REAL readStream source
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    sample.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, perplexity_buckets=opts)
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(out_dir).collect())) == \
+        want
+
+
+def test_unseen_group_drops_under_thresholds(spark, ref_lm):
+    # a language absent from the thresholds snapshot has no reference
+    # signal: NULL bucket -> dropped by keep (documented conservative)
+    base = spark.createDataFrame(
+        [(i, f"alpha beta w{i}", "en") for i in range(9)], SCHEMA)
+    novel = spark.createDataFrame(
+        [(100, "gamma delta", "xx")], SCHEMA)
+    scored = lm_score_documents(base, ref_lm).withColumn(
+        "p", -F.col("lm_logprob")).select("doc_id", "text", "lang", "p")
+    thr = quantile_thresholds(scored, "p", n_buckets=3, group_col="lang")
+    both = scored.unionByName(
+        lm_score_documents(novel, ref_lm).withColumn(
+            "p", -F.col("lm_logprob")).select(
+            "doc_id", "text", "lang", "p"))
+    out, _ = curate_corpus(
+        both,
+        perplexity_buckets={"score_col": "p", "keep": (0, 1, 2),
+                            "thresholds": thr},
+        report=False)
+    got = [r.doc_id for r in out.collect()]
+    assert 100 not in got and len(got) == 9
+
+
+def test_stage_guards(spark, docs, ref_lm):
+    sample = docs.limit(10).select("doc_id", "text", "lang")
+    with pytest.raises(ValueError, match="exactly one of"):
+        curate_corpus(sample, perplexity_buckets={"keep": (0,)},
+                      report=False)
+    with pytest.raises(ValueError, match="exactly one of"):
+        curate_corpus(sample, perplexity_buckets={
+            "lm": ref_lm, "score_col": "x", "keep": (0,)}, report=False)
+    with pytest.raises(ValueError, match="keep="):
+        curate_corpus(sample, perplexity_buckets={"lm": ref_lm},
+                      report=False)
+    with pytest.raises(ValueError, match="not in labels"):
+        curate_corpus(sample, perplexity_buckets={
+            "lm": ref_lm, "keep": ("best",)}, report=False)
+    with pytest.raises(ValueError, match="outside"):
+        curate_corpus(sample, perplexity_buckets={
+            "lm": ref_lm, "keep": (3,)}, report=False)
+    with pytest.raises(ValueError, match="unknown perplexity_buckets"):
+        curate_corpus(sample, perplexity_buckets={
+            "lm": ref_lm, "keep": (0,), "nope": 1}, report=False)
+    with pytest.raises(ValueError, match="group_col"):
+        curate_corpus(sample.drop("lang"), perplexity_buckets={
+            "lm": ref_lm, "keep": (0,)}, report=False)
+    with pytest.raises(ValueError, match="score_col"):
+        curate_corpus(sample, perplexity_buckets={
+            "score_col": "missing", "keep": (0,)}, report=False)
+    with pytest.raises(ValueError, match="requires thresholds"):
+        curate_stream(sample, perplexity_buckets={
+            "lm": ref_lm, "keep": (0,)})
+
+
+def test_extra_stage_anchors_after_perplexity(spark, docs, ref_lm):
+    sample = docs.limit(60).select("doc_id", "text", "lang")
+    seen = {}
+
+    def probe(df):
+        seen["cols"] = list(df.columns)
+        return df
+
+    out, report = curate_corpus(
+        sample,
+        perplexity_buckets={"lm": ref_lm, "keep": (0, 1),
+                            "mode": "exact"},
+        extra_stages=[("probe", probe, "perplexity_buckets")],
+        report=True)
+    assert seen["cols"] == ["doc_id", "text", "lang"]
+    assert [r.stage for r in report.collect()] == \
+        ["perplexity_buckets", "probe"]
