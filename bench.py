@@ -847,6 +847,52 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
                                    group_col="lang", mode="approx")
           .groupBy("bucket").count().collect())
 
+    # round 15: image perceptual-hash near-dup (pHash + Hamming-band
+    # join), unigram-LM tokenizer encode, and the landed-corpus
+    # compaction pass
+    from condenser_spark.functions.multimodal import (
+        media_dup_pairs,
+        synthesize_media,
+    )
+
+    _media = synthesize_media(docs)
+    _clones = _media.filter(F.col("media_id") % 10 == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000))
+    _media_all = _media.unionByName(_clones)
+    timed("phash_pairs",
+          lambda: media_dup_pairs(_media_all, method="phash",
+                                  max_hamming=8).count())
+
+    from condenser_spark.functions.unigram import (
+        encode_unigram,
+        train_unigram,
+    )
+
+    # model trains ONCE outside the timed loop (the amortized shape);
+    # the timed cost is the per-DISTINCT-word Viterbi Arrow stage +
+    # positional join-back, the encode_bpe twin
+    _umodel = train_unigram(docs.limit(300), vocab_size=512, n_iters=1)
+    timed("encode_unigram",
+          lambda: encode_unigram(docs, _umodel).count())
+
+    from condenser_spark.functions.layout import compact_landed
+
+    # skewed landing built once (untimed prep: one whale + 8 tinies);
+    # each timed run compacts to a fresh dest
+    _cl_src = os.path.join(tempfile.mkdtemp(prefix="bench_compact_"),
+                           "landed")
+    docs.coalesce(1).write.parquet(_cl_src)
+    docs.limit(500).repartition(8).write.mode("append").parquet(_cl_src)
+    _cl_seq = {"i": 0}
+
+    def _compact_once():
+        _cl_seq["i"] += 1
+        compact_landed(spark, _cl_src,
+                       f"{_cl_src}_out{_cl_seq['i']}",
+                       target_mb_per_file=2.0)
+
+    timed("compact_landed", _compact_once)
+
     return timings, noise
 
 
