@@ -686,22 +686,22 @@ def hamming_band_pairs(
     if not 1 <= n_bands <= 64:
         raise ValueError(f"n_bands must be in [1, 64]: {n_bands}")
     bounds = [i * 64 // n_bands for i in range(n_bands + 1)]
+
+    def _band(i: int):
+        width = bounds[i + 1] - bounds[i]
+        col = F.shiftright(sig_col, bounds[i])
+        if width < 64:
+            # width == 64 only at n_bands=1 (exact-dup banding), where
+            # the mask literal (1<<64)-1 would overflow a Java long —
+            # the full signature IS the bucket there
+            col = col.bitwiseAND(F.lit((1 << width) - 1))
+        return F.struct(F.lit(i).alias("band"), col.alias("bucket"))
+
     banded = sigs.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(sig_col, bounds[i])
-                        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i]))
-                                          - 1))
-                        .alias("bucket"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
+            F.array(*[_band(i) for i in range(n_bands)])
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
     # same barrier as minhash_lsh_pairs: the self-join would otherwise run

@@ -338,7 +338,8 @@ def compact_landed(
     if os.path.abspath(dest) == os.path.abspath(path):
         raise ValueError("compact_landed never rewrites in place: "
                          "dest must differ from path")
-    if os.path.exists(dest) and os.listdir(dest):
+    if os.path.exists(dest) and (
+            not os.path.isdir(dest) or os.listdir(dest)):
         raise ValueError(f"dest {dest!r} exists and is non-empty — "
                          "compaction lands to a fresh directory")
     if target_mb_per_file <= 0:
@@ -369,17 +370,39 @@ def compact_landed(
                 os.path.join(r, name))
     if not per_part:
         raise ValueError(f"no data files under {path!r}")
-    if fmt == "parquet":
-        df = spark.read.parquet(path)
-    else:
-        df = spark.read.schema(schema).json(path)
-
+    chains = {tuple(s.split("=", 1)[0] for s in key) for key in per_part}
+    if len(chains) > 1:
+        raise ValueError(
+            f"mixed partition layouts under {path!r}: data files sit "
+            f"under different key=value chains {sorted(chains)} — "
+            f"compact each uniform subtree separately")
+    detected = list(next(iter(chains)))
     if partition_by is None:
-        # auto-detect from the deepest key=value chain (uniform by
-        # construction for Spark-landed dirs)
-        partition_by = [s.split("=", 1)[0]
-                        for s in max(per_part, key=len)]
+        partition_by = detected
+    elif list(partition_by) != detected:
+        raise ValueError(
+            f"partition_by={list(partition_by)!r} does not match the "
+            f"on-disk layout's partition chain {detected!r}")
     part_cols = list(partition_by)
+
+    # partition-value TYPE INFERENCE must stay off for this read: with
+    # it on, a lang=01 dir reads back as int 1, the sizing plan's
+    # string-keyed join misses (whale partitions silently compact to
+    # ONE file), and the rewrite lands the value as lang=1 — corrupted.
+    # Strings preserve the on-disk values byte-for-byte; readers of the
+    # DEST see the same dirs (and may re-infer as they always did).
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        if fmt == "parquet":
+            df = spark.read.parquet(path)
+        else:
+            df = spark.read.schema(schema).json(path)
+        # partition discovery resolves eagerly at read time, so the
+        # conf can be restored immediately after
+    finally:
+        spark.conf.set(infer_key, old_infer)
     target = int(target_mb_per_file * 2**20)
     plan = {
         key: max(1, -(-size // target)) for key, size in per_part.items()

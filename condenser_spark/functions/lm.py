@@ -194,8 +194,12 @@ def lm_score_documents_stateless(
         for pdf in batches:
             s4s, ns, lps = [], [], []
             for text in pdf[text_col]:
+                # strip(" ") not strip(): Spark trim removes ASCII
+                # spaces ONLY — Python's bare strip() also removes
+                # control/Unicode whitespace and would tokenize
+                # 'the\\x1d' differently from the batch scorer
                 toks = [t for t in ws.sub(
-                    " ", (text or "").strip().lower()).split(" ") if t]
+                    " ", (text or "").strip(" ").lower()).split(" ") if t]
                 s4 = sum(model.get(t, oov4) for t in toks)
                 n = len(toks)
                 s4s.append(s4)

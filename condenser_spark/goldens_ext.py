@@ -7294,7 +7294,12 @@ def ext_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars long")
 
 
-_MANIFEST_DIR = "/tmp/condenser_spark_manifest_golden/shards"
+# pid-scoped: the golden and its oracle run in the SAME process (the
+# driver imports this module for both queries() and oracle_sql()), while
+# concurrent sessions on one host (a pytest run beside a driver record)
+# each get their own landing instead of racing one shared dir
+_MANIFEST_DIR = (f"/tmp/condenser_spark_manifest_golden_{os.getpid()}"
+                 "/shards")
 
 _MANIFEST_SQL = f"""
     SELECT regexp_extract(filename, '[^/]+$') AS file_base,

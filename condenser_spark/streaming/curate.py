@@ -375,6 +375,10 @@ def curate_stream(
                 "— computing quantiles is an aggregate a stream cannot "
                 "run statelessly; build them from a batch snapshot, "
                 "the domain_prior precompute/apply pattern)")
+        if group_col is not None and group_col not in cur.columns:
+            raise ValueError(
+                f"perplexity_buckets group_col {group_col!r} not in the "
+                f"stream — pass group_col=None for a global split")
         keep_cols_all = list(cur.columns)
         if p_lm is not None:
             from condenser_spark.functions.lm import (

@@ -444,3 +444,74 @@ def test_compact_landed_jsonl_roundtrip(spark, tmp_path):
         spark, dest, "doc_id long, text string, lang string").collect())
     assert got == sorted((r.doc_id, r.text, r.lang)
                          for r in base.collect())
+
+
+def test_compact_landed_preserves_stringy_partition_values(spark,
+                                                           tmp_path):
+    """r15 self-review (live-repro'd): partition-type inference read
+    lang=01 back as int 1 — corrupting the landed value AND missing the
+    sizing plan's string join, so the whale partition compacted to one
+    file.  Values must round-trip byte-for-byte and the plan must hit."""
+    import glob as _glob
+    import pyspark.sql.functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    base = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("y" * 400), F.col("id").cast("string"))
+        .alias("text"),
+        F.when(F.col("id") % 4 == 0, "01").otherwise("1").alias("lang"))
+    path = str(tmp_path / "stringy")
+    base.coalesce(1).write.partitionBy("lang").parquet(path)
+    total_01 = sum(
+        __import__("os").path.getsize(f)
+        for f in _glob.glob(path + "/lang=01/part-*.parquet"))
+    target_mb = total_01 / 3 / 2**20  # lang=01 should split into >=3
+    dest = str(tmp_path / "stringy_out")
+    compact_landed(spark, path, dest, target_mb_per_file=target_mb)
+    # the dirs survive verbatim: lang=01 stays 01, never collapses to 1
+    assert _glob.glob(dest + "/lang=01"), _glob.glob(dest + "/lang=*")
+    assert len(_glob.glob(dest + "/lang=01/part-*.parquet")) >= 3
+    got = sorted((r.doc_id, r.text, str(r.lang))
+                 for r in spark.read.parquet(dest).collect())
+    want = sorted((r.doc_id, r.text, str(r.lang))
+                  for r in spark.read.parquet(path).collect())
+    assert got == want
+    # and the conf flip was restored
+    assert spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled") == \
+        "true"
+
+
+def test_compact_landed_layout_guards(spark, tmp_path):
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        (F.col("id") % 2).cast("string").alias("lang"))
+    part = str(tmp_path / "p")
+    df.write.partitionBy("lang").parquet(part)
+    # explicit partition_by that contradicts the on-disk chain
+    with _pytest.raises(ValueError, match="does not match"):
+        compact_landed(spark, part, str(tmp_path / "o1"),
+                       partition_by=[])
+    # mixed layout: extra data file at the ROOT of a partitioned tree
+    df.drop("lang").coalesce(1).write.parquet(str(tmp_path / "flatbit"))
+    import glob as _glob
+    import shutil as _shutil
+
+    src = _glob.glob(str(tmp_path / "flatbit" / "part-*.parquet"))[0]
+    _shutil.copy(src, _os.path.join(part, "stray.parquet"))
+    with _pytest.raises(ValueError, match="mixed partition layouts"):
+        compact_landed(spark, part, str(tmp_path / "o2"))
+    # dest pointing at a regular FILE fails loud, not NotADirectoryError
+    f = tmp_path / "afile"
+    f.write_text("x")
+    with _pytest.raises(ValueError, match="fresh directory"):
+        compact_landed(spark, str(tmp_path / "flatbit"), str(f))

@@ -158,3 +158,18 @@ def test_phash_pairs_plan_has_single_arrow_eval_and_banded_join(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert plan.count("MapInPandas") <= 2, plan  # once per join side max
+
+
+def test_exact_dup_banding_max_hamming_zero(spark):
+    # r15 self-review: n_bands=1 (the max_hamming=0 exact-dup case) used
+    # to build a (1<<64)-1 mask literal that overflows a Java long
+    base = _raw_image(32, 32, "noise", seed=1)
+    df = _media_df(spark, [(1, base), (2, base),
+                           (3, _raw_image(32, 32, "noise", seed=2))])
+    got = media_dup_pairs(df, method="phash", max_hamming=0).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [(1, 2, 0)]
+    sigs = spark.createDataFrame([(1, -5), (2, -5), (3, 9)],
+                                 "id long, sig long")
+    got2 = hamming_band_pairs(sigs, max_hamming=0, sig_col="sig",
+                              n_bands=1).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got2] == [(1, 2, 0)]

@@ -208,3 +208,30 @@ def test_extra_stage_anchors_after_perplexity(spark, docs, ref_lm):
     assert seen["cols"] == ["doc_id", "text", "lang"]
     assert [r.stage for r in report.collect()] == \
         ["perplexity_buckets", "probe"]
+
+
+def test_stateless_scorer_control_char_parity(spark, ref_lm):
+    # r15 self-review: Python str.strip() removes \x1d (and Unicode
+    # whitespace) that Spark trim + ASCII \s keep — 'the\x1d' must be
+    # ONE OOV token in both scorers, not in-vocab 'the'
+    df = spark.createDataFrame(
+        [(1, "the\x1d"), (2, " the"), (3, "\x0bthe ok\x1e")],
+        "doc_id long, text string")
+    b = {r.doc_id: r for r in lm_score_documents(df, ref_lm).collect()}
+    s = {r.doc_id: r
+         for r in lm_score_documents_stateless(df, ref_lm).collect()}
+    for d in (1, 2, 3):
+        assert (b[d].lm_logprob4_sum, b[d].n_scored_tokens,
+                b[d].lm_logprob) == \
+            (s[d].lm_logprob4_sum, s[d].n_scored_tokens,
+             s[d].lm_logprob), d
+
+
+def test_stream_stage_missing_group_col_fails_loud(spark, docs, ref_lm):
+    sample = docs.limit(10).select("doc_id", "text", "lang")
+    scored = lm_score_documents(sample, ref_lm).withColumn(
+        "p", -F.col("lm_logprob"))
+    thr = quantile_thresholds(scored, "p", n_buckets=3, group_col="lang")
+    with pytest.raises(ValueError, match="group_col 'lang' not in"):
+        curate_stream(scored.drop("lang"), perplexity_buckets={
+            "score_col": "p", "keep": (0,), "thresholds": thr})
