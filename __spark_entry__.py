@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap the following round)
         "ext_landed_manifest",
         "ext_unigram_roundtrip",
+        "ext_curate_ppl_keep",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

@@ -439,3 +439,34 @@ def media_dup_pairs(
         F.col("feature").alias("embedding"),
     )
     return embedding_cosine_dup_pairs(feats, threshold=threshold, dim=dim)
+
+
+def media_dedup(
+    df: DataFrame,
+    method: str = "phash",
+    max_hamming: int = 8,
+    fake: bool | None = True,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Keep-rows image dedup — the ``near_dedup_documents`` contract
+    applied to media: perceptual-hash near-dup pairs
+    (:func:`media_dup_pairs` ``method="phash"|"dhash"``), connected
+    components over the pair graph (``dedup.dup_clusters`` — A~B, B~C
+    collapse to ONE survivor even when A~C was never emitted), then drop
+    every non-survivor.  ``keep_col=None`` keeps each cluster's min-id
+    member; a numeric ``keep_col`` (resolution, source priority) keeps
+    the highest-scoring member instead (ties to the lower id).
+
+    Non-duplicate rows pass through untouched (left-anti on the loser
+    set); payloads never shuffle — only ids, 8-byte hashes, and the
+    optional score column travel."""
+    from condenser_spark.functions.dedup import (
+        _cluster_losers,
+        dup_clusters,
+    )
+
+    pairs = media_dup_pairs(df, method=method, max_hamming=max_hamming,
+                            fake=fake)
+    clusters = dup_clusters(pairs)
+    losers = _cluster_losers(clusters, df, "media_id", keep_col)
+    return df.join(losers, on="media_id", how="left_anti")

@@ -7406,3 +7406,42 @@ def ext_quantile_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("thresholds"))
     return apply_quantile_thresholds(docs, thr, "n_chars", n_buckets=3,
                                      group_col="lang")
+
+
+_CURATE_PPL_SQL = """
+    SELECT doc_id, text, lang, n_chars FROM (
+      SELECT doc_id, text, lang, n_chars,
+             CAST(((rn - 1) * 3) // cnt AS INTEGER) AS bucket
+      FROM (
+        SELECT doc_id, text, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+      )
+    ) WHERE bucket < 2
+"""
+
+
+@golden("ext_curate_ppl_keep", _CURATE_PPL_SQL)
+def ext_curate_ppl_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-15 ``perplexity_buckets=`` COMPOSER stage end to end
+    under a full oracle: the CCNet §4.3 KEEP decision (equal thirds per
+    language over an ascending score, keep head+middle) run through
+    ``curate_corpus`` itself, exact regime, scored on the SQL-visible
+    ``n_chars`` column so DuckDB replays the whole stage — the same
+    held-to-oracle-strength treatment as ext_curate_basic
+    (condenser_spark/curate.py:perplexity_buckets stage,
+    functions/corpus.py:quantile_buckets).  Registered past the
+    driver's 50-slot cap; verified per-pytest by
+    tests/test_overflow_oracles.py."""
+    from condenser_spark.curate import curate_corpus
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "text", "lang", "n_chars")
+    out, _ = curate_corpus(
+        docs,
+        perplexity_buckets={"score_col": "n_chars", "keep": (0, 1),
+                            "mode": "exact"},
+        report=False)
+    return out

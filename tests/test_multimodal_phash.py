@@ -173,3 +173,25 @@ def test_exact_dup_banding_max_hamming_zero(spark):
     got2 = hamming_band_pairs(sigs, max_hamming=0, sig_col="sig",
                               n_bands=1).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got2] == [(1, 2, 0)]
+
+
+def test_media_dedup_keeps_one_per_cluster(spark):
+    a = _raw_image(64, 64, "checker")
+    b = _raw_image(64, 64, "noise", seed=4)
+    # chain: 1~2 (clone) and 2~3 (brightness twin) must collapse to ONE
+    df = _media_df(spark, [(1, a), (2, a),
+                           (3, (a + 20).astype(np.uint8)),
+                           (9, b)])
+    from condenser_spark.functions.multimodal import media_dedup
+
+    kept = sorted(r.media_id
+                  for r in media_dedup(df, max_hamming=8).collect())
+    assert kept == [1, 9]
+    # keep_col: highest duration wins the cluster instead of min id
+    df2 = df.withColumn("duration_ms",
+                        (F.col("media_id") * 100).cast("int"))
+    kept2 = sorted(r.media_id for r in media_dedup(
+        df2, max_hamming=8, keep_col="duration_ms").collect())
+    assert kept2 == [3, 9]
+    # columns pass through untouched
+    assert media_dedup(df, max_hamming=8).columns == df.columns
