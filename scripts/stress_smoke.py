@@ -2444,6 +2444,102 @@ def stage_phash(spark, n_media: int = 1_000_000) -> dict:
     }
 
 
+def stage_compact(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 37: landed-corpus compaction at 1M docs — the round-15
+    maintenance op.  A deliberately mis-sharded landing (one ~40-byte/doc
+    whale holding 90% of rows + 32 tiny shards) re-shards to ~8 MB
+    targets; the claim priced here is that sizing comes from the ON-DISK
+    listing (driver-side, ~free) and the rewrite is ONE distributed
+    job — no serialization pass, no per-partition job loop.  Output
+    parity asserted by count + sum(length)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    uid = lambda s: F.substring(F.md5(  # noqa: E731
+        F.concat(F.col("id").cast("string"), F.lit(s))), 1, 8)
+    text = F.concat_ws(" ", *[uid(f"c{j}") for j in range(5)])
+    path = f"{WORK}/compact_src"
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), text.alias("text"))
+    base.filter(f"id < {int(n_docs * 0.9)}").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    base.filter(f"id >= {int(n_docs * 0.9)}").repartition(32) \
+        .write.mode("append").parquet(path)
+    want = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))).first()
+
+    dest = f"{WORK}/compact_dst"
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    t0 = time.time()
+    facts = compact_landed(spark, path, dest, target_mb_per_file=8.0)
+    wall = time.time() - t0
+    got = spark.read.parquet(dest).agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))).first()
+    assert tuple(got) == tuple(want), (got, want)
+    n_out = len(glob.glob(dest + "/part-*.parquet"))
+    assert n_out == facts["n_files_out"], (n_out, facts)
+    return {
+        "stage": "compact_1m",
+        "n_docs": n_docs,
+        "files_in": facts["n_files_in"],
+        "files_out": n_out,
+        "bytes_in": facts["total_bytes_in"],
+        "compact_wall_sec": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall),
+    }
+
+
+def stage_unigram(spark, n_docs: int = 1_000_000, zipf_vocab: int = 50_000,
+                  words_per_doc: int = 40) -> dict:
+    """Stage 38: unigram-LM (SentencePiece-family) corpus encoding at 1M
+    docs / 40M tokens over a 50k-word Zipf vocabulary — the round-15
+    tokenizer.  The model trains once (untimed, the amortized shape);
+    the timed path is the Zipf claim executed in the plan: Viterbi runs
+    in Python ONCE PER DISTINCT WORD (50k calls), while the 40M-token
+    stream moves through explode -> join -> position-sorted regroup
+    entirely JVM-side.  Closed-form check: decode(encode(x)) length
+    equals the normalized text length, summed over ALL docs."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.unigram import (
+        decode_unigram,
+        encode_unigram,
+        train_unigram,
+    )
+
+    docs = spark.read.parquet(
+        build_zipf_docs(spark, n_docs, zipf_vocab, words_per_doc))
+    model = train_unigram(
+        docs.limit(2_000), vocab_size=2_000, n_iters=1, max_piece_len=6)
+
+    t0 = time.time()
+    enc = encode_unigram(docs, model)
+    n_tokens = enc.agg(F.sum("n_unigram_tokens")).first()[0]
+    enc_wall = time.time() - t0
+
+    t0 = time.time()
+    agg = decode_unigram(enc).join(docs, on="doc_id").agg(
+        F.sum(F.length("decoded_text")).alias("dec"),
+        F.sum(F.length(F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), r"\s+", " "))).alias("src"),
+    ).first()
+    roundtrip_wall = time.time() - t0
+    assert agg.dec == agg.src, (agg.dec, agg.src)
+    return {
+        "stage": "unigram_1m",
+        "n_docs": n_docs,
+        "n_tokens": int(n_tokens),
+        "encode_wall_sec": round(enc_wall, 1),
+        "docs_per_sec": round(n_docs / enc_wall),
+        "roundtrip_check_sec": round(roundtrip_wall, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2491,6 +2587,8 @@ def main() -> int:
         "ingest_chain": lambda: stage_ingest_chain(spark),
         "materialize": lambda: stage_materialize(spark),
         "phash": lambda: stage_phash(spark),
+        "compact": lambda: stage_compact(spark),
+        "unigram": lambda: stage_unigram(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

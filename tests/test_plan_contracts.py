@@ -636,3 +636,45 @@ def test_pii_redact_is_pure_codegen(spark, source):
     plan2 = _executed(out)
     assert "Exchange" not in plan2, plan2
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_perceptual_hash_is_map_only(spark, source):
+    """The round-15 pHash kernel rides the scan: ZERO Exchange, exactly
+    ONE Python (Arrow mapInPandas) eval — 4 KB payloads never shuffle;
+    only 8-byte hashes leave the stage."""
+    from condenser_spark.functions.multimodal import (
+        perceptual_hash,
+        synthesize_media,
+    )
+
+    media = synthesize_media(
+        source["documents"].filter(F.col("doc_id") % 2 == 1))
+    plan = _executed(perceptual_hash(media, method="phash"))
+    assert "Exchange" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               or ("MapInPandas" in l) for l in plan.splitlines())
+    assert n_py == 1, plan
+
+
+def test_perplexity_apply_is_broadcast_join_no_window(spark, source):
+    """The perplexity stage's thresholds path (the 100 TB / streaming
+    regime): ONE broadcast hash join against the tiny thresholds frame,
+    NO Window, NO Sort — the bucket is a chain of comparisons riding
+    the scan."""
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.functions.corpus import quantile_thresholds
+
+    docs = source["documents"].select("doc_id", "text", "lang", "n_chars")
+    thr = quantile_thresholds(docs, "n_chars", n_buckets=3,
+                              group_col="lang").localCheckpoint()
+    out, _ = curate_corpus(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        perplexity_buckets={"score_col": "n_chars", "keep": (0, 1),
+                            "thresholds": thr},
+        report=False, barrier=False)
+    plan = _executed(out)
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "Window" not in final and "SortExec" not in final, plan
+    assert "ArrowEvalPython" not in final and \
+        "BatchEvalPython" not in final, plan
