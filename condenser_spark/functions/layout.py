@@ -384,6 +384,23 @@ def compact_landed(
             f"partition_by={list(partition_by)!r} does not match the "
             f"on-disk layout's partition chain {detected!r}")
     part_cols = list(partition_by)
+    if fmt == "json" and part_cols and schema is not None:
+        from pyspark.sql import types as T
+
+        sch = (T.StructType.fromDDL(schema) if isinstance(schema, str)
+               else schema)
+        bad = [f.name for f in sch.fields
+               if f.name in part_cols
+               and not isinstance(f.dataType, T.StringType)]
+        if bad:
+            # Spark takes partition-column types from a USER schema
+            # regardless of the inference conf — a 'lang int' schema
+            # field would re-open the lang=01 -> 1 corruption below
+            raise ValueError(
+                f"schema types partition column(s) {bad} as non-string; "
+                f"partition values must round-trip byte-for-byte "
+                f"through compaction — type them string (or omit them "
+                f"from the schema; they come from the directory names)")
 
     # partition-value TYPE INFERENCE must stay off for this read: with
     # it on, a lang=01 dir reads back as int 1, the sizing plan's
@@ -391,6 +408,12 @@ def compact_landed(
     # ONE file), and the rewrite lands the value as lang=1 — corrupted.
     # Strings preserve the on-disk values byte-for-byte; readers of the
     # DEST see the same dirs (and may re-infer as they always did).
+    # CAVEAT (documented non-reentrancy): the flag is a SESSION conf —
+    # there is no per-read option — so another thread reading
+    # partitioned data through the same SparkSession during this short
+    # read-resolution window would also see string-typed partition
+    # columns.  Compaction is a maintenance job; run it from a
+    # single-purpose session when the driver is shared.
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     old_infer = spark.conf.get(infer_key, "true")
     spark.conf.set(infer_key, "false")
@@ -427,6 +450,17 @@ def compact_landed(
             tuple(_dir_value(s) for s in key) + (int(n),)
             for key, n in plan.items()
         ]
+        decoded_keys = [r[:-1] for r in rows]
+        if len(set(decoded_keys)) != len(decoded_keys):
+            dupes = sorted({k for k in decoded_keys
+                            if decoded_keys.count(k) > 1})
+            # two dirs that unquote to the same value (lang=a%20b next
+            # to 'lang=a b') would give the plan join two matching rows
+            # and DUPLICATE every data row in the output — fail loud
+            raise ValueError(
+                f"partition directories decode to duplicate values "
+                f"{dupes} under {path!r} — merge the colliding "
+                f"directories before compacting")
         plan_df = spark.createDataFrame(
             rows, ", ".join([f"`{c}` string" for c in part_cols])
             + ", `_n_shards` int")

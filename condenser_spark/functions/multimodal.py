@@ -394,6 +394,7 @@ def media_dup_pairs(
     fake: bool | None = True,
     method: str = "feature",
     max_hamming: int = 8,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate media pairs — the image/audio dedup step of a
     multimodal pipeline.
@@ -411,7 +412,12 @@ def media_dup_pairs(
     with ``max_hamming + 1`` bands (pigeonhole-complete recall), exact
     ``bit_count(xor)`` verification — the same machinery as text
     SimHash (dedup.hamming_band_pairs).  Returns (id_a, id_b, hamming);
-    ``threshold``/``dim`` are ignored.
+    ``threshold``/``dim`` are ignored.  ``max_bucket_size`` caps
+    degenerate band buckets before the self-join: a group of MORE than
+    that many IDENTICAL hashes (mass-duplicated images) emits zero
+    pairs here by design — for keep-rows dedup semantics use
+    :func:`media_dedup`, whose exact-hash pre-collapse removes such
+    groups unconditionally before banding.
 
     Byte-identical payloads always pair (distance 0 / cosine 1: both
     hash and fake feature are pure functions of the payload, and a real
@@ -426,7 +432,8 @@ def media_dup_pairs(
         sigs = perceptual_hash(df, method=method, fake=fake)
         return hamming_band_pairs(
             sigs, max_hamming=max_hamming, sig_col="hash",
-            id_col="media_id", n_bands=max_hamming + 1)
+            id_col="media_id", n_bands=max_hamming + 1,
+            max_bucket_size=max_bucket_size)
     if method != "feature":
         raise ValueError(
             f"method must be 'feature'|'phash'|'dhash': {method!r}")
@@ -447,26 +454,56 @@ def media_dedup(
     max_hamming: int = 8,
     fake: bool | None = True,
     keep_col: str | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Keep-rows image dedup — the ``near_dedup_documents`` contract
-    applied to media: perceptual-hash near-dup pairs
-    (:func:`media_dup_pairs` ``method="phash"|"dhash"``), connected
-    components over the pair graph (``dedup.dup_clusters`` — A~B, B~C
-    collapse to ONE survivor even when A~C was never emitted), then drop
-    every non-survivor.  ``keep_col=None`` keeps each cluster's min-id
-    member; a numeric ``keep_col`` (resolution, source priority) keeps
-    the highest-scoring member instead (ties to the lower id).
+    applied to media: 64-bit perceptual hashes, an EXACT-HASH
+    pre-collapse, Hamming-banded near pairs among the representatives,
+    connected components, then drop every non-survivor.  ``keep_col=
+    None`` keeps each cluster's min-id member; a numeric ``keep_col``
+    (resolution, source priority) keeps the highest-scoring member
+    instead (ties to the lower id).
+
+    The exact pre-collapse is load-bearing at scale, exactly as in
+    ``near_dedup_documents``: a mass-duplicated image (the single most
+    common dup shape) puts >``max_bucket_size`` identical hashes in
+    every band bucket, and the bucket cap would then emit ZERO pairs —
+    silently keeping every copy.  Collapsing each hash group to its
+    min-id representative first (one hash-aggregate on (hash, id))
+    removes identical copies unconditionally AND shrinks the mega-group
+    to one banded row, so the cap only ever prunes genuinely-distinct
+    near-miss crowds.  Because each representative is the min id of its
+    exact group, the min-id survivor of a near cluster of
+    representatives is the min-id member of the full expanded cluster.
 
     Non-duplicate rows pass through untouched (left-anti on the loser
     set); payloads never shuffle — only ids, 8-byte hashes, and the
     optional score column travel."""
+    if method not in ("phash", "dhash"):
+        raise ValueError(
+            f"media_dedup method must be 'phash'|'dhash': {method!r} "
+            "(for feature-cosine pairs use media_dup_pairs directly)")
     from condenser_spark.functions.dedup import (
         _cluster_losers,
         dup_clusters,
+        hamming_band_pairs,
     )
 
-    pairs = media_dup_pairs(df, method=method, max_hamming=max_hamming,
-                            fake=fake)
-    clusters = dup_clusters(pairs)
+    sigs = perceptual_hash(df, method=method, fake=fake) \
+        .select("media_id", "hash").localCheckpoint(eager=False)
+    # exact pre-collapse: min-id representative per identical hash
+    reps = sigs.groupBy("hash").agg(F.min("media_id").alias("rep"))
+    id_to_rep = sigs.join(reps, on="hash").select("media_id", "rep")
+    near = hamming_band_pairs(
+        reps.select(F.col("rep").alias("media_id"), "hash"),
+        max_hamming=max_hamming, sig_col="hash", id_col="media_id",
+        n_bands=max_hamming + 1, max_bucket_size=max_bucket_size)
+    rep_clusters = dup_clusters(near)
+    clusters = (id_to_rep
+                .join(rep_clusters.withColumnRenamed("id", "rep"),
+                      on="rep", how="left")
+                .select(F.col("media_id").alias("id"),
+                        F.coalesce(F.col("cluster_id"), F.col("rep"))
+                        .alias("cluster_id")))
     losers = _cluster_losers(clusters, df, "media_id", keep_col)
     return df.join(losers, on="media_id", how="left_anti")

@@ -7324,10 +7324,17 @@ def ext_landed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_overflow_oracles.py."""
     import shutil
 
+    import atexit
+
     from condenser_spark.functions.layout import landed_manifest
 
     docs = _tables(spark, sf_dir)["documents"]
     shutil.rmtree(os.path.dirname(_MANIFEST_DIR), ignore_errors=True)
+    # pid-scoped dirs don't self-clean across runs the way the old
+    # fixed path did — remove ours at exit so repeated sessions never
+    # litter /tmp (idempotent; registering per call is harmless)
+    atexit.register(shutil.rmtree, os.path.dirname(_MANIFEST_DIR),
+                    ignore_errors=True)
     docs.repartitionByRange(4, "doc_id").write.parquet(_MANIFEST_DIR)
     man = landed_manifest(spark, _MANIFEST_DIR)
     return man.select(

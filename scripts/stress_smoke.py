@@ -2522,6 +2522,13 @@ def stage_unigram(spark, n_docs: int = 1_000_000, zipf_vocab: int = 50_000,
     n_tokens = enc.agg(F.sum("n_unigram_tokens")).first()[0]
     enc_wall = time.time() - t0
 
+    # the roundtrip check is a SECOND action over the lazy plan, so it
+    # re-executes encode + decode end-to-end — reported as such
+    # (roundtrip_e2e_sec).  A localCheckpoint barrier was measured and
+    # REJECTED: materializing 113M token strings to executor storage
+    # cost 86 s vs the 15-21 s recompute — at this fan-out, recompute
+    # beats persistence (the opposite call from the composer's slim
+    # per-stage frames, priced rather than assumed)
     t0 = time.time()
     agg = decode_unigram(enc).join(docs, on="doc_id").agg(
         F.sum(F.length("decoded_text")).alias("dec"),
@@ -2536,7 +2543,7 @@ def stage_unigram(spark, n_docs: int = 1_000_000, zipf_vocab: int = 50_000,
         "n_tokens": int(n_tokens),
         "encode_wall_sec": round(enc_wall, 1),
         "docs_per_sec": round(n_docs / enc_wall),
-        "roundtrip_check_sec": round(roundtrip_wall, 1),
+        "roundtrip_e2e_sec": round(roundtrip_wall, 1),
     }
 
 

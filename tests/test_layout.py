@@ -515,3 +515,48 @@ def test_compact_landed_layout_guards(spark, tmp_path):
     f.write_text("x")
     with _pytest.raises(ValueError, match="fresh directory"):
         compact_landed(spark, str(tmp_path / "flatbit"), str(f))
+
+
+def test_compact_landed_json_partition_schema_and_unquote_collision(
+        spark, tmp_path):
+    """r15 self-review: (a) a user json schema typing a partition column
+    non-string would re-open the lang=01 corruption — rejected; (b) two
+    dirs that percent-unquote to the same value would duplicate rows
+    through the plan join — rejected."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+    from condenser_spark.sources import write_jsonl
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.format_string("%02d", F.col("id") % 2).alias("lang"))
+    src = str(tmp_path / "jl")
+    for lang in ("00", "01"):
+        write_jsonl(df.filter(F.col("lang") == lang).drop("lang"),
+                    _os.path.join(src, f"lang={lang}"), n_files=1)
+    with _pytest.raises(ValueError, match="non-string"):
+        compact_landed(spark, src, str(tmp_path / "o1"), fmt="json",
+                       schema="doc_id long, text string, lang int",
+                       target_mb_per_file=64)
+    # string-typed partition column passes and values survive verbatim
+    facts = compact_landed(spark, src, str(tmp_path / "o1"), fmt="json",
+                           schema="doc_id long, text string",
+                           target_mb_per_file=64)
+    assert facts["partitions"] == 2
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "o1" / "lang=00"))
+    assert _glob.glob(str(tmp_path / "o1" / "lang=01"))
+
+    # unquote collision: lang=a%20b beside 'lang=a b'
+    pq = str(tmp_path / "pq")
+    base = spark.range(10).select(F.col("id").alias("doc_id"),
+                                  F.lit("t").alias("text"))
+    base.coalesce(1).write.parquet(_os.path.join(pq, "lang=a%20b"))
+    base.coalesce(1).write.parquet(_os.path.join(pq, "lang=a b"))
+    with _pytest.raises(ValueError, match="decode to duplicate"):
+        compact_landed(spark, pq, str(tmp_path / "o2"))

@@ -195,3 +195,38 @@ def test_media_dedup_keeps_one_per_cluster(spark):
     assert kept2 == [3, 9]
     # columns pass through untouched
     assert media_dedup(df, max_hamming=8).columns == df.columns
+
+
+def test_media_dedup_mass_duplicate_group_past_bucket_cap(spark):
+    """r15 self-review #2: a mass-duplicated image whose identical
+    hashes exceed max_bucket_size emits ZERO banded pairs (by design) —
+    media_dedup's exact-hash pre-collapse must still remove every copy,
+    and the pairs-level API documents the cap honestly."""
+    from condenser_spark.functions.multimodal import (
+        media_dedup,
+        media_dup_pairs,
+    )
+
+    base = _raw_image(32, 32, "checker")
+    rows = [(i, base) for i in range(6)] + \
+        [(100, _raw_image(32, 32, "noise", seed=9))]
+    df = _media_df(spark, rows)
+    # the cap silences the pairs path for the 6-clone group...
+    assert media_dup_pairs(df, method="phash", max_hamming=8,
+                           max_bucket_size=2).count() == 0
+    # ...but keep-rows dedup still collapses it (pre-collapse)
+    kept = sorted(r.media_id for r in media_dedup(
+        df, max_hamming=8, max_bucket_size=2).collect())
+    assert kept == [0, 100]
+    # keep-best election spans the exact group too
+    df2 = df.withColumn("duration_ms",
+                        (F.col("media_id") * 10).cast("int"))
+    kept2 = sorted(r.media_id for r in media_dedup(
+        df2, max_hamming=8, max_bucket_size=2,
+        keep_col="duration_ms").collect())
+    assert kept2 == [5, 100]
+    # the docstring contract: feature method is pairs-only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phash.*dhash"):
+        media_dedup(df, method="feature")
