@@ -1,0 +1,91 @@
+"""Image near-duplicate detection and dedup with perceptual hashes —
+the round-15 multimodal story (the LAION-dedup lineage primitive):
+
+1. BUILD a small image corpus of raw grayscale payloads: originals,
+   byte-identical clones, brightness-shifted twins, 2x-downsampled
+   resizes, and unrelated noise (no codec ships in this container, so
+   the payloads use the documented fake-decode contract — raw row-major
+   8-bit grayscale at the row's width/height metadata; with Pillow
+   installed the same code decodes real formats).
+2. HASH every payload: 64-bit DCT pHash and gradient dHash in one Arrow
+   kernel (`perceptual_hash`) — payloads never shuffle, hashes do.
+3. PAIR near-duplicates with a Hamming-band equi-join
+   (`media_dup_pairs(method="phash")`): pigeonhole-complete banding,
+   exact popcount verify, never an all-pairs scan.
+4. DEDUP keep-rows (`media_dedup`): exact-hash pre-collapse (so a
+   mass-duplicated image can never hide behind the band-bucket cap),
+   connected components, keep the highest-resolution member of each
+   cluster (`keep_col="width"`).
+
+Usage:  python examples/image_phash_dedup.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.multimodal import (
+        media_dedup,
+        media_dup_pairs,
+        perceptual_hash,
+    )
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("image-phash-example", master="local[8]",
+                      shuffle_partitions=8)
+
+    def img(kind: str, seed: int, w: int = 64, h: int = 64) -> np.ndarray:
+        if kind == "checker":
+            return ((np.indices((h, w)).sum(axis=0) // 8 % 2) * 180 + 20
+                    ).astype(np.uint8)
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 200, (h, w), dtype=np.uint8)
+
+    base = img("checker", 0)
+    rows = [
+        (1, base, "original"),
+        (2, base, "byte-identical clone"),
+        (3, (base + 20).astype(np.uint8), "brightness +20"),
+        (4, base[::2, ::2].copy(), "2x downsample (32x32)"),
+        (10, img("noise", 7), "unrelated A"),
+        (11, img("noise", 8), "unrelated B"),
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", a.tobytes(), "raw",
+          int(a.shape[1]), int(a.shape[0]), 0) for i, a, _ in rows],
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+    label = {i: lbl for i, _, lbl in rows}
+
+    print("== 64-bit perceptual hashes (one Arrow kernel) ==")
+    for r in perceptual_hash(media, method="phash").orderBy(
+            "media_id").collect():
+        print(f"  {r.media_id:3d}  {r.hash:20d}   {label[r.media_id]}")
+
+    print("== near-dup pairs at Hamming <= 8 (band join + popcount) ==")
+    pairs = media_dup_pairs(media, method="phash", max_hamming=8)
+    for r in pairs.orderBy("id_a", "id_b").collect():
+        print(f"  {label[r.id_a]!r:26} ~ {label[r.id_b]!r:26} "
+              f"hamming={r.hamming}")
+
+    kept = media_dedup(media, max_hamming=8, keep_col="width")
+    print("== media_dedup survivors (keep the widest of each cluster) ==")
+    for r in kept.orderBy("media_id").collect():
+        print(f"  kept {r.media_id:3d}  {label[r.media_id]}")
+    n = kept.count()
+    assert n == 3, n  # one survivor for the 4-image cluster + 2 noise
+    print(f"== {media.count()} images -> {n} after dedup ==")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
