@@ -255,22 +255,27 @@ def _decode_gray(payload: bytes, kind: str, width, height,
     if raw.size < need:
         raw = np.tile(raw, -(-need // max(1, raw.size)))
     img = raw[:need].astype(np.float64).reshape(h, w)
+    return _pool_axis(_pool_axis(img, grid_h, 0), grid_w, 1)
 
-    def pool(a: "np.ndarray", n_out: int, axis: int) -> "np.ndarray":
-        n = a.shape[axis]
-        if n >= n_out:
-            # area-average: each output bin is the mean of its source rows
-            bins = np.arange(n) * n_out // n
-            starts = np.searchsorted(bins, np.arange(n_out))
-            sums = np.add.reduceat(a, starts, axis=axis)
-            counts = np.bincount(bins, minlength=n_out)
-            shape = [1, 1]
-            shape[axis] = n_out
-            return sums / counts.reshape(shape)
-        idx = ((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64)
-        return np.take(a, np.clip(idx, 0, n - 1), axis=axis)
 
-    return pool(pool(img, grid_h, 0), grid_w, 1)
+def _pool_axis(a, n_out: int, axis: int = 0):
+    """Area-average (downsample) or nearest-sample (upsample) ``a`` to
+    ``n_out`` along ``axis`` — the shared deterministic resampler behind
+    the fake image and waveform decoders."""
+    import numpy as np
+
+    n = a.shape[axis]
+    if n >= n_out:
+        # area-average: each output bin is the mean of its source rows
+        bins = np.arange(n) * n_out // n
+        starts = np.searchsorted(bins, np.arange(n_out))
+        sums = np.add.reduceat(a, starts, axis=axis)
+        counts = np.bincount(bins, minlength=n_out)
+        shape = [1] * a.ndim
+        shape[axis] = n_out
+        return sums / counts.reshape(shape)
+    idx = ((np.arange(n_out) + 0.5) * n / n_out).astype(np.int64)
+    return np.take(a, np.clip(idx, 0, n - 1), axis=axis)
 
 
 def _dct_matrix(n: int):
@@ -317,6 +322,64 @@ def _dhash_batch(imgs):
     return _pack_bits_batch(imgs[:, :, 1:] > imgs[:, :, :-1])
 
 
+#: audio fingerprint geometry: 9 frames x 512 samples, 9 log-spaced
+#: spectral bands over the 257 positive rfft bins (DC excluded) -> an
+#: 8x8 double-difference sign grid = 64 bits.
+_AFP_FRAMES, _AFP_FRAME_LEN = 9, 512
+
+
+def _afp_band_edges():
+    import numpy as np
+
+    edges = np.round(np.geomspace(1, _AFP_FRAME_LEN // 2 + 1, 10)
+                     ).astype(np.int64)
+    # geomspace rounding can collide at the low end; force strict ascent
+    for i in range(1, len(edges)):
+        edges[i] = max(edges[i], edges[i - 1] + 1)
+    return edges
+
+
+def _decode_wave(payload: bytes, kind: str, fake: bool | None):
+    """Decode a payload to a float waveform of _AFP_FRAMES*_AFP_FRAME_LEN
+    samples.  Fake path (the CI path — no audio codec in this
+    container): the payload IS raw unsigned 8-bit PCM, centered to
+    [-1, 1] and area-resampled to the fixed length — so amplitude
+    scaling and noise on the RAW samples perturb the fingerprint the
+    way they would through a real decoder.  Real path: probe-gated
+    (torchaudio/pyav absent here), raises ``DecoderUnavailable``."""
+    import numpy as np
+
+    if fake is False or (fake is None and decoder_available(kind)):
+        raise DecoderUnavailable(
+            f"no codec available for kind={kind!r}; install "
+            "torchaudio/pyav, or run with fake=True")
+    raw = np.frombuffer(payload or b"\x80", dtype=np.uint8)
+    wave = (raw.astype(np.float64) - 128.0) / 128.0
+    return _pool_axis(wave, _AFP_FRAMES * _AFP_FRAME_LEN, 0)
+
+
+def _audiohash_batch(waves):
+    """(B, 9*512) waveforms -> (B,) 64-bit audio fingerprints — the
+    Haitsma & Kalker 2002 ("A Highly Robust Audio Fingerprint System")
+    bit rule, batched: per frame, rfft -> energy in 9 log-spaced bands;
+    bit(n, m) = sign of the time-frequency DOUBLE difference
+    (E[n,m]-E[n,m+1]) - (E[n-1,m]-E[n-1,m+1]).  Global amplitude
+    scaling multiplies every band energy by c^2, so the signs — hence
+    the fingerprint — are volume-invariant by construction.  One 64-bit
+    clip hash (the classic system emits one 32-bit subfingerprint per
+    frame; a single clip-level word is the simplification that makes it
+    Hamming-bandable with the shared pigeonhole machinery — documented,
+    not hidden)."""
+    import numpy as np
+
+    frames = waves.reshape(-1, _AFP_FRAMES, _AFP_FRAME_LEN)
+    spec = np.abs(np.fft.rfft(frames, axis=2)) ** 2
+    edges = _afp_band_edges()
+    e = np.add.reduceat(spec, edges[:-1], axis=2)  # (B, 9, 9)
+    d = e[:, :, :-1] - e[:, :, 1:]                 # (B, 9, 8)
+    return _pack_bits_batch(d[:, 1:, :] - d[:, :-1, :] > 0)
+
+
 def _phash_one(payload: bytes, kind: str, width, height,
                fake: bool | None) -> int:
     """Single-payload pHash (the batch kernel on a stack of one)."""
@@ -346,19 +409,31 @@ def perceptual_hash(
     keys on SimHash/MinHash).
 
     ``method``: ``"phash"`` (32x32 DCT low-frequency signs — robust to
-    resize/recompress) or ``"dhash"`` (9x8 horizontal gradients — robust
-    to brightness/contrast).  Same tri-state ``fake`` as
-    :func:`extract_features`; the fake path documents payloads as raw
-    row-major grayscale at the row's (width, height) metadata.
+    resize/recompress), ``"dhash"`` (9x8 horizontal gradients — robust
+    to brightness/contrast), or ``"audio"`` (the Haitsma-Kalker 2002
+    band-energy double-difference fingerprint — volume-invariant by
+    construction; see ``_audiohash_batch`` for the one-word-per-clip
+    simplification).  Same tri-state ``fake`` as
+    :func:`extract_features`; the fake paths document payloads as raw
+    row-major grayscale at the row's (width, height) metadata (image
+    methods) / raw unsigned 8-bit PCM (``"audio"``).
 
     Scale shape: one Arrow ``mapInPandas`` kernel, zero shuffle — the
     hash rides the scan; payload bytes never leave their executor.  Pair
-    finding is :func:`media_dup_pairs` ``method="phash"|"dhash"``, a
+    finding is :func:`media_dup_pairs` with the same ``method``, a
     Hamming-band equi-join (dedup.hamming_band_pairs), never all-pairs."""
-    if method not in ("phash", "dhash"):
-        raise ValueError(f"method must be 'phash'|'dhash': {method!r}")
-    grid_w, grid_h = (32, 32) if method == "phash" else (9, 8)
-    batch_fn = _phash_batch if method == "phash" else _dhash_batch
+    if method not in ("phash", "dhash", "audio"):
+        raise ValueError(
+            f"method must be 'phash'|'dhash'|'audio': {method!r}")
+    if method == "audio":
+        decode_one = lambda p, k, w, h: _decode_wave(p, k, fake)  # noqa: E731
+        batch_fn = _audiohash_batch
+    else:
+        grid_w, grid_h = (32, 32) if method == "phash" else (9, 8)
+        decode_one = (  # noqa: E731
+            lambda p, k, w, h: _decode_gray(p, k, w, h, grid_w, grid_h,
+                                            fake))
+        batch_fn = _phash_batch if method == "phash" else _dhash_batch
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -370,9 +445,9 @@ def perceptual_hash(
                      "hash": pd.Series([], dtype="int64")})
                 continue
             # decode is per-row (payload sizes differ); the hash math
-            # (DCT/gradients/bit-pack) runs BATCHED over the stack
-            imgs = np.stack([
-                _decode_gray(p, k, w, h, grid_w, grid_h, fake)
+            # (DCT/FFT/gradients/bit-pack) runs BATCHED over the stack
+            stack = np.stack([
+                decode_one(p, k, w, h)
                 for p, k, w, h in zip(pdf["payload"], pdf["kind"],
                                       pdf["width"], pdf["height"])
             ])
@@ -380,7 +455,7 @@ def perceptual_hash(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "hash": batch_fn(imgs),
+                    "hash": batch_fn(stack),
                 }
             )
 
@@ -426,7 +501,7 @@ def media_dup_pairs(
     decode is the only Python stage, bucketing bounds the candidate
     set, payloads never shuffle (only 8-byte hashes / short features
     do)."""
-    if method in ("phash", "dhash"):
+    if method in ("phash", "dhash", "audio"):
         from condenser_spark.functions.dedup import hamming_band_pairs
 
         sigs = perceptual_hash(df, method=method, fake=fake)
@@ -436,7 +511,8 @@ def media_dup_pairs(
             max_bucket_size=max_bucket_size)
     if method != "feature":
         raise ValueError(
-            f"method must be 'feature'|'phash'|'dhash': {method!r}")
+            f"method must be 'feature'|'phash'|'dhash'|'audio': "
+            f"{method!r}")
     from condenser_spark.functions.similarity import (
         embedding_cosine_dup_pairs,
     )
@@ -479,9 +555,10 @@ def media_dedup(
     Non-duplicate rows pass through untouched (left-anti on the loser
     set); payloads never shuffle — only ids, 8-byte hashes, and the
     optional score column travel."""
-    if method not in ("phash", "dhash"):
+    if method not in ("phash", "dhash", "audio"):
         raise ValueError(
-            f"media_dedup method must be 'phash'|'dhash': {method!r} "
+            f"media_dedup method must be 'phash'|'dhash'|'audio': "
+            f"{method!r} "
             "(for feature-cosine pairs use media_dup_pairs directly)")
     from condenser_spark.functions.dedup import (
         _cluster_losers,

@@ -230,3 +230,85 @@ def test_media_dedup_mass_duplicate_group_past_bucket_cap(spark):
 
     with _pytest.raises(ValueError, match="phash.*dhash"):
         media_dedup(df, method="feature")
+
+
+def _pcm(kind: str, seed: int = 0) -> np.ndarray:
+    """Deterministic 'melodies' as raw unsigned 8-bit PCM with EVEN
+    deltas around 128, so integer volume halving is exact."""
+    n = 9 * 512
+    t = np.arange(n)
+    if kind == "melody":
+        sig = (40 * np.sin(2 * np.pi * t * 0.01)
+               + 30 * np.sin(2 * np.pi * t * 0.037)
+               + 20 * np.sin(2 * np.pi * t * 0.11 * (1 + t / n)))
+        return (128 + 2 * np.round(sig / 2)).clip(0, 255).astype(np.uint8)
+    if kind == "melody2":
+        sig = (45 * np.sin(2 * np.pi * t * 0.004)
+               + 25 * np.sin(2 * np.pi * t * 0.071))
+        return (128 + 2 * np.round(sig / 2)).clip(0, 255).astype(np.uint8)
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, n, dtype=np.uint8)
+
+
+def _audio_df(spark, rows):
+    data = [(int(mid), "audio", pcm.tobytes(), "pcm_u8", 0, 0,
+             int(len(pcm)))
+            for mid, pcm in rows]
+    return spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+
+
+def test_audio_fingerprint_invariances(spark):
+    """Haitsma-Kalker band-energy hash: volume scaling and uniform time
+    stretch leave the fingerprint EXACTLY unchanged (sign-of-double-
+    difference rule + fixed-length resample); mild noise stays within
+    the near-dup threshold; different melodies sit ~32 bits apart."""
+    from condenser_spark.functions.multimodal import (
+        media_dup_pairs,
+        perceptual_hash,
+    )
+
+    base = _pcm("melody")
+    half = (128 + (base.astype(np.int64) - 128) // 2).astype(np.uint8)
+    stretched = np.repeat(base, 2)
+    rng = np.random.default_rng(3)
+    noisy = (base.astype(np.int64)
+             + rng.integers(-3, 4, base.size)).clip(0, 255).astype(np.uint8)
+    df = _audio_df(spark, [(1, base), (2, half), (3, stretched),
+                           (4, noisy), (10, _pcm("melody2")),
+                           (11, _pcm("noise", seed=5))])
+    hashes = {r.media_id: r.hash
+              for r in perceptual_hash(df, method="audio").collect()}
+    assert hashes[1] == hashes[2] == hashes[3]  # volume + stretch exact
+    pairs = media_dup_pairs(df, method="audio", max_hamming=12)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 0
+    assert (1, 4) in got and got[(1, 4)] <= 12  # noisy twin pairs
+    assert not any(10 in p or 11 in p for p in got), got
+
+
+def test_audio_media_dedup_and_guards(spark):
+    from condenser_spark.functions.multimodal import (
+        media_dedup,
+        perceptual_hash,
+    )
+
+    base = _pcm("melody")
+    half = (128 + (base.astype(np.int64) - 128) // 2).astype(np.uint8)
+    df = _audio_df(spark, [(1, base), (2, half),
+                           (9, _pcm("melody2"))])
+    kept = sorted(r.media_id
+                  for r in media_dedup(df, method="audio",
+                                       max_hamming=12).collect())
+    assert kept == [1, 9]
+    # no audio codec in this container: forcing real decode fails loud
+    import pytest as _pytest
+
+    from condenser_spark.functions.multimodal import DecoderUnavailable
+
+    with _pytest.raises(Exception) as exc:
+        perceptual_hash(df, method="audio", fake=False).collect()
+    assert "DecoderUnavailable" in str(exc.value) or isinstance(
+        exc.value, DecoderUnavailable)
