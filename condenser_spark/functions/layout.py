@@ -293,6 +293,7 @@ def compact_landed(
     sort_col: str | None = None,
     partition_by: list[str] | None = None,
     compression: str | None = "auto",
+    incremental: bool = False,
 ) -> dict:
     """Re-shard an already-LANDED corpus directory to ``target_mb_per_file``
     files — the routine maintenance op a long-lived corpus needs when
@@ -324,12 +325,24 @@ def compact_landed(
       preserved — parquet row order is not a contract of unsorted
       landings).
 
+    ``incremental=True`` is the 100 TB regime: only files OUTSIDE
+    ``[target/2, 2*target]`` are decoded and rewritten (sized from their
+    bytes alone); in-range files are COPIED verbatim into the same
+    relative location — no decode, no shuffle, and on an object store a
+    server-side copy.  Fixing three bad shards in a million-file corpus
+    then costs a read+write of just those shards.  With ``sort_col=``
+    the rewritten files are sorted within themselves while copied files
+    keep their original order — per-file footer min/max pruning
+    survives either way (rewritten files may span wider ranges than a
+    full range-partitioned rewrite would give).
+
     ``dest`` must differ from ``path`` and not exist (``fail-loud``):
     compaction never rewrites in place — land, verify (e.g.
     :func:`landed_manifest` + row counts), then swap directories.
 
     Returns driver-side plan facts: ``{"n_files_in", "n_files_out",
-    "total_bytes_in", "partitions"}`` (``n_files_out`` is the planned
+    "total_bytes_in", "partitions"}`` plus, under ``incremental``,
+    ``{"n_copied", "n_rewritten_in"}`` (``n_files_out`` is the planned
     count; hash routing makes it exact for flat layouts and
     near-exact per partition — verify the landing with
     :func:`landed_manifest`)."""
@@ -354,23 +367,57 @@ def compact_landed(
     # — runs BEFORE the read so an empty landing fails with this
     # message, not the reader's schema-inference error
     root = os.path.abspath(path)
-    per_part: dict[tuple, int] = {}
-    n_files_in = 0
+    all_files: list[tuple[tuple, str, int]] = []  # (key, abspath, bytes)
     gz_seen = False
     for r, _dirs, names in os.walk(root):
         for name in sorted(names):
             if name.startswith((".", "_")):
                 continue
-            n_files_in += 1
             gz_seen = gz_seen or name.endswith((".gz", ".gzip"))
             rel = os.path.relpath(r, root)
             segs = [] if rel == "." else rel.split(os.sep)
             key = tuple(s for s in segs if "=" in s)
-            per_part[key] = per_part.get(key, 0) + os.path.getsize(
-                os.path.join(r, name))
-    if not per_part:
+            p = os.path.join(r, name)
+            all_files.append((key, p, os.path.getsize(p)))
+    n_files_in = len(all_files)
+    if not all_files:
         raise ValueError(f"no data files under {path!r}")
+    target = int(target_mb_per_file * 2**20)
+    if incremental:
+        copy_files = [f for f in all_files
+                      if target // 2 <= f[2] <= 2 * target]
+        rewrite_files = [f for f in all_files
+                         if not target // 2 <= f[2] <= 2 * target]
+    else:
+        copy_files, rewrite_files = [], list(all_files)
+    per_part: dict[tuple, int] = {}
+    for key, _p, size in rewrite_files:
+        per_part[key] = per_part.get(key, 0) + size
+
+    def _copy_in_range() -> None:
+        import shutil
+
+        for _key, src, _size in copy_files:
+            rel = os.path.relpath(src, root)
+            dst = os.path.join(dest, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(src, dst)
+
+    if not per_part:
+        # every file already in range: a pure copy, no Spark job at all
+        os.makedirs(dest, exist_ok=True)
+        _copy_in_range()
+        return {
+            "n_files_in": n_files_in,
+            "n_files_out": len(copy_files),
+            "total_bytes_in": 0,
+            "partitions": 0,
+            "n_copied": len(copy_files),
+            "n_rewritten_in": 0,
+        }
     chains = {tuple(s.split("=", 1)[0] for s in key) for key in per_part}
+    chains |= {tuple(s.split("=", 1)[0] for s in key)
+               for key, _p, _s in copy_files}
     if len(chains) > 1:
         raise ValueError(
             f"mixed partition layouts under {path!r}: data files sit "
@@ -418,15 +465,22 @@ def compact_landed(
     old_infer = spark.conf.get(infer_key, "true")
     spark.conf.set(infer_key, "false")
     try:
-        if fmt == "parquet":
-            df = spark.read.parquet(path)
+        reader = spark.read
+        if incremental:
+            # only the out-of-range files enter the job; basePath keeps
+            # the partition columns resolvable from their dir names
+            reader = reader.option("basePath", path)
+            sources = [p for _k, p, _s in rewrite_files]
         else:
-            df = spark.read.schema(schema).json(path)
+            sources = [path]
+        if fmt == "parquet":
+            df = reader.parquet(*sources)
+        else:
+            df = reader.schema(schema).json(*sources)
         # partition discovery resolves eagerly at read time, so the
         # conf can be restored immediately after
     finally:
         spark.conf.set(infer_key, old_infer)
-    target = int(target_mb_per_file * 2**20)
     plan = {
         key: max(1, -(-size // target)) for key, size in per_part.items()
     }
@@ -502,9 +556,15 @@ def compact_landed(
         if comp is not None:
             writer = writer.option("compression", comp)
         writer.json(dest)
+    # copies land AFTER the job (the writer's mode='error' requires the
+    # dest to not exist); Spark part names carry a fresh job UUID, so
+    # copied source names cannot collide with written ones
+    _copy_in_range()
     return {
         "n_files_in": n_files_in,
-        "n_files_out": int(total_out),
+        "n_files_out": int(total_out) + len(copy_files),
         "total_bytes_in": int(total_bytes),
+        "n_copied": len(copy_files),
+        "n_rewritten_in": len(rewrite_files),
         "partitions": len(per_part),
     }

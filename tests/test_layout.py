@@ -560,3 +560,114 @@ def test_compact_landed_json_partition_schema_and_unquote_collision(
     base.coalesce(1).write.parquet(_os.path.join(pq, "lang=a b"))
     with _pytest.raises(ValueError, match="decode to duplicate"):
         compact_landed(spark, pq, str(tmp_path / "o2"))
+
+
+def test_compact_landed_incremental_copies_in_range_rewrites_rest(
+        spark, tmp_path):
+    """incremental=True: in-range shards are byte-copied (same name,
+    same bytes — never decoded), out-of-range shards rewrite to target
+    sizes, and the combined landing is content-equal to the source."""
+    import glob as _glob
+    import os as _os
+
+    import pyspark.sql.functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    base = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("z" * 300), F.col("id").cast("string"))
+        .alias("text"))
+    path = str(tmp_path / "inc")
+    # whale: 2400 rows in one file; tinies: 300 rows across 6 files;
+    # in-range: 300 rows in one file sized near the target
+    base.filter("doc_id < 2400").coalesce(1).write.parquet(path)
+    base.filter("doc_id >= 2400 AND doc_id < 2700").repartition(6) \
+        .write.mode("append").parquet(path)
+    base.filter("doc_id >= 2700").coalesce(1) \
+        .write.mode("append").parquet(path)
+    files = {f: _os.path.getsize(f)
+             for f in _glob.glob(path + "/part-*.parquet")}
+    sizes = sorted(files.values())
+    # pick the target so ONLY the 300-row file is in [t/2, 2t]
+    mid = sizes[-2]  # the 300-row single file
+    target_mb = mid / 2**20
+    in_range = [f for f, s in files.items()
+                if target_mb * 2**20 // 2 <= s <= 2 * target_mb * 2**20]
+    assert len(in_range) == 1
+    dest = str(tmp_path / "inc_out")
+    facts = compact_landed(spark, path, dest, incremental=True,
+                           target_mb_per_file=target_mb)
+    assert facts["n_copied"] == 1
+    assert facts["n_rewritten_in"] == 7  # whale + 6 tinies
+    # the copied shard is byte-identical under its original name
+    src = in_range[0]
+    dst = _os.path.join(dest, _os.path.basename(src))
+    assert _os.path.exists(dst)
+    assert open(src, "rb").read() == open(dst, "rb").read()
+    # content equality overall
+    got = sorted(r.doc_id for r in spark.read.parquet(dest).collect())
+    assert got == list(range(3000))
+    # the whale actually split (>= 2 rewritten output files)
+    n_out = len(_glob.glob(dest + "/part-*.parquet"))
+    assert n_out == facts["n_files_out"] >= 3
+
+
+def test_compact_landed_incremental_pure_copy_and_partitioned(
+        spark, tmp_path):
+    import glob as _glob
+
+    import pyspark.sql.functions as F
+
+    from condenser_spark.functions.layout import compact_landed
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w" * 200), F.col("id").cast("string"))
+        .alias("text"),
+        (F.col("id") % 2).cast("string").alias("lang"))
+    part = str(tmp_path / "ptree")
+    df.coalesce(1).write.partitionBy("lang").parquet(part)   # 1 file/lang
+    df.limit(40).repartition(4).write.mode("append") \
+        .partitionBy("lang").parquet(part)                   # 8 tinies
+    import os as _os
+
+    sizes = [_os.path.getsize(f)
+             for f in _glob.glob(part + "/lang=*/part-*.parquet")]
+    big = max(sizes)
+    target_mb = big / 2**20  # the two big files are in range; tinies not
+    dest = str(tmp_path / "ptree_out")
+    facts = compact_landed(spark, part, dest, incremental=True,
+                           target_mb_per_file=target_mb)
+    assert facts["n_copied"] == 2 and facts["n_rewritten_in"] == 8
+    got = sorted((r.doc_id, str(r.lang))
+                 for r in spark.read.parquet(dest).collect())
+    want = sorted((r.doc_id, str(r.lang))
+                  for r in spark.read.parquet(part).collect())
+    assert got == want
+    # a partition whose data simply totals under target/2 stays a small
+    # file: the second pass re-rewrites exactly those two merged-tiny
+    # files (idempotent content, no churn of the in-range copies)
+    dest2 = str(tmp_path / "ptree_out2")
+    facts2 = compact_landed(spark, dest, dest2, incremental=True,
+                            target_mb_per_file=target_mb)
+    assert facts2["n_rewritten_in"] == 2 and facts2["n_copied"] == 2
+    got2 = sorted((r.doc_id, str(r.lang))
+                  for r in spark.read.parquet(dest2).collect())
+    assert got2 == want
+
+    # pure copy: a landing whose every file is already in range runs NO
+    # Spark job at all
+    flat = str(tmp_path / "flat_ok")
+    df.drop("lang").coalesce(2).write.parquet(flat)
+    fsz = [_os.path.getsize(f)
+           for f in _glob.glob(flat + "/part-*.parquet")]
+    t_mb = max(fsz) / 2**20
+    dest3 = str(tmp_path / "flat_ok_out")
+    facts3 = compact_landed(spark, flat, dest3, incremental=True,
+                            target_mb_per_file=t_mb)
+    assert facts3["n_rewritten_in"] == 0
+    assert facts3["n_copied"] == facts3["n_files_out"] == 2
+    assert sorted(r.doc_id
+                  for r in spark.read.parquet(dest3).collect()) == \
+        sorted(r.doc_id for r in df.collect())
