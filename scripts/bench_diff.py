@@ -1,0 +1,72 @@
+"""Machine-checkable cross-round per-query bench comparison.
+
+Usage:
+    python scripts/bench_diff.py BENCH_DETAIL_r15.json BENCH_DETAIL_r16.json
+    python scripts/bench_diff.py --threshold-frac 0.5 --threshold-sec 0.5 a b
+
+Reads two bench detail artifacts (the committed ``BENCH_DETAIL_r{N}.json``
+files bench.py lands every run — VERDICT r14 missing #2) and prints ONE
+JSON line: like-for-like subtotals over the SHARED entry set, entries
+added/removed, and the MOVERS past the standard noise gate (both a
+fractional AND an absolute threshold must trip — NOISE_FLOOR.md's
+measured per-query floor is 40-50%, so single-threshold diffs drown in
+jitter).  Exit code 1 when movers exist, so a CI step can gate on it;
+load fields from both runs are echoed because a hot-box run moves
+everything uniformly and means nothing (read NOISE_FLOOR.md first)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def diff(a: dict, b: dict, threshold_frac: float = 0.4,
+         threshold_sec: float = 0.3) -> dict:
+    qa, qb = a["queries_full"], b["queries_full"]
+    shared = sorted(set(qa) & set(qb))
+    movers = []
+    for k in shared:
+        lo, hi = sorted((qa[k], qb[k]))
+        if hi - lo > threshold_sec and (hi - lo) > threshold_frac * lo:
+            movers.append({"query": k, "a": round(qa[k], 3),
+                           "b": round(qb[k], 3),
+                           "x": round(qb[k] / qa[k], 2)
+                           if qa[k] else None})
+    movers.sort(key=lambda m: -abs(m["b"] - m["a"]))
+    return {
+        "shared_entries": len(shared),
+        "subtotal_a": round(sum(qa[k] for k in shared), 3),
+        "subtotal_b": round(sum(qb[k] for k in shared), 3),
+        "added_in_b": sorted(set(qb) - set(qa)),
+        "removed_in_b": sorted(set(qa) - set(qb)),
+        "movers": movers,
+        "thresholds": {"frac": threshold_frac, "sec": threshold_sec},
+        "load_a": {k: a.get(k) for k in ("loadavg_start", "idle_wait_s",
+                                         "noise_pct_max")},
+        "load_b": {k: b.get(k) for k in ("loadavg_start", "idle_wait_s",
+                                         "noise_pct_max")},
+    }
+
+
+def main(argv: list[str]) -> int:
+    tf, ts = 0.4, 0.3
+    paths = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--threshold-frac":
+            tf = float(next(it))
+        elif arg == "--threshold-sec":
+            ts = float(next(it))
+        else:
+            paths.append(arg)
+    if len(paths) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    with open(paths[0]) as fa, open(paths[1]) as fb:
+        out = diff(json.load(fa), json.load(fb), tf, ts)
+    print(json.dumps(out, separators=(",", ":")))
+    return 1 if out["movers"] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -128,3 +128,44 @@ def test_committed_detail_artifacts_parse():
         assert merged["queries_full"], p.name
         assert all(isinstance(v, (int, float))
                    for v in merged["queries_full"].values()), p.name
+
+
+def test_bench_diff_tool(tmp_path):
+    """scripts/bench_diff.py: movers past BOTH thresholds only,
+    like-for-like subtotals over the shared set, added/removed
+    entries, exit-code gating."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+    import bench_diff
+
+    a = {"queries_full": {"q1": 1.0, "q2": 0.1, "q3": 2.0, "old": 1.0},
+         "loadavg_start": [0.1, 0.2, 0.3], "idle_wait_s": 0.0,
+         "noise_pct_max": 30.0}
+    b = {"queries_full": {"q1": 1.05, "q2": 0.3, "q3": 3.1, "new": 0.5},
+         "loadavg_start": [0.2, 0.2, 0.2], "idle_wait_s": 10.0,
+         "noise_pct_max": 40.0}
+    out = bench_diff.diff(a, b)
+    assert out["shared_entries"] == 3
+    assert out["subtotal_a"] == 3.1 and out["subtotal_b"] == 4.45
+    assert out["added_in_b"] == ["new"]
+    assert out["removed_in_b"] == ["old"]
+    # q1: +5% (under frac) no; q2: +0.2s (under sec) no; q3: +1.1s and
+    # +55% -> the ONLY mover
+    assert [m["query"] for m in out["movers"]] == ["q3"]
+    # CLI round trip + exit gating
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    proc = subprocess.run(
+        [sys.executable, str(Path(bench_diff.__file__)),
+         str(pa), str(pb)], capture_output=True, text=True)
+    assert proc.returncode == 1  # movers exist
+    parsed = json.loads(proc.stdout)
+    assert parsed["movers"][0]["query"] == "q3"
+    proc0 = subprocess.run(
+        [sys.executable, str(Path(bench_diff.__file__)),
+         "--threshold-sec", "5", str(pa), str(pb)],
+        capture_output=True, text=True)
+    assert proc0.returncode == 0  # gate clear past a loose threshold
