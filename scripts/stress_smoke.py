@@ -2483,6 +2483,19 @@ def stage_compact(spark, n_docs: int = 1_000_000) -> dict:
     assert tuple(got) == tuple(want), (got, want)
     n_out = len(glob.glob(dest + "/part-*.parquet"))
     assert n_out == facts["n_files_out"], (n_out, facts)
+
+    # incremental pass over the healed landing at the same target: the
+    # well-sized shards byte-copy, only still-out-of-range ones rewrite —
+    # pricing the claim that a second maintenance pass is ~IO-free
+    dest2 = f"{WORK}/compact_dst_inc"
+    shutil.rmtree(dest2, ignore_errors=True)
+    t0 = time.time()
+    inc = compact_landed(spark, dest, dest2, target_mb_per_file=8.0,
+                         incremental=True)
+    inc_wall = time.time() - t0
+    got2 = spark.read.parquet(dest2).agg(
+        F.count(F.lit(1)), F.sum(F.length("text"))).first()
+    assert tuple(got2) == tuple(want), (got2, want)
     return {
         "stage": "compact_1m",
         "n_docs": n_docs,
@@ -2491,6 +2504,9 @@ def stage_compact(spark, n_docs: int = 1_000_000) -> dict:
         "bytes_in": facts["total_bytes_in"],
         "compact_wall_sec": round(wall, 1),
         "docs_per_sec": round(n_docs / wall),
+        "incremental_wall_sec": round(inc_wall, 1),
+        "incremental_copied": inc["n_copied"],
+        "incremental_rewritten": inc["n_rewritten_in"],
     }
 
 
