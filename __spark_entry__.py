@@ -87,74 +87,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-15 instance (registry at rotation: 135 oracles + 5 rows-only;
-    # the mid-round ext_media_phash_pairs golden makes 6 rows-only, so
-    # 44 oracle slots and cycle = ceil(135/44) = 4 rounds).  In-cap
-    # priority: the 8 round-14 goldens (never driver-recorded:
-    # ext_html_extract, ext_wet_roundtrip, ext_normalize_text,
-    # ext_badwords_join, ext_pii_redact, ext_jsonl_roundtrip,
-    # ext_quantile_buckets, ext_quantile_apply) plus 36 of the 37
-    # r12-recorded carryovers (past-cap two rounds — the longest-waiting,
-    # ext_dedup_documents … ext_curate_stream_url) = 44 oracle slots, +
-    # the 6 rows-only = 50.  Deprioritized below = the last r12
-    # carryover (ext_diversity_stream — displaced by the new rows-only
-    # slot, FIRST in line next round) + the 45 goldens recorded green in
-    # CORRECTNESS_r13.json + the 45 recorded green in
-    # CORRECTNESS_r14.json (rotate out).  The cadence promise ("every
-    # oracle driver-recorded at least every `cycle` rounds") is asserted
-    # by tests/test_rotation_invariants.py::test_rotation_cadence against
+    # Round-16 instance (registry at rotation: 138 oracles + 6 rows-only,
+    # so 44 oracle slots and cycle = ceil(138/44) = 4 rounds).  In-cap
+    # priority: the 3 round-15 goldens (never driver-recorded:
+    # ext_unigram_roundtrip, ext_landed_manifest, ext_curate_ppl_keep),
+    # then ext_diversity_stream (r12-recorded — the single longest-waiting
+    # carryover, displaced last round by the new rows-only slot), then 40
+    # of the 45 r13-recorded carryovers (past-cap two rounds) = 44 oracle
+    # slots, + the 6 rows-only = 50.  Deprioritized below = the last 5
+    # r13 carryovers (FIRST in-cap next round) + the 45 recorded green in
+    # CORRECTNESS_r14.json + the 44 recorded green in CORRECTNESS_r15.json
+    # (rotate out).  The cadence promise ("every oracle driver-recorded at
+    # least every `cycle` rounds") is asserted by
+    # tests/test_rotation_invariants.py::test_rotation_cadence against
     # the committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r12: displaced by the ext_media_phash_pairs
-        # rows-only in-cap slot; longest-waiting, first in-cap next round
-        "ext_diversity_stream",
-        # recorded green r13, past-cap r14, carry over a second round
-        "p2_where_predicate",
-        "p3_deterministic_percent_sample",
-        "p4_upstream_filter_injection",
-        "p5_limit_on_sorted",
-        "p6_null_key_tuple_drop",
-        "j4_closure_fetch_semi_join",
-        "ext_brute_force_cosine_topk",
-        "ext_simhash_near_pairs",
-        "ext_srp_cosine_topk",
-        "ext_ivf_cosine_topk",
-        "ext_embedding_dup_pairs",
-        "ext_multimodal_feature_meta",
-        "ext_filter_documents",
-        "ext_stratified_sample",
-        "ext_term_frequencies",
-        "ext_tfidf_top_terms",
-        "ext_pack_sequences",
-        "ext_temperature_mix",
-        "ext_contamination_pairs",
-        "ext_hash_split",
-        "ext_weighted_mix",
-        "ext_heavy_hitters",
-        "ext_build_vocab",
-        "ext_repetition_stats",
-        "ext_semantic_dup_pairs",
-        "ext_quality_logit",
-        "ext_dsir_weights",
-        "ext_dsir_sample",
-        "ext_pq_encode",
-        "ext_pq_topk",
-        "ext_gopher_flags",
-        "ext_c4_clean",
-        "ext_near_dedup_best",
-        "ext_dsir_sample_grouped",
-        "ext_curate_basic",
-        "ext_curate_stream_div",
-        "ext_winnow_overlap",
-        "ext_domain_prior",
-        "ext_curate_div",
-        "ext_d4_prune",
+        # recorded green r13 (the 5 displaced by the in-cap window; longest-
+        # waiting, FIRST in-cap next round)
         "ext_surt_key",
         "ext_doremi_weights",
         "ext_gopher_repetition",
         "ext_gopher_repetition_stream",
         "ext_script_stats",
-        # §2 + ext goldens recorded green in CORRECTNESS_r14 (rotate out)
+        # recorded green r14, past-cap one round, carry over
         "p1_fk_nullout_projection",
         "j1_upstream_multi_edge_semi_join",
         "j2_j3_missing_keys_anti_distinct",
@@ -200,11 +155,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_fineweb_flags",
         "ext_fineweb_flags_stream",
         "ext_code_flags",
-        # new in round 15 (appended per the mid-round rule; rotate
-        # in-cap the following round)
-        "ext_landed_manifest",
-        "ext_unigram_roundtrip",
-        "ext_curate_ppl_keep",
+        # recorded green r15 (rotate out)
+        "ext_dedup_documents",
+        "ext_ngram_jaccard_pairs",
+        "ext_dup_clusters",
+        "ext_near_dedup_documents",
+        "ext_text_stats",
+        "ext_rolling_fingerprints",
+        "ext_shared_passages",
+        "ext_asof_join",
+        "ext_range_join_bucketed",
+        "ext_sessionize",
+        "ext_session_stats",
+        "ext_windowed_event_counts",
+        "ext_numeric_profile",
+        "ext_minhash_lsh_pairs",
+        "middle_out_breaks_upstream_filters",
+        "s9_write_dest_roundtrip",
+        "s7_teardown_removes_stale",
+        "s13_hook_dest_replace",
+        "ext_zorder_value",
+        "ext_url_curation",
+        "ext_url_dedup",
+        "ext_domain_stats",
+        "ext_curate_url",
+        "ext_prototype_prune",
+        "ext_dedup_lines_stream",
+        "ext_exact_substring_stream",
+        "ext_unimax_weights",
+        "ext_rrf_fuse",
+        "ext_soft_dedup_weights",
+        "ext_zipf_fit",
+        "ext_diversity_stats",
+        "ext_winnow_fingerprints",
+        "ext_corpus_overlap",
+        "ext_url_dedup_keep",
+        "ext_curate_stream",
+        "ext_curate_stream_url",
+        "ext_html_extract",
+        "ext_wet_roundtrip",
+        "ext_normalize_text",
+        "ext_badwords_join",
+        "ext_pii_redact",
+        "ext_jsonl_roundtrip",
+        "ext_quantile_buckets",
+        "ext_quantile_apply",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
