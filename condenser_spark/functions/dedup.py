@@ -662,6 +662,7 @@ def hamming_band_pairs(
     id_col: str = "id",
     n_bands: int = 4,
     max_bucket_size: int | None = 10_000,
+    scope_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic Hamming-banded candidate join over 64-bit signatures:
     ``(id_a, id_b, hamming)`` for every pair within ``max_hamming`` —
@@ -677,7 +678,15 @@ def hamming_band_pairs(
     Band boundaries are ``i*64//n_bands`` so any band count up to 64
     works (pHash thresholds run ~8-10 bits, vs SimHash's 3).
     ``max_bucket_size`` drops degenerate buckets before the self-join
-    (see _cap_band_buckets)."""
+    (see _cap_band_buckets).
+
+    ``scope_cols`` partitions the candidate space: rows only pair when
+    they agree on every scope column (e.g. media ``kind`` — an image
+    hash and an audio hash live in unrelated bit spaces, so a
+    cross-kind Hamming match is a coincidence, not a duplicate).  The
+    scope values are folded INTO the bucket key (a struct), so the
+    equi-join, the bucket cap, and the skew analysis all see the scoped
+    key for free — no extra join condition, no extra shuffle."""
     if n_bands <= max_hamming:
         raise ValueError(
             f"n_bands={n_bands} cannot guarantee recall at "
@@ -695,6 +704,11 @@ def hamming_band_pairs(
             # the mask literal (1<<64)-1 would overflow a Java long —
             # the full signature IS the bucket there
             col = col.bitwiseAND(F.lit((1 << width) - 1))
+        if scope_cols:
+            col = F.struct(
+                *(F.col(c).alias(c) for c in scope_cols),
+                col.alias("slice"),
+            )
         return F.struct(F.lit(i).alias("band"), col.alias("bucket"))
 
     banded = sigs.select(

@@ -505,10 +505,15 @@ def media_dup_pairs(
         from condenser_spark.functions.dedup import hamming_band_pairs
 
         sigs = perceptual_hash(df, method=method, fake=fake)
+        # kind-scoped banding (VERDICT r15 "what's wrong" #1): an image
+        # hash and an audio hash live in unrelated bit spaces, so a
+        # cross-kind Hamming match is a coincidence — pairs only form
+        # within a kind.  The scope rides the bucket key: zero extra
+        # shuffle.
         return hamming_band_pairs(
             sigs, max_hamming=max_hamming, sig_col="hash",
             id_col="media_id", n_bands=max_hamming + 1,
-            max_bucket_size=max_bucket_size)
+            max_bucket_size=max_bucket_size, scope_cols=("kind",))
     if method != "feature":
         raise ValueError(
             f"method must be 'feature'|'phash'|'dhash'|'audio': "
@@ -538,7 +543,10 @@ def media_dedup(
     connected components, then drop every non-survivor.  ``keep_col=
     None`` keeps each cluster's min-id member; a numeric ``keep_col``
     (resolution, source priority) keeps the highest-scoring member
-    instead (ties to the lower id).
+    instead (ties to the lower id).  Both the pre-collapse and the
+    banding are scoped on ``kind`` — a mixed image/audio table can
+    never drop a row because its hash coincided with a row of another
+    modality (the hash spaces are unrelated).
 
     The exact pre-collapse is load-bearing at scale, exactly as in
     ``near_dedup_documents``: a mass-duplicated image (the single most
@@ -567,14 +575,17 @@ def media_dedup(
     )
 
     sigs = perceptual_hash(df, method=method, fake=fake) \
-        .select("media_id", "hash").localCheckpoint(eager=False)
-    # exact pre-collapse: min-id representative per identical hash
-    reps = sigs.groupBy("hash").agg(F.min("media_id").alias("rep"))
-    id_to_rep = sigs.join(reps, on="hash").select("media_id", "rep")
+        .select("media_id", "kind", "hash").localCheckpoint(eager=False)
+    # exact pre-collapse: min-id representative per identical (kind, hash)
+    # — kind-scoped exactly like the banding below, so a byte-coincidence
+    # across modalities never collapses an image into an audio cluster
+    reps = sigs.groupBy("kind", "hash").agg(F.min("media_id").alias("rep"))
+    id_to_rep = sigs.join(reps, on=["kind", "hash"]).select("media_id", "rep")
     near = hamming_band_pairs(
-        reps.select(F.col("rep").alias("media_id"), "hash"),
+        reps.select(F.col("rep").alias("media_id"), "kind", "hash"),
         max_hamming=max_hamming, sig_col="hash", id_col="media_id",
-        n_bands=max_hamming + 1, max_bucket_size=max_bucket_size)
+        n_bands=max_hamming + 1, max_bucket_size=max_bucket_size,
+        scope_cols=("kind",))
     rep_clusters = dup_clusters(near)
     clusters = (id_to_rep
                 .join(rep_clusters.withColumnRenamed("id", "rep"),

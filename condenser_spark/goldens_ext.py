@@ -985,7 +985,12 @@ def ext_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloned under media_id + 1_000_000 — each clone MUST pair with its
     original at distance 0 (the hash is a pure function of the payload),
     making the recorded row count a real recall floor, not an empty
-    result.  Determinism/perturbation behavior is pinned by
+    result.  The clone keeps its original ``kind`` column (materialized
+    by synthesize_media BEFORE the id shift), so the r16 kind-scoped
+    banding cannot separate a clone from its original; incidental
+    cross-kind byte coincidences no longer pair (that scoping is pinned
+    by tests/test_multimodal_phash.py::test_cross_kind_rows_never_pair).
+    Determinism/perturbation behavior is pinned by
     tests/test_multimodal_phash.py."""
     from condenser_spark.functions.multimodal import (
         media_dup_pairs,
