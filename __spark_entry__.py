@@ -87,23 +87,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-16 instance (registry at rotation: 138 oracles + 6 rows-only,
-    # so 44 oracle slots and cycle = ceil(138/44) = 4 rounds).  In-cap
+    # Round-16 instance (registry at rotation: 138 oracles + 6 rows-only;
+    # the mid-round ext_video_fp_pairs golden makes 7 rows-only, so 43
+    # oracle slots and cycle = ceil(138/43) = 4 rounds).  In-cap
     # priority: the 3 round-15 goldens (never driver-recorded:
     # ext_unigram_roundtrip, ext_landed_manifest, ext_curate_ppl_keep),
     # then ext_diversity_stream (r12-recorded — the single longest-waiting
-    # carryover, displaced last round by the new rows-only slot), then 40
-    # of the 45 r13-recorded carryovers (past-cap two rounds) = 44 oracle
-    # slots, + the 6 rows-only = 50.  Deprioritized below = the last 5
-    # r13 carryovers (FIRST in-cap next round) + the 45 recorded green in
-    # CORRECTNESS_r14.json + the 44 recorded green in CORRECTNESS_r15.json
-    # (rotate out).  The cadence promise ("every oracle driver-recorded at
+    # carryover, displaced last round by the new rows-only slot), then 39
+    # of the 45 r13-recorded carryovers (past-cap two rounds) = 43 oracle
+    # slots, + the 7 rows-only = 50.  Deprioritized below = the last 6
+    # r13 carryovers (ext_d4_prune displaced mid-round by the new
+    # rows-only in-cap slot; all 6 FIRST in-cap next round) + the 45
+    # recorded green in CORRECTNESS_r14.json + the 44 recorded green in
+    # CORRECTNESS_r15.json (rotate out).  The cadence promise ("every oracle driver-recorded at
     # least every `cycle` rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against
     # the committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r13 (the 5 displaced by the in-cap window; longest-
-        # waiting, FIRST in-cap next round)
+        # recorded green r13 (the 6 displaced by the in-cap window —
+        # ext_d4_prune by the mid-round ext_video_fp_pairs rows-only
+        # slot; longest-waiting, FIRST in-cap next round)
+        "ext_d4_prune",
         "ext_surt_key",
         "ext_doremi_weights",
         "ext_gopher_repetition",

@@ -214,6 +214,28 @@ PHASH_SCHEMA = StructType(
 )
 
 
+def _band_strategy(max_hamming: int) -> dict:
+    """Pick the banded-join form for a Hamming budget (both forms return
+    the IDENTICAL exact pair set — this only moves candidate-generation
+    cost; see dedup.hamming_band_pairs).
+
+    Plain pigeonhole banding while bands stay >= 8 bits wide
+    (``max_hamming <= 7``): scanning the modest bucket collisions
+    beats paying the tolerance mode's one-sided row expansion
+    (measured at 700k sigs / max_hamming=6: 13 s plain vs 60 s
+    expanded).  Past that the ``64/(max_hamming+1)``-bit buckets get
+    too coarse — at ``max_hamming=8`` plain banding is 9 bands of 128
+    bucket values, so every bucket holds n/128 rows and the self-join
+    goes quadratic in it, and worse, buckets blow through
+    ``max_bucket_size`` and get DROPPED — so switch to the multi-index
+    tolerance-1 form (half the bands, ~twice the width, 1-flip
+    expansion): equal wall at 1M sigs (28.6 vs 30.5 s warm) with 32x
+    finer buckets, which is what keeps recall cap-safe as n grows."""
+    if 64 // (max_hamming + 1) >= 8:
+        return {"n_bands": max_hamming + 1, "band_tolerance": 0}
+    return {"n_bands": (max_hamming + 2) // 2, "band_tolerance": 1}
+
+
 def _decode_gray(payload: bytes, kind: str, width, height,
                  grid_w: int, grid_h: int, fake: bool | None):
     """Decode a payload to a ``grid_h x grid_w`` float grayscale array.
@@ -512,7 +534,7 @@ def media_dup_pairs(
         # shuffle.
         return hamming_band_pairs(
             sigs, max_hamming=max_hamming, sig_col="hash",
-            id_col="media_id", n_bands=max_hamming + 1,
+            id_col="media_id", **_band_strategy(max_hamming),
             max_bucket_size=max_bucket_size, scope_cols=("kind",))
     if method != "feature":
         raise ValueError(
@@ -584,8 +606,222 @@ def media_dedup(
     near = hamming_band_pairs(
         reps.select(F.col("rep").alias("media_id"), "kind", "hash"),
         max_hamming=max_hamming, sig_col="hash", id_col="media_id",
-        n_bands=max_hamming + 1, max_bucket_size=max_bucket_size,
+        **_band_strategy(max_hamming), max_bucket_size=max_bucket_size,
         scope_cols=("kind",))
+    rep_clusters = dup_clusters(near)
+    clusters = (id_to_rep
+                .join(rep_clusters.withColumnRenamed("id", "rep"),
+                      on="rep", how="left")
+                .select(F.col("media_id").alias("id"),
+                        F.coalesce(F.col("cluster_id"), F.col("rep"))
+                        .alias("cluster_id")))
+    losers = _cluster_losers(clusters, df, "media_id", keep_col)
+    return df.join(losers, on="media_id", how="left_anti")
+
+
+# ------------------------------------------------ video temporal fingerprints
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seq_idx", IntegerType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def _window_sigs(hashes, window: int):
+    """(n,) uint64 frame hashes -> (m,) int64 temporal window signatures,
+    m = max(1, n - window + 1) (stride 1; short clips pad by repeating
+    the last frame hash).
+
+    Bit allocation: the 64-bit signature is assembled from ``64 //
+    window`` bits of EACH frame in the window, every frame contributing
+    its OWN bit range (frame at window offset t keeps bits
+    [t*step, (t+1)*step) of its dHash, placed identically).  A
+    re-encode that flips b bits of one frame's dHash flips at most b
+    bits of any signature containing it — per-frame perturbation maps
+    to small signature Hamming distance, which is what lets the
+    pigeonhole-banded join absorb it.  This is the Haitsma-Kalker
+    "fingerprint block" idea (a block of consecutive subfingerprints
+    matched under a Hamming budget) compressed to one bandable word."""
+    import numpy as np
+
+    w = int(window)
+    h = np.asarray(hashes, dtype=np.uint64)
+    if h.shape[0] < w:
+        h = np.concatenate([h, np.repeat(h[-1:], w - h.shape[0])])
+    m = h.shape[0] - w + 1
+    step = 64 // w
+    sig = np.zeros(m, dtype=np.uint64)
+    for t in range(w):
+        mask = np.uint64(((1 << step) - 1) << (t * step))
+        sig |= h[t:t + m] & mask
+    return sig.view(np.int64)
+
+
+def video_fingerprints(
+    df: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    fake: bool | None = True,
+) -> DataFrame:
+    """MEDIA_SCHEMA video rows -> ``(media_id, seq_idx, sig)`` temporal
+    fingerprints: sample one frame per ``every_ms`` (the sample_frames
+    slicing contract), dHash each frame (the same ``_dhash_batch``
+    kernel as still images), then shingle every ``window`` consecutive
+    frame hashes into one 64-bit sequence signature (stride 1 — see
+    :func:`_window_sigs` for the bit allocation).
+
+    Shingling is what buys CLIP/OFFSET robustness, exactly as
+    rolling_fingerprints does for text exact-substring dedup: a clip
+    sharing >= ``window`` consecutive frames with its source shares at
+    least one whole window, so some signature pair lands within the
+    Hamming budget no matter where the clip starts.  Non-video rows are
+    dropped (``kind != 'video'`` filters at the scan — pushed down).
+
+    Scale shape: ONE Arrow ``mapInPandas`` kernel per partition — frame
+    slicing, grayscale decode, batched dHash (all frames of a batch in
+    one numpy stack), and window packing never leave the executor; only
+    (id, int, 8-byte sig) rows shuffle afterwards.  Cardinality out is
+    ~duration/every_ms rows per video (bounded, linear)."""
+    if not 1 <= window <= 64:
+        raise ValueError(f"window must be in [1, 64]: {window}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            grids: list = []          # per-frame 8x9 grayscale grids
+            spans: list = []          # (media_id, n_frames) per video row
+            for mid, kind, payload, w_, h_, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"],
+                pdf["width"], pdf["height"], pdf["duration_ms"],
+            ):
+                if kind != "video":
+                    continue
+                n_frames = max(1, int(dur) // every_ms)
+                step = max(1, len(payload) // n_frames) if payload else 1
+                for i in range(n_frames):
+                    frame = (bytes(payload[i * step:(i + 1) * step])
+                             if payload else b"")
+                    grids.append(
+                        _decode_gray(frame, "image", w_, h_, 9, 8, fake))
+                spans.append((mid, n_frames))
+            if not grids:
+                yield pd.DataFrame(
+                    {"media_id": pd.Series([], dtype="int64"),
+                     "seq_idx": pd.Series([], dtype="int32"),
+                     "sig": pd.Series([], dtype="int64")})
+                continue
+            hashes = _dhash_batch(np.stack(grids)).view(np.uint64)
+            out_mid: list = []
+            out_idx: list = []
+            out_sig: list = []
+            pos = 0
+            for mid, n in spans:
+                sigs = _window_sigs(hashes[pos:pos + n], window)
+                pos += n
+                out_mid.extend([mid] * len(sigs))
+                out_idx.extend(range(len(sigs)))
+                out_sig.extend(sigs.tolist())
+            yield pd.DataFrame(
+                {"media_id": pd.Series(out_mid, dtype="int64"),
+                 "seq_idx": pd.Series(out_idx, dtype="int32"),
+                 "sig": pd.Series(out_sig, dtype="int64")})
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        gen, schema=VIDEO_FP_SCHEMA)
+
+
+def video_dup_pairs(
+    df: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    max_hamming: int = 6,
+    min_matches: int = 1,
+    max_bucket_size: int | None = 10_000,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the third media modality (after
+    image pHash/dHash and audio Haitsma-Kalker): temporal window
+    signatures (:func:`video_fingerprints`), Hamming-banded candidate
+    join over ALL window signatures (the generalized
+    dedup.hamming_band_pairs — pigeonhole-complete at ``max_hamming``),
+    then aggregate matched windows per video pair.  Returns
+    ``(id_a, id_b, n_matched_windows, min_hamming)`` with
+    ``n_matched_windows >= min_matches`` — raise ``min_matches`` to
+    demand longer shared runs (clip-of vs single-scene coincidence).
+
+    Robust to clipping/offset by the stride-1 shingling and to mild
+    re-encode perturbation by the per-frame bit allocation + Hamming
+    budget.  Same 100 TB shape as the other hash families: payloads
+    never shuffle (only 8-byte signatures), banding bounds candidates,
+    and the per-pair aggregate is a plain hash agg on (id_a, id_b)."""
+    from condenser_spark.functions.dedup import hamming_band_pairs
+
+    sigs = video_fingerprints(
+        df, every_ms=every_ms, window=window, fake=fake)
+    # composite (media_id, seq_idx) id: struct ordering sorts by media_id
+    # first, so after dropping same-video pairs id_a.media_id <
+    # id_b.media_id always holds — the pair key needs no re-normalizing
+    pairs = hamming_band_pairs(
+        sigs.select(
+            F.struct(
+                F.col("media_id").alias("media_id"),
+                F.col("seq_idx").alias("seq_idx"),
+            ).alias("id"),
+            "sig",
+        ),
+        max_hamming=max_hamming, sig_col="sig", id_col="id",
+        **_band_strategy(max_hamming), max_bucket_size=max_bucket_size)
+    return (
+        pairs.filter(F.col("id_a.media_id") != F.col("id_b.media_id"))
+        .groupBy(
+            F.col("id_a.media_id").alias("id_a"),
+            F.col("id_b.media_id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_matched_windows"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_matched_windows") >= min_matches)
+    )
+
+
+def video_dedup(
+    df: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    max_hamming: int = 6,
+    min_matches: int = 1,
+    keep_col: str | None = None,
+    max_bucket_size: int | None = 10_000,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Keep-rows video dedup: the media_dedup contract over temporal
+    fingerprints.  EXACT-PAYLOAD pre-collapse first (md5 of the bytes,
+    min-id representative — a mass-reposted video is the common dup
+    shape and must never hide behind the band-bucket cap), then
+    :func:`video_dup_pairs` among the representatives, connected
+    components (dedup.dup_clusters), and drop every non-survivor.
+    ``keep_col`` semantics as in :func:`media_dedup`.  Non-video rows
+    pass through untouched (the fingerprint path only ever inspects
+    ``kind == 'video'`` rows, so a mixed MEDIA_SCHEMA table is safe by
+    construction — kind scoping is inherent here, not bolted on)."""
+    from condenser_spark.functions.dedup import _cluster_losers, dup_clusters
+
+    vids = df.filter(F.col("kind") == "video")
+    fp = vids.select("media_id", F.md5(F.col("payload")).alias("_pfp"))
+    reps = fp.groupBy("_pfp").agg(F.min("media_id").alias("rep"))
+    id_to_rep = fp.join(reps, on="_pfp").select("media_id", "rep")
+    rep_rows = df.join(
+        reps.select(F.col("rep").alias("media_id")), on="media_id",
+        how="left_semi")
+    near = video_dup_pairs(
+        rep_rows, every_ms=every_ms, window=window,
+        max_hamming=max_hamming, min_matches=min_matches,
+        max_bucket_size=max_bucket_size, fake=fake)
     rep_clusters = dup_clusters(near)
     clusters = (id_to_rep
                 .join(rep_clusters.withColumnRenamed("id", "rep"),

@@ -2563,6 +2563,82 @@ def stage_unigram(spark, n_docs: int = 1_000_000, zipf_vocab: int = 50_000,
     }
 
 
+def stage_video(spark, n_clips: int = 100_000, n_frames: int = 10) -> dict:
+    """Stage 39: video temporal fingerprinting at 100k clips x 10 frames
+    (1M frames hashed) — the round-16 third-modality path (per-frame
+    dHash -> stride-1 window signatures in ONE Arrow kernel, then the
+    Hamming-band equi-join + per-pair aggregate).  Each frame is a
+    256-byte deterministic pseudo-image (8 md5 hex chunks, 16x16 raw
+    grayscale); every id % 100 == 0 clip is cloned under id + 10_000_000
+    (must pair: all 7 windows, distance 0) and every id % 100 == 50 clip
+    gets a frame-accurate 7-frame suffix CLIP under id + 20_000_000
+    (must pair: >= 4 whole windows, distance 0) — recall asserted at
+    scale for both the clone and the clip shape, not just throughput."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.multimodal import (
+        video_dup_pairs,
+        video_fingerprints,
+    )
+
+    def frame(j: int):
+        return F.concat(*[
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"f{j}c{c}")))
+            for c in range(8)
+        ])
+
+    def clip_row(first_frame: int, offset: int):
+        frames = F.encode(
+            F.concat(*[frame(j) for j in range(first_frame, n_frames)]),
+            "utf-8")
+        return (F.col("id") + F.lit(offset)).alias("media_id"), \
+            F.lit("video").alias("kind"), frames.alias("payload"), \
+            F.lit("raw").alias("codec"), \
+            F.lit(16).cast("int").alias("width"), \
+            F.lit(16).cast("int").alias("height"), \
+            F.lit((n_frames - first_frame) * 1000).cast("int") \
+             .alias("duration_ms")
+
+    path = f"{WORK}/video_media"
+    base = spark.range(n_clips).select(*clip_row(0, 0))
+    clones = spark.range(0, n_clips, 100).select(*clip_row(0, 10_000_000))
+    clips = (spark.range(50, n_clips, 100)
+             .select(*clip_row(3, 20_000_000)))
+    base.unionByName(clones).unionByName(clips) \
+        .write.mode("overwrite").parquet(path)
+    vids = spark.read.parquet(path)
+    n_rows = n_clips + 2 * (n_clips // 100)
+
+    t0 = time.time()
+    n_sigs = video_fingerprints(vids, window=4).count()
+    fp_wall = time.time() - t0
+
+    t0 = time.time()
+    pairs = video_dup_pairs(vids, window=4, max_hamming=6).localCheckpoint()
+    clones_found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 10_000_000)
+        & (F.col("min_hamming") == 0)
+        & (F.col("n_matched_windows") == n_frames - 3)).count()
+    clips_found = pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 20_000_000)
+        & (F.col("min_hamming") == 0)
+        & (F.col("n_matched_windows") >= 4)).count()
+    pairs_wall = time.time() - t0
+    assert clones_found == n_clips // 100, clones_found
+    assert clips_found == n_clips // 100, clips_found
+    return {
+        "stage": "video_fp_100k",
+        "n_clips": n_rows,
+        "n_frames_hashed": n_rows * n_frames - (n_clips // 100) * 3,
+        "n_signatures": int(n_sigs),
+        "fingerprint_wall_sec": round(fp_wall, 1),
+        "clips_per_sec": round(n_rows / fp_wall),
+        "pairs_wall_sec": round(pairs_wall, 1),
+        "planted_clones_found": clones_found,
+        "planted_clips_found": clips_found,
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2612,6 +2688,7 @@ def main() -> int:
         "phash": lambda: stage_phash(spark),
         "compact": lambda: stage_compact(spark),
         "unigram": lambda: stage_unigram(spark),
+        "video": lambda: stage_video(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -357,3 +357,33 @@ def test_scope_cols_generic_hamming_banding(spark):
         n_bands=4).collect()
     assert sorted((r.id_a, r.id_b) for r in unscoped) == [
         (1, 2), (1, 3), (2, 3)]
+
+
+def test_band_tolerance_modes_return_identical_pairs(spark):
+    """r16: the multi-index tolerance-1 banding (Norouzi et al. 2012 —
+    half the bands, twice the width, one-sided 1-flip bucket expansion)
+    must return the IDENTICAL exact pair set as plain pigeonhole
+    banding at the same budget: both are candidates + exact popcount
+    verify; only candidate-generation cost differs."""
+    from condenser_spark.functions.dedup import hamming_band_pairs
+
+    rows = [(i, (0x0123456789ABCDE0 ^ (i * 0x9E3779B97F4A7C15)) %
+             (1 << 63)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] ^ 0b10110001) for i in range(6)]  # d=4
+    sigs = spark.createDataFrame(rows, "id long, sig long")
+    kw = dict(max_hamming=6, sig_col="sig", id_col="id")
+    plain = {(r.id_a, r.id_b, r.hamming) for r in hamming_band_pairs(
+        sigs, n_bands=7, band_tolerance=0, **kw).collect()}
+    tol = {(r.id_a, r.id_b, r.hamming) for r in hamming_band_pairs(
+        sigs, n_bands=4, band_tolerance=1, **kw).collect()}
+    assert plain == tol
+    assert {(r.id_a, r.id_b) for r in hamming_band_pairs(
+        sigs, n_bands=4, band_tolerance=1, **kw).collect()} >= {
+        (i, 100 + i) for i in range(6)}
+    # fail-loud: a band count too coarse for the tolerance form
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_band_pairs(sigs, n_bands=3, band_tolerance=1,
+                           max_hamming=6, sig_col="sig", id_col="id")
+    with pytest.raises(ValueError, match="band_tolerance"):
+        hamming_band_pairs(sigs, n_bands=4, band_tolerance=2,
+                           max_hamming=6, sig_col="sig", id_col="id")

@@ -678,3 +678,36 @@ def test_perplexity_apply_is_broadcast_join_no_window(spark, source):
     assert "Window" not in final and "SortExec" not in final, plan
     assert "ArrowEvalPython" not in final and \
         "BatchEvalPython" not in final, plan
+
+
+def test_video_fingerprints_map_only_and_pairs_no_cartesian(spark, source):
+    """r16 video temporal fingerprints: the fingerprint kernel rides the
+    scan — ZERO Exchange, exactly ONE Arrow eval (frame slicing, dHash,
+    window packing all inside one mapInPandas; payloads never shuffle).
+    The pairs path is the banded equi-join: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere, and still only the ONE Python
+    stage (banding, the self-join, and the per-pair aggregate are pure
+    JVM over 8-byte signatures)."""
+    from condenser_spark.functions.multimodal import (
+        synthesize_media,
+        video_dup_pairs,
+        video_fingerprints,
+    )
+
+    media = synthesize_media(
+        source["documents"].filter(F.col("doc_id") % 2 == 1))
+    plan = _executed(video_fingerprints(media, window=4))
+    assert "Exchange" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               or ("MapInPandas" in l) for l in plan.splitlines())
+    assert n_py == 1, plan
+
+    pair_plan = _executed(video_dup_pairs(media, window=4, max_hamming=6))
+    assert "CartesianProduct" not in pair_plan, pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan, pair_plan
+    # the banded frame is lineage-truncated (localCheckpoint barrier in
+    # hamming_band_pairs), so the single Arrow stage ran BEFORE this
+    # plan — the join+aggregate side must be pure JVM (zero Python)
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               or ("MapInPandas" in l) for l in pair_plan.splitlines())
+    assert n_py == 0, pair_plan

@@ -16,6 +16,7 @@ ROWS_ONLY = {
     "ext_multimodal_frames",
     "ext_corpus_overlap_sketch",
     "ext_media_phash_pairs",
+    "ext_video_fp_pairs",
 }
 
 CAP = 50

@@ -1,0 +1,158 @@
+"""Video temporal fingerprinting (VERDICT r15 punch #2): per-frame dHash
+sequences shingled into bandable 64-bit window signatures — the third
+media modality beside image pHash/dHash and audio Haitsma-Kalker.
+
+Fixtures build videos as concatenations of raw 64x64 grayscale frames
+(the fake-decode contract: payload bytes ARE the raw image), so a "clip"
+is literally a byte-subrange at frame boundaries with proportional
+duration — exactly what a frame-accurate cut produces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from condenser_spark.functions.multimodal import (
+    VIDEO_FP_SCHEMA,
+    video_dedup,
+    video_dup_pairs,
+    video_fingerprints,
+)
+
+W, H = 64, 64
+BLOCK = W * H
+
+
+def _frame(seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=BLOCK, dtype=np.uint8).tobytes()
+
+
+def _video(mid: int, frames: list[bytes], kind: str = "video"):
+    payload = b"".join(frames)
+    return (mid, kind, payload, "raw", W, H, len(frames) * 1000)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+
+
+def test_fingerprint_schema_and_cardinality(spark):
+    frames = [_frame(i) for i in range(8)]
+    df = _df(spark, [_video(1, frames)])
+    fp = video_fingerprints(df, every_ms=1000, window=4)
+    assert fp.schema == VIDEO_FP_SCHEMA
+    rows = fp.collect()
+    # 8 frames, window 4, stride 1 -> 5 signatures
+    assert sorted(r.seq_idx for r in rows) == [0, 1, 2, 3, 4]
+    # deterministic: same payload -> same signatures
+    again = {(r.seq_idx): r.sig for r in
+             video_fingerprints(df, every_ms=1000, window=4).collect()}
+    assert {(r.seq_idx): r.sig for r in rows} == again
+
+
+def test_short_video_pads_to_one_signature(spark):
+    df = _df(spark, [_video(1, [_frame(0), _frame(1)])])
+    rows = video_fingerprints(df, every_ms=1000, window=4).collect()
+    assert [r.seq_idx for r in rows] == [0]
+
+
+def test_non_video_rows_are_dropped(spark):
+    df = _df(spark, [_video(1, [_frame(0)] * 4),
+                     _video(2, [_frame(1)] * 4, kind="image")])
+    assert {r.media_id for r in
+            video_fingerprints(df).collect()} == {1}
+
+
+def test_exact_clone_and_clip_pair_unrelated_does_not(spark):
+    frames = [_frame(i) for i in range(10)]
+    other = [_frame(100 + i) for i in range(10)]
+    df = _df(spark, [
+        _video(1, frames),
+        _video(2, frames),            # exact clone
+        _video(3, frames[3:]),        # frame-accurate clip (offset 3)
+        _video(9, other),             # unrelated
+    ])
+    pairs = {(r.id_a, r.id_b): r for r in
+             video_dup_pairs(df, window=4, max_hamming=6).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    # the clone shares every window at distance 0; the clip shares the
+    # 7-frame suffix -> 4 whole windows, also exact
+    assert pairs[(1, 2)].min_hamming == 0
+    assert pairs[(1, 2)].n_matched_windows == 7
+    assert pairs[(1, 3)].min_hamming == 0
+    assert pairs[(1, 3)].n_matched_windows >= 4
+
+
+def test_perturbed_reencode_still_pairs(spark):
+    frames = [_frame(i) for i in range(8)]
+    # "re-encode": flip a couple of pixels in every frame — each frame's
+    # dHash moves a few bits, each window signature moves at most that
+    # many bits per contributing frame slice
+    noisy = []
+    for i, f in enumerate(frames):
+        a = np.frombuffer(f, dtype=np.uint8).copy()
+        a[i * 7:(i * 7) + 3] ^= 255
+        noisy.append(a.tobytes())
+    df = _df(spark, [_video(1, frames), _video(2, noisy),
+                     _video(9, [_frame(50 + i) for i in range(8)])])
+    pairs = video_dup_pairs(df, window=4, max_hamming=10).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_min_matches_raises_the_bar(spark):
+    frames = [_frame(i) for i in range(10)]
+    df = _df(spark, [_video(1, frames), _video(3, frames[3:])])
+    assert video_dup_pairs(df, window=4, min_matches=4).count() == 1
+    assert video_dup_pairs(df, window=4, min_matches=5).count() == 0
+
+
+def test_video_dedup_keeps_one_per_cluster(spark):
+    frames = [_frame(i) for i in range(10)]
+    df = _df(spark, [
+        _video(1, frames), _video(2, frames), _video(3, frames[3:]),
+        _video(9, [_frame(100 + i) for i in range(10)]),
+        _video(7, [_frame(200)] * 4, kind="image"),  # passes through
+    ])
+    kept = sorted(r.media_id for r in video_dedup(df, window=4).collect())
+    assert kept == [1, 7, 9]
+    # keep-best election
+    from pyspark.sql import functions as F
+
+    df2 = df.withColumn("duration_ms",
+                        (F.col("media_id") * 1000).cast("int"))
+    # durations now differ -> frame slicing misaligns, so only the
+    # byte-identical pair (1, 2) still collapses — via the EXACT-payload
+    # pre-collapse, proving it runs before (and independently of) the
+    # fingerprint path; keep_col elects the highest-id member of it
+    kept2 = sorted(r.media_id for r in
+                   video_dedup(df2, window=4,
+                               keep_col="media_id").collect())
+    assert kept2 == [2, 3, 7, 9]
+    assert video_dedup(df, window=4).columns == df.columns
+
+
+def test_video_dedup_mass_duplicate_past_bucket_cap(spark):
+    """A mass-reposted video: identical payloads exceed the band-bucket
+    cap, so the banded pairs path is silenced — the exact-payload
+    pre-collapse must still remove every copy."""
+    frames = [_frame(i) for i in range(6)]
+    rows = [_video(i, frames) for i in range(6)] + \
+        [_video(100, [_frame(100 + i) for i in range(6)])]
+    df = _df(spark, rows)
+    assert video_dup_pairs(df, window=4, max_bucket_size=2).count() == 0
+    kept = sorted(r.media_id for r in
+                  video_dedup(df, window=4, max_bucket_size=2).collect())
+    assert kept == [0, 100]
+
+
+def test_window_bounds_fail_loud(spark):
+    df = _df(spark, [_video(1, [_frame(0)] * 4)])
+    with pytest.raises(ValueError, match="window"):
+        video_fingerprints(df, window=0).collect()
+    with pytest.raises(ValueError, match="window"):
+        video_fingerprints(df, window=65).collect()
