@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_jsonl_roundtrip",
         "ext_quantile_buckets",
         "ext_quantile_apply",
+        # new in round 16 (appended per the mid-round rule; rotates
+        # in-cap the following round)
+        "ext_kn_trigram_logprob",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

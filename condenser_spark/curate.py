@@ -71,7 +71,9 @@ def _resolve_perplexity_opts(perplexity_buckets: dict, lang_col: str):
     score_col = opts.pop("score_col", None)
     if (lm is None) == (score_col is None):
         raise ValueError("perplexity_buckets needs exactly one of lm= "
-                         "(a train_unigram_lm frame) or score_col=")
+                         "(a train_unigram_lm frame, a train_bigram_lm "
+                         "2-tuple, or a train_kn_trigram_lm 4-tuple) "
+                         "or score_col=")
     keep = opts.pop("keep", None)
     if keep is None:
         raise ValueError("perplexity_buckets needs keep= (bucket ints "
@@ -679,12 +681,39 @@ def curate_corpus(
                 f"input — pass group_col=None for a global split")
         keep_cols_all = list(cur.columns)
         if lm is not None:
-            from condenser_spark.functions.lm import lm_score_documents
+            # lm= dispatches on the trained-model shape: a single frame
+            # is the unigram LM; (uni, bi) the Jelinek-Mercer bigram;
+            # (uni, bi, tri, ctx) the Kneser-Ney trigram — the published
+            # CCNet form (Wenzek 2020 scores with a Kneser-Ney KenLM).
+            # All three negate the mean log-prob so bucket 0 stays the
+            # most reference-like (rising perplexity).
+            if isinstance(lm, tuple) and len(lm) == 4:
+                from condenser_spark.functions.lm import (
+                    kn_trigram_score_documents,
+                )
 
-            scored = lm_score_documents(cur, lm, text_col=text_col,
-                                        id_col=id_col).withColumn(
-                # rising perplexity: bucket 0 = most reference-like
-                "_ppl_score", -F.col("lm_logprob"))
+                scored = kn_trigram_score_documents(
+                    cur, *lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm3_logprob"))
+            elif isinstance(lm, tuple) and len(lm) == 2:
+                from condenser_spark.functions.lm import (
+                    bigram_score_documents,
+                )
+
+                scored = bigram_score_documents(
+                    cur, *lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm2_logprob"))
+            elif isinstance(lm, tuple):
+                raise ValueError(
+                    f"perplexity_buckets lm= tuple must have 2 frames "
+                    f"(train_bigram_lm) or 4 (train_kn_trigram_lm): "
+                    f"got {len(lm)}")
+            else:
+                from condenser_spark.functions.lm import lm_score_documents
+
+                scored = lm_score_documents(
+                    cur, lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm_logprob"))
             score_use = "_ppl_score"
         else:
             if score_col not in cur.columns:

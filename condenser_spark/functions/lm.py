@@ -400,3 +400,267 @@ def bigram_score_documents(
         F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         .alias("n_scored_tokens"),
     )
+
+
+def train_kn_trigram_lm(
+    df: DataFrame,
+    vocab_size: int = 32_768,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser-Ney trigram LM — the published form of the
+    CCNet perplexity signal (Wenzek 2020 scores with a 5-gram Kneser-Ney
+    KenLM; Kneser & Ney 1995 / Chen & Goodman 1999 give the
+    absolute-discount interpolated recursion this implements at order 3):
+
+        P(w3|w1 w2) = (c(w123) - D)/c(w12.) + g(w12) * P(w3|w2)
+        g(w12)      = D * N1+(w12*) / c(w12.)
+        P(w3|w2)    = (N1+(*w2w3) - D)/N1+(*w2*) + g(w2) * P(w3)
+        g(w2)       = D * N1+(w2*) / N1+(*w2*)
+        P(w3)       = (N1+(*w3) + 1) / (N1+(**) + V + 1)
+
+    — lower orders use CONTINUATION counts (in how many distinct
+    contexts a gram appears), the Kneser-Ney signature; the unigram
+    level is Laplace-floored over the vocabulary so no probability is
+    ever zero.  ``discount`` must sit in (0, 1): every observed count
+    is >= 1, so the discounted numerators stay positive and the
+    ``max(., 0)`` of the textbook form never binds — both engines can
+    then share one branch-free double expression tree.
+
+    Boundary convention (documented, not hidden): no <s> padding —
+    lower-order statistics derive from the observed TRIPLE set, so a
+    document shorter than 3 tokens contributes nothing to the model
+    (scoring still covers it through the backoff chain).
+
+    Tokens outside the top-``vocab_size`` vocabulary (count desc, term
+    asc — deterministic) map to ``OOV_TERM`` BEFORE triple extraction,
+    the :func:`train_bigram_lm` convention.
+
+    Returns ``(unigram, bigram, trigram, context)``:
+
+    * ``unigram`` — ``(term, logp1_4, logg2_4)``, ``vocab + 1`` rows
+      (OOV included); ``logg2_4`` is NULL when the term was never a
+      bigram context.  The only broadcastable side.
+    * ``bigram`` — ``(w2, w3, logp2_4)`` for continuation-observed
+      pairs; shuffle-joined at scoring time.
+    * ``trigram`` — ``(w1, w2, w3, logp3_4)`` for observed triples.
+    * ``context`` — ``(w1, w2, logg12_4)`` for observed trigram
+      contexts.
+
+    Every log-prob is rounded to a scaled INTEGER at train time from
+    one fixed double expression tree (the lm.py module contract), so
+    document sums are order-free and the DuckDB oracle replays scores
+    bit-for-bit."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1): {discount} (at 1.0 or above "
+            "observed-gram probabilities can hit zero; at 0 there is no "
+            "mass left for the backoff)")
+    d = F.lit(discount)
+    counts = (
+        _tokens(df, text_col).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()) \
+        .limit(vocab_size)
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # kept vocab terms + the OOV token
+    n_vocab = F.least(F.lit(vocab_size), F.col("n_terms")) + F.lit(1)
+
+    from pyspark.sql import Window
+
+    mapped = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(top.select("term", F.lit(True).alias("_inv"))),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("_inv"), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("w"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    triples = mapped.select(
+        F.lag("w", 2).over(w).alias("w1"),
+        F.lag("w", 1).over(w).alias("w2"),
+        F.col("w").alias("w3"),
+    ).filter(F.col("w1").isNotNull())
+    c3 = triples.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3"))
+    # c3 rows are distinct (w1,w2,w3), so COUNT(*) groups below ARE the
+    # N1+ continuation-type counts — no countDistinct needed anywhere
+    ctx12 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"),            # c(w1 w2 .)
+        F.count(F.lit(1)).alias("n1p12"))    # N1+(w1 w2 *)
+    contb = c3.groupBy("w2", "w3").agg(
+        F.count(F.lit(1)).alias("n1pb"))     # N1+(* w2 w3)
+    ctx2 = contb.groupBy("w2").agg(
+        F.sum("n1pb").alias("n1pb_ctx"),     # N1+(* w2 *)
+        F.count(F.lit(1)).alias("n1p_types"))  # N1+(w2 *)
+    n1pu = contb.groupBy("w3").agg(
+        F.count(F.lit(1)).alias("n1pu"))     # N1+(* w3)
+    npp = contb.agg(F.count(F.lit(1)).alias("npp"))  # N1+(* *)
+
+    uni_terms = top.select("term").unionByName(
+        totals.select(F.lit(OOV_TERM).alias("term")))
+    # P1(w) = (N1+(*w) + 1) / (N1+(**) + V + 1): one shared double tree
+    p1_expr = (
+        (F.coalesce(F.col("n1pu"), F.lit(0)) + F.lit(1))
+        / (F.col("npp") + n_vocab + F.lit(1))
+    )
+    g2_expr = d * F.col("n1p_types") / F.col("n1pb_ctx")
+    p1_side = (
+        uni_terms
+        .join(n1pu.withColumnRenamed("w3", "term"), on="term", how="left")
+        .crossJoin(F.broadcast(npp))
+        .crossJoin(F.broadcast(totals))
+        .select("term", p1_expr.alias("p1"))
+    )
+    unigram = (
+        p1_side
+        .join(ctx2.withColumnRenamed("w2", "term"), on="term", how="left")
+        .select(
+            "term",
+            F.round(F.log(F.col("p1")) * F.lit(10_000.0))
+            .cast("long").alias("logp1_4"),
+            F.round(F.log(g2_expr) * F.lit(10_000.0))
+            .cast("long").alias("logg2_4"),
+        )
+    )
+    # P2(w3|w2): keeps the raw double alongside the rounded integer so
+    # the trigram level composes the IDENTICAL value the oracle does
+    p2_expr = (
+        (F.col("n1pb") - d) / F.col("n1pb_ctx")
+        + (d * F.col("n1p_types") / F.col("n1pb_ctx")) * F.col("p1")
+    )
+    bigram_full = (
+        contb.join(ctx2, on="w2")
+        .join(p1_side.withColumnRenamed("term", "w3"), on="w3")
+        .select("w2", "w3", p2_expr.alias("p2"))
+    )
+    bigram = bigram_full.select(
+        "w2", "w3",
+        F.round(F.log(F.col("p2")) * F.lit(10_000.0))
+        .cast("long").alias("logp2_4"),
+    )
+    context = ctx12.select(
+        "w1", "w2",
+        F.round(F.log(d * F.col("n1p12") / F.col("c12")) * F.lit(10_000.0))
+        .cast("long").alias("logg12_4"),
+    )
+    p3_expr = (
+        (F.col("c3") - d) / F.col("c12")
+        + (d * F.col("n1p12") / F.col("c12")) * F.col("p2")
+    )
+    trigram = (
+        c3.join(ctx12, on=["w1", "w2"])
+        .join(bigram_full, on=["w2", "w3"])
+        .select(
+            "w1", "w2", "w3",
+            F.round(F.log(p3_expr) * F.lit(10_000.0))
+            .cast("long").alias("logp3_4"),
+        )
+    )
+    return unigram, bigram, trigram, context
+
+
+def kn_trigram_score_documents(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    trigram: DataFrame,
+    context: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``lm3_logprob`` (mean per-token Kneser-Ney trigram chain
+    log-probability under :func:`train_kn_trigram_lm`) plus the exact
+    integers it derives from — ``lm3_logprob4_sum``,
+    ``n_scored_tokens`` (the lm.py contract: pin and aggregate the
+    integers, derive floats at the edge).
+
+    Chain per position: token 1 scores the continuation unigram; token
+    2 the bigram level; token >= 3 the full trigram with the backoff
+    ladder — each fallback is integer ADDITION of pre-rounded component
+    logs, expressed as one coalesce (a NULL join miss or NULL gamma
+    falls through to the next rung):
+
+        score2  = coalesce(logp2_4, g2(w2) + logp1_4, logp1_4)
+        contrib = coalesce(logp3_4, logg12_4 + score2, score2)
+
+    Scale shape: tokenize -> ONE broadcast join against the
+    (vocab+1)-row unigram side (OOV mapping + unigram scores + gammas in
+    a single pass) -> one id-partitioned lag window (the shingling
+    shuffle) -> THREE left equi-joins against the observed-gram sides
+    (shuffled on their keys, AQE-broadcast when small; never collected)
+    -> map-side-combined integer sum per doc."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("kn_trigram_score_documents: unigram frame has "
+                         "no OOV row — build the model with "
+                         "train_kn_trigram_lm")
+    oov_lp1 = int(oov_row.logp1_4)
+    oov_g2 = oov_row.logg2_4  # may be None: OOV never observed as context
+
+    from pyspark.sql import Window
+
+    seq = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("logp1_4").isNotNull(), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("w3"),
+            F.coalesce(F.col("logp1_4"), F.lit(oov_lp1)).alias("_lp1"),
+            F.when(F.col("logp1_4").isNotNull(), F.col("logg2_4"))
+            .otherwise(F.lit(oov_g2).cast("long")).alias("_g2"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    chained = seq.select(
+        "_id", "w3", "_lp1",
+        F.lag("w3", 1).over(w).alias("w2"),
+        F.lag("w3", 2).over(w).alias("w1"),
+        F.lag("_g2", 1).over(w).alias("_g2_prev"),
+    )
+    joined = (
+        chained
+        .join(bigram, on=["w2", "w3"], how="left")
+        .join(context, on=["w1", "w2"], how="left")
+        .join(trigram, on=["w1", "w2", "w3"], how="left")
+    )
+    score2 = F.coalesce(
+        F.col("logp2_4"),
+        F.col("_g2_prev") + F.col("_lp1"),
+        F.col("_lp1"),
+    )
+    contrib = (
+        F.when(F.col("w2").isNull(), F.col("_lp1"))
+        .when(F.col("w1").isNull(), score2)
+        .otherwise(F.coalesce(
+            F.col("logp3_4"),
+            F.col("logg12_4") + score2,
+            score2,
+        ))
+    )
+    per = (
+        joined.groupBy("_id")
+        .agg(F.sum(contrib).alias("_s4"), F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed("_id", id_col)
+    )
+    floor = round(oov_lp1 / 10_000.0, 4)
+    return df.join(per, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(
+            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4),
+            F.lit(floor),
+        ).alias("lm3_logprob"),
+        F.coalesce(F.col("_s4"), F.lit(0)).cast("long")
+        .alias("lm3_logprob4_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        .alias("n_scored_tokens"),
+    )

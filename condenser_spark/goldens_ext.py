@@ -4262,6 +4262,150 @@ def _bigram_logprob_sql() -> str:
     """
 
 
+_KN_V = 16
+_KN_D = 0.75
+
+
+def _kn_trigram_sql() -> str:
+    """Full train+score mirror of train_kn_trigram_lm /
+    kn_trigram_score_documents: vocab/OOV mapping, per-doc triple
+    extraction, Kneser-Ney continuation counts, the three gamma/log-prob
+    tables from the IDENTICAL double expression trees, and the
+    coalesce backoff ladder — exact integer sums out."""
+    V, D = _KN_V, _KN_D
+    return f"""
+    WITH raw AS (
+      SELECT doc_id AS id, generate_subscripts(tokens, 1) AS pos,
+             unnest(tokens) AS term
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS tokens
+        FROM documents
+      )
+    ),
+    toks AS (SELECT * FROM raw WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    totals AS (SELECT COUNT(*) AS n_terms FROM counts),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT {V}),
+    mtok AS (
+      SELECT t.id, t.pos,
+             CASE WHEN tp.term IS NULL THEN chr(0) || 'oov'
+                  ELSE t.term END AS w
+      FROM toks t LEFT JOIN top tp USING (term)
+    ),
+    tris AS (
+      SELECT lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w1,
+             lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w2,
+             w AS w3
+      FROM mtok
+    ),
+    c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tris
+           WHERE w1 IS NOT NULL GROUP BY 1, 2, 3),
+    ctx12 AS (SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS n1p12
+              FROM c3 GROUP BY 1, 2),
+    contb AS (SELECT w2, w3, COUNT(*) AS n1pb FROM c3 GROUP BY 1, 2),
+    ctx2 AS (SELECT w2, SUM(n1pb) AS n1pb_ctx, COUNT(*) AS n1p_types
+             FROM contb GROUP BY 1),
+    n1pu AS (SELECT w3, COUNT(*) AS n1pu FROM contb GROUP BY 1),
+    npp AS (SELECT COUNT(*) AS npp FROM contb),
+    uterms AS (SELECT term FROM top
+               UNION ALL SELECT chr(0) || 'oov'),
+    p1s AS (
+      SELECT u.term,
+             (COALESCE(n.n1pu, 0) + 1)
+             / CAST(npp + LEAST({V}, n_terms) + 1 + 1 AS DOUBLE) AS p1
+      FROM uterms u
+      LEFT JOIN n1pu n ON n.w3 = u.term
+      CROSS JOIN npp CROSS JOIN totals
+    ),
+    uni AS (
+      SELECT p.term,
+             CAST(ROUND(ln(p.p1) * 10000) AS BIGINT) AS logp1_4,
+             CAST(ROUND(ln({D} * c.n1p_types / c.n1pb_ctx) * 10000)
+                  AS BIGINT) AS logg2_4
+      FROM p1s p LEFT JOIN ctx2 c ON c.w2 = p.term
+    ),
+    bif AS (
+      SELECT b.w2, b.w3,
+             ((b.n1pb - {D}) / c.n1pb_ctx)
+             + (({D} * c.n1p_types / c.n1pb_ctx) * p.p1) AS p2
+      FROM contb b JOIN ctx2 c USING (w2)
+      JOIN p1s p ON p.term = b.w3
+    ),
+    bi AS (SELECT w2, w3,
+                  CAST(ROUND(ln(p2) * 10000) AS BIGINT) AS logp2_4
+           FROM bif),
+    ctx AS (SELECT w1, w2,
+                   CAST(ROUND(ln({D} * n1p12 / c12) * 10000) AS BIGINT)
+                   AS logg12_4
+            FROM ctx12),
+    tri AS (
+      SELECT t.w1, t.w2, t.w3,
+             CAST(ROUND(ln(((t.c3 - {D}) / x.c12)
+                           + (({D} * x.n1p12 / x.c12) * b.p2))
+                        * 10000) AS BIGINT) AS logp3_4
+      FROM c3 t
+      JOIN ctx12 x ON x.w1 = t.w1 AND x.w2 = t.w2
+      JOIN bif b ON b.w2 = t.w2 AND b.w3 = t.w3
+    ),
+    seq AS (
+      SELECT m.id, m.w AS w3, u.logp1_4 AS lp1,
+             lag(m.w, 1) OVER (PARTITION BY m.id ORDER BY m.pos) AS w2,
+             lag(m.w, 2) OVER (PARTITION BY m.id ORDER BY m.pos) AS w1,
+             lag(u.logg2_4) OVER (PARTITION BY m.id ORDER BY m.pos)
+               AS g2_prev
+      FROM mtok m JOIN uni u ON u.term = m.w
+    ),
+    per AS (
+      SELECT s.id,
+             SUM(CASE
+                   WHEN s.w2 IS NULL THEN s.lp1
+                   WHEN s.w1 IS NULL THEN
+                     COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1)
+                   ELSE COALESCE(
+                     t.logp3_4,
+                     x.logg12_4
+                       + COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1),
+                     COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1))
+                 END) AS s4,
+             COUNT(*) AS n
+      FROM seq s
+      LEFT JOIN bi b ON b.w2 = s.w2 AND b.w3 = s.w3
+      LEFT JOIN ctx x ON x.w1 = s.w1 AND x.w2 = s.w2
+      LEFT JOIN tri t ON t.w1 = s.w1 AND t.w2 = s.w2 AND t.w3 = s.w3
+      GROUP BY s.id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s4, 0) AS BIGINT) AS lm3_logprob4_sum,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scored_tokens
+    FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+    """
+
+
+@golden("ext_kn_trigram_logprob", _kn_trigram_sql())
+def ext_kn_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney trigram chain log-probability of every document under a
+    model trained on the same corpus (VERDICT r15 punch #4 — the
+    published CCNet perplexity form: Wenzek 2020 scores with Kneser-Ney
+    KenLM), pinned at the EXACT INTEGER layer: the full train
+    (vocab/OOV mapping, triple counts, continuation counts, gammas,
+    interpolated log-probs) + score (coalesce backoff ladder) chain
+    replays in DuckDB from the identical double expression trees
+    (condenser_spark/functions/lm.py:train_kn_trigram_lm,
+    kn_trigram_score_documents)."""
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents,
+        train_kn_trigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    uni, bi, tri, ctx = train_kn_trigram_lm(
+        docs, vocab_size=_KN_V, discount=_KN_D)
+    return kn_trigram_score_documents(docs, uni, bi, tri, ctx).select(
+        "doc_id", "lm3_logprob4_sum", "n_scored_tokens")
+
+
 @golden("ext_bigram_logprob", _bigram_logprob_sql())
 def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram chain log-probability of every document under a

@@ -381,6 +381,14 @@ def curate_stream(
                 f"stream — pass group_col=None for a global split")
         keep_cols_all = list(cur.columns)
         if p_lm is not None:
+            if isinstance(p_lm, tuple):
+                raise ValueError(
+                    "perplexity_buckets on a stream supports only the "
+                    "unigram lm= (its vocab+1-row table ships in the "
+                    "stateless kernel's closure by contract); the "
+                    "bigram/Kneser-Ney n-gram sides are unbounded and "
+                    "never collected — score with the batch composer, "
+                    "or precompute a score column and pass score_col=")
             from condenser_spark.functions.lm import (
                 lm_score_documents_stateless,
             )

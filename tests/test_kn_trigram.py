@@ -1,0 +1,219 @@
+"""Kneser-Ney trigram LM (VERDICT r15 punch #4 — the published form of
+the CCNet perplexity signal).  The reference mirror below implements the
+interpolated absolute-discount recursion (Kneser & Ney 1995; Chen &
+Goodman 1999) independently in plain Python from first principles —
+continuation counts, gammas, the Laplace-floored continuation unigram —
+and every Spark score must match it integer-for-integer.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from condenser_spark.functions.lm import (
+    OOV_TERM,
+    kn_trigram_score_documents,
+    train_kn_trigram_lm,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog sat on a log"),
+    (3, "the dog ran to the log"),
+    (4, "cats and dogs"),
+    (5, "on"),
+    (6, ""),
+]
+
+
+def _ref_model(texts, vocab_size, d):
+    toks = {i: t.split() for i, t in texts}
+    counts = Counter(w for ts in toks.values() for w in ts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = {w for w, _ in top}
+    mapped = {i: [w if w in vocab else OOV_TERM for w in ts]
+              for i, ts in toks.items()}
+    c3 = Counter()
+    for ts in mapped.values():
+        for j in range(2, len(ts)):
+            c3[(ts[j - 2], ts[j - 1], ts[j])] += 1
+    c12, n1p12 = Counter(), Counter()
+    n1pb = Counter()
+    for (w1, w2, w3), c in c3.items():
+        c12[(w1, w2)] += c
+        n1p12[(w1, w2)] += 1
+        n1pb[(w2, w3)] += 1
+    n1pb_ctx, n1p_types, n1pu = Counter(), Counter(), Counter()
+    for (w2, w3), c in n1pb.items():
+        n1pb_ctx[w2] += c
+        n1p_types[w2] += 1
+        n1pu[w3] += 1
+    npp = len(n1pb)
+    n_vocab = min(vocab_size, len(counts)) + 1
+
+    def p1(w):
+        return (n1pu.get(w, 0) + 1) / (npp + n_vocab + 1)
+
+    def g2(w2):
+        if w2 not in n1pb_ctx:
+            return None
+        return d * n1p_types[w2] / n1pb_ctx[w2]
+
+    def p2(w2, w3):
+        return (n1pb[(w2, w3)] - d) / n1pb_ctx[w2] + \
+            (d * n1p_types[w2] / n1pb_ctx[w2]) * p1(w3)
+
+    def g12(w1, w2):
+        return d * n1p12[(w1, w2)] / c12[(w1, w2)]
+
+    def p3(w1, w2, w3):
+        return (c3[(w1, w2, w3)] - d) / c12[(w1, w2)] + \
+            (d * n1p12[(w1, w2)] / c12[(w1, w2)]) * p2(w2, w3)
+
+    def r4(x):
+        # Spark ROUND half-up on magnitude
+        s = x * 10_000.0
+        return int(math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5))
+
+    tables = {
+        "uni": {w: r4(math.log(p1(w))) for w in vocab | {OOV_TERM}},
+        "g2": {w: r4(math.log(g2(w))) for w in n1pb_ctx},
+        "bi": {k: r4(math.log(p2(*k))) for k in n1pb},
+        "g12": {k: r4(math.log(g12(*k))) for k in c12},
+        "tri": {k: r4(math.log(p3(*k))) for k in c3},
+    }
+    return mapped, tables
+
+
+def _ref_score(ts, t):
+    """Integer chain sum for one mapped token list under ref tables."""
+    s = 0
+    for j, w3 in enumerate(ts):
+        if j == 0:
+            s += t["uni"][w3]
+            continue
+        w2 = ts[j - 1]
+
+        def score2():
+            if (w2, w3) in t["bi"]:
+                return t["bi"][(w2, w3)]
+            if w2 in t["g2"]:
+                return t["g2"][w2] + t["uni"][w3]
+            return t["uni"][w3]
+
+        if j == 1:
+            s += score2()
+            continue
+        w1 = ts[j - 2]
+        if (w1, w2, w3) in t["tri"]:
+            s += t["tri"][(w1, w2, w3)]
+        elif (w1, w2) in t["g12"]:
+            s += t["g12"][(w1, w2)] + score2()
+        else:
+            s += score2()
+    return s
+
+
+@pytest.mark.parametrize("vocab_size,d", [(100, 0.75), (6, 0.4)])
+def test_kn_scores_match_reference_mirror(spark, vocab_size, d):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    uni, bi, tri, ctx = train_kn_trigram_lm(
+        df, vocab_size=vocab_size, discount=d)
+    got = {r.doc_id: (r.lm3_logprob4_sum, r.n_scored_tokens)
+           for r in kn_trigram_score_documents(df, uni, bi, tri, ctx)
+           .collect()}
+    mapped, tables = _ref_model(DOCS, vocab_size, d)
+    for i, _ in DOCS:
+        ts = mapped[i]
+        assert got[i] == (_ref_score(ts, tables), len(ts)), (i, ts)
+
+
+def test_kn_backoff_chain_hand_computed(spark):
+    """Every rung of the backoff ladder on a hand-checkable corpus:
+    'x y z' repeated trains exactly one triple; scoring probes
+    observed-triple, gamma12+bigram, bigram-only, gamma2+unigram and
+    bare-unigram paths explicitly."""
+    train = spark.createDataFrame(
+        [(0, "x y z"), (1, "x y z"), (2, "x y w")],
+        "doc_id long, text string")
+    uni, bi, tri, ctx = train_kn_trigram_lm(
+        train, vocab_size=100, discount=0.5)
+    urows = {r.term: r for r in uni.collect()}
+    trows = {(r.w1, r.w2, r.w3): r.logp3_4 for r in tri.collect()}
+    brows = {(r.w2, r.w3): r.logp2_4 for r in bi.collect()}
+    crows = {(r.w1, r.w2): r.logg12_4 for r in ctx.collect()}
+    # model shape: triples (x,y,z) c=2 and (x,y,w) c=1 share context (x,y)
+    assert set(trows) == {("x", "y", "z"), ("x", "y", "w")}
+    assert set(crows) == {("x", "y")}
+    assert set(brows) == {("y", "z"), ("y", "w")}
+    # hand numbers: c12=3, n1p12=2, D=0.5
+    # g12 = 0.5 * 2 / 3; N1+(*y*)=2, N1+(y*)=2 -> g2(y) = 0.5 * 2 / 2
+    # npp=2, V=4+1 (x y z w + oov), P1(z) = (1+1)/(2+5+1) = 0.25
+    # P2(z|y) = (1-0.5)/2 + 0.5*0.25 = 0.375
+    # P3(z|x,y) = (2-0.5)/3 + (1/3)*0.375 = 0.625
+    assert trows[("x", "y", "z")] == round(math.log(0.625) * 10_000)
+    assert brows[("y", "z")] == round(math.log(0.375) * 10_000)
+    assert crows[("x", "y")] == round(math.log(0.5 * 2 / 3) * 10_000)
+    assert urows["y"].logg2_4 == round(math.log(0.5) * 10_000)
+    assert urows["z"].logp1_4 == round(math.log(0.25) * 10_000)
+    # P1(y): y never continues a bigram -> Laplace floor 1/8
+    assert urows["y"].logp1_4 == round(math.log(1 / 8) * 10_000)
+
+    # scoring probes, one doc per rung
+    probe = spark.createDataFrame(
+        [(10, "x y z"),      # triple observed
+         (11, "q y z"),      # (q,y) unseen ctx -> P2(z|y) for token 3
+         (12, "x y q"),      # ctx (x,y) seen, triple missing -> g12+score2
+         (13, "z q"),        # (z,q): no bigram, z has no gamma -> bare uni
+         (14, "y")],         # single token -> unigram only
+        "doc_id long, text string")
+    got = {r.doc_id: r.lm3_logprob4_sum for r in
+           kn_trigram_score_documents(probe, uni, bi, tri, ctx).collect()}
+    u = {t: urows[t].logp1_4 if t in urows else urows[OOV_TERM].logp1_4
+         for t in "xyzwq"}
+    g2y = urows["y"].logg2_4
+    oov_lp1 = urows[OOV_TERM].logp1_4
+    # doc 10: u(x) + [bi(y|x)? no bigram (x,y) -> g2? x never ctx -> u(y)]
+    #         + tri(z|x,y)
+    assert got[10] == u["x"] + u["y"] + trows[("x", "y", "z")]
+    # doc 11: q->OOV. u(oov) + [no bigram (oov,y); oov no gamma -> u(y)]
+    #         + [ctx (oov,y) unseen -> score2 = bi(z|y)]
+    assert got[11] == oov_lp1 + u["y"] + brows[("y", "z")]
+    # doc 12: u(x) + u(y) + [tri missing; g12(x,y) + score2], score2 for
+    #         (y, oov): no bigram row -> g2(y) + u(oov)
+    assert got[12] == u["x"] + u["y"] + (
+        crows[("x", "y")] + g2y + oov_lp1)
+    # doc 13: u(z) + [no bigram (z,oov); z never a context -> u(oov)]
+    assert got[13] == u["z"] + oov_lp1
+    assert got[14] == u["y"]
+
+
+def test_kn_discount_bounds_fail_loud(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    for bad in (0.0, 1.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="discount"):
+            train_kn_trigram_lm(df, discount=bad)
+
+
+def test_kn_empty_and_short_docs(spark):
+    """Docs shorter than 3 tokens train nothing (the documented boundary
+    convention) but still score through the backoff chain; empty docs
+    report (0, 0) and the OOV floor."""
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "b"), (2, "")], "doc_id long, text string")
+    uni, bi, tri, ctx = train_kn_trigram_lm(df, discount=0.75)
+    assert tri.count() == 0 and bi.count() == 0 and ctx.count() == 0
+    out = {r.doc_id: r for r in
+           kn_trigram_score_documents(df, uni, bi, tri, ctx).collect()}
+    assert out[2].lm3_logprob4_sum == 0
+    assert out[2].n_scored_tokens == 0
+    assert out[0].n_scored_tokens == 2
+    # with no observed grams every token scores its Laplace continuation
+    # unigram: npp=0, V = 2 kept terms + oov -> P1 = 1/(0 + 3 + 1)
+    floor4 = round(math.log(1 / 4) * 10_000)
+    assert out[0].lm3_logprob4_sum == 2 * floor4
+    assert out[1].lm3_logprob4_sum == floor4

@@ -235,3 +235,73 @@ def test_stream_stage_missing_group_col_fails_loud(spark, docs, ref_lm):
     with pytest.raises(ValueError, match="group_col 'lang' not in"):
         curate_stream(scored.drop("lang"), perplexity_buckets={
             "score_col": "p", "keep": (0,), "thresholds": thr})
+
+
+def test_batch_stage_kn_trigram_lm(spark, docs):
+    """r16: lm= accepts the train_kn_trigram_lm 4-tuple (the published
+    CCNet Kneser-Ney form) — stage output must equal the manual
+    score -> bucket -> keep composition, and the bigram 2-tuple
+    dispatches too."""
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        kn_trigram_score_documents,
+        train_bigram_lm,
+        train_kn_trigram_lm,
+    )
+
+    sample = docs.limit(150).select("doc_id", "text", "lang")
+    kn = train_kn_trigram_lm(docs.filter("lang = 'en'"), vocab_size=512)
+    scored = kn_trigram_score_documents(sample, *kn).withColumn(
+        "_ppl", -F.col("lm3_logprob"))
+    manual = (quantile_buckets(scored, "_ppl", n_buckets=3,
+                               group_col="lang", id_col="doc_id",
+                               bucket_col="_b", mode="exact")
+              .filter(F.col("_b") < 1)
+              .select("doc_id", "text", "lang"))
+    staged, _ = curate_corpus(
+        sample,
+        perplexity_buckets={"lm": kn, "keep": "head", "mode": "exact"},
+        report=False)
+    assert sorted(map(tuple, staged.collect())) == \
+        sorted(map(tuple, manual.collect()))
+
+    bi = train_bigram_lm(docs.filter("lang = 'en'"), vocab_size=512)
+    scored2 = bigram_score_documents(sample, *bi).withColumn(
+        "_ppl", -F.col("lm2_logprob"))
+    manual2 = (quantile_buckets(scored2, "_ppl", n_buckets=3,
+                                group_col="lang", id_col="doc_id",
+                                bucket_col="_b", mode="exact")
+               .filter(F.col("_b") < 1)
+               .select("doc_id", "text", "lang"))
+    staged2, _ = curate_corpus(
+        sample,
+        perplexity_buckets={"lm": bi, "keep": "head", "mode": "exact"},
+        report=False)
+    assert sorted(map(tuple, staged2.collect())) == \
+        sorted(map(tuple, manual2.collect()))
+
+    with pytest.raises(ValueError, match="2 frames"):
+        curate_corpus(sample,
+                      perplexity_buckets={"lm": (kn[0],), "keep": 0},
+                      report=False)
+
+
+def test_stream_rejects_ngram_lm_tuples(spark, docs, ref_lm, tmp_path):
+    """Streams score through the stateless unigram kernel only — the
+    n-gram sides are unbounded and never collected; a tuple lm= must
+    fail loud, not silently collect."""
+    from condenser_spark.functions.lm import train_kn_trigram_lm
+
+    kn = train_kn_trigram_lm(docs.limit(50), vocab_size=64)
+    src = str(tmp_path / "in")
+    docs.limit(10).select("doc_id", "text", "lang") \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    thr = quantile_thresholds(
+        lm_score_documents(docs.limit(50), ref_lm)
+        .withColumn("_ppl_score", -F.col("lm_logprob")),
+        "_ppl_score", n_buckets=3, group_col="lang").localCheckpoint()
+    with pytest.raises(ValueError, match="unigram"):
+        curate_stream(stream,
+                      perplexity_buckets={"lm": kn, "keep": 0,
+                                          "thresholds": thr})
