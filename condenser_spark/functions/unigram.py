@@ -36,8 +36,10 @@ loop per document."""
 
 from __future__ import annotations
 
+import json
 import logging
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,6 +51,36 @@ logger = logging.getLogger(__name__)
 #: SentencePiece word-boundary marker, PREFIXED to every word before
 #: segmentation; decode turns it back into a space.
 MARKER = "▁"
+
+
+@dataclass(frozen=True)
+class UnigramModel:
+    """A trained unigram-LM tokenizer as a landed, versioned artifact —
+    the :class:`bpe.BpeModel` / :class:`quality.QualityModel` save/load
+    contract: plain JSON mapping piece -> logprob.  ``encode_unigram``
+    accepts either this or the raw dict."""
+
+    pieces: dict[str, float]
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump({"format": "condenser_spark.unigram", "version": 1,
+                       "pieces": self.pieces}, f, ensure_ascii=False)
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramModel":
+        with open(path) as f:
+            m = json.load(f)
+        fmt = m.get("format")
+        if fmt != "condenser_spark.unigram":
+            raise ValueError(
+                f"{path}: not a condenser_spark.unigram artifact "
+                f"(format={fmt!r})")
+        ver = m.get("version")
+        if ver != 1:
+            raise ValueError(
+                f"{path}: unsupported unigram artifact version {ver!r}")
+        return cls(pieces={str(k): float(v) for k, v in m["pieces"].items()})
 
 
 def viterbi_encode_word(word: str, logp: dict[str, float],
@@ -204,7 +236,8 @@ def encode_unigram(
     come back with an empty array, not a missing row."""
     import pandas as pd
 
-    logp = dict(model)
+    logp = dict(model.pieces) if isinstance(model, UnigramModel) \
+        else dict(model)
 
     words = df.select(
         F.col(id_col),

@@ -19,6 +19,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# same heap default as tests/conftest.py — the fixture pipelines are small
+# but the full lazy plans are deep; Spark's 1g driver default OOMs in
+# planning (no effect when the caller already set it)
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
 
 
 def main() -> int:

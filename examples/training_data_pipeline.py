@@ -19,6 +19,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# same heap default as tests/conftest.py — the fixture pipelines are small
+# but the full lazy plans are deep; Spark's 1g driver default OOMs in
+# planning (no effect when the caller already set it)
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell")
 
 
 def main() -> int:
@@ -103,6 +107,23 @@ def main() -> int:
         budget_tokens=4096, shard_col="lang",
     )
 
+    # 10. tokenizer as a LANDED ARTIFACT: train once, save the versioned
+    #     JSON model, and encode from the LOADED artifact — the 100 TB
+    #     regime (the training job and the encode fleet never share a
+    #     driver session; the model file is the only contract)
+    import tempfile
+
+    from condenser_spark.functions.bpe import BpeModel, encode_bpe, train_bpe
+
+    model_path = os.path.join(tempfile.mkdtemp(prefix="tok_model_"),
+                              "bpe.json")
+    BpeModel(merges=tuple(train_bpe(docs.limit(300), n_merges=200))) \
+        .save(model_path)
+    tok_report = encode_bpe(
+        split.filter(F.col("split") == "train"),
+        BpeModel.load(model_path),
+    ).agg(F.sum("n_bpe_tokens").alias("bpe_tokens")).collect()[0]
+
     report = packed.agg(
         F.count(F.lit(1)).alias("docs"),
         F.countDistinct("bin_id").alias("bins"),
@@ -112,6 +133,7 @@ def main() -> int:
     print(f"packed train docs:  {report.docs}")
     print(f"packed bins @4096:  {report.bins}")
     print(f"train tokens:       {report.tokens}")
+    print(f"bpe tokens (landed model): {tok_report.bpe_tokens}")
     spark.stop()
     return 0
 
