@@ -558,6 +558,8 @@ def media_dedup(
     fake: bool | None = True,
     keep_col: str | None = None,
     max_bucket_size: int | None = 10_000,
+    dim: int = 16,
+    threshold: float = 0.98,
 ) -> DataFrame:
     """Keep-rows image dedup — the ``near_dedup_documents`` contract
     applied to media: 64-bit perceptual hashes, an EXACT-HASH
@@ -584,12 +586,42 @@ def media_dedup(
 
     Non-duplicate rows pass through untouched (left-anti on the loser
     set); payloads never shuffle — only ids, 8-byte hashes, and the
-    optional score column travel."""
+    optional score column travel.
+
+    ``method="feature"`` (r16 — closes the media_dup_pairs/media_dedup
+    API asymmetry): feature-cosine keep-rows dedup — exact-payload
+    pre-collapse (md5; mass duplicates never hide behind SRP bucket
+    caps), :func:`media_dup_pairs` feature pairs among the
+    representatives (SRP-bucketed, never all-pairs), connected
+    components, keep-best election.  ``threshold``/``dim`` apply;
+    ``max_hamming`` is ignored."""
+    if method == "feature":
+        from condenser_spark.functions.dedup import (
+            _cluster_losers,
+            dup_clusters,
+        )
+
+        fp = df.select("media_id", F.md5(F.col("payload")).alias("_pfp"))
+        reps = fp.groupBy("_pfp").agg(F.min("media_id").alias("rep"))
+        id_to_rep = fp.join(reps, on="_pfp").select("media_id", "rep")
+        rep_rows = df.join(
+            reps.select(F.col("rep").alias("media_id")), on="media_id",
+            how="left_semi")
+        near = media_dup_pairs(rep_rows, dim=dim, threshold=threshold,
+                               fake=fake, method="feature")
+        rep_clusters = dup_clusters(near)
+        clusters = (id_to_rep
+                    .join(rep_clusters.withColumnRenamed("id", "rep"),
+                          on="rep", how="left")
+                    .select(F.col("media_id").alias("id"),
+                            F.coalesce(F.col("cluster_id"), F.col("rep"))
+                            .alias("cluster_id")))
+        losers = _cluster_losers(clusters, df, "media_id", keep_col)
+        return df.join(losers, on="media_id", how="left_anti")
     if method not in ("phash", "dhash", "audio"):
         raise ValueError(
-            f"media_dedup method must be 'phash'|'dhash'|'audio': "
-            f"{method!r} "
-            "(for feature-cosine pairs use media_dup_pairs directly)")
+            f"media_dedup method must be "
+            f"'phash'|'dhash'|'audio'|'feature': {method!r}")
     from condenser_spark.functions.dedup import (
         _cluster_losers,
         dup_clusters,

@@ -1,0 +1,75 @@
+"""Cross-round bench regression gate (VERDICT r15 punch #6: assert the
+zero-movers claim from committed artifacts, don't narrate it).
+
+Compares the two most recent committed ``BENCH_DETAIL_r{N}.json`` files
+with scripts/bench_diff.py's diff function at TWO thresholds:
+
+* the standard noise gate (40% AND 0.3 s) — reported, not asserted:
+  NOISE_FLOOR.md measured a 40-50% per-query same-code floor, and a
+  hot driver box (r15 started at 5-min loadavg 0.99) moves entries
+  past it with zero code change, so failing pytest on it would make
+  the suite box-state-dependent;
+* a hard code-regression bar (100% AND 1.0 s — a query more than
+  DOUBLING while costing an extra second) — ASSERTED: nothing in the
+  committed NOISE_FLOOR runs ever moved that far on identical code.
+
+A deliberate change that legitimately moves a query past the hard bar
+is acknowledged by naming the query in ``BENCH_MOVERS_ACK_r{N}.md``
+(the round of the newer artifact) with one line of explanation — the
+"explained movers" path; an unexplained 2x is a failed gate.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _latest_details():
+    pairs = sorted(
+        (int(m.group(1)), p)
+        for p in REPO.glob("BENCH_DETAIL_r*.json")
+        if (m := re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", p.name))
+    )
+    return pairs[-2:] if len(pairs) >= 2 else None
+
+
+def test_no_unexplained_hard_movers_between_rounds():
+    latest = _latest_details()
+    if latest is None:
+        return  # fewer than two committed rounds — nothing to compare
+    (n_a, p_a), (n_b, p_b) = latest
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_diff import diff
+
+    a, b = json.loads(p_a.read_text()), json.loads(p_b.read_text())
+    if a.get("sf") != b.get("sf"):
+        return  # different scale factors (e.g. a local smoke at sf0.01)
+    hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
+    ack_path = REPO / f"BENCH_MOVERS_ACK_r{n_b:02d}.md"
+    acked = ack_path.read_text() if ack_path.exists() else ""
+    unexplained = [m for m in hard["movers"]
+                   if m["query"] not in acked]
+    assert not unexplained, (
+        f"queries moved past the hard code-regression bar (>2x and >1s) "
+        f"between r{n_a} and r{n_b} with no acknowledgement in "
+        f"{ack_path.name}: {unexplained}")
+
+
+def test_standard_gate_diff_is_reportable():
+    """The standard-gate diff must always be computable from the two
+    artifacts (schema contract for the committed BENCH_DIFF artifact)."""
+    latest = _latest_details()
+    if latest is None:
+        return
+    (_, p_a), (_, p_b) = latest
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_diff import diff
+
+    out = diff(json.loads(p_a.read_text()), json.loads(p_b.read_text()))
+    assert out["shared_entries"] > 0
+    assert "movers" in out and "subtotal_a" in out

@@ -225,11 +225,17 @@ def test_media_dedup_mass_duplicate_group_past_bucket_cap(spark):
         df2, max_hamming=8, max_bucket_size=2,
         keep_col="duration_ms").collect())
     assert kept2 == [5, 100]
-    # the docstring contract: feature method is pairs-only
+    # r16: feature-cosine keep-rows dedup — the exact-payload
+    # pre-collapse removes the 6 byte-identical copies even before any
+    # cosine pair forms (SRP bucket caps can't hide mass duplicates)
+    kept3 = sorted(r.media_id for r in media_dedup(
+        df, method="feature", threshold=0.999).collect())
+    assert kept3[0] == 0 and 100 in kept3
+    # unknown methods still fail loud
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="phash.*dhash"):
-        media_dedup(df, method="feature")
+        media_dedup(df, method="nope")
 
 
 def _pcm(kind: str, seed: int = 0) -> np.ndarray:
