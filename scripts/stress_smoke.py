@@ -2639,6 +2639,53 @@ def stage_video(spark, n_clips: int = 100_000, n_frames: int = 10) -> dict:
     }
 
 
+def stage_kn_trigram(spark, n_docs: int = 1_000_000,
+                     vocab: int = 50_000, words_per_doc: int = 40) -> dict:
+    """Stage 40: Kneser-Ney trigram LM at 1M Zipf docs / 40M tokens —
+    the round-16 published-form perplexity signal.  Train builds the
+    continuation-count tables from ~38M triples (all distributed
+    aggregates; only the (vocab+1)-row unigram side is ever driver-
+    bounded); scoring is the broadcast unigram join + lag window + three
+    observed-gram equi-joins + integer aggregate.  Integrity asserted at
+    scale: sum(n_scored_tokens) over all docs == the corpus token count
+    (every token scores exactly once through the backoff ladder)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents,
+        train_kn_trigram_lm,
+    )
+
+    path = build_zipf_docs(spark, n_docs, vocab, words_per_doc)
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    model = tuple(t.localCheckpoint()
+                  for t in train_kn_trigram_lm(docs, vocab_size=32_768))
+    n_tri = model[2].count()
+    train_wall = time.time() - t0
+
+    t0 = time.time()
+    agg = kn_trigram_score_documents(docs, *model).agg(
+        F.sum("n_scored_tokens").alias("toks"),
+        F.sum("lm3_logprob4_sum").alias("s4"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    score_wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert agg.toks == n_docs * words_per_doc, agg.toks
+    assert agg.s4 < 0
+    return {
+        "stage": "kn_trigram_1m",
+        "n_docs": n_docs,
+        "n_tokens": int(agg.toks),
+        "n_observed_trigrams": int(n_tri),
+        "train_wall_sec": round(train_wall, 1),
+        "score_wall_sec": round(score_wall, 1),
+        "score_docs_per_sec": round(n_docs / score_wall),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2689,6 +2736,7 @@ def main() -> int:
         "compact": lambda: stage_compact(spark),
         "unigram": lambda: stage_unigram(spark),
         "video": lambda: stage_video(spark),
+        "kn_trigram": lambda: stage_kn_trigram(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

@@ -711,3 +711,28 @@ def test_video_fingerprints_map_only_and_pairs_no_cartesian(spark, source):
     n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
                or ("MapInPandas" in l) for l in pair_plan.splitlines())
     assert n_py == 0, pair_plan
+
+
+def test_kn_trigram_scoring_plan_shape(spark, source):
+    """r16 Kneser-Ney scoring: the (vocab+1)-row unigram side joins by
+    BROADCAST; no CartesianProduct / BroadcastNestedLoopJoin anywhere;
+    zero Python stages (the whole chain is codegen: tokenize, lag
+    window, three equi-joins, integer aggregate)."""
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents,
+        train_kn_trigram_lm,
+    )
+
+    docs = source["documents"].filter(F.col("doc_id") % 2 == 1)
+    model = tuple(t.localCheckpoint()
+                  for t in train_kn_trigram_lm(docs, vocab_size=256))
+    plan = _executed(
+        kn_trigram_score_documents(docs, *model)
+        .select("doc_id", "lm3_logprob4_sum"))
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_py = sum(("ArrowEvalPython" in l) or ("BatchEvalPython" in l)
+               or ("MapInPandas" in l) for l in plan.splitlines())
+    assert n_py == 0, plan
