@@ -687,7 +687,7 @@ def curate_corpus(
             # CCNet form (Wenzek 2020 scores with a Kneser-Ney KenLM).
             # All three negate the mean log-prob so bucket 0 stays the
             # most reference-like (rising perplexity).
-            if isinstance(lm, tuple) and len(lm) == 4:
+            if isinstance(lm, (tuple, list)) and len(lm) == 4:
                 from condenser_spark.functions.lm import (
                     kn_trigram_score_documents,
                 )
@@ -695,7 +695,7 @@ def curate_corpus(
                 scored = kn_trigram_score_documents(
                     cur, *lm, text_col=text_col, id_col=id_col
                 ).withColumn("_ppl_score", -F.col("lm3_logprob"))
-            elif isinstance(lm, tuple) and len(lm) == 2:
+            elif isinstance(lm, (tuple, list)) and len(lm) == 2:
                 from condenser_spark.functions.lm import (
                     bigram_score_documents,
                 )
@@ -703,7 +703,7 @@ def curate_corpus(
                 scored = bigram_score_documents(
                     cur, *lm, text_col=text_col, id_col=id_col
                 ).withColumn("_ppl_score", -F.col("lm2_logprob"))
-            elif isinstance(lm, tuple):
+            elif isinstance(lm, (tuple, list)):
                 raise ValueError(
                     f"perplexity_buckets lm= tuple must have 2 frames "
                     f"(train_bigram_lm) or 4 (train_kn_trigram_lm): "

@@ -564,7 +564,13 @@ def train_kn_trigram_lm(
             .cast("long").alias("logp3_4"),
         )
     )
-    return unigram, bigram, trigram, context
+    # lineage barrier on all four model sides (r16 self-review #5): the
+    # scorer's OOV probe plus its four joins would otherwise re-derive
+    # the full training DAG (corpus tokenize -> window -> count chain)
+    # ~5x — the trigram side alone embeds bigram_full embeds p1_side
+    # embeds everything
+    return tuple(t.localCheckpoint(eager=False)
+                 for t in (unigram, bigram, trigram, context))
 
 
 def kn_trigram_score_documents(

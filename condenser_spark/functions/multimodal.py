@@ -551,6 +551,28 @@ def media_dup_pairs(
     return embedding_cosine_dup_pairs(feats, threshold=threshold, dim=dim)
 
 
+def _rep_dedup(df: DataFrame, id_to_rep: DataFrame,
+               near: DataFrame, keep_col: str | None) -> DataFrame:
+    """Shared keep-rows election: expand near-dup clusters among exact
+    representatives back to full membership, elect one survivor per
+    cluster (min-id, or best-by-``keep_col``), drop the rest.  The
+    self-review of the r16 diff found this block copy-pasted three
+    times with only the pairs function varying — and the kind-scoping
+    fix had indeed missed one copy, exactly the divergence copy-paste
+    invites."""
+    from condenser_spark.functions.dedup import _cluster_losers, dup_clusters
+
+    rep_clusters = dup_clusters(near)
+    clusters = (id_to_rep
+                .join(rep_clusters.withColumnRenamed("id", "rep"),
+                      on="rep", how="left")
+                .select(F.col("media_id").alias("id"),
+                        F.coalesce(F.col("cluster_id"), F.col("rep"))
+                        .alias("cluster_id")))
+    losers = _cluster_losers(clusters, df, "media_id", keep_col)
+    return df.join(losers, on="media_id", how="left_anti")
+
+
 def media_dedup(
     df: DataFrame,
     method: str = "phash",
@@ -596,37 +618,38 @@ def media_dedup(
     components, keep-best election.  ``threshold``/``dim`` apply;
     ``max_hamming`` is ignored."""
     if method == "feature":
-        from condenser_spark.functions.dedup import (
-            _cluster_losers,
-            dup_clusters,
-        )
-
-        fp = df.select("media_id", F.md5(F.col("payload")).alias("_pfp"))
-        reps = fp.groupBy("_pfp").agg(F.min("media_id").alias("rep"))
-        id_to_rep = fp.join(reps, on="_pfp").select("media_id", "rep")
+        # kind-scoped like the hash path (r16 self-review #1: the first
+        # cut scoped only the hash path — a cross-modality byte or
+        # feature coincidence must never collapse rows): the exact
+        # pre-collapse groups on (kind, md5) and cross-kind cosine
+        # pairs are filtered out by a slim ids-only kind join
+        fp = df.select(
+            "media_id", "kind", F.md5(F.col("payload")).alias("_pfp")
+        ).localCheckpoint(eager=False)
+        reps = fp.groupBy("kind", "_pfp").agg(
+            F.min("media_id").alias("rep"))
+        id_to_rep = fp.join(reps, on=["kind", "_pfp"]) \
+            .select("media_id", "rep")
         rep_rows = df.join(
             reps.select(F.col("rep").alias("media_id")), on="media_id",
             how="left_semi")
-        near = media_dup_pairs(rep_rows, dim=dim, threshold=threshold,
-                               fake=fake, method="feature")
-        rep_clusters = dup_clusters(near)
-        clusters = (id_to_rep
-                    .join(rep_clusters.withColumnRenamed("id", "rep"),
-                          on="rep", how="left")
-                    .select(F.col("media_id").alias("id"),
-                            F.coalesce(F.col("cluster_id"), F.col("rep"))
-                            .alias("cluster_id")))
-        losers = _cluster_losers(clusters, df, "media_id", keep_col)
-        return df.join(losers, on="media_id", how="left_anti")
+        kinds = fp.select("media_id", "kind")
+        near = (
+            media_dup_pairs(rep_rows, dim=dim, threshold=threshold,
+                            fake=fake, method="feature")
+            .join(kinds.select(F.col("media_id").alias("id_a"),
+                               F.col("kind").alias("_ka")), on="id_a")
+            .join(kinds.select(F.col("media_id").alias("id_b"),
+                               F.col("kind").alias("_kb")), on="id_b")
+            .filter(F.col("_ka") == F.col("_kb"))
+            .drop("_ka", "_kb")
+        )
+        return _rep_dedup(df, id_to_rep, near, keep_col)
     if method not in ("phash", "dhash", "audio"):
         raise ValueError(
             f"media_dedup method must be "
             f"'phash'|'dhash'|'audio'|'feature': {method!r}")
-    from condenser_spark.functions.dedup import (
-        _cluster_losers,
-        dup_clusters,
-        hamming_band_pairs,
-    )
+    from condenser_spark.functions.dedup import hamming_band_pairs
 
     sigs = perceptual_hash(df, method=method, fake=fake) \
         .select("media_id", "kind", "hash").localCheckpoint(eager=False)
@@ -640,15 +663,7 @@ def media_dedup(
         max_hamming=max_hamming, sig_col="hash", id_col="media_id",
         **_band_strategy(max_hamming), max_bucket_size=max_bucket_size,
         scope_cols=("kind",))
-    rep_clusters = dup_clusters(near)
-    clusters = (id_to_rep
-                .join(rep_clusters.withColumnRenamed("id", "rep"),
-                      on="rep", how="left")
-                .select(F.col("media_id").alias("id"),
-                        F.coalesce(F.col("cluster_id"), F.col("rep"))
-                        .alias("cluster_id")))
-    losers = _cluster_losers(clusters, df, "media_id", keep_col)
-    return df.join(losers, on="media_id", how="left_anti")
+    return _rep_dedup(df, id_to_rep, near, keep_col)
 
 
 # ------------------------------------------------ video temporal fingerprints
@@ -719,6 +734,8 @@ def video_fingerprints(
     ~duration/every_ms rows per video (bounded, linear)."""
     if not 1 <= window <= 64:
         raise ValueError(f"window must be in [1, 64]: {window}")
+    if every_ms < 1:
+        raise ValueError(f"every_ms must be >= 1: {every_ms}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -732,7 +749,11 @@ def video_fingerprints(
             ):
                 if kind != "video":
                     continue
-                n_frames = max(1, int(dur) // every_ms)
+                # NULL duration arrives as NaN through Arrow (the same
+                # hazard _decode_gray guards for width/height): treat it
+                # as 0 ms -> one padded window over the tiled payload
+                dur = 0 if pd.isna(dur) else int(dur)
+                n_frames = max(1, dur // every_ms)
                 step = max(1, len(payload) // n_frames) if payload else 1
                 for i in range(n_frames):
                     frame = (bytes(payload[i * step:(i + 1) * step])
@@ -784,6 +805,9 @@ def video_dup_pairs(
     ``(id_a, id_b, n_matched_windows, min_hamming)`` with
     ``n_matched_windows >= min_matches`` — raise ``min_matches`` to
     demand longer shared runs (clip-of vs single-scene coincidence).
+    ``n_matched_windows`` counts DISTINCT matched window positions
+    (the min over the two sides), so repetitive/static content cannot
+    inflate it quadratically through all-pairs window matches.
 
     Robust to clipping/offset by the stride-1 shingling and to mild
     re-encode perturbation by the per-frame bit allocation + Hamming
@@ -814,7 +838,16 @@ def video_dup_pairs(
             F.col("id_b.media_id").alias("id_b"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_matched_windows"),
+            # r16 self-review #2: DISTINCT matched windows per side, not
+            # matched window PAIRS — m near-identical windows in each of
+            # two videos (a static scene) would otherwise inflate the
+            # count to m*m and defeat min_matches as a shared-run-length
+            # bar; the min over the two sides is the length of material
+            # both videos actually share
+            F.least(
+                F.countDistinct("id_a.seq_idx"),
+                F.countDistinct("id_b.seq_idx"),
+            ).alias("n_matched_windows"),
             F.min("hamming").alias("min_hamming"),
         )
         .filter(F.col("n_matched_windows") >= min_matches)

@@ -381,7 +381,7 @@ def curate_stream(
                 f"stream — pass group_col=None for a global split")
         keep_cols_all = list(cur.columns)
         if p_lm is not None:
-            if isinstance(p_lm, tuple):
+            if isinstance(p_lm, (tuple, list)):
                 raise ValueError(
                     "perplexity_buckets on a stream supports only the "
                     "unigram lm= (its vocab+1-row table ships in the "

@@ -14,9 +14,11 @@ with scripts/bench_diff.py's diff function at TWO thresholds:
   committed NOISE_FLOOR runs ever moved that far on identical code.
 
 A deliberate change that legitimately moves a query past the hard bar
-is acknowledged by naming the query in ``BENCH_MOVERS_ACK_r{N}.md``
-(the round of the newer artifact) with one line of explanation — the
-"explained movers" path; an unexplained 2x is a failed gate.
+is acknowledged in ``BENCH_MOVERS_ACK_r{N}.md`` (the round of the newer
+artifact): one bullet line per query, ``- <query_name>: reason`` — the
+name must match EXACTLY (parsed, not substring-searched: a mover whose
+name happens to appear inside unrelated prose must not be waved
+through); an unexplained 2x is a failed gate.
 """
 
 from __future__ import annotations
@@ -51,7 +53,12 @@ def test_no_unexplained_hard_movers_between_rounds():
         return  # different scale factors (e.g. a local smoke at sf0.01)
     hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
     ack_path = REPO / f"BENCH_MOVERS_ACK_r{n_b:02d}.md"
-    acked = ack_path.read_text() if ack_path.exists() else ""
+    acked: set[str] = set()
+    if ack_path.exists():
+        for line in ack_path.read_text().splitlines():
+            m = re.match(r"\s*-\s*([A-Za-z0-9_.]+)\s*:", line)
+            if m:
+                acked.add(m.group(1))
     unexplained = [m for m in hard["movers"]
                    if m["query"] not in acked]
     assert not unexplained, (

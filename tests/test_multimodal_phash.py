@@ -393,3 +393,23 @@ def test_band_tolerance_modes_return_identical_pairs(spark):
     with pytest.raises(ValueError, match="band_tolerance"):
         hamming_band_pairs(sigs, n_bands=4, band_tolerance=2,
                            max_hamming=6, sig_col="sig", id_col="id")
+
+
+def test_feature_dedup_is_kind_scoped(spark):
+    """r16 self-review #1: the feature path's exact pre-collapse and
+    cosine pairs are kind-scoped like the hash path — byte-identical
+    payloads of different kinds must BOTH survive media_dedup."""
+    from condenser_spark.functions.multimodal import media_dedup
+
+    base = _raw_image(64, 64, "checker")
+    rows = [(1, base, "image"), (2, base, "audio"), (3, base, "image")]
+    df = spark.createDataFrame(
+        [(mid, kind, v.tobytes(), "raw",
+          int(v.shape[1]), int(v.shape[0]), 0)
+         for mid, v, kind in rows],
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+    kept = sorted(r.media_id for r in media_dedup(
+        df, method="feature", threshold=0.999).collect())
+    # the image clone pair (1,3) collapses; the audio twin (2) survives
+    assert kept == [1, 2]

@@ -305,3 +305,22 @@ def test_stream_rejects_ngram_lm_tuples(spark, docs, ref_lm, tmp_path):
         curate_stream(stream,
                       perplexity_buckets={"lm": kn, "keep": 0,
                                           "thresholds": thr})
+
+
+def test_lm_dispatch_accepts_lists(spark, docs):
+    """r16 self-review #8: a 4-element LIST (e.g. unpacked from config)
+    must dispatch like the tuple, and a wrong-length list must hit the
+    clear ValueError, not an opaque unigram-path AttributeError."""
+    from condenser_spark.functions.lm import train_kn_trigram_lm
+
+    sample = docs.limit(60).select("doc_id", "text", "lang")
+    kn = list(train_kn_trigram_lm(sample, vocab_size=64))
+    out, _ = curate_corpus(
+        sample,
+        perplexity_buckets={"lm": kn, "keep": (0, 1, 2), "mode": "exact"},
+        report=False)
+    assert out.count() == 60  # keep-all: dispatch ran, nothing dropped
+    with pytest.raises(ValueError, match="2 frames"):
+        curate_corpus(sample,
+                      perplexity_buckets={"lm": kn[:3], "keep": 0},
+                      report=False)

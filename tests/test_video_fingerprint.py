@@ -156,3 +156,33 @@ def test_window_bounds_fail_loud(spark):
         video_fingerprints(df, window=0).collect()
     with pytest.raises(ValueError, match="window"):
         video_fingerprints(df, window=65).collect()
+
+
+def test_static_scene_does_not_inflate_matched_windows(spark):
+    """r16 self-review #2: two videos sharing m near-identical windows
+    (a static scene) must report m matched windows, not m*m — distinct
+    matched positions per side, min over the two sides."""
+    static = [_frame(7)] * 6           # 6 identical frames -> 3 identical
+    df = _df(spark, [_video(1, static), _video(2, static)])
+    rows = video_dup_pairs(df, window=4).collect()
+    assert len(rows) == 1
+    # 3 windows each, every one identical: distinct positions = 3 (the
+    # all-pairs count would be 9)
+    assert rows[0].n_matched_windows == 3
+    assert video_dup_pairs(df, window=4, min_matches=4).count() == 0
+
+
+def test_null_duration_and_bad_every_ms(spark):
+    """r16 self-review #3: a NULL duration_ms row must not crash the
+    Arrow kernel (NaN -> one padded window); every_ms < 1 fails loud
+    driver-side."""
+    rows = [(1, "video", _frame(0), "raw", W, H, None),
+            (2, "video", _frame(1), "raw", W, H, 4000)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, codec string, "
+              "width int, height int, duration_ms int")
+    got = video_fingerprints(df, window=4).collect()
+    assert {r.media_id for r in got} == {1, 2}
+    assert len([r for r in got if r.media_id == 1]) == 1  # padded window
+    with pytest.raises(ValueError, match="every_ms"):
+        video_fingerprints(df, every_ms=0)
