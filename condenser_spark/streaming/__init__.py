@@ -10,6 +10,11 @@ from condenser_spark.streaming.sessionize import (
     windowed_event_counts_stream,
 )
 from condenser_spark.streaming.curate import build_url_bloom, curate_stream
+from condenser_spark.streaming.media import (
+    build_media_hash_index,
+    media_dedup_batch_against_corpus,
+    media_dup_pairs_stream,
+)
 from condenser_spark.streaming.textdedup import (
     build_kgram_bloom,
     build_line_bloom,
@@ -23,6 +28,7 @@ from condenser_spark.streaming.textdedup import (
 __all__ = [
     "build_kgram_bloom",
     "build_line_bloom",
+    "build_media_hash_index",
     "build_minhash_band_index",
     "build_url_bloom",
     "curate_stream",
@@ -32,6 +38,8 @@ __all__ = [
     "exact_substring_stream",
     "fineweb_quality_stateless",
     "gopher_repetition_stateless",
+    "media_dedup_batch_against_corpus",
+    "media_dup_pairs_stream",
     "minhash_near_pairs_stream",
     "sessionize",
     "sessionize_stream",

@@ -1,0 +1,203 @@
+"""Streaming media near-dedup: stream-side perceptual hashes probed
+against a STATIC landed hash index via a stream-static equi-join — the
+media twin of ``streaming/neardup.py`` (text MinHash) for the same
+ingest-hygiene question: *is this INCOMING image/audio clip a near-dup
+of anything already landed?*
+
+Shape: the landed corpus is hashed and banded ONCE by
+:func:`build_media_hash_index` (batch — the same ``_band_strategy`` the
+batch pair path picks, so candidates are identical by construction);
+each incoming media row hashes through the SAME Arrow kernel
+(``perceptual_hash`` is a stateless ``mapInPandas`` — legal on a
+stream), explodes to one exact (band, bucket) probe per band, and
+equi-joins the index.  When the strategy is the multi-index tolerance-1
+form (``max_hamming >= 8``), the one-sided 1-flip bucket expansion
+lives ON THE STATIC SIDE — the stream probe stays one exact bucket per
+band, and the static index simply holds ``width + 1`` rows per
+(row, band).  Exact ``bit_count`` verification runs on the joined row.
+
+Each qualifying pair is emitted exactly once — from the FIRST band in
+which the two signatures agree within the band tolerance, decidable
+in-row from the two sig values (no stateful distinct): within one band,
+at most one flip-variant row of a given static signature can hold the
+probed bucket (the variants are distinct values), so duplicates can
+only come from other bands, which the first-band filter drops.
+
+Stream-vs-stream media near-dup (two in-flight uploads duplicating each
+other before either lands) is out of scope by design, exactly as in the
+text twin: pair state there is unbounded by any event-time horizon; run
+the batch ``media_dup_pairs`` over the landed corpus on its own cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.multimodal import (
+    _band_strategy,
+    perceptual_hash,
+)
+
+__all__ = [
+    "build_media_hash_index",
+    "media_dup_pairs_stream",
+    "media_dedup_batch_against_corpus",
+]
+
+
+def _band_bounds(n_bands: int) -> list[int]:
+    return [i * 64 // n_bands for i in range(n_bands + 1)]
+
+
+def _slice_col(sig, i: int, bounds: list[int]):
+    width = bounds[i + 1] - bounds[i]
+    col = F.shiftright(sig, bounds[i])
+    if width < 64:
+        col = col.bitwiseAND(F.lit((1 << width) - 1))
+    return col
+
+
+def build_media_hash_index(
+    media: DataFrame,
+    method: str = "phash",
+    max_hamming: int = 8,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Hash and band the LANDED media once (batch): one row per
+    (row, band[, flip variant]) — ``(static_id, kind, static_sig, band,
+    bucket)``.  Persist it (or land it as parquet partitioned by band)
+    and hand it to :func:`media_dup_pairs_stream` with the SAME
+    ``(method, max_hamming)``; rebuild on the landed corpus's cadence.
+
+    Under the tolerance-1 strategy the 1-flip expansion happens HERE
+    (static side, batch time), so the stream side never fans out: a
+    probe is always one exact bucket per band.  ``kind`` rides every
+    index row — the stream join is kind-scoped exactly like the batch
+    path (a cross-modality Hamming match is a coincidence, never a
+    duplicate)."""
+    strat = _band_strategy(max_hamming)
+    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
+    bounds = _band_bounds(n_bands)
+    sigs = perceptual_hash(media, method=method, fake=fake).select(
+        F.col("media_id").alias("static_id"), "kind",
+        F.col("hash").alias("static_sig"))
+
+    def _variants(i: int):
+        base = _slice_col(F.col("static_sig"), i, bounds)
+        if tol == 0:
+            return F.array(base)
+        width = bounds[i + 1] - bounds[i]
+        return F.array(base, *[
+            base.bitwiseXOR(F.lit(1 << k)) for k in range(width)])
+
+    per_band = F.array(*[
+        F.struct(F.lit(i).alias("band"), _variants(i).alias("vs"))
+        for i in range(n_bands)
+    ])
+    return (
+        sigs.select(
+            "static_id", "kind", "static_sig",
+            F.explode(per_band).alias("bb"))
+        .select("static_id", "kind", "static_sig",
+                F.col("bb.band").alias("band"),
+                F.explode("bb.vs").alias("bucket"))
+    )
+
+
+def media_dup_pairs_stream(
+    stream_media: DataFrame,
+    hash_index: DataFrame,
+    method: str = "phash",
+    max_hamming: int = 8,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Near-dup pairs between a media stream and the landed corpus:
+    ``(stream_id, static_id, kind, hamming)`` for every incoming row
+    within ``max_hamming`` of an index row OF THE SAME KIND — the batch
+    ``media_dup_pairs`` candidate + verification semantics restricted
+    to stream-vs-static pairs (pinned in tests by running the stream
+    transformation over the landed corpus itself).
+
+    ``hash_index`` comes from :func:`build_media_hash_index` with the
+    SAME ``(method, max_hamming)`` — recall is then guaranteed by the
+    same pigeonhole argument as the batch path.  Pure stateless
+    stream-static inner join: no watermark, no state store, append-mode
+    safe.  Self-matches (the incoming row already landed under the same
+    id) are suppressed; distinct ids with identical payloads still
+    pair, as they should."""
+    strat = _band_strategy(max_hamming)
+    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
+    bounds = _band_bounds(n_bands)
+    hashed = perceptual_hash(stream_media, method=method, fake=fake).select(
+        F.col("media_id").alias("stream_id"),
+        F.col("kind").alias("_kind"),
+        F.col("hash").alias("stream_sig"))
+    probes = hashed.select(
+        "stream_id", "_kind", "stream_sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("_band"),
+                _slice_col(F.col("stream_sig"), i, bounds).alias("_bucket"),
+            ) for i in range(n_bands)
+        ])).alias("bb"),
+    ).select("stream_id", "_kind", "stream_sig", "bb._band", "bb._bucket")
+
+    # first band where the two sigs agree within the band tolerance —
+    # computed in-row from the sig pair, so each pair emits exactly once
+    def _band_ok(i: int):
+        d = F.bit_count(
+            _slice_col(F.col("stream_sig"), i, bounds).bitwiseXOR(
+                _slice_col(F.col("static_sig"), i, bounds)))
+        return d <= F.lit(tol)
+
+    first_ok = F.array_position(
+        F.array(*[_band_ok(i) for i in range(n_bands)]), F.lit(True))
+    return (
+        probes.join(
+            hash_index,
+            (F.col("_band") == F.col("band"))
+            & (F.col("_bucket") == F.col("bucket"))
+            & (F.col("_kind") == F.col("kind"))
+            & (F.col("stream_id") != F.col("static_id")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("stream_sig").bitwiseXOR(F.col("static_sig"))
+            ) <= max_hamming
+        )
+        .filter(F.col("_band") == first_ok - 1)
+        .select(
+            "stream_id", "static_id", "kind",
+            F.bit_count(
+                F.col("stream_sig").bitwiseXOR(F.col("static_sig"))
+            ).alias("hamming"),
+        )
+    )
+
+
+def media_dedup_batch_against_corpus(
+    batch_media: DataFrame,
+    hash_index: DataFrame,
+    method: str = "phash",
+    max_hamming: int = 8,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Keep-rows ingest filter for ONE micro-batch: media rows
+    near-duplicating the landed corpus are dropped; everything else
+    passes through with its full input schema.  Apply inside
+    ``foreachBatch`` (the text twin's documented pattern — the
+    per-document "no candidate verified" fold is an aggregation after a
+    join, which a pure streaming plan cannot run statelessly):
+
+        index = build_media_hash_index(landed).persist()
+        (stream.writeStream.foreachBatch(
+            lambda mb, _): media_dedup_batch_against_corpus(mb, index)
+                .write.mode("append").parquet(clean_path))
+            .start())
+    """
+    pairs = media_dup_pairs_stream(
+        batch_media, hash_index, method=method, max_hamming=max_hamming,
+        fake=fake)
+    flagged = pairs.select(F.col("stream_id").alias("media_id")).distinct()
+    return batch_media.join(flagged, on="media_id", how="left_anti")

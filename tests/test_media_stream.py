@@ -1,0 +1,129 @@
+"""Stream-static media near-dedup (r16): the media twin of
+streaming/neardup.py — landed perceptual-hash band index, stateless
+stream probes, exact popcount verification, kind-scoped throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.streaming.media import (
+    build_media_hash_index,
+    media_dedup_batch_against_corpus,
+    media_dup_pairs_stream,
+)
+
+
+def _raw(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=w * h, dtype=np.uint8)
+
+
+def _media_df(spark, rows):
+    data = [
+        (mid, kind, img.tobytes(), "raw", 64, 64, 0)
+        for mid, img, kind in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+
+
+@pytest.fixture(scope="module")
+def landed(spark):
+    rows = [(i, _raw(64, 64, seed=i), "image") for i in range(20)]
+    rows += [(100 + i, _raw(64, 64, seed=50 + i), "audio")
+             for i in range(5)]
+    return _media_df(spark, rows).localCheckpoint()
+
+
+def test_stream_pairs_match_batch_semantics(spark, landed):
+    """Parity pin: running the stream transformation with the landed
+    corpus itself as the 'stream' must find every batch pair (restricted
+    to cross-id) and nothing else — the index and probe paths hash and
+    band identically by construction."""
+    from condenser_spark.functions.multimodal import media_dup_pairs
+
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    # plant one exact clone + one brightness twin in the "incoming" batch
+    base = _raw(64, 64, seed=3)
+    incoming = _media_df(spark, [
+        (1001, base, "image"),                                  # clone of 3
+        (1002, (base.astype(np.int64) + 12).clip(0, 255)
+         .astype(np.uint8), "image"),                           # near of 3
+        (1003, _raw(64, 64, seed=999), "image"),                # fresh
+    ])
+    got = {(r.stream_id, r.static_id): r.hamming for r in
+           media_dup_pairs_stream(incoming, idx, max_hamming=8).collect()}
+    assert got[(1001, 3)] == 0
+    assert (1002, 3) in got
+    assert not any(s == 1003 for s, _ in got)
+    # exactly once per pair (the first-qualifying-band in-row dedup)
+    pairs = media_dup_pairs_stream(incoming, idx, max_hamming=8) \
+        .groupBy("stream_id", "static_id").count().collect()
+    assert all(r["count"] == 1 for r in pairs)
+    # batch cross-check: the union's batch pairs restricted to
+    # incoming-vs-landed equal the stream result
+    both = landed.unionByName(incoming)
+    batch = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.hamming
+             for r in media_dup_pairs(both, method="phash",
+                                      max_hamming=8).collect()
+             if (r.id_a >= 1000) != (r.id_b >= 1000)}
+    assert batch == got
+
+
+def test_stream_pairs_are_kind_scoped(spark, landed):
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    # byte-identical to landed image 3, but arriving as AUDIO
+    incoming = _media_df(spark, [(2001, _raw(64, 64, seed=3), "audio")])
+    assert media_dup_pairs_stream(incoming, idx, max_hamming=8).count() == 0
+
+
+def test_self_match_suppressed_and_keep_rows(spark, landed):
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    # re-ingesting landed row 3 under its own id: no pair, passes dedup
+    re_ingest = landed.filter(F.col("media_id") == 3)
+    assert media_dup_pairs_stream(re_ingest, idx).count() == 0
+    # a clone under a new id is dropped; fresh content passes
+    mb = _media_df(spark, [
+        (3001, _raw(64, 64, seed=3), "image"),
+        (3002, _raw(64, 64, seed=777), "image"),
+    ])
+    kept = sorted(r.media_id for r in
+                  media_dedup_batch_against_corpus(mb, idx).collect())
+    assert kept == [3002]
+    assert media_dedup_batch_against_corpus(mb, idx).columns == mb.columns
+
+
+def test_low_budget_plain_banding_path(spark, landed):
+    """max_hamming < 8 exercises the tolerance-0 index (one bucket per
+    band, no flip variants) — same recall guarantee."""
+    idx = build_media_hash_index(landed, max_hamming=2).localCheckpoint()
+    incoming = _media_df(spark, [(4001, _raw(64, 64, seed=7), "image")])
+    got = media_dup_pairs_stream(incoming, idx, max_hamming=2).collect()
+    assert [(r.stream_id, r.static_id, r.hamming) for r in got] == \
+        [(4001, 7, 0)]
+
+
+def test_real_readstream_runs_stateless(spark, landed, tmp_path):
+    """The pairs plan must run as an actual Structured Streaming query
+    (stateless: no watermark, no state store) end-to-end."""
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    src = str(tmp_path / "in")
+    _media_df(spark, [
+        (5001, _raw(64, 64, seed=11), "image"),   # clone of landed 11
+        (5002, _raw(64, 64, seed=888), "image"),  # fresh
+    ]).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int").parquet(src)
+    out = media_dup_pairs_stream(stream, idx, max_hamming=8)
+    q = (out.writeStream.format("memory").queryName("media_pairs")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from media_pairs").collect()
+    assert [(r.stream_id, r.static_id, r.hamming) for r in rows] == \
+        [(5001, 11, 0)]
