@@ -12,8 +12,11 @@ from condenser_spark.streaming.sessionize import (
 from condenser_spark.streaming.curate import build_url_bloom, curate_stream
 from condenser_spark.streaming.media import (
     build_media_hash_index,
+    build_video_fp_index,
     media_dedup_batch_against_corpus,
     media_dup_pairs_stream,
+    video_dedup_batch_against_corpus,
+    video_dup_windows_stream,
 )
 from condenser_spark.streaming.textdedup import (
     build_kgram_bloom,
@@ -29,6 +32,7 @@ __all__ = [
     "build_kgram_bloom",
     "build_line_bloom",
     "build_media_hash_index",
+    "build_video_fp_index",
     "build_minhash_band_index",
     "build_url_bloom",
     "curate_stream",
@@ -41,6 +45,8 @@ __all__ = [
     "media_dedup_batch_against_corpus",
     "media_dup_pairs_stream",
     "minhash_near_pairs_stream",
+    "video_dedup_batch_against_corpus",
+    "video_dup_windows_stream",
     "sessionize",
     "sessionize_stream",
     "windowed_event_counts",

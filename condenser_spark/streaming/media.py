@@ -41,8 +41,11 @@ from condenser_spark.functions.multimodal import (
 
 __all__ = [
     "build_media_hash_index",
+    "build_video_fp_index",
     "media_dup_pairs_stream",
     "media_dedup_batch_against_corpus",
+    "video_dup_windows_stream",
+    "video_dedup_batch_against_corpus",
 ]
 
 
@@ -56,6 +59,100 @@ def _slice_col(sig, i: int, bounds: list[int]):
     if width < 64:
         col = col.bitwiseAND(F.lit((1 << width) - 1))
     return col
+
+
+def _banded_static_index(
+    sigs: DataFrame,
+    sig_col: str,
+    strat: dict,
+    carry_cols: tuple[str, ...],
+) -> DataFrame:
+    """Band a STATIC signature frame for stream probing: one row per
+    (row, band[, flip variant]) — carry_cols + (static_sig, band,
+    bucket).  Under tolerance-1 the 1-flip expansion happens here, so
+    the stream side never fans out."""
+    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
+    bounds = _band_bounds(n_bands)
+    base = sigs.select(*carry_cols, F.col(sig_col).alias("static_sig"))
+
+    def _variants(i: int):
+        b = _slice_col(F.col("static_sig"), i, bounds)
+        if tol == 0:
+            return F.array(b)
+        width = bounds[i + 1] - bounds[i]
+        return F.array(b, *[
+            b.bitwiseXOR(F.lit(1 << k)) for k in range(width)])
+
+    per_band = F.array(*[
+        F.struct(F.lit(i).alias("band"), _variants(i).alias("vs"))
+        for i in range(n_bands)
+    ])
+    return (
+        base.select(*carry_cols, "static_sig",
+                    F.explode(per_band).alias("bb"))
+        .select(*carry_cols, "static_sig",
+                F.col("bb.band").alias("band"),
+                F.explode("bb.vs").alias("bucket"))
+    )
+
+
+def _stream_static_hamming_pairs(
+    sig_stream: DataFrame,
+    index: DataFrame,
+    max_hamming: int,
+    stream_sig_col: str,
+    extra_cond,
+) -> DataFrame:
+    """The shared probe-join both stream twins ride: explode the stream
+    side to one EXACT (band, bucket) probe per band, equi-join the
+    banded static index (+ ``extra_cond``), exact-popcount-verify, and
+    keep only the FIRST band in which the two signatures agree within
+    the band tolerance — exactly-once emission decided in-row from the
+    sig pair (within one band at most one flip variant of a static sig
+    can hold the probed bucket, so duplicates only ever come from other
+    bands).  Returns the joined frame with a ``hamming`` column; the
+    caller projects its own output."""
+    strat = _band_strategy(max_hamming)
+    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
+    bounds = _band_bounds(n_bands)
+    probes = sig_stream.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("_band"),
+                _slice_col(F.col(stream_sig_col), i, bounds)
+                .alias("_bucket"),
+            ) for i in range(n_bands)
+        ])).alias("bb"),
+    ).select("*", "bb._band", "bb._bucket").drop("bb")
+
+    def _band_ok(i: int):
+        d = F.bit_count(
+            _slice_col(F.col(stream_sig_col), i, bounds).bitwiseXOR(
+                _slice_col(F.col("static_sig"), i, bounds)))
+        return d <= F.lit(tol)
+
+    first_ok = F.array_position(
+        F.array(*[_band_ok(i) for i in range(n_bands)]), F.lit(True))
+    return (
+        probes.join(
+            index,
+            (F.col("_band") == F.col("band"))
+            & (F.col("_bucket") == F.col("bucket"))
+            & extra_cond,
+        )
+        .filter(
+            F.bit_count(
+                F.col(stream_sig_col).bitwiseXOR(F.col("static_sig"))
+            ) <= max_hamming
+        )
+        .filter(F.col("_band") == first_ok - 1)
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col(stream_sig_col).bitwiseXOR(F.col("static_sig"))),
+        )
+    )
 
 
 def build_media_hash_index(
@@ -76,33 +173,10 @@ def build_media_hash_index(
     index row — the stream join is kind-scoped exactly like the batch
     path (a cross-modality Hamming match is a coincidence, never a
     duplicate)."""
-    strat = _band_strategy(max_hamming)
-    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
-    bounds = _band_bounds(n_bands)
     sigs = perceptual_hash(media, method=method, fake=fake).select(
-        F.col("media_id").alias("static_id"), "kind",
-        F.col("hash").alias("static_sig"))
-
-    def _variants(i: int):
-        base = _slice_col(F.col("static_sig"), i, bounds)
-        if tol == 0:
-            return F.array(base)
-        width = bounds[i + 1] - bounds[i]
-        return F.array(base, *[
-            base.bitwiseXOR(F.lit(1 << k)) for k in range(width)])
-
-    per_band = F.array(*[
-        F.struct(F.lit(i).alias("band"), _variants(i).alias("vs"))
-        for i in range(n_bands)
-    ])
-    return (
-        sigs.select(
-            "static_id", "kind", "static_sig",
-            F.explode(per_band).alias("bb"))
-        .select("static_id", "kind", "static_sig",
-                F.col("bb.band").alias("band"),
-                F.explode("bb.vs").alias("bucket"))
-    )
+        F.col("media_id").alias("static_id"), "kind", "hash")
+    return _banded_static_index(
+        sigs, "hash", _band_strategy(max_hamming), ("static_id", "kind"))
 
 
 def media_dup_pairs_stream(
@@ -126,54 +200,15 @@ def media_dup_pairs_stream(
     safe.  Self-matches (the incoming row already landed under the same
     id) are suppressed; distinct ids with identical payloads still
     pair, as they should."""
-    strat = _band_strategy(max_hamming)
-    n_bands, tol = strat["n_bands"], strat["band_tolerance"]
-    bounds = _band_bounds(n_bands)
     hashed = perceptual_hash(stream_media, method=method, fake=fake).select(
         F.col("media_id").alias("stream_id"),
         F.col("kind").alias("_kind"),
         F.col("hash").alias("stream_sig"))
-    probes = hashed.select(
-        "stream_id", "_kind", "stream_sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("_band"),
-                _slice_col(F.col("stream_sig"), i, bounds).alias("_bucket"),
-            ) for i in range(n_bands)
-        ])).alias("bb"),
-    ).select("stream_id", "_kind", "stream_sig", "bb._band", "bb._bucket")
-
-    # first band where the two sigs agree within the band tolerance —
-    # computed in-row from the sig pair, so each pair emits exactly once
-    def _band_ok(i: int):
-        d = F.bit_count(
-            _slice_col(F.col("stream_sig"), i, bounds).bitwiseXOR(
-                _slice_col(F.col("static_sig"), i, bounds)))
-        return d <= F.lit(tol)
-
-    first_ok = F.array_position(
-        F.array(*[_band_ok(i) for i in range(n_bands)]), F.lit(True))
-    return (
-        probes.join(
-            hash_index,
-            (F.col("_band") == F.col("band"))
-            & (F.col("_bucket") == F.col("bucket"))
-            & (F.col("_kind") == F.col("kind"))
-            & (F.col("stream_id") != F.col("static_id")),
-        )
-        .filter(
-            F.bit_count(
-                F.col("stream_sig").bitwiseXOR(F.col("static_sig"))
-            ) <= max_hamming
-        )
-        .filter(F.col("_band") == first_ok - 1)
-        .select(
-            "stream_id", "static_id", "kind",
-            F.bit_count(
-                F.col("stream_sig").bitwiseXOR(F.col("static_sig"))
-            ).alias("hamming"),
-        )
-    )
+    return _stream_static_hamming_pairs(
+        hashed, hash_index, max_hamming, "stream_sig",
+        (F.col("_kind") == F.col("kind"))
+        & (F.col("stream_id") != F.col("static_id")),
+    ).select("stream_id", "static_id", "kind", "hamming")
 
 
 def media_dedup_batch_against_corpus(
@@ -201,3 +236,90 @@ def media_dedup_batch_against_corpus(
         fake=fake)
     flagged = pairs.select(F.col("stream_id").alias("media_id")).distinct()
     return batch_media.join(flagged, on="media_id", how="left_anti")
+
+
+def build_video_fp_index(
+    videos: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    max_hamming: int = 6,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Fingerprint and band the LANDED videos once (batch): one row per
+    (window signature, band[, flip variant]) — ``(static_id, static_seq,
+    static_sig, band, bucket)``.  Hand it to
+    :func:`video_dup_windows_stream` / :func:`video_dedup_batch_against_
+    corpus` with the SAME ``(every_ms, window, max_hamming)``."""
+    from condenser_spark.functions.multimodal import video_fingerprints
+
+    sigs = video_fingerprints(
+        videos, every_ms=every_ms, window=window, fake=fake
+    ).select(F.col("media_id").alias("static_id"),
+             F.col("seq_idx").alias("static_seq"), "sig")
+    return _banded_static_index(
+        sigs, "sig", _band_strategy(max_hamming),
+        ("static_id", "static_seq"))
+
+
+def video_dup_windows_stream(
+    stream_videos: DataFrame,
+    fp_index: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    max_hamming: int = 6,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Matched WINDOW pairs between a video stream and the landed
+    corpus: ``(stream_id, stream_seq, static_id, static_seq, hamming)``
+    — one row per (incoming window, landed window) within
+    ``max_hamming``, cross-video only.  Fully stateless (the fingerprint
+    kernel is a mapInPandas; the probe is a stream-static equi-join), so
+    it runs as a pure streaming plan.  The per-video-PAIR aggregate
+    (``n_matched_windows``) is a fold a stream cannot run statelessly —
+    that lives in :func:`video_dedup_batch_against_corpus`; downstream
+    monitoring can window-aggregate these rows however it needs."""
+    from condenser_spark.functions.multimodal import video_fingerprints
+
+    hashed = video_fingerprints(
+        stream_videos, every_ms=every_ms, window=window, fake=fake
+    ).select(F.col("media_id").alias("stream_id"),
+             F.col("seq_idx").alias("stream_seq"),
+             F.col("sig").alias("stream_sig"))
+    return _stream_static_hamming_pairs(
+        hashed, fp_index, max_hamming, "stream_sig",
+        F.col("stream_id") != F.col("static_id"),
+    ).select("stream_id", "stream_seq", "static_id", "static_seq",
+             "hamming")
+
+
+def video_dedup_batch_against_corpus(
+    batch_videos: DataFrame,
+    fp_index: DataFrame,
+    every_ms: int = 1000,
+    window: int = 4,
+    max_hamming: int = 6,
+    min_matches: int = 1,
+    fake: bool | None = True,
+) -> DataFrame:
+    """Keep-rows ingest filter for ONE micro-batch of videos: an
+    incoming video sharing >= ``min_matches`` DISTINCT matched windows
+    (the batch ``video_dup_pairs`` metric — min over the two sides, so
+    static scenes cannot inflate it) with any landed video is dropped.
+    Apply inside ``foreachBatch``, exactly like
+    :func:`media_dedup_batch_against_corpus`.  Non-video rows pass
+    through untouched (the fingerprint path only inspects
+    ``kind == 'video'`` rows)."""
+    wins = video_dup_windows_stream(
+        batch_videos, fp_index, every_ms=every_ms, window=window,
+        max_hamming=max_hamming, fake=fake)
+    flagged = (
+        wins.groupBy("stream_id", "static_id")
+        .agg(F.least(
+            F.countDistinct("stream_seq"),
+            F.countDistinct("static_seq"),
+        ).alias("_n"))
+        .filter(F.col("_n") >= min_matches)
+        .select(F.col("stream_id").alias("media_id"))
+        .distinct()
+    )
+    return batch_videos.join(flagged, on="media_id", how="left_anti")

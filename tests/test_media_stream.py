@@ -127,3 +127,76 @@ def test_real_readstream_runs_stateless(spark, landed, tmp_path):
     rows = spark.sql("select * from media_pairs").collect()
     assert [(r.stream_id, r.static_id, r.hamming) for r in rows] == \
         [(5001, 11, 0)]
+
+
+def _vframe(seed: int) -> bytes:
+    rng = np.random.default_rng(1000 + seed)
+    return rng.integers(0, 256, size=64 * 64, dtype=np.uint8).tobytes()
+
+
+def _video_df(spark, rows):
+    data = [(mid, "video", b"".join(frames), "raw", 64, 64,
+             len(frames) * 1000) for mid, frames in rows]
+    return spark.createDataFrame(
+        data,
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+
+
+def test_video_stream_windows_and_keep_rows(spark):
+    """Video stream twin: an incoming frame-accurate CLIP of a landed
+    video matches >= window-count distinct windows at distance 0 and is
+    dropped by the foreachBatch keep-rows filter; fresh content passes;
+    the per-pair metric stays the batch one (distinct, min over sides)."""
+    from condenser_spark.streaming.media import (
+        build_video_fp_index,
+        video_dedup_batch_against_corpus,
+        video_dup_windows_stream,
+    )
+
+    frames = [_vframe(i) for i in range(10)]
+    landed = _video_df(spark, [(1, frames),
+                               (2, [_vframe(50 + i) for i in range(10)])])
+    idx = build_video_fp_index(landed, window=4,
+                               max_hamming=6).localCheckpoint()
+    incoming = _video_df(spark, [
+        (9001, frames[3:]),                        # clip of landed 1
+        (9002, [_vframe(90 + i) for i in range(8)]),  # fresh
+    ])
+    wins = video_dup_windows_stream(incoming, idx, window=4,
+                                    max_hamming=6).collect()
+    assert {r.static_id for r in wins} == {1}
+    assert all(r.hamming == 0 for r in wins)
+    assert len({(r.stream_seq) for r in wins}) >= 4
+    kept = sorted(r.media_id for r in video_dedup_batch_against_corpus(
+        incoming, idx, window=4, min_matches=4).collect())
+    assert kept == [9002]
+    # min_matches above the clip's shared-window count keeps it
+    kept2 = sorted(r.media_id for r in video_dedup_batch_against_corpus(
+        incoming, idx, window=4, min_matches=6).collect())
+    assert kept2 == [9001, 9002]
+
+
+def test_video_stream_runs_as_real_readstream(spark, tmp_path):
+    from condenser_spark.streaming.media import (
+        build_video_fp_index,
+        video_dup_windows_stream,
+    )
+
+    frames = [_vframe(200 + i) for i in range(8)]
+    landed = _video_df(spark, [(1, frames)])
+    idx = build_video_fp_index(landed, window=4,
+                               max_hamming=6).localCheckpoint()
+    src = str(tmp_path / "vin")
+    _video_df(spark, [(7001, frames)]).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int").parquet(src)
+    out = video_dup_windows_stream(stream, idx, window=4, max_hamming=6)
+    q = (out.writeStream.format("memory").queryName("video_windows")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from video_windows").collect()
+    # the clone matches every one of its 5 windows exactly once
+    assert sorted(r.stream_seq for r in rows) == [0, 1, 2, 3, 4]
+    assert all(r.hamming == 0 and r.static_id == 1 for r in rows)
