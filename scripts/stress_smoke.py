@@ -2686,6 +2686,92 @@ def stage_kn_trigram(spark, n_docs: int = 1_000_000,
     }
 
 
+def stage_media_stream(spark, n_landed: int = 1_000_000,
+                       n_incoming: int = 100_000) -> dict:
+    """Stage 41: stream-static media near-dup at a 1M-image landed index
+    x 100k-row incoming micro-batch — the round-16 ingest twin.  The
+    landed side hashes + bands once (tolerance-1 expansion on the static
+    side: 13x rows of 8-byte buckets, built batch-time); each incoming
+    row probes one exact bucket per band.  Every id % 10 == 0 incoming
+    row is a byte-clone of a landed payload and MUST match at distance 0
+    (recall asserted); the rest are fresh and must not."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.streaming.media import (
+        build_media_hash_index,
+        media_dedup_batch_against_corpus,
+        media_dup_pairs_stream,
+    )
+
+    def media(ids, clone_of=None):
+        src = clone_of if clone_of is not None else F.col("id")
+        payload = F.encode(F.concat(*[
+            F.md5(F.concat(src.cast("string"), F.lit(f"s{j}")))
+            for j in range(16)
+        ]), "utf-8")
+        return ids.select(
+            F.col("id").alias("media_id"), F.lit("image").alias("kind"),
+            payload.alias("payload"), F.lit("raw").alias("codec"),
+            F.lit(16).cast("int").alias("width"),
+            F.lit(32).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("duration_ms"))
+
+    landed_path = f"{WORK}/mstream_landed"
+    media(spark.range(n_landed)).write.mode("overwrite")         .parquet(landed_path)
+    landed = spark.read.parquet(landed_path)
+
+    t0 = time.time()
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    n_idx = idx.count()
+    index_wall = time.time() - t0
+
+    # incoming: clones of landed id*7 % n_landed on the %10 stripe
+    inc = spark.range(n_incoming).select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.when(F.col("id") % 10 == 0,
+               (F.col("id") * 7) % n_landed).otherwise(F.lit(-1))
+        .alias("_src"), F.col("id").alias("_fresh"))
+    incoming = media(
+        inc.select(F.col("id"),),
+        clone_of=None)
+    # build payload column: clone stripe from _src, fresh rows from id
+    src_expr = F.when((F.col("media_id") - 10_000_000) % 10 == 0,
+                      ((F.col("media_id") - 10_000_000) * 7) % n_landed)         .otherwise(F.col("media_id"))
+    payload = F.encode(F.concat(*[
+        F.md5(F.concat(src_expr.cast("string"), F.lit(f"s{j}")))
+        for j in range(16)
+    ]), "utf-8")
+    incoming = incoming.withColumn("payload", payload)
+    inc_path = f"{WORK}/mstream_incoming"
+    incoming.write.mode("overwrite").parquet(inc_path)
+    mb = spark.read.parquet(inc_path)
+
+    t0 = time.time()
+    pairs = media_dup_pairs_stream(mb, idx, max_hamming=8)         .localCheckpoint()
+    n_clone_hits = pairs.filter(F.col("hamming") == 0).select(
+        "stream_id").distinct().count()
+    probe_wall = time.time() - t0
+    n_planted = n_incoming // 10
+    assert n_clone_hits >= n_planted, (n_clone_hits, n_planted)
+
+    t0 = time.time()
+    kept = media_dedup_batch_against_corpus(mb, idx, max_hamming=8).count()
+    dedup_wall = time.time() - t0
+    assert kept <= n_incoming - n_planted, kept
+    return {
+        "stage": "media_stream_1m",
+        "n_landed": n_landed,
+        "n_index_rows": int(n_idx),
+        "index_wall_sec": round(index_wall, 1),
+        "n_incoming": n_incoming,
+        "probe_wall_sec": round(probe_wall, 1),
+        "incoming_per_sec": round(n_incoming / probe_wall),
+        "planted_clones_found": int(n_clone_hits),
+        "dedup_wall_sec": round(dedup_wall, 1),
+        "kept_rows": int(kept),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2737,6 +2823,7 @@ def main() -> int:
         "unigram": lambda: stage_unigram(spark),
         "video": lambda: stage_video(spark),
         "kn_trigram": lambda: stage_kn_trigram(spark),
+        "media_stream": lambda: stage_media_stream(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
