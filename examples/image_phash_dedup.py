@@ -87,6 +87,28 @@ def main() -> int:
     n = kept.count()
     assert n == 3, n  # one survivor for the 4-image cluster + 2 noise
     print(f"== {media.count()} images -> {n} after dedup ==")
+
+    # --- ingest twin (r16): the deduped corpus is now the LANDED side;
+    # incoming uploads probe its banded hash index statelessly
+    # (streaming/media.py — in production this sits in foreachBatch)
+    from condenser_spark.streaming.media import (
+        build_media_hash_index,
+        media_dedup_batch_against_corpus,
+    )
+
+    idx = build_media_hash_index(kept, max_hamming=8).localCheckpoint()
+    incoming = spark.createDataFrame(
+        [(100, "image", base.tobytes(), "raw", 64, 64, 0),        # re-upload
+         (101, "image", img("noise", 99).tobytes(), "raw",
+          64, 64, 0)],                                            # fresh
+        "media_id long, kind string, payload binary, codec string, "
+        "width int, height int, duration_ms int")
+    passed = media_dedup_batch_against_corpus(incoming, idx,
+                                              max_hamming=8)
+    survivors = sorted(r.media_id for r in passed.collect())
+    assert survivors == [101], survivors
+    print("== ingest twin: re-uploaded clone dropped against the landed "
+          "index; fresh upload passed ==")
     spark.stop()
     return 0
 
