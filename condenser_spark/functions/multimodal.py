@@ -874,10 +874,10 @@ def video_dedup(
     pass through untouched (the fingerprint path only ever inspects
     ``kind == 'video'`` rows, so a mixed MEDIA_SCHEMA table is safe by
     construction — kind scoping is inherent here, not bolted on)."""
-    from condenser_spark.functions.dedup import _cluster_losers, dup_clusters
-
     vids = df.filter(F.col("kind") == "video")
-    fp = vids.select("media_id", F.md5(F.col("payload")).alias("_pfp"))
+    fp = vids.select(
+        "media_id", F.md5(F.col("payload")).alias("_pfp")
+    ).localCheckpoint(eager=False)
     reps = fp.groupBy("_pfp").agg(F.min("media_id").alias("rep"))
     id_to_rep = fp.join(reps, on="_pfp").select("media_id", "rep")
     rep_rows = df.join(
@@ -887,12 +887,4 @@ def video_dedup(
         rep_rows, every_ms=every_ms, window=window,
         max_hamming=max_hamming, min_matches=min_matches,
         max_bucket_size=max_bucket_size, fake=fake)
-    rep_clusters = dup_clusters(near)
-    clusters = (id_to_rep
-                .join(rep_clusters.withColumnRenamed("id", "rep"),
-                      on="rep", how="left")
-                .select(F.col("media_id").alias("id"),
-                        F.coalesce(F.col("cluster_id"), F.col("rep"))
-                        .alias("cluster_id")))
-    losers = _cluster_losers(clusters, df, "media_id", keep_col)
-    return df.join(losers, on="media_id", how="left_anti")
+    return _rep_dedup(df, id_to_rep, near, keep_col)
