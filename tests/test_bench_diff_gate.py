@@ -11,14 +11,27 @@ with scripts/bench_diff.py's diff function at TWO thresholds:
   the suite box-state-dependent;
 * a hard code-regression bar (100% AND 1.0 s — a query more than
   DOUBLING while costing an extra second) — ASSERTED: nothing in the
-  committed NOISE_FLOOR runs ever moved that far on identical code.
+  committed NOISE_FLOOR runs ever moved that far on identical code
+  WHILE its own within-recording spread stayed under the noise bar.
 
-A deliberate change that legitimately moves a query past the hard bar
-is acknowledged in ``BENCH_MOVERS_ACK_r{N}.md`` (the round of the newer
-artifact): one bullet line per query, ``- <query_name>: reason`` — the
-name must match EXACTLY (parsed, not substring-searched: a mover whose
-name happens to appear inside unrelated prose must not be waved
-through); an unexplained 2x is a failed gate.
+Noise robustness (VERDICT r16 what's-wrong #1): each bench recording
+carries a per-query ``noise_pct`` — the spread of that query's own
+three same-code runs within the single recording, as a percent of its
+median.  A query whose own three back-to-back runs disagree by more
+than ``NOISE_PCT_BAR`` percent is measuring the box, not the code
+(NOISE_FLOOR.md's same-code floor is 40-50%; the r16 driver re-run that
+motivated this moved phash_pairs 4.4x while self-reporting 54.6%
+within-run spread and a loadavg climbing 0.18 -> 4.44).  Such movers
+are excluded from the hard assertion — they cannot distinguish
+regression from jitter either way — so a routine driver re-run on a
+warm box can never flip this test red on untouched code.
+
+A deliberate change that legitimately moves a low-noise query past the
+hard bar is acknowledged in ``BENCH_MOVERS_ACK_r{N}.md`` (the round of
+the newer artifact): one bullet line per query, ``- <query_name>:
+reason`` — the name must match EXACTLY (parsed, not substring-searched:
+a mover whose name happens to appear inside unrelated prose must not be
+waved through); an unexplained low-noise 2x is a failed gate.
 """
 
 from __future__ import annotations
@@ -29,6 +42,11 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+
+# Within-recording same-code spread above which a query's timing cannot
+# distinguish code regression from box jitter (NOISE_FLOOR.md measured a
+# 40-50% same-code floor on a quiet box; anything past it is box state).
+NOISE_PCT_BAR = 50.0
 
 
 def _latest_details():
@@ -52,6 +70,12 @@ def test_no_unexplained_hard_movers_between_rounds():
     if a.get("sf") != b.get("sf"):
         return  # different scale factors (e.g. a local smoke at sf0.01)
     hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
+    noise_a, noise_b = a.get("noise_pct", {}), b.get("noise_pct", {})
+    hard["movers"] = [
+        m for m in hard["movers"]
+        if max(noise_a.get(m["query"], 0.0),
+               noise_b.get(m["query"], 0.0)) <= NOISE_PCT_BAR
+    ]
     ack_path = REPO / f"BENCH_MOVERS_ACK_r{n_b:02d}.md"
     acked: set[str] = set()
     if ack_path.exists():
@@ -65,6 +89,25 @@ def test_no_unexplained_hard_movers_between_rounds():
         f"queries moved past the hard code-regression bar (>2x and >1s) "
         f"between r{n_a} and r{n_b} with no acknowledgement in "
         f"{ack_path.name}: {unexplained}")
+
+
+def test_noisy_movers_are_excluded_quiet_movers_are_not():
+    """The hard gate must ignore movers whose own within-recording
+    spread exceeds NOISE_PCT_BAR in either artifact (they measure the
+    box, not the code) while still flagging low-noise movers."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    from bench_diff import diff
+
+    a = {"queries_full": {"noisy_q": 1.0, "quiet_q": 1.0},
+         "noise_pct": {"noisy_q": 5.0, "quiet_q": 5.0}}
+    b = {"queries_full": {"noisy_q": 5.0, "quiet_q": 5.0},
+         "noise_pct": {"noisy_q": 60.0, "quiet_q": 5.0}}
+    hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
+    na, nb = a["noise_pct"], b["noise_pct"]
+    kept = [m["query"] for m in hard["movers"]
+            if max(na.get(m["query"], 0.0),
+                   nb.get(m["query"], 0.0)) <= NOISE_PCT_BAR]
+    assert kept == ["quiet_q"]
 
 
 def test_standard_gate_diff_is_reportable():
