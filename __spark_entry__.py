@@ -87,69 +87,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-16 instance (registry at rotation: 138 oracles + 6 rows-only;
-    # the mid-round ext_video_fp_pairs golden makes 7 rows-only, so 43
-    # oracle slots and cycle = ceil(138/43) = 4 rounds).  In-cap
-    # priority: the 3 round-15 goldens (never driver-recorded:
-    # ext_unigram_roundtrip, ext_landed_manifest, ext_curate_ppl_keep),
-    # then ext_diversity_stream (r12-recorded — the single longest-waiting
-    # carryover, displaced last round by the new rows-only slot), then 39
-    # of the 45 r13-recorded carryovers (past-cap two rounds) = 43 oracle
-    # slots, + the 7 rows-only = 50.  Deprioritized below = the last 6
-    # r13 carryovers (ext_d4_prune displaced mid-round by the new
-    # rows-only in-cap slot; all 6 FIRST in-cap next round) + the 45
-    # recorded green in CORRECTNESS_r14.json + the 44 recorded green in
-    # CORRECTNESS_r15.json (rotate out).  The cadence promise ("every oracle driver-recorded at
-    # least every `cycle` rounds") is asserted by
+    # Round-17 instance (registry at rotation: 139 oracles + 7 rows-only,
+    # so 43 oracle slots and cycle = ceil(139/43) = 4 rounds).  In-cap
+    # priority: ext_kn_trigram_logprob (the only never-driver-recorded
+    # golden, registered mid-round-16), then the 6 r13-recorded
+    # carryovers displaced last round (longest-waiting), then the 36
+    # oldest of the 45 r14-recorded carryovers = 43 oracle slots, + the
+    # 7 rows-only = 50.  Deprioritized below = the 9 youngest
+    # r14-recorded carryovers (FIRST in-cap next round) + the 44
+    # recorded green in CORRECTNESS_r15.json + the 43 oracle-bearing
+    # goldens recorded green in CORRECTNESS_r16.json (rotate out).  The
+    # cadence promise ("every oracle driver-recorded at least every
+    # `cycle` rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against
     # the committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r13 (the 6 displaced by the in-cap window —
-        # ext_d4_prune by the mid-round ext_video_fp_pairs rows-only
-        # slot; longest-waiting, FIRST in-cap next round)
-        "ext_d4_prune",
-        "ext_surt_key",
-        "ext_doremi_weights",
-        "ext_gopher_repetition",
-        "ext_gopher_repetition_stream",
-        "ext_script_stats",
-        # recorded green r14, past-cap one round, carry over
-        "p1_fk_nullout_projection",
-        "j1_upstream_multi_edge_semi_join",
-        "j2_j3_missing_keys_anti_distinct",
-        "s8_referential_orphan_check",
-        "middle_out_percent_subset",
-        "middle_out_where_subset",
-        "middle_out_passthrough_excluded",
-        "ext_exact_dedup",
-        "ext_pack_sequences_sharded",
-        "ext_take_token_budget",
-        "ext_cap_per_group",
-        "ext_pii_scrub",
-        "ext_funnel_counts",
-        "ext_contamination_fraction",
-        "ext_decontaminate_bloom",
-        "ext_encode_tokens",
-        "ext_strip_repeated_blocks",
-        "ext_chunk_documents",
-        "ext_expand_epochs",
-        "ext_winsorize",
-        "ext_curriculum_buckets",
-        "ext_snapshot_diff",
-        "ext_hashed_doc_vectors",
-        "ext_knn_label_vote",
-        "ext_mixture_report",
-        "ext_rp_project",
-        "ext_lm_logprob",
-        "ext_uniform_sample_per_group",
-        "ext_language_scores",
-        "ext_exact_substring",
-        "ext_ccnet_buckets",
-        "ext_exact_substring_keep",
-        "ext_dedup_lines",
-        "ext_curate_linesub",
-        "ext_bm25_topk",
-        "ext_bpe_roundtrip",
+        # recorded green r14, past-cap two rounds — the 9 displaced by
+        # the in-cap window (longest-waiting, FIRST in-cap next round)
         "ext_collocation_scores",
         "ext_knn_graph",
         "ext_bigram_logprob",
@@ -204,9 +158,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_jsonl_roundtrip",
         "ext_quantile_buckets",
         "ext_quantile_apply",
-        # new in round 16 (appended per the mid-round rule; rotates
-        # in-cap the following round)
-        "ext_kn_trigram_logprob",
+        # recorded green r16 (rotate out)
+        "p2_where_predicate",
+        "p3_deterministic_percent_sample",
+        "p4_upstream_filter_injection",
+        "p5_limit_on_sorted",
+        "p6_null_key_tuple_drop",
+        "j4_closure_fetch_semi_join",
+        "ext_brute_force_cosine_topk",
+        "ext_simhash_near_pairs",
+        "ext_srp_cosine_topk",
+        "ext_ivf_cosine_topk",
+        "ext_embedding_dup_pairs",
+        "ext_multimodal_feature_meta",
+        "ext_filter_documents",
+        "ext_stratified_sample",
+        "ext_term_frequencies",
+        "ext_tfidf_top_terms",
+        "ext_pack_sequences",
+        "ext_temperature_mix",
+        "ext_contamination_pairs",
+        "ext_hash_split",
+        "ext_weighted_mix",
+        "ext_heavy_hitters",
+        "ext_build_vocab",
+        "ext_repetition_stats",
+        "ext_semantic_dup_pairs",
+        "ext_quality_logit",
+        "ext_dsir_weights",
+        "ext_dsir_sample",
+        "ext_pq_encode",
+        "ext_pq_topk",
+        "ext_gopher_flags",
+        "ext_c4_clean",
+        "ext_near_dedup_best",
+        "ext_dsir_sample_grouped",
+        "ext_curate_basic",
+        "ext_unigram_roundtrip",
+        "ext_diversity_stream",
+        "ext_curate_stream_div",
+        "ext_winnow_overlap",
+        "ext_domain_prior",
+        "ext_curate_div",
+        "ext_landed_manifest",
+        "ext_curate_ppl_keep",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
