@@ -72,8 +72,8 @@ def _resolve_perplexity_opts(perplexity_buckets: dict, lang_col: str):
     if (lm is None) == (score_col is None):
         raise ValueError("perplexity_buckets needs exactly one of lm= "
                          "(a train_unigram_lm frame, a train_bigram_lm "
-                         "2-tuple, or a train_kn_trigram_lm 4-tuple) "
-                         "or score_col=")
+                         "2-tuple, a train_kn_trigram_lm 4-tuple, or a "
+                         "save_lm artifact path) or score_col=")
     keep = opts.pop("keep", None)
     if keep is None:
         raise ValueError("perplexity_buckets needs keep= (bucket ints "
@@ -686,7 +686,14 @@ def curate_corpus(
             # (uni, bi, tri, ctx) the Kneser-Ney trigram — the published
             # CCNet form (Wenzek 2020 scores with a Kneser-Ney KenLM).
             # All three negate the mean log-prob so bucket 0 stays the
-            # most reference-like (rising perplexity).
+            # most reference-like (rising perplexity).  A string is a
+            # save_lm artifact path: the two-job regime (train once,
+            # score many) loads the landed sides here and falls through
+            # to the same shape dispatch.
+            if isinstance(lm, str):
+                from condenser_spark.functions.lm import load_lm
+
+                lm = load_lm(cur.sparkSession, lm)
             if isinstance(lm, (tuple, list)) and len(lm) == 4:
                 from condenser_spark.functions.lm import (
                     kn_trigram_score_documents,

@@ -139,6 +139,115 @@ def lm_score_documents(
     )
 
 
+#: Landed-LM artifact contract: kind -> ordered (side_name, columns).
+#: The column tuples ARE the trainer output schemas; load_lm re-selects
+#: in this order so a landed model round-trips bit-identically through
+#: the scorers regardless of parquet column shuffling.
+LM_KINDS = {
+    "unigram": (("unigram", ("term", "logp4")),),
+    "bigram": (("unigram", ("term", "logp4", "backoff4")),
+               ("bigram", ("w1", "w2", "logp4"))),
+    "kn_trigram": (("unigram", ("term", "logp1_4", "logg2_4")),
+                   ("bigram", ("w2", "w3", "logp2_4")),
+                   ("trigram", ("w1", "w2", "w3", "logp3_4")),
+                   ("context", ("w1", "w2", "logg12_4"))),
+}
+
+_LM_FORMAT = "condenser_spark.lm"
+_LM_VERSION = 1
+
+
+def _lm_kind_of(model) -> str:
+    """Infer the artifact kind from a trainer's return shape + columns."""
+    if isinstance(model, DataFrame):
+        model = (model,)
+    by_len = {1: "unigram", 2: "bigram", 4: "kn_trigram"}
+    kind = by_len.get(len(model))
+    if kind is None:
+        raise ValueError(
+            f"save_lm: expected a train_unigram_lm frame, a "
+            f"train_bigram_lm 2-tuple, or a train_kn_trigram_lm 4-tuple; "
+            f"got {len(model)} frames")
+    for side, (name, cols) in zip(model, LM_KINDS[kind]):
+        if tuple(side.columns) != cols:
+            raise ValueError(
+                f"save_lm: {kind} side {name!r} has columns "
+                f"{side.columns}, expected {list(cols)} — pass the "
+                f"trainer outputs unmodified")
+    return kind
+
+
+def save_lm(model, path: str) -> None:
+    """Land a trained LM as a versioned parquet-directory artifact — the
+    :class:`~condenser_spark.functions.quality.QualityModel` /
+    :class:`~condenser_spark.functions.bpe.BpeModel` save/load contract
+    extended to DataFrame-sided models (a 100 TB two-job regime trains
+    once and scores many; the n-gram sides are unbounded tables, so the
+    artifact is parquet, not JSON).
+
+    ``model`` is a trainer's return value unmodified: a
+    :func:`train_unigram_lm` frame, a :func:`train_bigram_lm` 2-tuple,
+    or a :func:`train_kn_trigram_lm` 4-tuple.  Layout::
+
+        <path>/meta.json            format/version/kind/sides
+        <path>/<side>/...parquet    one directory per model side
+
+    ``meta.json`` is written via the local filesystem (the BpeModel
+    convention); the parquet sides go through the Hadoop FS layer and
+    take any warehouse URI Spark can write."""
+    import json as _json
+    import os
+
+    if isinstance(model, DataFrame):
+        model = (model,)
+    kind = _lm_kind_of(model)
+    os.makedirs(path, exist_ok=True)
+    for side, (name, _cols) in zip(model, LM_KINDS[kind]):
+        side.write.mode("overwrite").parquet(os.path.join(path, name))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        _json.dump({"format": _LM_FORMAT, "version": _LM_VERSION,
+                    "kind": kind,
+                    "sides": [n for n, _ in LM_KINDS[kind]]}, f)
+
+
+def load_lm(spark, path: str):
+    """Load a :func:`save_lm` artifact; returns exactly the matching
+    trainer's shape — a single frame for ``unigram``, a 2-tuple for
+    ``bigram``, a 4-tuple for ``kn_trigram`` — so the result drops into
+    the scorers and the ``perplexity_buckets=`` composers unchanged.
+    Fails loud on a missing/foreign/unsupported artifact (the BpeModel
+    contract), and on a side whose parquet schema has drifted from the
+    trainer contract."""
+    import json as _json
+    import os
+
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(f"{path}: not a {_LM_FORMAT} artifact "
+                         f"(no meta.json)")
+    with open(meta_path) as f:
+        m = _json.load(f)
+    if m.get("format") != _LM_FORMAT:
+        raise ValueError(f"{path}: not a {_LM_FORMAT} artifact "
+                         f"(format={m.get('format')!r})")
+    if m.get("version") != _LM_VERSION:
+        raise ValueError(f"{path}: unsupported lm artifact version "
+                         f"{m.get('version')!r}")
+    kind = m.get("kind")
+    if kind not in LM_KINDS:
+        raise ValueError(f"{path}: unknown lm kind {kind!r}")
+    sides = []
+    for name, cols in LM_KINDS[kind]:
+        df = spark.read.parquet(os.path.join(path, name))
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"{path}/{name}: columns {sorted(missing)} missing — "
+                f"schema drifted from the {kind} trainer contract")
+        sides.append(df.select(*cols))
+    return sides[0] if kind == "unigram" else tuple(sides)
+
+
 def lm_score_documents_stateless(
     df: DataFrame,
     lm: DataFrame,

@@ -139,6 +139,27 @@ def main() -> int:
     print(f"== stream-legal apply kept {n_stream} docs "
           f"(vs {kept.count()} exact — boundary ties may differ by "
           f"design) ==")
+
+    # --- the two-job regime (round 17): job 1 trains the published
+    # Kneser-Ney model on the reference corpus and LANDS it as a
+    # versioned parquet artifact; job 2 — any later session, any
+    # cluster — loads the artifact by path and scores.  lm= accepts the
+    # path directly, and the landed sides round-trip scores
+    # bit-identically (scaled-integer contract, pinned by test).
+    import tempfile
+
+    from condenser_spark.functions.lm import save_lm, train_kn_trigram_lm
+
+    lm_dir = tempfile.mkdtemp(prefix="kn_lm_")
+    save_lm(train_kn_trigram_lm(reference, vocab_size=4096), lm_dir)
+    kept_kn, report_kn = curate_corpus(
+        docs.select("doc_id", "text", "lang"),
+        perplexity_buckets={"lm": lm_dir, "keep": ("head", "middle"),
+                            "mode": "exact"},
+        report=True)
+    print(f"== landed Kneser-Ney artifact at {lm_dir} "
+          f"(train job) -> composer keep via lm=<path> (score job) ==")
+    report_kn.show(truncate=False)
     spark.stop()
     return 0
 

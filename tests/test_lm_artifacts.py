@@ -1,0 +1,152 @@
+"""Landed LM artifacts (VERDICT r16 punch #3): save_lm/load_lm on the
+QualityModel/BpeModel versioned-artifact contract, with scores required
+to round-trip BIT-IDENTICALLY through the landed parquet — the lm.py
+scaled-integer columns make that an exact equality, not a tolerance.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from condenser_spark.functions.lm import (
+    load_lm,
+    save_lm,
+    train_bigram_lm,
+    train_kn_trigram_lm,
+    train_unigram_lm,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog sat on a log"),
+    (3, "the dog ran to the log"),
+    (4, "cats and dogs"),
+    (5, "on"),
+    (6, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _scores(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_kn_roundtrip_bit_identical(spark, tmp_path):
+    from condenser_spark.functions.lm import kn_trigram_score_documents
+
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=8, discount=0.75)
+    before = _scores(kn_trigram_score_documents(df, *model))
+    path = str(tmp_path / "kn_lm")
+    save_lm(model, path)
+    loaded = load_lm(spark, path)
+    assert isinstance(loaded, tuple) and len(loaded) == 4
+    after = _scores(kn_trigram_score_documents(df, *loaded))
+    assert before == after
+
+
+def test_bigram_roundtrip_bit_identical(spark, tmp_path):
+    from condenser_spark.functions.lm import bigram_score_documents
+
+    df = _docs(spark)
+    model = train_bigram_lm(df, vocab_size=8, lam=0.9)
+    before = _scores(bigram_score_documents(df, *model))
+    path = str(tmp_path / "bi_lm")
+    save_lm(model, path)
+    loaded = load_lm(spark, path)
+    assert isinstance(loaded, tuple) and len(loaded) == 2
+    after = _scores(bigram_score_documents(df, *loaded))
+    assert before == after
+
+
+def test_unigram_roundtrip_bit_identical(spark, tmp_path):
+    from condenser_spark.functions.lm import lm_score_documents
+
+    df = _docs(spark)
+    model = train_unigram_lm(df, vocab_size=8)
+    before = _scores(lm_score_documents(df, model))
+    path = str(tmp_path / "uni_lm")
+    save_lm(model, path)
+    loaded = load_lm(spark, path)
+    assert not isinstance(loaded, tuple)  # trainer shape: a single frame
+    after = _scores(lm_score_documents(df, loaded))
+    assert before == after
+
+
+def test_meta_is_versioned_and_kinded(spark, tmp_path):
+    path = str(tmp_path / "kn_lm")
+    save_lm(train_kn_trigram_lm(_docs(spark), vocab_size=8), path)
+    with open(tmp_path / "kn_lm" / "meta.json") as f:
+        m = json.load(f)
+    assert m["format"] == "condenser_spark.lm"
+    assert m["version"] == 1
+    assert m["kind"] == "kn_trigram"
+    assert m["sides"] == ["unigram", "bigram", "trigram", "context"]
+
+
+def test_load_fails_loud_on_foreign_or_wrong_version(spark, tmp_path):
+    p = tmp_path / "not_lm"
+    p.mkdir()
+    with pytest.raises(ValueError, match="no meta.json"):
+        load_lm(spark, str(p))
+    (p / "meta.json").write_text(json.dumps({"format": "something.else"}))
+    with pytest.raises(ValueError, match="not a condenser_spark.lm"):
+        load_lm(spark, str(p))
+    (p / "meta.json").write_text(json.dumps(
+        {"format": "condenser_spark.lm", "version": 99,
+         "kind": "kn_trigram"}))
+    with pytest.raises(ValueError, match="unsupported lm artifact version"):
+        load_lm(spark, str(p))
+
+
+def test_save_rejects_wrong_shapes(spark):
+    df = _docs(spark)
+    uni, bi = train_bigram_lm(df, vocab_size=8)
+    with pytest.raises(ValueError, match="got 3 frames"):
+        save_lm((uni, bi, bi), "/tmp/never-written")
+    # sides passed in the wrong order fail the column contract
+    with pytest.raises(ValueError, match="columns"):
+        save_lm((bi, uni), "/tmp/never-written")
+
+
+def test_schema_drift_fails_loud(spark, tmp_path):
+    path = str(tmp_path / "kn_lm")
+    save_lm(train_kn_trigram_lm(_docs(spark), vocab_size=8), path)
+    # simulate drift: drop a contract column from one landed side
+    drifted = spark.read.parquet(path + "/trigram").drop("logp3_4")
+    drifted.write.mode("overwrite").parquet(path + "/trigram_new")
+    import shutil
+
+    shutil.rmtree(path + "/trigram")
+    shutil.move(path + "/trigram_new", path + "/trigram")
+    with pytest.raises(ValueError, match="schema drifted"):
+        load_lm(spark, path)
+
+
+def test_curate_corpus_accepts_lm_path(spark, tmp_path):
+    """perplexity_buckets lm=<path> must behave exactly like lm=<frames>
+    (the two-job regime: train+land in one job, score in another)."""
+    from condenser_spark.curate import curate_corpus
+
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=8, discount=0.75)
+    path = str(tmp_path / "kn_lm")
+    save_lm(model, path)
+    kwargs = dict(text_col="text", id_col="doc_id",
+                  perplexity_buckets=dict(keep=("head", "middle"),
+                                          group_col=None, mode="exact"))
+    kwargs_frames = {**kwargs,
+                     "perplexity_buckets":
+                         {**kwargs["perplexity_buckets"], "lm": model}}
+    kwargs_path = {**kwargs,
+                   "perplexity_buckets":
+                       {**kwargs["perplexity_buckets"], "lm": path}}
+    via_frames = _scores(curate_corpus(df, **kwargs_frames)[0])
+    via_path = _scores(curate_corpus(df, **kwargs_path)[0])
+    assert via_frames == via_path and via_frames
