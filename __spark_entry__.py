@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_div",
         "ext_landed_manifest",
         "ext_curate_ppl_keep",
+        # new in round 17 (appended per the mid-round rule; rotate
+        # in-cap the following round)
+        "ext_kn_logprob_stream",
+        "ext_bigram_logprob_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

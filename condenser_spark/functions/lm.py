@@ -511,6 +511,260 @@ def bigram_score_documents(
     )
 
 
+def _stream_chain_rows(df: DataFrame, text_col: str):
+    """Per-row n-gram rows WITHOUT a window — the streaming-legal twin
+    of the batch scorers' posexplode+lag shape: tokenize into an array
+    (the exact batch tokenizer expressions), posexplode_outer it, and
+    read the two preceding tokens with guarded element_at from the
+    SAME row's array.  Null/empty documents keep exactly one marker
+    row (``_t3raw`` NULL or '') so they survive to the per-doc
+    aggregate with (0, 0) and the OOV-floor mean, matching the batch
+    scorers' left-join-back semantics.  Everything is stateless
+    per-row codegen — no lag window, no state."""
+    raw = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        " ")
+    # after whitespace collapse + trim, interior/edge empty tokens are
+    # impossible — split yields [''] only for the empty document, which
+    # the _skip marker in the scorers neutralizes
+    exploded = df.select(
+        "*", raw.alias("_raw"),
+    ).select(
+        "*", F.posexplode_outer("_raw").alias("_pos", "_t3raw"),
+    )
+    return exploded.select(
+        *df.columns, "_pos", "_t3raw",
+        F.when(F.col("_pos") >= 1,
+               F.element_at("_raw", F.col("_pos"))).alias("_t2raw"),
+        F.when(F.col("_pos") >= 2,
+               F.element_at("_raw", F.col("_pos") - 1)).alias("_t1raw"),
+    )
+
+
+def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
+                    prefix: str, floor: float) -> DataFrame:
+    """Micro-batch-local per-document sum — the streaming-legal stand-in
+    for the batch scorers' groupBy(id).agg + join-back: a document is
+    ONE input row, so all its token rows live inside the same
+    micro-batch; one stateless hash ``repartition(id_col)`` co-locates
+    them and an Arrow kernel folds integer sums per document (integer
+    addition is order-free, so scores stay BIT-IDENTICAL to batch).
+    No state store, no watermark — append-mode safe by construction.
+
+    ``rows`` carries every original ``df`` column (constant per doc)
+    plus ``_c4``/``_tok``; the kernel re-emits one row per document
+    with the three scorer columns appended."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    carry = list(df.columns)
+    others = [c for c in carry if c != id_col]
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(f"{prefix}_logprob", T.DoubleType()),
+           T.StructField(f"{prefix}_logprob4_sum", T.LongType()),
+           T.StructField("n_scored_tokens", T.LongType())])
+
+    def round4(x: float) -> float:
+        # Spark ROUND is HALF_UP on the magnitude (the
+        # lm_score_documents_stateless convention)
+        s = x * 10_000.0
+        r = math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
+        return r / 10_000.0
+
+    def gen(batches):
+        parts = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            g = pdf.groupby(id_col, sort=False, dropna=False)
+            agg = g.agg(_s4=("_c4", "sum"), _n=("_tok", "sum"))
+            if others:
+                # carry columns are constant per doc; first() is exact
+                agg = g[others].first().join(agg)
+            parts.append(agg.reset_index())
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby(id_col, sort=False, dropna=False)
+        final = g.agg(_s4=("_s4", "sum"), _n=("_n", "sum"))
+        if others:
+            final = g[others].first().join(final)
+        final = final.reset_index()
+        lp = [round4(s / 10_000.0 / n) if n else floor
+              for s, n in zip(final["_s4"], final["_n"])]
+        yield pd.DataFrame({
+            **{c: final[c] for c in carry},
+            f"{prefix}_logprob": pd.Series(lp, dtype="float64"),
+            f"{prefix}_logprob4_sum": final["_s4"].astype("int64"),
+            "n_scored_tokens": final["_n"].astype("int64"),
+        })
+
+    return rows.repartition(F.col(id_col)).mapInPandas(
+        gen, schema=out_schema)
+
+
+def bigram_score_documents_stream(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bigram_score_documents` as a streaming-legal plan — same
+    three output columns, scores BIT-IDENTICAL to batch (parity-pinned).
+    The lag window becomes per-row element_at reads; the (vocab+1)-row
+    unigram side broadcast-joins twice (current + previous token); the
+    unbounded bigram side stays a stream-static shuffle equi-join (never
+    collected — the reason the stateless-kernel route is closed to
+    n-gram models); the per-doc aggregate is the micro-batch-local
+    :func:`_doc_sum_stream` fold.  Works identically on a plain batch
+    frame (the stream-twin convention)."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("bigram_score_documents_stream: unigram frame "
+                         "has no OOV row — build the model with "
+                         "train_bigram_lm")
+    oov_lp4, oov_bo4 = int(oov_row.logp4), int(oov_row.backoff4)
+
+    uni = unigram.filter(F.col("term") != OOV_TERM)
+    u_cur = F.broadcast(uni.select(
+        F.col("term").alias("_t3raw"),
+        F.col("logp4").alias("_ulp4"),
+        F.col("backoff4").alias("_ubo4")))
+    u_prev = F.broadcast(uni.select(
+        F.col("term").alias("_t2raw"),
+        F.lit(True).alias("_pinv")))
+    rows = (
+        _stream_chain_rows(df, text_col)
+        .join(u_cur, on="_t3raw", how="left")
+        .join(u_prev, on="_t2raw", how="left")
+    )
+    skip = F.col("_t3raw").isNull() | (F.col("_t3raw") == "")
+    scored_rows = rows.select(
+        *df.columns,
+        skip.alias("_skip"),
+        F.when(F.col("_ulp4").isNotNull(), F.col("_t3raw"))
+        .otherwise(F.lit(OOV_TERM)).alias("w2"),
+        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_pinv"), F.col("_t2raw"))
+        .otherwise(F.lit(OOV_TERM)).alias("w1"),
+        F.coalesce(F.col("_ulp4"), F.lit(oov_lp4)).alias("_lp4"),
+        F.coalesce(F.col("_ubo4"), F.lit(oov_bo4)).alias("_bo4"),
+    )
+    joined = scored_rows.join(bigram, on=["w1", "w2"], how="left")
+    contrib = (
+        F.when(F.col("_skip"), F.lit(0))
+        .when(F.col("w1").isNull(), F.col("_lp4"))
+        .otherwise(F.coalesce(F.col("logp4"), F.col("_bo4")))
+    )
+    prepared = joined.select(
+        *df.columns,
+        contrib.cast("long").alias("_c4"),
+        F.when(F.col("_skip"), F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("_tok"),
+    )
+    return _doc_sum_stream(prepared, df, id_col, "lm2",
+                           round(oov_lp4 / 10_000.0, 4))
+
+
+def kn_trigram_score_documents_stream(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    trigram: DataFrame,
+    context: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`kn_trigram_score_documents` as a streaming-legal plan —
+    same three output columns, scores BIT-IDENTICAL to batch
+    (parity-pinned).  Shape: per-row n-gram extraction (no window) ->
+    THREE broadcast joins against the (vocab+1)-row unigram side
+    (current/previous/previous-previous token: OOV mapping, unigram
+    scores, and the previous token's gamma in one pass each) -> three
+    stream-static left equi-joins against the unbounded observed-gram
+    sides (shuffled on their keys, exactly the batch scorer's joins —
+    the landed-model sides from :func:`load_lm` drop in directly) ->
+    the micro-batch-local :func:`_doc_sum_stream` fold.  No lag window,
+    no state store, no watermark: append-mode safe.  Works identically
+    on a plain batch frame (the stream-twin convention)."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("kn_trigram_score_documents_stream: unigram "
+                         "frame has no OOV row — build the model with "
+                         "train_kn_trigram_lm")
+    oov_lp1 = int(oov_row.logp1_4)
+    oov_g2 = oov_row.logg2_4  # may be None: OOV never observed as context
+
+    uni = unigram.filter(F.col("term") != OOV_TERM)
+    u3 = F.broadcast(uni.select(
+        F.col("term").alias("_t3raw"),
+        F.col("logp1_4").alias("_u3lp1")))
+    u2 = F.broadcast(uni.select(
+        F.col("term").alias("_t2raw"),
+        F.lit(True).alias("_u2inv"),
+        F.col("logg2_4").alias("_u2g2")))
+    u1 = F.broadcast(uni.select(
+        F.col("term").alias("_t1raw"),
+        F.lit(True).alias("_u1inv")))
+    rows = (
+        _stream_chain_rows(df, text_col)
+        .join(u3, on="_t3raw", how="left")
+        .join(u2, on="_t2raw", how="left")
+        .join(u1, on="_t1raw", how="left")
+    )
+    skip = F.col("_t3raw").isNull() | (F.col("_t3raw") == "")
+    scored_rows = rows.select(
+        *df.columns,
+        skip.alias("_skip"),
+        F.when(F.col("_u3lp1").isNotNull(), F.col("_t3raw"))
+        .otherwise(F.lit(OOV_TERM)).alias("w3"),
+        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_u2inv"), F.col("_t2raw"))
+        .otherwise(F.lit(OOV_TERM)).alias("w2"),
+        F.when(F.col("_t1raw").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_u1inv"), F.col("_t1raw"))
+        .otherwise(F.lit(OOV_TERM)).alias("w1"),
+        F.coalesce(F.col("_u3lp1"), F.lit(oov_lp1)).alias("_lp1"),
+        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("long"))
+        .when(F.col("_u2inv"), F.col("_u2g2"))
+        .otherwise(F.lit(oov_g2).cast("long")).alias("_g2_prev"),
+    )
+    joined = (
+        scored_rows
+        .join(bigram, on=["w2", "w3"], how="left")
+        .join(context, on=["w1", "w2"], how="left")
+        .join(trigram, on=["w1", "w2", "w3"], how="left")
+    )
+    score2 = F.coalesce(
+        F.col("logp2_4"),
+        F.col("_g2_prev") + F.col("_lp1"),
+        F.col("_lp1"),
+    )
+    contrib = (
+        F.when(F.col("_skip"), F.lit(0))
+        .when(F.col("w2").isNull(), F.col("_lp1"))
+        .when(F.col("w1").isNull(), score2)
+        .otherwise(F.coalesce(
+            F.col("logp3_4"),
+            F.col("logg12_4") + score2,
+            score2,
+        ))
+    )
+    prepared = joined.select(
+        *df.columns,
+        contrib.cast("long").alias("_c4"),
+        F.when(F.col("_skip"), F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("_tok"),
+    )
+    return _doc_sum_stream(prepared, df, id_col, "lm3",
+                           round(oov_lp1 / 10_000.0, 4))
+
+
 def train_kn_trigram_lm(
     df: DataFrame,
     vocab_size: int = 32_768,

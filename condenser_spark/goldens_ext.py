@@ -4427,6 +4427,45 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lm2_logprob4_sum", "n_scored_tokens")
 
 
+@golden("ext_kn_logprob_stream", _kn_trigram_sql())
+def ext_kn_logprob_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-LEGAL Kneser-Ney scorer
+    (condenser_spark/functions/lm.py:kn_trigram_score_documents_stream —
+    VERDICT r16 punch #4: per-row element_at n-gram extraction, three
+    broadcast unigram joins, stream-static gram joins, micro-batch-local
+    Arrow fold; no window, no state store) against the IDENTICAL full
+    train+score DuckDB replay as ext_kn_trigram_logprob: the
+    bit-identical-to-batch claim checked as a full value oracle, not
+    just a pytest parity assertion."""
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents_stream,
+        train_kn_trigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    model = train_kn_trigram_lm(docs, vocab_size=_KN_V, discount=_KN_D)
+    return kn_trigram_score_documents_stream(docs, *model).select(
+        "doc_id", "lm3_logprob4_sum", "n_scored_tokens")
+
+
+@golden("ext_bigram_logprob_stream", _bigram_logprob_sql())
+def ext_bigram_logprob_stream(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The STREAM-LEGAL interpolated-bigram scorer
+    (condenser_spark/functions/lm.py:bigram_score_documents_stream)
+    against the IDENTICAL full train+score DuckDB replay as
+    ext_bigram_logprob — same contract as ext_kn_logprob_stream."""
+    from condenser_spark.functions.lm import (
+        bigram_score_documents_stream,
+        train_bigram_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    model = train_bigram_lm(docs, vocab_size=_BIGRAM_V, lam=_BIGRAM_LAM)
+    return bigram_score_documents_stream(docs, *model).select(
+        "doc_id", "lm2_logprob4_sum", "n_scored_tokens")
+
+
 # ----------------------------------------------------------- URL curation
 
 # Synthetic multi-shape URL column (no URL column in the fixture corpus):

@@ -355,11 +355,13 @@ def curate_stream(
 
     if perplexity_buckets is not None:
         # the CCNet §4.3 KEEP decision on a stream: score with the
-        # STATELESS LM kernel (or an existing column), bucket against
-        # PRECOMPUTED thresholds (stream-static broadcast join — the
-        # quantile aggregate itself is state a stream cannot run), drop
-        # buckets outside keep=.  Same option surface as the batch
-        # composer (shared resolver); thresholds= is REQUIRED here.
+        # stateless unigram kernel or the stream-legal bigram/KN twins
+        # (or an existing column), bucket against PRECOMPUTED
+        # thresholds (stream-static broadcast join — the quantile
+        # aggregate itself is state a stream cannot run), drop buckets
+        # outside keep=.  Same option surface as the batch composer
+        # (shared resolver, incl. lm=<save_lm path>); thresholds= is
+        # REQUIRED here.
         from condenser_spark.curate import _resolve_perplexity_opts
         from condenser_spark.functions.corpus import (
             apply_quantile_thresholds,
@@ -381,21 +383,47 @@ def curate_stream(
                 f"stream — pass group_col=None for a global split")
         keep_cols_all = list(cur.columns)
         if p_lm is not None:
-            if isinstance(p_lm, (tuple, list)):
-                raise ValueError(
-                    "perplexity_buckets on a stream supports only the "
-                    "unigram lm= (its vocab+1-row table ships in the "
-                    "stateless kernel's closure by contract); the "
-                    "bigram/Kneser-Ney n-gram sides are unbounded and "
-                    "never collected — score with the batch composer, "
-                    "or precompute a score column and pass score_col=")
-            from condenser_spark.functions.lm import (
-                lm_score_documents_stateless,
-            )
+            # lm= dispatch, the batch composer's shapes (r16 punch #4):
+            # a path loads a landed save_lm artifact; a single frame is
+            # the unigram LM (stateless Arrow kernel — its vocab+1-row
+            # table ships in the closure by contract); the bigram
+            # 2-tuple / Kneser-Ney 4-tuple score through the
+            # stream-legal twins (stream-static joins against the model
+            # sides + a micro-batch-local per-doc fold — no window, no
+            # state store; scores bit-identical to batch, parity-pinned)
+            if isinstance(p_lm, str):
+                from condenser_spark.functions.lm import load_lm
 
-            scored = lm_score_documents_stateless(
-                cur, p_lm, text_col=text_col, id_col=id_col
-            ).withColumn("_ppl_score", -F.col("lm_logprob"))
+                p_lm = load_lm(cur.sparkSession, p_lm)
+            if isinstance(p_lm, (tuple, list)) and len(p_lm) == 4:
+                from condenser_spark.functions.lm import (
+                    kn_trigram_score_documents_stream,
+                )
+
+                scored = kn_trigram_score_documents_stream(
+                    cur, *p_lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm3_logprob"))
+            elif isinstance(p_lm, (tuple, list)) and len(p_lm) == 2:
+                from condenser_spark.functions.lm import (
+                    bigram_score_documents_stream,
+                )
+
+                scored = bigram_score_documents_stream(
+                    cur, *p_lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm2_logprob"))
+            elif isinstance(p_lm, (tuple, list)):
+                raise ValueError(
+                    f"perplexity_buckets lm= tuple must have 2 frames "
+                    f"(train_bigram_lm) or 4 (train_kn_trigram_lm): "
+                    f"got {len(p_lm)}")
+            else:
+                from condenser_spark.functions.lm import (
+                    lm_score_documents_stateless,
+                )
+
+                scored = lm_score_documents_stateless(
+                    cur, p_lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm_logprob"))
             score_use = "_ppl_score"
         else:
             if p_score_col not in cur.columns:

@@ -1,0 +1,152 @@
+"""Stream-legal n-gram LM scoring (VERDICT r16 punch #4): the
+bigram/Kneser-Ney scorers re-expressed without a lag window or a
+per-doc streaming aggregate — per-row element_at n-gram extraction,
+stream-static joins against the model sides, and a micro-batch-local
+Arrow fold.  Pins: bit-identical batch parity (the scaled-integer
+contract makes that exact equality), a real append-mode readStream run
+(append + an unbounded aggregate would refuse to start, so the run
+itself pins statelessness), an explicit no-state-store plan assertion,
+and the curate_stream lm= dispatch including a landed save_lm artifact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.lm import (
+    bigram_score_documents,
+    bigram_score_documents_stream,
+    kn_trigram_score_documents,
+    kn_trigram_score_documents_stream,
+    train_bigram_lm,
+    train_kn_trigram_lm,
+)
+
+SCHEMA = "doc_id long, text string"
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the hat"),
+    (2, "a dog sat on a log"),
+    (3, "the dog ran to the log"),
+    (4, "cats and dogs"),
+    (5, "on"),
+    (6, ""),        # empty doc: (0, 0) + OOV-floor mean, kept
+    (7, None),      # null doc: same contract
+    (8, "zz qq " * 3 + "unseen tokens everywhere"),  # OOV-heavy
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, SCHEMA)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("vocab_size,d", [(100, 0.75), (6, 0.4)])
+def test_kn_stream_batch_parity_bit_identical(spark, vocab_size, d):
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=vocab_size, discount=d)
+    assert _rows(kn_trigram_score_documents(df, *model)) == \
+        _rows(kn_trigram_score_documents_stream(df, *model))
+
+
+@pytest.mark.parametrize("vocab_size,lam", [(100, 0.9), (6, 0.5)])
+def test_bigram_stream_batch_parity_bit_identical(spark, vocab_size, lam):
+    df = _docs(spark)
+    model = train_bigram_lm(df, vocab_size=vocab_size, lam=lam)
+    assert _rows(bigram_score_documents(df, *model)) == \
+        _rows(bigram_score_documents_stream(df, *model))
+
+
+def test_kn_runs_on_a_real_stream_append_mode(spark, tmp_path):
+    """Append-mode availableNow run: if the plan held an unbounded
+    streaming aggregate Spark would refuse to start it, so completing
+    with batch-identical output pins both statelessness and parity."""
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=16, discount=0.75)
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    df.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    out = kn_trigram_score_documents_stream(s, *model)
+    assert out.isStreaming
+    q = (out.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = _rows(spark.read.parquet(out_dir))
+    assert got == _rows(kn_trigram_score_documents(df, *model))
+
+
+def test_kn_stream_plan_has_no_state_store(spark, tmp_path):
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=16, discount=0.75)
+    src = str(tmp_path / "psrc")
+    df.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    out = kn_trigram_score_documents_stream(s, *model)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "StateStore" not in plan and "stateful" not in plan.lower()
+
+
+def test_curate_stream_kn_dispatch_and_artifact_path(spark, tmp_path):
+    """curate_stream perplexity_buckets accepts the KN 4-tuple AND a
+    landed save_lm artifact path, keeps the same docs as the manual
+    score->threshold->filter chain, and stays schema-preserving."""
+    from condenser_spark.functions.corpus import (
+        apply_quantile_thresholds,
+        quantile_thresholds,
+    )
+    from condenser_spark.functions.lm import save_lm
+    from condenser_spark.streaming.curate import curate_stream
+
+    df = _docs(spark)
+    model = train_kn_trigram_lm(df, vocab_size=16, discount=0.75)
+    scored = kn_trigram_score_documents(df, *model).withColumn(
+        "_ppl", -F.col("lm3_logprob"))
+    thr = quantile_thresholds(scored, "_ppl", n_buckets=3,
+                              group_col=None)
+    manual_keep = sorted(
+        r.doc_id for r in apply_quantile_thresholds(
+            scored, thr, "_ppl", n_buckets=3, group_col=None,
+            bucket_col="_b").filter(F.col("_b").isin([0, 1])).collect())
+
+    opts = dict(keep=("head", "middle"), thresholds=thr, group_col=None)
+    via_tuple = curate_stream(df, perplexity_buckets={**opts, "lm": model})
+    assert via_tuple.columns == df.columns
+    assert sorted(r.doc_id for r in via_tuple.collect()) == manual_keep
+
+    path = str(tmp_path / "kn_lm")
+    save_lm(model, path)
+    via_path = curate_stream(df, perplexity_buckets={**opts, "lm": path})
+    assert sorted(r.doc_id for r in via_path.collect()) == manual_keep
+
+    # and on a real readStream, same rows land
+    src, out_dir = str(tmp_path / "csrc"), str(tmp_path / "cout")
+    df.write.parquet(src)
+    s = spark.readStream.schema(SCHEMA).parquet(src)
+    q = (curate_stream(s, perplexity_buckets={**opts, "lm": path})
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(r.doc_id for r in
+                  spark.read.parquet(out_dir).collect()) == manual_keep
+
+
+def test_bigram_stream_dispatch(spark):
+    from condenser_spark.functions.corpus import quantile_thresholds
+    from condenser_spark.streaming.curate import curate_stream
+
+    df = _docs(spark)
+    model = train_bigram_lm(df, vocab_size=16, lam=0.9)
+    scored = bigram_score_documents(df, *model).withColumn(
+        "_ppl", -F.col("lm2_logprob"))
+    thr = quantile_thresholds(scored, "_ppl", n_buckets=3, group_col=None)
+    out = curate_stream(df, perplexity_buckets=dict(
+        lm=model, keep=(0,), thresholds=thr, group_col=None))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept and set(kept) < {d for d, _ in DOCS}
