@@ -136,6 +136,8 @@ def curate_corpus(
     dsir_opts: dict | None = None,
     temperature: dict | None = None,
     pii: bool | dict = False,
+    media_dedup: bool | dict = False,
+    video_dedup: bool | dict = False,
     extra_stages: list | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -150,6 +152,15 @@ def curate_corpus(
 
     Stages (each optional, executed in this order):
 
+    -2. ``media_dedup`` / ``video_dedup`` — ingest-level media dedup on
+       a MEDIA_SCHEMA table (the examples/image_phash_dedup flow as one
+       composer call): ``media_dedup`` is True or a kwargs dict for
+       :func:`functions.multimodal.media_dedup` plus ``kinds=`` (default
+       ``("image",)`` — rows of other kinds pass untouched; audio wants
+       ``kinds=("audio",), method="audio"``); ``video_dedup`` likewise
+       for :func:`functions.multimodal.video_dedup` (kind=video only by
+       construction).  Keep-rows, schema-preserving; both raise on a
+       text table (no ``kind`` column).
     -1. ``url_filter`` — the published FIRST stage (RefinedWeb/FineWeb
        §3.1: URL filtering happens BEFORE any text is read): True or a
        kwargs dict (``url_col`` default ``"url"``, ``blocked_domains``,
@@ -309,7 +320,8 @@ def curate_corpus(
     composer: each entry is ``(name, fn)`` — appended after the built-in
     chain in declared order — or ``(name, fn, anchor)`` to run right
     after the named built-in stage (anchors are the report stage names:
-    ``"start"``, ``"url_filter"``, ``"domain_prior"``,
+    ``"start"``, ``"media_dedup"``, ``"video_dedup"``,
+    ``"url_filter"``, ``"domain_prior"``,
     ``"line_dedup"``, ``"badwords"``,
     ``"c4_clean"``, ``"diversity_gate"``, ``"script_gate"``,
     ``"language_id"``, ``"perplexity_buckets"``,
@@ -367,7 +379,8 @@ def curate_corpus(
     stages: list[tuple[str, DataFrame]] = []
     cur = docs
 
-    _ANCHORS = ("start", "url_filter", "domain_prior", "html_extract",
+    _ANCHORS = ("start", "media_dedup", "video_dedup",
+                "url_filter", "domain_prior", "html_extract",
                 "normalize_text", "line_dedup",
                 "badwords", "c4_clean", "diversity_gate", "script_gate",
                 "language_id", "perplexity_buckets",
@@ -408,7 +421,9 @@ def curate_corpus(
                 "quality_model": quality_model,
                 "quality_threshold": quality_threshold,
                 "dsir_opts": dsir_opts, "temperature": temperature,
-                "pii": pii, "extra_stages": extra_stages,
+                "pii": pii, "media_dedup": media_dedup,
+                "video_dedup": video_dedup,
+                "extra_stages": extra_stages,
                 "text_col": text_col, "id_col": id_col,
             },
             docs.schema.simpleString(),
@@ -491,6 +506,45 @@ def curate_corpus(
             cur = _record(name, out)
 
     _apply_extra("start")
+    if media_dedup:
+        # ingest-level media dedup FIRST (the examples/image_phash_dedup
+        # flow as one composer stage — r16 punch #5): keep-rows
+        # perceptual-hash dedup over the kinds= modalities (default
+        # image; audio wants method="audio" with kinds=("audio",)),
+        # every other row passes untouched.  kind=video belongs to the
+        # video_dedup= stage — raw-payload image hashes over video
+        # bytes would be meaningless near-dup evidence.
+        from condenser_spark.functions.multimodal import (
+            media_dedup as _media_dedup_fn,
+        )
+
+        opts = dict(media_dedup) if isinstance(media_dedup, dict) else {}
+        kinds = tuple(opts.pop("kinds", ("image",)))
+        if "kind" not in cur.columns:
+            raise ValueError(
+                "media_dedup= needs a MEDIA_SCHEMA input (no 'kind' "
+                "column) — this stage curates media tables, not text")
+        in_scope = cur.filter(F.col("kind").isin(list(kinds)))
+        pass_through = cur.filter(
+            F.col("kind").isNull() | ~F.col("kind").isin(list(kinds)))
+        cur = _record(
+            "media_dedup",
+            _media_dedup_fn(in_scope, **opts).unionByName(pass_through))
+        _apply_extra("media_dedup")
+    if video_dedup:
+        # temporal-fingerprint keep-rows dedup for kind=video; non-video
+        # rows pass through inside functions.video_dedup by construction
+        from condenser_spark.functions.multimodal import (
+            video_dedup as _video_dedup_fn,
+        )
+
+        opts = dict(video_dedup) if isinstance(video_dedup, dict) else {}
+        if "kind" not in cur.columns:
+            raise ValueError(
+                "video_dedup= needs a MEDIA_SCHEMA input (no 'kind' "
+                "column) — this stage curates media tables, not text")
+        cur = _record("video_dedup", _video_dedup_fn(cur, **opts))
+        _apply_extra("video_dedup")
     if url_filter:
         from condenser_spark.functions.urls import curate_urls, url_dedup
 

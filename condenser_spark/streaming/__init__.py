@@ -9,7 +9,11 @@ from condenser_spark.streaming.sessionize import (
     windowed_event_counts,
     windowed_event_counts_stream,
 )
-from condenser_spark.streaming.curate import build_url_bloom, curate_stream
+from condenser_spark.streaming.curate import (
+    build_url_bloom,
+    curate_micro_batch,
+    curate_stream,
+)
 from condenser_spark.streaming.media import (
     build_media_hash_index,
     build_video_fp_index,
@@ -35,6 +39,7 @@ __all__ = [
     "build_video_fp_index",
     "build_minhash_band_index",
     "build_url_bloom",
+    "curate_micro_batch",
     "curate_stream",
     "dedup_batch_against_corpus",
     "dedup_lines_stream",

@@ -121,6 +121,8 @@ def curate_stream(
     quality_model=None,
     quality_threshold: float = 0.0,
     pii: bool | dict = False,
+    media_dedup: dict | None = None,
+    video_dedup: dict | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -155,6 +157,50 @@ def curate_stream(
     blocklist flag and the bloom probe are null-safe, so a missing URL
     can neither drop the row nor feed the kernel a garbage hash."""
     cur = docs
+
+    if media_dedup is not None or video_dedup is not None:
+        # ingest-level media/video dedup AGAINST A LANDED INDEX (r16
+        # punch #5): the "no candidate verified" keep-rows fold is an
+        # aggregate after a join, which a pure streaming plan cannot
+        # run statelessly — so on a real stream these stages live in
+        # foreachBatch (:func:`curate_micro_batch`, where each
+        # micro-batch is a plain bounded frame).  On a batch frame
+        # (the parity/oracle surface) they run right here, so the
+        # batch twin keeps one-call parity with the micro-batch
+        # composer.
+        if cur.isStreaming:
+            raise ValueError(
+                "media_dedup=/video_dedup= on a readStream frame: the "
+                "keep-rows fold needs batch semantics — wrap the sink "
+                "in foreachBatch and call curate_micro_batch(batch_df, "
+                "media_dedup=..., video_dedup=..., <stateless stages>) "
+                "there (streaming/curate.py) instead")
+        if media_dedup is not None:
+            from condenser_spark.streaming.media import (
+                media_dedup_batch_against_corpus,
+            )
+
+            opts = dict(media_dedup)
+            idx = opts.pop("index", None)
+            if idx is None:
+                raise ValueError(
+                    "media_dedup= needs index= (a build_media_hash_index "
+                    "frame over the landed corpus; rebuild it on the "
+                    "landed cadence)")
+            cur = media_dedup_batch_against_corpus(cur, idx, **opts)
+        if video_dedup is not None:
+            from condenser_spark.streaming.media import (
+                video_dedup_batch_against_corpus,
+            )
+
+            opts = dict(video_dedup)
+            idx = opts.pop("index", None)
+            if idx is None:
+                raise ValueError(
+                    "video_dedup= needs index= (a build_video_fp_index "
+                    "frame over the landed corpus; rebuild it on the "
+                    "landed cadence)")
+            cur = video_dedup_batch_against_corpus(cur, idx, **opts)
 
     if blocked_domains or url_bloom is not None:
         from condenser_spark.functions.urls import curate_urls
@@ -514,3 +560,31 @@ def curate_stream(
         cur = redact_pii(cur, text_col=text_col, **opts)
 
     return cur
+
+
+def curate_micro_batch(batch_df: DataFrame, **stages) -> DataFrame:
+    """One-call curation for ONE micro-batch inside ``foreachBatch`` —
+    the composer home of the batch-only ingest stages (r16 punch #5):
+    ``media_dedup=``/``video_dedup=`` keep-rows dedup against a landed
+    index (:func:`streaming.media.media_dedup_batch_against_corpus` /
+    ``video_dedup_batch_against_corpus`` — their no-candidate fold is an
+    aggregate after a join, which a pure streaming plan cannot run
+    statelessly) followed by every stateless :func:`curate_stream`
+    stage.  Inside ``foreachBatch`` the frame is a plain bounded batch,
+    so the whole chain is batch-legal; on the same frame outside a
+    stream this is literally ``curate_stream`` (one-call parity with
+    the hand-wired examples/image_phash_dedup.py flow, pinned by test).
+
+        index = build_media_hash_index(landed).persist()
+        (stream.writeStream.foreachBatch(
+            lambda mb, _: curate_micro_batch(
+                mb, media_dedup={"index": index}, gopher=True)
+            .write.mode("append").parquet(clean_path))
+         .start())
+    """
+    if batch_df.isStreaming:
+        raise ValueError(
+            "curate_micro_batch takes the bounded frame foreachBatch "
+            "hands you, not the readStream frame — for a pure stateless "
+            "chain on the stream itself use curate_stream")
+    return curate_stream(batch_df, **stages)

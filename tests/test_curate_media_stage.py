@@ -1,0 +1,181 @@
+"""Media/video dedup as first-class composer stages (VERDICT r16 punch
+#5): one-call parity with the hand-wired examples/image_phash_dedup.py
+flow in curate_corpus, the batch-twin + foreachBatch route in
+curate_stream / curate_micro_batch, pass-through scoping, and fail-loud
+contracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.curate import curate_corpus
+
+MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
+                "codec string, width int, height int, duration_ms int")
+
+
+def _checker(w=64, h=64):
+    return ((np.indices((h, w)).sum(axis=0) // 8 % 2) * 180 + 20
+            ).astype(np.uint8)
+
+
+def _noise(seed, w=64, h=64):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 200, (h, w), dtype=np.uint8)
+
+
+def _image_fixture(spark):
+    """The examples/image_phash_dedup.py corpus: a 4-member near-dup
+    cluster (original, byte clone, brightness twin, 2x downsample) plus
+    two unrelated noise images."""
+    base = _checker()
+    rows = [
+        (1, base), (2, base.copy()),
+        (3, (base + 20).astype(np.uint8)),
+        (4, base[::2, ::2].copy()),
+        (10, _noise(7)), (11, _noise(8)),
+    ]
+    return spark.createDataFrame(
+        [(i, "image", a.tobytes(), "raw",
+          int(a.shape[1]), int(a.shape[0]), 0) for i, a in rows],
+        MEDIA_SCHEMA)
+
+
+def _video_rows(spark, ids_and_frames, every_ms=1000):
+    """kind=video rows whose payload is raw frame-concatenated
+    grayscale (the documented fake-decode contract): 8x8 frames."""
+    data = []
+    for mid, frames in ids_and_frames:
+        payload = b"".join(f.tobytes() for f in frames)
+        data.append((mid, "video", payload, "raw", 8, 8,
+                     every_ms * len(frames)))
+    return spark.createDataFrame(data, MEDIA_SCHEMA)
+
+
+def test_media_dedup_stage_parity_with_handwired(spark):
+    from condenser_spark.functions.multimodal import media_dedup
+
+    media = _image_fixture(spark)
+    handwired = sorted(
+        r.media_id for r in
+        media_dedup(media, max_hamming=8, keep_col="width").collect())
+    out, rep = curate_corpus(
+        media, media_dedup={"max_hamming": 8, "keep_col": "width"},
+        report=True)
+    assert sorted(r.media_id for r in out.collect()) == handwired
+    assert out.columns == media.columns
+    row = [r for r in rep.collect() if r.stage == "media_dedup"][0]
+    assert (row.docs_in, row.docs_out) == (6, 3)
+
+
+def test_media_dedup_stage_scopes_kinds(spark):
+    """Rows outside kinds= (here: an audio row byte-identical to an
+    image) pass through untouched — never hashed, never dropped."""
+    media = _image_fixture(spark)
+    base = _checker()
+    audio = spark.createDataFrame(
+        [(50, "audio", base.tobytes(), "raw", 64, 64, 0)], MEDIA_SCHEMA)
+    out, _ = curate_corpus(
+        media.unionByName(audio),
+        media_dedup={"max_hamming": 8, "keep_col": "width"})
+    kept = sorted(r.media_id for r in out.collect())
+    assert 50 in kept and len(kept) == 4
+
+
+def test_video_dedup_stage_parity_with_handwired(spark):
+    from condenser_spark.functions.multimodal import video_dedup
+
+    rng = np.random.default_rng(0)
+    clipA = [rng.integers(0, 255, (8, 8), dtype=np.uint8)
+             for _ in range(8)]
+    clipB = [rng.integers(0, 255, (8, 8), dtype=np.uint8)
+             for _ in range(8)]
+    vids = _video_rows(spark, [
+        (1, clipA),
+        (2, clipA[2:]),       # clip of A sharing 6 consecutive frames
+        (3, clipB),           # unrelated
+    ])
+    handwired = sorted(r.media_id for r in video_dedup(vids).collect())
+    out, rep = curate_corpus(vids, video_dedup=True, report=True)
+    assert sorted(r.media_id for r in out.collect()) == handwired == [1, 3]
+    row = [r for r in rep.collect() if r.stage == "video_dedup"][0]
+    assert (row.docs_in, row.docs_out) == (3, 2)
+
+
+def test_media_stage_rejects_text_tables(spark):
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no 'kind' column"):
+        curate_corpus(docs, media_dedup=True)
+    with pytest.raises(ValueError, match="no 'kind' column"):
+        curate_corpus(docs, video_dedup=True)
+
+
+def test_curate_stream_media_dedup_batch_twin(spark):
+    """curate_stream's media_dedup= on a bounded frame equals the
+    hand-wired media_dedup_batch_against_corpus call; index= is
+    required; a real readStream frame is rejected toward
+    curate_micro_batch."""
+    from condenser_spark.functions.multimodal import media_dedup
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.media import (
+        build_media_hash_index,
+        media_dedup_batch_against_corpus,
+    )
+
+    media = _image_fixture(spark)
+    landed = media_dedup(media, max_hamming=8).localCheckpoint()
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    base = _checker()
+    incoming = spark.createDataFrame(
+        [(100, "image", base.tobytes(), "raw", 64, 64, 0),   # re-upload
+         (101, "image", _noise(99).tobytes(), "raw", 64, 64, 0)],
+        MEDIA_SCHEMA)
+    handwired = sorted(
+        r.media_id for r in media_dedup_batch_against_corpus(
+            incoming, idx, max_hamming=8).collect())
+    got = curate_stream(incoming,
+                        media_dedup={"index": idx, "max_hamming": 8})
+    assert sorted(r.media_id for r in got.collect()) == handwired == [101]
+
+    with pytest.raises(ValueError, match="needs index="):
+        curate_stream(incoming, media_dedup={"max_hamming": 8})
+
+
+def test_curate_micro_batch_in_real_foreach_batch(spark, tmp_path):
+    from condenser_spark.functions.multimodal import media_dedup
+    from condenser_spark.streaming.curate import (
+        curate_micro_batch,
+        curate_stream,
+    )
+    from condenser_spark.streaming.media import build_media_hash_index
+
+    media = _image_fixture(spark)
+    landed = media_dedup(media, max_hamming=8).localCheckpoint()
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    base = _checker()
+    incoming = spark.createDataFrame(
+        [(100, "image", base.tobytes(), "raw", 64, 64, 0),
+         (101, "image", _noise(99).tobytes(), "raw", 64, 64, 0)],
+        MEDIA_SCHEMA)
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    incoming.write.parquet(src)
+    s = spark.readStream.schema(MEDIA_SCHEMA).parquet(src)
+
+    # the readStream frame itself is rejected toward foreachBatch
+    with pytest.raises(ValueError, match="foreachBatch"):
+        curate_stream(s, media_dedup={"index": idx})
+
+    def _sink(mb, _):
+        curate_micro_batch(mb, media_dedup={"index": idx,
+                                            "max_hamming": 8}) \
+            .write.mode("append").parquet(out_dir)
+
+    q = (s.writeStream.foreachBatch(_sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(r.media_id for r in spark.read.parquet(out_dir).collect())
+    assert kept == [101]
