@@ -753,11 +753,23 @@ def video_fingerprints(
                 # hazard _decode_gray guards for width/height): treat it
                 # as 0 ms -> one padded window over the tiled payload
                 dur = 0 if pd.isna(dur) else int(dur)
-                n_frames = max(1, dur // every_ms)
-                step = max(1, len(payload) // n_frames) if payload else 1
+                plen = len(payload) if payload is not None else 0
+                # cap frame count so every slice keeps >= 64 payload
+                # bytes (ADVICE r16): a duration claiming more frames
+                # than the payload can feed would leave trailing slices
+                # empty (or one-byte), and those decode to constant
+                # grids hashing identically — unrelated
+                # metadata-inflated videos would then share window
+                # signatures (and a 1-hour duration on a tiny payload
+                # would fan out 3600 rows for nothing).  64 bytes is
+                # the 8x8 floor below which the 9x8 dHash grid
+                # degenerates to tiling artifacts.
+                n_frames = min(max(1, dur // every_ms),
+                               max(1, plen // 64))
+                step = max(1, plen // n_frames) if plen else 1
                 for i in range(n_frames):
                     frame = (bytes(payload[i * step:(i + 1) * step])
-                             if payload else b"")
+                             if plen else b"")
                     grids.append(
                         _decode_gray(frame, "image", w_, h_, 9, 8, fake))
                 spans.append((mid, n_frames))

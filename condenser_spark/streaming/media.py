@@ -49,6 +49,22 @@ __all__ = [
 ]
 
 
+#: Batch-mode probe-broadcast cap (ADVICE r16): the probe-side
+#: broadcast is a measured 70->11 s win for bounded micro-batches, but
+#: a direct batch call over a large frame (a first availableNow
+#: backlog, media_dedup_batch_against_corpus on a whole snapshot) must
+#: degrade to a shuffle join instead of OOMing the driver.  Counted
+#: with a bounded limit probe on the INPUT frame (payload column pruned
+#: away, so the check is a metadata-cheap scan); at this cap the
+#: exploded probe side is ~n_bands * 500k short rows.
+PROBE_BROADCAST_MAX_ROWS = 500_000
+
+
+def _bounded_probe(df: DataFrame) -> bool:
+    n = df.select(F.lit(1)).limit(PROBE_BROADCAST_MAX_ROWS + 1).count()
+    return n <= PROBE_BROADCAST_MAX_ROWS
+
+
 def _band_bounds(n_bands: int) -> list[int]:
     return [i * 64 // n_bands for i in range(n_bands + 1)]
 
@@ -102,6 +118,7 @@ def _stream_static_hamming_pairs(
     max_hamming: int,
     stream_sig_col: str,
     extra_cond,
+    broadcast_probe: bool | None = None,
 ) -> DataFrame:
     """The shared probe-join both stream twins ride: explode the stream
     side to one EXACT (band, bucket) probe per band, equi-join the
@@ -135,13 +152,21 @@ def _stream_static_hamming_pairs(
     first_ok = F.array_position(
         F.array(*[_band_ok(i) for i in range(n_bands)]), F.lit(True))
     if not sig_stream.isStreaming:
-        # foreachBatch / batch mode: the PROBE side is the micro-batch
-        # (bounded small by contract) and the index is the corpus —
-        # broadcasting the probes turns the join map-side over the index
-        # scan, skipping the index-wide shuffle+sort a sort-merge join
-        # pays per call (measured 70 -> 11 s against a 69M-row index at
-        # a 100k-row batch; STRESS 41)
-        probes = F.broadcast(probes)
+        # foreachBatch / batch mode: when the PROBE side is a bounded
+        # micro-batch and the index is the corpus, broadcasting the
+        # probes turns the join map-side over the index scan, skipping
+        # the index-wide shuffle+sort a sort-merge join pays per call
+        # (measured 70 -> 11 s against a 69M-row index at a 100k-row
+        # batch; STRESS 41).  The hint is GATED on the probe count
+        # (ADVICE r16): past PROBE_BROADCAST_MAX_ROWS the caller's
+        # "bounded by contract" no longer holds (a first availableNow
+        # backlog, a whole-snapshot batch call) and the join degrades
+        # to a shuffle instead of OOMing the driver; callers that
+        # already know the answer pass broadcast_probe explicitly.
+        if broadcast_probe is None:
+            broadcast_probe = _bounded_probe(sig_stream)
+        if broadcast_probe:
+            probes = F.broadcast(probes)
     return (
         probes.join(
             index,
@@ -212,10 +237,16 @@ def media_dup_pairs_stream(
         F.col("media_id").alias("stream_id"),
         F.col("kind").alias("_kind"),
         F.col("hash").alias("stream_sig"))
+    # gate the batch-mode probe broadcast on the RAW input count (one
+    # hash row per input row; counting the hashed frame instead would
+    # re-run the decode kernel just to count)
+    broadcast_probe = (None if stream_media.isStreaming
+                       else _bounded_probe(stream_media))
     return _stream_static_hamming_pairs(
         hashed, hash_index, max_hamming, "stream_sig",
         (F.col("_kind") == F.col("kind"))
         & (F.col("stream_id") != F.col("static_id")),
+        broadcast_probe=broadcast_probe,
     ).select("stream_id", "static_id", "kind", "hamming")
 
 
@@ -293,9 +324,21 @@ def video_dup_windows_stream(
     ).select(F.col("media_id").alias("stream_id"),
              F.col("seq_idx").alias("stream_seq"),
              F.col("sig").alias("stream_sig"))
+    # gate the batch-mode probe broadcast on the RAW clip count with a
+    # nominal ~100-windows-per-clip fanout allowance (counting the
+    # fingerprint frame itself would re-run the decode kernel); an
+    # over-long backlog degrades to a shuffle join instead of a
+    # driver-sized broadcast
+    if stream_videos.isStreaming:
+        broadcast_probe = None
+    else:
+        n = (stream_videos.select(F.lit(1))
+             .limit(PROBE_BROADCAST_MAX_ROWS // 100 + 1).count())
+        broadcast_probe = n <= PROBE_BROADCAST_MAX_ROWS // 100
     return _stream_static_hamming_pairs(
         hashed, fp_index, max_hamming, "stream_sig",
         F.col("stream_id") != F.col("static_id"),
+        broadcast_probe=broadcast_probe,
     ).select("stream_id", "stream_seq", "static_id", "static_seq",
              "hamming")
 

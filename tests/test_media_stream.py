@@ -200,3 +200,31 @@ def test_video_stream_runs_as_real_readstream(spark, tmp_path):
     # the clone matches every one of its 5 windows exactly once
     assert sorted(r.stream_seq for r in rows) == [0, 1, 2, 3, 4]
     assert all(r.hamming == 0 and r.static_id == 1 for r in rows)
+
+
+def test_probe_broadcast_gated_on_batch_size(spark, landed, monkeypatch):
+    """ADVICE r16: the batch-mode probe broadcast must be gated on the
+    probe row count — under the cap the hint is planted (the measured
+    70->11 s micro-batch win), past it the join degrades to a shuffle
+    instead of a driver-sized broadcast."""
+    import condenser_spark.streaming.media as M
+
+    idx = build_media_hash_index(landed, max_hamming=8).localCheckpoint()
+    incoming = _media_df(spark, [(2001, _raw(64, 64, seed=1), "image")])
+
+    def _plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    hinted = _plan(media_dup_pairs_stream(incoming, idx, max_hamming=8))
+    assert "ResolvedHint" in hinted
+
+    monkeypatch.setattr(M, "PROBE_BROADCAST_MAX_ROWS", 0)
+    unhinted = _plan(media_dup_pairs_stream(incoming, idx, max_hamming=8))
+    assert "ResolvedHint" not in unhinted
+    # results identical either way (the hint is a physical choice only)
+    a = sorted(map(tuple, media_dup_pairs_stream(
+        incoming, idx, max_hamming=8).collect()))
+    monkeypatch.undo()
+    b = sorted(map(tuple, media_dup_pairs_stream(
+        incoming, idx, max_hamming=8).collect()))
+    assert a == b

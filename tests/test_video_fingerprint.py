@@ -186,3 +186,29 @@ def test_null_duration_and_bad_every_ms(spark):
     assert len([r for r in got if r.media_id == 1]) == 1  # padded window
     with pytest.raises(ValueError, match="every_ms"):
         video_fingerprints(df, every_ms=0)
+
+
+def test_metadata_inflated_duration_capped_by_payload(spark):
+    """ADVICE r16: a duration claiming more frames than payload bytes
+    must neither fan out thousands of rows nor make UNRELATED videos
+    share the constant empty-frame signature."""
+    from condenser_spark.functions.multimodal import video_dup_pairs
+
+    rng = np.random.default_rng(5)
+    tiny_a = rng.integers(0, 256, size=16, dtype=np.uint8).tobytes()
+    tiny_b = rng.integers(0, 256, size=16, dtype=np.uint8).tobytes()
+    rows = [
+        (1, "video", tiny_a, "raw", W, H, 3_600_000),  # claims 1 hour
+        (2, "video", tiny_b, "raw", W, H, 3_600_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, codec string, "
+              "width int, height int, duration_ms int")
+    fp = video_fingerprints(df, every_ms=1000, window=4).collect()
+    per = {m: [r.sig for r in fp if r.media_id == m] for m in (1, 2)}
+    # frame count capped at payload_len // 64 (floored at 1): a 16-byte
+    # payload is ONE whole-payload frame, never 3600 empty slices
+    assert len(per[1]) == 1 and len(per[2]) == 1
+    # unrelated bytes -> disjoint signatures, no spurious dup pair
+    assert not set(per[1]) & set(per[2])
+    assert video_dup_pairs(df, every_ms=1000, window=4).count() == 0
