@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-cap the following round)
         "ext_kn_logprob_stream",
         "ext_bigram_logprob_stream",
+        "ext_kn5_logprob",
+        "ext_kn5_logprob_stream",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()

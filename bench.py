@@ -922,6 +922,29 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: kn_trigram_score_documents(docs, *_kn)
           .agg(F.sum("lm3_logprob4_sum")).collect())
 
+    # round 17: the published 5-gram order (same amortized-train shape;
+    # timed cost adds the two extra gram/gamma equi-joins) plus the
+    # stream-legal twin (element_at extraction + stream-static joins +
+    # micro-batch fold — the ingest-time cost of the same signal)
+    from condenser_spark.functions.lm import (
+        kn5_score_documents,
+        kn5_score_documents_stream,
+        kn_trigram_score_documents_stream,
+        train_kn5_lm,
+    )
+
+    _kn5 = tuple(t.localCheckpoint()
+                 for t in train_kn5_lm(docs, vocab_size=4096))
+    timed("kn5_score",
+          lambda: kn5_score_documents(docs, *_kn5)
+          .agg(F.sum("lm5_logprob4_sum")).collect())
+    timed("kn_trigram_score_stream",
+          lambda: kn_trigram_score_documents_stream(docs, *_kn)
+          .agg(F.sum("lm3_logprob4_sum")).collect())
+    timed("kn5_score_stream",
+          lambda: kn5_score_documents_stream(docs, *_kn5)
+          .agg(F.sum("lm5_logprob4_sum")).collect())
+
     # round 16: video temporal-fingerprint near-dup — frame dHash
     # sequences, stride-1 window signatures, banded join + per-pair agg
     from condenser_spark.functions.multimodal import video_dup_pairs

@@ -243,11 +243,15 @@ def curate_corpus(
        reference-LM perplexity, keep the best buckets), right after
        langid per the published order.  A dict:
 
-       * ``lm`` (a :func:`functions.lm.train_unigram_lm` frame — docs
-         are scored with :func:`functions.lm.lm_score_documents` and
-         bucketed on rising perplexity, so bucket 0 = most
-         reference-like) OR ``score_col`` (an existing column,
-         ascending = best first; exactly one of the two);
+       * ``lm`` (a :func:`functions.lm.train_unigram_lm` frame, a
+         :func:`functions.lm.train_bigram_lm` 2-tuple, a
+         :func:`functions.lm.train_kn_trigram_lm` 4-tuple, a
+         :func:`functions.lm.train_kn5_lm` 8-tuple — the published
+         KenLM order — or a :func:`functions.lm.save_lm` artifact
+         path; docs are scored with the matching scorer and bucketed
+         on rising perplexity, so bucket 0 = most reference-like) OR
+         ``score_col`` (an existing column, ascending = best first;
+         exactly one of the two);
        * ``keep`` (required): bucket ints and/or labels to KEEP, e.g.
          ``("head", "middle")``;
        * ``n_buckets`` (default 3), ``group_col`` (default
@@ -748,7 +752,15 @@ def curate_corpus(
                 from condenser_spark.functions.lm import load_lm
 
                 lm = load_lm(cur.sparkSession, lm)
-            if isinstance(lm, (tuple, list)) and len(lm) == 4:
+            if isinstance(lm, (tuple, list)) and len(lm) == 8:
+                from condenser_spark.functions.lm import (
+                    kn5_score_documents,
+                )
+
+                scored = kn5_score_documents(
+                    cur, *lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm5_logprob"))
+            elif isinstance(lm, (tuple, list)) and len(lm) == 4:
                 from condenser_spark.functions.lm import (
                     kn_trigram_score_documents,
                 )
@@ -767,8 +779,8 @@ def curate_corpus(
             elif isinstance(lm, (tuple, list)):
                 raise ValueError(
                     f"perplexity_buckets lm= tuple must have 2 frames "
-                    f"(train_bigram_lm) or 4 (train_kn_trigram_lm): "
-                    f"got {len(lm)}")
+                    f"(train_bigram_lm), 4 (train_kn_trigram_lm), or 8 "
+                    f"(train_kn5_lm): got {len(lm)}")
             else:
                 from condenser_spark.functions.lm import lm_score_documents
 

@@ -151,6 +151,14 @@ LM_KINDS = {
                    ("bigram", ("w2", "w3", "logp2_4")),
                    ("trigram", ("w1", "w2", "w3", "logp3_4")),
                    ("context", ("w1", "w2", "logg12_4"))),
+    "kn_5gram": (("unigram", ("term", "logp1_4", "logg2_4")),
+                 ("bigram", ("w4", "w5", "logp2_4")),
+                 ("trigram", ("w3", "w4", "w5", "logp3_4")),
+                 ("context3", ("w3", "w4", "logg3_4")),
+                 ("fourgram", ("w2", "w3", "w4", "w5", "logp4_4")),
+                 ("context4", ("w2", "w3", "w4", "logg4_4")),
+                 ("fivegram", ("w1", "w2", "w3", "w4", "w5", "logp5_4")),
+                 ("context5", ("w1", "w2", "w3", "w4", "logg5_4"))),
 }
 
 _LM_FORMAT = "condenser_spark.lm"
@@ -161,13 +169,13 @@ def _lm_kind_of(model) -> str:
     """Infer the artifact kind from a trainer's return shape + columns."""
     if isinstance(model, DataFrame):
         model = (model,)
-    by_len = {1: "unigram", 2: "bigram", 4: "kn_trigram"}
+    by_len = {1: "unigram", 2: "bigram", 4: "kn_trigram", 8: "kn_5gram"}
     kind = by_len.get(len(model))
     if kind is None:
         raise ValueError(
             f"save_lm: expected a train_unigram_lm frame, a "
-            f"train_bigram_lm 2-tuple, or a train_kn_trigram_lm 4-tuple; "
-            f"got {len(model)} frames")
+            f"train_bigram_lm 2-tuple, a train_kn_trigram_lm 4-tuple, "
+            f"or a train_kn5_lm 8-tuple; got {len(model)} frames")
     for side, (name, cols) in zip(model, LM_KINDS[kind]):
         if tuple(side.columns) != cols:
             raise ValueError(
@@ -511,16 +519,17 @@ def bigram_score_documents(
     )
 
 
-def _stream_chain_rows(df: DataFrame, text_col: str):
+def _stream_chain_rows(df: DataFrame, text_col: str, depth: int = 2):
     """Per-row n-gram rows WITHOUT a window — the streaming-legal twin
     of the batch scorers' posexplode+lag shape: tokenize into an array
     (the exact batch tokenizer expressions), posexplode_outer it, and
-    read the two preceding tokens with guarded element_at from the
-    SAME row's array.  Null/empty documents keep exactly one marker
-    row (``_t3raw`` NULL or '') so they survive to the per-doc
-    aggregate with (0, 0) and the OOV-floor mean, matching the batch
-    scorers' left-join-back semantics.  Everything is stateless
-    per-row codegen — no lag window, no state."""
+    read the ``depth`` preceding tokens with guarded element_at from
+    the SAME row's array (``_cur`` plus ``_prev1`` .. ``_prev{depth}``).
+    Null/empty documents keep exactly one marker row (``_cur`` NULL or
+    '') so they survive to the per-doc aggregate with (0, 0) and the
+    OOV-floor mean, matching the batch scorers' left-join-back
+    semantics.  Everything is stateless per-row codegen — no lag
+    window, no state."""
     raw = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
         " ")
@@ -530,14 +539,15 @@ def _stream_chain_rows(df: DataFrame, text_col: str):
     exploded = df.select(
         "*", raw.alias("_raw"),
     ).select(
-        "*", F.posexplode_outer("_raw").alias("_pos", "_t3raw"),
+        "*", F.posexplode_outer("_raw").alias("_pos", "_cur"),
     )
+    # the k-th previous token sits at 1-based index _pos - k + 1; the
+    # when-guard keeps element_at off index <= 0 (ANSI-safe)
     return exploded.select(
-        *df.columns, "_pos", "_t3raw",
-        F.when(F.col("_pos") >= 1,
-               F.element_at("_raw", F.col("_pos"))).alias("_t2raw"),
-        F.when(F.col("_pos") >= 2,
-               F.element_at("_raw", F.col("_pos") - 1)).alias("_t1raw"),
+        *df.columns, "_pos", "_cur",
+        *[F.when(F.col("_pos") >= k,
+                 F.element_at("_raw", F.col("_pos") - (k - 1)))
+          .alias(f"_prev{k}") for k in range(1, depth + 1)],
     )
 
 
@@ -632,25 +642,25 @@ def bigram_score_documents_stream(
 
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u_cur = F.broadcast(uni.select(
-        F.col("term").alias("_t3raw"),
+        F.col("term").alias("_cur"),
         F.col("logp4").alias("_ulp4"),
         F.col("backoff4").alias("_ubo4")))
     u_prev = F.broadcast(uni.select(
-        F.col("term").alias("_t2raw"),
+        F.col("term").alias("_prev1"),
         F.lit(True).alias("_pinv")))
     rows = (
-        _stream_chain_rows(df, text_col)
-        .join(u_cur, on="_t3raw", how="left")
-        .join(u_prev, on="_t2raw", how="left")
+        _stream_chain_rows(df, text_col, depth=1)
+        .join(u_cur, on="_cur", how="left")
+        .join(u_prev, on="_prev1", how="left")
     )
-    skip = F.col("_t3raw").isNull() | (F.col("_t3raw") == "")
+    skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
         *df.columns,
         skip.alias("_skip"),
-        F.when(F.col("_ulp4").isNotNull(), F.col("_t3raw"))
+        F.when(F.col("_ulp4").isNotNull(), F.col("_cur"))
         .otherwise(F.lit(OOV_TERM)).alias("w2"),
-        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_pinv"), F.col("_t2raw"))
+        F.when(F.col("_prev1").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_pinv"), F.col("_prev1"))
         .otherwise(F.lit(OOV_TERM)).alias("w1"),
         F.coalesce(F.col("_ulp4"), F.lit(oov_lp4)).alias("_lp4"),
         F.coalesce(F.col("_ubo4"), F.lit(oov_bo4)).alias("_bo4"),
@@ -702,35 +712,35 @@ def kn_trigram_score_documents_stream(
 
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u3 = F.broadcast(uni.select(
-        F.col("term").alias("_t3raw"),
+        F.col("term").alias("_cur"),
         F.col("logp1_4").alias("_u3lp1")))
     u2 = F.broadcast(uni.select(
-        F.col("term").alias("_t2raw"),
+        F.col("term").alias("_prev1"),
         F.lit(True).alias("_u2inv"),
         F.col("logg2_4").alias("_u2g2")))
     u1 = F.broadcast(uni.select(
-        F.col("term").alias("_t1raw"),
+        F.col("term").alias("_prev2"),
         F.lit(True).alias("_u1inv")))
     rows = (
-        _stream_chain_rows(df, text_col)
-        .join(u3, on="_t3raw", how="left")
-        .join(u2, on="_t2raw", how="left")
-        .join(u1, on="_t1raw", how="left")
+        _stream_chain_rows(df, text_col, depth=2)
+        .join(u3, on="_cur", how="left")
+        .join(u2, on="_prev1", how="left")
+        .join(u1, on="_prev2", how="left")
     )
-    skip = F.col("_t3raw").isNull() | (F.col("_t3raw") == "")
+    skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
         *df.columns,
         skip.alias("_skip"),
-        F.when(F.col("_u3lp1").isNotNull(), F.col("_t3raw"))
+        F.when(F.col("_u3lp1").isNotNull(), F.col("_cur"))
         .otherwise(F.lit(OOV_TERM)).alias("w3"),
-        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_u2inv"), F.col("_t2raw"))
+        F.when(F.col("_prev1").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_u2inv"), F.col("_prev1"))
         .otherwise(F.lit(OOV_TERM)).alias("w2"),
-        F.when(F.col("_t1raw").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_u1inv"), F.col("_t1raw"))
+        F.when(F.col("_prev2").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_u1inv"), F.col("_prev2"))
         .otherwise(F.lit(OOV_TERM)).alias("w1"),
         F.coalesce(F.col("_u3lp1"), F.lit(oov_lp1)).alias("_lp1"),
-        F.when(F.col("_t2raw").isNull(), F.lit(None).cast("long"))
+        F.when(F.col("_prev1").isNull(), F.lit(None).cast("long"))
         .when(F.col("_u2inv"), F.col("_u2g2"))
         .otherwise(F.lit(oov_g2).cast("long")).alias("_g2_prev"),
     )
@@ -762,6 +772,115 @@ def kn_trigram_score_documents_stream(
         .cast("long").alias("_tok"),
     )
     return _doc_sum_stream(prepared, df, id_col, "lm3",
+                           round(oov_lp1 / 10_000.0, 4))
+
+
+def kn5_score_documents_stream(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    trigram: DataFrame,
+    context3: DataFrame,
+    fourgram: DataFrame,
+    context4: DataFrame,
+    fivegram: DataFrame,
+    context5: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`kn5_score_documents` as a streaming-legal plan — the
+    :func:`kn_trigram_score_documents_stream` shape two orders taller:
+    per-row element_at n-gram extraction to depth 4, FIVE broadcast
+    joins against the (vocab+1)-row unigram side (current + four
+    previous tokens), seven stream-static left equi-joins against the
+    observed-gram/gamma sides, and the micro-batch-local
+    :func:`_doc_sum_stream` fold.  Scores BIT-IDENTICAL to batch
+    (parity-pinned); no window, no state store, append-mode safe."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("kn5_score_documents_stream: unigram frame has "
+                         "no OOV row — build the model with train_kn5_lm")
+    oov_lp1 = int(oov_row.logp1_4)
+    oov_g2 = oov_row.logg2_4
+
+    uni = unigram.filter(F.col("term") != OOV_TERM)
+    u_cur = F.broadcast(uni.select(
+        F.col("term").alias("_cur"),
+        F.col("logp1_4").alias("_uclp1")))
+    u_p1 = F.broadcast(uni.select(
+        F.col("term").alias("_prev1"),
+        F.lit(True).alias("_p1inv"),
+        F.col("logg2_4").alias("_p1g2")))
+    prev_maps = [F.broadcast(uni.select(
+        F.col("term").alias(f"_prev{k}"),
+        F.lit(True).alias(f"_p{k}inv"))) for k in (2, 3, 4)]
+    rows = (
+        _stream_chain_rows(df, text_col, depth=4)
+        .join(u_cur, on="_cur", how="left")
+        .join(u_p1, on="_prev1", how="left")
+    )
+    for k, m in zip((2, 3, 4), prev_maps):
+        rows = rows.join(m, on=f"_prev{k}", how="left")
+
+    def _mapped(k: int):
+        return (F.when(F.col(f"_prev{k}").isNull(),
+                       F.lit(None).cast("string"))
+                .when(F.col(f"_p{k}inv"), F.col(f"_prev{k}"))
+                .otherwise(F.lit(OOV_TERM)))
+
+    skip = F.col("_cur").isNull() | (F.col("_cur") == "")
+    scored_rows = rows.select(
+        *df.columns,
+        skip.alias("_skip"),
+        F.when(F.col("_uclp1").isNotNull(), F.col("_cur"))
+        .otherwise(F.lit(OOV_TERM)).alias("w5"),
+        _mapped(1).alias("w4"),
+        _mapped(2).alias("w3"),
+        _mapped(3).alias("w2"),
+        _mapped(4).alias("w1"),
+        F.coalesce(F.col("_uclp1"), F.lit(oov_lp1)).alias("_lp1"),
+        F.when(F.col("_prev1").isNull(), F.lit(None).cast("long"))
+        .when(F.col("_p1inv"), F.col("_p1g2"))
+        .otherwise(F.lit(oov_g2).cast("long")).alias("_g2_prev"),
+    )
+    joined = (
+        scored_rows
+        .join(bigram, on=["w4", "w5"], how="left")
+        .join(context3, on=["w3", "w4"], how="left")
+        .join(trigram, on=["w3", "w4", "w5"], how="left")
+        .join(context4, on=["w2", "w3", "w4"], how="left")
+        .join(fourgram, on=["w2", "w3", "w4", "w5"], how="left")
+        .join(context5, on=["w1", "w2", "w3", "w4"], how="left")
+        .join(fivegram, on=["w1", "w2", "w3", "w4", "w5"], how="left")
+    )
+    score2 = F.coalesce(
+        F.col("logp2_4"),
+        F.col("_g2_prev") + F.col("_lp1"),
+        F.col("_lp1"),
+    )
+    score3 = F.coalesce(
+        F.col("logp3_4"), F.col("logg3_4") + score2, score2)
+    score4 = F.coalesce(
+        F.col("logp4_4"), F.col("logg4_4") + score3, score3)
+    contrib = (
+        F.when(F.col("_skip"), F.lit(0))
+        .when(F.col("w4").isNull(), F.col("_lp1"))
+        .when(F.col("w3").isNull(), score2)
+        .when(F.col("w2").isNull(), score3)
+        .when(F.col("w1").isNull(), score4)
+        .otherwise(F.coalesce(
+            F.col("logp5_4"),
+            F.col("logg5_4") + score4,
+            score4,
+        ))
+    )
+    prepared = joined.select(
+        *df.columns,
+        contrib.cast("long").alias("_c4"),
+        F.when(F.col("_skip"), F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("_tok"),
+    )
+    return _doc_sum_stream(prepared, df, id_col, "lm5",
                            round(oov_lp1 / 10_000.0, 4))
 
 
@@ -934,6 +1053,327 @@ def train_kn_trigram_lm(
     # embeds everything
     return tuple(t.localCheckpoint(eager=False)
                  for t in (unigram, bigram, trigram, context))
+
+
+def train_kn5_lm(
+    df: DataFrame,
+    vocab_size: int = 32_768,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, ...]:
+    """Interpolated Kneser-Ney FIVE-gram LM — the published order of the
+    CCNet perplexity signal (Wenzek 2020 scores with a 5-gram KN KenLM);
+    :func:`train_kn_trigram_lm`'s recursion generalized two levels up,
+    with the same single shared ``discount`` across orders and the same
+    branch-free double trees (every count in every level is >= 1, so
+    ``discount`` in (0, 1) keeps all numerators positive):
+
+        P5(w5|w1..w4) = (c(w1..w5) - D)/c(w1..w4 .)
+                         + g5(w1..w4) * P4(w5|w2..w4)
+        g5(ctx)       = D * N1+(ctx *) / c(ctx .)
+
+    and each lower level k uses CONTINUATION counts from the type set
+    one level above (the Kneser-Ney signature), down to the
+    Laplace-floored continuation unigram of the trigram trainer.
+    Boundary convention unchanged: no <s> padding — lower-order
+    statistics derive from the observed 5-TUPLE set, so a document
+    shorter than 5 tokens contributes nothing to the model (the backoff
+    chain still scores it).
+
+    Returns the 8-tuple ``(unigram, bigram, trigram, context3,
+    fourgram, context4, fivegram, context5)``:
+
+    * ``unigram`` — ``(term, logp1_4, logg2_4)``, vocab+1 rows; the
+      only broadcastable side (``logg2_4`` is the level-2 gamma of the
+      term AS the previous token).
+    * ``bigram``/``trigram``/``fourgram``/``fivegram`` — the
+      observed-gram log-prob sides, keyed ``(w4, w5)`` .. ``(w1..w5)``
+      with ``w5`` the current token; shuffle-joined at scoring time,
+      never collected.
+    * ``context3``/``context4``/``context5`` — the level-3/4/5 gammas,
+      keyed by their contexts.
+
+    Every log value is rounded to a scaled INTEGER from one fixed
+    double expression tree (the lm.py module contract), so document
+    sums are order-free and the DuckDB oracle replays scores
+    bit-for-bit."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError(
+            f"discount must be in (0, 1): {discount} (at 1.0 or above "
+            "observed-gram probabilities can hit zero; at 0 there is no "
+            "mass left for the backoff)")
+    d = F.lit(discount)
+    counts = (
+        _tokens(df, text_col).groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()) \
+        .limit(vocab_size)
+    totals = counts.agg(F.count(F.lit(1)).alias("n_terms"))
+    n_vocab = F.least(F.lit(vocab_size), F.col("n_terms")) + F.lit(1)
+
+    from pyspark.sql import Window
+
+    mapped = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(top.select("term", F.lit(True).alias("_inv"))),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("_inv"), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("w"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    quints = mapped.select(
+        F.lag("w", 4).over(w).alias("w1"),
+        F.lag("w", 3).over(w).alias("w2"),
+        F.lag("w", 2).over(w).alias("w3"),
+        F.lag("w", 1).over(w).alias("w4"),
+        F.col("w").alias("w5"),
+    ).filter(F.col("w1").isNotNull())
+    c5 = quints.groupBy("w1", "w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("c5"))
+    # c5 rows are distinct 5-tuples, so COUNT(*) groups below ARE the
+    # N1+ continuation-type counts all the way down (no countDistinct)
+    ctx1234 = c5.groupBy("w1", "w2", "w3", "w4").agg(
+        F.sum("c5").alias("c1234"),          # c(w1..w4 .)
+        F.count(F.lit(1)).alias("n1p1234"))  # N1+(w1..w4 *)
+    cont4 = c5.groupBy("w2", "w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("n4"))       # N1+(* w2..w5)
+    ctx234 = cont4.groupBy("w2", "w3", "w4").agg(
+        F.sum("n4").alias("t234"),           # N1+(* w2w3w4 *)
+        F.count(F.lit(1)).alias("y234"))     # N1+(w2w3w4 *) types
+    cont3 = cont4.groupBy("w3", "w4", "w5").agg(
+        F.count(F.lit(1)).alias("n3"))       # N1+(* w3w4w5)
+    ctx34 = cont3.groupBy("w3", "w4").agg(
+        F.sum("n3").alias("t34"),
+        F.count(F.lit(1)).alias("y34"))
+    cont2 = cont3.groupBy("w4", "w5").agg(
+        F.count(F.lit(1)).alias("n2"))       # N1+(* w4w5)
+    ctx4u = cont2.groupBy("w4").agg(
+        F.sum("n2").alias("t4"),
+        F.count(F.lit(1)).alias("y4"))
+    n1pu = cont2.groupBy("w5").agg(
+        F.count(F.lit(1)).alias("n1pu"))     # N1+(* w5)
+    npp = cont2.agg(F.count(F.lit(1)).alias("npp"))  # N1+(* *)
+
+    uni_terms = top.select("term").unionByName(
+        totals.select(F.lit(OOV_TERM).alias("term")))
+    p1_expr = (
+        (F.coalesce(F.col("n1pu"), F.lit(0)) + F.lit(1))
+        / (F.col("npp") + n_vocab + F.lit(1))
+    )
+    p1_side = (
+        uni_terms
+        .join(n1pu.withColumnRenamed("w5", "term"), on="term", how="left")
+        .crossJoin(F.broadcast(npp))
+        .crossJoin(F.broadcast(totals))
+        .select("term", p1_expr.alias("p1"))
+    )
+    g2_expr = d * F.col("y4") / F.col("t4")
+    unigram = (
+        p1_side
+        .join(ctx4u.withColumnRenamed("w4", "term"), on="term", how="left")
+        .select(
+            "term",
+            F.round(F.log(F.col("p1")) * F.lit(10_000.0))
+            .cast("long").alias("logp1_4"),
+            F.round(F.log(g2_expr) * F.lit(10_000.0))
+            .cast("long").alias("logg2_4"),
+        )
+    )
+    p2_expr = (
+        (F.col("n2") - d) / F.col("t4")
+        + (d * F.col("y4") / F.col("t4")) * F.col("p1")
+    )
+    bigram_full = (
+        cont2.join(ctx4u, on="w4")
+        .join(p1_side.withColumnRenamed("term", "w5"), on="w5")
+        .select("w4", "w5", p2_expr.alias("p2"))
+    )
+    bigram = bigram_full.select(
+        "w4", "w5",
+        F.round(F.log(F.col("p2")) * F.lit(10_000.0))
+        .cast("long").alias("logp2_4"),
+    )
+    context3 = ctx34.select(
+        "w3", "w4",
+        F.round(F.log(d * F.col("y34") / F.col("t34")) * F.lit(10_000.0))
+        .cast("long").alias("logg3_4"),
+    )
+    p3_expr = (
+        (F.col("n3") - d) / F.col("t34")
+        + (d * F.col("y34") / F.col("t34")) * F.col("p2")
+    )
+    trigram_full = (
+        cont3.join(ctx34, on=["w3", "w4"])
+        .join(bigram_full, on=["w4", "w5"])
+        .select("w3", "w4", "w5", p3_expr.alias("p3"))
+    )
+    trigram = trigram_full.select(
+        "w3", "w4", "w5",
+        F.round(F.log(F.col("p3")) * F.lit(10_000.0))
+        .cast("long").alias("logp3_4"),
+    )
+    context4 = ctx234.select(
+        "w2", "w3", "w4",
+        F.round(F.log(d * F.col("y234") / F.col("t234"))
+                * F.lit(10_000.0))
+        .cast("long").alias("logg4_4"),
+    )
+    p4_expr = (
+        (F.col("n4") - d) / F.col("t234")
+        + (d * F.col("y234") / F.col("t234")) * F.col("p3")
+    )
+    fourgram_full = (
+        cont4.join(ctx234, on=["w2", "w3", "w4"])
+        .join(trigram_full, on=["w3", "w4", "w5"])
+        .select("w2", "w3", "w4", "w5", p4_expr.alias("p4"))
+    )
+    fourgram = fourgram_full.select(
+        "w2", "w3", "w4", "w5",
+        F.round(F.log(F.col("p4")) * F.lit(10_000.0))
+        .cast("long").alias("logp4_4"),
+    )
+    context5 = ctx1234.select(
+        "w1", "w2", "w3", "w4",
+        F.round(F.log(d * F.col("n1p1234") / F.col("c1234"))
+                * F.lit(10_000.0))
+        .cast("long").alias("logg5_4"),
+    )
+    p5_expr = (
+        (F.col("c5") - d) / F.col("c1234")
+        + (d * F.col("n1p1234") / F.col("c1234")) * F.col("p4")
+    )
+    fivegram = (
+        c5.join(ctx1234, on=["w1", "w2", "w3", "w4"])
+        .join(fourgram_full, on=["w2", "w3", "w4", "w5"])
+        .select(
+            "w1", "w2", "w3", "w4", "w5",
+            F.round(F.log(p5_expr) * F.lit(10_000.0))
+            .cast("long").alias("logp5_4"),
+        )
+    )
+    # lineage barrier on all 8 sides (the trigram trainer's rationale,
+    # amplified: fivegram embeds fourgram_full embeds trigram_full
+    # embeds bigram_full embeds p1_side embeds the whole corpus DAG)
+    return tuple(t.localCheckpoint(eager=False)
+                 for t in (unigram, bigram, trigram, context3,
+                           fourgram, context4, fivegram, context5))
+
+
+def kn5_score_documents(
+    df: DataFrame,
+    unigram: DataFrame,
+    bigram: DataFrame,
+    trigram: DataFrame,
+    context3: DataFrame,
+    fourgram: DataFrame,
+    context4: DataFrame,
+    fivegram: DataFrame,
+    context5: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``lm5_logprob`` (mean per-token 5-gram Kneser-Ney chain
+    log-probability under :func:`train_kn5_lm`) plus the exact integers
+    it derives from — ``lm5_logprob4_sum``, ``n_scored_tokens``.
+
+    Chain per position: token k < 5 scores at order k; token >= 5 the
+    full 5-gram, each fallback integer ADDITION of pre-rounded
+    component logs (the trigram scorer's coalesce ladder, two rungs
+    taller):
+
+        score2  = coalesce(logp2_4, g2(w4) + logp1_4, logp1_4)
+        score3  = coalesce(logp3_4, logg3_4 + score2, score2)
+        score4  = coalesce(logp4_4, logg4_4 + score3, score3)
+        contrib = coalesce(logp5_4, logg5_4 + score4, score4)
+
+    Scale shape: tokenize -> ONE broadcast join against the
+    (vocab+1)-row unigram side -> one id-partitioned lag window ->
+    SEVEN left equi-joins against the observed-gram/gamma sides
+    (shuffled on their keys, AQE-broadcast when small; never
+    collected) -> map-side-combined integer sum per doc."""
+    oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
+    if oov_row is None:
+        raise ValueError("kn5_score_documents: unigram frame has no OOV "
+                         "row — build the model with train_kn5_lm")
+    oov_lp1 = int(oov_row.logp1_4)
+    oov_g2 = oov_row.logg2_4  # may be None: OOV never observed as w4
+
+    from pyspark.sql import Window
+
+    seq = (
+        _pos_tokens(df, text_col, id_col)
+        .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
+              on="term", how="left")
+        .select(
+            "_id", "_pos",
+            F.when(F.col("logp1_4").isNotNull(), F.col("term"))
+            .otherwise(F.lit(OOV_TERM)).alias("w5"),
+            F.coalesce(F.col("logp1_4"), F.lit(oov_lp1)).alias("_lp1"),
+            F.when(F.col("logp1_4").isNotNull(), F.col("logg2_4"))
+            .otherwise(F.lit(oov_g2).cast("long")).alias("_g2"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    chained = seq.select(
+        "_id", "w5", "_lp1",
+        F.lag("w5", 1).over(w).alias("w4"),
+        F.lag("w5", 2).over(w).alias("w3"),
+        F.lag("w5", 3).over(w).alias("w2"),
+        F.lag("w5", 4).over(w).alias("w1"),
+        F.lag("_g2", 1).over(w).alias("_g2_prev"),
+    )
+    joined = (
+        chained
+        .join(bigram, on=["w4", "w5"], how="left")
+        .join(context3, on=["w3", "w4"], how="left")
+        .join(trigram, on=["w3", "w4", "w5"], how="left")
+        .join(context4, on=["w2", "w3", "w4"], how="left")
+        .join(fourgram, on=["w2", "w3", "w4", "w5"], how="left")
+        .join(context5, on=["w1", "w2", "w3", "w4"], how="left")
+        .join(fivegram, on=["w1", "w2", "w3", "w4", "w5"], how="left")
+    )
+    score2 = F.coalesce(
+        F.col("logp2_4"),
+        F.col("_g2_prev") + F.col("_lp1"),
+        F.col("_lp1"),
+    )
+    score3 = F.coalesce(
+        F.col("logp3_4"), F.col("logg3_4") + score2, score2)
+    score4 = F.coalesce(
+        F.col("logp4_4"), F.col("logg4_4") + score3, score3)
+    contrib = (
+        F.when(F.col("w4").isNull(), F.col("_lp1"))
+        .when(F.col("w3").isNull(), score2)
+        .when(F.col("w2").isNull(), score3)
+        .when(F.col("w1").isNull(), score4)
+        .otherwise(F.coalesce(
+            F.col("logp5_4"),
+            F.col("logg5_4") + score4,
+            score4,
+        ))
+    )
+    per = (
+        joined.groupBy("_id")
+        .agg(F.sum(contrib).alias("_s4"), F.count(F.lit(1)).alias("_n"))
+        .withColumnRenamed("_id", id_col)
+    )
+    floor = round(oov_lp1 / 10_000.0, 4)
+    return df.join(per, on=id_col, how="left").select(
+        *df.columns,
+        F.coalesce(
+            F.round(F.col("_s4") / F.lit(10_000.0) / F.col("_n"), 4),
+            F.lit(floor),
+        ).alias("lm5_logprob"),
+        F.coalesce(F.col("_s4"), F.lit(0)).cast("long")
+        .alias("lm5_logprob4_sum"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+        .alias("n_scored_tokens"),
+    )
 
 
 def kn_trigram_score_documents(

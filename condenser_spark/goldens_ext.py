@@ -4427,6 +4427,254 @@ def ext_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lm2_logprob4_sum", "n_scored_tokens")
 
 
+def _kn5_sql() -> str:
+    """Full train+score mirror of train_kn5_lm / kn5_score_documents
+    (lm.py): the trigram oracle's recursion two levels taller — c5
+    counts, four cascaded continuation-type levels, five gamma/log-prob
+    tables from the IDENTICAL double expression trees, and the
+    four-rung coalesce backoff ladder — exact integer sums out."""
+    V, D = _KN_V, _KN_D
+    return f"""
+    WITH raw AS (
+      SELECT doc_id AS id, generate_subscripts(tokens, 1) AS pos,
+             unnest(tokens) AS term
+      FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                           'g'), ' ') AS tokens
+        FROM documents
+      )
+    ),
+    toks AS (SELECT * FROM raw WHERE term <> ''),
+    counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    totals AS (SELECT COUNT(*) AS n_terms FROM counts),
+    top AS (SELECT term, c FROM counts ORDER BY c DESC, term ASC LIMIT {V}),
+    mtok AS (
+      SELECT t.id, t.pos,
+             CASE WHEN tp.term IS NULL THEN chr(0) || 'oov'
+                  ELSE t.term END AS w
+      FROM toks t LEFT JOIN top tp USING (term)
+    ),
+    quints AS (
+      SELECT lag(w, 4) OVER (PARTITION BY id ORDER BY pos) AS w1,
+             lag(w, 3) OVER (PARTITION BY id ORDER BY pos) AS w2,
+             lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w3,
+             lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w4,
+             w AS w5
+      FROM mtok
+    ),
+    c5 AS (SELECT w1, w2, w3, w4, w5, COUNT(*) AS c5 FROM quints
+           WHERE w1 IS NOT NULL GROUP BY 1, 2, 3, 4, 5),
+    ctx1234 AS (SELECT w1, w2, w3, w4, SUM(c5) AS c1234,
+                       COUNT(*) AS n1p1234
+                FROM c5 GROUP BY 1, 2, 3, 4),
+    cont4 AS (SELECT w2, w3, w4, w5, COUNT(*) AS n4
+              FROM c5 GROUP BY 1, 2, 3, 4),
+    ctx234 AS (SELECT w2, w3, w4, SUM(n4) AS t234, COUNT(*) AS y234
+               FROM cont4 GROUP BY 1, 2, 3),
+    cont3 AS (SELECT w3, w4, w5, COUNT(*) AS n3
+              FROM cont4 GROUP BY 1, 2, 3),
+    ctx34 AS (SELECT w3, w4, SUM(n3) AS t34, COUNT(*) AS y34
+              FROM cont3 GROUP BY 1, 2),
+    cont2 AS (SELECT w4, w5, COUNT(*) AS n2 FROM cont3 GROUP BY 1, 2),
+    ctx4u AS (SELECT w4, SUM(n2) AS t4, COUNT(*) AS y4
+              FROM cont2 GROUP BY 1),
+    n1pu AS (SELECT w5, COUNT(*) AS n1pu FROM cont2 GROUP BY 1),
+    npp AS (SELECT COUNT(*) AS npp FROM cont2),
+    uterms AS (SELECT term FROM top
+               UNION ALL SELECT chr(0) || 'oov'),
+    p1s AS (
+      SELECT u.term,
+             (COALESCE(n.n1pu, 0) + 1)
+             / CAST(npp + LEAST({V}, n_terms) + 1 + 1 AS DOUBLE) AS p1
+      FROM uterms u
+      LEFT JOIN n1pu n ON n.w5 = u.term
+      CROSS JOIN npp CROSS JOIN totals
+    ),
+    uni AS (
+      SELECT p.term,
+             CAST(ROUND(ln(p.p1) * 10000) AS BIGINT) AS logp1_4,
+             CAST(ROUND(ln({D} * c.y4 / c.t4) * 10000)
+                  AS BIGINT) AS logg2_4
+      FROM p1s p LEFT JOIN ctx4u c ON c.w4 = p.term
+    ),
+    bif AS (
+      SELECT b.w4, b.w5,
+             ((b.n2 - {D}) / c.t4)
+             + (({D} * c.y4 / c.t4) * p.p1) AS p2
+      FROM cont2 b JOIN ctx4u c USING (w4)
+      JOIN p1s p ON p.term = b.w5
+    ),
+    bi AS (SELECT w4, w5,
+                  CAST(ROUND(ln(p2) * 10000) AS BIGINT) AS logp2_4
+           FROM bif),
+    g3 AS (SELECT w3, w4,
+                  CAST(ROUND(ln({D} * y34 / t34) * 10000) AS BIGINT)
+                  AS logg3_4
+           FROM ctx34),
+    trif AS (
+      SELECT t.w3, t.w4, t.w5,
+             ((t.n3 - {D}) / x.t34)
+             + (({D} * x.y34 / x.t34) * b.p2) AS p3
+      FROM cont3 t
+      JOIN ctx34 x ON x.w3 = t.w3 AND x.w4 = t.w4
+      JOIN bif b ON b.w4 = t.w4 AND b.w5 = t.w5
+    ),
+    tri AS (SELECT w3, w4, w5,
+                   CAST(ROUND(ln(p3) * 10000) AS BIGINT) AS logp3_4
+            FROM trif),
+    g4 AS (SELECT w2, w3, w4,
+                  CAST(ROUND(ln({D} * y234 / t234) * 10000) AS BIGINT)
+                  AS logg4_4
+           FROM ctx234),
+    fourf AS (
+      SELECT f.w2, f.w3, f.w4, f.w5,
+             ((f.n4 - {D}) / x.t234)
+             + (({D} * x.y234 / x.t234) * t.p3) AS p4
+      FROM cont4 f
+      JOIN ctx234 x ON x.w2 = f.w2 AND x.w3 = f.w3 AND x.w4 = f.w4
+      JOIN trif t ON t.w3 = f.w3 AND t.w4 = f.w4 AND t.w5 = f.w5
+    ),
+    four AS (SELECT w2, w3, w4, w5,
+                    CAST(ROUND(ln(p4) * 10000) AS BIGINT) AS logp4_4
+             FROM fourf),
+    g5 AS (SELECT w1, w2, w3, w4,
+                  CAST(ROUND(ln({D} * n1p1234 / c1234) * 10000)
+                       AS BIGINT) AS logg5_4
+           FROM ctx1234),
+    five AS (
+      SELECT q.w1, q.w2, q.w3, q.w4, q.w5,
+             CAST(ROUND(ln(((q.c5 - {D}) / x.c1234)
+                           + (({D} * x.n1p1234 / x.c1234) * f.p4))
+                        * 10000) AS BIGINT) AS logp5_4
+      FROM c5 q
+      JOIN ctx1234 x ON x.w1 = q.w1 AND x.w2 = q.w2 AND x.w3 = q.w3
+                    AND x.w4 = q.w4
+      JOIN fourf f ON f.w2 = q.w2 AND f.w3 = q.w3 AND f.w4 = q.w4
+                  AND f.w5 = q.w5
+    ),
+    seq AS (
+      SELECT m.id, m.w AS w5, u.logp1_4 AS lp1,
+             lag(m.w, 1) OVER (PARTITION BY m.id ORDER BY m.pos) AS w4,
+             lag(m.w, 2) OVER (PARTITION BY m.id ORDER BY m.pos) AS w3,
+             lag(m.w, 3) OVER (PARTITION BY m.id ORDER BY m.pos) AS w2,
+             lag(m.w, 4) OVER (PARTITION BY m.id ORDER BY m.pos) AS w1,
+             lag(u.logg2_4) OVER (PARTITION BY m.id ORDER BY m.pos)
+               AS g2_prev
+      FROM mtok m JOIN uni u ON u.term = m.w
+    ),
+    per AS (
+      SELECT s.id,
+             SUM(CASE
+                   WHEN s.w4 IS NULL THEN s.lp1
+                   WHEN s.w3 IS NULL THEN
+                     COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1)
+                   WHEN s.w2 IS NULL THEN
+                     COALESCE(t.logp3_4,
+                       x3.logg3_4
+                         + COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1),
+                       COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1))
+                   WHEN s.w1 IS NULL THEN
+                     COALESCE(f.logp4_4,
+                       x4.logg4_4 + COALESCE(t.logp3_4,
+                         x3.logg3_4
+                           + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                      s.lp1),
+                         COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1)),
+                       COALESCE(t.logp3_4,
+                         x3.logg3_4
+                           + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                      s.lp1),
+                         COALESCE(b.logp2_4, s.g2_prev + s.lp1, s.lp1)))
+                   ELSE
+                     COALESCE(v.logp5_4,
+                       x5.logg5_4 + COALESCE(f.logp4_4,
+                         x4.logg4_4 + COALESCE(t.logp3_4,
+                           x3.logg3_4
+                             + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                        s.lp1),
+                           COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                    s.lp1)),
+                         COALESCE(t.logp3_4,
+                           x3.logg3_4
+                             + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                        s.lp1),
+                           COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                    s.lp1))),
+                       COALESCE(f.logp4_4,
+                         x4.logg4_4 + COALESCE(t.logp3_4,
+                           x3.logg3_4
+                             + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                        s.lp1),
+                           COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                    s.lp1)),
+                         COALESCE(t.logp3_4,
+                           x3.logg3_4
+                             + COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                        s.lp1),
+                           COALESCE(b.logp2_4, s.g2_prev + s.lp1,
+                                    s.lp1))))
+                 END) AS s4,
+             COUNT(*) AS n
+      FROM seq s
+      LEFT JOIN bi b ON b.w4 = s.w4 AND b.w5 = s.w5
+      LEFT JOIN g3 x3 ON x3.w3 = s.w3 AND x3.w4 = s.w4
+      LEFT JOIN tri t ON t.w3 = s.w3 AND t.w4 = s.w4 AND t.w5 = s.w5
+      LEFT JOIN g4 x4 ON x4.w2 = s.w2 AND x4.w3 = s.w3 AND x4.w4 = s.w4
+      LEFT JOIN four f ON f.w2 = s.w2 AND f.w3 = s.w3 AND f.w4 = s.w4
+                      AND f.w5 = s.w5
+      LEFT JOIN g5 x5 ON x5.w1 = s.w1 AND x5.w2 = s.w2 AND x5.w3 = s.w3
+                     AND x5.w4 = s.w4
+      LEFT JOIN five v ON v.w1 = s.w1 AND v.w2 = s.w2 AND v.w3 = s.w3
+                      AND v.w4 = s.w4 AND v.w5 = s.w5
+      GROUP BY s.id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.s4, 0) AS BIGINT) AS lm5_logprob4_sum,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_scored_tokens
+    FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+    """
+
+
+@golden("ext_kn5_logprob", _kn5_sql())
+def ext_kn5_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-gram Kneser-Ney chain log-probability of every document
+    under a model trained on the same corpus (VERDICT r16 punch #7 —
+    the published KenLM order of the CCNet signal), pinned at the EXACT
+    INTEGER layer: the full train (vocab/OOV mapping, 5-tuple counts,
+    four cascaded continuation levels, per-level gammas) + score (the
+    four-rung coalesce backoff ladder) chain replays in DuckDB from the
+    identical double expression trees
+    (condenser_spark/functions/lm.py:train_kn5_lm,
+    kn5_score_documents)."""
+    from condenser_spark.functions.lm import (
+        kn5_score_documents,
+        train_kn5_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    model = train_kn5_lm(docs, vocab_size=_KN_V, discount=_KN_D)
+    return kn5_score_documents(docs, *model).select(
+        "doc_id", "lm5_logprob4_sum", "n_scored_tokens")
+
+
+@golden("ext_kn5_logprob_stream", _kn5_sql())
+def ext_kn5_logprob_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-LEGAL 5-gram scorer
+    (condenser_spark/functions/lm.py:kn5_score_documents_stream) against
+    the IDENTICAL full train+score DuckDB replay as ext_kn5_logprob —
+    the ext_kn_logprob_stream contract one published order up."""
+    from condenser_spark.functions.lm import (
+        kn5_score_documents_stream,
+        train_kn5_lm,
+    )
+
+    docs = _tables(spark, sf_dir)["documents"]
+    model = train_kn5_lm(docs, vocab_size=_KN_V, discount=_KN_D)
+    return kn5_score_documents_stream(docs, *model).select(
+        "doc_id", "lm5_logprob4_sum", "n_scored_tokens")
+
+
 @golden("ext_kn_logprob_stream", _kn_trigram_sql())
 def ext_kn_logprob_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAM-LEGAL Kneser-Ney scorer

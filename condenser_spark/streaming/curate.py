@@ -441,7 +441,15 @@ def curate_stream(
                 from condenser_spark.functions.lm import load_lm
 
                 p_lm = load_lm(cur.sparkSession, p_lm)
-            if isinstance(p_lm, (tuple, list)) and len(p_lm) == 4:
+            if isinstance(p_lm, (tuple, list)) and len(p_lm) == 8:
+                from condenser_spark.functions.lm import (
+                    kn5_score_documents_stream,
+                )
+
+                scored = kn5_score_documents_stream(
+                    cur, *p_lm, text_col=text_col, id_col=id_col
+                ).withColumn("_ppl_score", -F.col("lm5_logprob"))
+            elif isinstance(p_lm, (tuple, list)) and len(p_lm) == 4:
                 from condenser_spark.functions.lm import (
                     kn_trigram_score_documents_stream,
                 )
@@ -460,8 +468,8 @@ def curate_stream(
             elif isinstance(p_lm, (tuple, list)):
                 raise ValueError(
                     f"perplexity_buckets lm= tuple must have 2 frames "
-                    f"(train_bigram_lm) or 4 (train_kn_trigram_lm): "
-                    f"got {len(p_lm)}")
+                    f"(train_bigram_lm), 4 (train_kn_trigram_lm), or 8 "
+                    f"(train_kn5_lm): got {len(p_lm)}")
             else:
                 from condenser_spark.functions.lm import (
                     lm_score_documents_stateless,

@@ -1,0 +1,245 @@
+"""Order-5 Kneser-Ney LM (VERDICT r16 punch #7 — the published KenLM
+order of the CCNet signal).  The reference mirror below implements the
+interpolated absolute-discount recursion at order 5 independently in
+plain Python from first principles — continuation counts cascading
+through four type-set levels, per-level gammas, the Laplace-floored
+continuation unigram — and every Spark score must match it
+integer-for-integer.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from condenser_spark.functions.lm import (
+    OOV_TERM,
+    kn5_score_documents,
+    train_kn5_lm,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat in the sunny hall"),
+    (1, "the cat sat on the hat in the dusty hall"),
+    (2, "a dog sat on a log by a muddy river"),
+    (3, "the dog ran to the log by the river bank"),
+    (4, "cats and dogs ran around"),
+    (5, "on the mat"),      # shorter than 5: contributes nothing
+    (6, "on"),
+    (7, ""),
+]
+
+
+def _r4(x: float) -> int:
+    s = x * 10_000.0
+    return int(math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5))
+
+
+def _ref_model(texts, vocab_size, d):
+    toks = {i: t.split() for i, t in texts}
+    counts = Counter(w for ts in toks.values() for w in ts)
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    vocab = {w for w, _ in top}
+    mapped = {i: [w if w in vocab else OOV_TERM for w in ts]
+              for i, ts in toks.items()}
+    c5 = Counter()
+    for ts in mapped.values():
+        for j in range(4, len(ts)):
+            c5[tuple(ts[j - 4:j + 1])] += 1
+    c1234, n1p1234 = Counter(), Counter()
+    cont4 = Counter()
+    for k, c in c5.items():
+        c1234[k[:4]] += c
+        n1p1234[k[:4]] += 1
+        cont4[k[1:]] += 1
+    t234, y234, cont3 = Counter(), Counter(), Counter()
+    for k in cont4:
+        t234[k[:3]] += cont4[k]
+        y234[k[:3]] += 1
+        cont3[k[1:]] += 1
+    t34, y34, cont2 = Counter(), Counter(), Counter()
+    for k in cont3:
+        t34[k[:2]] += cont3[k]
+        y34[k[:2]] += 1
+        cont2[k[1:]] += 1
+    t4, y4, n1pu = Counter(), Counter(), Counter()
+    for k in cont2:
+        t4[k[0]] += cont2[k]
+        y4[k[0]] += 1
+        n1pu[k[1]] += 1
+    npp = len(cont2)
+    n_vocab = min(vocab_size, len(counts)) + 1
+
+    def p1(w):
+        return (n1pu.get(w, 0) + 1) / (npp + n_vocab + 1)
+
+    def p2(w4, w5):
+        return (cont2[(w4, w5)] - d) / t4[w4] + \
+            (d * y4[w4] / t4[w4]) * p1(w5)
+
+    def p3(w3, w4, w5):
+        return (cont3[(w3, w4, w5)] - d) / t34[(w3, w4)] + \
+            (d * y34[(w3, w4)] / t34[(w3, w4)]) * p2(w4, w5)
+
+    def p4(w2, w3, w4, w5):
+        k = (w2, w3, w4)
+        return (cont4[(w2, w3, w4, w5)] - d) / t234[k] + \
+            (d * y234[k] / t234[k]) * p3(w3, w4, w5)
+
+    def p5(k5):
+        k = k5[:4]
+        return (c5[k5] - d) / c1234[k] + \
+            (d * n1p1234[k] / c1234[k]) * p4(*k5[1:])
+
+    tables = {
+        "uni": {w: _r4(math.log(p1(w)))
+                for w in list(vocab) + [OOV_TERM]},
+        "g2": {w: _r4(math.log(d * y4[w] / t4[w])) for w in t4},
+        "bi": {k: _r4(math.log(p2(*k))) for k in cont2},
+        "g3": {k: _r4(math.log(d * y34[k] / t34[k])) for k in t34},
+        "tri": {k: _r4(math.log(p3(*k))) for k in cont3},
+        "g4": {k: _r4(math.log(d * y234[k] / t234[k])) for k in t234},
+        "four": {k: _r4(math.log(p4(*k))) for k in cont4},
+        "g5": {k: _r4(math.log(d * n1p1234[k] / c1234[k]))
+               for k in c1234},
+        "five": {k: _r4(math.log(p5(k))) for k in c5},
+    }
+    return mapped, tables
+
+
+def _ref_score(ts, t):
+    s = 0
+    for j, w5 in enumerate(ts):
+        if j == 0:
+            s += t["uni"][w5]
+            continue
+        w4 = ts[j - 1]
+
+        def score2():
+            if (w4, w5) in t["bi"]:
+                return t["bi"][(w4, w5)]
+            if w4 in t["g2"]:
+                return t["g2"][w4] + t["uni"][w5]
+            return t["uni"][w5]
+
+        if j == 1:
+            s += score2()
+            continue
+        w3 = ts[j - 2]
+
+        def score3():
+            if (w3, w4, w5) in t["tri"]:
+                return t["tri"][(w3, w4, w5)]
+            if (w3, w4) in t["g3"]:
+                return t["g3"][(w3, w4)] + score2()
+            return score2()
+
+        if j == 2:
+            s += score3()
+            continue
+        w2 = ts[j - 3]
+
+        def score4():
+            if (w2, w3, w4, w5) in t["four"]:
+                return t["four"][(w2, w3, w4, w5)]
+            if (w2, w3, w4) in t["g4"]:
+                return t["g4"][(w2, w3, w4)] + score3()
+            return score3()
+
+        if j == 3:
+            s += score4()
+            continue
+        w1 = ts[j - 4]
+        if (w1, w2, w3, w4, w5) in t["five"]:
+            s += t["five"][(w1, w2, w3, w4, w5)]
+        elif (w1, w2, w3, w4) in t["g5"]:
+            s += t["g5"][(w1, w2, w3, w4)] + score4()
+        else:
+            s += score4()
+    return s
+
+
+@pytest.mark.parametrize("vocab_size,d", [(100, 0.75), (8, 0.4)])
+def test_kn5_scores_match_reference_mirror(spark, vocab_size, d):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_kn5_lm(df, vocab_size=vocab_size, discount=d)
+    got = {r.doc_id: (r.lm5_logprob4_sum, r.n_scored_tokens)
+           for r in kn5_score_documents(df, *model).collect()}
+    mapped, tables = _ref_model(DOCS, vocab_size, d)
+    for i, _ in DOCS:
+        ts = mapped[i]
+        assert got[i] == (_ref_score(ts, tables), len(ts)), (i, ts)
+
+
+def test_kn5_discount_bounds_fail_loud(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for bad in (0.0, 1.0, 1.5, -0.1):
+        with pytest.raises(ValueError, match="discount"):
+            train_kn5_lm(df, discount=bad)
+
+
+def test_kn5_artifact_roundtrip_bit_identical(spark, tmp_path):
+    import json
+
+    from condenser_spark.functions.lm import load_lm, save_lm
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_kn5_lm(df, vocab_size=8, discount=0.75)
+    before = sorted(tuple(r) for r in
+                    kn5_score_documents(df, *model).collect())
+    path = str(tmp_path / "kn5_lm")
+    save_lm(model, path)
+    with open(tmp_path / "kn5_lm" / "meta.json") as f:
+        assert json.load(f)["kind"] == "kn_5gram"
+    loaded = load_lm(spark, path)
+    assert isinstance(loaded, tuple) and len(loaded) == 8
+    after = sorted(tuple(r) for r in
+                   kn5_score_documents(df, *loaded).collect())
+    assert before == after
+
+
+def test_kn5_in_perplexity_buckets(spark):
+    from condenser_spark.curate import curate_corpus
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_kn5_lm(df, vocab_size=16, discount=0.75)
+    out, rep = curate_corpus(
+        df, perplexity_buckets=dict(lm=model, keep=("head", "middle"),
+                                    group_col=None, mode="exact"))
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept and set(kept) < {i for i, _ in DOCS}
+    row = [r for r in rep.collect() if r.stage == "perplexity_buckets"][0]
+    assert row.docs_in == len(DOCS) and row.docs_out == len(kept)
+
+
+def test_kn5_stream_batch_parity_bit_identical(spark):
+    from condenser_spark.functions.lm import kn5_score_documents_stream
+
+    docs = DOCS + [(8, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    model = train_kn5_lm(df, vocab_size=16, discount=0.75)
+    a = sorted(tuple(r) for r in kn5_score_documents(df, *model).collect())
+    b = sorted(tuple(r) for r in
+               kn5_score_documents_stream(df, *model).collect())
+    assert a == b
+
+
+def test_kn5_runs_on_a_real_stream_append_mode(spark, tmp_path):
+    from condenser_spark.functions.lm import kn5_score_documents_stream
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    model = train_kn5_lm(df, vocab_size=16, discount=0.75)
+    src, out_dir = str(tmp_path / "src"), str(tmp_path / "out")
+    df.write.parquet(src)
+    s = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = kn5_score_documents_stream(s, *model)
+    assert out.isStreaming
+    q = (out.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == sorted(tuple(r) for r in
+                         kn5_score_documents(df, *model).collect())
