@@ -72,13 +72,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # net is unchanged either way: every past-cap golden re-runs the full
     # DuckDB comparison on EVERY pytest invocation (invariant 2).  Two
     # invariants:
-    #   1. the 6 rows-only goldens (ext_approx_profile,
+    #   1. the rows-only goldens (ext_approx_profile,
     #      p3_bernoulli_sample_rows, ext_multimodal_features,
-    #      ext_multimodal_frames, ext_corpus_overlap_sketch,
-    #      ext_media_phash_pairs — no SQL-expressible oracle by
-    #      nature) stay IN-cap every round: past the cap they would
-    #      have no check at all, since the overflow suite needs an
-    #      oracle;
+    #      ext_multimodal_frames, ext_corpus_overlap_sketch — no
+    #      SQL-expressible oracle by nature; 5 as of r17, after the
+    #      media/video pair goldens were promoted to full
+    #      planted-pair-set oracles) stay IN-cap every round: past the
+    #      cap they would have no check at all, since the overflow
+    #      suite needs an oracle;
     #   2. every past-cap entry carries a full oracle, so
     #      tests/test_overflow_oracles.py (which checks
     #      list(queries())[50:] dynamically) re-runs the IDENTICAL DuckDB
@@ -88,7 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # violating invariant 1); they rotate in-cap the following round.
     #
     # Round-17 instance (registry at rotation: 139 oracles + 7 rows-only,
-    # so 43 oracle slots and cycle = ceil(139/43) = 4 rounds).  In-cap
+    # so 43 oracle slots and cycle = ceil(139/43) = 4 rounds; mid-round
+    # the registry grew to 145 oracles + 5 rows-only — four new stream/
+    # 5-gram LM goldens appended per the mid-round rule below, plus the
+    # media/video pair goldens promoted to full oracles, which keeps
+    # them in-cap and widens the window to 45 oracle slots).  In-cap
     # priority: ext_kn_trigram_logprob (the only never-driver-recorded
     # golden, registered mid-round-16), then the 6 r13-recorded
     # carryovers displaced last round (longest-waiting), then the 36

@@ -160,6 +160,30 @@ def main() -> int:
     print(f"== landed Kneser-Ney artifact at {lm_dir} "
           f"(train job) -> composer keep via lm=<path> (score job) ==")
     report_kn.show(truncate=False)
+
+    # --- the same KN artifact AT INGEST (round 17): curate_stream now
+    # scores n-gram tuples/paths through the stream-legal twins
+    # (element_at n-gram extraction + stream-static model joins +
+    # micro-batch fold — no window, no state store), bit-identical to
+    # batch, so the published signal gates documents as they arrive.
+    # Thresholds still precompute from a batch snapshot (the
+    # precompute/apply regime above).
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents,
+        load_lm,
+    )
+
+    kn_model = load_lm(spark, lm_dir)
+    kn_scored = kn_trigram_score_documents(docs, *kn_model).withColumn(
+        "_ppl", -F.col("lm3_logprob"))
+    kn_thr = quantile_thresholds(kn_scored, "_ppl", n_buckets=3,
+                                 group_col="lang")
+    streamed_kn = curate_stream(
+        docs.select("doc_id", "text", "lang"),
+        perplexity_buckets={"lm": lm_dir, "keep": ("head", "middle"),
+                            "thresholds": kn_thr})
+    print(f"== ingest-time Kneser-Ney keep via lm=<path>: "
+          f"{streamed_kn.count()} docs ==")
     spark.stop()
     return 0
 

@@ -109,6 +109,26 @@ def main() -> int:
     assert survivors == [101], survivors
     print("== ingest twin: re-uploaded clone dropped against the landed "
           "index; fresh upload passed ==")
+
+    # --- the same flows as ONE composer call each (r17): the batch
+    # stage in curate_corpus, and the ingest filter through
+    # curate_micro_batch (the foreachBatch composer — in production:
+    # stream.writeStream.foreachBatch(lambda mb, _:
+    #     curate_micro_batch(mb, media_dedup={"index": idx}).write...))
+    from condenser_spark.curate import curate_corpus
+    from condenser_spark.streaming.curate import curate_micro_batch
+
+    one_call, _ = curate_corpus(
+        media, media_dedup={"max_hamming": 8, "keep_col": "width"},
+        report=False)
+    assert sorted(r.media_id for r in one_call.collect()) == \
+        sorted(r.media_id for r in kept.collect())
+    mb_passed = curate_micro_batch(
+        incoming, media_dedup={"index": idx, "max_hamming": 8})
+    assert sorted(r.media_id for r in mb_passed.collect()) == [101]
+    print("== one-call parity: curate_corpus(media_dedup=) and "
+          "curate_micro_batch(media_dedup={'index': ...}) match the "
+          "hand-wired flows ==")
     spark.stop()
     return 0
 

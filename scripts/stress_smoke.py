@@ -2686,6 +2686,67 @@ def stage_kn_trigram(spark, n_docs: int = 1_000_000,
     }
 
 
+def stage_kn5(spark, n_docs: int = 1_000_000,
+              vocab: int = 50_000, words_per_doc: int = 40) -> dict:
+    """Stage 42: order-5 Kneser-Ney at 1M Zipf docs / 40M tokens — the
+    round-17 published-order upgrade, priced BOTH ways: the batch
+    scorer (broadcast unigram join + lag window + seven observed-gram
+    equi-joins) and the stream-legal twin (element_at extraction, five
+    broadcast unigram joins, seven stream-static joins, micro-batch
+    fold) on the same model.  Integrity asserted at scale:
+    sum(n_scored_tokens) == corpus token count on both paths, and the
+    two integer sums are EQUAL (the bit-identical parity claim at 40M
+    tokens, not just on the pytest fixture)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.lm import (
+        kn5_score_documents,
+        kn5_score_documents_stream,
+        train_kn5_lm,
+    )
+
+    path = build_zipf_docs(spark, n_docs, vocab, words_per_doc)
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    model = tuple(t.localCheckpoint()
+                  for t in train_kn5_lm(docs, vocab_size=32_768))
+    n_five = model[6].count()
+    train_wall = time.time() - t0
+
+    t0 = time.time()
+    agg = kn5_score_documents(docs, *model).agg(
+        F.sum("n_scored_tokens").alias("toks"),
+        F.sum("lm5_logprob4_sum").alias("s4"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    score_wall = time.time() - t0
+    assert agg.n == n_docs, agg.n
+    assert agg.toks == n_docs * words_per_doc, agg.toks
+    assert agg.s4 < 0
+
+    t0 = time.time()
+    sagg = kn5_score_documents_stream(docs, *model).agg(
+        F.sum("n_scored_tokens").alias("toks"),
+        F.sum("lm5_logprob4_sum").alias("s4"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    stream_wall = time.time() - t0
+    assert (sagg.n, sagg.toks, sagg.s4) == (agg.n, agg.toks, agg.s4), (
+        sagg, agg)
+    return {
+        "stage": "kn5_1m",
+        "n_docs": n_docs,
+        "n_tokens": int(agg.toks),
+        "n_observed_fivegrams": int(n_five),
+        "train_wall_sec": round(train_wall, 1),
+        "score_wall_sec": round(score_wall, 1),
+        "score_docs_per_sec": round(n_docs / score_wall),
+        "stream_score_wall_sec": round(stream_wall, 1),
+        "stream_score_docs_per_sec": round(n_docs / stream_wall),
+    }
+
+
 def stage_media_stream(spark, n_landed: int = 1_000_000,
                        n_incoming: int = 100_000) -> dict:
     """Stage 41: stream-static media near-dup at a 1M-image landed index
@@ -2824,6 +2885,7 @@ def main() -> int:
         "video": lambda: stage_video(spark),
         "kn_trigram": lambda: stage_kn_trigram(spark),
         "media_stream": lambda: stage_media_stream(spark),
+        "kn5": lambda: stage_kn5(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:

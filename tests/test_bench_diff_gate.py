@@ -14,24 +14,34 @@ with scripts/bench_diff.py's diff function at TWO thresholds:
   committed NOISE_FLOOR runs ever moved that far on identical code
   WHILE its own within-recording spread stayed under the noise bar.
 
-Noise robustness (VERDICT r16 what's-wrong #1): each bench recording
-carries a per-query ``noise_pct`` — the spread of that query's own
-three same-code runs within the single recording, as a percent of its
-median.  A query whose own three back-to-back runs disagree by more
-than ``NOISE_PCT_BAR`` percent is measuring the box, not the code
-(NOISE_FLOOR.md's same-code floor is 40-50%; the r16 driver re-run that
-motivated this moved phash_pairs 4.4x while self-reporting 54.6%
-within-run spread and a loadavg climbing 0.18 -> 4.44).  Such movers
-are excluded from the hard assertion — they cannot distinguish
-regression from jitter either way — so a routine driver re-run on a
-warm box can never flip this test red on untouched code.
+Noise robustness (VERDICT r16 what's-wrong #1), three layers, each
+calibrated by a measured same-code event in NOISE_FLOOR.md:
+
+* per-query: each recording carries ``noise_pct`` — the spread of that
+  query's own three same-code runs within the single recording, as a
+  percent of its median.  A query past ``NOISE_PCT_BAR`` in either
+  artifact is measuring the box, not the code (the r16 driver re-run
+  moved phash_pairs 4.4x while self-reporting 54.6% within-run spread),
+  and is excluded from the hard assertion.
+* per-recording: a recording whose ``noise_pct_max`` exceeds
+  ``RUN_NOISE_MAX_BAR`` is a disturbed-box recording wholesale — the
+  r17 back-to-back triple (NOISE_FLOOR.md) produced a same-code run
+  with noise_pct_max 119% carrying FIVE hard movers, three of them
+  with per-query noise still under 50%, so the per-query layer alone
+  cannot save a disturbed recording.  No hard assertion is made from
+  such an artifact.
+* direction: only movers where the NEWER artifact is slower assert —
+  this is a code-REGRESSION gate; a query getting faster (the same
+  triple showed committed-r16-noisy -> clean improvements up to 3.6x
+  on untouched code) is reported by the standard diff, never a pytest
+  failure.
 
 A deliberate change that legitimately moves a low-noise query past the
 hard bar is acknowledged in ``BENCH_MOVERS_ACK_r{N}.md`` (the round of
 the newer artifact): one bullet line per query, ``- <query_name>:
 reason`` — the name must match EXACTLY (parsed, not substring-searched:
 a mover whose name happens to appear inside unrelated prose must not be
-waved through); an unexplained low-noise 2x is a failed gate.
+waved through); an unexplained low-noise slowdown is a failed gate.
 """
 
 from __future__ import annotations
@@ -47,6 +57,12 @@ REPO = Path(__file__).resolve().parent.parent
 # distinguish code regression from box jitter (NOISE_FLOOR.md measured a
 # 40-50% same-code floor on a quiet box; anything past it is box state).
 NOISE_PCT_BAR = 50.0
+
+# Recording-level bar: a run whose WORST per-query spread exceeds this
+# was taken on a disturbed box wholesale (the r17 triple's run 3:
+# noise_pct_max 119% with five same-code hard movers, three of them
+# under the per-query bar) — no hard assertion can be read from it.
+RUN_NOISE_MAX_BAR = 60.0
 
 
 def _latest_details():
@@ -69,12 +85,16 @@ def test_no_unexplained_hard_movers_between_rounds():
     a, b = json.loads(p_a.read_text()), json.loads(p_b.read_text())
     if a.get("sf") != b.get("sf"):
         return  # different scale factors (e.g. a local smoke at sf0.01)
+    if max(a.get("noise_pct_max", 0.0),
+           b.get("noise_pct_max", 0.0)) > RUN_NOISE_MAX_BAR:
+        return  # disturbed-box recording: unreadable for regressions
     hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
     noise_a, noise_b = a.get("noise_pct", {}), b.get("noise_pct", {})
     hard["movers"] = [
         m for m in hard["movers"]
-        if max(noise_a.get(m["query"], 0.0),
-               noise_b.get(m["query"], 0.0)) <= NOISE_PCT_BAR
+        if m["b"] > m["a"]  # regressions only: newer artifact slower
+        and max(noise_a.get(m["query"], 0.0),
+                noise_b.get(m["query"], 0.0)) <= NOISE_PCT_BAR
     ]
     ack_path = REPO / f"BENCH_MOVERS_ACK_r{n_b:02d}.md"
     acked: set[str] = set()
@@ -92,22 +112,33 @@ def test_no_unexplained_hard_movers_between_rounds():
 
 
 def test_noisy_movers_are_excluded_quiet_movers_are_not():
-    """The hard gate must ignore movers whose own within-recording
-    spread exceeds NOISE_PCT_BAR in either artifact (they measure the
-    box, not the code) while still flagging low-noise movers."""
+    """The hard gate's three noise layers: per-query noise exclusion,
+    improvement (faster-in-newer) exclusion, and the recording-level
+    disturbed-box bar."""
     sys.path.insert(0, str(REPO / "scripts"))
     from bench_diff import diff
 
-    a = {"queries_full": {"noisy_q": 1.0, "quiet_q": 1.0},
-         "noise_pct": {"noisy_q": 5.0, "quiet_q": 5.0}}
-    b = {"queries_full": {"noisy_q": 5.0, "quiet_q": 5.0},
-         "noise_pct": {"noisy_q": 60.0, "quiet_q": 5.0}}
+    a = {"queries_full": {"noisy_q": 1.0, "quiet_q": 1.0,
+                          "improved_q": 5.0},
+         "noise_pct": {"noisy_q": 5.0, "quiet_q": 5.0,
+                       "improved_q": 5.0},
+         "noise_pct_max": 5.0}
+    b = {"queries_full": {"noisy_q": 5.0, "quiet_q": 5.0,
+                          "improved_q": 1.0},
+         "noise_pct": {"noisy_q": 60.0, "quiet_q": 5.0,
+                       "improved_q": 5.0},
+         "noise_pct_max": 60.0}
     hard = diff(a, b, threshold_frac=1.0, threshold_sec=1.0)
     na, nb = a["noise_pct"], b["noise_pct"]
     kept = [m["query"] for m in hard["movers"]
-            if max(na.get(m["query"], 0.0),
-                   nb.get(m["query"], 0.0)) <= NOISE_PCT_BAR]
+            if m["b"] > m["a"]
+            and max(na.get(m["query"], 0.0),
+                    nb.get(m["query"], 0.0)) <= NOISE_PCT_BAR]
     assert kept == ["quiet_q"]
+    # recording-level bar: the r17 triple's disturbed run (noise_pct_max
+    # 119.2) must be classified unreadable; its clean sibling (40.6) not
+    assert 119.2 > RUN_NOISE_MAX_BAR
+    assert 40.6 <= RUN_NOISE_MAX_BAR
 
 
 def test_standard_gate_diff_is_reportable():

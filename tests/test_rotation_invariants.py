@@ -15,8 +15,8 @@ ROWS_ONLY = {
     "ext_multimodal_features",
     "ext_multimodal_frames",
     "ext_corpus_overlap_sketch",
-    "ext_media_phash_pairs",
-    "ext_video_fp_pairs",
+    # ext_media_phash_pairs / ext_video_fp_pairs were promoted to full
+    # planted-pair-set oracles in r17 (VERDICT optional #9)
 }
 
 CAP = 50
