@@ -519,6 +519,32 @@ def bigram_score_documents(
     )
 
 
+def _guard_reserved(df: DataFrame, reserved, fn_name: str) -> None:
+    """The stream scorers carry every input column THROUGH their
+    exploded/joined rows (the batch scorers drop them and join back by
+    id, so only the stream path has this exposure) — an input column
+    named like a working column would silently shadow or duplicate.
+    Fail loud instead."""
+    clash = sorted(set(df.columns) & set(reserved))
+    if clash:
+        raise ValueError(
+            f"{fn_name}: input column(s) {clash} collide with internal "
+            f"working names — rename them before scoring")
+
+
+#: working names of the stream scorers (chain rows + mapping + joins +
+#: fold); kept as one superset so the guard stays simple
+_STREAM_RESERVED = (
+    "_raw", "_pos", "_cur", "_prev1", "_prev2", "_prev3", "_prev4",
+    "_skip", "w1", "w2", "w3", "w4", "w5",
+    "_lp1", "_lp4", "_bo4", "_g2_prev", "_c4", "_tok",
+    "_ulp4", "_ubo4", "_pinv", "_u3lp1", "_u2inv", "_u2g2", "_u1inv",
+    "_uclp1", "_p1inv", "_p1g2", "_p2inv", "_p3inv", "_p4inv",
+    "logp4", "logp2_4", "logp3_4", "logp4_4", "logp5_4",
+    "logg12_4", "logg3_4", "logg4_4", "logg5_4",
+)
+
+
 def _stream_chain_rows(df: DataFrame, text_col: str, depth: int = 2):
     """Per-row n-gram rows WITHOUT a window — the streaming-legal twin
     of the batch scorers' posexplode+lag shape: tokenize into an array
@@ -549,6 +575,23 @@ def _stream_chain_rows(df: DataFrame, text_col: str, depth: int = 2):
                  F.element_at("_raw", F.col("_pos") - (k - 1)))
           .alias(f"_prev{k}") for k in range(1, depth + 1)],
     )
+
+
+def _thin_carry(df: DataFrame, id_col: str) -> list:
+    """Carry every non-id column ONLY on the first token row of its
+    document — the per-doc fold takes first non-null, so values
+    survive intact.  Without this the exploded token rows replicate
+    the full document payload (text included) through every gram-join
+    shuffle and the fold repartition: a words-per-doc-times shuffle
+    write amplification that filled local disk at the 40M-token
+    stress scale (r17).  ``_pos`` NULL (the null-document marker row)
+    counts as the first row so null-text documents keep their other
+    columns."""
+    keep = F.coalesce(F.col("_pos"), F.lit(0)) == 0
+    return [
+        F.col(c) if c == id_col else F.when(keep, F.col(c)).alias(c)
+        for c in df.columns
+    ]
 
 
 def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
@@ -640,6 +683,7 @@ def bigram_score_documents_stream(
                          "train_bigram_lm")
     oov_lp4, oov_bo4 = int(oov_row.logp4), int(oov_row.backoff4)
 
+    _guard_reserved(df, _STREAM_RESERVED, "bigram_score_documents_stream")
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u_cur = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -655,7 +699,7 @@ def bigram_score_documents_stream(
     )
     skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
-        *df.columns,
+        *_thin_carry(df, id_col),
         skip.alias("_skip"),
         F.when(F.col("_ulp4").isNotNull(), F.col("_cur"))
         .otherwise(F.lit(OOV_TERM)).alias("w2"),
@@ -710,6 +754,7 @@ def kn_trigram_score_documents_stream(
     oov_lp1 = int(oov_row.logp1_4)
     oov_g2 = oov_row.logg2_4  # may be None: OOV never observed as context
 
+    _guard_reserved(df, _STREAM_RESERVED, "kn_trigram_score_documents_stream")
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u3 = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -729,7 +774,7 @@ def kn_trigram_score_documents_stream(
     )
     skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
-        *df.columns,
+        *_thin_carry(df, id_col),
         skip.alias("_skip"),
         F.when(F.col("_u3lp1").isNotNull(), F.col("_cur"))
         .otherwise(F.lit(OOV_TERM)).alias("w3"),
@@ -803,6 +848,7 @@ def kn5_score_documents_stream(
     oov_lp1 = int(oov_row.logp1_4)
     oov_g2 = oov_row.logg2_4
 
+    _guard_reserved(df, _STREAM_RESERVED, "kn5_score_documents_stream")
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u_cur = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -830,7 +876,7 @@ def kn5_score_documents_stream(
 
     skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
-        *df.columns,
+        *_thin_carry(df, id_col),
         skip.alias("_skip"),
         F.when(F.col("_uclp1").isNotNull(), F.col("_cur"))
         .otherwise(F.lit(OOV_TERM)).alias("w5"),

@@ -150,3 +150,12 @@ def test_bigram_stream_dispatch(spark):
         lm=model, keep=(0,), thresholds=thr, group_col=None))
     kept = sorted(r.doc_id for r in out.collect())
     assert kept and set(kept) < {d for d, _ in DOCS}
+
+
+def test_stream_scorers_fail_loud_on_reserved_column_collisions(spark):
+    """The stream scorers carry input columns through working names; a
+    collision must raise, not silently shadow (r17 self-review)."""
+    df = _docs(spark).withColumn("w4", F.lit(1))
+    model = train_kn_trigram_lm(_docs(spark), vocab_size=8)
+    with pytest.raises(ValueError, match="collide with internal"):
+        kn_trigram_score_documents_stream(df, *model)
