@@ -62,6 +62,57 @@ def _nonzero(vec) -> Column:
     ) > F.lit(0.0)
 
 
+def _cosine_batch():
+    """Arrow-batched exact cosine: two rectangular ``array<double>`` columns
+    -> unrounded cosine double, one vectorized kernel per batch.
+
+    Spark's higher-order folds (``aggregate``/``zip_with``) are
+    CodegenFallback — the per-PAIR cosine in a bucket/cell join runs as an
+    interpreted per-element lambda walk, the dominant cost of every
+    verification stage (r17 A/B: semantic_dup_pairs' pair stage ~2x faster
+    with this kernel; an unrolled-expression variant was tried first and
+    LOST — 192-node trees per cosine blow up analysis time and fall out of
+    JIT-compilable codegen).  Accumulation is a LEFT-FOLD over element
+    index — ``acc = (acc + a_i*b_i)`` per row, np.sqrt, one division — the
+    SAME IEEE operation sequence as the interpreted fold and the DuckDB
+    oracle replay, so values are BIT-IDENTICAL; rounding stays in Spark.
+    Callers must pre-filter NULL/ragged rows (the module entry filters do)
+    so batches stay rectangular.
+
+    Used on the ``use_arrow`` production paths only: the expression path
+    keeps the fold so oracle-pinned plans stay Python-free
+    (test_plan_contracts' engine-split convention)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def cos(a, b):
+        if not len(a):
+            return pd.Series(np.zeros(0, dtype=np.float64))
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        n = len(A)
+        dot = np.zeros(n, dtype=np.float64)
+        na = np.zeros(n, dtype=np.float64)
+        nb = np.zeros(n, dtype=np.float64)
+        for i in range(A.shape[1]):
+            ai = A[:, i]
+            bi = B[:, i]
+            dot = dot + ai * bi
+            na = na + ai * ai
+            nb = nb + bi * bi
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    # real (non-stringified) annotations — see _srp_buckets_batch
+    cos.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                           "return": pd.Series}
+    # the function IS deterministic; the marker stops the optimizer from
+    # copying the evaluation below the threshold filter (one ArrowEvalPython
+    # in the plan instead of two — guide §4.4's duplicated-UDF fix)
+    return pandas_udf(cos, DoubleType()).asNondeterministic()
+
+
 def brute_force_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,33 +120,46 @@ def brute_force_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: (query_id, vec_id, cosine_sim, rank), rank 1..k per query.
 
     The (small) query side is broadcast; the corpus never shuffles for the
     join.  The per-query top-k is a window over (rounded cosine desc, id asc) —
-    deterministic under ties; AQE handles the window shuffle."""
+    deterministic under ties; AQE handles the window shuffle.
+
+    ``dim=`` (optional) DECLARES the embedding width: rows of any other
+    width drop at the entry filter (instead of scoring NULL through the
+    fold's zip_with padding) and the Q×N cosine runs as the Arrow batch
+    kernel (``_cosine_batch`` — left-fold accumulation, values
+    bit-identical, far faster than the interpreted fold).  On a
+    uniform-width corpus output is identical either way; leave it None
+    only when the corpus genuinely mixes widths AND the NULL-scored
+    ragged pairs matter."""
     # float->double is exact per element; products/sums then run in double on
     # both sides of the oracle (DuckDB list_dot_product over DOUBLE[]), so the
     # rounded cosine is bit-identical across engines
+    if dim is not None:
+        entry = (F.col(vec_col).isNotNull()
+                 & (F.size(vec_col) == dim) & _nonzero(F.col(vec_col)))
+        cos = _cosine_batch()
+    else:
+        entry = F.col(vec_col).isNotNull() & _nonzero(F.col(vec_col))
+        cos = cosine
     q = F.broadcast(
-        queries.filter(
-            F.col(vec_col).isNotNull() & _nonzero(F.col(vec_col))
-        ).select(
+        queries.filter(entry).select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("q_vec"),
         )
     )
-    scored = corpus.filter(
-        F.col(vec_col).isNotNull() & _nonzero(F.col(vec_col))
-    ).select(
+    scored = corpus.filter(entry).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     ).join(q)  # cross join with broadcast: each partition scans corpus once
     scored = scored.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+        F.round(cos(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
@@ -261,6 +325,11 @@ def lsh_bucketed_cosine_topk(
         .select("query_id", "vec_id", "q_vec", "c_vec")
         .dropDuplicates(["query_id", "vec_id"])
     )
+    # the fold cosine stays here deliberately: the candidate pool is
+    # BOUNDED by the broadcast query set (Q × bucket collisions), so the
+    # r17 A/B showed the Arrow kernel's extra eval stage costing more than
+    # the per-pair fold it replaces at this operator's volumes — unlike the
+    # unbounded pair operators (semantic/embedding dup pairs), which switch
     scored = cand.select(
         "query_id", "vec_id",
         F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
@@ -629,11 +698,15 @@ def ivf_query(
                 ).alias("cell"),
             )
         )
+    # probed-cell re-rank cosine follows the index's engine split (Arrow
+    # kernel vs Python-free fold; bit-identical values — see _cosine_batch)
+    probe_cos = (_cosine_batch() if index.use_arrow else cosine)(
+        F.col("q_vec"), F.col("c_vec"))
     scored = (
         index.assigned.join(probes, on="cell")
         .select(
             "query_id", "vec_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cosine_sim"),
+            F.round(probe_cos, 4).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -671,23 +744,41 @@ def embedding_cosine_dup_pairs(
     ).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+    # candidate generation carries IDS ONLY: the (tbl, bucket) self-join and
+    # the candidate dedup move (id, tbl, bucket) rows — 24 bytes — never the
+    # vectors.  The previous shape dropDuplicates'd (id_a, id_b, vec_a,
+    # vec_b), which (a) shuffled every candidate's two vectors through the
+    # dedup exchange and (b) planned as a SortAggregate (First over an array
+    # is not hash-aggregable) sorting the payload rows; deduping the slim id
+    # pairs is a plain hash aggregate and the vectors are re-attached to the
+    # few SURVIVING pairs by two id-keyed joins (guide §8: decide with small
+    # rows, move the heavy bytes once; the minhash_lsh_pairs shape).
     banded = (
         v.withColumn("bks", bucketize("vec"))
-        .select("id", "vec", F.posexplode("bks").alias("tbl", "bucket"))
+        .select("id", F.posexplode("bks").alias("tbl", "bucket"))
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    attached = (
+        cand.join(v.select(F.col("id").alias("id_a"),
+                           F.col("vec").alias("vec_a")), on="id_a")
+        .join(v.select(F.col("id").alias("id_b"),
+                       F.col("vec").alias("vec_b")), on="id_b")
+    )
+    # the operator is Arrow-native already (SRP bucketize kernel above), so
+    # the pair verification uses the Arrow cosine unconditionally — values
+    # bit-identical to the fold (see _cosine_batch)
     return (
-        cand.select(
+        attached.select(
             "id_a", "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4).alias("cosine_sim"),
+            F.round(_cosine_batch()(F.col("vec_a"), F.col("vec_b")), 4)
+            .alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -780,14 +871,19 @@ def semantic_dup_pairs(
                 )
         assigned = capped.filter(F.col("_rn") <= max_cell_size).drop("_rn")
     a, b = assigned.alias("a"), assigned.alias("b")
+    # per-pair cosine: Arrow kernel on the production path (evaluated ONCE
+    # per pair — Python UDFs are extracted, never inlined into the filter),
+    # interpreted fold on the expression/oracle path (Python-free plan);
+    # values bit-identical either way (see _cosine_batch)
+    pair_cos = (_cosine_batch() if idx.use_arrow else cosine)(
+        F.col("a.c_vec"), F.col("b.c_vec"))
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
-            .alias("cosine_sim"),
+            F.round(pair_cos, 4).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -902,6 +998,10 @@ def knn_graph(
                 )
         assigned = capped.filter(F.col("_rn") <= max_cell_size).drop("_rn")
     a, b = assigned.alias("a"), assigned.alias("b")
+    # engine split as semantic_dup_pairs: Arrow pair-cosine on the
+    # production path, fold on the Python-free oracle path (bit-identical)
+    pair_cos = (_cosine_batch() if idx.use_arrow else cosine)(
+        F.col("a.c_vec"), F.col("b.c_vec"))
     pairs = a.join(
         b,
         (F.col("a.cell") == F.col("b.cell"))
@@ -909,8 +1009,7 @@ def knn_graph(
     ).select(
         F.col("a.vec_id").alias("_ida"),
         F.col("b.vec_id").alias("_idb"),
-        F.round(cosine(F.col("a.c_vec"), F.col("b.c_vec")), 4)
-        .alias("cosine_sim"),
+        F.round(pair_cos, 4).alias("cosine_sim"),
     )
     directed = pairs.select(
         F.explode(
@@ -1080,6 +1179,7 @@ def knn_label_vote(
     query_id_col: str = "query_id",
     weighted: bool = False,
     neighbors: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """kNN label vote over the embedding space: (query_id, predicted_label,
     votes) — each query adopts the plurality label of its k nearest
@@ -1100,7 +1200,7 @@ def knn_label_vote(
     if neighbors is None:
         neighbors = brute_force_cosine_topk(
             corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col,
+            query_id_col=query_id_col, dim=dim,
         )
     labels = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(label_col).alias("_label"))

@@ -1,0 +1,320 @@
+"""Round-17 optimization profiler — isolate individual bench queries.
+
+Reconstructs selected bench.py queries (same inputs, same session shape),
+times each with the noop sink / the bench's own action, captures
+``explain("formatted")``, and (optionally) writes Spark event logs for
+stage-level analysis.  Usage:
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python scripts/profile_r17.py \
+        semantic_dup_pairs knn_graph [--runs 3] [--plans-dir plans/r17] \
+        [--suffix _before]
+
+Not part of the bench contract; a development tool only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_queries(spark):
+    """name -> (builder() -> DataFrame | callable).  DataFrames are timed
+    with the noop sink; callables are invoked as-is (composites)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import load_source_tables
+
+    source = load_source_tables(spark, SF_DIR)
+    docs = source["documents"]
+    emb = source["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    reg = {}
+
+    def q(name):
+        def wrap(fn):
+            reg[name] = fn
+            return fn
+        return wrap
+
+    # ---- similarity family -------------------------------------------
+    from condenser_spark.functions.similarity import (
+        brute_force_cosine_topk,
+        embedding_cosine_dup_pairs,
+        ivf_index,
+        knn_graph,
+        prototype_prune,
+        semantic_dup_pairs,
+        lsh_bucketed_cosine_topk,
+    )
+
+    q("semantic_dup_pairs")(
+        lambda: semantic_dup_pairs(emb, threshold=0.95, n_centroids=16))
+    _cents = ivf_index(emb, n_centroids=16).centroids
+    q("semantic_dup_pairs_prebuilt")(
+        lambda: semantic_dup_pairs(emb, threshold=0.95, centroids=_cents))
+    q("knn_graph")(lambda: knn_graph(emb, k=10, n_centroids=16))
+    q("prototype_prune")(
+        lambda: lambda: prototype_prune(
+            emb, keep_fraction=0.5, k=10, n_centroids=16).count())
+    q("embedding_dup_pairs")(
+        lambda: embedding_cosine_dup_pairs(emb, threshold=0.95))
+    q("brute_force_cosine_topk")(
+        lambda: brute_force_cosine_topk(emb, queries, k=10,
+                                        query_id_col="vec_id"))
+    q("srp_cosine_topk")(
+        lambda: lsh_bucketed_cosine_topk(emb, queries, k=10, dim=64,
+                                         query_id_col="vec_id"))
+
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+
+    _pq_books = pq_train(emb, n_subspaces=8, n_codes=16)
+    _pq_enc = pq_encode(emb, _pq_books)
+    _pq_enc.persist().count()
+    q("pq_topk_rerank")(
+        lambda: pq_topk(_pq_enc, queries, _pq_books, k=10,
+                        query_id_col="vec_id", rerank_with=emb,
+                        rerank_candidates=100))
+
+    # ---- langid ------------------------------------------------------
+    from condenser_spark.functions.langid import LanguageModel, language_top1
+
+    _lrnd = _random.Random(11)
+    _lid = LanguageModel(
+        classes=["de", "en", "es", "fr"],
+        weights=[[round(_lrnd.uniform(-1.0, 1.0), 6) for _ in range(256)]
+                 for _ in range(4)],
+        biases=[0.0] * 4,
+        dim=256, ngram=3, max_chars=1000,
+    )
+
+    q("language_top1")(
+        lambda: lambda: language_top1(docs, _lid)
+        .groupBy("lang_pred").count().collect())
+
+    # ---- minhash family ---------------------------------------------
+    from condenser_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_documents,
+        simhash_near_pairs,
+        soft_dedup_weights,
+    )
+
+    q("minhash_lsh_pairs")(
+        lambda: minhash_lsh_pairs(docs, n=3, threshold=0.8))
+    q("near_dedup_documents")(
+        lambda: near_dedup_documents(docs, n=3, threshold=0.8))
+    q("simhash_near_pairs")(lambda: simhash_near_pairs(docs, max_hamming=3))
+    q("soft_dedup_weights")(
+        lambda: lambda: soft_dedup_weights(docs, n=3, threshold=0.8)
+        .agg(F.sum("sample_weight")).collect())
+
+    # ---- middle-out composites --------------------------------------
+    import shutil
+    import tempfile
+
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+
+    def _flagship():
+        cfg = SubsetConfig.from_dict(
+            base_config_dict(
+                initial_targets=[
+                    {"table": "orders", "percent": 10,
+                     "sample_key": "o_orderkey"}
+                ],
+                passthrough_tables=["region"],
+            )
+        )
+        eng = SubsetEngine(spark, cfg, source, materialize="persist")
+        eng.run_middle_out()
+        eng.report().count()
+        eng.cleanup()
+
+    q("middle_out_subset")(lambda: _flagship)
+
+    def _flagship_parquet():
+        tmp = tempfile.mkdtemp(prefix="prof_dest_")
+        try:
+            cfg = SubsetConfig.from_dict(
+                base_config_dict(
+                    initial_targets=[
+                        {"table": "orders", "percent": 10,
+                         "sample_key": "o_orderkey"}
+                    ],
+                )
+            )
+            eng = SubsetEngine(
+                spark, cfg, source, dest_path=tmp, materialize="parquet"
+            )
+            eng.run_middle_out()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    q("middle_out_parquet_sink")(lambda: _flagship_parquet)
+
+    # ---- LM scorers --------------------------------------------------
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        kn5_score_documents,
+        kn5_score_documents_stream,
+        kn_trigram_score_documents,
+        train_bigram_lm,
+        train_kn5_lm,
+        train_kn_trigram_lm,
+    )
+
+    _kn = tuple(t.localCheckpoint()
+                for t in train_kn_trigram_lm(docs, vocab_size=4096))
+    _kn5 = tuple(t.localCheckpoint()
+                 for t in train_kn5_lm(docs, vocab_size=4096))
+
+    q("kn_trigram_score")(
+        lambda: lambda: kn_trigram_score_documents(docs, *_kn)
+        .agg(F.sum("lm3_logprob4_sum")).collect())
+    q("kn5_score")(
+        lambda: lambda: kn5_score_documents(docs, *_kn5)
+        .agg(F.sum("lm5_logprob4_sum")).collect())
+    q("kn5_score_stream")(
+        lambda: lambda: kn5_score_documents_stream(docs, *_kn5)
+        .agg(F.sum("lm5_logprob4_sum")).collect())
+
+    def _bigram_lm():
+        uni, bi = train_bigram_lm(docs, vocab_size=4096)
+        return (bigram_score_documents(docs, uni, bi)
+                .agg(F.sum("lm2_logprob4_sum")).collect())
+
+    q("bigram_lm_score")(lambda: _bigram_lm)
+
+    # ---- curate_stream ----------------------------------------------
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+    )
+
+    _landed = docs.filter(F.col("doc_id") % 2 == 0)
+    _incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    _blm_l = build_line_bloom(_landed)
+    _blm_k = build_kgram_bloom(_landed, k=10)
+
+    q("curate_stream")(
+        lambda: lambda: curate_stream(_incoming, line_bloom=_blm_l,
+                                      kgram_bloom=_blm_k, k=10, gopher=True)
+        .agg(F.sum("es_removed_tokens")).collect())
+
+    # ---- retrieval / misc -------------------------------------------
+    from condenser_spark.functions.retrieval import bm25_topk
+
+    _bm_queries = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "lorem ipsum dolor"),
+         (2, "data"), (3, "spark parquet shuffle")],
+        ["query_id", "query"])
+    q("bm25_topk")(lambda: bm25_topk(docs, _bm_queries, k=10))
+
+    from condenser_spark.functions.text import exact_substring_dedup
+
+    q("exact_substring_dedup")(
+        lambda: lambda: exact_substring_dedup(docs, k=20)
+        .agg(F.sum("n_removed_tokens")).collect())
+
+    from condenser_spark.functions.dsir import (
+        dsir_sample,
+        train_hashed_ngram_lm,
+    )
+
+    _dsir_t = train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"),
+                                    dim=4096)
+    _dsir_r = train_hashed_ngram_lm(docs, dim=4096)
+    _dsir_t.persist().count()
+    _dsir_r.persist().count()
+    q("dsir_sample")(
+        lambda: dsir_sample(docs, 1_000, _dsir_t, _dsir_r, dim=4096))
+
+    return reg
+
+
+def main() -> int:
+    runs = 3
+    plans_dir = None
+    suffix = ""
+    args = []
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--runs":
+            runs = int(next(it))
+        elif a == "--plans-dir":
+            plans_dir = next(it)
+        elif a == "--suffix":
+            suffix = next(it)
+        else:
+            args.append(a)
+
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("profile-r17", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    sc = spark.sparkContext
+    reg = build_queries(spark)
+    names = args or sorted(reg)
+    results = {}
+    for name in names:
+        if name not in reg:
+            print(f"!! unknown query {name}", file=sys.stderr)
+            continue
+        sc.setJobDescription(f"profile:{name}")
+        built = reg[name]()
+        if callable(built):
+            fn = built
+            plan = None
+        else:
+            # DataFrame-returning builder: rebuild FRESH each run (internal
+            # lazy checkpoints must not leak across runs) and noop-sink it
+            def fn(mk=reg[name]):
+                mk().write.format("noop").mode("overwrite").save()
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                built.explain("formatted")
+            plan = buf.getvalue()
+        if plan and plans_dir:
+            os.makedirs(plans_dir, exist_ok=True)
+            with open(os.path.join(plans_dir, f"{name}{suffix}.txt"),
+                      "w") as fh:
+                fh.write(plan)
+        fn()  # warmup
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            samples.append(round(time.time() - t0, 3))
+        samples.sort()
+        med = samples[len(samples) // 2]
+        results[name] = med
+        nexch = plan.count("Exchange") if plan else -1
+        npy = (plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+               + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
+               ) if plan else -1
+        print(f"{name}: median {med}s  samples={samples}  "
+              f"exchanges={nexch} python_nodes={npy}", flush=True)
+        sc.setJobDescription(None)
+    print("TOTALS", results)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
