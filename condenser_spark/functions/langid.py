@@ -100,7 +100,13 @@ def _char_ngram_rows(df: DataFrame, text_col: str, id_col: str,
     whole-stage codegen (no interpreted higher-order functions in the
     corpus-wide hot path — the STRESS.md stage-10 lesson).  Docs shorter
     than ``n`` emit no rows; scorers re-attach them bias-only."""
-    base = (
+    from condenser_spark.functions.spread import spread_input
+
+    # the n-gram explode + per-gram md5 below are scan-fused: a
+    # single-file/single-row-group input would run them in ONE task
+    # (guide §2.5 input skew) — spread the slim (id, _t) projection first;
+    # no-op when the scan is already parallel
+    base = spread_input(
         df.select(F.col(id_col), _norm_text(text_col, max_chars).alias("_t"))
         .filter(F.length("_t") >= n)
     )
@@ -254,10 +260,12 @@ def language_scores(
     k = len(model.classes)
     rows = _char_ngram_rows(df, text_col, id_col, model.ngram,
                             model.max_chars)
-    w6 = [
-        F.array(*[F.lit(x).cast("long") for x in row])
-        for row in _scaled(model)
-    ]
+    # ONE py4j call per class: F.lit(list) builds the literal array
+    # directly.  The per-element F.array(*[F.lit(x) ...]) form cost ~2x
+    # dim py4j round trips per class PER CALL (~2.5 s of driver time at
+    # dim=256 x 4 classes — measured r17; the plan and values are
+    # identical, CreateArray of literals folds to the same array literal)
+    w6 = [F.lit(row).cast("array<long>") for row in _scaled(model)]
     keyed = rows.select(
         F.col(id_col),
         _bucket(F.col("tok"), model.dim).alias("_b"),
@@ -343,15 +351,13 @@ def language_scores_stateless(
     subtrees into ``transform`` stages."""
     n, k = model.ngram, len(model.classes)
     t = _norm_text(text_col, model.max_chars)
-    w6 = [
-        F.array(*[F.lit(x).cast("long") for x in row])
-        for row in _scaled(model)
-    ]
+    # single-call literal arrays — see language_scores
+    w6 = [F.lit(row).cast("array<long>") for row in _scaled(model)]
     seq = F.when(
         F.length(t) >= n,
         F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(k)])
+    zero = F.lit([0] * k).cast("array<long>")
     hs = F.transform(seq, lambda p: F.md5(t.substr(p, F.lit(n))))
     entries = F.transform(
         hs,

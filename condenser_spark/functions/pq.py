@@ -260,8 +260,11 @@ def _adc_terms(rows, books: PqCodebooks):
                 for c in book
             ]
             code1 = F.element_at("codes", mi + 1) + 1
-            d = F.element_at(F.array(*[F.lit(x) for x in lut_dot]), code1)
-            n2 = F.element_at(F.array(*[F.lit(x) for x in lut_n2]), code1)
+            # single-call literal arrays (F.lit(list)) — the per-element
+            # form cost m*k py4j round trips per query per call (see
+            # langid.language_scores); values and plan identical
+            d = F.element_at(F.lit(lut_dot).cast("array<double>"), code1)
+            n2 = F.element_at(F.lit(lut_n2).cast("array<double>"), code1)
             score = d if score is None else score + d
             norm2 = n2 if norm2 is None else norm2 + n2
         out.append((r._qid, F.round(

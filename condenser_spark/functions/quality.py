@@ -111,7 +111,7 @@ def _scaled_weights(model: QualityModel) -> list[int]:
 def _token_contrib(model: QualityModel) -> Column:
     """Per-token scaled-integer contribution: sign(md5 nibble) x
     w6[md5(token) % dim] — evaluated on a ``tok`` column."""
-    w6 = F.array(*[F.lit(x).cast("long") for x in _scaled_weights(model)])
+    w6 = F.lit(_scaled_weights(model)).cast("array<long>")
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
         F.lit(model.dim),
@@ -213,7 +213,7 @@ def score_documents_stateless(
     dense form was unusable past fixture scale.  Batch callers should
     still prefer :func:`score_documents`: a codegen'd aggregate beats an
     interpreted fold on the same work."""
-    w6 = F.array(*[F.lit(x).cast("long") for x in _scaled_weights(model)])
+    w6 = F.lit(_scaled_weights(model)).cast("array<long>")
     toks = F.filter(
         F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
                                  r"\s+", " "), " "),

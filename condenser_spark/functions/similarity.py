@@ -544,7 +544,7 @@ def _ivf_cell_scores(vec, cents) -> Column:
     # centroid norm is a constant subtree Catalyst folds once
     out = []
     for i, cent in enumerate(cents):
-        arr = F.array(*[F.lit(x) for x in cent])
+        arr = F.lit([float(x) for x in cent]).cast("array<double>")
         out.append(F.struct(
             (_dot(vec, arr) / _norm(arr)).alias("score"),
             F.lit(i).alias("cell"),

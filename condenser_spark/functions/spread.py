@@ -1,0 +1,47 @@
+"""Scale-adaptive input spreading for scan-fused heavy kernels.
+
+Guide §2.5's "input skew" case: one huge unsplittable file (gzip), or a
+parquet landing written as a single row group, yields a SCAN with fewer
+partitions than the session has cores — and every scan-fused per-row
+kernel downstream (char-n-gram md5 hashing, shingle explosion, the
+map side of a signature aggregate) then runs on ONE task while the rest
+of the cluster idles.  The remedy is the guide's: repartition immediately
+after the read, BUT only when the input is actually under-parallel —
+at real scale the scan already carries hundreds of partitions and the
+helper is a no-op, so no extra exchange is ever paid where the input is
+healthy.
+
+The repartition target is the session's ``defaultParallelism`` (scales
+with the core count the driver launched with — never a constant tuned
+for one box).  Round-robin repartitioning does not change any operator's
+RESULT here: every caller is a deterministic per-row kernel feeding a
+key-grouped aggregate/join, so row placement is invisible in the output
+(callers with partition-sensitive semantics — Bernoulli sampling,
+``limit`` — must NOT use this helper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: only spread when the input is meaningfully under-parallel; a scan
+#: already within 2x of the session parallelism gains little from an
+#: extra exchange
+SPREAD_FACTOR = 2
+
+
+def spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to the session default parallelism
+    when its plan yields fewer than ``1/SPREAD_FACTOR`` of it; otherwise
+    (or on streaming frames, or when the partition count cannot be
+    probed) return ``df`` unchanged."""
+    try:
+        if df.isStreaming:
+            return df
+        n = df.rdd.getNumPartitions()
+        target = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover — probe failure = leave as-is
+        return df
+    if n * SPREAD_FACTOR <= target:
+        return df.repartition(target)
+    return df
