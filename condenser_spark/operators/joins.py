@@ -54,11 +54,16 @@ def semi_join_keys(
     tuples: the Spark form of ``(fk_cols) IN (SELECT target_cols FROM parent)``
     (/root/reference/subset.py:141,201).
 
-    The parent side is reduced to its distinct key columns before the join
-    (column pruning + J3 dedup).  ``broadcast_keys=None`` (default) lets AQE
-    pick broadcast-vs-shuffle from the key set's measured runtime size; ``True``
-    forces the hint (see module docstring for why forcing is dangerous)."""
-    keys = parent.select(*[F.col(c) for c in target_cols]).distinct()
+    The parent side is reduced to its key columns before the join (column
+    pruning).  No explicit ``distinct``: a LEFT SEMI join emits each child
+    row at most once regardless of build-side duplicates, and the target
+    columns are the parent's key (unique by construction), so the dedup
+    was a pure extra shuffle — the hash relation the join builds dedups
+    for free (guide §2.4: remove a distinct on already-unique data).
+    ``broadcast_keys=None`` (default) lets AQE pick broadcast-vs-shuffle
+    from the key set's measured runtime size; ``True`` forces the hint
+    (see module docstring for why forcing is dangerous)."""
+    keys = parent.select(*[F.col(c) for c in target_cols])
     if broadcast_keys:
         keys = F.broadcast(keys)
     return child.join(keys, on=_cond(child, keys, fk_cols, target_cols), how="left_semi")
@@ -101,8 +106,14 @@ def fetch_by_keys(
     The reference streams the key set in 100k-tuple chunks and generates literal
     ``IN``-lists (/root/reference/subset.py:185-202) purely because SQL IN-lists
     have size limits; a single semi-join replaces the whole loop.  Broadcast of
-    the key side is AQE-decided by default (see module docstring)."""
-    k = keys.select(*[F.col(c) for c in pk_cols]).distinct()
+    the key side is AQE-decided by default (see module docstring).
+
+    No internal ``distinct`` on the key side: the engine's downstream
+    kernel deduplicates the union of per-edge misses already (J3), and a
+    LEFT SEMI join is insensitive to build-side duplicates — the former
+    second distinct here was one redundant shuffle per fetched table
+    (guide §2.4)."""
+    k = keys.select(*[F.col(c) for c in pk_cols])
     if broadcast_keys:
         k = F.broadcast(k)
     return source.join(k, on=_cond(source, k, pk_cols, pk_cols), how="left_semi")
