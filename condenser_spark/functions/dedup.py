@@ -296,17 +296,22 @@ def minhash_signatures(
     hashed = _shingle_rows(df, n, text_col, id_col).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
+    # each aggregate is built as ONE F.expr string: the Column-API form
+    # (min(pmod(col*a+b, lit))) costs ~6 py4j round trips per permutation
+    # — ~1 s of pure driver time per call at k=128, comparable to the
+    # aggregate's whole execution at bench scale.  The parsed expression
+    # tree (and therefore the plan and every value) is identical.
     aggs = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(_MERSENNE_P))).alias(f"mh_{i}")
+        F.expr(f"min(pmod(h * {a} + {b}, {_MERSENNE_P})) AS mh_{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
     sigs = hashed.groupBy("id").agg(*aggs)
     # docs with < n tokens have no shingles, hence no rows — same contract as
     # the array formulation's size() > 0 filter
     return sigs.select(
-        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(
-            "signature"
-        )
+        "id",
+        F.expr("array(" + ",".join(f"mh_{i}" for i in range(num_hashes))
+               + ") AS signature"),
     )
 
 
@@ -372,20 +377,17 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     sigs = minhash_signatures(df, n, num_hashes, text_col, id_col)
+    # one F.expr for the whole banding explode — the struct-per-band
+    # Column-API loop cost ~6 py4j round trips per band (see
+    # minhash_signatures); identical parsed plan
     banded = sigs.select(
         "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("signature", i * r + 1, r)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(bands)
-                ]
-            )
+        F.expr(
+            "explode(array(" + ",".join(
+                f"struct({i} AS band, "
+                f"xxhash64(slice(signature, {i * r + 1}, {r})) AS bucket)"
+                for i in range(bands)
+            ) + "))"
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     # ``cache_band_index``: materialize the banded index once (lineage-
@@ -633,26 +635,27 @@ def simhash_signatures(
         .select("id", F.explode("toks").alias("tok"))
         .select("id", tok_hash.alias("h"))
     )
+    # vote aggregates and the 64-way bit assembly are built as F.expr
+    # strings — the Column-API loops cost ~10 py4j round trips per bit
+    # (~0.6 s of driver time per call); the parsed plans are identical
     votes = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .cast("long")
-        ).alias(f"v_{i}")
+        F.expr(
+            f"sum(CAST(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 "
+            f"ELSE -1 END AS long)) AS v_{i}"
+        )
         for i in range(64)
     ]
     agg = hashed.groupBy("id").agg(*votes)
-    sig = F.lit(0).cast("long")
+    sig_terms = []
     for i in range(64):
         # bit 63 of a signed long is the sign bit
         bit_val = (1 << i) if i < 63 else -(1 << 63)
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v_{i}") > 0, F.lit(bit_val).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+        sig_terms.append(
+            f"(CASE WHEN v_{i} > 0 THEN CAST({bit_val} AS long) "
+            "ELSE CAST(0 AS long) END)"
         )
-    return agg.select("id", sig.alias("simhash"))
+    sig = F.expr("(" + " | ".join(sig_terms) + ") AS simhash")
+    return agg.select("id", sig)
 
 
 def hamming_band_pairs(
