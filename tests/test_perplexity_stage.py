@@ -286,10 +286,13 @@ def test_batch_stage_kn_trigram_lm(spark, docs):
                       report=False)
 
 
-def test_stream_rejects_ngram_lm_tuples(spark, docs, ref_lm, tmp_path):
-    """Streams score through the stateless unigram kernel only — the
-    n-gram sides are unbounded and never collected; a tuple lm= must
-    fail loud, not silently collect."""
+def test_stream_lm_tuple_dispatch(spark, docs, ref_lm, tmp_path):
+    """r17: tuple ``lm=`` forms are ACCEPTED on streams via the
+    stream-legal scorers (stream-static joins + micro-batch fold — the
+    r16-punch-#4 dispatch; batch parity pinned in test_lm_stream.py /
+    test_kn5.py).  The fail-loud contract that remains: a tuple of any
+    OTHER length must raise the clear dispatch error, never fall through
+    to the unigram kernel."""
     from condenser_spark.functions.lm import train_kn_trigram_lm
 
     kn = train_kn_trigram_lm(docs.limit(50), vocab_size=64)
@@ -301,9 +304,13 @@ def test_stream_rejects_ngram_lm_tuples(spark, docs, ref_lm, tmp_path):
         lm_score_documents(docs.limit(50), ref_lm)
         .withColumn("_ppl_score", -F.col("lm_logprob")),
         "_ppl_score", n_buckets=3, group_col="lang").localCheckpoint()
-    with pytest.raises(ValueError, match="unigram"):
+    out = curate_stream(stream,
+                        perplexity_buckets={"lm": kn, "keep": 0,
+                                            "thresholds": thr})
+    assert out.isStreaming  # 4-tuple dispatched, plan stays streaming
+    with pytest.raises(ValueError, match="2 frames"):
         curate_stream(stream,
-                      perplexity_buckets={"lm": kn, "keep": 0,
+                      perplexity_buckets={"lm": kn[:3], "keep": 0,
                                           "thresholds": thr})
 
 
