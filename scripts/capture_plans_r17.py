@@ -1,0 +1,86 @@
+"""Capture final explain('formatted') plans for the round-17-touched
+queries into plans/r17/<name>_after.txt (or _before.txt via argv)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import random
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "_after"
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("plans-r17", master="local[8]", shuffle_partitions=8)
+    src = load_source_tables(spark, SF_DIR)
+    docs, emb = src["documents"], src["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    from condenser_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_documents,
+        simhash_near_pairs,
+    )
+    from condenser_spark.functions.langid import LanguageModel, language_top1
+    from condenser_spark.functions.pq import pq_encode, pq_topk, pq_train
+    from condenser_spark.functions.similarity import (
+        embedding_cosine_dup_pairs,
+        ivf_index,
+        knn_graph,
+        semantic_dup_pairs,
+    )
+
+    rnd = random.Random(11)
+    lid = LanguageModel(
+        classes=["de", "en", "es", "fr"],
+        weights=[[round(rnd.uniform(-1.0, 1.0), 6) for _ in range(256)]
+                 for _ in range(4)],
+        biases=[0.0] * 4, dim=256, ngram=3, max_chars=1000,
+    )
+    cents = ivf_index(emb, n_centroids=16).centroids
+    books = pq_train(emb, n_subspaces=8, n_codes=16)
+    enc = pq_encode(emb, books)
+
+    frames = {
+        "semantic_dup_pairs": semantic_dup_pairs(emb, threshold=0.95,
+                                                 n_centroids=16),
+        "semantic_dup_pairs_prebuilt": semantic_dup_pairs(
+            emb, threshold=0.95, centroids=cents),
+        "knn_graph": knn_graph(emb, k=10, n_centroids=16),
+        "embedding_dup_pairs": embedding_cosine_dup_pairs(emb,
+                                                          threshold=0.95),
+        "language_top1": language_top1(docs, lid),
+        "minhash_lsh_pairs": minhash_lsh_pairs(docs, n=3, threshold=0.8),
+        "near_dedup_documents": near_dedup_documents(docs, n=3,
+                                                     threshold=0.8),
+        "simhash_near_pairs": simhash_near_pairs(docs, max_hamming=3),
+        "pq_topk_rerank": pq_topk(enc, queries, books, k=10,
+                                  query_id_col="vec_id", rerank_with=emb,
+                                  rerank_candidates=100),
+    }
+    out_dir = os.path.join(REPO, "plans", "r17")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in frames.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        with open(os.path.join(out_dir, f"{name}{SUFFIX}.txt"), "w") as fh:
+            fh.write(buf.getvalue())
+        print("captured", name)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
