@@ -323,7 +323,7 @@ def _order_stats(df: DataFrame, order_col: str, num_shards: int):
     row = df.select(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
-            x, F.array(*[F.lit(p) for p in probs]), F.lit(100)
+            x, F.lit(probs), F.lit(100)
         ).alias("bs"),
     ).first()
     n_rows = row.n
@@ -813,7 +813,7 @@ def quantile_buckets(
                                         bucket_col=bucket_col)
 
     if labels is not None:
-        lab = F.array(*[F.lit(str(x)) for x in labels])
+        lab = F.lit([str(x) for x in labels])
         out = out.withColumn(
             label_col, F.element_at(lab, F.col(bucket_col) + F.lit(1)))
     return out
@@ -1508,7 +1508,7 @@ def approx_profile(
     against the exact profile instead.
 
     Still ONE unioned job for all columns."""
-    qcol = F.array(*[F.lit(q) for q in quantiles])
+    qcol = F.lit(list(quantiles))
     branches = []
     for c in cols:
         col = F.col(c)

@@ -168,7 +168,8 @@ def _tokens(text_col: str):
 
 
 def _shingle_rows(
-    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct (id, shingle) ROWS via posexplode + window ``lead`` — the hot
     shingling path.
@@ -178,21 +179,27 @@ def _shingle_rows(
     at sf0.1); this row form is one codegen'd window over (id, pos) plus a
     hash-distinct, ~10x faster, and it scales with Spark's shuffle machinery
     instead of per-row expression trees.  Docs with fewer than ``n`` tokens
-    yield no rows — identical contract to the guarded array form."""
+    yield no rows — identical contract to the guarded array form.
+
+    ``distinct=False`` skips the trailing (id, shingle) hash-distinct — a
+    full shuffle + aggregate over every shingle row — for consumers whose
+    downstream is duplicate-insensitive (MinHash ``min`` aggregates,
+    ``approx_count_distinct``, left-semi build sides) or that re-distinct
+    on a coarser key anyway (``select("shingle").distinct()``)."""
     tok_rows = df.select(
         F.col(id_col).alias("id"), F.posexplode(_tokens(text_col)).alias("pos", "tok")
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
     last = F.lead("tok", n - 1).over(w)
-    return (
+    rows = (
         tok_rows.select(
             "id", F.concat_ws(" ", *parts).alias("shingle"), last.alias("_last")
         )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
-        .distinct()
     )
+    return rows.distinct() if distinct else rows
 
 
 def ngram_jaccard_pairs(
@@ -293,7 +300,10 @@ def minhash_signatures(
     interpreted higher-order passes over every shingle array (~10x slower and
     off the codegen path entirely)."""
     coeffs = _minhash_coeffs(num_hashes)
-    hashed = _shingle_rows(df, n, text_col, id_col).select(
+    # distinct=False: ``min`` is duplicate-insensitive, so the (id, shingle)
+    # hash-distinct (a full shuffle + aggregate over every shingle row) adds
+    # nothing to the signature — identical values, one less Exchange
+    hashed = _shingle_rows(df, n, text_col, id_col, distinct=False).select(
         "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P)).alias("h")
     )
     # each aggregate is built as ONE F.expr string: the Column-API form
@@ -954,8 +964,10 @@ def contamination_fraction(
             f"bloom was built for n={bloom.n} shingles, called with n={n}")
     tr = _shingle_rows(train, n, text_col, id_col)
     denom = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # inner (id, shingle) distinct skipped: this side re-distincts on the
+    # bare shingle below, and the left-semi probe build dedups anyway
     ev = (
-        _shingle_rows(eval_df, n, text_col, id_col)
+        _shingle_rows(eval_df, n, text_col, id_col, distinct=False)
         .select("shingle").distinct()
     )
     num_in = tr if bloom is None else _bloom_probe(tr, bloom)
@@ -1100,7 +1112,9 @@ def build_shingle_bloom(
     messageless driver OOM (same convention as ivf_index's zero-centroid
     ValueError)."""
     ev_hashes = (
-        _shingle_rows(eval_df, n, text_col, id_col)
+        # inner (id, shingle) distinct skipped — the distinct on the hash
+        # columns below subsumes it (coarser key, dedups across ids too)
+        _shingle_rows(eval_df, n, text_col, id_col, distinct=False)
         .select(*_bloom_hash_cols()).distinct()
         .limit(max_eval_shingles + 1).toPandas()
     )
@@ -1367,9 +1381,12 @@ def corpus_overlap(
     hashing is seedless), pytest-bounded against the exact path on the
     fixtures; the exact path remains the DuckDB oracle."""
     if approx:
-        ra = (_shingle_rows(a, n, text_col, id_col)
+        # distinct=False on both sides: approx_count_distinct's HLL sketch
+        # is duplicate-insensitive, so the per-(id, shingle) hash-distinct
+        # would be a pure extra shuffle before a dedup that happens anyway
+        ra = (_shingle_rows(a, n, text_col, id_col, distinct=False)
               .select("shingle").withColumn("_a", F.lit(True)))
-        rb = (_shingle_rows(b, n, text_col, id_col)
+        rb = (_shingle_rows(b, n, text_col, id_col, distinct=False)
               .select("shingle").withColumn("_a", F.lit(False)))
         est = ra.unionByName(rb).agg(
             F.approx_count_distinct(
@@ -1403,8 +1420,12 @@ def corpus_overlap(
                    shared / F.col("n_ngrams_b").cast("double"))
             .alias("containment_b"),
         )
-    sa = _shingle_rows(a, n, text_col, id_col).select("shingle").distinct()
-    sb = _shingle_rows(b, n, text_col, id_col).select("shingle").distinct()
+    # inner (id, shingle) distinct skipped — the shingle-only distinct
+    # below subsumes it on both sides
+    sa = (_shingle_rows(a, n, text_col, id_col, distinct=False)
+          .select("shingle").distinct())
+    sb = (_shingle_rows(b, n, text_col, id_col, distinct=False)
+          .select("shingle").distinct())
     na = sa.agg(F.count(F.lit(1)).cast("long").alias("n_ngrams_a"))
     nb = sb.agg(F.count(F.lit(1)).cast("long").alias("n_ngrams_b"))
     ns = (sa.join(sb, "shingle")

@@ -507,7 +507,7 @@ def gopher_quality_flags(
     stop_hits = F.size(
         F.array_intersect(
             F.transform(words, F.lower),
-            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+            F.lit(list(GOPHER_STOP_WORDS)),
         )
     )
     flags = {
@@ -1358,6 +1358,7 @@ def winnow_overlap_pairs(
     id_col: str = "doc_id",
     max_fp_df: int | None = 10_000,
     index: DataFrame | None = None,
+    cache_fps: bool = True,
 ) -> DataFrame:
     """MOSS-style overlap detection — the published CONSUMER of the
     winnowed index (Schleimer et al. 2003 §4: report document pairs by
@@ -1400,6 +1401,15 @@ def winnow_overlap_pairs(
             df, window=window, winnow=winnow,
             text_col=text_col, id_col=id_col)
     fps = index.select("id", "fp").distinct()
+    # ``cache_fps``: the distinct (id, fp) set feeds four consumers (sizes,
+    # the hot-fp aggregate, and both sides of the self-join) — without a
+    # barrier each re-runs the whole index lineage (rolling fingerprints +
+    # winnowing window + two distincts).  Materialize it once (lazy
+    # lineage-truncating localCheckpoint — the minhash cache_band_index
+    # pattern; rows are two longs each).  Pass False to recompute instead
+    # of store, e.g. when composing from an already-persisted index.
+    if cache_fps:
+        fps = fps.localCheckpoint(eager=False)
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     if max_fp_df is not None:
         from condenser_spark.functions.dedup import _log_dropped_hot_keys

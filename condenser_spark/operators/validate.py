@@ -71,30 +71,49 @@ def tabulate(
     """Per-table ``(table_name, source_count, dest_count, percent)`` report with the
     reference's zero-division guard (/root/reference/result_tabulator.py:6-22).
 
-    Returns one lazy unioned plan — 2N per-table ``count()`` branches execute
-    as ONE Spark job when the report is materialized, instead of 2N sequential
-    driver-blocking jobs (serial bottleneck at hundreds of tables)."""
-    branches = []
-    for name in sorted(source):
-        src_cnt = source[name].agg(F.count(F.lit(1)).alias("source_count"))
+    Returns one lazy plan shaped as ONE map-side-combined aggregate: every
+    table's rows project to a zero-column (name, side) tag and union into a
+    single ``groupBy(table_name)`` — one tiny exchange of per-partition
+    partial counts — then a broadcast join against the table-name list
+    restores tables whose source AND dest are both empty.  The earlier
+    2N-aggregate-branch union executed as one job too, but carried one
+    single-row exchange per branch (2N AQE stages of pure scheduling at
+    hundreds of tables); this shape is one exchange total, with identical
+    output values."""
+    names = sorted(source)
+    sides = []
+    for name in names:
+        sides.append(source[name].select(
+            F.lit(name).alias("table_name"), F.lit(True).alias("_src")))
         if name in dest:
-            dst_cnt = dest[name].agg(F.count(F.lit(1)).alias("dest_count"))
-        else:
-            dst_cnt = spark.range(1).select(F.lit(0).alias("dest_count"))
-        branches.append(
-            src_cnt.crossJoin(dst_cnt).select(
-                F.lit(name).alias("table_name"),
-                "source_count",
-                "dest_count",
-                F.when(
-                    F.col("source_count") > 0,
-                    F.lit(100.0) * F.col("dest_count") / F.col("source_count"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("percent"),
-            )
+            sides.append(dest[name].select(
+                F.lit(name).alias("table_name"), F.lit(False).alias("_src")))
+    rows = sides[0]
+    for s in sides[1:]:
+        rows = rows.unionByName(s)
+    counts = rows.groupBy("table_name").agg(
+        F.count(F.when(F.col("_src"), 1)).alias("_sc"),
+        F.count(F.when(~F.col("_src"), 1)).alias("_dc"),
+    )
+    base = spark.createDataFrame([(n,) for n in names], ["table_name"])
+    return (
+        base.join(F.broadcast(counts), on="table_name", how="left")
+        .select(
+            "table_name",
+            F.coalesce(F.col("_sc"), F.lit(0).cast("long"))
+            .alias("source_count"),
+            F.coalesce(F.col("_dc"), F.lit(0).cast("long"))
+            .alias("dest_count"),
         )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out
+        .select(
+            "table_name",
+            "source_count",
+            "dest_count",
+            F.when(
+                F.col("source_count") > 0,
+                F.lit(100.0) * F.col("dest_count") / F.col("source_count"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("percent"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Capture explain('formatted') plans for the wave-2 round-17 queries
+(winnow_overlap, report_tabulate, minhash_lsh_pairs, near_dedup_documents,
+corpus_overlap_sketch) into <plans-dir>/<name><suffix>.txt.
+
+Usage: python scripts/capture_plans_r17b.py <plans-dir> <suffix>
+Run from the repo checkout whose code should be captured."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    plans_dir = sys.argv[1]
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "_after"
+    os.makedirs(plans_dir, exist_ok=True)
+
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("plans-r17b", master="local[8]", shuffle_partitions=8)
+    src = load_source_tables(spark, SF_DIR)
+    docs = src["documents"]
+
+    from condenser_spark.config import SubsetConfig
+    from condenser_spark.engine import SubsetEngine
+    from condenser_spark.fixtures import base_config_dict
+    from condenser_spark.functions.dedup import (
+        corpus_overlap,
+        minhash_lsh_pairs,
+        near_dedup_documents,
+    )
+    from condenser_spark.functions.text import winnow_overlap_pairs
+    from pyspark.sql import functions as F
+
+    cfg = SubsetConfig.from_dict(base_config_dict(
+        initial_targets=[{"table": "orders", "percent": 10,
+                          "sample_key": "o_orderkey"}]))
+    eng = SubsetEngine(spark, cfg, src, materialize="persist")
+    eng.run_middle_out()
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    queries = {
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(
+            docs, n=3, threshold=0.8),
+        "near_dedup_documents": lambda: near_dedup_documents(
+            docs, n=3, threshold=0.8),
+        "winnow_overlap": lambda: winnow_overlap_pairs(
+            docs, window=4, winnow=5, min_shared=2),
+        "report_tabulate": eng.report,
+        "corpus_overlap_sketch": lambda: corpus_overlap(
+            half_a, half_b, n=3, approx=True),
+    }
+    for name, mk in queries.items():
+        df = mk()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        path = os.path.join(plans_dir, f"{name}{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"{name}: exchanges={plan.count('Exchange')} -> {path}",
+              flush=True)
+    eng.cleanup()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -81,6 +81,17 @@ def test_dedup_shuffle_carries_fingerprints_not_bodies(spark, source):
     assert "text" not in out.columns
 
 
+def test_minhash_signatures_skip_shingle_distinct(spark, source):
+    """minhash_signatures rides the duplicate-insensitivity of its ``min``
+    aggregates: the (id, shingle) hash-distinct is skipped, so the plan is
+    exactly two exchanges — the shingle window's id partition and the
+    signature aggregate — with no third distinct shuffle between them."""
+    from condenser_spark.functions.dedup import minhash_signatures
+
+    plan = _executed(minhash_signatures(source["documents"]))
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_hash_split_folds_into_scan_stage(spark, source):
     """hash_split promises zero shuffle: a single codegen'd project over the
     pruned scan — no Exchange anywhere in the plan."""
