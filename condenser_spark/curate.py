@@ -811,14 +811,20 @@ def curate_corpus(
         )
         _apply_extra("perplexity_buckets")
     if gopher:
-        from condenser_spark.functions.text import gopher_quality_flags
+        # key set via the substitution-proof single-expression condition
+        # (r17, see streaming/curate.py's gopher gate): same passing ids
+        # as flags.filter("gopher_pass"), without the predicate-pushdown
+        # re-inlining of the tokenize subtree.  The semi-join shape is
+        # kept: stage semantics (including duplicate-id inputs) and the
+        # recorded plan are unchanged beyond the key-side lineage.
+        from condenser_spark.functions.text import gopher_pass_condition
 
         opts = gopher if isinstance(gopher, dict) else {}
-        flags = gopher_quality_flags(cur, text_col=text_col,
-                                     id_col=id_col, **opts)
         cur = _record(
             "gopher_rules",
-            cur.join(flags.filter(F.col("gopher_pass")).select(id_col),
+            cur.join(cur.filter(gopher_pass_condition(text_col=text_col,
+                                                      **opts))
+                     .select(id_col),
                      on=id_col, how="left_semi"),
         )
         _apply_extra("gopher_rules")

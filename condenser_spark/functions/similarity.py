@@ -211,7 +211,11 @@ def _srp_buckets_batch(planes: list[list[list[float]]]):
     # postpones hints module-wide, which pandas_udf's eval-type inference
     # cannot resolve
     buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    return pandas_udf(buckets, ArrayType(LongType()))
+    # nondeterministic mark (guide §4.4, r17): project collapse was
+    # duplicating the bucket evaluation per consumer (e.g. cells/buckets
+    # computed once on the cast alias AND once on the raw column in the
+    # same plan) — the mark pins ONE ArrowEvalPython per side
+    return pandas_udf(buckets, ArrayType(LongType())).asNondeterministic()
 
 
 def _srp_expr_budget_warn(dim: int, bits: int, tables: int) -> bool:
@@ -394,7 +398,9 @@ def _ivf_cells_batch(centroids: list[list[float]], nprobe: int):
 
     # real (non-stringified) annotations — see _srp_buckets_batch
     cells.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    return pandas_udf(cells, ArrayType(IntegerType()))
+    # nondeterministic mark — same §4.4 duplication fix as
+    # _srp_buckets_batch above
+    return pandas_udf(cells, ArrayType(IntegerType())).asNondeterministic()
 
 
 def ivf_cosine_topk(

@@ -467,10 +467,24 @@ def gopher_quality_flags(
     ``ok_word_count`` rather than erroring.  Fully DuckDB-replayable
     (goldens_ext.ext_gopher_flags)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.filter(
+    # words/lines are projected ONCE as helper columns and every stat
+    # reads the attribute: inlining the filter(split(regexp_replace(...)))
+    # subtree at each of its ~10 references copies it into the plan that
+    # many times — measured ~0.6 s of pure driver analysis/codegen per
+    # fresh plan at this operator alone (r17), and a per-row recompute
+    # wherever subexpression elimination does not reach (interpreted HOF
+    # evaluation).  CollapseProject keeps multi-referenced non-cheap
+    # aliases intact, so the factored shape survives optimization; the
+    # expressions themselves are unchanged, so values are identical.
+    words_expr = F.filter(
         F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
         lambda w: w != "",
     )
+    lines_expr = F.split(c, "\n")
+    base = df.select(
+        "*", words_expr.alias("_gq_words"), lines_expr.alias("_gq_lines"))
+    words = F.col("_gq_words")
+    lines = F.col("_gq_lines")
     n_words = F.size(words)
     word_chars = F.length(F.concat_ws("", words))
     mean_wl = F.when(
@@ -485,7 +499,6 @@ def gopher_quality_flags(
         n_words > 0,
         F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
     ).otherwise(F.lit(0.0))
-    lines = F.split(c, "\n")
     n_lines = F.size(lines)
     bullet_frac = F.round(
         F.size(F.filter(
@@ -525,7 +538,7 @@ def gopher_quality_flags(
         "ok_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
         "ok_stop_words": F.col("n_stop_hits") >= min_stop_hits,
     }
-    stats = df.select(
+    stats = base.select(
         F.col(id_col),
         # keep_cols: extra input columns carried through the projection —
         # the stream-safe (join-free) passthrough streaming/curate.py
@@ -545,6 +558,107 @@ def gopher_quality_flags(
         gopher_pass = (F.col(k) if gopher_pass is None
                        else gopher_pass & F.col(k))
     return out.withColumn("gopher_pass", gopher_pass)
+
+
+def gopher_pass_condition(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> Column:
+    """``gopher_pass`` as ONE self-contained boolean expression — the
+    filter form the curate composers use.
+
+    Why this exists (r17): a composer gate written as
+    ``gopher_quality_flags(df).filter("gopher_pass")`` gets its predicate
+    alias-substituted down through every projection by Catalyst's filter
+    pushdown, which re-inlines the tokenize subtree at each of its ~14
+    references into a single giant Filter condition.  Above a parquet
+    scan that condition lands in a codegen stage where subexpression
+    elimination shares the copies — but above an Arrow kernel (the
+    composer's rewrite stages) the Filter evaluates interpreted with NO
+    sharing: measured 2.34 s vs 0.42 s for the same stage at sf0.1.
+    Here the words/lines arrays are bound ONCE as higher-order-function
+    lambda variables, so no optimizer rule can duplicate their
+    construction — the condition is substitution-proof by shape.
+
+    The per-rule arithmetic is copied verbatim from
+    :func:`gopher_quality_flags` (same rounding, casts, and zero-word
+    guards), so the boolean is row-for-row identical to that operator's
+    ``gopher_pass`` (pinned by tests/test_curate_stages.py).  Keep the
+    two in lockstep when thresholds or formulas change."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words_expr = F.filter(
+        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
+        lambda w: w != "",
+    )
+    lines_expr = F.split(c, "\n")
+    # symbol counts read the raw text, not the arrays — cheap string
+    # scans, same expressions as the flags operator
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+
+    def _cond(s):
+        words = s["w"]
+        lines = s["l"]
+        n_words = F.size(words).cast("long")
+        word_chars = F.length(F.concat_ws("", words))
+        mean_wl = F.when(
+            n_words > 0, F.round(word_chars.cast("double") / n_words, 4)
+        ).otherwise(F.lit(0.0))
+        symbol_ratio = F.when(
+            n_words > 0,
+            F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
+        ).otherwise(F.lit(0.0))
+        n_lines = F.size(lines)
+        bullet_frac = F.round(
+            F.size(F.filter(
+                lines,
+                lambda l: l.startswith("•") | l.startswith("- ")
+                | l.startswith("* "),
+            )).cast("double") / n_lines, 4)
+        ellipsis_frac = F.round(
+            F.size(F.filter(
+                lines,
+                lambda l: l.endswith("...") | l.endswith("…"),
+            )).cast("double") / n_lines, 4)
+        alpha_frac = F.when(
+            n_words > 0,
+            F.round(
+                F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                .cast("double") / n_words, 4),
+        ).otherwise(F.lit(0.0))
+        stop_hits = F.size(
+            F.array_intersect(
+                F.transform(words, F.lower),
+                F.lit(list(GOPHER_STOP_WORDS)),
+            )
+        ).cast("long")
+        return (
+            (n_words >= min_words) & (n_words <= max_words)
+            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (bullet_frac <= max_bullet_line_frac)
+            & (ellipsis_frac <= max_ellipsis_line_frac)
+            & (alpha_frac >= min_alpha_word_frac)
+            & (stop_hits >= min_stop_hits)
+        )
+
+    # one-element array binds both arrays as lambda variables: exists()
+    # evaluates the struct exactly once per row
+    return F.exists(
+        F.array(F.struct(words_expr.alias("w"), lines_expr.alias("l"))),
+        _cond,
+    )
 
 
 def code_quality_flags(

@@ -493,14 +493,19 @@ def curate_stream(
                .select(*keep_cols_all))
 
     if gopher:
-        from condenser_spark.functions.text import gopher_quality_flags
+        # the substitution-proof single-expression form (r17): a
+        # flags-then-filter gate gets its predicate alias-substituted
+        # into one interpreted Filter above the rewrite kernels with the
+        # tokenize subtree re-inlined ~14x (measured 2.34 -> 0.42 s at
+        # sf0.1); gopher_pass_condition binds the arrays once as lambda
+        # variables so no pushdown can duplicate them.  Row-identical to
+        # the flags path (the old shape also filtered per row).
+        from condenser_spark.functions.text import gopher_pass_condition
 
         opts = dict(gopher) if isinstance(gopher, dict) else {}
         keep = tuple(c for c in cur.columns if c != id_col)
-        flagged = gopher_quality_flags(cur, text_col=text_col,
-                                       id_col=id_col, keep_cols=keep,
-                                       **opts)
-        cur = flagged.filter(F.col("gopher_pass")).select(id_col, *keep)
+        cur = (cur.filter(gopher_pass_condition(text_col=text_col, **opts))
+               .select(id_col, *keep))
 
     if gopher_repetition:
         # the A1.2 companion to the gopher stage, in the batch composer's

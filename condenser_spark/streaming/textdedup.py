@@ -268,7 +268,7 @@ def _line_result_struct(docs: DataFrame, bloom: ShingleBloom | None,
             "n_removed_tokens": rt, "n_removed_chars": rc,
         })
 
-    kernel = pandas_udf(_kernel, _LINE_STRUCT)
+    kernel = pandas_udf(_kernel, _LINE_STRUCT).asNondeterministic()
     # ONE flattened (h1, h2, is_blank) record per line: the norm
     # expression is referenced exactly once, so projection collapse
     # cannot re-evaluate the normalization per consumer
@@ -343,7 +343,7 @@ def _substring_result_struct(docs: DataFrame, bloom: ShingleBloom | None,
             "n_removed_chars": rc,
         })
 
-    kernel = pandas_udf(_kernel, _SUB_STRUCT)
+    kernel = pandas_udf(_kernel, _SUB_STRUCT).asNondeterministic()
     # ONE flattened (h1, h2) record per gram: the O(G*k) gram
     # construction is referenced exactly once (see _flat_packed)
     packed = F.flatten(F.transform(grams, lambda g: F.array(
@@ -376,7 +376,7 @@ def _member_col(docs: DataFrame, bloom: ShingleBloom | None,
         b = h2.to_numpy().astype(np.uint64)
         return pd.Series(flat_probe(a, b))
 
-    probe = pandas_udf(_kernel, "boolean")
+    probe = pandas_udf(_kernel, "boolean").asNondeterministic()
     safe = F.coalesce(string, F.lit(""))
     return F.when(string.isNull(), F.lit(False)).otherwise(
         probe(F.xxhash64(safe), F.xxhash64(safe, F.lit("bloom-h2"))))
@@ -519,7 +519,7 @@ def diversity_stats_stateless(
         return pd.DataFrame({"n_tokens": nt, "distinct_1": d1,
                              "distinct_2": d2, "distinct_3": d3})
 
-    kernel = pandas_udf(_kernel, _DIV_STRUCT)
+    kernel = pandas_udf(_kernel, _DIV_STRUCT).asNondeterministic()
     arr = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     out = df.select(F.col(id_col).alias("_id"), *keep_cols,
                     kernel(arr).alias("_r"))
@@ -597,7 +597,7 @@ def fineweb_quality_stateless(
                 sum((k - 1) * len(u) for u, k in c.items() if k > 1))
         return pd.DataFrame(cols)
 
-    kernel = pandas_udf(_kernel, _FW_STRUCT)
+    kernel = pandas_udf(_kernel, _FW_STRUCT).asNondeterministic()
     units = F.filter(
         F.transform(F.split(F.col(text_col), "\n"),
                     lambda u: F.trim(u)),
@@ -851,7 +851,7 @@ def gopher_repetition_stateless(
             cols[f"cov{n}"] = cov
         return pd.DataFrame(cols)
 
-    kernel = pandas_udf(_kernel, _REP_STRUCT)
+    kernel = pandas_udf(_kernel, _REP_STRUCT).asNondeterministic()
 
     def _units(sep: str):
         return F.filter(

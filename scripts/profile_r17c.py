@@ -1,0 +1,155 @@
+"""Ad-hoc round-17 wave-3 profiler: isolate the remaining hot bench
+entries (kn5 scorers, curate_stream, bigram_lm_score, dsir_sample) with
+the bench's own actions, median-of-N fresh-plan runs, optional
+explain('formatted') capture.  Development tool only."""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main():
+    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    runs = 5
+    plans_dir = None
+    suffix = ""
+    for a in sys.argv[1:]:
+        if a.startswith("--runs="):
+            runs = int(a.split("=")[1])
+        elif a.startswith("--plans-dir="):
+            plans_dir = a.split("=", 1)[1]
+        elif a.startswith("--suffix="):
+            suffix = a.split("=", 1)[1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("profile-r17c")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from condenser_spark.registry import load_source_tables
+
+    source = load_source_tables(spark, SF_DIR)
+    docs = source["documents"]
+
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        kn5_score_documents,
+        kn5_score_documents_stream,
+        kn_trigram_score_documents,
+        kn_trigram_score_documents_stream,
+        train_bigram_lm,
+        train_kn5_lm,
+        train_kn_trigram_lm,
+    )
+
+    reg = {}
+
+    _kn5 = None
+
+    def kn5_model():
+        nonlocal _kn5
+        if _kn5 is None:
+            _kn5 = tuple(t.localCheckpoint()
+                         for t in train_kn5_lm(docs, vocab_size=4096))
+        return _kn5
+
+    _kn3 = None
+
+    def kn3_model():
+        nonlocal _kn3
+        if _kn3 is None:
+            _kn3 = tuple(t.localCheckpoint()
+                         for t in train_kn_trigram_lm(docs, vocab_size=4096))
+        return _kn3
+
+    reg["kn5_score"] = lambda: kn5_score_documents(docs, *kn5_model())
+    reg["kn5_score_stream"] = (
+        lambda: kn5_score_documents_stream(docs, *kn5_model()))
+    reg["kn_trigram_score"] = (
+        lambda: kn_trigram_score_documents(docs, *kn3_model()))
+    reg["kn_trigram_score_stream"] = (
+        lambda: kn_trigram_score_documents_stream(docs, *kn3_model()))
+
+    def _bigram_lm():
+        uni, bi = train_bigram_lm(docs, vocab_size=4096)
+        return (bigram_score_documents(docs, uni, bi)
+                .agg(F.sum("lm2_logprob4_sum")).collect())
+
+    reg["bigram_lm_score"] = _bigram_lm
+
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import (
+        build_kgram_bloom,
+        build_line_bloom,
+    )
+
+    _landed = docs.filter(F.col("doc_id") % 2 == 0)
+    _incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    _blooms = {}
+
+    def blooms():
+        if not _blooms:
+            _blooms["l"] = build_line_bloom(_landed)
+            _blooms["k"] = build_kgram_bloom(_landed, k=10)
+        return _blooms
+
+    def _curate():
+        b = blooms()
+        return curate_stream(_incoming, line_bloom=b["l"],
+                             kgram_bloom=b["k"], k=10, gopher=True)
+
+    reg["curate_stream"] = _curate
+
+    for name in names:
+        if name not in reg:
+            print(f"SKIP {name}: not registered here")
+            continue
+        samples = []
+        for i in range(runs):
+            t0 = time.time()
+            out = reg[name]()
+            if out is None:
+                pass
+            elif hasattr(out, "write"):
+                if name.startswith(("kn5", "kn_")):
+                    pref = "lm5" if name.startswith("kn5") else "lm3"
+                    out.agg(F.sum(f"{pref}_logprob4_sum")).collect()
+                elif name == "curate_stream":
+                    out.agg(F.sum("es_removed_tokens")).collect()
+                else:
+                    out.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        med = statistics.median(samples)
+        print(f"{name}: median {med:.3f}s  samples "
+              f"{[round(s, 3) for s in samples]}")
+        if plans_dir:
+            out = reg[name]()
+            if hasattr(out, "_jdf"):
+                qe = out._jdf.queryExecution()
+                qe.executedPlan().execute().count()
+                txt = qe.explainString(
+                    spark._jvm.org.apache.spark.sql.execution
+                    .ExplainMode.fromString("formatted"))
+                p = os.path.join(plans_dir, f"{name}{suffix}.txt")
+                with open(p, "w") as f:
+                    f.write(txt)
+                print("  plan ->", p)
+
+
+if __name__ == "__main__":
+    main()

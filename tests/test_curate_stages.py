@@ -1,0 +1,69 @@
+"""Row-identity pins for the composer gate rewrites (r17 wave 3).
+
+`gopher_pass_condition` is the single-expression filter form the curate
+composers use in place of ``gopher_quality_flags(...).filter("gopher_pass")``
+(the flags-then-filter shape gets its predicate alias-substituted into one
+interpreted Filter with the tokenize subtree re-inlined ~14x — see the
+function docstrings).  These tests pin that the condition selects EXACTLY
+the rows whose ``gopher_pass`` flag is true, on the real corpus fixture and
+on adversarial edge rows, at both default and non-default thresholds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import (
+    gopher_pass_condition,
+    gopher_quality_flags,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+EDGE_ROWS = [
+    (1, None),                       # null text
+    (2, ""),                         # empty
+    (3, "   \n \n  "),               # whitespace/newlines only
+    (4, "• a\n- b\n* c\nplain"),     # bullet lines
+    (5, "end...\nend…\nno"),         # ellipsis lines + symbol ratio
+    (6, "# " * 40 + "word " * 60),   # hash symbols
+    (7, ("the and is of to " * 30).strip()),   # stop-word rich, short words
+    (8, " ".join(["supercalifragilistic"] * 80)),  # long words, no stops
+    (9, "a " * 200),                 # 1-char words
+    (10, ("The quick brown fox jumps over the lazy dog and then "
+          "it runs away with that in a field of green grass. ") * 8),
+]
+
+
+@pytest.mark.parametrize("opts", [
+    {},
+    {"min_words": 5, "min_stop_hits": 1, "max_symbol_ratio": 0.5,
+     "min_alpha_word_frac": 0.5, "max_bullet_line_frac": 0.4,
+     "max_ellipsis_line_frac": 0.2, "min_mean_word_len": 1.5,
+     "max_mean_word_len": 20.0, "max_words": 150},
+])
+def test_condition_matches_flags_on_edge_rows(spark, opts):
+    df = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+    via_flags = sorted(
+        r[0] for r in gopher_quality_flags(df, **opts)
+        .filter(F.col("gopher_pass")).select("doc_id").collect())
+    via_cond = sorted(
+        r[0] for r in df.filter(gopher_pass_condition(**opts))
+        .select("doc_id").collect())
+    assert via_cond == via_flags
+
+
+def test_condition_matches_flags_on_corpus(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    opts = {"min_stop_hits": 1}
+    via_flags = sorted(
+        r[0] for r in gopher_quality_flags(df, **opts)
+        .filter(F.col("gopher_pass")).select("doc_id").collect())
+    via_cond = sorted(
+        r[0] for r in df.filter(gopher_pass_condition(**opts))
+        .select("doc_id").collect())
+    assert via_cond == via_flags
+    # the gate must actually partition the corpus (not vacuously all/none)
+    n = df.count()
+    assert 0 < len(via_cond) < n
