@@ -1045,6 +1045,7 @@ def duplicated_ngram_starts(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_grams: bool = True,
 ) -> DataFrame:
     """(id, pos, fp) — the 1-based token positions that START a ``k``-token
     n-gram occurring at least ``min_count`` times across the WHOLE corpus
@@ -1065,7 +1066,20 @@ def duplicated_ngram_starts(
     (fp, count) aggregate — the same inverted-index shape as
     ``strip_repeated_blocks``'s block-frequency model — and a left-semi
     join on fp ships (id, pos, 16-byte fp) rows only.  Nothing is
-    quadratic; no pair join ever forms, so no hot-key cap is needed."""
+    quadratic; no pair join ever forms, so no hot-key cap is needed.
+
+    ``cache_grams``: the gram rows are referenced TWICE (the duplicate-
+    count aggregate side and the semi-join probe side) with no barrier
+    between them, so without it the O(tokens * k) slice+concat+md5
+    construction — the operator's dominant compute — runs once per
+    reference.  A lazy ``localCheckpoint`` materializes it once (the
+    ``cache_band_index`` pattern from minhash_lsh_pairs; r17).  The
+    trade is executor block storage for (id, pos, 16-byte fp) rows —
+    pass ``False`` to recompute instead of store.  A per-fp count
+    window would also collapse the two references into one pass but
+    puts every site of a viral fingerprint into ONE window partition
+    (the skewed-task shape the keep="first" election below
+    deliberately avoids), so the barrier is the scale-safe form."""
     assert k >= 2 and min_count >= 2
     arr = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -1086,6 +1100,8 @@ def duplicated_ngram_starts(
             ).alias("fp"),
         )
     )
+    if cache_grams:
+        grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_sites"))
