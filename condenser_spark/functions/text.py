@@ -1250,6 +1250,7 @@ def dedup_lines(
     strip_digits: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cache_lines: bool = True,
 ) -> DataFrame:
     """Cross-document LINE/paragraph deduplication — CCNet's first stage
     (Wenzek et al. 2020 §3.1: hash every paragraph, drop duplicates before
@@ -1283,7 +1284,19 @@ def dedup_lines(
     (hash, count) aggregate, a left-semi/election join shipping (id, pos,
     16-byte hash), one id-partitioned ordered rebuild — the
     exact_substring_dedup shape at line granularity, linear end to end,
-    no pair join."""
+    no pair join.
+
+    ``cache_lines``: the hashed line rows feed THREE consumers whose
+    downstream exchanges differ (the duplicate-count aggregate on the
+    hash, the election/semi-join probe, and the id-keyed rebuild join),
+    so exchange reuse cannot share them and the explode + double
+    regexp + md5 normalization runs once per consumer.  A lazy
+    ``localCheckpoint`` materializes it once (the cache_band_index /
+    cache_grams pattern; measured 1.56 → 1.24 s at sf0.1, identical
+    frames).  The trade is heavier here than the fingerprint caches —
+    the stored rows carry the ORIGINAL line text the rebuild needs —
+    so pass ``False`` to recompute instead of store when executor
+    block storage is the constraint."""
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first': {keep!r}")
     assert min_count >= 2
@@ -1296,6 +1309,8 @@ def dedup_lines(
         norm = F.regexp_replace(norm, r"[0-9]", "")
     hashed = lines.withColumn(
         "_h", F.when(norm != "", F.md5(norm)))
+    if cache_lines:
+        hashed = hashed.localCheckpoint(eager=False)
     dup = (
         hashed.filter(F.col("_h").isNotNull())
         .groupBy("_h")
