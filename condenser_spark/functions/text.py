@@ -1119,6 +1119,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: str = "none",
+    cache_grams: bool = True,
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2021) at token ``k``-gram
     granularity: every token covered by a duplicated ``k``-gram (per
@@ -1179,7 +1180,8 @@ def exact_substring_dedup(
         "id", F.posexplode("_arr").alias("_p0", "tok")
     ).select("id", (F.col("_p0") + 1).alias("pos"), "tok")
     dup_starts = duplicated_ngram_starts(
-        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col
+        df, k=k, min_count=min_count, text_col=text_col, id_col=id_col,
+        cache_grams=cache_grams,
     ).select(F.col(id_col).alias("id"), "pos", "fp")
     if keep == "first":
         # survivor election WITHOUT a per-fp window: min(struct(id, pos))

@@ -1,0 +1,85 @@
+"""Pins for the r17 wave-4 lineage barriers (OPTIMIZATION_r17.md #12/#13).
+
+Each barrier materializes a multiply-referenced expensive construction
+once behind a lazy localCheckpoint.  Two invariants per operator:
+
+* value identity — the cached and uncached paths return identical
+  frames (the barrier is an execution detail, never a semantic one);
+* barrier shape — with the cache ON the construction is absent from the
+  final executed plan (it ran once, behind a Scan ExistingRDD); with
+  the cache OFF it appears once per consumer, which is exactly the
+  recompute the toggle buys out of.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from condenser_spark.functions.text import dedup_lines, exact_substring_dedup
+
+
+def _docs(spark):
+    rows = [
+        (1, "shared line one\nunique a\nshared line two"),
+        (2, "shared line one\nunique b\nshared line two"),
+        (3, "unique c\n\nunique d"),
+        (4, None),
+        (5, " ".join(f"tok{i % 7}" for i in range(60))),
+        (6, " ".join(f"tok{i % 7}" for i in range(60))),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pdf(df):
+    return df.orderBy("doc_id").toPandas()
+
+
+def _final_plan(df):
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    return qe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_exact_substring_cache_grams_value_identity(spark):
+    df = _docs(spark)
+    a = _pdf(exact_substring_dedup(df, k=5))
+    b = _pdf(exact_substring_dedup(df, k=5, cache_grams=False))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_substring_gram_construction_behind_barrier(spark):
+    df = _docs(spark)
+    cached = _final_plan(exact_substring_dedup(df, k=5))
+    uncached = _final_plan(
+        exact_substring_dedup(df, k=5, cache_grams=False))
+    # md5 is the gram fingerprint; with the barrier it ran once in the
+    # checkpoint job and never appears in the consuming plan
+    assert "md5" not in cached
+    assert uncached.count("md5") >= 2  # once per consumer without it
+
+
+def test_dedup_lines_cache_lines_value_identity(spark):
+    df = _docs(spark)
+    for kw in ({"keep": "first"}, {"keep": "none", "strip_digits": True}):
+        a = _pdf(dedup_lines(df, **kw))
+        b = _pdf(dedup_lines(df, cache_lines=False, **kw))
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_lines_normalization_behind_barrier(spark):
+    df = _docs(spark)
+    cached = _final_plan(dedup_lines(df))
+    uncached = _final_plan(dedup_lines(df, cache_lines=False))
+    assert "regexp_replace" not in cached
+    assert uncached.count("regexp_replace") >= 2
+
+
+def test_dedup_lines_composes_with_semi_join_consumers(spark):
+    # the checkpointed frame must keep behaving as a normal DataFrame
+    # through the curate-composer join patterns
+    df = _docs(spark)
+    out = dedup_lines(df)
+    kept = df.join(out.filter(F.length("text") > 0).select("doc_id"),
+                   on="doc_id", how="left_semi")
+    assert kept.count() > 0
