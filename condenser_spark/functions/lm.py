@@ -599,14 +599,28 @@ def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
     """Micro-batch-local per-document sum — the streaming-legal stand-in
     for the batch scorers' groupBy(id).agg + join-back: a document is
     ONE input row, so all its token rows live inside the same
-    micro-batch; one stateless hash ``repartition(id_col)`` co-locates
+    micro-batch; a stateless hash ``repartition(id_col)`` co-locates
     them and an Arrow kernel folds integer sums per document (integer
     addition is order-free, so scores stay BIT-IDENTICAL to batch).
     No state store, no watermark — append-mode safe by construction.
 
+    The fold is TWO kernels around the exchange, not one after it
+    (guide §2.3 "aggregate before you shuffle", r17): a partition-local
+    pre-combine first collapses each input partition to one
+    (carry, partial-sum, partial-count) row per document it saw — the
+    map-side combine the batch scorers get for free from their hash
+    aggregate — so the id exchange ships one row per document per
+    upstream partition instead of one row per TOKEN (a ~tokens-per-doc
+    shuffle-volume reduction; the scorers' gram joins leave a doc's
+    rows scattered, so without this every token row crosses the wire).
+    Partial sums are integers and the carry columns ride only the
+    per-doc first-token row (``_thin_carry``), so first-non-null
+    composes across partials and scores stay bit-identical (pinned by
+    the batch-parity suites and the stream oracle goldens).
+
     ``rows`` carries every original ``df`` column (constant per doc)
-    plus ``_c4``/``_tok``; the kernel re-emits one row per document
-    with the three scorer columns appended."""
+    plus ``_c4``/``_tok``; the final kernel re-emits one row per
+    document with the three scorer columns appended."""
     import math
 
     import pandas as pd
@@ -615,6 +629,10 @@ def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
 
     carry = list(df.columns)
     others = [c for c in carry if c != id_col]
+    partial_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("_ps4", T.LongType()),
+           T.StructField("_pn", T.LongType())])
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(f"{prefix}_logprob", T.DoubleType()),
@@ -628,22 +646,35 @@ def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
         r = math.floor(s + 0.5) if s >= 0 else math.ceil(s - 0.5)
         return r / 10_000.0
 
-    def gen(batches):
+    def partial_gen(batches):
         parts = []
         for pdf in batches:
             if not len(pdf):
                 continue
             g = pdf.groupby(id_col, sort=False, dropna=False)
-            agg = g.agg(_s4=("_c4", "sum"), _n=("_tok", "sum"))
+            agg = g.agg(_ps4=("_c4", "sum"), _pn=("_tok", "sum"))
             if others:
-                # carry columns are constant per doc; first() is exact
+                # carry columns are non-null only on the doc's first
+                # token row; first() takes the first NON-NULL, so the
+                # value survives whichever partial holds that row
                 agg = g[others].first().join(agg)
             parts.append(agg.reset_index())
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True)
         g = allp.groupby(id_col, sort=False, dropna=False)
-        final = g.agg(_s4=("_s4", "sum"), _n=("_n", "sum"))
+        fin = g.agg(_ps4=("_ps4", "sum"), _pn=("_pn", "sum"))
+        if others:
+            fin = g[others].first().join(fin)
+        yield fin.reset_index()[[*carry, "_ps4", "_pn"]]
+
+    def final_gen(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True)
+        g = allp.groupby(id_col, sort=False, dropna=False)
+        final = g.agg(_s4=("_ps4", "sum"), _n=("_pn", "sum"))
         if others:
             final = g[others].first().join(final)
         final = final.reset_index()
@@ -656,8 +687,9 @@ def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
             "n_scored_tokens": final["_n"].astype("int64"),
         })
 
-    return rows.repartition(F.col(id_col)).mapInPandas(
-        gen, schema=out_schema)
+    partial = rows.mapInPandas(partial_gen, schema=partial_schema)
+    return partial.repartition(F.col(id_col)).mapInPandas(
+        final_gen, schema=out_schema)
 
 
 def bigram_score_documents_stream(

@@ -75,6 +75,29 @@ def test_dedup_lines_normalization_behind_barrier(spark):
     assert uncached.count("regexp_replace") >= 2
 
 
+def test_stream_fold_pre_combines_before_the_exchange(spark):
+    """OPTIMIZATION_r17 #14: the stream-scorer fold must run TWO pandas
+    kernels around ONE id exchange — the partition-local pre-combine
+    (so the exchange ships one row per doc per upstream partition, not
+    one per token) and the final per-doc fold.  Values are pinned
+    bit-identical to batch by tests/test_lm_stream.py; this pins the
+    shuffle-volume shape."""
+    from condenser_spark.functions.lm import (
+        bigram_score_documents_stream,
+        train_bigram_lm,
+    )
+
+    df = _docs(spark).fillna({"text": ""})
+    uni, bi = train_bigram_lm(df, vocab_size=64)
+    out = bigram_score_documents_stream(df, uni, bi)
+    plan = _final_plan(out)
+    final_section = plan.split("== Initial Plan ==")[0]
+    # the final section's operator tree lists each node once: the
+    # single-kernel (pre-#14) shape shows ONE MapInPandas, the
+    # pre-combined shape TWO
+    assert final_section.count("MapInPandas") >= 2, final_section[:2000]
+
+
 def test_dedup_lines_composes_with_semi_join_consumers(spark):
     # the checkpointed frame must keep behaving as a normal DataFrame
     # through the curate-composer join patterns
