@@ -88,69 +88,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (an in-cap insertion would push a rows-only golden past the cap,
     # violating invariant 1); they rotate in-cap the following round.
     #
-    # Round-17 instance (registry at rotation: 139 oracles + 7 rows-only,
-    # so 43 oracle slots and cycle = ceil(139/43) = 4 rounds; mid-round
-    # the registry grew to 145 oracles + 5 rows-only — four new stream/
-    # 5-gram LM goldens appended per the mid-round rule below, plus the
-    # media/video pair goldens promoted to full oracles, which keeps
-    # them in-cap and widens the window to 45 oracle slots).  In-cap
-    # priority: ext_kn_trigram_logprob (the only never-driver-recorded
-    # golden, registered mid-round-16), then the 6 r13-recorded
-    # carryovers displaced last round (longest-waiting), then the 36
-    # oldest of the 45 r14-recorded carryovers = 43 oracle slots, + the
-    # 7 rows-only = 50.  Deprioritized below = the 9 youngest
-    # r14-recorded carryovers (FIRST in-cap next round) + the 44
-    # recorded green in CORRECTNESS_r15.json + the 43 oracle-bearing
-    # goldens recorded green in CORRECTNESS_r16.json (rotate out).  The
+    # Round-18 instance (registry at rotation: 145 oracles + 5 rows-only,
+    # so 45 oracle slots and cycle = ceil(145/45) = 4 rounds).  In-cap
+    # priority: the 4 never-driver-recorded goldens registered mid-round
+    # 17 (ext_kn_logprob_stream, ext_bigram_logprob_stream,
+    # ext_kn5_logprob, ext_kn5_logprob_stream), then the 9 r14-recorded
+    # carryovers displaced last round (longest-waiting), then the 32
+    # oldest of the 44 r15-recorded carryovers = 45 oracle slots, + the
+    # 5 rows-only = 50.  Deprioritized below = the 12 youngest
+    # r15-recorded carryovers (FIRST in-cap next round) + the 43
+    # recorded green in CORRECTNESS_r16.json + the 45 oracle-bearing
+    # goldens recorded green in CORRECTNESS_r17.json (rotate out).  The
     # cadence promise ("every oracle driver-recorded at least every
     # `cycle` rounds") is asserted by
     # tests/test_rotation_invariants.py::test_rotation_cadence against
     # the committed CORRECTNESS_r*.json files, not just by this prose.
     deprioritized = [
-        # recorded green r14, past-cap two rounds — the 9 displaced by
+        # recorded green r15, past-cap two rounds — the 12 displaced by
         # the in-cap window (longest-waiting, FIRST in-cap next round)
-        "ext_collocation_scores",
-        "ext_knn_graph",
-        "ext_bigram_logprob",
-        "ext_badwords",
-        "ext_curate_stream_script",
-        "ext_warc_roundtrip",
-        "ext_fineweb_flags",
-        "ext_fineweb_flags_stream",
-        "ext_code_flags",
-        # recorded green r15 (rotate out)
-        "ext_dedup_documents",
-        "ext_ngram_jaccard_pairs",
-        "ext_dup_clusters",
-        "ext_near_dedup_documents",
-        "ext_text_stats",
-        "ext_rolling_fingerprints",
-        "ext_shared_passages",
-        "ext_asof_join",
-        "ext_range_join_bucketed",
-        "ext_sessionize",
-        "ext_session_stats",
-        "ext_windowed_event_counts",
-        "ext_numeric_profile",
-        "ext_minhash_lsh_pairs",
-        "middle_out_breaks_upstream_filters",
-        "s9_write_dest_roundtrip",
-        "s7_teardown_removes_stale",
-        "s13_hook_dest_replace",
-        "ext_zorder_value",
-        "ext_url_curation",
-        "ext_url_dedup",
-        "ext_domain_stats",
-        "ext_curate_url",
-        "ext_prototype_prune",
-        "ext_dedup_lines_stream",
-        "ext_exact_substring_stream",
-        "ext_unimax_weights",
-        "ext_rrf_fuse",
-        "ext_soft_dedup_weights",
-        "ext_zipf_fit",
-        "ext_diversity_stats",
-        "ext_winnow_fingerprints",
         "ext_corpus_overlap",
         "ext_url_dedup_keep",
         "ext_curate_stream",
@@ -207,12 +162,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ext_curate_div",
         "ext_landed_manifest",
         "ext_curate_ppl_keep",
-        # new in round 17 (appended per the mid-round rule; rotate
-        # in-cap the following round)
-        "ext_kn_logprob_stream",
-        "ext_bigram_logprob_stream",
-        "ext_kn5_logprob",
-        "ext_kn5_logprob_stream",
+        # recorded green r17 (rotate out)
+        "p1_fk_nullout_projection",
+        "j1_upstream_multi_edge_semi_join",
+        "j2_j3_missing_keys_anti_distinct",
+        "s8_referential_orphan_check",
+        "middle_out_percent_subset",
+        "middle_out_where_subset",
+        "middle_out_passthrough_excluded",
+        "ext_exact_dedup",
+        "ext_media_phash_pairs",
+        "ext_video_fp_pairs",
+        "ext_pack_sequences_sharded",
+        "ext_take_token_budget",
+        "ext_cap_per_group",
+        "ext_pii_scrub",
+        "ext_funnel_counts",
+        "ext_contamination_fraction",
+        "ext_decontaminate_bloom",
+        "ext_encode_tokens",
+        "ext_strip_repeated_blocks",
+        "ext_chunk_documents",
+        "ext_expand_epochs",
+        "ext_winsorize",
+        "ext_curriculum_buckets",
+        "ext_snapshot_diff",
+        "ext_hashed_doc_vectors",
+        "ext_knn_label_vote",
+        "ext_mixture_report",
+        "ext_rp_project",
+        "ext_lm_logprob",
+        "ext_uniform_sample_per_group",
+        "ext_language_scores",
+        "ext_exact_substring",
+        "ext_ccnet_buckets",
+        "ext_exact_substring_keep",
+        "ext_dedup_lines",
+        "ext_curate_linesub",
+        "ext_bm25_topk",
+        "ext_bpe_roundtrip",
+        "ext_kn_trigram_logprob",
+        "ext_d4_prune",
+        "ext_surt_key",
+        "ext_doremi_weights",
+        "ext_gopher_repetition",
+        "ext_gopher_repetition_stream",
+        "ext_script_stats",
     ]
     ordered = {
         k: v for k, v in QUERIES.items()
