@@ -95,19 +95,34 @@ def wait_for_idle(threshold: float = IDLE_THRESHOLD,
     return waited
 
 
+# The driver keeps EXACTLY the last 2000 chars of stdout (measured: every
+# committed BENCH_r*.json `tail` is len 2000) and parses the final line as
+# JSON; round 9's single-line format grew past that window and
+# BENCH_r09.json came back parsed:null.  FINAL_LINE_BOUND leaves a 50-char
+# margin under the window for the trailing newline and capture jitter.
+FINAL_LINE_BOUND = 1950
+
+
 def emit_lines(timings: dict[str, float], noise: dict[str, float],
                load_start, load_end,
-               idle_wait_s: float = 0.0) -> tuple[str, str]:
+               idle_wait_s: float = 0.0,
+               extra_detail: dict | None = None) -> tuple[str, str]:
     """Render the two output lines (full-precision detail, compact final).
 
-    The driver captures only the LAST ~2000 chars of stdout and parses the
-    final line as JSON; round 9's single-line format grew past that window
-    and BENCH_r09.json came back parsed:null.  Structural safety (VERDICT
-    r11 punch #2): the final line is HARD-bounded at 1800 chars — when the
-    2-dp query map would push it past the bound, the map moves wholesale to
-    the preceding detail line (`queries_full`, always full-precision) and
-    the final line keeps every scalar field, so the driver's parse never
-    fails and per-query values are never lost.  Pinned by
+    Structural safety (VERDICT r11 punch #2, reworked r18 per VERDICT r17
+    "What's wrong #2"): from round 13 the 2-dp query map plus the noise
+    and loadavg scalars overflowed the bound and the map was dropped
+    WHOLESALE from the final line — which is the only channel the driver's
+    PERF comparison reads, so per_query/geomean/scaling all came back
+    empty.  The final line now carries a 1-dp query map (the detail line
+    and the committed BENCH_DETAIL artifact keep full precision) with the
+    noise/loadavg/idle scalars demoted to the detail line, and when the
+    map STILL pushes the line past FINAL_LINE_BOUND it is trimmed
+    per-entry — longest names first (ties lexicographic), each worth the
+    most chars — with an ``n_omitted`` count, instead of dropped
+    wholesale.  The driver's parse never fails, per-query values are
+    never lost (detail line + artifact), and the driver-visible map stays
+    as complete as the 2000-char stdout window allows.  Pinned by
     tests/test_bench_emission.py at current-registry-size + 10 synthetic
     entries.
     """
@@ -115,14 +130,6 @@ def emit_lines(timings: dict[str, float], noise: dict[str, float],
         "detail": "full_precision",
         "queries_full": timings,
         "noise_pct": noise,
-    }
-    detail_line = json.dumps(detail, separators=(",", ":"))
-    total = round(sum(timings.values()), 3)
-    final = {
-        "metric": "total_median_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
         "noise_pct_max": round(max(noise.values()) if noise else 0.0, 2),
         "runs_per_query": 3,
         "timing": "median3_after_warmup",
@@ -130,14 +137,41 @@ def emit_lines(timings: dict[str, float], noise: dict[str, float],
         "loadavg_end": [round(x, 2) for x in load_end],
         "idle_wait_s": round(idle_wait_s, 1),
         "host_cpus": os.cpu_count(),
+    }
+    if extra_detail:
+        detail.update(extra_detail)
+    detail_line = json.dumps(detail, separators=(",", ":"))
+    total = round(sum(timings.values()), 3)
+
+    def _fold(v: float):
+        # 1-dp, rendered as an int when whole ("2" not "2.0") — every
+        # final-line char spent here is one the map cannot spend on
+        # another entry
+        r = round(v, 1)
+        return int(r) if r == int(r) else r
+
+    qmap = {k: _fold(v) for k, v in timings.items()}
+    final = {
+        "metric": "total_median_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qmap,
         "bench_cpus": int(CPUS),
         "sf": _sf_from_dir(SF_DIR),
     }
     line = json.dumps(final, separators=(",", ":"))
-    if len(line) > 1800:
-        final.pop("queries")
-        final["queries_note"] = "see queries_full on preceding detail line"
-        line = json.dumps(final, separators=(",", ":"))
+    if len(line) > FINAL_LINE_BOUND:
+        # trim longest-named entries first: deterministic, and each
+        # removal frees the most characters, keeping the most entries
+        by_cost = sorted(qmap, key=lambda k: (-len(k), k))
+        omitted = 0
+        for k in by_cost:
+            if len(line) <= FINAL_LINE_BOUND:
+                break
+            del qmap[k]
+            omitted += 1
+            final["n_omitted"] = omitted
+            line = json.dumps(final, separators=(",", ":"))
     return detail_line, line
 
 
@@ -155,6 +189,11 @@ def write_detail_artifact(detail_line: str, final_line: str,
     window.  ``round_no`` defaults to max(existing BENCH_r*.json) + 1 —
     the driver records BENCH_r{N}.json only at round close, so during a
     round the next number is free; ``SPARK_GRAFT_ROUND`` overrides.
+
+    Scaling runs (bench_cpus != the host's core count) land as
+    ``BENCH_DETAIL_r{N}_c{cpus}.json`` so they can never masquerade as
+    the round's full-core floor (VERDICT r17 "What's wrong #3": the
+    driver's 8-core r17 scaling run claimed the bare r18 name).
     """
     import re
 
@@ -171,7 +210,9 @@ def write_detail_artifact(detail_line: str, final_line: str,
             round_no = (max(seen) + 1) if seen else 1
     merged = json.loads(detail_line)
     merged.update(json.loads(final_line))
-    path = os.path.join(repo_dir, f"BENCH_DETAIL_r{round_no:02d}.json")
+    suffix = "" if int(CPUS) == os.cpu_count() else f"_c{int(CPUS)}"
+    path = os.path.join(
+        repo_dir, f"BENCH_DETAIL_r{round_no:02d}{suffix}.json")
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(merged, fh, indent=1, sort_keys=True)
@@ -471,6 +512,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
               winsorize(docs, ["n_chars"]), epochs={},
               source_col="lang", default_epochs=1.5).count())
 
+    # round 18 (VERDICT r17 #6): the previously-untimed model builds get
+    # first-class entries mirroring ivf_index_build, so no amortized
+    # pre-computation sits entirely outside the timed surface
+    timed("train_unigram_lm",
+          lambda: train_unigram_lm(docs, vocab_size=4096).count())
+
     # unigram-LM corpus scoring; the model trains ONCE outside the timed
     # loop (the amortized shape — one model scores every later shard)
     _lm = train_unigram_lm(docs, vocab_size=4096)
@@ -505,6 +552,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # two hashed-ngram LMs train once outside the timed loop (amortized
     # shape, same as the unigram LM above) — the timed cost is the
     # broadcast delta join + integer sum + distributed Gumbel top-k rank
+    timed("train_hashed_ngram_lm",
+          lambda: train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"),
+                                        dim=4096).count())
     _dsir_t = train_hashed_ngram_lm(docs.filter(F.col("lang") == "en"),
                                     dim=4096)
     _dsir_r = train_hashed_ngram_lm(docs, dim=4096)
@@ -523,6 +573,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # train once (driver numpy over a hash-ordered sample), the encoded
     # table persists, and the timed query is the LUT-literal ADC scan +
     # exact re-rank of the candidate pool
+    timed("pq_train", lambda: pq_train(emb, n_subspaces=8, n_codes=16))
     _pq_books = pq_train(emb, n_subspaces=8, n_codes=16)
     timed("pq_encode", lambda: pq_encode(emb, _pq_books).count())
     _pq_enc = pq_encode(emb, _pq_books)
@@ -740,6 +791,14 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
           lambda: curate_stream(_incoming, line_bloom=_blm_l,
                                 diversity={"min_ratio_2": 0.3})
           .agg(F.sum("dv_distinct_2")).collect())
+
+    # round 18 (VERDICT r17 #4): the stream chain's C4 gate — the one
+    # composer stage whose filter sits above an Arrow kernel with no
+    # bench coverage; this times the line-dedup kernel + c4 line
+    # cleaning + doc gate end to end
+    timed("curate_stream_c4",
+          lambda: curate_stream(_incoming, line_bloom=_blm_l, c4=True)
+          .agg(F.sum(F.length("text"))).collect())
 
     # round 13: the COMPLETE A1.2 table (12 rules incl. the vectorized
     # dup-5..10-gram coverage kernel) and the C4 bad-words regex gate.
@@ -959,6 +1018,39 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings, noise
 
 
+# Host-drift calibration (VERDICT r17 "Next round" #9): two mid-cost,
+# code-stable probe queries whose 32-core floor is pinned from the
+# driver's own r17 recording (BENCH_DETAIL_r17.json, total 98.5 s run).
+# Every bench run stamps now/floor/ratio for both into the detail
+# artifact, so a board-wide slowdown reads as DATA (ratio >> 1 on
+# untouched probes) instead of needing a post-hoc adjudication essay —
+# NOISE_FLOOR.md "wave-4 close" documents the round-17 incident this
+# automates.  Ratios are only comparable on a full-core run; the stamp
+# records bench_cpus context either way.
+CALIBRATION_FLOOR_32C = {
+    "minhash_lsh_pairs": 3.07,
+    "bm25_topk": 2.39,
+}
+
+
+def calibration_stamp(timings: dict[str, float]) -> dict:
+    probes = {}
+    for name, floor in CALIBRATION_FLOOR_32C.items():
+        now = timings.get(name)
+        if now is None:
+            continue
+        probes[name] = {
+            "now": round(now, 3),
+            "floor_32c": floor,
+            "ratio": round(now / floor, 2),
+        }
+    return {"calibration": {
+        "floor_src": "BENCH_DETAIL_r17.json (driver 32c recording)",
+        "bench_cpus": int(CPUS),
+        "probes": probes,
+    }}
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from condenser_spark.session import get_spark
@@ -974,7 +1066,8 @@ def main() -> int:
     timings, noise = bench_queries(spark, SF_DIR)
     load_end = os.getloadavg()
     detail_line, final_line = emit_lines(
-        timings, noise, load_start, load_end, idle_wait_s)
+        timings, noise, load_start, load_end, idle_wait_s,
+        extra_detail=calibration_stamp(timings))
     path = write_detail_artifact(
         detail_line, final_line,
         os.path.dirname(os.path.abspath(__file__)))

@@ -1,10 +1,15 @@
-"""Structural safety of bench.py's two-line emission (VERDICT r11 punch #2).
+"""Structural safety of bench.py's two-line emission (VERDICT r11 punch #2,
+reworked r18 per VERDICT r17 "What's wrong #2").
 
-The driver keeps only the last ~2000 chars of stdout and parses the final
-line as JSON — BENCH_r09 was lost to one overgrown line.  These tests pin,
-WITHOUT running Spark, that the final line stays parseable and under the
-1800-char bound at the CURRENT bench registry size plus 10 synthetic
-entries, and that per-query values are never lost (they always live in
+The driver keeps EXACTLY the last 2000 chars of stdout (every committed
+BENCH_r*.json ``tail`` is len 2000) and parses the final line as JSON —
+BENCH_r09 was lost to one overgrown line, and rounds 13-17 lost the
+driver-visible per-query map to the wholesale drop fallback.  These tests
+pin, WITHOUT running Spark, that the final line stays parseable and under
+``bench.FINAL_LINE_BOUND`` at the CURRENT bench registry size plus 10
+synthetic entries, that the 1-dp query map survives on the final line
+(trimmed per-entry past the bound, never dropped wholesale), and that
+full-precision per-query values are never lost (they always live in
 ``queries_full`` on the preceding detail line).
 """
 
@@ -16,7 +21,7 @@ from pathlib import Path
 
 import bench
 
-BOUND = 1800
+BOUND = bench.FINAL_LINE_BOUND
 N_SYNTHETIC = 10
 
 
@@ -45,17 +50,36 @@ def test_final_line_bounded_at_current_size_plus_headroom():
         timings, noise, (0.5, 0.6, 0.7), (2.5, 1.6, 1.2), idle_wait_s=35.0)
     assert len(final_line) <= BOUND, len(final_line)
     final = json.loads(final_line)
-    # scalar fields survive no matter what happened to the map
-    for field in ("metric", "value", "unit", "noise_pct_max",
-                  "loadavg_start", "loadavg_end", "idle_wait_s", "sf"):
+    # driver-contract scalars always on the final line
+    for field in ("metric", "value", "unit", "queries", "bench_cpus", "sf"):
         assert field in final, field
-    # the map either fits or is replaced by an explicit pointer — never
-    # truncated JSON
-    assert ("queries" in final) != ("queries_note" in final)
-    # full-precision per-query values ALWAYS live on the detail line
+    # the noise/loadavg scalars moved to the detail line (VERDICT r17 #2)
     detail = json.loads(detail_line)
+    for field in ("noise_pct_max", "loadavg_start", "loadavg_end",
+                  "idle_wait_s", "host_cpus"):
+        assert field in detail, field
+    # full-precision per-query values ALWAYS live on the detail line
     assert detail["queries_full"] == timings
     assert detail["noise_pct"] == noise
+    # any trimmed entry is accounted for, and the survivors dominate
+    omitted = final.get("n_omitted", 0)
+    assert len(final["queries"]) + omitted == len(timings)
+    assert len(final["queries"]) >= 0.8 * len(timings), (
+        "per-query map mostly lost from the driver-visible line again")
+
+
+def test_final_line_restores_driver_visible_map_at_current_size():
+    # VERDICT r17 "Done = PERF_r18 per_query non-empty": at the CURRENT
+    # registry size with realistic magnitudes the map must be present and
+    # near-complete on the final line the driver parses.
+    names = _current_bench_names()
+    timings = {n: 0.123 + (i % 70) * 0.1 for i, n in enumerate(names)}
+    noise = {n: 12.3 for n in names}
+    _, final_line = bench.emit_lines(
+        timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
+    assert len(final_line) <= BOUND
+    final = json.loads(final_line)
+    assert len(final["queries"]) >= 0.9 * len(names)
 
 
 def test_final_line_keeps_map_while_it_fits():
@@ -63,20 +87,24 @@ def test_final_line_keeps_map_while_it_fits():
     _, final_line = bench.emit_lines(
         timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
     final = json.loads(final_line)
-    assert final["queries"] == {"q1": 123.46, "q2": 123.46}
-    assert "queries_note" not in final
+    assert final["queries"] == {"q1": 123.5, "q2": 123.5}
+    assert "n_omitted" not in final
 
 
-def test_map_drop_fallback_fires_past_bound():
-    # enough long-named entries to force the compact map past 1800 chars
-    names = [f"very_long_synthetic_bench_entry_name_{i:03d}" for i in range(60)]
+def test_map_trim_fallback_fires_past_bound():
+    # enough long-named entries to force the 1-dp map past the bound:
+    # the LONGEST names trim first, short names survive, nothing is
+    # dropped wholesale
+    names = [f"very_long_synthetic_bench_entry_name_{i:03d}"
+             for i in range(60)] + ["q_short"]
     timings, noise = _fake_run(names)
     _, final_line = bench.emit_lines(
         timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
     assert len(final_line) <= BOUND
     final = json.loads(final_line)
-    assert "queries" not in final
-    assert final["queries_note"] == "see queries_full on preceding detail line"
+    assert "q_short" in final["queries"]
+    assert final["n_omitted"] >= 1
+    assert len(final["queries"]) + final["n_omitted"] == len(timings)
     assert final["value"] == round(sum(timings.values()), 3)
 
 
@@ -107,6 +135,38 @@ def test_detail_artifact_lands_parses_and_covers_every_entry(tmp_path,
         assert field in merged, field
     # no tmp residue from the atomic replace
     assert not list(tmp_path.glob("*.tmp"))
+
+
+def test_detail_artifact_scaling_run_suffix(tmp_path, monkeypatch):
+    # VERDICT r17 "What's wrong #3": the driver's 8-core scaling run
+    # landed as the NEXT round's bare detail name and would masquerade as
+    # its full-core floor.  A bench_cpus != host-core run now lands with
+    # an explicit _c{cpus} suffix.
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    monkeypatch.setattr(bench, "CPUS", "8")
+    assert bench.os.cpu_count() != 8, "test host unexpectedly has 8 cores"
+    timings, noise = _fake_run(["q1"])
+    d, f = bench.emit_lines(timings, noise, (0, 0, 0), (0, 0, 0))
+    (tmp_path / "BENCH_r17.json").write_text("{}")
+    path = bench.write_detail_artifact(d, f, str(tmp_path))
+    assert path.endswith("BENCH_DETAIL_r18_c8.json")
+
+
+def test_calibration_stamp_rides_the_detail_line():
+    # VERDICT r17 "Next round" #9: the host-drift probe ratios are
+    # stamped into every detail record
+    timings = {"minhash_lsh_pairs": 6.14, "bm25_topk": 2.39, "other": 1.0}
+    noise = {k: 1.0 for k in timings}
+    stamp = bench.calibration_stamp(timings)
+    d, _ = bench.emit_lines(timings, noise, (0, 0, 0), (0, 0, 0),
+                            extra_detail=stamp)
+    detail = json.loads(d)
+    probes = detail["calibration"]["probes"]
+    assert probes["minhash_lsh_pairs"]["ratio"] == 2.0
+    assert probes["bm25_topk"]["ratio"] == 1.0
+    # a probe missing from the run (e.g. a future rename) degrades to
+    # absence, never a crash
+    assert bench.calibration_stamp({"x": 1.0})["calibration"]["probes"] == {}
 
 
 def test_detail_artifact_round_override_and_empty_dir(tmp_path, monkeypatch):
