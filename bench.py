@@ -161,9 +161,13 @@ def emit_lines(timings: dict[str, float], noise: dict[str, float],
     }
     line = json.dumps(final, separators=(",", ":"))
     if len(line) > FINAL_LINE_BOUND:
-        # trim longest-named entries first: deterministic, and each
-        # removal frees the most characters, keeping the most entries
-        by_cost = sorted(qmap, key=lambda k: (-len(k), k))
+        # trim CHEAPEST entries first (ties: longest name, then
+        # lexicographic — deterministic): a 0.1 s entry carries the least
+        # regression signal, while the expensive entries the driver's
+        # comparison most needs (middle_out_parquet_sink et al.) always
+        # survive.  Full precision for every entry stays on the detail
+        # line and in the committed BENCH_DETAIL artifact.
+        by_cost = sorted(qmap, key=lambda k: (timings[k], -len(k), k))
         omitted = 0
         for k in by_cost:
             if len(line) <= FINAL_LINE_BOUND:

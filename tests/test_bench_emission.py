@@ -93,16 +93,24 @@ def test_final_line_keeps_map_while_it_fits():
 
 def test_map_trim_fallback_fires_past_bound():
     # enough long-named entries to force the 1-dp map past the bound:
-    # the LONGEST names trim first, short names survive, nothing is
-    # dropped wholesale
+    # the CHEAPEST entries trim first, the expensive ones (the entries
+    # a regression comparison most needs) survive, nothing is dropped
+    # wholesale
     names = [f"very_long_synthetic_bench_entry_name_{i:03d}"
-             for i in range(60)] + ["q_short"]
-    timings, noise = _fake_run(names)
+             for i in range(60)]
+    timings = {n: 0.1 + i * 0.01 for i, n in enumerate(names)}
+    timings["the_most_expensive_entry_with_a_really_long_name"] = 500.0
+    noise = {n: 1.0 for n in timings}
     _, final_line = bench.emit_lines(
         timings, noise, (0.1, 0.1, 0.1), (0.2, 0.2, 0.2))
     assert len(final_line) <= BOUND
     final = json.loads(final_line)
-    assert "q_short" in final["queries"]
+    assert "the_most_expensive_entry_with_a_really_long_name" \
+        in final["queries"]
+    kept_min = min(timings[k] for k in final["queries"])
+    dropped_max = max(timings[k] for k in timings
+                      if k not in final["queries"])
+    assert dropped_max <= kept_min, "trim order must be cheapest-first"
     assert final["n_omitted"] >= 1
     assert len(final["queries"]) + final["n_omitted"] == len(timings)
     assert final["value"] == round(sum(timings.values()), 3)
