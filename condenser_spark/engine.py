@@ -118,11 +118,14 @@ class SubsetEngine:
         replacement plan reads the superseded cache, and an eager
         materialize-then-unpersist here costs a full extra pass per append.
 
-        ``parquet`` stage-writes to a temp path and swaps: a downstream append
-        derives the new frame FROM the table's current parquet, so writing
-        ``overwrite`` to the same path would delete the files the plan is
-        mid-read on (FAILED_READ_FILE).  Write-to-staging + rename is the same
-        pattern a cluster deployment uses with a distributed-FS rename."""
+        ``parquet`` stage-writes to a temp path and swaps: a dest_replace hook
+        (and any other whole-table re-set) may derive the new frame FROM the
+        table's current parquet, so writing ``overwrite`` to the same path
+        would delete the files the plan is mid-read on (FAILED_READ_FILE).
+        Write-to-staging + rename is the same pattern a cluster deployment
+        uses with a distributed-FS rename.  Downstream APPENDS no longer come
+        through here — ``_append_dest`` lands only the delta part-files
+        (O(delta), r18)."""
         if self.materialize == "persist":
             old = self.dest.get(table)
             df = df.persist()
@@ -131,12 +134,17 @@ class SubsetEngine:
         elif self.materialize == "checkpoint":
             df = df.localCheckpoint(eager=False)
         elif self.materialize == "parquet":
+            import itertools
             import shutil
 
             final = os.path.join(self.dest_path, f"{table}.parquet")
-            self._staging_seq = getattr(self, "_staging_seq", 0) + 1
+            if not hasattr(self, "_staging_seq"):
+                # itertools.count: one atomic bytecode per next(), safe
+                # under the _set_dest_group thread pool
+                self._staging_seq = itertools.count(1)
             staged = os.path.join(
-                self.dest_path, f".staging-{table}-{self._staging_seq}.parquet"
+                self.dest_path,
+                f".staging-{table}-{next(self._staging_seq)}.parquet"
             )
             df.write.mode("overwrite").parquet(staged)
             if os.path.exists(final):
@@ -144,6 +152,47 @@ class SubsetEngine:
             os.replace(staged, final)
             df = self.spark.read.parquet(final)
         self.dest[table] = df
+
+    def _set_dest_group(self, items: list[tuple[str, DataFrame]]) -> None:
+        """Land a group of INDEPENDENT tables.  Parquet mode overlaps the
+        write jobs from a small thread pool (guide §2.6: actions are only
+        sequential because driver code calls them sequentially — FIFO
+        scheduling backfills one write's task tail with the next write's
+        tasks).  The lazy modes run the identical sequential loop — no
+        job executes inside ``_set_dest`` there, so overlap buys nothing
+        and single-threaded keeps their semantics trivially unchanged."""
+        if self.materialize == "parquet" and len(items) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(4, len(items))) as pool:
+                list(pool.map(lambda kv: self._set_dest(*kv), items))
+        else:
+            for t, df in items:
+                self._set_dest(t, df)
+
+    def _downstream_waves(self, tables: list[str]) -> list[list[str]]:
+        """Split the reverse-topological downstream order into waves of
+        tables with no redacted FK edge between them, preserving order.
+        Within a wave, ``_subset_downstream(t)`` reads only dest tables
+        OUTSIDE the wave (its referencing fk_tables — the wave rule) plus
+        its own dest entry (touched by no other member), so members are
+        independent and the J2 "dest as it stands mid-run" semantics are
+        exactly the sequential order's."""
+        redacted = redact_relationships(
+            self.relationships, self.config.dependency_breaks
+        )
+        waves: list[list[str]] = []
+        wave: list[str] = []
+        for t in tables:
+            if any(r.target_table == t and r.fk_table in wave
+                   for r in redacted):
+                waves.append(wave)
+                wave = []
+            wave.append(t)
+        if wave:
+            waves.append(wave)
+        return waves
 
     def _dest_or_empty(self, table: str) -> DataFrame:
         """Destination tables exist (schema-only) before any rows land, exactly as
@@ -153,10 +202,29 @@ class SubsetEngine:
         return self.dest[table]
 
     def _append_dest(self, table: str, rows: DataFrame) -> None:
-        if table in self.dest:
-            self._set_dest(table, self.dest[table].unionByName(rows))
-        else:
+        if table not in self.dest:
             self._set_dest(table, rows)
+            return
+        if self.materialize == "parquet":
+            # O(delta) append (guide §2.3/§6; VERDICT r17 punch #1): the
+            # old path re-read the WHOLE landed table, unioned the delta,
+            # and staged-swapped the directory — an O(table) rewrite per
+            # downstream append, the dominant (and 32c-vs-8c
+            # anti-scaling) cost of the parquet sink.  ``mode("append")``
+            # only ADDS part-files, never touches existing ones, so the
+            # mid-read clobber hazard the staging swap exists for
+            # (FAILED_READ_FILE on overwrite-while-reading) cannot arise;
+            # the fresh read below re-lists the directory and sees old +
+            # new files — the same dest-as-it-stands state the union
+            # produced.  Column order is pinned to the landed schema so
+            # every part-file footer agrees (parquet readers sample one
+            # footer for the dataframe schema).
+            final = os.path.join(self.dest_path, f"{table}.parquet")
+            rows.select(*self.dest[table].columns) \
+                .write.mode("append").parquet(final)
+            self.dest[table] = self.spark.read.parquet(final)
+            return
+        self._set_dest(table, self.dest[table].unionByName(rows))
 
     def _project(self, table: str, df: DataFrame) -> DataFrame:
         return project_with_fk_nulls(
@@ -202,9 +270,10 @@ class SubsetEngine:
         # Phase 3 — passthrough, before downstream so passthrough rows' FK needs
         # are satisfied (/root/reference/subset.py:69-78)
         t0 = time.time()
-        for t in passthrough_tables:
-            rows = apply_limit(self.source[t], cfg.max_rows_per_table)
-            self._set_dest(t, rows)
+        self._set_dest_group([
+            (t, apply_limit(self.source[t], cfg.max_rows_per_table))
+            for t in passthrough_tables
+        ])
         self._log(f"Pass-through completed in {time.time() - t0:.2f}s")
 
         # Phase 4 — downstream closure, reverse topo order, single pass
@@ -213,17 +282,29 @@ class SubsetEngine:
         downstream_tables = compute_downstream_tables(
             passthrough_tables, disconnected, order
         )
-        for t in downstream_tables:
-            self._subset_downstream(t)
+        for wave in self._downstream_waves(downstream_tables):
+            if self.materialize == "parquet" and len(wave) > 1:
+                # guide §2.6: FK-independent tables' fetch+append jobs
+                # overlap (parquet mode runs a write job per table; the
+                # lazy modes execute nothing here, so they keep the
+                # plain loop below)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(4, len(wave))) as pool:
+                    list(pool.map(self._subset_downstream, wave))
+            else:
+                for t in wave:
+                    self._subset_downstream(t)
         self._log(f"Downstream subsetting completed in {time.time() - t0:.2f}s")
 
         # Phase 5 — disconnected components (/root/reference/subset.py:89-97)
         t0 = time.time()
-        for t in disconnected:
-            if cfg.keep_disconnected_tables:
-                self._set_dest(t, self.source[t])
-            else:
-                self._set_dest(t, empty_like(self.source[t]))
+        self._set_dest_group([
+            (t, self.source[t] if cfg.keep_disconnected_tables
+             else empty_like(self.source[t]))
+            for t in disconnected
+        ])
         self._log(f"Disconnected tables completed in {time.time() - t0:.2f}s")
 
         # every table exists in the destination, possibly empty (schema replica);
