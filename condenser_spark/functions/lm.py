@@ -479,14 +479,22 @@ def bigram_score_documents(
 
     from pyspark.sql import Window
 
+    # ladder keys as xxhash64 longs (r18, guide §2.3) — see
+    # kn5_score_documents; collision-checked, string fallback
+    hashed = _gram_hash_injective(unigram)
+    term_key = F.xxhash64(F.col("term")) if hashed else F.col("term")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    bigram_side = (_hashed_gram_side(bigram, ("w1", "w2")) if hashed
+                   else bigram)
     seq = (
         _pos_tokens(df, text_col, id_col)
         .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
               on="term", how="left")
         .select(
             "_id", "_pos",
-            F.when(F.col("logp4").isNotNull(), F.col("term"))
-            .otherwise(F.lit(OOV_TERM)).alias("w2"),
+            F.when(F.col("logp4").isNotNull(), term_key)
+            .otherwise(oov_key).alias("w2"),
             F.coalesce(F.col("logp4"), F.lit(oov_logp4)).alias("_lp4"),
             F.coalesce(F.col("backoff4"), F.lit(oov_backoff4))
             .alias("_bo4"),
@@ -500,7 +508,7 @@ def bigram_score_documents(
     contrib = F.when(F.col("w1").isNull(), F.col("_lp4")).otherwise(
         F.coalesce(F.col("logp4"), F.col("_bo4")))
     per = (
-        chained.join(bigram, on=["w1", "w2"], how="left")
+        chained.join(bigram_side, on=["w1", "w2"], how="left")
         .groupBy("_id")
         .agg(F.sum(contrib).alias("_s4"), F.count(F.lit(1)).alias("_n"))
         .withColumnRenamed("_id", id_col)
@@ -516,6 +524,58 @@ def bigram_score_documents(
         .alias("lm2_logprob4_sum"),
         F.coalesce(F.col("_n"), F.lit(0)).cast("long")
         .alias("n_scored_tokens"),
+    )
+
+
+def _gram_hash_injective(unigram: DataFrame) -> bool:
+    """True when ``xxhash64`` is collision-free over the model's full
+    term set (vocab + OOV — every gram-table key and every scorer-side
+    ``w*`` value is drawn from exactly this set, because training maps
+    tokens through the same vocab±OOV substitution the scorers do).
+
+    Guide §2.3 "narrower types": with an injective hash the backoff
+    ladder's equi-joins can run on fixed-width LONGS instead of term
+    strings — the same matches by construction, so scores are
+    bit-identical — which narrows every gram-side and probe-side shuffle
+    row and replaces string hashing/comparison in the joins with long
+    ops.  At 2^64 hash space a 32k vocab collides with p ~ 3e-11, so the
+    fallback is nearly theoretical, but correctness must not be
+    probabilistic: one tiny aggregate over the (vocab+1)-row frame
+    checks injectivity once per distinct model frame per application
+    (memoized on the analyzed plan's semantic hash — the amortized
+    one-model-many-shards regime pays the ~0.14 s probe job once, not
+    per scorer call) and falls back to string keys on a collision."""
+    try:
+        memo_key = (unigram.sparkSession.sparkContext.applicationId,
+                    unigram.semanticHash())
+        hit = _HASH_INJECTIVE_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
+    except Exception:  # pragma: no cover — memo failure = just re-check
+        memo_key = None
+    r = unigram.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.xxhash64("term")).alias("nh"),
+    ).first()
+    ok = bool(r.n == r.nh)
+    if memo_key is not None:
+        if len(_HASH_INJECTIVE_MEMO) > 1024:  # unbounded-session hygiene
+            _HASH_INJECTIVE_MEMO.clear()
+        _HASH_INJECTIVE_MEMO[memo_key] = ok
+    return ok
+
+
+_HASH_INJECTIVE_MEMO: dict[tuple, bool] = {}
+
+
+def _hashed_gram_side(df: DataFrame, keys) -> DataFrame:
+    """Replace a gram/gamma table's string key columns with their
+    xxhash64 longs under the SAME names, value columns untouched — the
+    build-side half of the hashed-ladder join (training never emits a
+    NULL key term, so no null guard is needed here)."""
+    return df.select(
+        *[F.xxhash64(F.col(k)).alias(k) for k in keys],
+        *[c for c in df.columns if c not in keys],
     )
 
 
@@ -629,8 +689,14 @@ def _doc_sum_stream(rows: DataFrame, df: DataFrame, id_col: str,
 
     carry = list(df.columns)
     others = [c for c in carry if c != id_col]
+    # carry fields forced nullable (ADVICE r17): the pre-combine emits
+    # NULL carry values for docs whose first-token row sits in another
+    # partition — reusing the input's nullable=False here would declare
+    # non-null columns that hold nulls mid-stream, miscompilation bait
+    # for any expression ever inserted between the two kernels
     partial_schema = T.StructType(
-        list(df.schema.fields)
+        [T.StructField(f.name, f.dataType, True)
+         for f in df.schema.fields]
         + [T.StructField("_ps4", T.LongType()),
            T.StructField("_pn", T.LongType())])
     out_schema = T.StructType(
@@ -716,6 +782,15 @@ def bigram_score_documents_stream(
     oov_lp4, oov_bo4 = int(oov_row.logp4), int(oov_row.backoff4)
 
     _guard_reserved(df, _STREAM_RESERVED, "bigram_score_documents_stream")
+    # ladder keys as xxhash64 longs (r18, guide §2.3) — see
+    # kn5_score_documents; collision-checked, string fallback
+    hashed = _gram_hash_injective(unigram)
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    null_key = F.lit(None).cast("long" if hashed else "string")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    bigram_side = (_hashed_gram_side(bigram, ("w1", "w2")) if hashed
+                   else bigram)
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u_cur = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -733,15 +808,15 @@ def bigram_score_documents_stream(
     scored_rows = rows.select(
         *_thin_carry(df, id_col),
         skip.alias("_skip"),
-        F.when(F.col("_ulp4").isNotNull(), F.col("_cur"))
-        .otherwise(F.lit(OOV_TERM)).alias("w2"),
-        F.when(F.col("_prev1").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_pinv"), F.col("_prev1"))
-        .otherwise(F.lit(OOV_TERM)).alias("w1"),
+        F.when(F.col("_ulp4").isNotNull(), key(F.col("_cur")))
+        .otherwise(oov_key).alias("w2"),
+        F.when(F.col("_prev1").isNull(), null_key)
+        .when(F.col("_pinv"), key(F.col("_prev1")))
+        .otherwise(oov_key).alias("w1"),
         F.coalesce(F.col("_ulp4"), F.lit(oov_lp4)).alias("_lp4"),
         F.coalesce(F.col("_ubo4"), F.lit(oov_bo4)).alias("_bo4"),
     )
-    joined = scored_rows.join(bigram, on=["w1", "w2"], how="left")
+    joined = scored_rows.join(bigram_side, on=["w1", "w2"], how="left")
     contrib = (
         F.when(F.col("_skip"), F.lit(0))
         .when(F.col("w1").isNull(), F.col("_lp4"))
@@ -787,6 +862,15 @@ def kn_trigram_score_documents_stream(
     oov_g2 = oov_row.logg2_4  # may be None: OOV never observed as context
 
     _guard_reserved(df, _STREAM_RESERVED, "kn_trigram_score_documents_stream")
+    # ladder keys as xxhash64 longs (r18, guide §2.3) — see
+    # kn5_score_documents; collision-checked, string fallback
+    hashed = _gram_hash_injective(unigram)
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    null_key = F.lit(None).cast("long" if hashed else "string")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    side = ((lambda t, keys: _hashed_gram_side(t, keys)) if hashed
+            else (lambda t, keys: t))
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u3 = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -808,14 +892,14 @@ def kn_trigram_score_documents_stream(
     scored_rows = rows.select(
         *_thin_carry(df, id_col),
         skip.alias("_skip"),
-        F.when(F.col("_u3lp1").isNotNull(), F.col("_cur"))
-        .otherwise(F.lit(OOV_TERM)).alias("w3"),
-        F.when(F.col("_prev1").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_u2inv"), F.col("_prev1"))
-        .otherwise(F.lit(OOV_TERM)).alias("w2"),
-        F.when(F.col("_prev2").isNull(), F.lit(None).cast("string"))
-        .when(F.col("_u1inv"), F.col("_prev2"))
-        .otherwise(F.lit(OOV_TERM)).alias("w1"),
+        F.when(F.col("_u3lp1").isNotNull(), key(F.col("_cur")))
+        .otherwise(oov_key).alias("w3"),
+        F.when(F.col("_prev1").isNull(), null_key)
+        .when(F.col("_u2inv"), key(F.col("_prev1")))
+        .otherwise(oov_key).alias("w2"),
+        F.when(F.col("_prev2").isNull(), null_key)
+        .when(F.col("_u1inv"), key(F.col("_prev2")))
+        .otherwise(oov_key).alias("w1"),
         F.coalesce(F.col("_u3lp1"), F.lit(oov_lp1)).alias("_lp1"),
         F.when(F.col("_prev1").isNull(), F.lit(None).cast("long"))
         .when(F.col("_u2inv"), F.col("_u2g2"))
@@ -823,9 +907,10 @@ def kn_trigram_score_documents_stream(
     )
     joined = (
         scored_rows
-        .join(bigram, on=["w2", "w3"], how="left")
-        .join(context, on=["w1", "w2"], how="left")
-        .join(trigram, on=["w1", "w2", "w3"], how="left")
+        .join(side(bigram, ("w2", "w3")), on=["w2", "w3"], how="left")
+        .join(side(context, ("w1", "w2")), on=["w1", "w2"], how="left")
+        .join(side(trigram, ("w1", "w2", "w3")),
+              on=["w1", "w2", "w3"], how="left")
     )
     score2 = F.coalesce(
         F.col("logp2_4"),
@@ -881,6 +966,15 @@ def kn5_score_documents_stream(
     oov_g2 = oov_row.logg2_4
 
     _guard_reserved(df, _STREAM_RESERVED, "kn5_score_documents_stream")
+    # ladder keys as xxhash64 longs (r18, guide §2.3) — see
+    # kn5_score_documents; collision-checked, string fallback
+    hashed = _gram_hash_injective(unigram)
+    key = (lambda c: F.xxhash64(c)) if hashed else (lambda c: c)
+    null_key = F.lit(None).cast("long" if hashed else "string")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    side = ((lambda t, keys: _hashed_gram_side(t, keys)) if hashed
+            else (lambda t, keys: t))
     uni = unigram.filter(F.col("term") != OOV_TERM)
     u_cur = F.broadcast(uni.select(
         F.col("term").alias("_cur"),
@@ -901,17 +995,16 @@ def kn5_score_documents_stream(
         rows = rows.join(m, on=f"_prev{k}", how="left")
 
     def _mapped(k: int):
-        return (F.when(F.col(f"_prev{k}").isNull(),
-                       F.lit(None).cast("string"))
-                .when(F.col(f"_p{k}inv"), F.col(f"_prev{k}"))
-                .otherwise(F.lit(OOV_TERM)))
+        return (F.when(F.col(f"_prev{k}").isNull(), null_key)
+                .when(F.col(f"_p{k}inv"), key(F.col(f"_prev{k}")))
+                .otherwise(oov_key))
 
     skip = F.col("_cur").isNull() | (F.col("_cur") == "")
     scored_rows = rows.select(
         *_thin_carry(df, id_col),
         skip.alias("_skip"),
-        F.when(F.col("_uclp1").isNotNull(), F.col("_cur"))
-        .otherwise(F.lit(OOV_TERM)).alias("w5"),
+        F.when(F.col("_uclp1").isNotNull(), key(F.col("_cur")))
+        .otherwise(oov_key).alias("w5"),
         _mapped(1).alias("w4"),
         _mapped(2).alias("w3"),
         _mapped(3).alias("w2"),
@@ -923,13 +1016,18 @@ def kn5_score_documents_stream(
     )
     joined = (
         scored_rows
-        .join(bigram, on=["w4", "w5"], how="left")
-        .join(context3, on=["w3", "w4"], how="left")
-        .join(trigram, on=["w3", "w4", "w5"], how="left")
-        .join(context4, on=["w2", "w3", "w4"], how="left")
-        .join(fourgram, on=["w2", "w3", "w4", "w5"], how="left")
-        .join(context5, on=["w1", "w2", "w3", "w4"], how="left")
-        .join(fivegram, on=["w1", "w2", "w3", "w4", "w5"], how="left")
+        .join(side(bigram, ("w4", "w5")), on=["w4", "w5"], how="left")
+        .join(side(context3, ("w3", "w4")), on=["w3", "w4"], how="left")
+        .join(side(trigram, ("w3", "w4", "w5")),
+              on=["w3", "w4", "w5"], how="left")
+        .join(side(context4, ("w2", "w3", "w4")),
+              on=["w2", "w3", "w4"], how="left")
+        .join(side(fourgram, ("w2", "w3", "w4", "w5")),
+              on=["w2", "w3", "w4", "w5"], how="left")
+        .join(side(context5, ("w1", "w2", "w3", "w4")),
+              on=["w1", "w2", "w3", "w4"], how="left")
+        .join(side(fivegram, ("w1", "w2", "w3", "w4", "w5")),
+              on=["w1", "w2", "w3", "w4", "w5"], how="left")
     )
     score2 = F.coalesce(
         F.col("logp2_4"),
@@ -1373,7 +1471,11 @@ def kn5_score_documents(
     (vocab+1)-row unigram side -> one id-partitioned lag window ->
     SEVEN left equi-joins against the observed-gram/gamma sides
     (shuffled on their keys, AQE-broadcast when small; never
-    collected) -> map-side-combined integer sum per doc."""
+    collected) -> map-side-combined integer sum per doc.  Ladder keys
+    are xxhash64 LONGS (r18, guide §2.3 — collision-checked per call,
+    string fallback; see :func:`_gram_hash_injective`), so the lag
+    window and every gram join shuffle fixed-width keys instead of
+    term strings; join matches, hence scores, are bit-identical."""
     oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
     if oov_row is None:
         raise ValueError("kn5_score_documents: unigram frame has no OOV "
@@ -1383,14 +1485,20 @@ def kn5_score_documents(
 
     from pyspark.sql import Window
 
+    hashed = _gram_hash_injective(unigram)
+    term_key = F.xxhash64(F.col("term")) if hashed else F.col("term")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    side = ((lambda t, keys: _hashed_gram_side(t, keys)) if hashed
+            else (lambda t, keys: t))
     seq = (
         _pos_tokens(df, text_col, id_col)
         .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
               on="term", how="left")
         .select(
             "_id", "_pos",
-            F.when(F.col("logp1_4").isNotNull(), F.col("term"))
-            .otherwise(F.lit(OOV_TERM)).alias("w5"),
+            F.when(F.col("logp1_4").isNotNull(), term_key)
+            .otherwise(oov_key).alias("w5"),
             F.coalesce(F.col("logp1_4"), F.lit(oov_lp1)).alias("_lp1"),
             F.when(F.col("logp1_4").isNotNull(), F.col("logg2_4"))
             .otherwise(F.lit(oov_g2).cast("long")).alias("_g2"),
@@ -1407,13 +1515,18 @@ def kn5_score_documents(
     )
     joined = (
         chained
-        .join(bigram, on=["w4", "w5"], how="left")
-        .join(context3, on=["w3", "w4"], how="left")
-        .join(trigram, on=["w3", "w4", "w5"], how="left")
-        .join(context4, on=["w2", "w3", "w4"], how="left")
-        .join(fourgram, on=["w2", "w3", "w4", "w5"], how="left")
-        .join(context5, on=["w1", "w2", "w3", "w4"], how="left")
-        .join(fivegram, on=["w1", "w2", "w3", "w4", "w5"], how="left")
+        .join(side(bigram, ("w4", "w5")), on=["w4", "w5"], how="left")
+        .join(side(context3, ("w3", "w4")), on=["w3", "w4"], how="left")
+        .join(side(trigram, ("w3", "w4", "w5")),
+              on=["w3", "w4", "w5"], how="left")
+        .join(side(context4, ("w2", "w3", "w4")),
+              on=["w2", "w3", "w4"], how="left")
+        .join(side(fourgram, ("w2", "w3", "w4", "w5")),
+              on=["w2", "w3", "w4", "w5"], how="left")
+        .join(side(context5, ("w1", "w2", "w3", "w4")),
+              on=["w1", "w2", "w3", "w4"], how="left")
+        .join(side(fivegram, ("w1", "w2", "w3", "w4", "w5")),
+              on=["w1", "w2", "w3", "w4", "w5"], how="left")
     )
     score2 = F.coalesce(
         F.col("logp2_4"),
@@ -1483,7 +1596,10 @@ def kn_trigram_score_documents(
     a single pass) -> one id-partitioned lag window (the shingling
     shuffle) -> THREE left equi-joins against the observed-gram sides
     (shuffled on their keys, AQE-broadcast when small; never collected)
-    -> map-side-combined integer sum per doc."""
+    -> map-side-combined integer sum per doc.  Ladder keys are xxhash64
+    LONGS (r18, guide §2.3 — collision-checked per call, string
+    fallback), so the lag window and gram joins shuffle fixed-width
+    keys; matches, hence scores, are bit-identical."""
     oov_row = unigram.filter(F.col("term") == OOV_TERM).first()
     if oov_row is None:
         raise ValueError("kn_trigram_score_documents: unigram frame has "
@@ -1494,14 +1610,20 @@ def kn_trigram_score_documents(
 
     from pyspark.sql import Window
 
+    hashed = _gram_hash_injective(unigram)
+    term_key = F.xxhash64(F.col("term")) if hashed else F.col("term")
+    oov_key = (F.xxhash64(F.lit(OOV_TERM)) if hashed
+               else F.lit(OOV_TERM))
+    side = ((lambda t, keys: _hashed_gram_side(t, keys)) if hashed
+            else (lambda t, keys: t))
     seq = (
         _pos_tokens(df, text_col, id_col)
         .join(F.broadcast(unigram.filter(F.col("term") != OOV_TERM)),
               on="term", how="left")
         .select(
             "_id", "_pos",
-            F.when(F.col("logp1_4").isNotNull(), F.col("term"))
-            .otherwise(F.lit(OOV_TERM)).alias("w3"),
+            F.when(F.col("logp1_4").isNotNull(), term_key)
+            .otherwise(oov_key).alias("w3"),
             F.coalesce(F.col("logp1_4"), F.lit(oov_lp1)).alias("_lp1"),
             F.when(F.col("logp1_4").isNotNull(), F.col("logg2_4"))
             .otherwise(F.lit(oov_g2).cast("long")).alias("_g2"),
@@ -1516,9 +1638,10 @@ def kn_trigram_score_documents(
     )
     joined = (
         chained
-        .join(bigram, on=["w2", "w3"], how="left")
-        .join(context, on=["w1", "w2"], how="left")
-        .join(trigram, on=["w1", "w2", "w3"], how="left")
+        .join(side(bigram, ("w2", "w3")), on=["w2", "w3"], how="left")
+        .join(side(context, ("w1", "w2")), on=["w1", "w2"], how="left")
+        .join(side(trigram, ("w1", "w2", "w3")),
+              on=["w1", "w2", "w3"], how="left")
     )
     score2 = F.coalesce(
         F.col("logp2_4"),
