@@ -427,6 +427,74 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_words_lines(c):
+    """The tokenize subtrees both gopher forms bind: the non-empty word
+    array of the whitespace-normalized text, and the raw line array."""
+    words_expr = F.filter(
+        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
+        lambda w: w != "",
+    )
+    return words_expr, F.split(c, "\n")
+
+
+def _gopher_stats(c, words, lines) -> dict:
+    """The Gopher rule statistics as expressions over already-bound
+    ``words``/``lines`` array Columns and the coalesced text ``c`` —
+    ONE definition shared by :func:`gopher_quality_flags` (which binds
+    the arrays as helper columns) and :func:`gopher_pass_condition`
+    (which binds them as higher-order lambda variables), so the two can
+    never drift on a threshold/formula edit (ADVICE r17).  Counts are
+    emitted pre-cast (``n_words``/``n_stop_hits`` cast to long at the
+    consumer) exactly as the oracle-pinned flags operator always did."""
+    n_words = F.size(words)
+    word_chars = F.length(F.concat_ws("", words))
+    mean_wl = F.when(
+        n_words > 0, F.round(word_chars.cast("double") / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = F.when(
+        n_words > 0,
+        F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
+    ).otherwise(F.lit(0.0))
+    n_lines = F.size(lines)
+    bullet_frac = F.round(
+        F.size(F.filter(
+            lines,
+            lambda l: l.startswith("•") | l.startswith("- ")
+            | l.startswith("* "),
+        )).cast("double") / n_lines, 4)
+    ellipsis_frac = F.round(
+        F.size(F.filter(
+            lines,
+            lambda l: l.endswith("...") | l.endswith("…"),
+        )).cast("double") / n_lines, 4)
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+            .cast("double") / n_words, 4),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.lit(list(GOPHER_STOP_WORDS)),
+        )
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_hits": stop_hits,
+    }
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",
@@ -476,53 +544,19 @@ def gopher_quality_flags(
     # evaluation).  CollapseProject keeps multi-referenced non-cheap
     # aliases intact, so the factored shape survives optimization; the
     # expressions themselves are unchanged, so values are identical.
-    words_expr = F.filter(
-        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
-        lambda w: w != "",
-    )
-    lines_expr = F.split(c, "\n")
+    # The per-rule stat formulas live in _gopher_stats, shared with
+    # gopher_pass_condition (ADVICE r17: one definition, no drift).
+    words_expr, lines_expr = _gopher_words_lines(c)
     base = df.select(
         "*", words_expr.alias("_gq_words"), lines_expr.alias("_gq_lines"))
-    words = F.col("_gq_words")
-    lines = F.col("_gq_lines")
-    n_words = F.size(words)
-    word_chars = F.length(F.concat_ws("", words))
-    mean_wl = F.when(
-        n_words > 0, F.round(word_chars.cast("double") / n_words, 4)
-    ).otherwise(F.lit(0.0))
-    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
-        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
-    )
-    symbol_ratio = F.when(
-        n_words > 0,
-        F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
-    ).otherwise(F.lit(0.0))
-    n_lines = F.size(lines)
-    bullet_frac = F.round(
-        F.size(F.filter(
-            lines,
-            lambda l: l.startswith("•") | l.startswith("- ")
-            | l.startswith("* "),
-        )).cast("double") / n_lines, 4)
-    ellipsis_frac = F.round(
-        F.size(F.filter(
-            lines,
-            lambda l: l.endswith("...") | l.endswith("…"),
-        )).cast("double") / n_lines, 4)
-    alpha_frac = F.when(
-        n_words > 0,
-        F.round(
-            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-            .cast("double") / n_words, 4),
-    ).otherwise(F.lit(0.0))
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(words, F.lower),
-            F.lit(list(GOPHER_STOP_WORDS)),
-        )
-    )
+    stats_exprs = _gopher_stats(c, F.col("_gq_words"), F.col("_gq_lines"))
+    n_words = stats_exprs["n_words"]
+    mean_wl = stats_exprs["mean_word_len"]
+    symbol_ratio = stats_exprs["symbol_ratio"]
+    bullet_frac = stats_exprs["bullet_line_frac"]
+    ellipsis_frac = stats_exprs["ellipsis_line_frac"]
+    alpha_frac = stats_exprs["alpha_word_frac"]
+    stop_hits = stats_exprs["n_stop_hits"]
     flags = {
         "ok_word_count": (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words),
@@ -588,68 +622,26 @@ def gopher_pass_condition(
     lambda variables, so no optimizer rule can duplicate their
     construction — the condition is substitution-proof by shape.
 
-    The per-rule arithmetic is copied verbatim from
-    :func:`gopher_quality_flags` (same rounding, casts, and zero-word
-    guards), so the boolean is row-for-row identical to that operator's
-    ``gopher_pass`` (pinned by tests/test_curate_stages.py).  Keep the
-    two in lockstep when thresholds or formulas change."""
+    The per-rule arithmetic is the shared :func:`_gopher_stats` builder
+    :func:`gopher_quality_flags` computes its stat columns from (ADVICE
+    r17: one definition, no drift), so the boolean is row-for-row
+    identical to that operator's ``gopher_pass`` (pinned by
+    tests/test_curate_stages.py)."""
     c = F.coalesce(F.col(text_col), F.lit(""))
-    words_expr = F.filter(
-        F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "),
-        lambda w: w != "",
-    )
-    lines_expr = F.split(c, "\n")
-    # symbol counts read the raw text, not the arrays — cheap string
-    # scans, same expressions as the flags operator
-    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
-    n_ellipsis = (
-        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
-        + F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))
-    )
+    words_expr, lines_expr = _gopher_words_lines(c)
 
     def _cond(s):
-        words = s["w"]
-        lines = s["l"]
-        n_words = F.size(words).cast("long")
-        word_chars = F.length(F.concat_ws("", words))
-        mean_wl = F.when(
-            n_words > 0, F.round(word_chars.cast("double") / n_words, 4)
-        ).otherwise(F.lit(0.0))
-        symbol_ratio = F.when(
-            n_words > 0,
-            F.round((n_hash + n_ellipsis).cast("double") / n_words, 4),
-        ).otherwise(F.lit(0.0))
-        n_lines = F.size(lines)
-        bullet_frac = F.round(
-            F.size(F.filter(
-                lines,
-                lambda l: l.startswith("•") | l.startswith("- ")
-                | l.startswith("* "),
-            )).cast("double") / n_lines, 4)
-        ellipsis_frac = F.round(
-            F.size(F.filter(
-                lines,
-                lambda l: l.endswith("...") | l.endswith("…"),
-            )).cast("double") / n_lines, 4)
-        alpha_frac = F.when(
-            n_words > 0,
-            F.round(
-                F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
-                .cast("double") / n_words, 4),
-        ).otherwise(F.lit(0.0))
-        stop_hits = F.size(
-            F.array_intersect(
-                F.transform(words, F.lower),
-                F.lit(list(GOPHER_STOP_WORDS)),
-            )
-        ).cast("long")
+        stats = _gopher_stats(c, s["w"], s["l"])
+        n_words = stats["n_words"].cast("long")
+        stop_hits = stats["n_stop_hits"].cast("long")
         return (
             (n_words >= min_words) & (n_words <= max_words)
-            & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
-            & (symbol_ratio <= max_symbol_ratio)
-            & (bullet_frac <= max_bullet_line_frac)
-            & (ellipsis_frac <= max_ellipsis_line_frac)
-            & (alpha_frac >= min_alpha_word_frac)
+            & (stats["mean_word_len"] >= min_mean_word_len)
+            & (stats["mean_word_len"] <= max_mean_word_len)
+            & (stats["symbol_ratio"] <= max_symbol_ratio)
+            & (stats["bullet_line_frac"] <= max_bullet_line_frac)
+            & (stats["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+            & (stats["alpha_word_frac"] >= min_alpha_word_frac)
             & (stop_hits >= min_stop_hits)
         )
 
@@ -867,6 +859,68 @@ def fineweb_quality_flags(
     return out.withColumn("fineweb_pass", conj)
 
 
+def _c4_line_ok(min_line_words: int, drop_line_markers: tuple):
+    """The C4 line-keep predicate as a lambda builder — ONE definition
+    shared by :func:`c4_clean` and :func:`c4_pass_condition` so the two
+    can never drift (the ADVICE r17 lesson from the gopher twins)."""
+    def line_ok(l):
+        trimmed = F.trim(l)
+        ends_ok = (trimmed.endswith(".") | trimmed.endswith("!")
+                   | trimmed.endswith("?") | trimmed.endswith('"'))
+        enough_words = F.size(F.filter(
+            F.split(F.regexp_replace(trimmed, r"\s+", " "), " "),
+            lambda w: w != "")) >= min_line_words
+        ok = ends_ok & enough_words
+        low = F.lower(l)
+        for m in drop_line_markers:
+            ok = ok & ~low.contains(m.lower())
+        return ok
+
+    return line_ok
+
+
+def _c4_doc_bad(c, drop_doc_markers: tuple):
+    """The C4 whole-document drop condition over the coalesced text
+    column ``c`` — shared by :func:`c4_clean` and
+    :func:`c4_pass_condition`."""
+    doc_bad = F.lit(False)
+    low_doc = F.lower(c)
+    for m in drop_doc_markers:
+        doc_bad = doc_bad | low_doc.contains(m.lower())
+    return doc_bad
+
+
+def c4_pass_condition(
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+    drop_line_markers: tuple = ("javascript",),
+    drop_doc_markers: tuple = ("lorem ipsum", "{"),
+) -> Column:
+    """``doc_ok`` as ONE self-contained boolean expression — the filter
+    form the stream composer's C4 gate uses (the
+    :func:`gopher_pass_condition` twin, VERDICT r17 #4).
+
+    A gate written as ``c4_clean(df).filter("doc_ok")`` gets ``doc_ok``
+    alias-substituted below the projection by Catalyst's filter pushdown,
+    re-inlining the kept-lines subtree into an interpreted Filter above
+    the composer's Arrow kernels.  Here the condition builds the kept
+    array exactly once inside itself (a single ``size(filter(...))``
+    reference — the C4 rule, unlike Gopher's, reads its array only once,
+    so no higher-order rebinding is needed for substitution-proofness)
+    and depends only on the ORIGINAL text, so the composer can filter
+    BEFORE the cleaning projection: dropped documents never pay the
+    ``text_clean`` rebuild at all.  Row set identical to
+    ``filter(doc_ok)`` by construction — the per-rule expressions are
+    the shared :func:`_c4_line_ok` / :func:`_c4_doc_bad` helpers
+    :func:`c4_clean` itself builds from."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.filter(F.split(c, "\n"),
+                    _c4_line_ok(min_line_words, drop_line_markers))
+    return ((F.size(kept) >= min_kept_lines)
+            & ~_c4_doc_bad(c, drop_doc_markers))
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
@@ -904,25 +958,8 @@ def c4_clean(
     family."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(c, "\n")
-
-    def line_ok(l):
-        trimmed = F.trim(l)
-        ends_ok = (trimmed.endswith(".") | trimmed.endswith("!")
-                   | trimmed.endswith("?") | trimmed.endswith('"'))
-        enough_words = F.size(F.filter(
-            F.split(F.regexp_replace(trimmed, r"\s+", " "), " "),
-            lambda w: w != "")) >= min_line_words
-        ok = ends_ok & enough_words
-        low = F.lower(l)
-        for m in drop_line_markers:
-            ok = ok & ~low.contains(m.lower())
-        return ok
-
-    kept = F.filter(lines, line_ok)
-    doc_bad = F.lit(False)
-    low_doc = F.lower(c)
-    for m in drop_doc_markers:
-        doc_bad = doc_bad | low_doc.contains(m.lower())
+    kept = F.filter(lines, _c4_line_ok(min_line_words, drop_line_markers))
+    doc_bad = _c4_doc_bad(c, drop_doc_markers)
     return df.select(
         F.col(id_col),
         # join-free passthrough for streaming composition (see
@@ -1079,7 +1116,16 @@ def duplicated_ngram_starts(
     window would also collapse the two references into one pass but
     puts every site of a viral fingerprint into ONE window partition
     (the skewed-task shape the keep="first" election below
-    deliberately avoids), so the barrier is the scale-safe form."""
+    deliberately avoids), so the barrier is the scale-safe form.
+
+    Cluster-mode caveat (ADVICE r17, applies to EVERY ``cache_*``
+    barrier in this family): local checkpoints are NON-RECOVERABLE —
+    the blocks live only in executor storage, so on executor loss or
+    decommission (dynamic allocation, spot/preemptible nodes) the job
+    fails with BlockNotFound instead of recomputing lineage.  On such
+    clusters pass ``False`` (recompute per reference) or disable
+    dynamic allocation for the stage; the default optimizes for the
+    stable-executor batch regime this engine targets."""
     assert k >= 2 and min_count >= 2
     arr = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != "")
@@ -1298,7 +1344,10 @@ def dedup_lines(
     frames).  The trade is heavier here than the fingerprint caches —
     the stored rows carry the ORIGINAL line text the rebuild needs —
     so pass ``False`` to recompute instead of store when executor
-    block storage is the constraint."""
+    block storage is the constraint.  Local checkpoints are also
+    NON-RECOVERABLE on executor loss (see the cluster-mode caveat in
+    ``duplicated_ngram_starts``): pass ``False`` under dynamic
+    allocation / spot nodes."""
     if keep not in ("none", "first"):
         raise ValueError(f"keep must be 'none' or 'first': {keep!r}")
     assert min_count >= 2

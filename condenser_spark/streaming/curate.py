@@ -318,15 +318,25 @@ def curate_stream(
         cur = flagged.filter(~F.col("badwords_hit")).drop("badwords_hit")
 
     if c4:
-        from condenser_spark.functions.text import c4_clean
+        from condenser_spark.functions.text import (
+            c4_clean,
+            c4_pass_condition,
+        )
 
         opts = dict(c4) if isinstance(c4, dict) else {}
         keep = tuple(c for c in cur.columns if c not in (id_col, text_col))
+        # gate FIRST on the self-contained doc_ok condition (the
+        # gopher_pass_condition twin, r18): doc_ok depends only on the
+        # stage-input text, so filtering before the cleaning projection
+        # keeps the row set identical while (a) dropped docs never pay
+        # the text_clean rebuild and (b) no ``filter("doc_ok")`` alias
+        # remains for Catalyst to substitute down into an interpreted
+        # Filter above the Arrow kernels
+        cur = cur.filter(c4_pass_condition(text_col=text_col, **opts))
         cleaned = c4_clean(cur, text_col=text_col, id_col=id_col,
                            keep_cols=keep, **opts)
         cur = (
-            cleaned.filter(F.col("doc_ok"))
-            .withColumnRenamed("text_clean", text_col)
+            cleaned.withColumnRenamed("text_clean", text_col)
             .drop("n_lines", "n_lines_kept", "doc_ok")
             .select(id_col, text_col, *keep)
         )
