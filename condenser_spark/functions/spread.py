@@ -29,6 +29,14 @@ from pyspark.sql import DataFrame
 #: extra exchange
 SPREAD_FACTOR = 2
 
+#: probe memo keyed on (app id, analyzed-plan semantic hash) — ``.rdd``
+#: forces full physical planning of the upstream plan on the driver
+#: (ADVICE r17: the very driver-time class this helper's callers remove
+#: elsewhere), so the partition count is probed ONCE per distinct input
+#: plan per application.  A semanticHash collision can only mis-SIZE the
+#: round-robin spread decision, never change any operator's result.
+_PROBE_MEMO: dict[tuple[str, int], int] = {}
+
 
 def spread_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition ``df`` to the session default parallelism
@@ -38,8 +46,15 @@ def spread_input(df: DataFrame) -> DataFrame:
     try:
         if df.isStreaming:
             return df
-        n = df.rdd.getNumPartitions()
-        target = df.sparkSession.sparkContext.defaultParallelism
+        sc = df.sparkSession.sparkContext
+        memo_key = (sc.applicationId, df.semanticHash())
+        n = _PROBE_MEMO.get(memo_key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            if len(_PROBE_MEMO) > 1024:  # unbounded-session hygiene
+                _PROBE_MEMO.clear()
+            _PROBE_MEMO[memo_key] = n
+        target = sc.defaultParallelism
     except Exception:  # pragma: no cover — probe failure = leave as-is
         return df
     if n * SPREAD_FACTOR <= target:

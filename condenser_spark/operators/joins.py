@@ -55,17 +55,20 @@ def semi_join_keys(
     (/root/reference/subset.py:141,201).
 
     The parent side is reduced to its key columns before the join (column
-    pruning).  No explicit ``distinct``: a LEFT SEMI join emits each child
-    row at most once regardless of build-side duplicates, and the target
-    columns are the parent's key (unique by construction), so the dedup
-    was a pure extra shuffle — the hash relation the join builds dedups
-    for free (guide §2.4: remove a distinct on already-unique data).
-    ``broadcast_keys=None`` (default) lets AQE pick broadcast-vs-shuffle
-    from the key set's measured runtime size; ``True`` forces the hint
-    (see module docstring for why forcing is dangerous)."""
+    pruning).  No explicit ``distinct`` on the AQE path: a LEFT SEMI join
+    emits each child row at most once regardless of build-side duplicates,
+    and the target columns are the parent's key (unique by construction),
+    so the dedup was a pure extra shuffle — the hash relation the join
+    builds dedups for free (guide §2.4: remove a distinct on already-unique
+    data).  ``broadcast_keys=None`` (default) lets AQE pick
+    broadcast-vs-shuffle from the key set's measured runtime size; ``True``
+    forces the hint (see module docstring for why forcing is dangerous) —
+    and KEEPS the distinct (ADVICE r17): a forced broadcast bypasses every
+    size check, so a caller passing a non-unique key frame must stay
+    bounded by the distinct key count, not the row count."""
     keys = parent.select(*[F.col(c) for c in target_cols])
     if broadcast_keys:
-        keys = F.broadcast(keys)
+        keys = F.broadcast(keys.distinct())
     return child.join(keys, on=_cond(child, keys, fk_cols, target_cols), how="left_semi")
 
 
@@ -108,12 +111,14 @@ def fetch_by_keys(
     have size limits; a single semi-join replaces the whole loop.  Broadcast of
     the key side is AQE-decided by default (see module docstring).
 
-    No internal ``distinct`` on the key side: the engine's downstream
+    No internal ``distinct`` on the AQE path: the engine's downstream
     kernel deduplicates the union of per-edge misses already (J3), and a
     LEFT SEMI join is insensitive to build-side duplicates — the former
     second distinct here was one redundant shuffle per fetched table
-    (guide §2.4)."""
+    (guide §2.4).  A FORCED broadcast keeps the distinct (ADVICE r17) so
+    the broadcast relation stays bounded by distinct keys even for a
+    caller that skipped its own dedup."""
     k = keys.select(*[F.col(c) for c in pk_cols])
     if broadcast_keys:
-        k = F.broadcast(k)
+        k = F.broadcast(k.distinct())
     return source.join(k, on=_cond(source, k, pk_cols, pk_cols), how="left_semi")

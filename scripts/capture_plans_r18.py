@@ -1,0 +1,89 @@
+"""Capture final explain('formatted') plans for the round-18-touched
+queries into plans/r18/<name>_after.txt (or _before.txt via argv).
+
+Usage:  python scripts/capture_plans_r18.py [_before|_after] [names...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SUFFIX = sys.argv[1] if len(sys.argv) > 1 else "_after"
+ONLY = set(sys.argv[2:])
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from condenser_spark.registry import load_source_tables
+    from condenser_spark.session import get_spark
+
+    spark = get_spark("plans-r18", master="local[8]", shuffle_partitions=8)
+    src = load_source_tables(spark, SF_DIR)
+    docs = src["documents"]
+
+    from condenser_spark.functions.lm import (
+        bigram_score_documents,
+        kn5_score_documents,
+        kn5_score_documents_stream,
+        kn_trigram_score_documents,
+        kn_trigram_score_documents_stream,
+        train_bigram_lm,
+        train_kn5_lm,
+        train_kn_trigram_lm,
+    )
+    from condenser_spark.streaming.curate import curate_stream
+    from condenser_spark.streaming.textdedup import build_line_bloom
+
+    kn = tuple(t.localCheckpoint()
+               for t in train_kn_trigram_lm(docs, vocab_size=4096))
+    kn5 = tuple(t.localCheckpoint()
+                for t in train_kn5_lm(docs, vocab_size=4096))
+    uni2, bi2 = (t.localCheckpoint()
+                 for t in train_bigram_lm(docs, vocab_size=4096))
+    landed = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    blm_l = build_line_bloom(landed)
+
+    builders = {
+        "kn5_score": lambda: kn5_score_documents(docs, *kn5),
+        "kn5_score_stream":
+            lambda: kn5_score_documents_stream(docs, *kn5),
+        "kn_trigram_score":
+            lambda: kn_trigram_score_documents(docs, *kn),
+        "kn_trigram_score_stream":
+            lambda: kn_trigram_score_documents_stream(docs, *kn),
+        "bigram_lm_score":
+            lambda: bigram_score_documents(docs, uni2, bi2),
+        "curate_stream_c4":
+            lambda: curate_stream(incoming, line_bloom=blm_l, c4=True),
+    }
+    outdir = os.path.join(REPO, "plans", "r18")
+    os.makedirs(outdir, exist_ok=True)
+    for name, mk in builders.items():
+        if ONLY and name not in ONLY:
+            continue
+        df = mk()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        path = os.path.join(outdir, f"{name}{SUFFIX}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"{name}: Exchange={plan.count('Exchange')} "
+              f"python={plan.count('ArrowEvalPython') + plan.count('MapInPandas') + plan.count('BatchEvalPython')} "
+              f"-> {path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -190,6 +190,14 @@ def build_queries(spark):
         lambda: lambda: kn5_score_documents_stream(docs, *_kn5)
         .agg(F.sum("lm5_logprob4_sum")).collect())
 
+    from condenser_spark.functions.lm import (
+        kn_trigram_score_documents_stream,
+    )
+
+    q("kn_trigram_score_stream")(
+        lambda: lambda: kn_trigram_score_documents_stream(docs, *_kn)
+        .agg(F.sum("lm3_logprob4_sum")).collect())
+
     def _bigram_lm():
         uni, bi = train_bigram_lm(docs, vocab_size=4096)
         return (bigram_score_documents(docs, uni, bi)
@@ -213,6 +221,10 @@ def build_queries(spark):
         lambda: lambda: curate_stream(_incoming, line_bloom=_blm_l,
                                       kgram_bloom=_blm_k, k=10, gopher=True)
         .agg(F.sum("es_removed_tokens")).collect())
+
+    q("curate_stream_c4")(
+        lambda: lambda: curate_stream(_incoming, line_bloom=_blm_l, c4=True)
+        .agg(F.sum(F.length("text"))).collect())
 
     # ---- retrieval / misc -------------------------------------------
     from condenser_spark.functions.retrieval import bm25_topk
