@@ -2833,6 +2833,117 @@ def stage_media_stream(spark, n_landed: int = 1_000_000,
     }
 
 
+def stage_minhash_skewed_band(spark, n_docs: int = 1_000_000) -> dict:
+    """Stage 42 (r18, VERDICT r17 #5): minhash_lsh_pairs against a
+    PLANTED viral band — the degenerate-bucket geometry ``_cap_band_buckets``
+    exists for — with the self-join's task-size distribution measured,
+    not just asserted by plan reading.
+
+    Corpus: 100k docs share ONE text (a 10x-over-cap mega template whose
+    every band lands all 100k ids in one (band, bucket)); 50 groups of
+    200 docs each share a per-group text (under-cap hot buckets — the
+    real candidate load); the rest are unique md5-token texts (no shared
+    shingles).  Uncapped, the mega template alone would feed the bucket
+    self-join 32 x C(100k, 2) ~ 1.6e14 candidate rows from single
+    100k-row buckets — one task per band doing ~5e9 pair emissions; the
+    run would never finish.  With the default max_bucket_size=10_000 the
+    mega buckets drop (its members pair via the exact-fingerprint path,
+    the documented routing) and the planted recall is exact:
+    50 x C(200,2) verified pairs at jaccard 1.0.
+
+    Skew evidence: per-partition INPUT rows and per-partition pair work
+    of the capped banded self-join, computed under the join's own
+    partitioning function (pmod(hash(band, bucket), shuffle partitions))
+    — max input over median must stay under 2x (the VERDICT bar), and
+    the max pair work per partition is reported alongside the analytic
+    uncapped number it replaced."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import (
+        _cap_band_buckets,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    mega, n_groups, gsize = 100_000, 50, 200
+    hot = n_groups * gsize
+    base = (
+        F.when(F.col("id") < mega, F.lit(-1))
+        .when(F.col("id") < mega + hot,
+              -2 - F.floor((F.col("id") - mega) / gsize))
+        .otherwise(F.col("id"))
+    )
+    toks = [
+        F.md5(F.concat(F.col("base").cast("string"), F.lit(f"-{p}")))
+        for p in range(24)
+    ]
+    path = f"{WORK}/minhash_skew_docs"
+    (spark.range(n_docs)
+     .withColumn("base", base)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws(" ", *toks).alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(docs, n=3, threshold=0.8).count()
+    wall = time.time() - t0
+    planted = n_groups * (gsize * (gsize - 1) // 2)
+    assert n_pairs == planted, (n_pairs, planted)
+
+    # rebuild the banded index exactly as the operator does and measure
+    # the self-join's partition distribution under its own partitioner
+    bands, r = 32, 4
+    sigs = minhash_signatures(docs, 3, 128, "text", "doc_id")
+    banded = sigs.select(
+        "id",
+        F.expr(
+            "explode(array(" + ",".join(
+                f"struct({i} AS band, "
+                f"xxhash64(slice(signature, {i * r + 1}, {r})) AS bucket)"
+                for i in range(bands)
+            ) + "))"
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sizes = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    uncapped_max_bucket = sizes.agg(F.max("s")).first()[0]
+    capped = _cap_band_buckets(
+        banded, 10_000
+    ).groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s"))
+    per_part = (
+        capped.groupBy(
+            F.pmod(F.hash("band", "bucket"), F.lit(n_part)).alias("p"))
+        .agg(F.sum("s").alias("rows"),
+             F.sum(F.expr("s * (s - 1) / 2")).alias("pair_work"))
+        .orderBy("p")
+    ).collect()
+    rows = sorted(x.rows for x in per_part)
+    med = rows[len(rows) // 2]
+    mx = rows[-1]
+    assert len(per_part) == n_part  # every partition carries load
+    assert mx <= 2 * med, (mx, med)  # the VERDICT no->2x-task-skew bar
+    return {
+        "stage": "minhash_skewed_band",
+        "n_docs": n_docs,
+        "mega_bucket_members": mega,
+        "uncapped_max_bucket": int(uncapped_max_bucket),
+        "uncapped_mega_pair_rows": bands * mega * (mega - 1) // 2,
+        "pairs_planted": planted,
+        "pairs_found": n_pairs,
+        "join_partitions": n_part,
+        "input_rows_max": int(mx),
+        "input_rows_median": int(med),
+        "input_skew_max_over_median": round(mx / med, 2),
+        "pair_work_max": int(max(x.pair_work for x in per_part)),
+        "wall_sec": round(wall, 1),
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2886,6 +2997,7 @@ def main() -> int:
         "kn_trigram": lambda: stage_kn_trigram(spark),
         "media_stream": lambda: stage_media_stream(spark),
         "kn5": lambda: stage_kn5(spark),
+        "minhash_skew": lambda: stage_minhash_skewed_band(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
