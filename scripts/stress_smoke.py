@@ -2944,6 +2944,127 @@ def stage_minhash_skewed_band(spark, n_docs: int = 1_000_000) -> dict:
     }
 
 
+def stage_winnow_index_ab(spark, n_docs: int = 2_000_000,
+                          n_toks: int = 48) -> dict:
+    """Stage 43 (r18, VERDICT r17 #7): the winnow index build priced BOTH
+    ways at stress scale — the shipped id-window form (posexplode ->
+    one id shuffle -> codegen lead/argmin windows) against a
+    shuffle-FREE per-row higher-order-function form (token array ->
+    transform/sequence fingerprints -> per-row argmin slide ->
+    array_distinct -> explode; zero Exchange).
+
+    The r17 zip-slice rejection predicted the trade might invert at
+    cluster scale because the window path shuffles every token row; the
+    HOF path trades that shuffle for INTERPRETED per-row evaluation
+    (the stage-10 lesson: HOFs run without codegen).  This stage pins
+    the numbers at 2M docs x 48 tokens so the choice is data, and
+    verifies the two forms emit the IDENTICAL (id, pos, fp) set."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.text import (
+        _RK_BASE,
+        _RK_MOD,
+        winnow_fingerprints,
+    )
+
+    window, winnow = 4, 5
+    toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{p}")))
+        for p in range(n_toks)
+    ]
+    path = f"{WORK}/winidx_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws(" ", *toks).alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+
+    def hof_index(df):
+        # every intermediate array is BOUND as a lambda variable
+        # (transform over a one-element wrapper) so interpreted
+        # evaluation computes it once per row — an element_at(<subtree>)
+        # reference inside a HOF re-evaluates the whole subtree per
+        # element otherwise (measured: unrunnable at any scale)
+        tokens = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            " ")
+        hs = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long"))
+
+        def fps_of(ha):
+            nfp = F.size(ha) - F.lit(window - 1)
+            fp_of = lambda p: F.pmod(  # noqa: E731
+                sum(F.element_at(ha, p + F.lit(j)) * F.lit(_RK_BASE ** j)
+                    for j in range(window)),
+                F.lit(_RK_MOD))
+            return F.when(
+                nfp >= 1, F.transform(F.sequence(F.lit(1), nfp), fp_of)
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        fps = F.element_at(F.transform(F.array(hs), fps_of), 1)
+
+        def sel_of(fa):
+            nfp = F.size(fa)
+            return F.when(
+                nfp >= winnow,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(winnow), nfp),
+                    lambda p: F.array_min(F.transform(
+                        F.sequence(p - F.lit(winnow - 1), p),
+                        lambda q: F.struct(
+                            F.element_at(fa, q).alias("f"),
+                            (-q).alias("np")),
+                    )),
+                )),
+            ).otherwise(
+                F.array().cast("array<struct<f:bigint,np:int>>"))
+
+        sel = F.element_at(F.transform(F.array(fps), sel_of), 1)
+        return (df.select(F.col("doc_id").alias("id"),
+                          F.explode(sel).alias("m"))
+                .select("id",
+                        (-F.col("m.np")).cast("long").alias("pos"),
+                        F.col("m.f").alias("fp"))
+                .distinct())
+
+    # identity first, on a slice (exceptAll both ways == 0)
+    probe = docs.filter(F.col("doc_id") % 997 == 0)
+    a0 = winnow_fingerprints(probe, window=window, winnow=winnow)
+    b0 = hof_index(probe)
+    assert a0.exceptAll(b0).count() == 0 and b0.exceptAll(a0).count() == 0
+
+    def timed(fn, runs=3):
+        fn()  # warm
+        xs = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            xs.append(time.time() - t0)
+        xs.sort()
+        return xs[len(xs) // 2]
+
+    noop = lambda d: d.write.format("noop").mode(  # noqa: E731
+        "overwrite").save()
+    wall_window = timed(lambda: noop(
+        winnow_fingerprints(docs, window=window, winnow=winnow)))
+    wall_hof = timed(lambda: noop(hof_index(docs)))
+    # analytic shuffle volume the window path pays and the HOF path
+    # skips: one (id, pos, h) row per token through the id exchange
+    shuffle_rows = n_docs * n_toks
+    return {
+        "stage": "winnow_index_ab",
+        "n_docs": n_docs,
+        "tokens_per_doc": n_toks,
+        "wall_window_sec": round(wall_window, 1),
+        "wall_hof_sec": round(wall_hof, 1),
+        "hof_over_window": round(wall_hof / wall_window, 2),
+        "window_shuffle_rows": shuffle_rows,
+        "outputs_identical": True,
+    }
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -2998,6 +3119,7 @@ def main() -> int:
         "media_stream": lambda: stage_media_stream(spark),
         "kn5": lambda: stage_kn5(spark),
         "minhash_skew": lambda: stage_minhash_skewed_band(spark),
+        "winnow_index_ab": lambda: stage_winnow_index_ab(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
