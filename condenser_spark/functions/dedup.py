@@ -477,17 +477,28 @@ def dup_clusters(
     the SCHEMA graph — hundreds of nodes; this one is for BILLIONS of edge
     rows).  Near-dup components are shallow in practice (dup sets are
     near-cliques), so rounds ~ 2-4; ``max_iterations`` is a diverging-input
-    backstop."""
+    backstop.
+
+    Round 1 needs no join (guide §2.4): labels start as the identity, so
+    the first adopted label is just ``least(src, min(dst))`` per node of
+    the symmetrized edge set — one map-side-combined aggregate replaces
+    the round's edges⋈labels shuffle join AND the separate distinct-ids
+    init scan.  Iteration (with the edges⋈labels join) starts at round 2;
+    output is identical for every input because the aggregate IS round 1's
+    fixpoint step evaluated against identity labels."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = fwd.unionByName(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().localCheckpoint(eager=False)
+    # round 1, join-free: every id appears as src in the symmetrized
+    # edges, so this covers exactly the distinct-id node set
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "id")
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iterations):
+    for _ in range(max_iterations - 1):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src").agg(F.min("label").alias("nbr_label"))
