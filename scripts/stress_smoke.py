@@ -3065,6 +3065,80 @@ def stage_winnow_index_ab(spark, n_docs: int = 2_000_000,
     }
 
 
+def stage_spread_audit(spark, n_docs: int = 100_000) -> dict:
+    """Stage 44 (r18, VERDICT r17 #8): per-kernel spread-helper coverage
+    audit at stress scale — the sf0.1 A/Bs that rejected ``spread_input``
+    outside langid were run on a HEALTHY 32-partition scan, which never
+    exercises the under-parallel case the helper exists for (guide §2.5).
+    This stage builds the pathological landing — a corpus written as TWO
+    ~120 MB parquet files, so the default 128 MB split size yields a
+    2-partition scan on a 32-core session — and prices each scan-fused
+    heavy kernel both ways: as-is (2 map tasks, 30 cores idle through
+    the kernel) vs behind the same round-robin spread langid ships
+    (``repartition(defaultParallelism)``, result-identical for every
+    kernel here: key-grouped aggregates / per-row maps).
+
+    The decision each ratio feeds: a kernel whose spread ratio is >>1 on
+    this fixture AND whose guard is a no-op on healthy scans is safe to
+    wire behind ``spread_input``; a kernel near 1.0 keeps its direct
+    scan (the spread exchange is pure cost there)."""
+    from pyspark.sql import functions as F
+
+    from condenser_spark.functions.dedup import (
+        minhash_signatures,
+        simhash_signatures,
+    )
+    from condenser_spark.streaming.textdedup import (
+        gopher_repetition_stateless,
+    )
+
+    toks = [
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{p}")))
+        for p in range(24)
+    ]
+    path = f"{WORK}/spread_docs"
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.concat_ws(" ", *toks).alias("text"))
+     .coalesce(2)
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+    scan_parts = docs.rdd.getNumPartitions()
+    par = spark.sparkContext.defaultParallelism
+
+    kernels = {
+        # langid (the kernel spread_input already ships in) is NOT
+        # re-audited here: language_scores spreads internally, so both
+        # arms of this A/B would execute the same plan — its evidence is
+        # the r17 plan diff (4->6 Exchange) and the 3.19x driver delta
+        "minhash_signatures": lambda d: minhash_signatures(
+            d, 3, 128, "text", "doc_id"),
+        "simhash_signatures": lambda d: simhash_signatures(d),
+        "gopher_repetition": lambda d: gopher_repetition_stateless(d),
+    }
+
+    def timed(fn):
+        # single cold run per arm: the direct arm costs MINUTES on the
+        # 2-task scan (that is the measurement), so warm medians are
+        # unaffordable; the ~1 s codegen warm-up both arms pay is noise
+        # against the ratios this stage exists to expose
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
+    noop = lambda d: d.write.format("noop").mode(  # noqa: E731
+        "overwrite").save()
+    out = {"stage": "spread_audit", "n_docs": n_docs,
+           "scan_partitions": scan_parts, "default_parallelism": par}
+    for name, kern in kernels.items():
+        direct = timed(lambda: noop(kern(docs)))
+        spread = timed(lambda: noop(kern(docs.repartition(par))))
+        out[f"{name}_direct_sec"] = round(direct, 2)
+        out[f"{name}_spread_sec"] = round(spread, 2)
+        out[f"{name}_ratio"] = round(direct / spread, 2)
+    return out
+
+
 def main() -> int:
     n_docs = int(
         float(sys.argv[1]) * 1_000_000 if len(sys.argv) > 1
@@ -3120,6 +3194,7 @@ def main() -> int:
         "kn5": lambda: stage_kn5(spark),
         "minhash_skew": lambda: stage_minhash_skewed_band(spark),
         "winnow_index_ab": lambda: stage_winnow_index_ab(spark),
+        "spread_audit": lambda: stage_spread_audit(spark),
     }
     for name, stage in stages.items():
         if only and name not in only:
