@@ -110,6 +110,31 @@ class SubsetEngine:
         if self.verbose:
             print(msg)
 
+    @staticmethod
+    def _read_schema(schema):
+        """The schema ``spark.read.parquet`` would INFER for files written
+        from ``schema``: recursively all-nullable (Spark's parquet writer
+        drops non-null markers; inference reports every field, array
+        element, and map value nullable).  Passing it explicitly to
+        ``spark.read.schema(...)`` skips the footer-sampling inference job
+        (~0.1 s driver+job cost per read-back, measured) while keeping the
+        dest frame's schema byte-identical to the inferred one."""
+        from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+        def nullable(dt):
+            if isinstance(dt, StructType):
+                return StructType(
+                    [StructField(f.name, nullable(f.dataType), True, f.metadata)
+                     for f in dt.fields]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(nullable(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(nullable(dt.keyType), nullable(dt.valueType), True)
+            return dt
+
+        return nullable(schema)
+
     def _set_dest(self, table: str, df: DataFrame) -> None:
         """Phase-barrier materialization policy (SURVEY §7.3 hard #1).
 
@@ -150,7 +175,8 @@ class SubsetEngine:
             if os.path.exists(final):
                 shutil.rmtree(final)
             os.replace(staged, final)
-            df = self.spark.read.parquet(final)
+            df = self.spark.read.schema(
+                self._read_schema(df.schema)).parquet(final)
         self.dest[table] = df
 
     def _set_dest_group(self, items: list[tuple[str, DataFrame]]) -> None:
@@ -222,7 +248,10 @@ class SubsetEngine:
             final = os.path.join(self.dest_path, f"{table}.parquet")
             rows.select(*self.dest[table].columns) \
                 .write.mode("append").parquet(final)
-            self.dest[table] = self.spark.read.parquet(final)
+            # the landed frame was itself read with the all-nullable read
+            # schema, so reusing it verbatim matches inference exactly
+            self.dest[table] = self.spark.read.schema(
+                self.dest[table].schema).parquet(final)
             return
         self._set_dest(table, self.dest[table].unionByName(rows))
 

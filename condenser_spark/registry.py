@@ -127,8 +127,42 @@ def _footer_schema(path: str):
 
 def empty_like(df: DataFrame) -> DataFrame:
     """Zero-row frame with an identical schema — the Spark analogue of the
-    reference's schema-only destination table (/root/reference/psql_database_creator.py:34-54)."""
-    return df.sparkSession.createDataFrame([], df.schema)
+    reference's schema-only destination table (/root/reference/psql_database_creator.py:34-54).
+
+    ``limit(0)`` (not ``createDataFrame([], schema)``): the optimizer folds
+    it to an empty LocalRelation, so joins/unions over it plan as empty-
+    relation propagation and any job over it is a single driver-local task.
+    ``createDataFrame([], schema)`` parallelizes to ``defaultParallelism``
+    EMPTY partitions — every broadcast build or write touching such a frame
+    scheduled one near-empty task PER CORE (32-task jobs over zero rows,
+    the dominant core-count-scaling cost of the parquet sink's fixed
+    overhead; measured r18)."""
+    return df.limit(0)
+
+
+def lookup_df(spark: SparkSession, data, schema) -> DataFrame:
+    """Small driver-local lookup frame (query lists, badword sets, blocked
+    domains, report rows) as a plan-embedded LocalRelation.
+
+    ``createDataFrame(list)`` parallelizes to ``defaultParallelism`` slices:
+    every broadcast build or join over the frame schedules one near-empty
+    task PER CORE (~0.4 s of fixed overhead per use at local[32], measured
+    r18) and the cost grows with the cluster.  Routing the rows through
+    pandas hits the Arrow conversion path, which plans a LocalRelation —
+    zero scan tasks, and the optimizer can fold it.  Falls back to the
+    plain path for values pandas/Arrow can't represent."""
+    import pandas as _pd
+
+    data = list(data)
+    if not data:
+        return spark.createDataFrame(data, schema)
+    try:
+        if isinstance(schema, (list, tuple)):
+            pdf = _pd.DataFrame(data, columns=list(schema))
+            return spark.createDataFrame(pdf)
+        return spark.createDataFrame(_pd.DataFrame(data), schema=schema)
+    except Exception:
+        return spark.createDataFrame(data, schema)
 
 
 def write_dest(
