@@ -632,7 +632,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     from condenser_spark.functions.retrieval import bm25_topk
 
-    _bm_queries = spark.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    _bm_queries = lookup_df(
+        spark,
         [(0, "the quick brown fox"), (1, "lorem ipsum dolor"),
          (2, "data"), (3, "spark parquet shuffle")],
         ["query_id", "query"])

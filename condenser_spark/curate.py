@@ -997,7 +997,10 @@ def curate_corpus(
         rows.append((name, n_in, n_out, n_in - n_out))
         n_in = n_out
     spark = docs.sparkSession
-    rep = spark.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    rep = lookup_df(
+        spark,
         rows or [("noop", n_in, n_in, 0)],
         "stage string, docs_in long, docs_out long, docs_dropped long",
     )

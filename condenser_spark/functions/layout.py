@@ -270,7 +270,9 @@ def landed_manifest(
                 continue
             p = os.path.join(root, name)
             sizes.append(("file://" + p, os.path.getsize(p)))
-    size_df = spark.createDataFrame(sizes, "file string, n_bytes long")
+    from condenser_spark.registry import lookup_df
+
+    size_df = lookup_df(spark, sizes, "file string, n_bytes long")
     # no broadcast hint: Spark cannot broadcast either side of a FULL
     # OUTER join (the hint would be silently ignored); at one row per
     # FILE both sides are tiny and the sort-merge is trivial
@@ -515,8 +517,10 @@ def compact_landed(
                 f"partition directories decode to duplicate values "
                 f"{dupes} under {path!r} — merge the colliding "
                 f"directories before compacting")
-        plan_df = spark.createDataFrame(
-            rows, ", ".join([f"`{c}` string" for c in part_cols])
+        from condenser_spark.registry import lookup_df
+
+        plan_df = lookup_df(
+            spark, rows, ", ".join([f"`{c}` string" for c in part_cols])
             + ", `_n_shards` int")
         joined = df
         for c in part_cols:

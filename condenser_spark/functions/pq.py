@@ -390,7 +390,10 @@ def _exact_rerank(top: DataFrame, rows, rerank_with: DataFrame,
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
     qmap = {r._qid: list(r._q) for r in rows}
-    qdf = top.sparkSession.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    qdf = lookup_df(
+        top.sparkSession,
         [(qid, vec) for qid, vec in qmap.items()],
         schema=(
             "query_id "

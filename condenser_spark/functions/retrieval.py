@@ -131,7 +131,10 @@ def bm25_topk(
     qid_type = StringType() if isinstance(qt, StringType) else LongType()
     from pyspark.sql.types import StructField, StructType
 
-    qpairs = spark.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    qpairs = lookup_df(
+        spark,
         [(q, t) for q, t in pairs],
         StructType(
             [

@@ -1061,8 +1061,10 @@ def badwords_flags(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
                 r"[^a-z0-9_]+"),
         lambda t: t != "")
-    words_df = df.sparkSession.createDataFrame(
-        [(w,) for w in words], "_bw string")
+    from condenser_spark.registry import lookup_df
+
+    words_df = lookup_df(
+        df.sparkSession, [(w,) for w in words], "_bw string")
     hits = (
         df.select(F.col(id_col), F.explode(toks).alias("_bw"))
         .join(F.broadcast(words_df), "_bw", "left_semi")

@@ -396,8 +396,10 @@ def curate_urls(
             F.coalesce(F.col("url_domain").isin(*blocked), F.lit(False)),
         )
     spark = docs.sparkSession
-    bl = spark.createDataFrame(
-        [(d,) for d in blocked], "url_domain_blocked string"
+    from condenser_spark.registry import lookup_df
+
+    bl = lookup_df(
+        spark, [(d,) for d in blocked], "url_domain_blocked string"
     )
     return (
         out.join(

@@ -413,7 +413,10 @@ def ext_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (condenser_spark/functions/temporal.py:range_join_bucketed)."""
     from condenser_spark.functions.temporal import range_join_bucketed
 
-    spark_bands = spark.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    spark_bands = lookup_df(
+        spark,
         [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1000.0, "high")],
         "lo double, hi double, band string",
     )
@@ -1879,7 +1882,9 @@ def s7_teardown_removes_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t, spark.read.parquet(os.path.join(dest_dir, f"{t}.parquet")).count())
         for t in listed
     ]
-    return spark.createDataFrame(rows, "table_name string, n_rows long")
+    from condenser_spark.registry import lookup_df
+
+    return lookup_df(spark, rows, "table_name string, n_rows long")
 
 
 @golden(
@@ -4010,7 +4015,9 @@ def ext_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from condenser_spark.functions.retrieval import bm25_topk
 
     docs = _tables(spark, sf_dir)["documents"]
-    qdf = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query"])
+    from condenser_spark.registry import lookup_df
+
+    qdf = lookup_df(spark, _BM25_QUERIES, ["query_id", "query"])
     return bm25_topk(docs, qdf, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 

@@ -95,7 +95,9 @@ def tabulate(
         F.count(F.when(F.col("_src"), 1)).alias("_sc"),
         F.count(F.when(~F.col("_src"), 1)).alias("_dc"),
     )
-    base = spark.createDataFrame([(n,) for n in names], ["table_name"])
+    from condenser_spark.registry import lookup_df
+
+    base = lookup_df(spark, [(n,) for n in names], "table_name string")
     return (
         base.join(F.broadcast(counts), on="table_name", how="left")
         .select(

@@ -229,7 +229,10 @@ def build_queries(spark):
     # ---- retrieval / misc -------------------------------------------
     from condenser_spark.functions.retrieval import bm25_topk
 
-    _bm_queries = spark.createDataFrame(
+    from condenser_spark.registry import lookup_df
+
+    _bm_queries = lookup_df(
+        spark,
         [(0, "the quick brown fox"), (1, "lorem ipsum dolor"),
          (2, "data"), (3, "spark parquet shuffle")],
         ["query_id", "query"])
