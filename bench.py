@@ -1036,7 +1036,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 # records bench_cpus context either way.
 CALIBRATION_FLOOR_32C = {
     "minhash_lsh_pairs": 3.07,
-    "bm25_topk": 2.39,
+    # bm25_topk was the second probe until r18 wave 4 optimized it
+    # (lookup_df LocalRelation query frame) — an optimized query can no
+    # longer separate host drift from code change, so the probe swapped
+    # to dsir_sample (untouched since its r17 disposition; same driver
+    # recording as the other floors).
+    "dsir_sample": 2.50,
 }
 
 

@@ -166,7 +166,7 @@ def test_detail_artifact_scaling_run_suffix(tmp_path, monkeypatch):
 def test_calibration_stamp_rides_the_detail_line():
     # VERDICT r17 "Next round" #9: the host-drift probe ratios are
     # stamped into every detail record
-    timings = {"minhash_lsh_pairs": 6.14, "bm25_topk": 2.39, "other": 1.0}
+    timings = {"minhash_lsh_pairs": 6.14, "dsir_sample": 2.50, "other": 1.0}
     noise = {k: 1.0 for k in timings}
     stamp = bench.calibration_stamp(timings)
     d, _ = bench.emit_lines(timings, noise, (0, 0, 0), (0, 0, 0),
@@ -174,7 +174,7 @@ def test_calibration_stamp_rides_the_detail_line():
     detail = json.loads(d)
     probes = detail["calibration"]["probes"]
     assert probes["minhash_lsh_pairs"]["ratio"] == 2.0
-    assert probes["bm25_topk"]["ratio"] == 1.0
+    assert probes["dsir_sample"]["ratio"] == 1.0
     # a probe missing from the run (e.g. a future rename) degrades to
     # absence, never a crash
     assert bench.calibration_stamp({"x": 1.0})["calibration"]["probes"] == {}
